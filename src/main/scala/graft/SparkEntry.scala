@@ -1,13 +1,253 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Upsert
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each re-expressed over the TPC-H-ish driver testdata
+  * (TESTDATA.md) and paired with equivalent DuckDB SQL in `oracleSql`
+  * for the hash-match correctness gate. Ops whose output is inherently
+  * nondeterministic (monotonically_increasing_id) carry no oracle and
+  * are covered by ScalaTest invariants instead.
+  *
+  * Conventions (keep or the driver's compare breaks):
+  *  - every computed column is aliased IDENTICALLY in the Spark code
+  *    and the SQL;
+  *  - double aggregates are rounded to 2 decimals on both sides so
+  *    summation-order ulp drift cannot flip the hash;
+  *  - integer-typed derivations (year(), count) are cast so Spark and
+  *    DuckDB agree on the exact integer width.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's star-join + grouped-sum shape (J2 + A1) in one.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = t(spark, dir, "lineitem")
+    val p = t(spark, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+           sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("revenue").desc)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── S1: parquet batch scan + column-pruned projection ──────────────
+    "q_s1_scan_project" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"), col("p_name"),
+        col("p_retailprice"))),
+
+    // ── S2: SQL over a parquet path-table (`2_Silver:85-87`) ───────────
+    "q_s2_sql_path" -> ((s, dir) =>
+      s.sql(s"select distinct p_brand from parquet.`$dir/part.parquet`")),
+
+    // ── P1/P2/F1: withColumn + split + array index (`2_Silver:33`) ─────
+    "q_p2_split" -> ((s, dir) =>
+      t(s, dir, "part")
+        .withColumn("type_head", split(col("p_type"), " ").getItem(0))
+        .select(col("p_partkey"), col("type_head"))),
+
+    // ── P4/F3: int-free division → double (`2_Silver:49`) ──────────────
+    "q_p4_div" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("price_per_unit", col("l_extendedprice") / col("l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("price_per_unit"))),
+
+    // ── P3/F5: cast to string (`2_Silver:45`) ──────────────────────────
+    "q_p3_cast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_linenumber").cast("string").as("ln_str"))),
+
+    // ── J1+P6+P7: left join, lineage-qualified select, IS NOT NULL
+    //    (the SCD1 matched/old path, `3(1):79,92`) ───────────────────────
+    "q_p7_scd_old" -> ((s, dir) => {
+      val src = t(s, dir, "part")
+      val sink = t(s, dir, "part").filter(col("p_size") > 25)
+        .select(col("p_partkey").as("sink_key"))
+      src.join(sink, src("p_partkey") === sink("sink_key"), "left")
+        .filter(col("sink_key").isNotNull)
+        .select(src("p_partkey"), src("p_name"))
+    }),
+
+    // ── J1+P8: same join, IS NULL (the new-record path, `3(1):102`) ────
+    "q_p8_scd_new" -> ((s, dir) => {
+      val src = t(s, dir, "part")
+      val sink = t(s, dir, "part").filter(col("p_size") > 25)
+        .select(col("p_partkey").as("sink_key"))
+      src.join(sink, src("p_partkey") === sink("sink_key"), "left")
+        .filter(col("sink_key").isNull)
+        .select(src("p_partkey"), src("p_name"))
+    }),
+
+    // ── P9+P10: constant-false schema-only query (`3(1):63-68`) ────────
+    "q_p9_schema_only" -> ((s, dir) =>
+      s.sql(s"select 1 as dim_key, p_partkey, p_name " +
+        s"from parquet.`$dir/part.parquet` where 1=0")),
+
+    // ── A1+O1+P11+F8: grouped sum + mixed-direction sort (`2_Silver:63`)
+    "q_a1_grouped_sum_sort" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_year").asc, col("total_price").desc)),
+
+    // ── A2: ungrouped scalar max (`3(1):123`) ──────────────────────────
+    "q_a2_scalar_max" -> ((s, dir) =>
+      t(s, dir, "orders").agg(max(col("o_orderkey")).as("max_key"))),
+
+    // ── A3: multi-column DISTINCT (`3(1):44-46`) ───────────────────────
+    "q_a3_distinct" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_brand"), col("p_type")).distinct()),
+
+    // ── J1: left-outer equi join, dim broadcast (`3(1):79`) ────────────
+    "q_j1_left_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("n_name"))
+    }),
+
+    // ── J2: 4-way chained left join, star shape (`4_Fact:46-51`) ───────
+    "q_j2_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val sup = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"), "left")
+        .join(o, li("l_orderkey") === o("o_orderkey"), "left")
+        .select(li("l_orderkey"), li("l_linenumber"), li("l_quantity"),
+          li("l_extendedprice"), p("p_name"), sup("s_name"),
+          o("o_orderpriority"))
+    }),
+
+    // ── U1: positional UNION ALL (`3(1):146`) ──────────────────────────
+    "q_u1_union_positional" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      n.filter(col("n_nationkey") < 12).select(col("n_nationkey"), col("n_name"))
+        .union(n.filter(col("n_nationkey") >= 12)
+          .select(col("n_nationkey"), col("n_name")))
+    }),
+
+    // ── O1: standalone global mixed-direction sort ─────────────────────
+    "q_o1_sort" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .orderBy(col("s_nationkey").asc, col("s_acctbal").desc)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))),
+
+    // ── A1 over the fact grain: filter-pushdown + grouped sums ─────────
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // ── J3/J4: parquet-backed MERGE upsert (`3(1):163-169`) — runs the
+    //    real Upsert engine against a scratch dir; final state is
+    //    deterministic and SQL-expressible, so it DOES get an oracle ───
+    "q_j3_upsert" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_q"
+      val target = part.filter(col("p_size") <= 25)
+      val src = part.filter(col("p_size") > 20)
+        .withColumn("p_retailprice", col("p_retailprice") * 2)
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      target.write.mode("overwrite").parquet(scratch)
+      Upsert.forPath(s, scratch)
+        .merge(src, Seq("p_partkey"))
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+      s.read.parquet(scratch)
+    }),
+
+    // ── F2: monotonically_increasing_id — nondeterministic values, no
+    //    oracle; ScalaTest asserts uniqueness/monotonicity invariants ──
+    "q_f2_mid" -> ((s, dir) =>
+      t(s, dir, "part")
+        .withColumn("surrogate_key", lit(1L) + monotonically_increasing_id())
+        .select(col("p_partkey"), col("surrogate_key")))
+  )
+
+  /** DuckDB-equivalent SQL per query (driver runs these on the same
+    * parquet registered under bare table names). Omitted: q_f2_mid
+    * (nondeterministic ids → rows-only check).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_s1_scan_project" ->
+      "SELECT p_partkey, p_name, p_retailprice FROM part",
+    "q_s2_sql_path" ->
+      "SELECT DISTINCT p_brand FROM part",
+    "q_p2_split" ->
+      "SELECT p_partkey, split_part(p_type, ' ', 1) AS type_head FROM part",
+    "q_p4_div" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice / l_quantity AS price_per_unit FROM lineitem",
+    "q_p3_cast" ->
+      "SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS VARCHAR) AS ln_str FROM lineitem",
+    "q_p7_scd_old" ->
+      ("SELECT p.p_partkey, p.p_name FROM part p " +
+        "LEFT JOIN (SELECT p_partkey FROM part WHERE p_size > 25) s " +
+        "ON p.p_partkey = s.p_partkey WHERE s.p_partkey IS NOT NULL"),
+    "q_p8_scd_new" ->
+      ("SELECT p.p_partkey, p.p_name FROM part p " +
+        "LEFT JOIN (SELECT p_partkey FROM part WHERE p_size > 25) s " +
+        "ON p.p_partkey = s.p_partkey WHERE s.p_partkey IS NULL"),
+    "q_p9_schema_only" ->
+      "SELECT 1 AS dim_key, p_partkey, p_name FROM part WHERE 1=0",
+    "q_a1_grouped_sum_sort" ->
+      ("SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS o_year, " +
+        "round(sum(o_totalprice), 2) AS total_price, count(*) AS n_orders " +
+        "FROM orders GROUP BY 1, 2 ORDER BY o_year ASC, total_price DESC"),
+    "q_a2_scalar_max" ->
+      "SELECT max(o_orderkey) AS max_key FROM orders",
+    "q_a3_distinct" ->
+      "SELECT DISTINCT p_brand, p_type FROM part",
+    "q_j1_left_join" ->
+      ("SELECT c_custkey, c_name, n_name FROM customer " +
+        "LEFT JOIN nation ON c_nationkey = n_nationkey"),
+    "q_j2_star_join" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, " +
+        "p_name, s_name, o_orderpriority FROM lineitem " +
+        "LEFT JOIN part ON l_partkey = p_partkey " +
+        "LEFT JOIN supplier ON l_suppkey = s_suppkey " +
+        "LEFT JOIN orders ON l_orderkey = o_orderkey"),
+    "q_u1_union_positional" ->
+      ("SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 12 " +
+        "UNION ALL " +
+        "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey >= 12"),
+    "q_o1_sort" ->
+      ("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +
+        "ORDER BY s_nationkey ASC, s_acctbal DESC"),
+    "q1_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+        "round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q_j3_upsert" ->
+      ("SELECT p_partkey, p_name, p_brand, p_type, p_size, " +
+        "CASE WHEN p_size > 20 THEN p_retailprice * 2 ELSE p_retailprice END " +
+        "AS p_retailprice FROM part")
+  )
 }

@@ -1,0 +1,67 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Thin catalog facade over a warehouse directory of parquet tables.
+  *
+  * Replicates the reference's 3-level `catalog.schema.table` namespace
+  * (`1_db_Notebook.py:8,24,29`) and its existence-probe branch points
+  * (`3(1)_Gold_dim_model.py:56,163`, `4_Gold_fact_sales_table.py:68`)
+  * without requiring a Hive metastore or Delta: a table named
+  * `cars_catalog.gold.dim_model` maps to the directory
+  * `<base>/cars_catalog/gold/dim_model`.
+  *
+  * Scale note: existence checks and path resolution are driver-side
+  * filesystem metadata calls (O(1)); data stays distributed. The facade
+  * never collects table contents.
+  */
+final class TableCatalog(val spark: SparkSession, val basePath: String) {
+
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** `catalog.schema.table` → filesystem path (case-insensitive names,
+    * mirroring spark.sql.caseSensitive=false).
+    */
+  def pathFor(name: String): String =
+    (basePath +: name.toLowerCase.split('.').toSeq).mkString("/")
+
+  /** Existence probe — the branch condition for initial-vs-incremental
+    * load (`3(1):56`). A table exists iff its directory has committed
+    * parquet output (_SUCCESS or at least one data file).
+    */
+  def tableExists(name: String): Boolean = {
+    val p = new Path(pathFor(name))
+    val f = fs(p)
+    f.exists(p) && f.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      n == "_SUCCESS" || n.endsWith(".parquet")
+    }
+  }
+
+  def read(name: String): DataFrame = spark.read.parquet(pathFor(name))
+
+  /** Initial full load — `format('parquet').mode('overwrite')
+    * .option('path', …).saveAsTable(…)` (`3(1):171-176`) minus the
+    * metastore registration (path IS the registration here).
+    */
+  def overwrite(name: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(pathFor(name))
+
+  def createSchema(schemaName: String): Unit = {
+    val p = new Path((basePath +: schemaName.toLowerCase.split('.').toSeq).mkString("/"))
+    fs(p).mkdirs(p)
+  }
+
+  def dropTable(name: String): Unit = {
+    val p = new Path(pathFor(name))
+    val f = fs(p)
+    if (f.exists(p)) f.delete(p, true)
+  }
+}
+
+object TableCatalog {
+  def apply(spark: SparkSession, basePath: String): TableCatalog =
+    new TableCatalog(spark, basePath)
+}

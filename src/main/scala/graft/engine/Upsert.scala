@@ -1,0 +1,139 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed MERGE (SCD Type-1 upsert) — the one genuinely custom
+  * execution component of the engine.
+  *
+  * The reference runs Delta Lake MERGE:
+  * `DeltaTable.forPath(...).alias('trg').merge(df.alias('src'), cond)
+  *   .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()`
+  * (`3(1)_Gold_dim_model.py:163-169` single-key;
+  * `4_Gold_fact_sales_table.py:68-74` composite 4-column key).
+  *
+  * No Delta jars ship with this environment, so we re-derive the same
+  * observable semantics from first principles on the public DataFrame
+  * API. Key insight: `whenMatchedUpdateAll + whenNotMatchedInsertAll`
+  * with a full-row source is exactly "source wins":
+  *
+  *   result = target ANTI-JOIN source ON keys   ∪   source
+  *
+  * which is ONE join (left_anti) + a union — no full-outer join, no
+  * per-column coalesce. At 100 TB this matters:
+  *   - the anti join broadcasts when the incremental source is small
+  *     (the overwhelmingly common case: daily delta vs. huge target),
+  *     so the target is never shuffled;
+  *   - when both sides are large, it is a shuffle hash/sort-merge join
+  *     on the merge keys — the same cost Delta's inner "find touched
+  *     files" join pays, without the second rewrite join;
+  *   - the union is free (no shuffle).
+  *
+  * Durability: write to `<path>__tmp`, then atomically swap directories
+  * via Hadoop rename (single-writer pipeline — same guarantee level the
+  * reference actually relies on; Delta's log adds concurrent-writer
+  * isolation we don't need).
+  *
+  * Null-safe key equality (`<=>`) so null keys match like Delta's
+  * `=` on nulls does NOT — we intentionally use null-safe semantics so
+  * a null-keyed row cannot duplicate forever across runs.
+  */
+object Upsert {
+
+  /** Fluent handle mirroring `DeltaTable.forPath` (`3(1):165`). */
+  def forPath(spark: SparkSession, path: String): UpsertTable =
+    new UpsertTable(spark, path)
+
+  /** Core merge: source wins on key match; unmatched source rows are
+    * inserted; unmatched target rows are kept.
+    * Column alignment is BY NAME, case-insensitive (the pipeline mixes
+    * `Rev_Per_unit`/`Rev_Per_Unit` — `4_Fact:50` vs `2_Silver:49`).
+    */
+  def merge(spark: SparkSession, targetPath: String, source: DataFrame,
+            keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    val p = new Path(targetPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    if (!fs.exists(p)) {
+      source.write.mode("overwrite").parquet(targetPath)
+      return
+    }
+
+    val target = spark.read.parquet(targetPath)
+    // resolve source columns to the target's column order/case
+    val lower = source.columns.map(c => c.toLowerCase -> c).toMap
+    val aligned = target.columns.map { tc =>
+      lower.get(tc.toLowerCase) match {
+        case Some(sc) => source(sc).as(tc)
+        case None     => lit(null).cast(target.schema(tc).dataType).as(tc)
+      }
+    }
+    val src = source.select(aligned.toIndexedSeq: _*)
+
+    val cond: Column = keys
+      .map(k => target(k) <=> src(k))
+      .reduce(_ && _)
+    val kept = target.join(src, cond, "left_anti")
+    val result = kept.unionByName(src)
+
+    atomicReplace(spark, targetPath, result)
+  }
+
+  /** Write `df` to `path` atomically even though `df`'s plan reads from
+    * `path`: materialize to `<path>__tmp`, swap via rename, drop the old
+    * generation. Rename is atomic on HDFS-like filesystems; on object
+    * stores a committer would take this role — the contract (readers see
+    * old or new, never partial) is the same.
+    */
+  def atomicReplace(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    val dst = new Path(path)
+    val tmp = new Path(path + "__tmp")
+    val old = new Path(path + "__old")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new java.io.IOException(s"upsert: cannot stage out $dst")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(old, dst) // roll back
+      throw new java.io.IOException(s"upsert: cannot commit $tmp -> $dst")
+    }
+    fs.delete(old, true)
+  }
+}
+
+/** Mirrors the Delta fluent surface the reference uses — enough API to
+  * make `3(1):163-169` / `4_Fact:68-74` read 1:1 in Scala:
+  *
+  * {{{
+  * Upsert.forPath(spark, path)
+  *   .merge(dfFinal, Seq("dim_model_key"))
+  *   .whenMatchedUpdateAll()
+  *   .whenNotMatchedInsertAll()
+  *   .execute()
+  * }}}
+  */
+final class UpsertTable(spark: SparkSession, path: String) {
+  def merge(source: DataFrame, keys: Seq[String]): MergeBuilder =
+    new MergeBuilder(spark, path, source, keys)
+  def toDF: DataFrame = spark.read.parquet(path)
+}
+
+final class MergeBuilder(spark: SparkSession, path: String,
+                         source: DataFrame, keys: Seq[String]) {
+  private var updateAll = false
+  private var insertAll = false
+
+  def whenMatchedUpdateAll(): MergeBuilder = { updateAll = true; this }
+  def whenNotMatchedInsertAll(): MergeBuilder = { insertAll = true; this }
+
+  def execute(): Unit = {
+    require(updateAll && insertAll,
+      "only whenMatchedUpdateAll + whenNotMatchedInsertAll is supported " +
+        "(the full surface the reference exercises)")
+    Upsert.merge(spark, path, source, keys)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + invariant coverage for every SparkEntry query on sf0.001.
+  * Value-level correctness is the driver's DuckDB oracle (and
+  * tools/check_oracle.py locally); here we pin row counts, schemas,
+  * and the invariants of the non-oracle queries.
+  */
+class QueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+
+  test("all queries run on sf0.001 and return the expected row counts") {
+    val counts = SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, dir).count()
+    }
+    assert(counts("q_p9_schema_only") == 0)
+    counts.removed("q_p9_schema_only").foreach { case (n, c) =>
+      assert(c > 0, s"$n returned no rows")
+    }
+    // joins preserve the left side 1:1 (dims keyed on distinct keys)
+    assert(counts("q_j2_star_join") == counts("q_p4_div"))
+    // null-split partitions the source exactly
+    assert(counts("q_p7_scd_old") + counts("q_p8_scd_new") ==
+      counts("q_s1_scan_project"))
+  }
+
+  test("q_f2_mid: surrogate keys unique and >= base (F2 invariants)") {
+    val keys = SparkEntry.queries("q_f2_mid")(spark, dir)
+      .select("surrogate_key").collect().map(_.getLong(0))
+    assert(keys.distinct.length == keys.length)
+    assert(keys.forall(_ >= 1L))
+  }
+
+  test("q_j3_upsert is idempotent across repeated execution") {
+    val once = SparkEntry.queries("q_j3_upsert")(spark, dir)
+      .agg(count(lit(1)), round(sum("p_retailprice"), 2)).head
+    val twice = SparkEntry.queries("q_j3_upsert")(spark, dir)
+      .agg(count(lit(1)), round(sum("p_retailprice"), 2)).head
+    assert(once == twice)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Upsert
+
+/** Unit coverage of the parquet-backed MERGE (SURVEY §2 J3/J4):
+  * matched update, not-matched insert, composite keys, idempotence,
+  * case-insensitive column alignment, first-write-creates.
+  */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def readBack(p: String) = spark.read.parquet(p)
+
+  test("matched rows updated, unmatched source inserted, rest kept") {
+    val path = tmpDir("upsert") + "/t"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v").write.parquet(path)
+    val src = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+    Upsert.forPath(spark, path).merge(src, Seq("k"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    val got = readBack(path).as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", 10.0), (2L, "B", 99.0),
+      (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("composite 4-column key merge (J4, `4_Fact:68-74` shape)") {
+    val path = tmpDir("upsert") + "/fact"
+    Seq((1L, 1L, 1L, 1L, 100.0), (1L, 1L, 1L, 2L, 200.0))
+      .toDF("mk", "bk", "dk", "tk", "rev").write.parquet(path)
+    val src = Seq((1L, 1L, 1L, 2L, 999.0), (2L, 2L, 2L, 2L, 50.0))
+      .toDF("mk", "bk", "dk", "tk", "rev")
+    Upsert.merge(spark, path, src, Seq("mk", "bk", "dk", "tk"))
+    val got = readBack(path).as[(Long, Long, Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._4))
+    assert(got.toSeq == Seq((1L, 1L, 1L, 1L, 100.0),
+      (1L, 1L, 1L, 2L, 999.0), (2L, 2L, 2L, 2L, 50.0)))
+  }
+
+  test("idempotence: merge(merge(t,s),s) == merge(t,s)") {
+    val path = tmpDir("upsert") + "/i"
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").write.parquet(path)
+    val src = Seq((2L, 9.0), (3L, 3.0)).toDF("k", "v")
+    Upsert.merge(spark, path, src, Seq("k"))
+    val once = readBack(path).as[(Long, Double)].collect().sortBy(_._1).toSeq
+    Upsert.merge(spark, path, src, Seq("k"))
+    val twice = readBack(path).as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(once == twice && once == Seq((1L, 1.0), (2L, 9.0), (3L, 3.0)))
+  }
+
+  test("source column names align case-insensitively (`4_Fact:50` quirk)") {
+    val path = tmpDir("upsert") + "/c"
+    Seq((1L, 1.5)).toDF("k", "Rev_Per_unit").write.parquet(path)
+    val src = Seq((1L, 9.5), (2L, 2.5)).toDF("K", "Rev_Per_Unit")
+    Upsert.merge(spark, path, src, Seq("k"))
+    val got = readBack(path)
+    assert(got.columns.toSeq == Seq("k", "Rev_Per_unit"))
+    assert(got.as[(Long, Double)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, 9.5), (2L, 2.5)))
+  }
+
+  test("null-safe key equality: null keys match, no eternal duplicates") {
+    val path = tmpDir("upsert") + "/n"
+    Seq((Some(1L), "a"), (None, "x")).toDF("k", "v").write.parquet(path)
+    val src = Seq((Option.empty[Long], "y")).toDF("k", "v")
+    Upsert.merge(spark, path, src, Seq("k"))
+    val got = readBack(path).as[(Option[Long], String)].collect().toSet
+    assert(got == Set((Some(1L), "a"), (None, "y")))
+  }
+
+  test("merge into non-existent path creates the table") {
+    val path = tmpDir("upsert") + "/new"
+    val src = Seq((1L, "a")).toDF("k", "v")
+    Upsert.merge(spark, path, src, Seq("k"))
+    assert(readBack(path).count() == 1)
+  }
+
+  test("atomic replace survives a plan that reads its own target") {
+    val path = tmpDir("upsert") + "/self"
+    spark.range(100).withColumn("v", col("id") * 2).write.parquet(path)
+    val df = spark.read.parquet(path).withColumn("v", col("v") + 1)
+    Upsert.atomicReplace(spark, path, df)
+    val got = readBack(path)
+    assert(got.count() == 100)
+    assert(got.agg(sum("v")).head.getLong(0) == (0 until 100).map(_ * 2 + 1).sum)
+  }
+}
