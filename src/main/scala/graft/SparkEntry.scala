@@ -39,7 +39,10 @@ object SparkEntry {
       .orderBy(col("revenue").desc)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ StretchQueries.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── S1: parquet batch scan + column-pruned projection ──────────────
     "q_s1_scan_project" -> ((s, dir) =>
       t(s, dir, "part").select(col("p_partkey"), col("p_name"),
@@ -249,5 +252,5 @@ object SparkEntry {
       ("SELECT p_partkey, p_name, p_brand, p_type, p_size, " +
         "CASE WHEN p_size > 20 THEN p_retailprice * 2 ELSE p_retailprice END " +
         "AS p_retailprice FROM part")
-  )
+  ) ++ StretchQueries.oracleSql
 }

@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+import graft.streaming.EventStream
+
+/** The LLM-training-data-pipeline operator surface (BASELINE.json north
+  * star): dedup, similarity search, text analysis, multimodal plumbing,
+  * event windows — each as a driver-contract query over the
+  * `documents`/`embeddings`/`events` testdata, with a DuckDB oracle
+  * wherever the computation is engine-independent. Hash-seeded ops
+  * (MinHash/SimHash/LSH) are deterministic for a fixed seed but not
+  * SQL-expressible → rows-only checks + ScalaTest ground-truth specs.
+  */
+object StretchQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents ∪ a perturbed copy of itself — the standard self-test
+    * corpus for near-dup detection (every doc has exactly one planted
+    * near-duplicate, id + 1,000,000, with three extra tokens).
+    */
+  private def docsWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.union(docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" planted near duplicate")).as("text")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── text analysis ──────────────────────────────────────────────────
+    "q_t_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeTokenCountApprox(col("text")).as("n_bpe"))),
+
+    "q_t_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.qualityScoreMicros(col("text")).as("quality_micros"))),
+
+    "q_t_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))),
+
+    "q_t_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))),
+
+    // ── dedup ──────────────────────────────────────────────────────────
+    "q_d_exact" -> ((s, dir) =>
+      Dedup.exactByHash(t(s, dir, "documents"), "text", "doc_id")),
+
+    "q_d_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+        round(Dedup.jaccard(col("text"),
+          concat(col("text"), lit(" planted near duplicate")), k = 3), 6)
+          .as("jaccard"))
+    }),
+
+    // deterministic for seed=42 but hash-engine-specific → rows-only
+    "q_d_minhash_lsh" -> ((s, dir) =>
+      Dedup.nearDupPairs(docsWithPlantedDups(s, dir), "text", "doc_id",
+        threshold = 0.3)),
+
+    "q_d_simhash" -> ((s, dir) =>
+      Dedup.simhashCandidates(docsWithPlantedDups(s, dir), "text", "doc_id",
+        maxHamming = 3)),
+
+    // ── similarity search ──────────────────────────────────────────────
+    "q_v_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 16), k = 5)
+    }),
+
+    "q_v_neardup" -> ((s, dir) =>
+      SimilaritySearch.cosineNearDupPairsExact(
+        t(s, dir, "embeddings").filter(col("vec_id") < 200), threshold = 0.3)),
+
+    // LSH/ANN scale path — recall-checked against brute force in tests
+    "q_v_topk_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") < 16),
+        k = 5, dim = 64)
+    }),
+
+    // ── multimodal plumbing (stub codec, real Spark mechanics) ─────────
+    "q_mm_decode" -> ((s, dir) =>
+      Multimodal.decodeDocumentsAsMedia(s, t(s, dir, "documents"))),
+
+    // ── event-stream transforms, batch-executed (same plan streams) ────
+    "q_ev_window" -> ((s, dir) =>
+      EventStream.windowedAgg(
+        EventStream.loadEvents(s, s"$dir/events.parquet"))),
+
+    "q_ev_sessions" -> ((s, dir) => {
+      import s.implicits._
+      EventStream.sessionize(
+        EventStream.loadEvents(s, s"$dir/events.parquet")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[EventStream.Event])(s)
+        .toDF()
+        .withColumn("total_value", round(col("total_value"), 2))
+    })
+  )
+
+  private val tokensSql =
+    raw"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> length(t) > 0)"
+
+  private def hitsSql(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($tokensSql, t -> list_contains($list, t)))"
+  }
+
+  private val shinglesSqlA = shinglesSql("ta")
+  private val shinglesSqlB = shinglesSql("tb")
+  private def shinglesSql(v: String): String =
+    s"CASE WHEN len($v) <= 3 THEN [array_to_string($v, ' ')] " +
+      s"ELSE list_transform(range(1, len($v) - 1), i -> array_to_string($v[i:i+2], ' ')) END"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_t_token_count" ->
+      raw"""SELECT doc_id, CAST(len($tokensSql) AS INT) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_bpe
+        FROM documents""".replaceAll(raw"\s+", " "),
+
+    "q_t_quality" -> {
+      val lenM = "least(length(text) * 2000, 1000000)"
+      val punctM =
+        raw"(1000000 - least(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 5000000 // greatest(length(text), 1), 1000000))"
+      val tokCount = s"len($tokensSql)"
+      val swM = s"least(${hitsSql(TextFunctions.stopwords("en"))} * 5000000 // greatest($tokCount, 1), 1000000)"
+      (s"SELECT doc_id, CAST(($lenM * 4 + $punctM * 3 + $swM * 3) // 10 AS BIGINT) " +
+        "AS quality_micros FROM documents").replaceAll(raw"\s+", " ")
+    },
+
+    "q_t_langid" -> {
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      val hitExprs = langs.map(l => l -> hitsSql(TextFunctions.stopwords(l))).toMap
+      val best = "greatest(" + langs.map(hitExprs).mkString(", ") + ")"
+      val cases = langs.map(l =>
+        s"WHEN $best > 0 AND ${hitExprs(l)} = $best THEN '$l'").mkString(" ")
+      s"SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM documents"
+        .replaceAll(raw"\s+", " ")
+    },
+
+    "q_t_fingerprint" ->
+      ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
+        "(acc, x) -> (acc * 31 + x) % 1000000007) AS fp FROM documents"),
+
+    "q_d_exact" ->
+      "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY 1",
+
+    "q_d_ngram_jaccard" -> {
+      val withTok =
+        raw"WITH t AS (SELECT doc_id, " +
+          s"$tokensSql AS ta, " +
+          raw"list_filter(string_split_regex(trim(lower(text || ' planted near duplicate')), '\s+'), t -> length(t) > 0) AS tb " +
+          "FROM documents), s AS (SELECT doc_id, " +
+          s"list_distinct($shinglesSqlA) AS sa, list_distinct($shinglesSqlB) AS sb FROM t) " +
+          "SELECT doc_id, round(CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0 " +
+          "ELSE len(list_intersect(sa, sb)) * 1.0 / len(list_distinct(list_concat(sa, sb))) END, 6) AS jaccard FROM s"
+      withTok.replaceAll(raw"\s+", " ")
+    },
+
+    "q_v_topk" ->
+      ("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 16),
+         | scored AS (SELECT q.q_id, c.vec_id AS n_id,
+         |   list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |     i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+         |   (sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |     i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))) *
+         |    sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+         |     i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS cos
+         |  FROM embeddings c, q WHERE c.vec_id <> q.q_id)
+         |SELECT q_id, CAST(rnk AS INT) AS rank, n_id, round(cos, 6) AS cosine FROM (
+         |  SELECT q_id, n_id, cos, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk FROM scored)
+         |WHERE rnk <= 5""".stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_v_neardup" ->
+      ("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(
+         |  list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+         |  (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+         |   sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+         |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+         |  (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+         |   sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+         |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) >= 0.3""".stripMargin)
+        .replaceAll(raw"\s+", " "),
+
+    "q_mm_decode" ->
+      ("SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INT) AS byte_len, " +
+        "CAST(ascii(substr(text, 1, 1)) AS INT) AS width, " +
+        "CAST(ascii(substr(text, 2, 1)) AS INT) AS height, " +
+        "CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS n_frames, " +
+        "'fake/rgb8' AS format FROM documents"),
+
+    "q_ev_window" ->
+      ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
+        "count(*) AS n_events, round(sum(value), 2) AS total_value " +
+        "FROM events GROUP BY 1, 2"),
+
+    "q_ev_sessions" ->
+      ("SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value, " +
+        "epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms, false AS closed " +
+        "FROM events GROUP BY user_id")
+  )
+}

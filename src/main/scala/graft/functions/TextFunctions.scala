@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline, expressed as
+  * codegen'd built-in expressions (no UDFs): tokenization, token
+  * counting, quality scoring, language-ID, shingling, fingerprinting.
+  *
+  * Every function here is a pure `Column` transform — Catalyst can
+  * push/prune/fuse them, and they vectorize inside whole-stage codegen
+  * at 100 TB without a serialization boundary.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of lower-cased text; empty string → empty array
+    * (Spark's split("") yields [""] — we filter it).
+    */
+  def tokens(c: Column): Column =
+    filter(split(trim(lower(c)), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: letter-runs, digits, and punctuation each
+    * count as one token (the GPT-2 pre-tokenizer shape, minus byte
+    * merges). A cheap, deterministic proxy for LLM token budgeting.
+    */
+  def bpeTokenCountApprox(c: Column): Column =
+    coalesce(regexp_count(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")), lit(0))
+
+  /** Characters that are neither word chars nor whitespace. */
+  def punctCount(c: Column): Column =
+    coalesce(regexp_count(c, lit("[^A-Za-z0-9\\s]")), lit(0))
+
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(punctCount(c).cast("double") / length(c).cast("double"))
+
+  /** Stopword lists (public, abbreviated) per supported language. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "of", "and", "to", "in", "is", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "mit"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "es", "un", "una", "que"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une", "que", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"))
+
+  def stopwordHits(c: Column, lang: String): Column =
+    size(filter(tokens(c), t => array_contains(typedlit(stopwords(lang)), t)))
+
+  def stopwordRatio(c: Column, lang: String = "en"): Column =
+    when(tokenCount(c) === 0, lit(0.0))
+      .otherwise(stopwordHits(c, lang).cast("double") / tokenCount(c).cast("double"))
+
+  /** Heuristic quality score ∈ [0,1]: length sweet-spot, low
+    * punctuation noise, natural-language stopword density.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(c) * 5.0, lit(1.0))
+    val swScore = least(stopwordRatio(c, "en") * 5.0, lit(1.0))
+    round(lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3, 6)
+  }
+
+  /** Exact integer division for non-negative longs under 2^53:
+    * (a - a mod b) / b — the numerator divides exactly, so the double
+    * division is exact and the result is engine-independent.
+    */
+  private def intDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** `qualityScore` in exact integer micro-units [0..1,000,000] — the
+    * cross-engine-reproducible form. Doubles can land on a rounding
+    * boundary where two engines' last bits disagree (observed:
+    * 0.6575125 rounding to 0.657512 vs 0.657513); pure 64-bit integer
+    * arithmetic cannot.
+    */
+  def qualityScoreMicros(c: Column): Column = {
+    val L = length(c).cast("long")
+    val tok = tokenCount(c).cast("long")
+    val lenM = least(L * 2000L, lit(1000000L))
+    val punctM = lit(1000000L) -
+      least(intDiv(punctCount(c).cast("long") * 5000000L,
+        greatest(L, lit(1L))), lit(1000000L))
+    val swM = least(intDiv(stopwordHits(c, "en").cast("long") * 5000000L,
+      greatest(tok, lit(1L))), lit(1000000L))
+    intDiv(lenM * 4L + punctM * 3L + swM * 3L, lit(10L))
+  }
+
+  /** N-gram-heuristic language ID: argmax of per-language stopword
+    * hits with a fixed preference order on ties; "und" when no list
+    * matches at all.
+    */
+  def langId(c: Column): Column = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val hits = langs.map(l => l -> stopwordHits(c, l)).toMap
+    val best = hits.values.reduce((a, b) => greatest(a, b))
+    langs.foldRight(when(best <= 0, lit("und")).otherwise(lit("und"))) {
+      case (l, rest) => when(best > 0 && hits(l) === best, lit(l)).otherwise(rest)
+    }
+  }
+
+  /** Word k-shingles: overlapping k-grams of whitespace tokens, the
+    * unit set for MinHash/Jaccard dedup. Documents shorter than k
+    * tokens yield their whole token sequence as one shingle.
+    *
+    * PERFORMANCE: pass a *materialized token-array column* (from
+    * [[tokens]] in a separate projection), not a raw text column.
+    * Sub-expressions referenced inside higher-order-function lambdas
+    * are re-evaluated per array element — feeding the raw text here
+    * makes tokenization run once per shingle position (measured ~30×
+    * slowdown at sf0.1). A bound column reference is O(1) per element.
+    * Catalyst's CollapseProject keeps the staged projection intact
+    * (it refuses to inline non-cheap producers referenced multiple
+    * times), so the two-step form is safe to write.
+    */
+  def shinglesFromTokens(t: Column, k: Int = 3): Column = {
+    val n = size(t)
+    when(n <= k, array(concat_ws(" ", t)))
+      .otherwise(transform(sequence(lit(1), n - (k - 1)),
+        i => concat_ws(" ", slice(t, i, lit(k)))))
+  }
+
+  /** Convenience form over raw text — fine for small data / tests;
+    * heavy pipelines should stage [[tokens]] first (see
+    * [[shinglesFromTokens]]).
+    */
+  def shingles(c: Column, k: Int = 3): Column =
+    shinglesFromTokens(tokens(c), k)
+
+  /** Polynomial rolling-hash fingerprint of the full document, mod a
+    * Mersenne-ish prime so the same value is computable in any engine
+    * without 64-bit overflow (DuckDB BIGINT overflow is strict).
+    */
+  def fingerprint(c: Column): Column =
+    aggregate(
+      transform(split(c, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % 1000000007L)
+}

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{shingles, shinglesFromTokens, tokens}
+
+/** Deduplication operators for large-corpus training-data pipelines:
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard. Everything is
+  * shuffle-conscious:
+  *
+  *  - exact dedup groups on a 128-bit content hash, never the raw
+  *    text, so the shuffle carries 16 bytes + the id per row instead
+  *    of documents;
+  *  - MinHash/SimHash signatures are computed scan-side with
+  *    codegen'd higher-order functions (one pass, no UDF); only the
+  *    (band, bucket, id) triples shuffle — candidate generation never
+  *    compares all pairs (O(n·bands), not O(n²));
+  *  - candidate pairs are then verified with exact Jaccard on the
+  *    candidate set only.
+  *
+  * At 100 TB: the band-bucket groupBy is the single shuffle; bucket
+  * skew (a degenerate shingle shared by millions of docs) is bounded
+  * by `maxBucketSize`, which drops pathological buckets the same way
+  * production dedup pipelines cap posting lists.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving row id per distinct content. Keeps the
+    * smallest id (deterministic). Output: (hash, doc_id).
+    */
+  def exactByHash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+
+  /** Exact dedup preserving full rows: keeps the min-id row per
+    * distinct content via a semi join back (no row-serializing window
+    * over the whole corpus).
+    */
+  def exactRows(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.join(exactByHash(df, textCol, idCol).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
+  // ── MinHash ─────────────────────────────────────────────────────────
+
+  /** Universal-hash parameters for the MinHash family, fixed seed. */
+  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((math.abs(rnd.nextLong() % 1000000006L) + 1L,
+      math.abs(rnd.nextLong() % 1000000007L)))
+  }
+  private val P = 1000000007L // prime modulus for (a·x + b) mod p
+
+  /** MinHash signature column: array<long> of length `numHashes`.
+    * Shingle → 64-bit xxhash → per-function (a·x+b) mod p → min.
+    *
+    * Computed as ONE fold over the shingle hashes with a `zip_with`
+    * against the literal (a,b) parameter array — the shingle/tokenize/
+    * xxhash subtree is evaluated once per row. (The naive form — one
+    * `aggregate` per hash function — duplicates that subtree
+    * `numHashes` times in the plan and measured ~30× slower at sf0.1.)
+    */
+  def minhashSignature(textCol: Column, k: Int = 3, numHashes: Int = 32,
+                       seed: Long = 42L): Column =
+    minhashFromShingleHashes(
+      transform(shingles(textCol, k), s => pmod(xxhash64(s), lit(P))),
+      numHashes, seed)
+
+  /** Signature from a *materialized* shingle-hash array column (the
+    * staged form heavy pipelines use — see shinglesFromTokens note).
+    */
+  def minhashFromShingleHashes(sh: Column, numHashes: Int = 32,
+                               seed: Long = 42L): Column = {
+    val ab = typedlit(hashParams(numHashes, seed).map {
+      case (a, b) => (a, b)
+    })
+    aggregate(sh,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, x) => zip_with(acc, ab,
+        (m, p) => least(m, pmod(x * p.getField("_1") + p.getField("_2"), lit(P)))))
+  }
+
+  /** (id, sig) per row, computed as a staged pipeline: tokens →
+    * shingles → hashes → signature, each in its own projection so no
+    * lambda re-evaluates an expensive subtree per element.
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 3, numHashes: Int = 32,
+                        seed: Long = 42L): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), shinglesFromTokens(col("__toks"), k).as("__sh"))
+      .select(col(idCol),
+        transform(col("__sh"), s => pmod(xxhash64(s), lit(P))).as("__shh"))
+      .select(col(idCol),
+        minhashFromShingleHashes(col("__shh"), numHashes, seed).as("sig"))
+
+  /** LSH banding: signature → (band_id, bucket_hash) pairs. Docs
+    * sharing any band bucket are candidate near-dups; Jaccard ≥ t
+    * surfaces with probability 1-(1-t^r)^b for r rows/band, b bands.
+    */
+  def lshBuckets(sigCol: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(slice(sigCol, b * rows + 1, lit(rows))).as("bucket")))
+
+  /** Candidate near-dup pairs via MinHash+LSH. Output:
+    * (id_a, id_b, jaccard_est) with id_a < id_b, deduped across bands.
+    *
+    * Execution shape (100 TB-minded): ONE shuffle — groupBy
+    * (band, bucket) with collect_list of (id, signature) — then pairs
+    * are generated inside each bucket with array lambdas. No self-join
+    * (which would duplicate the whole signature pipeline on both join
+    * sides), no window (which would add a sort). A bucket's member
+    * list is bounded by `maxBucketSize`, so collect_list state is
+    * bounded too.
+    *
+    * @param maxBucketSize skew guard: buckets larger than this are
+    *        dropped (a bucket of m docs contributes m² pairs — the
+    *        same cap production dedup pipelines put on posting lists).
+    */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = minhashSignatures(df, textCol, idCol, k, numHashes)
+    val exploded = withSig
+      .select(col(idCol), col("sig"),
+        explode(lshBuckets(col("sig"), bands, rows)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        struct(col(idCol).as("id"), col("sig")).as("m"))
+    val buckets = exploded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucketSize))
+    val ms = array_sort(col("ms")) // by id → deterministic id_a < id_b
+    val pairs = flatten(transform(ms, (x, i) =>
+      transform(slice(ms, i + 2, size(ms)), y =>
+        struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          (aggregate(zip_with(x.getField("sig"), y.getField("sig"),
+            (p, q) => when(p === q, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v)
+            .cast("double") / numHashes).as("jaccard_est")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.jaccard_est"))
+      .distinct()
+  }
+
+  /** Jaccard from two *materialized* distinct-shingle-set columns. */
+  def jaccardFromSets(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = size(array_union(sa, sb)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Exact n-gram Jaccard between two text columns (convenience form;
+    * heavy pipelines stage shingle sets first — see shinglesFromTokens).
+    */
+  def jaccard(a: Column, b: Column, k: Int = 3): Column =
+    jaccardFromSets(array_distinct(shingles(a, k)),
+      array_distinct(shingles(b, k)))
+
+  /** (id, shingle-set) per row, staged. */
+  def shingleSets(df: DataFrame, textCol: String, idCol: String,
+                  k: Int = 3): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), shinglesFromTokens(col("__toks"), k).as("__sh"))
+      .select(col(idCol), array_distinct(col("__sh")).as("shingle_set"))
+
+  /** MinHash+LSH candidates verified with exact Jaccard ≥ threshold.
+    * The join back to text touches only candidate ids — at scale this
+    * is two broadcast-able joins against a pair list that is orders of
+    * magnitude smaller than the corpus.
+    */
+  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                   threshold: Double, k: Int = 3): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, k)
+    val sets = shingleSets(df, textCol, idCol, k)
+    val sa = sets.select(col(idCol).as("id_a"), col("shingle_set").as("set_a"))
+    val sb = sets.select(col(idCol).as("id_b"), col("shingle_set").as("set_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccardFromSets(col("set_a"), col("set_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ── SimHash ─────────────────────────────────────────────────────────
+
+  /** 32-bit SimHash of the token set, via built-in expressions: for
+    * each bit position, sum +1/-1 over token hashes and take the sign.
+    * Near-dups differ in few bits (small Hamming distance).
+    *
+    * Single fold: the per-bit counters live in one array accumulator so
+    * token hashes are computed once per row (see minhashSignature).
+    */
+  def simhash(textCol: Column, bits: Int = 32): Column =
+    simhashFromTokenHashes(transform(tokens(textCol), t => xxhash64(t)), bits)
+
+  /** SimHash from a materialized token-hash array column (staged form). */
+  def simhashFromTokenHashes(th: Column, bits: Int = 32): Column = {
+    val masks = typedlit((0 until bits).map(1L << _))
+    val counts = aggregate(th,
+      array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc, masks,
+        (c, m) => c + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
+    val packed = zip_with(counts, masks,
+      (c, m) => when(c > 0L, m).otherwise(lit(0L)))
+    aggregate(packed, lit(0L), (a, x) => a.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup candidates, blocked on the 4 bytes of the 32-bit
+    * hash: by pigeonhole, docs within Hamming distance < 4 share at
+    * least one identical byte block, so blocking finds them without
+    * all-pairs comparison. Output (id_a, id_b, hamming).
+    */
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 3,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val blocks = 4 // 4 × 8-bit blocks of the 32-bit simhash
+    val withSig = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        transform(col("__toks"), t => xxhash64(t)).as("__th"))
+      .select(col(idCol), simhashFromTokenHashes(col("__th")).as("sh"))
+    val exploded = withSig
+      .select(col(idCol), col("sh"),
+        explode(sequence(lit(0), lit(blocks - 1))).as("blk"))
+      .select(col("blk"), expr("(sh >> (blk * 8)) & 255").as("blkv"),
+        struct(col(idCol).as("id"), col("sh")).as("m"))
+    val buckets = exploded.groupBy(col("blk"), col("blkv"))
+      .agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucketSize))
+    val ms = array_sort(col("ms"))
+    val pairs = flatten(transform(ms, (x, i) =>
+      transform(slice(ms, i + 2, size(ms)), y =>
+        struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          bit_count(x.getField("sh").bitwiseXOR(y.getField("sh")))
+            .as("hamming")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * Two execution paths:
+  *  - `bruteForceTopK` — exact: broadcast the (small) query set against
+  *    the corpus, cosine per pair, per-query top-k via window. The
+  *    corpus side streams through one codegen'd stage: cost
+  *    O(|corpus|·|queries|·dim) FLOPs, zero corpus shuffle (queries are
+  *    broadcast, ranking shuffles only |corpus|·|queries| score rows
+  *    partitioned by query id). The baseline and the ground truth.
+  *  - `lshTopK` — scale path: random-hyperplane signatures bucket the
+  *    corpus; each query only scores candidates whose signature falls
+  *    within `maxHamming` of its own (multi-probe by signature join on
+  *    the query side would make this a pure equi-join at billions of
+  *    rows; here the probe set is expanded query-side since queries are
+  *    few). Recall tunes with nBits/maxHamming.
+  *
+  * Near-dup-by-embedding (`cosineNearDupPairs`) reuses the same
+  * hyperplane bucketing to avoid O(n²) pairs.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k neighbors per query row. Output:
+    * (q_id, rank, n_id, cosine) with deterministic tie-break on n_id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Approximate top-k: hyperplane-bucketed candidate generation, then
+    * exact cosine only on candidates within `maxHamming` signature
+    * bits. Recall < 1 by design; the window/top-k shape is identical
+    * to the exact path so callers can swap them.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nBits: Int = 16, maxHamming: Int = 6,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_sig", hyperplaneSignature(col("n_vec"), dim, nBits))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_sig", hyperplaneSignature(col("q_vec"), dim, nBits))
+    val scored = c.join(broadcast(q),
+        hammingDist(col("n_sig"), col("q_sig")) <= maxHamming &&
+          col("n_id") =!= col("q_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    * threshold) via signature blocking: only pairs sharing a signature
+    * prefix band are scored, never all n².
+    */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double, dim: Int,
+                         nBits: Int = 16, bands: Int = 4,
+                         maxBucketSize: Int = 1000,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val rows = nBits / bands
+    val mask = (1L << rows) - 1
+    val withSig = df.select(col(idCol), col(vecCol))
+      .withColumn("sig", hyperplaneSignature(col(vecCol), dim, nBits))
+    val exploded = withSig
+      .select(col(idCol), col(vecCol), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("band"), expr(s"(sig >> (band * $rows)) & $mask").as("bucket"),
+        struct(col(idCol).as("id"), col(vecCol).as("vec")).as("m"))
+    // one shuffle: bucket members collected, pairs generated in-place
+    // (no self-join → the signature pipeline isn't duplicated)
+    val buckets = exploded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucketSize))
+    val ms = array_sort(col("ms"))
+    val pairs = flatten(transform(ms, (x, i) =>
+      transform(slice(ms, i + 2, size(ms)), y =>
+        struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          cosine(x.getField("vec"), y.getField("vec")).as("cosine")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Exact all-pairs near-dup (the oracle-checkable reference path;
+    * O(n²) — only for verification or small slices).
+    */
+  def cosineNearDupPairsExact(df: DataFrame, threshold: Double,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface of the engine.
+  *
+  * The reference's "incremental" story is parameterized batch re-runs
+  * (SURVEY §2.9); this module is the streaming upgrade path: the same
+  * transforms expressed over `readStream`, plus the stateful operators
+  * a training-data/event pipeline needs (windowed aggregation with
+  * watermark, in-stream dedup, session assembly with custom state).
+  *
+  * Every transform here is defined on a plain DataFrame, so the SAME
+  * code runs in batch (for the DuckDB oracle) and under
+  * `spark.readStream` (watermarks are no-ops in batch) — one logical
+  * plan, two execution modes. That equivalence is asserted in
+  * StreamingSpec by driving the parquet testdata through a memory-sink
+  * streaming query.
+  */
+object EventStream {
+
+  /** Load an events table whose `ts` may be parquet TIMESTAMP(NANOS) —
+    * a type Spark refuses by default (PARQUET_TYPE_ILLEGAL). We flip
+    * the legacy read path (nanos surface as a Long) and rebuild a
+    * proper timestamp at microsecond precision — the same floor-to-µs
+    * DuckDB applies, so oracle comparisons agree.
+    */
+  def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Tumbling-window aggregate with a watermark for late data.
+    * Output: (window_start, event_type, n_events, total_value).
+    * State at scale: one row per (window × type) partition; watermark
+    * bounds state size by evicting windows older than the delay.
+    */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** In-stream exact dedup on event_id within the watermark horizon —
+    * `dropDuplicates` keyed on the id plus the event-time column keeps
+    * state bounded (Spark evicts ids older than the watermark).
+    */
+  def dedupStream(events: DataFrame,
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user session summary via custom state (mapGroupsWithState):
+    * counts + value sum + span, closed after `gapMs` of inactivity.
+    */
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+  final case class SessionState(n: Long, total: Double,
+                                first: Long, last: Long)
+  final case class SessionOut(user_id: Long, n_events: Long,
+                              total_value: Double, span_ms: Long,
+                              closed: Boolean)
+
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+                (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOut(uid, s.n, s.total, s.last - s.first, closed = true)
+          } else {
+            val evs = it.toSeq
+            val prev = state.getOption.getOrElse(
+              SessionState(0L, 0.0, Long.MaxValue, Long.MinValue))
+            val ts = evs.map(_.ts.getTime)
+            val next = SessionState(
+              prev.n + evs.size,
+              prev.total + evs.map(_.value).sum,
+              math.min(prev.first, if (ts.isEmpty) prev.first else ts.min),
+              math.max(prev.last, if (ts.isEmpty) prev.last else ts.max))
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            SessionOut(uid, next.n, next.total,
+              next.last - next.first, closed = false)
+          }
+      }
+  }
+
+  /** Drive a batch parquet directory through a real streaming query
+    * into a memory sink (synchronous; test/verification harness).
+    */
+  def runToMemory(spark: SparkSession, dir: String, queryName: String,
+                  transform: DataFrame => DataFrame,
+                  outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = transform(stream).writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near dup of 1
+    (4L, "completely different text about spark query engines and data"),
+    (5L, "another unrelated document mentioning embeddings vectors and search")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one min-id row per distinct content") {
+    val kept = Dedup.exactRows(corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("exact jaccard: identity 1.0, near-dup high, unrelated low") {
+    val j = corpus.as("a").crossJoin(corpus.as("b"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        Dedup.jaccard(col("a.text"), col("b.text")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.7)
+    assert(j((1L, 4L)) < 0.1)
+  }
+
+  test("minhash signature estimates jaccard within tolerance") {
+    val est = Dedup.minhashCandidates(corpus, "text", "doc_id",
+        numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the exact-dup pair must surface with est ≈ 1
+    assert(est.contains((1L, 2L)) && est((1L, 2L)) == 1.0)
+    // near-dup pair surfaces with high estimate
+    assert(est.get((1L, 3L)).forall(_ > 0.5))
+  }
+
+  test("nearDupPairs: finds planted dups, rejects unrelated, exact jaccard attached") {
+    val pairs = Dedup.nearDupPairs(corpus, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).size == 2 })
+  }
+
+  test("simhash: identical text → distance 0; near dup → small; unrelated → large") {
+    val sh = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) == 0)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+  }
+
+  test("simhashCandidates surfaces the exact dup at hamming 0") {
+    val cands = Dedup.simhashCandidates(corpus, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(cands.get((1L, 2L)).contains(0))
+  }
+
+  test("lsh bucket skew guard drops oversized buckets") {
+    val many = (1L to 50L).map(i => (i, "identical text shared by every row here"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(many, "text", "doc_id",
+      maxBucketSize = 10)
+    assert(capped.count() == 0) // bucket of 50 > cap → dropped, no pair storm
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("t").select(c.as("v")).head.get(0)
+
+  test("tokenCount: whitespace runs, empties, and blanks") {
+    assert(one("a b  c", tokenCount(col("t"))) == 3)
+    assert(one("", tokenCount(col("t"))) == 0)
+    assert(one("   ", tokenCount(col("t"))) == 0)
+    assert(one("one", tokenCount(col("t"))) == 1)
+  }
+
+  test("bpeTokenCountApprox: letter runs + digits + punct") {
+    // "Hello, world 42!" → Hello , world 4 2 ! = 6
+    assert(one("Hello, world 42!", bpeTokenCountApprox(col("t"))) == 6)
+    assert(one("", bpeTokenCountApprox(col("t"))) == 0)
+  }
+
+  test("langId picks the dominant stopword language, und on no hits") {
+    assert(one("the cat sat on the mat and it is happy", langId(col("t"))) == "en")
+    assert(one("der Hund und die Katze ist ein Tier", langId(col("t"))) == "de")
+    assert(one("el perro y la casa es una maravilla que", langId(col("t"))) == "es")
+    assert(one("xyzzy plugh qwerty", langId(col("t"))) == "und")
+  }
+
+  test("shingles: k-grams with short-doc degenerate case") {
+    val sh = Seq("a b c d e").toDF("t")
+      .select(shingles(col("t"), 3).as("s")).head.getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d", "c d e"))
+    val short = Seq("a b").toDF("t")
+      .select(shingles(col("t"), 3).as("s")).head.getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("fingerprint: deterministic, content-sensitive, mod-bounded") {
+    val a1 = one("hello world", fingerprint(col("t"))).asInstanceOf[Long]
+    val a2 = one("hello world", fingerprint(col("t"))).asInstanceOf[Long]
+    val b = one("hello worle", fingerprint(col("t"))).asInstanceOf[Long]
+    assert(a1 == a2 && a1 != b)
+    assert(a1 >= 0 && a1 < 1000000007L)
+  }
+
+  test("qualityScoreMicros: bounded, monotone in stopword density") {
+    val junk = one("@#$%^&*", qualityScoreMicros(col("t"))).asInstanceOf[Long]
+    val good = one(("the quick brown fox is a fine animal and it runs " * 10).trim,
+      qualityScoreMicros(col("t"))).asInstanceOf[Long]
+    assert(junk >= 0 && good <= 1000000L)
+    assert(good > junk)
+  }
+}
