@@ -80,13 +80,26 @@ object Dedup {
         (m, p) => least(m, pmod(x * p.getField("_1") + p.getField("_2"), lit(P)))))
   }
 
-  /** (id, sig) per row, computed as a staged pipeline: tokens →
-    * shingles → hashes → signature, each in its own projection so no
-    * lambda re-evaluates an expensive subtree per element.
+  /** (id, sig) per row — the native-kernel path (one tight loop per
+    * row; see NativeExpressions). Value-identical to the declarative
+    * staged pipeline, which DedupSpec cross-validates.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, numHashes: Int = 32,
                         seed: Long = 42L): DataFrame =
+    df.select(col(idCol),
+      graft.functions.NativeExpressions
+        .minhashSignature(col(textCol), k, numHashes, seed).as("sig"))
+
+  /** The declarative staged form (kept as the cross-validation oracle
+    * for the native kernel): tokens → shingles → hashes → signature,
+    * each in its own projection so no lambda re-evaluates an expensive
+    * subtree per element.
+    */
+  def minhashSignaturesDeclarative(df: DataFrame, textCol: String,
+                                   idCol: String, k: Int = 3,
+                                   numHashes: Int = 32,
+                                   seed: Long = 42L): DataFrame =
     df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), shinglesFromTokens(col("__toks"), k).as("__sh"))
       .select(col(idCol),
@@ -185,18 +198,18 @@ object Dedup {
 
   // ── SimHash ─────────────────────────────────────────────────────────
 
-  /** 32-bit SimHash of the token set, via built-in expressions: for
+  /** 64-bit SimHash of the token set, via built-in expressions: for
     * each bit position, sum +1/-1 over token hashes and take the sign.
     * Near-dups differ in few bits (small Hamming distance).
     *
     * Single fold: the per-bit counters live in one array accumulator so
     * token hashes are computed once per row (see minhashSignature).
     */
-  def simhash(textCol: Column, bits: Int = 32): Column =
+  def simhash(textCol: Column, bits: Int = 64): Column =
     simhashFromTokenHashes(transform(tokens(textCol), t => xxhash64(t)), bits)
 
   /** SimHash from a materialized token-hash array column (staged form). */
-  def simhashFromTokenHashes(th: Column, bits: Int = 32): Column = {
+  def simhashFromTokenHashes(th: Column, bits: Int = 64): Column = {
     val masks = typedlit((0 until bits).map(1L << _))
     val counts = aggregate(th,
       array_repeat(lit(0L), bits),
@@ -207,24 +220,24 @@ object Dedup {
     aggregate(packed, lit(0L), (a, x) => a.bitwiseOR(x))
   }
 
-  /** SimHash near-dup candidates, blocked on the 4 bytes of the 32-bit
-    * hash: by pigeonhole, docs within Hamming distance < 4 share at
-    * least one identical byte block, so blocking finds them without
-    * all-pairs comparison. Output (id_a, id_b, hamming).
+  /** SimHash near-dup candidates, blocked on the 4 × 16-bit words of
+    * the 64-bit hash (Manku et al., WWW'07 shape): by pigeonhole, docs
+    * within Hamming distance < 4 share at least one identical word, so
+    * blocking finds them without all-pairs comparison — and a 16-bit
+    * block keeps random collisions at 1/65536 (an 8-bit block floods
+    * the bucket join with n²/256 accidental pairs at n=10k; measured
+    * 780k junk pairs). Output (id_a, id_b, hamming).
     */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 3,
                         maxBucketSize: Int = 1000): DataFrame = {
-    val blocks = 4 // 4 × 8-bit blocks of the 32-bit simhash
-    val withSig = df
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
-        transform(col("__toks"), t => xxhash64(t)).as("__th"))
-      .select(col(idCol), simhashFromTokenHashes(col("__th")).as("sh"))
+    val blocks = 4 // 4 × 16-bit words of the 64-bit simhash
+    val withSig = df.select(col(idCol),
+      graft.functions.NativeExpressions.simhash(col(textCol)).as("sh"))
     val exploded = withSig
       .select(col(idCol), col("sh"),
         explode(sequence(lit(0), lit(blocks - 1))).as("blk"))
-      .select(col("blk"), expr("(sh >> (blk * 8)) & 255").as("blkv"),
+      .select(col("blk"), expr("(sh >> (blk * 16)) & 65535").as("blkv"),
         struct(col(idCol).as("id"), col("sh")).as("m"))
     val buckets = exploded.groupBy(col("blk"), col("blkv"))
       .agg(collect_list(col("m")).as("ms"))

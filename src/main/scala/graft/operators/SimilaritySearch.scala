@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions._
+import graft.functions.NativeExpressions.{cosine, hyperplaneSignature}
+import graft.functions.VectorFunctions.hammingDist
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
   * column.

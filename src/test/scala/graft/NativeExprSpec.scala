@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{NativeExpressions, TextFunctions, VectorFunctions}
+import graft.operators.Dedup
+
+/** The native Catalyst kernels must be value-identical to their
+  * declarative (higher-order-function) counterparts — validated over
+  * real testdata, not toy rows.
+  */
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("MinHashSig == declarative staged signature on all sf0.001 docs") {
+    val native = Dedup.minhashSignatures(docs, "text", "doc_id")
+      .as[(Long, Seq[Long])].collect().toMap
+    val decl = Dedup.minhashSignaturesDeclarative(docs, "text", "doc_id")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native.keySet == decl.keySet)
+    native.foreach { case (id, sig) => assert(sig == decl(id), s"doc $id") }
+  }
+
+  test("SimHash == declarative simhash on all sf0.001 docs") {
+    val native = docs.select(col("doc_id"),
+      NativeExpressions.simhash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val decl = docs.select(col("doc_id"),
+      Dedup.simhash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    native.foreach { case (id, sh) => assert(sh == decl(id), s"doc $id") }
+  }
+
+  test("Fingerprint == declarative fingerprint on all sf0.001 docs") {
+    val native = docs.select(col("doc_id"),
+      NativeExpressions.fingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val decl = docs.select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    native.foreach { case (id, fp) => assert(fp == decl(id), s"doc $id") }
+  }
+
+  test("CosineSim == declarative cosine, bit-exact, on embedding pairs") {
+    val a = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.filter(col("vec_id").between(50, 99))
+      .select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b)
+    val native = pairs.select(col("ia"), col("ib"),
+      NativeExpressions.cosine(col("va"), col("vb")).as("c"))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val decl = pairs.select(col("ia"), col("ib"),
+      VectorFunctions.cosine(col("va"), col("vb")).as("c"))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    native.foreach { case (k, c) => assert(c == decl(k), s"pair $k") }
+  }
+
+  test("HyperplaneSig == declarative hyperplane signature") {
+    val native = emb.select(col("vec_id"),
+      NativeExpressions.hyperplaneSignature(col("embedding"), 64, 16).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val decl = emb.select(col("vec_id"),
+      VectorFunctions.hyperplaneSignature(col("embedding"), 64, 16).as("s"))
+      .as[(Long, Long)].collect().toMap
+    native.foreach { case (id, s) => assert(s == decl(id), s"vec $id") }
+  }
+
+  test("SQL registration: kernels callable from spark.sql") {
+    NativeExpressions.register(spark)
+    docs.limit(10).createOrReplaceTempView("ndocs")
+    val out = spark.sql(
+      """SELECT doc_id, graft_fingerprint(text) AS fp,
+        |graft_simhash(text) AS sh, size(graft_minhash(text)) AS nsig
+        |FROM ndocs""".stripMargin).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getInt(3) == 32))
+  }
+
+  test("null inputs yield null, not crashes") {
+    val df = Seq(Some("hello world"), None).toDF("t")
+    val out = df.select(
+      NativeExpressions.fingerprint(col("t")).as("fp"),
+      NativeExpressions.simhash(col("t")).as("sh")).collect()
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+  }
+}
