@@ -189,7 +189,37 @@ object SparkEntry {
     "q_f2_mid" -> ((s, dir) =>
       t(s, dir, "part")
         .withColumn("surrogate_key", lit(1L) + monotonically_increasing_id())
-        .select(col("p_partkey"), col("surrogate_key")))
+        .select(col("p_partkey"), col("surrogate_key"))),
+
+    // ── S3: CSV source round-trip (header, inferSchema) ────────────────
+    "q_s3_csv_roundtrip" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_csv_q"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      t(s, dir, "nation").write.option("header", "true").csv(scratch)
+      graft.engine.Ingest.readCsv(s, scratch)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    }),
+
+    // ── The full SCD Type-1 template (distinct → left-join sink →
+    //    null-split → key alloc → union → MERGE), run initial +
+    //    incremental against a scratch warehouse. Keys are
+    //    nondeterministic, so the gate compares the entity content ────
+    "q_scd1_dim_build" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_scd1_q"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val catalog = graft.engine.TableCatalog(s, scratch)
+      val scd = new graft.engine.ScdType1(s, catalog)
+      val spec = graft.engine.DimSpec("gold.dim_part", Seq("p_partkey"),
+        Seq("p_name"), "dim_part_key")
+      val part = t(s, dir, "part")
+      scd.build(spec, part.filter(col("p_size") <= 30), incremental = false)
+      scd.build(spec, part, incremental = true)
+      catalog.read(spec.table).select(col("p_partkey"), col("p_name"))
+    })
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -251,6 +281,10 @@ object SparkEntry {
     "q_j3_upsert" ->
       ("SELECT p_partkey, p_name, p_brand, p_type, p_size, " +
         "CASE WHEN p_size > 20 THEN p_retailprice * 2 ELSE p_retailprice END " +
-        "AS p_retailprice FROM part")
+        "AS p_retailprice FROM part"),
+    "q_s3_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_scd1_dim_build" ->
+      "SELECT p_partkey, p_name FROM part"
   ) ++ StretchQueries.oracleSql
 }

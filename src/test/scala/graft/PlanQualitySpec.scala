@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape assertions — the 100 TB questions, asked of the
+  * actual plans: do filters reach the parquet scan, is the projection
+  * pruned at the reader, do dimension joins broadcast, is there no
+  * accidental cartesian product or unneeded shuffle.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q1_pricing_summary: shipdate filter pushed to parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown:\n$p")
+  }
+
+  test("q_s1_scan_project: read schema pruned to selected columns") {
+    val p = plan("q_s1_scan_project")
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string,p_retailprice:double>"),
+      s"unpruned scan:\n$p")
+  }
+
+  test("q_j2_star_join: all dim joins are broadcast, fact never shuffles") {
+    val p = plan("q_j2_star_join")
+    assert(p.split("BroadcastHashJoin").length >= 4, s"expected 3 BHJs:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    // the only exchanges should be broadcast exchanges
+    assert(!p.contains("Exchange hashpartitioning"), s"fact got shuffled:\n$p")
+  }
+
+  test("q_j1_left_join: dimension join broadcasts") {
+    val p = plan("q_j1_left_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast:\n$p")
+  }
+
+  test("q_a1_grouped_sum_sort: partial aggregation before the shuffle") {
+    val p = plan("q_a1_grouped_sum_sort")
+    // two HashAggregates (partial + final) around one exchange
+    assert(p.split("HashAggregate").length >= 3, s"no partial agg:\n$p")
+  }
+
+  test("q_p9_schema_only: constant-false folds to an empty relation — no scan") {
+    val p = plan("q_p9_schema_only")
+    assert(p.contains("LocalTableScan") || p.contains("EmptyRelation"),
+      s"1=0 query still scans:\n$p")
+    assert(!p.contains("FileScan parquet") && !p.contains("Scan parquet"),
+      s"1=0 query still scans parquet:\n$p")
+  }
+
+  test("q_v_topk: query side broadcast (nested-loop over corpus, no shuffle of corpus)") {
+    val p = plan("q_v_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"cross join not broadcast:\n$p")
+  }
+
+  test("no query plans a non-broadcast CartesianProduct") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
+    }
+  }
+
+  test("entry(): flagship star-agg keeps broadcast + partial-agg shape") {
+    val p = SparkEntry.entry(spark).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.split("HashAggregate").length >= 3)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.engine.{DimSpec, ScdType1, TableCatalog, Upsert}
+
+/** Property-based invariants (SURVEY §5.2): upsert idempotence and
+  * conservation, SCD1 key uniqueness/stability — driven by ScalaCheck
+  * generators sampled over fixed seeds (no scalatest-plus bridge in
+  * the offline cache, so sampling is explicit).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default.withSize(30),
+      Seed(42L + i)))
+
+  private val rowsGen: Gen[List[(Long, String, Double)]] =
+    Gen.listOf(for {
+      k <- Gen.choose(0L, 30L)
+      name <- Gen.alphaStr.map(_.take(8))
+      v <- Gen.choose(-1e6, 1e6)
+    } yield (k, name, v))
+
+  test("upsert: idempotent, conserves key set, source wins (5 random cases)") {
+    val cases = samples(Gen.zip(rowsGen, rowsGen, Gen.choose(1, 8)), 5)
+    cases.foreach { case (tgt, src, parts) =>
+      val path = tmpDir("prop") + "/t"
+      val tgtDf = tgt.toDF("k", "name", "v")
+        .dropDuplicates("k").repartition(parts)
+      val srcDf = src.toDF("k", "name", "v")
+        .dropDuplicates("k").repartition(parts)
+      tgtDf.write.parquet(path)
+      Upsert.merge(spark, path, srcDf, Seq("k"))
+      val once = spark.read.parquet(path)
+        .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+      Upsert.merge(spark, path, srcDf, Seq("k"))
+      val twice = spark.read.parquet(path)
+        .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+      assert(once == twice, s"not idempotent for tgt=$tgt src=$src")
+      val tgtK = tgtDf.select("k").as[Long].collect().toSet
+      val srcK = srcDf.select("k").as[Long].collect().toSet
+      assert(once.map(_._1).toSet == tgtK.union(srcK), "key set not conserved")
+      val srcRows = srcDf.as[(Long, String, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      once.filter(r => srcK.contains(r._1)).foreach { r =>
+        assert(r == srcRows(r._1), "source did not win")
+      }
+    }
+  }
+
+  test("scd1: surrogate keys unique and stable across random increments (5 cases)") {
+    val entityGen = Gen.nonEmptyListOf(for {
+      id <- Gen.choose(0, 40)
+      attr <- Gen.oneOf("red", "green", "blue")
+    } yield (s"E$id", attr))
+    val cases = samples(Gen.zip(entityGen, entityGen, Gen.choose(1, 6)), 5)
+    cases.foreach { case (init, inc, parts) =>
+      val catalog = TableCatalog(spark, tmpDir("prop-scd"))
+      val scd = new ScdType1(spark, catalog)
+      val spec = DimSpec("gold.d", Seq("eid"), Seq.empty, "d_key")
+      val silver0 = init.toDF("eid", "attr")
+        .dropDuplicates("eid").repartition(parts)
+      val d0 = scd.build(spec, silver0, incremental = false).collect()
+      val keys0 = d0.map(r => r.getAs[String]("eid") -> r.getAs[Long]("d_key"))
+      assert(keys0.map(_._2).distinct.length == keys0.length, "dup keys")
+      val silver1 = inc.toDF("eid", "attr")
+        .dropDuplicates("eid").repartition(parts)
+      val d1 = scd.build(spec, silver1, incremental = true).collect()
+      val keys1 = d1.map(r => r.getAs[String]("eid") -> r.getAs[Long]("d_key")).toMap
+      assert(keys1.values.toSeq.distinct.length == keys1.size, "dup keys after inc")
+      keys0.foreach { case (e, k) => assert(keys1(e) == k, s"key moved for $e") }
+      assert(keys1.keySet ==
+        silver0.select("eid").as[String].collect().toSet ++
+          silver1.select("eid").as[String].collect().toSet,
+        "entity set wrong after increment")
+    }
+  }
+
+  test("positional union conserves rows (bag semantics, 10 random cases)") {
+    samples(Gen.zip(rowsGen, rowsGen), 10).foreach { case (a, b) =>
+      val da = a.toDF("k", "name", "v")
+      val db = b.toDF("k", "name", "v")
+      assert(da.union(db).count() == a.size + b.size)
+    }
+  }
+}
