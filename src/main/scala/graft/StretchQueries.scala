@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+import graft.operators.{Dedup, Ivf, Multimodal, SimilaritySearch}
 import graft.streaming.EventStream
 
 /** The LLM-training-data-pipeline operator surface (BASELINE.json north
@@ -81,6 +81,15 @@ object StretchQueries {
       SimilaritySearch.cosineNearDupPairsExact(
         t(s, dir, "embeddings").filter(col("vec_id") < 200), threshold = 0.3)),
 
+    // IVF index with full probe = exhaustive → shares the brute-force
+    // oracle; partial-probe recall is pinned in IvfSpec
+    "q_v_topk_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = Ivf.train(emb, k = 4, iters = 2)
+      Ivf.searchTopK(emb, emb.filter(col("vec_id") < 16), model,
+        k = 5, nprobe = 4)
+    }),
+
     // LSH/ANN scale path — recall-checked against brute force in tests
     "q_v_topk_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -123,7 +132,10 @@ object StretchQueries {
     s"CASE WHEN len($v) <= 3 THEN [array_to_string($v, ' ')] " +
       s"ELSE list_transform(range(1, len($v) - 1), i -> array_to_string($v[i:i+2], ' ')) END"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    oracleSqlMap + ("q_v_topk_ivf" -> oracleSqlMap("q_v_topk"))
+
+  private lazy val oracleSqlMap: Map[String, String] = Map(
     "q_t_token_count" ->
       raw"""SELECT doc_id, CAST(len($tokensSql) AS INT) AS n_tokens,
         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_bpe

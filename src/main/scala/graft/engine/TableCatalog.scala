@@ -59,6 +59,28 @@ final class TableCatalog(val spark: SparkSession, val basePath: String) {
     val f = fs(p)
     if (f.exists(p)) f.delete(p, true)
   }
+
+  /** Metastore name for a catalog path (session catalog is flat). */
+  private def metastoreName(name: String): String =
+    name.toLowerCase.replace('.', '_')
+
+  /** Bucketed + sorted table write — the co-located-join path. Two
+    * tables bucketed the same way on their join key join WITHOUT any
+    * exchange (PlanQualitySpec pins it): at 100 TB this removes the
+    * dominant shuffle from repeated fact⋈fact / fact⋈bigdim joins.
+    * Bucketed tables need metastore bucketing metadata, so this goes
+    * through the session catalog (`saveAsTable`), not a bare path.
+    */
+  def overwriteBucketed(name: String, df: DataFrame,
+                        bucketCols: Seq[String], numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(metastoreName(name))
+
+  def readBucketed(name: String): DataFrame =
+    spark.table(metastoreName(name))
 }
 
 object TableCatalog {

@@ -232,6 +232,50 @@ object NativeExpressions {
                           seed: Long = 42L): Column =
     toCol(HyperplaneSig(toExpr(v), dim, nBits, seed))
 
+  /** Indexes of the `nprobe` nearest centroids by cosine similarity,
+    * nearest first — the IVF assign (nprobe=1) and probe primitive.
+    * Centroids are carried inside the expression (driver-planned,
+    * executor-evaluated; k×dim doubles ship once with the task binary,
+    * no broadcast round-trip).
+    */
+  case class NearestCentroids(child: Expression,
+                              centroids: Array[Array[Double]],
+                              nprobe: Int)
+      extends UnaryExpression with CodegenFallback {
+    private lazy val norms: Array[Double] =
+      centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      val vnorm = {
+        var acc = 0.0; var i = 0
+        while (i < n) { val x = v.getFloat(i).toDouble; acc += x * x; i += 1 }
+        math.sqrt(acc)
+      }
+      val scores = new Array[Double](centroids.length)
+      var c = 0
+      while (c < centroids.length) {
+        val cen = centroids(c)
+        val m = math.min(n, cen.length)
+        var acc = 0.0; var i = 0
+        while (i < m) { acc += v.getFloat(i).toDouble * cen(i); i += 1 }
+        val den = vnorm * norms(c)
+        scores(c) = if (den == 0.0) -2.0 else acc / den
+        c += 1
+      }
+      val order = scores.zipWithIndex.sortBy { case (s, i) => (-s, i) }
+        .take(math.min(nprobe, centroids.length)).map(_._2)
+      new GenericArrayData(order)
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCentroids =
+      copy(child = c)
+  }
+
+  def nearestCentroids(v: Column, centroids: Array[Array[Double]],
+                       nprobe: Int): Column =
+    toCol(NearestCentroids(toExpr(v), centroids, nprobe))
+
   /** Register the SQL-facing names so `spark.sql` users get the same
     * kernels: graft_minhash, graft_simhash, graft_fingerprint,
     * graft_cosine.

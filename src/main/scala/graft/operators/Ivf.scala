@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.NativeExpressions.{cosine, nearestCentroids}
+
+/** IVF (inverted-file) approximate nearest-neighbor index — the
+  * centroid-partitioned scale path for similarity search, built
+  * entirely on DataFrame ops (no MLlib dependency, no vector UDT
+  * conversions).
+  *
+  *  - `train`: distributed Lloyd's iterations. Assignment runs
+  *    executor-side via the NearestCentroids kernel; only the k×dim
+  *    centroid matrix returns to the driver each iteration (a few KB —
+  *    the one legitimate driver round-trip, same category as the
+  *    reference's max(key) collect).
+  *  - `assign`: adds the cluster id. At 100 TB the assigned corpus is
+  *    written partitioned/bucketed by `cluster`, so a search touches
+  *    only nprobe/k of the data (partition pruning does the rest).
+  *  - `searchTopK`: queries probe their nprobe nearest centroids and
+  *    join candidates on cluster id — an equi-join the planner can
+  *    broadcast (queries are small), followed by exact cosine + top-k.
+  *
+  * Recall tunes with k/nprobe exactly like FAISS IVF-flat.
+  */
+object Ivf {
+
+  final case class IvfModel(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Lloyd's k-means on cosine geometry. Deterministic for a fixed
+    * seed: init picks the first k distinct-id rows of a seeded sample.
+    */
+  def train(df: DataFrame, k: Int, iters: Int = 3, seed: Long = 42L,
+            idCol: String = "vec_id",
+            vecCol: String = "embedding"): IvfModel = {
+    val init = df.orderBy(xxhash64(col(idCol), lit(seed))).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var centroids = init
+    var it = 0
+    while (it < iters) {
+      val assigned = df.select(col(vecCol),
+        element_at(nearestCentroids(col(vecCol), centroids, 1), 1).as("cluster"))
+      // element-wise mean per cluster: posexplode → (cluster, pos) sums
+      val sums = assigned
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val v = new Array[Double](dim)
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            v
+          case None => centroids(c) // empty cluster keeps its centroid
+        }
+      }.toArray
+      it += 1
+    }
+    IvfModel(centroids)
+  }
+
+  /** Corpus + `cluster` column (the IVF posting-list id). */
+  def assign(df: DataFrame, model: IvfModel,
+             vecCol: String = "embedding"): DataFrame =
+    df.withColumn("cluster",
+      element_at(nearestCentroids(col(vecCol), model.centroids, 1), 1))
+
+  /** ANN top-k through the inverted file: only candidates in each
+    * query's nprobe nearest clusters are scored.
+    */
+  def searchTopK(corpus: DataFrame, queries: DataFrame, model: IvfModel,
+                 k: Int, nprobe: Int = 2,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val c = assign(corpus, model, vecCol)
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cluster"))
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        explode(nearestCentroids(col(vecCol), model.centroids, nprobe))
+          .as("cluster"))
+    val scored = c.join(broadcast(q), Seq("cluster"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -100,6 +100,29 @@ object EventStream {
       }
   }
 
+  /** The reference's incremental-batch story, streamified (SURVEY §2.9
+    * stretch): a file stream whose every micro-batch MERGEs into a
+    * parquet target via the engine's Upsert — `foreachBatch` gives the
+    * same last-writer-wins semantics as the batch pipeline, continuous.
+    * Returns after draining available input (test/bootstrap harness;
+    * production would leave the query running).
+    */
+  def incrementalUpsertStream(spark: SparkSession, srcDir: String,
+                              targetPath: String, keys: Seq[String],
+                              checkpoint: String): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.engine.Upsert.merge(batch.sparkSession, targetPath,
+          batch, keys)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Drive a batch parquet directory through a real streaming query
     * into a memory sink (synchronous; test/verification harness).
     */

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ivf, SimilaritySearch}
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("train: k centroids, deterministic for a fixed seed") {
+    val m1 = Ivf.train(emb, k = 8, iters = 2)
+    val m2 = Ivf.train(emb, k = 8, iters = 2)
+    assert(m1.k == 8)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    assert(m1.centroids.forall(_.length == 64))
+  }
+
+  test("assign: every vector gets a cluster in [0, k)") {
+    val m = Ivf.train(emb, k = 8, iters = 2)
+    val clusters = Ivf.assign(emb, m).select("cluster").as[Int].collect()
+    assert(clusters.length == emb.count())
+    assert(clusters.forall(c => c >= 0 && c < 8))
+    assert(clusters.distinct.length > 1) // not degenerate
+  }
+
+  test("searchTopK: full probe (nprobe=k) equals brute force exactly") {
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val q = emb.filter(col("vec_id") < 8)
+    val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val ivf = Ivf.searchTopK(emb, q, m, k = 5, nprobe = 4)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivf == exact) // probing every cluster = exhaustive search
+  }
+
+  test("searchTopK: partial probe trades recall for touched data") {
+    val m = Ivf.train(emb, k = 8, iters = 2)
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Ivf.searchTopK(emb, q, m, k = 5, nprobe = 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall") // random gaussians cluster weakly
+    assert(ivf.size <= exact.size)
+  }
+
+  test("planted clusters: nprobe=1 achieves near-perfect recall") {
+    // 3 tight clusters around orthogonal-ish anchors
+    val rnd = new scala.util.Random(7)
+    val anchors = Array.fill(3, 16)(rnd.nextGaussian())
+    val rows = (0 until 300).map { i =>
+      val a = anchors(i % 3)
+      (i.toLong, a.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Ivf.train(df, k = 3, iters = 4)
+    val q = df.filter(col("vec_id") < 9)
+    val exact = SimilaritySearch.bruteForceTopK(df, q, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Ivf.searchTopK(df, q, m, k = 10, nprobe = 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.95, s"clustered recall $recall")
+  }
+}

@@ -43,6 +43,28 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_ev").count() == 100)
   }
 
+  test("incrementalUpsertStream: micro-batches MERGE into the target") {
+    val base = tmpDir("stream-upsert")
+    val src = base + "/src"
+    val target = base + "/target"
+    val ev = EventStream.loadEvents(spark, dir).limit(50)
+      .select("event_id", "user_id", "value")
+    ev.write.parquet(src)
+    EventStream.incrementalUpsertStream(spark, src, target,
+      Seq("event_id"), base + "/cp1")
+    assert(spark.read.parquet(target).count() == 50)
+
+    // second wave: 25 overlapping ids with doubled value + checkpointed
+    // stream only processes the new file
+    ev.limit(25).withColumn("value", col("value") * 2)
+      .write.mode("append").parquet(src)
+    EventStream.incrementalUpsertStream(spark, src, target,
+      Seq("event_id"), base + "/cp1")
+    val got = spark.read.parquet(target)
+    assert(got.count() == 50) // upsert, not append
+    assert(got.select(countDistinct("event_id")).head.getLong(0) == 50)
+  }
+
   test("sessionize (batch mode): per-user rollup matches groupBy") {
     implicit val s = spark
     val ev = EventStream.loadEvents(spark, dir)
