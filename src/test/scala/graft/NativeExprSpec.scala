@@ -81,6 +81,25 @@ class NativeExprSpec extends SparkSpec {
     assert(out.forall(_.getInt(3) == 32))
   }
 
+  test("ShingleHashSet/SortedJaccard agree with declarative shingle-set jaccard") {
+    val sets = docs.select(col("doc_id"),
+      NativeExpressions.shingleHashSet(col("text")).as("hs"),
+      array_distinct(TextFunctions.shingles(col("text"))).as("ss"))
+    // hash-set cardinality == string-set cardinality (no collisions here)
+    sets.collect().foreach { r =>
+      assert(r.getSeq[Long](1).size == r.getSeq[String](2).size,
+        s"doc ${r.getLong(0)}")
+    }
+    val a = sets.select(col("doc_id").as("ia"), col("hs").as("ha"), col("ss").as("sa"))
+    val b = sets.select(col("doc_id").as("ib"), col("hs").as("hb"), col("ss").as("sb"))
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib")).limit(2000)
+    val diffs = pairs.select(
+      NativeExpressions.sortedJaccard(col("ha"), col("hb")).as("jh"),
+      Dedup.jaccardFromSets(col("sa"), col("sb")).as("js"))
+      .collect().map(r => math.abs(r.getDouble(0) - r.getDouble(1)))
+    assert(diffs.forall(_ < 1e-9))
+  }
+
   test("null inputs yield null, not crashes") {
     val df = Seq(Some("hello world"), None).toDF("t")
     val out = df.select(

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import graft.engine.{SkewJoin, Upsert}
+
+class ScaleFeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin: identical result to plain join under heavy skew") {
+    // 10k rows, 90% on one key — the classic hot-key shape
+    val big = spark.range(10000)
+      .select(when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id"))
+        .as("k"), col("id").as("v"))
+    val small = Seq((1L, "hot"), (20L, "a"), (30L, "b"), (31L, "c"))
+      .toDF("k", "name")
+    val plain = big.join(small, Seq("k"))
+      .select("k", "v", "name").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    val salted = SkewJoin.saltedJoin(big, small, Seq("k"), saltBuckets = 8)
+      .select("k", "v", "name").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("saltedJoin: left join keeps unmatched big-side rows exactly once") {
+    val big = spark.range(100).select(col("id").as("k"), col("id").as("v"))
+    val small = Seq((1L, "x")).toDF("k", "name")
+    val out = SkewJoin.saltedJoin(big, small, Seq("k"), 4, "left")
+    assert(out.count() == 100)
+    assert(out.filter(col("name").isNotNull).count() == 1)
+  }
+
+  test("mergePartitioned: rewrites only touched partitions, merges keys") {
+    val path = tmpDir("pmerge") + "/t"
+    val initial = Seq(
+      (1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-02", 30.0), (4L, "2024-01-03", 40.0))
+      .toDF("k", "dt", "v")
+    Upsert.mergePartitioned(spark, path, initial, Seq("k"), "dt")
+
+    // record the untouched partition's file set
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(part: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/dt=$part"))
+        .map(st => st.getPath.getName -> st.getModificationTime).toSet
+    val before0103 = files("2024-01-03")
+
+    // increment touches only 2024-01-01 (update k=2, insert k=9)
+    val inc = Seq((2L, "2024-01-01", 99.0), (9L, "2024-01-01", 9.0))
+      .toDF("k", "dt", "v")
+    Upsert.mergePartitioned(spark, path, inc, Seq("k"), "dt")
+
+    val got = spark.read.parquet(path)
+      .select("k", "dt", "v").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 99.0),
+      (3L, "2024-01-02", 30.0), (4L, "2024-01-03", 40.0),
+      (9L, "2024-01-01", 9.0)))
+    // untouched partition files identical (not rewritten)
+    assert(files("2024-01-03") == before0103)
+  }
+
+  test("mergePartitioned: target scan is partition-pruned by the increment") {
+    val path = tmpDir("pmerge") + "/scan"
+    val initial = (1L to 100L).map(i => (i, s"2024-01-${i % 5 + 1}", i * 1.0))
+      .toDF("k", "dt", "v")
+    Upsert.mergePartitioned(spark, path, initial, Seq("k"), "dt")
+    val inc = Seq((1L, "2024-01-2", 0.0)).toDF("k", "dt", "v")
+    // reproduce the pruned read the merge performs and check the plan
+    val target = spark.read.parquet(path)
+    val p = target.filter(col("dt").isin("2024-01-2"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters: [isnotnull(dt"), s"no pruning:\n$p")
+    Upsert.mergePartitioned(spark, path, inc, Seq("k"), "dt")
+    assert(spark.read.parquet(path).count() == 100)
+  }
+}
