@@ -50,6 +50,15 @@ object StretchQueries {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
 
+    "q_t_chunks" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) > 0)
+        .select(col("doc_id"),
+          explode(TextFunctions.chunkStructs(col("__toks"), 32, 8)).as("c"))
+        .select(col("doc_id"), col("c.chunk_start").as("chunk_start"),
+          col("c.chunk").as("chunk"))),
+
     // ── dedup ──────────────────────────────────────────────────────────
     "q_d_exact" -> ((s, dir) =>
       Dedup.exactByHash(t(s, dir, "documents"), "text", "doc_id")),
@@ -165,6 +174,13 @@ object StretchQueries {
       ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
         "(acc, x) -> (acc * 31 + x) % 1000000007) AS fp FROM documents"),
+
+    "q_t_chunks" ->
+      (s"WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents) " +
+        "SELECT doc_id, CAST(u.chunk_start AS INT) AS chunk_start, u.chunk AS chunk " +
+        "FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1, 24), " +
+        "x -> struct_pack(chunk_start := x, chunk := array_to_string(tk[x:x+31], ' ')))) AS u " +
+        "FROM t WHERE len(tk) > 0)"),
 
     "q_d_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY 1",

@@ -128,6 +128,23 @@ object TextFunctions {
   def shingles(c: Column, k: Int = 3): Column =
     shinglesFromTokens(tokens(c), k)
 
+  /** Sliding-window token chunks for training-data preparation: windows
+    * of `chunkSize` tokens every `chunkSize - overlap` tokens, tagged
+    * with their 1-based start-token offset. Emitted as an array of
+    * (chunk_start, chunk) structs to explode — a narrow, shuffle-free
+    * row multiplication (the 100 TB chunking shape: chunking happens
+    * scan-side, repartitioning only if the writer needs it).
+    * Input is a materialized token-array column (see shinglesFromTokens
+    * note on lambda evaluation).
+    */
+  def chunkStructs(toks: Column, chunkSize: Int, overlap: Int): Column = {
+    require(overlap < chunkSize, "overlap must be smaller than chunkSize")
+    val stride = chunkSize - overlap
+    transform(sequence(lit(1), size(toks), lit(stride)), i =>
+      struct(i.as("chunk_start"),
+        concat_ws(" ", slice(toks, i, lit(chunkSize))).as("chunk")))
+  }
+
   /** Polynomial rolling-hash fingerprint of the full document, mod a
     * Mersenne-ish prime so the same value is computable in any engine
     * without 64-bit overflow (DuckDB BIGINT overflow is strict).

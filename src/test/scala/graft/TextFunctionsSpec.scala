@@ -46,6 +46,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(a1 >= 0 && a1 < 1000000007L)
   }
 
+  test("chunkStructs: sliding windows with overlap, tail kept") {
+    import org.apache.spark.sql.functions.{col, explode, size => asize}
+    val toks = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("id", "t")
+      .select(col("id"), tokens(col("t")).as("tk"))
+    val chunks = toks
+      .select(col("id"), explode(chunkStructs(col("tk"), 4, 2)).as("c"))
+      .select(col("c.chunk_start"), col("c.chunk"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toSeq
+    assert(chunks == Seq(
+      1 -> "w1 w2 w3 w4", 3 -> "w3 w4 w5 w6", 5 -> "w5 w6 w7 w8",
+      7 -> "w7 w8 w9 w10", 9 -> "w9 w10"))
+  }
+
   test("qualityScoreMicros: bounded, monotone in stopword density") {
     val junk = one("@#$%^&*", qualityScoreMicros(col("t"))).asInstanceOf[Long]
     val good = one(("the quick brown fox is a fine animal and it runs " * 10).trim,
