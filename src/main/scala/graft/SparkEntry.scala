@@ -163,6 +163,62 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
+    // ── Headline analytics: TPC-H Q3 shape — selective dim filter
+    //    broadcast against two large tables, group + top-k ──────────────
+    "q3_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ── Q5 shape: snowflake joins (region→nation→supplier) + co-located
+    //    customer/supplier nation constraint ─────────────────────────────
+    "q5_region_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ── Q10 shape: returned-item customer ranking, top-k ───────────────
+    "q10_returned_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val n = t(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // ── J3/J4: parquet-backed MERGE upsert (`3(1):163-169`) — runs the
     //    real Upsert engine against a scratch dir; final state is
     //    deterministic and SQL-expressible, so it DOES get an oracle ───
@@ -282,6 +338,35 @@ object SparkEntry {
       ("SELECT p_partkey, p_name, p_brand, p_type, p_size, " +
         "CASE WHEN p_size > 20 THEN p_retailprice * 2 ELSE p_retailprice END " +
         "AS p_retailprice FROM part"),
+    "q3_shipping_priority" ->
+      ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "AND l_shipdate > TIMESTAMP '1998-01-01' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"),
+    "q5_region_revenue" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '2000-01-01' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q10_returned_customers" ->
+      ("SELECT c_custkey, c_name, n_name, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' " +
+        "GROUP BY c_custkey, c_name, n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"),
     "q_s3_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_scd1_dim_build" ->
