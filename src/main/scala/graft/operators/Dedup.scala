@@ -133,27 +133,43 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                        maxBucketSize: Int = 1000): DataFrame = {
+                        maxBucketSize: Int = 1000,
+                        includeEstimate: Boolean = true): DataFrame = {
     val rows = numHashes / bands
     val withSig = minhashSignatures(df, textCol, idCol, k, numHashes)
+    // when the caller verifies with exact Jaccard anyway (nearDupPairs),
+    // skip the estimate: the shuffle then carries (band, bucket, id)
+    // alone — 16 bytes/row instead of id + the full signature
+    val member =
+      if (includeEstimate) struct(col(idCol).as("id"), col("sig"))
+      else struct(col(idCol).as("id"))
     val exploded = withSig
       .select(col(idCol), col("sig"),
         explode(lshBuckets(col("sig"), bands, rows)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
-        struct(col(idCol).as("id"), col("sig")).as("m"))
+        member.as("m"))
     val buckets = exploded.groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("m")).as("ms"))
       .filter(size(col("ms")).between(2, maxBucketSize))
     val ms = array_sort(col("ms")) // by id → deterministic id_a < id_b
-    val pairs = flatten(transform(ms, (x, i) =>
-      transform(slice(ms, i + 2, size(ms)), y =>
-        struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-          (aggregate(zip_with(x.getField("sig"), y.getField("sig"),
-            (p, q) => when(p === q, 1L).otherwise(0L)),
-            lit(0L), (acc, v) => acc + v)
-            .cast("double") / numHashes).as("jaccard_est")))))
-    buckets.select(explode(pairs).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.jaccard_est"))
+    val pairExpr =
+      if (includeEstimate)
+        flatten(transform(ms, (x, i) =>
+          transform(slice(ms, i + 2, size(ms)), y =>
+            struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+              (aggregate(zip_with(x.getField("sig"), y.getField("sig"),
+                (p, q) => when(p === q, 1L).otherwise(0L)),
+                lit(0L), (acc, v) => acc + v)
+                .cast("double") / numHashes).as("jaccard_est")))))
+      else
+        flatten(transform(ms, (x, i) =>
+          transform(slice(ms, i + 2, size(ms)), y =>
+            struct(x.getField("id").as("id_a"), y.getField("id").as("id_b")))))
+    val cols =
+      if (includeEstimate) Seq(col("p.id_a"), col("p.id_b"), col("p.jaccard_est"))
+      else Seq(col("p.id_a"), col("p.id_b"))
+    buckets.select(explode(pairExpr).as("p"))
+      .select(cols: _*)
       .distinct()
   }
 
@@ -186,7 +202,8 @@ object Dedup {
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double, k: Int = 3): DataFrame = {
     import graft.functions.NativeExpressions.{shingleHashSet, sortedJaccard}
-    val cands = minhashCandidates(df, textCol, idCol, k)
+    val cands = minhashCandidates(df, textCol, idCol, k,
+      includeEstimate = false)
     // verify on sorted shingle-hash sets: 8 bytes/shingle through the
     // join instead of shingle text, Jaccard as a linear merge walk
     // (hash collisions mod 1e9+7 shift Jaccard by < 1e-4 — the same
