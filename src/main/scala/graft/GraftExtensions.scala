@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.NativeExpressions._
+
+/** SparkSessionExtensions entry point: makes the engine's native
+  * kernels available to pure-SQL users at session build time —
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)…
+  *   // or spark.sql.extensions=graft.GraftExtensions
+  *
+  * so `SELECT graft_minhash(text) …` works with no Scala imports. The
+  * same registry the per-session `NativeExpressions.register` fills,
+  * wired through the injection mechanism a deployment config can name.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash"),
+      (es: Seq[Expression]) => MinHashSig(es.head, 3, 32, 42L)))
+    e.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash"),
+      (es: Seq[Expression]) => SimHash(es.head, 64)))
+    e.injectFunction((FunctionIdentifier("graft_fingerprint"),
+      info("graft_fingerprint"),
+      (es: Seq[Expression]) => Fingerprint(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine"),
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("graft_shingle_set"),
+      info("graft_shingle_set"),
+      (es: Seq[Expression]) => ShingleHashSet(es.head, 3)))
+    e.injectFunction((FunctionIdentifier("graft_jaccard"),
+      info("graft_jaccard"),
+      (es: Seq[Expression]) => SortedJaccard(es(0), es(1))))
+  }
+}

@@ -349,5 +349,9 @@ object NativeExpressions {
       es => Fingerprint(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine",
       es => CosineSim(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingle_set",
+      es => ShingleHashSet(es.head, 3), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_jaccard",
+      es => SortedJaccard(es(0), es(1)), "scala_udf")
   }
 }
