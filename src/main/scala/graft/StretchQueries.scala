@@ -231,11 +231,12 @@ object StretchQueries {
         .replaceAll(raw"\s+", " "),
 
     "q_mm_decode" ->
-      ("SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INT) AS byte_len, " +
-        "CAST(ascii(substr(text, 1, 1)) AS INT) AS width, " +
-        "CAST(ascii(substr(text, 2, 1)) AS INT) AS height, " +
-        "CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS n_frames, " +
-        "'fake/rgb8' AS format FROM documents"),
+      ("WITH s AS (SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS t FROM documents) " +
+        "SELECT doc_id AS media_id, CAST(octet_length(encode(t)) AS INT) AS byte_len, " +
+        "CAST(ascii(substr(t, 1, 1)) AS INT) AS width, " +
+        "CAST(ascii(substr(t, 2, 1)) AS INT) AS height, " +
+        "CAST(octet_length(encode(t)) // 64 + 1 AS INT) AS n_frames, " +
+        "'fake/rgb8' AS format FROM s"),
 
     "q_ev_window" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +

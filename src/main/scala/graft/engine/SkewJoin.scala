@@ -28,6 +28,10 @@ object SkewJoin {
                  saltBuckets: Int = 8,
                  joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 1, "saltBuckets must be > 1")
+    // right/full outer would emit unmatched small-side rows once PER
+    // SALT (the small side is exploded ×saltBuckets) — refuse them
+    require(Set("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val bigS = big.withColumn("__salt",
       (rand(42L) * saltBuckets).cast("int"))
     val smallS = small.withColumn("__salt",

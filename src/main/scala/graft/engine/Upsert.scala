@@ -15,20 +15,30 @@ import org.apache.spark.sql.functions._
   *
   * No Delta jars ship with this environment, so we re-derive the same
   * observable semantics from first principles on the public DataFrame
-  * API. Key insight: `whenMatchedUpdateAll + whenNotMatchedInsertAll`
-  * with a full-row source is exactly "source wins":
+  * API. `whenMatchedUpdateAll + whenNotMatchedInsertAll` with a
+  * full-row source decomposes into three key-equi joins:
   *
-  *   result = target ANTI-JOIN source ON keys   ∪   source
+  *   kept     = target ANTI-JOIN  source ON keys   (rows not touched)
+  *   updated  = target.keys INNER-JOIN source      (one source copy
+  *              per matched target row — preserves target multiplicity,
+  *              exactly Delta's update-each-matched-row behavior when
+  *              the merge keys are not unique in the target)
+  *   inserted = source ANTI-JOIN  target ON keys
+  *   result   = kept ∪ updated ∪ inserted
   *
-  * which is ONE join (left_anti) + a union — no full-outer join, no
-  * per-column coalesce. At 100 TB this matters:
-  *   - the anti join broadcasts when the incremental source is small
+  * At 100 TB this matters:
+  *   - all three joins broadcast when the incremental source is small
   *     (the overwhelmingly common case: daily delta vs. huge target),
-  *     so the target is never shuffled;
-  *   - when both sides are large, it is a shuffle hash/sort-merge join
-  *     on the merge keys — the same cost Delta's inner "find touched
-  *     files" join pays, without the second rewrite join;
-  *   - the union is free (no shuffle).
+  *     so the target is never shuffled — `updated` carries only the
+  *     target's KEY columns into its join;
+  *   - when both sides are large, they are shuffle joins on the merge
+  *     keys — the same cost Delta's inner "find touched files" join
+  *     pays, without the second rewrite join;
+  *   - the unions are free (no shuffle).
+  *
+  * Like Delta, a source with duplicate keys makes "which source row
+  * updates a match" ambiguous — callers should dedup the source first
+  * (Delta throws; we keep whichever rows the join produces).
   *
   * Durability: write to `<path>__tmp`, then atomically swap directories
   * via Hadoop rename (single-writer pipeline — same guarantee level the
@@ -72,11 +82,19 @@ object Upsert {
     }
     val src = source.select(aligned.toIndexedSeq: _*)
 
-    val cond: Column = keys
+    val keptCond: Column = keys
       .map(k => target(k) <=> src(k))
       .reduce(_ && _)
-    val kept = target.join(src, cond, "left_anti")
-    val result = kept.unionByName(src)
+    val kept = target.join(src, keptCond, "left_anti")
+    // one updated copy per matched target row (multiplicity preserved)
+    val targetKeys = target.select(keys.map(col).toIndexedSeq: _*)
+    val updCond: Column = keys
+      .map(k => targetKeys(k) <=> src(k))
+      .reduce(_ && _)
+    val updated = targetKeys.join(src, updCond, "inner")
+      .select(src.columns.map(src(_)).toIndexedSeq: _*)
+    val inserted = src.join(target, keptCond, "left_anti")
+    val result = kept.unionByName(updated).unionByName(inserted)
 
     atomicReplace(spark, targetPath, result)
   }
@@ -111,9 +129,15 @@ object Upsert {
     val target = spark.read.parquet(targetPath)
     val affected = target.filter(col(partitionCol).isin(parts: _*))
     val cond = keys.map(k => affected(k) <=> source(k)).reduce(_ && _)
-    val kept = affected.join(source, cond, "left_anti")
-    val merged = kept.unionByName(source.select(affected.columns.map(col)
-      .toIndexedSeq: _*))
+    val srcAligned = source.select(affected.columns.map(col).toIndexedSeq: _*)
+    val kept = affected.join(srcAligned, cond, "left_anti")
+    // preserve matched-row multiplicity (see merge())
+    val affectedKeys = affected.select(keys.map(col).toIndexedSeq: _*)
+    val updCond = keys.map(k => affectedKeys(k) <=> srcAligned(k)).reduce(_ && _)
+    val updated = affectedKeys.join(srcAligned, updCond, "inner")
+      .select(srcAligned.columns.map(srcAligned(_)).toIndexedSeq: _*)
+    val inserted = srcAligned.join(affected, cond, "left_anti")
+    val merged = kept.unionByName(updated).unionByName(inserted)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {

@@ -243,8 +243,13 @@ object NativeExpressions {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val den = math.sqrt(dotLoop(a, a)) * math.sqrt(dotLoop(b, b))
-      if (den == 0.0) null else java.lang.Double.valueOf(dotLoop(a, b) / den)
+      // length mismatch → null, matching the declarative zip_with form
+      // (which null-pads the shorter side and nulls the whole sum)
+      if (a.numElements() != b.numElements()) null
+      else {
+        val den = math.sqrt(dotLoop(a, a)) * math.sqrt(dotLoop(b, b))
+        if (den == 0.0) null else java.lang.Double.valueOf(dotLoop(a, b) / den)
+      }
     }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
@@ -267,14 +272,16 @@ object NativeExpressions {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
-      val n = math.min(v.numElements(), dim)
+      // wrong-dimension vector → signature 0, matching the declarative
+      // zip_with form (null-padded projection → null → bit unset)
+      if (v.numElements() != dim) return java.lang.Long.valueOf(0L)
       var sig = 0L
       var i = 0
       while (i < nBits) {
         val p = planes(i)
         var acc = 0.0
         var j = 0
-        while (j < n) {
+        while (j < dim) {
           acc += v.getFloat(j).toDouble * p(j)
           j += 1
         }

@@ -140,9 +140,13 @@ object TextFunctions {
   def chunkStructs(toks: Column, chunkSize: Int, overlap: Int): Column = {
     require(overlap < chunkSize, "overlap must be smaller than chunkSize")
     val stride = chunkSize - overlap
-    transform(sequence(lit(1), size(toks), lit(stride)), i =>
+    val windows = transform(sequence(lit(1), size(toks), lit(stride)), i =>
       struct(i.as("chunk_start"),
         concat_ws(" ", slice(toks, i, lit(chunkSize))).as("chunk")))
+    // empty token array → no chunks (sequence(1, 0) would throw)
+    when(size(toks) === 0,
+      array().cast("array<struct<chunk_start:int,chunk:string>>"))
+      .otherwise(windows)
   }
 
   /** Polynomial rolling-hash fingerprint of the full document, mod a

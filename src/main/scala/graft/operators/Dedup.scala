@@ -273,7 +273,9 @@ object Dedup {
             .as("hamming")))))
     buckets.select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .filter(col("hamming") <= maxHamming) // before distinct: the
+      // hamming cut drops the bulk of bucket-collision pairs, so the
+      // dedup shuffle only carries survivors
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 }

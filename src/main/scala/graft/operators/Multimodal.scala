@@ -90,9 +90,13 @@ object Multimodal {
     */
   def decodeDocumentsAsMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
+    // non-ASCII chars are multi-byte in UTF-8, which would make the
+    // byte-level stub dims diverge from any character-level oracle —
+    // sanitize so byte == character for the demo payload
     val media = docs
       .select(col("doc_id").as("media_id"),
-        encode(col("text"), "UTF-8").as("content"),
+        encode(regexp_replace(col("text"), "[^\\x00-\\x7F]", "?"), "UTF-8")
+          .as("content"),
         lit("fake/rgb8").as("format"))
       .as[MediaRow]
     decodeBatched(media)(spark).toDF()

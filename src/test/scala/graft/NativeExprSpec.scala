@@ -100,6 +100,27 @@ class NativeExprSpec extends SparkSpec {
     assert(diffs.forall(_ < 1e-9))
   }
 
+  test("vector kernels match declarative forms on short/empty/mismatched vectors") {
+    val df = Seq(
+      (1L, Seq(1f, 2f), Seq(1f, 2f, 3f)),   // length mismatch
+      (2L, Seq.empty[Float], Seq.empty[Float]), // empty
+      (3L, Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))   // normal
+    ).toDF("id", "a", "b")
+    val both = df.select(col("id"),
+      NativeExpressions.cosine(col("a"), col("b")).as("nc"),
+      VectorFunctions.cosine(col("a"), col("b")).as("dc")).collect()
+    both.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"row ${r.getLong(0)}")
+      if (!r.isNullAt(1)) assert(r.getDouble(1) == r.getDouble(2))
+    }
+    val sigs = df.select(col("id"),
+      NativeExpressions.hyperplaneSignature(col("a"), 3, 8).as("ns"),
+      VectorFunctions.hyperplaneSignature(col("a"), 3, 8).as("ds")).collect()
+    sigs.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"row ${r.getLong(0)}")
+    }
+  }
+
   test("null inputs yield null, not crashes") {
     val df = Seq(Some("hello world"), None).toDF("t")
     val out = df.select(

@@ -60,6 +60,16 @@ class TextFunctionsSpec extends SparkSpec {
       7 -> "w7 w8 w9 w10", 9 -> "w9 w10"))
   }
 
+  test("chunkStructs: empty and whitespace-only docs yield zero chunks, no crash") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val chunks = Seq((1L, ""), (2L, "   "), (3L, "one two"))
+      .toDF("id", "t")
+      .select(col("id"), tokens(col("t")).as("tk"))
+      .select(col("id"), explode(chunkStructs(col("tk"), 4, 2)).as("c"))
+      .collect()
+    assert(chunks.length == 1) // only the non-empty doc chunks
+  }
+
   test("qualityScoreMicros: bounded, monotone in stopword density") {
     val junk = one("@#$%^&*", qualityScoreMicros(col("t"))).asInstanceOf[Long]
     val good = one(("the quick brown fox is a fine animal and it runs " * 10).trim,

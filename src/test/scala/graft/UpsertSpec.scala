@@ -37,6 +37,21 @@ class UpsertSpec extends SparkSpec {
       (1L, 1L, 1L, 2L, 999.0), (2L, 2L, 2L, 2L, 50.0)))
   }
 
+  test("duplicate-key target rows keep their multiplicity on update (Delta parity)") {
+    val path = tmpDir("upsert") + "/dup"
+    // 3 target rows share key tuple (1,1); Delta's whenMatchedUpdateAll
+    // updates EACH matched row — row count must stay 3, all with the
+    // source's values
+    Seq((1L, 1L, 10.0), (1L, 1L, 20.0), (1L, 1L, 30.0), (2L, 2L, 40.0))
+      .toDF("k1", "k2", "v").write.parquet(path)
+    val src = Seq((1L, 1L, 99.0), (3L, 3L, 50.0)).toDF("k1", "k2", "v")
+    Upsert.merge(spark, path, src, Seq("k1", "k2"))
+    val got = readBack(path).as[(Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    assert(got == Seq((1L, 1L, 99.0), (1L, 1L, 99.0), (1L, 1L, 99.0),
+      (2L, 2L, 40.0), (3L, 3L, 50.0)))
+  }
+
   test("idempotence: merge(merge(t,s),s) == merge(t,s)") {
     val path = tmpDir("upsert") + "/i"
     Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").write.parquet(path)
