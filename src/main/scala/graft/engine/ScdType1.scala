@@ -119,6 +119,7 @@ final class ScdType1(spark: SparkSession, catalog: TableCatalog) {
         .merge(dfFinal, Seq(key))
         .whenMatchedUpdateAll()
         .whenNotMatchedInsertAll()
+        .withUniqueKeyTarget() // surrogate keys unique by construction
         .execute()
 
     catalog.read(spec.table)

@@ -60,8 +60,14 @@ object Upsert {
     * Column alignment is BY NAME, case-insensitive (the pipeline mixes
     * `Rev_Per_unit`/`Rev_Per_Unit` — `4_Fact:50` vs `2_Silver:49`).
     */
+  /** @param uniqueKeyTarget caller-declared invariant: the merge keys
+    *        are unique in the target (e.g. SCD surrogate keys). Skips
+    *        the multiplicity-preserving update join — the result is
+    *        identical under the invariant, with one join instead of
+    *        three.
+    */
   def merge(spark: SparkSession, targetPath: String, source: DataFrame,
-            keys: Seq[String]): Unit = {
+            keys: Seq[String], uniqueKeyTarget: Boolean = false): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val p = new Path(targetPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -86,15 +92,19 @@ object Upsert {
       .map(k => target(k) <=> src(k))
       .reduce(_ && _)
     val kept = target.join(src, keptCond, "left_anti")
-    // one updated copy per matched target row (multiplicity preserved)
-    val targetKeys = target.select(keys.map(col).toIndexedSeq: _*)
-    val updCond: Column = keys
-      .map(k => targetKeys(k) <=> src(k))
-      .reduce(_ && _)
-    val updated = targetKeys.join(src, updCond, "inner")
-      .select(src.columns.map(src(_)).toIndexedSeq: _*)
-    val inserted = src.join(target, keptCond, "left_anti")
-    val result = kept.unionByName(updated).unionByName(inserted)
+    val result =
+      if (uniqueKeyTarget) kept.unionByName(src)
+      else {
+        // one updated copy per matched target row (multiplicity kept)
+        val targetKeys = target.select(keys.map(col).toIndexedSeq: _*)
+        val updCond: Column = keys
+          .map(k => targetKeys(k) <=> src(k))
+          .reduce(_ && _)
+        val updated = targetKeys.join(src, updCond, "inner")
+          .select(src.columns.map(src(_)).toIndexedSeq: _*)
+        val inserted = src.join(target, keptCond, "left_anti")
+        kept.unionByName(updated).unionByName(inserted)
+      }
 
     atomicReplace(spark, targetPath, result)
   }
@@ -200,14 +210,17 @@ final class MergeBuilder(spark: SparkSession, path: String,
                          source: DataFrame, keys: Seq[String]) {
   private var updateAll = false
   private var insertAll = false
+  private var uniqueKeys = false
 
   def whenMatchedUpdateAll(): MergeBuilder = { updateAll = true; this }
   def whenNotMatchedInsertAll(): MergeBuilder = { insertAll = true; this }
+  /** Declare the target's merge keys unique (see Upsert.merge). */
+  def withUniqueKeyTarget(): MergeBuilder = { uniqueKeys = true; this }
 
   def execute(): Unit = {
     require(updateAll && insertAll,
       "only whenMatchedUpdateAll + whenNotMatchedInsertAll is supported " +
         "(the full surface the reference exercises)")
-    Upsert.merge(spark, path, source, keys)
+    Upsert.merge(spark, path, source, keys, uniqueKeys)
   }
 }
