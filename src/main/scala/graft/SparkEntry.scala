@@ -25,6 +25,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Discounted revenue in EXACT integer-cents arithmetic:
+    * Σ cents(price)·(100 − cents(discount)) is an exact int64 (prices
+    * and discounts are 2-decimal values), and the single final
+    * division is the only floating op — so the result is bit-identical
+    * in any engine and any summation order. The naive
+    * `round(sum(price·(1−disc)), 2)` is a landmine: measured group
+    * sums in this dataset land EXACTLY on half-cent boundaries, where
+    * engines whose doubles differ by 1 ulp round to different cents.
+    */
+  private def discRevenue: org.apache.spark.sql.Column =
+    (sum(round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's star-join + grouped-sum shape (J2 + A1) in one.
     */
@@ -157,8 +170,7 @@ object SparkEntry {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
+          discRevenue.as("sum_disc_price"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
@@ -174,8 +186,7 @@ object SparkEntry {
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(l, l("l_orderkey") === o("o_orderkey"))
         .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(discRevenue.as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
     }),
@@ -198,8 +209,7 @@ object SparkEntry {
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(discRevenue.as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -213,8 +223,7 @@ object SparkEntry {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(discRevenue.as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
@@ -330,7 +339,7 @@ object SparkEntry {
     "q1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
         "round(sum(l_extendedprice), 2) AS sum_base_price, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price, " +
         "round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
@@ -340,7 +349,7 @@ object SparkEntry {
         "AS p_retailprice FROM part"),
     "q3_shipping_priority" ->
       ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue " +
         "FROM customer JOIN orders ON c_custkey = o_custkey " +
         "JOIN lineitem ON l_orderkey = o_orderkey " +
         "WHERE c_mktsegment = 'BUILDING' " +
@@ -349,7 +358,8 @@ object SparkEntry {
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
         "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"),
     "q5_region_revenue" ->
-      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+      ("SELECT n_name, sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
@@ -360,7 +370,7 @@ object SparkEntry {
         "GROUP BY n_name ORDER BY revenue DESC, n_name"),
     "q10_returned_customers" ->
       ("SELECT c_custkey, c_name, n_name, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
