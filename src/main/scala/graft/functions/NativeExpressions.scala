@@ -342,6 +342,42 @@ object NativeExpressions {
                        nprobe: Int): Column =
     toCol(NearestCentroids(toExpr(v), centroids, nprobe))
 
+  /** Z-order (Morton) value: bit-interleaving of the low `bits` bits
+    * of each non-negative long child — rows close in EVERY dimension
+    * get close z-values, so range-clustering by z constrains the
+    * per-file min/max of ALL participating columns at once
+    * (multi-column scan pruning; single-column range sort only
+    * constrains its leading column).
+    */
+  case class ZOrderValue(children: Seq[Expression], bits: Int)
+      extends Expression with CodegenFallback {
+    require(children.nonEmpty && children.size * bits <= 63,
+      "z-value must fit in a positive Long")
+    override def nullable: Boolean = false
+    override def dataType: DataType = LongType
+    override def eval(input: InternalRow): Any = {
+      var z = 0L
+      var b = 0
+      while (b < bits) {
+        var c = 0
+        while (c < children.size) {
+          val v = children(c).eval(input)
+          val x = if (v == null) 0L else math.max(v.asInstanceOf[Long], 0L)
+          if (((x >> b) & 1L) == 1L)
+            z |= 1L << (b * children.size + c)
+          c += 1
+        }
+        b += 1
+      }
+      java.lang.Long.valueOf(z)
+    }
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): ZOrderValue = copy(children = cs)
+  }
+
+  def zorder(bits: Int, cols: Column*): Column =
+    toCol(ZOrderValue(cols.map(toExpr), bits))
+
   /** Register the SQL-facing names so `spark.sql` users get the same
     * kernels: graft_minhash, graft_simhash, graft_fingerprint,
     * graft_cosine.

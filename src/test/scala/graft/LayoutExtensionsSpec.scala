@@ -29,6 +29,34 @@ class LayoutExtensionsSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == li.count())
   }
 
+  test("writeZOrdered: every file is narrow in BOTH z columns; range sort is not") {
+    val base = tmpDir("zorder")
+    // columns of comparable cardinality — the z-curve's home turf
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val nFiles = 8
+    Layout.writeZOrdered(li, base + "/z", nFiles, bits = 12,
+      col("l_orderkey"), col("l_partkey"))
+    Layout.writeRangeSorted(li, base + "/r", nFiles, col("l_orderkey"))
+
+    def avgWidth(dir: String, c: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      files.map { f =>
+        val r = spark.read.parquet(f).agg(min(c), max(c)).head
+        (r.getLong(1) - r.getLong(0)).toDouble
+      }.sum / files.length
+    }
+    val globalOrd = li.agg(max("l_orderkey")).head.getLong(0).toDouble
+    val globalPart = li.agg(max("l_partkey")).head.getLong(0).toDouble
+    // z-order: BOTH dimensions substantially narrower than global
+    assert(avgWidth(base + "/z", "l_orderkey") < globalOrd * 0.7)
+    assert(avgWidth(base + "/z", "l_partkey") < globalPart * 0.7)
+    // plain range sort on orderkey leaves partkey unconstrained
+    assert(avgWidth(base + "/r", "l_partkey") > globalPart * 0.8)
+    assert(spark.read.parquet(base + "/z").count() == li.count())
+  }
+
   test("GraftExtensions: kernels resolve in a session built with the extension") {
     // apply the injection to the shared session's registry (same wiring
     // `withExtensions` runs at session build)
