@@ -61,6 +61,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"cross join not broadcast:\n$p")
   }
 
+  test("q3/q5/q10: selective dims broadcast; aggregation is partial+final") {
+    Seq("q3_shipping_priority", "q5_region_revenue",
+      "q10_returned_customers").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: no broadcast:\n$p")
+      assert(p.split("HashAggregate").length >= 3, s"$q: no partial agg:\n$p")
+    }
+  }
+
   test("no query plans a non-broadcast CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
