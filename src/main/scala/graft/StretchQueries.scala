@@ -50,6 +50,13 @@ object StretchQueries {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
 
+    "q_t_redact" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.redactPii(
+          concat(col("text"),
+            lit(" contact admin@example.com or 555-123-4567 at 10.0.0.1")))
+          .as("clean_text"))),
+
     "q_t_chunks" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
@@ -174,6 +181,14 @@ object StretchQueries {
       ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
         "(acc, x) -> (acc * 31 + x) % 1000000007) AS fp FROM documents"),
+
+    "q_t_redact" ->
+      (raw"SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        raw"text || ' contact admin@example.com or 555-123-4567 at 10.0.0.1', " +
+        raw"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        raw"'\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'), " +
+        raw"'\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') " +
+        "AS clean_text FROM documents"),
 
     "q_t_chunks" ->
       (s"WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents) " +

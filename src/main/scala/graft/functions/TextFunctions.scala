@@ -149,6 +149,22 @@ object TextFunctions {
       .otherwise(windows)
   }
 
+  /** PII scrubbing for training corpora: emails, dashed/dotted phone
+    * numbers, and IPv4 addresses replaced with type tokens. Pure
+    * codegen'd regexp_replace chain (patterns restricted to syntax
+    * with identical semantics in Java regex and RE2, so the DuckDB
+    * oracle can mirror them verbatim).
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "<PHONE>"),
+    ("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (pat, tok)) =>
+      regexp_replace(acc, pat, tok)
+    }
+
   /** Polynomial rolling-hash fingerprint of the full document, mod a
     * Mersenne-ish prime so the same value is computable in any engine
     * without 64-bit overflow (DuckDB BIGINT overflow is strict).

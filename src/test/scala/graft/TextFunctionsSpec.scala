@@ -46,6 +46,14 @@ class TextFunctionsSpec extends SparkSpec {
     assert(a1 >= 0 && a1 < 1000000007L)
   }
 
+  test("redactPii: emails, phones, IPs replaced; clean text untouched") {
+    val dirty = "mail me at a.b-c@test.org or 555-123-4567, server 192.168.1.1 ok"
+    assert(one(dirty, redactPii(col("t"))) ==
+      "mail me at <EMAIL> or <PHONE>, server <IP> ok")
+    val clean = "no personal data here just words 123"
+    assert(one(clean, redactPii(col("t"))) == clean)
+  }
+
   test("chunkStructs: sliding windows with overlap, tail kept") {
     import org.apache.spark.sql.functions.{col, explode, size => asize}
     val toks = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
