@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.NativeExpressions.{cosine, hyperplaneSignature}
@@ -12,11 +11,14 @@ import graft.functions.VectorFunctions.hammingDist
   *
   * Two execution paths:
   *  - `bruteForceTopK` — exact: broadcast the (small) query set against
-  *    the corpus, cosine per pair, per-query top-k via window. The
-  *    corpus side streams through one codegen'd stage: cost
-  *    O(|corpus|·|queries|·dim) FLOPs, zero corpus shuffle (queries are
-  *    broadcast, ranking shuffles only |corpus|·|queries| score rows
-  *    partitioned by query id). The baseline and the ground truth.
+  *    the corpus, cosine per pair, per-query top-k via the bounded
+  *    [[TopK.topKPerKey]] aggregator. The corpus side streams through
+  *    one codegen'd stage: cost O(|corpus|·|queries|·dim) FLOPs, zero
+  *    corpus shuffle, and the ranking shuffle carries at most
+  *    k·|queries| pairs per map partition (the partial top-k) instead
+  *    of the full |corpus|·|queries| score matrix a
+  *    `row_number().over(Window)` would sort. The baseline and the
+  *    ground truth.
   *  - `lshTopK` — scale path: random-hyperplane signatures bucket the
   *    corpus; each query only scores candidates whose signature falls
   *    within `maxHamming` of its own (multi-probe by signature join on
@@ -39,19 +41,15 @@ object SimilaritySearch {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cosine"))
+    TopK.topKPerKey(scored, k)(corpus.sparkSession)
   }
 
   /** Approximate top-k: hyperplane-bucketed candidate generation, then
     * exact cosine only on candidates within `maxHamming` signature
-    * bits. Recall < 1 by design; the window/top-k shape is identical
-    * to the exact path so callers can swap them.
+    * bits. Recall < 1 by design; the output shape is identical to the
+    * exact path so callers can swap them.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nBits: Int = 16, maxHamming: Int = 6,
@@ -64,13 +62,9 @@ object SimilaritySearch {
     val scored = c.join(broadcast(q),
         hammingDist(col("n_sig"), col("q_sig")) <= maxHamming &&
           col("n_id") =!= col("q_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cosine"))
+    TopK.topKPerKey(scored, k)(corpus.sparkSession)
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
