@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.NativeExpressions.{cosine, nearestCentroids}
@@ -86,14 +85,15 @@ object Ivf {
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         explode(nearestCentroids(col(vecCol), model.centroids, nprobe))
           .as("cluster"))
+    // each corpus row carries exactly one cluster id and a query's probe
+    // list is distinct, so every (query, candidate) pair joins at most
+    // once — scores feed the bounded top-k aggregator directly (the
+    // shuffle carries k pairs per query per map partition, never the
+    // full score matrix a window rank would sort)
     val scored = c.join(broadcast(q), Seq("cluster"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cosine"))
+    TopK.topKPerKey(scored, k)(corpus.sparkSession)
   }
 }

@@ -61,6 +61,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"cross join not broadcast:\n$p")
   }
 
+  test("ANN rankings use the bounded top-k aggregator, never a window sort") {
+    // row_number().over(Window) would shuffle + sort the FULL score
+    // matrix; the TopK aggregator keeps k pairs per key per partition
+    Seq("q_v_topk", "q_v_topk_lsh", "q_v_topk_ivf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q ranks via window sort:\n$p")
+      assert(!p.contains("RunningWindowFunction"), s"$q window rank:\n$p")
+    }
+  }
+
+  test("q_v_neardup: bucketed LSH plan — no nested-loop or cartesian pair join") {
+    val p = plan("q_v_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"neardup gate regressed to all-pairs:\n$p")
+  }
+
   test("q3/q5/q10: selective dims broadcast; aggregation is partial+final") {
     Seq("q3_shipping_priority", "q5_region_revenue",
       "q10_returned_customers").foreach { q =>
