@@ -127,6 +127,12 @@ object StretchQueries {
     "q_mm_decode" -> ((s, dir) =>
       Multimodal.decodeDocumentsAsMedia(s, t(s, dir, "documents"))),
 
+    // real header decode: synthesized BMP/WAV payloads parsed by the
+    // pure-JVM HeaderCodec; the oracle recomputes expected metadata
+    // arithmetically, so the binary round-trip is what's verified
+    "q_mm_decode_real" -> ((s, dir) =>
+      Multimodal.decodeSyntheticMedia(s, t(s, dir, "documents"))),
+
     // ── event-stream transforms, batch-executed (same plan streams) ────
     "q_ev_window" -> ((s, dir) =>
       EventStream.windowedAgg(
@@ -263,6 +269,18 @@ object StretchQueries {
         "CAST(ascii(substr(t, 2, 1)) AS INT) AS height, " +
         "CAST(octet_length(encode(t)) // 64 + 1 AS INT) AS n_frames, " +
         "'fake/rgb8' AS format FROM s"),
+
+    "q_mm_decode_real" ->
+      ("""WITH p AS (SELECT doc_id, doc_id % 640 + 1 AS w, doc_id % 480 + 1 AS h,
+         |  doc_id % 3 + 1 AS ch, doc_id % 100 + 1 AS nf FROM documents)
+         |SELECT doc_id AS media_id,
+         | CAST(CASE WHEN doc_id % 2 = 0 THEN 54 + ((w * 3 + 3) // 4) * 4 * h
+         |           ELSE 44 + nf * ch * 2 END AS INT) AS byte_len,
+         | CAST(CASE WHEN doc_id % 2 = 0 THEN w ELSE ch END AS INT) AS width,
+         | CAST(CASE WHEN doc_id % 2 = 0 THEN h ELSE 16 END AS INT) AS height,
+         | CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE nf END AS INT) AS n_frames,
+         | CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS format
+         |FROM p""".stripMargin).replaceAll(raw"\s+", " "),
 
     "q_ev_window" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +

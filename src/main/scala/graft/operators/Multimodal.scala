@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side mechanics are real and tested — schema contract,
   * partition-wise batched iteration (the JVM shape of what
   * `mapInPandas` does in Python: amortize per-batch setup over
-  * `batchSize` rows), partitioning control — while the actual codec
-  * calls are STUBBED with a deterministic fake (`???`-equivalent):
-  * image/audio libraries are not in this container. Swapping
-  * `StubCodec` for a real decoder (JavaCV, TwelveMonkeys, ffmpeg JNI)
-  * changes no Spark plumbing.
+  * `batchSize` rows), partitioning control. Decode is real for two
+  * container formats with pure-JVM header parsers (`HeaderCodec`):
+  * BMP (BITMAPINFOHEADER) and PCM WAV (RIFF/WAVE chunk walk); payloads
+  * neither parser recognizes fall back to the deterministic
+  * `StubCodec` fake, the stand-in for codecs whose libraries are not
+  * in this container (JPEG/PNG/MP4 would slot in the same way —
+  * swapping the sniffer changes no Spark plumbing).
   *
   * Scale notes:
   *  - decode is embarrassingly parallel; the operator neither shuffles
@@ -55,6 +57,110 @@ object Multimodal {
       d.copy(width = w, height = h)
   }
 
+  /** Real pure-JVM header parsers for two container formats. Decoded
+    * metadata mapping:
+    *  - BMP: (width, |height|, 1 frame) — height is negative for
+    *    top-down bitmaps, the magnitude is the pixel height;
+    *  - WAV: (channels as width, bits-per-sample as height, PCM sample
+    *    frames = data-chunk bytes / block-align as n_frames).
+    * Sniffing is strict (magic bytes + structural fields must agree
+    * with the payload length) so arbitrary binary/text payloads never
+    * misparse — they fall through to the stub.
+    */
+  object HeaderCodec {
+    private def i32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    private def i16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def tag(b: Array[Byte], o: Int, t: String): Boolean =
+      b.length >= o + 4 && b(o) == t(0).toByte && b(o + 1) == t(1).toByte &&
+        b(o + 2) == t(2).toByte && b(o + 3) == t(3).toByte
+
+    /** `Some(width, height, n_frames, format)` if the payload is a
+      * well-formed BMP or WAV header, else None.
+      */
+    def sniff(b: Array[Byte]): Option[(Int, Int, Int, String)] =
+      sniffBmp(b).orElse(sniffWav(b))
+
+    private def sniffBmp(b: Array[Byte]): Option[(Int, Int, Int, String)] = {
+      // "BM", declared file size == payload length, BITMAPINFOHEADER
+      if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) None
+      else if (i32(b, 2) != b.length || i32(b, 14) != 40) None
+      else {
+        val w = i32(b, 18)
+        val h = i32(b, 22)
+        if (w <= 0 || h == 0) None
+        else Some((w, math.abs(h), 1, "image/bmp"))
+      }
+    }
+
+    private def sniffWav(b: Array[Byte]): Option[(Int, Int, Int, String)] = {
+      if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) None
+      else {
+        // chunk walk: fmt (PCM fields) and data (frame count) required
+        var off = 12
+        var fmt: Option[(Int, Int, Int)] = None // channels, bps, blockAlign
+        var dataLen = -1
+        while (off + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
+          val size = i32(b, off + 4)
+          if (size < 0 || off + 8 + size > b.length) return None
+          if (tag(b, off, "fmt ") && size >= 16) {
+            val ch = i16(b, off + 10)
+            val bps = i16(b, off + 22)
+            val ba = i16(b, off + 20)
+            if (ch <= 0 || bps <= 0 || ba <= 0) return None
+            fmt = Some((ch, bps, ba))
+          } else if (tag(b, off, "data")) dataLen = size
+          off += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+        }
+        fmt.flatMap { case (ch, bps, ba) =>
+          if (dataLen < 0) None
+          else Some((ch, bps, dataLen / ba, "audio/wav"))
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthesizers for the two real formats — the
+    * write-side inverse of `HeaderCodec`, used by specs and the
+    * round-trip gate query to manufacture valid payloads from row
+    * values (no media files ship with the testdata).
+    */
+  object MediaSynth {
+    /** Minimal 24bpp bottom-up BMP with zeroed pixels. */
+    def bmp(width: Int, height: Int): Array[Byte] = {
+      require(width > 0 && height > 0, "bmp dims must be positive")
+      val rowSize = ((width * 3 + 3) / 4) * 4
+      val total = 54 + rowSize * height
+      val b = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(total).putInt(0).putInt(54)
+      b.putInt(40).putInt(width).putInt(height)
+        .putShort(1).putShort(24).putInt(0).putInt(rowSize * height)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      b.array()
+    }
+
+    /** Minimal PCM WAV (fmt + data chunks, silent samples). */
+    def wav(channels: Int, sampleRate: Int, nFrames: Int,
+            bitsPerSample: Int = 16): Array[Byte] = {
+      require(channels > 0 && nFrames >= 0 && bitsPerSample % 8 == 0)
+      val blockAlign = channels * bitsPerSample / 8
+      val dataSize = nFrames * blockAlign
+      val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort)
+        .putInt(sampleRate).putInt(sampleRate * blockAlign)
+        .putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
+      b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      b.array()
+    }
+  }
+
   /** Partition-wise batched decode. `batchSize` mirrors
     * `spark.sql.execution.arrow.maxRecordsPerBatch` semantics: the
     * codec is handed groups of rows so per-batch init (model load,
@@ -68,8 +174,13 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch setup would happen here (codec context etc.)
         batch.iterator.map { row =>
-          val (w, h, f) = StubCodec.decode(row.content)
-          DecodedMedia(row.media_id, row.content.length, w, h, f, row.format)
+          HeaderCodec.sniff(row.content) match {
+            case Some((w, h, f, fmt)) =>
+              DecodedMedia(row.media_id, row.content.length, w, h, f, fmt)
+            case None =>
+              val (w, h, f) = StubCodec.decode(row.content)
+              DecodedMedia(row.media_id, row.content.length, w, h, f, row.format)
+          }
         }
       }
     }
@@ -88,6 +199,27 @@ object Multimodal {
     * (binary column → typed Dataset → batched decode → DataFrame out)
     * against real testdata.
     */
+  /** Round-trip gate over real formats: synthesize a valid BMP (even
+    * ids) or PCM WAV (odd ids) per document with dimensions derived
+    * deterministically from the id, then decode through the REAL
+    * header parsers. The decode is honest — `HeaderCodec` reads the
+    * binary header fields; the oracle recomputes the expected metadata
+    * arithmetically, so any parser bug breaks the hash match.
+    */
+  def decodeSyntheticMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = docs.select(col("doc_id")).as[Long].map { id =>
+      val content =
+        if (id % 2 == 0)
+          MediaSynth.bmp((id % 640).toInt + 1, (id % 480).toInt + 1)
+        else
+          MediaSynth.wav((id % 3).toInt + 1, sampleRate = 16000,
+            nFrames = (id % 100).toInt + 1)
+      MediaRow(id, content, "application/octet-stream")
+    }
+    decodeBatched(media)(spark).toDF()
+  }
+
   def decodeDocumentsAsMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     // non-ASCII chars are multi-byte in UTF-8, which would make the

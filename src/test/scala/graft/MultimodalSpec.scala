@@ -39,6 +39,63 @@ class MultimodalSpec extends SparkSpec {
     assert(idx == Seq(0, 3, 6, 9))
   }
 
+  test("HeaderCodec: BMP synth→sniff round-trips header fields") {
+    for ((w, h) <- Seq((1, 1), (3, 7), (640, 480), (101, 1))) {
+      val bytes = Multimodal.MediaSynth.bmp(w, h)
+      assert(Multimodal.HeaderCodec.sniff(bytes)
+        .contains((w, h, 1, "image/bmp")), s"bmp $w x $h")
+    }
+    // top-down BMP (negative height) decodes to |height|
+    val td = Multimodal.MediaSynth.bmp(5, 4)
+    val buf = java.nio.ByteBuffer.wrap(td)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -4)
+    assert(Multimodal.HeaderCodec.sniff(td).contains((5, 4, 1, "image/bmp")))
+  }
+
+  test("HeaderCodec: WAV synth→sniff round-trips fmt/data chunks") {
+    for ((ch, sr, nf, bps) <- Seq((1, 8000, 0, 16), (2, 44100, 999, 16),
+        (3, 16000, 1, 8))) {
+      val bytes = Multimodal.MediaSynth.wav(ch, sr, nf, bps)
+      assert(Multimodal.HeaderCodec.sniff(bytes)
+        .contains((ch, bps, nf, "audio/wav")), s"wav $ch/$sr/$nf/$bps")
+    }
+  }
+
+  test("HeaderCodec: text and truncated/corrupt payloads never misparse") {
+    val text = "BM this text starts with the bmp magic but is not a bitmap padding padding"
+      .getBytes("UTF-8")
+    assert(Multimodal.HeaderCodec.sniff(text).isEmpty)
+    assert(Multimodal.HeaderCodec.sniff(Array.emptyByteArray).isEmpty)
+    val truncated = Multimodal.MediaSynth.bmp(10, 10).take(40)
+    assert(Multimodal.HeaderCodec.sniff(truncated).isEmpty)
+    // declared size disagrees with payload → rejected
+    val padded = Multimodal.MediaSynth.bmp(10, 10) ++ Array[Byte](0)
+    assert(Multimodal.HeaderCodec.sniff(padded).isEmpty)
+    val wavNoData = Multimodal.MediaSynth.wav(2, 8000, 4).take(36)
+    assert(Multimodal.HeaderCodec.sniff(wavNoData).isEmpty)
+  }
+
+  test("decodeSyntheticMedia: real parse matches the arithmetic spec") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Multimodal.decodeSyntheticMedia(spark, docs).collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 2 == 0) {
+        assert(r.getString(5) == "image/bmp")
+        assert(r.getInt(2) == (id % 640).toInt + 1)  // width
+        assert(r.getInt(3) == (id % 480).toInt + 1)  // height
+        assert(r.getInt(4) == 1)                     // frames
+      } else {
+        assert(r.getString(5) == "audio/wav")
+        assert(r.getInt(2) == (id % 3).toInt + 1)    // channels
+        assert(r.getInt(3) == 16)                    // bits/sample
+        assert(r.getInt(4) == (id % 100).toInt + 1)  // sample frames
+      }
+    }
+  }
+
   test("decodeDocumentsAsMedia runs over real testdata") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = Multimodal.decodeDocumentsAsMedia(spark, docs)
