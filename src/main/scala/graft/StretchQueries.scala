@@ -54,7 +54,8 @@ object StretchQueries {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.redactPii(
           concat(col("text"),
-            lit(" contact admin@example.com or 555-123-4567 at 10.0.0.1")))
+            lit(" contact admin@example.com or 555-123-4567 / (555) 123-4567" +
+              " / +1 555 123 4567 at 10.0.0.1 build 999.1.2.3")))
           .as("clean_text"))),
 
     "q_t_chunks" -> ((s, dir) =>
@@ -200,10 +201,11 @@ object StretchQueries {
 
     "q_t_redact" ->
       (raw"SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
-        raw"text || ' contact admin@example.com or 555-123-4567 at 10.0.0.1', " +
+        raw"text || ' contact admin@example.com or 555-123-4567 / (555) 123-4567" +
+        raw" / +1 555 123 4567 at 10.0.0.1 build 999.1.2.3', " +
         raw"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
-        raw"'\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'), " +
-        raw"'\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') " +
+        raw"'(\+?1[-. ])?(\([0-9]{3}\)|\b[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'), " +
+        raw"'\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b', '<IP>', 'g') " +
         "AS clean_text FROM documents"),
 
     "q_t_chunks" ->

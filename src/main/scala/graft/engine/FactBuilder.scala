@@ -55,12 +55,15 @@ object FactBuilder {
     val dims = spec.dims.map(d => d.table -> catalog.read(d.table)).toMap
     val fact = project(silver, dims, spec)
     if (!catalog.tableExists(spec.table)) catalog.overwrite(spec.table, fact)
-    else
+    else {
       Upsert.forPath(spark, catalog.pathFor(spec.table))
         .merge(fact, spec.dims.map(_.surrogateKey))
         .whenMatchedUpdateAll()
         .whenNotMatchedInsertAll()
         .execute()
+      // refresh post-MERGE file listing; schema is the fact projection's
+      catalog.register(spec.table, Some(fact.schema))
+    }
     catalog.read(spec.table)
   }
 }

@@ -50,12 +50,16 @@ object Layout {
     ).head()
     val scale = (1L << bits) - 1
     val normalized = cols.zipWithIndex.map { case (c, i) =>
-      val lo = stats.getLong(2 * i)
-      val hi = stats.getLong(2 * i + 1)
+      // all-null column → no stats; every value normalizes to 0 (nulls
+      // are bucket 0 in the z-value anyway)
+      val lo = if (stats.isNullAt(2 * i)) 0L else stats.getLong(2 * i)
+      val hi = if (stats.isNullAt(2 * i + 1)) lo else stats.getLong(2 * i + 1)
       val range = math.max(hi - lo, 1L)
-      // exact integer scaling: (x - lo) * scale div range
-      ((c.cast("long") - lit(lo)) * lit(scale) - pmod(
-        (c.cast("long") - lit(lo)) * lit(scale), lit(range))) / lit(range)
+      // integral `div` keeps the quotient exact in long arithmetic —
+      // a double-division would lose low bits once (x-lo)*scale
+      // exceeds 2^53 (wide long ranges, e.g. epoch-nano timestamps)
+      call_function("div",
+        (c.cast("long") - lit(lo)) * lit(scale), lit(range))
     }.map(_.cast("long"))
     val z = graft.functions.NativeExpressions.zorder(bits, normalized: _*)
     df.withColumn("__z", z)

@@ -28,7 +28,8 @@ final class SalesPipeline(spark: SparkSession, catalog: TableCatalog) {
     val silver = SilverTransform.transform(bronze)
     SilverTransform.writeSilver(silver, silverPath)
     val silverBack = spark.read.parquet(silverPath)
-    ScdType1.all.foreach(spec => scd.build(spec, silverBack, incremental))
+    // one silver scan computes all four dims' distinct key sets
+    scd.buildAll(ScdType1.all, silverBack, incremental)
     FactBuilder.build(spark, catalog, silverBack)
   }
 

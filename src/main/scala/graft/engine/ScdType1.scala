@@ -58,28 +58,68 @@ final class ScdType1(spark: SparkSession, catalog: TableCatalog) {
     * @param incremental the `Incremental_Flag` widget (`3(1):13-17`)
     * @return the dimension content as written
     */
-  def build(spec: DimSpec, silver: DataFrame, incremental: Boolean): DataFrame = {
-    val key = spec.surrogateKey
+  def build(spec: DimSpec, silver: DataFrame, incremental: Boolean): DataFrame =
+    buildFrom(spec,
+      silver.select(spec.cols.map(col).toIndexedSeq: _*).distinct(),
+      incremental)
 
-    // source: distinct natural key + attrs (`3(1):44-46`)
-    val dfSrc = silver
-      .select(spec.cols.map(col).toIndexedSeq: _*)
-      .distinct()
+  /** Build ALL dimensions with ONE pass over silver: a GROUPING SETS
+    * aggregation computes every dimension's distinct (naturalKey,
+    * attrs) set in a single scan + single shuffle, where per-dim
+    * `build` would scan silver once per dimension. At 100 TB the scan
+    * IS the cost (the distinct outputs are dimension-sized), so this
+    * divides the dominant I/O by the number of dimensions. The small
+    * grouped result is cached while the per-dim join/merge logic runs
+    * unchanged.
+    */
+  def buildAll(specs: Seq[DimSpec], silver: DataFrame,
+               incremental: Boolean): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.grouping_id
+    val allCols: Seq[String] = specs.flatMap(_.cols).distinct
+    val grouped = silver
+      .groupingSets(specs.map(_.cols.map(col)), allCols.map(col): _*)
+      .agg(grouping_id().as("__gid"))
+      .persist()
+    try {
+      // grouping_id: bit (n-1-i) set iff allCols(i) is aggregated away
+      def gidFor(spec: DimSpec): Long =
+        allCols.zipWithIndex.collect {
+          case (c, i) if !spec.cols.contains(c) =>
+            1L << (allCols.size - 1 - i)
+        }.sum
+      specs.map { spec =>
+        val dfSrc = grouped
+          .filter(col("__gid") === gidFor(spec))
+          .select(spec.cols.map(col).toIndexedSeq: _*)
+        spec.table -> buildFrom(spec, dfSrc, incremental)
+      }.toMap
+    } finally grouped.unpersist()
+  }
+
+  private def buildFrom(spec: DimSpec, dfSrc: DataFrame,
+                        incremental: Boolean): DataFrame = {
+    val key = spec.surrogateKey
 
     // sink: existing dim, or an empty correctly-typed relation derived
     // WHERE-1=0-style (`3(1):63-68`); reference types the empty key by
     // the literal 1 (int) — we normalize to LongType up front so the
     // later union/merge never silently casts (SURVEY §7.4).
     val exists = catalog.tableExists(spec.table)
+    // the empty sink is a LocalRelation with FRESH attribute ids (not a
+    // filter(false) over dfSrc — that self-join lineage would be
+    // ambiguous now that buildAll feeds every dim from one shared
+    // grouping-sets DataFrame)
     val dfSink: DataFrame =
       if (exists)
         catalog.read(spec.table)
           .select((key +: spec.naturalKey).map(col).toIndexedSeq: _*)
-      else
-        silver
-          .select((lit(1).cast(LongType).as(key) +:
-            spec.naturalKey.map(col)).toIndexedSeq: _*)
-          .filter(lit(false))
+      else {
+        val schema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField(key, LongType) +:
+            spec.naturalKey.map(k => dfSrc.schema(k)))
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      }
 
     // left join src→sink on the natural key; lineage-qualified select
     // keeps both Model_IDs apart until projection (`3(1):79`, P6)
@@ -114,13 +154,16 @@ final class ScdType1(spark: SparkSession, catalog: TableCatalog) {
 
     // initial overwrite vs MERGE-on-surrogate-key (`3(1):163-176`)
     if (!exists) catalog.overwrite(spec.table, dfFinal)
-    else
+    else {
       Upsert.forPath(spark, catalog.pathFor(spec.table))
         .merge(dfFinal, Seq(key))
         .whenMatchedUpdateAll()
         .whenNotMatchedInsertAll()
         .withUniqueKeyTarget() // surrogate keys unique by construction
         .execute()
+      // refresh post-MERGE file listing; schema is dfFinal's (aligned)
+      catalog.register(spec.table, Some(dfFinal.schema))
+    }
 
     catalog.read(spec.table)
   }

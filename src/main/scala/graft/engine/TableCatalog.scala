@@ -43,11 +43,33 @@ final class TableCatalog(val spark: SparkSession, val basePath: String) {
   def read(name: String): DataFrame = spark.read.parquet(pathFor(name))
 
   /** Initial full load — `format('parquet').mode('overwrite')
-    * .option('path', …).saveAsTable(…)` (`3(1):171-176`) minus the
-    * metastore registration (path IS the registration here).
+    * .option('path', …).saveAsTable(…)` (`3(1):171-176`): the parquet
+    * write plus session-catalog registration, so SQL users can read
+    * the gold table by name exactly like the reference's metastore
+    * reads (`4_Fact:31-37`).
     */
-  def overwrite(name: String, df: DataFrame): Unit =
+  def overwrite(name: String, df: DataFrame): Unit = {
     df.write.mode("overwrite").parquet(pathFor(name))
+    register(name, Some(df.schema))
+  }
+
+  /** (Re-)register `name` in the session catalog as an EXTERNAL
+    * parquet table at its warehouse path (`spark.table(
+    * "cars_catalog_gold_dim_model")` — the flat session catalog stands
+    * in for the reference's 3-level namespace). DROP+CREATE keeps the
+    * location current and never touches data (external table); REFRESH
+    * is implicit in the re-create, so readers see post-MERGE contents.
+    * Pass the schema when the caller knows it — a schema-less CREATE
+    * infers it from parquet footers, a file-touching job this driver-
+    * side metadata operation shouldn't pay.
+    */
+  def register(name: String,
+               schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val t = metastoreName(name)
+    val ddl = schema.map(s => s" (${s.toDDL})").getOrElse("")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t$ddl USING parquet LOCATION '${pathFor(name)}'")
+  }
 
   def createSchema(schemaName: String): Unit = {
     val p = new Path((basePath +: schemaName.toLowerCase.split('.').toSeq).mkString("/"))

@@ -78,15 +78,7 @@ object Upsert {
     }
 
     val target = spark.read.parquet(targetPath)
-    // resolve source columns to the target's column order/case
-    val lower = source.columns.map(c => c.toLowerCase -> c).toMap
-    val aligned = target.columns.map { tc =>
-      lower.get(tc.toLowerCase) match {
-        case Some(sc) => source(sc).as(tc)
-        case None     => lit(null).cast(target.schema(tc).dataType).as(tc)
-      }
-    }
-    val src = source.select(aligned.toIndexedSeq: _*)
+    val src = alignByName(source, target)
 
     val keptCond: Column = keys
       .map(k => target(k) <=> src(k))
@@ -107,6 +99,23 @@ object Upsert {
       }
 
     atomicReplace(spark, targetPath, result)
+  }
+
+  /** Resolve `source` columns to `target`'s column order, names, and
+    * case (case-insensitive by name; target columns missing from the
+    * source are null-filled with the target's type). Both merge paths
+    * share this because the pipeline mixes `Rev_Per_unit`/
+    * `Rev_Per_Unit` (`4_Fact:50` vs `2_Silver:49`).
+    */
+  private def alignByName(source: DataFrame, target: DataFrame): DataFrame = {
+    val lower = source.columns.map(c => c.toLowerCase -> c).toMap
+    val aligned = target.columns.map { tc =>
+      lower.get(tc.toLowerCase) match {
+        case Some(sc) => source(sc).as(tc)
+        case None     => lit(null).cast(target.schema(tc).dataType).as(tc)
+      }
+    }
+    source.select(aligned.toIndexedSeq: _*)
   }
 
   /** Partition-pruned MERGE for a hive-partitioned target: only the
@@ -137,9 +146,9 @@ object Upsert {
     val parts = source.select(col(partitionCol)).distinct().collect()
       .map(_.get(0))
     val target = spark.read.parquet(targetPath)
+    val srcAligned = alignByName(source, target)
     val affected = target.filter(col(partitionCol).isin(parts: _*))
-    val cond = keys.map(k => affected(k) <=> source(k)).reduce(_ && _)
-    val srcAligned = source.select(affected.columns.map(col).toIndexedSeq: _*)
+    val cond = keys.map(k => affected(k) <=> srcAligned(k)).reduce(_ && _)
     val kept = affected.join(srcAligned, cond, "left_anti")
     // preserve matched-row multiplicity (see merge())
     val affectedKeys = affected.select(keys.map(col).toIndexedSeq: _*)
@@ -148,21 +157,24 @@ object Upsert {
       .select(srcAligned.columns.map(srcAligned(_)).toIndexedSeq: _*)
     val inserted = srcAligned.join(affected, cond, "left_anti")
     val merged = kept.unionByName(updated).unionByName(inserted)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      // stage to avoid writing a path that is being read
-      val tmp = targetPath + "__delta_tmp"
-      merged.write.mode("overwrite").parquet(tmp)
-      spark.read.parquet(tmp).write.mode("overwrite")
-        .partitionBy(partitionCol).parquet(targetPath)
-      fs.delete(new Path(tmp), true)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // single staged write (merged reads from targetPath, so it cannot be
+    // written in place): the tmp output IS partitioned, and each affected
+    // partition directory is swapped into the target by rename — affected
+    // data is written exactly once, untouched partitions are never opened
+    val tmp = new Path(targetPath + "__delta_tmp")
+    fs.delete(tmp, true)
+    merged.write.partitionBy(partitionCol).parquet(tmp.toString)
+    fs.listStatus(tmp)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(partitionCol + "="))
+      .foreach { st =>
+        val dst = new Path(p, st.getPath.getName)
+        fs.delete(dst, true)
+        if (!fs.rename(st.getPath, dst))
+          throw new java.io.IOException(
+            s"mergePartitioned: cannot commit ${st.getPath} -> $dst")
       }
-    }
+    fs.delete(tmp, true)
   }
 
   /** Write `df` to `path` atomically even though `df`'s plan reads from
@@ -170,6 +182,15 @@ object Upsert {
     * generation. Rename is atomic on HDFS-like filesystems; on object
     * stores a committer would take this role — the contract (readers see
     * old or new, never partial) is the same.
+    *
+    * Known window (single-writer contract): between the `dst → old` and
+    * `tmp → dst` renames the table directory briefly does not exist, so
+    * a CONCURRENT reader listing at that instant fails fast (it never
+    * sees partial data). The engine's pipelines are single-writer/
+    * single-reader per table, matching the guarantee level the reference
+    * actually relies on; multi-reader deployments would front this with
+    * a generation pointer (a small file naming the current directory)
+    * updated by one rename.
     */
   def atomicReplace(spark: SparkSession, path: String, df: DataFrame): Unit = {
     val dst = new Path(path)

@@ -356,18 +356,21 @@ object NativeExpressions {
     override def nullable: Boolean = false
     override def dataType: DataType = LongType
     override def eval(input: InternalRow): Any = {
+      // evaluate each child exactly once per row — the children are
+      // arithmetic normalization trees, re-evaluating them per BIT
+      // would multiply that work by `bits`
+      val n = children.size
       var z = 0L
-      var b = 0
-      while (b < bits) {
-        var c = 0
-        while (c < children.size) {
-          val v = children(c).eval(input)
-          val x = if (v == null) 0L else math.max(v.asInstanceOf[Long], 0L)
-          if (((x >> b) & 1L) == 1L)
-            z |= 1L << (b * children.size + c)
-          c += 1
+      var c = 0
+      while (c < n) {
+        val v = children(c).eval(input)
+        val x = if (v == null) 0L else math.max(v.asInstanceOf[Long], 0L)
+        var b = 0
+        while (b < bits) {
+          if (((x >> b) & 1L) == 1L) z |= 1L << (b * n + c)
+          b += 1
         }
-        b += 1
+        c += 1
       }
       java.lang.Long.valueOf(z)
     }

@@ -149,16 +149,25 @@ object TextFunctions {
       .otherwise(windows)
   }
 
-  /** PII scrubbing for training corpora: emails, dashed/dotted phone
-    * numbers, and IPv4 addresses replaced with type tokens. Pure
-    * codegen'd regexp_replace chain (patterns restricted to syntax
-    * with identical semantics in Java regex and RE2, so the DuckDB
-    * oracle can mirror them verbatim).
+  /** PII scrubbing for training corpora — a pure codegen'd
+    * regexp_replace chain (patterns restricted to syntax with identical
+    * semantics in Java regex and RE2, so the DuckDB oracle mirrors them
+    * verbatim). Exact coverage, so callers don't over-assume:
+    *  - emails: local@domain.tld (ASCII);
+    *  - NANP-style phones: 3-3-4 digit groups separated by `-`, `.` or
+    *    space, optional `(area)` parens and optional `+1`/`1` prefix —
+    *    NOT bare 10-digit runs or international formats;
+    *  - IPv4: dotted quads whose octets are 0–255 (a version string
+    *    like `1.2.3.4` is indistinguishable and is redacted; `999.1.2.3`
+    *    is not an address and survives).
+    * Phone runs before IP so `555.123.4567` reads as a phone.
     */
   val piiPatterns: Seq[(String, String)] = Seq(
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "<PHONE>"),
-    ("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+    ("(\\+?1[-. ])?(\\([0-9]{3}\\)|\\b[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\\b",
+      "<PHONE>"),
+    ("\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])" +
+      "(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b", "<IP>"))
 
   def redactPii(c: Column): Column =
     piiPatterns.foldLeft(c) { case (acc, (pat, tok)) =>

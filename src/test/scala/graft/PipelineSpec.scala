@@ -114,5 +114,36 @@ class PipelineSpec extends SparkSpec {
     val updated = fact1.filter(col("Revenue") === 5555555)
     assert(updated.count() == 1)
     assert(fact1.filter(col("Revenue") === 1000000).count() == 0)
+
+    // gold tables are registered in the session catalog: SQL users read
+    // them by name, reference-style, and see post-MERGE contents
+    assert(spark.table("cars_catalog_gold_dim_model").count() == 4)
+    assert(spark.sql(
+      "SELECT count(*) FROM cars_catalog_gold_factsales").head.getLong(0) == 10)
+  }
+
+  test("buildAll (one grouping-sets pass) builds the same dims as per-dim build") {
+    val base = tmpDir("buildall")
+    val catA = TableCatalog(spark, base + "/a")
+    val catB = TableCatalog(spark, base + "/b")
+    val csv = writeCsv(base + "/init.csv", initialRows)
+    Ingest.csvToBronze(spark, csv, catA.pathFor("cars_catalog.bronze.rawdata"))
+    val silver = SilverTransform.transform(
+      Ingest.readBronze(spark, catA.pathFor("cars_catalog.bronze.rawdata")))
+    val scdA = new ScdType1(spark, catA)
+    val scdB = new ScdType1(spark, catB)
+    scdA.buildAll(ScdType1.all, silver, incremental = false)
+    ScdType1.all.foreach(s => scdB.build(s, silver, incremental = false))
+    ScdType1.all.foreach { s =>
+      val a = catA.read(s.table).select(s.cols.map(col).toIndexedSeq: _*)
+        .collect().map(_.toSeq).toSet
+      val b = catB.read(s.table).select(s.cols.map(col).toIndexedSeq: _*)
+        .collect().map(_.toSeq).toSet
+      assert(a == b, s"${s.table}: buildAll != per-dim build")
+      // surrogate keys unique and >= 1 in both
+      val keys = catA.read(s.table).select(s.surrogateKey)
+        .collect().map(_.getLong(0))
+      assert(keys.distinct.length == keys.length && keys.forall(_ >= 1L))
+    }
   }
 }

@@ -62,6 +62,22 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(files("2024-01-03") == before0103)
   }
 
+  test("mergePartitioned aligns source columns case-insensitively, null-fills gaps") {
+    val path = tmpDir("pmerge") + "/align"
+    val initial = Seq((1L, "2024-01-01", 10.0, "a"), (2L, "2024-01-02", 20.0, "b"))
+      .toDF("k", "dt", "v", "note")
+    Upsert.mergePartitioned(spark, path, initial, Seq("k"), "dt")
+    // source drifts: different case, `note` column missing entirely
+    val inc = Seq((2L, "2024-01-02", 99.0)).toDF("K", "DT", "V")
+    Upsert.mergePartitioned(spark, path, inc, Seq("k"), "dt")
+    val got = spark.read.parquet(path)
+      .select(col("k"), col("dt").cast("string"), col("v"), col("note"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        Option(r.getString(3)))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "2024-01-01", 10.0, Some("a")),
+      (2L, "2024-01-02", 99.0, None)))
+  }
+
   test("mergePartitioned: target scan is partition-pruned by the increment") {
     val path = tmpDir("pmerge") + "/scan"
     val initial = (1L to 100L).map(i => (i, s"2024-01-${i % 5 + 1}", i * 1.0))

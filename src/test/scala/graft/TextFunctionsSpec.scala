@@ -54,6 +54,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(clean, redactPii(col("t"))) == clean)
   }
 
+  test("redactPii: paren/space/+1 phone forms and octet-validated IPs") {
+    assert(one("call (555) 123-4567 now", redactPii(col("t"))) ==
+      "call <PHONE> now")
+    assert(one("intl +1 555 123 4567 works", redactPii(col("t"))) ==
+      "intl <PHONE> works")
+    assert(one("dotted 555.123.4567 too", redactPii(col("t"))) ==
+      "dotted <PHONE> too")
+    // 999 is not a valid octet: the quad survives
+    assert(one("version 999.1.2.3 stays", redactPii(col("t"))) ==
+      "version 999.1.2.3 stays")
+    assert(one("edge 255.255.255.255 goes", redactPii(col("t"))) ==
+      "edge <IP> goes")
+  }
+
   test("chunkStructs: sliding windows with overlap, tail kept") {
     import org.apache.spark.sql.functions.{col, explode, size => asize}
     val toks = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
