@@ -202,14 +202,33 @@ object Dedup {
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double, k: Int = 3): DataFrame = {
     import graft.functions.NativeExpressions.{shingleHashSet, sortedJaccard}
+    // candidates feed three consumers (the id semi-join and both
+    // verification joins) — persist so LSH runs once; Spark's
+    // ContextCleaner reclaims the blocks when the plan is dropped
     val cands = minhashCandidates(df, textCol, idCol, k,
       includeEstimate = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verification kernel runs ONLY on candidate docs: semi-join the
+    // corpus down to candidate ids BEFORE computing shingle sets. At
+    // corpus scale candidates are a small fraction of rows — without
+    // this the shingle kernel re-processes the ENTIRE corpus on both
+    // join sides just to verify a handful of pairs.
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
     // verify on sorted shingle-hash sets: 8 bytes/shingle through the
     // join instead of shingle text, Jaccard as a linear merge walk
     // (hash collisions mod 1e9+7 shift Jaccard by < 1e-4 — the same
     // tolerance every production MinHash verifier accepts)
-    val sets = df.select(col(idCol),
-      shingleHashSet(col(textCol), k).as("shingle_set"))
+    // no broadcast hint: AQE broadcasts the id list when it is small
+    // (the usual case) and falls back to a shuffled semi-join when a
+    // pathological corpus yields candidate lists past the threshold.
+    // Persisted because both verification joins consume it — without
+    // the cache the semi-join + kernel subtree would execute twice.
+    val sets = df
+      .join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shingleHashSet(col(textCol), k).as("shingle_set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sa = sets.select(col(idCol).as("id_a"), col("shingle_set").as("set_a"))
     val sb = sets.select(col(idCol).as("id_b"), col("shingle_set").as("set_b"))
     cands.join(sa, "id_a").join(sb, "id_b")
