@@ -70,6 +70,13 @@ object SimilaritySearch {
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     * threshold) via signature blocking: only pairs sharing a signature
     * prefix band are scored, never all n².
+    *
+    * Execution shape (the minhash-dedup pattern): the band shuffle
+    * carries ONLY (band, bucket, id) — never the vectors, which would
+    * multiply the shuffle payload by bands × vector width. Candidate
+    * pairs are deduped across bands BEFORE any scoring, then the
+    * vectors of candidate members only (semi-join) are joined back for
+    * one cosine evaluation per unique pair.
     */
   def cosineNearDupPairs(df: DataFrame, threshold: Double, dim: Int,
                          nBits: Int = 16, bands: Int = 4,
@@ -78,26 +85,40 @@ object SimilaritySearch {
                          vecCol: String = "embedding"): DataFrame = {
     val rows = nBits / bands
     val mask = (1L << rows) - 1
-    val withSig = df.select(col(idCol), col(vecCol))
-      .withColumn("sig", hyperplaneSignature(col(vecCol), dim, nBits))
-    val exploded = withSig
-      .select(col(idCol), col(vecCol), col("sig"),
+    val exploded = df
+      .select(col(idCol),
+        hyperplaneSignature(col(vecCol), dim, nBits).as("sig"))
+      .select(col(idCol), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("band"), expr(s"(sig >> (band * $rows)) & $mask").as("bucket"),
-        struct(col(idCol).as("id"), col(vecCol).as("vec")).as("m"))
-    // one shuffle: bucket members collected, pairs generated in-place
-    // (no self-join → the signature pipeline isn't duplicated)
+        col(idCol))
+    // one id-only shuffle: bucket members collected, pairs generated
+    // in-place (no self-join → the signature pipeline isn't duplicated)
     val buckets = exploded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("m")).as("ms"))
-      .filter(size(col("ms")).between(2, maxBucketSize))
-    val ms = array_sort(col("ms"))
-    val pairs = flatten(transform(ms, (x, i) =>
-      transform(slice(ms, i + 2, size(ms)), y =>
-        struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-          cosine(x.getField("vec"), y.getField("vec")).as("cosine")))))
-    buckets.select(explode(pairs).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.cosine"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    val ids = array_sort(col("ids")) // deterministic id_a < id_b
+    val pairExpr = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)), y =>
+        struct(x.as("id_a"), y.as("id_b")))))
+    // dedup across bands BEFORE scoring; persisted for its three
+    // consumers (id semi-join + both vector joins)
+    val cands = buckets.select(explode(pairExpr).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    val vecs = df
+      .join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val va = vecs.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val vb = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    cands.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
