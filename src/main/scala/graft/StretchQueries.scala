@@ -58,6 +58,30 @@ object StretchQueries {
               " / +1 555 123 4567 at 10.0.0.1 build 999.1.2.3")))
           .as("clean_text"))),
 
+    // vocabulary building: top-100 tokens by corpus frequency — the
+    // standard first pass of tokenizer/vocab training. Explode happens
+    // scan-side; the aggregation is partial+final so the shuffle
+    // carries (token, partial_count), never raw token streams. The
+    // (n desc, token asc) order is total → LIMIT is deterministic.
+    "q_t_vocab" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(100)),
+
+    // document frequency (the DF of TF-IDF): how many docs contain
+    // each token at least once. array_distinct BEFORE the explode so
+    // a token counts once per doc, and the exploded row count is
+    // bounded by distinct-tokens-per-doc, not token occurrences.
+    "q_t_docfreq" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(array_distinct(
+          TextFunctions.tokens(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_docs"))),
+
     "q_t_chunks" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
@@ -207,6 +231,16 @@ object StretchQueries {
         raw"'(\+?1[-. ])?(\([0-9]{3}\)|\b[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'), " +
         raw"'\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b', '<IP>', 'g') " +
         "AS clean_text FROM documents"),
+
+    "q_t_vocab" ->
+      (s"SELECT u.token AS token, count(*) AS n FROM (SELECT unnest($tokensSql) " +
+        "AS token FROM documents) u GROUP BY 1 " +
+        "ORDER BY n DESC, token ASC LIMIT 100"),
+
+    "q_t_docfreq" ->
+      (s"SELECT u.token AS token, count(*) AS n_docs FROM " +
+        s"(SELECT unnest(list_distinct($tokensSql)) AS token FROM documents) u " +
+        "GROUP BY 1"),
 
     "q_t_chunks" ->
       (s"WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents) " +
