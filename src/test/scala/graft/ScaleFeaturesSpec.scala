@@ -62,6 +62,40 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(files("2024-01-03") == before0103)
   }
 
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    // when the dim side is too big to broadcast but carries a selective
+    // filter, Catalyst injects a bloom filter built from the dim keys
+    // into the fact scan — at 100 TB this drops most fact rows BEFORE
+    // the shuffle instead of after the join. Pin that the engine's
+    // session shape actually triggers the injection.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val fact = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_partkey", "l_quantity")
+      val dim = spark.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_size") === 1) // selective: bloom creation side
+        .select("p_partkey", "p_name")
+      val joined = fact.join(dim, fact("l_partkey") === dim("p_partkey"))
+      val plan = joined.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n$plan")
+      // and it computes the same rows as the un-filtered plan
+      assert(joined.count() ==
+        fact.join(dim.hint("broadcast"), fact("l_partkey") === dim("p_partkey")).count())
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("mergePartitioned aligns source columns case-insensitively, null-fills gaps") {
     val path = tmpDir("pmerge") + "/align"
     val initial = Seq((1L, "2024-01-01", 10.0, "a"), (2L, "2024-01-02", 20.0, "b"))
