@@ -5,14 +5,25 @@ import org.apache.spark.sql.SparkSession
 /** Driver benchmark: one JSON line with per-query wall seconds over
   * SparkEntry.queries at SPARK_GRAFT_SF_DIR.
   *
-  * A warm-up action runs first so the first measured query doesn't
-  * absorb JVM/session/codegen startup (~3-4s measured), and queries
-  * run in sorted name order for run-to-run comparability.
+  * Reproducibility (round-3 finding: a recorded run drifted 50% from a
+  * re-run under identical config):
+  *  - a warm-up action runs first so the first measured query doesn't
+  *    absorb JVM/session/codegen startup (~3-4s measured);
+  *  - every query runs SPARK_GRAFT_BENCH_REPS times (default 3)
+  *    back-to-back and reports the MEDIAN; the per-query minima ship
+  *    in "queries_min" so a noise spike is visible as median-vs-min
+  *    spread rather than silently inflating the total;
+  *  - `spark.catalog.clearCache()` before every repetition, so no
+  *    query's timing depends on cache blocks an earlier query left
+  *    behind (the engine's operators now unpersist after themselves —
+  *    CacheHygieneSpec — but the bench must not TRUST that);
+  *  - queries run in sorted name order for run-to-run comparability.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,27 +41,37 @@ object Bench {
     // a failing query is recorded in "errors" and contributes NO wall
     // time — a broken query must never quietly look fast
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
-        }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val runs = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+          }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val err = runs.flatMap(_._2).headOption
+      val times = runs.collect { case (t, None) => t }.sorted
+      val median = if (times.isEmpty) 0.0 else times(times.size / 2)
+      val min = if (times.isEmpty) 0.0 else times.head
+      (name, median, min, err)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + v }
+    val ok = results.filter(_._4.isEmpty)
+    val qs = ok.map { case (k, med, _, _) => jstr(k) + ":" + med }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    val mins = ok.map { case (k, _, mn, _) => jstr(k) + ":" + mn }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.count(_._3.nonEmpty)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"reps":$reps,"errors":$errs,"failed":${results.count(_._4.nonEmpty)},"sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(_._3.nonEmpty)) sys.exit(1)
+    if (results.exists(_._4.nonEmpty)) sys.exit(1)
   }
 }

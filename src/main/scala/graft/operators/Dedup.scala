@@ -173,6 +173,48 @@ object Dedup {
       .distinct()
   }
 
+  /** What a `maxBucketSize` cap would silently skip. `buckets` counts
+    * multi-member buckets (the ones that generate pairs),
+    * `droppedBuckets`/`droppedPairs` the ones past the cap and the
+    * m·(m−1)/2 pairs they would have produced. Production dedup must
+    * report this: silent truncation reads as full coverage. One extra
+    * bucket-size aggregation (counts only — no member lists), one
+    * single-row driver round-trip.
+    */
+  final case class LshStats(buckets: Long, droppedBuckets: Long,
+                            droppedPairs: Long)
+
+  /** Dropped-bucket accounting for [[minhashCandidates]] under the
+    * same banding parameters.
+    */
+  def minhashCandidateStats(df: DataFrame, textCol: String, idCol: String,
+                            k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                            maxBucketSize: Int = 1000): LshStats = {
+    val rows = numHashes / bands
+    val sizes = minhashSignatures(df, textCol, idCol, k, numHashes)
+      .select(explode(lshBuckets(col("sig"), bands, rows)).as("bb"))
+      .groupBy(col("bb.band"), col("bb.bucket"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") >= 2)
+    bucketStats(sizes, maxBucketSize)
+  }
+
+  /** Shared tail of the two LSH stats paths: (…, m) bucket sizes →
+    * totals. Exact long arithmetic (`div 2` on an even product), no
+    * doubles.
+    */
+  private[operators] def bucketStats(sizes: DataFrame,
+                                     maxBucketSize: Int): LshStats = {
+    val r = sizes.agg(
+      count(lit(1)).as("buckets"),
+      sum(when(col("m") > maxBucketSize, 1L).otherwise(0L)).as("dropped"),
+      sum(when(col("m") > maxBucketSize,
+        expr("m * (m - 1) div 2")).otherwise(0L)).as("dropped_pairs"))
+      .collect()(0)
+    def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    LshStats(l(0), l(1), l(2))
+  }
+
   /** Jaccard from two *materialized* distinct-shingle-set columns. */
   def jaccardFromSets(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
@@ -198,13 +240,37 @@ object Dedup {
     * The join back to text touches only candidate ids — at scale this
     * is two broadcast-able joins against a pair list that is orders of
     * magnitude smaller than the corpus.
+    *
+    * The result is materialized through a scratch parquet before
+    * return (see [[Materialize]]): the operator persists two
+    * multi-consumer intermediates for the duration of the computation
+    * and unpersists BOTH before returning, so repeated invocations in
+    * a long-lived session leave no cached blocks behind
+    * (CacheHygieneSpec pins `getPersistentRDDs.isEmpty`). Callers who
+    * want to stay lazy use [[withNearDupPairs]] directly.
     */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
-                   threshold: Double, k: Int = 3): DataFrame = {
+                   threshold: Double, k: Int = 3): DataFrame =
+    withNearDupPairs(df, textCol, idCol, threshold, k)(
+      Materialize.viaScratch(_, "graft-neardup"))
+
+  /** Bracket form of [[nearDupPairs]]: builds the verified-pair plan
+    * with its intermediates persisted, passes it to `f` (which must
+    * run whatever actions it needs), and unpersists in try/finally.
+    *
+    * Why the persists exist: the candidate pair list feeds two
+    * consumers (the id semi-join and the final verification join) and
+    * the candidate shingle sets feed both sides of that join —
+    * without caching, the LSH band shuffle would run three times and
+    * the shingle kernel twice. `Dataset.persist` registers the plan
+    * in the session's CacheManager, which holds it until an explicit
+    * `unpersist()` — so the bracket, not GC, is what guarantees a
+    * long-lived session doesn't accumulate dead cache entries.
+    */
+  def withNearDupPairs[T](df: DataFrame, textCol: String, idCol: String,
+                          threshold: Double, k: Int = 3)
+                         (f: DataFrame => T): T = {
     import graft.functions.NativeExpressions.{shingleHashSet, sortedJaccard}
-    // candidates feed three consumers (the id semi-join and both
-    // verification joins) — persist so LSH runs once; Spark's
-    // ContextCleaner reclaims the blocks when the plan is dropped
     val cands = minhashCandidates(df, textCol, idCol, k,
       includeEstimate = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -212,10 +278,11 @@ object Dedup {
     // corpus down to candidate ids BEFORE computing shingle sets. At
     // corpus scale candidates are a small fraction of rows — without
     // this the shingle kernel re-processes the ENTIRE corpus on both
-    // join sides just to verify a handful of pairs.
+    // join sides just to verify a handful of pairs. No distinct: a
+    // left-semi probe side needs no dedup, so the explode feeds the
+    // join directly (one shuffle fewer).
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
-      .distinct()
     // verify on sorted shingle-hash sets: 8 bytes/shingle through the
     // join instead of shingle text, Jaccard as a linear merge walk
     // (hash collisions mod 1e9+7 shift Jaccard by < 1e-4 — the same
@@ -223,19 +290,23 @@ object Dedup {
     // no broadcast hint: AQE broadcasts the id list when it is small
     // (the usual case) and falls back to a shuffled semi-join when a
     // pathological corpus yields candidate lists past the threshold.
-    // Persisted because both verification joins consume it — without
-    // the cache the semi-join + kernel subtree would execute twice.
     val sets = df
       .join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingleHashSet(col(textCol), k).as("shingle_set"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sa = sets.select(col(idCol).as("id_a"), col("shingle_set").as("set_a"))
-    val sb = sets.select(col(idCol).as("id_b"), col("shingle_set").as("set_b"))
-    cands.join(sa, "id_a").join(sb, "id_b")
-      .select(col("id_a"), col("id_b"),
-        sortedJaccard(col("set_a"), col("set_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    try {
+      val sa = sets.select(col(idCol).as("id_a"), col("shingle_set").as("set_a"))
+      val sb = sets.select(col(idCol).as("id_b"), col("shingle_set").as("set_b"))
+      f(cands.join(sa, "id_a").join(sb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          sortedJaccard(col("set_a"), col("set_b")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard")))
+    } finally {
+      sets.unpersist(blocking = false)
+      cands.unpersist(blocking = false)
+    }
   }
 
   // ── SimHash ─────────────────────────────────────────────────────────

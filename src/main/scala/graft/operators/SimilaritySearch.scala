@@ -82,45 +82,91 @@ object SimilaritySearch {
                          nBits: Int = 16, bands: Int = 4,
                          maxBucketSize: Int = 1000,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
-    val rows = nBits / bands
-    val mask = (1L << rows) - 1
-    val exploded = df
-      .select(col(idCol),
-        hyperplaneSignature(col(vecCol), dim, nBits).as("sig"))
-      .select(col(idCol), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("band"), expr(s"(sig >> (band * $rows)) & $mask").as("bucket"),
-        col(idCol))
+                         vecCol: String = "embedding"): DataFrame =
+    withCosineNearDupPairs(df, threshold, dim, nBits, bands, maxBucketSize,
+      idCol, vecCol)(Materialize.viaScratch(_, "graft-vecdup"))
+
+  /** Bracket form of [[cosineNearDupPairs]]: the candidate pair list
+    * and the candidate vectors each feed two consumers, so both stay
+    * persisted while `f` runs its actions and are unpersisted in
+    * try/finally — the operator leaves no CacheManager entries behind
+    * in a long-lived session (CacheHygieneSpec pins
+    * `getPersistentRDDs.isEmpty`; the materializing default wrapper is
+    * what the driver gate calls).
+    */
+  def withCosineNearDupPairs[T](df: DataFrame, threshold: Double, dim: Int,
+                                nBits: Int = 16, bands: Int = 4,
+                                maxBucketSize: Int = 1000,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding")
+                               (f: DataFrame => T): T = {
     // one id-only shuffle: bucket members collected, pairs generated
     // in-place (no self-join → the signature pipeline isn't duplicated)
-    val buckets = exploded.groupBy(col("band"), col("bucket"))
+    val buckets = hyperplaneBuckets(df, dim, nBits, bands, idCol, vecCol)
+      .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")).between(2, maxBucketSize))
     val ids = array_sort(col("ids")) // deterministic id_a < id_b
     val pairExpr = flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)), y =>
         struct(x.as("id_a"), y.as("id_b")))))
-    // dedup across bands BEFORE scoring; persisted for its three
-    // consumers (id semi-join + both vector joins)
+    // dedup across bands BEFORE scoring; persisted for its two
+    // consumers (id semi-join + the final scoring join)
     val cands = buckets.select(explode(pairExpr).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // no distinct: a left-semi probe side needs no dedup
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
-      .distinct()
     val vecs = df
       .join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val va = vecs.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val vb = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    cands.join(va, "id_a").join(vb, "id_b")
-      .select(col("id_a"), col("id_b"),
-        cosine(col("vec_a"), col("vec_b")).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    try {
+      val va = vecs.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+      val vb = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+      f(cands.join(va, "id_a").join(vb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          cosine(col("vec_a"), col("vec_b")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 6).as("cosine")))
+    } finally {
+      vecs.unpersist(blocking = false)
+      cands.unpersist(blocking = false)
+    }
+  }
+
+  /** (band, bucket, id) triples for the hyperplane-signature banding —
+    * shared by candidate generation and the dropped-bucket stats so
+    * the two can never disagree on the blocking scheme.
+    */
+  private def hyperplaneBuckets(df: DataFrame, dim: Int, nBits: Int,
+                                bands: Int, idCol: String,
+                                vecCol: String): DataFrame = {
+    val rows = nBits / bands
+    val mask = (1L << rows) - 1
+    df.select(col(idCol),
+        hyperplaneSignature(col(vecCol), dim, nBits).as("sig"))
+      .select(col(idCol), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("band"), expr(s"(sig >> (band * $rows)) & $mask").as("bucket"),
+        col(idCol))
+  }
+
+  /** Dropped-bucket accounting for [[cosineNearDupPairs]] under the
+    * same banding parameters (see [[Dedup.LshStats]]).
+    */
+  def cosineNearDupStats(df: DataFrame, dim: Int, nBits: Int = 16,
+                         bands: Int = 4, maxBucketSize: Int = 1000,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Dedup.LshStats = {
+    val sizes = hyperplaneBuckets(df, dim, nBits, bands, idCol, vecCol)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") >= 2)
+    Dedup.bucketStats(sizes, maxBucketSize)
   }
 
   /** Exact all-pairs near-dup (the oracle-checkable reference path;

@@ -68,4 +68,36 @@ class DedupSpec extends SparkSpec {
       maxBucketSize = 10)
     assert(capped.count() == 0) // bucket of 50 > cap → dropped, no pair storm
   }
+
+  test("minhashCandidateStats accounts for what the skew cap skipped") {
+    val many = (1L to 50L).map(i => (i, "identical text shared by every row here"))
+      .toDF("doc_id", "text")
+    // identical docs → identical signatures → one bucket of 50 per band
+    val s = Dedup.minhashCandidateStats(many, "text", "doc_id",
+      maxBucketSize = 10)
+    assert(s.buckets == 8)
+    assert(s.droppedBuckets == 8)
+    assert(s.droppedPairs == 8L * (50L * 49L / 2))
+    // same corpus under the default cap: nothing dropped
+    val s2 = Dedup.minhashCandidateStats(many, "text", "doc_id")
+    assert(s2.droppedBuckets == 0 && s2.droppedPairs == 0)
+  }
+
+  test("gate corpus is clean under the gate cap (no silent truncation)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.union(docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" planted near duplicate")).as("text")))
+    val s = Dedup.minhashCandidateStats(planted, "text", "doc_id")
+    assert(s.droppedBuckets == 0 && s.droppedPairs == 0,
+      s"q_d_minhash_lsh silently drops pairs: $s")
+  }
+
+  test("nearDupPairs leaves no persisted blocks in the session") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.nearDupPairs(corpus, "text", "doc_id", threshold = 0.5).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
+  }
 }

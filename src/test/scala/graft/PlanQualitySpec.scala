@@ -71,10 +71,30 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("q_v_neardup: bucketed LSH plan — no nested-loop or cartesian pair join") {
-    val p = plan("q_v_neardup")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"neardup gate regressed to all-pairs:\n$p")
+  test("near-dup bracket plans: bucketed LSH — no nested-loop or cartesian " +
+    "pair join (the gate queries materialize, so assert the inner plan)") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val plantedVecs = emb.union(emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    graft.operators.SimilaritySearch.withCosineNearDupPairs(
+      plantedVecs, 0.8, dim = 64, nBits = 32, bands = 4) { pairs =>
+      val p = pairs.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"neardup gate regressed to all-pairs:\n$p")
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val plantedDocs = docs.union(docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" planted near duplicate")).as("text")))
+    graft.operators.Dedup.withNearDupPairs(
+      plantedDocs, "text", "doc_id", threshold = 0.3) { pairs =>
+      val p = pairs.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"minhash near-dup regressed to all-pairs:\n$p")
+    }
   }
 
   test("q3/q5/q10: selective dims broadcast; aggregation is partial+final") {

@@ -20,9 +20,18 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
 
-  test("all queries run on sf0.001 and return the expected row counts") {
+  test("all queries run on sf0.001 and return the expected row counts, " +
+    "and none leaves persisted blocks behind (cache hygiene)") {
+    // baseline: tolerate blocks another suite of the shared session may
+    // have legitimately pinned before this test ran
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
     val counts = SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, dir).count()
+      val c = fn(spark, dir).count()
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+      assert(leaked.isEmpty,
+        s"$name left ${leaked.size} persisted RDD(s) in the session " +
+          "(operators must unpersist their intermediates — VERDICT r3 §wrong-1)")
+      name -> c
     }
     assert(counts("q_p9_schema_only") == 0)
     counts.removed("q_p9_schema_only").foreach { case (n, c) =>

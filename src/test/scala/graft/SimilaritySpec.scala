@@ -62,4 +62,33 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.nonEmpty)
     assert(lsh == exact) // identical vectors share every bucket → full recall
   }
+
+  test("cosineNearDupStats accounts for skew-cap drops; gate corpus clean") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // 50 identical vectors → one bucket of 50 in each of the 4 bands
+    val one = emb.filter(col("vec_id") === 0).select(col("embedding")).head
+      .getSeq[Float](0)
+    val skew = (1L to 50L).map(i => (i, one)).toDF("vec_id", "embedding")
+    val s = SimilaritySearch.cosineNearDupStats(skew, dim = 64,
+      maxBucketSize = 10)
+    assert(s.droppedBuckets == 4)
+    assert(s.droppedPairs == 4L * (50L * 49L / 2))
+    // the q_v_neardup gate corpus under the gate parameters: clean
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .union(emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding")))
+    val g = SimilaritySearch.cosineNearDupStats(planted, dim = 64,
+      nBits = 32, bands = 4)
+    assert(g.droppedBuckets == 0 && g.droppedPairs == 0,
+      s"q_v_neardup silently drops pairs: $g")
+  }
+
+  test("cosineNearDupPairs leaves no persisted blocks in the session") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 50)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    SimilaritySearch.cosineNearDupPairs(emb, 0.999, dim = 64).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
+  }
 }
