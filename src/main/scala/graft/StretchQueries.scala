@@ -141,6 +141,18 @@ object StretchQueries {
         k = 5, nprobe = 4)
     }),
 
+    // the persisted-index path: write centroids + cluster-partitioned
+    // corpus to scratch, reload, search full-probe → shares the
+    // brute-force oracle (partition pruning is pinned in IvfSpec)
+    "q_v_topk_ivf_idx" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = Ivf.train(emb, k = 4, iters = 2)
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_q"
+      Ivf.writeIndex(emb, model, scratch)
+      Ivf.searchIndex(s, scratch, emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 4)
+    }),
+
     // LSH/ANN scale path — recall-checked against brute force in tests
     "q_v_topk_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -190,7 +202,9 @@ object StretchQueries {
       s"ELSE list_transform(range(1, len($v) - 1), i -> array_to_string($v[i:i+2], ' ')) END"
 
   def oracleSql: Map[String, String] =
-    oracleSqlMap + ("q_v_topk_ivf" -> oracleSqlMap("q_v_topk"))
+    oracleSqlMap +
+      ("q_v_topk_ivf" -> oracleSqlMap("q_v_topk")) +
+      ("q_v_topk_ivf_idx" -> oracleSqlMap("q_v_topk"))
 
   private lazy val oracleSqlMap: Map[String, String] = Map(
     "q_t_token_count" ->

@@ -147,7 +147,17 @@ object Upsert {
       .map(_.get(0))
     val target = spark.read.parquet(targetPath)
     val srcAligned = alignByName(source, target)
-    val affected = target.filter(col(partitionCol).isin(parts: _*))
+    // isin() never matches null, so a null-keyed source partition needs
+    // an explicit isNull arm — without it the target's existing
+    // null-partition rows would be excluded from `affected`, yet the
+    // commit rename would still replace their directory
+    // (__HIVE_DEFAULT_PARTITION__), silently dropping them
+    val nonNullParts = parts.filter(_ != null)
+    val partFilter0 = col(partitionCol).isin(nonNullParts.toIndexedSeq: _*)
+    val partFilter =
+      if (parts.contains(null)) partFilter0 || col(partitionCol).isNull
+      else partFilter0
+    val affected = target.filter(partFilter)
     val cond = keys.map(k => affected(k) <=> srcAligned(k)).reduce(_ && _)
     val kept = affected.join(srcAligned, cond, "left_anti")
     // preserve matched-row multiplicity (see merge())
@@ -160,20 +170,53 @@ object Upsert {
     // single staged write (merged reads from targetPath, so it cannot be
     // written in place): the tmp output IS partitioned, and each affected
     // partition directory is swapped into the target by rename — affected
-    // data is written exactly once, untouched partitions are never opened
+    // data is written exactly once, untouched partitions are never opened.
+    //
+    // Two-phase commit so a crash or failed rename mid-swap cannot strand
+    // the table half-updated with the old data gone: phase 1 renames every
+    // affected target partition into a backup dir OUTSIDE the table root
+    // (never deleted until all swaps succeed — and outside so a leftover
+    // backup can't be misparsed as a partition value by a later read);
+    // phase 2 renames the tmp partitions in; any failure rolls back by
+    // deleting the partially-renamed new dirs and restoring the backups.
     val tmp = new Path(targetPath + "__delta_tmp")
+    val backup = new Path(targetPath + "__backup")
     fs.delete(tmp, true)
+    fs.delete(backup, true)
     merged.write.partitionBy(partitionCol).parquet(tmp.toString)
-    fs.listStatus(tmp)
+    val partDirs = fs.listStatus(tmp)
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(partitionCol + "="))
-      .foreach { st =>
+    val stagedOut = scala.collection.mutable.ListBuffer.empty[(Path, Path)]
+    val renamedIn = scala.collection.mutable.ListBuffer.empty[Path]
+    try {
+      fs.mkdirs(backup)
+      partDirs.foreach { st => // phase 1: stage affected originals aside
         val dst = new Path(p, st.getPath.getName)
-        fs.delete(dst, true)
+        if (fs.exists(dst)) {
+          val bak = new Path(backup, st.getPath.getName)
+          if (!fs.rename(dst, bak))
+            throw new java.io.IOException(
+              s"mergePartitioned: cannot stage out $dst")
+          stagedOut += ((dst, bak))
+        }
+      }
+      partDirs.foreach { st => // phase 2: swap the new partitions in
+        val dst = new Path(p, st.getPath.getName)
         if (!fs.rename(st.getPath, dst))
           throw new java.io.IOException(
             s"mergePartitioned: cannot commit ${st.getPath} -> $dst")
+        renamedIn += dst
       }
+    } catch {
+      case e: Throwable =>
+        renamedIn.foreach(dst => fs.delete(dst, true))
+        stagedOut.foreach { case (dst, bak) => fs.rename(bak, dst) }
+        fs.delete(tmp, true)
+        fs.delete(backup, true)
+        throw e
+    }
+    fs.delete(backup, true)
     fs.delete(tmp, true)
   }
 

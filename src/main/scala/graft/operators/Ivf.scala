@@ -81,6 +81,12 @@ object Ivf {
                  vecCol: String = "embedding"): DataFrame = {
     val c = assign(corpus, model, vecCol)
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cluster"))
+    scoreAndRank(c, queries, model, k, nprobe, idCol, vecCol)
+  }
+
+  private def scoreAndRank(c: DataFrame, queries: DataFrame, model: IvfModel,
+                           k: Int, nprobe: Int, idCol: String,
+                           vecCol: String): DataFrame = {
     val q = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         explode(nearestCentroids(col(vecCol), model.centroids, nprobe))
@@ -94,6 +100,62 @@ object Ivf {
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
         cosine(col("q_vec"), col("n_vec")).as("cosine"))
-    TopK.topKPerKey(scored, k)(corpus.sparkSession)
+    TopK.topKPerKey(scored, k)(c.sparkSession)
+  }
+
+  // ── Index persistence ─────────────────────────────────────────────────
+  // The on-disk form the module scaladoc promises: centroids as a tiny
+  // parquet, the assigned corpus hive-partitioned by `cluster` so a
+  // search's nprobe probe list becomes a partition-pruning IN filter at
+  // the scan — a 100 TB corpus search reads only nprobe/k of its files.
+
+  /** Persist the centroid matrix (k×dim — a few KB) under `path`. */
+  def saveModel(spark: SparkSession, model: IvfModel, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: SparkSession, path: String): IvfModel =
+    IvfModel(spark.read.parquet(path)
+      .orderBy(col("cluster"))
+      .select(col("centroid"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray))
+
+  /** Build the full on-disk index: `<path>/centroids` + the assigned
+    * corpus at `<path>/corpus` partitioned by `cluster` (one posting
+    * list per partition directory).
+    */
+  def writeIndex(df: DataFrame, model: IvfModel, path: String,
+                 vecCol: String = "embedding"): Unit = {
+    saveModel(df.sparkSession, model, s"$path/centroids")
+    assign(df, model, vecCol)
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/corpus")
+  }
+
+  /** ANN top-k against a reloaded on-disk index. The queries' probe
+    * set (≤ nprobe·|queries| cluster ids — queries are small by
+    * contract, so this is a bounded driver round-trip like the
+    * centroid matrix itself) becomes an `isin` filter on the partition
+    * column: Spark prunes unprobed partition directories at planning
+    * time and the scan never opens their files.
+    */
+  def searchIndex(spark: SparkSession, indexPath: String,
+                  queries: DataFrame, k: Int, nprobe: Int = 2,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val model = loadModel(spark, s"$indexPath/centroids")
+    val probed = queries
+      .select(explode(
+        nearestCentroids(col(vecCol), model.centroids, nprobe)).as("cluster"))
+      .distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(s"$indexPath/corpus")
+      .filter(col("cluster").isin(probed.toIndexedSeq: _*))
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cluster"))
+    scoreAndRank(c, queries, model, k, nprobe, idCol, vecCol)
   }
 }

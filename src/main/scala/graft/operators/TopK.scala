@@ -22,22 +22,73 @@ object TopK {
 
   type Pair = (Double, Long) // (score, id)
 
+  /** Bounded binary min-heap ordered worst-first: the k-th best pair
+    * sits at the root, so rejecting a row is one comparison and
+    * accepting one is O(log k) — the previous sorted-`List` buffer
+    * re-sorted on every accepted row (O(k log k) per row, noticeable
+    * from k≈100). Mutable by design: Spark keeps the buffer object
+    * live between `reduce` calls and kryo-serializes it only across
+    * partition boundaries.
+    */
+  final case class TopKBuf(scores: Array[Double], ids: Array[Long],
+                           var n: Int) {
+    // a is strictly worse than b: lower score, tie-break larger id
+    private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+      sa < sb || (sa == sb && ia > ib)
+
+    private def swap(i: Int, j: Int): Unit = {
+      val s = scores(i); scores(i) = scores(j); scores(j) = s
+      val d = ids(i); ids(i) = ids(j); ids(j) = d
+    }
+
+    private def siftUp(start: Int): Unit = {
+      var i = start
+      while (i > 0 && worse(scores(i), ids(i), scores((i - 1) / 2), ids((i - 1) / 2))) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    }
+
+    private def siftDown(): Unit = {
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1
+        var w = i // index of the worst of (i, l, r)
+        if (l < n && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+        if (r < n && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+        if (w == i) done = true else { swap(i, w); i = w }
+      }
+    }
+
+    def insert(score: Double, id: Long): Unit = {
+      val k = scores.length
+      if (n < k) {
+        scores(n) = score; ids(n) = id; n += 1; siftUp(n - 1)
+      } else if (k > 0 && worse(scores(0), ids(0), score, id)) {
+        scores(0) = score; ids(0) = id; siftDown()
+      }
+    }
+
+    /** Best-first (score desc, id asc) — the output order. */
+    def sortedPairs: Seq[Pair] =
+      (0 until n).map(i => (scores(i), ids(i)))
+        .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+  }
+
   /** IN = (key, id, score); key grouping happens outside. */
   final class TopKAggregator(k: Int)
-      extends Aggregator[(Long, Long, Double), List[Pair], Seq[Pair]] {
-    private def lt(a: Pair, b: Pair): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-    override def zero: List[Pair] = Nil
-    override def reduce(buf: List[Pair], r: (Long, Long, Double)): List[Pair] = {
-      val p = (r._3, r._2)
-      if (buf.length >= k && lt(buf.last, p)) buf
-      else ((p :: buf).sortWith(lt)).take(k)
+      extends Aggregator[(Long, Long, Double), TopKBuf, Seq[Pair]] {
+    override def zero: TopKBuf = TopKBuf(new Array[Double](k), new Array[Long](k), 0)
+    override def reduce(buf: TopKBuf, r: (Long, Long, Double)): TopKBuf = {
+      buf.insert(r._3, r._2); buf
     }
-    override def merge(a: List[Pair], b: List[Pair]): List[Pair] =
-      (a ++ b).sortWith(lt).take(k)
-    override def finish(buf: List[Pair]): Seq[Pair] = buf.sortWith(lt)
-    override def bufferEncoder: Encoder[List[Pair]] =
-      Encoders.kryo[List[Pair]]
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      var i = 0
+      while (i < b.n) { a.insert(b.scores(i), b.ids(i)); i += 1 }
+      a
+    }
+    override def finish(buf: TopKBuf): Seq[Pair] = buf.sortedPairs
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.kryo[TopKBuf]
     override def outputEncoder: Encoder[Seq[Pair]] = Encoders.kryo[Seq[Pair]]
   }
 

@@ -70,6 +70,34 @@ object EventStream {
                               total_value: Double, span_ms: Long,
                               closed: Boolean)
 
+  /** Shared per-group state transition for both sessionize variants:
+    * fold the batch's events into the running session, emit the
+    * (still-open) summary, and let the caller arm its flavor of
+    * timeout on the updated state.
+    */
+  private def sessionStep(uid: Long, it: Iterator[Event],
+                          state: GroupState[SessionState],
+                          armTimeout: SessionState => Unit): SessionOut =
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      SessionOut(uid, s.n, s.total, s.last - s.first, closed = true)
+    } else {
+      val evs = it.toSeq
+      val prev = state.getOption.getOrElse(
+        SessionState(0L, 0.0, Long.MaxValue, Long.MinValue))
+      val ts = evs.map(_.ts.getTime)
+      val next = SessionState(
+        prev.n + evs.size,
+        prev.total + evs.map(_.value).sum,
+        math.min(prev.first, if (ts.isEmpty) prev.first else ts.min),
+        math.max(prev.last, if (ts.isEmpty) prev.last else ts.max))
+      state.update(next)
+      armTimeout(next)
+      SessionOut(uid, next.n, next.total,
+        next.last - next.first, closed = false)
+    }
+
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
                 (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
@@ -78,25 +106,33 @@ object EventStream {
       .mapGroupsWithState[SessionState, SessionOut](
         GroupStateTimeout.ProcessingTimeTimeout) {
         case (uid, it, state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            SessionOut(uid, s.n, s.total, s.last - s.first, closed = true)
-          } else {
-            val evs = it.toSeq
-            val prev = state.getOption.getOrElse(
-              SessionState(0L, 0.0, Long.MaxValue, Long.MinValue))
-            val ts = evs.map(_.ts.getTime)
-            val next = SessionState(
-              prev.n + evs.size,
-              prev.total + evs.map(_.value).sum,
-              math.min(prev.first, if (ts.isEmpty) prev.first else ts.min),
-              math.max(prev.last, if (ts.isEmpty) prev.last else ts.max))
-            state.update(next)
-            state.setTimeoutDuration(gapMs)
-            SessionOut(uid, next.n, next.total,
-              next.last - next.first, closed = false)
-          }
+          sessionStep(uid, it, state,
+            _ => state.setTimeoutDuration(gapMs))
+      }
+  }
+
+  /** Event-time variant of [[sessionize]]: a session closes when the
+    * WATERMARK — not wall-clock — passes last-event-time + gap, so a
+    * replay of the same events produces the same closed sessions no
+    * matter how fast the stream is reprocessed. This is the
+    * replayable-correct production form; the processing-time variant
+    * stays for feeds without meaningful event time. In batch
+    * execution timeouts never fire (all data arrives at once), so the
+    * same code yields the open-session summary the oracle checks.
+    */
+  def sessionizeEventTime(events: Dataset[Event],
+                          gapMs: Long = 30 * 60 * 1000L,
+                          watermarkDelay: String = "10 minutes")
+                         (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](
+        GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          sessionStep(uid, it, state,
+            next => state.setTimeoutTimestamp(next.last + gapMs))
       }
   }
 

@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Profile {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("topk-micro")) { topkMicro(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -33,5 +34,32 @@ object Profile {
       println(f"$name: ${times.map(t => f"$t%.2f").mkString(" ")} s")
     }
     spark.stop()
+  }
+
+  /** Pure-JVM micro-benchmark: heap TopKBuf vs the former sorted-List
+    * reduce, 1M rows, k=100 (no Spark).
+    */
+  private def topkMicro(): Unit = {
+    val rnd = new scala.util.Random(3)
+    val rows = Array.fill(1000000)((rnd.nextDouble(), rnd.nextLong()))
+    val k = 100
+    def lt(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    for (_ <- 1 to 3) {
+      var t0 = System.nanoTime()
+      val buf = graft.operators.TopK.TopKBuf(
+        new Array[Double](k), new Array[Long](k), 0)
+      rows.foreach { case (s, id) => buf.insert(s, id) }
+      val heapS = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      var list = List.empty[(Double, Long)]
+      rows.foreach { p =>
+        if (!(list.length >= k && lt(list.last, p)))
+          list = ((p :: list).sortWith(lt)).take(k)
+      }
+      val listS = (System.nanoTime() - t0) / 1e9
+      assert(buf.sortedPairs == list)
+      println(f"k=$k 1M rows: heap $heapS%.3f s, sorted-list $listS%.3f s")
+    }
   }
 }

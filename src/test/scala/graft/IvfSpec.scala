@@ -47,6 +47,53 @@ class IvfSpec extends SparkSpec {
     assert(ivf.size <= exact.size)
   }
 
+  test("model save/load round-trips the centroid matrix exactly") {
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val path = tmpDir("graft-ivf-model")
+    Ivf.saveModel(spark, m, path)
+    val loaded = Ivf.loadModel(spark, path)
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      m.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("searchIndex on a reloaded on-disk index equals the in-memory search") {
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val path = tmpDir("graft-ivf-index")
+    Ivf.writeIndex(emb, m, path)
+    val q = emb.filter(col("vec_id") < 8)
+    for (nprobe <- Seq(1, 2, 4)) {
+      val mem = Ivf.searchTopK(emb, q, m, k = 5, nprobe = nprobe)
+        .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+      val disk = Ivf.searchIndex(spark, path, q, k = 5, nprobe = nprobe)
+        .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+      assert(disk == mem, s"nprobe=$nprobe diverged")
+    }
+  }
+
+  test("searchIndex prunes unprobed cluster partitions at the scan") {
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val path = tmpDir("graft-ivf-prune")
+    Ivf.writeIndex(emb, m, path)
+    val q = emb.filter(col("vec_id") === 0)
+    val probed = q
+      .select(explode(graft.functions.NativeExpressions
+        .nearestCentroids(col("embedding"), m.centroids, 1)).as("cluster"))
+      .distinct().as[Int].collect().toSet
+    assert(probed.size == 1)
+    // the pruned scan the search plans: partition filter present, and the
+    // files it reads all come from the probed cluster's directory
+    val pruned = spark.read.parquet(s"$path/corpus")
+      .filter(col("cluster").isin(probed.toSeq: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"no partition filter in:\n$plan")
+    val scannedFiles = pruned.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(scannedFiles.nonEmpty)
+    assert(scannedFiles.forall(f => probed.exists(c => f.contains(s"cluster=$c"))),
+      s"scan touched unprobed partitions: ${scannedFiles.mkString(", ")}")
+  }
+
   test("planted clusters: nprobe=1 achieves near-perfect recall") {
     // 3 tight clusters around orthogonal-ish anchors
     val rnd = new scala.util.Random(7)

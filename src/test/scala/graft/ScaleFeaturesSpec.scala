@@ -60,6 +60,29 @@ class ScaleFeaturesSpec extends SparkSpec {
       (9L, "2024-01-01", 9.0)))
     // untouched partition files identical (not rewritten)
     assert(files("2024-01-03") == before0103)
+    // scratch dirs (tmp write + stage-aside backup) fully cleaned up
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__delta_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__backup")))
+  }
+
+  test("mergePartitioned: null partition values don't drop existing rows") {
+    val path = tmpDir("pmerge-null") + "/t"
+    // target: two rows in the null partition, one in a real partition
+    val initial = Seq(
+      (1L, Option.empty[String], 10.0), (2L, None, 20.0),
+      (3L, Some("2024-01-01"), 30.0)).toDF("k", "dt", "v")
+    Upsert.mergePartitioned(spark, path, initial, Seq("k"), "dt")
+    // increment touches ONLY the null partition: update k=2, insert k=9.
+    // isin(parts) can't match null — without the explicit isNull arm,
+    // k=1 would vanish when the null-partition dir is swapped.
+    val inc = Seq((2L, Option.empty[String], 99.0), (9L, None, 9.0))
+      .toDF("k", "dt", "v")
+    Upsert.mergePartitioned(spark, path, inc, Seq("k"), "dt")
+    val got = spark.read.parquet(path)
+      .select("k", "dt", "v").as[(Long, Option[String], Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, None, 10.0), (2L, None, 99.0),
+      (3L, Some("2024-01-01"), 30.0), (9L, None, 9.0)))
   }
 
   test("runtime bloom filter prunes the big side of a selective shuffle join") {

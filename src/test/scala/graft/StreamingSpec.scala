@@ -65,6 +65,70 @@ class StreamingSpec extends SparkSpec {
     assert(got.select(countDistinct("event_id")).head.getLong(0) == 50)
   }
 
+  test("sessionizeEventTime: batch and stream agree on every session's content") {
+    implicit val s = spark
+    val ev = EventStream.loadEvents(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[EventStream.Event]
+    val batch = EventStream.sessionizeEventTime(ev).collect()
+      .map(o => o.user_id -> (o.n_events, o.span_ms)).toMap
+
+    val staged = tmpDir("stream") + "/sess-et"
+    ev.toDF().write.parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema).parquet(staged)
+      .as[EventStream.Event]
+    val q = EventStream.sessionizeEventTime(stream).writeStream
+      .outputMode("update").format("memory").queryName("sess_et_b").start()
+    q.processAllAvailable(); q.stop()
+    val streamedRows = spark.table("sess_et_b")
+      .as[EventStream.SessionOut].collect()
+
+    // closed-ness differs by design: the stream's final no-data batch
+    // fires event-time timeouts for sessions the watermark passed,
+    // which one all-at-once batch cannot express. The session CONTENT
+    // (event count, span) must agree exactly, and every closed row must
+    // carry its user's full rollup.
+    val finalPerUser = streamedRows.groupBy(_.user_id)
+      .map { case (u, rs) =>
+        u -> (rs.map(_.n_events).max, rs.map(_.span_ms).max) }
+    assert(batch.nonEmpty && finalPerUser == batch)
+    streamedRows.filter(_.closed).foreach { o =>
+      assert((o.n_events, o.span_ms) == batch(o.user_id),
+        s"closed session for user ${o.user_id} lost events: $o")
+    }
+  }
+
+  test("sessionizeEventTime: watermark past gap closes the session " +
+    "(event-time, not wall-clock)") {
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, tsMs: Long, uid: Long) = EventStream.Event(
+      id, new java.sql.Timestamp(tsMs), uid, "click", 1.0)
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionizeEventTime(input.toDS(),
+        gapMs = 60000, watermarkDelay = "0 seconds")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sess_et_close").start()
+    // batch 1: user 1's session spans [1s, 31s]
+    input.addData(ev(1, 1000, 1), ev(2, 31000, 1))
+    q.processAllAvailable()
+    // batch 2 advances the watermark to 200s (> 31s + 60s gap) …
+    input.addData(ev(3, 200000, 2))
+    q.processAllAvailable()
+    // … and the timeout fires in the batch AFTER the watermark moved
+    input.addData(ev(4, 300000, 2))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_et_close")
+      .as[EventStream.SessionOut].collect()
+    val closed = out.filter(o => o.user_id == 1 && o.closed)
+    assert(closed.length == 1, s"expected one closed session, got: ${out.toSeq}")
+    assert(closed.head.n_events == 2 && closed.head.span_ms == 30000)
+    assert(!out.exists(o => o.user_id == 2 && o.closed)) // still open
+  }
+
   test("sessionize (batch mode): per-user rollup matches groupBy") {
     implicit val s = spark
     val ev = EventStream.loadEvents(spark, dir)

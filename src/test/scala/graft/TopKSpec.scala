@@ -25,6 +25,29 @@ class TopKSpec extends SparkSpec {
     assert(agged == windowed)
   }
 
+  test("heap buffer matches brute-force sorted top-k (k up to 100, with merge)") {
+    val rnd = new scala.util.Random(11)
+    def lt(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    for (k <- Seq(1, 5, 100); _ <- 1 to 3) {
+      // coarse scores force tie-break coverage
+      val rows = Seq.fill(2000)(
+        (rnd.nextInt(40) / 40.0, rnd.nextInt(500).toLong))
+      val expected = rows.sortWith(lt).take(k)
+      val whole = TopK.TopKBuf(new Array[Double](k), new Array[Long](k), 0)
+      rows.foreach { case (s, id) => whole.insert(s, id) }
+      assert(whole.sortedPairs == expected, s"k=$k single-buffer")
+      // partial buffers merged (the shuffle path)
+      val (l, r) = rows.splitAt(rows.size / 3)
+      val a = TopK.TopKBuf(new Array[Double](k), new Array[Long](k), 0)
+      val b = TopK.TopKBuf(new Array[Double](k), new Array[Long](k), 0)
+      l.foreach { case (s, id) => a.insert(s, id) }
+      r.foreach { case (s, id) => b.insert(s, id) }
+      val merged = new graft.operators.TopK.TopKAggregator(k).merge(a, b)
+      assert(merged.sortedPairs == expected, s"k=$k merged")
+    }
+  }
+
   test("aggregator handles ties deterministically and k > group size") {
     implicit val s = spark
     val scored = Seq(
