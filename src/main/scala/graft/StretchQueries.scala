@@ -82,6 +82,13 @@ object StretchQueries {
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n_docs"))),
 
+    // deterministic content-hash split: reproducible across engines and
+    // repartitions, duplicate text always lands in the same split
+    "q_t_split" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.operators.DatasetSplit.bucket256(col("text")).as("bucket"),
+        graft.operators.DatasetSplit.splitLabel(col("text")).as("split"))),
+
     "q_t_chunks" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
@@ -111,6 +118,17 @@ object StretchQueries {
     "q_d_simhash" -> ((s, dir) =>
       Dedup.simhashCandidates(docsWithPlantedDups(s, dir), "text", "doc_id",
         maxHamming = 3)),
+
+    // dedup resolution: connected components over a pair list whose
+    // component structure is known analytically (chains of 10
+    // consecutive ids — diameter 9, so convergence needs real
+    // multi-hop propagation), giving the distributed CC a full oracle
+    "q_d_resolve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val pairs = docs.filter(col("doc_id") % 10 =!= 0)
+        .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
+      Dedup.connectedComponents(pairs)
+    }),
 
     // ── similarity search ──────────────────────────────────────────────
     "q_v_topk" -> ((s, dir) => {
@@ -184,6 +202,20 @@ object StretchQueries {
           .as[EventStream.Event])(s)
         .toDF()
         .withColumn("total_value", round(col("total_value"), 2))
+    }),
+
+    // the event-time variant, batch-executed: timeouts can't fire when
+    // all data arrives at once, so it shares q_ev_sessions' oracle —
+    // the watermark-driven close semantics are pinned in StreamingSpec
+    "q_ev_sessions_et" -> ((s, dir) => {
+      import s.implicits._
+      EventStream.sessionizeEventTime(
+        EventStream.loadEvents(s, s"$dir/events.parquet")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[EventStream.Event])(s)
+        .toDF()
+        .withColumn("total_value", round(col("total_value"), 2))
     })
   )
 
@@ -204,7 +236,8 @@ object StretchQueries {
   def oracleSql: Map[String, String] =
     oracleSqlMap +
       ("q_v_topk_ivf" -> oracleSqlMap("q_v_topk")) +
-      ("q_v_topk_ivf_idx" -> oracleSqlMap("q_v_topk"))
+      ("q_v_topk_ivf_idx" -> oracleSqlMap("q_v_topk")) +
+      ("q_ev_sessions_et" -> oracleSqlMap("q_ev_sessions"))
 
   private lazy val oracleSqlMap: Map[String, String] = Map(
     "q_t_token_count" ->
@@ -256,6 +289,14 @@ object StretchQueries {
         s"(SELECT unnest(list_distinct($tokensSql)) AS token FROM documents) u " +
         "GROUP BY 1"),
 
+    "q_t_split" ->
+      ("WITH b AS (SELECT doc_id, CAST(" +
+        "(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS INT) " +
+        "AS bucket FROM documents) " +
+        "SELECT doc_id, bucket, CASE WHEN bucket < 205 THEN 'train' " +
+        "WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split FROM b"),
+
     "q_t_chunks" ->
       (s"WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents) " +
         "SELECT doc_id, CAST(u.chunk_start AS INT) AS chunk_start, u.chunk AS chunk " +
@@ -265,6 +306,10 @@ object StretchQueries {
 
     "q_d_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY 1",
+
+    // chain components of 10 consecutive ids → component = floor(id/10)*10
+    "q_d_resolve" ->
+      "SELECT doc_id AS id, doc_id - doc_id % 10 AS component FROM documents",
 
     "q_d_ngram_jaccard" -> {
       val withTok =

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic train/val/test assignment for training-data curation.
+  *
+  * The split keys on a CONTENT hash (first md5 byte of the text), not
+  * on a random number or a row id:
+  *  - reproducible across runs, engines, and repartitions (no seed
+  *    state, no row ordering dependence);
+  *  - the assignment moves with the text, so an exact duplicate that
+  *    survives into the corpus twice lands in the SAME split — no
+  *    train/test leakage through the split boundary (near-dups are
+  *    the dedup operators' job);
+  *  - pure codegen'd expressions (md5 + substring + conv), zero
+  *    shuffle: the split is a projection the scan pipeline absorbs.
+  *
+  * Granularity is 1/256 (one hash byte): split fractions are
+  * expressed in bucket counts so the boundary is exact and
+  * engine-independent, not a float comparison.
+  */
+object DatasetSplit {
+
+  /** Stable bucket in [0, 256): the first byte of md5(content). */
+  def bucket256(content: Column): Column =
+    conv(substring(md5(content), 1, 2), 16, 10).cast("int")
+
+  /** 'train' / 'val' / 'test' label from the content bucket.
+    * Defaults 205/25/26 buckets ≈ 80.1% / 9.8% / 10.2%.
+    */
+  def splitLabel(content: Column, trainBuckets: Int = 205,
+                 valBuckets: Int = 25): Column = {
+    require(trainBuckets >= 0 && valBuckets >= 0 &&
+      trainBuckets + valBuckets <= 256,
+      "bucket counts must fit in [0, 256]")
+    val b = bucket256(content)
+    when(b < trainBuckets, lit("train"))
+      .when(b < trainBuckets + valBuckets, lit("val"))
+      .otherwise(lit("test"))
+  }
+}

@@ -309,6 +309,84 @@ object Dedup {
     }
   }
 
+  // ── Dedup resolution (connected components) ─────────────────────────
+
+  /** Connected components over an undirected pair list — the dedup
+    * RESOLUTION step: near-dup pairs partition the corpus into groups
+    * and each group keeps one canonical row. Output: (id, component)
+    * for every id appearing in a pair, where component = the smallest
+    * id reachable through any chain of pairs (deterministic).
+    *
+    * Execution shape: iterative min-label propagation with path
+    * halving — per iteration,
+    * `label(v) ← min(label(v), min over neighbors' labels,
+    * label(label(v)))` — which is two hash joins + one aggregation on
+    * (id, label) pairs, never the documents. The label(label(v)) hop
+    * is the pointer-jumping trick that makes long chains converge in
+    * O(log diameter) rounds instead of O(diameter) (the same idea
+    * large-star/small-star CC uses at planetary scale). Convergence
+    * is a changed-label count per round: one scalar driver round-trip,
+    * the same bounded category as the reference's max-key collect.
+    *
+    * Every round MATERIALIZES the new label table through scratch
+    * parquet ([[Materialize]]) instead of persist(): an iterative
+    * DataFrame references its predecessor three times per round, so
+    * the un-truncated logical plan grows 3^rounds and OOMs the driver
+    * around round 15 (measured) — per-round checkpointing is how
+    * every production iterative-graph implementation on Spark bounds
+    * lineage, and it leaves zero cache residue as a side effect.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b",
+                          maxIters: Int = 25): DataFrame = {
+    val edges = Materialize.viaScratch(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))),
+      "graft-cc-edges")
+    var labels = Materialize.viaScratch(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")),
+      "graft-cc-labels")
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr"))
+      val hop = labels.select(col("id").as("pid"), col("label").as("plabel"))
+      val next = Materialize.viaScratch(
+        labels
+          .join(nbrMin, labels("id") === nbrMin("dst"), "left")
+          .join(hop, labels("label") === hop("pid"), "left")
+          // least() skips nulls (isolated vertices / root labels)
+          .select(labels("id"),
+            least(labels("label"), col("nbr"), col("plabel")).as("label")),
+        "graft-cc-labels")
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "component diameter exceeds 2^maxIters; raise maxIters")
+    labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Keep one canonical row per near-dup group (the smallest id) and
+    * every row not implicated in any pair — the standard "drop the
+    * dupes" tail of a dedup pipeline. The join against the corpus is
+    * an anti join on the (small) non-canonical id list.
+    */
+  def resolveDuplicates(df: DataFrame, pairs: DataFrame,
+                        idCol: String): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ── SimHash ─────────────────────────────────────────────────────────
 
   /** 64-bit SimHash of the token set, via built-in expressions: for

@@ -94,6 +94,47 @@ class DedupSpec extends SparkSpec {
       s"q_d_minhash_lsh silently drops pairs: $s")
   }
 
+  test("connectedComponents matches a local union-find on a random graph") {
+    val rnd = new scala.util.Random(13)
+    val n = 200
+    val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // local union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = verts.map(v => v ->
+      verts.filter(u => find(u.toInt) == find(v.toInt)).min).toMap
+    val got = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("resolveDuplicates keeps one canonical row per transitive group") {
+    // pairs (1,2), (2,3): {1,2,3} collapse to 1; 4 and 5 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.resolveDuplicates(corpus, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L))
+  }
+
+  test("connectedComponents leaves no persisted blocks and needs few rounds " +
+    "for a long chain (path halving)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // a 64-chain: diameter 63 — naive propagation needs 63 rounds,
+    // pointer jumping converges within the 25-round default
+    val chain = (1L until 64L).map(i => (i - 1, i)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(comps.length == 64 && comps.forall(_._2 == 0L))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
+  }
+
   test("nearDupPairs leaves no persisted blocks in the session") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.nearDupPairs(corpus, "text", "doc_id", threshold = 0.5).count()

@@ -99,4 +99,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(junk >= 0 && good <= 1000000L)
     assert(good > junk)
   }
+
+  test("DatasetSplit: content-keyed, duplicate text lands in the same split, " +
+    "fractions roughly honored") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.DatasetSplit
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val labeled = docs.select(col("doc_id"), col("text"),
+      DatasetSplit.bucket256(col("text")).as("b"),
+      DatasetSplit.splitLabel(col("text")).as("split"))
+    val rows = labeled.collect()
+    assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 256))
+    // duplicated text → identical assignment (no leakage across splits)
+    val dup = docs.select(col("text"),
+      DatasetSplit.splitLabel(col("text")).as("s1"))
+      .select(col("s1"), DatasetSplit.splitLabel(col("text")).as("s2"))
+    assert(dup.collect().forall(r => r.getString(0) == r.getString(1)))
+    // 500 docs: expect ~80/10/10 with binomial slack
+    val frac = rows.groupBy(_.getString(3)).view.mapValues(_.length / 500.0)
+    assert(frac("train") > 0.7 && frac("train") < 0.9, frac.toMap)
+    assert(frac.getOrElse("val", 0.0) < 0.2 && frac.getOrElse("test", 0.0) < 0.2)
+  }
 }
