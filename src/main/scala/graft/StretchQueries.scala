@@ -89,6 +89,38 @@ object StretchQueries {
         graft.operators.DatasetSplit.bucket256(col("text")).as("bucket"),
         graft.operators.DatasetSplit.splitLabel(col("text")).as("split"))),
 
+    // deterministic ~25% sample keyed on the same content hash
+    "q_t_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(graft.operators.DatasetSplit.hashSample(col("text"), 64))
+        .select(col("doc_id"))),
+
+    // per-group quota: top-20 docs per language by quality — the
+    // corpus-curation cap, ranked by the bounded aggregator (string
+    // keys), never a window sort
+    "q_t_quota" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang"),
+        TextFunctions.qualityScoreMicros(col("text"))
+          .cast("double").as("quality"))
+      graft.operators.TopK.topKPerGroup(docs, 20, "lang", "doc_id",
+        "quality")(s)
+    }),
+
+    // dataset-card stats in ONE pass at two granularities: rollup(lang)
+    // emits per-language rows plus the grand total from a single
+    // aggregation (partial+final, no second scan). Exact integer
+    // aggregates only — no double summation to drift between engines.
+    "q_t_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(TextFunctions.langId(col("text")).as("lang"),
+          TextFunctions.tokenCount(col("text")).as("nt"),
+          TextFunctions.qualityScoreMicros(col("text")).as("qm"))
+        .rollup(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"),
+          sum(col("qm")).as("sum_quality_micros"))),
+
     "q_t_chunks" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
@@ -227,6 +259,30 @@ object StretchQueries {
     s"len(list_filter($tokensSql, t -> list_contains($list, t)))"
   }
 
+  // factored oracle sub-expressions (shared by several queries so the
+  // Spark-side and SQL-side definitions can never diverge per query)
+  private lazy val qualityMicrosSql: String = {
+    val lenM = "least(length(text) * 2000, 1000000)"
+    val punctM =
+      raw"(1000000 - least(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 5000000 // greatest(length(text), 1), 1000000))"
+    val tokCount = s"len($tokensSql)"
+    val swM = s"least(${hitsSql(TextFunctions.stopwords("en"))} * 5000000 // greatest($tokCount, 1), 1000000)"
+    s"CAST(($lenM * 4 + $punctM * 3 + $swM * 3) // 10 AS BIGINT)"
+  }
+
+  private lazy val langCaseSql: String = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val hitExprs = langs.map(l => l -> hitsSql(TextFunctions.stopwords(l))).toMap
+    val best = "greatest(" + langs.map(hitExprs).mkString(", ") + ")"
+    val cases = langs.map(l =>
+      s"WHEN $best > 0 AND ${hitExprs(l)} = $best THEN '$l'").mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
+  private val bucketSql: String =
+    "(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 + " +
+      "(strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)"
+
   private val shinglesSqlA = shinglesSql("ta")
   private val shinglesSqlB = shinglesSql("tb")
   private def shinglesSql(v: String): String =
@@ -245,25 +301,32 @@ object StretchQueries {
         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_bpe
         FROM documents""".replaceAll(raw"\s+", " "),
 
-    "q_t_quality" -> {
-      val lenM = "least(length(text) * 2000, 1000000)"
-      val punctM =
-        raw"(1000000 - least(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 5000000 // greatest(length(text), 1), 1000000))"
-      val tokCount = s"len($tokensSql)"
-      val swM = s"least(${hitsSql(TextFunctions.stopwords("en"))} * 5000000 // greatest($tokCount, 1), 1000000)"
-      (s"SELECT doc_id, CAST(($lenM * 4 + $punctM * 3 + $swM * 3) // 10 AS BIGINT) " +
-        "AS quality_micros FROM documents").replaceAll(raw"\s+", " ")
-    },
+    "q_t_quality" ->
+      (s"SELECT doc_id, $qualityMicrosSql AS quality_micros FROM documents")
+        .replaceAll(raw"\s+", " "),
 
-    "q_t_langid" -> {
-      val langs = Seq("en", "de", "es", "fr", "zh")
-      val hitExprs = langs.map(l => l -> hitsSql(TextFunctions.stopwords(l))).toMap
-      val best = "greatest(" + langs.map(hitExprs).mkString(", ") + ")"
-      val cases = langs.map(l =>
-        s"WHEN $best > 0 AND ${hitExprs(l)} = $best THEN '$l'").mkString(" ")
-      s"SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM documents"
-        .replaceAll(raw"\s+", " ")
-    },
+    "q_t_langid" ->
+      s"SELECT doc_id, $langCaseSql AS lang_pred FROM documents"
+        .replaceAll(raw"\s+", " "),
+
+    "q_t_quota" ->
+      (s"WITH d AS (SELECT doc_id, $langCaseSql AS lang, " +
+        s"CAST($qualityMicrosSql AS DOUBLE) AS quality FROM documents), " +
+        "r AS (SELECT lang, doc_id, quality, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS rnk FROM d) " +
+        "SELECT lang, CAST(rnk AS INT) AS rank, doc_id, quality FROM r " +
+        "WHERE rnk <= 20").replaceAll(raw"\s+", " "),
+
+    "q_t_stats" ->
+      (s"WITH d AS (SELECT $langCaseSql AS lang, " +
+        s"CAST(len($tokensSql) AS INT) AS nt, $qualityMicrosSql AS qm " +
+        "FROM documents) " +
+        "SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(qm) AS BIGINT) AS sum_quality_micros FROM d " +
+        "GROUP BY ROLLUP(lang)").replaceAll(raw"\s+", " "),
+
+    "q_t_sample" ->
+      s"SELECT doc_id FROM documents WHERE $bucketSql < 64",
 
     "q_t_fingerprint" ->
       ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -290,10 +353,8 @@ object StretchQueries {
         "GROUP BY 1"),
 
     "q_t_split" ->
-      ("WITH b AS (SELECT doc_id, CAST(" +
-        "(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 + " +
-        "(strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS INT) " +
-        "AS bucket FROM documents) " +
+      (s"WITH b AS (SELECT doc_id, CAST($bucketSql AS INT) AS bucket " +
+        "FROM documents) " +
         "SELECT doc_id, bucket, CASE WHEN bucket < 205 THEN 'train' " +
         "WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split FROM b"),
 

@@ -26,6 +26,18 @@ object DatasetSplit {
   def bucket256(content: Column): Column =
     conv(substring(md5(content), 1, 2), 16, 10).cast("int")
 
+  /** Deterministic sampling predicate: keeps ≈ keepBuckets/256 of the
+    * rows, keyed on the same content hash as the split — so a sample
+    * is stable across runs AND consistent with the split boundaries
+    * (a sampled subset of train stays inside train for
+    * keepBuckets ≤ trainBuckets).
+    */
+  def hashSample(content: Column, keepBuckets: Int): Column = {
+    require(keepBuckets >= 0 && keepBuckets <= 256,
+      "keepBuckets must be in [0, 256]")
+    bucket256(content) < keepBuckets
+  }
+
   /** 'train' / 'val' / 'test' label from the content bucket.
     * Defaults 205/25/26 buckets ≈ 80.1% / 9.8% / 10.2%.
     */

@@ -75,12 +75,14 @@ object TopK {
         .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
   }
 
-  /** IN = (key, id, score); key grouping happens outside. */
+  /** IN = (id, score); key grouping happens outside (any key type —
+    * the buffer never sees it).
+    */
   final class TopKAggregator(k: Int)
-      extends Aggregator[(Long, Long, Double), TopKBuf, Seq[Pair]] {
+      extends Aggregator[(Long, Double), TopKBuf, Seq[Pair]] {
     override def zero: TopKBuf = TopKBuf(new Array[Double](k), new Array[Long](k), 0)
-    override def reduce(buf: TopKBuf, r: (Long, Long, Double)): TopKBuf = {
-      buf.insert(r._3, r._2); buf
+    override def reduce(buf: TopKBuf, r: (Long, Double)): TopKBuf = {
+      buf.insert(r._2, r._1); buf
     }
     override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
       var i = 0
@@ -108,6 +110,30 @@ object TopK {
     val ds = scored.select(col(keyCol).cast("long"), col(idCol).cast("long"),
       col(scoreCol).cast("double")).as[(Long, Long, Double)]
     ds.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn)
+      .flatMap { case (key, top) =>
+        top.iterator.zipWithIndex.map { case ((score, id), i) =>
+          (key, i + 1, id, round6HalfUp(score))
+        }
+      }
+      .toDF(keyCol, "rank", idCol, scoreCol)
+  }
+
+  /** Per-group top-N with a STRING group key — the quota-sampling /
+    * per-group-cap shape of corpus curation (top docs per language,
+    * per domain, per source). Same bounded buffer, same
+    * no-global-sort property; only the grouping key type differs.
+    */
+  def topKPerGroup(scored: DataFrame, k: Int,
+                   keyCol: String, idCol: String, scoreCol: String)
+                  (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val agg = new TopKAggregator(k)
+    val ds = scored.select(col(keyCol).cast("string"), col(idCol).cast("long"),
+      col(scoreCol).cast("double")).as[(String, Long, Double)]
+    ds.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
       .agg(agg.toColumn)
       .flatMap { case (key, top) =>
         top.iterator.zipWithIndex.map { case ((score, id), i) =>

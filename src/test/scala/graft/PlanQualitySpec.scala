@@ -64,7 +64,7 @@ class PlanQualitySpec extends SparkSpec {
   test("ANN rankings use the bounded top-k aggregator, never a window sort") {
     // row_number().over(Window) would shuffle + sort the FULL score
     // matrix; the TopK aggregator keeps k pairs per key per partition
-    Seq("q_v_topk", "q_v_topk_lsh", "q_v_topk_ivf").foreach { q =>
+    Seq("q_v_topk", "q_v_topk_lsh", "q_v_topk_ivf", "q_t_quota").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Window"), s"$q ranks via window sort:\n$p")
       assert(!p.contains("RunningWindowFunction"), s"$q window rank:\n$p")
