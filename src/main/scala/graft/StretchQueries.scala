@@ -182,6 +182,13 @@ object StretchQueries {
         dim = 64, nBits = 32, bands = 4)
     }),
 
+    // int8 embedding quantization: the vector-store compression pass
+    // (4× smaller), exact-arithmetic oracle on the full array values
+    "q_v_quantize" -> ((s, dir) =>
+      graft.functions.VectorFunctions
+        .withQuantizedInt8(t(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), col("q8"), col("q_scale"))),
+
     // IVF index with full probe = exhaustive → shares the brute-force
     // oracle; partial-probe recall is pinned in IvfSpec
     "q_v_topk_ivf" -> ((s, dir) => {
@@ -383,6 +390,16 @@ object StretchQueries {
           "ELSE len(list_intersect(sa, sb)) * 1.0 / len(list_distinct(list_concat(sa, sb))) END, 6) AS jaccard FROM s"
       withTok.replaceAll(raw"\s+", " ")
     },
+
+    "q_v_quantize" ->
+      ("""WITH m AS (SELECT vec_id, embedding,
+         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS INT))
+         |  ELSE list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS INT)) END AS q8,
+         |  mx AS q_scale FROM m""".stripMargin).replaceAll(raw"\s+", " "),
 
     "q_v_topk" ->
       ("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 16),

@@ -83,6 +83,27 @@ class SimilaritySpec extends SparkSpec {
       s"q_v_neardup silently drops pairs: $g")
   }
 
+  test("withQuantizedInt8: int8 range, dequantization error ≤ half a step") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = VectorFunctions.withQuantizedInt8(emb, "embedding")
+      .select(col("embedding"), col("q8"), col("q_scale")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val x = r.getSeq[Float](0)
+      val q = r.getSeq[Int](1)
+      val scale = r.getDouble(2)
+      assert(q.forall(v => v >= -127 && v <= 127))
+      // dequantized value within half a quantization step of the input
+      x.zip(q).foreach { case (xi, qi) =>
+        assert(math.abs(qi * scale / 127.0 - xi) <= scale / 254.0 + 1e-9)
+      }
+    }
+    // all-zero vector → zeros, not NaN/null
+    val z = Seq((1L, Seq(0f, 0f))).toDF("vec_id", "embedding")
+    assert(VectorFunctions.withQuantizedInt8(z, "embedding")
+      .select("q8").head.getSeq[Int](0) == Seq(0, 0))
+  }
+
   test("cosineNearDupPairs leaves no persisted blocks in the session") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .filter(col("vec_id") < 50)
