@@ -121,6 +121,11 @@ object StretchQueries {
           sum(col("nt")).as("total_tokens"),
           sum(col("qm")).as("sum_quality_micros"))),
 
+    // TF-IDF term weights: integer-micros idf per token (margin-audited)
+    // × exact tf — hash-stable relevance scores
+    "q_t_tfidf" -> ((s, dir) =>
+      graft.operators.TfIdf.tfIdf(t(s, dir, "documents"), "text", "doc_id")),
+
     "q_t_chunks" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
@@ -226,6 +231,15 @@ object StretchQueries {
     // arithmetically, so the binary round-trip is what's verified
     "q_mm_decode_real" -> ((s, dir) =>
       Multimodal.decodeSyntheticMedia(s, t(s, dir, "documents"))),
+
+    // frame sampling over the decoded synthetic media: every 7th frame
+    // index — the index plan is pure column math (scan-side explode),
+    // the oracle recomputes it from the synthesis arithmetic
+    "q_mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrameIndexes(
+        Multimodal.decodeSyntheticMedia(s, t(s, dir, "documents")),
+        stride = 7)
+        .select(col("media_id"), col("frame_idx"))),
 
     // ── event-stream transforms, batch-executed (same plan streams) ────
     "q_ev_window" -> ((s, dir) =>
@@ -334,6 +348,17 @@ object StretchQueries {
 
     "q_t_sample" ->
       s"SELECT doc_id FROM documents WHERE $bucketSql < 64",
+
+    "q_t_tfidf" ->
+      (s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT tf.doc_id, tf.token, tf.tf,
+         |  tf.tf * CAST(round(1000000.0 * ln(CAST(n.n AS DOUBLE) / df)) AS BIGINT)
+         |    AS tfidf_micros
+         |FROM tf, dfreq, n WHERE tf.token = dfreq.token""".stripMargin)
+        .replaceAll(raw"\s+", " "),
 
     "q_t_fingerprint" ->
       ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -454,6 +479,13 @@ object StretchQueries {
          | CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE nf END AS INT) AS n_frames,
          | CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS format
          |FROM p""".stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_mm_frames" ->
+      ("""WITH f AS (SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE doc_id % 100 + 1 END AS n_frames
+         |  FROM documents)
+         |SELECT media_id, CAST(unnest(range(0, n_frames, 7)) AS INT) AS frame_idx
+         |FROM f""".stripMargin).replaceAll(raw"\s+", " "),
 
     "q_ev_window" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +

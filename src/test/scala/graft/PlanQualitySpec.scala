@@ -97,6 +97,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q_t_stats: rollup is ONE aggregation pass (expand + partial+final), " +
+    "one scan") {
+    val p = plan("q_t_stats")
+    assert(p.contains("Expand"), s"rollup lost its expand:\n$p")
+    assert(p.split("HashAggregate").length >= 3, s"no partial agg:\n$p")
+    // formatted explain prints each node twice (tree + details section)
+    assert(p.split("Scan parquet").length == 3, s"expected exactly one scan:\n$p")
+  }
+
   test("q3/q5/q10: selective dims broadcast; aggregation is partial+final") {
     Seq("q3_shipping_priority", "q5_region_revenue",
       "q10_returned_customers").foreach { q =>

@@ -100,6 +100,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(good > junk)
   }
 
+  test("TfIdf: corpus-wide token scores zero, rare tokens score ln(N) micros, " +
+    "tf multiplies exactly") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TfIdf
+    val docs = Seq((1L, "alpha alpha common"), (2L, "beta common"),
+      (3L, "gamma common")).toDF("doc_id", "text")
+    val out = TfIdf.tfIdf(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // df("common") = N = 3 → idf = round(1e6·ln 1) = 0
+    assert(out((1L, "common")) == (1L, 0L))
+    // rare token: idf = round(1e6·ln 3) = 1098612; tf=2 doubles it
+    assert(out((2L, "beta")) == (1L, 1098612L))
+    assert(out((1L, "alpha")) == (2L, 2197224L))
+  }
+
   test("DatasetSplit: content-keyed, duplicate text lands in the same split, " +
     "fractions roughly honored") {
     import org.apache.spark.sql.functions.col
