@@ -167,6 +167,31 @@ object StretchQueries {
       Dedup.connectedComponents(pairs)
     }),
 
+    // streaming near-dup candidates, batch-executed (the same
+    // flatMapGroupsWithState code streams — StreamingSpec pins
+    // stream ≡ batch pair-for-pair); hash-engine-specific → rows-only
+    "q_d_stream_cands" -> ((s, dir) => {
+      import s.implicits._
+      val banded = graft.streaming.StreamingDedup.bandedSignatures(
+        docsWithPlantedDups(s, dir), "text", "doc_id")
+        .as[graft.streaming.StreamingDedup.Banded]
+      graft.streaming.StreamingDedup.candidateStream(banded)(s).toDF()
+    }),
+
+    // the full curation pipeline composed end-to-end: quality filter →
+    // exact dedup → content-hash split → per-split corpus stats. Every
+    // stage is engine-exact, so the COMPOSITION gets a full oracle.
+    "q_pipe_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(TextFunctions.qualityScoreMicros(col("text")) >= 400000L)
+      val deduped = Dedup.exactRows(docs, "text", "doc_id")
+      deduped
+        .select(graft.operators.DatasetSplit.splitLabel(col("text")).as("split"),
+          TextFunctions.tokenCount(col("text")).as("nt"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"))
+    }),
+
     // ── similarity search ──────────────────────────────────────────────
     "q_v_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -348,6 +373,17 @@ object StretchQueries {
 
     "q_t_sample" ->
       s"SELECT doc_id FROM documents WHERE $bucketSql < 64",
+
+    "q_pipe_curate" ->
+      (s"""WITH f AS (SELECT doc_id, text FROM documents
+         |  WHERE $qualityMicrosSql >= 400000),
+         |d AS (SELECT text, min(doc_id) AS doc_id FROM f GROUP BY text),
+         |l AS (SELECT CASE WHEN $bucketSql < 205 THEN 'train'
+         |  WHEN $bucketSql < 230 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(len($tokensSql) AS INT) AS nt FROM d)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens FROM l GROUP BY 1"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_t_tfidf" ->
       (s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+
+/** Streaming near-duplicate candidate detection: the MinHash+LSH
+  * pipeline as an INCREMENTAL operator — each arriving document is
+  * checked against everything already seen, emitting candidate pairs
+  * as they appear instead of re-running batch dedup over the corpus.
+  *
+  * Shape: signatures and (band, bucket) keys are computed scan-side
+  * with the SAME native kernel and seed as the batch path (a stream
+  * and a batch run of one corpus agree pair-for-pair), then
+  * `flatMapGroupsWithState` keyed on (band, bucket) holds each
+  * bucket's members — id + signature, never text — as state. A new
+  * doc emits one candidate per existing member and joins the state.
+  *
+  * State at scale: bounded per bucket by `maxBucketSize` (the same
+  * skew cap as batch — a pathological bucket stops accumulating), and
+  * the total is signatures-only: ~8·numHashes bytes per doc per band.
+  * A production deployment would TTL buckets with a timeout to bound
+  * the horizon; candidates surface with the per-band duplication the
+  * batch path removes with `distinct()` — downstream exact
+  * verification dedups as a side effect.
+  */
+object StreamingDedup {
+
+  final case class Banded(band: Int, bucket: Long, doc_id: Long,
+                          sig: Seq[Long])
+  final case class Member(doc_id: Long, sig: Seq[Long])
+  final case class CandPair(id_a: Long, id_b: Long, jaccard_est: Double)
+
+  /** Scan-side projection shared by stream and batch: (band, bucket,
+    * doc_id, sig) — works on a streaming OR batch DataFrame.
+    */
+  def bandedSignatures(docs: DataFrame, textCol: String, idCol: String,
+                       k: Int = 3, numHashes: Int = 32,
+                       bands: Int = 8): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.NativeExpressions
+          .minhashSignature(col(textCol), k, numHashes).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(Dedup.lshBuckets(col("sig"), bands, numHashes / bands))
+          .as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("doc_id"), col("sig"))
+
+  /** Candidate pairs, incrementally: every new doc vs the bucket's
+    * existing members. Deterministic: within a micro-batch, docs enter
+    * a bucket in id order, and a pair is always (smaller, larger) id.
+    */
+  def candidateStream(banded: Dataset[Banded], maxBucketSize: Int = 1000)
+                     (implicit spark: SparkSession): Dataset[CandPair] = {
+    import spark.implicits._
+    banded
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState[List[Member], CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[CandPair]
+          it.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (!members.exists(_.doc_id == d.doc_id) &&
+              members.size < maxBucketSize) {
+              members.foreach { m =>
+                val matching = m.sig.iterator.zip(d.sig.iterator)
+                  .count { case (a, b) => a == b }
+                out += CandPair(math.min(m.doc_id, d.doc_id),
+                  math.max(m.doc_id, d.doc_id),
+                  matching.toDouble / d.sig.length)
+              }
+              members = Member(d.doc_id, d.sig) :: members
+            }
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
+}

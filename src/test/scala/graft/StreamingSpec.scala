@@ -129,6 +129,46 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(o => o.user_id == 2 && o.closed)) // still open
   }
 
+  test("StreamingDedup: cross-batch candidates equal the batch LSH pair set") {
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(100)
+      .as[(Long, String)].collect()
+    val copies = docs.map { case (id, t) =>
+      (id + 1000000L, t + " planted near duplicate") }
+
+    // ground truth: the batch LSH candidate generator on the full corpus
+    val full = (docs ++ copies).toSeq.toDF("doc_id", "text")
+    val batchPairs = graft.operators.Dedup
+      .minhashCandidates(full, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    // stream: originals in batch 1, perturbed copies in batch 2 — the
+    // near-dup of a batch-1 doc must be caught when it arrives later
+    val input = MemoryStream[(Long, String)]
+    val banded = StreamingDedup.bandedSignatures(
+      input.toDS().toDF("doc_id", "text"), "text", "doc_id")
+      .as[StreamingDedup.Banded]
+    val q = StreamingDedup.candidateStream(banded).writeStream
+      .outputMode("append").format("memory").queryName("sdedup").start()
+    input.addData(docs.toSeq: _*)
+    q.processAllAvailable()
+    input.addData(copies.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sdedup")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    assert(batchPairs.nonEmpty && streamed == batchPairs)
+    // cross-batch detection: every planted (original, copy) pair found
+    docs.foreach { case (id, _) =>
+      assert(streamed.contains((id, id + 1000000L)), s"missed planted dup $id")
+    }
+  }
+
   test("sessionize (batch mode): per-user rollup matches groupBy") {
     implicit val s = spark
     val ev = EventStream.loadEvents(spark, dir)
