@@ -249,6 +249,18 @@ object SparkEntry {
       s.read.parquet(scratch)
     }),
 
+    // ── S4 variant: z-ordered layout write + read-back — the write-side
+    //    pruning layout on the driver surface; content equality is the
+    //    oracle, file-range narrowness is LayoutExtensionsSpec's job ──
+    "q_s4_zorder_roundtrip" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_q"
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      graft.engine.Layout.writeZOrdered(li, scratch, numFiles = 8,
+        bits = 12, col("l_orderkey"), col("l_partkey"))
+      s.read.parquet(scratch)
+    }),
+
     // ── F2: monotonically_increasing_id — nondeterministic values, no
     //    oracle; ScalaTest asserts uniqueness/monotonicity invariants ──
     "q_f2_mid" -> ((s, dir) =>
@@ -379,6 +391,8 @@ object SparkEntry {
         "ORDER BY revenue DESC, c_custkey LIMIT 20"),
     "q_s3_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_s4_zorder_roundtrip" ->
+      "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem",
     "q_scd1_dim_build" ->
       "SELECT p_partkey, p_name FROM part"
   ) ++ StretchQueries.oracleSql

@@ -266,6 +266,20 @@ object StretchQueries {
         stride = 7)
         .select(col("media_id"), col("frame_idx"))),
 
+    // as-of join: every event aligned to the user's latest prior
+    // purchase — DuckDB's native ASOF LEFT JOIN is the oracle
+    "q_ev_asof" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+      val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      graft.operators.AsOfJoin.asofJoin(left, right, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          col("purchase_value"))
+    }),
+
     // ── event-stream transforms, batch-executed (same plan streams) ────
     "q_ev_window" -> ((s, dir) =>
       EventStream.windowedAgg(
@@ -522,6 +536,20 @@ object StretchQueries {
          |  FROM documents)
          |SELECT media_id, CAST(unnest(range(0, n_frames, 7)) AS INT) AS frame_idx
          |FROM f""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // CAST(ts AS TIMESTAMP) mirrors loadEvents' ns→µs truncation;
+    // (user_id, ts) stays unique at µs on all sf (probed), so the
+    // latest-prior row is unambiguous
+    "q_ev_asof" ->
+      ("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+         |           FROM events),
+         |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |             event_id AS purchase_id, value AS purchase_value
+         |      FROM events WHERE event_type = 'purchase')
+         |SELECT e.event_id, e.user_id, p.purchase_id, p.purchase_value
+         |FROM e ASOF LEFT JOIN p
+         |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin)
+        .replaceAll(raw"\s+", " "),
 
     "q_ev_window" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
