@@ -280,6 +280,46 @@ object StretchQueries {
           col("purchase_value"))
     }),
 
+    // range join: every event matched to each purchase window
+    // [purchase, purchase + 1h] of its user — bin-bucketed equi-join,
+    // never a nested-loop theta join; DuckDB inequality join oracles it
+    "q_ev_range" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+      val points = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val intervals = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("wstart"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("wend"))
+      graft.operators.RangeJoin.pointInInterval(points, intervals,
+          Seq("user_id"), "ts", "wstart", "wend")
+        .select(col("event_id"), col("user_id"), col("purchase_id"))
+    }),
+
+    // built-in session-window aggregation (the declarative sibling of
+    // the mapGroupsWithState sessionize): gaps-and-islands SQL oracle
+    "q_ev_session_agg" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+      ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("total_value"))
+    }),
+
+    // pivot: per-user event-type counts as columns (conditional-agg
+    // oracle); missing cells coalesce to 0 on both sides
+    "q_a4_pivot" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+      ev.groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+    }),
+
     // ── event-stream transforms, batch-executed (same plan streams) ────
     "q_ev_window" -> ((s, dir) =>
       EventStream.windowedAgg(
@@ -550,6 +590,44 @@ object StretchQueries {
          |FROM e ASOF LEFT JOIN p
          |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin)
         .replaceAll(raw"\s+", " "),
+
+    "q_ev_range" ->
+      ("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+         |           FROM events),
+         |p AS (SELECT user_id, event_id AS purchase_id,
+         |             CAST(ts AS TIMESTAMP) AS wstart,
+         |             CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS wend
+         |      FROM events WHERE event_type = 'purchase')
+         |SELECT e.event_id, e.user_id, p.purchase_id
+         |FROM e JOIN p ON e.user_id = p.user_id
+         |AND e.ts >= p.wstart AND e.ts <= p.wend""".stripMargin)
+        .replaceAll(raw"\s+", " "),
+
+    // break iff gap >= 30 min: Spark merges sessions while the next
+    // event's start is strictly inside (last + gap)
+    "q_ev_session_agg" ->
+      ("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+         |           FROM events),
+         |m AS (SELECT user_id, ts, value,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+         |       ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |g AS (SELECT user_id, ts, value,
+         |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                 ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+         |SELECT user_id, min(ts) AS session_start,
+         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+         |  count(*) AS n_events, round(sum(value), 2) AS total_value
+         |FROM g GROUP BY user_id, sid""".stripMargin)
+        .replaceAll(raw"\s+", " "),
+
+    "q_a4_pivot" ->
+      ("SELECT user_id, " +
+        Seq("click", "view", "purchase", "signup", "error").map(t =>
+          s"count(*) FILTER (WHERE event_type = '$t') AS n_$t")
+          .mkString(", ") +
+        " FROM events GROUP BY user_id"),
 
     "q_ev_window" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
