@@ -249,6 +249,17 @@ object SparkEntry {
       s.read.parquet(scratch)
     }),
 
+    // ── S3 variant: JSON-lines source round-trip (schema inference) ────
+    "q_s3_json_roundtrip" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_json_q"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      t(s, dir, "region").write.json(scratch)
+      graft.engine.Ingest.readJson(s, scratch)
+        .select(col("r_regionkey"), col("r_name"))
+    }),
+
     // ── S4 variant: z-ordered layout write + read-back — the write-side
     //    pruning layout on the driver surface; content equality is the
     //    oracle, file-range narrowness is LayoutExtensionsSpec's job ──
@@ -391,6 +402,8 @@ object SparkEntry {
         "ORDER BY revenue DESC, c_custkey LIMIT 20"),
     "q_s3_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_s3_json_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region",
     "q_s4_zorder_roundtrip" ->
       "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem",
     "q_scd1_dim_build" ->

@@ -61,4 +61,19 @@ object Ingest {
     */
   def readBronze(spark: SparkSession, bronzePath: String): DataFrame =
     spark.read.format("parquet").option("inferSchema", "true").load(bronzePath)
+
+  /** JSON-lines source (the third landing format a lakehouse ingest
+    * meets after CSV and parquet). Same schema discipline as
+    * [[readCsv]]: inference is a convenience pass for exploration; at
+    * scale pass the schema and the read is single-pass. JSON scans
+    * can't push predicates the way parquet does — land as bronze
+    * parquet before any repeated querying.
+    */
+  def readJson(spark: SparkSession, path: String,
+               schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).json(path)
+      case None    => spark.read.json(path)
+    }
 }
