@@ -37,6 +37,23 @@ object Bench {
       .join(spark.read.parquet(s"$sfDir/region.parquet"),
         org.apache.spark.sql.functions.expr("n_regionkey = r_regionkey"))
       .groupBy("r_name").count().count()
+    // warm the native kernels too (one-row eval each): their codegen/JIT
+    // cost otherwise lands entirely on the first repetition of the first
+    // query that uses them, inflating that query's minimum
+    locally {
+      import org.apache.spark.sql.functions.{lit, typedlit}
+      import graft.functions.NativeExpressions._
+      spark.range(1).select(
+        minhashSignature(lit("warm up kernel text sample")),
+        simhash(lit("warm up kernel text sample")),
+        fingerprint(lit("warm")),
+        shingleHashSet(lit("warm up kernel text")),
+        cosine(typedlit(Seq(1f, 0f)), typedlit(Seq(0f, 1f))),
+        hyperplaneSignature(typedlit(Seq(1f, 0f)), dim = 2, nBits = 4),
+        nearestCentroids(typedlit(Seq(1f, 0f)),
+          Array(Array(1.0, 0.0), Array(0.0, 1.0)), 1)
+      ).collect()
+    }
 
     // a failing query is recorded in "errors" and contributes NO wall
     // time — a broken query must never quietly look fast

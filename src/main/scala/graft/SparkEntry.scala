@@ -156,6 +156,34 @@ object SparkEntry {
           .select(col("n_nationkey"), col("n_name")))
     }),
 
+    // ── U2/U3: INTERSECT / EXCEPT (distinct set semantics) ─────────────
+    "q_u2_intersect" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      p.filter(col("p_size") <= 30).select(col("p_brand"), col("p_type"))
+        .intersect(p.filter(col("p_size") >= 20)
+          .select(col("p_brand"), col("p_type")))
+    }),
+    "q_u3_except" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      // size in the tuple keeps the difference non-empty at every sf
+      // (the distinct triples whose size is <= 10)
+      p.select(col("p_brand"), col("p_type"), col("p_size"))
+        .except(p.filter(col("p_size") > 10)
+          .select(col("p_brand"), col("p_type"), col("p_size")))
+    }),
+
+    // ── F10: date/time scalar surface (year/quarter/month/dayofweek,
+    //    date arithmetic, truncation) ────────────────────────────────────
+    "q_f_dates" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"),
+        quarter(col("o_orderdate")).cast("int").as("o_quarter"),
+        month(col("o_orderdate")).cast("int").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("int").as("o_day"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        col("o_orderdate").cast("date").as("o_date"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"))),
+
     // ── O1: standalone global mixed-direction sort ─────────────────────
     "q_o1_sort" -> ((s, dir) =>
       t(s, dir, "supplier")
@@ -359,6 +387,20 @@ object SparkEntry {
     "q_o1_sort" ->
       ("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +
         "ORDER BY s_nationkey ASC, s_acctbal DESC"),
+    "q_u2_intersect" ->
+      ("SELECT p_brand, p_type FROM part WHERE p_size <= 30 " +
+        "INTERSECT SELECT p_brand, p_type FROM part WHERE p_size >= 20"),
+    "q_u3_except" ->
+      ("SELECT p_brand, p_type, p_size FROM part " +
+        "EXCEPT SELECT p_brand, p_type, p_size FROM part WHERE p_size > 10"),
+    "q_f_dates" ->
+      ("SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year, " +
+        "CAST(quarter(o_orderdate) AS INT) AS o_quarter, " +
+        "CAST(month(o_orderdate) AS INT) AS o_month, " +
+        "CAST(day(o_orderdate) AS INT) AS o_day, " +
+        "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, " +
+        "CAST(o_orderdate AS DATE) AS o_date, " +
+        "CAST(o_orderdate AS DATE) + 30 AS due_date FROM orders"),
     "q1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
         "round(sum(l_extendedprice), 2) AS sum_base_price, " +

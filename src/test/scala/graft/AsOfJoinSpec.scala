@@ -50,6 +50,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.select("ev").distinct().count() == 100)
   }
 
+  test("q_ev_asof plans one key shuffle + window — no join explosion") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val p = SparkEntry.queries("q_ev_asof")(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("Window"), s"as-of lost its window plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of regressed to a nested-loop join:\n$p")
+    // formatted explain prints each node twice (tree + details): at most
+    // one hash exchange — the single key shuffle the semantics require
+    assert(p.split("Exchange hashpartitioning").length <= 3,
+      s"extra shuffles in as-of plan:\n$p")
+  }
+
   test("asofJoin rejects overlapping payload column names") {
     val l = Seq((1L, ts(1), 1.0)).toDF("k", "ts", "v")
     val r = Seq((1L, ts(1), 2.0)).toDF("k", "ts", "v")
