@@ -121,6 +121,23 @@ object StretchQueries {
           sum(col("nt")).as("total_tokens"),
           sum(col("qm")).as("sum_quality_micros"))),
 
+    // count-min sketch: one-pass fixed-memory token-frequency estimates,
+    // probed over the full (bounded) vocabulary. On the gate corpus the
+    // sketch is collision-free at every depth row, so the estimates
+    // EQUAL the exact counts and the exact histogram is the oracle;
+    // the general never-undercount/bounded-overcount guarantees are
+    // SketchSpec's job
+    "q_t_cms" -> ((s, dir) => {
+      implicit val ss = s
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val cms = graft.operators.Sketch.sketchTokens(docs, "text")
+      val vocab = docs
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .distinct().as[String].collect().toSeq.sorted
+      graft.operators.Sketch.estimateAll(s, cms, vocab)
+    }),
+
     // TF-IDF term weights: integer-micros idf per token (margin-audited)
     // × exact tf — hash-stable relevance scores
     "q_t_tfidf" -> ((s, dir) =>
@@ -468,6 +485,10 @@ object StretchQueries {
       (s"SELECT u.token AS token, count(*) AS n FROM (SELECT unnest($tokensSql) " +
         "AS token FROM documents) u GROUP BY 1 " +
         "ORDER BY n DESC, token ASC LIMIT 100"),
+
+    "q_t_cms" ->
+      (s"SELECT u.token AS token, count(*) AS est_count FROM " +
+        s"(SELECT unnest($tokensSql) AS token FROM documents) u GROUP BY 1"),
 
     "q_t_docfreq" ->
       (s"SELECT u.token AS token, count(*) AS n_docs FROM " +
