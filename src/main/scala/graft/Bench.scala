@@ -70,7 +70,12 @@ object Bench {
       }
       val err = runs.flatMap(_._2).headOption
       val times = runs.collect { case (t, None) => t }.sorted
-      val median = if (times.isEmpty) 0.0 else times(times.size / 2)
+      // true median: average the middle pair on an even rep count — the
+      // upper-middle element would report the WORSE of two runs at reps=2
+      val median =
+        if (times.isEmpty) 0.0
+        else if (times.size % 2 == 1) times(times.size / 2)
+        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
       val min = if (times.isEmpty) 0.0 else times.head
       (name, median, min, err)
     }

@@ -182,7 +182,7 @@ object Upsert {
     val tmp = new Path(targetPath + "__delta_tmp")
     val backup = new Path(targetPath + "__backup")
     fs.delete(tmp, true)
-    fs.delete(backup, true)
+    recoverBackup(fs, p, backup)
     merged.write.partitionBy(partitionCol).parquet(tmp.toString)
     val partDirs = fs.listStatus(tmp)
       .filter(st => st.isDirectory &&
@@ -218,6 +218,27 @@ object Upsert {
     }
     fs.delete(backup, true)
     fs.delete(tmp, true)
+  }
+
+  /** Crash recovery for [[mergePartitioned]]'s two-phase commit: a
+    * leftover backup dir means a prior run died between staging a
+    * partition out (phase 1) and renaming its replacement in (phase 2)
+    * — for any staged partition the target no longer has, the backup
+    * holds the ONLY copy, so restore it before anything deletes the
+    * backup. Partitions the target does have were committed (or never
+    * staged); their backup copies are stale and dropped.
+    */
+  private def recoverBackup(fs: org.apache.hadoop.fs.FileSystem,
+                            target: Path, backup: Path): Unit = {
+    if (fs.exists(backup)) {
+      fs.listStatus(backup).foreach { st =>
+        val dst = new Path(target, st.getPath.getName)
+        if (!fs.exists(dst) && !fs.rename(st.getPath, dst))
+          throw new java.io.IOException(
+            s"mergePartitioned: cannot recover ${st.getPath} -> $dst")
+      }
+      fs.delete(backup, true)
+    }
   }
 
   /** Write `df` to `path` atomically even though `df`'s plan reads from

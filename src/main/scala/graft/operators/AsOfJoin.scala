@@ -41,26 +41,34 @@ object AsOfJoin {
     require(overlap.isEmpty,
       s"asofJoin: payload columns must be disjoint, both sides have: $overlap")
 
+    // the right payload travels as ONE struct so the carry-forward is
+    // all-or-nothing per right row: per-COLUMN last(ignoreNulls) would
+    // backfill a null field from an OLDER right row, stitching together
+    // a row that never existed (a null purchase_value must stay null
+    // when its purchase_id matches)
+    val rStruct = struct(rightPayload.map(col).toIndexedSeq: _*)
+    val rNull = lit(null).cast(
+      org.apache.spark.sql.types.StructType(rightPayload.map(c =>
+        org.apache.spark.sql.types.StructField(c, right.schema(c).dataType,
+          nullable = true)).toIndexedSeq))
     val lTagged = left.select(
       (Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
-        leftPayload.map(col) ++
-        rightPayload.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(c))).toIndexedSeq: _*)
+        leftPayload.map(col) :+ rNull.as("__r")).toIndexedSeq: _*)
     val rTagged = right.select(
       (Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
         leftPayload.map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(col)).toIndexedSeq: _*)
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        rStruct.as("__r")).toIndexedSeq: _*)
 
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.union(rTagged)
       .select((Seq(col(keyCol), col(tsCol), col("__side")) ++
-        leftPayload.map(col) ++
-        rightPayload.map(c =>
-          last(col(c), ignoreNulls = true).over(w).as(c))).toIndexedSeq: _*)
+        leftPayload.map(col) :+
+        last(col("__r"), ignoreNulls = true).over(w).as("__r")).toIndexedSeq: _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select((Seq(col(keyCol), col(tsCol)) ++ leftPayload.map(col) ++
+        rightPayload.map(c => col(s"__r.$c").as(c))).toIndexedSeq: _*)
   }
 }

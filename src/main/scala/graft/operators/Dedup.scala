@@ -339,14 +339,15 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b",
                           maxIters: Int = 25): DataFrame = {
-    val edges = Materialize.viaScratch(
+    val (edges, edgesDir) = Materialize.viaScratchWithPath(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))),
       "graft-cc-edges")
-    var labels = Materialize.viaScratch(
+    val (labels0, labels0Dir) = Materialize.viaScratchWithPath(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label")),
       "graft-cc-labels")
+    var labels = labels0
     // one propagate+halve application: (id, label, orig) → same shape.
     // least() skips nulls (isolated vertices / root labels); `orig`
     // (the round-start label) rides along so convergence detection is
@@ -364,6 +365,7 @@ object Dedup {
     }
     var converged = false
     var it = 0
+    var prevDir: Option[java.nio.file.Path] = Some(labels0Dir)
     while (!converged && it < maxIters) {
       // TWO applications per materialized round: labels only ever
       // decrease, so comparing the doubled step against the round
@@ -371,11 +373,15 @@ object Dedup {
       // write/read cycle (the per-round fixed cost) is paid half as
       // often for the same total propagation depth
       val doubled = step(step(labels.withColumn("orig", col("label"))))
-      val next = Materialize.viaScratch(
+      val (next, dir) = Materialize.viaScratchWithPath(
         doubled.select(col("id"), col("label"),
           (col("label") =!= col("orig")).as("changed")),
         "graft-cc-labels")
       val changed = next.filter(col("changed")).count()
+      // the superseded round's table is fully consumed (the new round
+      // is on disk and counted) — drop its scratch now, not at exit
+      prevDir.foreach(Materialize.dropScratch)
+      prevDir = Some(dir)
       labels = next.select(col("id"), col("label"))
       converged = changed == 0
       it += 1
@@ -383,6 +389,7 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds — " +
         "component diameter exceeds 2^maxIters; raise maxIters")
+    Materialize.dropScratch(edgesDir) // final labels are edge-independent
     labels.select(col("id"), col("label").as("component"))
   }
 

@@ -33,14 +33,14 @@ object TfIdf {
   /** (id, token, tf, tfidf_micros) for every distinct (doc, token). */
   def tfIdf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val n = docs.count()
-    val toks = docs.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("token"))
-    val tf = toks.groupBy(col(idCol), col("token"))
+    val tf = docs.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = docs.select(col(idCol),
-        explode(array_distinct(TextFunctions.tokens(col(textCol))))
-          .as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // df is derivable from tf — one row per distinct (doc, token), so
+    // the per-token row count IS the document frequency. No second
+    // corpus scan or tokenize pass.
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .select(col("token"), idfMicros(col("df"), n).as("idf_micros"))
     tf.join(dfreq, "token")
       .select(col(idCol), col("token"), col("tf"),

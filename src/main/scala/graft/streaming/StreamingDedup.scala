@@ -18,19 +18,27 @@ import graft.operators.Dedup
   * bucket's members — id + signature, never text — as state. A new
   * doc emits one candidate per existing member and joins the state.
   *
-  * State at scale: bounded per bucket by `maxBucketSize` (the same
-  * skew cap as batch — a pathological bucket stops accumulating), and
-  * the total is signatures-only: ~8·numHashes bytes per doc per band.
-  * A production deployment would TTL buckets with a timeout to bound
-  * the horizon; candidates surface with the per-band duplication the
-  * batch path removes with `distinct()` — downstream exact
-  * verification dedups as a side effect.
+  * State at scale: bounded per bucket by `maxBucketSize`. A bucket
+  * that REACHES the cap is poisoned — its member list is cleared (the
+  * state shrinks to a flag) and it emits nothing further. This is the
+  * closest streaming analogue of the batch path's retroactive
+  * bucket drop: pairs emitted before the cap was hit cannot be
+  * retracted in append mode, so on a corpus with an over-cap bucket
+  * the stream's output is the first-arrivals subset of pairs where
+  * batch emits none (on corpora where no bucket exceeds the cap the
+  * two agree pair-for-pair — StreamingSpec pins both behaviors).
+  * Total state is signatures-only: ~8·numHashes bytes per doc per
+  * band. A production deployment would TTL buckets with a timeout to
+  * bound the horizon; candidates surface with the per-band
+  * duplication the batch path removes with `distinct()` — downstream
+  * exact verification dedups as a side effect.
   */
 object StreamingDedup {
 
   final case class Banded(band: Int, bucket: Long, doc_id: Long,
                           sig: Seq[Long])
   final case class Member(doc_id: Long, sig: Seq[Long])
+  final case class BucketState(members: List[Member], poisoned: Boolean)
   final case class CandPair(id_a: Long, id_b: Long, jaccard_est: Double)
 
   /** Scan-side projection shared by stream and batch: (band, bucket,
@@ -58,25 +66,33 @@ object StreamingDedup {
     import spark.implicits._
     banded
       .groupByKey(r => (r.band, r.bucket))
-      .flatMapGroupsWithState[List[Member], CandPair](
+      .flatMapGroupsWithState[BucketState, CandPair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, it, state) =>
-          var members = state.getOption.getOrElse(Nil)
+          var st = state.getOption.getOrElse(BucketState(Nil, poisoned = false))
           val out = scala.collection.mutable.ListBuffer.empty[CandPair]
           it.toSeq.sortBy(_.doc_id).foreach { d =>
-            if (!members.exists(_.doc_id == d.doc_id) &&
-              members.size < maxBucketSize) {
-              members.foreach { m =>
-                val matching = m.sig.iterator.zip(d.sig.iterator)
-                  .count { case (a, b) => a == b }
-                out += CandPair(math.min(m.doc_id, d.doc_id),
-                  math.max(m.doc_id, d.doc_id),
-                  matching.toDouble / d.sig.length)
+            if (!st.poisoned && !st.members.exists(_.doc_id == d.doc_id)) {
+              // the (maxBucketSize+1)-th member is what makes the bucket
+              // over-cap in batch terms (batch keeps buckets of size
+              // <= maxBucketSize) — that arrival poisons
+              if (st.members.size >= maxBucketSize) {
+                // cap reached: poison the bucket — emit nothing more
+                // and drop the member list (state shrinks to a flag)
+                st = BucketState(Nil, poisoned = true)
+              } else {
+                st.members.foreach { m =>
+                  val matching = m.sig.iterator.zip(d.sig.iterator)
+                    .count { case (a, b) => a == b }
+                  out += CandPair(math.min(m.doc_id, d.doc_id),
+                    math.max(m.doc_id, d.doc_id),
+                    matching.toDouble / d.sig.length)
+                }
+                st = st.copy(members = Member(d.doc_id, d.sig) :: st.members)
               }
-              members = Member(d.doc_id, d.sig) :: members
             }
           }
-          state.update(members)
+          state.update(st)
           out.iterator
       }
   }

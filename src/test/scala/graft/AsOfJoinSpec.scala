@@ -38,6 +38,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(200L).contains((9003L, 9.9)))
   }
 
+  test("asofJoin: null fields in the matched right row stay null " +
+    "(no backfill from older rows)") {
+    val left = Seq((1L, ts(250), 103L)).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts(100), Some(9001L), Some(1.5)),
+      (1L, ts(200), Some(9002L), Option.empty[Double]) // null price
+    ).toDF("user_id", "ts", "quote_id", "price")
+    val got = AsOfJoin.asofJoin(left, right, "user_id", "ts")
+      .select("event_id", "quote_id", "price").head
+    // the matched row is (9002, null) — a per-column carry-forward
+    // would stitch 9002 with the OLDER row's 1.5
+    assert(got.getLong(1) == 9002L)
+    assert(got.isNullAt(2), s"null right field backfilled: $got")
+  }
+
   test("asofJoin: every left row survives exactly once (left-join cardinality)") {
     val left = spark.range(100)
       .select(col("id").as("k"), (col("id") * 10).cast("timestamp").as("ts"),

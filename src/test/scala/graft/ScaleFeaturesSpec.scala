@@ -65,6 +65,31 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__backup")))
   }
 
+  test("mergePartitioned: a crashed commit's backup is restored on the next run") {
+    val path = tmpDir("pmerge-crash") + "/t"
+    val initial = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0))
+      .toDF("k", "dt", "v")
+    Upsert.mergePartitioned(spark, path, initial, Seq("k"), "dt")
+    // simulate a crash between phase 1 and phase 2: the 2024-01-01
+    // partition was staged into the backup dir and the target lost it
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(path + "__backup")
+    fs.mkdirs(backup)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(path + "/dt=2024-01-01"),
+      new org.apache.hadoop.fs.Path(backup, "dt=2024-01-01")))
+    // next merge (touching a DIFFERENT partition) must first recover it
+    val inc = Seq((3L, "2024-01-03", 30.0)).toDF("k", "dt", "v")
+    Upsert.mergePartitioned(spark, path, inc, Seq("k"), "dt")
+    val got = spark.read.parquet(path)
+      .select("k", "dt", "v").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0),
+      (3L, "2024-01-03", 30.0)))
+    assert(!fs.exists(backup))
+  }
+
   test("mergePartitioned: null partition values don't drop existing rows") {
     val path = tmpDir("pmerge-null") + "/t"
     // target: two rows in the null partition, one in a real partition

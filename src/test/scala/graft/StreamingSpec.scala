@@ -169,6 +169,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("StreamingDedup: over-cap bucket poisons — no pair storm after the cap") {
+    implicit val s = spark
+    import graft.streaming.StreamingDedup
+    // 30 identical docs, cap 10: batch drops the bucket retroactively
+    // (0 pairs); the stream emits pairs only among the first 10
+    // arrivals, then the poisoned bucket emits nothing more
+    val docs = (1L to 30L)
+      .map(i => (i, "identical text shared by every row here"))
+    val banded = StreamingDedup.bandedSignatures(
+      docs.toDF("doc_id", "text"), "text", "doc_id")
+      .as[StreamingDedup.Banded]
+    val pairs = StreamingDedup.candidateStream(banded, maxBucketSize = 10)(s)
+      .select("id_a", "id_b").distinct().as[(Long, Long)].collect()
+    // only ids 1..10 may appear; the other 20 arrivals emit nothing
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a <= 10 && b <= 10 },
+      s"pairs past the cap: ${pairs.filterNot { case (a, b) => a <= 10 && b <= 10 }.toSeq}")
+    assert(pairs.length == 45) // C(10,2) — capped, not 435 = C(30,2)
+  }
+
   test("sessionize (batch mode): per-user rollup matches groupBy") {
     implicit val s = spark
     val ev = EventStream.loadEvents(spark, dir)
