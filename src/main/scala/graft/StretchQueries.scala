@@ -501,10 +501,14 @@ object StretchQueries {
         "SELECT doc_id, bucket, CASE WHEN bucket < 205 THEN 'train' " +
         "WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split FROM b"),
 
+    // range end = first window reaching the last token (chunk 32,
+    // stride 24) — mirrors chunkStructs' duplicate-tail suppression
     "q_t_chunks" ->
-      (s"WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents) " +
+      (s"WITH t AS (SELECT doc_id, $tokensSql AS tk, " +
+        "1 + 24 * ((greatest(len(" + tokensSql + ") - 32, 0) + 23) // 24) AS last_start " +
+        "FROM documents) " +
         "SELECT doc_id, CAST(u.chunk_start AS INT) AS chunk_start, u.chunk AS chunk " +
-        "FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1, 24), " +
+        "FROM (SELECT doc_id, unnest(list_transform(range(1, last_start + 1, 24), " +
         "x -> struct_pack(chunk_start := x, chunk := array_to_string(tk[x:x+31], ' ')))) AS u " +
         "FROM t WHERE len(tk) > 0)"),
 

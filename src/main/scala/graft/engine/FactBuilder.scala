@@ -43,7 +43,12 @@ object FactBuilder {
       val dim = broadcast(
         dims(d.table).select((d.surrogateKey +: d.naturalKey).map(col).toIndexedSeq: _*))
       val cond = d.naturalKey.map(k => acc(k) === dim(k)).reduce(_ && _)
-      acc.join(dim, cond, "left").drop(dim(d.naturalKey.head))
+      // drop EVERY dim-side natural-key column: leaving any behind
+      // creates a duplicate name the next dim's acc(k) can no longer
+      // resolve (AMBIGUOUS_REFERENCE) when a dim has a composite key
+      d.naturalKey.foldLeft(acc.join(dim, cond, "left")) { (j, k) =>
+        j.drop(dim(k))
+      }
     }
     joined.select(
       (spec.measures ++ spec.dims.map(_.surrogateKey)).map(col).toIndexedSeq: _*)

@@ -71,6 +71,10 @@ object Upsert {
     require(keys.nonEmpty, "merge requires at least one key column")
     val p = new Path(targetPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal a swap that died between its two renames BEFORE the
+    // existence check — otherwise the table (alive only in __old)
+    // reads as "new" and the increment silently becomes the whole table
+    recoverReplace(fs, p)
 
     if (!fs.exists(p)) {
       source.write.mode("overwrite").parquet(targetPath)
@@ -135,8 +139,17 @@ object Upsert {
   def mergePartitioned(spark: SparkSession, targetPath: String,
                        source: DataFrame, keys: Seq[String],
                        partitionCol: String): Unit = {
+    require(keys.nonEmpty, "mergePartitioned requires at least one key column")
     val p = new Path(targetPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(targetPath + "__delta_tmp")
+    val backup = new Path(targetPath + "__backup")
+    // crash recovery FIRST — before the target read snapshots its file
+    // listing. A crashed run may have left partitions only in the
+    // backup dir; restoring after the read would make their old rows
+    // invisible to this merge (and lost when the commit rewrites them).
+    fs.delete(tmp, true)
+    recoverBackup(fs, p, backup)
     if (!fs.exists(p)) {
       source.write.partitionBy(partitionCol).parquet(targetPath)
       return
@@ -179,10 +192,6 @@ object Upsert {
     // backup can't be misparsed as a partition value by a later read);
     // phase 2 renames the tmp partitions in; any failure rolls back by
     // deleting the partially-renamed new dirs and restoring the backups.
-    val tmp = new Path(targetPath + "__delta_tmp")
-    val backup = new Path(targetPath + "__backup")
-    fs.delete(tmp, true)
-    recoverBackup(fs, p, backup)
     merged.write.partitionBy(partitionCol).parquet(tmp.toString)
     val partDirs = fs.listStatus(tmp)
       .filter(st => st.isDirectory &&
@@ -211,9 +220,15 @@ object Upsert {
     } catch {
       case e: Throwable =>
         renamedIn.foreach(dst => fs.delete(dst, true))
-        stagedOut.foreach { case (dst, bak) => fs.rename(bak, dst) }
+        // restores must be CHECKED: a failed restore means the staged
+        // original survives only in the backup dir — in that case keep
+        // the backup on disk (recoverBackup on the next run retries)
+        // instead of deleting the only remaining copy
+        val allRestored = stagedOut.forall { case (dst, bak) =>
+          fs.rename(bak, dst) || fs.exists(dst)
+        }
         fs.delete(tmp, true)
-        fs.delete(backup, true)
+        if (allRestored) fs.delete(backup, true)
         throw e
     }
     fs.delete(backup, true)
@@ -256,11 +271,25 @@ object Upsert {
     * a generation pointer (a small file naming the current directory)
     * updated by one rename.
     */
+  /** Heal a [[atomicReplace]] that crashed between its two renames:
+    * the table then lives ONLY at `<path>__old` — restore it. A stale
+    * `__old` next to a live table (crash after commit, before cleanup)
+    * is just dropped.
+    */
+  private def recoverReplace(fs: org.apache.hadoop.fs.FileSystem,
+                             dst: Path): Unit = {
+    val old = new Path(dst.toString + "__old")
+    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+      throw new java.io.IOException(
+        s"upsert: cannot recover $old -> $dst")
+  }
+
   def atomicReplace(spark: SparkSession, path: String, df: DataFrame): Unit = {
     val dst = new Path(path)
     val tmp = new Path(path + "__tmp")
     val old = new Path(path + "__old")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverReplace(fs, dst)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)
     df.write.mode("overwrite").parquet(tmp.toString)

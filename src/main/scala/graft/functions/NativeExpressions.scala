@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
@@ -68,7 +68,8 @@ object NativeExpressions {
     */
   case class MinHashSig(child: Expression, k: Int, numHashes: Int,
                         seed: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     private val P = 1000000007L
     private lazy val params: Array[(Long, Long)] = {
       val rnd = new scala.util.Random(seed)
@@ -106,7 +107,8 @@ object NativeExpressions {
 
   /** Token-set SimHash; value-identical to `Dedup.simhash`. */
   case class SimHash(child: Expression, bits: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val toks = tokenize(input.asInstanceOf[UTF8String])
@@ -141,7 +143,8 @@ object NativeExpressions {
     * instead of the shingle text; sorted so Jaccard is a linear merge).
     */
   case class ShingleHashSet(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     private val P = 1000000007L
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
@@ -171,7 +174,9 @@ object NativeExpressions {
 
   /** Jaccard of two SORTED long arrays via a linear merge walk. */
   case class SortedJaccard(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -201,7 +206,8 @@ object NativeExpressions {
     * value-identical to `TextFunctions.fingerprint`.
     */
   case class Fingerprint(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     private val P = 1000000007L
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
@@ -223,6 +229,13 @@ object NativeExpressions {
 
   // ── Vector kernels ──────────────────────────────────────────────────
 
+  private def hasNullElement(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   private def dotLoop(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
@@ -238,14 +251,19 @@ object NativeExpressions {
     * value-identical to `VectorFunctions.cosine` (null on zero norm).
     */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
       // length mismatch → null, matching the declarative zip_with form
-      // (which null-pads the shorter side and nulls the whole sum)
-      if (a.numElements() != b.numElements()) null
+      // (which null-pads the shorter side and nulls the whole sum);
+      // same for a null ELEMENT — the declarative fold goes null, so
+      // reading it as 0.0f here would score a vector that isn't there
+      if (a.numElements() != b.numElements() ||
+        hasNullElement(a) || hasNullElement(b)) null
       else {
         val den = math.sqrt(dotLoop(a, a)) * math.sqrt(dotLoop(b, b))
         if (den == 0.0) null else java.lang.Double.valueOf(dotLoop(a, b) / den)
@@ -264,7 +282,8 @@ object NativeExpressions {
     */
   case class HyperplaneSig(child: Expression, dim: Int, nBits: Int,
                            seed: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     private lazy val planes: Array[Array[Double]] = {
       val rnd = new scala.util.Random(seed)
       Array.fill(nBits, dim)(rnd.nextGaussian())
@@ -273,8 +292,10 @@ object NativeExpressions {
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
       // wrong-dimension vector → signature 0, matching the declarative
-      // zip_with form (null-padded projection → null → bit unset)
-      if (v.numElements() != dim) return java.lang.Long.valueOf(0L)
+      // zip_with form (null-padded projection → null → bit unset);
+      // a null ELEMENT nulls every projection the same way → 0
+      if (v.numElements() != dim || hasNullElement(v))
+        return java.lang.Long.valueOf(0L)
       var sig = 0L
       var i = 0
       while (i < nBits) {
@@ -307,7 +328,8 @@ object NativeExpressions {
   case class NearestCentroids(child: Expression,
                               centroids: Array[Array[Double]],
                               nprobe: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     private lazy val norms: Array[Double] =
       centroids.map(c => math.sqrt(c.map(x => x * x).sum))
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -330,8 +352,26 @@ object NativeExpressions {
         scores(c) = if (den == 0.0) -2.0 else acc / den
         c += 1
       }
-      val order = scores.zipWithIndex.sortBy { case (s, i) => (-s, i) }
-        .take(math.min(nprobe, centroids.length)).map(_._2)
+      // nprobe passes of first-max selection: O(k·nprobe) and
+      // allocation-free where the former zipWithIndex + full sort paid
+      // O(k log k) boxing per ROW; strict > keeps the first index on
+      // ties, exactly the old (-score, index) sort order
+      val kk = math.min(nprobe, centroids.length)
+      val order = new Array[Int](kk)
+      val used = new Array[Boolean](centroids.length)
+      var r = 0
+      while (r < kk) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var c2 = 0
+        while (c2 < centroids.length) {
+          if (!used(c2) && (best == -1 || scores(c2) > bestScore)) {
+            best = c2; bestScore = scores(c2)
+          }
+          c2 += 1
+        }
+        used(best) = true; order(r) = best; r += 1
+      }
       new GenericArrayData(order)
     }
     override protected def withNewChildInternal(c: Expression): NearestCentroids =
@@ -350,9 +390,11 @@ object NativeExpressions {
     * constrains its leading column).
     */
   case class ZOrderValue(children: Seq[Expression], bits: Int)
-      extends Expression with CodegenFallback {
+      extends Expression with ExpectsInputTypes with CodegenFallback {
     require(children.nonEmpty && children.size * bits <= 63,
       "z-value must fit in a positive Long")
+    override def inputTypes: Seq[DataType] =
+      Seq.fill(children.size)(LongType)
     override def nullable: Boolean = false
     override def dataType: DataType = LongType
     override def eval(input: InternalRow): Any = {

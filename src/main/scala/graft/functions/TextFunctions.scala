@@ -140,7 +140,15 @@ object TextFunctions {
   def chunkStructs(toks: Column, chunkSize: Int, overlap: Int): Column = {
     require(overlap < chunkSize, "overlap must be smaller than chunkSize")
     val stride = chunkSize - overlap
-    val windows = transform(sequence(lit(1), size(toks), lit(stride)), i =>
+    // stop at the FIRST window that reaches the last token: any later
+    // grid start is wholly contained in its predecessor, which would
+    // emit the document tail as a pure-duplicate training sample
+    // (lastStart = 1 + stride·⌈max(0, n − chunkSize)/stride⌉, exact in
+    // doubles far past any real token count)
+    val lastStart = (lit(1) + lit(stride) *
+      floor((greatest(size(toks) - lit(chunkSize), lit(0)) +
+        lit(stride - 1)) / lit(stride))).cast("int")
+    val windows = transform(sequence(lit(1), lastStart, lit(stride)), i =>
       struct(i.as("chunk_start"),
         concat_ws(" ", slice(toks, i, lit(chunkSize))).as("chunk")))
     // empty token array → no chunks (sequence(1, 0) would throw)

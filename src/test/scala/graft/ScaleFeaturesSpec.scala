@@ -88,6 +88,37 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(got == Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0),
       (3L, "2024-01-03", 30.0)))
     assert(!fs.exists(backup))
+
+    // crash again, but the next increment touches the SAME partition:
+    // recovery must run BEFORE the target read snapshots its file list,
+    // or the restored partition's old rows are invisible to the merge
+    fs.mkdirs(backup)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(path + "/dt=2024-01-01"),
+      new org.apache.hadoop.fs.Path(backup, "dt=2024-01-01")))
+    val inc2 = Seq((9L, "2024-01-01", 90.0)).toDF("k", "dt", "v")
+    Upsert.mergePartitioned(spark, path, inc2, Seq("k"), "dt")
+    val got2 = spark.read.parquet(path)
+      .select("k", "dt", "v").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got2 == Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0),
+      (3L, "2024-01-03", 30.0), (9L, "2024-01-01", 90.0)))
+  }
+
+  test("merge: a replace that crashed between its renames is healed, " +
+    "not treated as a new table") {
+    val path = tmpDir("replace-crash") + "/t"
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").write.parquet(path)
+    // simulate atomicReplace dying after dst→old, before tmp→dst
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__old")))
+    // without recovery this merge would write the source AS the table
+    Upsert.merge(spark, path, Seq((3L, 3.0)).toDF("k", "v"), Seq("k"))
+    val got = spark.read.parquet(path).as[(Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
   }
 
   test("mergePartitioned: null partition values don't drop existing rows") {

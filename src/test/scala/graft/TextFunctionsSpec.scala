@@ -77,9 +77,31 @@ class TextFunctionsSpec extends SparkSpec {
       .select(col("id"), explode(chunkStructs(col("tk"), 4, 2)).as("c"))
       .select(col("c.chunk_start"), col("c.chunk"))
       .collect().map(r => r.getInt(0) -> r.getString(1)).toSeq
+    // stops at start 7 (covers w7..w10): a start-9 window would be
+    // "w9 w10" — wholly contained in the previous chunk, a duplicate
     assert(chunks == Seq(
       1 -> "w1 w2 w3 w4", 3 -> "w3 w4 w5 w6", 5 -> "w5 w6 w7 w8",
-      7 -> "w7 w8 w9 w10", 9 -> "w9 w10"))
+      7 -> "w7 w8 w9 w10"))
+  }
+
+  test("chunkStructs: every token covered, no window duplicates its predecessor") {
+    import org.apache.spark.sql.functions.{col, explode}
+    for (n <- 1 to 30) {
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val chunks = Seq((1L, text)).toDF("id", "t")
+        .select(col("id"), tokens(col("t")).as("tk"))
+        .select(explode(chunkStructs(col("tk"), 8, 3)).as("c"))
+        .select("c.chunk_start", "c.chunk")
+        .collect().map(r => (r.getInt(0), r.getString(1).split(" ").length))
+      // full coverage: last window reaches token n
+      assert(chunks.last._1 + chunks.last._2 - 1 == n, s"n=$n gap")
+      // no window is contained in its predecessor
+      chunks.sliding(2).foreach {
+        case Array((s1, l1), (s2, l2)) =>
+          assert(s2 + l2 - 1 > s1 + l1 - 1, s"n=$n duplicate tail window")
+        case _ =>
+      }
+    }
   }
 
   test("chunkStructs: empty and whitespace-only docs yield zero chunks, no crash") {
