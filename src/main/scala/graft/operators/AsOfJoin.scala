@@ -51,10 +51,16 @@ object AsOfJoin {
       org.apache.spark.sql.types.StructType(rightPayload.map(c =>
         org.apache.spark.sql.types.StructField(c, right.schema(c).dataType,
           nullable = true)).toIndexedSeq))
+    // a null-timestamp right row would sort NULLS FIRST and be carried
+    // forward as a phantom "earliest" match for every left row —
+    // DuckDB ASOF / pandas merge_asof exclude null times, so do we.
+    // (Null-ts LEFT rows keep left-join semantics: they sort before
+    // every real right row, match nothing, and emit null payload.)
+    val rightClean = right.filter(col(tsCol).isNotNull)
     val lTagged = left.select(
       (Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
         leftPayload.map(col) :+ rNull.as("__r")).toIndexedSeq: _*)
-    val rTagged = right.select(
+    val rTagged = rightClean.select(
       (Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
         leftPayload.map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)) :+

@@ -27,19 +27,25 @@ import graft.functions.TextFunctions.{shingles, shinglesFromTokens, tokens}
 object Dedup {
 
   /** Exact dedup: one surviving row id per distinct content. Keeps the
-    * smallest id (deterministic). Output: (hash, doc_id).
+    * smallest id (deterministic). Output: (hash, doc_id). Null content
+    * is excluded: md5(null) is null, so grouping would collapse every
+    * null-text row into ONE group — but unknown content is unknown,
+    * not equal, and must never be deduplicated away.
     */
   def exactByHash(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("content_hash"))
+    df.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol))
 
   /** Exact dedup preserving full rows: keeps the min-id row per
     * distinct content via a semi join back (no row-serializing window
-    * over the whole corpus).
+    * over the whole corpus). Null-text rows all survive (see
+    * [[exactByHash]]).
     */
   def exactRows(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.join(exactByHash(df, textCol, idCol).select(col(idCol)),
-      Seq(idCol), "left_semi")
+        Seq(idCol), "left_semi")
+      .unionByName(df.filter(col(textCol).isNull))
 
   // ── MinHash ─────────────────────────────────────────────────────────
 
@@ -135,6 +141,11 @@ object Dedup {
                         k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                         maxBucketSize: Int = 1000,
                         includeEstimate: Boolean = true): DataFrame = {
+    // silent truncation (bands∤numHashes) skews the detection curve;
+    // bands > numHashes degenerates to ONE global bucket that the skew
+    // cap then drops — an empty result with no error
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must evenly divide numHashes ($numHashes)")
     val rows = numHashes / bands
     val withSig = minhashSignatures(df, textCol, idCol, k, numHashes)
     // when the caller verifies with exact Jaccard anyway (nearDupPairs),
@@ -190,6 +201,8 @@ object Dedup {
   def minhashCandidateStats(df: DataFrame, textCol: String, idCol: String,
                             k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                             maxBucketSize: Int = 1000): LshStats = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must evenly divide numHashes ($numHashes)")
     val rows = numHashes / bands
     val sizes = minhashSignatures(df, textCol, idCol, k, numHashes)
       .select(explode(lshBuckets(col("sig"), bands, rows)).as("bb"))
@@ -339,11 +352,11 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b",
                           maxIters: Int = 25): DataFrame = {
-    val (edges, edgesDir) = Materialize.viaScratchWithPath(
+    val (edges, edgesScratch) = Materialize.viaScratchWithPath(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))),
       "graft-cc-edges")
-    val (labels0, labels0Dir) = Materialize.viaScratchWithPath(
+    val (labels0, labels0Scratch) = Materialize.viaScratchWithPath(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label")),
       "graft-cc-labels")
@@ -365,7 +378,7 @@ object Dedup {
     }
     var converged = false
     var it = 0
-    var prevDir: Option[java.nio.file.Path] = Some(labels0Dir)
+    var prev: Option[Materialize.Scratch] = Some(labels0Scratch)
     while (!converged && it < maxIters) {
       // TWO applications per materialized round: labels only ever
       // decrease, so comparing the doubled step against the round
@@ -373,15 +386,15 @@ object Dedup {
       // write/read cycle (the per-round fixed cost) is paid half as
       // often for the same total propagation depth
       val doubled = step(step(labels.withColumn("orig", col("label"))))
-      val (next, dir) = Materialize.viaScratchWithPath(
+      val (next, scratch) = Materialize.viaScratchWithPath(
         doubled.select(col("id"), col("label"),
           (col("label") =!= col("orig")).as("changed")),
         "graft-cc-labels")
       val changed = next.filter(col("changed")).count()
       // the superseded round's table is fully consumed (the new round
       // is on disk and counted) — drop its scratch now, not at exit
-      prevDir.foreach(Materialize.dropScratch)
-      prevDir = Some(dir)
+      prev.foreach(_.drop())
+      prev = Some(scratch)
       labels = next.select(col("id"), col("label"))
       converged = changed == 0
       it += 1
@@ -389,7 +402,7 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds — " +
         "component diameter exceeds 2^maxIters; raise maxIters")
-    Materialize.dropScratch(edgesDir) // final labels are edge-independent
+    edgesScratch.drop() // final labels are edge-independent
     labels.select(col("id"), col("label").as("component"))
   }
 
@@ -442,6 +455,12 @@ object Dedup {
                         maxHamming: Int = 3,
                         maxBucketSize: Int = 1000): DataFrame = {
     val blocks = 4 // 4 × 16-bit words of the 64-bit simhash
+    // pigeonhole only guarantees a shared block for distance < blocks;
+    // a larger maxHamming would SILENTLY miss pairs whose differing
+    // bits spread across all four words
+    require(maxHamming < blocks,
+      s"maxHamming ($maxHamming) must be < $blocks for 4×16-bit blocking " +
+        "to guarantee candidate recall")
     val withSig = df.select(col(idCol),
       graft.functions.NativeExpressions.simhash(col(textCol)).as("sh"))
     val exploded = withSig

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 
 /** Pin a result that is small relative to its inputs (a near-dup pair
@@ -14,56 +15,57 @@ import org.apache.spark.sql.DataFrame
   * list of a dedup pass is persisted as a table for the downstream
   * delete/keep join, never recomputed from the corpus.
   *
-  * Disk lifecycle: every scratch dir is registered for recursive
-  * deletion at JVM exit (`File.deleteOnExit` alone would leak them —
-  * it only removes EMPTY directories), and iterative callers
-  * (connectedComponents) drop superseded rounds eagerly via
-  * [[dropScratch]], so a long-lived session's scratch footprint is the
-  * live results, not the history.
+  * Scratch location: `graft.scratch.dir` (Spark conf) if set, else the
+  * driver's java.io.tmpdir. On a real cluster the conf MUST name a
+  * cluster-visible path (HDFS/object store) — a driver-local default
+  * only works in local mode, which is why everything here goes through
+  * the Hadoop FileSystem API, never java.nio. Every scratch dir is
+  * registered for recursive deletion at JVM exit, and iterative
+  * callers (connectedComponents) drop superseded rounds eagerly via
+  * [[Scratch.drop]], so a long-lived session's footprint is the live
+  * results, not the history.
   */
 private[graft] object Materialize {
 
+  /** A scratch dir and the filesystem it lives on. */
+  final case class Scratch(fs: FileSystem, dir: Path) {
+    def drop(): Unit = {
+      created.remove(this)
+      try fs.delete(dir, true)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   private val created =
     java.util.Collections.synchronizedSet(
-      new java.util.LinkedHashSet[java.nio.file.Path]())
+      new java.util.LinkedHashSet[Scratch]())
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
     created.synchronized {
-      created.forEach(p => deleteRecursively(p))
+      created.forEach(s =>
+        try s.fs.delete(s.dir, true)
+        catch { case _: java.io.IOException => () })
     }
   }))
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount) // children before parents
-        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
-          catch { case _: java.io.IOException => () })
-    }
-  }
 
   /** Materialize `df` into a fresh scratch dir; returns the re-read. */
   def viaScratch(df: DataFrame, prefix: String): DataFrame =
     viaScratchWithPath(df, prefix)._1
 
-  /** As [[viaScratch]], also returning the scratch dir so iterative
-    * callers can [[dropScratch]] superseded rounds eagerly.
+  /** As [[viaScratch]], also returning the handle so iterative callers
+    * can [[Scratch.drop]] superseded rounds eagerly.
     */
   def viaScratchWithPath(df: DataFrame,
-                         prefix: String): (DataFrame, java.nio.file.Path) = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    created.add(dir)
-    val path = dir.resolve("out").toString
-    df.write.mode("overwrite").parquet(path)
-    (df.sparkSession.read.parquet(path), dir)
-  }
-
-  /** Delete a scratch dir created by [[viaScratchWithPath]] now (the
-    * caller guarantees no plan still reads it).
-    */
-  def dropScratch(dir: java.nio.file.Path): Unit = {
-    created.remove(dir)
-    deleteRecursively(dir)
+                         prefix: String): (DataFrame, Scratch) = {
+    val spark = df.sparkSession
+    val root = new Path(spark.conf.get("graft.scratch.dir",
+      System.getProperty("java.io.tmpdir")))
+    val dir = new Path(root, s"$prefix-${java.util.UUID.randomUUID()}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val handle = Scratch(fs, dir)
+    created.add(handle)
+    val out = new Path(dir, "out").toString
+    df.write.mode("overwrite").parquet(out)
+    (spark.read.parquet(out), handle)
   }
 }

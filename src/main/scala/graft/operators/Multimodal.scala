@@ -104,7 +104,11 @@ object Multimodal {
         var dataLen = -1
         while (off + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
           val size = i32(b, off + 4)
-          if (size < 0 || off + 8 + size > b.length) return None
+          // compare without `off + 8 + size`: a crafted size near
+          // Int.MaxValue overflows that sum negative, dodging the guard
+          // and driving the next offset out of bounds (AIOOBE) — the
+          // sniffer must reject, not crash, on arbitrary bytes
+          if (size < 0 || size > b.length - off - 8) return None
           if (tag(b, off, "fmt ") && size >= 16) {
             val ch = i16(b, off + 10)
             val bps = i16(b, off + 22)
@@ -192,7 +196,11 @@ object Multimodal {
     */
   def sampleFrameIndexes(decoded: DataFrame, stride: Int): DataFrame =
     decoded.withColumn("frame_idx",
-      explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      // zero-frame media (a valid empty-data WAV) must yield no rows,
+      // not an illegal sequence(0, -1) boundary error
+      explode(when(col("n_frames") > 0,
+        sequence(lit(0), col("n_frames") - 1, lit(stride)))
+        .otherwise(array().cast("array<int>"))))
 
   /** Demo wiring over the `documents` table: treat UTF-8 bytes of
     * `text` as the opaque payload. Proves the end-to-end path

@@ -145,6 +145,8 @@ object SimilaritySearch {
   private def hyperplaneBuckets(df: DataFrame, dim: Int, nBits: Int,
                                 bands: Int, idCol: String,
                                 vecCol: String): DataFrame = {
+    require(bands > 0 && nBits % bands == 0,
+      s"bands ($bands) must evenly divide nBits ($nBits)")
     val rows = nBits / bands
     val mask = (1L << rows) - 1
     df.select(col(idCol),

@@ -107,8 +107,13 @@ object TopK {
                 (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val agg = new TopKAggregator(k)
+    // null scores (a zero-norm vector's cosine), ids, or keys would
+    // crash the primitive-tuple encoder — an unrankable row is skipped,
+    // like the window form's NULLS LAST beyond rank k
     val ds = scored.select(col(keyCol).cast("long"), col(idCol).cast("long"),
-      col(scoreCol).cast("double")).as[(Long, Long, Double)]
+        col(scoreCol).cast("double"))
+      .na.drop()
+      .as[(Long, Long, Double)]
     ds.groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
       .agg(agg.toColumn)
@@ -131,7 +136,9 @@ object TopK {
     import spark.implicits._
     val agg = new TopKAggregator(k)
     val ds = scored.select(col(keyCol).cast("string"), col(idCol).cast("long"),
-      col(scoreCol).cast("double")).as[(String, Long, Double)]
+        col(scoreCol).cast("double"))
+      .na.drop() // see topKPerKey
+      .as[(String, Long, Double)]
     ds.groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
       .agg(agg.toColumn)

@@ -28,11 +28,26 @@ object EventStream {
     * DuckDB applies, so oracle comparisons agree.
     */
   def loadEvents(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
     val raw = spark.read.parquet(path)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+      // FLOOR to µs, exactly like DuckDB's ns→µs cast: plain `div`
+      // truncates toward zero, which differs on pre-1970 nanos.
+      // (ts − pmod(ts, 1000)) is a multiple of 1000, so the div is
+      // exact and the result is the floor for either sign.
+      raw.withColumn("ts",
+        timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    else {
+      // the file didn't need the legacy flag — undo the session
+      // mutation instead of leaking it into every later parquet read
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      raw
+    }
   }
 
   /** Tumbling-window aggregate with a watermark for late data.
@@ -132,7 +147,20 @@ object EventStream {
         GroupStateTimeout.EventTimeTimeout) {
         case (uid, it, state: GroupState[SessionState]) =>
           sessionStep(uid, it, state,
-            next => state.setTimeoutTimestamp(next.last + gapMs))
+            // a LATE event (mapGroupsWithState does not drop rows behind
+            // the watermark) can put last+gap before the current
+            // watermark, which setTimeoutTimestamp rejects and the whole
+            // query dies — clamp to just past the watermark so the
+            // stale session closes on the next batch instead. Batch
+            // execution exposes no watermark handle (throws) → no clamp
+            // needed there, timeouts never fire.
+            next => {
+              val wm =
+                try state.getCurrentWatermarkMs()
+                catch { case _: UnsupportedOperationException => Long.MinValue
+                        case _: IllegalStateException => Long.MinValue }
+              state.setTimeoutTimestamp(math.max(next.last + gapMs, wm + 1))
+            })
       }
   }
 

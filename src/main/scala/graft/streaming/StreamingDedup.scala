@@ -46,7 +46,9 @@ object StreamingDedup {
     */
   def bandedSignatures(docs: DataFrame, textCol: String, idCol: String,
                        k: Int = 3, numHashes: Int = 32,
-                       bands: Int = 8): DataFrame =
+                       bands: Int = 8): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must evenly divide numHashes ($numHashes)")
     docs
       .select(col(idCol).cast("long").as("doc_id"),
         graft.functions.NativeExpressions
@@ -56,6 +58,7 @@ object StreamingDedup {
           .as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
         col("doc_id"), col("sig"))
+  }
 
   /** Candidate pairs, incrementally: every new doc vs the bucket's
     * existing members. Deterministic: within a micro-batch, docs enter

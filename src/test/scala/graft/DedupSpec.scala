@@ -20,6 +20,16 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("exact dedup: null-text rows are unknown, not equal — all survive") {
+    val withNulls = Seq((1L, Some("same text")), (2L, Some("same text")),
+      (3L, Option.empty[String]), (4L, None), (5L, Some("other")))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactRows(withNulls, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 2 deduped against 1; BOTH null-text rows kept
+    assert(kept == Seq(1L, 3L, 4L, 5L))
+  }
+
   test("exact jaccard: identity 1.0, near-dup high, unrelated low") {
     val j = corpus.as("a").crossJoin(corpus.as("b"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
