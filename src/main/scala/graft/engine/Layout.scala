@@ -54,20 +54,27 @@ object Layout {
       // are bucket 0 in the z-value anyway)
       val lo = if (stats.isNullAt(2 * i)) 0L else stats.getLong(2 * i)
       val hi = if (stats.isNullAt(2 * i + 1)) lo else stats.getLong(2 * i + 1)
-      // decimal(38,0) arithmetic end-to-end: (x−lo)·scale overflows
-      // int64 once the column range exceeds Long.Max/scale (an
-      // epoch-nano span of a few decades already does at bits=16 —
-      // ANSI mode would throw, legacy mode would wrap every value into
-      // bucket 0), and hi−lo itself can overflow for mixed-sign
-      // ranges. 38 digits hold the worst case (20-digit range × 5-digit
-      // scale) exactly; integral `div` keeps the quotient exact where a
-      // double division would lose low bits past 2^53.
+      // (x−lo)·scale overflows int64 once the column range exceeds
+      // Long.Max/scale (an epoch-nano span of a few decades already
+      // does at bits=16 — ANSI mode would throw, legacy mode would
+      // wrap every value into bucket 0), and hi−lo itself can overflow
+      // for mixed-sign ranges. The stats are driver-known, so pick the
+      // arithmetic per column: fast long ops when they provably can't
+      // overflow (the common case — decimal costs ~2× per row),
+      // decimal(38,0) otherwise (20-digit range × 5-digit scale fits
+      // exactly). Integral `div` keeps the quotient exact either way,
+      // where a double division would lose low bits past 2^53.
       val range = (BigInt(hi) - BigInt(lo)).max(BigInt(1))
-      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      call_function("div",
-        (c.cast("long").cast(dec38) -
-          lit(java.math.BigDecimal.valueOf(lo)).cast(dec38)) * lit(scale),
-        lit(new java.math.BigDecimal(range.bigInteger)))
+      if (range <= BigInt(Long.MaxValue / scale))
+        call_function("div",
+          (c.cast("long") - lit(lo)) * lit(scale), lit(range.toLong))
+      else {
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        call_function("div",
+          (c.cast("long").cast(dec38) -
+            lit(java.math.BigDecimal.valueOf(lo)).cast(dec38)) * lit(scale),
+          lit(new java.math.BigDecimal(range.bigInteger)))
+      }
     }.map(_.cast("long"))
     val z = graft.functions.NativeExpressions.zorder(bits, normalized: _*)
     df.withColumn("__z", z)
