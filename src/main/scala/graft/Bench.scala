@@ -24,6 +24,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps > 0, s"SPARK_GRAFT_BENCH_REPS must be positive, got $reps")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -62,7 +63,16 @@ object Bench {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val err =
-          try { fn(spark, sfDir).count(); None }
+          // materialize through the noop sink, NOT count(): count(1)
+          // references no columns, so Catalyst prunes every projection
+          // and eliminates sorts — a map-only query would "measure" a
+          // zero-column row-count scan and a 10× operator regression
+          // would be invisible. The noop write evaluates every output
+          // column and discards the rows.
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            None
+          }
           catch { case e: Throwable =>
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
           }

@@ -338,6 +338,13 @@ object SparkEntry {
     })
   )
 
+  /** The SQL twin of [[discRevenue]] — factored for the same reason
+    * (four oracles share it; an edit must reach all of them at once).
+    */
+  private val discRevenueSql: String =
+    "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0"
+
   /** DuckDB-equivalent SQL per query (driver runs these on the same
     * parquet registered under bare table names). Omitted: q_f2_mid
     * (nondeterministic ids → rows-only check).
@@ -404,7 +411,7 @@ object SparkEntry {
     "q1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
         "round(sum(l_extendedprice), 2) AS sum_base_price, " +
-        "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price, " +
+        s"$discRevenueSql AS sum_disc_price, " +
         "round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
@@ -414,7 +421,7 @@ object SparkEntry {
         "AS p_retailprice FROM part"),
     "q3_shipping_priority" ->
       ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
-        "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue " +
+        s"$discRevenueSql AS revenue " +
         "FROM customer JOIN orders ON c_custkey = o_custkey " +
         "JOIN lineitem ON l_orderkey = o_orderkey " +
         "WHERE c_mktsegment = 'BUILDING' " +
@@ -423,8 +430,7 @@ object SparkEntry {
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
         "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"),
     "q5_region_revenue" ->
-      ("SELECT n_name, sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
-        "(100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue " +
+      (s"SELECT n_name, $discRevenueSql AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
@@ -435,7 +441,7 @@ object SparkEntry {
         "GROUP BY n_name ORDER BY revenue DESC, n_name"),
     "q10_returned_customers" ->
       ("SELECT c_custkey, c_name, n_name, " +
-        "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue " +
+        s"$discRevenueSql AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +

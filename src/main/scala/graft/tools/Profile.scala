@@ -28,7 +28,8 @@ object Profile {
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // noop sink like Bench: count() lets Catalyst prune the work
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$name: ${times.map(t => f"$t%.2f").mkString(" ")} s")
