@@ -335,7 +335,106 @@ object SparkEntry {
       scd.build(spec, part.filter(col("p_size") <= 30), incremental = false)
       scd.build(spec, part, incremental = true)
       catalog.read(spec.table).select(col("p_partkey"), col("p_name"))
-    })
+    }),
+
+    // ── W1: running total per key — the window shape a bounded top-k
+    //    aggregator CANNOT express (every prefix is an output row).
+    //    Scale: one shuffle on the partition key, in-partition sort,
+    //    no global ordering; frame pinned to ROWS so both engines'
+    //    peer handling is moot (the order key is unique per row) ──────
+    "q_w_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("__cents"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast("int").as("order_seq"),
+          sum(col("__cents")).over(w).as("running_cents"))
+    }),
+
+    // ── W2: lag over a bounded aggregate — month-over-month revenue
+    //    delta. The unpartitioned window is DELIBERATE and safe: it
+    //    orders the per-month rollup (cardinality = months in the
+    //    dataset, bounded), never raw facts ───────────────────────────
+    "q_w_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      val w = Window.orderBy(col("month"))
+      m.select(col("month"), col("n_orders"), col("rev_cents"),
+        (col("rev_cents") - lag(col("rev_cents"), 1).over(w))
+          .as("delta_cents"))
+    }),
+
+    // ── W3: dense_rank with tie semantics — top spenders per nation.
+    //    dense_rank's equal-rank-for-equal-value contract is what the
+    //    bounded TopK aggregator (exactly k rows) can't express; spend
+    //    is exact cents so ranks are engine-deterministic ─────────────
+    "q_w_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("spend_cents"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("spend_cents").desc)
+      spend.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_custkey"), col("spend_cents"))
+        .withColumn("rnk", dense_rank().over(w).cast("int"))
+        .filter(col("rnk") <= 3)
+    }),
+
+    // ── A5: ordered list aggregation — collect_list is unordered by
+    //    contract, so sort_array before joining makes the result
+    //    deterministic (same reason the oracle ORDER BYs inside
+    //    string_agg) ──────────────────────────────────────────────────
+    "q_a5_stringagg" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+            .as("nations"),
+          count(lit(1)).as("n_nations"))),
+
+    // ── A6: exact percentiles per group. Exact `percentile` holds a
+    //    per-group value-count map — right for bounded-domain columns
+    //    like quantity (50 distinct values); for unbounded domains at
+    //    100 TB the scale path is approx_percentile (t-digest), which
+    //    is engine-specific and therefore spec-gated, not oracle-gated.
+    //    Quantity values and quarter-fractions are small-integer
+    //    doubles, so interpolation is EXACT in both engines ───────────
+    "q_a6_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          expr("percentile(l_quantity, 0.9)").as("q90"))),
+
+    // ── F11: string scalar surface (case, substring, pad, regex,
+    //    search) — all codegen'd builtins, no UDFs ────────────────────
+    "q_f_strings" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        lower(col("c_mktsegment")).as("lseg"),
+        length(col("c_name")).cast("int").as("name_len"),
+        substring(col("c_name"), 1, 10).as("name_prefix"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("padded_key"),
+        instr(col("c_name"), "#").cast("int").as("hash_pos")))
   )
 
   /** The SQL twin of [[discRevenue]] — factored for the same reason
@@ -455,6 +554,62 @@ object SparkEntry {
     "q_s4_zorder_roundtrip" ->
       "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem",
     "q_scd1_dim_build" ->
-      "SELECT p_partkey, p_name FROM part"
+      "SELECT p_partkey, p_name FROM part",
+
+    // explicit ROWS frame on both sides: with a unique order key the
+    // default RANGE frame is equivalent, but pinning ROWS removes any
+    // engine disagreement over peer handling
+    "q_w_running" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "CAST(row_number() OVER w AS INT) AS order_seq, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) " +
+        "AS running_cents FROM orders WINDOW w AS " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+
+    // DuckDB date_trunc('month', ts) yields DATE already; Spark side
+    // casts its TIMESTAMP result to date (NOTES.md oracle lesson)
+    "q_w_lag" ->
+      ("WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) " +
+        "AS month, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+        "AS rev_cents FROM orders GROUP BY 1) " +
+        "SELECT month, n_orders, rev_cents, " +
+        "rev_cents - lag(rev_cents) OVER (ORDER BY month) AS delta_cents " +
+        "FROM m"),
+
+    "q_w_rank" ->
+      ("WITH spend AS (SELECT o_custkey, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+        "AS spend_cents FROM orders GROUP BY 1), " +
+        "j AS (SELECT n_name, c_custkey, spend_cents, " +
+        "CAST(dense_rank() OVER (PARTITION BY n_name " +
+        "ORDER BY spend_cents DESC) AS INT) AS rnk " +
+        "FROM spend JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey) " +
+        "SELECT n_name, c_custkey, spend_cents, rnk FROM j WHERE rnk <= 3"),
+
+    "q_a5_stringagg" ->
+      ("SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, " +
+        "count(*) AS n_nations FROM nation " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"),
+
+    "q_a6_quantiles" ->
+      ("SELECT l_returnflag, " +
+        "quantile_cont(l_quantity, 0.25) AS q25, " +
+        "quantile_cont(l_quantity, 0.5) AS q50, " +
+        "quantile_cont(l_quantity, 0.75) AS q75, " +
+        "quantile_cont(l_quantity, 0.9) AS q90 " +
+        "FROM lineitem GROUP BY l_returnflag"),
+
+    "q_f_strings" ->
+      ("SELECT c_custkey, upper(c_name) AS uname, " +
+        "lower(c_mktsegment) AS lseg, " +
+        "CAST(length(c_name) AS INT) AS name_len, " +
+        "substring(c_name, 1, 10) AS name_prefix, " +
+        "concat_ws('|', c_mktsegment, c_name) AS seg_name, " +
+        "regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked, " +
+        "lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key, " +
+        "CAST(strpos(c_name, '#') AS INT) AS hash_pos FROM customer")
   ) ++ StretchQueries.oracleSql
 }

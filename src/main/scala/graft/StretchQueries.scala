@@ -143,6 +143,12 @@ object StretchQueries {
     "q_t_tfidf" -> ((s, dir) =>
       graft.operators.TfIdf.tfIdf(t(s, dir, "documents"), "text", "doc_id")),
 
+    // Okapi BM25: the denominators clear to pure int64 arithmetic
+    // (see TfIdf.bm25), so even the length-normalized score gets a
+    // full cross-engine oracle — no floating division anywhere
+    "q_t_bm25" -> ((s, dir) =>
+      graft.operators.TfIdf.bm25(t(s, dir, "documents"), "text", "doc_id")),
+
     "q_t_chunks" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
@@ -477,6 +483,26 @@ object StretchQueries {
          |  tf.tf * CAST(round(1000000.0 * ln(CAST(n.n AS DOUBLE) / df)) AS BIGINT)
          |    AS tfidf_micros
          |FROM tf, dfreq, n WHERE tf.token = dfreq.token""".stripMargin)
+        .replaceAll(raw"\s+", " "),
+
+    // mirrors TfIdf.bm25's integer identity: score = idf·22·tf·T /
+    // (10·tf·T + 3·T + 9·dl·N), half-up-rounded via integer division.
+    // DuckDB `//` and Spark `div` both floor; all operands positive.
+    "q_t_bm25" ->
+      (s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |tt AS (SELECT CAST(sum(dl) AS BIGINT) AS t FROM dl)
+         |SELECT tf.doc_id, tf.token, tf.tf,
+         |  (2 * (CAST(round(1000000.0 * ln(CAST(nn.n AS DOUBLE) / df)) AS BIGINT)
+         |        * 22 * tf.tf * tt.t)
+         |   + (10 * tf.tf * tt.t + 3 * tt.t + 9 * nn.n * dl.dl))
+         |  // (2 * (10 * tf.tf * tt.t + 3 * tt.t + 9 * nn.n * dl.dl))
+         |  AS bm25_micros
+         |FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+         |JOIN dfreq ON tf.token = dfreq.token, nn, tt""".stripMargin)
         .replaceAll(raw"\s+", " "),
 
     "q_t_fingerprint" ->

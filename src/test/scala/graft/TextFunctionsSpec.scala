@@ -138,6 +138,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out((1L, "alpha")) == (2L, 2197224L))
   }
 
+  test("BM25: hand-computed integer identity on a 3-doc corpus; " +
+    "partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TfIdf
+    // N=3, dl = (3,2,2), T=7; score = idf·22·tf·T / (10·tf·T+3·T+9·dl·N)
+    val docs = Seq((1L, "alpha alpha common"), (2L, "beta common"),
+      (3L, "gamma common")).toDF("doc_id", "text")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      TfIdf.bm25(df, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(3))
+        .toMap
+    val out = scores(docs)
+    // idf("common") = 0 → score 0 whatever the length normalization
+    assert(out((1L, "common")) == 0L)
+    // alpha: idf=1098612, tf=2, dl=3 → 1098612·308 / 242 = 1398233.45 → 1398233
+    assert(out((1L, "alpha")) == 1398233L)
+    // beta: idf=1098612, tf=1, dl=2 → 1098612·154 / 145 = 1166801.71 → 1166802
+    assert(out((2L, "beta")) == 1166802L)
+    // same corpus, adversarial partitioning → identical scores
+    assert(scores(docs.repartition(7)) == out)
+  }
+
   test("DatasetSplit: content-keyed, duplicate text lands in the same split, " +
     "fractions roughly honored") {
     import org.apache.spark.sql.functions.col
