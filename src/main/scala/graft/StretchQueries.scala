@@ -263,14 +263,18 @@ object StretchQueries {
         k = 5, nprobe = 4)
     }),
 
-    // the persisted-index path: write centroids + cluster-partitioned
-    // corpus to scratch, reload, search full-probe → shares the
-    // brute-force oracle (partition pruning is pinned in IvfSpec)
+    // the persisted-index path: build-if-stale (ensureIndex — the
+    // index is an offline artifact, rebuilt only when the source
+    // changes), reload, search full-probe → shares the brute-force
+    // oracle (partition pruning + staleness contract pinned in
+    // IvfSpec). Scratch is keyed by the source dir so different scale
+    // factors never share an index.
     "q_v_topk_ivf_idx" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val model = Ivf.train(emb, k = 4, iters = 2)
-      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_q"
-      Ivf.writeIndex(emb, model, scratch)
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_q_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Ivf.ensureIndex(emb, s"$dir/embeddings.parquet", scratch, k = 4,
+        iters = 2)
       Ivf.searchIndex(s, scratch, emb.filter(col("vec_id") < 16),
         k = 5, nprobe = 4)
     }),

@@ -94,6 +94,39 @@ class IvfSpec extends SparkSpec {
       s"scan touched unprobed partitions: ${scannedFiles.mkString(", ")}")
   }
 
+  test("ensureIndex: builds once, skips when fresh, rebuilds when the " +
+    "source is newer than the marker") {
+    val src = tmpDir("graft-ivf-src")
+    emb.limit(50).write.mode("overwrite").parquet(src)
+    val idx = tmpDir("graft-ivf-ensure")
+    val data = spark.read.parquet(src)
+    val marker = new java.io.File(s"$idx/_INDEX_READY")
+
+    Ivf.ensureIndex(data, src, idx, k = 2, iters = 1)
+    assert(marker.exists(), "first call must build the index")
+    val builtAt = marker.lastModified()
+
+    Ivf.ensureIndex(data, src, idx, k = 2, iters = 1)
+    assert(marker.lastModified() == builtAt, "fresh index must not rebuild")
+
+    // regenerate the source with a strictly newer mtime → must rebuild
+    // (re-read after the overwrite: the old frame pins dead file names)
+    Thread.sleep(1100) // FS mtime granularity can be a full second
+    emb.limit(50).write.mode("overwrite").parquet(src)
+    val data2 = spark.read.parquet(src)
+    Ivf.ensureIndex(data2, src, idx, k = 2, iters = 1)
+    assert(marker.lastModified() > builtAt, "stale index must rebuild")
+
+    // the ensured index searches identically to a direct build
+    val q = data2.filter(col("vec_id") < 4)
+    val direct = Ivf.searchTopK(data2, q,
+      Ivf.train(data2, k = 2, iters = 1), k = 3, nprobe = 2)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val ensured = Ivf.searchIndex(spark, idx, q, k = 3, nprobe = 2)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(ensured == direct)
+  }
+
   test("planted clusters: nprobe=1 achieves near-perfect recall") {
     // 3 tight clusters around orthogonal-ish anchors
     val rnd = new scala.util.Random(7)
