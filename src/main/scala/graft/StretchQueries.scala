@@ -33,18 +33,29 @@ object StretchQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── text analysis ──────────────────────────────────────────────────
+    // the four scalar text measures ride the one-pass TextProfile
+    // kernel (value-identical to the declarative forms — NativeExprSpec;
+    // staged as its own projection so each field access reads the
+    // struct instead of re-running the kernel)
     "q_t_token_count" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        TextFunctions.bpeTokenCountApprox(col("text")).as("n_bpe"))),
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.NativeExpressions.textProfile(col("text")).as("__p"))
+        .select(col("doc_id"), col("__p.n_tokens").as("n_tokens"),
+          col("__p.n_bpe").as("n_bpe"))),
 
     "q_t_quality" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.qualityScoreMicros(col("text")).as("quality_micros"))),
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.NativeExpressions.textProfile(col("text")).as("__p"))
+        .select(col("doc_id"),
+          col("__p.quality_micros").as("quality_micros"))),
 
     "q_t_langid" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.langId(col("text")).as("lang_pred"))),
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.NativeExpressions.textProfile(col("text")).as("__p"))
+        .select(col("doc_id"), col("__p.lang_pred").as("lang_pred"))),
 
     "q_t_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -99,10 +110,11 @@ object StretchQueries {
     // corpus-curation cap, ranked by the bounded aggregator (string
     // keys), never a window sort
     "q_t_quota" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.langId(col("text")).as("lang"),
-        TextFunctions.qualityScoreMicros(col("text"))
-          .cast("double").as("quality"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.NativeExpressions.textProfile(col("text")).as("__p"))
+        .select(col("doc_id"), col("__p.lang_pred").as("lang"),
+          col("__p.quality_micros").cast("double").as("quality"))
       graft.operators.TopK.topKPerGroup(docs, 20, "lang", "doc_id",
         "quality")(s)
     }),
@@ -113,9 +125,10 @@ object StretchQueries {
     // aggregates only — no double summation to drift between engines.
     "q_t_stats" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(TextFunctions.langId(col("text")).as("lang"),
-          TextFunctions.tokenCount(col("text")).as("nt"),
-          TextFunctions.qualityScoreMicros(col("text")).as("qm"))
+        .select(graft.functions.NativeExpressions.textProfile(col("text"))
+          .as("__p"))
+        .select(col("__p.lang_pred").as("lang"), col("__p.n_tokens").as("nt"),
+          col("__p.quality_micros").as("qm"))
         .rollup(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nt")).as("total_tokens"),
@@ -218,11 +231,13 @@ object StretchQueries {
     // stage is engine-exact, so the COMPOSITION gets a full oracle.
     "q_pipe_curate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .filter(TextFunctions.qualityScoreMicros(col("text")) >= 400000L)
+        .filter(graft.functions.NativeExpressions.textProfile(col("text"))
+          .getField("quality_micros") >= 400000L)
       val deduped = Dedup.exactRows(docs, "text", "doc_id")
       deduped
         .select(graft.operators.DatasetSplit.splitLabel(col("text")).as("split"),
-          TextFunctions.tokenCount(col("text")).as("nt"))
+          graft.functions.NativeExpressions.textProfile(col("text"))
+            .getField("n_tokens").as("nt"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"))
     }),

@@ -227,6 +227,110 @@ object NativeExpressions {
 
   def fingerprint(text: Column): Column = toCol(Fingerprint(toExpr(text)))
 
+  // ── Text profile ────────────────────────────────────────────────────
+
+  /** token → indexes of the stopword lists containing it (words are
+    * shared across languages — "la"/"de"/"un"/"que" are both es and
+    * fr), in [[TextFunctions.langId]]'s fixed language order.
+    */
+  private val profileLangs = Seq("en", "de", "es", "fr", "zh")
+  private lazy val stopwordIndex: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    profileLangs.zipWithIndex.foreach { case (lang, i) =>
+      TextFunctions.stopwords(lang).foreach { w =>
+        m.put(w, Option(m.get(w)).getOrElse(Array.empty[Int]) :+ i)
+      }
+    }
+    m
+  }
+
+  /** One-pass text profile: (n_tokens, n_bpe, lang_pred,
+    * quality_micros) — value-identical to `TextFunctions.tokenCount` /
+    * `bpeTokenCountApprox` / `langId` / `qualityScoreMicros`, which
+    * each walk their own interpreted HOF/regex tree over the text.
+    * Exactness notes, pinned by NativeExprSpec over the real corpora:
+    *  - the bpe/punct counts replicate the regex char-class semantics
+    *    per CODE POINT (Java `Pattern` matches code points — an astral
+    *    char is ONE `[^A-Za-z0-9\s]` match, verified by the emoji row
+    *    in the spec), with `\s` being the ASCII-only class;
+    *  - the length term is also code points (Spark's `length`);
+    *  - integer quality arithmetic is floor division of non-negative
+    *    longs, identical to the declarative pmod form.
+    */
+  case class TextProfile(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def nullable: Boolean = false
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", IntegerType, nullable = true),
+      StructField("n_bpe", IntegerType, nullable = false),
+      StructField("lang_pred", StringType, nullable = false),
+      StructField("quality_micros", LongType, nullable = false)))
+    // a NULL text does NOT null the profile: the declarative forms'
+    // coalesce/least/greatest null-skipping yields (null tokens, 0 bpe,
+    // "und", quality 1000000) — drop-in parity means replicating that
+    // exactly (pinned by the null row in NativeExprSpec)
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](null, 0, UTF8String.fromString("und"), 1000000L))
+      else nullSafeEval(v)
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val u = input.asInstanceOf[UTF8String]
+      val s = u.toString
+      // bpe/punct scan, one code point at a time (the regex classes
+      // are pure ASCII, so only the else-branch ever sees multi-unit
+      // code points)
+      var i = 0; var bpe = 0; var punct = 0
+      while (i < s.length) {
+        val ch = s.charAt(i)
+        if ((ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z')) {
+          bpe += 1 // a maximal letter run is ONE bpe token
+          while (i < s.length && {
+            val c2 = s.charAt(i)
+            (c2 >= 'A' && c2 <= 'Z') || (c2 >= 'a' && c2 <= 'z')
+          }) i += 1
+        } else if (ch >= '0' && ch <= '9') { bpe += 1; i += 1 }
+        else if (ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' ||
+          ch == '\f' || ch == '\r') i += 1
+        else {
+          bpe += 1; punct += 1
+          i += Character.charCount(s.codePointAt(i))
+        }
+      }
+      val toks = tokenize(u)
+      val hits = new Array[Int](profileLangs.length)
+      var t = 0
+      while (t < toks.length) {
+        val langs = stopwordIndex.get(toks(t))
+        if (langs != null) { var j = 0; while (j < langs.length) { hits(langs(j)) += 1; j += 1 } }
+        t += 1
+      }
+      var best = 0
+      var b = 0
+      while (b < hits.length) { if (hits(b) > best) best = hits(b); b += 1 }
+      val lang =
+        if (best <= 0) "und"
+        else profileLangs(hits.indexWhere(_ == best))
+      val L = u.numChars().toLong
+      val tok = toks.length.toLong
+      val lenM = math.min(L * 2000L, 1000000L)
+      val punctM = 1000000L -
+        math.min(punct.toLong * 5000000L / math.max(L, 1L), 1000000L)
+      val swM =
+        math.min(hits(0).toLong * 5000000L / math.max(tok, 1L), 1000000L)
+      val quality = (lenM * 4L + punctM * 3L + swM * 3L) / 10L
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](toks.length, bpe, UTF8String.fromString(lang), quality))
+    }
+    override protected def withNewChildInternal(c: Expression): TextProfile =
+      copy(child = c)
+  }
+
+  def textProfile(text: Column): Column = toCol(TextProfile(toExpr(text)))
+
   // ── Vector kernels ──────────────────────────────────────────────────
 
   private def hasNullElement(a: ArrayData): Boolean = {

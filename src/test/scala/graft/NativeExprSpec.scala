@@ -45,6 +45,38 @@ class NativeExprSpec extends SparkSpec {
     native.foreach { case (id, fp) => assert(fp == decl(id), s"doc $id") }
   }
 
+  test("TextProfile == the four declarative text functions on real docs " +
+    "plus adversarial strings") {
+    // adversarial rows alongside the corpus: empty, whitespace-only,
+    // unicode (zh counts as punct in the ASCII regex classes), an
+    // astral emoji (TWO UTF-16 units → two punct matches but ONE code
+    // point of length), digits, stopword-dense text, nulls
+    val extra = Seq(
+      (9001L, ""), (9002L, "   \t\n  "), (9003L, "的 是 了 在 和"),
+      (9004L, "café résumé 😀 ok"),
+      (9005L, "12345 67 8"), (9006L, "the of and to in is that it a an"),
+      (9007L, "el la los las de y es un una que"),
+      (9008L, null.asInstanceOf[String]),
+      (9009L, "a.b,c;d:e!f?g"), (9010L, "le la les de et est un une"))
+      .toDF("doc_id", "text")
+    val all = docs.select(col("doc_id"), col("text")).union(extra)
+    val native = all.select(col("doc_id"),
+      NativeExpressions.textProfile(col("text")).as("p"))
+      .select(col("doc_id"), col("p.n_tokens"), col("p.n_bpe"),
+        col("p.lang_pred"), col("p.quality_micros"))
+      .as[(Long, Option[Int], Option[Int], Option[String], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val decl = all.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("nt"),
+      TextFunctions.bpeTokenCountApprox(col("text")).as("nb"),
+      TextFunctions.langId(col("text")).as("lg"),
+      TextFunctions.qualityScoreMicros(col("text")).as("qm"))
+      .as[(Long, Option[Int], Option[Int], Option[String], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(native.keySet == decl.keySet)
+    native.foreach { case (id, p) => assert(p == decl(id), s"doc $id") }
+  }
+
   test("CosineSim == declarative cosine, bit-exact, on embedding pairs") {
     val a = emb.filter(col("vec_id") < 50)
       .select(col("vec_id").as("ia"), col("embedding").as("va"))
