@@ -95,14 +95,20 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val ok = results.filter(_._4.isEmpty)
-    val qs = ok.map { case (k, med, _, _) => jstr(k) + ":" + med }
+    // 3-decimal per-query values (ms resolution is plenty) keep the
+    // line short, and the headline total/failed fields print AFTER the
+    // per-query maps: the driver records the TAIL of the output, so a
+    // long queries map must never push the totals off the front of the
+    // captured line (BENCH_r04's recorded artifact lost its "value")
+    def f3(d: Double): String = f"$d%.3f"
+    val qs = ok.map { case (k, med, _, _) => jstr(k) + ":" + f3(med) }
       .mkString("{", ",", "}")
-    val mins = ok.map { case (k, _, mn, _) => jstr(k) + ":" + mn }
+    val mins = ok.map { case (k, _, mn, _) => jstr(k) + ":" + f3(mn) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"reps":$reps,"errors":$errs,"failed":${results.count(_._4.nonEmpty)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"queries_min":$mins,"reps":$reps,"errors":$errs,"sf":"$sfDir","failed":${results.count(_._4.nonEmpty)},"value":${f3(total)}}""")
     spark.stop()
     if (results.exists(_._4.nonEmpty)) sys.exit(1)
   }

@@ -145,10 +145,18 @@ object StretchQueries {
       import s.implicits._
       val docs = t(s, dir, "documents")
       val cms = graft.operators.Sketch.sketchTokens(docs, "text")
-      val vocab = docs
+      // BOUNDED probe: top-100 tokens by corpus frequency (total order
+      // → deterministic set), not the open vocabulary — estimateAll is
+      // a driver-side read path and its probe list must stay O(100)
+      // even on a web corpus whose distinct-token count is billions.
+      // On the gate corpus the vocab fits inside the cap, so the exact
+      // histogram (same cap, same order) remains the oracle.
+      val probes = docs
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))
-        .distinct().as[String].collect().toSeq.sorted
-      graft.operators.Sketch.estimateAll(s, cms, vocab)
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(100)
+        .select(col("token")).as[String].collect().toSeq
+      graft.operators.Sketch.estimateAll(s, cms, probes)
     }),
 
     // TF-IDF term weights: integer-micros idf per token (margin-audited)
@@ -263,11 +271,18 @@ object StretchQueries {
     }),
 
     // int8 embedding quantization: the vector-store compression pass
-    // (4× smaller), exact-arithmetic oracle on the full array values
+    // (4× smaller), exact-arithmetic oracle on the full array values.
+    // The int8 array ships as a CSV string: the driver compare
+    // canonicalizes rows by lexsorting every column, and an array-typed
+    // column is unhashable/unsortable there — a scalar encoding of the
+    // SAME values keeps the gate exact (the array form is what the
+    // operator emits; SimilaritySpec pins its numeric contract).
     "q_v_quantize" -> ((s, dir) =>
       graft.functions.VectorFunctions
         .withQuantizedInt8(t(s, dir, "embeddings"), "embedding")
-        .select(col("vec_id"), col("q8"), col("q_scale"))),
+        .select(col("vec_id"),
+          array_join(col("q8").cast("array<string>"), ",").as("q8_csv"),
+          col("q_scale"))),
 
     // IVF index with full probe = exhaustive → shares the brute-force
     // oracle; partial-probe recall is pinned in IvfSpec
@@ -545,7 +560,8 @@ object StretchQueries {
 
     "q_t_cms" ->
       (s"SELECT u.token AS token, count(*) AS est_count FROM " +
-        s"(SELECT unnest($tokensSql) AS token FROM documents) u GROUP BY 1"),
+        s"(SELECT unnest($tokensSql) AS token FROM documents) u GROUP BY 1 " +
+        "ORDER BY est_count DESC, token ASC LIMIT 100"),
 
     "q_t_docfreq" ->
       (s"SELECT u.token AS token, count(*) AS n_docs FROM " +
@@ -597,9 +613,11 @@ object StretchQueries {
          |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
          |  FROM embeddings)
          |SELECT vec_id,
-         |  CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS INT))
-         |  ELSE list_transform(embedding,
-         |    x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS INT)) END AS q8,
+         |  array_to_string(CASE WHEN mx = 0
+         |    THEN list_transform(embedding, x -> CAST(0 AS INT))
+         |    ELSE list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS INT)) END,
+         |    ',') AS q8_csv,
          |  mx AS q_scale FROM m""".stripMargin).replaceAll(raw"\s+", " "),
 
     "q_v_topk" ->

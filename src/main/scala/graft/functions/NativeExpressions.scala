@@ -103,6 +103,52 @@ object NativeExpressions {
                        seed: Long = 42L): Column =
     toCol(MinHashSig(toExpr(text), k, numHashes, seed))
 
+  /** MinHash signature from an already-hashed shingle array (the
+    * [[ShingleHashSet]] column). Bit-identical to [[MinHashSig]] on the
+    * originating text — the set form drops duplicate shingles, and a
+    * duplicate can never change a minimum — so one kernel pass can
+    * feed BOTH the LSH banding and the exact-Jaccard verification
+    * (NativeExprSpec pins the equivalence on real corpora). The fold
+    * is numHashes multiply-mods per element: no string work at all,
+    * which is what makes deriving the signature from the stored set
+    * cheaper than re-tokenizing the document.
+    */
+  case class MinHashFromHashes(child: Expression, numHashes: Int, seed: Long)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    private val P = 1000000007L
+    private lazy val params: Array[(Long, Long)] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(numHashes)((math.abs(rnd.nextLong() % (P - 1)) + 1L,
+        math.abs(rnd.nextLong() % P)))
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var s = 0
+      while (s < n) {
+        val x = a.getLong(s)
+        var i = 0
+        while (i < numHashes) {
+          val (p1, p2) = params(i)
+          val h = java.lang.Math.floorMod(x * p1 + p2, P)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashFromHashes =
+      copy(child = c)
+  }
+
+  def minhashFromHashes(hashes: Column, numHashes: Int = 32,
+                        seed: Long = 42L): Column =
+    toCol(MinHashFromHashes(toExpr(hashes), numHashes, seed))
+
   // ── SimHash ─────────────────────────────────────────────────────────
 
   /** Token-set SimHash; value-identical to `Dedup.simhash`. */

@@ -140,14 +140,26 @@ object Dedup {
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                         maxBucketSize: Int = 1000,
-                        includeEstimate: Boolean = true): DataFrame = {
+                        includeEstimate: Boolean = true): DataFrame =
+    candidatesFromSignatures(
+      minhashSignatures(df, textCol, idCol, k, numHashes),
+      idCol, numHashes, bands, maxBucketSize, includeEstimate)
+
+  /** Candidate pairs from a precomputed `(idCol, sig)` table — the
+    * entry point for pipelines that already hold signatures
+    * ([[withNearDupPairs]] derives them from stored shingle sets so the
+    * corpus is tokenized exactly once).
+    */
+  def candidatesFromSignatures(withSig: DataFrame, idCol: String,
+                               numHashes: Int = 32, bands: Int = 8,
+                               maxBucketSize: Int = 1000,
+                               includeEstimate: Boolean = true): DataFrame = {
     // silent truncation (bands∤numHashes) skews the detection curve;
     // bands > numHashes degenerates to ONE global bucket that the skew
     // cap then drops — an empty result with no error
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must evenly divide numHashes ($numHashes)")
     val rows = numHashes / bands
-    val withSig = minhashSignatures(df, textCol, idCol, k, numHashes)
     // when the caller verifies with exact Jaccard anyway (nearDupPairs),
     // skip the estimate: the shuffle then carries (band, bucket, id)
     // alone — 16 bytes/row instead of id + the full signature
@@ -271,29 +283,46 @@ object Dedup {
     * with its intermediates persisted, passes it to `f` (which must
     * run whatever actions it needs), and unpersists in try/finally.
     *
-    * Why the persists exist: the candidate pair list feeds two
-    * consumers (the id semi-join and the final verification join) and
-    * the candidate shingle sets feed both sides of that join —
-    * without caching, the LSH band shuffle would run three times and
-    * the shingle kernel twice. `Dataset.persist` registers the plan
-    * in the session's CacheManager, which holds it until an explicit
-    * `unpersist()` — so the bracket, not GC, is what guarantees a
-    * long-lived session doesn't accumulate dead cache entries.
+    * ONE kernel pass over the corpus: tokenize → shingle → hash →
+    * sorted distinct set ([[graft.functions.NativeExpressions.ShingleHashSet]]),
+    * persisted because BOTH downstream consumers read it — the MinHash
+    * signature is derived from the stored set (bit-identical to
+    * hashing the raw text: a duplicate shingle can never change a
+    * minimum — NativeExprSpec pins it), and exact-Jaccard verification
+    * joins the same sets back on candidate ids. Round 4 ran the
+    * dominant string-processing kernel twice (MinHashSig over the full
+    * corpus + a second ShingleHashSet pass for verification); deriving
+    * the signature from the set makes the second "pass" pure integer
+    * folds. The persisted set column is the operator's peak storage
+    * (≈ the tokenized corpus, spilling to disk) — the same trade a
+    * production dedup run makes when it stores signatures instead of
+    * re-reading documents.
+    *
+    * Why the persists exist: the set table feeds the banding path and
+    * both sides of the verification join; the candidate pair list
+    * feeds the id semi-join and the final join. `Dataset.persist`
+    * registers the plan in the session's CacheManager, which holds it
+    * until an explicit `unpersist()` — so the bracket, not GC, is what
+    * guarantees a long-lived session doesn't accumulate dead cache
+    * entries.
     */
   def withNearDupPairs[T](df: DataFrame, textCol: String, idCol: String,
                           threshold: Double, k: Int = 3)
                          (f: DataFrame => T): T = {
-    import graft.functions.NativeExpressions.{shingleHashSet, sortedJaccard}
-    val cands = minhashCandidates(df, textCol, idCol, k,
+    import graft.functions.NativeExpressions.{minhashFromHashes, shingleHashSet, sortedJaccard}
+    val allSets = df
+      .select(col(idCol), shingleHashSet(col(textCol), k).as("shingle_set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = allSets.select(col(idCol),
+      minhashFromHashes(col("shingle_set")).as("sig"))
+    val cands = candidatesFromSignatures(sigs, idCol,
       includeEstimate = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // verification kernel runs ONLY on candidate docs: semi-join the
-    // corpus down to candidate ids BEFORE computing shingle sets. At
-    // corpus scale candidates are a small fraction of rows — without
-    // this the shingle kernel re-processes the ENTIRE corpus on both
-    // join sides just to verify a handful of pairs. No distinct: a
-    // left-semi probe side needs no dedup, so the explode feeds the
-    // join directly (one shuffle fewer).
+    // verification joins ONLY candidate docs' sets: semi-join the set
+    // table down to candidate ids first — at corpus scale candidates
+    // are a small fraction of rows. No distinct: a left-semi probe
+    // side needs no dedup, so the explode feeds the join directly
+    // (one shuffle fewer).
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
     // verify on sorted shingle-hash sets: 8 bytes/shingle through the
@@ -303,10 +332,7 @@ object Dedup {
     // no broadcast hint: AQE broadcasts the id list when it is small
     // (the usual case) and falls back to a shuffled semi-join when a
     // pathological corpus yields candidate lists past the threshold.
-    val sets = df
-      .join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), shingleHashSet(col(textCol), k).as("shingle_set"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = allSets.join(candIds, Seq(idCol), "left_semi")
     try {
       val sa = sets.select(col(idCol).as("id_a"), col("shingle_set").as("set_a"))
       val sb = sets.select(col(idCol).as("id_b"), col("shingle_set").as("set_b"))
@@ -317,7 +343,7 @@ object Dedup {
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard")))
     } finally {
-      sets.unpersist(blocking = false)
+      allSets.unpersist(blocking = false)
       cands.unpersist(blocking = false)
     }
   }

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.functions.NativeExpressions.{cosine, nearestCentroids}
@@ -30,8 +32,41 @@ object Ivf {
     def k: Int = centroids.length
   }
 
+  /** Element-wise vector sum as a typed aggregation: every partition
+    * folds its float vectors into ONE double[dim] buffer (the map-side
+    * partial), buffers merge by element-wise addition, so the shuffle
+    * and the driver round-trip carry k buffers — the centroid matrix
+    * itself — never per-element rows.
+    */
+  private final class VecSumAgg(dim: Int)
+      extends Aggregator[Seq[Float], Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = new Array[Double](dim)
+    override def reduce(b: Array[Double], a: Seq[Float]): Array[Double] = {
+      val n = math.min(dim, a.length)
+      var i = 0
+      while (i < n) { b(i) += a(i); i += 1 }
+      b
+    }
+    override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < dim) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Double]): Seq[Double] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Double]] =
+      Encoders.kryo[Array[Double]]
+    override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  }
+
   /** Lloyd's k-means on cosine geometry. Deterministic for a fixed
     * seed: init picks the first k distinct-id rows of a seeded sample.
+    *
+    * Per-iteration driver traffic is k rows of (cluster, sum_vec, n) —
+    * exactly the k×dim centroid matrix — because the element-wise sums
+    * aggregate executor-side ([[VecSumAgg]]). The earlier posexplode
+    * form collected k×dim SCALAR rows, which at k=65k/dim=1k is 64M
+    * rows of driver traffic per iteration; the typed aggregator keeps
+    * the round-trip invariant of the module scaladoc true at any k.
     */
   def train(df: DataFrame, k: Int, iters: Int = 3, seed: Long = 42L,
             idCol: String = "vec_id",
@@ -40,24 +75,20 @@ object Ivf {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     var centroids = init
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    val sumVec = udaf(new VecSumAgg(dim), ExpressionEncoder[Seq[Float]]())
     var it = 0
     while (it < iters) {
       val assigned = df.select(col(vecCol),
         element_at(nearestCentroids(col(vecCol), centroids, 1), 1).as("cluster"))
-      // element-wise mean per cluster: posexplode → (cluster, pos) sums
-      val sums = assigned
-        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+      val stats = assigned.groupBy(col("cluster"))
+        .agg(sumVec(col(vecCol)).as("s"), count(lit(1)).as("n"))
         .collect()
-      val byCluster = sums.groupBy(_.getInt(0))
+      val byCluster = stats.map(r =>
+        r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2)))).toMap
       centroids = centroids.indices.map { c =>
         byCluster.get(c) match {
-          case Some(rows) =>
-            val dim = rows.map(_.getInt(1)).max + 1
-            val v = new Array[Double](dim)
-            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
-            v
+          case Some((s, n)) => s.map(_ / n).toArray
           case None => centroids(c) // empty cluster keeps its centroid
         }
       }.toArray

@@ -20,11 +20,12 @@ import graft.functions.VectorFunctions.hammingDist
   *    `row_number().over(Window)` would sort. The baseline and the
   *    ground truth.
   *  - `lshTopK` — scale path: random-hyperplane signatures bucket the
-  *    corpus; each query only scores candidates whose signature falls
-  *    within `maxHamming` of its own (multi-probe by signature join on
-  *    the query side would make this a pure equi-join at billions of
-  *    rows; here the probe set is expanded query-side since queries are
-  *    few). Recall tunes with nBits/maxHamming.
+  *    corpus; each query scores only candidates whose signature falls
+  *    within `maxHamming` of its own, found by multi-probe expansion:
+  *    the query side explodes its Hamming ball into probe signatures
+  *    and the corpus joins by signature EQUALITY (a hash join — one
+  *    probe per corpus row), never a nested-loop distance test. Recall
+  *    tunes with nBits/maxHamming.
   *
   * Near-dup-by-embedding (`cosineNearDupPairs`) reuses the same
   * hyperplane bucketing to avoid O(n²) pairs.
@@ -50,6 +51,20 @@ object SimilaritySearch {
     * exact cosine only on candidates within `maxHamming` signature
     * bits. Recall < 1 by design; the output shape is identical to the
     * exact path so callers can swap them.
+    *
+    * Multi-probe execution: the Hamming ball is enumerated ONCE
+    * driver-side as XOR masks (the ball is identical for every query —
+    * only its center differs), exploded on the small query side, and
+    * the corpus joins by signature EQUALITY. That compiles to a
+    * broadcast HASH join — one hash probe per corpus row — where the
+    * former `hammingDist(n_sig, q_sig) <= maxHamming` θ-join compiled
+    * to a BroadcastNestedLoopJoin testing every corpus row against
+    * every query (PlanQualitySpec pins the plan shape). A pair within
+    * the ball matches exactly one mask (m = sig_n ⊕ sig_q), so the
+    * join introduces no duplicate candidates and the candidate set is
+    * IDENTICAL to the θ-join's. The probe fan-out Σᵢ C(nBits, i),
+    * i ≤ maxHamming, is bounded by require() — it multiplies only the
+    * query side, never the corpus.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nBits: Int = 16, maxHamming: Int = 6,
@@ -59,13 +74,46 @@ object SimilaritySearch {
       .withColumn("n_sig", hyperplaneSignature(col("n_vec"), dim, nBits))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("q_sig", hyperplaneSignature(col("q_vec"), dim, nBits))
-    val scored = c.join(broadcast(q),
-        hammingDist(col("n_sig"), col("q_sig")) <= maxHamming &&
-          col("n_id") =!= col("q_id"))
+    val masks = hammingBallMasks(nBits, maxHamming)
+    // probes carry (q_id, probe_sig) ONLY — exploding the query VECTOR
+    // ball-size times would multiply the broadcast by dim·|ball|; the
+    // vector re-joins by q_id after the signature match instead
+    val probes = q
+      .select(col("q_id"), col("q_sig"), explode(typedlit(masks)).as("mask"))
+      .select(col("q_id"), col("q_sig").bitwiseXOR(col("mask")).as("probe_sig"))
+    val scored = c.join(broadcast(probes), col("n_sig") === col("probe_sig"))
+      .filter(col("n_id") =!= col("q_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_vec"))), Seq("q_id"))
       .select(col("q_id"), col("n_id"),
         cosine(col("q_vec"), col("n_vec")).as("cosine"))
     TopK.topKPerKey(scored, k)(corpus.sparkSession)
   }
+
+  /** Every XOR mask over `nBits` bits with popcount ≤ `maxHamming` —
+    * the Hamming-ball offsets for multi-probe signature expansion.
+    */
+  private[operators] def hammingBallMasks(nBits: Int,
+                                          maxHamming: Int): Seq[Long] = {
+    val ballSize = (0 to math.min(maxHamming, nBits))
+      .map(binomial(nBits, _)).sum
+    require(ballSize <= (1 << 20),
+      s"multi-probe ball size $ballSize exceeds 2^20 — lower maxHamming " +
+        s"($maxHamming) or nBits ($nBits), or partition the signature " +
+        "into bands instead")
+    val out = Seq.newBuilder[Long]
+    def rec(start: Int, left: Int, acc: Long): Unit = {
+      out += acc
+      if (left > 0) {
+        var b = start
+        while (b < nBits) { rec(b + 1, left - 1, acc | (1L << b)); b += 1 }
+      }
+    }
+    rec(0, maxHamming, 0L)
+    out.result()
+  }
+
+  private def binomial(n: Int, k: Int): BigInt =
+    (1 to k).foldLeft(BigInt(1))((acc, i) => acc * (n - i + 1) / i)
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     * threshold) via signature blocking: only pairs sharing a signature

@@ -87,7 +87,12 @@ object Sketch {
 
   /** (token, est_count) for a bounded list of probe tokens — the
     * driver-side read path of the sketch (≤ |probes| estimates, each
-    * O(depth)).
+    * O(depth)). CONTRACT: `probes` must be a bounded, caller-chosen
+    * list (a top-N from an aggregate, a watchlist, a sample) — never
+    * the corpus's full distinct vocabulary, which on an open web corpus
+    * is billions of tokens and would turn this driver-side convenience
+    * into an unbounded collect. The sketch exists precisely so that
+    * per-token reads stay O(depth) without a vocabulary table.
     */
   def estimateAll(spark: SparkSession, cms: Cms,
                   probes: Seq[String]): DataFrame = {

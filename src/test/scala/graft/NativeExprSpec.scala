@@ -25,6 +25,26 @@ class NativeExprSpec extends SparkSpec {
     native.foreach { case (id, sig) => assert(sig == decl(id), s"doc $id") }
   }
 
+  test("MinHashFromHashes(ShingleHashSet) == MinHashSig on all sf0.001 docs " +
+    "plus edge rows") {
+    // the one-pass dedup pipeline derives signatures from the stored
+    // shingle-hash SET — bit-identity with hashing the raw text is the
+    // contract (duplicate shingles can't change a minimum). Edge rows:
+    // empty text (one "" shingle), short text (≤ k tokens), null.
+    val extra = Seq((8001L, ""), (8002L, "one two"),
+      (8003L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val all = docs.select(col("doc_id"), col("text")).union(extra)
+    val fromSet = all.select(col("doc_id"),
+      NativeExpressions.minhashFromHashes(
+        NativeExpressions.shingleHashSet(col("text"))).as("sig"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    val fromText = all.select(col("doc_id"),
+      NativeExpressions.minhashSignature(col("text")).as("sig"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(fromSet.keySet == fromText.keySet)
+    fromSet.foreach { case (id, sig) => assert(sig == fromText(id), s"doc $id") }
+  }
+
   test("SimHash == declarative simhash on all sf0.001 docs") {
     val native = docs.select(col("doc_id"),
       NativeExpressions.simhash(col("text")).as("sh"))

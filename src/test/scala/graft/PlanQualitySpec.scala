@@ -61,6 +61,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"cross join not broadcast:\n$p")
   }
 
+  test("q_v_topk_lsh: multi-probe signature expansion joins by HASH, " +
+    "not nested-loop distance test") {
+    val p = plan("q_v_topk_lsh")
+    assert(p.contains("BroadcastHashJoin"), s"probe join not a hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"lshTopK regressed to a θ-join full scan per query:\n$p")
+  }
+
   test("ANN rankings use the bounded top-k aggregator, never a window sort") {
     // row_number().over(Window) would shuffle + sort the FULL score
     // matrix; the TopK aggregator keeps k pairs per key per partition
