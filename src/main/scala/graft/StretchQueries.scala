@@ -179,6 +179,29 @@ object StretchQueries {
         .select(col("doc_id"), col("c.chunk_start").as("chunk_start"),
           col("c.chunk").as("chunk"))),
 
+    // within-doc duplicate-shingle fraction (the Gopher-style
+    // repetition quality signal): staged token → shingle projections,
+    // one scan, no shuffle
+    "q_t_rep_ratio" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
+        .select(col("doc_id"),
+          TextFunctions.shinglesFromTokens(col("__t"), 3).as("__sh"))
+        .select(col("doc_id"),
+          TextFunctions.repetitionRatio(col("__sh")).as("rep_ratio"))),
+
+    // benchmark decontamination: the corpus slice surviving after
+    // dropping every doc that shares a 3-shingle with the (held-out)
+    // benchmark slice — deterministic slicing on doc_id so the overlap
+    // relation is oracle-expressible
+    "q_t_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      Dedup.decontaminate(corpus, bench, "text", "doc_id")
+        .select(col("doc_id"))
+    }),
+
     // ── dedup ──────────────────────────────────────────────────────────
     "q_d_exact" -> ((s, dir) =>
       Dedup.exactByHash(t(s, dir, "documents"), "text", "doc_id")),
@@ -584,6 +607,25 @@ object StretchQueries {
         "FROM (SELECT doc_id, unnest(list_transform(range(1, last_start + 1, 24), " +
         "x -> struct_pack(chunk_start := x, chunk := array_to_string(tk[x:x+31], ' ')))) AS u " +
         "FROM t WHERE len(tk) > 0)"),
+
+    "q_t_rep_ratio" ->
+      (s"WITH t AS (SELECT doc_id, $tokensSql AS ta FROM documents) " +
+        s"SELECT doc_id, round(1.0 - len(list_distinct($shinglesSqlA)) * 1.0 " +
+        s"/ len($shinglesSqlA), 6) AS rep_ratio FROM t"),
+
+    // string shingles on the oracle side vs 64-bit shingle hashes on
+    // the engine side: equivalent unless xxhash64 collides between a
+    // corpus and a benchmark shingle (~|shingles|²/2⁶⁴)
+    "q_t_decontam" ->
+      (s"""WITH tq AS (SELECT doc_id, $tokensSql AS ta FROM documents),
+         |bsh AS (SELECT DISTINCT unnest($shinglesSqlA) AS sh FROM tq
+         |        WHERE doc_id % 97 = 0),
+         |csh AS (SELECT doc_id, unnest(list_distinct($shinglesSqlA)) AS sh
+         |        FROM tq WHERE doc_id % 97 <> 0),
+         |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh))
+         |SELECT doc_id FROM documents WHERE doc_id % 97 <> 0
+         |AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin)
+        .replaceAll(raw"\s+", " "),
 
     // the null filter mirrors Dedup.exactByHash: null content is
     // unknown, not equal (latent until a testdata generation carries

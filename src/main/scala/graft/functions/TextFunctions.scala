@@ -128,6 +128,17 @@ object TextFunctions {
   def shingles(c: Column, k: Int = 3): Column =
     shinglesFromTokens(tokens(c), k)
 
+  /** Within-document duplicate-shingle fraction — the Gopher-style
+    * repetition quality signal (a looping or boilerplate document
+    * repeats its own k-grams): 1 − |distinct shingles| / |shingles|,
+    * rounded to 6 decimals. Pass a materialized shingle-array column
+    * (see [[shinglesFromTokens]] on lambda re-evaluation); the divisor
+    * is ≥ 1 by construction (short docs yield one whole-text shingle).
+    */
+  def repetitionRatio(sh: Column): Column =
+    round(lit(1.0) -
+      size(array_distinct(sh)).cast("double") / size(sh).cast("double"), 6)
+
   /** Sliding-window token chunks for training-data preparation: windows
     * of `chunkSize` tokens every `chunkSize - overlap` tokens, tagged
     * with their 1-based start-token offset. Emitted as an array of

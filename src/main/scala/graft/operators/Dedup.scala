@@ -348,6 +348,44 @@ object Dedup {
     }
   }
 
+  // ── Benchmark decontamination ───────────────────────────────────────
+
+  /** Ids of corpus documents sharing at least one word-k-shingle with
+    * the benchmark set — the train/test contamination check a
+    * training-data pipeline runs before release (an eval document
+    * whose shingles leak into the corpus inflates benchmark scores).
+    *
+    * Execution shape: shingle HASHES (8 bytes each, from the same
+    * [[graft.functions.NativeExpressions.ShingleHashSet]] kernel the
+    * dedup pipeline uses) explode on both sides and meet in a semi-join
+    * keyed on the hash — the corpus never shuffles text, and the
+    * benchmark side (eval sets are thousands of documents, not
+    * billions) deduplicates to a distinct hash list that AQE
+    * broadcasts. The id distinct is the only corpus-keyed shuffle and
+    * carries bare ids.
+    */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+                      textCol: String, idCol: String,
+                      k: Int = 3): DataFrame = {
+    import graft.functions.NativeExpressions.shingleHashSet
+    val bsh = benchmark
+      .select(explode(shingleHashSet(col(textCol), k)).as("__sh"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(shingleHashSet(col(textCol), k)).as("__sh"))
+      .join(bsh, Seq("__sh"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+  }
+
+  /** Corpus minus contaminated documents — an anti join against the
+    * (small) contaminated-id list.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String, k: Int = 3): DataFrame =
+    corpus.join(contaminatedIds(corpus, benchmark, textCol, idCol, k),
+      Seq(idCol), "left_anti")
+
   // ── Dedup resolution (connected components) ─────────────────────────
 
   /** Connected components over an undirected pair list — the dedup

@@ -151,4 +151,27 @@ class DedupSpec extends SparkSpec {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
   }
+
+  test("decontaminate drops exactly the docs sharing a shingle with the " +
+    "benchmark set") {
+    // benchmark doc's 3-shingles: "eval question alpha", "question
+    // alpha beta", "alpha beta gamma". Doc 11 contains "question alpha
+    // beta" → contaminated; 12 reuses the words but never 3 in
+    // benchmark order → clean; 13 is disjoint; 14 is shorter than k
+    // (whole-text shingle "alpha beta", not a benchmark shingle) → clean
+    val benchmark = Seq((100L, "eval question alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val corp = Seq(
+      (11L, "intro text question alpha beta closing words"),
+      (12L, "beta alpha question in scrambled order here"),
+      (13L, "completely unrelated content entirely"),
+      (14L, "alpha beta")
+    ).toDF("doc_id", "text")
+    val bad = Dedup.contaminatedIds(corp, benchmark, "text", "doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(bad == Seq(11L))
+    val kept = Dedup.decontaminate(corp, benchmark, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(12L, 13L, 14L))
+  }
 }
