@@ -179,6 +179,26 @@ object StretchQueries {
         .select(col("doc_id"), col("c.chunk_start").as("chunk_start"),
           col("c.chunk").as("chunk"))),
 
+    // deterministic weighted corpus mixing: per-language keep rates
+    // (en 192/256, und 64/256, default 128/256) keyed on the content
+    // hash — the pretraining-mixture re-weighting step, reproducible
+    // across engines/repartitions, absorbed by the scan (no shuffle)
+    "q_t_mix" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          graft.functions.NativeExpressions.textProfile(col("text"))
+            .getField("lang_pred").as("lang"))
+        .filter(graft.operators.DatasetSplit.weightedSampleFilter(
+          col("text"), col("lang"), Map("en" -> 192, "und" -> 64), 128))
+        .select(col("doc_id"), col("lang"))),
+
+    // sequence-packing offsets: each doc's start offset and context-
+    // window index in its bucket's concatenated token stream — one
+    // window sum per content-hash bucket, never a global sort
+    "q_t_pack" -> ((s, dir) =>
+      graft.operators.Packing.packOffsets(
+        t(s, dir, "documents"), "text", "doc_id", seqTokens = 1024)),
+
     // within-doc duplicate-shingle fraction (the Gopher-style
     // repetition quality signal): staged token → shingle projections,
     // one scan, no shuffle
@@ -607,6 +627,25 @@ object StretchQueries {
         "FROM (SELECT doc_id, unnest(list_transform(range(1, last_start + 1, 24), " +
         "x -> struct_pack(chunk_start := x, chunk := array_to_string(tk[x:x+31], ' ')))) AS u " +
         "FROM t WHERE len(tk) > 0)"),
+
+    "q_t_mix" ->
+      (s"WITH d AS (SELECT doc_id, $langCaseSql AS lang, " +
+        s"$bucketSql AS bucket FROM documents) " +
+        "SELECT doc_id, lang FROM d WHERE bucket < " +
+        "CASE WHEN lang = 'en' THEN 192 WHEN lang = 'und' THEN 64 " +
+        "ELSE 128 END").replaceAll(raw"\s+", " "),
+
+    // sum(BIGINT) is HUGEINT in DuckDB — cast back to Spark's long
+    "q_t_pack" ->
+      (s"""WITH b AS (SELECT doc_id, CAST($bucketSql AS INT) AS bucket,
+         |  CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents),
+         |o AS (SELECT doc_id, bucket, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+         |  FROM b)
+         |SELECT doc_id, bucket, n_tokens, start_offset,
+         |  start_offset // 1024 AS seq_id FROM o""".stripMargin)
+        .replaceAll(raw"\s+", " "),
 
     "q_t_rep_ratio" ->
       (s"WITH t AS (SELECT doc_id, $tokensSql AS ta FROM documents) " +

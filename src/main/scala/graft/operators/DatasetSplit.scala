@@ -51,4 +51,24 @@ object DatasetSplit {
       .when(b < trainBuckets + valBuckets, lit("val"))
       .otherwise(lit("test"))
   }
+
+  /** Deterministic weighted corpus mixing: keep a row with per-group
+    * probability rate/256, keyed on the content hash — the "30% web,
+    * 45% books, re-weight the rest" step of assembling a pretraining
+    * mixture, with the same reproducibility contract as the split
+    * (stable across runs, engines, repartitions; duplicates land
+    * together). A projection + filter the scan absorbs: no shuffle,
+    * no seed state.
+    */
+  def weightedSampleFilter(content: Column, group: Column,
+                           rates: Map[String, Int],
+                           defaultRate: Int): Column = {
+    require((defaultRate +: rates.values.toSeq)
+      .forall(r => r >= 0 && r <= 256),
+      "rates are bucket counts in [0, 256]")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (g, r)) =>
+      when(group === g, lit(r)).otherwise(acc)
+    }
+    bucket256(content) < rate
+  }
 }

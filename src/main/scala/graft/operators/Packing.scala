@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Sequence packing for pretraining-data preparation: documents are
+  * conceptually concatenated into one token stream per content-hash
+  * bucket (in deterministic (bucket, id) order) and sliced into fixed
+  * `seqTokens` context windows. This operator computes each document's
+  * START OFFSET in its bucket's stream and the window ("sequence")
+  * index that offset lands in — the bookkeeping a packed-pretraining
+  * writer needs to emit attention-mask boundaries, without ever
+  * materializing the concatenation.
+  *
+  * Execution shape: ONE window sum, partitioned by the bucket — 256
+  * independent per-bucket sorts, never a global `orderBy` (a global
+  * running offset would serialize the whole corpus through one
+  * partition; per-bucket streams are independently consumable by
+  * downstream loaders, which is how production packing shards). At
+  * 100 TB the per-bucket doc list is what must fit an executor's sort
+  * budget — the content hash spreads documents uniformly, so each
+  * bucket holds ≈ corpus/256; repartition the corpus by bucket first
+  * if the default layout co-locates few buckets per task.
+  *
+  * Determinism contract matches [[DatasetSplit]]: the bucket keys on
+  * the content hash and the intra-bucket order on the id column, so
+  * offsets are stable across runs, engines, and repartitions.
+  */
+object Packing {
+
+  /** (id, bucket, n_tokens, start_offset, seq_id) per document:
+    * `start_offset` = tokens preceding this doc in its bucket's
+    * stream, `seq_id` = start_offset div seqTokens.
+    */
+  def packOffsets(df: DataFrame, textCol: String, idCol: String,
+                  seqTokens: Int): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol),
+        DatasetSplit.bucket256(col(textCol)).as("bucket"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr(s"start_offset div $seqTokens"))
+  }
+}

@@ -180,4 +180,51 @@ class TextFunctionsSpec extends SparkSpec {
     assert(frac("train") > 0.7 && frac("train") < 0.9, frac.toMap)
     assert(frac.getOrElse("val", 0.0) < 0.2 && frac.getOrElse("test", 0.0) < 0.2)
   }
+
+  test("weightedSampleFilter: rate-0 drops all, rate-256 keeps all, " +
+    "kept set is the bucket-threshold subset per group") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.DatasetSplit
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") % 2 === 0).cast("string").as("g"))
+    def kept(rates: Map[String, Int], dflt: Int): Set[Long] =
+      docs.filter(DatasetSplit.weightedSampleFilter(col("text"), col("g"),
+        rates, dflt)).select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept(Map("true" -> 0, "false" -> 0), 0).isEmpty)
+    assert(kept(Map("true" -> 256), 256) == all)
+    // group "true" at 256 keeps every even doc; group "false" at 0
+    // drops every odd one — the filter composes per group
+    val mixed = kept(Map("true" -> 256, "false" -> 0), 128)
+    assert(mixed == all.filter(_ % 2 == 0))
+    // rate r keeps exactly the bucket<r subset (consistent with split)
+    val half = kept(Map.empty, 128)
+    val buckets = docs.select(col("doc_id"),
+      DatasetSplit.bucket256(col("text")).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(half == all.filter(buckets(_) < 128))
+  }
+
+  test("packOffsets: per-bucket streams are contiguous, non-overlapping, " +
+    "and deterministically ordered") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = graft.operators.Packing
+      .packOffsets(docs, "text", "doc_id", seqTokens = 64)
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    packed.groupBy(_._1).foreach { case (bucket, rows) =>
+      val inOrder = rows.sortBy(_._2) // by doc_id
+      // offsets tile the stream exactly: each doc starts where the
+      // previous one ended, first starts at 0
+      var expected = 0L
+      inOrder.foreach { case (_, id, nt, off, seq) =>
+        assert(off == expected, s"bucket $bucket doc $id")
+        assert(seq == off / 64, s"bucket $bucket doc $id seq_id")
+        expected += nt
+      }
+    }
+  }
 }
