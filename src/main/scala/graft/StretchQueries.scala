@@ -179,6 +179,14 @@ object StretchQueries {
         .select(col("doc_id"), col("c.chunk_start").as("chunk_start"),
           col("c.chunk").as("chunk"))),
 
+    // corpus-bigram-LM surprisal (the perplexity-filter stage): train
+    // on the corpus, score the corpus — integer-micros per bigram type
+    // then exact int64 sums, so the length-dependent score still gets
+    // a full cross-engine oracle
+    "q_t_surprisal" -> ((s, dir) =>
+      graft.operators.LangModel.bigramSurprisal(
+        t(s, dir, "documents"), "text", "doc_id")),
+
     // deterministic weighted corpus mixing: per-language keep rates
     // (en 192/256, und 64/256, default 128/256) keyed on the content
     // hash — the pretraining-mixture re-weighting step, reproducible
@@ -627,6 +635,27 @@ object StretchQueries {
         "FROM (SELECT doc_id, unnest(list_transform(range(1, last_start + 1, 24), " +
         "x -> struct_pack(chunk_start := x, chunk := array_to_string(tk[x:x+31], ' ')))) AS u " +
         "FROM t WHERE len(tk) > 0)"),
+
+    // mirrors LangModel.bigramSurprisal: one rounding site per bigram
+    // TYPE (round-half-away on a positive double in both engines),
+    // then exact integer sums; sum(BIGINT) → HUGEINT casts back
+    "q_t_surprisal" ->
+      (s"""WITH t AS (SELECT doc_id, $tokensSql AS ta FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ta)),
+         |    i -> struct_pack(w1 := ta[i], w2 := ta[i+1]))) AS b
+         |  FROM t WHERE len(ta) >= 2),
+         |occ AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS tf
+         |  FROM bg GROUP BY 1, 2, 3),
+         |c12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12
+         |  FROM occ GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+         |s AS (SELECT c12.w1, c12.w2,
+         |    CAST(round(1000000.0 * ln(CAST(c1 AS DOUBLE) / c12)) AS BIGINT) AS s
+         |  FROM c12 JOIN c1 ON c12.w1 = c1.w1)
+         |SELECT occ.doc_id, CAST(sum(occ.tf) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(occ.tf * s.s) AS BIGINT) AS surprisal_micros
+         |FROM occ JOIN s ON occ.w1 = s.w1 AND occ.w2 = s.w2
+         |GROUP BY 1""".stripMargin).replaceAll(raw"\s+", " "),
 
     "q_t_mix" ->
       (s"WITH d AS (SELECT doc_id, $langCaseSql AS lang, " +

@@ -22,17 +22,32 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/nation.parquet").count() // warm-up
 
-    val names = if (args.nonEmpty) args.toSeq else Seq("q_d_minhash_lsh")
+    val explain = args.headOption.contains("--explain")
+    val explainExec = args.headOption.contains("--explain-exec")
+    val names0 = if (explain || explainExec) args.tail.toSeq else args.toSeq
+    val names = if (names0.nonEmpty) names0 else Seq("q_d_minhash_lsh")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
-      val times = (1 to reps).map { _ =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        // noop sink like Bench: count() lets Catalyst prune the work
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+      if (explainExec) {
+        // the plan AFTER AQE replanning (runtime exchange reuse etc.)
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        println(s"===== $name (executed) =====")
+        println(df.queryExecution.executedPlan.toString)
+      } else if (explain) {
+        println(s"===== $name =====")
+        println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      } else {
+        val times = (1 to reps).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          // noop sink like Bench: count() lets Catalyst prune the work
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name: ${times.map(t => f"$t%.2f").mkString(" ")} s")
       }
-      println(f"$name: ${times.map(t => f"$t%.2f").mkString(" ")} s")
     }
     spark.stop()
   }

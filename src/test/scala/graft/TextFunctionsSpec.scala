@@ -206,6 +206,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(half == all.filter(buckets(_) < 128))
   }
 
+  test("bigramSurprisal: hand-computed MLE on a tiny corpus; short docs " +
+    "have no score") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b a b"),
+      (4L, "solo"), (5L, "")).toDF("doc_id", "text")
+    val out = graft.operators.LangModel
+      .bigramSurprisal(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // corpus bigrams: (a,b)×3, (a,c)×1, (b,a)×1 → c1(a)=4, c1(b)=1
+    // s(a,b) = round(1e6·ln(4/3)) = 287682; s(a,c) = round(1e6·ln 4)
+    // = 1386294; s(b,a) = round(1e6·ln(1/1)) = 0
+    val sAB = math.round(1e6 * math.log(4.0 / 3.0))
+    val sAC = math.round(1e6 * math.log(4.0))
+    assert(out(1L) == ((1L, sAB)))
+    assert(out(2L) == ((1L, sAC)))
+    assert(out(3L) == ((3L, 2 * sAB + 0L)))
+    // one-token and empty docs have no bigrams → absent
+    assert(!out.contains(4L) && !out.contains(5L))
+  }
+
   test("packOffsets: per-bucket streams are contiguous, non-overlapping, " +
     "and deterministically ordered") {
     import org.apache.spark.sql.functions.col
