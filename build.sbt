@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default on the 128 GiB box: the full 77-query bench in one
+  // JVM accumulates codegen classes + shuffle/broadcast state, and an
+  // 8g heap measurably inflated late-alphabet queries with GC time
+  // (q_v_* ~3-5× their standalone cost). Override: SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
