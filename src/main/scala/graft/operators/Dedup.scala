@@ -426,18 +426,27 @@ object Dedup {
       "graft-cc-labels")
     var labels = labels0
     // one propagate+halve application: (id, label, orig) → same shape.
-    // least() skips nulls (isolated vertices / root labels); `orig`
-    // (the round-start label) rides along so convergence detection is
-    // a column comparison in the materialized table, not a join
-    // against the previous round.
+    // The pointer-jumping hop label(label(v)) is folded INTO the
+    // neighbor-min join by unioning the reversed pointer edges
+    // (label(v) → v) with the graph edges: v then "hears" label(v)'s
+    // label through the same groupBy(dst) min as its real neighbors —
+    // 2 joins + 1 aggregation per application instead of the 3 joins
+    // the separate self-join hop needed (each join is a fixed-cost
+    // stage in an iterative loop, so fewer stages per round is the
+    // lever on the per-round constant). A v with label(v)=v adds the
+    // self-edge (v,v), contributing its own label — absorbed by
+    // least(). least() skips nulls (isolated vertices); `orig` (the
+    // round-start label) rides along so convergence detection is a
+    // column comparison in the materialized table, not a join against
+    // the previous round.
     def step(l: DataFrame): DataFrame = {
-      val nbrMin = edges.join(l, edges("src") === l("id"))
+      val aug = edges.unionByName(
+        l.select(col("label").as("src"), col("id").as("dst")))
+      val nbrMin = aug.join(l, aug("src") === l("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr"))
-      val hop = l.select(col("id").as("pid"), col("label").as("plabel"))
       l.join(nbrMin, l("id") === nbrMin("dst"), "left")
-        .join(hop, l("label") === hop("pid"), "left")
         .select(l("id"),
-          least(l("label"), col("nbr"), col("plabel")).as("label"),
+          least(l("label"), col("nbr")).as("label"),
           l("orig"))
     }
     var converged = false
@@ -448,18 +457,27 @@ object Dedup {
       // decrease, so comparing the doubled step against the round
       // start still detects the fixpoint exactly — and the scratch
       // write/read cycle (the per-round fixed cost) is paid half as
-      // often for the same total propagation depth
+      // often for the same total propagation depth. The changed-label
+      // count piggybacks on the write action as an observed metric
+      // (CollectMetrics): one action per round, no second job to
+      // re-read the table just to count, and the scratch holds only
+      // (id, label).
       val doubled = step(step(labels.withColumn("orig", col("label"))))
+      val obs = org.apache.spark.sql.Observation()
       val (next, scratch) = Materialize.viaScratchWithPath(
-        doubled.select(col("id"), col("label"),
-          (col("label") =!= col("orig")).as("changed")),
+        doubled
+          .observe(obs, sum(when(col("label") =!= col("orig"), 1L)
+            .otherwise(0L)).as("n_changed"))
+          .select(col("id"), col("label")),
         "graft-cc-labels")
-      val changed = next.filter(col("changed")).count()
+      // sum over an empty table observes null → 0 changed
+      val changed = obs.get.get("n_changed").flatMap(Option(_))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       // the superseded round's table is fully consumed (the new round
       // is on disk and counted) — drop its scratch now, not at exit
       prev.foreach(_.drop())
       prev = Some(scratch)
-      labels = next.select(col("id"), col("label"))
+      labels = next
       converged = changed == 0
       it += 1
     }
