@@ -86,4 +86,76 @@ class PropertySpec extends SparkSpec {
       assert(da.union(db).count() == a.size + b.size)
     }
   }
+
+  private val docGen: Gen[List[(Long, String)]] =
+    Gen.listOf(for {
+      id <- Gen.choose(0L, 60L)
+      words <- Gen.nonEmptyListOf(
+        Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"))
+    } yield (id, words.mkString(" "))).map(
+      _.groupBy(_._1).map(_._2.head).toList) // unique ids
+
+  test("decontaminate: monotone (bigger benchmark never keeps more) and " +
+    "self-decontamination empties overlap (5 random cases)") {
+    import org.apache.spark.sql.functions.col
+    val cases = samples(Gen.zip(docGen, docGen, docGen), 5)
+    cases.foreach { case (corpus, bench1, bench2) =>
+      val c = corpus.toDF("doc_id", "text")
+      val b1 = bench1.toDF("doc_id", "text")
+      val b12 = b1.union(bench2.toDF("doc_id", "text"))
+      def kept(b: org.apache.spark.sql.DataFrame): Set[Long] =
+        graft.operators.Dedup.decontaminate(c, b, "text", "doc_id")
+          .select("doc_id").as[Long].collect().toSet
+      // growing the benchmark can only shrink the surviving corpus
+      assert(kept(b12).subsetOf(kept(b1)), s"corpus=$corpus")
+      // every corpus doc shares its own shingles → self-decontamination
+      // keeps nothing (corpus nonempty ⇒ all contaminated)
+      if (corpus.nonEmpty) assert(kept(c).isEmpty)
+      // kept docs are disjoint from contaminated ids by construction
+      val bad = graft.operators.Dedup
+        .contaminatedIds(c, b1, "text", "doc_id")
+        .as[Long].collect().toSet
+      assert(kept(b1).intersect(bad).isEmpty)
+      assert(kept(b1).union(bad) == corpus.map(_._1).toSet)
+    }
+  }
+
+  test("weightedSampleFilter: kept set grows monotonically with the rate " +
+    "(5 random corpora)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    samples(docGen, 5).foreach { corpus =>
+      val c = corpus.toDF("doc_id", "text")
+      def kept(rate: Int): Set[Long] =
+        c.filter(graft.operators.DatasetSplit.weightedSampleFilter(
+            col("text"), lit("g"), Map.empty, rate))
+          .select("doc_id").as[Long].collect().toSet
+      val chain = Seq(0, 32, 128, 200, 256).map(kept)
+      chain.sliding(2).foreach { case Seq(lo, hi) =>
+        assert(lo.subsetOf(hi), s"rate monotonicity broke for $corpus")
+      }
+      assert(chain.head.isEmpty && chain.last == corpus.map(_._1).toSet)
+    }
+  }
+
+  test("packOffsets: total stream length equals the token sum regardless " +
+    "of seqTokens; seq_id consistent (5 random corpora)") {
+    import org.apache.spark.sql.functions.col
+    samples(Gen.zip(docGen, Gen.oneOf(8, 64, 1024)), 5).foreach {
+      case (corpus, budget) =>
+        if (corpus.nonEmpty) {
+          val c = corpus.toDF("doc_id", "text")
+          val packed = graft.operators.Packing
+            .packOffsets(c, "text", "doc_id", budget).collect()
+          val byBucket = packed.groupBy(_.getInt(1))
+          byBucket.foreach { case (_, rows) =>
+            val streamLen = rows.map(_.getLong(2)).sum
+            val maxEnd = rows.map(r => r.getLong(3) + r.getLong(2)).max
+            assert(streamLen == maxEnd, "offsets don't tile the stream")
+          }
+          packed.foreach { r =>
+            assert(r.getLong(4) == r.getLong(3) / budget, "seq_id mismatch")
+          }
+        }
+    }
+  }
 }
