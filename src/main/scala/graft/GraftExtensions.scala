@@ -40,5 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_jaccard"),
       info("graft_jaccard"),
       (es: Seq[Expression]) => SortedJaccard(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("graft_text_profile"),
+      info("graft_text_profile"),
+      (es: Seq[Expression]) => TextProfile(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_minhash_from_hashes"),
+      info("graft_minhash_from_hashes"),
+      (es: Seq[Expression]) => MinHashFromHashes(es.head, 32, 42L)))
   }
 }

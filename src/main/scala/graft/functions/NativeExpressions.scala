@@ -591,5 +591,9 @@ object NativeExpressions {
       es => ShingleHashSet(es.head, 3), "scala_udf")
     reg.createOrReplaceTempFunction("graft_jaccard",
       es => SortedJaccard(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_text_profile",
+      es => TextProfile(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash_from_hashes",
+      es => MinHashFromHashes(es.head, 32, 42L), "scala_udf")
   }
 }

@@ -127,10 +127,15 @@ class NativeExprSpec extends SparkSpec {
     docs.limit(10).createOrReplaceTempView("ndocs")
     val out = spark.sql(
       """SELECT doc_id, graft_fingerprint(text) AS fp,
-        |graft_simhash(text) AS sh, size(graft_minhash(text)) AS nsig
+        |graft_simhash(text) AS sh, size(graft_minhash(text)) AS nsig,
+        |graft_text_profile(text).lang_pred AS lang,
+        |graft_minhash_from_hashes(graft_shingle_set(text)) AS sig2,
+        |graft_minhash(text) AS sig1
         |FROM ndocs""".stripMargin).collect()
     assert(out.length == 10)
     assert(out.forall(_.getInt(3) == 32))
+    // the set-derived signature matches the text-derived one in SQL too
+    assert(out.forall(r => r.getSeq[Long](4 + 1) == r.getSeq[Long](4 + 2)))
   }
 
   test("ShingleHashSet/SortedJaccard agree with declarative shingle-set jaccard") {
