@@ -179,6 +179,18 @@ object StretchQueries {
         .select(col("doc_id"), col("c.chunk_start").as("chunk_start"),
           col("c.chunk").as("chunk"))),
 
+    // C4-style boilerplate cleanup over a planted HTML wrapper: tag
+    // strip → entity decode → whitespace collapse, all codegen'd
+    // regexp chains (the escaped &lt;tag&gt; must SURVIVE as text)
+    "q_t_clean" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.cleanBoilerplate(
+          concat(
+            lit("<div class=\"x\"><p>Hello&nbsp;world &amp; <b>friends</b></p> "),
+            col("text"),
+            lit(" &lt;tag&gt; &quot;q&quot; <br/> tail</div>")))
+          .as("clean_text"))),
+
     // corpus-bigram-LM surprisal (the perplexity-filter stage): train
     // on the corpus, score the corpus — integer-micros per bigram type
     // then exact int64 sums, so the length-dependent score still gets
@@ -635,6 +647,17 @@ object StretchQueries {
         "FROM (SELECT doc_id, unnest(list_transform(range(1, last_start + 1, 24), " +
         "x -> struct_pack(chunk_start := x, chunk := array_to_string(tk[x:x+31], ' ')))) AS u " +
         "FROM t WHERE len(tk) > 0)"),
+
+    "q_t_clean" ->
+      ("""SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |  '<div class="x"><p>Hello&nbsp;world &amp; <b>friends</b></p> '
+         |    || text || ' &lt;tag&gt; &quot;q&quot; <br/> tail</div>',
+         |  '<[^>]*>', ' ', 'g'),
+         |  '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'), '&lt;', '<', 'g'),
+         |  '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+         |  '\s+', ' ', 'g')) AS clean_text FROM documents""".stripMargin)
+        .replaceAll(raw"\s+", " "),
 
     // mirrors LangModel.bigramSurprisal: one rounding site per bigram
     // TYPE (round-half-away on a positive double in both engines),

@@ -193,6 +193,26 @@ object TextFunctions {
       regexp_replace(acc, pat, tok)
     }
 
+  /** C4-style boilerplate cleanup for scraped text: strip HTML-ish
+    * tags, decode the five ubiquitous entities, collapse whitespace
+    * runs, trim. A pure codegen'd regexp_replace chain (patterns are
+    * Java-regex ∩ RE2 so the DuckDB oracle mirrors them verbatim, like
+    * [[redactPii]]). Tags are stripped BEFORE entities are decoded, so
+    * text that spells `&lt;script&gt;` stays escaped-as-text rather
+    * than becoming a tag — the standard sanitizer ordering.
+    */
+  val entityDecodes: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"")
+
+  def cleanBoilerplate(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val decoded = entityDecodes.foldLeft(noTags) { case (acc, (e, r)) =>
+      regexp_replace(acc, e, r)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Polynomial rolling-hash fingerprint of the full document, mod a
     * Mersenne-ish prime so the same value is computable in any engine
     * without 64-bit overflow (DuckDB BIGINT overflow is strict).

@@ -364,26 +364,38 @@ object Dedup {
     * broadcasts. The id distinct is the only corpus-keyed shuffle and
     * carries bare ids.
     */
+  /** @param minShared contamination threshold: a doc is flagged when
+    *        it shares at least this many DISTINCT shingles with the
+    *        benchmark (production decontamination uses an overlap
+    *        threshold, not any-hit, to tolerate one generic phrase;
+    *        the per-doc shingle column is already a set, so the count
+    *        after the hash join is exactly the distinct overlap).
+    */
   def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
                       textCol: String, idCol: String,
-                      k: Int = 3): DataFrame = {
+                      k: Int = 3, minShared: Int = 1): DataFrame = {
     import graft.functions.NativeExpressions.shingleHashSet
+    require(minShared >= 1, "minShared must be at least 1")
     val bsh = benchmark
       .select(explode(shingleHashSet(col(textCol), k)).as("__sh"))
       .distinct()
     corpus
       .select(col(idCol), explode(shingleHashSet(col(textCol), k)).as("__sh"))
       .join(bsh, Seq("__sh"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") >= minShared)
       .select(col(idCol))
-      .distinct()
   }
 
   /** Corpus minus contaminated documents — an anti join against the
     * (small) contaminated-id list.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
-                    textCol: String, idCol: String, k: Int = 3): DataFrame =
-    corpus.join(contaminatedIds(corpus, benchmark, textCol, idCol, k),
+                    textCol: String, idCol: String, k: Int = 3,
+                    minShared: Int = 1): DataFrame =
+    corpus.join(
+      contaminatedIds(corpus, benchmark, textCol, idCol, k, minShared),
       Seq(idCol), "left_anti")
 
   // ── Dedup resolution (connected components) ─────────────────────────

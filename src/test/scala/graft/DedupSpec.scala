@@ -173,5 +173,15 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.decontaminate(corp, benchmark, "text", "doc_id")
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(12L, 13L, 14L))
+    // overlap threshold: doc 11 shares exactly ONE distinct shingle
+    // ("question alpha beta") — a minShared=2 pass tolerates it
+    val strict = Dedup.contaminatedIds(corp, benchmark, "text", "doc_id",
+      minShared = 2).as[Long].collect()
+    assert(strict.isEmpty)
+    val benchDoc = Seq((200L, "intro text question alpha beta closing"))
+      .toDF("doc_id", "text") // shares 2+ shingles with doc 11
+    val strict2 = Dedup.contaminatedIds(corp, benchDoc, "text", "doc_id",
+      minShared = 2).as[Long].collect().toSeq
+    assert(strict2 == Seq(11L))
   }
 }

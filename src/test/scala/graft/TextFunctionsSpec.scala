@@ -206,6 +206,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(half == all.filter(buckets(_) < 128))
   }
 
+  test("cleanBoilerplate: tags stripped, entities decoded, escaped tags " +
+    "survive as text, whitespace collapsed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      "<p>a&nbsp;b</p>\t<br/>  c",
+      "x &lt;script&gt; y &amp;&amp; z",
+      "<a href=\"u\">link</a> end",
+      "   only   spaces   ",
+      "").toDF("t")
+      .select(TextFunctions.cleanBoilerplate(col("t")).as("c"))
+      .as[String].collect().toSeq
+    assert(rows == Seq(
+      "a b c",
+      "x <script> y && z", // escaped tag decodes AFTER strip → survives
+      "link end",
+      "only spaces",
+      ""))
+  }
+
   test("bigramSurprisal: hand-computed MLE on a tiny corpus; short docs " +
     "have no score") {
     import spark.implicits._
