@@ -313,6 +313,35 @@ object StretchQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"))
     }),
 
+    // the round-5 curation stages composed end-to-end: boilerplate
+    // cleanup → quality filter (one-pass profile) → exact dedup →
+    // benchmark decontamination → weighted language mixing → split →
+    // per-split stats. Every stage is engine-exact, so the COMPOSITION
+    // gets a full oracle (the q_pipe_curate pattern, now over the
+    // wider surface).
+    "q_pipe_curate2" -> ((s, dir) => {
+      import graft.operators.DatasetSplit
+      val cleaned = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.cleanBoilerplate(col("text")).as("text"))
+      val profiled = cleaned
+        .select(col("doc_id"), col("text"),
+          graft.functions.NativeExpressions.textProfile(col("text")).as("__p"))
+        .filter(col("__p.quality_micros") >= 400000L)
+        .select(col("doc_id"), col("text"),
+          col("__p.lang_pred").as("lang"), col("__p.n_tokens").as("nt"))
+      val deduped = Dedup.exactRows(profiled, "text", "doc_id")
+      val bench = cleaned.filter(col("doc_id") % 97 === 0)
+      val corpus = deduped.filter(col("doc_id") % 97 =!= 0)
+      val decon = Dedup.decontaminate(corpus, bench, "text", "doc_id")
+      val mixed = decon.filter(DatasetSplit.weightedSampleFilter(
+        col("text"), col("lang"), Map("en" -> 192, "und" -> 64), 128))
+      mixed
+        .select(DatasetSplit.splitLabel(col("text")).as("split"), col("nt"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"))
+    }),
+
     // ── similarity search ──────────────────────────────────────────────
     "q_v_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -511,9 +540,24 @@ object StretchQueries {
     s"CASE $cases ELSE 'und' END"
   }
 
-  private val bucketSql: String =
-    "(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 + " +
-      "(strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)"
+  private def bucketSqlOf(inner: String): String =
+    s"(strpos('0123456789abcdef', substr(md5($inner), 1, 1)) - 1) * 16 + " +
+      s"(strpos('0123456789abcdef', substr(md5($inner), 2, 1)) - 1)"
+
+  private val bucketSql: String = bucketSqlOf("text")
+
+  /** The salted mixing bucket (independent of the split bucket). */
+  private val mixBucketSql: String = bucketSqlOf("'mix:' || text")
+
+  /** cleanBoilerplate mirrored in DuckDB SQL over expression `inner`. */
+  private def cleanSql(inner: String): String =
+    s"""trim(regexp_replace(regexp_replace(regexp_replace(
+       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |  $inner,
+       |  '<[^>]*>', ' ', 'g'),
+       |  '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'), '&lt;', '<', 'g'),
+       |  '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+       |  '\\s+', ' ', 'g'))""".stripMargin.replaceAll(raw"\s+", " ")
 
   private val shinglesSqlA = shinglesSql("ta")
   private val shinglesSqlB = shinglesSql("tb")
@@ -570,6 +614,29 @@ object StretchQueries {
          |SELECT split, count(*) AS n_docs,
          |  CAST(sum(nt) AS BIGINT) AS total_tokens FROM l GROUP BY 1"""
         .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_pipe_curate2" ->
+      (s"""WITH c AS (SELECT doc_id, ${cleanSql("text")} AS text FROM documents),
+         |q AS (SELECT doc_id, text FROM c WHERE $qualityMicrosSql >= 400000),
+         |d AS (SELECT min(doc_id) AS doc_id, text FROM q GROUP BY text),
+         |corp AS (SELECT doc_id, text FROM d WHERE doc_id % 97 <> 0),
+         |bt AS (SELECT $tokensSql AS ta FROM c WHERE doc_id % 97 = 0),
+         |bsh AS (SELECT DISTINCT unnest($shinglesSqlA) AS sh FROM bt),
+         |ct AS (SELECT doc_id, $tokensSql AS ta FROM corp),
+         |csh AS (SELECT doc_id, unnest(list_distinct($shinglesSqlA)) AS sh FROM ct),
+         |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh)),
+         |decon AS (SELECT doc_id, text FROM corp
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |m AS (SELECT doc_id, text, $langCaseSql AS lang,
+         |      $bucketSql AS bucket, $mixBucketSql AS mixb FROM decon),
+         |mixed AS (SELECT * FROM m WHERE mixb <
+         |  CASE WHEN lang = 'en' THEN 192 WHEN lang = 'und' THEN 64
+         |  ELSE 128 END)
+         |SELECT CASE WHEN bucket < 205 THEN 'train'
+         |  WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len($tokensSql)) AS BIGINT) AS total_tokens
+         |FROM mixed GROUP BY 1""".stripMargin).replaceAll(raw"\s+", " "),
 
     "q_t_tfidf" ->
       (s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
@@ -649,15 +716,10 @@ object StretchQueries {
         "FROM t WHERE len(tk) > 0)"),
 
     "q_t_clean" ->
-      ("""SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
-         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |  '<div class="x"><p>Hello&nbsp;world &amp; <b>friends</b></p> '
-         |    || text || ' &lt;tag&gt; &quot;q&quot; <br/> tail</div>',
-         |  '<[^>]*>', ' ', 'g'),
-         |  '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'), '&lt;', '<', 'g'),
-         |  '&gt;', '>', 'g'), '&quot;', '"', 'g'),
-         |  '\s+', ' ', 'g')) AS clean_text FROM documents""".stripMargin)
-        .replaceAll(raw"\s+", " "),
+      (s"SELECT doc_id, ${cleanSql(
+        "'<div class=\"x\"><p>Hello&nbsp;world &amp; <b>friends</b></p> '" +
+          " || text || ' &lt;tag&gt; &quot;q&quot; <br/> tail</div>'")}" +
+        " AS clean_text FROM documents"),
 
     // mirrors LangModel.bigramSurprisal: one rounding site per bigram
     // TYPE (round-half-away on a positive double in both engines),
@@ -682,7 +744,7 @@ object StretchQueries {
 
     "q_t_mix" ->
       (s"WITH d AS (SELECT doc_id, $langCaseSql AS lang, " +
-        s"$bucketSql AS bucket FROM documents) " +
+        s"$mixBucketSql AS bucket FROM documents) " +
         "SELECT doc_id, lang FROM d WHERE bucket < " +
         "CASE WHEN lang = 'en' THEN 192 WHEN lang = 'und' THEN 64 " +
         "ELSE 128 END").replaceAll(raw"\s+", " "),

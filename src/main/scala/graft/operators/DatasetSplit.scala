@@ -26,6 +26,16 @@ object DatasetSplit {
   def bucket256(content: Column): Column =
     conv(substring(md5(content), 1, 2), 16, 10).cast("int")
 
+  /** [[bucket256]] under a salt prefix — an INDEPENDENT hash family
+    * per salt. Any stage that samples by content hash (mixing,
+    * subsampling) must use a different salt than the split: with the
+    * same key, "keep rate/256" and "bucket < trainBuckets" are the
+    * same event, so a mixing pass at rate ≤ trainBuckets would empty
+    * val/test entirely (found by the q_pipe_curate2 composition gate).
+    */
+  def bucket256Salted(content: Column, salt: String): Column =
+    bucket256(concat(lit(salt + ":"), content))
+
   /** Deterministic sampling predicate: keeps ≈ keepBuckets/256 of the
     * rows, keyed on the same content hash as the split — so a sample
     * is stable across runs AND consistent with the split boundaries
@@ -53,22 +63,25 @@ object DatasetSplit {
   }
 
   /** Deterministic weighted corpus mixing: keep a row with per-group
-    * probability rate/256, keyed on the content hash — the "30% web,
-    * 45% books, re-weight the rest" step of assembling a pretraining
-    * mixture, with the same reproducibility contract as the split
-    * (stable across runs, engines, repartitions; duplicates land
-    * together). A projection + filter the scan absorbs: no shuffle,
-    * no seed state.
+    * probability rate/256, keyed on a SALTED content hash — the "30%
+    * web, 45% books, re-weight the rest" step of assembling a
+    * pretraining mixture, with the same reproducibility contract as
+    * the split (stable across runs, engines, repartitions; duplicates
+    * land together) but statistically independent of the split
+    * assignment (see [[bucket256Salted]] — an unsalted mixing pass
+    * correlates with the split boundary and starves val/test). A
+    * projection + filter the scan absorbs: no shuffle, no seed state.
     */
   def weightedSampleFilter(content: Column, group: Column,
                            rates: Map[String, Int],
-                           defaultRate: Int): Column = {
+                           defaultRate: Int,
+                           salt: String = "mix"): Column = {
     require((defaultRate +: rates.values.toSeq)
       .forall(r => r >= 0 && r <= 256),
       "rates are bucket counts in [0, 256]")
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (g, r)) =>
       when(group === g, lit(r)).otherwise(acc)
     }
-    bucket256(content) < rate
+    bucket256Salted(content, salt) < rate
   }
 }

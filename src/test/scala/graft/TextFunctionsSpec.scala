@@ -198,12 +198,21 @@ class TextFunctionsSpec extends SparkSpec {
     // drops every odd one — the filter composes per group
     val mixed = kept(Map("true" -> 256, "false" -> 0), 128)
     assert(mixed == all.filter(_ % 2 == 0))
-    // rate r keeps exactly the bucket<r subset (consistent with split)
+    // rate r keeps exactly the SALTED-bucket<r subset — salted so the
+    // mixing event is independent of the split assignment (an
+    // unsalted pass at rate ≤ trainBuckets would keep only train docs)
     val half = kept(Map.empty, 128)
     val buckets = docs.select(col("doc_id"),
-      DatasetSplit.bucket256(col("text")).as("b")).collect()
+      DatasetSplit.bucket256Salted(col("text"), "mix").as("b")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(half == all.filter(buckets(_) < 128))
+    // independence in practice: the kept half must contain docs from
+    // every split label (the correlated form provably could not)
+    val splits = docs
+      .filter(col("doc_id").isin(half.toSeq: _*))
+      .select(DatasetSplit.splitLabel(col("text")).as("s"))
+      .distinct().as[String].collect().toSet
+    assert(splits == Set("train", "val", "test"), splits)
   }
 
   test("cleanBoilerplate: tags stripped, entities decoded, escaped tags " +
