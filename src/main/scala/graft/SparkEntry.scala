@@ -288,6 +288,19 @@ object SparkEntry {
         .select(col("r_regionkey"), col("r_name"))
     }),
 
+    // ── S3 variant: ORC source round-trip (columnar, self-describing;
+    //    pushdown survives like parquet) ──────────────────────────────
+    "q_s3_orc_roundtrip" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_orc_q"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      t(s, dir, "supplier").write.orc(scratch)
+      graft.engine.Ingest.readOrc(s, scratch)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+    }),
+
     // ── S4 variant: z-ordered layout write + read-back — the write-side
     //    pruning layout on the driver surface; content equality is the
     //    oracle, file-range narrowness is LayoutExtensionsSpec's job ──
@@ -423,6 +436,30 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.75)").as("q75"),
           expr("percentile(l_quantity, 0.9)").as("q90"))),
 
+    // ── J5: skew-salted equi-join — row-identical to the plain join
+    //    (that identity IS the gate), with the hot-key fan-out shape a
+    //    1000-executor cluster needs when AQE's skew split can't see
+    //    the skew. Aggregated output keeps the gate small ─────────────
+    "q_j4_salted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.engine.SkewJoin.saltedJoin(li, o, Seq("l_orderkey"),
+        saltBuckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ── A7: CUBE — all four grouping sets from one aggregation pass
+    //    (the sibling of q_t_stats' ROLLUP; exact cents arithmetic) ───
+    "q_a7_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          year(col("o_orderdate")).cast("int").as("o_year"),
+          round(col("o_totalprice") * 100).cast("long").as("__cents"))
+        .cube(col("o_orderpriority"), col("o_year"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("__cents")).as("rev_cents"))),
+
     // ── F11: string scalar surface (case, substring, pad, regex,
     //    search) — all codegen'd builtins, no UDFs ────────────────────
     "q_f_strings" -> ((s, dir) =>
@@ -551,6 +588,8 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_s3_json_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region",
+    "q_s3_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "q_s4_zorder_roundtrip" ->
       "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem",
     "q_scd1_dim_build" ->
@@ -601,6 +640,20 @@ object SparkEntry {
         "quantile_cont(l_quantity, 0.75) AS q75, " +
         "quantile_cont(l_quantity, 0.9) AS q90 " +
         "FROM lineitem GROUP BY l_returnflag"),
+
+    // the oracle is the UNSALTED join: salting must be invisible
+    "q_j4_salted" ->
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+        "sum(l_quantity) AS sum_qty FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"),
+
+    "q_a7_cube" ->
+      ("WITH o AS (SELECT o_orderpriority, " +
+        "CAST(year(o_orderdate) AS INT) AS o_year, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT o_orderpriority, o_year, count(*) AS n_orders, " +
+        "CAST(sum(cents) AS BIGINT) AS rev_cents FROM o " +
+        "GROUP BY CUBE(o_orderpriority, o_year)"),
 
     "q_f_strings" ->
       ("SELECT c_custkey, upper(c_name) AS uname, " +

@@ -159,6 +159,24 @@ object StretchQueries {
       graft.operators.Sketch.estimateAll(s, cms, probes)
     }),
 
+    // exact heavy hitters in two bounded passes: per-partition
+    // Misra–Gries candidates (≤ k counters each, any vocabulary size)
+    // → exact recount of candidates only. The output is the EXACT
+    // qualifying set, so it gets a full GROUP BY/HAVING oracle —
+    // validate=true spends one aggregate scan proving k covers the
+    // corpus (k > N/minCount) rather than trusting the sizing
+    "q_t_heavy" -> ((s, dir) =>
+      graft.operators.HeavyHitters.tokenHeavyHitters(
+        t(s, dir, "documents"), "text", minCount = 500L, k = 4096,
+        validate = true)),
+
+    // positional inverted index: one shuffle keyed on (token, doc),
+    // per-group state bounded by document length; positions ship as a
+    // CSV string (array-typed gate columns crash the driver compare)
+    "q_t_postings" -> ((s, dir) =>
+      graft.operators.InvertedIndex.postings(
+        t(s, dir, "documents"), "text", "doc_id")),
+
     // TF-IDF term weights: integer-micros idf per token (margin-audited)
     // × exact tf — hash-stable relevance scores
     "q_t_tfidf" -> ((s, dir) =>
@@ -278,7 +296,9 @@ object StretchQueries {
     // dedup resolution: connected components over a pair list whose
     // component structure is known analytically (chains of 10
     // consecutive ids — diameter 9, so convergence needs real
-    // multi-hop propagation), giving the distributed CC a full oracle
+    // multi-hop propagation), giving the CC a full oracle. At gate
+    // scale the hybrid takes the bounded local union-find; the
+    // iterative distributed path is forced and pinned in DedupSpec
     "q_d_resolve" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val pairs = docs.filter(col("doc_id") % 10 =!= 0)
@@ -637,6 +657,19 @@ object StretchQueries {
          |  count(*) AS n_docs,
          |  CAST(sum(len($tokensSql)) AS BIGINT) AS total_tokens
          |FROM mixed GROUP BY 1""".stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_t_heavy" ->
+      (s"SELECT u.token AS token, count(*) AS n FROM " +
+        s"(SELECT unnest($tokensSql) AS token FROM documents) u " +
+        "GROUP BY 1 HAVING count(*) >= 500"),
+
+    "q_t_postings" ->
+      (s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         |p AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+         |  i -> struct_pack(pos := i, tok := tk[i]))) AS u FROM t)
+         |SELECT u.tok AS token, doc_id, count(*) AS n_occ,
+         |  array_to_string(list(u.pos ORDER BY u.pos), ',') AS positions_csv
+         |FROM p GROUP BY 1, 2""".stripMargin).replaceAll(raw"\s+", " "),
 
     "q_t_tfidf" ->
       (s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),

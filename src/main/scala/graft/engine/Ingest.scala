@@ -76,4 +76,12 @@ object Ingest {
       case Some(s) => spark.read.schema(s).json(path)
       case None    => spark.read.json(path)
     }
+
+  /** ORC source — the other self-describing columnar landing format
+    * (Hive-lineage warehouses hand these over). Like parquet it
+    * carries its schema and min/max stripe statistics, so predicate
+    * and column pushdown survive without an explicit schema.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -9,33 +9,52 @@ import org.apache.spark.sql.functions._
   * fraction of the rows puts those values' entire volume on single
   * tasks. AQE's skew-join splitting handles many cases at runtime;
   * salting is the explicit, planner-independent fix for the worst
-  * ones (and the only fix when the skewed side feeds an aggregation
-  * that AQE cannot split).
+  * ones (and the only fix when the skew is invisible to shuffle
+  * statistics — a key whose heat only materializes after a filter —
+  * or when the skewed side feeds an aggregation AQE cannot split).
   *
-  * Shape: the big (skewed) side gets a random salt in [0, n); the
-  * small side is exploded ×n with every salt value; the join key
-  * becomes (key, salt). Row multiplication is confined to the small
-  * side — the big side is never duplicated — and each formerly-hot
-  * key now spreads over n tasks.
+  * Shape: the big (skewed) side gets a deterministic salt in
+  * [0, saltBuckets); the small side is exploded ×saltBuckets with
+  * every salt value; the join key becomes (key, salt). Row
+  * multiplication is confined to the small side — the big side is
+  * never duplicated — and each formerly-hot key now spreads over
+  * saltBuckets tasks. Cost model, stated plainly: the small side
+  * shuffles saltBuckets× its size; worth it exactly when the hot
+  * key's row count divided by saltBuckets still exceeds the average
+  * reducer load — at 100 TB a single-key reducer is the difference
+  * between a straggler pinning the stage for hours and an even finish.
   *
-  * Semantics: identical to the unsalted inner/left join (salt columns
-  * are dropped); SkewJoinSpec asserts row-level equality against the
-  * plain join.
+  * The salt is `xxhash64(all big-side columns) mod saltBuckets` — a
+  * pure function of the row, so identical logical rows land in
+  * identical buckets under any partitioning, replay, or speculative
+  * re-execution. (A `rand()`-based salt is only safe while the
+  * upstream partitioning never changes: AQE coalescing or a lost-map
+  * replay re-draws different salts mid-query — the classic rand-salt
+  * bug.)
+  *
+  * Semantics: identical to the unsalted join (salt columns are
+  * dropped). Only left-preserving join types are accepted — the
+  * exploded small side would emit unmatched small rows once PER SALT
+  * under right/full outer semantics. CorpusOpsSpec/ScaleFeaturesSpec
+  * assert row-level equality against the plain join, including under
+  * 90% hot-key skew and null keys.
   */
 object SkewJoin {
+
+  private val allowed =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti")
 
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltBuckets: Int = 8,
                  joinType: String = "inner"): DataFrame = {
-    require(saltBuckets > 1, "saltBuckets must be > 1")
-    // right/full outer would emit unmatched small-side rows once PER
-    // SALT (the small side is exploded ×saltBuckets) — refuse them
-    require(Set("inner", "left", "left_outer").contains(joinType),
-      s"saltedJoin supports inner/left joins only, got $joinType")
+    require(keys.nonEmpty, "saltedJoin needs at least one join key")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports left-preserving join types only, got $joinType")
     val bigS = big.withColumn("__salt",
-      (rand(42L) * saltBuckets).cast("int"))
+      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(saltBuckets.toLong)))
     val smallS = small.withColumn("__salt",
-      explode(sequence(lit(0), lit(saltBuckets - 1))))
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     val cond: Column = (keys.map(k => bigS(k) === smallS(k)) :+
       (bigS("__salt") === smallS("__salt"))).reduce(_ && _)
     val joined = bigS.join(smallS, cond, joinType)
