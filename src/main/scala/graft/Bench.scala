@@ -59,6 +59,17 @@ object Bench {
     // a failing query is recorded in "errors" and contributes NO wall
     // time — a broken query must never quietly look fast
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // one UNTIMED warm-up execution per query: the first run of a
+      // heavy plan pays tiered-JIT compilation of the kernel loops and
+      // whole-stage-codegen class generation (measured: q_d_minhash_lsh
+      // 5.6 s on rep 1 vs 1.3 s steady state), which is one-time cost a
+      // long-lived deployment amortizes away — the medians should
+      // measure the operator, not the JVM's compiler. Failures are
+      // ignored here; the timed loop records them.
+      try {
+        spark.catalog.clearCache()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
       val runs = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()

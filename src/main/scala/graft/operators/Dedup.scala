@@ -424,13 +424,37 @@ object Dedup {
     * around round 15 (measured) — per-round checkpointing is how
     * every production iterative-graph implementation on Spark bounds
     * lineage, and it leaves zero cache residue as a side effect.
+    *
+    * Hybrid execution: when the pair list is small enough to hold on
+    * the driver (`maxLocalEdges`, default 2²⁰ pairs ≈ tens of MB), a
+    * local union-find answers in one collect — below that size the
+    * iterative path's fixed per-round costs (scratch write + read +
+    * 2 joins, times O(log diameter) rounds) exceed the actual work by
+    * orders of magnitude. This is the same bounded-input decision a
+    * broadcast threshold encodes; the cutover is an explicit parameter,
+    * the result is identical (DedupSpec pins both paths equal on the
+    * same graphs), and the iterative path remains the default the
+    * moment the pair list outgrows the bound. A near-dup pair list at
+    * 100 TB (billions of pairs) always takes the iterative path.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b",
-                          maxIters: Int = 25): DataFrame = {
+                          maxIters: Int = 25,
+                          maxLocalEdges: Long = 1L << 20): DataFrame = {
+    val longPairs = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    if (maxLocalEdges > 0) {
+      // ONE probe doubles as the data fetch: take maxLocalEdges+1 rows —
+      // if fewer came back we already hold the whole edge list and the
+      // local path pays no second evaluation of the pair plan
+      val cap = math.min(maxLocalEdges, (Int.MaxValue - 1).toLong).toInt
+      val probe = longPairs.limit(cap + 1).collect()
+      if (probe.length <= cap)
+        return localComponents(pairs.sparkSession, probe)
+    }
     val (edges, edgesScratch) = Materialize.viaScratchWithPath(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))),
+      longPairs.union(longPairs.select(col("dst").as("src"),
+        col("src").as("dst"))),
       "graft-cc-edges")
     val (labels0, labels0Scratch) = Materialize.viaScratchWithPath(
       edges.select(col("src").as("id")).distinct()
@@ -498,6 +522,40 @@ object Dedup {
         "component diameter exceeds 2^maxIters; raise maxIters")
     edgesScratch.drop() // final labels are edge-independent
     labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Driver-local union-find over a collected edge list (the bounded
+    * fast path of [[connectedComponents]]): union-by-min-root + path
+    * compression, so every set's root IS its smallest member —
+    * identical output to the iterative path's min-label fixpoint.
+    * Null-id edges are skipped on both paths (an unknown endpoint
+    * can't link components).
+    */
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+                              edges: Array[org.apache.spark.sql.Row])
+      : DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression: point the walked chain at the root
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { e =>
+      if (!e.isNullAt(0) && !e.isNullAt(1)) {
+        val a = e.getLong(0)
+        val b = e.getLong(1)
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+    }
+    parent.keysIterator.map(id => (id, find(id))).toSeq
+      .toDF("id", "component")
   }
 
   /** Keep one canonical row per near-dup group (the smallest id) and

@@ -119,10 +119,17 @@ class DedupSpec extends SparkSpec {
     val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
     val expected = verts.map(v => v ->
       verts.filter(u => find(u.toInt) == find(v.toInt)).min).toMap
-    val got = Dedup.connectedComponents(
+    // both execution paths must agree with the ground truth: the
+    // bounded local union-find (default, this graph fits) and the
+    // iterative min-label propagation (forced via maxLocalEdges = 0)
+    val local = Dedup.connectedComponents(
         edges.toDF("id_a", "id_b"))
       .as[(Long, Long)].collect().toMap
-    assert(got == expected)
+    val iterative = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), maxLocalEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == expected)
+    assert(iterative == expected)
   }
 
   test("resolveDuplicates keeps one canonical row per transitive group") {
@@ -139,7 +146,9 @@ class DedupSpec extends SparkSpec {
     // a 64-chain: diameter 63 — naive propagation needs 63 rounds,
     // pointer jumping converges within the 25-round default
     val chain = (1L until 64L).map(i => (i - 1, i)).toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    // force the iterative path: this test pins ITS round count/hygiene
+    val comps = Dedup.connectedComponents(chain, maxLocalEdges = 0L)
+      .as[(Long, Long)].collect()
     assert(comps.length == 64 && comps.forall(_._2 == 0L))
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
