@@ -123,6 +123,33 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q_j4_salted: the salt reaches the physical join keys") {
+    val p = plan("q_j4_salted")
+    assert(p.contains("__salt"), s"salt column optimized away:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"salted join θ-joined:\n$p")
+  }
+
+  test("q_a7_cube: CUBE is one aggregation pass (Expand + partial+final)") {
+    val p = plan("q_a7_cube")
+    assert(p.contains("Expand"), s"cube lost its expand:\n$p")
+    assert(p.split("HashAggregate").length >= 3, s"no partial agg:\n$p")
+  }
+
+  test("q_t_postings: one (token,doc) aggregation, never a window sort") {
+    val p = plan("q_t_postings")
+    assert(!p.contains("Window"), s"postings built via window:\n$p")
+    // formatted explain prints each node twice (tree + details section)
+    assert(p.split("Scan parquet").length == 3, s"expected exactly one scan:\n$p")
+  }
+
+  test("q_t_heavy: two bounded passes, no window, no cartesian") {
+    val p = plan("q_t_heavy")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"heavy hitters plan regressed:\n$p")
+    // pass 1 (MG candidates) + pass 2 (exact recount) = two corpus scans
+    assert(p.split("Scan parquet").length == 5, s"expected two scans:\n$p")
+  }
+
   test("no query plans a non-broadcast CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
