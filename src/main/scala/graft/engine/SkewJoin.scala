@@ -51,6 +51,8 @@ object SkewJoin {
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     require(allowed.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports left-preserving join types only, got $joinType")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name")
     val bigS = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(saltBuckets.toLong)))
     val smallS = small.withColumn("__salt",
