@@ -69,7 +69,7 @@ object Bench {
       try {
         spark.catalog.clearCache()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
       val runs = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -111,7 +111,10 @@ object Bench {
     // per-query maps: the driver records the TAIL of the output, so a
     // long queries map must never push the totals off the front of the
     // captured line (BENCH_r04's recorded artifact lost its "value")
-    def f3(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: the f-interpolator formats via the JVM default
+    // locale, and a comma-decimal locale would corrupt the JSON line
+    def f3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = ok.map { case (k, med, _, _) => jstr(k) + ":" + f3(med) }
       .mkString("{", ",", "}")
     val mins = ok.map { case (k, _, mn, _) => jstr(k) + ":" + f3(mn) }

@@ -569,14 +569,16 @@ object StretchQueries {
   /** The salted mixing bucket (independent of the split bucket). */
   private val mixBucketSql: String = bucketSqlOf("'mix:' || text")
 
-  /** cleanBoilerplate mirrored in DuckDB SQL over expression `inner`. */
+  /** cleanBoilerplate mirrored in DuckDB SQL over expression `inner`
+    * (same pass ORDER as TextFunctions.entityDecodes — `&amp;` last).
+    */
   private def cleanSql(inner: String): String =
     s"""trim(regexp_replace(regexp_replace(regexp_replace(
        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
        |  $inner,
        |  '<[^>]*>', ' ', 'g'),
-       |  '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'), '&lt;', '<', 'g'),
-       |  '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+       |  '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+       |  '&quot;', '"', 'g'), '&amp;', '&', 'g'),
        |  '\\s+', ' ', 'g'))""".stripMargin.replaceAll(raw"\s+", " ")
 
   private val shinglesSqlA = shinglesSql("ta")

@@ -24,13 +24,19 @@ import org.apache.spark.sql.functions._
   * reducer load — at 100 TB a single-key reducer is the difference
   * between a straggler pinning the stage for hours and an even finish.
   *
-  * The salt is `xxhash64(all big-side columns) mod saltBuckets` — a
-  * pure function of the row, so identical logical rows land in
-  * identical buckets under any partitioning, replay, or speculative
-  * re-execution. (A `rand()`-based salt is only safe while the
-  * upstream partitioning never changes: AQE coalescing or a lost-map
-  * replay re-draws different salts mid-query — the classic rand-salt
-  * bug.)
+  * The default salt is `xxhash64(all big-side columns) mod
+  * saltBuckets` — a pure function of the row, so identical logical
+  * rows land in identical buckets under any partitioning, replay, or
+  * speculative re-execution. (A `rand()`-based salt is only safe
+  * while the upstream partitioning never changes: AQE coalescing or a
+  * lost-map replay re-draws different salts mid-query — the classic
+  * rand-salt bug.) The flip side of determinism: byte-IDENTICAL rows
+  * share a bucket, so a big side that is mostly exact duplicates of
+  * the hot key (a pre-dedup scrape, or a projection down to the key
+  * columns alone) gets no spread from the default — pass `saltOn`
+  * with a unique row id (or any high-cardinality column) to restore
+  * it. When every row is distinct — the common case — the default
+  * spreads a hot key evenly.
   *
   * Semantics: identical to the unsalted join (salt columns are
   * dropped). Only left-preserving join types are accepted — the
@@ -44,17 +50,24 @@ object SkewJoin {
   private val allowed =
     Set("inner", "left", "leftouter", "leftsemi", "leftanti")
 
+  /** @param saltOn optional expression whose hash spreads the big
+    *        side over buckets; pass a unique row id when the big side
+    *        carries many byte-identical rows (see object doc). Default:
+    *        hash of all big-side columns.
+    */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltBuckets: Int = 8,
-                 joinType: String = "inner"): DataFrame = {
+                 joinType: String = "inner",
+                 saltOn: Option[Column] = None): DataFrame = {
     require(keys.nonEmpty, "saltedJoin needs at least one join key")
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     require(allowed.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports left-preserving join types only, got $joinType")
     require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
       "saltedJoin reserves the __salt column name")
+    val saltSrc = saltOn.getOrElse(xxhash64(big.columns.map(col).toSeq: _*))
     val bigS = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(saltBuckets.toLong)))
+      pmod(xxhash64(saltSrc), lit(saltBuckets.toLong)))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     val cond: Column = (keys.map(k => bigS(k) === smallS(k)) :+

@@ -63,6 +63,21 @@ object NativeExpressions {
 
   // ── MinHash ─────────────────────────────────────────────────────────
 
+  /** The MinHash family's prime modulus. */
+  private[graft] val MinHashP = 1000000007L
+
+  /** Universal-hash parameters (a ∈ [1, P−1], b ∈ [0, P−1]),
+    * deterministic per seed — THE single source for the native kernels
+    * and the declarative forms: bit-identity across them depends on
+    * every consumer drawing this exact sequence.
+    */
+  private[graft] def hashParams(numHashes: Int,
+                                seed: Long): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numHashes)((math.abs(rnd.nextLong() % (MinHashP - 1)) + 1L,
+      math.abs(rnd.nextLong() % MinHashP)))
+  }
+
   /** MinHash signature of word-k-shingles; value-identical to
     * `Dedup.minhashSignature` (same P, same (a,b) params, same XXH64).
     */
@@ -70,12 +85,8 @@ object NativeExpressions {
                         seed: Long)
       extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
     override def inputTypes: Seq[DataType] = Seq(StringType)
-    private val P = 1000000007L
-    private lazy val params: Array[(Long, Long)] = {
-      val rnd = new scala.util.Random(seed)
-      Array.fill(numHashes)((math.abs(rnd.nextLong() % (P - 1)) + 1L,
-        math.abs(rnd.nextLong() % P)))
-    }
+    private val P = MinHashP
+    private lazy val params: Array[(Long, Long)] = hashParams(numHashes, seed)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val toks = tokenize(input.asInstanceOf[UTF8String])
@@ -116,12 +127,8 @@ object NativeExpressions {
   case class MinHashFromHashes(child: Expression, numHashes: Int, seed: Long)
       extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
     override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
-    private val P = 1000000007L
-    private lazy val params: Array[(Long, Long)] = {
-      val rnd = new scala.util.Random(seed)
-      Array.fill(numHashes)((math.abs(rnd.nextLong() % (P - 1)) + 1L,
-        math.abs(rnd.nextLong() % P)))
-    }
+    private val P = MinHashP
+    private lazy val params: Array[(Long, Long)] = hashParams(numHashes, seed)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val a = input.asInstanceOf[ArrayData]
@@ -129,7 +136,12 @@ object NativeExpressions {
       val sig = Array.fill(numHashes)(Long.MaxValue)
       var s = 0
       while (s < n) {
-        val x = a.getLong(s)
+        // reduce mod P defensively: a caller feeding RAW xxhash64
+        // values (the graft_minhash_from_hashes SQL surface) would
+        // otherwise overflow x*a and get a plausible-looking garbage
+        // signature; for the sanctioned ShingleHashSet input (already
+        // in [0, P)) this floorMod is the identity
+        val x = java.lang.Math.floorMod(a.getLong(s), P)
         var i = 0
         while (i < numHashes) {
           val (p1, p2) = params(i)

@@ -199,11 +199,14 @@ object TextFunctions {
     * Java-regex ∩ RE2 so the DuckDB oracle mirrors them verbatim, like
     * [[redactPii]]). Tags are stripped BEFORE entities are decoded, so
     * text that spells `&lt;script&gt;` stays escaped-as-text rather
-    * than becoming a tag — the standard sanitizer ordering.
+    * than becoming a tag — the standard sanitizer ordering. `&amp;`
+    * decodes LAST for the same reason: decoding it first manufactures
+    * new entity spellings out of double-escaped text (`&amp;lt;` must
+    * decode to the literal `&lt;`, not to `<`).
     */
   val entityDecodes: Seq[(String, String)] = Seq(
-    "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-    "&quot;" -> "\"")
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&amp;" -> "&")
 
   def cleanBoilerplate(c: Column): Column = {
     val noTags = regexp_replace(c, "<[^>]*>", " ")

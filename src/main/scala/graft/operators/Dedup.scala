@@ -49,13 +49,13 @@ object Dedup {
 
   // ── MinHash ─────────────────────────────────────────────────────────
 
-  /** Universal-hash parameters for the MinHash family, fixed seed. */
-  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numHashes)((math.abs(rnd.nextLong() % 1000000006L) + 1L,
-      math.abs(rnd.nextLong() % 1000000007L)))
-  }
-  private val P = 1000000007L // prime modulus for (a·x + b) mod p
+  // ONE source for the (a,b) universal-hash parameters and the prime
+  // modulus: the native kernels and these declarative forms are
+  // bit-identity-pinned (NativeExprSpec), so the sequence must never
+  // fork
+  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] =
+    graft.functions.NativeExpressions.hashParams(numHashes, seed).toSeq
+  private val P = graft.functions.NativeExpressions.MinHashP
 
   /** MinHash signature column: array<long> of length `numHashes`.
     * Shingle → 64-bit xxhash → per-function (a·x+b) mod p → min.
@@ -82,8 +82,12 @@ object Dedup {
     })
     aggregate(sh,
       array_repeat(lit(Long.MaxValue), numHashes),
+      // inner pmod(x, P) mirrors the native kernel's defensive mod:
+      // identity for sanctioned (already-reduced) inputs, overflow-safe
+      // for callers who pass raw 64-bit hashes
       (acc, x) => zip_with(acc, ab,
-        (m, p) => least(m, pmod(x * p.getField("_1") + p.getField("_2"), lit(P)))))
+        (m, p) => least(m, pmod(pmod(x, lit(P)) * p.getField("_1")
+          + p.getField("_2"), lit(P)))))
   }
 
   /** (id, sig) per row — the native-kernel path (one tight loop per
@@ -434,26 +438,38 @@ object Dedup {
     * broadcast threshold encodes; the cutover is an explicit parameter,
     * the result is identical (DedupSpec pins both paths equal on the
     * same graphs), and the iterative path remains the default the
-    * moment the pair list outgrows the bound. A near-dup pair list at
-    * 100 TB (billions of pairs) always takes the iterative path.
+    * moment the pair list outgrows the bound. The fast path applies to
+    * LONG ids only (the engine's id convention) — any other id type
+    * (strings, composites) always takes the type-generic iterative
+    * path. A near-dup pair list at 100 TB (billions of pairs) always
+    * takes the iterative path.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b",
                           maxIters: Int = 25,
                           maxLocalEdges: Long = 1L << 20): DataFrame = {
-    val longPairs = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
-    if (maxLocalEdges > 0) {
+    // a null endpoint can't link components — drop those edges up
+    // front so BOTH execution paths see the same graph
+    val cleanPairs = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+    // the local fast path only claims long ids (the engine's id
+    // convention); any other id type — strings, composites — keeps the
+    // type-generic iterative path, which orders labels via min/least
+    val bothLong = Seq(aCol, bCol).forall(c =>
+      pairs.schema(pairs.schema.fieldIndex(c)).dataType ==
+        org.apache.spark.sql.types.LongType)
+    if (maxLocalEdges > 0 && bothLong) {
       // ONE probe doubles as the data fetch: take maxLocalEdges+1 rows —
       // if fewer came back we already hold the whole edge list and the
       // local path pays no second evaluation of the pair plan
       val cap = math.min(maxLocalEdges, (Int.MaxValue - 1).toLong).toInt
-      val probe = longPairs.limit(cap + 1).collect()
+      val probe = cleanPairs.limit(cap + 1).collect()
       if (probe.length <= cap)
         return localComponents(pairs.sparkSession, probe)
     }
     val (edges, edgesScratch) = Materialize.viaScratchWithPath(
-      longPairs.union(longPairs.select(col("dst").as("src"),
+      cleanPairs.union(cleanPairs.select(col("dst").as("src"),
         col("src").as("dst"))),
       "graft-cc-edges")
     val (labels0, labels0Scratch) = Materialize.viaScratchWithPath(
@@ -525,11 +541,10 @@ object Dedup {
   }
 
   /** Driver-local union-find over a collected edge list (the bounded
-    * fast path of [[connectedComponents]]): union-by-min-root + path
-    * compression, so every set's root IS its smallest member —
-    * identical output to the iterative path's min-label fixpoint.
-    * Null-id edges are skipped on both paths (an unknown endpoint
-    * can't link components).
+    * fast path of [[connectedComponents]], long ids only): union-by-
+    * min-root + path compression, so every set's root IS its smallest
+    * member — identical output to the iterative path's min-label
+    * fixpoint (null edges were dropped before either path).
     */
   private def localComponents(spark: org.apache.spark.sql.SparkSession,
                               edges: Array[org.apache.spark.sql.Row])
@@ -544,15 +559,13 @@ object Dedup {
       r
     }
     edges.foreach { e =>
-      if (!e.isNullAt(0) && !e.isNullAt(1)) {
-        val a = e.getLong(0)
-        val b = e.getLong(1)
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra < rb) parent(rb) = ra
-        else if (rb < ra) parent(ra) = rb
-      }
+      val a = e.getLong(0)
+      val b = e.getLong(1)
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
     }
     parent.keysIterator.map(id => (id, find(id))).toSeq
       .toDF("id", "component")

@@ -82,7 +82,11 @@ object HeavyHitters {
     val toks = df.select(explode(TextFunctions.tokens(col(textCol)))
       .as("token"))
     if (validate) {
-      val n = df.agg(coalesce(sum(size(TextFunctions.tokens(col(textCol)))),
+      // greatest(…, 0) guards null-text rows: size() of a null array is
+      // -1 (legacy) or null (ANSI) — either would deflate the total and
+      // let an undersized k pass the completeness check
+      val n = df.agg(coalesce(sum(greatest(
+        size(TextFunctions.tokens(col(textCol))), lit(0))),
         lit(0L)).as("n")).head().getLong(0)
       require(k.toLong > n / minCount,
         s"k=$k cannot guarantee completeness for minCount=$minCount over " +

@@ -71,7 +71,8 @@ object Ivf {
   def train(df: DataFrame, k: Int, iters: Int = 3, seed: Long = 42L,
             idCol: String = "vec_id",
             vecCol: String = "embedding"): IvfModel = {
-    val init = df.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(k)
+    val init = df.filter(col(vecCol).isNotNull)
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     var centroids = init
@@ -79,7 +80,9 @@ object Ivf {
     val sumVec = udaf(new VecSumAgg(dim), ExpressionEncoder[Seq[Float]]())
     var it = 0
     while (it < iters) {
-      val assigned = df.select(col(vecCol),
+      // null vectors can't train (null cluster key + a null Seq into the
+      // aggregator); the old posexplode path dropped them implicitly
+      val assigned = df.filter(col(vecCol).isNotNull).select(col(vecCol),
         element_at(nearestCentroids(col(vecCol), centroids, 1), 1).as("cluster"))
       val stats = assigned.groupBy(col("cluster"))
         .agg(sumVec(col(vecCol)).as("s"), count(lit(1)).as("n"))

@@ -225,6 +225,7 @@ class TextFunctionsSpec extends SparkSpec {
       "x &lt;script&gt; y &amp;&amp; z",
       "<a href=\"u\">link</a> end",
       "   only   spaces   ",
+      "&amp;lt;b&amp;gt;",
       "").toDF("t")
       .select(TextFunctions.cleanBoilerplate(col("t")).as("c"))
       .as[String].collect().toSeq
@@ -233,6 +234,7 @@ class TextFunctionsSpec extends SparkSpec {
       "x <script> y && z", // escaped tag decodes AFTER strip → survives
       "link end",
       "only spaces",
+      "&lt;b&gt;", // double-escaped: &amp; decodes LAST, once
       ""))
   }
 
