@@ -471,7 +471,135 @@ object SparkEntry {
         concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
         regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
         lpad(col("c_custkey").cast("string"), 12, "0").as("padded_key"),
-        instr(col("c_name"), "#").cast("int").as("hash_pos")))
+        instr(col("c_name"), "#").cast("int").as("hash_pos"))),
+
+    // ── J5: FULL OUTER equi join — both unmatched sides survive; the
+    //    deterministic key-slicing (mod filters) manufactures rows that
+    //    exist on exactly one side so the gate exercises all three
+    //    match classes ─────────────────────────────────────────────────
+    "q_j5_full_outer" -> ((s, dir) => {
+      val left = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val right = t(s, dir, "orders").filter(col("o_custkey") % 3 === 0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      left.join(right, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("n_orders"))
+    }),
+
+    // ── J6: LEFT SEMI + LEFT ANTI — the existence-join pair the engine
+    //    uses internally everywhere (decontamination, candidate
+    //    verification, MERGE not-matched); gated directly here. Semi
+    //    and anti partition the customer table, so the union is a
+    //    conservation check too ────────────────────────────────────────
+    "q_j6_semi_anti" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val ord = t(s, dir, "orders").select(col("o_custkey"))
+      val semi = cust.join(ord, col("c_custkey") === col("o_custkey"),
+        "left_semi").withColumn("tag", lit("has_orders"))
+      val anti = cust.join(ord, col("c_custkey") === col("o_custkey"),
+        "left_anti").withColumn("tag", lit("no_orders"))
+      semi.unionByName(anti)
+    }),
+
+    // ── SQ1: subquery surface — scalar subqueries, IN-subquery, and a
+    //    correlated EXISTS in one predicate. The above-average-price
+    //    test is exact integer arithmetic (cents·count > Σcents), never
+    //    a double `> avg(...)` whose last-ulp could differ between
+    //    engines and flip a row ────────────────────────────────────────
+    "q_sq_subquery" -> ((s, dir) => {
+      val o = s"parquet.`$dir/orders.parquet`"
+      val c = s"parquet.`$dir/customer.parquet`"
+      val l = s"parquet.`$dir/lineitem.parquet`"
+      s.sql(
+        s"""SELECT o_orderkey, o_totalprice FROM $o
+           |WHERE CAST(round(o_totalprice*100) AS BIGINT)
+           |        * (SELECT count(*) FROM $o)
+           |      > (SELECT sum(CAST(round(o_totalprice*100) AS BIGINT)) FROM $o)
+           |  AND o_custkey IN
+           |      (SELECT c_custkey FROM $c WHERE c_mktsegment = 'BUILDING')
+           |  AND EXISTS (SELECT 1 FROM $l
+           |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+           |""".stripMargin)
+    }),
+
+    // ── A8: explicit GROUPING SETS + grouping() flags — the general
+    //    form behind rollup (q_t_stats) and cube (q_a7_cube); the
+    //    (priority), ((priority, year)), () sets are NOT a rollup
+    //    prefix chain, so this exercises the arbitrary-sets path ───────
+    "q_a8_gsets" -> ((s, dir) => {
+      val o = s"parquet.`$dir/orders.parquet`"
+      s.sql(
+        s"""WITH o AS (SELECT o_orderpriority,
+           |  CAST(year(o_orderdate) AS INT) AS o_year,
+           |  CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM $o)
+           |SELECT o_orderpriority, o_year,
+           |  CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+           |  CAST(grouping(o_year) AS INT) AS g_year,
+           |  count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS rev_cents
+           |FROM o
+           |GROUP BY GROUPING SETS ((o_orderpriority, o_year),
+           |  (o_orderpriority), ())
+           |""".stripMargin)
+    }),
+
+    // ── F12: null/conditional scalar surface — nullif, coalesce,
+    //    least/greatest, searched CASE ─────────────────────────────────
+    "q_f_nullcond" -> ((s, dir) =>
+      t(s, dir, "part").selectExpr("p_partkey",
+        "nullif(p_size % 5, 0) AS nz",
+        "coalesce(nullif(p_size % 5, 0), -1) AS nz_filled",
+        "least(p_size, 25) AS lo",
+        "greatest(p_size, 25) AS hi",
+        "CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' " +
+          "ELSE 'L' END AS size_class")),
+
+    // ── W4: window frame surface — first/last/nth_value over explicit
+    //    ROWS frames, lead, ntile. (o_orderdate, o_orderkey) is a total
+    //    order within each partition, so every function is
+    //    deterministic ──────────────────────────────────────────────────
+    "q_w_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val grow = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(grow).as("first_key"),
+        last(col("o_orderkey")).over(full).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        ntile(4).over(w).cast("int").as("quartile"))
+    }),
+
+    // ── J7: bucketed co-located join — the zero-shuffle join path a
+    //    1000-executor cluster lives on: both sides written bucketed on
+    //    the join key (same bucket count), so the join consumes the
+    //    on-disk hash-partitioning and neither side shuffles
+    //    (PlanQualitySpec pins zero ShuffleExchange on the join).
+    //    The oracle is the plain join — bucketing must be invisible ────
+    "q_j7_bucketed" -> ((s, dir) => {
+      val root = s.conf.get("graft.scratch.dir",
+        System.getProperty("java.io.tmpdir"))
+      val catalog = graft.engine.TableCatalog(s, s"$root/graft-bucketed-wh")
+      catalog.overwriteBucketed("silver.o_b8",
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        Seq("o_orderkey"), 8)
+      catalog.overwriteBucketed("silver.li_b8",
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice")),
+        Seq("l_orderkey"), 8)
+      catalog.readBucketed("silver.li_b8")
+        .join(catalog.readBucketed("silver.o_b8"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("price_cents"))
+    })
   )
 
   /** The SQL twin of [[discRevenue]] — factored for the same reason
@@ -663,6 +791,71 @@ object SparkEntry {
         "concat_ws('|', c_mktsegment, c_name) AS seg_name, " +
         "regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked, " +
         "lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key, " +
-        "CAST(strpos(c_name, '#') AS INT) AS hash_pos FROM customer")
+        "CAST(strpos(c_name, '#') AS INT) AS hash_pos FROM customer"),
+
+    "q_j5_full_outer" ->
+      ("SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders " +
+        "FROM (SELECT c_custkey, c_name FROM customer " +
+        "WHERE c_custkey % 2 = 0) c FULL OUTER JOIN " +
+        "(SELECT o_custkey, count(*) AS n_orders FROM orders " +
+        "WHERE o_custkey % 3 = 0 GROUP BY 1) o ON c_custkey = o_custkey"),
+
+    "q_j6_semi_anti" ->
+      ("SELECT c_custkey, c_mktsegment, 'has_orders' AS tag FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "UNION ALL " +
+        "SELECT c_custkey, c_mktsegment, 'no_orders' AS tag FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+
+    "q_sq_subquery" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE CAST(round(o_totalprice*100) AS BIGINT) " +
+        "* (SELECT count(*) FROM orders) " +
+        "> (SELECT sum(CAST(round(o_totalprice*100) AS BIGINT)) FROM orders) " +
+        "AND o_custkey IN (SELECT c_custkey FROM customer " +
+        "WHERE c_mktsegment = 'BUILDING') " +
+        "AND EXISTS (SELECT 1 FROM lineitem " +
+        "WHERE l_orderkey = o_orderkey AND l_quantity >= 45)"),
+
+    "q_a8_gsets" ->
+      ("WITH o AS (SELECT o_orderpriority, " +
+        "CAST(year(o_orderdate) AS INT) AS o_year, " +
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT o_orderpriority, o_year, " +
+        "CAST(grouping(o_orderpriority) AS INT) AS g_pri, " +
+        "CAST(grouping(o_year) AS INT) AS g_year, " +
+        "count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS rev_cents " +
+        "FROM o GROUP BY GROUPING SETS ((o_orderpriority, o_year), " +
+        "(o_orderpriority), ())"),
+
+    "q_f_nullcond" ->
+      ("SELECT p_partkey, nullif(p_size % 5, 0) AS nz, " +
+        "coalesce(nullif(p_size % 5, 0), -1) AS nz_filled, " +
+        "least(p_size, 25) AS lo, greatest(p_size, 25) AS hi, " +
+        "CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' " +
+        "ELSE 'L' END AS size_class FROM part"),
+
+    "q_w_frames" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "first_value(o_orderkey) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key, " +
+        "last_value(o_orderkey) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND UNBOUNDED FOLLOWING) AS last_key, " +
+        "nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND UNBOUNDED FOLLOWING) AS second_key, " +
+        "lead(o_orderkey) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) AS next_key, " +
+        "CAST(ntile(4) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile FROM orders"),
+
+    // the oracle is the UNBUCKETED join: the layout must be invisible
+    "q_j7_bucketed" ->
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) " +
+        "AS price_cents FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority")
   ) ++ StretchQueries.oracleSql
 }

@@ -260,6 +260,18 @@ object StretchQueries {
         .select(col("doc_id"))
     }),
 
+    // the same decontamination relation through the broadcast-Bloom
+    // prefilter (no false negatives + exact verify ⇒ identical rows;
+    // the oracle is the same overlap SQL — the sketch must be
+    // invisible)
+    "q_t_bloom_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      graft.operators.Dedup.decontaminateBloom(corpus, bench, "text",
+        "doc_id").select(col("doc_id"))
+    }),
+
     // ── dedup ──────────────────────────────────────────────────────────
     "q_d_exact" -> ((s, dir) =>
       Dedup.exactByHash(t(s, dir, "documents"), "text", "doc_id")),
@@ -805,6 +817,19 @@ object StretchQueries {
     // the engine side: equivalent unless xxhash64 collides between a
     // corpus and a benchmark shingle (~|shingles|²/2⁶⁴)
     "q_t_decontam" ->
+      (s"""WITH tq AS (SELECT doc_id, $tokensSql AS ta FROM documents),
+         |bsh AS (SELECT DISTINCT unnest($shinglesSqlA) AS sh FROM tq
+         |        WHERE doc_id % 97 = 0),
+         |csh AS (SELECT doc_id, unnest(list_distinct($shinglesSqlA)) AS sh
+         |        FROM tq WHERE doc_id % 97 <> 0),
+         |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh))
+         |SELECT doc_id FROM documents WHERE doc_id % 97 <> 0
+         |AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin)
+        .replaceAll(raw"\s+", " "),
+
+    // identical relation to q_t_decontam — the Bloom prefilter is a
+    // pure data-movement optimization
+    "q_t_bloom_decontam" ->
       (s"""WITH tq AS (SELECT doc_id, $tokensSql AS ta FROM documents),
          |bsh AS (SELECT DISTINCT unnest($shinglesSqlA) AS sh FROM tq
          |        WHERE doc_id % 97 = 0),

@@ -95,7 +95,11 @@ final class TableCatalog(val spark: SparkSession, val basePath: String) {
     */
   def overwriteBucketed(name: String, df: DataFrame,
                         bucketCols: Seq[String], numBuckets: Int): Unit =
+    // external at pathFor(name): bucketed tables live in THIS catalog's
+    // warehouse like every other table, not the session default
+    // (spark-warehouse under the driver's cwd)
     df.write.mode("overwrite")
+      .option("path", pathFor(name))
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")

@@ -402,6 +402,51 @@ object Dedup {
       contaminatedIds(corpus, benchmark, textCol, idCol, k, minShared),
       Seq(idCol), "left_anti")
 
+  /** [[contaminatedIds]] with a broadcast Bloom prefilter on the corpus
+    * side — the 100 TB shape. The exact semi-join above shuffles EVERY
+    * corpus (shingle, id) row toward the benchmark set; here a Bloom
+    * sketch of the benchmark shingles (bounded: benchmarks are small
+    * by construction) is broadcast and applied AT THE SCAN, so only
+    * true hits plus an fpp-fraction of false positives enter the
+    * exchange. The exact semi-join still runs on the survivors —
+    * Bloom filters have no false negatives, so prefilter → exact
+    * verify is EXACTLY the unfiltered relation (DedupSpec pins
+    * bloom ≡ exact on planted contamination).
+    */
+  def contaminatedIdsBloom(corpus: DataFrame, benchmark: DataFrame,
+                           textCol: String, idCol: String,
+                           k: Int = 3, minShared: Int = 1,
+                           fpp: Double = 0.01): DataFrame = {
+    import graft.functions.NativeExpressions.shingleHashSet
+    require(minShared >= 1, "minShared must be at least 1")
+    val spark = corpus.sparkSession
+    val bsh = benchmark
+      .select(explode(shingleHashSet(col(textCol), k)).as("__sh"))
+      .distinct()
+    // sketch sizing needs a cardinality: one cheap count over the
+    // (small) benchmark shingle set, the same bounded-side job a
+    // broadcast-join size estimate performs
+    val nBench = math.max(1L, bsh.count())
+    val sketch = Bloom.build(bsh, "__sh", nBench, fpp)
+    corpus
+      .select(col(idCol), explode(shingleHashSet(col(textCol), k)).as("__sh"))
+      .filter(Bloom.mightContain(spark, col("__sh"), sketch))
+      .join(bsh, Seq("__sh"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") >= minShared)
+      .select(col(idCol))
+  }
+
+  /** [[decontaminate]] through the Bloom-prefiltered id list. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String, k: Int = 3,
+                         minShared: Int = 1, fpp: Double = 0.01): DataFrame =
+    corpus.join(
+      contaminatedIdsBloom(corpus, benchmark, textCol, idCol, k, minShared,
+        fpp),
+      Seq(idCol), "left_anti")
+
   // ── Dedup resolution (connected components) ─────────────────────────
 
   /** Connected components over an undirected pair list — the dedup

@@ -193,4 +193,46 @@ class DedupSpec extends SparkSpec {
       minShared = 2).as[Long].collect().toSeq
     assert(strict2 == Seq(11L))
   }
+
+  test("Bloom sketch: no false negatives; false-positive rate near fpp") {
+    import graft.operators.Bloom
+    val n = 20000
+    val inserted = (0 until n).map(i => i.toLong * 2654435761L + 17L)
+    val df = inserted.toDF("k")
+    val sketch = Bloom.build(df, "k", n.toLong, fpp = 0.01)
+    // no false negatives — the load-bearing property for prefiltering
+    assert(inserted.forall(sketch.mightContain),
+      "inserted key reported absent")
+    // fp rate on a disjoint probe set: binomial(50k, ~0.01) stays
+    // under 3×fpp with overwhelming margin
+    val probes = (0 until 50000).map(i => -1L - i * 7919L)
+    val fps = probes.count(sketch.mightContain)
+    assert(fps.toDouble / probes.size < 0.03,
+      s"false-positive rate ${fps.toDouble / probes.size} >= 0.03")
+    assert(sketch.sizeBytes < 64 * 1024, "sketch unexpectedly large")
+  }
+
+  test("decontaminateBloom ≡ decontaminate (prefilter is invisible)") {
+    val benchmark = Seq((100L, "eval question alpha beta gamma"),
+      (200L, "intro text question alpha beta closing"))
+      .toDF("doc_id", "text")
+    val corp = Seq(
+      (11L, "intro text question alpha beta closing words"),
+      (12L, "beta alpha question in scrambled order here"),
+      (13L, "completely unrelated content entirely"),
+      (14L, "alpha beta")
+    ).toDF("doc_id", "text")
+    for (minShared <- Seq(1, 2)) {
+      val exact = Dedup.decontaminate(corp, benchmark, "text", "doc_id",
+        minShared = minShared).select("doc_id").as[Long].collect().sorted.toSeq
+      val bloom = Dedup.decontaminateBloom(corp, benchmark, "text", "doc_id",
+        minShared = minShared).select("doc_id").as[Long].collect().sorted.toSeq
+      assert(bloom == exact, s"minShared=$minShared: $bloom vs $exact")
+    }
+    // and with a deliberately terrible fpp (tiny sketch, many false
+    // positives) the exact verify still yields the identical relation
+    val noisy = Dedup.decontaminateBloom(corp, benchmark, "text", "doc_id",
+      fpp = 0.5).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(noisy == Seq(12L, 13L, 14L))
+  }
 }
