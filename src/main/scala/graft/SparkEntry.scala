@@ -599,6 +599,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(round(col("l_extendedprice") * 100).cast("long"))
             .as("price_cents"))
+    }),
+
+    // ── S11: versioned table — atomic generational commits with
+    //    snapshot isolation and time travel (VersionedTable; the
+    //    Delta-commit behavior the reference leans on, rebuilt over
+    //    plain parquet + atomic claim files). The gate overwrites the
+    //    table TWICE and reads BOTH versions back: v0 must still be
+    //    the filtered snapshot after the v1 overwrite ─────────────────
+    "q_s7_timetravel" -> ((s, dir) => {
+      val root = s.conf.get("graft.scratch.dir",
+        System.getProperty("java.io.tmpdir"))
+      val tbl = new graft.engine.VersionedTable(s, s"$root/graft-vt/part_tt")
+      tbl.destroy() // deterministic version ordinals on every rep
+      val part = t(s, dir, "part")
+      val v0 = tbl.overwrite(part.filter(col("p_size") > 25))
+      val v1 = tbl.overwrite(part)
+      def snap(v: Long, label: String) =
+        tbl.readVersion(v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p_partkey")).cast("long").as("sum_key"))
+          .withColumn("snap", lit(label))
+      snap(v0, "v0").unionByName(snap(v1, "v1"))
+        .select(col("snap"), col("n_rows"), col("sum_key"))
+    }),
+
+    // ── S12: small-file compaction — 16 writer files rewritten into a
+    //    target-sized generation; content must be IDENTICAL (the
+    //    oracle is the raw table) and the pre-compaction version stays
+    //    readable (VersionedTableSpec pins file counts + time travel) ─
+    "q_s8_compact" -> ((s, dir) => {
+      val root = s.conf.get("graft.scratch.dir",
+        System.getProperty("java.io.tmpdir"))
+      val tbl = new graft.engine.VersionedTable(s, s"$root/graft-vt/part_cp")
+      tbl.destroy()
+      tbl.overwrite(t(s, dir, "part").repartition(16))
+      tbl.compact()
+      tbl.read()
     })
   )
 
@@ -856,6 +893,16 @@ object SparkEntry {
       ("SELECT o_orderpriority, count(*) AS n_items, " +
         "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) " +
         "AS price_cents FROM lineitem " +
-        "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority")
+        "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"),
+
+    "q_s7_timetravel" ->
+      ("SELECT 'v0' AS snap, count(*) AS n_rows, " +
+        "CAST(sum(p_partkey) AS BIGINT) AS sum_key FROM part " +
+        "WHERE p_size > 25 UNION ALL " +
+        "SELECT 'v1' AS snap, count(*) AS n_rows, " +
+        "CAST(sum(p_partkey) AS BIGINT) AS sum_key FROM part"),
+
+    // compaction must be content-invisible
+    "q_s8_compact" -> "SELECT * FROM part"
   ) ++ StretchQueries.oracleSql
 }

@@ -394,6 +394,20 @@ object StretchQueries {
         dim = 64, nBits = 32, bands = 4)
     }),
 
+    // SemDeDup — cluster (k-means) → within-cluster pairs → CC resolve
+    // → drop non-canonical. Identical planted copies ALWAYS co-cluster
+    // (same distances → same argmin), cosine(v,v)=1 ≥ 0.9, and the max
+    // NATURAL pairwise cosine in this data is ~0.6 (margin-probed at
+    // sf0.01 AND sf0.1) — so the kept set is provably the originals:
+    // a full oracle for the whole composition.
+    "q_v_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.union(emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      SimilaritySearch.semanticDedup(planted, threshold = 0.9, k = 16)
+        .select(col("vec_id"))
+    }),
+
     // int8 embedding quantization: the vector-store compression pass
     // (4× smaller), exact-arithmetic oracle on the full array values.
     // The int8 array ships as a CSV string: the driver compare
@@ -862,6 +876,11 @@ object StretchQueries {
           "ELSE len(list_intersect(sa, sb)) * 1.0 / len(list_distinct(list_concat(sa, sb))) END, 6) AS jaccard FROM s"
       withTok.replaceAll(raw"\s+", " ")
     },
+
+    // every planted copy resolves to its original (min id in the
+    // 2-member component); no natural pair crosses the threshold —
+    // kept ≡ the original corpus
+    "q_v_semdedup" -> "SELECT vec_id FROM embeddings",
 
     "q_v_quantize" ->
       ("""WITH m AS (SELECT vec_id, embedding,

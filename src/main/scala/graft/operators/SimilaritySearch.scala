@@ -232,4 +232,81 @@ object SimilaritySearch {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  // ── Semantic dedup (SemDeDup) ───────────────────────────────────────
+
+  /** Within-cluster semantic near-dup pairs: k-means clusters the
+    * corpus ([[Ivf.train]]), then each pair of SAME-cluster vectors
+    * with cosine ≥ threshold is emitted — the SemDeDup recipe
+    * (Abbas et al. 2023): clustering replaces the O(n²) global pair
+    * space with Σ n_c², and k is the knob that bounds n_c ≈ n/k.
+    *
+    * Execution shape: one shuffle of (cluster, id, vec) per join side
+    * (2n rows, never n²); the quadratic expansion happens post-shuffle
+    * inside each cluster partition. Clusters larger than
+    * `maxClusterSize` are dropped from PAIRING with the same skew-cap
+    * contract as the LSH buckets (use [[semanticDupStats]] to account
+    * for them — no silent truncation; at healthy k the cap never
+    * binds).
+    *
+    * RECALL CONTRACT (inherent to SemDeDup, documented not hidden):
+    * a near-dup pair split across two clusters is NOT examined.
+    * Identical vectors always co-cluster (same distances → same
+    * argmin), so exact copies are never missed; near-copies on a
+    * cluster boundary can be. SimilaritySpec measures recall against
+    * the exact path on perturbed copies.
+    */
+  def semanticDupPairs(df: DataFrame, threshold: Double, k: Int,
+                       iters: Int = 3, maxClusterSize: Int = 100000,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val vecs = df.filter(col(vecCol).isNotNull)
+    val model = Ivf.train(vecs, k, iters, idCol = idCol, vecCol = vecCol)
+    val assigned = Ivf.assign(vecs, model, vecCol)
+      .select(col("cluster"), col(idCol), col(vecCol))
+    val okClusters = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxClusterSize))
+      .select(col("cluster"))
+    val members = assigned.join(broadcast(okClusters), Seq("cluster"))
+    val a = members.select(col("cluster"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"))
+    val b = members.select(col("cluster"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"))
+    a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Cluster-size accounting for [[semanticDupPairs]]' skew cap. */
+  def semanticDupStats(df: DataFrame, k: Int, iters: Int = 3,
+                       maxClusterSize: Int = 100000,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Dedup.LshStats = {
+    val vecs = df.filter(col(vecCol).isNotNull)
+    val model = Ivf.train(vecs, k, iters, idCol = idCol, vecCol = vecCol)
+    val sizes = Ivf.assign(vecs, model, vecCol)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("m"))
+      .filter(col("m") >= 2)
+    Dedup.bucketStats(sizes, maxClusterSize)
+  }
+
+  /** SemDeDup end-to-end: drop every row whose id is a non-canonical
+    * member of a semantic-duplicate group (canonical = smallest id
+    * reachable through the pair graph — [[Dedup.connectedComponents]]
+    * resolution, so transitive chains collapse to ONE survivor, not
+    * one per overlapping pair).
+    */
+  def semanticDedup(df: DataFrame, threshold: Double, k: Int,
+                    iters: Int = 3, maxClusterSize: Int = 100000,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val pairs = semanticDupPairs(df, threshold, k, iters, maxClusterSize,
+      idCol, vecCol).select(col("id_a"), col("id_b"))
+    val cc = Dedup.connectedComponents(pairs)
+    val drop = cc.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -112,4 +112,58 @@ class SimilaritySpec extends SparkSpec {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
   }
+
+  test("semanticDedup: planted copies resolve to originals; transitive " +
+    "chains keep ONE survivor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    // two copies of every vector → components {v, v+1M, v+2M}: the CC
+    // resolution must collapse each to the single original, never
+    // "one survivor per overlapping pair"
+    val planted = emb
+      .union(emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding")))
+      .union(emb.select((col("vec_id") + 2000000L).as("vec_id"),
+        col("embedding")))
+    val kept = SimilaritySearch.semanticDedup(planted, threshold = 0.9,
+      k = 8).select("vec_id").as[Long].collect().sorted
+    assert(kept.length == n, s"${kept.length} kept, expected $n")
+    assert(kept.forall(_ < 1000000L), "a planted copy survived")
+  }
+
+  test("semanticDupPairs: recall vs the exact path on perturbed copies " +
+    "(within-cluster contract)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // near- (not exact-) copies: flip the sign of one coordinate's
+    // low-magnitude tail by scaling element 0 slightly
+    val perturbed = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        (x, i) => when(i === 0, x * 1.05f).otherwise(x))
+        .cast("array<float>").as("embedding"))
+    val planted = emb.union(perturbed)
+    val exact = SimilaritySearch
+      .cosineNearDupPairsExact(planted, threshold = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sem = SimilaritySearch
+      .semanticDupPairs(planted, threshold = 0.98, k = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "perturbation too large — no ground-truth pairs")
+    // SemDeDup only examines same-cluster pairs; near-identical vectors
+    // nearly always co-cluster, so recall should be high but the
+    // contract is "≥ 0.9 on near-copies", not 1.0
+    val recall = sem.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall < 0.9")
+    assert(sem.subsetOf(exact), "semanticDupPairs produced a non-pair")
+  }
+
+  test("semanticDupStats accounts for capped clusters; healthy k is clean") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val clean = SimilaritySearch.semanticDupStats(emb, k = 8)
+    assert(clean.droppedBuckets == 0 && clean.droppedPairs == 0)
+    val capped = SimilaritySearch.semanticDupStats(emb, k = 2,
+      maxClusterSize = 3)
+    assert(capped.droppedBuckets > 0, "tiny cap must trip the guard")
+  }
 }
