@@ -272,6 +272,24 @@ object StretchQueries {
         "doc_id").select(col("doc_id"))
     }),
 
+    // BPE trainer, round-1 slice: adjacent-pair counts over the
+    // initial (chars + </w>) symbol sequences — the oracle-checkable
+    // piece of the merge loop ((n desc, a, b) is a total order)
+    "q_t_bpe_pairs" -> ((s, dir) =>
+      graft.operators.BpeTrainer.pairCounts(
+        graft.operators.BpeTrainer.wordCounts(t(s, dir, "documents"), "text"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(30)),
+
+    // the full learned merge sequence: exact-integer argmax with a
+    // total tie-break makes it engine-independent and deterministic,
+    // but the iterative fixpoint is not SQL-expressible → rows-only;
+    // BpeSpec pins the distributed path ≡ the local reference exactly
+    "q_t_bpe" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.BpeTrainer.train(t(s, dir, "documents"), "text",
+        numMerges = 16).toDF()
+    }),
+
     // ── dedup ──────────────────────────────────────────────────────────
     "q_d_exact" -> ((s, dir) =>
       Dedup.exactByHash(t(s, dir, "documents"), "text", "doc_id")),
@@ -839,6 +857,20 @@ object StretchQueries {
          |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh))
          |SELECT doc_id FROM documents WHERE doc_id % 97 <> 0
          |AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin)
+        .replaceAll(raw"\s+", " "),
+
+    "q_t_bpe_pairs" ->
+      (s"""WITH t AS (SELECT $tokensSql AS ta FROM documents),
+         |wc AS (SELECT word, count(*) AS cnt FROM
+         |       (SELECT unnest(ta) AS word FROM t) GROUP BY 1),
+         |syms AS (SELECT cnt, list_append(
+         |  [substring(word, i, 1) for i in range(1, len(word)+1)],
+         |  '</w>') AS s FROM wc),
+         |p AS (SELECT cnt, unnest(
+         |  [struct_pack(a := s[i], b := s[i+1]) for i in range(1, len(s))],
+         |  recursive := true) FROM syms)
+         |SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n FROM p GROUP BY a, b
+         |ORDER BY n DESC, a, b LIMIT 30""".stripMargin)
         .replaceAll(raw"\s+", " "),
 
     // identical relation to q_t_decontam — the Bloom prefilter is a

@@ -83,7 +83,7 @@ final class TableCatalog(val spark: SparkSession, val basePath: String) {
   }
 
   /** Metastore name for a catalog path (session catalog is flat). */
-  private def metastoreName(name: String): String =
+  def metastoreName(name: String): String =
     name.toLowerCase.replace('.', '_')
 
   /** Bucketed + sorted table write — the co-located-join path. Two

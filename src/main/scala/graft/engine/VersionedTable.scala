@@ -117,6 +117,57 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     }
   }
 
+  /** Exactly-once streaming append: commit `df` as generation
+    * `batchId` (the streaming engine's monotonically-replayed epoch).
+    * Idempotent by construction — the claim file IS the dedup ledger:
+    *
+    *  - batch already fully committed (claim + data): returns false,
+    *    nothing written — a post-checkpoint replay is a no-op;
+    *  - orphan claim without data (crash between claim and rename):
+    *    the replay COMPLETES the commit with its own staging copy —
+    *    no batch is ever lost to a half-commit;
+    *  - two replayers completing the same orphan: rename is atomic,
+    *    exactly one wins, the loser discards staging.
+    *
+    * This is the `foreachBatch` sink contract ("may be re-invoked for
+    * the same batchId after recovery") made safe without a
+    * transaction coordinator. Append-mode consumers read the UNION of
+    * generations via [[readAll]]; `overwrite`-mode tables and
+    * streaming tables should not share a directory.
+    */
+  def commitBatch(batchId: Long, df: DataFrame): Boolean = {
+    require(batchId >= 0, s"batchId must be non-negative: $batchId")
+    val f = fs
+    f.mkdirs(claimsDir); f.mkdirs(genDir)
+    if (f.exists(claimPath(batchId)) && f.exists(genPath(batchId)))
+      return false // fully committed — skip BEFORE paying the write
+    val staging = new Path(stagingDir,
+      java.util.UUID.randomUUID().toString)
+    df.write.mode("overwrite").parquet(staging.toString)
+    try {
+      try f.create(claimPath(batchId), false).close()
+      catch {
+        case e: java.io.IOException =>
+          if (!f.exists(claimPath(batchId))) throw e
+        // claim already present: either a completed commit (data
+        // check below) or an orphan we are about to complete
+      }
+      if (f.exists(genPath(batchId))) false
+      else f.rename(staging, genPath(batchId)) // atomic: one completer wins
+    } finally {
+      if (f.exists(staging)) f.delete(staging, true)
+    }
+  }
+
+  /** Append-mode read: the union of ALL committed generations (the
+    * content of a [[commitBatch]]-fed streaming table).
+    */
+  def readAll(): DataFrame = {
+    val vs = versions
+    require(vs.nonEmpty, s"no committed version at $basePath")
+    spark.read.parquet(vs.map(genPath(_).toString): _*)
+  }
+
   /** Rewrite the LATEST snapshot into `ceil(bytes/targetFileBytes)`
     * files as a NEW generation — small-file compaction (the OPTIMIZE
     * maintenance pass) that is atomic by construction: readers on the

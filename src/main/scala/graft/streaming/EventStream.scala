@@ -187,6 +187,28 @@ object EventStream {
     q.stop()
   }
 
+  /** Streaming append with EXACTLY-ONCE delivery into a versioned
+    * table: each micro-batch commits as generation `batchId` through
+    * [[graft.engine.VersionedTable.commitBatch]], whose claim-file
+    * ledger makes foreachBatch's at-least-once replay contract
+    * idempotent (VersionedTableSpec pins replay + crash-completion).
+    * Returns after draining available input (test/bootstrap harness).
+    */
+  def appendStreamVersioned(spark: SparkSession, srcDir: String,
+                            tablePath: String, checkpoint: String): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val tbl = new graft.engine.VersionedTable(spark, tablePath)
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        tbl.commitBatch(id, batch); ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Drive a batch parquet directory through a real streaming query
     * into a memory sink (synchronous; test/verification harness).
     */

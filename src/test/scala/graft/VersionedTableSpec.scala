@@ -71,6 +71,40 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.readVersion(vs.head))
   }
 
+  test("commitBatch: replay of a committed batch is a no-op (exactly " +
+    "once)") {
+    val t = new VersionedTable(spark, tmpDir("vt") + "/t")
+    assert(t.commitBatch(0L, Seq(1, 2).toDF("k")))
+    assert(t.commitBatch(1L, Seq(3).toDF("k")))
+    // foreachBatch replay after recovery re-offers batch 1
+    assert(!t.commitBatch(1L, Seq(3).toDF("k")), "replay must not commit")
+    assert(t.readAll().as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("commitBatch: an orphan claim (crash mid-commit) is COMPLETED by " +
+    "the replay, not skipped") {
+    val dir = tmpDir("vt") + "/t"
+    val t = new VersionedTable(spark, dir)
+    t.commitBatch(0L, Seq(1).toDF("k"))
+    // crash simulation: batch 1 claimed but its data never landed
+    fs(dir).create(new Path(dir, "_claims/000001"), false).close()
+    assert(t.versions == Seq(0L), "orphan batch must be invisible")
+    assert(t.commitBatch(1L, Seq(2).toDF("k")), "replay must complete it")
+    assert(t.readAll().as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("appendStreamVersioned: stream-committed table equals the source " +
+    "(exactly-once end to end)") {
+    val src = tmpDir("vt-src")
+    spark.range(50).toDF("id").repartition(4)
+      .write.mode("overwrite").parquet(src)
+    val tablePath = tmpDir("vt") + "/t"
+    graft.streaming.EventStream.appendStreamVersioned(spark, src,
+      tablePath, tmpDir("vt-ckpt"))
+    val t = new VersionedTable(spark, tablePath)
+    assert(t.readAll().as[Long].collect().sorted.toSeq == (0L until 50L))
+  }
+
   test("compact: fewer files, identical content, old version intact") {
     val dir = tmpDir("vt") + "/t"
     val t = new VersionedTable(spark, dir)
