@@ -277,6 +277,33 @@ object SparkEntry {
       s.read.parquet(scratch)
     }),
 
+    // ── J8: MERGE with schema evolution — the source carries a column
+    //    the target has never seen; after the merge the target schema
+    //    is widened, matched rows take source values, untouched rows
+    //    read null in the new column (Delta autoMerge semantics) ───────
+    "q_j8_merge_evolve" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val scratch =
+        s"${System.getProperty("java.io.tmpdir")}/graft_evolve_q"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      cust.select(col("c_custkey"), col("c_name"))
+        .write.mode("overwrite").parquet(scratch)
+      val src = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit("!")).as("c_name"),
+          col("c_mktsegment"))
+      Upsert.forPath(s, scratch)
+        .merge(src, Seq("c_custkey"))
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .withUniqueKeyTarget()
+        .withSchemaEvolution()
+        .execute()
+      s.read.parquet(scratch)
+    }),
+
     // ── S3 variant: JSON-lines source round-trip (schema inference) ────
     "q_s3_json_roundtrip" -> ((s, dir) => {
       val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_json_q"
@@ -610,6 +637,13 @@ object SparkEntry {
             .as("price_cents"))
     }),
 
+    // ── J9: explicit CROSS JOIN (small × small — plans as a broadcast
+    //    nested loop, never a shuffled CartesianProduct; the only
+    //    sanctioned all-pairs surface besides the labeled oracles) ────
+    "q_j9_cross" -> ((s, dir) =>
+      t(s, dir, "region").select(col("r_name"))
+        .crossJoin(t(s, dir, "nation").select(col("n_name")))),
+
     // ── S11: versioned table — atomic generational commits with
     //    snapshot isolation and time travel (VersionedTable; the
     //    Delta-commit behavior the reference leans on, rebuilt over
@@ -912,6 +946,15 @@ object SparkEntry {
         "CAST(sum(p_partkey) AS BIGINT) AS sum_key FROM part"),
 
     // compaction must be content-invisible
-    "q_s8_compact" -> "SELECT * FROM part"
+    "q_s8_compact" -> "SELECT * FROM part",
+
+    "q_j8_merge_evolve" ->
+      ("SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 " +
+        "THEN c_name || '!' ELSE c_name END AS c_name, " +
+        "CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment END AS c_mktsegment " +
+        "FROM customer"),
+
+    "q_j9_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation"
   ) ++ StretchQueries.oracleSql
 }

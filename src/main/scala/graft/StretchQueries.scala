@@ -272,6 +272,43 @@ object StretchQueries {
         "doc_id").select(col("doc_id"))
     }),
 
+    // incrementally-maintained rollup: two disjoint batches folded
+    // into the aggregate table must equal the one-shot aggregate —
+    // the materialized-view-maintenance identity IS the oracle
+    "q_inc_agg" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      val root = s.conf.get("graft.scratch.dir",
+        System.getProperty("java.io.tmpdir"))
+      val tbl = new graft.engine.VersionedTable(s, s"$root/graft-vt/inc_agg")
+      tbl.destroy() // deterministic across reps
+      val orders = t(s, dir, "orders").select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+      val keys = Seq("o_orderpriority")
+      val specs = Seq(
+        IncrementalAgg.AggSpec("count", "1", "n_orders"),
+        IncrementalAgg.AggSpec("sum", "cents", "rev_cents"),
+        IncrementalAgg.AggSpec("min", "o_orderkey", "min_key"),
+        IncrementalAgg.AggSpec("max", "o_orderkey", "max_key"))
+      IncrementalAgg.update(tbl,
+        orders.filter(col("o_orderkey") % 2 === 0), keys, specs)
+      IncrementalAgg.update(tbl,
+        orders.filter(col("o_orderkey") % 2 =!= 0), keys, specs)
+      tbl.read()
+    }),
+
+    // declarative data-quality expectations: per-rule violation
+    // counts in ONE aggregation pass (null ⇒ violation — a rule must
+    // prove itself true); mixed zero- and non-zero-violation rules
+    "q_dq_expect" -> ((s, dir) => {
+      import graft.operators.DataQuality
+      DataQuality.check(t(s, dir, "lineitem"), Seq(
+        DataQuality.rule("qty_in_range", "l_quantity BETWEEN 1 AND 50"),
+        DataQuality.rule("price_positive", "l_extendedprice > 0"),
+        DataQuality.rule("qty_small", "l_quantity <= 30"),
+        DataQuality.rule("ship_known", "l_shipdate IS NOT NULL")))
+    }),
+
     // BPE trainer, round-1 slice: adjacent-pair counts over the
     // initial (chars + </w>) symbol sequences — the oracle-checkable
     // piece of the merge loop ((n desc, a, b) is a total order)
@@ -858,6 +895,23 @@ object StretchQueries {
          |SELECT doc_id FROM documents WHERE doc_id % 97 <> 0
          |AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin)
         .replaceAll(raw"\s+", " "),
+
+    "q_inc_agg" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) " +
+        "AS rev_cents, min(o_orderkey) AS min_key, " +
+        "max(o_orderkey) AS max_key FROM orders GROUP BY o_orderpriority"),
+
+    "q_dq_expect" ->
+      ("SELECT 'qty_in_range' AS rule, count(*) FILTER (WHERE NOT " +
+        "coalesce(l_quantity BETWEEN 1 AND 50, false)) AS violations, " +
+        "count(*) AS n_rows FROM lineitem UNION ALL " +
+        "SELECT 'price_positive', count(*) FILTER (WHERE NOT " +
+        "coalesce(l_extendedprice > 0, false)), count(*) FROM lineitem " +
+        "UNION ALL SELECT 'qty_small', count(*) FILTER (WHERE NOT " +
+        "coalesce(l_quantity <= 30, false)), count(*) FROM lineitem " +
+        "UNION ALL SELECT 'ship_known', count(*) FILTER (WHERE " +
+        "l_shipdate IS NULL), count(*) FROM lineitem"),
 
     "q_t_bpe_pairs" ->
       (s"""WITH t AS (SELECT $tokensSql AS ta FROM documents),

@@ -66,8 +66,16 @@ object Upsert {
     *        identical under the invariant, with one join instead of
     *        three.
     */
+  /** @param mergeSchema Delta's automatic schema evolution
+    *        (`spark.databricks.delta.schema.autoMerge`): source-only
+    *        columns are APPENDED to the target schema; pre-existing
+    *        target rows read null there. Without it (default), new
+    *        source columns are dropped — exactly Delta's non-evolving
+    *        UpdateAll/InsertAll.
+    */
   def merge(spark: SparkSession, targetPath: String, source: DataFrame,
-            keys: Seq[String], uniqueKeyTarget: Boolean = false): Unit = {
+            keys: Seq[String], uniqueKeyTarget: Boolean = false,
+            mergeSchema: Boolean = false): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val p = new Path(targetPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -81,7 +89,16 @@ object Upsert {
       return
     }
 
-    val target = spark.read.parquet(targetPath)
+    val existing = spark.read.parquet(targetPath)
+    // schema evolution = widen the TARGET with null-typed new columns
+    // BEFORE alignment; every join below then works on the evolved
+    // schema and kept rows carry nulls in the new columns
+    val target =
+      if (!mergeSchema) existing
+      else source.columns
+        .filterNot(c => existing.columns.exists(_.equalsIgnoreCase(c)))
+        .foldLeft(existing)((df, c) =>
+          df.withColumn(c, lit(null).cast(source.schema(c).dataType)))
     val src = alignByName(source, target)
 
     val keptCond: Column = keys
@@ -325,16 +342,19 @@ final class MergeBuilder(spark: SparkSession, path: String,
   private var updateAll = false
   private var insertAll = false
   private var uniqueKeys = false
+  private var evolve = false
 
   def whenMatchedUpdateAll(): MergeBuilder = { updateAll = true; this }
   def whenNotMatchedInsertAll(): MergeBuilder = { insertAll = true; this }
   /** Declare the target's merge keys unique (see Upsert.merge). */
   def withUniqueKeyTarget(): MergeBuilder = { uniqueKeys = true; this }
+  /** Delta `withSchemaEvolution()`: append source-only columns. */
+  def withSchemaEvolution(): MergeBuilder = { evolve = true; this }
 
   def execute(): Unit = {
     require(updateAll && insertAll,
       "only whenMatchedUpdateAll + whenNotMatchedInsertAll is supported " +
         "(the full surface the reference exercises)")
-    Upsert.merge(spark, path, source, keys, uniqueKeys)
+    Upsert.merge(spark, path, source, keys, uniqueKeys, evolve)
   }
 }

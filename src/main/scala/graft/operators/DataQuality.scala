@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations (the Delta constraints /
+  * DLT-expectations role): named boolean rules evaluated over a
+  * dataset in ONE aggregation pass — never a scan per rule.
+  *
+  * `check` computes, per rule, how many rows violate it (null counts
+  * as a violation: an expectation must PROVE itself true), plus the
+  * total row count; the wide single-row aggregate is unpivoted to a
+  * (rule, violations, rows) table so callers can threshold, alert, or
+  * gate a pipeline stage on it. `enforce` is the fail-fast form.
+  *
+  * Scale shape: one partial+final aggregate over the scan — cost is
+  * one pass regardless of rule count; nothing is collected but the
+  * per-rule counters.
+  */
+object DataQuality {
+
+  final case class Rule(name: String, cond: Column)
+
+  def rule(name: String, sqlCond: String): Rule = Rule(name, expr(sqlCond))
+
+  /** `(rule, violations, rows)` — one row per rule, one scan total. */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    require(rules.map(_.name).distinct.length == rules.length,
+      "rule names must be unique")
+    val counters = rules.map(r =>
+      sum(when(coalesce(r.cond, lit(false)), 0L).otherwise(1L))
+        .as(s"__v_${r.name}")) :+ count(lit(1)).as("__rows")
+    val wide = df.agg(counters.head, counters.tail.toIndexedSeq: _*)
+    // unpivot via stack: deterministic rule order, no second scan
+    val stackArgs = rules.map(r =>
+      s"'${r.name}', coalesce(`__v_${r.name}`, 0L)").mkString(", ")
+    wide.selectExpr(
+        s"stack(${rules.length}, $stackArgs) AS (rule, violations)",
+        "__rows AS n_rows")
+  }
+
+  /** Throw if any rule has violations (the CHECK-constraint form). */
+  def enforce(df: DataFrame, rules: Seq[Rule]): Unit = {
+    val bad = check(df, rules)
+      .filter(col("violations") > 0)
+      .collect()
+    if (bad.nonEmpty) {
+      val detail = bad.map(r =>
+        s"${r.getString(0)}: ${r.getLong(1)} violations").mkString("; ")
+      throw new IllegalStateException(s"data-quality check failed — $detail")
+    }
+  }
+}

@@ -150,6 +150,49 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.split("Scan parquet").length == 5, s"expected two scans:\n$p")
   }
 
+  test("q_j5_full_outer: plans a genuine full-outer join (both " +
+    "unmatched sides preserved), no cartesian") {
+    val p = plan("q_j5_full_outer")
+    assert(p.contains("FullOuter"), s"no full-outer join:\n$p")
+  }
+
+  test("q_j6_semi_anti: existence joins plan as semi/anti, never a " +
+    "materialized inner join") {
+    val p = plan("q_j6_semi_anti")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+  }
+
+  test("q_sq_subquery: EXISTS/IN decorrelate to semi joins; scalar " +
+    "subqueries stay subqueries") {
+    val p = plan("q_sq_subquery")
+    assert(p.split("LeftSemi").length >= 3,
+      s"EXISTS + IN should both become semi joins:\n$p")
+    assert(p.contains("Subquery"), s"scalar subquery missing:\n$p")
+  }
+
+  test("q_a8_gsets: GROUPING SETS is ONE aggregation pass " +
+    "(Expand + partial+final)") {
+    val p = plan("q_a8_gsets")
+    assert(p.contains("Expand"), s"no Expand:\n$p")
+    assert(p.split("HashAggregate").length >= 3, s"no partial agg:\n$p")
+    // one scan = two mentions (tree + detail section) = 3 split parts
+    assert(p.split("Scan parquet").length == 3, s"expected one scan:\n$p")
+  }
+
+  test("q_t_bloom_decontam: the Bloom kernel is planned (scan-side " +
+    "prefilter present)") {
+    val p = plan("q_t_bloom_decontam")
+    assert(p.toLowerCase.contains("mightcontain"),
+      s"bloom prefilter missing:\n$p")
+  }
+
+  test("q_t_bpe_pairs: pair counting is partial+final aggregation") {
+    val p = plan("q_t_bpe_pairs")
+    assert(p.split("HashAggregate").length >= 3, s"no partial agg:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+  }
+
   test("no query plans a non-broadcast CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)

@@ -90,6 +90,34 @@ class UpsertSpec extends SparkSpec {
     assert(readBack(path).count() == 1)
   }
 
+  test("schema evolution: source-only columns appended, kept rows read " +
+    "null there; without the flag they are dropped") {
+    val path = tmpDir("upsert") + "/evo"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(path)
+    val src = Seq((2L, "b2", 99), (3L, "c", 7)).toDF("k", "v", "extra")
+    // default: non-evolving — Delta's plain UpdateAll/InsertAll
+    Upsert.merge(spark, path, src, Seq("k"))
+    assert(readBack(path).columns.toSeq == Seq("k", "v"))
+    // evolving: extra appears, pre-existing row 1 reads null
+    val path2 = tmpDir("upsert") + "/evo2"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(path2)
+    Upsert.forPath(spark, path2).merge(src, Seq("k"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withSchemaEvolution().execute()
+    val got = readBack(path2)
+    assert(got.columns.toSeq == Seq("k", "v", "extra"))
+    val rows = got.as[(Long, String, Option[Int])].collect().toSet
+    assert(rows == Set((1L, "a", None), (2L, "b2", Some(99)),
+      (3L, "c", Some(7))))
+    // a second evolving merge with the ORIGINAL (narrow) schema must
+    // not drop the evolved column: target stays wide, narrow source
+    // rows null-fill it
+    Upsert.merge(spark, path2, Seq((4L, "d")).toDF("k", "v"), Seq("k"),
+      mergeSchema = true)
+    val got2 = readBack(path2).as[(Long, String, Option[Int])].collect().toSet
+    assert(got2.contains((4L, "d", None)) && got2.size == 4)
+  }
+
   test("atomic replace survives a plan that reads its own target") {
     val path = tmpDir("upsert") + "/self"
     spark.range(100).withColumn("v", col("id") * 2).write.parquet(path)
