@@ -587,6 +587,13 @@ object StretchQueries {
       EventStream.windowedAgg(
         EventStream.loadEvents(s, s"$dir/events.parquet"))),
 
+    // stream-stream interval join (attribution) — batch-executed here
+    // for the oracle; StreamingSpec drives the SAME plan through a
+    // real two-sided streaming join with watermarked state
+    "q_ev_join" -> ((s, dir) =>
+      EventStream.clickAttribution(
+        EventStream.loadEvents(s, s"$dir/events.parquet"))),
+
     "q_ev_sessions" -> ((s, dir) => {
       import s.implicits._
       EventStream.sessionize(
@@ -1097,6 +1104,13 @@ object StretchQueries {
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
         "count(*) AS n_events, round(sum(value), 2) AS total_value " +
         "FROM events GROUP BY 1, 2"),
+
+    "q_ev_join" ->
+      ("SELECT p.event_id AS purchase_id, c.event_id AS click_id, " +
+        "c.user_id, c.ts AS click_ts, p.ts AS purchase_ts, p.value " +
+        "FROM events c JOIN events p ON c.user_id = p.user_id " +
+        "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"),
 
     "q_ev_sessions" ->
       ("SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value, " +

@@ -187,6 +187,35 @@ object EventStream {
     q.stop()
   }
 
+  /** Stream-stream interval join (click→purchase attribution): every
+    * purchase matched to the same user's clicks in the preceding
+    * `maxLag`. Batch and streaming share this plan; under streaming,
+    * the watermarks on BOTH sides plus the time-range predicate bound
+    * the join state — clicks older than (watermark − maxLag) are
+    * evicted, so state is O(events in the lag window), never the
+    * stream history. Inner-join matches emit as soon as both rows
+    * arrive (no watermark hold-back), which is what makes the
+    * batch ≡ stream comparison exact (StreamingSpec).
+    */
+  def clickAttribution(events: DataFrame, maxLag: String = "30 minutes",
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxLag"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming append with EXACTLY-ONCE delivery into a versioned
     * table: each micro-batch commits as generation `batchId` through
     * [[graft.engine.VersionedTable.commitBatch]], whose claim-file

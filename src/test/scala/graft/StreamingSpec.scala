@@ -30,6 +30,23 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("clickAttribution: a real stream-stream join matches the batch " +
+    "interval join pair-for-pair") {
+    val batch = EventStream.clickAttribution(
+      EventStream.loadEvents(spark, dir)).collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "attribution produced no pairs at sf0.001")
+    val staged = tmpDir("stream") + "/attr"
+    EventStream.loadEvents(spark, dir).write.parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema).parquet(staged)
+    val q = EventStream.clickAttribution(stream).writeStream
+      .outputMode("append").format("memory").queryName("attr").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("attr").collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream ${streamed.size} pairs vs batch ${batch.size}")
+  }
+
   test("dedupStream drops duplicate event ids (streaming, two files)") {
     val staged = tmpDir("stream") + "/dup"
     val ev = EventStream.loadEvents(spark, dir).limit(100)
