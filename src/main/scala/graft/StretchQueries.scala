@@ -272,6 +272,42 @@ object StretchQueries {
         "doc_id").select(col("doc_id"))
     }),
 
+    // deterministic per-group reservoir: bottom-k by a multiplicative
+    // hash — the unbiased "sample k docs per language" pass whose
+    // output is a pure function of the data (re-runnable, auditable).
+    // Rides the bounded-heap TopK aggregator (no Window sort); the
+    // hash is plain integer arithmetic so the oracle replays it
+    "q_t_bottomk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.NativeExpressions.textProfile(col("text"))
+            .getField("lang_pred").as("lang"),
+          ((col("doc_id") * 2654435761L) % 4294967296L).as("h"))
+      graft.operators.TopK.topKPerGroup(
+          d.withColumn("score", -col("h").cast("double")),
+          8, "lang", "doc_id", "score")(s)
+        .select(col("lang"), col("rank"), col("doc_id"),
+          (-col("score")).cast("long").as("h"))
+    }),
+
+    // HyperLogLog per-language distinct-token estimate — fixed-memory
+    // distinct counting. xxhash64 + max-merge make the estimate a
+    // deterministic, partitioning-independent value, but no SQL twin
+    // exists → rows-only; SketchSpec pins the error bound vs exact
+    "q_t_hll" -> ((s, dir) => {
+      // lang staged BEFORE the explode — a projection after a Generate
+      // is evaluated per OUTPUT row, which would run the textProfile
+      // kernel once per token instead of once per document (NOTES
+      // lesson #1, generator edition: measured 7 s → ~1 s at sf0.1)
+      val d = t(s, dir, "documents")
+        .select(graft.functions.NativeExpressions.textProfile(col("text"))
+            .getField("lang_pred").as("lang"),
+          TextFunctions.tokens(col("text")).as("__t"))
+        .select(col("lang"), explode(col("__t")).as("token"))
+      graft.operators.Sketch.distinctPerGroup(d, "lang", "token")(s)
+        .orderBy(col("lang"))
+    }),
+
     // incrementally-maintained rollup: two disjoint batches folded
     // into the aggregate table must equal the one-shot aggregate —
     // the materialized-view-maintenance identity IS the oracle
@@ -459,8 +495,11 @@ object StretchQueries {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = emb.union(emb.select(
         (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-      SimilaritySearch.semanticDedup(planted, threshold = 0.9, k = 16)
-        .select(col("vec_id"))
+      // iters=1: the gate's guarantee (identical copies co-cluster)
+      // holds for ANY centroids — extra Lloyd rounds only buy cluster
+      // balance, at 2 driver round-trips each
+      SimilaritySearch.semanticDedup(planted, threshold = 0.9, k = 16,
+        iters = 1).select(col("vec_id"))
     }),
 
     // int8 embedding quantization: the vector-store compression pass
@@ -902,6 +941,14 @@ object StretchQueries {
          |SELECT doc_id FROM documents WHERE doc_id % 97 <> 0
          |AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin)
         .replaceAll(raw"\s+", " "),
+
+    "q_t_bottomk" ->
+      (s"WITH d AS (SELECT doc_id, $langCaseSql AS lang, " +
+        "(doc_id * 2654435761) % 4294967296 AS h FROM documents) " +
+        "SELECT lang, CAST(rnk AS INT) AS rank, doc_id, h FROM " +
+        "(SELECT lang, doc_id, h, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY h, doc_id) AS rnk FROM d) " +
+        "WHERE rnk <= 8"),
 
     "q_inc_agg" ->
       ("SELECT o_orderpriority, count(*) AS n_orders, " +

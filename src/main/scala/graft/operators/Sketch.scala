@@ -99,4 +99,96 @@ object Sketch {
     import spark.implicits._
     probes.map(t => (t, cms.estimate(t))).toDF("token", "est_count")
   }
+
+  // ── HyperLogLog ─────────────────────────────────────────────────────
+
+  /** HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+    * fixed-memory answer to "how many distinct URLs/tokens/users in
+    * 100 TB": 2^p one-byte registers (p=12 → 4 KB) per partition,
+    * merged by element-wise MAX — commutative and idempotent, so the
+    * estimate is independent of partitioning AND of re-processing the
+    * same element twice (unlike CMS counts). Standard error
+    * ≈ 1.04/√(2^p) (~1.6% at p=12); linear counting below 2.5·m fixes
+    * the small-cardinality regime. Inputs are 64-bit hashes (callers
+    * hash with `xxhash64` — deterministic across runs), so one sketch
+    * type serves strings, longs, and composites.
+    */
+  final case class Hll(p: Int, registers: Array[Byte]) {
+    require(p >= 4 && p <= 18, s"p out of range: $p")
+    def m: Int = 1 << p
+    def add(hash: Long): Unit = {
+      val idx = (hash >>> (64 - p)).toInt
+      val w = hash << p
+      // rank of the first set bit in the remaining 64-p bits, 1-based;
+      // all-zero tail → maximum rank (64 - p + 1)
+      val rank = (if (w == 0L) 64 - p + 1
+                  else math.min(java.lang.Long.numberOfLeadingZeros(w) + 1,
+                    64 - p + 1)).toByte
+      if (rank > registers(idx)) registers(idx) = rank
+    }
+    def merge(other: Hll): Hll = {
+      require(other.p == p, "cannot merge sketches of different precision")
+      var i = 0
+      while (i < registers.length) {
+        if (other.registers(i) > registers(i))
+          registers(i) = other.registers(i)
+        i += 1
+      }
+      this
+    }
+    def estimate: Long = {
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      var sum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < m) {
+        sum += java.lang.Math.pow(2.0, -registers(i).toDouble)
+        if (registers(i) == 0) zeros += 1
+        i += 1
+      }
+      val e = alpha * m.toDouble * m.toDouble / sum
+      val corrected =
+        if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+        else e
+      math.round(corrected)
+    }
+  }
+
+  final class HllAggregator(p: Int) extends Aggregator[Long, Hll, Hll] {
+    override def zero: Hll = Hll(p, new Array[Byte](1 << p))
+    override def reduce(buf: Hll, hash: Long): Hll = { buf.add(hash); buf }
+    override def merge(a: Hll, b: Hll): Hll = a.merge(b)
+    override def finish(buf: Hll): Hll = buf
+    override def bufferEncoder: Encoder[Hll] = Encoders.kryo[Hll]
+    override def outputEncoder: Encoder[Hll] = Encoders.kryo[Hll]
+  }
+
+  /** Approximate distinct count of a column (one pass, 2^p bytes per
+    * partition on the wire).
+    */
+  def distinctCount(df: DataFrame, colName: String, p: Int = 12)
+                   (implicit spark: SparkSession): Long = {
+    import spark.implicits._
+    df.select(xxhash64(col(colName)).as("h")).na.drop().as[Long]
+      .select(new HllAggregator(p).toColumn).head().estimate
+  }
+
+  /** `(group, est_distinct)` — per-group approximate distinct counts;
+    * the shuffle carries one 2^p-byte sketch per (group × partition),
+    * never the values.
+    */
+  def distinctPerGroup(df: DataFrame, groupCol: String, colName: String,
+                       p: Int = 12)
+                      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val agg = new HllAggregator(p)
+    df.select(col(groupCol).cast("string").as("g"),
+        xxhash64(col(colName)).as("h"))
+      .na.drop().as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn)
+      .map { case (g, hll) => (g, hll.estimate) }
+      .toDF(groupCol, "est_distinct")
+  }
 }

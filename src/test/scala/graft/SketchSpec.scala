@@ -42,4 +42,45 @@ class SketchSpec extends SparkSpec {
     val c2 = Sketch.sketchTokens(docs.repartition(7), "text")
     assert(c1.counters.toSeq == c2.counters.toSeq)
   }
+
+  test("HLL: estimate within the standard-error envelope at large and " +
+    "small cardinalities") {
+    implicit val s = spark
+    // large regime: 100k distinct at p=12 → σ ≈ 1.6%; assert 4σ
+    val big = spark.range(100000).toDF("v")
+    val est = Sketch.distinctCount(big, "v")
+    assert(math.abs(est - 100000.0) / 100000.0 < 0.065,
+      s"estimate $est too far from 100000")
+    // small regime: linear counting — near exact
+    val small = spark.range(200).toDF("v")
+    val estS = Sketch.distinctCount(small, "v")
+    assert(math.abs(estS - 200.0) / 200.0 < 0.02, s"small-range $estS")
+    // duplicates are idempotent (unlike CMS): 3 copies, same estimate
+    val dup = big.union(big).union(big)
+    assert(Sketch.distinctCount(dup, "v") == est)
+  }
+
+  test("HLL is deterministic across partitionings; per-group matches " +
+    "per-group exact within 5%") {
+    implicit val s = spark
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = docs.select(
+      graft.functions.NativeExpressions.textProfile(col("text"))
+        .getField("lang_pred").as("lang"),
+      explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("token"))
+    val a = Sketch.distinctPerGroup(toks.repartition(1), "lang", "token")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Sketch.distinctPerGroup(toks.repartition(7), "lang", "token")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "partitioning changed the HLL estimates")
+    val exact = toks.groupBy("lang")
+      .agg(countDistinct(col("token")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (lang, n) =>
+      val e = a(lang)
+      assert(math.abs(e - n.toDouble) / n < 0.05,
+        s"$lang: est $e vs exact $n")
+    }
+  }
 }
