@@ -153,7 +153,15 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
         // check below) or an orphan we are about to complete
       }
       if (f.exists(genPath(batchId))) false
-      else f.rename(staging, genPath(batchId)) // atomic: one completer wins
+      else if (f.rename(staging, genPath(batchId))) true // atomic commit
+      else if (f.exists(genPath(batchId))) false // lost the completion race
+      else
+        // a rename that failed with NO committed data is a genuine IO
+        // error — returning false here would let the streaming
+        // checkpoint advance past a batch that never landed
+        throw new java.io.IOException(
+          s"commitBatch($batchId): rename $staging -> " +
+            s"${genPath(batchId)} failed with no committed data")
     } finally {
       if (f.exists(staging)) f.delete(staging, true)
     }
@@ -191,18 +199,61 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     * version fail — retention is the caller's contract, as in every
     * snapshot store.
     */
-  def vacuum(keepLast: Int = 1): Seq[Long] = {
+  def vacuum(keepLast: Int = 1, stagingOlderThanMs: Long = 3600000L): Seq[Long] = {
     require(keepLast >= 1, "must keep at least one version")
     val f = fs
     val keep = versions.takeRight(keepLast).toSet
+    // nothing committed ⇒ nothing is provably garbage: claims without
+    // data may belong to an IN-FLIGHT first commit (between its claim
+    // and rename) — deleting them would orphan that writer's data dir
+    if (keep.isEmpty) return Seq.empty
     val dropped = listNumbers(claimsDir).filterNot(keep.contains)
       .filter(n => keep.forall(_ > n)) // never drop claims above the kept set
     dropped.foreach { n =>
       f.delete(genPath(n), true)
       f.delete(claimPath(n), false)
     }
-    if (f.exists(stagingDir)) f.delete(stagingDir, true)
+    // staging dirs are private to their writer until the commit rename;
+    // only AGED ones (crashed writers) are garbage — deleting fresh
+    // ones would race an in-flight commit out of its data
+    if (f.exists(stagingDir)) {
+      val cutoff = System.currentTimeMillis() - stagingOlderThanMs
+      f.listStatus(stagingDir).foreach { st =>
+        if (st.getModificationTime < cutoff) f.delete(st.getPath, true)
+      }
+    }
     dropped
+  }
+
+  /** Commit `df` as version `expectedBase + 1` ONLY — the optimistic-
+    * concurrency primitive for read-modify-write callers (claim taken ⇒
+    * someone committed since `expectedBase` was read ⇒ the caller's
+    * merge is stale): returns None so the caller can re-read and retry,
+    * instead of silently landing a merge that misses the interleaved
+    * commit. `expectedBase = None` claims version 0 (table creation).
+    */
+  def overwriteIf(df: DataFrame, expectedBase: Option[Long]): Option[Long] = {
+    val f = fs
+    f.mkdirs(claimsDir); f.mkdirs(genDir)
+    val n = expectedBase.map(_ + 1L).getOrElse(0L)
+    if (f.exists(claimPath(n))) return None // stale before paying the write
+    val staging = new Path(stagingDir,
+      java.util.UUID.randomUUID().toString)
+    df.write.mode("overwrite").parquet(staging.toString)
+    try {
+      val won =
+        try { f.create(claimPath(n), false).close(); true }
+        catch {
+          case e: java.io.IOException =>
+            if (f.exists(claimPath(n))) false else throw e
+        }
+      if (!won) None
+      else if (f.rename(staging, genPath(n))) Some(n)
+      else throw new java.io.IOException(
+        s"overwriteIf: rename $staging -> ${genPath(n)} failed")
+    } finally {
+      if (f.exists(staging)) f.delete(staging, true)
+    }
   }
 
   /** Remove the table entirely (tests and rebuild-from-scratch). */

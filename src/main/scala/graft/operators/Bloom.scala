@@ -121,7 +121,14 @@ object Bloom {
   def build(df: DataFrame, keyCol: String, expectedItems: Long,
             fpp: Double = 0.01): Sketch = {
     val m = optimalNumBits(expectedItems, fpp)
-    val words = ((m + 63L) / 64L).toInt
+    val wordsL = (m + 63L) / 64L
+    // a single JVM array bounds the sketch at ~16 GiB; silently
+    // wrapping toInt would produce a tiny sketch with a catastrophic
+    // real fpp (or a negative allocation)
+    require(wordsL <= Int.MaxValue,
+      s"sketch too large: $expectedItems items at fpp=$fpp needs $m bits" +
+        " — raise fpp or partition the key space")
+    val words = wordsL.toInt
     val k = optimalNumHashes(expectedItems, words.toLong * 64L)
     import df.sparkSession.implicits._
     val agg = new BloomAgg(words, k)

@@ -166,11 +166,35 @@ object BpeTrainer {
     if (numMerges == 0) return Seq.empty
     val n = wc.count()
     if (n <= maxLocalVocab) {
+      // sum duplicate words (a prebuilt table may be a union of
+      // per-batch counts) — toMap would keep one arbitrary row and
+      // diverge from the distributed path's aggregation
       val local = wc.select(col("word").cast("string"),
         col("cnt").cast("long")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq
+        .groupMapReduce(_._1)(_._2)(_ + _)
       referenceTrain(local, numMerges)
     } else distributedTrain(wc, numMerges)
+  }
+
+  /** UTF-8 byte-wise (= code-point) string order — Spark's binary
+    * `orderBy` collation. Java's `String.compareTo` is UTF-16
+    * code-UNIT order, which disagrees on supplementary characters
+    * (U+E000..U+FFFF sort AFTER U+10000.. there); the reference path
+    * must tie-break exactly like the distributed argmax or the two
+    * paths diverge on emoji-bearing vocabularies.
+    */
+  private[operators] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   private def distributedTrain(wc: DataFrame, numMerges: Int): Seq[Merge] = {
@@ -230,8 +254,20 @@ object BpeTrainer {
       }
       if (counts.isEmpty) done = true
       else {
-        val (a, b) = counts.toSeq
-          .minBy { case ((a, b), n) => (-n, a, b) }._1
+        // argmax with the DISTRIBUTED tie-break: count desc, then
+        // UTF-8 byte order on (a, b) — see [[utf8Compare]]
+        val ord = new Ordering[((String, String), Long)] {
+          def compare(x: ((String, String), Long),
+                      y: ((String, String), Long)): Int = {
+            val c = java.lang.Long.compare(y._2, x._2) // count desc
+            if (c != 0) c
+            else {
+              val ca = utf8Compare(x._1._1, y._1._1)
+              if (ca != 0) ca else utf8Compare(x._1._2, y._1._2)
+            }
+          }
+        }
+        val (a, b) = counts.toSeq.min(ord)._1
         out += Merge(r, a, b)
         // via Seq: Map.map would silently last-win on (impossible by
         // construction, but let the types not depend on that) key

@@ -28,6 +28,11 @@ object DataQuality {
     require(rules.nonEmpty, "need at least one rule")
     require(rules.map(_.name).distinct.length == rules.length,
       "rule names must be unique")
+    // names are interpolated into a selectExpr — identifier-safe
+    // charset only, so a quote/backtick can neither break parsing nor
+    // inject expressions
+    rules.foreach(r => require(r.name.matches("[A-Za-z0-9_.-]+"),
+      s"rule name must match [A-Za-z0-9_.-]+: '${r.name}'"))
     val counters = rules.map(r =>
       sum(when(coalesce(r.cond, lit(false)), 0L).otherwise(1L))
         .as(s"__v_${r.name}")) :+ count(lit(1)).as("__rows")

@@ -74,13 +74,30 @@ object IncrementalAgg {
     * NOT idempotent under replay — feed it through
     * [[graft.engine.VersionedTable.commitBatch]]-style dedup (or
     * exactly-once upstream) when batches can repeat.
+    *
+    * Concurrency: the read-modify-write commits through
+    * [[VersionedTable.overwriteIf]] — if another refresh lands between
+    * our read and our commit, the commit ABORTS (instead of silently
+    * dropping the interleaved delta) and the merge re-runs against the
+    * new base. Tables maintained this way must not also receive plain
+    * `overwrite` commits.
     */
   def update(table: VersionedTable, batch: DataFrame, keys: Seq[String],
-             specs: Seq[AggSpec]): Long = {
+             specs: Seq[AggSpec], maxRetries: Int = 5): Long = {
     val delta = aggregate(batch, keys, specs)
-    val next =
-      if (table.exists) merge(table.read(), delta, keys, specs)
-      else delta
-    table.overwrite(next)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val base = table.latestVersion
+      val next = base match {
+        case Some(v) => merge(table.readVersion(v), delta, keys, specs)
+        case None    => delta
+      }
+      table.overwriteIf(next, base) match {
+        case Some(v) => return v
+        case None    => attempt += 1 // conflicting refresh — re-read, retry
+      }
+    }
+    throw new IllegalStateException(
+      s"incremental refresh lost $maxRetries consecutive commit races")
   }
 }

@@ -137,7 +137,14 @@ object Sketch {
       this
     }
     def estimate: Long = {
-      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      // per-m bias constants below m=128 (Flajolet et al. Fig. 6);
+      // the asymptotic formula is only valid from m ≥ 128
+      val alpha = m match {
+        case 16 => 0.673
+        case 32 => 0.697
+        case 64 => 0.709
+        case _  => 0.7213 / (1.0 + 1.079 / m)
+      }
       var sum = 0.0
       var zeros = 0
       var i = 0
@@ -169,7 +176,11 @@ object Sketch {
   def distinctCount(df: DataFrame, colName: String, p: Int = 12)
                    (implicit spark: SparkSession): Long = {
     import spark.implicits._
-    df.select(xxhash64(col(colName)).as("h")).na.drop().as[Long]
+    // null filter BEFORE hashing: xxhash64(NULL) = the seed, never
+    // null, so a post-hash na.drop would count nulls as one extra
+    // distinct element
+    df.filter(col(colName).isNotNull)
+      .select(xxhash64(col(colName)).as("h")).as[Long]
       .select(new HllAggregator(p).toColumn).head().estimate
   }
 
@@ -177,14 +188,20 @@ object Sketch {
     * the shuffle carries one 2^p-byte sketch per (group × partition),
     * never the values.
     */
+  /** Null contract: rows with a null VALUE are excluded (a null is not
+    * a distinct element), and rows with a null GROUP are excluded (the
+    * typed key path has no null-group bucket) — both filtered before
+    * hashing, since `xxhash64(NULL)` yields the seed, not null.
+    */
   def distinctPerGroup(df: DataFrame, groupCol: String, colName: String,
                        p: Int = 12)
                       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val agg = new HllAggregator(p)
-    df.select(col(groupCol).cast("string").as("g"),
+    df.filter(col(colName).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
         xxhash64(col(colName)).as("h"))
-      .na.drop().as[(String, Long)]
+      .as[(String, Long)]
       .groupByKey(_._1)
       .mapValues(_._2)
       .agg(agg.toColumn)

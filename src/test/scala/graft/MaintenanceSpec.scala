@@ -48,6 +48,31 @@ class MaintenanceSpec extends SparkSpec {
     intercept[IllegalArgumentException](AggSpec("avg", "v", "a"))
   }
 
+  test("concurrent refresh: the losing commit retries against the new " +
+    "base — no delta is lost") {
+    val tbl = new VersionedTable(spark, tmpDir("inc") + "/t")
+    IncrementalAgg.update(tbl, Seq(("a", 1L)).toDF("k", "v"),
+      Seq("k"), specs)
+    // simulate an interleaved refresh: another writer claims the next
+    // version while "our" update would be mid-merge — our update must
+    // observe it and fold on top, not overwrite it
+    val other = new VersionedTable(spark, tbl.basePath)
+    IncrementalAgg.update(other, Seq(("a", 10L)).toDF("k", "v"),
+      Seq("k"), specs)
+    IncrementalAgg.update(tbl, Seq(("a", 100L)).toDF("k", "v"),
+      Seq("k"), specs)
+    val row = tbl.read().collect().head
+    // all three deltas present: n=3, sum=111
+    assert(row.getLong(1) == 3L && row.getLong(2) == 111L,
+      s"lost update: $row")
+  }
+
+  test("rule names with quotes are rejected, not interpolated") {
+    val df = Seq((1, 2)).toDF("id", "v")
+    intercept[IllegalArgumentException](
+      DataQuality.check(df, Seq(DataQuality.rule("bad'name", "v > 0"))))
+  }
+
   test("data-quality check counts violations per rule in one result; " +
     "null conditions count as violations") {
     val df = Seq((1, Some(5)), (2, Some(-1)), (3, None))

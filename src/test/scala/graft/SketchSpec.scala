@@ -60,6 +60,19 @@ class SketchSpec extends SparkSpec {
     assert(Sketch.distinctCount(dup, "v") == est)
   }
 
+  test("HLL: nulls are not a distinct element (filtered before hashing)") {
+    implicit val s = spark
+    val withNull = Seq(Some("a"), Some("b"), None, Some("a"))
+      .toDF("v")
+    assert(Sketch.distinctCount(withNull, "v") == 2L,
+      "null was counted as a distinct value")
+    val grouped = Seq((Some("g"), Some("a")), (Some("g"), None),
+      (Option.empty[String], Some("x"))).toDF("g", "v")
+    val got = Sketch.distinctPerGroup(grouped, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("g" -> 1L), s"null contract violated: $got")
+  }
+
   test("HLL is deterministic across partitionings; per-group matches " +
     "per-group exact within 5%") {
     implicit val s = spark

@@ -105,6 +105,43 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.readAll().as[Long].collect().sorted.toSeq == (0L until 50L))
   }
 
+  test("vacuum with no committed version is a no-op (in-flight first " +
+    "commit's claim survives); fresh staging survives, aged staging " +
+    "is reaped") {
+    val dir = tmpDir("vt") + "/t"
+    val t = new VersionedTable(spark, dir)
+    val f = fs(dir)
+    // an in-flight writer: claim 0 exists, data not yet renamed in
+    f.mkdirs(new Path(dir, "_claims"))
+    f.create(new Path(dir, "_claims/000000"), false).close()
+    f.mkdirs(new Path(dir, "_staging/live-writer"))
+    assert(t.vacuum() == Seq.empty)
+    assert(f.exists(new Path(dir, "_claims/000000")),
+      "vacuum deleted an in-flight claim")
+    assert(f.exists(new Path(dir, "_staging/live-writer")),
+      "vacuum deleted fresh staging")
+    // once something is committed, only AGED staging is reaped
+    f.delete(new Path(dir, "_claims/000000"), false)
+    t.overwrite(Seq(1).toDF("k"))
+    t.vacuum(stagingOlderThanMs = 0L) // everything is "aged"
+    assert(!f.exists(new Path(dir, "_staging/live-writer")))
+  }
+
+  test("overwriteIf: stale base aborts with None instead of committing " +
+    "a lost update") {
+    val t = new VersionedTable(spark, tmpDir("vt") + "/t")
+    val v0 = t.overwrite(Seq(1).toDF("k"))
+    val base = t.latestVersion
+    val interleaved = t.overwrite(Seq(2).toDF("k")) // someone else lands
+    assert(t.overwriteIf(Seq(3).toDF("k"), base).isEmpty,
+      "stale RMW commit must abort")
+    assert(t.latestVersion.contains(interleaved))
+    // with the CURRENT base it commits
+    assert(t.overwriteIf(Seq(3).toDF("k"), t.latestVersion)
+      .contains(interleaved + 1))
+    assert(Seq(v0).nonEmpty)
+  }
+
   test("compact: fewer files, identical content, old version intact") {
     val dir = tmpDir("vt") + "/t"
     val t = new VersionedTable(spark, dir)
