@@ -304,6 +304,30 @@ object SparkEntry {
       s.read.parquet(scratch)
     }),
 
+    // ── J10: CDC apply — an I/U/D changefeed applied in one atomic
+    //    commit (whenMatchedDelete + UpdateAll + InsertAll, op-driven).
+    //    Slices of part by key mod 7: deletes, tripled-price updates,
+    //    shifted-key inserts ───────────────────────────────────────────
+    "q_cdc_apply" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_cdc_q"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      part.write.mode("overwrite").parquet(scratch)
+      val changes = part.filter(col("p_partkey") % 7 === 0)
+        .withColumn("op", lit("D"))
+        .unionByName(part.filter(col("p_partkey") % 7 === 1)
+          .withColumn("p_retailprice", col("p_retailprice") * 3)
+          .withColumn("op", lit("U")))
+        .unionByName(part.filter(col("p_partkey") % 7 === 2)
+          .withColumn("p_partkey", col("p_partkey") + 1000000L)
+          .withColumn("op", lit("I")))
+      Upsert.applyChanges(s, scratch, changes, Seq("p_partkey"),
+        uniqueKeyTarget = true)
+      s.read.parquet(scratch)
+    }),
+
     // ── S3 variant: JSON-lines source round-trip (schema inference) ────
     "q_s3_json_roundtrip" -> ((s, dir) => {
       val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_json_q"
@@ -955,6 +979,14 @@ object SparkEntry {
         "FROM customer"),
 
     "q_j9_cross" ->
-      "SELECT r_name, n_name FROM region CROSS JOIN nation"
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+
+    "q_cdc_apply" ->
+      ("SELECT p_partkey, p_name, p_brand, p_type, p_size, " +
+        "CASE WHEN p_partkey % 7 = 1 THEN p_retailprice * 3 " +
+        "ELSE p_retailprice END AS p_retailprice FROM part " +
+        "WHERE p_partkey % 7 <> 0 UNION ALL " +
+        "SELECT p_partkey + 1000000, p_name, p_brand, p_type, p_size, " +
+        "p_retailprice FROM part WHERE p_partkey % 7 = 2")
   ) ++ StretchQueries.oracleSql
 }

@@ -122,6 +122,56 @@ object Upsert {
     atomicReplace(spark, targetPath, result)
   }
 
+  /** Apply a CDC changefeed (insert/update/delete rows tagged by an op
+    * column) in ONE atomic commit — the `whenMatchedDelete` +
+    * `whenMatchedUpdateAll` + `whenNotMatchedInsertAll` Delta clause
+    * stack, driven by the op tag:
+    *
+    *   - op = delete: matched target rows are REMOVED; an unmatched
+    *     delete is a no-op (never inserted);
+    *   - any other op: upsert (update matched, insert unmatched).
+    *
+    * Same execution accounting as [[merge]]: the changefeed is the
+    * (small) broadcastable side; the target is never shuffled when the
+    * feed broadcasts; one rewrite commit.
+    */
+  def applyChanges(spark: SparkSession, targetPath: String,
+                   changes: DataFrame, keys: Seq[String],
+                   opCol: String = "op", deleteOp: String = "D",
+                   uniqueKeyTarget: Boolean = false): Unit = {
+    require(keys.nonEmpty, "applyChanges requires at least one key column")
+    val p = new Path(targetPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverReplace(fs, p)
+    val upserts = changes.filter(col(opCol) =!= deleteOp).drop(opCol)
+    if (!fs.exists(p)) {
+      upserts.write.mode("overwrite").parquet(targetPath)
+      return
+    }
+    val target = spark.read.parquet(targetPath)
+    val delKeys = changes.filter(col(opCol) === deleteOp)
+      .select(keys.map(col).toIndexedSeq: _*).distinct()
+    val delCond: Column = keys.map(k => target(k) <=> delKeys(k))
+      .reduce(_ && _)
+    val survivors = target.join(delKeys, delCond, "left_anti")
+    val src = alignByName(upserts, target)
+    val keptCond: Column = keys.map(k => survivors(k) <=> src(k))
+      .reduce(_ && _)
+    val kept = survivors.join(src, keptCond, "left_anti")
+    val result =
+      if (uniqueKeyTarget) kept.unionByName(src)
+      else {
+        val survivorKeys = survivors.select(keys.map(col).toIndexedSeq: _*)
+        val updCond: Column = keys.map(k => survivorKeys(k) <=> src(k))
+          .reduce(_ && _)
+        val updated = survivorKeys.join(src, updCond, "inner")
+          .select(src.columns.map(src(_)).toIndexedSeq: _*)
+        val inserted = src.join(survivors, keptCond, "left_anti")
+        kept.unionByName(updated).unionByName(inserted)
+      }
+    atomicReplace(spark, targetPath, result)
+  }
+
   /** Resolve `source` columns to `target`'s column order, names, and
     * case (case-insensitive by name; target columns missing from the
     * source are null-filled with the target's type). Both merge paths

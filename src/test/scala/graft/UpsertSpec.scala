@@ -118,6 +118,25 @@ class UpsertSpec extends SparkSpec {
     assert(got2.contains((4L, "d", None)) && got2.size == 4)
   }
 
+  test("applyChanges: deletes remove, updates replace, inserts land, " +
+    "unmatched delete is a no-op, delete+insert same key replaces") {
+    val path = tmpDir("upsert") + "/cdc"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.parquet(path)
+    val changes = Seq(
+      (1L, "ignored", "D"),  // delete existing
+      (9L, "ignored", "D"),  // delete non-existent: no-op
+      (2L, "b2", "U"),       // update existing
+      (4L, "d", "I"),        // insert new
+      (3L, "c-replaced", "U"), // delete 3 below + this upsert = replace
+      (3L, "ignored", "D")
+    ).toDF("k", "v", "op")
+    Upsert.applyChanges(spark, path, changes, Seq("k"),
+      uniqueKeyTarget = true)
+    val got = readBack(path).as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "b2"), (4L, "d"), (3L, "c-replaced")))
+  }
+
   test("atomic replace survives a plan that reads its own target") {
     val path = tmpDir("upsert") + "/self"
     spark.range(100).withColumn("v", col("id") * 2).write.parquet(path)
