@@ -668,6 +668,30 @@ object SparkEntry {
       t(s, dir, "region").select(col("r_name"))
         .crossJoin(t(s, dir, "nation").select(col("n_name")))),
 
+    // ── S13: file-level data skipping — range-sorted layout + per-file
+    //    min/max manifest; the interval read opens only intersecting
+    //    files and must equal the full-scan filter (the oracle). The
+    //    layout+manifest build once per input dir (like the bucketed
+    //    tables); the gate times the SKIPPING READ ─────────────────────
+    "q_s9_skipping" -> ((s, dir) => {
+      val root = s.conf.get("graft.scratch.dir",
+        System.getProperty("java.io.tmpdir"))
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val path = s"$root/graft-skip/li_$key"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) {
+        graft.engine.Layout.writeRangeSorted(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity"), col("l_extendedprice")),
+          path, numFiles = 16, col("l_orderkey"))
+        graft.engine.Layout.writeFileStats(s, path, Seq("l_orderkey"))
+      }
+      graft.engine.Layout.prunedRead(s, path, "l_orderkey",
+        1000L, 3000L)
+    }),
+
     // ── S11: versioned table — atomic generational commits with
     //    snapshot isolation and time travel (VersionedTable; the
     //    Delta-commit behavior the reference leans on, rebuilt over
@@ -987,6 +1011,11 @@ object SparkEntry {
         "ELSE p_retailprice END AS p_retailprice FROM part " +
         "WHERE p_partkey % 7 <> 0 UNION ALL " +
         "SELECT p_partkey + 1000000, p_name, p_brand, p_type, p_size, " +
-        "p_retailprice FROM part WHERE p_partkey % 7 = 2")
+        "p_retailprice FROM part WHERE p_partkey % 7 = 2"),
+
+    // skipping must be invisible: pruned read ≡ full-scan filter
+    "q_s9_skipping" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice " +
+        "FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000")
   ) ++ StretchQueries.oracleSql
 }

@@ -83,4 +83,71 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  // ── File-level data skipping ────────────────────────────────────────
+
+  private def statsPath(tablePath: String): String = tablePath + "__stats"
+
+  /** Build + persist the per-file min/max manifest over `cols` — the
+    * lakehouse data-skipping index (Delta's stats / Iceberg's
+    * manifests, re-expressed as a tiny parquet side table). ONE
+    * distributed aggregation groups by `input_file_name()`; the
+    * manifest has one row per data file, so its size is O(files) and
+    * reading it is a driver-scale operation no matter how big the
+    * table is. Rebuild after every rewrite (the write paths above are
+    * full overwrites, so staleness is all-or-nothing — a stale
+    * manifest names files that no longer exist and fails loudly, never
+    * silently wrong).
+    */
+  def writeFileStats(spark: org.apache.spark.sql.SparkSession,
+                     tablePath: String, cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(tablePath)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsPath(tablePath))
+  }
+
+  /** Interval read through the manifest: open ONLY the files whose
+    * [min, max] intersects [lo, hi], then apply the exact filter to
+    * the survivors. A skipped file provably contains no matching row
+    * (its range misses the interval; all-null files have null stats
+    * and are skipped — BETWEEN excludes nulls anyway), so the result
+    * is EXACTLY the full-scan filter. At 100 TB this turns "filter on
+    * ship date" from 30,000 file opens into the 3 the layout
+    * (writeRangeSorted / writeZOrdered) confined the range to.
+    */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession,
+                 tablePath: String, colName: String,
+                 lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val stats = spark.read.parquet(statsPath(tablePath))
+    // file list = driver metadata, same category as the planner's own
+    // file listing; one row per file by construction
+    val files = stats
+      .filter(col(s"max_$colName") >= lit(lo) &&
+        col(s"min_$colName") <= lit(hi))
+      .select(col("file")).collect().map(_.getString(0))
+    val full = spark.read.parquet(tablePath)
+    val pred = col(colName).between(lit(lo), lit(hi))
+    if (files.isEmpty) full.filter(lit(false)) // keep the schema
+    else spark.read.parquet(files.toIndexedSeq: _*).filter(pred)
+  }
+
+  /** How many files [[prunedRead]] would open for the interval —
+    * the observability hook LayoutExtensionsSpec pins pruning with.
+    */
+  def filesForInterval(spark: org.apache.spark.sql.SparkSession,
+                       tablePath: String, colName: String,
+                       lo: Any, hi: Any): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val stats = spark.read.parquet(statsPath(tablePath))
+    val total = stats.count()
+    val kept = stats.filter(col(s"max_$colName") >= lit(lo) &&
+      col(s"min_$colName") <= lit(hi)).count()
+    (kept, total)
+  }
 }

@@ -144,4 +144,29 @@ class LayoutExtensionsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed == batchCounts)
   }
+
+  test("file skipping: pruned read equals the full-scan filter and " +
+    "opens a fraction of the files; empty interval keeps the schema") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val path = tmpDir("skip") + "/li"
+    graft.engine.Layout.writeRangeSorted(li, path, 16, col("l_orderkey"))
+    graft.engine.Layout.writeFileStats(spark, path, Seq("l_orderkey"))
+    val (kept, total) = graft.engine.Layout.filesForInterval(
+      spark, path, "l_orderkey", 100L, 400L)
+    assert(total == 16, s"expected 16 files, stats saw $total")
+    assert(kept < total / 2,
+      s"range layout should confine a narrow interval: $kept/$total")
+    val pruned = graft.engine.Layout.prunedRead(spark, path,
+      "l_orderkey", 100L, 400L).collect().map(_.toSeq).toSet
+    val full = li.filter(col("l_orderkey").between(100L, 400L))
+      .collect().map(_.toSeq).toSet
+    assert(pruned == full, "pruned read diverged from the full filter")
+    // interval below every file's min: zero files, empty result,
+    // schema intact
+    val none = graft.engine.Layout.prunedRead(spark, path,
+      "l_orderkey", -10L, -1L)
+    assert(none.columns.toSeq == Seq("l_orderkey", "l_quantity"))
+    assert(none.count() == 0)
+  }
 }
