@@ -680,7 +680,11 @@ object SparkEntry {
       val path = s"$root/graft-skip/li_$key"
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) {
+      // guard on the LAST artifact (the stats manifest): a crash
+      // between the two writes must rebuild, not read a half-built
+      // layout forever
+      if (!fs.exists(
+          new org.apache.hadoop.fs.Path(s"${path}__stats/_SUCCESS"))) {
         graft.engine.Layout.writeRangeSorted(
           t(s, dir, "lineitem")
             .select(col("l_orderkey"), col("l_linenumber"),

@@ -131,9 +131,12 @@ object Layout {
       .filter(col(s"max_$colName") >= lit(lo) &&
         col(s"min_$colName") <= lit(hi))
       .select(col("file")).collect().map(_.getString(0))
-    val full = spark.read.parquet(tablePath)
     val pred = col(colName).between(lit(lo), lit(hi))
-    if (files.isEmpty) full.filter(lit(false)) // keep the schema
+    if (files.isEmpty)
+      // full-table relation ONLY here (schema for the empty result):
+      // building it unconditionally would pay the full O(files)
+      // listing the manifest exists to avoid
+      spark.read.parquet(tablePath).filter(lit(false))
     else spark.read.parquet(files.toIndexedSeq: _*).filter(pred)
   }
 

@@ -143,7 +143,10 @@ object Upsert {
     val p = new Path(targetPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverReplace(fs, p)
-    val upserts = changes.filter(col(opCol) =!= deleteOp).drop(opCol)
+    // null-safe: a NULL op is "any other op" (upsert), not silently
+    // dropped — plain =!= would evaluate NULL and exclude the row from
+    // BOTH branches
+    val upserts = changes.filter(!(col(opCol) <=> deleteOp)).drop(opCol)
     if (!fs.exists(p)) {
       upserts.write.mode("overwrite").parquet(targetPath)
       return

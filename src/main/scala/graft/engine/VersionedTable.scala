@@ -202,25 +202,32 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
   def vacuum(keepLast: Int = 1, stagingOlderThanMs: Long = 3600000L): Seq[Long] = {
     require(keepLast >= 1, "must keep at least one version")
     val f = fs
+    // staging dirs are private to their writer until the commit rename;
+    // only AGED ones (crashed writers) are garbage. "Age" = the newest
+    // mtime among the dir and its direct children — a live long write
+    // keeps touching its task files, a dead one goes quiet. The
+    // threshold must still exceed any plausible single-task stall;
+    // size it to the deployment's longest write, not wall-clock taste.
+    if (f.exists(stagingDir)) {
+      val cutoff = System.currentTimeMillis() - stagingOlderThanMs
+      f.listStatus(stagingDir).foreach { st =>
+        val lastTouched =
+          try (st.getModificationTime +:
+            f.listStatus(st.getPath).toSeq.map(_.getModificationTime)).max
+          catch { case _: java.io.IOException => st.getModificationTime }
+        if (lastTouched < cutoff) f.delete(st.getPath, true)
+      }
+    }
     val keep = versions.takeRight(keepLast).toSet
-    // nothing committed ⇒ nothing is provably garbage: claims without
-    // data may belong to an IN-FLIGHT first commit (between its claim
-    // and rename) — deleting them would orphan that writer's data dir
+    // nothing committed ⇒ no claim is provably garbage: it may belong
+    // to an IN-FLIGHT first commit (between its claim and rename) —
+    // deleting it would orphan that writer's data dir
     if (keep.isEmpty) return Seq.empty
     val dropped = listNumbers(claimsDir).filterNot(keep.contains)
       .filter(n => keep.forall(_ > n)) // never drop claims above the kept set
     dropped.foreach { n =>
       f.delete(genPath(n), true)
       f.delete(claimPath(n), false)
-    }
-    // staging dirs are private to their writer until the commit rename;
-    // only AGED ones (crashed writers) are garbage — deleting fresh
-    // ones would race an in-flight commit out of its data
-    if (f.exists(stagingDir)) {
-      val cutoff = System.currentTimeMillis() - stagingOlderThanMs
-      f.listStatus(stagingDir).foreach { st =>
-        if (st.getModificationTime < cutoff) f.delete(st.getPath, true)
-      }
     }
     dropped
   }
@@ -236,21 +243,30 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     val f = fs
     f.mkdirs(claimsDir); f.mkdirs(genDir)
     val n = expectedBase.map(_ + 1L).getOrElse(0L)
-    if (f.exists(claimPath(n))) return None // stale before paying the write
+    // claim + data ⇒ a real commit landed since expectedBase was read:
+    // the caller's merge is stale. Claim WITHOUT data is an orphan —
+    // its writer died pre-rename and its private staging is gone, so
+    // its delta never existed; ADOPTING the claim (renaming our data
+    // in) is both correct and the only thing that un-wedges the table
+    // (nothing else may delete a claim above the committed range).
+    if (f.exists(claimPath(n)) && f.exists(genPath(n))) return None
     val staging = new Path(stagingDir,
       java.util.UUID.randomUUID().toString)
     df.write.mode("overwrite").parquet(staging.toString)
     try {
-      val won =
-        try { f.create(claimPath(n), false).close(); true }
-        catch {
-          case e: java.io.IOException =>
-            if (f.exists(claimPath(n))) false else throw e
-        }
-      if (!won) None
-      else if (f.rename(staging, genPath(n))) Some(n)
+      try f.create(claimPath(n), false).close()
+      catch {
+        case e: java.io.IOException =>
+          if (!f.exists(claimPath(n))) throw e
+          // claim appeared meanwhile: committed ⇒ stale; orphan ⇒ race
+          // to complete it below
+          if (f.exists(genPath(n))) return None
+      }
+      if (f.rename(staging, genPath(n))) Some(n)
+      else if (f.exists(genPath(n))) None // lost the completion race
       else throw new java.io.IOException(
-        s"overwriteIf: rename $staging -> ${genPath(n)} failed")
+        s"overwriteIf: rename $staging -> ${genPath(n)} failed " +
+          "with no committed data")
     } finally {
       if (f.exists(staging)) f.delete(staging, true)
     }

@@ -121,14 +121,15 @@ object Bloom {
   def build(df: DataFrame, keyCol: String, expectedItems: Long,
             fpp: Double = 0.01): Sketch = {
     val m = optimalNumBits(expectedItems, fpp)
-    val wordsL = (m + 63L) / 64L
-    // a single JVM array bounds the sketch at ~16 GiB; silently
-    // wrapping toInt would produce a tiny sketch with a catastrophic
-    // real fpp (or a negative allocation)
-    require(wordsL <= Int.MaxValue,
+    // a single JVM array bounds the sketch at ~16 GiB; checking m
+    // itself (not (m+63)/64, whose +63 can overflow when
+    // optimalNumBits saturates) guarantees the word count fits and
+    // the failure is a clear driver-side error, never a negative
+    // executor allocation
+    require(m <= Int.MaxValue.toLong * 64L,
       s"sketch too large: $expectedItems items at fpp=$fpp needs $m bits" +
         " — raise fpp or partition the key space")
-    val words = wordsL.toInt
+    val words = ((m + 63L) / 64L).toInt
     val k = optimalNumHashes(expectedItems, words.toLong * 64L)
     import df.sparkSession.implicits._
     val agg = new BloomAgg(words, k)

@@ -86,7 +86,7 @@ object IncrementalAgg {
              specs: Seq[AggSpec], maxRetries: Int = 5): Long = {
     val delta = aggregate(batch, keys, specs)
     var attempt = 0
-    while (attempt <= maxRetries) {
+    while (attempt < maxRetries) {
       val base = table.latestVersion
       val next = base match {
         case Some(v) => merge(table.readVersion(v), delta, keys, specs)

@@ -137,6 +137,18 @@ class UpsertSpec extends SparkSpec {
     assert(got == Set((2L, "b2"), (4L, "d"), (3L, "c-replaced")))
   }
 
+  test("applyChanges: a NULL op row upserts ('any other op'), never " +
+    "silently vanishes") {
+    val path = tmpDir("upsert") + "/cdcnull"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(path)
+    val changes = Seq((1L, "a2", Option.empty[String]),
+      (2L, "b", Option.empty[String])).toDF("k", "v", "op")
+    Upsert.applyChanges(spark, path, changes, Seq("k"),
+      uniqueKeyTarget = true)
+    val got = readBack(path).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a2"), (2L, "b")))
+  }
+
   test("atomic replace survives a plan that reads its own target") {
     val path = tmpDir("upsert") + "/self"
     spark.range(100).withColumn("v", col("id") * 2).write.parquet(path)

@@ -142,6 +142,18 @@ class VersionedTableSpec extends SparkSpec {
     assert(Seq(v0).nonEmpty)
   }
 
+  test("overwriteIf adopts an orphan claim (crashed RMW writer) instead " +
+    "of wedging every future refresh") {
+    val dir = tmpDir("vt") + "/t"
+    val t = new VersionedTable(spark, dir)
+    val v0 = t.overwrite(Seq(1).toDF("k"))
+    // a refresh crashed between claim and rename: claim v0+1, no data
+    fs(dir).create(new Path(dir, f"_claims/${v0 + 1}%06d"), false).close()
+    val got = t.overwriteIf(Seq(2).toDF("k"), Some(v0))
+    assert(got.contains(v0 + 1), s"orphan claim not adopted: $got")
+    assert(t.read().as[Int].collect().toSeq == Seq(2))
+  }
+
   test("compact: fewer files, identical content, old version intact") {
     val dir = tmpDir("vt") + "/t"
     val t = new VersionedTable(spark, dir)
