@@ -158,4 +158,92 @@ class PropertySpec extends SparkSpec {
         }
     }
   }
+
+  test("bloom: zero false negatives over random key sets at random fpp " +
+    "(8 cases)") {
+    val keysGen = Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    samples(Gen.zip(keysGen, Gen.oneOf(0.3, 0.05, 0.01)), 8).foreach {
+      case (keys, fpp) =>
+        val sketch = graft.operators.Bloom.build(keys.toDF("k"), "k",
+          keys.size.toLong, fpp)
+        keys.foreach(k => assert(sketch.mightContain(k),
+          s"false negative for $k at fpp=$fpp"))
+    }
+  }
+
+  test("incremental agg: any random partition of the rows into batches " +
+    "equals the one-shot aggregate (5 cases)") {
+    import graft.operators.IncrementalAgg
+    import graft.operators.IncrementalAgg.AggSpec
+    val specs = Seq(AggSpec("count", "1", "n"), AggSpec("sum", "v", "sv"),
+      AggSpec("min", "v", "mn"), AggSpec("max", "v", "mx"))
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 5), Gen.choose(-100L, 100L))),
+      Gen.choose(1, 4))
+    samples(gen, 5).foreach { case (rows, nBatches) =>
+      val df = rows.map { case (k, v) => (s"k$k", v) }.toDF("k", "v")
+      val oneShot = IncrementalAgg.aggregate(df, Seq("k"), specs)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val tbl = new graft.engine.VersionedTable(spark, tmpDir("prop") + "/t")
+      // batch boundaries by row-index mod nBatches — arbitrary split
+      (0 until nBatches).foreach { b =>
+        val batch = rows.zipWithIndex
+          .filter(_._2 % nBatches == b).map(_._1)
+          .map { case (k, v) => (s"k$k", v) }
+        if (batch.nonEmpty)
+          IncrementalAgg.update(tbl, batch.toDF("k", "v"), Seq("k"), specs)
+      }
+      val inc = tbl.read().collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(inc == oneShot, s"split into $nBatches batches diverged")
+    }
+  }
+
+  test("data quality: 0 <= violations <= n_rows for random rules over " +
+    "random data (5 cases)") {
+    import graft.operators.DataQuality
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(-50, 50),
+        Gen.option(Gen.choose(-50, 50)))),
+      Gen.choose(-50, 50))
+    samples(gen, 5).foreach { case (rows, threshold) =>
+      val df = rows.toDF("id", "v")
+      val got = DataQuality.check(df, Seq(
+        DataQuality.rule("above", s"v > $threshold"),
+        DataQuality.rule("id_nonnull", "id IS NOT NULL"))).collect()
+      got.foreach { r =>
+        val (viol, n) = (r.getLong(1), r.getLong(2))
+        assert(viol >= 0 && viol <= n && n == rows.size)
+      }
+      // the two complementary rules on v partition the rows exactly:
+      // (v > t violations) = nulls + not-greater
+      val nullsOrLe = rows.count(r => r._2.isEmpty || r._2.exists(_ <= threshold))
+      assert(got.find(_.getString(0) == "above").get.getLong(1) == nullsOrLe)
+    }
+  }
+
+  test("cdc applyChanges: applying a feed twice equals applying it once " +
+    "(idempotence, 5 cases)") {
+    val gen = Gen.zip(rowsGen, rowsGen, Gen.listOf(Gen.choose(0L, 30L)))
+    samples(gen, 5).foreach { case (tgt, ups, dels) =>
+      val path = tmpDir("prop") + "/cdc"
+      tgt.toDF("k", "name", "v").dropDuplicates("k").write.parquet(path)
+      val changes = ups.toDF("k", "name", "v").dropDuplicates("k")
+        .withColumn("op", org.apache.spark.sql.functions.lit("U"))
+        .unionByName(dels.toDF("k")
+          .withColumn("name", org.apache.spark.sql.functions.lit("x"))
+          .withColumn("v", org.apache.spark.sql.functions.lit(0.0))
+          .withColumn("op", org.apache.spark.sql.functions.lit("D")))
+      Upsert.applyChanges(spark, path, changes, Seq("k"),
+        uniqueKeyTarget = true)
+      val once = spark.read.parquet(path)
+        .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+      Upsert.applyChanges(spark, path, changes, Seq("k"),
+        uniqueKeyTarget = true)
+      val twice = spark.read.parquet(path)
+        .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+      assert(once == twice, "applyChanges not idempotent")
+    }
+  }
 }
