@@ -633,6 +633,13 @@ object StretchQueries {
       EventStream.clickAttribution(
         EventStream.loadEvents(s, s"$dir/events.parquet"))),
 
+    // LEFT OUTER stream-stream join: unconverted clicks surface with
+    // null purchase columns (streaming: emitted on watermark
+    // eviction; batch: eagerly — same plan, oracle below)
+    "q_ev_join_outer" -> ((s, dir) =>
+      EventStream.clickAttributionOuter(
+        EventStream.loadEvents(s, s"$dir/events.parquet"))),
+
     "q_ev_sessions" -> ((s, dir) => {
       import s.implicits._
       EventStream.sessionize(
@@ -1158,6 +1165,14 @@ object StretchQueries {
         "FROM events c JOIN events p ON c.user_id = p.user_id " +
         "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
         "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"),
+
+    "q_ev_join_outer" ->
+      ("SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, " +
+        "p.event_id AS purchase_id, p.ts AS purchase_ts, p.value " +
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ON c.user_id = p.user_id AND p.ts >= c.ts " +
+        "AND p.ts <= c.ts + INTERVAL 30 MINUTE"),
 
     "q_ev_sessions" ->
       ("SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value, " +

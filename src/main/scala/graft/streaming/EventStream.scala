@@ -216,6 +216,39 @@ object EventStream {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** LEFT OUTER variant of [[clickAttribution]]: every click appears —
+    * converted ones with their purchases, unconverted ones with null
+    * purchase columns. Under streaming this is the interesting case:
+    * an inner join can emit on arrival, but "this click never
+    * converted" is only decidable once the watermark passes
+    * click_ts + maxLag — the null-extended rows emit on state
+    * EVICTION, which is why outer stream-stream joins REQUIRE the
+    * watermark + time-bound the API enforces. Batch runs the same
+    * plan eagerly (watermarks are no-ops), so the DuckDB oracle is a
+    * plain left interval join.
+    */
+  def clickAttributionOuter(events: DataFrame,
+                            maxLag: String = "30 minutes",
+                            watermarkDelay: String = "10 minutes")
+      : DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxLag"),
+        "left_outer")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming append with EXACTLY-ONCE delivery into a versioned
     * table: each micro-batch commits as generation `batchId` through
     * [[graft.engine.VersionedTable.commitBatch]], whose claim-file

@@ -47,6 +47,46 @@ class StreamingSpec extends SparkSpec {
       s"stream ${streamed.size} pairs vs batch ${batch.size}")
   }
 
+  test("clickAttributionOuter: streamed outer join emits unmatched " +
+    "clicks on watermark eviction and matches batch") {
+    val batch = EventStream.clickAttributionOuter(
+      EventStream.loadEvents(spark, dir)).collect().map(_.toSeq).toSet
+    val unmatched = batch.count(_.apply(3) == null)
+    assert(unmatched > 0, "need unconverted clicks for the outer case")
+    val staged = tmpDir("stream") + "/attr-outer"
+    EventStream.loadEvents(spark, dir).write.parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema).parquet(staged)
+    val q = EventStream.clickAttributionOuter(stream).writeStream
+      .outputMode("append").format("memory").queryName("attr_outer")
+      .start()
+    q.processAllAvailable(); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("attr_outer").collect().map(_.toSeq).toSet
+    // the stream never "ends": an unmatched click whose eviction bound
+    // (click_ts + lag) is past the FINAL GLOBAL watermark legitimately
+    // stays pending. The global watermark is the MIN over both
+    // withWatermark nodes' own max event times minus the delay — not
+    // the overall max ts (the last click can never out-wait itself).
+    // Outside that tail window the outer join must agree with batch
+    // EXACTLY; inner matches always emit.
+    assert(streamed.subsetOf(batch), "stream emitted a non-batch row")
+    val ev = spark.read.parquet(staged)
+    def sideMax(t: String) = ev.filter(col("event_type") === t)
+      .agg(max(col("ts"))).head.getTimestamp(0).toInstant
+    val wmFinal = Seq(sideMax("click"), sideMax("purchase")).min
+      .minusSeconds(10 * 60)
+    val horizon = wmFinal.minusSeconds(31 * 60) // lag 30m + 1m slack
+    val mustEmit = batch.filter { r =>
+      r(3) != null || // matched: emits on arrival
+        r(2).asInstanceOf[java.sql.Timestamp].toInstant.isBefore(horizon)
+    }
+    val missing = mustEmit -- streamed
+    assert(missing.isEmpty,
+      s"rows missing despite evictable horizon: ${missing.take(3)}")
+    assert(streamed.count(_.apply(3) == null) >= unmatched - 5,
+      "almost all unmatched clicks should have evicted")
+  }
+
   test("dedupStream drops duplicate event ids (streaming, two files)") {
     val staged = tmpDir("stream") + "/dup"
     val ev = EventStream.loadEvents(spark, dir).limit(100)
