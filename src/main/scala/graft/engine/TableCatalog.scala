@@ -107,6 +107,30 @@ final class TableCatalog(val spark: SparkSession, val basePath: String) {
 
   def readBucketed(name: String): DataFrame =
     spark.table(metastoreName(name))
+
+  /** Populate catalog statistics (row count, size, optional per-column
+    * NDV/min/max) for a registered table — what lets the cost-based
+    * optimizer pick broadcast sides and join orders from DATA rather
+    * than file-size guesses. One scan per call (two with columns);
+    * stats persist in the session catalog with the table.
+    */
+  def analyze(name: String, columns: Seq[String] = Nil): Unit = {
+    val t = metastoreName(name)
+    spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS " +
+        columns.mkString(", "))
+  }
+
+  /** (rowCount, sizeInBytes) from the catalog — the observability hook
+    * for [[analyze]]; None until stats exist.
+    */
+  def tableStats(name: String): Option[(Option[BigInt], BigInt)] = {
+    val id = org.apache.spark.sql.catalyst.TableIdentifier(
+      metastoreName(name))
+    spark.sessionState.catalog.getTableMetadata(id).stats
+      .map(s => (s.rowCount, s.sizeInBytes))
+  }
 }
 
 object TableCatalog {

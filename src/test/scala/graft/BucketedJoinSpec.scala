@@ -37,4 +37,19 @@ class BucketedJoinSpec extends SparkSpec {
     assert(joined.count() > 0)
     assert(hinted.count() == li.count()) // every lineitem has its order
   }
+
+  test("analyze populates catalog stats the CBO can read (row count + " +
+    "size; column stats on request)") {
+    val catalog = TableCatalog(spark, tmpDir("analyze"))
+    val nation = spark.read
+      .parquet("/root/testdata/sf0.001/nation.parquet")
+    catalog.overwrite("silver.nation_a", nation)
+    assert(catalog.tableStats("silver.nation_a").isEmpty
+      || catalog.tableStats("silver.nation_a").exists(_._1.isEmpty))
+    catalog.analyze("silver.nation_a", Seq("n_nationkey", "n_name"))
+    val stats = catalog.tableStats("silver.nation_a")
+    assert(stats.isDefined, "no stats after ANALYZE")
+    assert(stats.get._1.contains(BigInt(25)), s"row count wrong: $stats")
+    assert(stats.get._2 > 0, "size missing")
+  }
 }
