@@ -485,6 +485,23 @@ object StretchQueries {
         dim = 64, nBits = 32, bands = 4)
     }),
 
+    // per-group embedding centroids (mean pooling) in EXACT integer
+    // micros: each float component is scaled to an int64 before any
+    // summation, so the aggregate is partition-order-independent and
+    // hash-matchable — no floating addition anywhere (SimilaritySpec
+    // bounds the quantization vs the double path at 0.5 micro/element).
+    // The posexplode shuffle carries (grp, pos, micros) triples; at
+    // dim ≫ this, the per-group array aggregator (Ivf.VecSumAgg) is
+    // the shape that shuffles one buffer per group×partition instead
+    "q_v_centroid" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select((col("vec_id") % 8).as("grp"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("grp"), col("pos"))
+        .agg(sum(round(col("x").cast("double") * 1000000).cast("long"))
+            .as("sum_micros"),
+          count(lit(1)).as("n"))),
+
     // SemDeDup — cluster (k-means) → within-cluster pairs → CC resolve
     // → drop non-canonical. Identical planted copies ALWAYS co-cluster
     // (same distances → same argmin), cosine(v,v)=1 ≥ 0.9, and the max
@@ -1028,6 +1045,19 @@ object StretchQueries {
     // 2-member component); no natural pair crosses the threshold —
     // kept ≡ the original corpus
     "q_v_semdedup" -> "SELECT vec_id FROM embeddings",
+
+    // list comprehension + struct unnest ≡ posexplode (0-based pos);
+    // micros cast BEFORE summation on both sides
+    "q_v_centroid" ->
+      ("""WITH p AS (SELECT vec_id % 8 AS grp, unnest(
+         |  [struct_pack(pos := CAST(i - 1 AS INT),
+         |     m := CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+         |          AS BIGINT))
+         |   for i in range(1, len(embedding) + 1)],
+         |  recursive := true) FROM embeddings)
+         |SELECT grp, pos, CAST(sum(m) AS BIGINT) AS sum_micros,
+         |  count(*) AS n FROM p GROUP BY 1, 2""".stripMargin)
+        .replaceAll(raw"\s+", " "),
 
     "q_v_quantize" ->
       ("""WITH m AS (SELECT vec_id, embedding,

@@ -158,6 +158,33 @@ class SimilaritySpec extends SparkSpec {
     assert(sem.subsetOf(exact), "semanticDupPairs produced a non-pair")
   }
 
+  test("centroid gate: exact-micros sums agree with the double " +
+    "vector-sum path within per-element rounding") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val micros = emb
+      .select((col("vec_id") % 8).as("grp"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sum(org.apache.spark.sql.functions
+          .round(col("x").cast("double") * 1000000).cast("long"))
+          .as("sm"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val doubles = emb
+      .select((col("vec_id") % 8).as("grp"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sum(col("x").cast("double")).as("s")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    micros.foreach { case (k, (sm, n)) =>
+      // each element contributes ≤ 0.5 micro of quantization error
+      assert(math.abs(sm - doubles(k) * 1e6) <= 0.5 * n + 1.0,
+        s"$k: micros $sm vs double ${doubles(k)}")
+    }
+  }
+
   test("semanticDupStats accounts for capped clusters; healthy k is clean") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val clean = SimilaritySearch.semanticDupStats(emb, k = 8)
