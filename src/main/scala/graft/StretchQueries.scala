@@ -502,6 +502,15 @@ object StretchQueries {
             .as("sum_micros"),
           count(lit(1)).as("n"))),
 
+    // JL random projection 64→16 dims — embedding compression whose
+    // hash-derived matrix both engines replay (margin-probed at 6dp)
+    "q_v_project" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(graft.functions.VectorFunctions
+            .randomProjection(col("embedding"), 16)).as(Seq("j", "p")))
+        .select(col("vec_id"), col("j"), round(col("p"), 6).as("p6"))),
+
     // SemDeDup — cluster (k-means) → within-cluster pairs → CC resolve
     // → drop non-canonical. Identical planted copies ALWAYS co-cluster
     // (same distances → same argmin), cosine(v,v)=1 ≥ 0.9, and the max
@@ -1045,6 +1054,18 @@ object StretchQueries {
     // 2-member component); no natural pair crosses the threshold —
     // kept ≡ the original corpus
     "q_v_semdedup" -> "SELECT vec_id FROM embeddings",
+
+    "q_v_project" ->
+      ("""WITH p AS (SELECT vec_id, unnest(
+         |  [struct_pack(j := CAST(j AS INT),
+         |     p6 := round(list_sum(
+         |       [CAST(embedding[i + 1] AS DOUBLE) *
+         |        (CAST((i * 2654435761 + j * 40503) % 65536 AS DOUBLE)
+         |         / 65536.0 - 0.5)
+         |        for i in range(0, len(embedding))]), 6))
+         |   for j in range(0, 16)], recursive := true) FROM embeddings)
+         |SELECT vec_id, j, p6 FROM p""".stripMargin)
+        .replaceAll(raw"\s+", " "),
 
     // list comprehension + struct unnest ≡ posexplode (0-based pos);
     // micros cast BEFORE summation on both sides

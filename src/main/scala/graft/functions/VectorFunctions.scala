@@ -34,6 +34,27 @@ object VectorFunctions {
     when(den === 0.0, lit(null).cast("double")).otherwise(d / den)
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions —
+    * the embedding-compression pass (store/search in 16 dims, rerank
+    * survivors in full precision). The projection matrix is DERIVED,
+    * never stored or shipped: w(i,j) = ((i·2654435761 + j·40503) mod
+    * 65536)/65536 − 0.5, plain integer arithmetic both engines replay
+    * exactly — which is what makes the reduced vectors themselves
+    * oracle-checkable (a seeded-RNG matrix would be engine-private).
+    * Output accumulates left-to-right in double like every kernel
+    * here.
+    */
+  def randomProjection(v: Column, outDim: Int): Column = {
+    require(outDim > 0, "outDim must be positive")
+    transform(sequence(lit(0L), lit(outDim - 1L)), j =>
+      aggregate(
+        zip_with(v, sequence(lit(0L), size(v).cast("long") - 1L),
+          (x, i) => x.cast("double") *
+            (pmod(i * lit(2654435761L) + j * lit(40503L), lit(65536L))
+              .cast("double") / 65536.0 - 0.5)),
+        lit(0.0), (acc, x) => acc + x))
+  }
+
   /** Random-hyperplane signature: bit i = sign(v · hᵢ), packed into a
     * Long. The planes are generated driver-side from a fixed seed and
     * inlined as literals — every executor evaluates the same planes

@@ -185,6 +185,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("randomProjection: bit-identical to a local left-to-right fold " +
+    "of the derived matrix; linear in its input") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    val got = emb.select(col("vec_id"), col("embedding"),
+        VectorFunctions.randomProjection(col("embedding"), 16).as("proj"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val proj = r.getSeq[Double](2)
+      val local = (0 until 16).map { j =>
+        var acc = 0.0
+        var i = 0
+        while (i < v.length) {
+          val w = java.lang.Math.floorMod(
+            i.toLong * 2654435761L + j.toLong * 40503L, 65536L)
+            .toDouble / 65536.0 - 0.5
+          acc += v(i).toDouble * w
+          i += 1
+        }
+        acc
+      }
+      assert(proj == local, s"vec ${r.getLong(0)}: engine $proj vs $local")
+    }
+    // linearity: proj(2v) == 2*proj(v) exactly (scaling by a power of
+    // two is exact in binary floating point)
+    val doubled = emb.select(col("vec_id"),
+      VectorFunctions.randomProjection(
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x * 2.0f).cast("array<float>"), 16).as("p2"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    got.foreach { r =>
+      val twice = r.getSeq[Double](2).map(_ * 2.0)
+      assert(doubled(r.getLong(0)) == twice, "projection not linear")
+    }
+  }
+
   test("semanticDupStats accounts for capped clusters; healthy k is clean") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val clean = SimilaritySearch.semanticDupStats(emb, k = 8)
