@@ -116,19 +116,23 @@ final class TableCatalog(val spark: SparkSession, val basePath: String) {
     */
   def analyze(name: String, columns: Seq[String] = Nil): Unit = {
     val t = metastoreName(name)
-    spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+    // FOR COLUMNS already computes row count + size — issuing the
+    // plain form too would scan the table twice for nothing
     if (columns.nonEmpty)
       spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS " +
         columns.mkString(", "))
+    else spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
   }
 
   /** (rowCount, sizeInBytes) from the catalog — the observability hook
-    * for [[analyze]]; None until stats exist.
+    * for [[analyze]]; None until stats exist (including for a table
+    * that is not registered at all).
     */
   def tableStats(name: String): Option[(Option[BigInt], BigInt)] = {
     val id = org.apache.spark.sql.catalyst.TableIdentifier(
       metastoreName(name))
-    spark.sessionState.catalog.getTableMetadata(id).stats
+    if (!spark.sessionState.catalog.tableExists(id)) None
+    else spark.sessionState.catalog.getTableMetadata(id).stats
       .map(s => (s.rowCount, s.sizeInBytes))
   }
 }

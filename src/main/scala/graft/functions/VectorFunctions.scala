@@ -46,13 +46,17 @@ object VectorFunctions {
     */
   def randomProjection(v: Column, outDim: Int): Column = {
     require(outDim > 0, "outDim must be positive")
-    transform(sequence(lit(0L), lit(outDim - 1L)), j =>
-      aggregate(
-        zip_with(v, sequence(lit(0L), size(v).cast("long") - 1L),
-          (x, i) => x.cast("double") *
-            (pmod(i * lit(2654435761L) + j * lit(40503L), lit(65536L))
-              .cast("double") / 65536.0 - 0.5)),
-        lit(0.0), (acc, x) => acc + x))
+    // empty-vector guard: sequence(0, −1) counts DOWN to [0, −1],
+    // zip_with null-pads, and null poisons the fold — an empty input
+    // projects to the zero vector, not [null × outDim]
+    when(size(v) === 0, array_repeat(lit(0.0), outDim))
+      .otherwise(transform(sequence(lit(0L), lit(outDim - 1L)), j =>
+        aggregate(
+          zip_with(v, sequence(lit(0L), size(v).cast("long") - 1L),
+            (x, i) => x.cast("double") *
+              (pmod(i * lit(2654435761L) + j * lit(40503L), lit(65536L))
+                .cast("double") / 65536.0 - 0.5)),
+          lit(0.0), (acc, x) => acc + x)))
   }
 
   /** Random-hyperplane signature: bit i = sign(v · hᵢ), packed into a

@@ -198,7 +198,17 @@ object EventStream {
     * batch ≡ stream comparison exact (StreamingSpec).
     */
   def clickAttribution(events: DataFrame, maxLag: String = "30 minutes",
-                       watermarkDelay: String = "10 minutes"): DataFrame = {
+                       watermarkDelay: String = "10 minutes"): DataFrame =
+    attributionJoin(events, maxLag, watermarkDelay, "inner")
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+
+  /** ONE copy of the attribution join (sides, watermarks, condition)
+    * for both the inner and outer variants — they must never drift.
+    */
+  private def attributionJoin(events: DataFrame, maxLag: String,
+                              watermarkDelay: String,
+                              joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -209,11 +219,10 @@ object EventStream {
         col("value"))
       .withWatermark("purchase_ts", watermarkDelay)
     clicks.join(purchases,
-        col("user_id") === col("p_user_id") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxLag"))
-      .select(col("purchase_id"), col("click_id"), col("user_id"),
-        col("click_ts"), col("purchase_ts"), col("value"))
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxLag"),
+      joinType)
   }
 
   /** LEFT OUTER variant of [[clickAttribution]]: every click appears —
@@ -230,24 +239,10 @@ object EventStream {
   def clickAttributionOuter(events: DataFrame,
                             maxLag: String = "30 minutes",
                             watermarkDelay: String = "10 minutes")
-      : DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("click_ts"))
-      .withWatermark("click_ts", watermarkDelay)
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"),
-        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
-        col("value"))
-      .withWatermark("purchase_ts", watermarkDelay)
-    clicks.join(purchases,
-        col("user_id") === col("p_user_id") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxLag"),
-        "left_outer")
+      : DataFrame =
+    attributionJoin(events, maxLag, watermarkDelay, "left_outer")
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"), col("value"))
-  }
 
   /** Streaming append with EXACTLY-ONCE delivery into a versioned
     * table: each micro-batch commits as generation `batchId` through

@@ -189,8 +189,13 @@ class SimilaritySpec extends SparkSpec {
     "of the derived matrix; linear in its input") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(50)
+    // one query computes BOTH projections — same rows guaranteed
+    // (limit without an ordering may differ across jobs)
     val got = emb.select(col("vec_id"), col("embedding"),
-        VectorFunctions.randomProjection(col("embedding"), 16).as("proj"))
+        VectorFunctions.randomProjection(col("embedding"), 16).as("proj"),
+        VectorFunctions.randomProjection(
+          org.apache.spark.sql.functions.transform(col("embedding"),
+            x => x * 2.0f).cast("array<float>"), 16).as("proj2"))
       .collect()
     assert(got.nonEmpty)
     got.foreach { r =>
@@ -212,15 +217,16 @@ class SimilaritySpec extends SparkSpec {
     }
     // linearity: proj(2v) == 2*proj(v) exactly (scaling by a power of
     // two is exact in binary floating point)
-    val doubled = emb.select(col("vec_id"),
-      VectorFunctions.randomProjection(
-        org.apache.spark.sql.functions.transform(col("embedding"),
-          x => x * 2.0f).cast("array<float>"), 16).as("p2"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     got.foreach { r =>
       val twice = r.getSeq[Double](2).map(_ * 2.0)
-      assert(doubled(r.getLong(0)) == twice, "projection not linear")
+      assert(r.getSeq[Double](3) == twice, "projection not linear")
     }
+    // empty vector projects to zeros, never nulls
+    import spark.implicits._
+    val z = Seq((1L, Seq.empty[Float])).toDF("vec_id", "embedding")
+      .select(VectorFunctions.randomProjection(col("embedding"), 4))
+      .head.getSeq[Double](0)
+    assert(z == Seq(0.0, 0.0, 0.0, 0.0), s"empty vector gave $z")
   }
 
   test("semanticDupStats accounts for capped clusters; healthy k is clean") {
