@@ -50,6 +50,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("bandPlan: cheapest (bands, subRadius) still covers the full Hamming ball") {
+    // the pigeonhole guarantee, checked exhaustively: every XOR pattern
+    // with popcount <= maxHamming must have SOME band within subRadius
+    for (nBits <- Seq(8, 12, 16); maxHamming <- 0 until nBits) {
+      val (b, t) = SimilaritySearch.bandPlan(nBits, maxHamming)
+      val r = nBits / b
+      val mask = (1L << r) - 1
+      (0L until (1L << nBits)).foreach { x =>
+        if (java.lang.Long.bitCount(x) <= maxHamming) {
+          val hit = (0 until b).exists { j =>
+            java.lang.Long.bitCount((x >> (j * r)) & mask) <= t
+          }
+          assert(hit, s"nBits=$nBits maxHamming=$maxHamming plan=($b,$t) misses x=$x")
+        }
+      }
+    }
+    // the gate/default config collapses 14,893 ball probes to 8 band probes
+    assert(SimilaritySearch.bandPlan(16, 6) == (8, 0))
+    assert(SimilaritySearch.bandPlan(16, 7) == (8, 0))
+  }
+
+  test("lshTopK banded candidates are a superset of the exact Hamming ball " +
+    "(planted duplicate is always found)") {
+    // identical vectors share every band bucket -> guaranteed candidate;
+    // top-1 of a planted exact copy must be the copy (cosine 1.0)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planted = emb.union(
+      emb.filter(col("vec_id") < 10).withColumn("vec_id", col("vec_id") + 5000L))
+    val got = SimilaritySearch.lshTopK(planted,
+        planted.filter(col("vec_id") >= 5000L), k = 1, dim = 64)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    (0L until 10L).foreach { i =>
+      assert(got(i + 5000L) == i, s"planted copy of $i not its own top-1: $got")
+    }
+  }
+
   test("cosineNearDupPairs (LSH) finds what the exact path finds, at high threshold") {
     // plant exact duplicates so near-dup pairs exist at threshold ~1
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
