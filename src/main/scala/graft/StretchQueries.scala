@@ -567,6 +567,22 @@ object StretchQueries {
         k = 5, nprobe = 4)
     }),
 
+    // compressed-domain IVF search: the int8 (4×-smaller) column feeds
+    // the shortlist scan, full-precision vectors rescore ONLY the
+    // shortlist — the IVF-PQ-style shape a 100 TB corpus searches.
+    // Full probe + exhaustive shortlist here → the exact-cosine rescore
+    // decides every rank → shares the brute-force oracle; the
+    // approximate path's recall + int8-only scan are pinned in IvfSpec.
+    "q_v_topk_ivf_c" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_pq_q_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Ivf.ensureIndex(emb, s"$dir/embeddings.parquet", scratch, k = 4,
+        iters = 2, quantize = true)
+      Ivf.searchIndexCompressed(s, scratch, emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 4, rescoreK = 4096)
+    }),
+
     // LSH/ANN scale path — recall-checked against brute force in tests
     "q_v_topk_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -751,6 +767,7 @@ object StretchQueries {
     oracleSqlMap +
       ("q_v_topk_ivf" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_idx" -> oracleSqlMap("q_v_topk")) +
+      ("q_v_topk_ivf_c" -> oracleSqlMap("q_v_topk")) +
       ("q_ev_sessions_et" -> oracleSqlMap("q_ev_sessions"))
 
   private lazy val oracleSqlMap: Map[String, String] = Map(

@@ -159,15 +159,45 @@ object Ivf {
       .collect()
       .map(_.getSeq[Double](0).toArray))
 
+  // one entry per centroids path: (latest file mtime, model). A rebuild
+  // bumps the mtime, so staleness costs one FS listing per search — not
+  // a Spark job. The map never grows beyond the set of distinct index
+  // paths touched by the session (models are k×dim doubles, a few KB).
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, IvfModel)]
+
+  /** [[loadModel]] behind an mtime-validated per-path cache: repeated
+    * searches of an unchanged index skip the centroid-parquet job.
+    */
+  def loadModelCached(spark: SparkSession, path: String): IvfModel = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtime = fs.listStatus(p).map(_.getModificationTime)
+      .foldLeft(0L)(math.max)
+    modelCache.compute(path, (_, cached) => cached match {
+      case (t, _) if t == mtime => cached
+      case _ => (mtime, loadModel(spark, path))
+    })._2
+  }
+
   /** Build the full on-disk index: `<path>/centroids` + the assigned
     * corpus at `<path>/corpus` partitioned by `cluster` (one posting
-    * list per partition directory).
+    * list per partition directory). With `quantize = true` the corpus
+    * also carries the int8 form (`q8` + `q_scale` —
+    * [[graft.functions.VectorFunctions.withQuantizedInt8]]), which
+    * [[searchIndexCompressed]] scans INSTEAD of the float vectors:
+    * parquet being columnar, the 4×-smaller quantized column is all
+    * the shortlist phase reads.
     */
   def writeIndex(df: DataFrame, model: IvfModel, path: String,
-                 vecCol: String = "embedding"): Unit = {
+                 vecCol: String = "embedding",
+                 quantize: Boolean = false): Unit = {
     saveModel(df.sparkSession, model, s"$path/centroids")
-    assign(df, model, vecCol)
-      .write.mode("overwrite").partitionBy("cluster")
+    val assigned = assign(df, model, vecCol)
+    val out = if (quantize)
+      graft.functions.VectorFunctions.withQuantizedInt8(assigned, vecCol)
+    else assigned
+    out.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/corpus")
   }
 
@@ -182,7 +212,8 @@ object Ivf {
   def ensureIndex(df: DataFrame, sourcePath: String, indexPath: String,
                   k: Int, iters: Int = 3, seed: Long = 42L,
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): Unit = {
+                  vecCol: String = "embedding",
+                  quantize: Boolean = false): Unit = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(sourcePath)
     val fs = src.getFileSystem(conf)
@@ -199,7 +230,7 @@ object Ivf {
       mfs.getFileStatus(marker).getModificationTime >= srcModified
     if (!fresh) {
       val model = train(df, k, iters, seed, idCol, vecCol)
-      writeIndex(df, model, indexPath, vecCol)
+      writeIndex(df, model, indexPath, vecCol, quantize)
       mfs.create(marker, true).close()
     }
   }
@@ -215,7 +246,7 @@ object Ivf {
                   queries: DataFrame, k: Int, nprobe: Int = 2,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
-    val model = loadModel(spark, s"$indexPath/centroids")
+    val model = loadModelCached(spark, s"$indexPath/centroids")
     val probed = queries
       .select(explode(
         nearestCentroids(col(vecCol), model.centroids, nprobe)).as("cluster"))
@@ -224,5 +255,63 @@ object Ivf {
       .filter(col("cluster").isin(probed.toIndexedSeq: _*))
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cluster"))
     scoreAndRank(c, queries, model, k, nprobe, idCol, vecCol)
+  }
+
+  /** Compressed-domain ANN against a `quantize = true` index — the
+    * shape a 100 TB embedding corpus actually searches:
+    *
+    *  1. SHORTLIST over the int8 column only. Cosine is scale-
+    *     invariant, so cosine(q8, q_vec) needs no dequantization at
+    *     all (FAISS-style asymmetric scoring: full-precision query
+    *     against the compressed corpus — `q_scale` isn't even read).
+    *     Parquet being columnar, this scan reads 1/4 the vector bytes
+    *     of the float path; partition pruning limits it to the nprobe
+    *     probed posting lists as in [[searchIndex]].
+    *  2. RESCORE full-precision, but ONLY the `rescoreK`-per-query
+    *     shortlist: the float column is read through a semi-join on
+    *     the shortlisted ids — |queries|·rescoreK rows of float
+    *     vectors, never the corpus.
+    *
+    * Recall: the exact cosine decides the final order, so quantization
+    * error can only cost a candidate that missed the shortlist;
+    * `rescoreK` (≥ k, default 4k) is the knob. IvfSpec measures the
+    * compressed path against the uncompressed one.
+    */
+  def searchIndexCompressed(spark: SparkSession, indexPath: String,
+                            queries: DataFrame, k: Int, nprobe: Int = 2,
+                            rescoreK: Int = 0,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val shortK = if (rescoreK > 0) math.max(rescoreK, k) else 4 * k
+    val model = loadModelCached(spark, s"$indexPath/centroids")
+    val probed = queries
+      .select(explode(
+        nearestCentroids(col(vecCol), model.centroids, nprobe)).as("cluster"))
+      .distinct().collect().map(_.getInt(0))
+    val corpus = spark.read.parquet(s"$indexPath/corpus")
+      .filter(col("cluster").isin(probed.toIndexedSeq: _*))
+    // int8 elements are exact in float (|q| ≤ 127), so the cast is free
+    val cq = corpus.select(col(idCol).as("n_id"),
+      col("q8").cast("array<float>").as("n_q8"), col("cluster"))
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        explode(nearestCentroids(col(vecCol), model.centroids, nprobe))
+          .as("cluster"))
+    val approx = cq.join(broadcast(q), Seq("cluster"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_q8")).as("cosine"))
+    val shortlist = TopK.topKPerKey(approx, shortK)(spark)
+      .select(col("q_id"), col("n_id"))
+    // full-precision vectors for shortlisted ids only
+    val exactVecs = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .join(broadcast(shortlist), Seq("n_id"))
+    val rescored = exactVecs
+      .join(broadcast(queries.select(col(idCol).as("q_id"),
+        col(vecCol).as("q_vec"))), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cosine"))
+    TopK.topKPerKey(rescored, k)(spark)
   }
 }

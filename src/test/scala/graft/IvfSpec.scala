@@ -56,6 +56,22 @@ class IvfSpec extends SparkSpec {
       m.centroids.map(_.toSeq).toSeq)
   }
 
+  test("loadModelCached: hit skips the reload, rewrite invalidates") {
+    val m1 = Ivf.train(emb, k = 2, iters = 1)
+    val path = tmpDir("graft-ivf-mcache")
+    Ivf.saveModel(spark, m1, path)
+    val a = Ivf.loadModelCached(spark, path)
+    val b = Ivf.loadModelCached(spark, path)
+    assert(a eq b, "unchanged index must return the cached instance")
+    // a genuinely different model at the same path must be picked up
+    Thread.sleep(1100) // FS mtime granularity can be a full second
+    val m2 = Ivf.train(emb, k = 3, iters = 2)
+    Ivf.saveModel(spark, m2, path)
+    val c = Ivf.loadModelCached(spark, path)
+    assert(c.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq,
+      "rewritten centroids must invalidate the cache")
+  }
+
   test("searchIndex on a reloaded on-disk index equals the in-memory search") {
     val m = Ivf.train(emb, k = 4, iters = 2)
     val path = tmpDir("graft-ivf-index")
@@ -125,6 +141,57 @@ class IvfSpec extends SparkSpec {
     val ensured = Ivf.searchIndex(spark, idx, q, k = 3, nprobe = 2)
       .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
     assert(ensured == direct)
+  }
+
+  test("searchIndexCompressed with a full shortlist equals the float search") {
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val path = tmpDir("graft-ivf-pq-full")
+    Ivf.writeIndex(emb, m, path, quantize = true)
+    val q = emb.filter(col("vec_id") < 8)
+    val n = emb.count().toInt
+    for (nprobe <- Seq(2, 4)) {
+      // shortlist everything → the exact-cosine rescore decides every
+      // rank, so the compressed path must reproduce the float path
+      val float = Ivf.searchIndex(spark, path, q, k = 5, nprobe = nprobe)
+        .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+      val compressed = Ivf.searchIndexCompressed(spark, path, q, k = 5,
+        nprobe = nprobe, rescoreK = n)
+        .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+      assert(compressed == float, s"nprobe=$nprobe diverged")
+    }
+  }
+
+  test("searchIndexCompressed default shortlist keeps high recall") {
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val path = tmpDir("graft-ivf-pq-recall")
+    Ivf.writeIndex(emb, m, path, quantize = true)
+    val q = emb.filter(col("vec_id") < 20)
+    val float = Ivf.searchIndex(spark, path, q, k = 5, nprobe = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val compressed = Ivf.searchIndexCompressed(spark, path, q, k = 5,
+      nprobe = 2) // default rescoreK = 4k
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = float.intersect(compressed).size.toDouble / float.size
+    assert(recall >= 0.9, s"int8 shortlist recall $recall vs the float path")
+  }
+
+  test("searchIndexCompressed shortlist scan reads int8, not the float vectors") {
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val path = tmpDir("graft-ivf-pq-plan")
+    Ivf.writeIndex(emb, m, path, quantize = true)
+    val q = emb.filter(col("vec_id") < 4)
+    val df = Ivf.searchIndexCompressed(spark, path, q, k = 5, nprobe = 2)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema:")).toList
+    // the shortlist phase reads the 4×-smaller quantized column only
+    assert(schemas.exists(s => s.contains("q8") && !s.contains("embedding")),
+      s"no int8-only corpus scan in:\n$p")
+    // the rescore phase still reads float vectors (shortlisted rows only)
+    assert(schemas.exists(s => s.contains("embedding")),
+      s"no full-precision rescore scan in:\n$p")
+    // partition pruning applies to the compressed scan like the float one
+    assert(p.contains("PartitionFilters"), s"unpruned compressed scan:\n$p")
   }
 
   test("planted clusters: nprobe=1 achieves near-perfect recall") {
