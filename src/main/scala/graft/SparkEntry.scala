@@ -401,6 +401,72 @@ object SparkEntry {
       catalog.read(spec.table).select(col("p_partkey"), col("p_name"))
     }),
 
+    // ── The ANALYZE → catalog stats → CBO loop, end-to-end: register,
+    //    analyze (row count + column min/max/NDV), then plan a
+    //    selective-filter join under cbo.enabled. CboSpec pins that
+    //    these stats flip this join shape from shuffle to broadcast;
+    //    here the whole path runs against a scratch warehouse and the
+    //    ANSWER is checked (stats change plans, never results) ────────
+    "q_cbo_join" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_cbo_q"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val catalog = graft.engine.TableCatalog(s, scratch)
+      catalog.overwrite("silver.orders_cbo_q", t(s, dir, "orders"))
+      catalog.overwrite("silver.customer_cbo_q", t(s, dir, "customer"))
+      catalog.analyze("silver.orders_cbo_q", Seq("o_orderkey", "o_custkey"))
+      catalog.analyze("silver.customer_cbo_q", Seq("c_custkey"))
+      val saved = s.conf.getOption("spark.sql.cbo.enabled")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val df = s.table(catalog.metastoreName("silver.orders_cbo_q"))
+          .filter(col("o_orderkey") < 50)
+          .join(s.table(catalog.metastoreName("silver.customer_cbo_q")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+        df.queryExecution.executedPlan // plan NOW, while CBO is on
+        df
+      } finally saved match {
+        case Some(v) => s.conf.set("spark.sql.cbo.enabled", v)
+        case None    => s.conf.unset("spark.sql.cbo.enabled")
+      }
+    }),
+
+    // ── Streaming CDC end-to-end: a changefeed parquet dir driven
+    //    through TWO real streaming runs (insert load, then
+    //    update+delete increment) restarting on one checkpoint —
+    //    foreachBatch → StreamingCdc.applyCdcBatch → the claim-file
+    //    ledger. Exactly-once + crash semantics pinned in CdcStreamSpec;
+    //    here the FINAL SNAPSHOT is oracle-checked ────────────────────
+    "q_cdc_stream" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_cdc_q"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val feedDir = s"$scratch/feed"
+      val tablePath = s"$scratch/table"
+      val ckpt = s"$scratch/ckpt"
+      val part = t(s, dir, "part").select(col("p_partkey"), col("p_name"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+      val b0 = part.withColumn("op", lit("I"))
+      // U and D key sets are disjoint, so the increment is one batch
+      val b1 = part
+        .filter(col("p_partkey") % 3 === 1 && col("p_partkey") % 10 =!= 0)
+        .withColumn("price_cents", col("price_cents") + 100)
+        .withColumn("op", lit("U"))
+        .unionByName(part.filter(col("p_partkey") % 10 === 0)
+          .withColumn("op", lit("D")))
+      b0.coalesce(1).write.mode("append").parquet(feedDir)
+      graft.streaming.StreamingCdc.applyChangesStream(
+        s, feedDir, tablePath, ckpt, Seq("p_partkey"))
+      b1.coalesce(1).write.mode("append").parquet(feedDir)
+      graft.streaming.StreamingCdc.applyChangesStream(
+        s, feedDir, tablePath, ckpt, Seq("p_partkey"))
+      new graft.engine.VersionedTable(s, tablePath).read()
+        .select(col("p_partkey"), col("p_name"), col("price_cents"))
+    }),
+
     // ── W1: running total per key — the window shape a bounded top-k
     //    aggregator CANNOT express (every prefix is an output row).
     //    Scale: one shuffle on the partition key, in-partition sort,
@@ -854,6 +920,13 @@ object SparkEntry {
       "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem",
     "q_scd1_dim_build" ->
       "SELECT p_partkey, p_name FROM part",
+    "q_cbo_join" ->
+      ("SELECT o_orderkey, o_custkey, c_name FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey WHERE o_orderkey < 50"),
+    "q_cdc_stream" ->
+      ("SELECT p_partkey, p_name, CAST(round(p_retailprice * 100) AS BIGINT) " +
+        "+ CASE WHEN p_partkey % 3 = 1 THEN 100 ELSE 0 END AS price_cents " +
+        "FROM part WHERE p_partkey % 10 <> 0"),
 
     // explicit ROWS frame on both sides: with a unique order key the
     // default RANGE frame is equivalent, but pinning ROWS removes any

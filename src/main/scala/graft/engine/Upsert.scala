@@ -181,7 +181,7 @@ object Upsert {
     * share this because the pipeline mixes `Rev_Per_unit`/
     * `Rev_Per_Unit` (`4_Fact:50` vs `2_Silver:49`).
     */
-  private def alignByName(source: DataFrame, target: DataFrame): DataFrame = {
+  private[graft] def alignByName(source: DataFrame, target: DataFrame): DataFrame = {
     val lower = source.columns.map(c => c.toLowerCase -> c).toMap
     val aligned = target.columns.map { tc =>
       lower.get(tc.toLowerCase) match {

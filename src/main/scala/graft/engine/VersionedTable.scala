@@ -46,8 +46,57 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
   private val claimsDir = new Path(base, "_claims")
   private val genDir = new Path(base, "_gen")
   private val stagingDir = new Path(base, "_staging")
+  private val modePath = new Path(base, "_mode")
 
   private def fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Table mode, recorded at the first mutation and immutable after:
+    *
+    *  - `overwrite` — each generation is a full snapshot ([[overwrite]]
+    *    / [[overwriteIf]]); latest wins, [[compact]]/[[vacuum]] apply.
+    *  - `append` — generations are [[commitBatch]] increments;
+    *    consumers read the UNION ([[readAll]]). Compaction would
+    *    duplicate the latest generation's rows in that union and
+    *    vacuum would silently delete appended batches, so both refuse.
+    *  - `cdc` — generations are batch-id-keyed snapshots
+    *    ([[graft.streaming.StreamingCdc]]); latest wins like
+    *    `overwrite`, but generation numbers belong to the STREAM's
+    *    epoch sequence, so [[overwrite]]/[[compact]] (which claim
+    *    max+1) would collide with a future batch id and make
+    *    [[commitBatch]] silently skip that batch — they refuse;
+    *    [[vacuum]] (snapshot retention) is fine.
+    *
+    * Tables written before mode markers existed have None and stay
+    * unguarded (their first mutation under this version records one).
+    */
+  def modeMarker: Option[String] = {
+    val f = fs
+    if (!f.exists(modePath)) None
+    else {
+      val in = f.open(modePath)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        if (n <= 0) None else Some(new String(buf, 0, n, "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  private def ensureMode(mode: String): Unit = {
+    def check(m: String): Unit = require(m == mode,
+      s"table at $basePath is '$m'-mode; '$mode' writes would corrupt " +
+        "its read/retention contract (see modeMarker scaladoc)")
+    modeMarker match {
+      case Some(m) => check(m)
+      case None =>
+        fs.mkdirs(base)
+        val won =
+          try { val o = fs.create(modePath, false)
+                o.write(mode.getBytes("UTF-8")); o.close(); true }
+          catch { case _: java.io.IOException => false }
+        if (!won) modeMarker.foreach(check) // lost the creation race
+    }
+  }
 
   private def genPath(n: Long) = new Path(genDir, f"$n%06d")
   private def claimPath(n: Long) = new Path(claimsDir, f"$n%06d")
@@ -86,6 +135,7 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     * version (last claim wins the "latest" title; nothing is lost).
     */
   def overwrite(df: DataFrame): Long = {
+    ensureMode("overwrite")
     val f = fs
     f.mkdirs(claimsDir); f.mkdirs(genDir)
     val staging = new Path(stagingDir,
@@ -135,8 +185,17 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     * generations via [[readAll]]; `overwrite`-mode tables and
     * streaming tables should not share a directory.
     */
-  def commitBatch(batchId: Long, df: DataFrame): Boolean = {
+  def commitBatch(batchId: Long, df: DataFrame): Boolean =
+    commitBatchAs("append", batchId, df)
+
+  /** [[commitBatch]] with an explicit mode marker — `cdc` callers
+    * (snapshot-per-batch, [[graft.streaming.StreamingCdc]]) share the
+    * claim-ledger protocol but a different read contract.
+    */
+  private[graft] def commitBatchAs(mode: String, batchId: Long,
+                                   df: DataFrame): Boolean = {
     require(batchId >= 0, s"batchId must be non-negative: $batchId")
+    ensureMode(mode)
     val f = fs
     f.mkdirs(claimsDir); f.mkdirs(genDir)
     if (f.exists(claimPath(batchId)) && f.exists(genPath(batchId)))
@@ -171,6 +230,9 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     * content of a [[commitBatch]]-fed streaming table).
     */
   def readAll(): DataFrame = {
+    modeMarker.foreach(m => require(m == "append",
+      s"readAll on a '$m'-mode table at $basePath would union " +
+        "snapshots (duplicating rows); use read() for the latest one"))
     val vs = versions
     require(vs.nonEmpty, s"no committed version at $basePath")
     spark.read.parquet(vs.map(genPath(_).toString): _*)
@@ -183,6 +245,10 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     * mid-compaction changes nothing. `coalesce` keeps it shuffle-free.
     */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    modeMarker.foreach(m => require(m == "overwrite",
+      s"compact on a '$m'-mode table at $basePath: 'append' would " +
+        "duplicate the latest generation in readAll(), 'cdc' would " +
+        "claim a generation number a future stream batch needs"))
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"nothing to compact at $basePath"))
     val f = fs
@@ -201,6 +267,9 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     */
   def vacuum(keepLast: Int = 1, stagingOlderThanMs: Long = 3600000L): Seq[Long] = {
     require(keepLast >= 1, "must keep at least one version")
+    modeMarker.foreach(m => require(m != "append",
+      s"vacuum on the 'append'-mode table at $basePath would silently " +
+        "delete appended batches from the readAll() union"))
     val f = fs
     // staging dirs are private to their writer until the commit rename;
     // only AGED ones (crashed writers) are garbage. "Age" = the newest
@@ -240,6 +309,7 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     * commit. `expectedBase = None` claims version 0 (table creation).
     */
   def overwriteIf(df: DataFrame, expectedBase: Option[Long]): Option[Long] = {
+    ensureMode("overwrite")
     val f = fs
     f.mkdirs(claimsDir); f.mkdirs(genDir)
     val n = expectedBase.map(_ + 1L).getOrElse(0L)
