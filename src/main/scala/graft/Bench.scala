@@ -122,7 +122,18 @@ object Bench {
     val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"queries_min":$mins,"reps":$reps,"errors":$errs,"sf":"$sfDir","failed":${results.count(_._4.nonEmpty)},"value":${f3(total)}}""")
+    val line = s"""{"metric":"total","unit":"sec","queries":$qs,"queries_min":$mins,"reps":$reps,"errors":$errs,"sf":"$sfDir","failed":${results.count(_._4.nonEmpty)},"value":${f3(total)}}"""
+    println(line)
+    // sidecar with the SAME line: the driver tail-captures stdout, and
+    // with 100+ queries the line's head (alphabetically early queries)
+    // falls off the capture — the file always holds the whole artifact
+    try {
+      val p = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
     spark.stop()
     if (results.exists(_._4.nonEmpty)) sys.exit(1)
   }

@@ -701,11 +701,13 @@ object SparkEntry {
       val root = s.conf.get("graft.scratch.dir",
         System.getProperty("java.io.tmpdir"))
       val catalog = graft.engine.TableCatalog(s, s"$root/graft-bucketed-wh")
-      // dir-keyed names: build once per input dir per session — the
+      // content-keyed names: build once per input per session — the
       // operator under measurement is the zero-shuffle JOIN; bench
-      // reps must not re-pay the one-time layout write (exactly like
-      // the IVF gate reuses its on-disk index)
-      val key = java.lang.Integer.toHexString(dir.hashCode)
+      // reps must not re-pay the one-time layout write. The key embeds
+      // the full path + size/mtime (Scratch.contentKey), so distinct
+      // dirs can never collide and a regenerated source gets a fresh
+      // table instead of a stale layout
+      val key = graft.engine.Scratch.contentKey(s, dir)
       val (oName, liName) = (s"silver.o_b8_$key", s"silver.li_b8_$key")
       if (!s.catalog.tableExists(catalog.metastoreName(oName)))
         catalog.overwriteBucketed(oName,
@@ -740,17 +742,13 @@ object SparkEntry {
     //    layout+manifest build once per input dir (like the bucketed
     //    tables); the gate times the SKIPPING READ ─────────────────────
     "q_s9_skipping" -> ((s, dir) => {
-      val root = s.conf.get("graft.scratch.dir",
-        System.getProperty("java.io.tmpdir"))
-      val key = java.lang.Integer.toHexString(dir.hashCode)
-      val path = s"$root/graft-skip/li_$key"
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      // guard on the LAST artifact (the stats manifest): a crash
-      // between the two writes must rebuild, not read a half-built
-      // layout forever
-      if (!fs.exists(
-          new org.apache.hadoop.fs.Path(s"${path}__stats/_SUCCESS"))) {
+      // Scratch.ensure handles both prior hazards here: a crash
+      // between the two writes rebuilds (marker lands only after
+      // both), and a REGENERATED source at the same path rebuilds too
+      // (marker mtime vs newest source file)
+      val scratch = graft.engine.Scratch.ensure(s, "skip",
+        s"$dir/lineitem.parquet") { out =>
+        val path = s"$out/li"
         graft.engine.Layout.writeRangeSorted(
           t(s, dir, "lineitem")
             .select(col("l_orderkey"), col("l_linenumber"),
@@ -758,7 +756,7 @@ object SparkEntry {
           path, numFiles = 16, col("l_orderkey"))
         graft.engine.Layout.writeFileStats(s, path, Seq("l_orderkey"))
       }
-      graft.engine.Layout.prunedRead(s, path, "l_orderkey",
+      graft.engine.Layout.prunedRead(s, s"$scratch/li", "l_orderkey",
         1000L, 3000L)
     }),
 

@@ -663,6 +663,38 @@ object StretchQueries {
           types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
     }),
 
+    // unpivot — pivot's inverse (melt): wide per-part metric columns to
+    // (metric, value) rows via Dataset.unpivot, a single Expand over
+    // one scan (never N self-union scans); UNION-ALL oracle
+    "q_a9_unpivot" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("long").as("size_v"),
+          round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size_v"), col("price_cents")), "metric", "value")),
+
+    // in-stream exact dedup: a REAL streaming run over a staged
+    // double-write of events, dropDuplicatesWithinWatermark keyed on
+    // event_id (state bounded by the watermark horizon at scale; the
+    // duplicate pair here lands inside it) — output = events, exactly
+    "q_ev_dedup_stream" -> ((s, dir) => {
+      // staged once per source (Scratch staleness contract): the
+      // operator under measurement is the streaming dedup, not the
+      // double-write of its input
+      val staged = graft.engine.Scratch.ensure(s, "dedup-stream",
+        s"$dir/events.parquet") { out =>
+        val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        ev.union(ev).write.mode("overwrite").parquet(out)
+      }
+      s.catalog.dropTempView("graft_q_ev_dedup_stream")
+      EventStream.runToMemory(s, staged, "graft_q_ev_dedup_stream",
+        df => EventStream.dedupStream(df))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+    }),
+
     // ── event-stream transforms, batch-executed (same plan streams) ────
     "q_ev_window" -> ((s, dir) =>
       EventStream.windowedAgg(
@@ -1214,6 +1246,14 @@ object StretchQueries {
          |  count(*) AS n_events, round(sum(value), 2) AS total_value
          |FROM g GROUP BY user_id, sid""".stripMargin)
         .replaceAll(raw"\s+", " "),
+
+    "q_a9_unpivot" ->
+      ("SELECT p_partkey, 'size_v' AS metric, CAST(p_size AS BIGINT) AS value " +
+        "FROM part UNION ALL SELECT p_partkey, 'price_cents' AS metric, " +
+        "CAST(round(p_retailprice * 100) AS BIGINT) AS value FROM part"),
+
+    "q_ev_dedup_stream" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
 
     "q_a4_pivot" ->
       ("SELECT user_id, " +

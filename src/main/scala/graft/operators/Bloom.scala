@@ -154,10 +154,28 @@ object Bloom {
       copy(child = c)
   }
 
-  /** `true` iff `c` might be in the sketch (false ⇒ definitely not). */
+  /** Broadcast a sketch once for reuse across many membership tests.
+    * The caller owns the lifecycle: `destroy()` it when the last plan
+    * using it has executed — repeated [[mightContain]] convenience
+    * calls each create a fresh broadcast that lingers until the
+    * ContextCleaner notices, which in a long session is an
+    * accumulation, not a leak the GC rushes to fix.
+    */
+  def broadcastSketch(spark: SparkSession,
+                      sketch: Sketch): Broadcast[Sketch] =
+    spark.sparkContext.broadcast(sketch)
+
+  /** `true` iff `c` might be in the sketch (false ⇒ definitely not),
+    * against a caller-managed broadcast ([[broadcastSketch]]).
+    */
+  def mightContain(c: Column, bc: Broadcast[Sketch]): Column =
+    ColumnBridge.column(MightContain(ColumnBridge.expression(c), bc))
+
+  /** Convenience form: broadcasts per call — fine for one-shot plans;
+    * hot/repeated callers should hold a [[broadcastSketch]] handle.
+    */
   def mightContain(spark: SparkSession, c: Column, sketch: Sketch): Column =
-    ColumnBridge.column(MightContain(ColumnBridge.expression(c),
-      spark.sparkContext.broadcast(sketch)))
+    mightContain(c, broadcastSketch(spark, sketch))
 }
 
 /** `Encoders.kryo` can't be an OUTPUT encoder for `.head()` reads in a

@@ -420,9 +420,15 @@ object Dedup {
     import graft.functions.NativeExpressions.shingleHashSet
     require(minShared >= 1, "minShared must be at least 1")
     val spark = corpus.sparkSession
-    val bsh = benchmark
-      .select(explode(shingleHashSet(col(textCol), k)).as("__sh"))
-      .distinct()
+    // materialized once: three consumers (sizing count, sketch build,
+    // exact-verify semi-join) would otherwise each re-run the
+    // shingle-explode-distinct plan — the scratch scan replaces three
+    // evaluations with one write of the small benchmark side
+    val bsh = Materialize.viaScratch(
+      benchmark
+        .select(explode(shingleHashSet(col(textCol), k)).as("__sh"))
+        .distinct(),
+      "bloom-bench-shingles")
     // sketch sizing needs a cardinality: one cheap count over the
     // (small) benchmark shingle set, the same bounded-side job a
     // broadcast-join size estimate performs

@@ -192,6 +192,11 @@ object Sketch {
     * a distinct element), and rows with a null GROUP are excluded (the
     * typed key path has no null-group bucket) — both filtered before
     * hashing, since `xxhash64(NULL)` yields the seed, not null.
+    *
+    * Output type contract: the group column comes back as STRING
+    * regardless of its input type (the typed aggregation path needs a
+    * concrete key encoder). A caller joining the estimates back to the
+    * source must cast its own key — or this result's — to match.
     */
   def distinctPerGroup(df: DataFrame, groupCol: String, colName: String,
                        p: Int = 12)
