@@ -506,6 +506,53 @@ object SparkEntry {
     //    dense_rank's equal-rank-for-equal-value contract is what the
     //    bounded TopK aggregator (exactly k rows) can't express; spend
     //    is exact cents so ranks are engine-deterministic ─────────────
+    // ── W4: QUALIFY-style latest-row-per-key dedup — row_number()=1
+    //    over (key, recency order). THE SCD/log-compaction idiom; the
+    //    order key is made total (date, then orderkey) so both engines
+    //    pick the same survivor deterministically ─────────────────────
+    "q_w_latest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          row_number().over(w).as("__rn"))
+        .filter(col("__rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    }),
+
+    // ── S12: dynamic partition overwrite — rewrite ONLY the partitions
+    //    present in the incremental batch (partitionOverwriteMode=
+    //    dynamic), the daily-reload idiom: at 100 TB the update touches
+    //    3 of 3,000 date partitions and the other 2,997 stay as-is ────
+    "q_s12_dyn_overwrite" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_dynow_q"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      orders.write.partitionBy("o_orderpriority").parquet(scratch)
+      val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        // the increment: every 1-URGENT order re-lands with doubled
+        // cents; ONLY that partition directory is rewritten
+        orders.filter(col("o_orderpriority") === "1-URGENT")
+          .withColumn("price_cents", col("price_cents") * 2)
+          .write.mode("overwrite").partitionBy("o_orderpriority")
+          .parquet(scratch)
+      finally saved match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(scratch)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority").cast("string").as("o_orderpriority"),
+          col("price_cents"))
+    }),
+
     "q_w_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val spend = t(s, dir, "orders")
@@ -947,6 +994,17 @@ object SparkEntry {
         "SELECT month, n_orders, rev_cents, " +
         "rev_cents - lag(rev_cents) OVER (ORDER BY month) AS delta_cents " +
         "FROM m"),
+
+    "q_w_latest" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate FROM orders " +
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate DESC, o_orderkey DESC) = 1"),
+
+    "q_s12_dyn_overwrite" ->
+      ("SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) * " +
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 2 ELSE 1 END " +
+        "AS price_cents FROM orders"),
 
     "q_w_rank" ->
       ("WITH spend AS (SELECT o_custkey, " +

@@ -583,6 +583,21 @@ object StretchQueries {
         k = 5, nprobe = 4, rescoreK = 4096)
     }),
 
+    // IVF-PQ: candidates from probed clusters, scored from m-byte PQ
+    // codes via an ADC lookup table (32× less vector data through the
+    // scan/broadcast than floats), exact rescore of the shortlist.
+    // Full probe + exhaustive shortlist here → the exact-cosine
+    // rescore decides every rank → shares the brute-force oracle;
+    // ADC correctness + shortlist recall pinned in PqSpec.
+    "q_v_topk_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivf = Ivf.train(emb, k = 4, iters = 2)
+      val pq = graft.operators.Pq.train(emb, m = 8, k = 16, iters = 4,
+        sampleN = 1024)
+      graft.operators.Pq.topKClustered(emb, emb.filter(col("vec_id") < 16),
+        ivf, pq, k = 5, nprobe = 4, rescoreK = 4096)
+    }),
+
     // LSH/ANN scale path — recall-checked against brute force in tests
     "q_v_topk_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -800,6 +815,7 @@ object StretchQueries {
       ("q_v_topk_ivf" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_idx" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_c" -> oracleSqlMap("q_v_topk")) +
+      ("q_v_topk_pq" -> oracleSqlMap("q_v_topk")) +
       ("q_ev_sessions_et" -> oracleSqlMap("q_ev_sessions"))
 
   private lazy val oracleSqlMap: Map[String, String] = Map(
