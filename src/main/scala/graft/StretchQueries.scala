@@ -420,6 +420,22 @@ object StretchQueries {
       graft.streaming.StreamingDedup.candidateStream(banded)(s).toDF()
     }),
 
+    // line-level boilerplate removal (the C4/CCNet cleanup stage):
+    // lines planted into every doc (footer) and every third doc
+    // (cookie banner) must vanish corpus-wide; doc-unique lines stay.
+    // Exact string semantics → full DuckDB oracle (same plants, same
+    // threshold arithmetic on both sides)
+    "q_t_line_dedup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"), concat_ws("\n",
+          when(col("doc_id") % 3 === 0,
+            lit("cookie consent: this site uses cookies")),
+          col("text"),
+          lit("follow us for more exclusive updates")).as("text"))
+      Dedup.dropRepeatedLines(planted, "text", "doc_id")
+        .select(col("doc_id"), col("text").as("text_clean"))
+    }),
+
     // the full curation pipeline composed end-to-end: quality filter →
     // exact dedup → content-hash split → per-split corpus stats. Every
     // stage is engine-exact, so the COMPOSITION gets a full oracle.
@@ -1270,6 +1286,25 @@ object StretchQueries {
 
     "q_ev_dedup_stream" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+
+    "q_t_line_dedup" ->
+      ("""WITH planted AS (
+         |  SELECT doc_id, concat_ws(chr(10),
+         |    CASE WHEN doc_id % 3 = 0 THEN 'cookie consent: this site uses cookies' END,
+         |    text, 'follow us for more exclusive updates') AS text
+         |  FROM documents
+         |), lines AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS ln
+         |  FROM planted
+         |), rep AS (
+         |  SELECT ln FROM lines WHERE length(ln) >= 10
+         |  GROUP BY ln HAVING count(*) >= 2
+         |), replist AS (
+         |  SELECT coalesce(list(ln), []) AS ls FROM rep
+         |)
+         |SELECT doc_id, array_to_string(list_filter(string_split(text, chr(10)),
+         |  x -> length(x) < 10 OR NOT list_contains(ls, x)), chr(10)) AS text_clean
+         |FROM planted, replist""".stripMargin).replaceAll(raw"\s+", " "),
 
     "q_a4_pivot" ->
       ("SELECT user_id, " +

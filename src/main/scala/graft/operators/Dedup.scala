@@ -47,6 +47,49 @@ object Dedup {
         Seq(idCol), "left_semi")
       .unionByName(df.filter(col(textCol).isNull))
 
+  /** Line-level boilerplate removal (the C4/CCNet corpus-cleanup
+    * stage): a LINE occurring in at least `minDocs` distinct documents
+    * is removed from every document — navigation chrome, cookie
+    * banners, footers. Lines shorter than `minLineLen` characters are
+    * never counted or removed (short lines repeat for honest reasons);
+    * remaining lines keep their original order, a null document stays
+    * null, and a fully-boilerplate document becomes the empty string.
+    *
+    * Scale shape: one (id, line) explode feeds the repeated-line
+    * aggregation; that table is SMALL by construction (it is the
+    * boilerplate of the corpus), so the removal anti-join broadcasts
+    * it and the big side is never shuffled. Reassembly is a per-doc
+    * grouped sort of (pos, line) — one shuffle of the corpus's lines
+    * on doc id, no window over the whole corpus.
+    */
+  def dropRepeatedLines(df: DataFrame, textCol: String, idCol: String,
+                        minDocs: Int = 2, minLineLen: Int = 10): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
+    val repeated = df
+      .select(col(idCol).as("__rid"),
+        explode(split(col(textCol), "\n")).as("__ln"))
+      .filter(length(col("__ln")) >= minLineLen)
+      .distinct()
+      .groupBy(col("__ln")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__ln"))
+    // anti-join on line equality: a kept-by-length short line can never
+    // equal a counted long one, so no length re-check is needed
+    val kept = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("__pos", "__ln")))
+      .join(broadcast(repeated), Seq("__ln"), "left_anti")
+    val clean = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__ln")))),
+          x => x.getField("__ln")), "\n").as("__clean"))
+    df.join(clean, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("__clean"), lit(""))))
+      .drop("__clean")
+  }
+
   // ── MinHash ─────────────────────────────────────────────────────────
 
   // ONE source for the (a,b) universal-hash parameters and the prime

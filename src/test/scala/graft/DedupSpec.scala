@@ -30,6 +30,29 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("dropRepeatedLines strips corpus-wide boilerplate lines, keeps " +
+    "order, short lines, nulls, and all-boilerplate docs") {
+    val footer = "subscribe to our newsletter for updates"
+    val docs = Seq(
+      (1L, s"real content line one\nshort\n$footer\nreal content line two"),
+      (2L, s"$footer\nunique second document body text here"),
+      (3L, s"another unique body\nshort\n$footer"),
+      (4L, footer),                         // nothing but boilerplate
+      (5L, null.asInstanceOf[String]),      // unknown content stays unknown
+      (6L, "short\nme too")                 // short repeated lines survive
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .dropRepeatedLines(docs, "text", "doc_id")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got(1L) == "real content line one\nshort\nreal content line two")
+    assert(got(2L) == "unique second document body text here")
+    assert(got(3L) == "another unique body\nshort")
+    assert(got(4L) == "", "an all-boilerplate doc must become empty")
+    assert(got(5L) == null, "null text must stay null")
+    assert(got(6L) == "short\nme too",
+      "short lines are never counted as boilerplate")
+  }
+
   test("exact jaccard: identity 1.0, near-dup high, unrelated low") {
     val j = corpus.as("a").crossJoin(corpus.as("b"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
