@@ -467,6 +467,60 @@ object SparkEntry {
         .select(col("p_partkey"), col("p_name"), col("price_cents"))
     }),
 
+    // ── S13: schema-merging read — two parquet batches with different
+    //    (compatible) schemas in one directory union at read time with
+    //    mergeSchema; the pre-evolution files' missing column reads as
+    //    null. The schema-drift-over-time reality of any long-lived
+    //    landing zone ───────────────────────────────────────────────
+    "q_s13_merge_schema" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_msch_q"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val base = t(s, dir, "part")
+      base.filter(col("p_partkey") % 2 === 0)
+        .select(col("p_partkey"), col("p_name"))
+        .write.mode("append").parquet(scratch)
+      base.filter(col("p_partkey") % 2 === 1)
+        .select(col("p_partkey"), col("p_name"),
+          round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+        .write.mode("append").parquet(scratch)
+      s.read.option("mergeSchema", "true").parquet(scratch)
+        .select(col("p_partkey"), col("p_name"), col("price_cents"))
+    }),
+
+    // ── F10: higher-order array functions — sequence/transform/filter/
+    //    aggregate as one codegen'd projection (no explode, no shuffle,
+    //    no UDF). NOTES lesson #1 applies at scale: the SOURCE array is
+    //    built once per row here; non-trivial subtrees must be staged
+    //    before entering a lambda ─────────────────────────────────────
+    "q_f_hof" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          sequence(lit(1L), (col("p_size") % 5 + 1).cast("long")).as("__a"))
+        .select(col("p_partkey"),
+          filter(transform(col("__a"), x => x * col("p_partkey")),
+            x => x % 2 === 0).as("__evens"))
+        .select(col("p_partkey"),
+          array_join(col("__evens").cast("array<string>"), ",").as("evens_csv"),
+          aggregate(col("__evens"), lit(0L), (acc, x) => acc + x).as("evens_sum"))),
+
+    // ── Change data feed: diff two snapshots into the I/U/D feed that
+    //    replays one into the other (inverse of applyChanges; the
+    //    round-trip identity is pinned in PropertySpec). D rows carry
+    //    the BEFORE values, unchanged keys produce no traffic ─────────
+    "q_cdc_diff" -> ((s, dir) => {
+      val base = t(s, dir, "part").select(col("p_partkey"), col("p_name"),
+        col("p_size"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+      val before = base.filter(col("p_partkey") % 7 =!= 0).drop("p_size")
+      val after = base.filter(col("p_size") <= 48)
+        .withColumn("price_cents", col("price_cents") +
+          when(col("p_partkey") % 5 === 0, 100L).otherwise(0L))
+        .drop("p_size")
+      graft.engine.Upsert.changeFeed(before, after, Seq("p_partkey"))
+    }),
+
     // ── W1: running total per key — the window shape a bounded top-k
     //    aggregator CANNOT express (every prefix is an output row).
     //    Scale: one shuffle on the partition key, in-partition sort,
@@ -972,6 +1026,27 @@ object SparkEntry {
       ("SELECT p_partkey, p_name, CAST(round(p_retailprice * 100) AS BIGINT) " +
         "+ CASE WHEN p_partkey % 3 = 1 THEN 100 ELSE 0 END AS price_cents " +
         "FROM part WHERE p_partkey % 10 <> 0"),
+    "q_s13_merge_schema" ->
+      ("SELECT p_partkey, p_name, CASE WHEN p_partkey % 2 = 1 THEN " +
+        "CAST(round(p_retailprice * 100) AS BIGINT) END AS price_cents " +
+        "FROM part"),
+    // DuckDB array_to_string(empty list) is NULL where Spark's
+    // array_join is '' — coalesce the oracle side
+    "q_f_hof" ->
+      ("SELECT p_partkey, coalesce(array_to_string(list_filter(" +
+        "list_transform(range(1, p_size % 5 + 2), x -> x * p_partkey), " +
+        "x -> x % 2 = 0), ','), '') AS evens_csv, " +
+        "CAST(coalesce(list_sum(list_filter(" +
+        "list_transform(range(1, p_size % 5 + 2), x -> x * p_partkey), " +
+        "x -> x % 2 = 0)), 0) AS BIGINT) AS evens_sum FROM part"),
+    "q_cdc_diff" ->
+      ("SELECT p_partkey, p_name, CAST(round(p_retailprice * 100) AS BIGINT)" +
+        " + CASE WHEN p_partkey % 5 = 0 AND op <> 'D' THEN 100 ELSE 0 END " +
+        "AS price_cents, op FROM (SELECT p_partkey, p_name, p_retailprice, " +
+        "CASE WHEN p_partkey % 7 = 0 AND p_size <= 48 THEN 'I' " +
+        "WHEN p_partkey % 7 <> 0 AND p_size > 48 THEN 'D' " +
+        "WHEN p_partkey % 7 <> 0 AND p_size <= 48 AND p_partkey % 5 = 0 " +
+        "THEN 'U' END AS op FROM part) WHERE op IS NOT NULL"),
 
     // explicit ROWS frame on both sides: with a unique order key the
     // default RANGE frame is equivalent, but pinning ROWS removes any

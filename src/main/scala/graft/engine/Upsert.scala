@@ -181,6 +181,55 @@ object Upsert {
     * share this because the pipeline mixes `Rev_Per_unit`/
     * `Rev_Per_Unit` (`4_Fact:50` vs `2_Silver:49`).
     */
+  /** Change data feed: diff two keyed snapshots into the op-tagged
+    * changefeed that replays one into the other — the inverse of
+    * [[applyChanges]], and the contract is exactly that round trip:
+    * `applyChanges(before, changeFeed(before, after)) ≡ after`
+    * (PropertySpec pins it on random data).
+    *
+    *  - key only in `after`  → I (insert, after's row values)
+    *  - key only in `before` → D (delete, BEFORE's row values — what
+    *    Delta's change feed emits, so downstream consumers can see
+    *    what was removed)
+    *  - key in both, any non-key column differing (null-safe) → U
+    *  - key in both, identical → no row (unchanged data produces no
+    *    change traffic — the property that makes CDC cheaper than
+    *    full-snapshot shipping)
+    *
+    * Keys must be unique per snapshot (snapshot = keyed table state).
+    * One full-outer join on the keys; at 100 TB both sides shuffle
+    * once on the key — this IS the minimal data movement for a diff
+    * of two unordered snapshots.
+    */
+  def changeFeed(before: DataFrame, after: DataFrame, keys: Seq[String],
+                 opCol: String = "op"): DataFrame = {
+    require(keys.nonEmpty, "changeFeed requires at least one key column")
+    val cols = after.columns.toSeq
+    require(before.columns.toSeq.map(_.toLowerCase).sorted ==
+      cols.map(_.toLowerCase).sorted,
+      "changeFeed requires identical snapshot schemas " +
+        "(use merge(mergeSchema=true) semantics upstream for evolution)")
+    val nonKeys = cols.filterNot(keys.contains)
+    val b = before.select(cols.map(col): _*)
+      .withColumn("__b", lit(true)).as("b")
+    val a = after.withColumn("__a", lit(true)).as("a")
+    val cond: Column = keys.map(k => col(s"b.$k") <=> col(s"a.$k"))
+      .reduce(_ && _)
+    val joined = b.join(a, cond, "full_outer")
+    val changed: Column = nonKeys
+      .map(c => !(col(s"b.$c") <=> col(s"a.$c")))
+      .foldLeft(lit(false))(_ || _)
+    val op = when(col("a.__a").isNull, lit("D"))
+      .when(col("b.__b").isNull, lit("I"))
+      .when(changed, lit("U"))
+    val side = when(col("a.__a").isNull, lit("b")).otherwise(lit("a"))
+    joined
+      .select(cols.map(c =>
+        when(side === "b", col(s"b.$c")).otherwise(col(s"a.$c")).as(c)) :+
+        op.as(opCol): _*)
+      .filter(col(opCol).isNotNull)
+  }
+
   private[graft] def alignByName(source: DataFrame, target: DataFrame): DataFrame = {
     val lower = source.columns.map(c => c.toLowerCase -> c).toMap
     val aligned = target.columns.map { tc =>

@@ -223,6 +223,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("changeFeed ∘ applyChanges is the identity: replaying the diff of " +
+    "two random snapshots onto the first yields the second (5 cases)") {
+    val gen = Gen.zip(rowsGen, rowsGen)
+    samples(gen, 5).foreach { case (beforeRows, afterRows) =>
+      val before = beforeRows.toDF("k", "name", "v").dropDuplicates("k")
+      val after = afterRows.toDF("k", "name", "v").dropDuplicates("k")
+      val feed = Upsert.changeFeed(before, after, Seq("k"))
+      // no change row for unchanged keys (CDC's whole point)
+      val unchanged = before.as("b").join(after.as("a"), Seq("k"))
+        .filter(org.apache.spark.sql.functions.col("b.name") ===
+          org.apache.spark.sql.functions.col("a.name") &&
+          org.apache.spark.sql.functions.col("b.v") ===
+            org.apache.spark.sql.functions.col("a.v"))
+        .select("k").as[Long].collect().toSet
+      val feedKeys = feed.select("k").as[Long].collect().toSet
+      assert(feedKeys.intersect(unchanged).isEmpty,
+        "unchanged keys must produce no change traffic")
+      // the round trip
+      val path = tmpDir("prop") + "/cdcdiff"
+      before.write.parquet(path)
+      Upsert.applyChanges(spark, path, feed, Seq("k"),
+        uniqueKeyTarget = true)
+      val replayed = spark.read.parquet(path)
+        .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+      val expected = after
+        .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+      assert(replayed == expected, "changeFeed round trip diverged")
+    }
+  }
+
   test("cdc applyChanges: applying a feed twice equals applying it once " +
     "(idempotence, 5 cases)") {
     val gen = Gen.zip(rowsGen, rowsGen, Gen.listOf(Gen.choose(0L, 30L)))
