@@ -595,8 +595,12 @@ object StretchQueries {
         dir.replaceAll("[^A-Za-z0-9.]", "_")
       Ivf.ensureIndex(emb, s"$dir/embeddings.parquet", scratch, k = 4,
         iters = 2, quantize = true)
+      // rescoreK = corpus size keeps the shortlist EXHAUSTIVE at any
+      // scale factor — the premise that lets this gate share the
+      // brute-force oracle (a constant would silently break it when
+      // the corpus outgrows it)
       Ivf.searchIndexCompressed(s, scratch, emb.filter(col("vec_id") < 16),
-        k = 5, nprobe = 4, rescoreK = 4096)
+        k = 5, nprobe = 4, rescoreK = emb.count().toInt)
     }),
 
     // IVF-PQ: candidates from probed clusters, scored from m-byte PQ
@@ -610,8 +614,9 @@ object StretchQueries {
       val ivf = Ivf.train(emb, k = 4, iters = 2)
       val pq = graft.operators.Pq.train(emb, m = 8, k = 16, iters = 4,
         sampleN = 1024)
+      // corpus-sized shortlist: exhaustive at any sf (see q_v_topk_ivf_c)
       graft.operators.Pq.topKClustered(emb, emb.filter(col("vec_id") < 16),
-        ivf, pq, k = 5, nprobe = 4, rescoreK = 4096)
+        ivf, pq, k = 5, nprobe = 4, rescoreK = emb.count().toInt)
     }),
 
     // LSH/ANN scale path — recall-checked against brute force in tests

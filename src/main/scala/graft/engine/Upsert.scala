@@ -143,36 +143,57 @@ object Upsert {
     val p = new Path(targetPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverReplace(fs, p)
+    if (!fs.exists(p)) {
+      applyChangesPlan(None, changes, keys, opCol, deleteOp, uniqueKeyTarget)
+        .write.mode("overwrite").parquet(targetPath)
+      return
+    }
+    val target = spark.read.parquet(targetPath)
+    atomicReplace(spark, targetPath,
+      applyChangesPlan(Some(target), changes, keys, opCol, deleteOp,
+        uniqueKeyTarget))
+  }
+
+  /** The merged-state PLAN for a changefeed applied to an optional
+    * target — pure and lazy, shared by the batch path above and the
+    * streaming path ([[graft.streaming.StreamingCdc]]), so the CDC
+    * merge semantics (null-safe key matching, delete-before-upsert,
+    * schema alignment, multiplicity handling) live in exactly one
+    * place. `target = None` means the table does not exist yet:
+    * deletes against nothing are no-ops.
+    */
+  private[graft] def applyChangesPlan(target: Option[DataFrame],
+                                      changes: DataFrame, keys: Seq[String],
+                                      opCol: String, deleteOp: String,
+                                      uniqueKeyTarget: Boolean): DataFrame = {
     // null-safe: a NULL op is "any other op" (upsert), not silently
     // dropped — plain =!= would evaluate NULL and exclude the row from
     // BOTH branches
     val upserts = changes.filter(!(col(opCol) <=> deleteOp)).drop(opCol)
-    if (!fs.exists(p)) {
-      upserts.write.mode("overwrite").parquet(targetPath)
-      return
-    }
-    val target = spark.read.parquet(targetPath)
-    val delKeys = changes.filter(col(opCol) === deleteOp)
-      .select(keys.map(col).toIndexedSeq: _*).distinct()
-    val delCond: Column = keys.map(k => target(k) <=> delKeys(k))
-      .reduce(_ && _)
-    val survivors = target.join(delKeys, delCond, "left_anti")
-    val src = alignByName(upserts, target)
-    val keptCond: Column = keys.map(k => survivors(k) <=> src(k))
-      .reduce(_ && _)
-    val kept = survivors.join(src, keptCond, "left_anti")
-    val result =
-      if (uniqueKeyTarget) kept.unionByName(src)
-      else {
-        val survivorKeys = survivors.select(keys.map(col).toIndexedSeq: _*)
-        val updCond: Column = keys.map(k => survivorKeys(k) <=> src(k))
+    target match {
+      case None => upserts
+      case Some(t) =>
+        val delKeys = changes.filter(col(opCol) === deleteOp)
+          .select(keys.map(col).toIndexedSeq: _*).distinct()
+        val delCond: Column = keys.map(k => t(k) <=> delKeys(k))
           .reduce(_ && _)
-        val updated = survivorKeys.join(src, updCond, "inner")
-          .select(src.columns.map(src(_)).toIndexedSeq: _*)
-        val inserted = src.join(survivors, keptCond, "left_anti")
-        kept.unionByName(updated).unionByName(inserted)
-      }
-    atomicReplace(spark, targetPath, result)
+        val survivors = t.join(delKeys, delCond, "left_anti")
+        val src = alignByName(upserts, t)
+        val keptCond: Column = keys.map(k => survivors(k) <=> src(k))
+          .reduce(_ && _)
+        val kept = survivors.join(src, keptCond, "left_anti")
+        if (uniqueKeyTarget) kept.unionByName(src)
+        else {
+          // one updated copy per matched target row (multiplicity kept)
+          val survivorKeys = survivors.select(keys.map(col).toIndexedSeq: _*)
+          val updCond: Column = keys.map(k => survivorKeys(k) <=> src(k))
+            .reduce(_ && _)
+          val updated = survivorKeys.join(src, updCond, "inner")
+            .select(src.columns.map(src(_)).toIndexedSeq: _*)
+          val inserted = src.join(survivors, keptCond, "left_anti")
+          kept.unionByName(updated).unionByName(inserted)
+        }
+    }
   }
 
   /** Resolve `source` columns to `target`'s column order, names, and

@@ -47,6 +47,7 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
   private val genDir = new Path(base, "_gen")
   private val stagingDir = new Path(base, "_staging")
   private val modePath = new Path(base, "_mode")
+  private val vacuumedPath = new Path(base, "_vacuumed")
 
   private def fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -69,15 +70,25 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     * Tables written before mode markers existed have None and stay
     * unguarded (their first mutation under this version records one).
     */
-  def modeMarker: Option[String] = {
+  def modeMarker: Option[String] = readSmallFile(modePath)
+
+  /** Read a whole (small) marker file. A single InputStream.read may
+    * legally return fewer bytes than available — loop to EOF, or a
+    * short first read would yield a truncated marker that misfires
+    * every guard on a healthy table.
+    */
+  private def readSmallFile(p: Path): Option[String] = {
     val f = fs
-    if (!f.exists(modePath)) None
+    if (!f.exists(p)) None
     else {
-      val in = f.open(modePath)
+      val in = f.open(p)
       try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        if (n <= 0) None else Some(new String(buf, 0, n, "UTF-8").trim)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        val s = out.toString("UTF-8").trim
+        if (s.isEmpty) None else Some(s)
       } finally in.close()
     }
   }
@@ -93,7 +104,14 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
         val won =
           try { val o = fs.create(modePath, false)
                 o.write(mode.getBytes("UTF-8")); o.close(); true }
-          catch { case _: java.io.IOException => false }
+          catch {
+            case e: java.io.IOException =>
+              // only a LOST RACE (marker now exists) may be swallowed —
+              // a genuine IO failure must surface, or the guard is
+              // silently disabled for the table's whole life
+              if (!fs.exists(modePath)) throw e
+              false
+          }
         if (!won) modeMarker.foreach(check) // lost the creation race
     }
   }
@@ -198,6 +216,11 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     ensureMode(mode)
     val f = fs
     f.mkdirs(claimsDir); f.mkdirs(genDir)
+    // a batch at or below the vacuum watermark WAS committed and has
+    // been retired — a checkpoint-reset replay must see "already
+    // committed", never rebuild a historical snapshot from a base that
+    // no longer exists
+    if (batchId <= vacuumedWatermark.getOrElse(-1L)) return false
     if (f.exists(claimPath(batchId)) && f.exists(genPath(batchId)))
       return false // fully committed — skip BEFORE paying the write
     val staging = new Path(stagingDir,
@@ -294,11 +317,44 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     if (keep.isEmpty) return Seq.empty
     val dropped = listNumbers(claimsDir).filterNot(keep.contains)
       .filter(n => keep.forall(_ > n)) // never drop claims above the kept set
+    // cdc generations ARE stream epochs: record the retirement BEFORE
+    // deleting the claims, so a checkpoint-reset replay of a vacuumed
+    // batch reads "already committed" instead of finding nothing and
+    // rebuilding a wrong historical snapshot from a vanished base
+    if (dropped.nonEmpty && modeMarker.contains("cdc"))
+      advanceVacuumWatermark(dropped.max)
     dropped.foreach { n =>
       f.delete(genPath(n), true)
       f.delete(claimPath(n), false)
     }
     dropped
+  }
+
+  /** Highest version retired by [[vacuum]] on a `cdc` table — batch
+    * ids at or below it are treated as already committed forever.
+    */
+  def vacuumedWatermark: Option[Long] =
+    readSmallFile(vacuumedPath).flatMap(s =>
+      scala.util.Try(s.trim.toLong).toOption)
+
+  private def advanceVacuumWatermark(v: Long): Unit = {
+    val cur = vacuumedWatermark.getOrElse(-1L)
+    if (v > cur) {
+      val f = fs
+      val tmp = new Path(base, s"_vacuumed.tmp.${java.util.UUID.randomUUID()}")
+      val o = f.create(tmp, true)
+      o.write(v.toString.getBytes("UTF-8")); o.close()
+      // single-file replace. A crash between delete and rename loses
+      // the marker — SAFE, because the watermark advances BEFORE any
+      // claim/gen deletion: at that point the ledger is still complete
+      // and the interrupted vacuum simply never happened
+      f.delete(vacuumedPath, false)
+      if (!f.rename(tmp, vacuumedPath)) {
+        f.delete(tmp, true)
+        throw new java.io.IOException(
+          s"failed to advance vacuum watermark to $v at $basePath")
+      }
+    }
   }
 
   /** Commit `df` as version `expectedBase + 1` ONLY — the optimistic-

@@ -476,10 +476,14 @@ object Dedup {
     // (small) benchmark shingle set, the same bounded-side job a
     // broadcast-join size estimate performs
     val nBench = math.max(1L, bsh.count())
-    val sketch = Bloom.build(bsh, "__sh", nBench, fpp)
+    // one caller-managed broadcast for the sketch (not a per-plan
+    // convenience broadcast): REUSED if the returned plan executes
+    // more than once, reclaimable by the ContextCleaner when the plan
+    // is dropped
+    val bc = Bloom.broadcastSketch(spark, Bloom.build(bsh, "__sh", nBench, fpp))
     corpus
       .select(col(idCol), explode(shingleHashSet(col(textCol), k)).as("__sh"))
-      .filter(Bloom.mightContain(spark, col("__sh"), sketch))
+      .filter(Bloom.mightContain(col("__sh"), bc))
       .join(bsh, Seq("__sh"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__hits"))

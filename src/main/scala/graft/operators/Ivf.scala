@@ -204,36 +204,24 @@ object Ivf {
   /** Build the on-disk index only when it is missing or stale — the
     * production maintenance contract: an IVF index is an offline
     * artifact searched many times, not something rebuilt per query.
-    * Freshness = a `_INDEX_READY` marker at least as new as every file
-    * of the source it was built from; a regenerated source therefore
-    * forces a rebuild, and a crash mid-build (no marker) re-builds on
-    * the next call.
+    * [[graft.engine.Scratch.ensureAt]] is the freshness protocol
+    * (marker `_INDEX_READY`, content = the build parameters): a
+    * regenerated source, a crash mid-build, OR a parameter change at
+    * the same path all force a rebuild — the last so a k=4 float index
+    * is never served to a caller who asked for a quantized k=8 one.
     */
   def ensureIndex(df: DataFrame, sourcePath: String, indexPath: String,
                   k: Int, iters: Int = 3, seed: Long = 42L,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding",
-                  quantize: Boolean = false): Unit = {
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(sourcePath)
-    val fs = src.getFileSystem(conf)
-    val srcModified = {
-      val st = fs.getFileStatus(src)
-      if (st.isDirectory)
-        fs.listStatus(src).map(_.getModificationTime)
-          .foldLeft(st.getModificationTime)(math.max)
-      else st.getModificationTime
-    }
-    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/_INDEX_READY")
-    val mfs = marker.getFileSystem(conf)
-    val fresh = mfs.exists(marker) &&
-      mfs.getFileStatus(marker).getModificationTime >= srcModified
-    if (!fresh) {
+                  quantize: Boolean = false): Unit =
+    graft.engine.Scratch.ensureAt(df.sparkSession, indexPath, sourcePath,
+      fingerprint = s"k=$k,iters=$iters,seed=$seed,idCol=$idCol," +
+        s"vecCol=$vecCol,quantize=$quantize",
+      markerName = "_INDEX_READY") { dir =>
       val model = train(df, k, iters, seed, idCol, vecCol)
-      writeIndex(df, model, indexPath, vecCol, quantize)
-      mfs.create(marker, true).close()
+      writeIndex(df, model, dir, vecCol, quantize)
     }
-  }
 
   /** ANN top-k against a reloaded on-disk index. The queries' probe
     * set (≤ nprobe·|queries| cluster ids — queries are small by

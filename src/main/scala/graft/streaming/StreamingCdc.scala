@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Upsert, VersionedTable}
@@ -57,28 +57,16 @@ object StreamingCdc {
 
   /** The merged snapshot: `base` (None = table does not exist yet)
     * with `changes` applied — delete-tagged keys removed, everything
-    * else upserted (update matched, insert unmatched). Pure and lazy;
-    * nothing executes until the commit materializes it.
+    * else upserted. The plan itself is [[Upsert.applyChangesPlan]]
+    * (uniqueKeyTarget = true: CDC targets are keyed snapshots), so the
+    * batch and streaming paths can never drift apart semantically.
+    * Pure and lazy; nothing executes until the commit materializes it.
     */
   private def merged(base: Option[DataFrame], changes: DataFrame,
                      keys: Seq[String], opCol: String,
-                     deleteOp: String): DataFrame = {
-    // null-safe: a NULL op is an upsert, never silently dropped
-    val upserts = changes.filter(!(col(opCol) <=> deleteOp)).drop(opCol)
-    base match {
-      case None => upserts // deletes against nothing are no-ops
-      case Some(target) =>
-        val delKeys = changes.filter(col(opCol) === deleteOp)
-          .select(keys.map(col).toIndexedSeq: _*).distinct()
-        val delCond: Column = keys.map(k => target(k) <=> delKeys(k))
-          .reduce(_ && _)
-        val survivors = target.join(delKeys, delCond, "left_anti")
-        val src = Upsert.alignByName(upserts, target)
-        val keptCond: Column = keys.map(k => survivors(k) <=> src(k))
-          .reduce(_ && _)
-        survivors.join(src, keptCond, "left_anti").unionByName(src)
-    }
-  }
+                     deleteOp: String): DataFrame =
+    Upsert.applyChangesPlan(base, changes, keys, opCol, deleteOp,
+      uniqueKeyTarget = true)
 
   /** The `foreachBatch` body: apply one changefeed micro-batch to the
     * table, exactly once. Returns false when the batch was already

@@ -110,6 +110,31 @@ class CdcStreamSpec extends SparkSpec {
     assert(streamed == Set((2, "b2"), (4, "d"), (5, "e2")))
   }
 
+  test("vacuumed cdc epochs stay committed: a checkpoint-reset replay " +
+    "of a retired batch is a no-op, never a rebuilt wrong snapshot") {
+    val t = new VersionedTable(spark, tmpDir("graft-cdc-vac") + "/t")
+    StreamingCdc.applyCdcBatch(t, 0L, feed((1, "a", "I"), (2, "b", "I")),
+      Seq("k"))
+    StreamingCdc.applyCdcBatch(t, 1L, feed((2, "b2", "U")), Seq("k"))
+    StreamingCdc.applyCdcBatch(t, 2L, feed((1, "x", "D")), Seq("k"))
+    assert(t.vacuum(keepLast = 1) == Seq(0L, 1L))
+    assert(t.vacuumedWatermark.contains(1L))
+    // checkpoint reset: batches 0 and 1 replay from scratch — the
+    // claim ledger for them is gone, only the watermark stands between
+    // the replay and a rebuilt WRONG snapshot 0 (= just batch 0's
+    // inserts, with batch 1's update then stacked on top of it)
+    assert(!StreamingCdc.applyCdcBatch(t, 0L,
+      feed((1, "a", "I"), (2, "b", "I")), Seq("k")), "retired batch re-applied")
+    assert(!StreamingCdc.applyCdcBatch(t, 1L, feed((2, "b2", "U")),
+      Seq("k")))
+    assert(state(t) == Set((2, "b2")), "replay after vacuum mutated state")
+    // the live epoch replays as the usual ledger no-op
+    assert(!StreamingCdc.applyCdcBatch(t, 2L, feed((1, "x", "D")), Seq("k")))
+    // and NEW epochs continue past the watermark
+    assert(StreamingCdc.applyCdcBatch(t, 3L, feed((3, "c", "I")), Seq("k")))
+    assert(state(t) == Set((2, "b2"), (3, "c")))
+  }
+
   test("mode guards: cdc tables refuse readAll/compact/overwrite, " +
     "append tables refuse vacuum/compact, and vacuum retains cdc " +
     "snapshots correctly") {

@@ -235,6 +235,23 @@ class DedupSpec extends SparkSpec {
     assert(sketch.sizeBytes < 64 * 1024, "sketch unexpectedly large")
   }
 
+  test("broadcastSketch handle: one broadcast serves many probes and " +
+    "survives explicit destroy ordering") {
+    import graft.operators.Bloom
+    val keys = spark.range(0, 1000).toDF("k")
+    val sketch = Bloom.build(keys, "k", 1000L, 0.01)
+    val bc = Bloom.broadcastSketch(spark, sketch)
+    try {
+      // two independent plans share the SAME broadcast handle
+      val hits1 = spark.range(0, 2000).toDF("k")
+        .filter(Bloom.mightContain(col("k"), bc)).count()
+      val hits2 = spark.range(500, 1500).toDF("k")
+        .filter(Bloom.mightContain(col("k"), bc)).count()
+      assert(hits1 >= 1000, "false negatives through the handle")
+      assert(hits2 >= 500)
+    } finally bc.destroy() // caller-owned lifecycle, released eagerly
+  }
+
   test("decontaminateBloom ≡ decontaminate (prefilter is invisible)") {
     val benchmark = Seq((100L, "eval question alpha beta gamma"),
       (200L, "intro text question alpha beta closing"))

@@ -133,6 +133,17 @@ class IvfSpec extends SparkSpec {
     Ivf.ensureIndex(data2, src, idx, k = 2, iters = 1)
     assert(marker.lastModified() > builtAt, "stale index must rebuild")
 
+    // changed build PARAMETERS at the same path must rebuild too — a
+    // stale k=2 index must never be served to a k=3 caller (the marker
+    // fingerprints the parameters)
+    val preParamChange = marker.lastModified()
+    Thread.sleep(1100)
+    Ivf.ensureIndex(data2, src, idx, k = 3, iters = 1)
+    assert(marker.lastModified() > preParamChange,
+      "parameter change did not rebuild")
+    assert(Ivf.loadModel(spark, s"$idx/centroids").k == 3)
+    Ivf.ensureIndex(data2, src, idx, k = 2, iters = 1) // restore for below
+
     // the ensured index searches identically to a direct build
     val q = data2.filter(col("vec_id") < 4)
     val direct = Ivf.searchTopK(data2, q,
