@@ -505,6 +505,23 @@ object SparkEntry {
           array_join(col("__evens").cast("array<string>"), ",").as("evens_csv"),
           aggregate(col("__evens"), lit(0L), (acc, x) => acc + x).as("evens_sum"))),
 
+    // ── S14: date-partitioned layout + partition-pruned read — the
+    //    canonical 100 TB fact layout (partition by day, query a date
+    //    range, scan 3 of 3,000 directories). Built once per source
+    //    via Scratch; PlanQualitySpec pins the PartitionFilters ──────
+    "q_s14_date_partition" -> ((s, dir) => {
+      val staged = graft.engine.Scratch.ensure(s, "datepart",
+        s"$dir/events.parquet") { out =>
+        graft.streaming.EventStream.loadEvents(s, s"$dir/events.parquet")
+          .withColumn("event_date", to_date(col("ts")))
+          .write.partitionBy("event_date").parquet(out)
+      }
+      s.read.parquet(staged)
+        .filter(col("event_date").between(lit("2024-01-03"), lit("2024-01-05")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("event_date").cast("string").as("event_date"))
+    }),
+
     // ── Change data feed: diff two snapshots into the I/U/D feed that
     //    replays one into the other (inverse of applyChanges; the
     //    round-trip identity is pinned in PropertySpec). D rows carry
@@ -1026,6 +1043,10 @@ object SparkEntry {
       ("SELECT p_partkey, p_name, CAST(round(p_retailprice * 100) AS BIGINT) " +
         "+ CASE WHEN p_partkey % 3 = 1 THEN 100 ELSE 0 END AS price_cents " +
         "FROM part WHERE p_partkey % 10 <> 0"),
+    "q_s14_date_partition" ->
+      ("SELECT event_id, user_id, event_type, " +
+        "CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date FROM events " +
+        "WHERE CAST(ts AS DATE) BETWEEN '2024-01-03' AND '2024-01-05'"),
     "q_s13_merge_schema" ->
       ("SELECT p_partkey, p_name, CASE WHEN p_partkey % 2 = 1 THEN " +
         "CAST(round(p_retailprice * 100) AS BIGINT) END AS price_cents " +

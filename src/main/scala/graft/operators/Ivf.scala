@@ -70,8 +70,23 @@ object Ivf {
     */
   def train(df: DataFrame, k: Int, iters: Int = 3, seed: Long = 42L,
             idCol: String = "vec_id",
-            vecCol: String = "embedding"): IvfModel = {
-    val init = df.filter(col(vecCol).isNotNull)
+            vecCol: String = "embedding",
+            trainSampleN: Int = 0): IvfModel = {
+    // trainSampleN > 0: Lloyd's iterates over a BOUNDED deterministic
+    // (hash-ordered, partitioning-independent) sample instead of the
+    // corpus — the FAISS practice, and the difference between k·iters
+    // full-corpus scans and a fixed-size training job at 100 TB. The
+    // sample is materialized once so each iteration scans a tiny
+    // parquet, not a re-evaluated orderBy-limit of the corpus.
+    val full = df.filter(col(vecCol).isNotNull)
+    val src =
+      if (trainSampleN <= 0) full
+      else Materialize.viaScratch(
+        full.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+          .limit(trainSampleN)
+          .select(col(idCol), col(vecCol)),
+        "ivf-train-sample")
+    val init = src
       .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -82,7 +97,7 @@ object Ivf {
     while (it < iters) {
       // null vectors can't train (null cluster key + a null Seq into the
       // aggregator); the old posexplode path dropped them implicitly
-      val assigned = df.filter(col(vecCol).isNotNull).select(col(vecCol),
+      val assigned = src.select(col(vecCol),
         element_at(nearestCentroids(col(vecCol), centroids, 1), 1).as("cluster"))
       val stats = assigned.groupBy(col("cluster"))
         .agg(sumVec(col(vecCol)).as("s"), count(lit(1)).as("n"))

@@ -301,9 +301,13 @@ object SimilaritySearch {
   def semanticDupPairs(df: DataFrame, threshold: Double, k: Int,
                        iters: Int = 3, maxClusterSize: Int = 100000,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding",
+                       trainSampleN: Int = 4096): DataFrame = {
     val vecs = df.filter(col(vecCol).isNotNull)
-    val model = Ivf.train(vecs, k, iters, idCol = idCol, vecCol = vecCol)
+    // sampled training (bounded job at any corpus size); the SemDeDup
+    // guarantee — identical copies co-cluster — holds for ANY centroids
+    val model = Ivf.train(vecs, k, iters, idCol = idCol, vecCol = vecCol,
+      trainSampleN = trainSampleN)
     val assigned = Ivf.assign(vecs, model, vecCol)
       .select(col("cluster"), col(idCol), col(vecCol))
     val okClusters = assigned.groupBy(col("cluster"))

@@ -47,6 +47,18 @@ class IvfSpec extends SparkSpec {
     assert(ivf.size <= exact.size)
   }
 
+  test("sampled training: bounded sample yields a usable model and " +
+    "full-probe search stays exhaustive-exact for ANY centroids") {
+    val m = Ivf.train(emb, k = 4, iters = 2, trainSampleN = 100)
+    assert(m.k == 4 && m.centroids.forall(_.length == 64))
+    val q = emb.filter(col("vec_id") < 8)
+    val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val ivf = Ivf.searchTopK(emb, q, m, k = 5, nprobe = 4)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivf == exact, "full probe must be exhaustive whatever the model")
+  }
+
   test("model save/load round-trips the centroid matrix exactly") {
     val m = Ivf.train(emb, k = 4, iters = 2)
     val path = tmpDir("graft-ivf-model")

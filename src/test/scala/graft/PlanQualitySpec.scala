@@ -193,6 +193,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), s"unexpected window:\n$p")
   }
 
+  test("q_s14_date_partition: date-range filter prunes partition dirs " +
+    "at planning time") {
+    val p = plan("q_s14_date_partition")
+    assert(p.contains("PartitionFilters") && p.contains("event_date"),
+      s"no partition pruning:\n$p")
+    // the range spans 3 of 30 day-directories; the scan must not list
+    // all of them as its input
+    assert(!p.contains("PartitionFilters: []"),
+      s"empty partition filter:\n$p")
+  }
+
   test("no query plans a non-broadcast CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
