@@ -420,6 +420,17 @@ object StretchQueries {
       graft.streaming.StreamingDedup.candidateStream(banded)(s).toDF()
     }),
 
+    // duplicated-span report (substring-level dedup diagnostics, Lee
+    // et al. 2022): planted full copies of every 20th doc make each of
+    // their 8-token windows a cross-doc duplicate; exact window
+    // arithmetic on both sides → full oracle
+    "q_d_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.union(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.duplicateSpans(planted, "text", "doc_id", n = 8)
+    }),
+
     // line-level boilerplate removal (the C4/CCNet cleanup stage):
     // lines planted into every doc (footer) and every third doc
     // (cookie banner) must vanish corpus-wide; doc-unique lines stay.
@@ -1291,6 +1302,22 @@ object StretchQueries {
 
     "q_ev_dedup_stream" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+
+    "q_d_spans" ->
+      (raw"""WITH planted AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+         |  WHERE doc_id % 20 = 0
+         |), spans AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len($tokensSql) - 6, 1)),
+         |    i -> array_to_string(($tokensSql)[i:i+7], ' '))) AS span
+         |  FROM planted WHERE text IS NOT NULL
+         |)
+         |SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occ
+         |FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_t_line_dedup" ->
       ("""WITH planted AS (

@@ -90,6 +90,40 @@ object Dedup {
       .drop("__clean")
   }
 
+  /** Exact duplicated-span report (the diagnostic behind substring-
+    * level dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better"): every `n`-token window occurring in at
+    * least `minDocs` DISTINCT documents, with its document count and
+    * total occurrence count. Token = whitespace-split of the trimmed,
+    * lower-cased text (the engine's canonical tokenization).
+    *
+    * Execution shape: one pass builds each document's windows as a
+    * staged array column (the token array is bound once — never
+    * re-evaluated per window, NOTES lesson #1), one explode, one
+    * grouped count. The shuffle key is the span string; at 100 TB
+    * you'd pre-hash to 64 bits and carry (hash, span) to shrink the
+    * exchange — the grouping is exact either way.
+    */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"span length must be positive, got $n")
+    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        filter(split(trim(lower(col(textCol))), raw"\s+"),
+          t => length(t) > 0).as("__toks"))
+    val spans = toks
+      .select(col(idCol),
+        explode(when(size(col("__toks")) >= n,
+          transform(sequence(lit(1), size(col("__toks")) - n + 1),
+            i => concat_ws(" ", slice(col("__toks"), i, lit(n)))))
+          .otherwise(typedlit(Seq.empty[String]))).as("span"))
+    spans.groupBy(col("span"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   // ── MinHash ─────────────────────────────────────────────────────────
 
   // ONE source for the (a,b) universal-hash parameters and the prime

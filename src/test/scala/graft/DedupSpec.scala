@@ -53,6 +53,24 @@ class DedupSpec extends SparkSpec {
       "short lines are never counted as boilerplate")
   }
 
+  test("duplicateSpans: cross-doc n-gram windows surface with exact " +
+    "counts; within-doc repeats alone do not") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta shared one two three four tail"),
+      (2L, "prefix shared one two three four tail ending here"),
+      (3L, "solo words solo words solo words solo words solo words"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .duplicateSpans(docs, "text", "doc_id", n = 6)
+      .as[(String, Long, Long)].collect()
+      .map { case (s, d, o) => s -> ((d, o)) }.toMap
+    // docs 1 and 2 share exactly one 6-token run; doc 3's self-repeats
+    // are ONE document and must never be reported
+    assert(got == Map("shared one two three four tail" -> ((2L, 2L))),
+      s"got $got")
+  }
+
   test("exact jaccard: identity 1.0, near-dup high, unrelated low") {
     val j = corpus.as("a").crossJoin(corpus.as("b"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
