@@ -420,6 +420,36 @@ object StretchQueries {
       graft.streaming.StreamingDedup.candidateStream(banded)(s).toDF()
     }),
 
+    // corpus rebalancing to a target mixture: per-group rates DERIVED
+    // from the actual counts (integer arithmetic end-to-end, so the
+    // oracle replays the exact formula), then the deterministic
+    // content-hash filter. Kept counts ≈ 60:40 en:und, the scarcer
+    // group kept whole
+    "q_t_rebalance" -> ((s, dir) =>
+      graft.operators.DatasetSplit.rebalanceToTarget(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            graft.functions.NativeExpressions.textProfile(col("text"))
+              .getField("lang_pred").as("lang")),
+        "text", "lang", Map("en" -> 60, "und" -> 40))
+        .select(col("doc_id"), col("lang"))),
+
+    // percentile-trim quality filter: keep docs within each language's
+    // [P05, P95] length band — the outlier-trimming curation stage.
+    // Exact interpolated percentiles match engine-to-engine (q_a6
+    // proved it), so the comparison agrees even ON the boundary; the
+    // per-language bounds table is tiny → broadcast join
+    "q_t_trim" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("__len"))
+      val bounds = docs.groupBy(col("lang"))
+        .agg(expr("percentile(__len, 0.05)").as("__lo"),
+          expr("percentile(__len, 0.95)").as("__hi"))
+      docs.join(broadcast(bounds), Seq("lang"))
+        .filter(col("__len") >= col("__lo") && col("__len") <= col("__hi"))
+        .select(col("doc_id"), col("lang"), col("__len").as("text_len"))
+    }),
+
     // duplicated-span report (substring-level dedup diagnostics, Lee
     // et al. 2022): planted full copies of every 20th doc make each of
     // their 8-token windows a cross-doc duplicate; exact window
@@ -1302,6 +1332,29 @@ object StretchQueries {
 
     "q_ev_dedup_stream" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+
+    "q_t_rebalance" ->
+      (s"""WITH d AS (SELECT doc_id, $langCaseSql AS lang,
+         |  $mixBucketSql AS bucket FROM documents),
+         |counts AS (SELECT lang, count(*) AS n FROM d
+         |  WHERE lang IN ('en', 'und') GROUP BY lang),
+         |tw AS (SELECT lang, n,
+         |  CASE lang WHEN 'en' THEN 60 WHEN 'und' THEN 40 END AS wt
+         |  FROM counts),
+         |c AS (SELECT min((n * 1048576) // wt) AS c FROM tw),
+         |r AS (SELECT lang,
+         |  LEAST(256, (256 * wt * (SELECT c FROM c)) // (n * 1048576))
+         |  AS rate FROM tw)
+         |SELECT d.doc_id, d.lang FROM d JOIN r ON d.lang = r.lang
+         |WHERE d.bucket < r.rate""".stripMargin)
+        .replaceAll(raw"\s+", " "),
+
+    "q_t_trim" ->
+      ("WITH b AS (SELECT lang, quantile_cont(length(text), 0.05) AS lo, " +
+        "quantile_cont(length(text), 0.95) AS hi FROM documents GROUP BY lang) " +
+        "SELECT doc_id, lang, CAST(length(text) AS INT) AS text_len " +
+        "FROM documents JOIN b USING (lang) " +
+        "WHERE length(text) BETWEEN lo AND hi"),
 
     "q_d_spans" ->
       (raw"""WITH planted AS (

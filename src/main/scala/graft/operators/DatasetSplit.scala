@@ -84,4 +84,54 @@ object DatasetSplit {
     }
     bucket256Salted(content, salt) < rate
   }
+
+  /** Per-group sampling rates that REBALANCE the corpus toward integer
+    * target weights: after filtering with these rates, each group's
+    * kept count is ≈ proportional to its weight, scaled so the
+    * SCARCEST group (relative to its weight) is kept whole — the
+    * "assemble the pretraining mixture to 60/40" step, driven by the
+    * actual counts instead of hand-tuned rates.
+    *
+    * All arithmetic is integer (2²⁰-scaled ratios, 256-bucket rates),
+    * so an oracle engine replaying the same formula gets bit-identical
+    * rates — no floating normalization anywhere:
+    * `c = min_g ⌊N_g·2²⁰ / w_g⌋`, `rate_g = ⌊256·w_g·c / (N_g·2²⁰)⌋`
+    * (≤ 256 by construction; the binding group rounds to ~256).
+    */
+  def rebalanceRates(counts: Map[String, Long],
+                     weights: Map[String, Int]): Map[String, Int] = {
+    require(weights.values.forall(_ > 0), "target weights must be positive")
+    val present = weights.filter { case (g, _) => counts.getOrElse(g, 0L) > 0 }
+    if (present.isEmpty) Map.empty
+    else {
+      val c = present.map { case (g, w) =>
+        (BigInt(counts(g)) * 1048576) / w }.min
+      present.map { case (g, w) =>
+        g -> (((BigInt(256) * w * c) / (BigInt(counts(g)) * 1048576))
+          .toInt min 256)
+      }
+    }
+  }
+
+  /** Filter `df` down to a target group mixture: one bounded count per
+    * group (a driver round-trip of |groups| rows — the same category
+    * as a broadcast-size estimate), [[rebalanceRates]], then the
+    * deterministic content-hash filter. Groups without a target weight
+    * are dropped; a weighted group with zero rows simply contributes
+    * nothing (the remaining groups rebalance among themselves).
+    */
+  def rebalanceToTarget(df: org.apache.spark.sql.DataFrame,
+                        contentCol: String, groupCol: String,
+                        weights: Map[String, Int],
+                        salt: String = "mix"): org.apache.spark.sql.DataFrame = {
+    val counts = df
+      .filter(col(groupCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = rebalanceRates(counts, weights)
+    if (rates.isEmpty) df.filter(lit(false))
+    else df.filter(col(groupCol).isin(rates.keys.toSeq: _*))
+      .filter(weightedSampleFilter(col(contentCol), col(groupCol), rates,
+        defaultRate = 0, salt))
+  }
 }

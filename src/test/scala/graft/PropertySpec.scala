@@ -223,6 +223,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rebalanceRates: binding group kept whole, others scaled to the " +
+    "target ratio, unweighted groups absent — exact integer arithmetic") {
+    import graft.operators.DatasetSplit
+    val rates = DatasetSplit.rebalanceRates(
+      Map("en" -> 1000L, "und" -> 200L, "de" -> 500L),
+      Map("en" -> 60, "und" -> 40))
+    // und is the scarce group (200/40 < 1000/60): kept whole at 256;
+    // en scales to 60:40 against it → 256·300/1000 = 76.8 → 76
+    assert(rates == Map("en" -> 76, "und" -> 256), s"got $rates")
+    // kept ≈ 1000·76/256 : 200·256/256 = 297 : 200 ≈ the 60:40 target
+    // a weighted group with zero rows drops out; survivors rebalance.
+    // The double floor costs the binding group one bucket when its
+    // weight doesn't divide N·2²⁰ (255/256 ≈ kept whole):
+    val r2 = DatasetSplit.rebalanceRates(Map("en" -> 1000L),
+      Map("en" -> 60, "und" -> 40))
+    assert(r2 == Map("en" -> 255), s"got $r2")
+    assert(DatasetSplit.rebalanceRates(Map.empty, Map("en" -> 60)).isEmpty)
+  }
+
   test("changeFeed ∘ applyChanges is the identity: replaying the diff of " +
     "two random snapshots onto the first yields the second (5 cases)") {
     val gen = Gen.zip(rowsGen, rowsGen)
