@@ -913,6 +913,22 @@ object SparkEntry {
       tbl.overwrite(t(s, dir, "part").repartition(16))
       tbl.compact()
       tbl.read()
+    }),
+
+    // ── S15: OPTIMIZE ZORDER BY — the clustering maintenance pass as a
+    //    versioned-table generation: content-invisible (that identity
+    //    IS the oracle), layout narrowness pinned in VersionedTableSpec ─
+    "q_s15_optimize_z" -> ((s, dir) => {
+      val root = s.conf.get("graft.scratch.dir",
+        System.getProperty("java.io.tmpdir"))
+      val tbl = new graft.engine.VersionedTable(s, s"$root/graft-vt/li_oz")
+      tbl.destroy()
+      tbl.overwrite(t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .repartition(16))
+      tbl.compactZOrdered(Seq(col("l_orderkey"), col("l_partkey")),
+        targetFileBytes = 512L * 1024, bits = 12)
+      tbl.read()
     })
   )
 
@@ -1224,6 +1240,9 @@ object SparkEntry {
 
     // compaction must be content-invisible
     "q_s8_compact" -> "SELECT * FROM part",
+
+    "q_s15_optimize_z" ->
+      "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
 
     "q_j8_merge_evolve" ->
       ("SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 " +

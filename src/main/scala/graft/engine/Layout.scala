@@ -42,7 +42,18 @@ object Layout {
     * reference's max(key) collect.
     */
   def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
-                    bits: Int, cols: Column*): Unit = {
+                    bits: Int, cols: Column*): Unit =
+    zOrderedDf(df, numFiles, bits, cols: _*)
+      .write.mode("overwrite").parquet(path)
+
+  /** The z-order clustering PLAN without the sink: `df` range-
+    * partitioned and sorted on the interleaved z-value of `cols`
+    * (dropped again before return). Shared by [[writeZOrdered]] and
+    * [[VersionedTable.compactZOrdered]] so the normalization
+    * arithmetic lives once.
+    */
+  def zOrderedDf(df: DataFrame, numFiles: Int,
+                 bits: Int, cols: Column*): DataFrame = {
     import org.apache.spark.sql.functions._
     val stats = df.agg(
       cols.flatMap(c => Seq(min(c).cast("long"), max(c).cast("long"))).head,
@@ -81,7 +92,6 @@ object Layout {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
 
   // ── File-level data skipping ────────────────────────────────────────

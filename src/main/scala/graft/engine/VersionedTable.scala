@@ -268,18 +268,35 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     * mid-compaction changes nothing. `coalesce` keeps it shuffle-free.
     */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val (v, nFiles) = compactionTarget(targetFileBytes)
+    overwrite(readVersion(v).coalesce(nFiles))
+  }
+
+  /** OPTIMIZE ZORDER BY: rewrite the latest snapshot z-order-clustered
+    * on `cols` into size-targeted files as a NEW generation — the
+    * maintenance pass that makes subsequent multi-column range scans
+    * skip files ([[Layout.zOrderedDf]] is the clustering plan). Same
+    * atomicity as [[compact]]: readers on the old version are
+    * untouched, a crash mid-pass changes nothing.
+    */
+  def compactZOrdered(cols: Seq[org.apache.spark.sql.Column],
+                      targetFileBytes: Long = 128L * 1024 * 1024,
+                      bits: Int = 16): Long = {
+    require(cols.nonEmpty, "compactZOrdered needs at least one column")
+    val (v, nFiles) = compactionTarget(targetFileBytes)
+    overwrite(Layout.zOrderedDf(readVersion(v), nFiles, bits, cols: _*))
+  }
+
+  private def compactionTarget(targetFileBytes: Long): (Long, Int) = {
     modeMarker.foreach(m => require(m == "overwrite",
       s"compact on a '$m'-mode table at $basePath: 'append' would " +
         "duplicate the latest generation in readAll(), 'cdc' would " +
         "claim a generation number a future stream batch needs"))
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"nothing to compact at $basePath"))
-    val f = fs
-    val bytes = f.listStatus(genPath(v)).toSeq
+    val bytes = fs.listStatus(genPath(v)).toSeq
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
-    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) /
-      targetFileBytes).toInt
-    overwrite(readVersion(v).coalesce(nFiles))
+    (v, math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt)
   }
 
   /** Drop all but the newest `keepLast` committed versions (plus any

@@ -169,4 +169,37 @@ class VersionedTableSpec extends SparkSpec {
     // compaction is a new generation — time travel to pre-compaction works
     assert(t.readVersion(v0).count() == 1000)
   }
+
+  test("compactZOrdered: identical content, new generation, and each " +
+    "file covers a NARROW slice of both cluster columns") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min,
+      spark_partition_id}
+    val dir = tmpDir("vt") + "/tz"
+    val t = new VersionedTable(spark, dir)
+    // two correlated keys scattered across 16 files
+    val rows = spark.range(4000)
+      .select((col("id") % 977).as("a"), (col("id") % 997).as("b"))
+      .repartition(16)
+    val v0 = t.overwrite(rows)
+    val v1 = t.compactZOrdered(Seq(col("a"), col("b")),
+      targetFileBytes = 8L * 1024, bits = 12)
+    assert(v1 == v0 + 1)
+    // content-invisible
+    assert(t.read().as[(Long, Long)].collect().sorted.toSeq ==
+      rows.as[(Long, Long)].collect().sorted.toSeq)
+    // layout: multiple files, and the AVERAGE per-file span of each
+    // cluster column is a small fraction of the global range
+    val perFile = t.read()
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("a")).as("alo"), max(col("a")).as("ahi"),
+        min(col("b")).as("blo"), max(col("b")).as("bhi"))
+      .collect()
+    assert(perFile.length > 2, s"expected several files, got ${perFile.length}")
+    val avgSpanA = perFile.map(r => r.getLong(2) - r.getLong(1)).sum
+      .toDouble / perFile.length
+    val avgSpanB = perFile.map(r => r.getLong(4) - r.getLong(3)).sum
+      .toDouble / perFile.length
+    assert(avgSpanA < 977 * 0.7, s"a not clustered: avg span $avgSpanA")
+    assert(avgSpanB < 997 * 0.7, s"b not clustered: avg span $avgSpanB")
+  }
 }
