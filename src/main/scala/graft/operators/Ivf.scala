@@ -77,42 +77,52 @@ object Ivf {
     // corpus — the FAISS practice, and the difference between k·iters
     // full-corpus scans and a fixed-size training job at 100 TB. The
     // sample is materialized once so each iteration scans a tiny
-    // parquet, not a re-evaluated orderBy-limit of the corpus.
+    // parquet, not a re-evaluated orderBy-limit of the corpus, and the
+    // scratch is dropped as soon as training ends (the centroids are
+    // driver-local; the sample is dead weight after the last round).
+    // The sample is clamped to ≥ k — a sub-k sample would silently
+    // train FEWER than k centroids, inflating every downstream
+    // cluster by the shortfall ratio.
     val full = df.filter(col(vecCol).isNotNull)
-    val src =
-      if (trainSampleN <= 0) full
-      else Materialize.viaScratch(
-        full.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
-          .limit(trainSampleN)
-          .select(col(idCol), col(vecCol)),
-        "ivf-train-sample")
-    val init = src
-      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    var centroids = init
-    val dim = centroids.headOption.map(_.length).getOrElse(0)
-    val sumVec = udaf(new VecSumAgg(dim), ExpressionEncoder[Seq[Float]]())
-    var it = 0
-    while (it < iters) {
-      // null vectors can't train (null cluster key + a null Seq into the
-      // aggregator); the old posexplode path dropped them implicitly
-      val assigned = src.select(col(vecCol),
-        element_at(nearestCentroids(col(vecCol), centroids, 1), 1).as("cluster"))
-      val stats = assigned.groupBy(col("cluster"))
-        .agg(sumVec(col(vecCol)).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val byCluster = stats.map(r =>
-        r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2)))).toMap
-      centroids = centroids.indices.map { c =>
-        byCluster.get(c) match {
-          case Some((s, n)) => s.map(_ / n).toArray
-          case None => centroids(c) // empty cluster keeps its centroid
-        }
-      }.toArray
-      it += 1
-    }
-    IvfModel(centroids)
+    val (src, scratch) =
+      if (trainSampleN <= 0) (full, None)
+      else {
+        val (s, h) = Materialize.viaScratchWithPath(
+          full.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+            .limit(math.max(trainSampleN, k))
+            .select(col(idCol), col(vecCol)),
+          "ivf-train-sample")
+        (s, Some(h))
+      }
+    try {
+      var centroids = src
+        .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val dim = centroids.headOption.map(_.length).getOrElse(0)
+      val sumVec = udaf(new VecSumAgg(dim), ExpressionEncoder[Seq[Float]]())
+      var it = 0
+      while (it < iters) {
+        // null vectors can't train (null cluster key + a null Seq into
+        // the aggregator); src is pre-filtered to non-null
+        val assigned = src.select(col(vecCol),
+          element_at(nearestCentroids(col(vecCol), centroids, 1), 1)
+            .as("cluster"))
+        val stats = assigned.groupBy(col("cluster"))
+          .agg(sumVec(col(vecCol)).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val byCluster = stats.map(r =>
+          r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2)))).toMap
+        centroids = centroids.indices.map { c =>
+          byCluster.get(c) match {
+            case Some((s, n)) => s.map(_ / n).toArray
+            case None => centroids(c) // empty cluster keeps its centroid
+          }
+        }.toArray
+        it += 1
+      }
+      IvfModel(centroids)
+    } finally scratch.foreach(_.drop())
   }
 
   /** Corpus + `cluster` column (the IVF posting-list id). */

@@ -172,8 +172,7 @@ class VersionedTableSpec extends SparkSpec {
 
   test("compactZOrdered: identical content, new generation, and each " +
     "file covers a NARROW slice of both cluster columns") {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min,
-      spark_partition_id}
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val dir = tmpDir("vt") + "/tz"
     val t = new VersionedTable(spark, dir)
     // two correlated keys scattered across 16 files
