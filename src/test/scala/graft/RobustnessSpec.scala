@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.{Upsert, VersionedTable}
+import graft.operators.{Dedup, DatasetSplit, Ivf, Pq, SimilaritySearch, TopK}
+import graft.streaming.StreamingCdc
+
+/** Degenerate-input behavior: at 100 TB every operator eventually sees
+  * an empty batch, an empty group, or an all-null slice — none of them
+  * may crash or invent rows. Plus the concurrency race the claim
+  * ledger exists for: two writers committing the SAME batch id must
+  * resolve to exactly one commit.
+  */
+class RobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType))))
+
+  private lazy val emptyVecs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+
+  test("text/dedup operators accept an empty corpus") {
+    assert(Dedup.exactRows(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.duplicateSpans(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.dropRepeatedLines(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.connectedComponents(
+      emptyDocs.select(col("doc_id").as("id_a"),
+        col("doc_id").as("id_b"))).count() == 0)
+    assert(DatasetSplit.rebalanceToTarget(emptyDocs, "text", "text",
+      Map("en" -> 1)).count() == 0)
+  }
+
+  test("vector operators accept an empty corpus and empty query sets") {
+    val vecs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // empty QUERY side against a real corpus
+    val m = Ivf.train(vecs, k = 2, iters = 1)
+    assert(Ivf.searchTopK(vecs, emptyVecs, m, k = 3).count() == 0)
+    assert(SimilaritySearch.bruteForceTopK(vecs, emptyVecs, 3).count() == 0)
+    val pq = Pq.train(vecs, m = 8, k = 4, iters = 1)
+    assert(Pq.topK(vecs, emptyVecs, pq, k = 3).count() == 0)
+    // empty CORPUS against real queries
+    val q = vecs.limit(2)
+    assert(Ivf.searchTopK(emptyVecs, q, m, k = 3).count() == 0)
+    assert(Pq.topK(emptyVecs, q, pq, k = 3).count() == 0)
+    // all-null embedding slice: encode nulls out, searches stay sane
+    val nulls = Seq((1L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    assert(Pq.withCodes(nulls, pq).filter(col("pq_code").isNotNull)
+      .count() == 0)
+    assert(Ivf.searchTopK(nulls, q, m, k = 3).count() == 0)
+  }
+
+  test("topKPerKey on empty input and k larger than the data") {
+    val empty = emptyDocs.select(col("doc_id").as("q_id"),
+      col("doc_id").as("n_id"), col("doc_id").cast("double").as("cosine"))
+    assert(TopK.topKPerKey(empty, 5)(spark).count() == 0)
+    val two = Seq((1L, 10L, 0.5), (1L, 11L, 0.4))
+      .toDF("q_id", "n_id", "cosine")
+    assert(TopK.topKPerKey(two, 100)(spark).count() == 2)
+  }
+
+  test("CDC paths accept empty changefeeds and empty snapshots") {
+    val t = new VersionedTable(spark, tmpDir("graft-rb") + "/t")
+    val empty = emptyDocs.select(col("doc_id").as("k"),
+      col("text").as("v")).withColumn("op", lit("I"))
+    // an empty batch commits an empty (or unchanged) snapshot, not a crash
+    assert(StreamingCdc.applyCdcBatch(t, 0L,
+      Seq((1, "a", "I")).toDF("k", "v", "op"), Seq("k")))
+    assert(StreamingCdc.applyCdcBatch(t, 1L, empty, Seq("k")))
+    assert(t.read().as[(Long, String)].collect().toSet == Set((1L, "a")))
+    // diffing identical snapshots emits nothing; empty-vs-empty too
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    assert(Upsert.changeFeed(snap, snap, Seq("k")).count() == 0)
+    val emptySnap = emptyDocs.select(col("doc_id").as("k"),
+      col("text").as("v"))
+    assert(Upsert.changeFeed(emptySnap, emptySnap, Seq("k")).count() == 0)
+    assert(Upsert.changeFeed(emptySnap, snap, Seq("k"))
+      .select("op").as[String].collect().toSeq == Seq("I"))
+  }
+
+  test("two writers racing the SAME batch id: exactly one commit wins") {
+    val t = new VersionedTable(spark, tmpDir("graft-race") + "/t")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val attempts = (1 to 4).map { round =>
+        val fs = (0 until 2).map { w =>
+          scala.concurrent.Future {
+            t.commitBatch(round.toLong,
+              Seq((round, w)).toDF("r", "writer"))
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fs),
+          scala.concurrent.duration.Duration(120, "s"))
+      }
+      attempts.foreach { results =>
+        assert(results.count(identity) == 1,
+          s"exactly one racer must win, got $results")
+      }
+      // every batch holds exactly ONE writer's row
+      assert(t.readAll().groupBy(col("r")).count()
+        .as[(Int, Long)].collect().forall(_._2 == 1))
+    } finally pool.shutdown()
+  }
+}
