@@ -777,6 +777,14 @@ object StretchQueries {
       EventStream.windowedAgg(
         EventStream.loadEvents(s, s"$dir/events.parquet"))),
 
+    // trending top-k per window: the rank runs over the bounded
+    // per-window rollup (never the raw events); ties broken by name so
+    // both engines pick identical winners
+    "q_ev_trending" -> ((s, dir) =>
+      EventStream.trendingTopK(
+        EventStream.loadEvents(s, s"$dir/events.parquet"),
+        k = 2, windowLen = "6 hours")),
+
     // stream-stream interval join (attribution) — batch-executed here
     // for the oracle; StreamingSpec drives the SAME plan through a
     // real two-sided streaming join with watermarked state
@@ -1402,6 +1410,19 @@ object StretchQueries {
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
         "count(*) AS n_events, round(sum(value), 2) AS total_value " +
         "FROM events GROUP BY 1, 2"),
+
+    // Spark's tumbling windows align to the epoch; the oracle rebuilds
+    // the same floor arithmetic on naive timestamps (no time_bucket —
+    // its origin differs per DuckDB version)
+    "q_ev_trending" ->
+      ("WITH c AS (SELECT TIMESTAMP '1970-01-01 00:00:00' + " +
+        "((CAST(epoch(ts) AS BIGINT) // 21600) * 21600) * INTERVAL 1 SECOND " +
+        "AS window_start, event_type, count(*) AS n_events " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT window_start, event_type, n_events, " +
+        "CAST(row_number() OVER (PARTITION BY window_start " +
+        "ORDER BY n_events DESC, event_type) AS INT) AS rnk " +
+        "FROM c QUALIFY rnk <= 2"),
 
     "q_ev_join" ->
       ("SELECT p.event_id AS purchase_id, c.event_id AS click_id, " +

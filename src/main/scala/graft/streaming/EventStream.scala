@@ -65,6 +65,47 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Trending top-k: the `k` most frequent event types per time
+    * window, ties broken by name (total order → deterministic, both
+    * engines pick the same winners). The rank runs over the
+    * per-window ROLLUP (windows × types — bounded, tiny), never the
+    * raw events; streaming-wise this is [[windowedAgg]]'s append-mode
+    * output ranked per closed window (foreachBatch or a downstream
+    * batch pass — windowed counts are the stateful part, the rank is
+    * stateless per window).
+    */
+  def trendingTopK(events: DataFrame, k: Int,
+                   windowLen: String = "1 hour",
+                   watermarkDelay: String = "10 minutes"): DataFrame =
+    rankWindows(windowedTypeCounts(events, windowLen, watermarkDelay), k)
+
+  /** The STREAMABLE half of [[trendingTopK]]: per-(window, type)
+    * counts with a watermark (append-mode emits each window once it
+    * closes). Rank is a window function — unsupported on a streaming
+    * Dataset — so a stream applies [[rankWindows]] downstream
+    * (foreachBatch, or batch over the emitted rows; closed windows are
+    * complete, so ranking them later is exact).
+    */
+  def windowedTypeCounts(events: DataFrame,
+                         windowLen: String = "1 hour",
+                         watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+  /** Stateless per-window rank ≤ k over the BOUNDED counts rollup. */
+  def rankWindows(counts: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+
   /** In-stream exact dedup on event_id within the watermark horizon —
     * `dropDuplicates` keyed on the id plus the event-time column keeps
     * state bounded (Spark evicts ids older than the watermark).

@@ -30,6 +30,28 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("trendingTopK: streamed windowed counts + downstream rank equals " +
+    "the batch path exactly") {
+    val events = EventStream.loadEvents(spark, dir)
+    val batch = EventStream.trendingTopK(events, k = 2,
+      windowLen = "6 hours").collect().map(_.toSeq).toSet
+
+    val staged = tmpDir("stream") + "/trend"
+    events.write.parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema).parquet(staged)
+    // the streamable half runs as a REAL streaming query; the rank is
+    // the documented downstream batch pass over the emitted windows
+    val q = EventStream.windowedTypeCounts(stream, windowLen = "6 hours")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("trend_counts").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = EventStream.rankWindows(spark.table("trend_counts"), 2)
+      .collect().map(_.toSeq).toSet
+
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("clickAttribution: a real stream-stream join matches the batch " +
     "interval join pair-for-pair") {
     val batch = EventStream.clickAttribution(
