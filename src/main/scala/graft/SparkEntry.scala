@@ -489,6 +489,21 @@ object SparkEntry {
         .select(col("p_partkey"), col("p_name"), col("price_cents"))
     }),
 
+    // ── F12: JSON scalars — build a CANONICAL json string from columns
+    //    (format_string on both sides, so no engine serializer's key
+    //    order or spacing is in play) and extract fields back. The
+    //    semi-structured-ingest surface: get_json_object is the
+    //    scan-side projection a raw-JSON lake lives on ────────────────
+    "q_f_json" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          format_string("""{"k":%d,"n":"%s","b":%d}""",
+            col("s_suppkey"), col("s_name"),
+            round(col("s_acctbal") * 100).cast("long")).as("__j"))
+        .select(col("s_suppkey"),
+          get_json_object(col("__j"), "$.n").as("name_j"),
+          get_json_object(col("__j"), "$.b").cast("long").as("bal_cents"))),
+
     // ── F10: higher-order array functions — sequence/transform/filter/
     //    aggregate as one codegen'd projection (no explode, no shuffle,
     //    no UDF). NOTES lesson #1 applies at scale: the SOURCE array is
@@ -1067,6 +1082,15 @@ object SparkEntry {
       ("SELECT p_partkey, p_name, CASE WHEN p_partkey % 2 = 1 THEN " +
         "CAST(round(p_retailprice * 100) AS BIGINT) END AS price_cents " +
         "FROM part"),
+    "q_f_json" ->
+      ("""SELECT s_suppkey, json_extract_string(printf('{"k":%d,"n":"%s","b":%d}',
+         | s_suppkey, s_name, CAST(round(s_acctbal*100) AS BIGINT)), '$.n')
+         | AS name_j,
+         | CAST(json_extract_string(printf('{"k":%d,"n":"%s","b":%d}',
+         | s_suppkey, s_name, CAST(round(s_acctbal*100) AS BIGINT)), '$.b')
+         | AS BIGINT) AS bal_cents FROM supplier""".stripMargin)
+        .replaceAll(raw"\s+", " "),
+
     // DuckDB array_to_string(empty list) is NULL where Spark's
     // array_join is '' — coalesce the oracle side
     "q_f_hof" ->
