@@ -56,6 +56,17 @@ object Bench {
       ).collect()
     }
 
+    // environment evidence (round-6 VERDICT: a loaded machine inflated
+    // the recorded bench 1.9× and adjudicating it cost a full judge
+    // re-profile): sample the 1-minute system load average around every
+    // repetition, ship the per-query MAX — the artifact alone can then
+    // distinguish "the box was busy" from "the plan regressed". -1 when
+    // the JVM/OS can't provide it.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg: Double = osBean.getSystemLoadAverage
+    val tsStart = System.currentTimeMillis()
+    val loadStart = loadAvg
+
     // a failing query is recorded in "errors" and contributes NO wall
     // time — a broken query must never quietly look fast
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -72,6 +83,7 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => () }
       val runs = (1 to reps).map { _ =>
         spark.catalog.clearCache()
+        val repLoad = loadAvg
         val t0 = System.nanoTime()
         val err =
           // materialize through the noop sink, NOT count(): count(1)
@@ -87,10 +99,11 @@ object Bench {
           catch { case e: Throwable =>
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
           }
-        ((System.nanoTime() - t0) / 1e9, err)
+        ((System.nanoTime() - t0) / 1e9, err, repLoad)
       }
       val err = runs.flatMap(_._2).headOption
-      val times = runs.collect { case (t, None) => t }.sorted
+      val times = runs.collect { case (t, None, _) => t }.sorted
+      val qLoad = runs.map(_._3).max
       // true median: average the middle pair on an even rep count — the
       // upper-middle element would report the WORSE of two runs at reps=2
       val median =
@@ -98,7 +111,7 @@ object Bench {
         else if (times.size % 2 == 1) times(times.size / 2)
         else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
       val min = if (times.isEmpty) 0.0 else times.head
-      (name, median, min, err)
+      (name, median, min, err, qLoad)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -106,6 +119,8 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val ok = results.filter(_._4.isEmpty)
+    val tsEnd = System.currentTimeMillis()
+    val loadEnd = loadAvg
     // 3-decimal per-query values (ms resolution is plenty) keep the
     // line short, and the headline total/failed fields print AFTER the
     // per-query maps: the driver records the TAIL of the output, so a
@@ -115,22 +130,35 @@ object Bench {
     // locale, and a comma-decimal locale would corrupt the JSON line
     def f3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val qs = ok.map { case (k, med, _, _) => jstr(k) + ":" + f3(med) }
+    val qs = ok.map { case (k, med, _, _, _) => jstr(k) + ":" + f3(med) }
       .mkString("{", ",", "}")
-    val mins = ok.map { case (k, _, mn, _) => jstr(k) + ":" + f3(mn) }
+    val mins = ok.map { case (k, _, mn, _, _) => jstr(k) + ":" + f3(mn) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    val loads = ok.map { case (k, _, _, _, ld) => jstr(k) + ":" + f3(ld) }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val line = s"""{"metric":"total","unit":"sec","queries":$qs,"queries_min":$mins,"reps":$reps,"errors":$errs,"sf":"$sfDir","failed":${results.count(_._4.nonEmpty)},"value":${f3(total)}}"""
+    // the load map and env fields print BEFORE the queries maps: the
+    // driver captures the TAIL of the line, and the headline fields
+    // (totals, failed) must stay at the very end; the sidecar always
+    // holds everything
+    val env = s""""cpus":$cpus,"ts_start":$tsStart,"ts_end":$tsEnd,""" +
+      s""""load_start":${f3(loadStart)},"load_end":${f3(loadEnd)}"""
+    val line = s"""{"metric":"total","unit":"sec",$env,"load_max":$loads,"queries":$qs,"queries_min":$mins,"reps":$reps,"errors":$errs,"sf":"$sfDir","failed":${results.count(_._4.nonEmpty)},"value":${f3(total)}}"""
     println(line)
     // sidecar with the SAME line: the driver tail-captures stdout, and
     // with 100+ queries the line's head (alphabetically early queries)
-    // falls off the capture — the file always holds the whole artifact
+    // falls off the capture — the file always holds the whole artifact.
+    // ALSO a per-run timestamped sidecar: the driver's own run
+    // overwrites bench.json, and round 6 lost the builder's final
+    // artifact exactly that way — bench_<ts>.json survives re-runs.
     try {
-      val p = java.nio.file.Paths.get("target", "bench.json")
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      val bytes = (line + "\n").getBytes("UTF-8")
+      java.nio.file.Files.write(dir.resolve("bench.json"), bytes)
+      java.nio.file.Files.write(dir.resolve(s"bench_$tsStart.json"), bytes)
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }

@@ -837,10 +837,13 @@ object SparkEntry {
       // content-keyed names: build once per input per session — the
       // operator under measurement is the zero-shuffle JOIN; bench
       // reps must not re-pay the one-time layout write. The key embeds
-      // the full path + size/mtime (Scratch.contentKey), so distinct
-      // dirs can never collide and a regenerated source gets a fresh
-      // table instead of a stale layout
-      val key = graft.engine.Scratch.contentKey(s, dir)
+      // the full path + size/mtime (Scratch.tableKey — the CASE-STABLE
+      // length-bounded variant: the metastore lowercases identifiers,
+      // so contentKey's passthrough of uppercase letters would let two
+      // paths differing only in case collide), so distinct dirs can
+      // never collide and a regenerated source gets a fresh table
+      // instead of a stale layout
+      val key = graft.engine.Scratch.tableKey(s, dir)
       val (oName, liName) = (s"silver.o_b8_$key", s"silver.li_b8_$key")
       if (!s.catalog.tableExists(catalog.metastoreName(oName)))
         catalog.overwriteBucketed(oName,

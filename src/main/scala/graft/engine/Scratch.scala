@@ -22,7 +22,7 @@ object Scratch {
   /** (newest mtime, direct-child count, total bytes) of a file or
     * directory — driver-side FS metadata, one listing.
     */
-  private def stat(spark: SparkSession, p: String): (Long, Long, Long) = {
+  private[graft] def stat(spark: SparkSession, p: String): (Long, Long, Long) = {
     val path = new Path(p)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(path)
@@ -40,12 +40,36 @@ object Scratch {
     * sanitize would let `/data/b-c` and `/data/b_c` collide and serve
     * each other's artifacts.
     */
-  private def encode(path: String): String =
+  private[graft] def encode(path: String): String =
     path.flatMap {
       case c if c.isLetterOrDigit && c < 128 => c.toString
       case c if c < 256 => f"_${c.toInt}%02x"
       case c => f"_u${c.toInt}%04x" // 'u' is not a hex digit → unambiguous
     }
+
+  /** [[contentKey]] hardened for METASTORE table names, which are
+    * case-folded by the catalog: [[encode]] passes `A` and `a` through
+    * unchanged, so two paths differing only in letter case would
+    * collide after `toLowerCase`. Here uppercase letters are hex-
+    * escaped too (`A` → `_41`), making the key case-stable, and keys
+    * longer than `maxLen` are truncated with a 64-bit content hash of
+    * the FULL key appended — bounded identifier length without giving
+    * up collision resistance on long paths.
+    */
+  def tableKey(spark: SparkSession, sourcePath: String,
+               maxLen: Int = 96): String = {
+    val full = encode(sourcePath).flatMap {
+      case c if c.isUpper => f"_${c.toInt}%02x"
+      case c => c.toString
+    } + { val (m, n, b) = stat(spark, sourcePath); s"_${n}_${b}_$m" }
+    if (full.length <= maxLen) full
+    else {
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(full.getBytes("UTF-8")).take(8)
+        .map(b => f"${b & 0xff}%02x").mkString
+      full.take(maxLen - 18) + "_h" + h
+    }
+  }
 
   /** Human-readable content key for `sourcePath`: the injectively
     * encoded full path plus file count, total bytes, and newest mtime.
@@ -81,25 +105,49 @@ object Scratch {
     * missing (crash mid-build), older than the newest source file
     * (regenerated source), or carrying a different `fingerprint`
     * (changed build parameters — an index built with other settings at
-    * the same path must never be served). The artifact dir is deleted
-    * before rebuild; the marker (content = fingerprint) lands only
-    * after `build` returns.
+    * the same path must never be served).
+    *
+    * The rebuild is ATOMIC-swap, not delete-then-build-in-place
+    * (round-6 ADVICE): `build` writes into a staging sibling, the
+    * marker lands inside it, and ONE rename publishes artifact+marker
+    * together. A concurrent reader of the old artifact races only the
+    * final delete+rename window instead of the whole build, and a
+    * crash at any point leaves either the old artifact or a dangling
+    * staging dir — never a half-built artifact that a marker-mtime
+    * check could misjudge. A lost rename race (another process
+    * published first) is accepted iff the winner's marker carries OUR
+    * fingerprint and is fresh; a rename that fails with nothing
+    * published is an error and must throw (NOTES r5 lesson #2: Hadoop
+    * `rename` returns false on genuine IO failures too).
     */
   def ensureAt(spark: SparkSession, artifactDir: String, sourcePath: String,
                fingerprint: String = "",
                markerName: String = "_GRAFT_READY")
               (build: String => Unit): Unit = {
     val (srcModified, _, _) = stat(spark, sourcePath)
+    val target = new Path(artifactDir)
     val marker = new Path(s"$artifactDir/$markerName")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh = fs.exists(marker) &&
+    def fresh: Boolean = fs.exists(marker) &&
       fs.getFileStatus(marker).getModificationTime >= srcModified &&
       readMarker(fs, marker).contains(fingerprint)
     if (!fresh) {
-      fs.delete(new Path(artifactDir), true)
-      build(artifactDir)
-      val o = fs.create(marker, true)
-      o.write(fingerprint.getBytes("UTF-8")); o.close()
+      val staging = new Path(artifactDir + "._staging_" +
+        java.util.UUID.randomUUID().toString.take(8))
+      try {
+        build(staging.toString)
+        val o = fs.create(new Path(staging, markerName), true)
+        o.write(fingerprint.getBytes("UTF-8")); o.close()
+        fs.delete(target, true)
+        if (!fs.rename(staging, target)) {
+          // lost the race (another builder published) — or a real IO
+          // failure; serving a stale/absent artifact silently is the
+          // one unacceptable outcome
+          if (!fresh) throw new java.io.IOException(
+            s"Scratch.ensureAt: could not publish $staging -> $target " +
+              "and no fresh artifact exists")
+        }
+      } finally fs.delete(staging, true) // no-op when the rename won
     }
   }
 

@@ -130,6 +130,56 @@ object Pq {
     PqModel(sub, codebooks)
   }
 
+  // ── Model persistence ─────────────────────────────────────────────────
+  // The FAISS contract: codebooks are part of the index artifact,
+  // trained once at build time and reloaded cold — never re-trained per
+  // query. m·k·subDim floats ≈ a few KB; one tiny parquet like the IVF
+  // centroid matrix (Ivf.saveModel).
+
+  /** Persist the codebooks under `path`: one row per (subspace, code)
+    * with its `subDim`-float centroid.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: PqModel,
+                path: String): Unit = {
+    import spark.implicits._
+    (for (j <- 0 until model.m; c <- 0 until model.k)
+      yield (j, c, model.codebooks(j)(c).toSeq))
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): PqModel = {
+    val rows = spark.read.parquet(path)
+      .orderBy(col("subspace"), col("code"))
+      .select(col("subspace"), col("code"), col("centroid"))
+      .collect()
+    require(rows.nonEmpty, s"no PQ codebooks at $path")
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    require(rows.length == m * k,
+      s"PQ codebooks at $path are ragged: ${rows.length} rows != $m*$k")
+    val sub = rows(0).getSeq[Float](2).length
+    val cbs = Array.ofDim[Array[Float]](m, k)
+    rows.foreach(r => cbs(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray)
+    PqModel(sub, cbs)
+  }
+
+  // stat-keyed per-path cache, same protocol as Ivf.modelCache: a
+  // rebuild changes (mtime, file count, bytes), so staleness costs one
+  // FS listing per search — never a Spark job
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long, Long), PqModel)]
+
+  def loadModelCached(spark: org.apache.spark.sql.SparkSession,
+                      path: String): PqModel = {
+    val sig = graft.engine.Scratch.stat(spark, path)
+    modelCache.compute(path, (_, cached) => cached match {
+      case (s, _) if s == sig => cached
+      case _ => (sig, loadModel(spark, path))
+    })._2
+  }
+
   // ── Native kernels ────────────────────────────────────────────────────
 
   /** vec → struct(codes array<int>, norm double): per subspace the
@@ -276,14 +326,14 @@ object Pq {
     * omitted; a zero-norm candidate scores null (like the exact
     * kernel), never ±Infinity.
     */
-  private def approxScore(model: PqModel): Column =
+  private[operators] def approxScore(model: PqModel): Column =
     (adcScore(col("__t"), col("pq_code"), model.k) /
       when(col("pq_norm") =!= 0.0, col("pq_norm"))).as("cosine")
 
   /** Shortlist → exact-cosine rescore → final top-k (shared tail of
     * both search paths; identical to the IVF compressed path's).
     */
-  private def rescoreExact(cands: DataFrame, corpus: DataFrame,
+  private[operators] def rescoreExact(cands: DataFrame, corpus: DataFrame,
                            queries: DataFrame, k: Int, shortK: Int,
                            idCol: String, vecCol: String): DataFrame = {
     val spark = corpus.sparkSession

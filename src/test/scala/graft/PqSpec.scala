@@ -103,6 +103,75 @@ class PqSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("persisted index: cold reload equals the in-session models exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString
+    val src = "/root/testdata/sf0.001/embeddings.parquet"
+    Ivf.ensureIndexPq(emb, src, s"$dir/idx", k = 4, iters = 2,
+      pqM = 8, pqK = 16, pqIters = 4, pqSampleN = 1024)
+    val q = emb.filter(col("vec_id") < 8)
+    val n = Ivf.indexRowCount(spark, s"$dir/idx")
+    assert(n.contains(emb.count()), s"_ROWS metadata $n != corpus count")
+    // cold reload: the models come off disk (fresh cache keys), the
+    // codes come from the stored corpus — must equal the in-session
+    // composition over the same models
+    val reloadedPq = Pq.loadModel(spark, s"$dir/idx/pq")
+    val reloadedIvf = Ivf.loadModel(spark, s"$dir/idx/centroids")
+    val inSession = Pq.topKClustered(emb, q, reloadedIvf, reloadedPq, k = 5,
+      nprobe = 4, rescoreK = n.get.toInt)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val fromIndex = Ivf.searchIndexPq(spark, s"$dir/idx", q, k = 5,
+      nprobe = 4, rescoreK = n.get.toInt)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(fromIndex == inSession)
+    // and with the exhaustive shortlist both equal brute force
+    val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(fromIndex == exact)
+  }
+
+  test("persisted-index search: shortlist scans codes, rescore scans floats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-plan").toString
+    val src = "/root/testdata/sf0.001/embeddings.parquet"
+    Ivf.ensureIndexPq(emb, src, s"$dir/idx", k = 4, iters = 2,
+      pqM = 8, pqK = 16, pqIters = 4, pqSampleN = 1024)
+    val q = emb.filter(col("vec_id") < 4)
+    val df = Ivf.searchIndexPq(spark, s"$dir/idx", q, k = 5, nprobe = 2)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema:")).toList
+    // the shortlist phase reads the m-int code column, NOT the floats
+    assert(schemas.exists(s => s.contains("pq_code") && !s.contains("embedding")),
+      s"no codes-only corpus scan in:\n$p")
+    // the rescore phase reads float vectors (shortlisted rows only)
+    assert(schemas.exists(s => s.contains("embedding")),
+      s"no full-precision rescore scan in:\n$p")
+  }
+
+  test("persisted index rebuilds on parameter change, not on re-ensure") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-stale").toString
+    val src = "/root/testdata/sf0.001/embeddings.parquet"
+    val idx = s"$dir/idx"
+    Ivf.ensureIndexPq(emb, src, idx, k = 4, iters = 2,
+      pqM = 8, pqK = 16, pqIters = 4, pqSampleN = 1024)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtime1 = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$idx/_INDEX_READY")).getModificationTime
+    // same parameters: no rebuild (marker untouched)
+    Ivf.ensureIndexPq(emb, src, idx, k = 4, iters = 2,
+      pqM = 8, pqK = 16, pqIters = 4, pqSampleN = 1024)
+    val mtime2 = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$idx/_INDEX_READY")).getModificationTime
+    assert(mtime2 == mtime1, "unchanged parameters must not rebuild")
+    // changed PQ parameters at the same path: must rebuild (an m=8
+    // index must never serve an m=4 caller)
+    Ivf.ensureIndexPq(emb, src, idx, k = 4, iters = 2,
+      pqM = 4, pqK = 16, pqIters = 4, pqSampleN = 1024)
+    val codes = spark.read.parquet(s"$idx/corpus")
+      .select(size(col("pq_code"))).as[Int].head()
+    assert(codes == 4, s"rebuilt index must carry m=4 codes, got $codes")
+  }
+
   test("the candidate plan scores codes, not float vectors") {
     val model = Pq.train(emb, m = 8, k = 16, iters = 4)
     val q = emb.filter(col("vec_id") < 4)
