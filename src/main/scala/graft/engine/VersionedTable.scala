@@ -261,6 +261,21 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     spark.read.parquet(vs.map(genPath(_).toString): _*)
   }
 
+  /** Append-mode snapshot read: the union of committed generations with
+    * id ≤ `n` — the table exactly as it stood once batch `n` landed.
+    * Stable no matter how many later batches commit, which is what lets
+    * a replayed incremental job compare against the same corpus state
+    * its original run saw ([[graft.operators.Dedup.incrementalNearDups]]).
+    */
+  def readThrough(n: Long): DataFrame = {
+    modeMarker.foreach(m => require(m == "append",
+      s"readThrough on a '$m'-mode table at $basePath would union " +
+        "snapshots (duplicating rows); use readVersion for one of them"))
+    val vs = versions.filter(_ <= n)
+    require(vs.nonEmpty, s"no committed version <= $n at $basePath")
+    spark.read.parquet(vs.map(genPath(_).toString): _*)
+  }
+
   /** Rewrite the LATEST snapshot into `ceil(bytes/targetFileBytes)`
     * files as a NEW generation — small-file compaction (the OPTIMIZE
     * maintenance pass) that is atomic by construction: readers on the

@@ -429,6 +429,186 @@ object Dedup {
     }
   }
 
+  // ── Incremental dedup against a persisted signature index ───────────
+  // The nightly-ingest shape: a 100 TB corpus is tokenized exactly once
+  // — the night each document arrives — and every later batch dedups
+  // against STORED signatures, never against re-read text. The index is
+  // an append-mode VersionedTable of (id, shingle_set, sig) rows: the
+  // signature drives LSH banding, the sorted shingle-hash set makes
+  // exact Jaccard verification of future increments possible without
+  // touching this batch's text again.
+
+  /** Signature-parameter fingerprint baked into a persisted index.
+    * Signatures hashed under different shingle sizes / hash counts /
+    * seeds can never be compared — a mismatch must fail loudly, never
+    * silently mix.
+    */
+  private def sigIndexParams(k: Int, numHashes: Int, seed: Long): String =
+    s"minhash-shingleset:k=$k,numHashes=$numHashes,seed=$seed"
+
+  /** Record the fingerprint at index creation (atomic create-if-absent,
+    * the [[graft.engine.VersionedTable]] mode-marker protocol: only a
+    * LOST RACE may be swallowed — a genuine IO failure must surface or
+    * the guard is disabled for the index's whole life) and check it on
+    * every later access.
+    */
+  private def ensureSigIndexParams(spark: org.apache.spark.sql.SparkSession,
+                                   indexPath: String, fp: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_SIG_PARAMS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def read(): Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](128)
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+          Some(out.toString("UTF-8").trim).filter(_.nonEmpty)
+        } finally in.close()
+      }
+    def check(have: String): Unit = require(have == fp,
+      s"signature index at $indexPath holds '$have' but the caller " +
+        s"wants '$fp' — signatures under different parameters can " +
+        "never be compared; use a fresh index path")
+    read() match {
+      case Some(have) => check(have)
+      case None =>
+        fs.mkdirs(new org.apache.hadoop.fs.Path(indexPath))
+        val won =
+          try { val o = fs.create(p, false)
+                o.write(fp.getBytes("UTF-8")); o.close(); true }
+          catch {
+            case e: java.io.IOException =>
+              if (!fs.exists(p)) throw e
+              false
+          }
+        if (!won) read().foreach(check)
+    }
+  }
+
+  /** Sign `df` and commit it to the index at `indexPath` as batch
+    * `batchId` — the bootstrap/append half of the incremental-dedup
+    * protocol. Atomic and idempotent via
+    * [[graft.engine.VersionedTable.commitBatch]]: a replay of an
+    * already-committed batch writes nothing and returns false. Ids must
+    * be unique across all increments of one index (they are the join
+    * key verification and resolution run on).
+    */
+  def appendSignatures(df: DataFrame, textCol: String, idCol: String,
+                       indexPath: String, batchId: Long, k: Int = 3,
+                       numHashes: Int = 32, seed: Long = 42L): Boolean = {
+    import graft.functions.NativeExpressions.{minhashFromHashes, shingleHashSet}
+    val spark = df.sparkSession
+    ensureSigIndexParams(spark, indexPath, sigIndexParams(k, numHashes, seed))
+    val vt = new graft.engine.VersionedTable(spark, s"$indexPath/sigs")
+    // set staged first, signature DERIVED from the stored set (pure
+    // integer folds — bit-identical to hashing the raw text, pinned in
+    // NativeExprSpec): the text kernel runs exactly once per document,
+    // at the write that persists it
+    vt.commitBatch(batchId,
+      df.select(col(idCol).as("id"),
+          shingleHashSet(col(textCol), k).as("shingle_set"))
+        .select(col("id"), col("shingle_set"),
+          minhashFromHashes(col("shingle_set"), numHashes, seed).as("sig")))
+  }
+
+  /** Near-duplicate pairs involving a NEW batch, against everything
+    * already in a persisted signature index — commits the increment,
+    * then reports exactly the pairs with at least one member in it
+    * (old×old pairs were reported the night they formed, so the union
+    * of every increment's output equals a full recompute — DedupSpec
+    * pins it).
+    *
+    * Protocol (crash-safe, replay-deterministic):
+    *  1. [[appendSignatures]] commits the increment as generation
+    *     `batchId` (atomic, idempotent);
+    *  2. both join sides read back from the STORE — the just-committed
+    *     generation and the `< batchId` snapshot
+    *     ([[graft.engine.VersionedTable.readThrough]]), so a replay
+    *     after later appends still compares against exactly the corpus
+    *     state this batch arrived into, and the text kernels never run
+    *     twice;
+    *  3. LSH-band both sides; OLD band rows are semi-join-pruned to
+    *     buckets containing at least one new member before the bucket
+    *     groupBy (an untouched bucket cannot form a new pair — the
+    *     nightly full-index cost is a pruned columnar scan of stored
+    *     signatures, not a re-tokenization). Retained buckets keep
+    *     their full old∪new membership, so `maxBucketSize` means
+    *     exactly what it means in [[candidatesFromSignatures]];
+    *  4. pairs keep only ≥1-new members; exact verification joins the
+    *     stored shingle sets of candidate ids only (semi-join first,
+    *     like [[withNearDupPairs]]).
+    *
+    * Output: (id_a, id_b, jaccard ≥ threshold), id_a < id_b,
+    * materialized through scratch before return (same cache hygiene as
+    * [[nearDupPairs]]; the one persisted intermediate — the candidate
+    * pair list — is unpersisted in finally).
+    */
+  def incrementalNearDups(newDocs: DataFrame, textCol: String,
+                          idCol: String, indexPath: String, batchId: Long,
+                          threshold: Double, k: Int = 3,
+                          numHashes: Int = 32, seed: Long = 42L,
+                          bands: Int = 8,
+                          maxBucketSize: Int = 1000): DataFrame = {
+    import graft.functions.NativeExpressions.sortedJaccard
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must evenly divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    val spark = newDocs.sparkSession
+    appendSignatures(newDocs, textCol, idCol, indexPath, batchId,
+      k, numHashes, seed)
+    val vt = new graft.engine.VersionedTable(spark, s"$indexPath/sigs")
+    def toBands(sig: DataFrame, isNew: Boolean): DataFrame = sig
+      .select(col("id"),
+        explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("id"), lit(isNew).as("is_new"))
+    val newBands = toBands(vt.readVersion(batchId), isNew = true)
+    val oldVersions = vt.versions.filter(_ < batchId)
+    val combined =
+      if (oldVersions.isEmpty) newBands
+      else {
+        // prune the (huge) old side to touched buckets; the new side's
+        // distinct key list is one night of ingest — AQE broadcasts it
+        val newKeys = newBands.select(col("band"), col("bucket")).distinct()
+        toBands(vt.readThrough(batchId - 1), isNew = false)
+          .join(newKeys, Seq("band", "bucket"), "left_semi")
+          .unionByName(newBands)
+      }
+    val ms = array_sort(col("ms")) // by id → deterministic id_a < id_b
+    val pairExpr = flatten(transform(ms, (x, i) =>
+      transform(slice(ms, i + 2, size(ms)), y =>
+        struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          (x.getField("is_new") || y.getField("is_new")).as("any_new")))))
+    val cands = combined.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("is_new"))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucketSize))
+      .select(explode(pairExpr).as("p"))
+      .filter(col("p.any_new"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val candIds = cands
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      val sets = vt.readThrough(batchId)
+        .select(col("id"), col("shingle_set"))
+        .join(candIds, Seq("id"), "left_semi")
+      val sa = sets.select(col("id").as("id_a"), col("shingle_set").as("set_a"))
+      val sb = sets.select(col("id").as("id_b"), col("shingle_set").as("set_b"))
+      Materialize.viaScratch(
+        cands.join(sa, "id_a").join(sb, "id_b")
+          .select(col("id_a"), col("id_b"),
+            sortedJaccard(col("set_a"), col("set_b")).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard")),
+        "graft-incdedup")
+    } finally cands.unpersist(blocking = false)
+  }
+
   // ── Benchmark decontamination ───────────────────────────────────────
 
   /** Ids of corpus documents sharing at least one word-k-shingle with

@@ -293,4 +293,69 @@ class DedupSpec extends SparkSpec {
       fpp = 0.5).select("doc_id").as[Long].collect().sorted.toSeq
     assert(noisy == Seq(12L, 13L, 14L))
   }
+
+  test("incrementalNearDups: union over increments equals a full " +
+    "recompute, with no persisted blocks left behind") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // planted copies of every 7th doc — the increment split below puts
+    // many (original, copy) pairs in DIFFERENT batches, so equivalence
+    // genuinely exercises the new×stored join path
+    val planted = docs.union(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-incdedup").toString + "/idx"
+    val got = (0 to 2).flatMap { i =>
+      val batch = planted.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i)
+      Dedup.incrementalNearDups(batch, "text", "doc_id", idx, batchId = i,
+          threshold = 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect()
+    }.toSet
+    val full = Dedup.nearDupPairs(planted, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == full,
+      s"incremental-only=${got -- full}, full-only=${full -- got}")
+    assert(got.nonEmpty, "vacuous equivalence: no pairs at all")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
+  }
+
+  test("incrementalNearDups reports only pairs involving the new batch, " +
+    "replays deterministically, and rejects mismatched parameters") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-incdedup2").toString + "/idx"
+    val text = "the quick brown fox jumps over the lazy dog again today"
+    val b0 = Seq((1L, text), (2L, text),
+      (4L, "completely different text about engines and data"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, text)).toDF("doc_id", "text")
+    val first = Dedup.incrementalNearDups(b0, "text", "doc_id", idx,
+        batchId = 0, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(first == Set((1L, 2L)))
+    val second = Dedup.incrementalNearDups(b1, "text", "doc_id", idx,
+        batchId = 1, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the old×old pair (1,2) must NOT resurface — it was reported the
+    // night it formed
+    assert(second == Set((1L, 3L), (2L, 3L)))
+    // replay of a committed batch: no new version, identical output
+    // (the candidates are rebuilt from the STORE, not from b1's plan)
+    val replay = Dedup.incrementalNearDups(b1, "text", "doc_id", idx,
+        batchId = 1, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(replay == second)
+    val vt = new graft.engine.VersionedTable(spark, s"$idx/sigs")
+    assert(vt.versions == Seq(0L, 1L),
+      s"replay must not commit a new generation: ${vt.versions}")
+    // an index signed under k=3 must refuse a k=4 caller outright
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDups(b1, "text", "doc_id", idx, batchId = 2,
+        threshold = 0.9, k = 4)
+    }
+    assert(e.getMessage.contains("never be compared"))
+  }
 }
