@@ -493,6 +493,19 @@ object StretchQueries {
       Dedup.duplicateSpans(planted, "text", "doc_id", n = 8)
     }),
 
+    // duplicated-span REMOVAL (Lee et al. ExactSubstr): same planted
+    // corpus as q_d_spans, but emitting the cleaned text — copies of
+    // every 20th doc clean to '', originals keep their canonical
+    // occurrence, and natural cross-doc 8-gram dups are excised by the
+    // same deterministic (min doc, min start) rule on both engines →
+    // full oracle
+    "q_d_span_removal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.union(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.removeDuplicateSpans(planted, "text", "doc_id", n = 8)
+    }),
+
     // line-level boilerplate removal (the C4/CCNet cleanup stage):
     // lines planted into every doc (footer) and every third doc
     // (cookie banner) must vanish corpus-wide; doc-unique lines stay.
@@ -881,7 +894,48 @@ object StretchQueries {
           .as[EventStream.Event])(s)
         .toDF()
         .withColumn("total_value", round(col("total_value"), 2))
-    })
+    }),
+
+    // SCD Type-2 history-preserving merge: initial load at batch 0,
+    // then one snapshot batch (segment moves, balance bumps, brand-new
+    // keys) at batch 1 — every case of the merge (carried, closed,
+    // opened, new-key) lands in the output with its validity stamps,
+    // and the whole construction is deterministic → full oracle
+    "q_scd2_dim_build" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val dim0 = graft.engine.ScdType2.initial(cust, batch = 0L)
+      val updates = cust.filter(col("c_custkey") % 3 === 0)
+        .withColumn("segment", lit("MOVED"))
+        .union(cust
+          .filter(col("c_custkey") % 3 =!= 0 && col("c_custkey") % 5 === 0)
+          .withColumn("bal_cents", col("bal_cents") + 10000L))
+        .union(cust.filter(col("c_custkey") % 7 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("segment"), col("bal_cents")))
+      graft.engine.ScdType2.merge(dim0, updates, Seq("c_custkey"),
+        Seq("segment", "bal_cents"), batch = 1L)
+    }),
+
+    // graded decontamination: per-doc shingle-overlap fraction against
+    // the benchmark slice, exact-integer threshold (≥ 1/5) — the
+    // GPT-3-style contamination report behind q_t_decontam's any-hit
+    "q_t_contam_frac" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationStats(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id", k = 3, fracNum = 1, fracDen = 5)
+    }),
+
+    // deterministic training-order shuffle: md5-sharded permutation,
+    // portable hex arithmetic on both engines → full oracle on the
+    // exact (shard, pos) assignment
+    "q_t_shuffle" -> ((s, dir) =>
+      graft.operators.DatasetSplit.deterministicShuffle(
+        t(s, dir, "documents"), "doc_id", "ep0", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos")))
   )
 
   private val tokensSql =
@@ -1457,6 +1511,115 @@ object StretchQueries {
          |  CAST(count(*) AS BIGINT) AS n_occ
          |FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2"""
         .stripMargin).replaceAll(raw"\s+", " "),
+
+    // the full excision rule replayed: windows → duplicated spans with
+    // (min doc, min start) canonical occurrence → per-token coverage →
+    // tokens kept iff uncovered or canonically covered → reassembly
+    "q_d_span_removal" ->
+      ("""WITH planted AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+         |  WHERE doc_id % 20 = 0
+         |), tok AS (
+         |  SELECT doc_id, """ + tokensSql + raw""" AS tk
+         |  FROM planted WHERE text IS NOT NULL
+         |), win AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(tk) - 6, 1)),
+         |    i -> struct_pack(s := i, sp := array_to_string(tk[i:i+7], ' '))),
+         |    recursive := true) FROM tok
+         |), dup AS (
+         |  SELECT sp, min(doc_id) AS cd FROM win
+         |  GROUP BY sp HAVING count(DISTINCT doc_id) >= 2
+         |), canon AS (
+         |  SELECT d.sp, d.cd, min(w.s) AS cs FROM dup d
+         |  JOIN win w ON w.sp = d.sp AND w.doc_id = d.cd GROUP BY d.sp, d.cd
+         |), cov AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, 8), o -> s + o)) AS idx,
+         |    isc FROM (
+         |    SELECT w.doc_id, w.s, (w.doc_id = c.cd AND w.s = c.cs) AS isc
+         |    FROM win w JOIN canon c ON w.sp = c.sp)
+         |), rem AS (
+         |  SELECT doc_id, idx FROM cov GROUP BY doc_id, idx
+         |  HAVING NOT bool_or(isc)
+         |), tpos AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+         |    i -> struct_pack(i := i, tok := tk[i])), recursive := true)
+         |  FROM tok
+         |), keep AS (
+         |  SELECT k.doc_id, k.i, k.tok FROM tpos k
+         |  WHERE NOT EXISTS (SELECT 1 FROM rem
+         |    WHERE rem.doc_id = k.doc_id AND rem.idx = k.i)
+         |)
+         |SELECT t.doc_id, coalesce(o.text_clean, '') AS text_clean
+         |FROM tok t LEFT JOIN (
+         |  SELECT doc_id, array_to_string(list(tok ORDER BY i), ' ')
+         |    AS text_clean
+         |  FROM keep GROUP BY doc_id) o ON t.doc_id = o.doc_id""")
+        .stripMargin.replaceAll(raw"\s+", " "),
+
+    // the merge replayed case-by-case: carried (key untouched by the
+    // snapshot), closed old versions, opened new versions, new keys —
+    // every branch deterministic, so the full Type-2 ledger oracles
+    "q_scd2_dim_build" ->
+      ("""WITH cust AS (
+         |  SELECT c_custkey, c_mktsegment AS segment,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+         |  FROM customer)
+         |SELECT c_custkey, segment, bal_cents,
+         |  CAST(0 AS BIGINT) AS effective_from,
+         |  CAST(NULL AS BIGINT) AS effective_to, true AS is_current
+         |FROM cust WHERE c_custkey % 3 <> 0 AND c_custkey % 5 <> 0
+         |UNION ALL
+         |SELECT c_custkey, segment, bal_cents, CAST(0 AS BIGINT),
+         |  CAST(1 AS BIGINT), false
+         |FROM cust WHERE c_custkey % 3 = 0 OR c_custkey % 5 = 0
+         |UNION ALL
+         |SELECT c_custkey, 'MOVED', bal_cents, CAST(1 AS BIGINT),
+         |  CAST(NULL AS BIGINT), true
+         |FROM cust WHERE c_custkey % 3 = 0
+         |UNION ALL
+         |SELECT c_custkey, segment, bal_cents + 10000, CAST(1 AS BIGINT),
+         |  CAST(NULL AS BIGINT), true
+         |FROM cust WHERE c_custkey % 3 <> 0 AND c_custkey % 5 = 0
+         |UNION ALL
+         |SELECT c_custkey + 1000000, segment, bal_cents, CAST(1 AS BIGINT),
+         |  CAST(NULL AS BIGINT), true
+         |FROM cust WHERE c_custkey % 7 = 0""".stripMargin)
+        .replaceAll(raw"\s+", " "),
+
+    // string shingles vs 64-bit shingle hashes, same collision caveat
+    // as q_t_decontam; exact-integer threshold on both sides
+    "q_t_contam_frac" ->
+      (s"""WITH tq AS (SELECT doc_id, $tokensSql AS ta FROM documents),
+         |bsh AS (SELECT DISTINCT unnest($shinglesSqlA) AS sh FROM tq
+         |        WHERE doc_id % 97 = 0),
+         |csh AS (SELECT doc_id, unnest(list_distinct($shinglesSqlA)) AS sh
+         |        FROM tq WHERE doc_id % 97 <> 0),
+         |agg AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |        CAST(count(b.sh) AS BIGINT) AS n_hit
+         |        FROM csh c LEFT JOIN bsh b USING (sh) GROUP BY c.doc_id)
+         |SELECT t.doc_id, coalesce(a.n_shingles, 0) AS n_shingles,
+         |  coalesce(a.n_hit, 0) AS n_hit,
+         |  (coalesce(a.n_hit, 0) * 5 >= coalesce(a.n_shingles, 0)
+         |    AND coalesce(a.n_shingles, 0) > 0) AS contaminated
+         |FROM tq t LEFT JOIN agg a ON t.doc_id = a.doc_id
+         |WHERE t.doc_id % 97 <> 0""".stripMargin)
+        .replaceAll(raw"\s+", " "),
+
+    // md5 hex arithmetic is portable: shard from the first byte, pos
+    // from a per-shard total order on (full hex digest, id)
+    "q_t_shuffle" ->
+      ("""WITH h AS (SELECT doc_id,
+         |  md5('ep0:' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+         |s AS (SELECT doc_id, k, CAST((
+         |  (strpos('0123456789abcdef', substr(k, 1, 1)) - 1) * 16 +
+         |  (strpos('0123456789abcdef', substr(k, 2, 1)) - 1)) % 8 AS INT)
+         |  AS shard FROM h)
+         |SELECT doc_id, shard, CAST(row_number() OVER (
+         |  PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+         |FROM s""".stripMargin)
+        .replaceAll(raw"\s+", " "),
 
     "q_t_line_dedup" ->
       ("""WITH planted AS (

@@ -134,4 +134,42 @@ object DatasetSplit {
       .filter(weightedSampleFilter(col(contentCol), col(groupCol), rates,
         defaultRate = 0, salt))
   }
+
+  /** Deterministic global shuffle into `nShards` training shards —
+    * the "shuffle the corpus before writing epoch shards" step every
+    * training pipeline runs, without a seed-stateful RNG or a global
+    * sort.
+    *
+    * Each row gets `(shard, pos)`: shard from the first md5 byte of
+    * `seed:id` (same portable hex arithmetic as [[bucket256]], an
+    * independent family per seed), position from a row_number over the
+    * full md5 hex WITHIN the shard (id as tiebreak — md5 collisions
+    * aside, a total order). Reading shards in pos order replays one
+    * fixed permutation of the corpus; changing the seed gives an
+    * unrelated permutation, so multi-epoch training shuffles by
+    * bumping the seed, never by re-materializing data.
+    *
+    * Execution shape (100 TB): shard assignment is a pure projection;
+    * the ONLY shuffle is the per-shard window's hash partition on
+    * `shard` — there is no global ordering anywhere (positions within
+    * different shards are independent). nShards should be ≳ the
+    * cluster's write parallelism; per-shard position is a sort of
+    * corpus/nShards rows, the same cost as the shard write itself.
+    */
+  def deterministicShuffle(df: org.apache.spark.sql.DataFrame,
+                           idCol: String, seed: String,
+                           nShards: Int): org.apache.spark.sql.DataFrame = {
+    require(nShards >= 1 && nShards <= 256,
+      s"nShards must be in [1, 256] (one md5 byte), got $nShards")
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__shufkey", key)
+      .withColumn("shard",
+        (conv(substring(col("__shufkey"), 1, 2), 16, 10).cast("int")
+          % nShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("__shufkey"), col(idCol))).cast("long"))
+      .drop("__shufkey")
+  }
 }

@@ -124,6 +124,93 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Duplicated-span REMOVAL (the operator behind the [[duplicateSpans]]
+    * diagnostic — Lee et al. 2022's ExactSubstr dedup, token-level):
+    * emit each document's cleaned text with cross-doc duplicated spans
+    * excised, keeping exactly one canonical occurrence corpus-wide.
+    *
+    * Rule (deterministic, engine-independent): a duplicated window is
+    * an `n`-token span occurring in ≥ `minDocs` distinct documents; its
+    * CANONICAL occurrence is the (min doc id, then min start) one. A
+    * token survives iff no duplicated window covers it, or at least one
+    * canonical-occurrence window does. Overlapping duplicated windows
+    * merge naturally (coverage is a union of token indexes — no
+    * boundary arithmetic), a document that is a full copy of an
+    * earlier one cleans to the empty string, a WITHIN-doc repeat of a
+    * cross-doc-duplicated span is excised even in the canonical
+    * document (all-but-one occurrence survives corpus-wide, which is
+    * the Lee-et-al contract), null text stays null, and a document
+    * shorter than `n` tokens passes through untouched.
+    *
+    * The cleaned text is reassembled from the canonical tokenization
+    * (trim → lower → whitespace split, same as [[duplicateSpans]]), so
+    * original casing/whitespace is not preserved — span excision is a
+    * *corpus* transform, applied before (not instead of) formatting-
+    * sensitive stages.
+    *
+    * Execution shape: windows are built as a staged array per doc (one
+    * pass, token array bound once), then ONE span-keyed shuffle finds
+    * duplicated spans + their canonical occurrence, one join marks each
+    * occurrence canonical-or-not (the dup-span table is corpus-derived
+    * and cannot be assumed broadcastable — this is a shuffle join on
+    * the span string; at 100 TB carry a 64-bit span hash instead), and
+    * one doc-keyed shuffle reassembles surviving tokens. No window
+    * functions, no per-row UDFs.
+    */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                           n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"span length must be positive, got $n")
+    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        filter(split(trim(lower(col(textCol))), raw"\s+"),
+          t => length(t) > 0).as("__toks"))
+    val wins = toks
+      .select(col(idCol),
+        explode(when(size(col("__toks")) >= n,
+          transform(sequence(lit(1), size(col("__toks")) - n + 1),
+            i => struct(i.as("start"),
+              concat_ws(" ", slice(col("__toks"), i, lit(n))).as("span"))))
+          .otherwise(array().cast("array<struct<start:int,span:string>>")))
+          .as("w"))
+      .select(col(idCol), col("w.start").as("__start"),
+        col("w.span").as("__span"))
+    // duplicated spans with their canonical occurrence in ONE
+    // aggregation: structs order lexicographically, so min(struct(id,
+    // start)) is exactly (min doc, then min start within it)
+    val dup = wins.groupBy(col("__span"))
+      .agg(countDistinct(col(idCol)).as("__nd"),
+        min(struct(col(idCol).as("cid"), col("__start").as("cstart")))
+          .as("__c"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__span"), col("__c.cid").as("__cid"),
+        col("__c.cstart").as("__cstart"))
+    val removed = wins.join(dup, Seq("__span"))
+      .select(col(idCol),
+        explode(sequence(col("__start"), col("__start") + n - 1))
+          .as("__idx"),
+        when(col(idCol) === col("__cid") &&
+          col("__start") === col("__cstart"), 1).otherwise(0).as("__isc"))
+      .groupBy(col(idCol), col("__idx"))
+      .agg(max(col("__isc")).as("__anyc"))
+      .filter(col("__anyc") === 0)
+      .select(col(idCol), col("__idx"))
+    val kept = toks
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__p", "__t")))
+      .select(col(idCol), (col("__p") + 1).as("__idx"), col("__t"))
+      .join(removed, Seq(idCol, "__idx"), "left_anti")
+    val clean = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__idx"), col("__t")))),
+          x => x.getField("__t")), " ").as("__clean"))
+    df.select(col(idCol), col(textCol))
+      .join(clean, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("__clean"), lit("")))
+          .as("text_clean"))
+  }
+
   // ── MinHash ─────────────────────────────────────────────────────────
 
   // ONE source for the (a,b) universal-hash parameters and the prime
@@ -647,6 +734,48 @@ object Dedup {
       .agg(count(lit(1)).as("__hits"))
       .filter(col("__hits") >= minShared)
       .select(col(idCol))
+  }
+
+  /** Per-document contamination FRACTION against a benchmark set —
+    * the graded variant of [[contaminatedIds]]'s any-hit test (the
+    * GPT-3 appendix-C shape: a document is contaminated when the
+    * fraction of its n-grams that appear in any eval set crosses a
+    * threshold, so one generic phrase doesn't nuke a long document
+    * while a short quote of an eval question still trips).
+    *
+    * Emits `(idCol, n_shingles, n_hit, contaminated)` for EVERY corpus
+    * document (zero-shingle docs report 0/0, not-contaminated). The
+    * threshold compares in exact integer arithmetic
+    * (`n_hit * fracDen >= n_shingles * fracNum` ⇔ hit fraction ≥
+    * fracNum/fracDen) — no float boundary for engines to disagree on.
+    *
+    * Execution shape: same as [[contaminatedIds]] — 8-byte shingle
+    * hashes explode on both sides, the benchmark side deduplicates to
+    * a distinct list that AQE broadcasts, and the one corpus-keyed
+    * shuffle carries (id, hit-flag) pairs, never text. The per-doc
+    * totals ride the same aggregate (count + conditional count), so
+    * the graded report costs exactly the any-hit relation.
+    */
+  def contaminationStats(corpus: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String, k: Int = 3,
+                         fracNum: Int = 1, fracDen: Int = 5): DataFrame = {
+    import graft.functions.NativeExpressions.shingleHashSet
+    require(fracNum >= 1 && fracDen >= fracNum,
+      s"threshold must be a fraction in (0,1], got $fracNum/$fracDen")
+    val bsh = benchmark
+      .select(explode(shingleHashSet(col(textCol), k)).as("__sh"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    corpus
+      .select(col(idCol), explode_outer(shingleHashSet(col(textCol), k))
+        .as("__sh"))
+      .join(bsh, Seq("__sh"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(col("__sh")).as("n_shingles"),
+        count(col("__hit")).as("n_hit"))
+      .select(col(idCol), col("n_shingles"), col("n_hit"),
+        (col("n_hit") * fracDen >= col("n_shingles") * fracNum &&
+          col("n_shingles") > 0).as("contaminated"))
   }
 
   /** Corpus minus contaminated documents — an anti join against the

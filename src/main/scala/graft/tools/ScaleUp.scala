@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Build a synthetic ~sf1 profiling corpus (10× sf0.1) for the heavy
+  * operator family — VERDICT r6 #5's scale point beyond sf0.1. NOT a
+  * correctness input (the DuckDB oracle never sees it); it exists so
+  * constants hidden at 600k rows (probe counts, bucket caps, shortlist
+  * sizes) get one documented order-of-magnitude shakeout.
+  *
+  * Each of the 10 copies is PERTURBED so cross-copy rows are neither
+  * duplicates nor near-duplicates — a naive 10× union would hand every
+  * dedup bucket 10 identical members and measure a pathological
+  * corpus (pair enumeration is quadratic in bucket size), not scale:
+  *   - documents: every token gets a copy-specific suffix, so shingle
+  *     sets across copies are disjoint (Jaccard 0, far SimHash) while
+  *     each copy keeps sf0.1's natural within-copy duplicate
+  *     structure → the sf1 corpus is 10 independent sf0.1-like shards.
+  *   - embeddings: dimensions are circularly rotated by the copy index;
+  *     rotation preserves the norm and all within-copy cosines exactly,
+  *     while a rotated copy of a (whitened-ish) vector is far from the
+  *     original — cross-copy cosines stay below every gate threshold.
+  *
+  * Usage: sbt "runMain graft.tools.ScaleUp [outDir]"   (default
+  * /tmp/graft_sf1, source /root/testdata/sf0.1, copies=10).
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft_sf1")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def copiesOf(df: DataFrame)(mk: Int => DataFrame): DataFrame =
+      (0 until copies).map(mk).reduce(_ union _)
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    // id shift of 10M per copy clears every gate's +1M planted-dup
+    // offset; token suffix _cK makes cross-copy shingles disjoint
+    copiesOf(docs) { k =>
+      docs.select(Seq(
+        (col("doc_id") + k * 10000000L).as("doc_id"),
+        (if (k == 0) col("text")
+         else regexp_replace(col("text"), "(\\S+)", s"$$1_c$k")).as("text")) ++
+        docs.columns.filterNot(c => c == "doc_id" || c == "text")
+          .map(col): _*)
+    }.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    copiesOf(emb) { k =>
+      val rot = if (k == 0) col("embedding")
+      else concat(slice(col("embedding"), k * 6 + 1, 1000),
+        slice(col("embedding"), 1, k * 6))
+      emb.select((col("vec_id") + k * 10000000L).as("vec_id"),
+        rot.as("embedding"))
+    }.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+
+    // small tables Profile's warm-up and shared helpers touch
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    println(s"[scaleup] wrote $copies× $src -> $out")
+    spark.stop()
+  }
+}

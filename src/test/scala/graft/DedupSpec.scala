@@ -294,6 +294,53 @@ class DedupSpec extends SparkSpec {
     assert(noisy == Seq(12L, 13L, 14L))
   }
 
+  test("removeDuplicateSpans excises all but the canonical occurrence, " +
+    "merges overlapping windows, and passes short/null docs through") {
+    val shared = "one two three four five six seven eight nine ten" // 10 toks
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"prefix words here $shared suffix thing"),
+      (3L, "totally unrelated short document"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "text", "doc_id", n = 8)
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    // doc 1 holds every canonical occurrence (min id) → unchanged
+    assert(got(1L) == s"alpha beta $shared gamma delta")
+    // doc 2 loses the WHOLE 10-token shared run: its three 8-token
+    // windows overlap and their coverage union is excised as one merged
+    // region — no partial-window fragments survive
+    assert(got(2L) == "prefix words here suffix thing")
+    assert(got(3L) == "totally unrelated short document")
+    assert(got(4L) == null, "null text must stay null")
+  }
+
+  test("removeDuplicateSpans: a full copy cleans to empty; a within-doc " +
+    "repeat of a duplicated span is excised even in the canonical doc") {
+    val span = "a1 a2 a3 a4 a5 a6 a7 a8" // exactly n = 8 tokens
+    val docs = Seq(
+      (1L, s"$span filler middle words $span"), // repeat inside canon doc
+      (2L, s"other content $span trailing"),
+      (3L, s"$span filler middle words $span")  // exact copy of doc 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "text", "doc_id", n = 8)
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    // doc 3 is a verbatim copy of doc 1: every window's canonical
+    // occurrence lives in doc 1 → doc 3 cleans to the empty string
+    assert(got(3L) == "")
+    // doc 2 keeps its unique text, loses the shared span
+    assert(got(2L) == "other content trailing")
+    // doc 1 (canonical): every window string's canonical occurrence is
+    // here, so nearly everything survives — including most of the tail
+    // repeat, whose tokens are covered by canonical BRIDGING windows
+    // (start 5..11, spanning the junction). The one excised token is
+    // the last one: idx 19 is covered ONLY by the within-doc repeat
+    // occurrence of the span window (start 12), whose canonical start
+    // is 1 — pinning that within-doc repeats are excised exactly where
+    // no canonical window reaches
+    assert(got(1L) == s"$span filler middle words a1 a2 a3 a4 a5 a6 a7")
+  }
+
   test("incrementalNearDups: union over increments equals a full " +
     "recompute, with no persisted blocks left behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet

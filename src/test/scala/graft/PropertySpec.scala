@@ -137,6 +137,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("deterministicShuffle: (shard, pos) is a dense per-shard numbering, " +
+    "stable under repartition, and seed changes the permutation") {
+    import org.apache.spark.sql.functions.col
+    samples(docGen, 3).filter(_.nonEmpty).foreach { corpus =>
+      val c = corpus.toDF("doc_id", "text").dropDuplicates("doc_id")
+      def run(seed: String, parts: Int): Map[Long, (Int, Long)] =
+        graft.operators.DatasetSplit
+          .deterministicShuffle(c.repartition(parts), "doc_id", seed, 4)
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .as[(Long, Int, Long)].collect()
+          .map { case (id, s, p) => id -> (s, p) }.toMap
+      val a = run("ep0", 1)
+      assert(a == run("ep0", 5), "partitioning must not change the shuffle")
+      // dense per-shard numbering: positions in each shard are 1..n_shard
+      a.values.groupBy(_._1).foreach { case (sh, rows) =>
+        val ps = rows.map(_._2).toSeq.sorted
+        assert(ps == (1L to ps.size).toSeq, s"shard $sh positions not dense")
+      }
+      assert(a.values.map(_._1).forall(s => s >= 0 && s < 4))
+      if (corpus.size >= 16) {
+        val b = run("ep1", 1)
+        assert(a != b, "a new seed must give a different permutation")
+      }
+    }
+  }
+
   test("packOffsets: total stream length equals the token sum regardless " +
     "of seqTokens; seq_id consistent (5 random corpora)") {
     import org.apache.spark.sql.functions.col
