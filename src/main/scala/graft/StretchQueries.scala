@@ -935,7 +935,40 @@ object StretchQueries {
     "q_t_shuffle" -> ((s, dir) =>
       graft.operators.DatasetSplit.deterministicShuffle(
         t(s, dir, "documents"), "doc_id", "ep0", nShards = 8)
-        .select(col("doc_id"), col("shard"), col("pos")))
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
+    // Gopher quality-rule battery: every rule an exact-integer
+    // cross-product over the canonical tokenization → full oracle on
+    // the whole per-doc report
+    "q_t_gopher" -> ((s, dir) =>
+      graft.operators.QualityRules.gopherReport(
+        t(s, dir, "documents"), "text", "doc_id")),
+
+    // span-level decontamination: an 11-token benchmark phrase planted
+    // into every 10th corpus doc (and appended to every benchmark doc)
+    // must be excised wherever it appears; natural 8-gram overlaps with
+    // benchmark text are cut by the same rule on both engines
+    "q_t_decontam_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val phrase = " the committee will reconvene after the scheduled" +
+        " maintenance window closes for review"
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(phrase)).as("text"))
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(phrase)))
+            .otherwise(col("text")).as("text"))
+      Dedup.decontaminateSpans(corpus, bench, "text", "doc_id", n = 8)
+    }),
+
+    // within-doc line dedup: every line doubled by construction, so
+    // the cleaned text is the first-occurrence subsequence — a pure
+    // projection on both engines → full oracle
+    "q_t_line_dedup_doc" -> ((s, dir) =>
+      Dedup.dedupLinesWithinDoc(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit("\n"), col("text")).as("text")),
+        "text").select(col("doc_id"), col("text_clean")))
   )
 
   private val tokensSql =
@@ -1619,6 +1652,121 @@ object StretchQueries {
          |SELECT doc_id, shard, CAST(row_number() OVER (
          |  PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
          |FROM s""".stripMargin)
+        .replaceAll(raw"\s+", " "),
+
+    // every Gopher rule replayed as exact integer cross-products over
+    // the same tokenization/line split
+    "q_t_gopher" ->
+      (s"""WITH src AS (SELECT doc_id, coalesce(text, '') AS text
+         |  FROM documents),
+         |m AS (SELECT doc_id, $tokensSql AS tk,
+         |  list_filter(list_transform(string_split(text, chr(10)),
+         |    x -> trim(x)), x -> length(x) > 0) AS ln,
+         |  (length(text) - length(replace(text, '#', ''))) +
+         |  (length(text) - length(replace(text, '…', ''))) +
+         |  ((length(replace(text, '…', '')) -
+         |    length(regexp_replace(replace(text, '…', ''),
+         |      '\\.\\.\\.', '', 'g'))) // 3) AS symbols
+         |  FROM src),
+         |a AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  CAST(len(ln) AS BIGINT) AS n_lines,
+         |  coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+         |    AS sumlen,
+         |  symbols,
+         |  len(list_filter(ln, x -> starts_with(x, '-')
+         |    OR starts_with(x, '*') OR starts_with(x, '•'))) AS bullets,
+         |  len(list_filter(ln, x -> ends_with(x, '...')
+         |    OR ends_with(x, '…'))) AS ellipses,
+         |  len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+         |  len(list_intersect(tk, ['the', 'be', 'to', 'of', 'and',
+         |    'that', 'have', 'with'])) AS stops,
+         |  len(list_distinct(ln)) AS ndistinct
+         |  FROM m)
+         |SELECT doc_id, n_words, n_lines,
+         |  (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+         |  (n_words > 0 AND sumlen >= n_words * 3
+         |    AND sumlen <= n_words * 10) AS r_meanlen,
+         |  (n_words > 0 AND symbols * 10 <= n_words) AS r_symbol,
+         |  (n_lines = 0 OR bullets * 10 <= n_lines * 9) AS r_bullet,
+         |  (n_lines = 0 OR ellipses * 10 <= n_lines * 3) AS r_ellipsis,
+         |  (n_words > 0 AND alpha * 10 >= n_words * 8) AS r_alpha,
+         |  (stops >= 2) AS r_stop,
+         |  (n_lines = 0 OR (n_lines - ndistinct) * 10 <= n_lines * 3)
+         |    AS r_dupline,
+         |  ((n_words >= 50 AND n_words <= 100000)
+         |    AND (n_words > 0 AND sumlen >= n_words * 3
+         |      AND sumlen <= n_words * 10)
+         |    AND (n_words > 0 AND symbols * 10 <= n_words)
+         |    AND (n_lines = 0 OR bullets * 10 <= n_lines * 9)
+         |    AND (n_lines = 0 OR ellipses * 10 <= n_lines * 3)
+         |    AND (n_words > 0 AND alpha * 10 >= n_words * 8)
+         |    AND (stops >= 2)
+         |    AND (n_lines = 0 OR (n_lines - ndistinct) * 10 <= n_lines * 3))
+         |    AS pass
+         |FROM a""".stripMargin)
+        .replaceAll(raw"\s+", " "),
+
+    // benchmark-matching windows → coverage union → excision, same
+    // skeleton as q_d_span_removal but with no canonical survivor
+    "q_t_decontam_spans" ->
+      (s"""WITH bench AS (
+         |  SELECT doc_id, text ||
+         |    ' the committee will reconvene after the scheduled' ||
+         |    ' maintenance window closes for review' AS text
+         |  FROM documents WHERE doc_id % 97 = 0
+         |), corpus AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN text ||
+         |    ' the committee will reconvene after the scheduled' ||
+         |    ' maintenance window closes for review' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 97 <> 0
+         |), tokc AS (
+         |  SELECT doc_id, $tokensSql AS tk FROM corpus
+         |  WHERE text IS NOT NULL
+         |), tokb AS (
+         |  SELECT doc_id, $tokensSql AS tk FROM bench
+         |  WHERE text IS NOT NULL
+         |), winb AS (
+         |  SELECT DISTINCT unnest(list_transform(
+         |    range(1, greatest(len(tk) - 6, 1)),
+         |    i -> array_to_string(tk[i:i+7], ' '))) AS sp FROM tokb
+         |), winc AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(tk) - 6, 1)),
+         |    i -> struct_pack(s := i, sp := array_to_string(tk[i:i+7], ' '))),
+         |    recursive := true) FROM tokc
+         |), rem AS (
+         |  SELECT DISTINCT doc_id, idx FROM (
+         |    SELECT w.doc_id, unnest(list_transform(range(0, 8),
+         |      o -> w.s + o)) AS idx
+         |    FROM winc w JOIN winb b ON w.sp = b.sp)
+         |), tpos AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+         |    i -> struct_pack(i := i, tok := tk[i])), recursive := true)
+         |  FROM tokc
+         |), keep AS (
+         |  SELECT k.doc_id, k.i, k.tok FROM tpos k
+         |  WHERE NOT EXISTS (SELECT 1 FROM rem
+         |    WHERE rem.doc_id = k.doc_id AND rem.idx = k.i)
+         |)
+         |SELECT t.doc_id, coalesce(o.text_clean, '') AS text_clean
+         |FROM tokc t LEFT JOIN (
+         |  SELECT doc_id, array_to_string(list(tok ORDER BY i), ' ')
+         |    AS text_clean
+         |  FROM keep GROUP BY doc_id) o ON t.doc_id = o.doc_id""")
+        .stripMargin.replaceAll(raw"\s+", " "),
+
+    // first-occurrence line filter is a pure list lambda on both sides
+    "q_t_line_dedup_doc" ->
+      ("""WITH planted AS (
+         |  SELECT doc_id, text || chr(10) || text AS text FROM documents
+         |), l AS (
+         |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted
+         |)
+         |SELECT doc_id, array_to_string(
+         |  list_filter(ls, (x, i) -> list_position(ls, x) = i),
+         |  chr(10)) AS text_clean
+         |FROM l""".stripMargin)
         .replaceAll(raw"\s+", " "),
 
     "q_t_line_dedup" ->

@@ -161,20 +161,8 @@ object Dedup {
                            n: Int = 8, minDocs: Int = 2): DataFrame = {
     require(n >= 1, s"span length must be positive, got $n")
     require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
-    val toks = df.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        filter(split(trim(lower(col(textCol))), raw"\s+"),
-          t => length(t) > 0).as("__toks"))
-    val wins = toks
-      .select(col(idCol),
-        explode(when(size(col("__toks")) >= n,
-          transform(sequence(lit(1), size(col("__toks")) - n + 1),
-            i => struct(i.as("start"),
-              concat_ws(" ", slice(col("__toks"), i, lit(n))).as("span"))))
-          .otherwise(array().cast("array<struct<start:int,span:string>>")))
-          .as("w"))
-      .select(col(idCol), col("w.start").as("__start"),
-        col("w.span").as("__span"))
+    val toks = spanToks(df, textCol, idCol)
+    val wins = spanWindows(toks, idCol, n)
     // duplicated spans with their canonical occurrence in ONE
     // aggregation: structs order lexicographically, so min(struct(id,
     // start)) is exactly (min doc, then min start within it)
@@ -195,6 +183,104 @@ object Dedup {
       .agg(max(col("__isc")).as("__anyc"))
       .filter(col("__anyc") === 0)
       .select(col(idCol), col("__idx"))
+    reassembleExcised(df, toks, removed, textCol, idCol)
+  }
+
+  /** Span-level DECONTAMINATION: excise from every corpus document each
+    * `n`-token window that also occurs in the benchmark set, emitting
+    * the cleaned text — the surgical variant of [[contaminatedIds]]'s
+    * drop-the-whole-document rule (the eval question is cut, the other
+    * 10k tokens of the page survive).
+    *
+    * A token is removed iff at least one benchmark-matching window
+    * covers it; overlapping matches merge as a coverage union, exactly
+    * like [[removeDuplicateSpans]] (same tokenization, same
+    * reassembly, same null/short-doc pass-through) — but with no
+    * canonical survivor: benchmark text has NO right to exist in
+    * training data, so every occurrence is cut.
+    *
+    * Execution shape: the benchmark side reduces to a DISTINCT window
+    * list (tiny vs the corpus — eval sets are MBs against 100 TB), so
+    * the window match is a semi-join-shaped inner join that AQE
+    * broadcasts; the corpus is scanned once for windows and once for
+    * reassembly, each behind one doc-keyed shuffle. The span string is
+    * the join key at test scale; at 100 TB carry a 64-bit span hash.
+    */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int = 8): DataFrame = {
+    require(n >= 1, s"span length must be positive, got $n")
+    val toks = spanToks(corpus, textCol, idCol)
+    val bwins = spanWindows(spanToks(benchmark, textCol, idCol), idCol, n)
+      .select(col("__span")).distinct()
+    val removed = spanWindows(toks, idCol, n)
+      .join(bwins, Seq("__span"))
+      .select(col(idCol),
+        explode(sequence(col("__start"), col("__start") + n - 1))
+          .as("__idx"))
+      .distinct()
+    reassembleExcised(corpus, toks, removed, textCol, idCol)
+  }
+
+  /** WITHIN-document line dedup (the C4 "discard all but one of any
+    * three-sentence span" rule's line-level cousin, applied per doc):
+    * keep the FIRST occurrence of each exact line inside a document,
+    * preserve order, drop later repeats. Complements
+    * [[dropRepeatedLines]], which removes CORPUS-repeated boilerplate —
+    * this one kills within-page chrome (repeated nav blocks, pasted
+    * paragraphs) and needs no cross-doc information at all.
+    *
+    * Execution shape: a pure projection — the line array is staged
+    * once (HOF-CSE lesson), first-occurrence is `array_position(lines,
+    * l) == own index`, and reassembly is `array_join`; ZERO shuffles,
+    * so at 100 TB this is a free rider on whatever scan already reads
+    * the text. Per-doc cost is O(lines²) comparisons, bounded by
+    * document size, not corpus size. Null text stays null.
+    */
+  def dedupLinesWithinDoc(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("text_clean",
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(array_join(
+            filter(col("__lines"),
+              (l, i) => array_position(col("__lines"), l) === i + 1),
+            "\n")))
+      .drop("__lines")
+
+  /** Canonical span tokenization: trim → lower → whitespace split,
+    * empties dropped (shared by the span family so window arithmetic
+    * and reassembly always agree).
+    */
+  private def spanToks(df: DataFrame, textCol: String,
+                       idCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        filter(split(trim(lower(col(textCol))), raw"\s+"),
+          t => length(t) > 0).as("__toks"))
+
+  /** All `n`-token windows per doc as `(idCol, __start (1-based),
+    * __span)` — built from one staged token array, one pass.
+    */
+  private def spanWindows(toks: DataFrame, idCol: String,
+                          n: Int): DataFrame =
+    toks
+      .select(col(idCol),
+        explode(when(size(col("__toks")) >= n,
+          transform(sequence(lit(1), size(col("__toks")) - n + 1),
+            i => struct(i.as("start"),
+              concat_ws(" ", slice(col("__toks"), i, lit(n))).as("span"))))
+          .otherwise(array().cast("array<struct<start:int,span:string>>")))
+          .as("w"))
+      .select(col(idCol), col("w.start").as("__start"),
+        col("w.span").as("__span"))
+
+  /** Rebuild `text_clean` from the tokenization minus the removed
+    * `(idCol, __idx)` positions: null text stays null, fully-excised
+    * docs become the empty string.
+    */
+  private def reassembleExcised(df: DataFrame, toks: DataFrame,
+                                removed: DataFrame, textCol: String,
+                                idCol: String): DataFrame = {
     val kept = toks
       .select(col(idCol), posexplode(col("__toks")).as(Seq("__p", "__t")))
       .select(col(idCol), (col("__p") + 1).as("__idx"), col("__t"))

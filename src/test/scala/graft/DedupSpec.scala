@@ -341,6 +341,44 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) == s"$span filler middle words a1 a2 a3 a4 a5 a6 a7")
   }
 
+  test("decontaminateSpans cuts every benchmark occurrence (no canonical " +
+    "survivor), merges overlaps, and leaves clean docs alone") {
+    val leak = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10" // a 10-token eval question
+    val bench = Seq((100L, s"benchmark intro $leak benchmark outro"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"alpha beta $leak gamma"),     // leak mid-doc
+      (2L, s"$leak"),                      // doc IS the leak
+      (3L, "entirely original text here"), // untouched
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminateSpans(corpus, bench, "text", "doc_id",
+      n = 8).select("doc_id", "text_clean").as[(Long, String)]
+      .collect().toMap
+    // the three overlapping 8-windows inside the 10-token leak cover
+    // all 10 tokens — the whole leak vanishes, no survivor anywhere
+    assert(got(1L) == "alpha beta gamma")
+    assert(got(2L) == "")
+    assert(got(3L) == "entirely original text here")
+    assert(got(4L) == null)
+  }
+
+  test("dedupLinesWithinDoc keeps first occurrences in order, is pure " +
+    "per-doc (identical lines in OTHER docs survive), nulls pass through") {
+    val docs = Seq(
+      (1L, "nav bar\ncontent one\nnav bar\ncontent two\nnav bar"),
+      (2L, "nav bar\nother page"), // cross-doc repeat NOT removed here
+      (3L, null.asInstanceOf[String]),
+      (4L, "single line")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLinesWithinDoc(docs, "text")
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    assert(got(1L) == "nav bar\ncontent one\ncontent two")
+    assert(got(2L) == "nav bar\nother page")
+    assert(got(3L) == null)
+    assert(got(4L) == "single line")
+  }
+
   test("incrementalNearDups: union over increments equals a full " +
     "recompute, with no persisted blocks left behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet

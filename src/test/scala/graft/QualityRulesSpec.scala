@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.operators.QualityRules
+
+/** Gopher rule battery: each rule exercised at its boundary on
+  * hand-built documents, plus the null-text contract and the
+  * filter/report consistency.
+  */
+class QualityRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val goodText = {
+    // 60 words, mean length in [3,10], stop words present, clean lines
+    val sentence = "the committee will be meeting to review all of " +
+      "the pending proposals and decide that every item should have " +
+      "a fair hearing with careful notes taken"
+    sentence + " " + sentence + " and then some closing words here"
+  }
+
+  private def report(rows: (Long, String)*) =
+    QualityRules.gopherReport(rows.toSeq.toDF("doc_id", "text"),
+      "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+  test("a clean document passes every rule") {
+    val r = report(1L -> goodText)(1L)
+    assert(r.getAs[Boolean]("pass"),
+      Seq("r_wordcount", "r_meanlen", "r_symbol", "r_bullet", "r_ellipsis",
+        "r_alpha", "r_stop", "r_dupline")
+        .map(c => s"$c=${r.getAs[Boolean](c)}").mkString(" "))
+  }
+
+  test("word-count bounds: 49 words fail, 50 pass") {
+    val base = "the be to of and that have with good words "
+    val w49 = (base * 5).trim.split(" ").take(49).mkString(" ")
+    val w50 = (base * 5).trim.split(" ").take(50).mkString(" ")
+    val m = report(1L -> w49, 2L -> w50)
+    assert(!m(1L).getAs[Boolean]("r_wordcount"))
+    assert(m(2L).getAs[Boolean]("r_wordcount"))
+  }
+
+  test("symbol, bullet, ellipsis, and alpha rules trip on constructed " +
+    "violations") {
+    val hashy = goodText + " " + ("# " * 10).trim       // >10% hash/words
+    val bullets = (1 to 10).map(i => s"- item $i").mkString("\n")
+    val dots = (1 to 10).map(i => s"line number $i goes on...")
+      .mkString("\n") + "\nplain closing line"
+    val numeric = goodText + " " + (1 to 60).map(_.toString).mkString(" ")
+    val m = report(1L -> hashy, 2L -> bullets, 3L -> dots, 4L -> numeric)
+    assert(!m(1L).getAs[Boolean]("r_symbol"))
+    assert(!m(2L).getAs[Boolean]("r_bullet"), "100% bulleted lines")
+    assert(!m(3L).getAs[Boolean]("r_ellipsis"), "10/11 ellipsis lines")
+    assert(!m(4L).getAs[Boolean]("r_alpha"), "half the tokens numeric")
+  }
+
+  test("duplicate-line rule: 4 repeats of 8 lines fail, all-distinct pass") {
+    val distinct8 = (1 to 8).map(i => s"unique line number $i").mkString("\n")
+    val withDups = distinct8 + "\n" + (1 to 4)
+      .map(_ => "unique line number 1").mkString("\n")
+    val m = report(1L -> distinct8, 2L -> withDups)
+    assert(m(1L).getAs[Boolean]("r_dupline"))
+    assert(!m(2L).getAs[Boolean]("r_dupline"), "4/12 lines are repeats")
+  }
+
+  test("stop-word rule needs two distinct stop words; null text fails " +
+    "everything with zero counts") {
+    val noStops = (1 to 60).map(i => s"wordy$i").mkString(" ")
+    val oneStop = "the " + noStops
+    val m = report(1L -> noStops, 2L -> oneStop,
+      3L -> null.asInstanceOf[String])
+    assert(!m(1L).getAs[Boolean]("r_stop"))
+    assert(!m(2L).getAs[Boolean]("r_stop"), "one distinct stop word only")
+    assert(!m(3L).getAs[Boolean]("pass"))
+    assert(m(3L).getAs[Long]("n_words") == 0L)
+  }
+
+  test("gopherFilter keeps exactly the passing documents") {
+    val df = Seq(1L -> goodText, 2L -> "too short", 3L -> goodText)
+      .toDF("doc_id", "text")
+    val kept = QualityRules.gopherFilter(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    assert(QualityRules.gopherFilter(df, "text", "doc_id").columns.toSeq ==
+      df.columns.toSeq, "filter preserves the input schema")
+  }
+}
