@@ -583,8 +583,10 @@ object StretchQueries {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = emb.union(emb.select(
         (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-      SimilaritySearch.cosineNearDupPairs(planted, threshold = 0.8,
-        dim = 64, nBits = 32, bands = 4)
+      // adaptive banding (sf1 lesson): bucket occupancy pinned, so
+      // candidate volume stays linear in corpus size
+      SimilaritySearch.cosineNearDupPairsAuto(planted, threshold = 0.8,
+        dim = 64)
     }),
 
     // per-group embedding centroids (mean pooling) in EXACT integer
@@ -625,8 +627,9 @@ object StretchQueries {
         (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
       // iters=1: the gate's guarantee (identical copies co-cluster)
       // holds for ANY centroids — extra Lloyd rounds only buy cluster
-      // balance, at 2 driver round-trips each
-      SimilaritySearch.semanticDedup(planted, threshold = 0.9, k = 16,
+      // balance, at 2 driver round-trips each. Auto-k (sf1 lesson):
+      // cluster occupancy pinned, so the Σn_c² pair space stays linear
+      SimilaritySearch.semanticDedupAuto(planted, threshold = 0.9,
         iters = 1).select(col("vec_id"))
     }),
 

@@ -157,6 +157,56 @@ object SimilaritySearch {
   private def binomial(n: Int, k: Int): BigInt =
     (1 to k).foldLeft(BigInt(1))((acc, i) => acc * (n - i + 1) / i)
 
+  /** Corpus-size-adaptive banding plan `(nBits, bands)` for
+    * [[cosineNearDupPairs]] — the knob the sf1 scale run proved must
+    * NOT be constant: with fixed bits per band, bucket occupancy grows
+    * linearly with the corpus and within-bucket pair enumeration grows
+    * QUADRATICALLY (measured 45× time for 10× rows at the old fixed
+    * 32/4 plan).
+    *
+    * The plan holds expected bucket occupancy at `targetBucket` by
+    * growing bits-per-band with log₂(n), then chooses the band count
+    * so that a pair at EXACTLY the threshold is still caught with
+    * probability ≥ `targetRecall` (collision prob per hyperplane is
+    * `1 − θ/π`, Charikar's SimHash bound; the S-curve climbs steeply
+    * above the threshold, so 0.9-cosine pairs at a 0.8 threshold are
+    * found with much higher probability than `targetRecall`).
+    * Candidate volume is then ≈ `bands × n × targetBucket / 2` —
+    * LINEAR in n at fixed recall, which is the whole point.
+    */
+  def autoBandPlan(n: Long, threshold: Double, targetBucket: Int = 32,
+                   targetRecall: Double = 0.5, maxBands: Int = 16,
+                   minRowsPerBand: Int = 4,
+                   maxRowsPerBand: Int = 20): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    require(targetRecall > 0 && targetRecall < 1, "targetRecall in (0,1)")
+    val rows = math.min(maxRowsPerBand, math.max(minRowsPerBand,
+      math.ceil(math.log(math.max(n, 2).toDouble / targetBucket) /
+        math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(math.min(threshold, 0.9999)) / math.Pi
+    val pb = math.pow(p, rows)
+    val bands = math.min(maxBands, math.max(2,
+      math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pb)).toInt))
+    (rows * bands, bands)
+  }
+
+  /** [[cosineNearDupPairs]] under [[autoBandPlan]]: one count job
+    * sizes the corpus (metadata-cheap on a parquet scan), then the
+    * banding adapts so candidate volume stays linear in n. Use the
+    * explicit-parameter form when n is already known.
+    */
+  def cosineNearDupPairsAuto(df: DataFrame, threshold: Double, dim: Int,
+                             targetBucket: Int = 32,
+                             targetRecall: Double = 0.5,
+                             maxBucketSize: Int = 1000,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    val (nBits, bands) =
+      autoBandPlan(df.count(), threshold, targetBucket, targetRecall)
+    cosineNearDupPairs(df, threshold, dim, nBits, bands, maxBucketSize,
+      idCol, vecCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     * threshold) via signature blocking: only pairs sharing a signature
     * prefix band are scored, never all n².
@@ -238,12 +288,19 @@ object SimilaritySearch {
     require(bands > 0 && nBits % bands == 0,
       s"bands ($bands) must evenly divide nBits ($nBits)")
     val rows = nBits / bands
-    val mask = (1L << rows) - 1
-    df.select(col(idCol),
-        hyperplaneSignature(col(vecCol), dim, nBits).as("sig"))
-      .select(col(idCol), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("band"), expr(s"(sig >> (band * $rows)) & $mask").as("bucket"),
+    require(rows <= 63, s"rows per band must fit a long, got $rows")
+    // one seeded signature PER BAND (not one wide signature sliced):
+    // same total hyperplane count (bands × rows = nBits dot products
+    // per vector, evaluated once in this projection), but the total is
+    // no longer capped at 64 bits — autoBandPlan needs rows × bands to
+    // grow with log(n) × recall budget
+    val bandSig = (0 until bands).map { bd =>
+      struct(lit(bd).as("band"),
+        hyperplaneSignature(col(vecCol), dim, rows, seed = 42L + bd)
+          .as("bucket"))
+    }
+    df.select(col(idCol), explode(array(bandSig: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
         col(idCol))
   }
 
@@ -355,4 +412,36 @@ object SimilaritySearch {
       .select(col("id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Corpus-size-adaptive k for the SemDeDup family — the second knob
+    * the sf1 run proved must not be constant: with fixed k, cluster
+    * occupancy n/k grows linearly and the Σ n_c² pair space grows
+    * QUADRATICALLY (measured 16× time for 10× rows at the old fixed
+    * k=16). Holding cluster size at `targetClusterSize` keeps the pair
+    * space ≈ n × targetClusterSize — linear.
+    *
+    * k is capped at 4096 so the centroid table stays a driver-trivial
+    * k × dim matrix and flat assignment stays one broadcast pass;
+    * beyond ~4096 × targetClusterSize rows, route assignment through
+    * a persisted coarse quantizer ([[Ivf.ensureIndex]]) instead of
+    * growing k further — two-level clustering is the FAISS-scale
+    * shape of the same algorithm.
+    */
+  def autoClusterK(n: Long, targetClusterSize: Int = 256): Int = {
+    require(targetClusterSize >= 2, s"targetClusterSize: $targetClusterSize")
+    math.min(4096, math.max(16,
+      math.ceil(math.max(n, 1).toDouble / targetClusterSize).toInt))
+  }
+
+  /** [[semanticDedup]] under [[autoClusterK]] — one count job sizes
+    * the corpus, then cluster occupancy (and with it the within-
+    * cluster pair space per row) stays constant as the corpus grows.
+    */
+  def semanticDedupAuto(df: DataFrame, threshold: Double,
+                        targetClusterSize: Int = 256, iters: Int = 1,
+                        maxClusterSize: Int = 100000,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame =
+    semanticDedup(df, threshold, autoClusterK(df.count(), targetClusterSize),
+      iters, maxClusterSize, idCol, vecCol)
 }

@@ -265,6 +265,55 @@ class SimilaritySpec extends SparkSpec {
     assert(z == Seq(0.0, 0.0, 0.0, 0.0), s"empty vector gave $z")
   }
 
+  test("autoBandPlan: occupancy-pinned rows grow with log n, candidate " +
+    "budget stays linear, rows always fit a long") {
+    val plans = Seq(2000L, 40000L, 800000L, 16000000L, 1L << 40)
+      .map(n => n -> SimilaritySearch.autoBandPlan(n, threshold = 0.8))
+    val rowsSeq = plans.map { case (_, (nBits, bands)) => nBits / bands }
+    assert(rowsSeq == rowsSeq.sorted, "rows per band must grow with n")
+    assert(rowsSeq.forall(r => r >= 4 && r <= 20))
+    plans.foreach { case (n, (nBits, bands)) =>
+      assert(bands >= 2 && bands <= 16, s"bands out of range at n=$n")
+      assert(nBits % bands == 0)
+      // expected bucket occupancy at most ~2× the 32 target once rows
+      // stop being clamped at the minimum
+      val rows = nBits / bands
+      if (rows < 20) assert(n.toDouble / math.pow(2, rows) <= 64.0,
+        s"occupancy unpinned at n=$n: ${n.toDouble / math.pow(2, rows)}")
+    }
+  }
+
+  test("cosineNearDupPairsAuto finds planted identical pairs (they " +
+    "collide in every band at any plan)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.union(emb.select((col("vec_id") + 1000000L)
+      .as("vec_id"), col("embedding")))
+    val got = SimilaritySearch
+      .cosineNearDupPairsAuto(planted, threshold = 0.999, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val n = emb.count()
+    val expected = (0L until n).map(i => (i, i + 1000000L)).toSet
+    assert(expected.subsetOf(got),
+      s"missing ${(expected -- got).take(5)} of ${expected.size}")
+  }
+
+  test("autoClusterK pins occupancy between 16 and the 4096 cap; " +
+    "semanticDedupAuto resolves planted copies like the fixed-k path") {
+    assert(SimilaritySearch.autoClusterK(100) == 16)
+    assert(SimilaritySearch.autoClusterK(40000) == 157)
+    assert(SimilaritySearch.autoClusterK(100000000L) == 4096)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.union(emb.select((col("vec_id") + 1000000L)
+      .as("vec_id"), col("embedding")))
+    val kept = SimilaritySearch
+      .semanticDedupAuto(planted, threshold = 0.999, iters = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == emb.select("vec_id").as[Long].collect().toSet,
+      "every planted copy dropped, every original kept")
+  }
+
   test("semanticDupStats accounts for capped clusters; healthy k is clean") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val clean = SimilaritySearch.semanticDupStats(emb, k = 8)
