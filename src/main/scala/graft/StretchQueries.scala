@@ -633,6 +633,21 @@ object StretchQueries {
         iters = 1).select(col("vec_id"))
     }),
 
+    // two-level SemDeDup (coarse k-means → content-hash salt → local
+    // executor-side k-means): the shape for corpora past the flat-k
+    // cap. Identical copies share (coarse, salt, sub) by construction,
+    // so the planted corpus resolves to the originals — same oracle as
+    // the flat path. maxLocal forced low so the salt fan-out actually
+    // exercises at gate scale
+    "q_v_semdedup2" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.union(emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      SimilaritySearch.semanticDedupHierarchical(planted, threshold = 0.9,
+        targetClusterSize = 64, coarseK = 8, maxLocal = 512)
+        .select(col("vec_id"))
+    }),
+
     // int8 embedding quantization: the vector-store compression pass
     // (4× smaller), exact-arithmetic oracle on the full array values.
     // The int8 array ships as a CSV string: the driver compare
@@ -1357,6 +1372,10 @@ object StretchQueries {
     // 2-member component); no natural pair crosses the threshold —
     // kept ≡ the original corpus
     "q_v_semdedup" -> "SELECT vec_id FROM embeddings",
+
+    // the hierarchical path must resolve the same planted corpus to
+    // the same survivors (construction oracle, like q_v_semdedup)
+    "q_v_semdedup2" -> "SELECT vec_id FROM embeddings",
 
     "q_v_project" ->
       ("""WITH p AS (SELECT vec_id, unnest(

@@ -444,4 +444,194 @@ object SimilaritySearch {
                         vecCol: String = "embedding"): DataFrame =
     semanticDedup(df, threshold, autoClusterK(df.count(), targetClusterSize),
       iters, maxClusterSize, idCol, vecCol)
+
+  // ── Two-level SemDeDup (past the flat-k cap) ──────────────────────
+
+  /** Hierarchical cluster assignment `(idCol, vecCol, coarse, salt,
+    * sub)` — the two-level route [[autoClusterK]]'s 4096 cap points
+    * at, for corpora where flat k-means would need k ≫ 4096:
+    *
+    *  1. COARSE: driver-trained k-means ([[Ivf.train]], sampled, ≤
+    *     4096 centroids) assigns every vector one broadcast pass.
+    *  2. SALT: coarse clusters larger than `maxLocal` are split by a
+    *     CONTENT hash of the vector (identical vectors always share a
+    *     salt — the co-clustering guarantee survives; near-identical
+    *     pairs split across salts are a recall cost the same way
+    *     coarse-boundary pairs already are).
+    *  3. SUB: each (coarse, salt) group runs a LOCAL Lloyd's k-means
+    *     (`flatMapGroups`, group bounded by `maxLocal` rows) with
+    *     k₂ = group/targetClusterSize, deterministic init (min-id
+    *     members) — so occupancy lands at `targetClusterSize`
+    *     without any global k₁ × k₂ training or assignment pass.
+    *
+    * Execution shape (100 TB): ONE shuffle (the groupByKey on
+    * (coarse, salt)); sub-clustering is executor-local CPU over ≤
+    * `maxLocal` × dim floats per group (16 MB at the defaults);
+    * nothing but the ≤ 4096 × dim coarse centroids ever sits on the
+    * driver. Assignment cost is n × (k₁ + k₂) dot products instead of
+    * flat n × k.
+    */
+  def hierarchicalClusters(df: DataFrame, targetClusterSize: Int = 256,
+                           coarseK: Int = 0, maxLocal: Int = 65536,
+                           iters: Int = 1,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    require(targetClusterSize >= 2 && maxLocal >= 2 * targetClusterSize,
+      s"need maxLocal ($maxLocal) ≥ 2 × targetClusterSize ($targetClusterSize)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol))
+    val n = vecs.count()
+    val k1 = if (coarseK > 0) coarseK
+      else math.min(4096, math.max(16,
+        math.ceil(2.0 * n / maxLocal).toInt))
+    val model = Ivf.train(vecs, k1, iters, idCol = idCol, vecCol = vecCol,
+      trainSampleN = math.min(n, 4096L * 16).toInt)
+    val assigned = Ivf.assign(vecs, model, vecCol)
+      .select(col("cluster").cast("int").as("coarse"), col(idCol),
+        col(vecCol))
+    // per-coarse salt fan-out: ≤ k1 rows on the driver
+    val saltOf: Map[Int, Int] = assigned.groupBy(col("coarse")).count()
+      .collect()
+      .map(r => r.getInt(0) ->
+        math.max(1, math.ceil(r.getLong(1).toDouble / maxLocal).toInt))
+      .toMap
+    val saltExpr =
+      if (saltOf.isEmpty) lit(1)
+      else coalesce(element_at(typedlit(saltOf), col("coarse")), lit(1))
+    val salted = assigned
+      .withColumn("salt",
+        pmod(hash(col(vecCol)), saltExpr).cast("int"))
+      .as[(Int, Long, Array[Float], Int)]
+    val target = targetClusterSize
+    salted
+      .groupByKey { case (coarse, _, _, salt) => (coarse, salt) }
+      .flatMapGroups { (key: (Int, Int),
+                        it: Iterator[(Int, Long, Array[Float], Int)]) =>
+        val (coarse, salt) = key
+        // bounded by maxLocal rows (salt construction); sort by id so
+        // the result is independent of partition/iterator order
+        val rows = it.toArray.sortBy(_._2)
+        val k2 = math.max(1,
+          math.ceil(rows.length.toDouble / target).toInt)
+        val sub = localCosineKMeans(rows.map(_._3), k2)
+        rows.iterator.zipWithIndex.map { case ((_, id, vec, _), i) =>
+          (id, vec, coarse, salt, sub(i))
+        }
+      }
+      .toDF(idCol, vecCol, "coarse", "salt", "sub")
+  }
+
+  /** Executor-local Lloyd's k-means on the unit sphere (cosine =
+    * dot after normalization), deterministic: init = the first k
+    * vectors in input order (callers pre-sort by id), 2 refinement
+    * rounds, ties to the lowest centroid index. Returns each row's
+    * cluster index. Identical vectors always land together (equal
+    * inputs → equal argmax scan).
+    */
+  private[graft] def localCosineKMeans(vecs: Array[Array[Float]],
+                                           k: Int): Array[Int] = {
+    val n = vecs.length
+    if (n == 0) return Array.empty
+    val dim = vecs(0).length
+    val unit = vecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val inv = if (s > 0) 1.0 / math.sqrt(s) else 0.0
+      val u = new Array[Double](v.length)
+      i = 0; while (i < v.length) { u(i) = v(i) * inv; i += 1 }
+      u
+    }
+    val kk = math.min(k, n)
+    var centroids = Array.tabulate(kk)(i => unit(i).clone())
+    val assign = new Array[Int](n)
+    var round = 0
+    while (round < 3) { // assign, then (twice) update + reassign
+      var r = 0
+      while (r < n) {
+        val u = unit(r)
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < kk) {
+          val ctr = centroids(c)
+          var d = 0.0; var i = 0
+          while (i < dim && i < u.length) { d += u(i) * ctr(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        assign(r) = best
+        r += 1
+      }
+      round += 1
+      if (round < 3) {
+        val sums = Array.fill(kk)(new Array[Double](dim))
+        val counts = new Array[Int](kk)
+        r = 0
+        while (r < n) {
+          val u = unit(r); val s = sums(assign(r))
+          var i = 0
+          while (i < dim && i < u.length) { s(i) += u(i); i += 1 }
+          counts(assign(r)) += 1
+          r += 1
+        }
+        centroids = Array.tabulate(kk) { c =>
+          if (counts(c) == 0) centroids(c)
+          else {
+            val s = sums(c)
+            var norm = 0.0; var i = 0
+            while (i < dim) { norm += s(i) * s(i); i += 1 }
+            val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
+            val out = new Array[Double](dim)
+            i = 0; while (i < dim) { out(i) = s(i) * inv; i += 1 }
+            out
+          }
+        }
+      }
+    }
+    assign
+  }
+
+  /** Within-cluster near-dup pairs under [[hierarchicalClusters]] —
+    * the SemDeDup pair stage for corpora past the flat-k cap. Same
+    * contract as [[semanticDupPairs]]: only same-(coarse, salt, sub)
+    * pairs are scored, Σ n_c² bounded by targetClusterSize × n.
+    */
+  def semanticDupPairsHierarchical(df: DataFrame, threshold: Double,
+                                   targetClusterSize: Int = 256,
+                                   coarseK: Int = 0,
+                                   maxLocal: Int = 65536, iters: Int = 1,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding"): DataFrame = {
+    val members = hierarchicalClusters(df, targetClusterSize, coarseK,
+      maxLocal, iters, idCol, vecCol)
+    val key = Seq(col("coarse"), col("salt"), col("sub"))
+    val a = members.select(key :+ col(idCol).as("id_a") :+
+      col(vecCol).as("vec_a"): _*)
+    val b = members.select(key :+ col(idCol).as("id_b") :+
+      col(vecCol).as("vec_b"): _*)
+    a.join(b, Seq("coarse", "salt", "sub"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** SemDeDup end-to-end through the hierarchical pair stage — the
+    * drop-in for [[semanticDedup]] when the corpus outgrows flat k.
+    */
+  def semanticDedupHierarchical(df: DataFrame, threshold: Double,
+                                targetClusterSize: Int = 256,
+                                coarseK: Int = 0, maxLocal: Int = 65536,
+                                iters: Int = 1,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame = {
+    val pairs = semanticDupPairsHierarchical(df, threshold,
+      targetClusterSize, coarseK, maxLocal, iters, idCol, vecCol)
+      .select(col("id_a"), col("id_b"))
+    val cc = Dedup.connectedComponents(pairs)
+    val drop = cc.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

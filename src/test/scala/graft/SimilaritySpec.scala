@@ -314,6 +314,53 @@ class SimilaritySpec extends SparkSpec {
       "every planted copy dropped, every original kept")
   }
 
+  test("semanticDedupHierarchical: planted copies resolve to originals " +
+    "under forced salt fan-out; assignment is partition-invariant") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.union(emb.select((col("vec_id") + 1000000L)
+      .as("vec_id"), col("embedding")))
+    // maxLocal 64 with ~400 rows over coarseK=4 forces multi-salt
+    // groups: identical copies must STILL share (coarse, salt, sub)
+    val kept = SimilaritySearch.semanticDedupHierarchical(planted,
+        threshold = 0.999, targetClusterSize = 16, coarseK = 4,
+        maxLocal = 64)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == emb.select("vec_id").as[Long].collect().toSet,
+      "every planted copy dropped, every original kept")
+    // clusters are a deterministic function of content, not layout
+    val c1 = SimilaritySearch.hierarchicalClusters(planted,
+        targetClusterSize = 16, coarseK = 4, maxLocal = 64)
+      .select(col("vec_id"), struct(col("coarse"), col("salt"),
+        col("sub")).as("c"))
+      .as[(Long, (Int, Int, Int))].collect().toMap
+    val c2 = SimilaritySearch.hierarchicalClusters(planted.repartition(7),
+        targetClusterSize = 16, coarseK = 4, maxLocal = 64)
+      .select(col("vec_id"), struct(col("coarse"), col("salt"),
+        col("sub")).as("c"))
+      .as[(Long, (Int, Int, Int))].collect().toMap
+    assert(c1 == c2, "hierarchical assignment must not depend on layout")
+    (0L until 10L).foreach { i =>
+      assert(c1(i) == c1(i + 1000000L), s"copy of $i split from original")
+    }
+  }
+
+  test("localCosineKMeans: identical vectors co-assign, k>=n degenerates " +
+    "to identity-ish, deterministic across calls") {
+    val vs = Array(
+      Array(1f, 0f), Array(0f, 1f), Array(1f, 0f),
+      Array(0.9f, 0.1f), Array(0f, 0f))
+    val a1 = SimilaritySearch.localCosineKMeans(vs, 2)
+    val a2 = SimilaritySearch.localCosineKMeans(vs, 2)
+    assert(a1.toSeq == a2.toSeq)
+    assert(a1(0) == a1(2), "identical vectors must share a cluster")
+    assert(a1(0) == a1(3), "0.995-cosine neighbor joins the same centroid")
+    assert(a1(0) != a1(1), "orthogonal vectors split at k=2")
+    val big = SimilaritySearch.localCosineKMeans(vs, 10)
+    assert(big.length == 5)
+    assert(SimilaritySearch.localCosineKMeans(Array.empty, 3).isEmpty)
+  }
+
   test("semanticDupStats accounts for capped clusters; healthy k is clean") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val clean = SimilaritySearch.semanticDupStats(emb, k = 8)
