@@ -986,7 +986,28 @@ object StretchQueries {
       Dedup.dedupLinesWithinDoc(
         t(s, dir, "documents").select(col("doc_id"),
           concat(col("text"), lit("\n"), col("text")).as("text")),
-        "text").select(col("doc_id"), col("text_clean")))
+        "text").select(col("doc_id"), col("text_clean"))),
+
+    // α=1/2 temperature rebalance over the DATA lang column: exact
+    // integer roots + the rebalanceRates integer formula + md5 rates
+    // filter — the whole pipeline replays in SQL → full oracle
+    "q_t_temp" -> ((s, dir) =>
+      graft.operators.DatasetSplit.rebalanceTemperature(
+        t(s, dir, "documents").select(col("doc_id"), col("text"),
+          col("lang")),
+        "text", "lang").select(col("doc_id"), col("lang"))),
+
+    // ANN evaluation harness: recall@5 of a half-corpus search vs the
+    // full-corpus truth — a deterministic construction both engines
+    // replay exactly (integer hit counts, no recall division)
+    "q_v_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 16)
+      val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+      val approx = SimilaritySearch.bruteForceTopK(
+        emb.filter(col("vec_id") % 2 === 0), q, k = 5)
+      SimilaritySearch.recallAtK(exact, approx)
+    })
   )
 
   private val tokensSql =
@@ -1777,6 +1798,52 @@ object StretchQueries {
          |    AS text_clean
          |  FROM keep GROUP BY doc_id) o ON t.doc_id = o.doc_id""")
         .stripMargin.replaceAll(raw"\s+", " "),
+
+    // α=1/2 weights are floor(sqrt(n)) — IEEE sqrt is correctly
+    // rounded in both engines, and the rest is the q_t_rebalance
+    // integer formula under the same md5 mixing bucket
+    "q_t_temp" ->
+      (s"""WITH counts AS (SELECT lang, count(*) AS n FROM documents
+         |  WHERE lang IS NOT NULL GROUP BY lang),
+         |tw AS (SELECT lang, n,
+         |  greatest(CAST(floor(sqrt(n)) AS BIGINT), 1) AS wt FROM counts),
+         |c AS (SELECT min((n * 1048576) // wt) AS c FROM tw),
+         |r AS (SELECT lang,
+         |  LEAST(256, (256 * wt * (SELECT c FROM c)) // (n * 1048576))
+         |  AS rate FROM tw)
+         |SELECT d.doc_id, d.lang
+         |FROM (SELECT doc_id, lang, $mixBucketSql AS bucket
+         |      FROM documents) d
+         |JOIN r ON d.lang = r.lang WHERE d.bucket < r.rate""".stripMargin)
+        .replaceAll(raw"\s+", " "),
+
+    // recall harness: both neighbor relations replayed as windowed
+    // top-5s, hits counted in integers
+    "q_v_recall" ->
+      ("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |  FROM embeddings WHERE vec_id < 16),
+         |sc AS (SELECT q.q_id, c.vec_id AS n_id, c.embedding AS n_vec,
+         |  list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |    i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+         |  (sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |    i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))) *
+         |   sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+         |    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+         |  AS cos
+         |  FROM embeddings c, q WHERE c.vec_id <> q.q_id),
+         |ex AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
+         |  FROM sc) WHERE rnk <= 5),
+         |ap AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
+         |  FROM sc WHERE n_id % 2 = 0) WHERE rnk <= 5)
+         |SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(ap.n_id) AS BIGINT) AS n_hit
+         |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
+         |GROUP BY ex.q_id""".stripMargin)
+        .replaceAll(raw"\s+", " "),
 
     // first-occurrence line filter is a pure list lambda on both sides
     "q_t_line_dedup_doc" ->

@@ -135,6 +135,64 @@ object DatasetSplit {
         defaultRate = 0, salt))
   }
 
+  /** Temperature-scaled group weights: w_g = ⌊count_g^(num/den)⌋ (≥ 1),
+    * computed as an EXACT integer root (binary search on BigInt, no
+    * floating pow — `pow` is not correctly rounded and two engines'
+    * libm may disagree on the last bit; an integer root cannot). The
+    * multilingual-training standard (α-sampling, α ∈ (0,1]): α < 1
+    * compresses group-size disparities so low-resource groups are
+    * upsampled relative to their share — α = 1/2 is the common
+    * square-root temperature.
+    */
+  def temperatureWeights(counts: Map[String, Long], alphaNum: Int = 1,
+                         alphaDen: Int = 2): Map[String, Int] = {
+    require(alphaNum >= 1 && alphaDen >= alphaNum,
+      s"temperature must be a rational α = num/den in (0, 1], " +
+        s"got $alphaNum/$alphaDen")
+    counts.collect { case (g, c) if c > 0 =>
+      val w = iroot(BigInt(c).pow(alphaNum), alphaDen)
+      require(w.isValidInt, s"weight overflow for group $g (count $c)")
+      g -> math.max(1, w.toInt)
+    }
+  }
+
+  /** Rebalance the corpus to a temperature-scaled mixture: per-group
+    * counts (one bounded aggregate, |groups| driver rows) →
+    * [[temperatureWeights]] → the same integer [[rebalanceRates]] /
+    * content-hash filter as [[rebalanceToTarget]] — so the whole
+    * pipeline stays deterministic and engine-replayable. Every
+    * observed group participates (temperature defines the target FROM
+    * the data; there is no external weight list to restrict to).
+    */
+  def rebalanceTemperature(df: org.apache.spark.sql.DataFrame,
+                           contentCol: String, groupCol: String,
+                           alphaNum: Int = 1, alphaDen: Int = 2,
+                           salt: String = "mix")
+      : org.apache.spark.sql.DataFrame = {
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = rebalanceRates(counts,
+      temperatureWeights(counts, alphaNum, alphaDen))
+    if (rates.isEmpty) df.filter(lit(false))
+    else df.filter(col(groupCol).isin(rates.keys.toSeq: _*))
+      .filter(weightedSampleFilter(col(contentCol), col(groupCol), rates,
+        defaultRate = 0, salt))
+  }
+
+  /** Largest r with r^n ≤ x (x ≥ 0, n ≥ 1) — exact integer root. */
+  private[graft] def iroot(x: BigInt, n: Int): BigInt = {
+    require(x >= 0 && n >= 1)
+    if (x < 2 || n == 1) return x
+    var lo = BigInt(1)
+    var hi = BigInt(1) << (x.bitLength / n + 1)
+    while (lo < hi) { // invariant: lo^n ≤ x < (hi+1)^n
+      val mid = (lo + hi + 1) / 2
+      if (mid.pow(n) <= x) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
   /** Deterministic global shuffle into `nShards` training shards —
     * the "shuffle the corpus before writing epoch shards" step every
     * training pipeline runs, without a seed-stateful RNG or a global

@@ -445,6 +445,30 @@ object SimilaritySearch {
     semanticDedup(df, threshold, autoClusterK(df.count(), targetClusterSize),
       iters, maxClusterSize, idCol, vecCol)
 
+  /** Recall@k evaluation of an approximate neighbor relation against
+    * the exact one: per query, `(q_id, n_exact, n_hit)` in pure
+    * integer arithmetic (`n_hit` = exact neighbors the approximate
+    * relation also returned; divide for the recall fraction). Both
+    * inputs use the `(q_id, n_id)` shape of [[bruteForceTopK]] /
+    * [[lshTopK]] / [[Ivf.searchIndex]], so any two ANN paths can be
+    * scored against each other — the standard harness for tuning
+    * nprobe / nBits / shortlist sizes on a corpus sample before a
+    * full run.
+    *
+    * Execution shape: one semi-join-shaped left join on (q_id, n_id) +
+    * one q_id aggregate; both sides are k × |queries| rows, never
+    * corpus-sized.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+                qCol: String = "q_id", nCol: String = "n_id"): DataFrame = {
+    val hits = approx.select(col(qCol), col(nCol)).distinct()
+      .withColumn("__hit", lit(1L))
+    exact.select(col(qCol), col(nCol))
+      .join(hits, Seq(qCol, nCol), "left_outer")
+      .groupBy(col(qCol))
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
+  }
+
   // ── Two-level SemDeDup (past the flat-k cap) ──────────────────────
 
   /** Hierarchical cluster assignment `(idCol, vecCol, coarse, salt,

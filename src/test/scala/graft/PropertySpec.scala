@@ -137,6 +137,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("iroot is the exact integer root for random bases and exponents; " +
+    "temperatureWeights compresses disparities monotonically") {
+    import graft.operators.DatasetSplit
+    samples(Gen.zip(Gen.choose(0L, 1L << 50), Gen.choose(1, 5)), 40)
+      .foreach { case (x, n) =>
+        val r = DatasetSplit.iroot(BigInt(x), n)
+        assert(r.pow(n) <= BigInt(x), s"iroot($x,$n)=$r overshoots")
+        assert((r + 1).pow(n) > BigInt(x), s"iroot($x,$n)=$r undershoots")
+      }
+    val counts = Map("big" -> 1000000L, "small" -> 100L)
+    val w = DatasetSplit.temperatureWeights(counts) // α = 1/2
+    assert(w("big") == 1000 && w("small") == 10,
+      "sqrt temperature: 10000:1 becomes 100:1")
+    val w34 = DatasetSplit.temperatureWeights(counts, 3, 4)
+    assert(w34("big").toDouble / w34("small") > 100.0 &&
+      w34("big").toDouble / w34("small") < 10000.0,
+      "α=3/4 sits between sqrt and identity")
+    // zero-count groups vanish; a 1-count group still gets weight 1
+    assert(DatasetSplit.temperatureWeights(Map("z" -> 0L, "one" -> 1L)) ==
+      Map("one" -> 1))
+  }
+
+  test("recallAtK: exact integer hit counts, duplicate-safe approx input") {
+    import org.apache.spark.sql.functions.col
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("q_id", "n_id")
+    // approx contains a duplicate row and an extra non-exact neighbor
+    val approx = Seq((1L, 10L), (1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L))
+      .toDF("q_id", "n_id")
+    val got = graft.operators.SimilaritySearch.recallAtK(exact, approx)
+      .select(col("q_id"), col("n_exact"), col("n_hit"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, e, h) => q -> (e, h) }.toMap
+    assert(got(1L) == (3L, 1L), "one of three exact neighbors recovered")
+    assert(got(2L) == (2L, 2L), "perfect recall for query 2")
+  }
+
   test("deterministicShuffle: (shard, pos) is a dense per-shard numbering, " +
     "stable under repartition, and seed changes the permutation") {
     import org.apache.spark.sql.functions.col
