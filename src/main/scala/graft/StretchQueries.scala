@@ -997,6 +997,25 @@ object StretchQueries {
           col("lang")),
         "text", "lang").select(col("doc_id"), col("lang"))),
 
+    // third curation composition, this round's stages end-to-end:
+    // Gopher rules (minus r_stop — synthetic text has no English stop
+    // words) → α=1/2 temperature rebalance over lang → deterministic
+    // epoch shuffle. Every stage is exact-integer/md5 arithmetic, so
+    // the full composition oracles
+    "q_pipe_curate3" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val passing = graft.operators.QualityRules.gopherFilter(
+        docs, "text", "doc_id",
+        rules = graft.operators.QualityRules.allRules
+          .filterNot(_ == "r_stop"))
+      val bal = graft.operators.DatasetSplit
+        .rebalanceTemperature(passing, "text", "lang")
+      graft.operators.DatasetSplit
+        .deterministicShuffle(bal, "doc_id", "ep0", nShards = 4)
+        .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+    }),
+
     // ANN evaluation harness: recall@5 of a half-corpus search vs the
     // full-corpus truth — a deterministic construction both engines
     // replay exactly (integer hit counts, no recall division)
@@ -1073,6 +1092,58 @@ object StretchQueries {
       ("q_v_topk_pq" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq_idx" -> oracleSqlMap("q_v_topk")) +
       ("q_ev_sessions_et" -> oracleSqlMap("q_ev_sessions"))
+
+  /** The q_t_gopher report, shared so compositions can CTE it. */
+  private lazy val gopherReportSql: String =
+    (s"""WITH src AS (SELECT doc_id, coalesce(text, '') AS text
+         |  FROM documents),
+         |m AS (SELECT doc_id, $tokensSql AS tk,
+         |  list_filter(list_transform(string_split(text, chr(10)),
+         |    x -> trim(x)), x -> length(x) > 0) AS ln,
+         |  (length(text) - length(replace(text, '#', ''))) +
+         |  (length(text) - length(replace(text, '…', ''))) +
+         |  ((length(replace(text, '…', '')) -
+         |    length(regexp_replace(replace(text, '…', ''),
+         |      '\\.\\.\\.', '', 'g'))) // 3) AS symbols
+         |  FROM src),
+         |a AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  CAST(len(ln) AS BIGINT) AS n_lines,
+         |  coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+         |    AS sumlen,
+         |  symbols,
+         |  len(list_filter(ln, x -> starts_with(x, '-')
+         |    OR starts_with(x, '*') OR starts_with(x, '•'))) AS bullets,
+         |  len(list_filter(ln, x -> ends_with(x, '...')
+         |    OR ends_with(x, '…'))) AS ellipses,
+         |  len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+         |  len(list_intersect(tk, ['the', 'be', 'to', 'of', 'and',
+         |    'that', 'have', 'with'])) AS stops,
+         |  len(list_distinct(ln)) AS ndistinct
+         |  FROM m)
+         |SELECT doc_id, n_words, n_lines,
+         |  (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+         |  (n_words > 0 AND sumlen >= n_words * 3
+         |    AND sumlen <= n_words * 10) AS r_meanlen,
+         |  (n_words > 0 AND symbols * 10 <= n_words) AS r_symbol,
+         |  (n_lines = 0 OR bullets * 10 <= n_lines * 9) AS r_bullet,
+         |  (n_lines = 0 OR ellipses * 10 <= n_lines * 3) AS r_ellipsis,
+         |  (n_words > 0 AND alpha * 10 >= n_words * 8) AS r_alpha,
+         |  (stops >= 2) AS r_stop,
+         |  (n_lines = 0 OR (n_lines - ndistinct) * 10 <= n_lines * 3)
+         |    AS r_dupline,
+         |  ((n_words >= 50 AND n_words <= 100000)
+         |    AND (n_words > 0 AND sumlen >= n_words * 3
+         |      AND sumlen <= n_words * 10)
+         |    AND (n_words > 0 AND symbols * 10 <= n_words)
+         |    AND (n_lines = 0 OR bullets * 10 <= n_lines * 9)
+         |    AND (n_lines = 0 OR ellipses * 10 <= n_lines * 3)
+         |    AND (n_words > 0 AND alpha * 10 >= n_words * 8)
+         |    AND (stops >= 2)
+         |    AND (n_lines = 0 OR (n_lines - ndistinct) * 10 <= n_lines * 3))
+         |    AS pass
+         |FROM a""".stripMargin)
+        .replaceAll(raw"\s+", " ")
 
   private lazy val oracleSqlMap: Map[String, String] = Map(
     "q_t_token_count" ->
@@ -1699,55 +1770,37 @@ object StretchQueries {
 
     // every Gopher rule replayed as exact integer cross-products over
     // the same tokenization/line split
-    "q_t_gopher" ->
-      (s"""WITH src AS (SELECT doc_id, coalesce(text, '') AS text
-         |  FROM documents),
-         |m AS (SELECT doc_id, $tokensSql AS tk,
-         |  list_filter(list_transform(string_split(text, chr(10)),
-         |    x -> trim(x)), x -> length(x) > 0) AS ln,
-         |  (length(text) - length(replace(text, '#', ''))) +
-         |  (length(text) - length(replace(text, '…', ''))) +
-         |  ((length(replace(text, '…', '')) -
-         |    length(regexp_replace(replace(text, '…', ''),
-         |      '\\.\\.\\.', '', 'g'))) // 3) AS symbols
-         |  FROM src),
-         |a AS (SELECT doc_id,
-         |  CAST(len(tk) AS BIGINT) AS n_words,
-         |  CAST(len(ln) AS BIGINT) AS n_lines,
-         |  coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
-         |    AS sumlen,
-         |  symbols,
-         |  len(list_filter(ln, x -> starts_with(x, '-')
-         |    OR starts_with(x, '*') OR starts_with(x, '•'))) AS bullets,
-         |  len(list_filter(ln, x -> ends_with(x, '...')
-         |    OR ends_with(x, '…'))) AS ellipses,
-         |  len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS alpha,
-         |  len(list_intersect(tk, ['the', 'be', 'to', 'of', 'and',
-         |    'that', 'have', 'with'])) AS stops,
-         |  len(list_distinct(ln)) AS ndistinct
-         |  FROM m)
-         |SELECT doc_id, n_words, n_lines,
-         |  (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
-         |  (n_words > 0 AND sumlen >= n_words * 3
-         |    AND sumlen <= n_words * 10) AS r_meanlen,
-         |  (n_words > 0 AND symbols * 10 <= n_words) AS r_symbol,
-         |  (n_lines = 0 OR bullets * 10 <= n_lines * 9) AS r_bullet,
-         |  (n_lines = 0 OR ellipses * 10 <= n_lines * 3) AS r_ellipsis,
-         |  (n_words > 0 AND alpha * 10 >= n_words * 8) AS r_alpha,
-         |  (stops >= 2) AS r_stop,
-         |  (n_lines = 0 OR (n_lines - ndistinct) * 10 <= n_lines * 3)
-         |    AS r_dupline,
-         |  ((n_words >= 50 AND n_words <= 100000)
-         |    AND (n_words > 0 AND sumlen >= n_words * 3
-         |      AND sumlen <= n_words * 10)
-         |    AND (n_words > 0 AND symbols * 10 <= n_words)
-         |    AND (n_lines = 0 OR bullets * 10 <= n_lines * 9)
-         |    AND (n_lines = 0 OR ellipses * 10 <= n_lines * 3)
-         |    AND (n_words > 0 AND alpha * 10 >= n_words * 8)
-         |    AND (stops >= 2)
-         |    AND (n_lines = 0 OR (n_lines - ndistinct) * 10 <= n_lines * 3))
-         |    AS pass
-         |FROM a""".stripMargin)
+    "q_t_gopher" -> gopherReportSql,
+
+    // the three stages CTE'd in sequence: rule filter (minus r_stop) →
+    // temperature rates over the survivors → md5 shard/pos
+    "q_pipe_curate3" ->
+      (s"""WITH rep AS ($gopherReportSql),
+         |g AS (SELECT d.doc_id, d.text, d.lang FROM documents d
+         |  JOIN rep ON d.doc_id = rep.doc_id
+         |  WHERE rep.r_wordcount AND rep.r_meanlen AND rep.r_symbol
+         |    AND rep.r_bullet AND rep.r_ellipsis AND rep.r_alpha
+         |    AND rep.r_dupline),
+         |counts AS (SELECT lang, count(*) AS n FROM g
+         |  WHERE lang IS NOT NULL GROUP BY lang),
+         |tw AS (SELECT lang, n,
+         |  greatest(CAST(floor(sqrt(n)) AS BIGINT), 1) AS wt FROM counts),
+         |c AS (SELECT min((n * 1048576) // wt) AS c FROM tw),
+         |r AS (SELECT lang,
+         |  LEAST(256, (256 * wt * (SELECT c FROM c)) // (n * 1048576))
+         |  AS rate FROM tw),
+         |bal AS (SELECT g2.doc_id, g2.lang
+         |  FROM (SELECT doc_id, lang, $mixBucketSql AS bucket FROM g) g2
+         |  JOIN r ON g2.lang = r.lang WHERE g2.bucket < r.rate),
+         |h AS (SELECT doc_id, lang,
+         |  md5('ep0:' || CAST(doc_id AS VARCHAR)) AS k FROM bal),
+         |sh AS (SELECT doc_id, lang, k, CAST((
+         |  (strpos('0123456789abcdef', substr(k, 1, 1)) - 1) * 16 +
+         |  (strpos('0123456789abcdef', substr(k, 2, 1)) - 1)) % 4 AS INT)
+         |  AS shard FROM h)
+         |SELECT doc_id, lang, shard, CAST(row_number() OVER (
+         |  PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+         |FROM sh""".stripMargin)
         .replaceAll(raw"\s+", " "),
 
     // benchmark-matching windows → coverage union → excision, same

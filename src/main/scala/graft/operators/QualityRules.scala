@@ -96,11 +96,24 @@ object QualityRules {
           col("r_stop") && col("r_dupline"))
   }
 
-  /** The corpus filtered to passing documents — the composable form. */
-  def gopherFilter(df: DataFrame, textCol: String,
-                   idCol: String): DataFrame =
+  /** The rule columns [[gopherReport]] emits, in report order. */
+  val allRules: Seq[String] = Seq("r_wordcount", "r_meanlen", "r_symbol",
+    "r_bullet", "r_ellipsis", "r_alpha", "r_stop", "r_dupline")
+
+  /** The corpus filtered to documents passing the selected rules —
+    * the composable form. Real pipelines tune the rule subset to the
+    * corpus (e.g. r_stop assumes English running text and would zero
+    * out a code or non-English corpus); the default is the full
+    * battery.
+    */
+  def gopherFilter(df: DataFrame, textCol: String, idCol: String,
+                   rules: Seq[String] = allRules): DataFrame = {
+    require(rules.nonEmpty && rules.forall(allRules.contains),
+      s"rules must be a nonempty subset of $allRules, got $rules")
     df.join(gopherReport(df, textCol, idCol)
-      .filter(col("pass")).select(col(idCol)), Seq(idCol), "left_semi")
+      .filter(rules.map(col).reduce(_ && _)).select(col(idCol)),
+      Seq(idCol), "left_semi")
+  }
 
   private def intCount(arr: Column, p: Column => Column): Column =
     size(filter(arr, p)).cast("long")
