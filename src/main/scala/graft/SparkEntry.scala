@@ -882,8 +882,11 @@ object SparkEntry {
       // between the two writes rebuilds (marker lands only after
       // both), and a REGENERATED source at the same path rebuilds too
       // (marker mtime vs newest source file)
+      // fingerprint "stats-names-v2": the manifest format changed from
+      // absolute input_file_name() URIs to table-relative names — a
+      // cached artifact with the old manifest must rebuild
       val scratch = graft.engine.Scratch.ensure(s, "skip",
-        s"$dir/lineitem.parquet") { out =>
+        s"$dir/lineitem.parquet", "stats-names-v2") { out =>
         val path = s"$out/li"
         graft.engine.Layout.writeRangeSorted(
           t(s, dir, "lineitem")

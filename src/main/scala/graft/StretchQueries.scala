@@ -848,8 +848,11 @@ object StretchQueries {
       // staged once per source (Scratch staleness contract): the
       // operator under measurement is the streaming dedup, not the
       // double-write of its input
+      // fingerprint "ts-ltz-v2": a stage built before loadEvents
+      // normalized TIMESTAMP_NTZ carries an NTZ ts the watermark
+      // rejects — rebuild it through the fixed loader
       val staged = graft.engine.Scratch.ensure(s, "dedup-stream",
-        s"$dir/events.parquet") { out =>
+        s"$dir/events.parquet", "ts-ltz-v2") { out =>
         val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"))

@@ -15,10 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       // drop any previous run's output FIRST: a failing query must
-      // surface as a missing dir in the compare, never as a stale
-      // (silently passing) result from an earlier run
+      // never surface as a stale (silently passing) result from an
+      // earlier run
       val out = new java.io.File(s"$outDir/$name")
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
@@ -28,7 +29,24 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A broken query must be a RED ROW in the correctness
+        // artifact, never a silently missing key (round 7: three
+        // regressions were invisible in CORRECTNESS_r07 and only
+        // surfaced via the bench's stderr). Writing a sentinel result
+        // whose schema can never match any oracle guarantees the
+        // driver's compare records the failure; errors.json carries
+        // the full diagnostic.
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("__graft_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(
+            s"[verify] $name: sentinel write also failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -46,6 +64,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -108,6 +108,14 @@ object Layout {
     * full overwrites, so staleness is all-or-nothing — a stale
     * manifest names files that no longer exist and fails loudly, never
     * silently wrong).
+    *
+    * The manifest stores file NAMES, not absolute paths, and readers
+    * resolve them against the table path they were handed. Absolute
+    * `input_file_name()` URIs freeze the BUILD location into the
+    * artifact — a table built in a staging directory and renamed into
+    * place (the build-then-publish pattern every atomic writer uses,
+    * including [[Scratch.ensureAt]]) would carry a manifest full of
+    * paths that no longer exist.
     */
   def writeFileStats(spark: org.apache.spark.sql.SparkSession,
                      tablePath: String, cols: Seq[String]): Unit = {
@@ -115,7 +123,7 @@ object Layout {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     spark.read.parquet(tablePath)
-      .groupBy(input_file_name().as("file"))
+      .groupBy(regexp_replace(input_file_name(), "^.*/", "").as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(statsPath(tablePath))
@@ -136,11 +144,14 @@ object Layout {
     import org.apache.spark.sql.functions._
     val stats = spark.read.parquet(statsPath(tablePath))
     // file list = driver metadata, same category as the planner's own
-    // file listing; one row per file by construction
+    // file listing; one row per file by construction. Names resolve
+    // against the CURRENT table path (see writeFileStats: the
+    // manifest is location-independent by design).
     val files = stats
       .filter(col(s"max_$colName") >= lit(lo) &&
         col(s"min_$colName") <= lit(hi))
-      .select(col("file")).collect().map(_.getString(0))
+      .select(col("file")).collect()
+      .map(r => s"$tablePath/${r.getString(0)}")
     val pred = col(colName).between(lit(lo), lit(hi))
     if (files.isEmpty)
       // full-table relation ONLY here (schema for the empty result):

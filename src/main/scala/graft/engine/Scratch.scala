@@ -153,16 +153,21 @@ object Scratch {
 
   /** Return a scratch directory for (`tag`, `sourcePath`), running
     * `build` first iff the artifact is missing, half-built (no marker:
-    * a crash mid-build rebuilds), or older than the newest source
-    * file. `build` writes into the directory it is handed; the
-    * `_GRAFT_READY` marker lands after it returns.
+    * a crash mid-build rebuilds), older than the newest source
+    * file, or carrying a different `fingerprint`. Bump the
+    * fingerprint whenever the ARTIFACT FORMAT changes — a
+    * format-incompatible cached artifact from an older build is
+    * otherwise indistinguishable from a fresh one. `build` writes
+    * into the directory it is handed; the `_GRAFT_READY` marker lands
+    * after it returns.
     */
-  def ensure(spark: SparkSession, tag: String, sourcePath: String)
+  def ensure(spark: SparkSession, tag: String, sourcePath: String,
+             fingerprint: String = "")
             (build: String => Unit): String = {
     val root = spark.conf.get("graft.scratch.dir",
       System.getProperty("java.io.tmpdir"))
     val dir = s"$root/graft-scratch/${tag}_" + encode(sourcePath)
-    ensureAt(spark, dir, sourcePath)(build)
+    ensureAt(spark, dir, sourcePath, fingerprint)(build)
     dir
   }
 }

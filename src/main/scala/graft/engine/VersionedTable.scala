@@ -127,10 +127,17 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
       .sorted
   }
 
-  /** Committed (claim + data both present) versions, ascending. */
+  /** Committed (claim + data both present) versions, ascending.
+    * Versions at or below the vacuum watermark are RETIRED — hidden
+    * even if their files still exist (the crash window of
+    * [[compactAppend]]'s cleanup, where retired generations' rows
+    * already live inside the squashed generation and counting both
+    * would duplicate them).
+    */
   def versions: Seq[Long] = {
     val f = fs
-    listNumbers(claimsDir).filter(n => f.exists(genPath(n)))
+    val floor = vacuumedWatermark.getOrElse(-1L)
+    listNumbers(claimsDir).filter(n => n > floor && f.exists(genPath(n)))
   }
 
   def latestVersion: Option[Long] = versions.lastOption
@@ -211,7 +218,8 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     * claim-ledger protocol but a different read contract.
     */
   private[graft] def commitBatchAs(mode: String, batchId: Long,
-                                   df: DataFrame): Boolean = {
+                                   df: DataFrame,
+                                   beforeRename: () => Unit = () => ()): Boolean = {
     require(batchId >= 0, s"batchId must be non-negative: $batchId")
     ensureMode(mode)
     val f = fs
@@ -223,9 +231,22 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     if (batchId <= vacuumedWatermark.getOrElse(-1L)) return false
     if (f.exists(claimPath(batchId)) && f.exists(genPath(batchId)))
       return false // fully committed — skip BEFORE paying the write
-    val staging = new Path(stagingDir,
-      java.util.UUID.randomUUID().toString)
+    // The winner is decided by an OWNERSHIP TOKEN read back after the
+    // rename, never by the rename's return value: on Hadoop's local
+    // FS, rename(src, dst) with dst an existing directory moves src
+    // INSIDE dst and returns true, so two racers completing the same
+    // batch could both "win" (observed: RobustnessSpec got
+    // Vector(true, true) — a double-commit under a foreachBatch task
+    // retry). The `_WRITER` file travels with the data through the
+    // rename; whoever's id is at `genPath/_WRITER` afterwards owns
+    // the commit, and exactly one writer can (the first rename CREATES
+    // genPath; every later rename either fails (HDFS: dst exists) or
+    // nests under it (local FS) without touching the winner's marker).
+    val writerId = java.util.UUID.randomUUID().toString
+    val staging = new Path(stagingDir, writerId)
     df.write.mode("overwrite").parquet(staging.toString)
+    val tok = f.create(new Path(staging, "_WRITER"), true)
+    tok.write(writerId.getBytes("UTF-8")); tok.close()
     try {
       try f.create(claimPath(batchId), false).close()
       catch {
@@ -235,15 +256,34 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
         // check below) or an orphan we are about to complete
       }
       if (f.exists(genPath(batchId))) false
-      else if (f.rename(staging, genPath(batchId))) true // atomic commit
-      else if (f.exists(genPath(batchId))) false // lost the completion race
-      else
-        // a rename that failed with NO committed data is a genuine IO
-        // error — returning false here would let the streaming
-        // checkpoint advance past a batch that never landed
-        throw new java.io.IOException(
-          s"commitBatch($batchId): rename $staging -> " +
-            s"${genPath(batchId)} failed with no committed data")
+      else {
+        // test seam: lets RobustnessSpec park BOTH racers here (past
+        // the exists check, before the rename) and prove the
+        // ownership token still picks exactly one winner — the TOCTOU
+        // window is otherwise sub-microsecond and untestable
+        beforeRename()
+        val renamed = f.rename(staging, genPath(batchId))
+        val owner = readSmallFile(new Path(genPath(batchId), "_WRITER"))
+        if (renamed && owner.contains(writerId)) true // sole committer
+        else {
+          // lost: another writer published between our exists check
+          // and rename. Local-FS semantics may have nested OUR staging
+          // inside the winner's dir — remove it so the committed
+          // generation holds exactly the winner's files (a transient
+          // nested dir is invisible to parquet readers either way:
+          // non-data subdirs are not scanned).
+          val nested = new Path(genPath(batchId), staging.getName)
+          if (f.exists(nested)) f.delete(nested, true)
+          if (f.exists(genPath(batchId))) false // batch IS committed
+          else
+            // rename failed and nothing is committed — a genuine IO
+            // error; returning false would let the streaming
+            // checkpoint advance past a batch that never landed
+            throw new java.io.IOException(
+              s"commitBatch($batchId): rename $staging -> " +
+                s"${genPath(batchId)} failed with no committed data")
+        }
+      }
     } finally {
       if (f.exists(staging)) f.delete(staging, true)
     }
@@ -312,6 +352,124 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     val bytes = fs.listStatus(genPath(v)).toSeq
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     (v, math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt)
+  }
+
+  /** Append-mode maintenance: fold every generation ≤ `upTo` into ONE
+    * rewritten generation at id `upTo`, sized to `targetFileBytes`
+    * files, optionally dropping rows via `keep` (signature retirement:
+    * pass an anti-join on deleted ids). This is the LSM squash an
+    * unbounded [[commitBatch]] ledger needs — at daily increments the
+    * generation list is thousands of small files within a quarter, and
+    * every [[readAll]]/[[readThrough]] pays an open per file.
+    *
+    * Semantics after the squash:
+    *  - `readAll()` is unchanged (minus `keep`-dropped rows): the
+    *    squashed generation holds exactly the union of the folded ones;
+    *  - batches ≤ `upTo − 1` are RETIRED: the vacuum watermark
+    *    advances, so a checkpoint-reset replay of one reads "already
+    *    committed" ([[commitBatch]] returns false) rather than
+    *    re-landing rows the squash already holds;
+    *  - `readThrough(n)` for n ≥ `upTo` still answers exactly;
+    *    n < `upTo` now fails loudly — same contract as vacuum
+    *    breaking old time travel. Pick `upTo` at or below the
+    *    consumers' replay horizon (the streaming checkpoint's
+    *    committed epoch), exactly like choosing a Delta vacuum
+    *    retention.
+    *
+    * Crash safety: the squash builds in a `.new` sibling, the live
+    * generation moves aside to `.old`, the `.new` renames in, the
+    * watermark advances, THEN old generations delete — every
+    * intermediate state is recognized and completed by
+    * [[recoverCompaction]] (run automatically at the next
+    * compactAppend; run it explicitly after a crash before trusting
+    * reads). Concurrent APPENDS of batches > `upTo` are safe
+    * throughout; concurrent readers can transiently see the table
+    * without the squashing generation (between the two renames) —
+    * run maintenance quiesced or retry the read, as with any
+    * plain-filesystem table format.
+    */
+  def compactAppend(upTo: Long,
+                    targetFileBytes: Long = 128L * 1024 * 1024,
+                    keep: Option[DataFrame => DataFrame] = None): Long = {
+    modeMarker.foreach(m => require(m == "append",
+      s"compactAppend on a '$m'-mode table at $basePath: use compact/" +
+        "vacuum — squashing snapshots would union duplicate rows"))
+    recoverCompaction()
+    val f = fs
+    val vs = versions
+    require(vs.contains(upTo), s"version $upTo is not committed at $basePath")
+    val below = vs.filter(_ < upTo)
+    if (below.isEmpty && keep.isEmpty) return upTo // nothing to fold
+    val union = keep.fold(readThrough(upTo))(_(readThrough(upTo)))
+    val bytes = (below :+ upTo).map(n => f.listStatus(genPath(n)).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum).sum
+    val nFiles = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val newP = genAux(upTo, "new")
+    val oldP = genAux(upTo, "old")
+    f.delete(newP, true)
+    union.coalesce(nFiles).write.mode("overwrite").parquet(newP.toString)
+    if (!f.rename(genPath(upTo), oldP))
+      throw new java.io.IOException(
+        s"compactAppend($upTo): could not move ${genPath(upTo)} aside")
+    if (!f.rename(newP, genPath(upTo)))
+      throw new java.io.IOException(
+        s"compactAppend($upTo): could not publish $newP " +
+          "(recoverCompaction will complete it)")
+    finishSquash(upTo)
+    upTo
+  }
+
+  private def genAux(n: Long, suffix: String) =
+    new Path(genDir, f"$n%06d.$suffix")
+
+  /** Complete a [[compactAppend]] interrupted at any point — each
+    * crash state is distinguishable from the `.new`/`.old` siblings:
+    * squash built but unpublished (discard it; rebuildable), crashed
+    * between the renames (publish `.new`, then finish), crashed
+    * before cleanup (finish: advance watermark, drop folded
+    * generations). Idempotent; cheap (one directory listing) when
+    * there is nothing to recover.
+    */
+  def recoverCompaction(): Unit = {
+    val f = fs
+    if (!f.exists(genDir)) return
+    val names = f.listStatus(genDir).map(_.getPath.getName).toSeq
+    def numOf(name: String, suf: String): Option[Long] =
+      scala.util.Try(name.stripSuffix(suf).toLong).toOption
+    names.filter(_.endsWith(".new")).foreach { name =>
+      numOf(name, ".new").foreach { n =>
+        if (f.exists(genPath(n)) && !f.exists(genAux(n, "old")))
+          f.delete(genAux(n, "new"), true) // unpublished squash: discard
+        else if (!f.exists(genPath(n))) {
+          if (!f.rename(genAux(n, "new"), genPath(n)))
+            throw new java.io.IOException(
+              s"recoverCompaction: could not publish ${genAux(n, "new")}")
+          finishSquash(n)
+        }
+      }
+    }
+    names.filter(_.endsWith(".old")).foreach { name =>
+      numOf(name, ".old").foreach { n =>
+        if (f.exists(genPath(n)) && !f.exists(genAux(n, "new")))
+          finishSquash(n) // published but not cleaned up
+      }
+    }
+  }
+
+  /** Post-publish tail of a squash: retire the folded generations
+    * (watermark FIRST — the retired rows are inside the squash, and a
+    * replay of a folded batch must read "already committed" even if a
+    * crash interrupts the deletes), then drop their files.
+    */
+  private def finishSquash(n: Long): Unit = {
+    val f = fs
+    advanceVacuumWatermark(n - 1)
+    f.delete(genAux(n, "old"), true)
+    listNumbers(claimsDir).filter(_ < n).foreach { m =>
+      f.delete(genPath(m), true)
+      f.delete(claimPath(m), false)
+    }
   }
 
   /** Drop all but the newest `keepLast` committed versions (plus any

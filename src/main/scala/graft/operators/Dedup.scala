@@ -782,6 +782,38 @@ object Dedup {
     } finally cands.unpersist(blocking = false)
   }
 
+  /** Maintenance for [[incrementalNearDups]]'s signature index: fold
+    * every per-batch generation ≤ `upTo` into one size-targeted
+    * generation and retire `retiredIds`' signatures (documents deleted
+    * from the corpus must stop matching future increments — their
+    * shingle sets are dead weight in every band join). At daily
+    * increments the unbounded ledger is thousands of small files
+    * within a quarter; this is the nightly OPTIMIZE that keeps the
+    * old-side scan columnar and few-file.
+    *
+    * Exactness contract (DedupSpec): for any later batch, the
+    * candidate set and verified pairs computed against the compacted
+    * index equal those against the uncompacted one minus pairs
+    * involving retired ids — the squash preserves (id, shingle_set,
+    * sig) rows verbatim, and banding is a pure function of `sig`.
+    * Replays of batches ≤ `upTo − 1` read "already committed"; pick
+    * `upTo` at the streaming checkpoint's committed horizon.
+    */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, upTo: Long = -1L,
+                            retiredIds: Option[DataFrame] = None,
+                            targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val vt = new graft.engine.VersionedTable(spark, s"$indexPath/sigs")
+    val n = if (upTo < 0) vt.latestVersion.getOrElse(
+      throw new IllegalStateException(s"no signature index at $indexPath"))
+    else upTo
+    val keep = retiredIds.map { r => (df: DataFrame) =>
+      df.join(r.select(col(r.columns.head).as("id")).distinct(),
+        Seq("id"), "left_anti")
+    }
+    vt.compactAppend(n, targetFileBytes, keep)
+  }
+
   // ── Benchmark decontamination ───────────────────────────────────────
 
   /** Ids of corpus documents sharing at least one word-k-shingle with

@@ -443,4 +443,70 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("never be compared"))
   }
+
+  test("compactSignatureIndex: a later increment computes the SAME pairs " +
+    "against the compacted index, with a smaller ledger; retired ids " +
+    "stop matching") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.union(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    def batch(i: Int) =
+      planted.filter(pmod(xxhash64(col("doc_id")), lit(4)) === i)
+    def fileCount(idx: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$idx/sigs/_gen")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = f.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sigcompact").toString
+    val control = s"$root/control"
+    val compacted = s"$root/compacted"
+    (0 to 2).foreach { i =>
+      Seq(control, compacted).foreach(idx =>
+        Dedup.incrementalNearDups(batch(i), "text", "doc_id", idx,
+          batchId = i, threshold = 0.5))
+    }
+    val filesBefore = fileCount(compacted)
+    Dedup.compactSignatureIndex(spark, compacted, upTo = 2L)
+    assert(fileCount(compacted) < filesBefore,
+      s"squash must shrink the ledger: $filesBefore -> ${fileCount(compacted)}")
+    assert(new graft.engine.VersionedTable(spark, s"$compacted/sigs")
+      .versions == Seq(2L))
+    // exactness: batch 3 sees identical pairs through either index —
+    // the squash preserved (id, shingle_set, sig) rows verbatim
+    def run(idx: String) =
+      Dedup.incrementalNearDups(batch(3), "text", "doc_id", idx,
+          batchId = 3, threshold = 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val viaControl = run(control)
+    val viaCompacted = run(compacted)
+    assert(viaCompacted == viaControl,
+      s"compacted-only=${viaCompacted -- viaControl}, " +
+        s"control-only=${viaControl -- viaCompacted}")
+    assert(viaControl.nonEmpty, "vacuous equivalence: no pairs at all")
+
+    // retirement: drop one side of a known near-dup pair from a THIRD
+    // index — the retired id must stop forming pairs with new arrivals
+    val retire = s"$root/retire"
+    val text = "the quick brown fox jumps over the lazy dog again today"
+    Dedup.incrementalNearDups(
+      Seq((1L, text), (4L, "unrelated text about engines and data"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", retire, batchId = 0, threshold = 0.9)
+    Dedup.compactSignatureIndex(spark, retire, upTo = 0L,
+      retiredIds = Some(Seq(1L).toDF("doc_id")))
+    val after = Dedup.incrementalNearDups(
+      Seq((9L, text)).toDF("doc_id", "text"),
+      "text", "doc_id", retire, batchId = 1, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(after.isEmpty,
+      s"retired id 1 must not match new arrivals, got $after")
+  }
 }

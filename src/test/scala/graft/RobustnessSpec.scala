@@ -112,4 +112,45 @@ class RobustnessSpec extends SparkSpec {
         .as[(Int, Long)].collect().forall(_._2 == 1))
     } finally pool.shutdown()
   }
+
+  test("batch-commit TOCTOU, pinned: both racers past the exists check, " +
+    "both rename, exactly one owns the commit") {
+    // The natural race window (exists(genPath) → rename) is
+    // sub-microsecond, so a free-running race passes even under the
+    // round-7 double-commit bug. The beforeRename seam parks BOTH
+    // writers at the window's edge: both provably pass the exists
+    // check, both call rename (local-FS semantics move the loser's
+    // staging INSIDE the winner's dir and return true), and the
+    // ownership token must still certify exactly one. 20 rounds —
+    // the pre-fix code fails this every round, not probabilistically.
+    val t = new VersionedTable(spark, tmpDir("graft-race-pin") + "/t")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      (1 to 20).foreach { round =>
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val fs = (0 until 2).map { w =>
+          scala.concurrent.Future {
+            t.commitBatchAs("append", round.toLong,
+              Seq((round, w)).toDF("r", "writer"),
+              beforeRename = () => { barrier.await(60,
+                java.util.concurrent.TimeUnit.SECONDS); () })
+          }
+        }
+        val results = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fs),
+          scala.concurrent.duration.Duration(120, "s"))
+        assert(results.count(identity) == 1,
+          s"round $round: exactly one racer must win, got $results")
+      }
+      // every committed batch holds exactly ONE writer's row — no
+      // leftover nested staging dir, no unioned double data
+      val perBatch = t.readAll().groupBy(col("r")).count()
+        .as[(Int, Long)].collect()
+      assert(perBatch.length == 20)
+      assert(perBatch.forall(_._2 == 1),
+        s"batches with extra rows: ${perBatch.filter(_._2 != 1).toSeq}")
+    } finally pool.shutdown()
+  }
 }

@@ -201,4 +201,82 @@ class VersionedTableSpec extends SparkSpec {
     assert(avgSpanA < 977 * 0.7, s"a not clustered: avg span $avgSpanA")
     assert(avgSpanB < 997 * 0.7, s"b not clustered: avg span $avgSpanB")
   }
+
+  test("compactAppend: squash preserves the union, shrinks the ledger, " +
+    "retires folded batch ids, and later appends continue") {
+    val dir = tmpDir("vt-sq") + "/t"
+    val t = new VersionedTable(spark, dir)
+    (0 to 3).foreach(i => assert(t.commitBatch(i.toLong,
+      Seq((i, s"row$i")).toDF("k", "v"))))
+    val before = t.readAll().as[(Int, String)].collect().toSet
+    val filesBefore = fs(dir).listStatus(new Path(dir, "_gen")).length
+    assert(t.compactAppend(3L) == 3L)
+    assert(t.versions == Seq(3L), s"only the squash survives: ${t.versions}")
+    assert(t.readAll().as[(Int, String)].collect().toSet == before)
+    assert(fs(dir).listStatus(new Path(dir, "_gen")).length < filesBefore)
+    // folded batches are retired: a checkpoint-reset replay is a no-op
+    assert(!t.commitBatch(1L, Seq((99, "ghost")).toDF("k", "v")))
+    assert(t.readAll().as[(Int, String)].collect().toSet == before)
+    // the stream continues above the squash
+    assert(t.commitBatch(4L, Seq((4, "row4")).toDF("k", "v")))
+    assert(t.readAll().count() == 5)
+    // readThrough at/above the squash still answers; below fails loudly
+    assert(t.readThrough(3L).count() == 4)
+    intercept[IllegalArgumentException](t.readThrough(1L))
+  }
+
+  test("compactAppend with a keep filter drops retired rows from the " +
+    "squash") {
+    val t = new VersionedTable(spark, tmpDir("vt-sqk") + "/t")
+    (0 to 2).foreach(i => t.commitBatch(i.toLong,
+      Seq((i, s"row$i")).toDF("k", "v")))
+    t.compactAppend(2L, keep = Some(df => df.filter(col("k") =!= 1)))
+    assert(t.readAll().as[(Int, String)].collect().toSet ==
+      Set((0, "row0"), (2, "row2")))
+  }
+
+  test("recoverCompaction completes every crash state of a squash") {
+    import org.apache.hadoop.fs.Path
+    // S2: crashed between the two renames — .new built, live gen moved
+    // aside to .old, squash not yet published
+    val d2 = tmpDir("vt-rc2") + "/t"
+    val t2 = new VersionedTable(spark, d2)
+    (0 to 2).foreach(i => t2.commitBatch(i.toLong, Seq(i).toDF("k")))
+    val f2 = fs(d2)
+    val gen2 = new Path(d2, "_gen/000002")
+    t2.readThrough(2L).coalesce(1).write.parquet(d2 + "/_gen/000002.new")
+    assert(f2.rename(gen2, new Path(d2, "_gen/000002.old")))
+    t2.recoverCompaction()
+    assert(t2.versions == Seq(2L), s"S2 recovery: ${t2.versions}")
+    assert(t2.readAll().as[Int].collect().toSet == Set(0, 1, 2))
+    assert(!f2.exists(new Path(d2, "_gen/000002.old")))
+    assert(!t2.commitBatch(0L, Seq(99).toDF("k")), "folded batch retired")
+
+    // S3: crashed after publish, before cleanup — squash live, .old and
+    // the folded generations still on disk. The watermark hasn't
+    // advanced yet, so versions would double-count without recovery.
+    val d3 = tmpDir("vt-rc3") + "/t"
+    val t3 = new VersionedTable(spark, d3)
+    (0 to 2).foreach(i => t3.commitBatch(i.toLong, Seq(i).toDF("k")))
+    val f3 = fs(d3)
+    val gen3 = new Path(d3, "_gen/000002")
+    t3.readThrough(2L).coalesce(1).write.parquet(d3 + "/_gen/000002.tmp")
+    assert(f3.rename(gen3, new Path(d3, "_gen/000002.old")))
+    assert(f3.rename(new Path(d3, "_gen/000002.tmp"), gen3))
+    t3.recoverCompaction()
+    assert(t3.versions == Seq(2L), s"S3 recovery: ${t3.versions}")
+    assert(t3.readAll().as[Int].collect().toSet == Set(0, 1, 2))
+    assert(!f3.exists(new Path(d3, "_gen/000000")), "folded gens dropped")
+
+    // S1: crashed right after building .new — nothing moved; the squash
+    // is rebuildable and must simply be discarded
+    val d1 = tmpDir("vt-rc1") + "/t"
+    val t1 = new VersionedTable(spark, d1)
+    (0 to 1).foreach(i => t1.commitBatch(i.toLong, Seq(i).toDF("k")))
+    t1.readThrough(1L).coalesce(1).write.parquet(d1 + "/_gen/000001.new")
+    t1.recoverCompaction()
+    assert(!fs(d1).exists(new Path(d1, "_gen/000001.new")))
+    assert(t1.versions == Seq(0L, 1L), "S1 recovery must not retire anything")
+    assert(t1.readAll().as[Int].collect().toSet == Set(0, 1))
+  }
 }
