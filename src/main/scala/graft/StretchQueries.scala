@@ -767,6 +767,19 @@ object StretchQueries {
     "q_mm_decode_real" -> ((s, dir) =>
       Multimodal.decodeSyntheticMedia(s, t(s, dir, "documents"))),
 
+    // REAL pixel decode: PNG/JPEG payloads through the JDK's ImageIO —
+    // an actual compressed-image parse, not a header read; the oracle
+    // recomputes the id-derived dims (byte_len is deliberately absent:
+    // a compressed size isn't arithmetically predictable)
+    "q_mm_decode_img" -> ((s, dir) =>
+      Multimodal.decodeSyntheticImages(s, t(s, dir, "documents"))),
+
+    // real resize round-trip: decode → bilinear redraw at (w/2+1,
+    // h/2+1) → PNG re-encode → decode again; both codec directions and
+    // the resize geometry are on the oracle's hook
+    "q_mm_resize_img" -> ((s, dir) =>
+      Multimodal.resizeSyntheticImages(s, t(s, dir, "documents"))),
+
     // frame sampling over the decoded synthetic media: every 7th frame
     // index — the index plan is pure column math (scan-side explode),
     // the oracle recomputes it from the synthesis arithmetic
@@ -1562,6 +1575,21 @@ object StretchQueries {
          | CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE nf END AS INT) AS n_frames,
          | CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS format
          |FROM p""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // ImageIO gates: every reported column is id-arithmetic the oracle
+    // recomputes; the Spark side had to EARN them through a real
+    // compressed-image decode (and, for resize, a re-encode)
+    "q_mm_decode_img" ->
+      ("SELECT doc_id AS media_id, CAST(doc_id % 64 + 1 AS INT) AS width, " +
+        "CAST(doc_id % 48 + 1 AS INT) AS height, CAST(1 AS INT) AS n_frames, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END " +
+        "AS format FROM documents"),
+
+    "q_mm_resize_img" ->
+      ("SELECT doc_id AS media_id, " +
+        "CAST((doc_id % 64 + 1) // 2 + 1 AS INT) AS width, " +
+        "CAST((doc_id % 48 + 1) // 2 + 1 AS INT) AS height, " +
+        "'image/png' AS format FROM documents"),
 
     "q_mm_frames" ->
       ("""WITH f AS (SELECT doc_id AS media_id,

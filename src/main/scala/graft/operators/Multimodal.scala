@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * The Spark-side mechanics are real and tested — schema contract,
   * partition-wise batched iteration (the JVM shape of what
   * `mapInPandas` does in Python: amortize per-batch setup over
-  * `batchSize` rows), partitioning control. Decode is real for two
-  * container formats with pure-JVM header parsers (`HeaderCodec`):
-  * BMP (BITMAPINFOHEADER) and PCM WAV (RIFF/WAVE chunk walk); payloads
-  * neither parser recognizes fall back to the deterministic
-  * `StubCodec` fake, the stand-in for codecs whose libraries are not
-  * in this container (JPEG/PNG/MP4 would slot in the same way —
-  * swapping the sniffer changes no Spark plumbing).
+  * `batchSize` rows), partitioning control. Decode is REAL for four
+  * formats: PNG and JPEG through the JDK's `javax.imageio` full pixel
+  * path (`ImageIoCodec` — decode, bilinear resize, re-encode), BMP
+  * (BITMAPINFOHEADER) and PCM WAV (RIFF/WAVE chunk walk) through
+  * pure-JVM header parsers (`HeaderCodec`). Payloads no codec
+  * recognizes fall back to the deterministic `StubCodec` fake, the
+  * stand-in for containers whose libraries are genuinely absent
+  * (MP4/video would slot in the same way — swapping the sniffer
+  * changes no Spark plumbing).
   *
   * Scale notes:
   *  - decode is embarrassingly parallel; the operator neither shuffles
@@ -126,6 +128,96 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec via the JDK's `javax.imageio` — PNG and JPEG
+    * readers/writers ship with every JVM (java.desktop), so this is a
+    * genuine full-pixel decode with zero external dependencies. Sniff
+    * is strict magic-byte matching (PNG signature / JPEG SOI), so
+    * arbitrary payloads never reach `ImageIO.read`; a payload whose
+    * magic matches but whose body is corrupt decodes to null and falls
+    * through to the caller's fallback.
+    *
+    * At scale the shape is identical to the header codec: decode is
+    * per-row CPU work inside `mapPartitions`, no shuffle, no driver
+    * involvement — executor-local codec work, the JVM equivalent of a
+    * Pandas-UDF decode stage.
+    */
+  object ImageIoCodec {
+    def sniff(b: Array[Byte]): Option[String] =
+      if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P'.toByte &&
+        b(2) == 'N'.toByte && b(3) == 'G'.toByte) Some("image/png")
+      else if (b.length >= 3 && (b(0) & 0xFF) == 0xFF &&
+        (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF) Some("image/jpeg")
+      else None
+
+    /** `Some(width, height, format)` from a full `ImageIO` pixel
+      * decode of a PNG/JPEG payload; None for other formats or a
+      * corrupt body (ImageIO signals corruption BOTH ways — null for
+      * an unclaimed stream, IIOException for a claimed-then-broken
+      * one — and a decode ladder must fall through on either, never
+      * crash the task on one malformed row).
+      */
+    def decode(b: Array[Byte]): Option[(Int, Int, String)] =
+      sniff(b).flatMap { fmt =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b))
+          if (img == null) None else Some((img.getWidth, img.getHeight, fmt))
+        } catch { case _: java.io.IOException => None }
+      }
+
+    /** Deterministic synthetic image: dims + a seed-derived pixel ramp
+      * (content matters to no oracle, but non-constant pixels keep
+      * JPEG's DCT path honest).
+      */
+    def synth(width: Int, height: Int, seed: Long, jpeg: Boolean): Array[Byte] = {
+      require(width > 0 && height > 0, "image dims must be positive")
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, (((x * 31 + y * 17 + seed) & 0xFFFFFF)).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      encode(img, if (jpeg) "jpg" else "png")
+    }
+
+    /** Real resize: full decode, Graphics2D bilinear redraw at the
+      * target dims, re-encode as PNG (lossless keeps the resized gate
+      * exact). None if the payload isn't a decodable PNG/JPEG.
+      */
+    def resize(b: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+      require(w > 0 && h > 0, "resize dims must be positive")
+      val src =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        catch { case _: java.io.IOException => null }
+      if (src == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        Some(encode(dst, "png"))
+      }
+    }
+
+    private def encode(img: java.awt.image.BufferedImage,
+                       fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, out),
+        s"no JDK ImageIO writer for '$fmt'")
+      out.toByteArray
+    }
+  }
+
   /** Deterministic synthesizers for the two real formats — the
     * write-side inverse of `HeaderCodec`, used by specs and the
     * round-trip gate query to manufacture valid payloads from row
@@ -178,12 +270,20 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch setup would happen here (codec context etc.)
         batch.iterator.map { row =>
-          HeaderCodec.sniff(row.content) match {
-            case Some((w, h, f, fmt)) =>
-              DecodedMedia(row.media_id, row.content.length, w, h, f, fmt)
-            case None =>
-              val (w, h, f) = StubCodec.decode(row.content)
-              DecodedMedia(row.media_id, row.content.length, w, h, f, row.format)
+          // codec ladder: real pixel decode (PNG/JPEG via ImageIO) →
+          // real header parse (BMP/WAV) → deterministic stub. Images
+          // are single-frame
+          ImageIoCodec.decode(row.content) match {
+            case Some((w, h, fmt)) =>
+              DecodedMedia(row.media_id, row.content.length, w, h, 1, fmt)
+            case None => HeaderCodec.sniff(row.content) match {
+              case Some((w, h, f, fmt)) =>
+                DecodedMedia(row.media_id, row.content.length, w, h, f, fmt)
+              case None =>
+                val (w, h, f) = StubCodec.decode(row.content)
+                DecodedMedia(row.media_id, row.content.length, w, h, f,
+                  row.format)
+            }
           }
         }
       }
@@ -226,6 +326,44 @@ object Multimodal {
       MediaRow(id, content, "application/octet-stream")
     }
     decodeBatched(media)(spark).toDF()
+  }
+
+  /** Real-codec gate: synthesize a PNG (even ids) or JPEG (odd ids)
+    * per document with id-derived dims, decode through the FULL
+    * `ImageIO` pixel path, and report the decoded metadata. Dims stay
+    * small (≤64×48) so the gate measures codec correctness, not
+    * encoder throughput. `byte_len` is deliberately absent from the
+    * output: a compressed container's size is not arithmetically
+    * predictable, and the oracle must recompute every reported column.
+    */
+  def decodeSyntheticImages(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, ImageIoCodec.synth((id % 64).toInt + 1,
+        (id % 48).toInt + 1, seed = id, jpeg = id % 2 == 1),
+        "application/octet-stream")
+    }
+    decodeBatched(media)(spark).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("n_frames"), col("format"))
+  }
+
+  /** Resize round-trip gate: synthesize → REAL bilinear resize to
+    * (w/2+1, h/2+1) with PNG re-encode → decode AGAIN through the full
+    * pixel path. Any bug in either direction of the codec or in the
+    * resize geometry breaks the arithmetic oracle.
+    */
+  def resizeSyntheticImages(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (id % 64).toInt + 1
+      val h = (id % 48).toInt + 1
+      val png = ImageIoCodec.synth(w, h, seed = id, jpeg = id % 2 == 1)
+      val resized = ImageIoCodec.resize(png, w / 2 + 1, h / 2 + 1).get
+      MediaRow(id, resized, "image/png")
+    }
+    decodeBatched(media)(spark).toDF()
+      .select(col("media_id"), col("width"), col("height"), col("format"))
   }
 
   def decodeDocumentsAsMedia(spark: SparkSession, docs: DataFrame): DataFrame = {

@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Re-runnable scale-regression gate: one command reproduces the NOTES
+  * sf1 table and FAILS (exit 1) if any heavy-family query's
+  * 10×-data/1×-data time ratio leaves its stored envelope — so the two
+  * quadratics killed in round 7 (fixed-band LSH, fixed-k SemDeDup)
+  * stay dead instead of silently regressing behind a green sf0.1
+  * bench.
+  *
+  * Usage: `sbt "runMain graft.tools.ScaleGate"` (env:
+  * SPARK_GRAFT_SF_DIR = the 1× corpus, default /root/testdata/sf0.1;
+  * SPARK_GRAFT_SCALE_DIR = where the 10× corpus lives, default
+  * /tmp/graft_sf1_gate). The 10× corpus builds once through the
+  * Scratch freshness protocol ([[ScaleUp.build]] with per-copy
+  * perturbation, so duplicate structure stays linear) and is reused
+  * until the source regenerates.
+  *
+  * Envelopes are deliberately LOOSE (2–4× above the measured steady
+  * ratios in NOTES): the gate exists to catch complexity-class
+  * regressions — a quadratic shows up as 16–45× — not to pin noise on
+  * a shared box. Reps with min-of-later-reps filtering keep one noisy
+  * rep from failing the gate.
+  */
+object ScaleGate {
+
+  /** query -> max allowed (10× time / 1× time). Measured steady ratios
+    * (NOTES round-7 table) are 1.7–2.9 for the healthy family, 6.5 for
+    * simhash (heavier text dominates), so the envelopes below have
+    * 2–4× headroom while sitting far under the 16×/45× a re-introduced
+    * quadratic produces.
+    */
+  val envelope: Seq[(String, Double)] = Seq(
+    "q_d_exact" -> 6.0,
+    "q_d_minhash_lsh" -> 8.0,
+    "q_d_ngram_jaccard" -> 6.0,
+    "q_d_simhash" -> 12.0,
+    "q_v_topk" -> 6.0,
+    "q_v_topk_ivf_idx" -> 6.0,
+    "q_v_neardup" -> 10.0,
+    "q_v_semdedup" -> 8.0
+  )
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val big = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1_gate")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // build-once: the 10× corpus regenerates only when the source does
+    // (or when the perturbation scheme changes — bump the fingerprint)
+    graft.engine.Scratch.ensureAt(spark, big, base,
+      fingerprint = s"scaleup-v1,copies=$copies") { staging =>
+      ScaleUp.build(spark, base, staging, copies)
+    }
+
+    // steady state = min of the later reps (first rep pays scan-cache
+    // and scratch-artifact builds; Profile uses the same convention)
+    def time(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      val ts = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (ts.length > 1) ts.tail.min else ts.head
+    }
+
+    var failed = List.empty[String]
+    println(f"${"query"}%-20s ${"1x(s)"}%8s ${"10x(s)"}%8s " +
+      f"${"ratio"}%7s ${"max"}%5s  verdict")
+    envelope.foreach { case (name, maxRatio) =>
+      val t1 = time(name, base)
+      val t10 = time(name, big)
+      val ratio = t10 / math.max(t1, 1e-9)
+      val ok = ratio <= maxRatio
+      if (!ok) failed ::= name
+      println(f"$name%-20s $t1%8.2f $t10%8.2f $ratio%7.1f $maxRatio%5.1f" +
+        f"  ${if (ok) "ok" else "FAIL"}")
+    }
+    spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[scalegate] FAILED: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
+    println("[scalegate] all ratios inside the envelope")
+  }
+}

@@ -37,7 +37,15 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    build(spark, src, out, copies)
+    spark.stop()
+  }
 
+  /** The corpus build, callable from [[ScaleGate]] (which wraps it in
+    * the Scratch freshness protocol so repeated gate runs reuse it).
+    */
+  def build(spark: SparkSession, src: String, out: String,
+            copies: Int): Unit = {
     def copiesOf(df: DataFrame)(mk: Int => DataFrame): DataFrame =
       (0 until copies).map(mk).reduce(_ union _)
 
@@ -70,6 +78,5 @@ object ScaleUp {
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
     println(s"[scaleup] wrote $copies× $src -> $out")
-    spark.stop()
   }
 }

@@ -103,4 +103,46 @@ class MultimodalSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("media_id", "byte_len", "width",
       "height", "n_frames", "format"))
   }
+
+  test("ImageIoCodec: PNG and JPEG synth→decode round-trip exact dims; " +
+    "resize re-encodes at the target dims; non-images never misparse") {
+    import graft.operators.Multimodal.ImageIoCodec
+    for ((w, h) <- Seq((1, 1), (7, 5), (64, 48)); jpeg <- Seq(false, true)) {
+      val bytes = ImageIoCodec.synth(w, h, seed = 42L, jpeg = jpeg)
+      val Some((dw, dh, fmt)) = ImageIoCodec.decode(bytes)
+      assert((dw, dh) == (w, h), s"dims for jpeg=$jpeg")
+      assert(fmt == (if (jpeg) "image/jpeg" else "image/png"))
+      val resized = ImageIoCodec.resize(bytes, w / 2 + 1, h / 2 + 1).get
+      val Some((rw, rh, rfmt)) = ImageIoCodec.decode(resized)
+      assert((rw, rh, rfmt) == (w / 2 + 1, h / 2 + 1, "image/png"))
+    }
+    // strict sniff: text, BMP, WAV, empty, and a corrupt body with a
+    // valid PNG magic must not decode as an image
+    assert(ImageIoCodec.decode("plain text".getBytes("UTF-8")).isEmpty)
+    assert(ImageIoCodec.decode(Multimodal.MediaSynth.bmp(4, 4)).isEmpty)
+    assert(ImageIoCodec.decode(Multimodal.MediaSynth.wav(1, 16000, 4)).isEmpty)
+    assert(ImageIoCodec.decode(Array.emptyByteArray).isEmpty)
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0D, 0x0A, 0x1A, 0x0A, 1, 2, 3, 4)
+    assert(ImageIoCodec.decode(corrupt).isEmpty)
+  }
+
+  test("decodeSyntheticImages / resizeSyntheticImages match the " +
+    "arithmetic spec over real testdata") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60)
+    Multimodal.decodeSyntheticImages(spark, docs).collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 64).toInt + 1)
+      assert(r.getInt(2) == (id % 48).toInt + 1)
+      assert(r.getInt(3) == 1)
+      assert(r.getString(4) == (if (id % 2 == 0) "image/png" else "image/jpeg"))
+    }
+    Multimodal.resizeSyntheticImages(spark, docs).collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == ((id % 64).toInt + 1) / 2 + 1)
+      assert(r.getInt(2) == ((id % 48).toInt + 1) / 2 + 1)
+      assert(r.getString(3) == "image/png")
+    }
+  }
 }

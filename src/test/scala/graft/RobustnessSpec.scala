@@ -113,6 +113,50 @@ class RobustnessSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("every staged-build artifact survives its publish rename " +
+    "(no build-location paths persisted inside)") {
+    // The bug class behind the round-7 q_s9_skipping break: an
+    // artifact built in a Scratch staging sibling and renamed into
+    // place must not have frozen its BUILD path into any persisted
+    // file. Each artifact family builds through the real
+    // staging+rename protocol here, then reads from the PUBLISHED
+    // path only.
+    val src = "/root/testdata/sf0.001/embeddings.parquet"
+    val emb = spark.read.parquet(src)
+    val queries = emb.filter(col("vec_id") < 4)
+
+    // IVF float index: centroids/corpus/_ROWS all under the dir
+    val ivfDir = tmpDir("stage-ivf") + "/idx"
+    Ivf.ensureIndex(emb, src, ivfDir, k = 4, iters = 1)
+    assert(Ivf.searchIndex(spark, ivfDir, queries, k = 3, nprobe = 4)
+      .count() == 12)
+
+    // IVF-PQ index: codebooks + coded corpus
+    val pqDir = tmpDir("stage-pq") + "/idx"
+    Ivf.ensureIndexPq(emb, src, pqDir, k = 4, iters = 1, pqM = 4)
+    assert(Ivf.searchIndexPq(spark, pqDir, queries, k = 3, nprobe = 4)
+      .count() == 12)
+
+    // Layout + skipping manifest built INSIDE an ensureAt staging dir
+    // (the exact r7 repro: the manifest must store names, not the
+    // staging paths input_file_name() saw during the build)
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val layoutRoot = tmpDir("stage-layout") + "/t"
+    graft.engine.Scratch.ensureAt(spark, layoutRoot,
+      "/root/testdata/sf0.001/lineitem.parquet") { out =>
+      val p = s"$out/li"
+      graft.engine.Layout.writeRangeSorted(li, p, 8, col("l_orderkey"))
+      graft.engine.Layout.writeFileStats(spark, p, Seq("l_orderkey"))
+    }
+    val pruned = graft.engine.Layout.prunedRead(spark, s"$layoutRoot/li",
+      "l_orderkey", 100L, 400L).collect().map(_.toSeq).toSet
+    val full = li.filter(col("l_orderkey").between(100L, 400L))
+      .collect().map(_.toSeq).toSet
+    assert(pruned == full,
+      "manifest built under staging must resolve at the published path")
+  }
+
   test("batch-commit TOCTOU, pinned: both racers past the exists check, " +
     "both rename, exactly one owns the commit") {
     // The natural race window (exists(genPath) → rename) is
