@@ -333,6 +333,66 @@ object StretchQueries {
       tbl.read()
     }),
 
+    // retractable MV maintenance: initialize on snapshot A, fold ONE
+    // weighted change batch (inserts + updates + deletes via
+    // retractStream), and the view must equal the full aggregate over
+    // snapshot B — the incremental-view-maintenance identity under
+    // DELETE/UPDATE traffic, which q_inc_agg's append-only path
+    // cannot express. Same A/B construction as q_cdc_diff
+    "q_mv_retract" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      val base = t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+        col("p_size"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+      val before = base.filter(col("p_partkey") % 7 =!= 0).drop("p_size")
+      val after = base.filter(col("p_size") <= 48)
+        .withColumn("price_cents", col("price_cents") +
+          when(col("p_partkey") % 5 === 0, 100L).otherwise(0L))
+        .drop("p_size")
+      val root = s.conf.get("graft.scratch.dir",
+        System.getProperty("java.io.tmpdir"))
+      val tbl = new graft.engine.VersionedTable(s, s"$root/graft-vt/mv_retract")
+      tbl.destroy() // deterministic across reps
+      val keys = Seq("p_brand")
+      val specs = Seq(
+        IncrementalAgg.AggSpec("count", "1", "n_parts"),
+        IncrementalAgg.AggSpec("sum", "price_cents", "sum_cents"))
+      IncrementalAgg.initialize(tbl, before, keys, specs)
+      IncrementalAgg.updateFromChanges(tbl,
+        graft.engine.Upsert.retractStream(before, after, Seq("p_partkey")),
+        keys, specs)
+      IncrementalAgg.readView(tbl.read(), keys, specs)
+    }),
+
+    // the NON-retractable aggregates (min/max) under the same change
+    // traffic: only the groups the feed touched are re-derived from
+    // the after snapshot; untouched groups keep their stored row
+    "q_mv_dirty" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      val base = t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+        col("p_size"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+      val before = base.filter(col("p_partkey") % 7 =!= 0).drop("p_size")
+      val after = base.filter(col("p_size") <= 48)
+        .withColumn("price_cents", col("price_cents") +
+          when(col("p_partkey") % 5 === 0, 100L).otherwise(0L))
+        .drop("p_size")
+      val root = s.conf.get("graft.scratch.dir",
+        System.getProperty("java.io.tmpdir"))
+      val tbl = new graft.engine.VersionedTable(s, s"$root/graft-vt/mv_dirty")
+      tbl.destroy()
+      val keys = Seq("p_brand")
+      val specs = Seq(
+        IncrementalAgg.AggSpec("min", "price_cents", "min_cents"),
+        IncrementalAgg.AggSpec("max", "price_cents", "max_cents"),
+        IncrementalAgg.AggSpec("count", "1", "n_parts"))
+      IncrementalAgg.update(tbl, before, keys, specs)
+      IncrementalAgg.updateDirtyGroups(tbl, after,
+        graft.engine.Upsert.retractStream(before, after, Seq("p_partkey")),
+        keys, specs)
+      tbl.read()
+    }),
+
     // declarative data-quality expectations: per-rule violation
     // counts in ONE aggregation pass (null ⇒ violation — a rule must
     // prove itself true); mixed zero- and non-zero-violation rules
@@ -1396,6 +1456,27 @@ object StretchQueries {
         "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) " +
         "AS rev_cents, min(o_orderkey) AS min_key, " +
         "max(o_orderkey) AS max_key FROM orders GROUP BY o_orderpriority"),
+
+    // both MV-maintenance oracles are the FULL aggregate over the
+    // after-state relation — the maintenance identity itself
+    "q_mv_retract" ->
+      ("""WITH a AS (SELECT p_partkey, p_brand,
+         |  CAST(round(p_retailprice * 100) AS BIGINT) +
+         |  CASE WHEN p_partkey % 5 = 0 THEN 100 ELSE 0 END AS price_cents
+         |  FROM part WHERE p_size <= 48)
+         |SELECT p_brand, count(*) AS n_parts,
+         |  CAST(sum(price_cents) AS BIGINT) AS sum_cents
+         |FROM a GROUP BY p_brand""".stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_mv_dirty" ->
+      ("""WITH a AS (SELECT p_partkey, p_brand,
+         |  CAST(round(p_retailprice * 100) AS BIGINT) +
+         |  CASE WHEN p_partkey % 5 = 0 THEN 100 ELSE 0 END AS price_cents
+         |  FROM part WHERE p_size <= 48)
+         |SELECT p_brand, CAST(min(price_cents) AS BIGINT) AS min_cents,
+         |  CAST(max(price_cents) AS BIGINT) AS max_cents,
+         |  count(*) AS n_parts
+         |FROM a GROUP BY p_brand""".stripMargin).replaceAll(raw"\s+", " "),
 
     "q_dq_expect" ->
       ("SELECT 'qty_in_range' AS rule, count(*) FILTER (WHERE NOT " +

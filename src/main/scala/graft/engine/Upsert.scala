@@ -251,6 +251,52 @@ object Upsert {
       .filter(col(opCol).isNotNull)
   }
 
+  /** The WEIGHTED form of [[changeFeed]]: every change becomes image
+    * rows carrying a ±1 `weight` — delete = (old image, −1), insert =
+    * (new image, +1), update = BOTH — the retract-stream / Z-set
+    * representation incremental view maintenance consumes
+    * ([[graft.operators.IncrementalAgg.updateFromChanges]]): any
+    * distributive aggregate over the stream folds with plain weighted
+    * addition, updates included, and a key that moves groups retracts
+    * from the old group and inserts into the new one with no special
+    * casing.
+    *
+    * Execution shape: ONE null-safe full-outer join on `keys` (same as
+    * changeFeed), then a scan-side explode of at most two kept struct
+    * images per row — no second join, no window.
+    */
+  def retractStream(before: DataFrame, after: DataFrame, keys: Seq[String],
+                    weightCol: String = "weight"): DataFrame = {
+    require(keys.nonEmpty, "retractStream requires at least one key column")
+    val cols = after.columns.toSeq
+    require(before.columns.toSeq.map(_.toLowerCase).sorted ==
+      cols.map(_.toLowerCase).sorted,
+      "retractStream requires identical snapshot schemas")
+    require(!cols.contains(weightCol),
+      s"weight column '$weightCol' collides with a data column")
+    val nonKeys = cols.filterNot(keys.contains)
+    val b = before.select(cols.map(col): _*)
+      .withColumn("__b", lit(true)).as("b")
+    val a = after.withColumn("__a", lit(true)).as("a")
+    val cond: Column = keys.map(k => col(s"b.$k") <=> col(s"a.$k"))
+      .reduce(_ && _)
+    val changed: Column = nonKeys
+      .map(c => !(col(s"b.$c") <=> col(s"a.$c")))
+      .foldLeft(lit(false))(_ || _)
+    val isD = col("a.__a").isNull
+    val isI = col("b.__b").isNull
+    val isU = !isD && !isI && changed
+    def image(side: String, w: Int, keep: Column): Column =
+      struct(cols.map(c => col(s"$side.$c").as(c)) :+
+        lit(w).as(weightCol) :+ keep.as("__keep"): _*)
+    b.join(a, cond, "full_outer")
+      .select(explode(filter(
+        array(image("b", -1, isD || isU), image("a", 1, isI || isU)),
+        s => s.getField("__keep"))).as("__r"))
+      .select(cols.map(c => col(s"__r.$c")) :+
+        col(s"__r.$weightCol").as(weightCol): _*)
+  }
+
   private[graft] def alignByName(source: DataFrame, target: DataFrame): DataFrame = {
     val lower = source.columns.map(c => c.toLowerCase -> c).toMap
     val aligned = target.columns.map { tc =>

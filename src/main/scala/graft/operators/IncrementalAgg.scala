@@ -69,6 +69,154 @@ object IncrementalAgg {
       .agg(reAggs.head, reAggs.tail.toIndexedSeq: _*)
   }
 
+  // ── Retractable maintenance (CDC / update / delete traffic) ─────────
+
+  /** Internal state columns of a RETRACTABLE materialized view:
+    * `__mv_rows` (live row count per group — a group retracted to zero
+    * rows is dropped, matching the full recompute that emits no row
+    * for an empty group) and `__nn_<alias>` per sum spec (live
+    * non-null count — a sum whose every input was retracted must read
+    * NULL, not 0; weighted addition alone cannot tell those apart).
+    */
+  val RowsCol = "__mv_rows"
+  private def nnCol(alias: String) = s"__nn_$alias"
+
+  /** Aggregate a full snapshot into retractable-MV state (the
+    * initialization / rebuild path).
+    */
+  def aggregateState(snapshot: DataFrame, keys: Seq[String],
+                     specs: Seq[AggSpec]): DataFrame = {
+    require(keys.nonEmpty && specs.nonEmpty,
+      "need at least one key and one aggregate")
+    val aggs = specs.flatMap {
+      case AggSpec("sum", e, a) =>
+        Seq(sum(expr(e)).as(a), count(expr(e)).as(nnCol(a)))
+      case AggSpec("count", e, a) => Seq(count(expr(e)).as(a))
+      case s => throw new IllegalArgumentException(
+        s"non-retractable aggregate '${s.func}' — maintain it through " +
+          "updateDirtyGroups (min/max need the source to re-derive " +
+          "a group after a retraction)")
+    } :+ count(lit(1)).as(RowsCol)
+    snapshot.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+  }
+
+  /** The per-batch delta of a weighted change stream
+    * ([[graft.engine.Upsert.retractStream]]): every maintained column
+    * folds to a weighted sum — delta-sized shuffle, the base table is
+    * never read.
+    */
+  def retractDelta(changes: DataFrame, keys: Seq[String],
+                   specs: Seq[AggSpec],
+                   weightCol: String = "weight"): DataFrame = {
+    val w = col(weightCol).cast("long")
+    val nn = (e: String) =>
+      sum(when(expr(e).isNotNull, w).otherwise(0L))
+    val aggs = specs.flatMap {
+      case AggSpec("sum", e, a) =>
+        Seq(sum(expr(e) * col(weightCol)).as(a), nn(e).as(nnCol(a)))
+      case AggSpec("count", e, a) => Seq(nn(e).as(a))
+      case s => throw new IllegalArgumentException(
+        s"non-retractable aggregate '${s.func}' in the retract path")
+    } :+ sum(w).as(RowsCol)
+    changes.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+  }
+
+  /** Merge retractable state with a delta: weighted addition on every
+    * column, then drop groups retracted to zero rows.
+    */
+  def mergeRetract(current: DataFrame, delta: DataFrame, keys: Seq[String],
+                   specs: Seq[AggSpec]): DataFrame = {
+    val reAggs = specs.flatMap {
+      case AggSpec("sum", _, a)   => Seq(sum(col(a)).as(a),
+        sum(col(nnCol(a))).as(nnCol(a)))
+      case AggSpec("count", _, a) => Seq(sum(col(a)).as(a))
+      case s => throw new IllegalArgumentException(s.toString)
+    } :+ sum(col(RowsCol)).as(RowsCol)
+    current.unionByName(delta)
+      .groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(reAggs.head, reAggs.tail.toIndexedSeq: _*)
+      .filter(col(RowsCol) > 0)
+  }
+
+  /** Project the public view out of retractable state: sums with zero
+    * live non-null inputs surface as NULL (exactly what a full
+    * recompute returns), internal columns dropped.
+    */
+  def readView(state: DataFrame, keys: Seq[String],
+               specs: Seq[AggSpec]): DataFrame =
+    state.select((keys.map(col) ++ specs.map {
+      case AggSpec("sum", _, a) =>
+        when(col(nnCol(a)) > 0, col(a)).as(a)
+      case AggSpec(_, _, a) => col(a)
+    }).toIndexedSeq: _*)
+
+  /** Create the retractable MV from a full snapshot (version 0 of the
+    * maintenance lifecycle).
+    */
+  def initialize(table: VersionedTable, snapshot: DataFrame,
+                 keys: Seq[String], specs: Seq[AggSpec]): Long =
+    table.overwrite(aggregateState(snapshot, keys, specs))
+
+  /** Fold one weighted change batch into an [[initialize]]d MV —
+    * inserts, updates, AND deletes, no source re-read. Same
+    * optimistic-concurrency loop as [[update]].
+    */
+  def updateFromChanges(table: VersionedTable, changes: DataFrame,
+                        keys: Seq[String], specs: Seq[AggSpec],
+                        weightCol: String = "weight",
+                        maxRetries: Int = 5): Long = {
+    val delta = retractDelta(changes, keys, specs, weightCol)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = table.latestVersion
+      require(base.nonEmpty,
+        "updateFromChanges needs an initialize()d MV (the change " +
+          "stream alone cannot seed state it never saw)")
+      val next = mergeRetract(table.readVersion(base.get), delta, keys, specs)
+      table.overwriteIf(next, base) match {
+        case Some(v) => return v
+        case None    => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"incremental refresh lost $maxRetries consecutive commit races")
+  }
+
+  /** Maintenance for the NON-retractable aggregates (min/max — any
+    * [[AggSpec]] mix, actually): re-derive exactly the groups the
+    * change stream touched from the `after` snapshot, keep every
+    * untouched group's row as is. The recompute scan is filtered to
+    * dirty keys — with a key-clustered layout ([[graft.engine.Layout]])
+    * that is a pruned read, not a full pass; the MV itself still never
+    * fully rebuilds. Dirty groups with no surviving source rows
+    * disappear, matching the full recompute.
+    */
+  def updateDirtyGroups(table: VersionedTable, after: DataFrame,
+                        changes: DataFrame, keys: Seq[String],
+                        specs: Seq[AggSpec], maxRetries: Int = 5): Long = {
+    val dirty = changes.select(keys.map(col).toIndexedSeq: _*).distinct()
+    val recomputed = aggregate(
+      after.join(dirty, keys.toIndexedSeq, "left_semi"), keys, specs)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = table.latestVersion
+      val next = base match {
+        case Some(v) =>
+          table.readVersion(v).join(dirty, keys.toIndexedSeq, "left_anti")
+            .unionByName(recomputed)
+        case None => recomputed
+      }
+      table.overwriteIf(next, base) match {
+        case Some(v) => return v
+        case None    => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"incremental refresh lost $maxRetries consecutive commit races")
+  }
+
   /** Fold one new batch into the maintained table (creates it on
     * first use); returns the committed version. The refresh is
     * NOT idempotent under replay — feed it through

@@ -34,6 +34,85 @@ class MaintenanceSpec extends SparkSpec {
     assert(tbl.versions.length == 3)
   }
 
+  test("retractable MV: deletes, value updates, key-moving updates, " +
+    "group drops, and the all-null-sum edge all match a full recompute") {
+    import graft.engine.Upsert
+    val rSpecs = Seq(AggSpec("count", "1", "n"), AggSpec("sum", "v", "sv"))
+    val before = Seq(
+      ("g1", 1L, Some(10L)), ("g1", 2L, Some(20L)), ("g2", 3L, Some(30L)),
+      ("g3", 4L, Some(40L)), ("g4", 5L, None), ("g4", 6L, Some(60L))
+    ).map { case (g, id, v) => (g, id, v.map(Long.box).orNull) }
+      .toDF("g", "id", "v")
+    val after = Seq(
+      ("g1", 1L, Some(11L)),  // value update
+      ("g2", 2L, Some(20L)),  // key-moving update g1 -> g2
+      ("g2", 3L, Some(30L)),  // untouched
+      // g3 dropped entirely (delete of its only row)
+      ("g4", 5L, None),       // g4's only NON-NULL value deleted:
+      // sum must read NULL, not 0 — the __nn counter edge
+      ("g5", 7L, Some(70L))   // brand-new group
+    ).map { case (g, id, v) => (g, id, v.map(Long.box).orNull) }
+      .toDF("g", "id", "v")
+    val tbl = new VersionedTable(spark, tmpDir("mv-retract") + "/t")
+    IncrementalAgg.initialize(tbl, before, Seq("g"), rSpecs)
+    IncrementalAgg.updateFromChanges(tbl,
+      Upsert.retractStream(before, after, Seq("id")), Seq("g"), rSpecs)
+    val got = IncrementalAgg.readView(tbl.read(), Seq("g"), rSpecs)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    val want = after.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(got == want, s"got=$got want=$want")
+    assert(!got.contains("g3"), "fully-deleted group must vanish")
+    assert(got("g4") == ((1L, None)), "all-null sum must read NULL")
+    // the retract path must refuse non-retractable specs loudly
+    intercept[IllegalArgumentException](
+      IncrementalAgg.retractDelta(
+        Upsert.retractStream(before, after, Seq("id")),
+        Seq("g"), Seq(AggSpec("min", "v", "m"))))
+  }
+
+  test("updateDirtyGroups re-derives exactly the touched groups and " +
+    "matches a full recompute (min/max under deletes)") {
+    import graft.engine.Upsert
+    val before = Seq(("g1", 1L, 10L), ("g1", 2L, 20L), ("g2", 3L, 30L),
+      ("g3", 4L, 40L)).toDF("g", "id", "v")
+    // delete the max of g1 (min/max must re-derive, not keep 20),
+    // drop g3 entirely, leave g2 untouched
+    val after = Seq(("g1", 1L, 10L), ("g2", 3L, 30L)).toDF("g", "id", "v")
+    val tbl = new VersionedTable(spark, tmpDir("mv-dirty") + "/t")
+    IncrementalAgg.update(tbl, before, Seq("g"), specs)
+    IncrementalAgg.updateDirtyGroups(tbl, after,
+      Upsert.retractStream(before, after, Seq("id")), Seq("g"), specs)
+    val got = tbl.read().collect().map(r => (r.getString(0),
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val want = IncrementalAgg.aggregate(after, Seq("g"), specs)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want, s"got=$got want=$want")
+    assert(!got.contains("g3"))
+  }
+
+  test("retractStream: I/U/D weights reconstruct the after snapshot " +
+    "when applied to before") {
+    import graft.engine.Upsert
+    val before = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "s", "v")
+    val after = Seq((1L, "a", 10L), (2L, "B", 21L), (4L, "d", 40L))
+      .toDF("id", "s", "v")
+    val rs = Upsert.retractStream(before, after, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    // unchanged row 1 produces NO traffic; update = retract+insert
+    assert(rs == Set(
+      (2L, "b", 20L, -1), (2L, "B", 21L, 1),
+      (3L, "c", 30L, -1), (4L, "d", 40L, 1)))
+  }
+
   test("empty batch is a no-op on values (still a committed version)") {
     val tbl = new VersionedTable(spark, tmpDir("inc") + "/t")
     val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
