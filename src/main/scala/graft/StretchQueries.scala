@@ -333,6 +333,30 @@ object StretchQueries {
       tbl.read()
     }),
 
+    // DSIR importance weights: target = the %97 doc family (the
+    // decontam gates' "special set" convention), raw = the rest; the
+    // weight is an exact integer-micros dot product over per-token
+    // smoothed log-ratios — full oracle (same formula in SQL)
+    "q_t_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.Dsir.importanceWeights(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id")
+    }),
+
+    // the selection step: keep raw documents at or above the median
+    // importance weight (exact interpolated percentile threshold)
+    "q_t_dsir_sel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.Dsir.selectAboveQuantile(
+        graft.operators.Dsir.importanceWeights(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "text", "doc_id"),
+        q = 0.5, idCol = "doc_id")
+    }),
+
     // retractable MV maintenance: initialize on snapshot A, fold ONE
     // weighted change batch (inserts + updates + deletes via
     // retractStream), and the view must equal the full aggregate over
@@ -1456,6 +1480,54 @@ object StretchQueries {
         "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) " +
         "AS rev_cents, min(o_orderkey) AS min_key, " +
         "max(o_orderkey) AS max_key FROM orders GROUP BY o_orderpriority"),
+
+    // DSIR: the exact smoothed log-ratio formula, token for token —
+    // each token type rounds to micros once, then integer dot products
+    "q_t_dsir" ->
+      (s"""WITH tq AS (SELECT doc_id, $tokensSql AS ta FROM documents),
+         |occ AS (SELECT doc_id, w, count(*) AS n FROM
+         |  (SELECT doc_id, unnest(ta) AS w FROM tq) GROUP BY doc_id, w),
+         |occr AS (SELECT * FROM occ WHERE doc_id % 97 <> 0),
+         |occt AS (SELECT * FROM occ WHERE doc_id % 97 = 0),
+         |cr AS (SELECT w, sum(n) AS cr FROM occr GROUP BY w),
+         |ct AS (SELECT w, sum(n) AS ct FROM occt GROUP BY w),
+         |v AS (SELECT count(*) AS v FROM
+         |  (SELECT w FROM cr UNION SELECT w FROM ct)),
+         |nt AS (SELECT coalesce(sum(n), 0) AS nt FROM occt),
+         |nr AS (SELECT coalesce(sum(n), 0) AS nr FROM occr),
+         |s AS (SELECT w, CAST(round(1000000.0 * (
+         |    ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+         |  - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE))))
+         |  AS BIGINT) AS s FROM cr LEFT JOIN ct USING (w), v, nt, nr)
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n * s) AS BIGINT) AS logw_micros
+         |FROM occr JOIN s USING (w) GROUP BY doc_id""".stripMargin)
+        .replaceAll(raw"\s+", " "),
+
+    "q_t_dsir_sel" ->
+      (s"""WITH tq AS (SELECT doc_id, $tokensSql AS ta FROM documents),
+         |occ AS (SELECT doc_id, w, count(*) AS n FROM
+         |  (SELECT doc_id, unnest(ta) AS w FROM tq) GROUP BY doc_id, w),
+         |occr AS (SELECT * FROM occ WHERE doc_id % 97 <> 0),
+         |occt AS (SELECT * FROM occ WHERE doc_id % 97 = 0),
+         |cr AS (SELECT w, sum(n) AS cr FROM occr GROUP BY w),
+         |ct AS (SELECT w, sum(n) AS ct FROM occt GROUP BY w),
+         |v AS (SELECT count(*) AS v FROM
+         |  (SELECT w FROM cr UNION SELECT w FROM ct)),
+         |nt AS (SELECT coalesce(sum(n), 0) AS nt FROM occt),
+         |nr AS (SELECT coalesce(sum(n), 0) AS nr FROM occr),
+         |s AS (SELECT w, CAST(round(1000000.0 * (
+         |    ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+         |  - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE))))
+         |  AS BIGINT) AS s FROM cr LEFT JOIN ct USING (w), v, nt, nr),
+         |wt AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n * s) AS BIGINT) AS logw_micros
+         |  FROM occr JOIN s USING (w) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, logw_micros FROM wt,
+         |  (SELECT percentile_cont(0.5) WITHIN GROUP
+         |    (ORDER BY logw_micros) AS thr FROM wt)
+         |WHERE CAST(logw_micros AS DOUBLE) >= thr""".stripMargin)
+        .replaceAll(raw"\s+", " "),
 
     // both MV-maintenance oracles are the FULL aggregate over the
     // after-state relation — the maintenance identity itself
