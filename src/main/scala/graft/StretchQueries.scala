@@ -388,6 +388,41 @@ object StretchQueries {
       IncrementalAgg.readView(tbl.read(), keys, specs)
     }),
 
+    // the STREAMED MV: two retract epochs (initial load, then the
+    // update/delete increment) through two real streaming runs
+    // restarting on one checkpoint — foreachBatch → applyMvBatch →
+    // the cdc claim ledger (exactly-once pinned in MaintenanceSpec);
+    // the final view shares q_mv_retract's oracle
+    "q_mv_stream" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      val base = t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+        col("p_size"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+      val before = base.filter(col("p_partkey") % 7 =!= 0).drop("p_size")
+      val after = base.filter(col("p_size") <= 48)
+        .withColumn("price_cents", col("price_cents") +
+          when(col("p_partkey") % 5 === 0, 100L).otherwise(0L))
+        .drop("p_size")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_mv_stream_q"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val keys = Seq("p_brand")
+      val specs = Seq(
+        IncrementalAgg.AggSpec("count", "1", "n_parts"),
+        IncrementalAgg.AggSpec("sum", "price_cents", "sum_cents"))
+      for ((b, a) <- Seq((before.filter(lit(false)), before),
+        (before, after))) {
+        graft.engine.Upsert.retractStream(b, a, Seq("p_partkey"))
+          .coalesce(1).write.mode("append").parquet(s"$scratch/feed")
+        IncrementalAgg.maintainStream(s, s"$scratch/feed", s"$scratch/mv",
+          s"$scratch/ckpt", keys, specs)
+      }
+      IncrementalAgg.readView(
+        new graft.engine.VersionedTable(s, s"$scratch/mv").read(),
+        keys, specs)
+    }),
+
     // the NON-retractable aggregates (min/max) under the same change
     // traffic: only the groups the feed touched are re-derived from
     // the after snapshot; untouched groups keep their stored row
@@ -1532,6 +1567,15 @@ object StretchQueries {
     // both MV-maintenance oracles are the FULL aggregate over the
     // after-state relation — the maintenance identity itself
     "q_mv_retract" ->
+      ("""WITH a AS (SELECT p_partkey, p_brand,
+         |  CAST(round(p_retailprice * 100) AS BIGINT) +
+         |  CASE WHEN p_partkey % 5 = 0 THEN 100 ELSE 0 END AS price_cents
+         |  FROM part WHERE p_size <= 48)
+         |SELECT p_brand, count(*) AS n_parts,
+         |  CAST(sum(price_cents) AS BIGINT) AS sum_cents
+         |FROM a GROUP BY p_brand""".stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_mv_stream" ->
       ("""WITH a AS (SELECT p_partkey, p_brand,
          |  CAST(round(p_retailprice * 100) AS BIGINT) +
          |  CASE WHEN p_partkey % 5 = 0 THEN 100 ELSE 0 END AS price_cents

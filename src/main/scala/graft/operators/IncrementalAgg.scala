@@ -184,6 +184,53 @@ object IncrementalAgg {
       s"incremental refresh lost $maxRetries consecutive commit races")
   }
 
+  /** The `foreachBatch` body for a STREAMED retract feed: fold one
+    * weighted micro-batch into the MV, exactly once. State commits as
+    * a `cdc`-mode snapshot keyed by the stream's epoch — the claim
+    * ledger makes the at-least-once foreachBatch contract
+    * exactly-once (a replayed batch skips before the merge plan ever
+    * executes), every applied batch is a time-travel point of the
+    * VIEW's history, and an orphan-claim replay re-merges from the
+    * newest state BELOW the epoch (the same base the crashed attempt
+    * used). Returns false when the batch was already committed.
+    */
+  def applyMvBatch(table: VersionedTable, batchId: Long,
+                   changes: DataFrame, keys: Seq[String],
+                   specs: Seq[AggSpec],
+                   weightCol: String = "weight"): Boolean = {
+    val delta = retractDelta(changes, keys, specs, weightCol)
+    val base = table.versions.filter(_ < batchId).lastOption
+      .map(table.readVersion)
+    val next = base match {
+      case Some(cur) => mergeRetract(cur, delta, keys, specs)
+      case None      => delta.filter(col(RowsCol) > 0) // first epoch
+    }
+    table.commitBatchAs("cdc", batchId, next)
+  }
+
+  /** Drive a parquet-directory retract feed through a real streaming
+    * query into the MV (drains available input, then returns — call
+    * again after new feed files land and the checkpoint resumes from
+    * the next epoch). Read the current view with
+    * `readView(table.read(), keys, specs)`.
+    */
+  def maintainStream(spark: org.apache.spark.sql.SparkSession,
+                     feedDir: String, mvPath: String, checkpoint: String,
+                     keys: Seq[String], specs: Seq[AggSpec],
+                     weightCol: String = "weight"): Unit = {
+    val schema = spark.read.parquet(feedDir).schema
+    val table = new VersionedTable(spark, mvPath)
+    val q = spark.readStream.schema(schema).parquet(feedDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyMvBatch(table, id, batch, keys, specs, weightCol); ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Maintenance for the NON-retractable aggregates (min/max — any
     * [[AggSpec]] mix, actually): re-derive exactly the groups the
     * change stream touched from the `after` snapshot, keep every

@@ -97,6 +97,52 @@ class MaintenanceSpec extends SparkSpec {
     assert(!got.contains("g3"))
   }
 
+  test("streamed MV maintenance equals batch maintenance across a " +
+    "checkpoint restart, and a replayed epoch is a no-op") {
+    import graft.engine.Upsert
+    val rSpecs = Seq(AggSpec("count", "1", "n"), AggSpec("sum", "v", "sv"))
+    val base = tmpDir("mv-stream")
+    val feedDir = s"$base/feed"
+    val mvPath = s"$base/mv"
+    val checkpoint = s"$base/ckpt"
+    val s0 = Seq(("g1", 1L, 10L), ("g1", 2L, 20L), ("g2", 3L, 30L))
+      .toDF("g", "id", "v")
+    val s1 = Seq(("g1", 1L, 11L), ("g2", 3L, 30L), ("g3", 4L, 40L))
+      .toDF("g", "id", "v")
+    val s2 = Seq(("g2", 3L, 30L), ("g3", 4L, 41L)).toDF("g", "id", "v")
+    val empty = s0.filter(lit(false))
+    // three retract batches land as three stream epochs, with a
+    // restart between each (the checkpoint resumes the epoch sequence)
+    for ((b, a) <- Seq((empty, s0), (s0, s1), (s1, s2))) {
+      Upsert.retractStream(b, a, Seq("id"))
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      IncrementalAgg.maintainStream(spark, feedDir, mvPath, checkpoint,
+        Seq("g"), rSpecs)
+    }
+    val tbl = new VersionedTable(spark, mvPath)
+    def view = IncrementalAgg.readView(tbl.read(), Seq("g"), rSpecs)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    val want = s2.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(view == want, s"got=$view want=$want")
+    // replay of a committed epoch: claim ledger skips, state unchanged
+    val versionsBefore = tbl.versions
+    assert(!IncrementalAgg.applyMvBatch(tbl, versionsBefore.last,
+      Upsert.retractStream(s1, s2, Seq("id")), Seq("g"), rSpecs))
+    assert(tbl.versions == versionsBefore)
+    assert(view == want)
+    // every epoch is a time-travel point of the view's history
+    assert(IncrementalAgg.readView(tbl.readVersion(versionsBefore.head),
+      Seq("g"), rSpecs).collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap ==
+      s0.groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+        .toMap)
+  }
+
   test("retractStream: I/U/D weights reconstruct the after snapshot " +
     "when applied to before") {
     import graft.engine.Upsert
