@@ -692,6 +692,24 @@ object StretchQueries {
       SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 16), k = 5)
     }),
 
+    // incremental index growth: build on HALF the corpus, append the
+    // other half to the existing centroids (FAISS `add` — no retrain,
+    // no rewrite), search full-probe → exhaustive over ALL vectors,
+    // so the brute-force oracle holds whatever the centroid quality
+    "q_v_topk_ivf_inc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_inc_q"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      Ivf.writeIndex(half0, Ivf.train(half0, k = 4, iters = 2), idx)
+      Ivf.appendToIndex(half1, idx)
+      Ivf.searchIndex(s, idx, emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 4)
+    }),
+
     // gates the LSH-bucketed scale path (SimilaritySearch.cosineNearDupPairs):
     // planted identical copies are the only pairs above the 0.8 threshold
     // (natural max cosine in this data is ~0.6), and identical vectors share
@@ -1222,6 +1240,7 @@ object StretchQueries {
   def oracleSql: Map[String, String] =
     oracleSqlMap +
       ("q_v_topk_ivf" -> oracleSqlMap("q_v_topk")) +
+      ("q_v_topk_ivf_inc" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_idx" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_c" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq" -> oracleSqlMap("q_v_topk")) +

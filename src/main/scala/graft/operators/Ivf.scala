@@ -235,6 +235,53 @@ object Ivf {
     writeRowCount(df.sparkSession, path)
   }
 
+  /** Incrementally ADD vectors to an existing on-disk index without
+    * retraining or rewriting it — FAISS's `add` made distributed: new
+    * vectors assign to the EXISTING centroids (and, for a PQ index,
+    * encode with the EXISTING codebooks — retraining either would
+    * silently invalidate every previously stored code) and append as
+    * new files inside their cluster's partition directory, so search
+    * partition pruning keeps working unchanged and nothing already
+    * stored is touched. `_ROWS` re-counts from parquet footers.
+    *
+    * The daily-ingest contract, mirrored from
+    * [[Dedup.incrementalNearDups]]: the delta pays one assignment
+    * pass over ITSELF only. Two caveats, by design:
+    *  - centroids drift as the distribution shifts — monitor the
+    *    appended fraction (`indexRowCount` vs the build-time count)
+    *    and rebuild via [[ensureIndex]] with a bumped fingerprint
+    *    once it outgrows the recall budget (the same retrain contract
+    *    FAISS documents for IVF add);
+    *  - a parquet append is not atomic: wrap concurrent/replayed
+    *    ingest in the caller's dedup (e.g. commit the delta's ids
+    *    through a [[graft.engine.VersionedTable]] ledger first), or
+    *    tolerate re-appended ids being deduplicated at read time.
+    * Appends are deltas BEYOND the ensureIndex source snapshot: if
+    * the source itself regenerates, ensureIndex rebuilds and the
+    * appended deltas are expected to replay from their own feed.
+    */
+  def appendToIndex(df: DataFrame, indexPath: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val spark = df.sparkSession
+    val model = loadModelCached(spark, s"$indexPath/centroids")
+    val corpusSchema = spark.read.parquet(s"$indexPath/corpus").schema
+    val assigned = assign(df.filter(col(vecCol).isNotNull), model, vecCol)
+    val q8 = if (corpusSchema.fieldNames.contains("q8"))
+      graft.functions.VectorFunctions.withQuantizedInt8(assigned, vecCol)
+    else assigned
+    val fsPath = new org.apache.hadoop.fs.Path(s"$indexPath/pq")
+    val hasPq = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(fsPath)
+    val out = if (hasPq)
+      Pq.withCodes(q8, Pq.loadModel(spark, s"$indexPath/pq"), vecCol)
+    else q8
+    out.select(corpusSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$indexPath/corpus")
+    writeRowCount(spark, indexPath)
+  }
+
   /** Record the corpus row count in `<path>/_ROWS` at BUILD time — a
     * parquet-footer count over the just-written corpus, paid once per
     * build. Searchers that need the corpus size (e.g. an exhaustive

@@ -166,6 +166,73 @@ class IvfSpec extends SparkSpec {
     assert(ensured == direct)
   }
 
+  test("appendToIndex: build-half-then-append equals build-all for a " +
+    "full-probe search; _ROWS tracks the growth") {
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val all = tmpDir("graft-ivf-app-all")
+    val inc = tmpDir("graft-ivf-app-inc")
+    Ivf.writeIndex(emb, m, all)
+    val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    Ivf.writeIndex(half0, m, inc)
+    val rowsBefore = Ivf.indexRowCount(spark, inc).get
+    Ivf.appendToIndex(half1, inc)
+    assert(Ivf.indexRowCount(spark, inc).contains(emb.count()))
+    assert(rowsBefore == half0.count())
+    val q = emb.filter(col("vec_id") < 8)
+    val a = Ivf.searchIndex(spark, all, q, k = 5, nprobe = 4)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val b = Ivf.searchIndex(spark, inc, q, k = 5, nprobe = 4)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(a == b, "appended index diverged from the one-shot build")
+  }
+
+  test("appendToIndex on quantized and PQ indexes keeps the compressed " +
+    "columns aligned and reuses the SAVED codebooks") {
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val n = emb.count().toInt
+
+    // int8-quantized: appended rows must carry q8/q_scale so the
+    // compressed shortlist scan stays uniform
+    val qIdx = tmpDir("graft-ivf-app-q")
+    Ivf.writeIndex(half0, m, qIdx, quantize = true)
+    Ivf.appendToIndex(half1, qIdx)
+    val qAll = tmpDir("graft-ivf-app-q-all")
+    Ivf.writeIndex(emb, m, qAll, quantize = true)
+    val q = emb.filter(col("vec_id") < 8)
+    val compInc = Ivf.searchIndexCompressed(spark, qIdx, q, k = 5,
+      nprobe = 4, rescoreK = n)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val compAll = Ivf.searchIndexCompressed(spark, qAll, q, k = 5,
+      nprobe = 4, rescoreK = n)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(compInc == compAll)
+
+    // PQ: appended rows encode with the index's SAVED codebooks (the
+    // codebook artifact must be byte-identical after the append)
+    val pIdx = tmpDir("graft-ivf-app-pq")
+    val pq = graft.operators.Pq.train(half0, m = 4, k = 16)
+    Ivf.writeIndex(half0, m, pIdx, pq = Some(pq))
+    def pqBytes = {
+      val p = new org.apache.hadoop.fs.Path(s"$pIdx/pq")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(s => (s.getPath.getName, s.getLen,
+        s.getModificationTime)).toSeq.sortBy(_._1)
+    }
+    val before = pqBytes
+    Ivf.appendToIndex(half1, pIdx)
+    assert(pqBytes == before, "append must NOT rewrite the codebooks")
+    val viaPq = Ivf.searchIndexPq(spark, pIdx, q, k = 5, nprobe = 4,
+      rescoreK = n)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val exact = Ivf.searchIndex(spark, pIdx, q, k = 5, nprobe = 4)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(viaPq == exact,
+      "full-shortlist PQ search over the appended index must match exact")
+  }
+
   test("searchIndexCompressed with a full shortlist equals the float search") {
     val m = Ivf.train(emb, k = 4, iters = 2)
     val path = tmpDir("graft-ivf-pq-full")
