@@ -926,6 +926,30 @@ object StretchQueries {
         stride = 7)
         .select(col("media_id"), col("frame_idx"))),
 
+    // perceptual-hash image dedup: 41 distinct synthetic images, each
+    // repeated across the corpus — identical pixels must hash
+    // identically through a REAL decode, so phash groups reproduce
+    // the id-arithmetic classes; the representative (min id per
+    // group) is the oracle's window min. Distinct classes hash apart
+    // because the synth pixels are seed-MIXED (not a seed-shifted
+    // ramp — see ImageIoCodec.synth)
+    "q_mm_phash_groups" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val cls = id % 41
+          Multimodal.MediaRow(id,
+            Multimodal.ImageIoCodec.synth((cls % 16).toInt + 4,
+              (cls % 12).toInt + 4, seed = cls, jpeg = false),
+            "image/png")
+        }.toDF("media_id", "content", "format")
+      val hashed = Multimodal.imageHashes(media)
+      hashed.join(
+        hashed.groupBy(col("phash")).agg(min(col("media_id")).as("rep_id")),
+        "phash")
+        .select(col("media_id").as("doc_id"), col("rep_id"))
+    }),
+
     // as-of join: every event aligned to the user's latest prior
     // purchase — DuckDB's native ASOF LEFT JOIN is the oracle
     "q_ev_asof" -> ((s, dir) => {
@@ -1791,6 +1815,13 @@ object StretchQueries {
          | CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE nf END AS INT) AS n_frames,
          | CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS format
          |FROM p""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // the phash groups collapse to the id-arithmetic classes: same
+    // class = identical pixels = identical hash; the representative
+    // is the class's min id
+    "q_mm_phash_groups" ->
+      ("SELECT doc_id, min(doc_id) OVER (PARTITION BY doc_id % 41) " +
+        "AS rep_id FROM documents"),
 
     // ImageIO gates: every reported column is id-arithmetic the oracle
     // recomputes; the Spark side had to EARN them through a real

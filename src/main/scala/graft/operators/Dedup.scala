@@ -1185,10 +1185,27 @@ object Dedup {
     require(maxHamming < blocks,
       s"maxHamming ($maxHamming) must be < $blocks for 4×16-bit blocking " +
         "to guarantee candidate recall")
-    val withSig = df.select(col(idCol),
-      graft.functions.NativeExpressions.simhash(col(textCol)).as("sh"))
-    val exploded = withSig
-      .select(col(idCol), col("sh"),
+    hammingCandidates(
+      df.select(col(idCol),
+        graft.functions.NativeExpressions.simhash(col(textCol)).as("sh")),
+      "sh", idCol, maxHamming, maxBucketSize)
+  }
+
+  /** The Manku 4×16-bit blocking over ANY precomputed 64-bit
+    * signature column — shared by text SimHash ([[simhashCandidates]])
+    * and image perceptual hashes
+    * ([[Multimodal.imageNearDupCandidates]]); the signature's
+    * provenance is irrelevant to the pigeonhole argument.
+    */
+  def hammingCandidates(signed: DataFrame, sigCol: String, idCol: String,
+                        maxHamming: Int = 3,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val blocks = 4
+    require(maxHamming < blocks,
+      s"maxHamming ($maxHamming) must be < $blocks for 4×16-bit blocking " +
+        "to guarantee candidate recall")
+    val exploded = signed
+      .select(col(idCol), col(sigCol).as("sh"),
         explode(sequence(lit(0), lit(blocks - 1))).as("blk"))
       .select(col("blk"), expr("(sh >> (blk * 16)) & 65535").as("blkv"),
         struct(col(idCol).as("id"), col("sh")).as("m"))

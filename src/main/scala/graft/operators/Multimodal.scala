@@ -165,9 +165,12 @@ object Multimodal {
         } catch { case _: java.io.IOException => None }
       }
 
-    /** Deterministic synthetic image: dims + a seed-derived pixel ramp
-      * (content matters to no oracle, but non-constant pixels keep
-      * JPEG's DCT path honest).
+    /** Deterministic synthetic image: dims + seed-MIXED pseudo-random
+      * pixels. The mix must be seed-dependent per pixel (XOR of
+      * per-axis and per-seed odd multipliers), not a seed-shifted
+      * ramp: a constant brightness offset is invisible to every
+      * neighboring-pixel comparison, so a ramp would give all seeds
+      * the SAME perceptual hash and no gate could tell images apart.
       */
     def synth(width: Int, height: Int, seed: Long, jpeg: Boolean): Array[Byte] = {
       require(width > 0 && height > 0, "image dims must be positive")
@@ -177,12 +180,60 @@ object Multimodal {
       while (y < height) {
         var x = 0
         while (x < width) {
-          img.setRGB(x, y, (((x * 31 + y * 17 + seed) & 0xFFFFFF)).toInt)
+          // splitmix-style finalizer: full avalanche, so two seeds'
+          // images differ in ~half their perceptual-hash bits instead
+          // of a handful (a weak mix left seed pairs 9 bits apart —
+          // too close to the near-dup hamming threshold for comfort)
+          var v = x * 0x9E3779B97F4A7C15L + y * 0xC2B2AE3D27D4EB4FL +
+            seed * 0x165667B19E3779F9L
+          v ^= v >>> 31; v *= 0xD6E8FEB86659FD93L; v ^= v >>> 29
+          img.setRGB(x, y, (v & 0xFFFFFF).toInt)
           x += 1
         }
         y += 1
       }
       encode(img, if (jpeg) "jpg" else "png")
+    }
+
+    /** 64-bit difference hash (dHash) from a FULL pixel decode:
+      * downscale to 9×8 luminance, emit one bit per horizontal
+      * neighbor comparison. Identical pixels ⇒ identical hash
+      * regardless of container/encoder; small edits flip few bits, so
+      * hamming distance is the near-dup metric
+      * ([[Dedup.hammingCandidates]] is the blocked pair search). None
+      * for payloads that are not decodable images.
+      */
+    def dHash(b: Array[Byte]): Option[Long] = {
+      val src =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        catch { case _: java.io.IOException => null }
+      if (src == null) None
+      else {
+        val small = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = small.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, 9, 8, null)
+        } finally g.dispose()
+        def lum(x: Int, y: Int): Int = {
+          val p = small.getRGB(x, y)
+          ((p >> 16) & 0xFF) * 299 + ((p >> 8) & 0xFF) * 587 + (p & 0xFF) * 114
+        }
+        var bits = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (lum(x + 1, y) > lum(x, y)) bits |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Some(bits)
+      }
     }
 
     /** Real resize: full decode, Graphics2D bilinear redraw at the
@@ -365,6 +416,38 @@ object Multimodal {
     decodeBatched(media)(spark).toDF()
       .select(col("media_id"), col("width"), col("height"), col("format"))
   }
+
+  /** (id, phash) perceptual hashes of an image binary column —
+    * executor-local decode+hash inside `mapPartitions`, no shuffle;
+    * non-image payloads surface as null. The hash column then feeds
+    * exact grouping (byte-level dedup across containers/encoders) or
+    * [[graft.operators.Dedup.hammingCandidates]] (near-dup pairs at
+    * small hamming distance) — the image arm of the dedup pipeline.
+    */
+  def imageHashes(media: DataFrame, idCol: String = "media_id",
+                  contentCol: String = "content"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, ImageIoCodec.dHash(bytes))
+      })
+      .toDF(idCol, "phash")
+  }
+
+  /** Near-duplicate IMAGE pairs at hamming ≤ `maxHamming` over the
+    * perceptual hash — the [[Dedup.simhashCandidates]] shape with the
+    * text signature swapped for [[ImageIoCodec.dHash]]; undecodable
+    * payloads drop out (a null signature can pair with nothing).
+    */
+  def imageNearDupCandidates(media: DataFrame, idCol: String = "media_id",
+                             contentCol: String = "content",
+                             maxHamming: Int = 3,
+                             maxBucketSize: Int = 1000): DataFrame =
+    Dedup.hammingCandidates(
+      imageHashes(media, idCol, contentCol).filter(col("phash").isNotNull),
+      "phash", idCol, maxHamming, maxBucketSize)
 
   def decodeDocumentsAsMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

@@ -127,6 +127,43 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageIoCodec.decode(corrupt).isEmpty)
   }
 
+  test("dHash: identical pixels hash identically across containers; " +
+    "small edits land at small hamming; distinct seeds hash apart; " +
+    "non-images are null") {
+    import graft.operators.{Dedup, Multimodal => MM}
+    import MM.ImageIoCodec
+    val png = ImageIoCodec.synth(32, 24, seed = 7, jpeg = false)
+    val png2 = ImageIoCodec.synth(32, 24, seed = 7, jpeg = false)
+    assert(ImageIoCodec.dHash(png) == ImageIoCodec.dHash(png2))
+    // a RESIZED copy (2x) keeps most structure: near, not equal
+    val big = ImageIoCodec.resize(png, 64, 48).get
+    val d = java.lang.Long.bitCount(
+      ImageIoCodec.dHash(png).get ^ ImageIoCodec.dHash(big).get)
+    assert(d <= 10, s"resized copy drifted too far: hamming $d")
+    // distinct seeds: far apart
+    val other = ImageIoCodec.synth(32, 24, seed = 8, jpeg = false)
+    assert(java.lang.Long.bitCount(
+      ImageIoCodec.dHash(png).get ^ ImageIoCodec.dHash(other).get) > 10)
+    assert(ImageIoCodec.dHash("not an image".getBytes("UTF-8")).isEmpty)
+
+    // the blocked pair search finds the planted near-dup (the same
+    // image re-encoded as JPEG — lossy, so hamming is small not zero)
+    val pairs = MM.imageNearDupCandidates(
+      Seq((1L, png), (2L, ImageIoCodec.synth(32, 24, 7, jpeg = true)),
+        (3L, other), (4L, "junk".getBytes("UTF-8")))
+        .toDF("media_id", "content"),
+      maxHamming = 3)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"planted jpeg twin missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "undecodable payload must pair with nothing")
+    // hammingCandidates on the simhash column still behaves (shared
+    // blocking): recall guard rejects maxHamming >= 4
+    intercept[IllegalArgumentException](
+      Dedup.hammingCandidates(Seq((1L, 0L)).toDF("id", "sig"), "sig", "id",
+        maxHamming = 4))
+  }
+
   test("decodeSyntheticImages / resizeSyntheticImages match the " +
     "arithmetic spec over real testdata") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
