@@ -950,6 +950,24 @@ object StretchQueries {
         .select(col("media_id").as("doc_id"), col("rep_id"))
     }),
 
+    // sample-level audio decode: square-wave WAVs parsed down to the
+    // PCM samples; energy and zero crossings are id-arithmetic the
+    // oracle recomputes, so every sample byte is on the hook
+    "q_mm_audio_stats" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          Multimodal.MediaRow(id,
+            Multimodal.MediaSynth.wavTone((id % 100).toInt + 10,
+              (id % 6).toInt + 2),
+            "audio/wav")
+        }.toDF("media_id", "content", "format")
+      Multimodal.audioStats(media)
+        .select(col("media_id").as("doc_id"), col("channels"),
+          col("sample_rate"), col("n_frames"), col("sum_squares"),
+          col("zero_crossings"))
+    }),
+
     // as-of join: every event aligned to the user's latest prior
     // purchase — DuckDB's native ASOF LEFT JOIN is the oracle
     "q_ev_asof" -> ((s, dir) => {
@@ -1815,6 +1833,19 @@ object StretchQueries {
          | CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE nf END AS INT) AS n_frames,
          | CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS format
          |FROM p""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // square wave: sum of squares = frames * A², crossings = the sign
+    // flips at t ≡ 0 and t ≡ period/2 (mod period)
+    "q_mm_audio_stats" ->
+      ("""SELECT doc_id, CAST(1 AS INT) AS channels,
+         |  CAST(16000 AS INT) AS sample_rate,
+         |  CAST(doc_id % 100 + 10 AS INT) AS n_frames,
+         |  CAST((doc_id % 100 + 10) * 1000000 AS BIGINT) AS sum_squares,
+         |  CAST(len(list_filter(range(1, CAST(doc_id % 100 + 10 AS BIGINT)),
+         |    t -> t % (doc_id % 6 + 2) = 0
+         |      OR t % (doc_id % 6 + 2) = (doc_id % 6 + 2) // 2))
+         |    AS BIGINT) AS zero_crossings
+         |FROM documents""".stripMargin).replaceAll(raw"\s+", " "),
 
     // the phash groups collapse to the id-arithmetic classes: same
     // class = identical pixels = identical hash; the representative

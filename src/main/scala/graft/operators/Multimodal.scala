@@ -269,6 +269,83 @@ object Multimodal {
     }
   }
 
+  /** Sample-level statistics of a 16-bit PCM WAV payload. */
+  final case class PcmStats(channels: Int, sample_rate: Int, n_frames: Int,
+                            sum_squares: Long, zero_crossings: Long)
+
+  /** REAL audio decode one level below [[HeaderCodec]]: walk the RIFF
+    * chunks to the data chunk and fold the actual 16-bit samples —
+    * energy (Σ s², exact int64) and zero crossings (sign changes
+    * between consecutive frames) over channel 0. The feature-extract
+    * stage of an audio pipeline in its exactly-verifiable form: for a
+    * [[MediaSynth.wavTone]] square wave both statistics are pure
+    * id-arithmetic, so a SQL oracle can certify that every sample
+    * byte was read correctly.
+    */
+  object PcmCodec {
+    def stats(b: Array[Byte]): Option[PcmStats] = {
+      if (b.length < 44 || b(0) != 'R'.toByte || b(1) != 'I'.toByte ||
+        b(2) != 'F'.toByte || b(3) != 'F'.toByte ||
+        b(8) != 'W'.toByte || b(9) != 'A'.toByte ||
+        b(10) != 'V'.toByte || b(11) != 'E'.toByte) return None
+      def i32(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+      def i16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      def s16(o: Int): Int = i16(o).toShort.toInt
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, ba, bps
+      var data: Option[(Int, Int)] = None // offset, len
+      while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+        val size = i32(off + 4)
+        if (size < 0 || size > b.length - off - 8) return None
+        if (b(off) == 'f'.toByte && b(off + 1) == 'm'.toByte &&
+          b(off + 2) == 't'.toByte && b(off + 3) == ' '.toByte &&
+          size >= 16)
+          fmt = Some((i16(off + 10), i32(off + 12), i16(off + 20),
+            i16(off + 22)))
+        else if (b(off) == 'd'.toByte && b(off + 1) == 'a'.toByte &&
+          b(off + 2) == 't'.toByte && b(off + 3) == 'a'.toByte)
+          data = Some((off + 8, size))
+        off += 8 + size + (size & 1)
+      }
+      for ((ch, rate, ba, bps) <- fmt; (dOff, dLen) <- data;
+           if bps == 16 && ch > 0 && ba == ch * 2) yield {
+        val frames = dLen / ba
+        var sumSq = 0L
+        var crossings = 0L
+        var prev = 0
+        var t = 0
+        while (t < frames) {
+          val s = s16(dOff + t * ba) // channel 0
+          sumSq += s.toLong * s.toLong
+          if (t > 0 && ((s > 0 && prev < 0) || (s < 0 && prev > 0)))
+            crossings += 1
+          prev = s
+          t += 1
+        }
+        PcmStats(ch, rate, frames, sumSq, crossings)
+      }
+    }
+  }
+
+  /** (id, channels, sample_rate, n_frames, sum_squares,
+    * zero_crossings) for an audio binary column — executor-local
+    * sample folds, no shuffle; non-PCM payloads drop out.
+    */
+  def audioStats(media: DataFrame, idCol: String = "media_id",
+                 contentCol: String = "content"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        PcmCodec.stats(bytes).map(s => (id, s.channels, s.sample_rate,
+          s.n_frames, s.sum_squares, s.zero_crossings))
+      })
+      .toDF(idCol, "channels", "sample_rate", "n_frames", "sum_squares",
+        "zero_crossings")
+  }
+
   /** Deterministic synthesizers for the two real formats — the
     * write-side inverse of `HeaderCodec`, used by specs and the
     * round-trip gate query to manufacture valid payloads from row
@@ -287,6 +364,28 @@ object Multimodal {
         .putShort(1).putShort(24).putInt(0).putInt(rowSize * height)
         .putInt(2835).putInt(2835).putInt(0).putInt(0)
       b.array()
+    }
+
+    /** Mono 16-bit PCM square wave: sample(t) = +A when `t mod period
+      * < period/2`, else −A — every sample value, and therefore every
+      * derived statistic (energy, zero crossings), is exact integer
+      * arithmetic an oracle can recompute without hearing the audio.
+      */
+    def wavTone(nFrames: Int, period: Int, amplitude: Int = 1000,
+                sampleRate: Int = 16000): Array[Byte] = {
+      require(period >= 2 && nFrames >= 0 && amplitude > 0 &&
+        amplitude <= Short.MaxValue, "invalid tone parameters")
+      val header = wav(1, sampleRate, nFrames)
+      val b = java.nio.ByteBuffer.wrap(header)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val half = period / 2
+      var t = 0
+      while (t < nFrames) {
+        val s = if (t % period < half) amplitude else -amplitude
+        b.putShort(44 + 2 * t, s.toShort)
+        t += 1
+      }
+      header
     }
 
     /** Minimal PCM WAV (fmt + data chunks, silent samples). */

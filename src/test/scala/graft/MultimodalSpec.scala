@@ -164,6 +164,26 @@ class MultimodalSpec extends SparkSpec {
         maxHamming = 4))
   }
 
+  test("PcmCodec: square-wave samples fold to exact energy and " +
+    "crossings; silence, junk, and images are handled") {
+    import graft.operators.Multimodal.{MediaSynth, PcmCodec}
+    // period 4, 12 frames: + + - - + + - - + + - -  (half = 2)
+    val tone = PcmCodec.stats(MediaSynth.wavTone(12, 4, amplitude = 7)).get
+    assert(tone.channels == 1 && tone.sample_rate == 16000)
+    assert(tone.n_frames == 12)
+    assert(tone.sum_squares == 12L * 49)
+    // flips at t = 2,4,6,8,10 (t%4==0 or 2) -> 5 crossings
+    assert(tone.zero_crossings == 5)
+    // silence: zero energy, zero crossings (sign never changes)
+    val silent = PcmCodec.stats(MediaSynth.wav(2, 8000, 10)).get
+    assert(silent.channels == 2 && silent.sum_squares == 0L &&
+      silent.zero_crossings == 0L)
+    // non-audio payloads: None, never a crash
+    assert(PcmCodec.stats("not audio".getBytes("UTF-8")).isEmpty)
+    assert(PcmCodec.stats(MediaSynth.bmp(4, 4)).isEmpty)
+    assert(PcmCodec.stats(Array.emptyByteArray).isEmpty)
+  }
+
   test("decodeSyntheticImages / resizeSyntheticImages match the " +
     "arithmetic spec over real testdata") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
