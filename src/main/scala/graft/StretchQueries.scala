@@ -1211,6 +1211,26 @@ object StretchQueries {
         .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
     }),
 
+    // curation composition v4: importance-resampled selection feeding
+    // the deterministic split — the DSIR stage composed end-to-end
+    // (select the target-like half, split it, account tokens per split)
+    "q_pipe_curate4" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val kept = graft.operators.Dsir.selectAboveQuantile(
+        graft.operators.Dsir.importanceWeights(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "text", "doc_id"),
+        q = 0.5, idCol = "doc_id")
+      docs.join(kept.select(col("doc_id")), "doc_id")
+        .select(graft.operators.DatasetSplit.splitLabel(col("text"))
+          .as("split"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"))
+    }),
+
     // ANN evaluation harness: recall@5 of a half-corpus search vs the
     // full-corpus truth — a deterministic construction both engines
     // replay exactly (integer hit counts, no recall division)
@@ -1226,6 +1246,30 @@ object StretchQueries {
 
   private val tokensSql =
     raw"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> length(t) > 0)"
+
+  /** Shared DSIR CTE chain ending in `wt(doc_id, n_tokens,
+    * logw_micros)` — the weights relation the q_t_dsir* gates and the
+    * curation composition all build on (one definition, zero drift).
+    */
+  private lazy val dsirWtCtes: String =
+    s"""tq AS (SELECT doc_id, $tokensSql AS ta FROM documents),
+       |occ AS (SELECT doc_id, w, count(*) AS n FROM
+       |  (SELECT doc_id, unnest(ta) AS w FROM tq) GROUP BY doc_id, w),
+       |occr AS (SELECT * FROM occ WHERE doc_id % 97 <> 0),
+       |occt AS (SELECT * FROM occ WHERE doc_id % 97 = 0),
+       |cr AS (SELECT w, sum(n) AS cr FROM occr GROUP BY w),
+       |ct AS (SELECT w, sum(n) AS ct FROM occt GROUP BY w),
+       |v AS (SELECT count(*) AS v FROM
+       |  (SELECT w FROM cr UNION SELECT w FROM ct)),
+       |nt AS (SELECT coalesce(sum(n), 0) AS nt FROM occt),
+       |nr AS (SELECT coalesce(sum(n), 0) AS nr FROM occr),
+       |s AS (SELECT w, CAST(round(1000000.0 * (
+       |    ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+       |  - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE))))
+       |  AS BIGINT) AS s FROM cr LEFT JOIN ct USING (w), v, nt, nr),
+       |wt AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n * s) AS BIGINT) AS logw_micros
+       |  FROM occr JOIN s USING (w) GROUP BY doc_id)""".stripMargin
 
   private def hitsSql(words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1580,49 +1624,34 @@ object StretchQueries {
     // DSIR: the exact smoothed log-ratio formula, token for token —
     // each token type rounds to micros once, then integer dot products
     "q_t_dsir" ->
-      (s"""WITH tq AS (SELECT doc_id, $tokensSql AS ta FROM documents),
-         |occ AS (SELECT doc_id, w, count(*) AS n FROM
-         |  (SELECT doc_id, unnest(ta) AS w FROM tq) GROUP BY doc_id, w),
-         |occr AS (SELECT * FROM occ WHERE doc_id % 97 <> 0),
-         |occt AS (SELECT * FROM occ WHERE doc_id % 97 = 0),
-         |cr AS (SELECT w, sum(n) AS cr FROM occr GROUP BY w),
-         |ct AS (SELECT w, sum(n) AS ct FROM occt GROUP BY w),
-         |v AS (SELECT count(*) AS v FROM
-         |  (SELECT w FROM cr UNION SELECT w FROM ct)),
-         |nt AS (SELECT coalesce(sum(n), 0) AS nt FROM occt),
-         |nr AS (SELECT coalesce(sum(n), 0) AS nr FROM occr),
-         |s AS (SELECT w, CAST(round(1000000.0 * (
-         |    ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
-         |  - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE))))
-         |  AS BIGINT) AS s FROM cr LEFT JOIN ct USING (w), v, nt, nr)
-         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
-         |  CAST(sum(n * s) AS BIGINT) AS logw_micros
-         |FROM occr JOIN s USING (w) GROUP BY doc_id""".stripMargin)
+      (s"WITH $dsirWtCtes SELECT doc_id, n_tokens, logw_micros FROM wt")
         .replaceAll(raw"\s+", " "),
 
     "q_t_dsir_sel" ->
-      (s"""WITH tq AS (SELECT doc_id, $tokensSql AS ta FROM documents),
-         |occ AS (SELECT doc_id, w, count(*) AS n FROM
-         |  (SELECT doc_id, unnest(ta) AS w FROM tq) GROUP BY doc_id, w),
-         |occr AS (SELECT * FROM occ WHERE doc_id % 97 <> 0),
-         |occt AS (SELECT * FROM occ WHERE doc_id % 97 = 0),
-         |cr AS (SELECT w, sum(n) AS cr FROM occr GROUP BY w),
-         |ct AS (SELECT w, sum(n) AS ct FROM occt GROUP BY w),
-         |v AS (SELECT count(*) AS v FROM
-         |  (SELECT w FROM cr UNION SELECT w FROM ct)),
-         |nt AS (SELECT coalesce(sum(n), 0) AS nt FROM occt),
-         |nr AS (SELECT coalesce(sum(n), 0) AS nr FROM occr),
-         |s AS (SELECT w, CAST(round(1000000.0 * (
-         |    ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
-         |  - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE))))
-         |  AS BIGINT) AS s FROM cr LEFT JOIN ct USING (w), v, nt, nr),
-         |wt AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
-         |  CAST(sum(n * s) AS BIGINT) AS logw_micros
-         |  FROM occr JOIN s USING (w) GROUP BY doc_id)
+      (s"""WITH $dsirWtCtes
          |SELECT doc_id, n_tokens, logw_micros FROM wt,
          |  (SELECT percentile_cont(0.5) WITHIN GROUP
          |    (ORDER BY logw_micros) AS thr FROM wt)
          |WHERE CAST(logw_micros AS DOUBLE) >= thr""".stripMargin)
+        .replaceAll(raw"\s+", " "),
+
+    // curation composition v4: DSIR top-half selection → deterministic
+    // content-hash split → per-split doc/token accounting
+    "q_pipe_curate4" ->
+      (s"""WITH $dsirWtCtes,
+         |thr AS (SELECT percentile_cont(0.5) WITHIN GROUP
+         |  (ORDER BY logw_micros) AS thr FROM wt),
+         |keep AS (SELECT doc_id FROM wt, thr
+         |  WHERE CAST(logw_micros AS DOUBLE) >= thr),
+         |sel AS (SELECT d.doc_id, d.text FROM documents d
+         |  JOIN keep USING (doc_id)),
+         |lab AS (SELECT doc_id,
+         |  CASE WHEN $bucketSql < 205 THEN 'train'
+         |       WHEN $bucketSql < 230 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(len($tokensSql) AS BIGINT) AS nt FROM sel)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens
+         |FROM lab GROUP BY split""".stripMargin)
         .replaceAll(raw"\s+", " "),
 
     // both MV-maintenance oracles are the FULL aggregate over the

@@ -39,7 +39,10 @@ object ScaleGate {
     "q_v_topk" -> 6.0,
     "q_v_topk_ivf_idx" -> 6.0,
     "q_v_neardup" -> 10.0,
-    "q_v_semdedup" -> 8.0
+    "q_v_semdedup" -> 8.0,
+    // vocabulary-sized model tables + per-doc integer dot products:
+    // should scale like the other token-shuffle operators
+    "q_t_dsir" -> 8.0
   )
 
   def main(args: Array[String]): Unit = {
