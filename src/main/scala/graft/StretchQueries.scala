@@ -1057,6 +1057,26 @@ object StretchQueries {
           col("value"))
     }),
 
+    // per-user lifetime totals on the transformWithState API (Spark 4
+    // stateful v2, RocksDB state store): a REAL streaming run; one
+    // micro-batch emits each user's final totals, so the full
+    // aggregate is the oracle. Checkpoint deleted first — a reused
+    // checkpoint would see no new data and emit nothing
+    "q_ev_tws_totals" -> ((s, dir) => {
+      val staged = graft.engine.Scratch.ensure(s, "tws-events",
+        s"$dir/events.parquet", "ts-ltz-v2") { out =>
+        EventStream.loadEvents(s, s"$dir/events.parquet")
+          .select(col("user_id"), col("value"))
+          .write.mode("overwrite").parquet(out)
+      }
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_tws_q"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      graft.streaming.StatefulTotals.userTotalsStream(
+        s, staged, s"$scratch/out", s"$scratch/ckpt")
+    }),
+
     // ── event-stream transforms, batch-executed (same plan streams) ────
     "q_ev_window" -> ((s, dir) =>
       EventStream.windowedAgg(
@@ -1862,6 +1882,11 @@ object StretchQueries {
          | CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE nf END AS INT) AS n_frames,
          | CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS format
          |FROM p""".stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ev_tws_totals" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) " +
+        "AS total_cents FROM events GROUP BY user_id"),
 
     // square wave: sum of squares = frames * A², crossings = the sign
     // flips at t ≡ 0 and t ≡ period/2 (mod period)

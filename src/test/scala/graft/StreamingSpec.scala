@@ -285,4 +285,47 @@ class StreamingSpec extends SparkSpec {
       assert(sessions(uid).span_ms >= 0)
     }
   }
+
+  test("transformWithState totals: one batch equals groupBy; RocksDB " +
+    "state survives a checkpoint restart") {
+    import graft.streaming.StatefulTotals
+    val base = tmpDir("tws")
+    val staged = s"$base/events"
+    val ckpt = s"$base/ckpt"
+    val ev = EventStream.loadEvents(spark, dir)
+      .select(col("user_id"), col("value")).limit(500)
+    ev.coalesce(1).write.mode("append").parquet(staged)
+    def expected(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("c"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    val run1 = StatefulTotals.userTotalsStream(spark, staged,
+      s"$base/out1", ckpt)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(run1 == expected(spark.read.parquet(staged)
+      .select(col("user_id"), col("value"))),
+      "single-batch totals must equal the full aggregate")
+
+    // a second file lands; the query RESTARTS on the same checkpoint —
+    // emitted totals for re-seen users must include batch-1 state
+    // (proves the RocksDB store persisted across the restart)
+    val ev2 = EventStream.loadEvents(spark, dir)
+      .select(col("user_id"), col("value"))
+      .limit(800).exceptAll(ev) // disjoint-ish slice, overlapping users
+    ev2.coalesce(1).write.mode("append").parquet(staged)
+    val run2 = StatefulTotals.userTotalsStream(spark, staged,
+      s"$base/out2", ckpt)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(run2.nonEmpty, "second batch must emit updated users")
+    val full = expected(spark.read.parquet(staged)
+      .select(col("user_id"), col("value")))
+    run2.foreach { case (uid, got) =>
+      assert(got == full(uid),
+        s"user $uid: restart lost state (got $got, want ${full(uid)})")
+    }
+  }
 }
