@@ -1251,6 +1251,22 @@ object StretchQueries {
           sum(col("nt")).as("total_tokens"))
     }),
 
+    // reciprocal-rank fusion of two retrievers (full-corpus exact +
+    // half-corpus approx — the recall harness's pair): per-(list,
+    // rank) micros contributions, int64 sums, id tie-breaks — the
+    // hybrid-retrieval merge as exact arithmetic
+    "q_v_rrf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 16)
+      graft.operators.Fusion.rrf(Seq(
+        SimilaritySearch.bruteForceTopK(emb, q, k = 5),
+        SimilaritySearch.bruteForceTopK(
+          emb.filter(col("vec_id") % 2 === 0), q, k = 5)),
+        topN = 5)
+        .select(col("q_id"), col("fused_rank"), col("n_id"),
+          col("rrf_micros"), col("n_lists"))
+    }),
+
     // ANN evaluation harness: recall@5 of a half-corpus search vs the
     // full-corpus truth — a deterministic construction both engines
     // replay exactly (integer hit counts, no recall division)
@@ -1843,6 +1859,35 @@ object StretchQueries {
          |  SELECT q_id, n_id, cos, row_number() OVER
          |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk FROM scored)
          |WHERE rnk <= 5""".stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_v_rrf" ->
+      ("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |  FROM embeddings WHERE vec_id < 16),
+         |sc AS (SELECT q.q_id, c.vec_id AS n_id, c.vec_id % 2 AS par,
+         |   list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |     i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+         |   (sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |     i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))) *
+         |    sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+         |     i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS cos
+         |  FROM embeddings c, q WHERE c.vec_id <> q.q_id),
+         |r1 AS (SELECT q_id, n_id, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM sc),
+         |r2 AS (SELECT q_id, n_id, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM sc
+         |  WHERE par = 0),
+         |u AS (SELECT q_id, n_id,
+         |    CAST(round(1000000.0 / (60 + rnk)) AS BIGINT) AS c
+         |  FROM r1 WHERE rnk <= 5
+         |  UNION ALL SELECT q_id, n_id,
+         |    CAST(round(1000000.0 / (60 + rnk)) AS BIGINT)
+         |  FROM r2 WHERE rnk <= 5),
+         |f AS (SELECT q_id, n_id, CAST(sum(c) AS BIGINT) AS rrf_micros,
+         |  count(*) AS n_lists FROM u GROUP BY q_id, n_id)
+         |SELECT q_id, CAST(rnk AS INT) AS fused_rank, n_id, rrf_micros,
+         |  n_lists FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |  ORDER BY rrf_micros DESC, n_id) AS rnk FROM f) WHERE rnk <= 5"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_v_neardup" ->
       ("""WITH e AS (SELECT vec_id, embedding FROM embeddings

@@ -369,4 +369,28 @@ class SimilaritySpec extends SparkSpec {
       maxClusterSize = 3)
     assert(capped.droppedBuckets > 0, "tiny cap must trip the guard")
   }
+
+  test("rrf fusion: cross-list agreement dominates, ties break by id, " +
+    "self-fusion doubles, topN trims per query") {
+    import graft.operators.Fusion
+    def ranking(rows: (Long, Long, Int)*) =
+      rows.toSeq.toDF("q_id", "n_id", "rank")
+    // doc 30 is rank 3 in BOTH lists; docs 10/20 are rank 1 in ONE —
+    // two third-places must outscore a single first place at k0=60
+    val a = ranking((1L, 10L, 1), (1L, 30L, 3))
+    val b = ranking((1L, 20L, 1), (1L, 30L, 3))
+    val fused = Fusion.rrf(Seq(a, b), topN = 3)
+      .select(col("fused_rank"), col("n_id"), col("n_lists"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(fused.map(f => (f._1, f._2)).toSeq ==
+      Seq((1, 30L), (2, 10L), (3, 20L)),
+      s"agreement must dominate; id breaks the 10-vs-20 tie: ${fused.toSeq}")
+    assert(fused.find(_._2 == 30L).get._3 == 2)
+    // self-fusion: exactly double the single-list scores
+    val once = Fusion.rrf(Seq(a)).select(col("n_id"), col("rrf_micros"))
+      .as[(Long, Long)].collect().toMap
+    val twice = Fusion.rrf(Seq(a, a)).select(col("n_id"), col("rrf_micros"))
+      .as[(Long, Long)].collect().toMap
+    assert(twice == once.map { case (k, v) => k -> v * 2 })
+  }
 }
