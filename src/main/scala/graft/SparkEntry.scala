@@ -899,6 +899,27 @@ object SparkEntry {
         1000L, 3000L)
     }),
 
+    // ── S16: targeted DELETE through the skipping manifest — only the
+    //    files whose range intersects the doomed interval rewrite;
+    //    the rest stay untouched bytes (LayoutExtensionsSpec pins
+    //    that). Own scratch tag: the delete MUTATES the artifact,
+    //    so sharing q_s9's table would corrupt its oracle ─────────────
+    "q_s16_delete" -> ((s, dir) => {
+      val scratch = graft.engine.Scratch.ensure(s, "delskip",
+        s"$dir/lineitem.parquet", "stats-names-v2") { out =>
+        val path = s"$out/li"
+        graft.engine.Layout.writeRangeSorted(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity"), col("l_extendedprice")),
+          path, numFiles = 16, col("l_orderkey"))
+        graft.engine.Layout.writeFileStats(s, path, Seq("l_orderkey"))
+      }
+      graft.engine.Layout.deleteMatching(s, s"$scratch/li",
+        "l_orderkey", 1000L, 3000L)
+      graft.engine.Layout.manifestRead(s, s"$scratch/li")
+    }),
+
     // ── S11: versioned table — atomic generational commits with
     //    snapshot isolation and time travel (VersionedTable; the
     //    Delta-commit behavior the reference leans on, rebuilt over
@@ -1290,6 +1311,11 @@ object SparkEntry {
         "WHERE p_partkey % 7 <> 0 UNION ALL " +
         "SELECT p_partkey + 1000000, p_name, p_brand, p_type, p_size, " +
         "p_retailprice FROM part WHERE p_partkey % 7 = 2"),
+
+    // the delete must be exact: manifest read ≡ full-scan anti-filter
+    "q_s16_delete" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice " +
+        "FROM lineitem WHERE l_orderkey NOT BETWEEN 1000 AND 3000"),
 
     // skipping must be invisible: pruned read ≡ full-scan filter
     "q_s9_skipping" ->

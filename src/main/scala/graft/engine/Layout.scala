@@ -161,6 +161,107 @@ object Layout {
     else spark.read.parquet(files.toIndexedSeq: _*).filter(pred)
   }
 
+  /** Read the table THROUGH its manifest: exactly the files the
+    * manifest lists (the visibility contract [[deleteMatching]]
+    * relies on — data files not in the manifest are invisible,
+    * whatever else sits in the directory).
+    */
+  def manifestRead(spark: org.apache.spark.sql.SparkSession,
+                   tablePath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val files = spark.read.parquet(statsPath(tablePath))
+      .select(col("file")).collect()
+      .map(r => s"$tablePath/${r.getString(0)}")
+    require(files.nonEmpty, s"empty manifest at ${statsPath(tablePath)}")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Targeted DELETE through the manifest — the GDPR/retention
+    * rewrite at lakehouse scale: only the files whose [min, max]
+    * intersects the doomed interval are rewritten; every other file
+    * is untouched bytes (at 100 TB with a range-clustered layout
+    * that is 3 files out of 30,000, not a table rewrite). Returns
+    * (rewritten, untouched) file counts.
+    *
+    * Protocol (manifest = the visibility pointer):
+    *  1. survivors of the dirty files are written to a staging
+    *     sibling, then MOVED into the table dir under fresh names —
+    *     invisible to manifest readers until step 2;
+    *  2. the manifest is atomically replaced: untouched files keep
+    *     their existing rows (their stats cannot have changed), new
+    *     files get freshly aggregated rows — an incremental update,
+    *     not a full-table re-scan;
+    *  3. the dirty files are deleted — now-unlisted garbage either
+    *     way, invisible to [[manifestRead]]/[[prunedRead]] consumers.
+    * A crash before 2 leaves the table and manifest exactly as they
+    * were (staging/unlisted files are inert); a crash between 2 and 3
+    * leaves unlisted garbage a later [[deleteMatching]] or cleanup
+    * sweep removes. Plain `spark.read.parquet(dir)` readers do NOT
+    * get this isolation (they would see unlisted files) — a table
+    * maintained this way is read through its manifest, period.
+    */
+  def deleteMatching(spark: org.apache.spark.sql.SparkSession,
+                     tablePath: String, colName: String,
+                     lo: Any, hi: Any): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val hadoopPath = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = spark.read.parquet(statsPath(tablePath))
+    val dirtyPred = col(s"max_$colName") >= lit(lo) &&
+      col(s"min_$colName") <= lit(hi)
+    val dirty = stats.filter(dirtyPred)
+      .select(col("file")).collect().map(_.getString(0))
+    val untouched = stats.filter(!dirtyPred)
+    val nUntouched = untouched.count()
+    if (dirty.isEmpty) return (0L, nUntouched)
+
+    // 1. survivors → staging, then move in under fresh names
+    val staging = new org.apache.hadoop.fs.Path(
+      tablePath + "__delete_" + java.util.UUID.randomUUID().toString.take(8))
+    spark.read.parquet(dirty.map(n => s"$tablePath/$n").toIndexedSeq: _*)
+      .filter(!col(colName).between(lit(lo), lit(hi)))
+      .write.parquet(staging.toString)
+    val moved = fs.listStatus(staging)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val name = s"del-${java.util.UUID.randomUUID().toString.take(8)}-" +
+          st.getPath.getName
+        if (!fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+          hadoopPath, name)))
+          throw new java.io.IOException(
+            s"deleteMatching: could not move ${st.getPath} into $tablePath")
+        name
+      }
+    fs.delete(staging, true)
+
+    // 2. incremental manifest swap (stats of NEW files only; untouched
+    //    rows carried over verbatim)
+    val cols = stats.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+    val newRows =
+      if (moved.isEmpty) untouched
+      else {
+        val aggs = cols.toSeq.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        untouched.unionByName(
+          spark.read.parquet(moved.map(n => s"$tablePath/$n").toIndexedSeq: _*)
+            .groupBy(regexp_replace(input_file_name(), "^.*/", "").as("file"))
+            .agg(aggs.head, aggs.tail: _*))
+      }
+    val statsDir = new org.apache.hadoop.fs.Path(statsPath(tablePath))
+    val statsStaging = new org.apache.hadoop.fs.Path(
+      statsPath(tablePath) + "._new")
+    newRows.coalesce(1).write.mode("overwrite").parquet(statsStaging.toString)
+    fs.delete(statsDir, true)
+    if (!fs.rename(statsStaging, statsDir))
+      throw new java.io.IOException(
+        s"deleteMatching: could not publish manifest at $statsDir")
+
+    // 3. dirty files are unlisted garbage now
+    dirty.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/$n"), false))
+    (dirty.length.toLong, nUntouched)
+  }
+
   /** How many files [[prunedRead]] would open for the interval —
     * the observability hook LayoutExtensionsSpec pins pruning with.
     */

@@ -169,4 +169,56 @@ class LayoutExtensionsSpec extends SparkSpec {
     assert(none.columns.toSeq == Seq("l_orderkey", "l_quantity"))
     assert(none.count() == 0)
   }
+
+  test("deleteMatching rewrites ONLY the intersecting files; untouched " +
+    "files keep their exact bytes; the manifest stays consistent") {
+    import org.apache.hadoop.fs.Path
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val path = tmpDir("del") + "/li"
+    graft.engine.Layout.writeRangeSorted(li, path, 16, col("l_orderkey"))
+    graft.engine.Layout.writeFileStats(spark, path, Seq("l_orderkey"))
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileSig = fs.listStatus(new Path(path))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => st.getPath.getName -> ((st.getLen, st.getModificationTime)))
+      .toMap
+    val before = fileSig
+    val (expectDirty, total) = graft.engine.Layout.filesForInterval(
+      spark, path, "l_orderkey", 100L, 400L)
+    assert(expectDirty > 0 && expectDirty < total)
+
+    val (rewritten, untouched) = graft.engine.Layout.deleteMatching(
+      spark, path, "l_orderkey", 100L, 400L)
+    assert(rewritten == expectDirty, s"$rewritten != $expectDirty")
+    assert(untouched == total - expectDirty)
+    // content: exactly the anti-filter of the original
+    val got = graft.engine.Layout.manifestRead(spark, path)
+      .collect().map(_.toSeq).toSet
+    val want = li.filter(!col("l_orderkey").between(100L, 400L))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "delete diverged from the anti-filter")
+    // untouched files: identical names, lengths, and mtimes
+    val after = fileSig
+    val survivors = before.keySet.intersect(after.keySet)
+    assert(survivors.size == untouched.toInt)
+    survivors.foreach(n =>
+      assert(before(n) == after(n), s"untouched file $n was modified"))
+    // the manifest lists exactly the files on disk that matter: a
+    // pruned read through it still equals the filtered content
+    val pruned = graft.engine.Layout.prunedRead(spark, path,
+      "l_orderkey", 0L, 1000000L).collect().map(_.toSeq).toSet
+    assert(pruned == want)
+
+    // a second delete of the same interval is a no-op on content
+    graft.engine.Layout.deleteMatching(spark, path, "l_orderkey", 100L, 400L)
+    assert(graft.engine.Layout.manifestRead(spark, path)
+      .collect().map(_.toSeq).toSet == want)
+    // an interval no file intersects: zero rewrites, nothing changes
+    val sigBefore = fileSig
+    val (r2, _) = graft.engine.Layout.deleteMatching(
+      spark, path, "l_orderkey", -100L, -50L)
+    assert(r2 == 0 && fileSig == sigBefore)
+  }
 }
