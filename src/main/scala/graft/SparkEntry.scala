@@ -920,6 +920,30 @@ object SparkEntry {
       graft.engine.Layout.manifestRead(s, s"$scratch/li")
     }),
 
+    // ── S17: copy-on-write UPDATE through the same manifest protocol:
+    //    bump quantities in a key range; only intersecting files
+    //    rewrite ─────────────────────────────────────────────────────
+    "q_s17_update" -> ((s, dir) => {
+      val scratch = graft.engine.Scratch.ensure(s, "updskip",
+        s"$dir/lineitem.parquet", "stats-names-v2") { out =>
+        val path = s"$out/li"
+        graft.engine.Layout.writeRangeSorted(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity"), col("l_extendedprice")),
+          path, numFiles = 16, col("l_orderkey"))
+        graft.engine.Layout.writeFileStats(s, path, Seq("l_orderkey"))
+      }
+      // idempotent across reps: the update SETS (not increments) the
+      // quantity, so a cached scratch re-running the rewrite lands on
+      // the same state
+      graft.engine.Layout.updateMatching(s, s"$scratch/li",
+        "l_orderkey", 1000L, 3000L)(df => df.withColumn("l_quantity",
+        when(col("l_orderkey").between(1000L, 3000L), lit(99.0))
+          .otherwise(col("l_quantity"))))
+      graft.engine.Layout.manifestRead(s, s"$scratch/li")
+    }),
+
     // ── S11: versioned table — atomic generational commits with
     //    snapshot isolation and time travel (VersionedTable; the
     //    Delta-commit behavior the reference leans on, rebuilt over
@@ -1311,6 +1335,11 @@ object SparkEntry {
         "WHERE p_partkey % 7 <> 0 UNION ALL " +
         "SELECT p_partkey + 1000000, p_name, p_brand, p_type, p_size, " +
         "p_retailprice FROM part WHERE p_partkey % 7 = 2"),
+
+    "q_s17_update" ->
+      ("SELECT l_orderkey, l_linenumber, CASE WHEN l_orderkey BETWEEN " +
+        "1000 AND 3000 THEN 99.0 ELSE l_quantity END AS l_quantity, " +
+        "l_extendedprice FROM lineitem"),
 
     // the delete must be exact: manifest read ≡ full-scan anti-filter
     "q_s16_delete" ->

@@ -204,6 +204,29 @@ object Layout {
                      tablePath: String, colName: String,
                      lo: Any, hi: Any): (Long, Long) = {
     import org.apache.spark.sql.functions._
+    rewriteMatching(spark, tablePath, colName, lo, hi,
+      _.filter(!col(colName).between(lit(lo), lit(hi))))
+  }
+
+  /** Copy-on-write UPDATE through the manifest — [[deleteMatching]]'s
+    * file-pruned protocol with an arbitrary rewrite of the dirty
+    * files' content (the caller's `rewrite` sees exactly those files'
+    * rows and returns their replacement; rows outside the interval
+    * pass through it too, so a row-level update writes
+    * `when(matching, new).otherwise(old)`). Untouched files stay
+    * untouched bytes; same crash/visibility contract.
+    */
+  def updateMatching(spark: org.apache.spark.sql.SparkSession,
+                     tablePath: String, colName: String,
+                     lo: Any, hi: Any)
+                    (rewrite: DataFrame => DataFrame): (Long, Long) =
+    rewriteMatching(spark, tablePath, colName, lo, hi, rewrite)
+
+  private def rewriteMatching(spark: org.apache.spark.sql.SparkSession,
+                              tablePath: String, colName: String,
+                              lo: Any, hi: Any,
+                              rewrite: DataFrame => DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions._
     val hadoopPath = new org.apache.hadoop.fs.Path(tablePath)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stats = spark.read.parquet(statsPath(tablePath))
@@ -215,16 +238,17 @@ object Layout {
     val nUntouched = untouched.count()
     if (dirty.isEmpty) return (0L, nUntouched)
 
-    // 1. survivors → staging, then move in under fresh names
+    // 1. rewritten content of the dirty files → staging, then move in
+    //    under fresh names
     val staging = new org.apache.hadoop.fs.Path(
-      tablePath + "__delete_" + java.util.UUID.randomUUID().toString.take(8))
-    spark.read.parquet(dirty.map(n => s"$tablePath/$n").toIndexedSeq: _*)
-      .filter(!col(colName).between(lit(lo), lit(hi)))
+      tablePath + "__rewrite_" + java.util.UUID.randomUUID().toString.take(8))
+    rewrite(
+      spark.read.parquet(dirty.map(n => s"$tablePath/$n").toIndexedSeq: _*))
       .write.parquet(staging.toString)
     val moved = fs.listStatus(staging)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map { st =>
-        val name = s"del-${java.util.UUID.randomUUID().toString.take(8)}-" +
+        val name = s"rw-${java.util.UUID.randomUUID().toString.take(8)}-" +
           st.getPath.getName
         if (!fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
           hadoopPath, name)))

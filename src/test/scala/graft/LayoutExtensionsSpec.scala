@@ -220,5 +220,28 @@ class LayoutExtensionsSpec extends SparkSpec {
     val (r2, _) = graft.engine.Layout.deleteMatching(
       spark, path, "l_orderkey", -100L, -50L)
     assert(r2 == 0 && fileSig == sigBefore)
+
+    // copy-on-write UPDATE through the same protocol: matching rows
+    // transformed, non-matching rows of dirty files carried through,
+    // untouched files still untouched
+    val sigPreUpd = fileSig
+    val (u, _) = graft.engine.Layout.updateMatching(
+      spark, path, "l_orderkey", 500L, 600L)(df =>
+      df.withColumn("l_quantity",
+        when(col("l_orderkey").between(500L, 600L), lit(-1.0))
+          .otherwise(col("l_quantity"))))
+    assert(u > 0)
+    val updated = graft.engine.Layout.manifestRead(spark, path)
+      .collect().map(_.toSeq).toSet
+    val wantUpd = li.filter(!col("l_orderkey").between(100L, 400L))
+      .withColumn("l_quantity",
+        when(col("l_orderkey").between(500L, 600L), lit(-1.0))
+          .otherwise(col("l_quantity")))
+      .collect().map(_.toSeq).toSet
+    assert(updated == wantUpd, "update diverged from the full rewrite")
+    val sigPostUpd = fileSig
+    sigPreUpd.keySet.intersect(sigPostUpd.keySet).foreach(n =>
+      assert(sigPreUpd(n) == sigPostUpd(n),
+        s"untouched file $n modified by update"))
   }
 }
