@@ -286,6 +286,34 @@ object Layout {
     (dirty.length.toLong, nUntouched)
   }
 
+  /** Delete AGED data files the manifest does not list — the cleanup
+    * sweep for [[deleteMatching]]/[[updateMatching]] crash leftovers
+    * (a crash after the manifest swap leaves the replaced files
+    * unlisted; a crash before it leaves the moved-in survivors
+    * unlisted — both invisible to manifest readers, both garbage).
+    * Only files older than `olderThanMs` go: a FRESH unlisted file
+    * may be a concurrent rewrite's staging mid-publish (same age
+    * heuristic as [[VersionedTable.vacuum]]'s staging sweep). Returns
+    * the deleted names.
+    */
+  def vacuumUnlisted(spark: org.apache.spark.sql.SparkSession,
+                     tablePath: String,
+                     olderThanMs: Long = 3600000L): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = spark.read.parquet(statsPath(tablePath))
+      .select(org.apache.spark.sql.functions.col("file"))
+      .collect().map(_.getString(0)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    fs.listStatus(dir).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.endsWith(".parquet") && !listed(n) &&
+          st.getModificationTime < cutoff
+      }
+      .map { st => fs.delete(st.getPath, false); st.getPath.getName }
+  }
+
   /** How many files [[prunedRead]] would open for the interval —
     * the observability hook LayoutExtensionsSpec pins pruning with.
     */

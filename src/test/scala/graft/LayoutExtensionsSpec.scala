@@ -243,5 +243,24 @@ class LayoutExtensionsSpec extends SparkSpec {
     sigPreUpd.keySet.intersect(sigPostUpd.keySet).foreach(n =>
       assert(sigPreUpd(n) == sigPostUpd(n),
         s"untouched file $n modified by update"))
+
+    // crash-leftover sweep: an AGED unlisted data file goes, a fresh
+    // one survives, listed files are never touched
+    val aListed = fs.listStatus(new Path(path))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val aged = new Path(path, "orphan-aged.parquet")
+    val fresh = new Path(path, "orphan-fresh.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, aListed, fs, aged, false,
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs, aListed, fs, fresh, false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(aged, System.currentTimeMillis() - 7200000L, -1)
+    val swept = graft.engine.Layout.vacuumUnlisted(spark, path)
+    assert(swept == Seq("orphan-aged.parquet"), s"swept=$swept")
+    assert(!fs.exists(aged) && fs.exists(fresh))
+    assert(graft.engine.Layout.manifestRead(spark, path)
+      .collect().map(_.toSeq).toSet == wantUpd,
+      "sweep must not change manifest-visible content")
+    fs.delete(fresh, false)
   }
 }
