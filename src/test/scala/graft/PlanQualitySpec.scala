@@ -211,6 +211,30 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("retractStream: exactly one join, scan-side explode, no window") {
+    import org.apache.spark.sql.functions.col
+    val before = spark.range(10).select(col("id"), (col("id") * 2).as("v"))
+    val after = spark.range(12).select(col("id"), (col("id") * 3).as("v"))
+    val p = graft.engine.Upsert.retractStream(before, after, Seq("id"))
+      .queryExecution.executedPlan.toString
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p).size
+    assert(joins == 1, s"expected ONE diff join, found $joins:\n$p")
+    assert(p.contains("Generate"), s"image explode missing:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
+  test("rrf: fusion is union + aggregation + per-query window — no joins") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1), (1L, 30L, 2)).toDF("q_id", "n_id", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("q_id", "n_id", "rank")
+    val p = graft.operators.Fusion.rrf(Seq(a, b), topN = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Union"))
+    assert(!p.contains("Join"), s"fusion must not join:\n$p")
+    assert(p.contains("Window"), "per-query rank missing")
+  }
+
   test("entry(): flagship star-agg keeps broadcast + partial-agg shape") {
     val p = SparkEntry.entry(spark).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
