@@ -571,6 +571,28 @@ object StretchQueries {
         threshold = 1.0)
     }),
 
+    // the nightly dedup as one streaming job: two feed files → two
+    // epochs through incrementalDedupStream (exactly-once via the
+    // signature-index ledger + per-epoch output overwrite); the union
+    // over epochs must equal the full recompute — every set-identical
+    // pair, each surfacing exactly once in its latest member's epoch
+    "q_d_stream_inc" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_dsi_q"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.union(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      planted.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .coalesce(1).write.mode("append").parquet(s"$scratch/feed")
+      planted.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+        .coalesce(1).write.mode("append").parquet(s"$scratch/feed")
+      graft.streaming.StreamingDedup.incrementalDedupStream(
+        s, s"$scratch/feed", s"$scratch/idx", s"$scratch/out",
+        s"$scratch/ckpt")
+    }),
+
     // corpus rebalancing to a target mixture: per-group rates DERIVED
     // from the actual counts (integer arithmetic end-to-end, so the
     // oracle replays the exact formula), then the deterministic
@@ -1768,6 +1790,22 @@ object StretchQueries {
     // chain components of 10 consecutive ids → component = floor(id/10)*10
     "q_d_resolve" ->
       "SELECT doc_id AS id, doc_id - doc_id % 10 AS component FROM documents",
+
+    // ALL set-identical pairs of the planted stream corpus — the
+    // union-over-epochs identity (every pair reports once, in its
+    // latest member's epoch)
+    "q_d_stream_inc" ->
+      (("""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+         |    WHERE doc_id % 10 = 0
+         |), tk AS (SELECT doc_id, """ + tokensSql + raw""" AS ta FROM corpus
+         |), s AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+         |  """ + shinglesSqlA + raw""", x -> coalesce(x, '')))) AS ss FROM tk)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(1.0 AS DOUBLE) AS jaccard
+         |FROM s a JOIN s b ON a.ss = b.ss AND a.doc_id < b.doc_id""")
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     // set-identical pairs (the threshold-1.0 survivors) with >= 1 new
     // member, replayed from the same corpus construction; list equality

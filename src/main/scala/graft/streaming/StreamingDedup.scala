@@ -60,6 +60,45 @@ object StreamingDedup {
         col("doc_id"), col("sig"))
   }
 
+  /** The nightly-ingest dedup as ONE streaming job: each micro-batch
+    * of documents signs itself, commits to the persisted signature
+    * index as generation = the stream epoch
+    * ([[graft.operators.Dedup.incrementalNearDups]] — the claim
+    * ledger makes replays no-ops on the index), and writes its
+    * VERIFIED pairs under `outDir/epoch=<id>` with overwrite — so a
+    * replayed epoch rewrites identical output instead of duplicating
+    * it, and the whole job is exactly-once end to end. Every pair
+    * surfaces exactly once (in the epoch of its latest member); the
+    * union over epochs equals a full recompute (the DedupSpec
+    * incremental identity). Drains available input and returns the
+    * union; restart on the same checkpoint to continue the epoch
+    * sequence when new feed files land.
+    */
+  def incrementalDedupStream(spark: SparkSession, feedDir: String,
+                             indexPath: String, outDir: String,
+                             checkpoint: String,
+                             textCol: String = "text",
+                             idCol: String = "doc_id",
+                             threshold: Double = 1.0,
+                             maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(feedDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(feedDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Dedup.incrementalNearDups(batch, textCol, idCol, indexPath, id,
+            threshold)
+          .write.mode("overwrite").parquet(s"$outDir/epoch=$id")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).drop("epoch")
+  }
+
   /** Candidate pairs, incrementally: every new doc vs the bucket's
     * existing members. Deterministic: within a micro-batch, docs enter
     * a bucket in id order, and a pair is always (smaller, larger) id.

@@ -286,6 +286,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incrementalDedupStream: union over epochs equals a full " +
+    "recompute, and a checkpoint restart continues the epoch sequence") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val base = tmpDir("dsi")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.union(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    def run() = StreamingDedup.incrementalDedupStream(spark,
+      s"$base/feed", s"$base/idx", s"$base/out", s"$base/ckpt",
+      threshold = 0.5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    // two files land, the job drains them (epochs 0, 1)
+    planted.filter(pmod(xxhash64(col("doc_id")), lit(3)) === 0)
+      .coalesce(1).write.mode("append").parquet(s"$base/feed")
+    planted.filter(pmod(xxhash64(col("doc_id")), lit(3)) === 1)
+      .coalesce(1).write.mode("append").parquet(s"$base/feed")
+    val afterTwo = run()
+    // a third file lands; the RESTART resumes from epoch 2 and the
+    // union must now equal the full batch recompute
+    planted.filter(pmod(xxhash64(col("doc_id")), lit(3)) === 2)
+      .coalesce(1).write.mode("append").parquet(s"$base/feed")
+    val afterThree = run()
+    assert(afterTwo.subsetOf(afterThree),
+      "a restart must never lose previously reported pairs")
+    val full = Dedup.nearDupPairs(planted, "text", "doc_id",
+        threshold = 0.5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(afterThree == full,
+      s"stream-only=${afterThree -- full}, full-only=${full -- afterThree}")
+    assert(full.nonEmpty, "vacuous equivalence")
+  }
+
   test("transformWithState totals: one batch equals groupBy; RocksDB " +
     "state survives a checkpoint restart") {
     import graft.streaming.StatefulTotals
