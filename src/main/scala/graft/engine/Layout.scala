@@ -97,6 +97,119 @@ object Layout {
   // ── File-level data skipping ────────────────────────────────────────
 
   private def statsPath(tablePath: String): String = tablePath + "__stats"
+  private def asidePath(tablePath: String) =
+    new org.apache.hadoop.fs.Path(statsPath(tablePath) + "._old")
+  private def lockFile(tablePath: String) =
+    new org.apache.hadoop.fs.Path(statsPath(tablePath) + "._lock")
+
+  /** Test seam for the DML kill matrix: called with a label between
+    * every pair of externally-visible steps of [[rewriteMatching]]'s
+    * publish sequence ("staged" → "aside" → "published" → "swapped").
+    * LayoutExtensionsSpec throws here to simulate a writer dying at
+    * each point, then asserts readers recover. No-op in production.
+    */
+  private[graft] var dmlSeam: String => Unit = _ => ()
+
+  /** Serialize manifest DML per table on a lock file next to the
+    * manifest. Acquisition is create-exclusive (atomic on HDFS-like
+    * stores; the raw local FS has a check-then-act window inside
+    * `create(overwrite=false)`, so ownership is CONFIRMED by reading
+    * the writer id back — the same token arbitration
+    * [[VersionedTable.commitBatchAs]] uses for its commit rename) with
+    * a stale break: a lock older than `staleMs` belongs to a dead
+    * writer (a crash never releases it, and there is no heartbeat, so
+    * `staleMs` must exceed the longest expected DML — the standard
+    * lease tradeoff; a production deployment would renew the lease
+    * mid-rewrite). Released on every exit including failure; crashed-
+    * writer behavior is exercised separately via the stale break.
+    */
+  private[graft] def withManifestLock[T](fs: org.apache.hadoop.fs.FileSystem,
+                                         tablePath: String,
+                                         staleMs: Long = 600000L,
+                                         timeoutMs: Long = 120000L)
+                                        (body: => T): T = {
+    val lock = lockFile(tablePath)
+    val id = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var owned = false
+    while (!owned) {
+      val created = try {
+        val out = fs.create(lock, false)
+        out.write(id.getBytes("UTF-8")); out.close(); true
+      } catch { case _: java.io.IOException => false }
+      owned = created && {
+        // confirm by content: if two creators raced through the local-FS
+        // exists window, exactly one id survives in the file
+        val in = fs.open(lock)
+        val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+        got == id
+      }
+      if (!owned) {
+        val st = try Some(fs.getFileStatus(lock))
+                 catch { case _: java.io.FileNotFoundException => None }
+        st.foreach { s =>
+          if (s.getModificationTime < System.currentTimeMillis() - staleMs)
+            fs.delete(lock, false) // dead writer's lease expired
+        }
+        if (System.currentTimeMillis() > deadline)
+          throw new java.io.IOException(
+            s"manifest DML lock at $lock held past ${timeoutMs}ms " +
+              "(live writer, or raise staleMs past the longest DML)")
+        Thread.sleep(50)
+      }
+    }
+    try body
+    finally fs.delete(lock, false)
+  }
+
+  /** Complete (or roll back) a manifest swap a crashed writer left
+    * mid-flight. MUST run under the table's manifest lock. States:
+    *  - live manifest AND `._old` aside → the swap published but the
+    *    aside was not yet dropped: finish (delete the aside);
+    *  - aside but NO live manifest → crashed between the two renames:
+    *    ROLL BACK (rename the aside home). Roll-back is always correct
+    *    here because [[rewriteMatching]] deletes the dirty data files
+    *    only AFTER a successful swap — the old manifest still lists
+    *    only live files, and the already-moved-in survivor files are
+    *    unlisted garbage [[vacuumUnlisted]] sweeps;
+    *  - any `__stats._new.*` staging → a crashed writer's private
+    *    build: discard (writers serialize on the lock, so none can be
+    *    live while we hold it).
+    * Idempotent; one parent-dir listing when there is nothing to do.
+    */
+  private[graft] def recoverManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                     tablePath: String): Unit = {
+    val statsDir = new org.apache.hadoop.fs.Path(statsPath(tablePath))
+    val aside = asidePath(tablePath)
+    if (fs.exists(aside)) {
+      if (fs.exists(statsDir)) fs.delete(aside, true)
+      else if (!fs.rename(aside, statsDir))
+        throw new java.io.IOException(
+          s"recoverManifest: could not restore $aside to $statsDir")
+    }
+    val parent = statsDir.getParent
+    val prefix = statsDir.getName + "._new."
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent)
+        .filter(_.getPath.getName.startsWith(prefix))
+        .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** The live manifest as a DataFrame — the one read path every
+    * manifest consumer goes through. Fast path (manifest present):
+    * one `exists` probe, zero extra I/O. If it is MISSING, a writer
+    * died between its two swap renames — take the lock and run
+    * [[recoverManifest]] (which rolls the aside back), then read.
+    */
+  private def statsDf(spark: org.apache.spark.sql.SparkSession,
+                      tablePath: String): DataFrame = {
+    val statsDir = new org.apache.hadoop.fs.Path(statsPath(tablePath))
+    val fs = statsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statsDir))
+      withManifestLock(fs, tablePath)(recoverManifest(fs, tablePath))
+    spark.read.parquet(statsPath(tablePath))
+  }
 
   /** Build + persist the per-file min/max manifest over `cols` — the
     * lakehouse data-skipping index (Delta's stats / Iceberg's
@@ -142,7 +255,7 @@ object Layout {
                  tablePath: String, colName: String,
                  lo: Any, hi: Any): DataFrame = {
     import org.apache.spark.sql.functions._
-    val stats = spark.read.parquet(statsPath(tablePath))
+    val stats = statsDf(spark, tablePath)
     // file list = driver metadata, same category as the planner's own
     // file listing; one row per file by construction. Names resolve
     // against the CURRENT table path (see writeFileStats: the
@@ -169,7 +282,7 @@ object Layout {
   def manifestRead(spark: org.apache.spark.sql.SparkSession,
                    tablePath: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val files = spark.read.parquet(statsPath(tablePath))
+    val files = statsDf(spark, tablePath)
       .select(col("file")).collect()
       .map(r => s"$tablePath/${r.getString(0)}")
     require(files.nonEmpty, s"empty manifest at ${statsPath(tablePath)}")
@@ -183,29 +296,44 @@ object Layout {
     * that is 3 files out of 30,000, not a table rewrite). Returns
     * (rewritten, untouched) file counts.
     *
-    * Protocol (manifest = the visibility pointer):
+    * Protocol (manifest = the visibility pointer; the whole DML runs
+    * under the per-table manifest lock, so concurrent DML serializes —
+    * see [[withManifestLock]]):
     *  1. survivors of the dirty files are written to a staging
     *     sibling, then MOVED into the table dir under fresh names —
     *     invisible to manifest readers until step 2;
-    *  2. the manifest is atomically replaced: untouched files keep
-    *     their existing rows (their stats cannot have changed), new
-    *     files get freshly aggregated rows — an incremental update,
-    *     not a full-table re-scan;
+    *  2. the manifest is replaced crash-atomically: the new manifest
+    *     (untouched files keep their existing rows — their stats
+    *     cannot have changed — new files get freshly aggregated rows;
+    *     an incremental update, not a re-scan) is built in a
+    *     per-writer staging dir, then published by rename-aside:
+    *     `__stats` → `__stats._old`, staging → `__stats`, drop
+    *     `._old`. Every intermediate state is recognized and repaired
+    *     by [[recoverManifest]]: aside+live → finish; aside without a
+    *     live manifest → roll back (always correct, because step 3
+    *     has not run yet); stranded staging → discard. Readers
+    *     self-heal: [[statsDf]] runs recovery (under the lock) iff
+    *     the manifest is missing;
     *  3. the dirty files are deleted — now-unlisted garbage either
     *     way, invisible to [[manifestRead]]/[[prunedRead]] consumers.
-    * A crash before 2 leaves the table and manifest exactly as they
-    * were (staging/unlisted files are inert); a crash between 2 and 3
-    * leaves unlisted garbage a later [[deleteMatching]] or cleanup
-    * sweep removes. Plain `spark.read.parquet(dir)` readers do NOT
-    * get this isolation (they would see unlisted files) — a table
+    * A crash anywhere leaves either the OLD table or the NEW table
+    * (plus inert unlisted files [[vacuumUnlisted]] sweeps) — never a
+    * manifest-less table. Plain `spark.read.parquet(dir)` readers do
+    * NOT get this isolation (they would see unlisted files) — a table
     * maintained this way is read through its manifest, period.
     */
   def deleteMatching(spark: org.apache.spark.sql.SparkSession,
                      tablePath: String, colName: String,
                      lo: Any, hi: Any): (Long, Long) = {
     import org.apache.spark.sql.functions._
+    // SQL DELETE WHERE col BETWEEN lo AND hi: a NULL key makes the
+    // predicate UNKNOWN, so the row is NOT deleted. A bare
+    // !between(...) is also NULL for NULL keys, which would drop
+    // NULL-keyed rows that happen to live in dirty files while
+    // identical rows in untouched files survive — placement-dependent
+    // semantics. coalesce pins NULL-keyed rows as survivors everywhere.
     rewriteMatching(spark, tablePath, colName, lo, hi,
-      _.filter(!col(colName).between(lit(lo), lit(hi))))
+      _.filter(!coalesce(col(colName).between(lit(lo), lit(hi)), lit(false))))
   }
 
   /** Copy-on-write UPDATE through the manifest — [[deleteMatching]]'s
@@ -229,61 +357,94 @@ object Layout {
     import org.apache.spark.sql.functions._
     val hadoopPath = new org.apache.hadoop.fs.Path(tablePath)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stats = spark.read.parquet(statsPath(tablePath))
-    val dirtyPred = col(s"max_$colName") >= lit(lo) &&
-      col(s"min_$colName") <= lit(hi)
-    val dirty = stats.filter(dirtyPred)
-      .select(col("file")).collect().map(_.getString(0))
-    val untouched = stats.filter(!dirtyPred)
-    val nUntouched = untouched.count()
-    if (dirty.isEmpty) return (0L, nUntouched)
-
-    // 1. rewritten content of the dirty files → staging, then move in
-    //    under fresh names
-    val staging = new org.apache.hadoop.fs.Path(
-      tablePath + "__rewrite_" + java.util.UUID.randomUUID().toString.take(8))
-    rewrite(
-      spark.read.parquet(dirty.map(n => s"$tablePath/$n").toIndexedSeq: _*))
-      .write.parquet(staging.toString)
-    val moved = fs.listStatus(staging)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val name = s"rw-${java.util.UUID.randomUUID().toString.take(8)}-" +
-          st.getPath.getName
-        if (!fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
-          hadoopPath, name)))
-          throw new java.io.IOException(
-            s"deleteMatching: could not move ${st.getPath} into $tablePath")
-        name
-      }
-    fs.delete(staging, true)
-
-    // 2. incremental manifest swap (stats of NEW files only; untouched
-    //    rows carried over verbatim)
-    val cols = stats.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
-    val newRows =
-      if (moved.isEmpty) untouched
+    withManifestLock(fs, tablePath) {
+      // heal whatever a dead predecessor left (we hold the lock, so any
+      // aside/staging sibling is provably abandoned)
+      recoverManifest(fs, tablePath)
+      val stats = spark.read.parquet(statsPath(tablePath))
+      val dirtyPred = col(s"max_$colName") >= lit(lo) &&
+        col(s"min_$colName") <= lit(hi)
+      val dirty = stats.filter(dirtyPred)
+        .select(col("file")).collect().map(_.getString(0))
+      // an ALL-NULL-keyed file has null min/max, so dirtyPred is NULL
+      // for it: it can never be dirty (no key in range), but a bare
+      // !dirtyPred would ALSO exclude it from the carried-over rows —
+      // silently dropping the whole file from the manifest. Pin it
+      // untouched.
+      val untouched = stats.filter(!coalesce(dirtyPred, lit(false)))
+      val nUntouched = untouched.count()
+      if (dirty.isEmpty) (0L, nUntouched)
       else {
-        val aggs = cols.toSeq.flatMap(c =>
-          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-        untouched.unionByName(
-          spark.read.parquet(moved.map(n => s"$tablePath/$n").toIndexedSeq: _*)
-            .groupBy(regexp_replace(input_file_name(), "^.*/", "").as("file"))
-            .agg(aggs.head, aggs.tail: _*))
-      }
-    val statsDir = new org.apache.hadoop.fs.Path(statsPath(tablePath))
-    val statsStaging = new org.apache.hadoop.fs.Path(
-      statsPath(tablePath) + "._new")
-    newRows.coalesce(1).write.mode("overwrite").parquet(statsStaging.toString)
-    fs.delete(statsDir, true)
-    if (!fs.rename(statsStaging, statsDir))
-      throw new java.io.IOException(
-        s"deleteMatching: could not publish manifest at $statsDir")
+        // 1. rewritten content of the dirty files → staging, then move
+        //    in under fresh names
+        val staging = new org.apache.hadoop.fs.Path(
+          tablePath + "__rewrite_" +
+            java.util.UUID.randomUUID().toString.take(8))
+        rewrite(
+          spark.read.parquet(
+            dirty.map(n => s"$tablePath/$n").toIndexedSeq: _*))
+          .write.parquet(staging.toString)
+        val moved = fs.listStatus(staging)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val name =
+              s"rw-${java.util.UUID.randomUUID().toString.take(8)}-" +
+                st.getPath.getName
+            if (!fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+              hadoopPath, name)))
+              throw new java.io.IOException(
+                s"deleteMatching: could not move ${st.getPath} into " +
+                  tablePath)
+            name
+          }
+        fs.delete(staging, true)
 
-    // 3. dirty files are unlisted garbage now
-    dirty.foreach(n =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/$n"), false))
-    (dirty.length.toLong, nUntouched)
+        // 2. crash-atomic manifest swap (stats of NEW files only;
+        //    untouched rows carried over verbatim). Build in a
+        //    per-writer staging dir, publish by rename-aside — never
+        //    delete the live manifest before its replacement is in
+        //    place (see recoverManifest for the repair of every
+        //    intermediate state).
+        val cols = stats.columns.filter(_.startsWith("min_"))
+          .map(_.stripPrefix("min_"))
+        val newRows =
+          if (moved.isEmpty) untouched
+          else {
+            val aggs = cols.toSeq.flatMap(c =>
+              Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+            untouched.unionByName(
+              spark.read.parquet(
+                moved.map(n => s"$tablePath/$n").toIndexedSeq: _*)
+                .groupBy(regexp_replace(input_file_name(), "^.*/", "")
+                  .as("file"))
+                .agg(aggs.head, aggs.tail: _*))
+          }
+        val statsDir = new org.apache.hadoop.fs.Path(statsPath(tablePath))
+        val statsStaging = new org.apache.hadoop.fs.Path(
+          statsPath(tablePath) + "._new." +
+            java.util.UUID.randomUUID().toString.take(8))
+        newRows.coalesce(1).write.mode("overwrite")
+          .parquet(statsStaging.toString)
+        dmlSeam("staged")
+        val aside = asidePath(tablePath)
+        if (!fs.rename(statsDir, aside))
+          throw new java.io.IOException(
+            s"deleteMatching: could not move $statsDir aside")
+        dmlSeam("aside")
+        if (!fs.rename(statsStaging, statsDir))
+          throw new java.io.IOException(
+            s"deleteMatching: could not publish manifest at $statsDir " +
+              "(recoverManifest will roll back)")
+        dmlSeam("published")
+        fs.delete(aside, true)
+        dmlSeam("swapped")
+
+        // 3. dirty files are unlisted garbage now
+        dirty.foreach(n =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/$n"), false))
+        (dirty.length.toLong, nUntouched)
+      }
+    }
   }
 
   /** Delete AGED data files the manifest does not list — the cleanup
@@ -301,7 +462,7 @@ object Layout {
                      olderThanMs: Long = 3600000L): Seq[String] = {
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listed = spark.read.parquet(statsPath(tablePath))
+    val listed = statsDf(spark, tablePath)
       .select(org.apache.spark.sql.functions.col("file"))
       .collect().map(_.getString(0)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
@@ -321,7 +482,7 @@ object Layout {
                        tablePath: String, colName: String,
                        lo: Any, hi: Any): (Long, Long) = {
     import org.apache.spark.sql.functions._
-    val stats = spark.read.parquet(statsPath(tablePath))
+    val stats = statsDf(spark, tablePath)
     val total = stats.count()
     val kept = stats.filter(col(s"max_$colName") >= lit(lo) &&
       col(s"min_$colName") <= lit(hi)).count()

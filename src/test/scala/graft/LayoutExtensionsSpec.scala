@@ -263,4 +263,136 @@ class LayoutExtensionsSpec extends SparkSpec {
       "sweep must not change manifest-visible content")
     fs.delete(fresh, false)
   }
+
+  /** A fresh manifest-maintained table for the DML robustness tests:
+    * 16 range-clustered files over (l_orderkey, l_quantity) + stats.
+    */
+  private def freshDmlTable(tag: String): (String, org.apache.spark.sql.DataFrame) = {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val path = tmpDir(tag) + "/li"
+    graft.engine.Layout.writeRangeSorted(li, path, 16, col("l_orderkey"))
+    graft.engine.Layout.writeFileStats(spark, path, Seq("l_orderkey"))
+    (path, li)
+  }
+
+  test("DML kill matrix: a writer dying at EVERY swap step leaves a " +
+    "readable table (old or new content, never manifest-less), and a " +
+    "re-run converges") {
+    import org.apache.hadoop.fs.Path
+    val want = (li: org.apache.spark.sql.DataFrame) =>
+      li.filter(!col("l_orderkey").between(100L, 400L))
+        .collect().map(_.toSeq).toSet
+    for (kill <- Seq("staged", "aside", "published", "swapped")) {
+      val (path, li) = freshDmlTable(s"kill-$kill")
+      val preDml = li.collect().map(_.toSeq).toSet
+      val postDml = want(li)
+      graft.engine.Layout.dmlSeam =
+        label => if (label == kill) throw new RuntimeException(s"kill@$label")
+      try {
+        val died = intercept[RuntimeException] {
+          graft.engine.Layout.deleteMatching(spark, path, "l_orderkey", 100L, 400L)
+        }
+        assert(died.getMessage == s"kill@$kill")
+      } finally graft.engine.Layout.dmlSeam = _ => ()
+      // reader self-heal: manifestRead must ALWAYS succeed and show a
+      // consistent table — pre-DML content if the swap had not
+      // published ("staged"/"aside" → rolled back), post-DML content
+      // if it had ("published"/"swapped")
+      val got = graft.engine.Layout.manifestRead(spark, path)
+        .collect().map(_.toSeq).toSet
+      val expected = if (kill == "staged" || kill == "aside") preDml else postDml
+      assert(got == expected, s"kill@$kill: recovered content diverged")
+      // the swap machinery left no aside and no staging behind once a
+      // reader (or the next writer) has run — writers also self-heal:
+      // re-running the SAME delete converges to the post-DML content
+      graft.engine.Layout.deleteMatching(spark, path, "l_orderkey", 100L, 400L)
+      assert(graft.engine.Layout.manifestRead(spark, path)
+        .collect().map(_.toSeq).toSet == postDml, s"kill@$kill: re-run diverged")
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new Path(path + "__stats._old")), s"kill@$kill: aside left")
+      val parent = new Path(path).getParent
+      val strays = fs.listStatus(parent).map(_.getPath.getName)
+        .filter(n => n.contains("__stats._new.") || n.contains("__rewrite_"))
+      assert(strays.isEmpty, s"kill@$kill: stranded staging $strays")
+      // after the unlisted-garbage sweep, disk files == manifest listing
+      graft.engine.Layout.vacuumUnlisted(spark, path, olderThanMs = 0L)
+      val onDisk = fs.listStatus(new Path(path)).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).toSet
+      val inManifest = graft.engine.Layout.manifestRead(spark, path)
+        .select(input_file_name()).distinct().collect()
+        .map(r => r.getString(0).replaceAll("^.*/", "")).toSet
+      assert(onDisk == inManifest, s"kill@$kill: disk/manifest drift")
+    }
+  }
+
+  test("deleteMatching: NULL-keyed rows always survive a range delete, " +
+    "wherever they live (SQL BETWEEN semantics, not placement-dependent)") {
+    val path = tmpDir("del-null") + "/t"
+    // 3 files: NULL keys deliberately co-located with in-range keys in
+    // one file (the dirty file) AND isolated in another (untouched) —
+    // the old !between filter dropped the first group only
+    val dirty = Seq[(java.lang.Long, String)]((100L, "in"), (150L, "in"),
+      (null, "null-in-dirty")).toDF("k", "tag")
+    val clean = Seq[(java.lang.Long, String)]((900L, "out"),
+      (null, "null-in-clean")).toDF("k", "tag")
+    // an ALL-NULL-keyed file: null min/max stats — can never be dirty,
+    // must still be carried through the manifest swap
+    val allNull = Seq[(java.lang.Long, String)]((null, "all-null-file"))
+      .toDF("k", "tag")
+    dirty.coalesce(1).write.parquet(path)
+    clean.coalesce(1).write.mode("append").parquet(path)
+    allNull.coalesce(1).write.mode("append").parquet(path)
+    graft.engine.Layout.writeFileStats(spark, path, Seq("k"))
+    graft.engine.Layout.deleteMatching(spark, path, "k", 50L, 200L)
+    val got = graft.engine.Layout.manifestRead(spark, path)
+      .select("tag").collect().map(_.getString(0)).toSet
+    assert(got == Set("out", "null-in-dirty", "null-in-clean", "all-null-file"),
+      s"NULL-keyed rows must survive: $got")
+  }
+
+  test("manifest DML serializes on the lock: concurrent deletes of " +
+    "disjoint intervals both land, manifest stays consistent") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (path, li) = freshDmlTable("conc")
+    val fA = Future(graft.engine.Layout.deleteMatching(
+      spark, path, "l_orderkey", 100L, 400L))
+    val fB = Future(graft.engine.Layout.deleteMatching(
+      spark, path, "l_orderkey", 3000L, 3500L))
+    Await.result(fA, 300.seconds); Await.result(fB, 300.seconds)
+    val got = graft.engine.Layout.manifestRead(spark, path)
+      .collect().map(_.toSeq).toSet
+    val wantBoth = li.filter(!col("l_orderkey").between(100L, 400L))
+      .filter(!col("l_orderkey").between(3000L, 3500L))
+      .collect().map(_.toSeq).toSet
+    assert(got == wantBoth, "concurrent deletes lost rows or kept doomed rows")
+  }
+
+  test("manifest lock: a dead writer's stale lock is broken; a live " +
+    "lock blocks until timeout") {
+    import org.apache.hadoop.fs.Path
+    val (path, _) = freshDmlTable("lock")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new Path(path + "__stats._lock")
+    // stale: a crashed writer left it an hour ago → next writer breaks it
+    val out = fs.create(lock, false)
+    out.write("dead-writer".getBytes("UTF-8")); out.close()
+    fs.setTimes(lock, System.currentTimeMillis() - 3600000L, -1)
+    val (r, _) = graft.engine.Layout.deleteMatching(
+      spark, path, "l_orderkey", 100L, 400L)
+    assert(r > 0, "stale lock must be broken, DML must proceed")
+    assert(!fs.exists(lock), "lock must be released after DML")
+    // live (fresh) lock: acquisition times out rather than stealing
+    val out2 = fs.create(lock, false)
+    out2.write("live-writer".getBytes("UTF-8")); out2.close()
+    try {
+      val e = intercept[java.io.IOException] {
+        graft.engine.Layout.withManifestLock(fs, path, staleMs = 600000L,
+          timeoutMs = 300L)(fail("must not enter under a live lock"))
+      }
+      assert(e.getMessage.contains("held past"))
+    } finally fs.delete(lock, false)
+  }
 }
