@@ -163,8 +163,14 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     ensureMode("overwrite")
     val f = fs
     f.mkdirs(claimsDir); f.mkdirs(genDir)
+    // leading "." in the staging name: if a commit race ever nests a
+    // loser's staging inside a committed generation (local-FS rename
+    // semantics), Hadoop/Spark's hidden-path filter skips it
+    // unconditionally during leaf-file listing — without it, a loser
+    // that crashes before its cleanup delete leaves a visible subdir
+    // whose part files surface as duplicate rows to readers
     val staging = new Path(stagingDir,
-      java.util.UUID.randomUUID().toString)
+      "." + java.util.UUID.randomUUID().toString)
     df.write.mode("overwrite").parquet(staging.toString)
     try {
       var n = listNumbers(claimsDir).lastOption.getOrElse(-1L) + 1L
@@ -243,7 +249,10 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     // genPath; every later rename either fails (HDFS: dst exists) or
     // nests under it (local FS) without touching the winner's marker).
     val writerId = java.util.UUID.randomUUID().toString
-    val staging = new Path(stagingDir, writerId)
+    // "."-prefixed like every staging dir: a loser's dir nested inside
+    // the winner's generation by the local-FS rename is hidden to
+    // parquet leaf listing even if the loser dies before its cleanup
+    val staging = new Path(stagingDir, "." + writerId)
     df.write.mode("overwrite").parquet(staging.toString)
     val tok = f.create(new Path(staging, "_WRITER"), true)
     tok.write(writerId.getBytes("UTF-8")); tok.close()
@@ -269,9 +278,11 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
           // lost: another writer published between our exists check
           // and rename. Local-FS semantics may have nested OUR staging
           // inside the winner's dir — remove it so the committed
-          // generation holds exactly the winner's files (a transient
-          // nested dir is invisible to parquet readers either way:
-          // non-data subdirs are not scanned).
+          // generation holds exactly the winner's files. Even if THIS
+          // delete never runs (loser dies here), the "."-prefixed
+          // staging name keeps the nested dir hidden from parquet
+          // leaf-file listing, so readers still see only the winner's
+          // rows.
           val nested = new Path(genPath(batchId), staging.getName)
           if (f.exists(nested)) f.delete(nested, true)
           if (f.exists(genPath(batchId))) false // batch IS committed
@@ -567,7 +578,7 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     // (nothing else may delete a claim above the committed range).
     if (f.exists(claimPath(n)) && f.exists(genPath(n))) return None
     val staging = new Path(stagingDir,
-      java.util.UUID.randomUUID().toString)
+      "." + java.util.UUID.randomUUID().toString)
     df.write.mode("overwrite").parquet(staging.toString)
     try {
       try f.create(claimPath(n), false).close()

@@ -232,7 +232,10 @@ object Ivf {
     val out = pq.map(p => Pq.withCodes(q8, p, vecCol)).getOrElse(q8)
     out.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/corpus")
-    writeRowCount(df.sparkSession, path)
+    val n = writeRowCount(df.sparkSession, path)
+    // the BUILD-time count, stamped only here (never by append): the
+    // denominator of the drift meter appendedFraction reads
+    writeCountFile(df.sparkSession, s"$path/_ROWS_BASE", n)
   }
 
   /** Incrementally ADD vectors to an existing on-disk index without
@@ -290,19 +293,23 @@ object Ivf {
     * inside a timed search gate was one whole extra Spark job per
     * execution).
     */
-  private[graft] def writeRowCount(spark: SparkSession, path: String): Unit = {
+  private[graft] def writeRowCount(spark: SparkSession, path: String): Long = {
     val n = spark.read.parquet(s"$path/corpus").count()
-    val p = new org.apache.hadoop.fs.Path(s"$path/_ROWS")
+    writeCountFile(spark, s"$path/_ROWS", n)
+    n
+  }
+
+  private def writeCountFile(spark: SparkSession, pathStr: String,
+                             n: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val o = fs.create(p, true)
     o.write(n.toString.getBytes("UTF-8")); o.close()
   }
 
-  /** The corpus row count recorded at build time (None for a pre-
-    * `_ROWS` index — callers fall back to counting).
-    */
-  def indexRowCount(spark: SparkSession, indexPath: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_ROWS")
+  private def readCountFile(spark: SparkSession,
+                            pathStr: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
@@ -316,6 +323,59 @@ object Ivf {
       } finally in.close()
     }
   }
+
+  /** The corpus row count recorded at build time (None for a pre-
+    * `_ROWS` index — callers fall back to counting).
+    */
+  def indexRowCount(spark: SparkSession, indexPath: String): Option[Long] =
+    readCountFile(spark, s"$indexPath/_ROWS")
+
+  /** Appended-since-build fraction: (live − base) / base, where base
+    * is the build-time count (`_ROWS_BASE`, stamped by [[writeIndex]]
+    * only) and live is the maintained `_ROWS`. 0.0 for a
+    * never-appended index, and 0.0 for a pre-`_ROWS_BASE` artifact
+    * (no base recorded — treated as fresh; the next rebuild stamps
+    * one). This is the drift meter behind [[needsRebuild]]: appended
+    * vectors are assigned to FROZEN centroids (and encoded with
+    * frozen PQ codebooks), so as the appended mass grows the
+    * partition of space fits the corpus less and recall decays.
+    */
+  def appendedFraction(spark: SparkSession, indexPath: String): Double = {
+    val live = indexRowCount(spark, indexPath)
+      .getOrElse(spark.read.parquet(s"$indexPath/corpus").count())
+    readCountFile(spark, s"$indexPath/_ROWS_BASE") match {
+      case Some(base) if base > 0 =>
+        math.max(0.0, (live - base).toDouble / base)
+      case _ => 0.0
+    }
+  }
+
+  /** The operable rebuild trigger for [[appendToIndex]]'s documented
+    * frozen-centroid drift: true once the appended-since-build
+    * fraction exceeds `maxAppendedFraction`, at which point the
+    * caller should rebuild (an [[ensureIndex]] with a bumped
+    * fingerprint, or [[writeIndex]] over the full corpus — either
+    * re-trains centroids/codebooks and restamps the base).
+    *
+    * The 0.5 default is grounded in the measured table (NOTES
+    * round-9, `Profile ivf-drift`, sf0.01 embeddings): on a
+    * STATIONARY append distribution a retrain recovers nothing
+    * (frozen-append recall equals the retrained index's within the
+    * ±0.05 noise of the harness at every step to 1.0× appended — the
+    * happy path is free); under a SHIFTED append distribution the
+    * frozen-vs-retrained gap exists and widens with the appended
+    * fraction (measured ~7 recall points at 1.0×, on data whose
+    * uniform-random structure bounds the effect — real clustered
+    * embeddings drift harder). 0.5 marks where appended mass stops
+    * being a minority of the index: below it even the shifted regime
+    * measured inside noise; beyond it the trained partition no longer
+    * describes most of what it serves. Stationary deployments can
+    * raise the knob; known-shifting ones should lower it — the point
+    * is an operable measured default, not a judgment call per ingest.
+    */
+  def needsRebuild(spark: SparkSession, indexPath: String,
+                   maxAppendedFraction: Double = 0.5): Boolean =
+    appendedFraction(spark, indexPath) > maxAppendedFraction
 
   /** Build the on-disk index only when it is missing or stale — the
     * production maintenance contract: an IVF index is an offline

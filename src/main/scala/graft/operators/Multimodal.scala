@@ -162,7 +162,12 @@ object Multimodal {
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(b))
           if (img == null) None else Some((img.getWidth, img.getHeight, fmt))
-        } catch { case _: java.io.IOException => None }
+          // NonFatal, not just IOException: ImageIO readers throw
+          // RuntimeExceptions too (IllegalArgumentException, color-space
+          // CMMException, …) on bodies that pass the magic sniff but are
+          // malformed — the never-crash-on-one-bad-row contract covers
+          // those the same way
+        } catch { case scala.util.control.NonFatal(_) => None }
       }
 
     /** Deterministic synthetic image: dims + seed-MIXED pseudo-random
@@ -206,7 +211,7 @@ object Multimodal {
     def dHash(b: Array[Byte]): Option[Long] = {
       val src =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (src == null) None
       else {
         val small = new java.awt.image.BufferedImage(9, 8,
@@ -244,7 +249,7 @@ object Multimodal {
       require(w > 0 && h > 0, "resize dims must be positive")
       val src =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (src == null) None
       else {
         val dst = new java.awt.image.BufferedImage(w, h,

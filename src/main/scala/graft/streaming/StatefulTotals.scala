@@ -98,12 +98,25 @@ object StatefulTotals {
         .option("checkpointLocation", checkpoint)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[UserTotals], _: Long) =>
-            batch.write.mode("append").parquet(outDir); ()
+          (batch: org.apache.spark.sql.Dataset[UserTotals], batchId: Long) =>
+            batch.toDF().withColumn("__batch", lit(batchId))
+              .write.mode("append").parquet(outDir); ()
         }
         .start()
       q.awaitTermination()
+      // AvailableNow is allowed to split the staged files across
+      // MULTIPLE micro-batches; a user spanning batches then has one
+      // emitted row per batch in the append-mode output. The lifetime
+      // totals are the LAST batch's row per user — select it by the
+      // batch id carried through the sink (lexicographic struct max:
+      // __batch leads, so the latest batch wins; totals are cumulative,
+      // so that row dominates the earlier ones).
       spark.read.parquet(outDir)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("__batch"), col("n_events"),
+          col("total_cents"))).as("s"))
+        .select(col("user_id"), col("s.n_events").as("n_events"),
+          col("s.total_cents").as("total_cents"))
     } finally {
       prevProvider match {
         case Some(v) => spark.conf.set(ProviderKey, v)

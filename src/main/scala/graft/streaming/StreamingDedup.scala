@@ -73,6 +73,21 @@ object StreamingDedup {
     * incremental identity). Drains available input and returns the
     * union; restart on the same checkpoint to continue the epoch
     * sequence when new feed files land.
+    *
+    * Ledger maintenance: every `compactEveryEpochs` epochs the
+    * signature index folds via
+    * [[graft.operators.Dedup.compactSignatureIndex]], so the
+    * generation ledger stays bounded (≤ compactEveryEpochs + 1 live
+    * generations between folds) instead of growing one generation per
+    * epoch forever. The fold horizon is `epoch − 1` — the newest epoch
+    * the CHECKPOINT has already committed — never the in-flight epoch:
+    * a crash between the fold and the checkpoint commit replays the
+    * current epoch, whose incremental reads (own generation as "new",
+    * `readThrough(epoch−1)` as "old") then see byte-identical content
+    * because the fold squashed strictly below its own generation.
+    * Folding the in-flight epoch instead would make its replay read
+    * the whole squashed corpus as "new" and re-emit every historical
+    * pair. Set `compactEveryEpochs = 0` to disable.
     */
   def incrementalDedupStream(spark: SparkSession, feedDir: String,
                              indexPath: String, outDir: String,
@@ -80,7 +95,9 @@ object StreamingDedup {
                              textCol: String = "text",
                              idCol: String = "doc_id",
                              threshold: Double = 1.0,
-                             maxFilesPerTrigger: Int = 1): DataFrame = {
+                             maxFilesPerTrigger: Int = 1,
+                             compactEveryEpochs: Int = 8,
+                             compactTargetFileBytes: Long = 128L * 1024 * 1024): DataFrame = {
     val schema = spark.read.parquet(feedDir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -92,6 +109,9 @@ object StreamingDedup {
         Dedup.incrementalNearDups(batch, textCol, idCol, indexPath, id,
             threshold)
           .write.mode("overwrite").parquet(s"$outDir/epoch=$id")
+        if (compactEveryEpochs > 0 && id > 0 && id % compactEveryEpochs == 0)
+          Dedup.compactSignatureIndex(spark, indexPath, upTo = id - 1,
+            targetFileBytes = compactTargetFileBytes)
         ()
       }
       .start()

@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("topk-micro")) { topkMicro(); return }
+    if (args.headOption.contains("ivf-drift")) { ivfDrift(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -48,6 +49,79 @@ object Profile {
         }
         println(f"$name: ${times.map(t => f"$t%.2f").mkString(" ")} s")
       }
+    }
+    spark.stop()
+  }
+
+  /** Measure IVF recall decay as appends accumulate against frozen
+    * centroids ([[graft.operators.Ivf.appendToIndex]]'s documented
+    * drift) — the evidence behind `Ivf.needsRebuild`'s default
+    * threshold. Two regimes:
+    *  - stationary: appended vectors drawn from the same distribution
+    *    the centroids were trained on (the append-only happy path);
+    *  - shifted: each appended chunk is offset progressively harder
+    *    (a constant added to every component), simulating a corpus
+    *    whose distribution moves out from under the trained partition.
+    * At each step: recall@5 of `searchIndex` (nprobe 2) vs brute
+    * force over the CURRENT corpus, the appendedFraction meter, and —
+    * at full append — the recall a retrain recovers.
+    * Usage: sbt "runMain graft.tools.Profile ivf-drift"
+    */
+  private def ivfDrift(): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Ivf, SimilaritySearch}
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val half = emb.count() / 2
+    def recallOf(idx: String): Double = {
+      val corpus = spark.read.parquet(s"$idx/corpus")
+        .select(col("vec_id"), col("embedding"))
+      val qs = corpus.filter(pmod(col("vec_id"), lit(97)) === 3).limit(48)
+      val exact = SimilaritySearch.bruteForceTopK(corpus, qs, k = 5)
+      val approx = Ivf.searchIndex(spark, idx, qs, k = 5, nprobe = 2)
+      val r = SimilaritySearch.recallAtK(exact, approx)
+        .agg(sum("n_hit").as("h"), sum("n_exact").as("e")).head()
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    for (mode <- Seq("stationary", "shifted")) {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_drift_$mode"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val base = emb.filter(col("vec_id") < half)
+      Ivf.writeIndex(base, Ivf.train(base, k = 32), idx)
+      println(f"== $mode ==  base recall@5 = ${recallOf(idx)}%.3f")
+      val steps = 4
+      val chunk = half / steps
+      (1 to steps).foreach { i =>
+        val raw = emb.filter(col("vec_id") >= half + (i - 1) * chunk &&
+          col("vec_id") < half + i * chunk)
+        val delta = if (mode == "shifted") 0.2f * i else 0.0f
+        val app = raw.withColumn("embedding",
+          transform(col("embedding"), x => (x + lit(delta)).cast("float")))
+        Ivf.appendToIndex(app, idx)
+        println(f"appended ${i * 100 / steps}%3d%% of base: " +
+          f"frac=${Ivf.appendedFraction(spark, idx)}%.2f " +
+          f"recall@5=${recallOf(idx)}%.3f " +
+          f"needsRebuild(0.5)=${Ivf.needsRebuild(spark, idx)}")
+      }
+      // what a retrain recovers at full append
+      val fullCorpus = spark.read.parquet(s"$idx/corpus")
+        .select(col("vec_id"), col("embedding"))
+      val idx2 = idx + "_retrained"
+      fs.delete(new org.apache.hadoop.fs.Path(idx2), true)
+      Ivf.writeIndex(fullCorpus, Ivf.train(fullCorpus, k = 32), idx2)
+      println(f"retrained at 100%%: recall@5=${recallOf(idx2)}%.3f " +
+        f"frac=${Ivf.appendedFraction(spark, idx2)}%.2f")
     }
     spark.stop()
   }

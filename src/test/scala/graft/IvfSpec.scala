@@ -302,4 +302,55 @@ class IvfSpec extends SparkSpec {
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall >= 0.95, s"clustered recall $recall")
   }
+
+  test("drift policy: appendedFraction meters appends, needsRebuild " +
+    "fires past the threshold, drifted recall decays on frozen " +
+    "centroids and a retrain recovers it and resets the meter") {
+    // base: 3 planted clusters; the index partitions them perfectly
+    val rnd = new scala.util.Random(11)
+    val anchors = Array.fill(3, 16)(rnd.nextGaussian())
+    val rows = (0 until 300).map { i =>
+      val a = anchors(i % 3)
+      (i.toLong, a.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val base = rows.toDF("vec_id", "embedding")
+    val idx = tmpDir("ivf-drift") + "/idx"
+    Ivf.writeIndex(base, Ivf.train(base, k = 3, iters = 4), idx)
+    assert(Ivf.appendedFraction(spark, idx) == 0.0)
+    assert(!Ivf.needsRebuild(spark, idx))
+    // drifted mass: a NEW cluster midway between anchors 0 and 1 — its
+    // members split between the two frozen centroids on noise alone,
+    // the worst case for frozen assignment: an nprobe=1 search from
+    // inside the mass structurally misses the half assigned to the
+    // other centroid
+    val mid = anchors(0).zip(anchors(1)).map { case (x, y) => (x + y) / 2 }
+    val drift = (1000 until 1180).map { i =>
+      (i.toLong, mid.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val driftDf = drift.toDF("vec_id", "embedding")
+    Ivf.appendToIndex(driftDf, idx)
+    val frac = Ivf.appendedFraction(spark, idx)
+    assert(math.abs(frac - 0.6) < 0.01, s"meter off: $frac")
+    assert(Ivf.needsRebuild(spark, idx), "0.6 appended must trip the 0.5 default")
+    assert(!Ivf.needsRebuild(spark, idx, maxAppendedFraction = 0.7))
+    val q = driftDf.filter(col("vec_id") < 1009)
+    val corpus = spark.read.parquet(s"$idx/corpus")
+      .select(col("vec_id"), col("embedding"))
+    val exact = SimilaritySearch.bruteForceTopK(corpus, q, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recallOf(path: String): Double = {
+      val got = Ivf.searchIndex(spark, path, q, k = 10, nprobe = 1)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val frozen = recallOf(idx)
+    assert(frozen < 0.8, s"drift construction failed to hurt: $frozen")
+    // the rebuild the trigger points at: retrain over the full corpus
+    val idx2 = tmpDir("ivf-drift") + "/idx2"
+    Ivf.writeIndex(corpus, Ivf.train(corpus, k = 4, iters = 4), idx2)
+    val retrained = recallOf(idx2)
+    assert(retrained > frozen + 0.1,
+      s"retrain must recover drifted recall: frozen=$frozen retrained=$retrained")
+    assert(Ivf.appendedFraction(spark, idx2) == 0.0, "rebuild must reset the meter")
+  }
 }

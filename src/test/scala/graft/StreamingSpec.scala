@@ -321,6 +321,49 @@ class StreamingSpec extends SparkSpec {
     assert(full.nonEmpty, "vacuous equivalence")
   }
 
+  test("incrementalDedupStream: the signature-index ledger stays " +
+    "BOUNDED under periodic compaction across 20+ epochs, and the " +
+    "pair union still equals a full recompute after a restart") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val base = tmpDir("dsi-compact")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.union(docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    // 21 one-file epochs (maxFilesPerTrigger=1), compaction every 4:
+    // without compaction the ledger would end at 21+ generations; with
+    // it the live set is ≤ compactEvery+2 right after a fold-plus-
+    // growth cycle (fold at epoch k squashes ≤ k−1 into one)
+    val nEpochs = 21
+    (0 until nEpochs).foreach { i =>
+      planted.filter(pmod(xxhash64(col("doc_id")), lit(nEpochs)) === i)
+        .coalesce(1).write.mode("append").parquet(s"$base/feed")
+    }
+    def run() = StreamingDedup.incrementalDedupStream(spark,
+      s"$base/feed", s"$base/idx", s"$base/out", s"$base/ckpt",
+      threshold = 0.5, compactEveryEpochs = 4)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    run()
+    val vt = new graft.engine.VersionedTable(spark, s"$base/idx/sigs")
+    val gens = vt.versions
+    assert(gens.length <= 6,
+      s"ledger not bounded: ${gens.length} generations ($gens)")
+    // restart: a late file lands; epoch 21 continues the sequence and
+    // its old side reads THROUGH the compacted generations
+    val extra = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    extra.coalesce(1).write.mode("append").parquet(s"$base/feed")
+    val afterRestart = run()
+    val full = Dedup.nearDupPairs(planted.union(extra), "text", "doc_id",
+        threshold = 0.5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(afterRestart == full,
+      s"stream-only=${afterRestart -- full}, full-only=${full -- afterRestart}")
+    assert(full.nonEmpty, "vacuous equivalence")
+  }
+
   test("transformWithState totals: one batch equals groupBy; RocksDB " +
     "state survives a checkpoint restart") {
     import graft.streaming.StatefulTotals
