@@ -983,6 +983,32 @@ object StretchQueries {
         .select(col("media_id").as("doc_id"), col("rep_id"))
     }),
 
+    // REAL multi-frame container decode: each doc becomes an animated
+    // GIF whose frame count AND per-frame pixels are id-derived; the
+    // ImageIO container walk must find exactly the embedded frames
+    // (frame_idx from range arithmetic) and decode them well enough
+    // that frame-level hash grouping reproduces the class arithmetic
+    // (rep = min doc of the class — same scheme as q_mm_phash_groups,
+    // one level down: frames inside containers instead of images)
+    "q_mm_gif_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val cls = id % 23
+          Multimodal.MediaRow(id,
+            Multimodal.GifCodec.synthAnimated((cls % 6).toInt + 5,
+              (cls % 4).toInt + 5, nFrames = (cls % 5).toInt + 1,
+              seed = cls),
+            "image/gif")
+        }.toDF("media_id", "content", "format")
+      val fh = Multimodal.gifFrameHashes(media)
+      fh.join(
+        fh.groupBy(col("fhash")).agg(min(col("media_id")).as("rep_id")),
+        "fhash")
+        .select(col("media_id").as("doc_id"), col("frame_idx"),
+          col("rep_id"))
+    }),
+
     // sample-level audio decode: square-wave WAVs parsed down to the
     // PCM samples; energy and zero crossings are id-arithmetic the
     // oracle recomputes, so every sample byte is on the hook
@@ -2001,6 +2027,17 @@ object StretchQueries {
     "q_mm_phash_groups" ->
       ("SELECT doc_id, min(doc_id) OVER (PARTITION BY doc_id % 41) " +
         "AS rep_id FROM documents"),
+
+    // the real container walk must surface exactly the id-derived
+    // frame count per doc, and frame-hash grouping must collapse to
+    // the class arithmetic (frames of the same (class, idx) are
+    // identical pixels through write-quantize-decode; rep = class min)
+    "q_mm_gif_frames" ->
+      ("""WITH f AS (SELECT doc_id, doc_id % 23 AS cls FROM documents)
+         |SELECT doc_id, CAST(unnest(range(0, cls % 5 + 1)) AS INT)
+         |  AS frame_idx,
+         |  min(doc_id) OVER (PARTITION BY cls) AS rep_id
+         |FROM f""".stripMargin).replaceAll(raw"\s+", " "),
 
     // ImageIO gates: every reported column is id-arithmetic the oracle
     // recomputes; the Spark side had to EARN them through a real

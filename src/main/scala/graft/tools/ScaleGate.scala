@@ -42,7 +42,23 @@ object ScaleGate {
     "q_v_semdedup" -> 8.0,
     // vocabulary-sized model tables + per-doc integer dot products:
     // should scale like the other token-shuffle operators
-    "q_t_dsir" -> 8.0
+    "q_t_dsir" -> 8.0,
+    // round-8 heavy family (VERDICT r8 #6):
+    // MV retraction cost must track the CHANGED KEYS (which ScaleUp
+    // scales linearly with part), never the view size — a re-derive-
+    // the-world regression shows as a superlinear ratio
+    "q_mv_retract" -> 8.0,
+    // incremental IVF append + search: assignment over the delta,
+    // compressed-domain shortlist — linear with generous headroom
+    // (the gate's brute-force oracle is itself linear in the corpus)
+    "q_v_topk_ivf_inc" -> 8.0,
+    // per-row decode CPU + Manku-blocked hamming join: linear
+    "q_mm_phash_groups" -> 10.0,
+    // FIXED-OVERHEAD assertion, not a linearity envelope: the gate is
+    // two AvailableNow query startups + per-epoch commits on a
+    // half-corpus feed, measured corpus-independent in r8 (halving
+    // the corpus moved nothing) — 10× data must stay startup-bound
+    "q_d_stream_inc" -> 3.0
   )
 
   def main(args: Array[String]): Unit = {
@@ -59,9 +75,10 @@ object ScaleGate {
     spark.sparkContext.setLogLevel("WARN")
 
     // build-once: the 10× corpus regenerates only when the source does
-    // (or when the perturbation scheme changes — bump the fingerprint)
+    // (or when the perturbation scheme changes — bump the fingerprint;
+    // v2 added the part table for the MV gate)
     graft.engine.Scratch.ensureAt(spark, big, base,
-      fingerprint = s"scaleup-v1,copies=$copies") { staging =>
+      fingerprint = s"scaleup-v2,copies=$copies") { staging =>
       ScaleUp.build(spark, base, staging, copies)
     }
 
@@ -79,6 +96,8 @@ object ScaleGate {
     }
 
     var failed = List.empty[String]
+    val rows = scala.collection.mutable.ListBuffer
+      .empty[(String, Double, Double, Double, Double, Boolean)]
     println(f"${"query"}%-20s ${"1x(s)"}%8s ${"10x(s)"}%8s " +
       f"${"ratio"}%7s ${"max"}%5s  verdict")
     envelope.foreach { case (name, maxRatio) =>
@@ -87,10 +106,27 @@ object ScaleGate {
       val ratio = t10 / math.max(t1, 1e-9)
       val ok = ratio <= maxRatio
       if (!ok) failed ::= name
+      rows += ((name, t1, t10, ratio, maxRatio, ok))
       println(f"$name%-20s $t1%8.2f $t10%8.2f $ratio%7.1f $maxRatio%5.1f" +
         f"  ${if (ok) "ok" else "FAIL"}")
     }
     spark.stop()
+    // persist the ratio table when asked (SPARK_GRAFT_SCALE_OUT=path):
+    // the round-close artifact (SCALE_r<N>.json) that makes the scale
+    // history diffable instead of prose in NOTES
+    sys.env.get("SPARK_GRAFT_SCALE_OUT").filter(_.nonEmpty).foreach { p =>
+      def f3(d: Double) = BigDecimal(d).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP).toString
+      val qs = rows.map { case (n, t1, t10, r, m, ok) =>
+        s""""$n":{"t1_sec":${f3(t1)},"t10_sec":${f3(t10)},""" +
+          s""""ratio":${f3(r)},"max":$m,"ok":$ok}"""
+      }.mkString(",")
+      val json = s"""{"base":"$base","copies":$copies,"reps":$reps,""" +
+        s""""failed":${failed.length},"queries":{$qs}}""" + "\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        json.getBytes("UTF-8"))
+      println(s"[scalegate] wrote $p")
+    }
     if (failed.nonEmpty) {
       System.err.println(s"[scalegate] FAILED: ${failed.reverse.mkString(", ")}")
       sys.exit(1)

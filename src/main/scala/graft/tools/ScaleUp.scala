@@ -72,6 +72,18 @@ object ScaleUp {
     }.repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
 
+    // part feeds the MV-maintenance gate (q_mv_retract): scaled the
+    // same way — shifted keys, everything else carried, so the
+    // changed-key fraction (p_partkey % 5 / % 7 selectors) scales
+    // linearly with the table and the gate measures "cost tracks
+    // changed keys", not a constant-sized diff
+    val part = spark.read.parquet(s"$src/part.parquet")
+    copiesOf(part) { k =>
+      part.select((col("p_partkey") + k * 10000000L).as("p_partkey") +:
+        part.columns.filterNot(_ == "p_partkey").map(col): _*)
+    }.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/part.parquet")
+
     // small tables Profile's warm-up and shared helpers touch
     Seq("nation", "region").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")

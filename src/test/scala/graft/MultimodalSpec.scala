@@ -202,4 +202,63 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getString(3) == "image/png")
     }
   }
+
+  test("GifCodec: the container walk finds exactly the written frames, " +
+    "round-trips deterministically, frames are mutually distinct, and " +
+    "corrupt payloads fall through as None") {
+    import graft.operators.Multimodal.GifCodec
+    for (n <- 1 to 6) {
+      val gif = GifCodec.synthAnimated(8, 7, nFrames = n, seed = 5L)
+      assert(GifCodec.sniff(gif), "written payload must sniff as GIF")
+      assert(GifCodec.frameCount(gif).contains(n),
+        s"container walk must find all $n frames")
+    }
+    val a = GifCodec.synthAnimated(9, 6, nFrames = 4, seed = 12L)
+    val b = GifCodec.synthAnimated(9, 6, nFrames = 4, seed = 12L)
+    // write → quantize → decode is deterministic: two identical
+    // syntheses hash frame-for-frame identically…
+    assert(GifCodec.frameDHashes(a).get == GifCodec.frameDHashes(b).get)
+    // …and the frames INSIDE one container are mutually distinct (each
+    // carries a different seed mix — a walk that returned the first
+    // frame n times would collapse them)
+    val hs = GifCodec.frameDHashes(a).get
+    assert(hs.distinct.length == hs.length, s"frames collided: $hs")
+    // a different seed produces different frame content
+    val c = GifCodec.frameDHashes(
+      GifCodec.synthAnimated(9, 6, nFrames = 4, seed = 13L)).get
+    assert(hs != c)
+    // ladder contract: non-GIF and truncated payloads → None, no throw
+    assert(GifCodec.frames("notagif".getBytes).isEmpty)
+    assert(GifCodec.frames(a.take(20)).isEmpty)
+    val png = graft.operators.Multimodal.ImageIoCodec.synth(8, 8, 1L, jpeg = false)
+    assert(GifCodec.frames(png).isEmpty, "PNG must not enter the GIF walk")
+  }
+
+  test("gifFrameHashes: one row per embedded frame, frame-hash " +
+    "grouping reproduces the class arithmetic") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val media = (0L until 92L).toDF("id").as[Long]
+      .map { id =>
+        val cls = id % 23
+        Multimodal.MediaRow(id,
+          Multimodal.GifCodec.synthAnimated((cls % 6).toInt + 5,
+            (cls % 4).toInt + 5, nFrames = (cls % 5).toInt + 1, seed = cls),
+          "image/gif")
+      }.toDF("media_id", "content", "format")
+    val fh = Multimodal.gifFrameHashes(media)
+    val rows = fh.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // exactly the embedded frames: (cls % 5) + 1 rows per media
+    val perMedia = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    (0L until 92L).foreach { id =>
+      val n = (id % 23 % 5).toInt + 1
+      assert(perMedia(id) == (0 until n), s"media $id frames ${perMedia(id)}")
+    }
+    // same (class, frame) → same hash; different classes never collide
+    val byHash = rows.groupBy(_._3).view
+      .mapValues(_.map(t => t._1 % 23).distinct).toMap
+    byHash.foreach { case (h, classes) =>
+      assert(classes.length == 1, s"hash $h crosses classes $classes")
+    }
+  }
 }
