@@ -1027,6 +1027,68 @@ object StretchQueries {
           col("zero_crossings"))
     }),
 
+    // G.711 companded audio: even docs µ-law, odd docs A-law — one
+    // byte per sample through the real ITU expansion table before the
+    // identical stat fold. The decoded square wave sits at the exact
+    // quantized levels dec(enc(1000)) = ±988 (µ) / ±1008 (A), so
+    // energy stays oracle arithmetic with the codec constants on the
+    // hook, and `codec` must be earned from the WAV format tag
+    "q_mm_audio_g711" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          Multimodal.MediaRow(id,
+            Multimodal.MediaSynth.wavToneG711((id % 80).toInt + 8,
+              (id % 6).toInt + 2, aLaw = id % 2 == 1),
+            "audio/wav")
+        }.toDF("media_id", "content", "format")
+      Multimodal.audioStats(media)
+        .select(col("media_id").as("doc_id"), col("codec"),
+          col("n_frames"), col("sum_squares"), col("zero_crossings"))
+    }),
+
+    // real VIDEO container: MJPEG AVI per doc, frame count and
+    // grouping from the id arithmetic — the RIFF walk plus a full
+    // JPEG decode per frame must reproduce them
+    "q_mm_avi_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val cls = id % 19
+          Multimodal.MediaRow(id,
+            Multimodal.AviCodec.synthMjpeg((cls % 7).toInt + 10,
+              (cls % 5).toInt + 8, nFrames = (cls % 4).toInt + 1,
+              seed = cls),
+            "video/avi")
+        }.toDF("media_id", "content", "format")
+      val fh = Multimodal.aviFrameHashes(media)
+      fh.join(
+        fh.groupBy(col("fhash")).agg(min(col("media_id")).as("rep_id")),
+        "fhash")
+        .select(col("media_id").as("doc_id"), col("frame_idx"),
+          col("rep_id"))
+    }),
+
+    // multi-page TIFF: lossless sibling of the GIF/AVI gates
+    "q_mm_tiff_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val cls = id % 13
+          Multimodal.MediaRow(id,
+            Multimodal.TiffCodec.synthMulti((cls % 6).toInt + 6,
+              (cls % 4).toInt + 6, nFrames = (cls % 3).toInt + 1,
+              seed = cls),
+            "image/tiff")
+        }.toDF("media_id", "content", "format")
+      val fh = Multimodal.tiffFrameHashes(media)
+      fh.join(
+        fh.groupBy(col("fhash")).agg(min(col("media_id")).as("rep_id")),
+        "fhash")
+        .select(col("media_id").as("doc_id"), col("frame_idx"),
+          col("rep_id"))
+    }),
+
     // as-of join: every event aligned to the user's latest prior
     // purchase — DuckDB's native ASOF LEFT JOIN is the oracle
     "q_ev_asof" -> ((s, dir) => {
@@ -2020,6 +2082,42 @@ object StretchQueries {
          |      OR t % (doc_id % 6 + 2) = (doc_id % 6 + 2) // 2))
          |    AS BIGINT) AS zero_crossings
          |FROM documents""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // G.711 quantized levels for amplitude 1000: µ-law dec(enc(1000))
+    // = 988, A-law = 1008 — ITU G.711 table values, independently
+    // pinned against CPython audioop in MultimodalSpec. Energy =
+    // n · level²; crossings are the same square-wave sign-flip count
+    // as q_mm_audio_stats
+    "q_mm_audio_g711" ->
+      ("""SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+         |  CAST(doc_id % 80 + 8 AS INT) AS n_frames,
+         |  CAST((doc_id % 80 + 8) *
+         |    CASE WHEN doc_id % 2 = 0 THEN 976144 ELSE 1016064 END
+         |    AS BIGINT) AS sum_squares,
+         |  CAST(len(list_filter(range(1, CAST(doc_id % 80 + 8 AS BIGINT)),
+         |    t -> t % (doc_id % 6 + 2) = 0
+         |      OR t % (doc_id % 6 + 2) = (doc_id % 6 + 2) // 2))
+         |    AS BIGINT) AS zero_crossings
+         |FROM documents""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // the AVI container walk must surface exactly the id-derived
+    // frame count per doc, and JPEG-frame-hash grouping must collapse
+    // to the class arithmetic (identical stored bytes decode to
+    // identical pixels; rep = class min) — same scheme as the GIF gate
+    "q_mm_avi_frames" ->
+      ("""WITH f AS (SELECT doc_id, doc_id % 19 AS cls FROM documents)
+         |SELECT doc_id, CAST(unnest(range(0, cls % 4 + 1)) AS INT)
+         |  AS frame_idx,
+         |  min(doc_id) OVER (PARTITION BY cls) AS rep_id
+         |FROM f""".stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_mm_tiff_frames" ->
+      ("""WITH f AS (SELECT doc_id, doc_id % 13 AS cls FROM documents)
+         |SELECT doc_id, CAST(unnest(range(0, cls % 3 + 1)) AS INT)
+         |  AS frame_idx,
+         |  min(doc_id) OVER (PARTITION BY cls) AS rep_id
+         |FROM f""".stripMargin).replaceAll(raw"\s+", " "),
 
     // the phash groups collapse to the id-arithmetic classes: same
     // class = identical pixels = identical hash; the representative

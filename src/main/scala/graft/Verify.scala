@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated name substrings — local
+    // iteration filter; the driver's 2-arg invocation runs everything
+    val (sfDir, outDir, nameFilter) = args match {
+      case Array(s, o)    => (s, o, Seq.empty[String])
+      case Array(s, o, f) => (s, o, f.split(',').toSeq)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,7 +21,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        nameFilter.isEmpty || nameFilter.exists(name.contains)
+      }
+      .foreach { case (name, fn) =>
       // drop any previous run's output FIRST: a failing query must
       // never surface as a stale (silently passing) result from an
       // earlier run
@@ -62,6 +71,9 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) =>
+        nameFilter.isEmpty || nameFilter.exists(k.contains)
+      }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = failures

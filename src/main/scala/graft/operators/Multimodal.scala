@@ -9,14 +9,18 @@ import org.apache.spark.sql.functions._
   * The Spark-side mechanics are real and tested — schema contract,
   * partition-wise batched iteration (the JVM shape of what
   * `mapInPandas` does in Python: amortize per-batch setup over
-  * `batchSize` rows), partitioning control. Decode is REAL for four
-  * formats: PNG and JPEG through the JDK's `javax.imageio` full pixel
-  * path (`ImageIoCodec` — decode, bilinear resize, re-encode), BMP
-  * (BITMAPINFOHEADER) and PCM WAV (RIFF/WAVE chunk walk) through
-  * pure-JVM header parsers (`HeaderCodec`). Payloads no codec
+  * `batchSize` rows), partitioning control. Decode is REAL across the
+  * ladder: PNG and JPEG through the JDK's `javax.imageio` full pixel
+  * path (`ImageIoCodec` — decode, bilinear resize, re-encode,
+  * perceptual hash); BMP headers (`HeaderCodec`); WAV audio down to
+  * the samples for linear PCM and the G.711 companded telephony
+  * codecs (`PcmCodec` + `G711`, µ-law/A-law table expansion);
+  * multi-frame containers — animated GIF and multi-page TIFF via the
+  * ImageIO descriptor walk (`GifCodec`/`TiffCodec`), MJPEG video in a
+  * hand-walked RIFF/AVI chunk tree (`AviCodec`). Payloads no codec
   * recognizes fall back to the deterministic `StubCodec` fake, the
   * stand-in for containers whose libraries are genuinely absent
-  * (MP4/video would slot in the same way — swapping the sniffer
+  * (MP4/H.264 would slot in the same way — swapping the sniffer
   * changes no Spark plumbing).
   *
   * Scale notes:
@@ -286,8 +290,70 @@ object Multimodal {
   }
 
   /** Sample-level statistics of a 16-bit PCM WAV payload. */
+  /** G.711 companding — the telephony codecs (µ-law format tag 7,
+    * A-law tag 6) that make WAV a COMPRESSED container, not just a PCM
+    * header: one byte per sample, logarithmic quantization, exact
+    * table arithmetic. Implementations follow the published ITU G.711
+    * segment algorithm; the spec pins them against independently
+    * computed reference points (CPython `audioop`): µ-law
+    * enc(1000)=0xCE dec→988, dec(0x00)=−32124, dec(0x80)=+32124;
+    * A-law enc(1000)=0xFA dec→1008, dec(0x00)=−5504, dec(0xFF)=+848.
+    */
+  object G711 {
+    private final val MuBias = 0x84
+    private final val MuClip = 32635
+
+    def muLawEncode(pcm0: Int): Byte = {
+      var pcm = pcm0
+      val sign = if (pcm < 0) { pcm = -pcm; 0x80 } else 0
+      if (pcm > MuClip) pcm = MuClip
+      pcm += MuBias
+      var exponent = 7
+      var mask = 0x4000
+      while (exponent > 0 && (pcm & mask) == 0) { exponent -= 1; mask >>= 1 }
+      val mantissa = (pcm >> (exponent + 3)) & 0x0F
+      (~(sign | (exponent << 4) | mantissa)).toByte
+    }
+
+    def muLawDecode(code: Byte): Int = {
+      val c = ~code & 0xFF
+      val exponent = (c >> 4) & 0x07
+      val mantissa = c & 0x0F
+      val magnitude = (((mantissa << 3) + MuBias) << exponent) - MuBias
+      if ((c & 0x80) != 0) -magnitude else magnitude
+    }
+
+    // A-law works on a 13-bit magnitude with even-bit inversion (0x55)
+    private final val ASegEnd =
+      Array(0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+
+    def aLawEncode(pcm0: Int): Byte = {
+      var pcm = pcm0 >> 3 // 16-bit two's complement → 13-bit magnitude
+      val mask = if (pcm >= 0) 0xD5 else { pcm = -pcm - 1; 0x55 }
+      var seg = 0
+      while (seg < 8 && pcm > ASegEnd(seg)) seg += 1
+      if (seg >= 8) (0x7F ^ mask).toByte
+      else {
+        val quant = if (seg < 2) (pcm >> 1) & 0x0F else (pcm >> seg) & 0x0F
+        (((seg << 4) | quant) ^ mask).toByte
+      }
+    }
+
+    def aLawDecode(code: Byte): Int = {
+      val c = (code ^ 0x55) & 0xFF
+      var t = (c & 0x0F) << 4
+      ((c & 0x70) >> 4) match {
+        case 0 => t += 8
+        case 1 => t += 0x108
+        case seg => t += 0x108; t <<= seg - 1
+      }
+      if ((c & 0x80) != 0) t else -t
+    }
+  }
+
   final case class PcmStats(channels: Int, sample_rate: Int, n_frames: Int,
-                            sum_squares: Long, zero_crossings: Long)
+                            sum_squares: Long, zero_crossings: Long,
+                            codec: String)
 
   /** REAL audio decode one level below [[HeaderCodec]]: walk the RIFF
     * chunks to the data chunk and fold the actual 16-bit samples —
@@ -309,7 +375,7 @@ object Multimodal {
       def i16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
       def s16(o: Int): Int = i16(o).toShort.toInt
       var off = 12
-      var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, ba, bps
+      var fmt: Option[(Int, Int, Int, Int, Int)] = None // tag, ch, rate, ba, bps
       var data: Option[(Int, Int)] = None // offset, len
       while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
         val size = i32(off + 4)
@@ -317,36 +383,52 @@ object Multimodal {
         if (b(off) == 'f'.toByte && b(off + 1) == 'm'.toByte &&
           b(off + 2) == 't'.toByte && b(off + 3) == ' '.toByte &&
           size >= 16)
-          fmt = Some((i16(off + 10), i32(off + 12), i16(off + 20),
-            i16(off + 22)))
+          fmt = Some((i16(off + 8), i16(off + 10), i32(off + 12),
+            i16(off + 20), i16(off + 22)))
         else if (b(off) == 'd'.toByte && b(off + 1) == 'a'.toByte &&
           b(off + 2) == 't'.toByte && b(off + 3) == 'a'.toByte)
           data = Some((off + 8, size))
         off += 8 + size + (size & 1)
       }
-      for ((ch, rate, ba, bps) <- fmt; (dOff, dLen) <- data;
-           if bps == 16 && ch > 0 && ba == ch * 2) yield {
+      // three real sample layouts: linear PCM (tag 1, 2 bytes/sample)
+      // and the G.711 companded pair (tag 6 A-law / 7 µ-law, 1
+      // byte/sample) — the companded paths expand every byte through
+      // the codec table before the identical stat fold, so the fold is
+      // codec-independent and the gate arithmetic certifies the table
+      for ((tag, ch, rate, ba, bps) <- fmt; (dOff, dLen) <- data;
+           nameAndDecode <- (tag, bps) match {
+             case (1, 16) if ch > 0 && ba == ch * 2 =>
+               Some(("pcm16", (o: Int) => s16(o)))
+             case (6, 8) if ch > 0 && ba == ch =>
+               Some(("alaw", (o: Int) => G711.aLawDecode(b(o))))
+             case (7, 8) if ch > 0 && ba == ch =>
+               Some(("ulaw", (o: Int) => G711.muLawDecode(b(o))))
+             case _ => None
+           }) yield {
+        val (codecName, decode) = nameAndDecode
         val frames = dLen / ba
         var sumSq = 0L
         var crossings = 0L
         var prev = 0
         var t = 0
         while (t < frames) {
-          val s = s16(dOff + t * ba) // channel 0
+          val s = decode(dOff + t * ba) // channel 0
           sumSq += s.toLong * s.toLong
           if (t > 0 && ((s > 0 && prev < 0) || (s < 0 && prev > 0)))
             crossings += 1
           prev = s
           t += 1
         }
-        PcmStats(ch, rate, frames, sumSq, crossings)
+        PcmStats(ch, rate, frames, sumSq, crossings, codecName)
       }
     }
   }
 
   /** (id, channels, sample_rate, n_frames, sum_squares,
-    * zero_crossings) for an audio binary column — executor-local
-    * sample folds, no shuffle; non-PCM payloads drop out.
+    * zero_crossings, codec) for an audio binary column —
+    * executor-local sample folds, no shuffle; undecodable payloads
+    * drop out. `codec` reports which decode path the format tag
+    * selected (pcm16 / alaw / ulaw), earned from the chunk walk.
     */
   def audioStats(media: DataFrame, idCol: String = "media_id",
                  contentCol: String = "content"): DataFrame = {
@@ -356,10 +438,10 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         PcmCodec.stats(bytes).map(s => (id, s.channels, s.sample_rate,
-          s.n_frames, s.sum_squares, s.zero_crossings))
+          s.n_frames, s.sum_squares, s.zero_crossings, s.codec))
       })
       .toDF(idCol, "channels", "sample_rate", "n_frames", "sum_squares",
-        "zero_crossings")
+        "zero_crossings", "codec")
   }
 
   /** Deterministic synthesizers for the two real formats — the
@@ -402,6 +484,39 @@ object Multimodal {
         t += 1
       }
       header
+    }
+
+    /** Mono G.711 WAV of the same square wave as [[wavTone]], but with
+      * every sample COMPANDED through the codec table (format tag 6 =
+      * A-law, 7 = µ-law; one byte per sample). The decode side expands
+      * enc(±A) back to the exact quantized level dec(enc(A)) — a fixed
+      * integer for a fixed amplitude (A=1000 → 988 µ-law / 1008
+      * A-law), so energy and crossings stay pure oracle arithmetic
+      * while every byte must pass through the real table.
+      */
+    def wavToneG711(nFrames: Int, period: Int, amplitude: Int = 1000,
+                    sampleRate: Int = 8000,
+                    aLaw: Boolean = false): Array[Byte] = {
+      require(period >= 2 && nFrames >= 0 && amplitude > 0 &&
+        amplitude <= Short.MaxValue, "invalid tone parameters")
+      val b = java.nio.ByteBuffer.allocate(44 + nFrames)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + nFrames)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(if (aLaw) 6 else 7).putShort(1)
+        .putInt(sampleRate).putInt(sampleRate)
+        .putShort(1).putShort(8)
+      b.put("data".getBytes("US-ASCII")).putInt(nFrames)
+      val half = period / 2
+      val pos = if (aLaw) G711.aLawEncode(amplitude) else G711.muLawEncode(amplitude)
+      val neg = if (aLaw) G711.aLawEncode(-amplitude) else G711.muLawEncode(-amplitude)
+      var t = 0
+      while (t < nFrames) {
+        b.put(44 + t, if (t % period < half) pos else neg)
+        t += 1
+      }
+      b.array()
     }
 
     /** Minimal PCM WAV (fmt + data chunks, silent samples). */
@@ -619,6 +734,280 @@ object Multimodal {
     /** Per-frame perceptual hashes, in frame order. */
     def frameDHashes(b: Array[Byte]): Option[Seq[Long]] =
       frames(b).map(_.map(ImageIoCodec.dHashOf))
+  }
+
+  /** A real VIDEO container: RIFF/AVI with an MJPEG stream — the
+    * format-tag walk one level up from [[PcmCodec]]'s WAV (same RIFF
+    * grammar, nested LISTs) and one level sideways from [[GifCodec]]
+    * (frames are full JPEG payloads inside `00dc` chunks, not GIF
+    * image descriptors). The walker parses the actual chunk tree —
+    * header LIST, `movi` LIST, word-aligned chunk sizes — and decodes
+    * every embedded JPEG through the full ImageIO pixel path, so a
+    * gate over the result certifies both the container traversal and
+    * the per-frame codec.
+    *
+    * JPEG is lossy, but deterministic: identical stored bytes decode
+    * to identical pixels, which is the exact property frame-level
+    * dedup needs (same contract GIF's palette quantization satisfies).
+    */
+  object AviCodec {
+    private def le32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    private def le16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+    }
+    private def fourcc(out: java.io.ByteArrayOutputStream, s: String): Unit =
+      out.write(s.getBytes("US-ASCII"))
+
+    /** A chunk: fourcc + size + data + pad byte when odd (RIFF word
+      * alignment — real readers reject files that skip it).
+      */
+    private def chunk(out: java.io.ByteArrayOutputStream, id: String,
+                      data: Array[Byte]): Unit = {
+      fourcc(out, id); le32(out, data.length); out.write(data)
+      if ((data.length & 1) == 1) out.write(0)
+    }
+
+    private def list(listType: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      fourcc(out, "LIST"); le32(out, body.length + 4); fourcc(out, listType)
+      out.write(body)
+      out.toByteArray
+    }
+
+    /** Deterministic MJPEG AVI: full hdrl (avih + strl/strh/strf) so
+      * the file is structurally honest, then a movi LIST with one
+      * `00dc` JPEG chunk per frame (frame i = the seed-mixed synth
+      * image for `seed*1000003 + i`), then an idx1. Every (seed, i)
+      * reproduces exactly.
+      */
+    def synthMjpeg(width: Int, height: Int, nFrames: Int,
+                   seed: Long): Array[Byte] = {
+      require(nFrames > 0 && width > 0 && height > 0, "bad avi params")
+      val jpegs = (0 until nFrames).map { i =>
+        ImageIoCodec.synth(width, height, seed * 1000003L + i, jpeg = true)
+      }
+      val fps = 10
+      val maxJpeg = jpegs.map(_.length).max
+
+      val avih = new java.io.ByteArrayOutputStream()
+      le32(avih, 1000000 / fps); le32(avih, maxJpeg * fps); le32(avih, 0)
+      le32(avih, 0x10 /* AVIF_HASINDEX */); le32(avih, nFrames)
+      le32(avih, 0); le32(avih, 1 /* streams */); le32(avih, maxJpeg)
+      le32(avih, width); le32(avih, height)
+      le32(avih, 0); le32(avih, 0); le32(avih, 0); le32(avih, 0)
+
+      val strh = new java.io.ByteArrayOutputStream()
+      fourcc(strh, "vids"); fourcc(strh, "MJPG")
+      le32(strh, 0); le16(strh, 0); le16(strh, 0); le32(strh, 0)
+      le32(strh, 1 /* scale */); le32(strh, fps /* rate */)
+      le32(strh, 0); le32(strh, nFrames); le32(strh, maxJpeg)
+      le32(strh, -1 /* quality */); le32(strh, 0)
+      le16(strh, 0); le16(strh, 0); le16(strh, width); le16(strh, height)
+
+      val strf = new java.io.ByteArrayOutputStream() // BITMAPINFOHEADER
+      le32(strf, 40); le32(strf, width); le32(strf, height)
+      le16(strf, 1); le16(strf, 24); fourcc(strf, "MJPG")
+      le32(strf, width * height * 3); le32(strf, 0); le32(strf, 0)
+      le32(strf, 0); le32(strf, 0)
+
+      val strlBody = new java.io.ByteArrayOutputStream()
+      chunk(strlBody, "strh", strh.toByteArray)
+      chunk(strlBody, "strf", strf.toByteArray)
+      val hdrlBody = new java.io.ByteArrayOutputStream()
+      chunk(hdrlBody, "avih", avih.toByteArray)
+      hdrlBody.write(list("strl", strlBody.toByteArray))
+
+      val moviBody = new java.io.ByteArrayOutputStream()
+      val offsets = jpegs.map { j =>
+        val off = moviBody.size() + 4 // offset of the ckid from 'movi'
+        chunk(moviBody, "00dc", j)
+        off
+      }
+      val idx1 = new java.io.ByteArrayOutputStream()
+      offsets.zip(jpegs).foreach { case (off, j) =>
+        fourcc(idx1, "00dc"); le32(idx1, 0x10 /* keyframe */)
+        le32(idx1, off); le32(idx1, j.length)
+      }
+
+      val riffBody = new java.io.ByteArrayOutputStream()
+      fourcc(riffBody, "AVI ")
+      riffBody.write(list("hdrl", hdrlBody.toByteArray))
+      riffBody.write(list("movi", moviBody.toByteArray))
+      chunk(riffBody, "idx1", idx1.toByteArray)
+
+      val out = new java.io.ByteArrayOutputStream()
+      fourcc(out, "RIFF"); le32(out, riffBody.size())
+      riffBody.writeTo(out)
+      out.toByteArray
+    }
+
+    def sniff(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(0) == 'R'.toByte && b(1) == 'I'.toByte &&
+        b(2) == 'F'.toByte && b(3) == 'F'.toByte &&
+        b(8) == 'A'.toByte && b(9) == 'V'.toByte &&
+        b(10) == 'I'.toByte && b(11) == ' '.toByte
+
+    /** Every video frame, fully decoded: walk the top-level RIFF
+      * chunks to the `movi` LIST, then its sub-chunks; `..dc`/`..db`
+      * payloads go through the full ImageIO JPEG decode in stream
+      * order. None for non-AVI or structurally corrupt payloads (same
+      * never-crash ladder contract as the other codecs).
+      */
+    def frames(b: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] =
+      if (!sniff(b)) None
+      else try {
+        def i32(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+          ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+        def tag(o: Int, t: String): Boolean =
+          b(o) == t(0).toByte && b(o + 1) == t(1).toByte &&
+            b(o + 2) == t(2).toByte && b(o + 3) == t(3).toByte
+        val out = Seq.newBuilder[java.awt.image.BufferedImage]
+        var off = 12
+        var sawMovi = false
+        var ok = true
+        while (ok && off + 8 <= b.length) {
+          val size = i32(off + 4)
+          if (size < 0 || size > b.length - off - 8) ok = false
+          else {
+            if (tag(off, "LIST") && size >= 4 && tag(off + 8, "movi")) {
+              sawMovi = true
+              var m = off + 12
+              val end = off + 8 + size
+              while (ok && m + 8 <= end) {
+                val msize = i32(m + 4)
+                if (msize < 0 || msize > end - m - 8) ok = false
+                else {
+                  // stream-data chunks: 'NNdc' (compressed) / 'NNdb'
+                  // (uncompressed DIB); only JPEG payloads decode here
+                  if (b(m + 2) == 'd'.toByte &&
+                    (b(m + 3) == 'c'.toByte || b(m + 3) == 'b'.toByte)) {
+                    val payload = java.util.Arrays.copyOfRange(b, m + 8,
+                      m + 8 + msize)
+                    val img = javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(payload))
+                    if (img == null) ok = false else out += img
+                  }
+                  m += 8 + msize + (msize & 1)
+                }
+              }
+            }
+            off += 8 + size + (size & 1)
+          }
+        }
+        if (ok && sawMovi) Some(out.result()) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    def frameCount(b: Array[Byte]): Option[Int] = frames(b).map(_.length)
+
+    /** Per-frame perceptual hashes, in stream order. */
+    def frameDHashes(b: Array[Byte]): Option[Seq[Long]] =
+      frames(b).map(_.map(ImageIoCodec.dHashOf))
+  }
+
+  /** Multi-page TIFF — the archival/document sibling of the GIF
+    * container: same ImageIO sequence-writer/descriptor-walk pair, but
+    * LOSSLESS storage (no palette quantization, no DCT), so embedded
+    * frames round-trip bit-exact and the frame hashes equal the source
+    * image hashes. Baseline TIFF multi-page support ships in the JDK
+    * (javax.imageio TIFF plugin, Java 9+).
+    */
+  object TiffCodec {
+    def sniff(b: Array[Byte]): Boolean =
+      b.length >= 4 &&
+        ((b(0) == 'I'.toByte && b(1) == 'I'.toByte &&
+          b(2) == 42.toByte && b(3) == 0.toByte) ||
+          (b(0) == 'M'.toByte && b(1) == 'M'.toByte &&
+            b(2) == 0.toByte && b(3) == 42.toByte))
+
+    /** Deterministic `nFrames`-page TIFF; page `i` carries the
+      * seed-mixed synth pixels for `seed*1000003 + i` (the same
+      * per-frame seed schedule as the GIF/AVI synths, so cross-format
+      * frame identity holds for equal (seed, i)).
+      */
+    def synthMulti(width: Int, height: Int, nFrames: Int,
+                   seed: Long): Array[Byte] = {
+      require(nFrames > 0, "need at least one page")
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var i = 0
+        while (i < nFrames) {
+          writer.writeToSequence(new javax.imageio.IIOImage(
+            ImageIoCodec.synthImage(width, height,
+              seed * 1000003L + i), null, null), null)
+          i += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      out.toByteArray
+    }
+
+    /** Every page, fully decoded — the same descriptor walk as
+      * [[GifCodec.frames]] (getNumImages(true) counts real IFDs, not a
+      * header field).
+      */
+    def frames(b: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] =
+      if (!sniff(b)) None
+      else try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, false)
+              val n = r.getNumImages(true)
+              Some((0 until n).map(r.read(_)))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    def frameCount(b: Array[Byte]): Option[Int] = frames(b).map(_.length)
+
+    def frameDHashes(b: Array[Byte]): Option[Seq[Long]] =
+      frames(b).map(_.map(ImageIoCodec.dHashOf))
+  }
+
+  /** `(idCol, frame_idx, fhash)` over multi-page TIFF payloads. */
+  def tiffFrameHashes(media: DataFrame, idCol: String = "media_id",
+                      contentCol: String = "content"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        TiffCodec.frameDHashes(bytes).toSeq.flatMap(_.zipWithIndex.map {
+          case (h, i) => (id, i, h)
+        })
+      })
+      .toDF(idCol, "frame_idx", "fhash")
+  }
+
+  /** `(idCol, frame_idx, fhash)` over AVI payloads — the video sibling
+    * of [[gifFrameHashes]], same shuffle-free mapPartitions shape.
+    */
+  def aviFrameHashes(media: DataFrame, idCol: String = "media_id",
+                     contentCol: String = "content"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AviCodec.frameDHashes(bytes).toSeq.flatMap(_.zipWithIndex.map {
+          case (h, i) => (id, i, h)
+        })
+      })
+      .toDF(idCol, "frame_idx", "fhash")
   }
 
   /** `(idCol, frame_idx, fhash)` — one row per EMBEDDED frame of each

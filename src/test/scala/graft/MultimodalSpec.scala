@@ -261,4 +261,132 @@ class MultimodalSpec extends SparkSpec {
       assert(classes.length == 1, s"hash $h crosses classes $classes")
     }
   }
+
+  test("G711: encode/decode match the published reference points and " +
+    "compress a WAV that PcmCodec expands exactly") {
+    import graft.operators.Multimodal.{G711, MediaSynth, PcmCodec}
+    // reference points computed with an independent implementation
+    // (CPython audioop): byte values AND decoded linear levels
+    assert(G711.muLawEncode(1000) == 0xCE.toByte)
+    assert(G711.muLawDecode(0xCE.toByte) == 988)
+    assert(G711.muLawDecode(G711.muLawEncode(-1000)) == -988)
+    assert(G711.muLawDecode(0x00.toByte) == -32124)
+    assert(G711.muLawDecode(0x80.toByte) == 32124)
+    assert(G711.muLawDecode(0x7F.toByte) == 0)
+    assert(G711.aLawEncode(1000) == 0xFA.toByte)
+    assert(G711.aLawDecode(0xFA.toByte) == 1008)
+    assert(G711.aLawDecode(G711.aLawEncode(-1000)) == -1008)
+    assert(G711.aLawDecode(0x00.toByte) == -5504)
+    assert(G711.aLawDecode(0xFF.toByte) == 848)
+    assert(G711.aLawDecode(0x7F.toByte) == -848)
+    // more audioop-pinned pairs across the segment range
+    assert(G711.muLawDecode(G711.muLawEncode(5000)) == 5116)
+    assert(G711.muLawDecode(G711.muLawEncode(30000)) == 30076)
+    assert(G711.aLawDecode(G711.aLawEncode(5000)) == 4992)
+    assert(G711.aLawDecode(G711.aLawEncode(30000)) == 30208)
+    // companding is monotone: decoded levels never invert order
+    val decoded = (-32768 to 32767 by 97)
+      .map(v => G711.muLawDecode(G711.muLawEncode(v)))
+    assert(decoded == decoded.sorted, "mu-law must be monotone")
+    // a companded square-wave WAV folds to the quantized-level stats:
+    // period 4, 12 frames at A=1000 → ±988 (µ-law) / ±1008 (A-law)
+    val mu = PcmCodec.stats(MediaSynth.wavToneG711(12, 4)).get
+    assert(mu.channels == 1 && mu.sample_rate == 8000 && mu.n_frames == 12)
+    assert(mu.sum_squares == 12L * 988 * 988)
+    assert(mu.zero_crossings == 5)
+    val al = PcmCodec.stats(MediaSynth.wavToneG711(12, 4, aLaw = true)).get
+    assert(al.sum_squares == 12L * 1008 * 1008)
+    assert(al.zero_crossings == 5)
+    // the compressed payload really is ~half the PCM size (1 B/sample)
+    assert(MediaSynth.wavToneG711(100, 4).length == 44 + 100)
+    assert(MediaSynth.wavTone(100, 4).length == 44 + 200)
+  }
+
+  test("AviCodec: the RIFF walk finds exactly the written MJPEG frames, " +
+    "decodes them deterministically, and rejects corrupt payloads") {
+    import graft.operators.Multimodal.{AviCodec, ImageIoCodec}
+    for (n <- 1 to 4) {
+      val avi = AviCodec.synthMjpeg(12, 10, nFrames = n, seed = 3L)
+      assert(AviCodec.sniff(avi), "written payload must sniff as AVI")
+      assert(AviCodec.frameCount(avi).contains(n),
+        s"movi walk must find all $n frames")
+    }
+    val a = AviCodec.synthMjpeg(11, 9, nFrames = 3, seed = 21L)
+    val b = AviCodec.synthMjpeg(11, 9, nFrames = 3, seed = 21L)
+    assert(AviCodec.frameDHashes(a).get == AviCodec.frameDHashes(b).get)
+    val hs = AviCodec.frameDHashes(a).get
+    assert(hs.distinct.length == hs.length, s"frames collided: $hs")
+    assert(hs != AviCodec.frameDHashes(
+      AviCodec.synthMjpeg(11, 9, nFrames = 3, seed = 22L)).get)
+    // decoded dims come from the REAL JPEG decode, not the header
+    val f = AviCodec.frames(a).get
+    assert(f.forall(img => img.getWidth == 11 && img.getHeight == 9))
+    // ladder contract: non-AVI, truncated, and WAV (also RIFF!) → None
+    assert(AviCodec.frames("notavi".getBytes).isEmpty)
+    assert(AviCodec.frames(a.take(40)).isEmpty)
+    assert(AviCodec.frames(
+      graft.operators.Multimodal.MediaSynth.wav(1, 8000, 4)).isEmpty,
+      "a RIFF/WAVE payload must not enter the AVI walk")
+    assert(AviCodec.frames(ImageIoCodec.synth(8, 8, 1L, jpeg = true)).isEmpty)
+  }
+
+  test("TiffCodec: multi-page walk is exact and lossless — page hashes " +
+    "equal the source-image hashes") {
+    import graft.operators.Multimodal.{ImageIoCodec, TiffCodec}
+    for (n <- 1 to 4) {
+      val tif = TiffCodec.synthMulti(9, 8, nFrames = n, seed = 7L)
+      assert(TiffCodec.sniff(tif))
+      assert(TiffCodec.frameCount(tif).contains(n))
+    }
+    val t = TiffCodec.synthMulti(10, 7, nFrames = 3, seed = 31L)
+    // losslessness: stored page i ≡ the source synth image for
+    // seed*1000003 + i, bit-for-bit through the perceptual hash
+    // (PNG is lossless too, so the PNG encoding of the same synth
+    // pixels is a public-API stand-in for the raw source image)
+    val expect = (0 until 3).map(i =>
+      ImageIoCodec.dHash(
+        ImageIoCodec.synth(10, 7, 31L * 1000003L + i, jpeg = false)).get)
+    assert(TiffCodec.frameDHashes(t).get == expect)
+    assert(TiffCodec.frames("nottiff".getBytes).isEmpty)
+    assert(TiffCodec.frames(t.take(6)).isEmpty)
+  }
+
+  test("aviFrameHashes / tiffFrameHashes: per-frame rows reproduce the " +
+    "class arithmetic over a planted corpus") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val avi = (0L until 57L).toDF("id").as[Long]
+      .map { id =>
+        val cls = id % 19
+        Multimodal.MediaRow(id,
+          Multimodal.AviCodec.synthMjpeg((cls % 7).toInt + 10,
+            (cls % 5).toInt + 8, nFrames = (cls % 4).toInt + 1, seed = cls),
+          "video/avi")
+      }.toDF("media_id", "content", "format")
+    val rows = Multimodal.aviFrameHashes(avi).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    (0L until 57L).foreach { id =>
+      val n = (id % 19 % 4).toInt + 1
+      val frames = rows.filter(_._1 == id).map(_._2).sorted.toSeq
+      assert(frames == (0 until n), s"media $id frames $frames")
+    }
+    rows.groupBy(_._3).foreach { case (h, rs) =>
+      assert(rs.map(_._1 % 19).distinct.length == 1,
+        s"hash $h crosses classes")
+    }
+    val tif = (0L until 39L).toDF("id").as[Long]
+      .map { id =>
+        val cls = id % 13
+        Multimodal.MediaRow(id,
+          Multimodal.TiffCodec.synthMulti((cls % 6).toInt + 6,
+            (cls % 4).toInt + 6, nFrames = (cls % 3).toInt + 1, seed = cls),
+          "image/tiff")
+      }.toDF("media_id", "content", "format")
+    val trows = Multimodal.tiffFrameHashes(tif).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    trows.groupBy(_._3).foreach { case (h, rs) =>
+      assert(rs.map(_._1 % 13).distinct.length == 1,
+        s"tiff hash $h crosses classes")
+    }
+  }
 }
