@@ -31,6 +31,39 @@ object StretchQueries {
       concat(col("text"), lit(" planted near duplicate")).as("text")))
   }
 
+  /** Deterministic messy-URL corpus: class `doc_id % 23` owns ONE
+    * canonical URL (`https://{www|blog}.site{cls%5}{.co.uk|.com}
+    * /a{cls}/b[?x=1&y=2]`); the variant `(doc_id / 23) % 8` spells it
+    * wrong in a different way — scheme/host case, explicit default
+    * port, trailing slash, fragment, tracking param + shuffled query
+    * order, duplicate path slashes, trailing host dot. Pure-`Column`
+    * construction, so the synth itself runs inside codegen.
+    */
+  private def messyUrls(s: SparkSession, dir: String): DataFrame = {
+    val cls = col("doc_id") % 23
+    val v = (col("doc_id") / 23).cast("long") % 8
+    val host = concat(
+      when(cls % 2 === 0, lit("www.")).otherwise(lit("blog.")),
+      lit("site"), (cls % 5).cast("string"),
+      when(cls % 3 === 0, lit(".co.uk")).otherwise(lit(".com")))
+    val path = concat(lit("/a"), cls.cast("string"), lit("/b"))
+    val canonQ = when(cls % 4 === 0, lit("?x=1&y=2")).otherwise(lit(""))
+    val messyQ = when(cls % 4 === 0, lit("?y=2&utm_source=feed&x=1"))
+      .otherwise(lit("?utm_source=feed"))
+    val base = concat(lit("https://"), host)
+    val raw = when(v === 0, concat(base, path, canonQ))
+      .when(v === 1, concat(upper(base), path, canonQ))
+      .when(v === 2, concat(base, lit(":443"), path, canonQ))
+      .when(v === 3, concat(base, path, lit("/"), canonQ))
+      .when(v === 4, concat(base, path, canonQ, lit("#sec"),
+        col("doc_id").cast("string")))
+      .when(v === 5, concat(base, path, messyQ))
+      .when(v === 6, concat(base, lit("/a"), cls.cast("string"),
+        lit("//b"), canonQ))
+      .otherwise(concat(base, lit("."), path, canonQ))
+    t(s, dir, "documents").select(col("doc_id"), raw.as("raw_url"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── text analysis ──────────────────────────────────────────────────
     // the four scalar text measures ride the one-pass TextProfile
@@ -1089,6 +1122,77 @@ object StretchQueries {
           col("rep_id"))
     }),
 
+    // video-level near-dup by frame-fingerprint overlap: class 2k and
+    // 2k+1 share 3 of their 4 frames (Jaccard 3/5), same-class videos
+    // are identical (Jaccard 1) — the container walk, the per-frame
+    // JPEG decode, the hash-bucketed pair join, and the exact integer
+    // Jaccard must all reproduce the class arithmetic
+    "q_mm_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val cls = id % 62
+          val seeds = (0 until 4).map(j => (cls / 2) * 1000L + cls % 2 + j)
+          Multimodal.MediaRow(id,
+            Multimodal.AviCodec.synthMjpegSeeds(12, 10, seeds), "video/avi")
+        }.toDF("media_id", "content", "format")
+      Multimodal.videoOverlapCandidates(
+        Multimodal.aviFrameHashes(media), minJaccardMicros = 500000L)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("jacc_micros"))
+    }),
+
+    // URL canonicalization + registered domain + exact URL dedup: each
+    // doc's URL arrives in one of 8 messy spellings (case, default
+    // port, trailing slash, fragment, tracking params with shuffled
+    // query order, duplicate slashes, trailing host dot) — the
+    // canonicalizer must collapse all of them to the class's one
+    // canonical form, the suffix-list walk must find the registered
+    // domain through the subdomain, and dedup on the canonical key
+    // must recover the classes
+    "q_u_url_canon" -> ((s, dir) => {
+      val urls = messyUrls(s, dir)
+      val canon = urls.select(col("doc_id"),
+        graft.functions.UrlFunctions.canonicalUrl(col("raw_url")).as("url"),
+        graft.functions.UrlFunctions.registeredDomain(col("raw_url"))
+          .as("domain"))
+      canon.join(
+        canon.groupBy(col("url")).agg(min(col("doc_id")).as("rep_id")),
+        "url")
+        .select(col("doc_id"), col("url"), col("domain"), col("rep_id"))
+    }),
+
+    // per-registered-domain quota (the crawl-side per-site cap):
+    // canonical domains feed the bounded top-k aggregator, keeping the
+    // 25 lowest doc_ids per domain — no global sort, no window
+    "q_u_url_quota" -> ((s, dir) => {
+      val scored = messyUrls(s, dir).select(
+        graft.functions.UrlFunctions.registeredDomain(col("raw_url"))
+          .as("domain"),
+        col("doc_id"), (-col("doc_id")).cast("double").as("score"))
+      graft.operators.TopK.topKPerGroup(scored, 25, "domain", "doc_id",
+        "score")(s)
+    }),
+
+    // Unicode normalization: planted combining sequences, C0 controls,
+    // and space runs — Spark's JDK NFC vs DuckDB's utf8proc
+    // nfc_normalize must agree byte-for-byte after the documented
+    // controls→space / NFC / collapse / trim ladder
+    "q_t_unicode_norm" -> ((s, dir) => {
+      // decomposed combining marks (e+U+0301, A+U+030A, n+U+0303) that
+      // NFC must precompose; controls (TAB, SOH, VT, FF, DEL) that
+      // must become collapsed spaces; a precomposed U+00E9 that NFC
+      // must leave alone; trailing space runs that must trim
+      val planted = when(col("doc_id") % 5 === 0, lit(" é\tx"))
+        .when(col("doc_id") % 5 === 1, lit("  Åbc"))
+        .when(col("doc_id") % 5 === 2, lit("  fi"))
+        .when(col("doc_id") % 5 === 3, lit(" café  "))
+        .otherwise(lit(" ñ"))
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.NativeExpressions.normalizeText(
+          concat(col("text"), planted)).as("norm_text"))
+    }),
+
     // as-of join: every event aligned to the user's latest prior
     // purchase — DuckDB's native ASOF LEFT JOIN is the oracle
     "q_ev_asof" -> ((s, dir) => {
@@ -2117,6 +2221,69 @@ object StretchQueries {
          |SELECT doc_id, CAST(unnest(range(0, cls % 3 + 1)) AS INT)
          |  AS frame_idx,
          |  min(doc_id) OVER (PARTITION BY cls) AS rep_id
+         |FROM f""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // classes 2k and 2k+1 share 3 of 4 frames → Jaccard 3/5; same
+    // class → identical frame sets → 1. Exact integer micros.
+    "q_mm_video_neardup" ->
+      ("""WITH f AS (SELECT doc_id, doc_id % 62 AS cls FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(CASE WHEN a.cls = b.cls THEN 1000000 ELSE 600000 END
+         |    AS BIGINT) AS jacc_micros
+         |FROM f a JOIN f b
+         |  ON a.doc_id < b.doc_id AND a.cls // 2 = b.cls // 2"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // the oracle reconstructs the CANONICAL form straight from the
+    // class arithmetic — the Spark side must earn it by actually
+    // normalizing all 8 messy spellings
+    "q_u_url_canon" ->
+      ("""WITH f AS (SELECT doc_id, doc_id % 23 AS cls FROM documents),
+         |g AS (SELECT doc_id, cls,
+         |  'https://' ||
+         |  (CASE WHEN cls % 2 = 0 THEN 'www.' ELSE 'blog.' END) ||
+         |  'site' || CAST(cls % 5 AS VARCHAR) ||
+         |  (CASE WHEN cls % 3 = 0 THEN '.co.uk' ELSE '.com' END) ||
+         |  '/a' || CAST(cls AS VARCHAR) || '/b' ||
+         |  (CASE WHEN cls % 4 = 0 THEN '?x=1&y=2' ELSE '' END) AS url,
+         |  'site' || CAST(cls % 5 AS VARCHAR) ||
+         |  (CASE WHEN cls % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+         |    AS domain
+         |FROM f)
+         |SELECT doc_id, url, domain,
+         |  min(doc_id) OVER (PARTITION BY cls) AS rep_id
+         |FROM g""".stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_u_url_quota" ->
+      ("""WITH f AS (SELECT doc_id, doc_id % 23 AS cls FROM documents),
+         |g AS (SELECT doc_id,
+         |  'site' || CAST(cls % 5 AS VARCHAR) ||
+         |  (CASE WHEN cls % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+         |    AS domain
+         |FROM f),
+         |r AS (SELECT domain, doc_id, row_number() OVER
+         |  (PARTITION BY domain ORDER BY doc_id ASC) AS rnk FROM g)
+         |SELECT domain, CAST(rnk AS INT) AS rank, doc_id,
+         |  CAST(-doc_id AS DOUBLE) AS score
+         |FROM r WHERE rnk <= 25""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // DuckDB's utf8proc nfc_normalize is a genuinely independent NFC
+    // implementation — byte equality with the JDK normalizer is the
+    // cross-engine pin. Controls → space FIRST (includes \t), so the
+    // collapse step only ever sees ASCII space runs on both engines.
+    "q_t_unicode_norm" ->
+      ("""WITH f AS (SELECT doc_id, text ||
+         |  CASE CAST(doc_id % 5 AS INT)
+         |    WHEN 0 THEN ' e' || chr(769) || chr(9) || 'x'
+         |    WHEN 1 THEN '  A' || chr(778) || 'b' || chr(1) || 'c'
+         |    WHEN 2 THEN ' ' || chr(11) || chr(12) || ' fi'
+         |    WHEN 3 THEN ' caf' || chr(233) || '  '
+         |    ELSE chr(127) || ' n' || chr(771)
+         |  END AS messy FROM documents)
+         |SELECT doc_id,
+         |  trim(regexp_replace(nfc_normalize(
+         |    regexp_replace(messy, '[\x00-\x1f\x7f]', ' ', 'g')),
+         |    ' +', ' ', 'g')) AS norm_text
          |FROM f""".stripMargin).replaceAll(raw"\s+", " "),
 
     // the phash groups collapse to the id-arithmetic classes: same

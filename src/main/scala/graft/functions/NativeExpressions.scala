@@ -585,6 +585,65 @@ object NativeExpressions {
   def zorder(bits: Int, cols: Column*): Column =
     toCol(ZOrderValue(cols.map(toExpr), bits))
 
+  // ── Unicode text normalization ──────────────────────────────────────
+
+  /** Crawl-text cleanup that Spark has no built-in for: NFC
+    * canonicalization (combining sequences → precomposed forms, so
+    * `e`+U+0301 and `é` dedup/fingerprint identically) plus control
+    * stripping and whitespace collapse. The exact contract — pinned
+    * cross-engine against DuckDB's independent `nfc_normalize` in the
+    * `q_t_unicode_norm` gate:
+    *   1. every C0 control and DEL (U+0000–U+001F, U+007F) becomes a
+    *      space — this includes \t\n\r, so step 3 only ever sees ASCII
+    *      space runs (sidesteps `\s`-class differences across regex
+    *      engines);
+    *   2. NFC via `java.text.Normalizer` (the JDK's implementation of
+    *      UAX #15 — NFC, not NFKC: compatibility characters like
+    *      U+FB01 ﬁ survive, because aggressive folding loses
+    *      information a tokenizer may want);
+    *   3. runs of spaces collapse to one;
+    *   4. trim.
+    */
+  case class NormalizeText(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String].toString
+      val sb = new java.lang.StringBuilder(raw.length)
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        sb.append(if (c < 0x20 || c == 0x7F) ' ' else c)
+        i += 1
+      }
+      val nfc = java.text.Normalizer
+        .normalize(sb, java.text.Normalizer.Form.NFC)
+      val out = new java.lang.StringBuilder(nfc.length)
+      var j = 0
+      var prevSpace = false
+      while (j < nfc.length) {
+        val c = nfc.charAt(j)
+        if (c == ' ') {
+          if (!prevSpace && out.length > 0) out.append(' ')
+          prevSpace = true
+        } else { out.append(c); prevSpace = false }
+        j += 1
+      }
+      // trailing space left by "word " inputs
+      val len = out.length
+      if (len > 0 && out.charAt(len - 1) == ' ') out.setLength(len - 1)
+      UTF8String.fromString(out.toString)
+    }
+    override protected def withNewChildInternal(c: Expression): NormalizeText =
+      copy(child = c)
+  }
+
+  /** NFC + control-strip + whitespace-collapse + trim (see
+    * [[NormalizeText]] for the exact contract).
+    */
+  def normalizeText(c: Column): Column = toCol(NormalizeText(toExpr(c)))
+
   /** Register the SQL-facing names so `spark.sql` users get the same
     * kernels: graft_minhash, graft_simhash, graft_fingerprint,
     * graft_cosine.
@@ -607,5 +666,11 @@ object NativeExpressions {
       es => TextProfile(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash_from_hashes",
       es => MinHashFromHashes(es.head, 32, 42L), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_normalize_text",
+      es => NormalizeText(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_canonical_url",
+      es => UrlFunctions.CanonicalUrl(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_registered_domain",
+      es => UrlFunctions.RegisteredDomain(es.head), "scala_udf")
   }
 }

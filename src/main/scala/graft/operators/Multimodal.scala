@@ -784,10 +784,21 @@ object Multimodal {
       * reproduces exactly.
       */
     def synthMjpeg(width: Int, height: Int, nFrames: Int,
-                   seed: Long): Array[Byte] = {
+                   seed: Long): Array[Byte] =
+      synthMjpegSeeds(width, height,
+        (0 until nFrames).map(i => seed * 1000003L + i))
+
+    /** Same container, but each frame's synth seed is given explicitly
+      * — lets a gate plant controlled FRAME OVERLAP between videos
+      * (two videos sharing a seed share that frame's stored bytes,
+      * hence its decoded pixels, hence its perceptual hash).
+      */
+    def synthMjpegSeeds(width: Int, height: Int,
+                        frameSeeds: Seq[Long]): Array[Byte] = {
+      val nFrames = frameSeeds.length
       require(nFrames > 0 && width > 0 && height > 0, "bad avi params")
-      val jpegs = (0 until nFrames).map { i =>
-        ImageIoCodec.synth(width, height, seed * 1000003L + i, jpeg = true)
+      val jpegs = frameSeeds.map { s =>
+        ImageIoCodec.synth(width, height, s, jpeg = true)
       }
       val fps = 10
       val maxJpeg = jpegs.map(_.length).max
@@ -1008,6 +1019,55 @@ object Multimodal {
         })
       })
       .toDF(idCol, "frame_idx", "fhash")
+  }
+
+  /** Video-level near-duplicate detection by FRAME-FINGERPRINT
+    * overlap: two videos are near-dups when the Jaccard similarity of
+    * their frame-hash sets clears `minJaccardMicros`. This is how
+    * video dedup actually runs at corpus scale (a re-encode, a
+    * re-upload with an extra intro frame, a trim — most frames
+    * identical): per-frame perceptual hashes, then candidates ONLY
+    * where at least one frame hash collides.
+    *
+    * Input: a frame-hash table from [[aviFrameHashes]] /
+    * [[gifFrameHashes]] / [[tiffFrameHashes]] (or a union — hashes are
+    * container-independent for identical pixels). Frames within a
+    * video dedupe first, so the pair count IS the intersection size.
+    *
+    * Scale shape: the pair space is generated by an equi-join on
+    * `fhash` — cost ∝ Σ (videos sharing a frame)², the same
+    * bucketed-not-all-pairs property as LSH banding; a corpus with no
+    * shared frames costs one shuffle and produces nothing. Jaccard is
+    * exact integer micros (floor), no doubles to drift.
+    *
+    * Returns `(id_a, id_b, jacc_micros)` with `id_a < id_b`.
+    */
+  def videoOverlapCandidates(frameHashes: DataFrame,
+                             idCol: String = "media_id",
+                             minJaccardMicros: Long = 500000L): DataFrame = {
+    val fh = frameHashes
+      .select(col(idCol).cast("long").as("__vid"), col("fhash"))
+      .distinct()
+    val sizes = fh.groupBy(col("__vid")).agg(count(lit(1)).as("__n"))
+    val a = fh.select(col("__vid").as("id_a"), col("fhash"))
+    val b = fh.select(col("__vid").as("id_b"), col("fhash"))
+    a.join(b, "fhash")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__inter"))
+      // sizes is one row per video — small next to the pair table but
+      // corpus-proportional, so no broadcast HINT: AQE broadcasts it
+      // when it fits and shuffle-joins when a billion-video corpus
+      // doesn't
+      .join(sizes.withColumnRenamed("__vid", "id_a")
+        .withColumnRenamed("__n", "__na"), "id_a")
+      .join(sizes.withColumnRenamed("__vid", "id_b")
+        .withColumnRenamed("__n", "__nb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("__inter") * lit(1000000L) /
+          (col("__na") + col("__nb") - col("__inter"))).cast("long")
+          .as("jacc_micros"))
+      .filter(col("jacc_micros") >= minJaccardMicros)
   }
 
   /** `(idCol, frame_idx, fhash)` — one row per EMBEDDED frame of each

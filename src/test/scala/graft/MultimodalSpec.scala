@@ -389,4 +389,34 @@ class MultimodalSpec extends SparkSpec {
         s"tiff hash $h crosses classes")
     }
   }
+
+  test("videoOverlapCandidates: exact Jaccard from planted frame " +
+    "overlap; no candidates without a shared frame") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // videos 0,1 share 3 of 4 frames (J=3/5); 2 is a bit-identical
+    // re-upload of 0 (J=1); 3 is disjoint (no candidate row at all)
+    val seedSets = Seq(
+      0L -> Seq(10L, 11L, 12L, 13L),
+      1L -> Seq(11L, 12L, 13L, 14L),
+      2L -> Seq(10L, 11L, 12L, 13L),
+      3L -> Seq(90L, 91L, 92L, 93L))
+    val media = seedSets.map { case (id, seeds) =>
+      Multimodal.MediaRow(id,
+        Multimodal.AviCodec.synthMjpegSeeds(12, 10, seeds), "video/avi")
+    }.toDF("media_id", "content", "format")
+    val got = Multimodal
+      .videoOverlapCandidates(Multimodal.aviFrameHashes(media),
+        minJaccardMicros = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((0L, 1L, 600000L), (0L, 2L, 1000000L),
+      (1L, 2L, 600000L)))
+    // threshold binds: at 0.7 only the exact re-upload survives
+    val strict = Multimodal
+      .videoOverlapCandidates(Multimodal.aviFrameHashes(media),
+        minJaccardMicros = 700000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((0L, 2L)))
+  }
 }
