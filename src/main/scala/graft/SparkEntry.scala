@@ -967,6 +967,35 @@ object SparkEntry {
         .select(col("snap"), col("n_rows"), col("sum_key"))
     }),
 
+    // ── S19: RESTORE TO VERSION — a bad overwrite undone as a NEW
+    //    metadata-only commit (a redirect file, zero data copied: the
+    //    Delta RESTORE cost model at 100 TB). read() after the restore
+    //    must equal the restored snapshot, the bad version must stay
+    //    readable for forensics, and latest must have advanced —
+    //    VersionedTableSpec pins the redirect mechanics and vacuum
+    //    target-protection ─────────────────────────────────────────────
+    "q_s19_restore" -> ((s, dir) => {
+      val root = s.conf.get("graft.scratch.dir",
+        System.getProperty("java.io.tmpdir"))
+      val tbl = new graft.engine.VersionedTable(s, s"$root/graft-vt/part_rs")
+      tbl.destroy()
+      val part = t(s, dir, "part")
+      val v0 = tbl.overwrite(part.filter(col("p_size") > 25))
+      val v1 = tbl.overwrite(part.limit(1)) // the "bad deploy"
+      val v2 = tbl.restore(v0)
+      def agg(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(col("p_partkey")).cast("long").as("sum_key"))
+          .withColumn("snap", lit(label))
+      // `restored` reads through the redirect; `bad` proves history
+      // survived; emitting latestVersion pins that restore COMMITS
+      agg(tbl.read(), "restored")
+        .unionByName(agg(tbl.readVersion(v0), "v0"))
+        .withColumn("latest_delta", lit(v2 - v0)) // 2 by construction
+        .select(col("snap"), col("n_rows"), col("sum_key"),
+          col("latest_delta"))
+    }),
+
     // ── S12: small-file compaction — 16 writer files rewritten into a
     //    target-sized generation; content must be IDENTICAL (the
     //    oracle is the raw table) and the pre-compaction version stays
@@ -1312,6 +1341,17 @@ object SparkEntry {
         "WHERE p_size > 25 UNION ALL " +
         "SELECT 'v1' AS snap, count(*) AS n_rows, " +
         "CAST(sum(p_partkey) AS BIGINT) AS sum_key FROM part"),
+
+    // restore must surface exactly the restored snapshot, twice (via
+    // read() and via time travel), two commits after it
+    "q_s19_restore" ->
+      ("SELECT 'restored' AS snap, count(*) AS n_rows, " +
+        "CAST(sum(p_partkey) AS BIGINT) AS sum_key, " +
+        "CAST(2 AS BIGINT) AS latest_delta FROM part WHERE p_size > 25 " +
+        "UNION ALL " +
+        "SELECT 'v0' AS snap, count(*) AS n_rows, " +
+        "CAST(sum(p_partkey) AS BIGINT) AS sum_key, " +
+        "CAST(2 AS BIGINT) AS latest_delta FROM part WHERE p_size > 25"),
 
     // compaction must be content-invisible
     "q_s8_compact" -> "SELECT * FROM part",

@@ -152,7 +152,73 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
   def readVersion(n: Long): DataFrame = {
     require(fs.exists(claimPath(n)) && fs.exists(genPath(n)),
       s"version $n is not committed at $basePath")
-    spark.read.parquet(genPath(n).toString)
+    spark.read.parquet(genPath(resolveVersion(n)).toString)
+  }
+
+  /** A [[restore]]d generation is a one-line REDIRECT FILE at the
+    * generation path (instead of a data directory) naming the version
+    * whose files it re-exposes. None for a normal data generation.
+    */
+  private def redirectTarget(n: Long): Option[Long] = {
+    val p = genPath(n)
+    val f = fs
+    if (!f.exists(p) || f.getFileStatus(p).isDirectory) None
+    else readSmallFile(p).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+  }
+
+  /** The version whose DATA directory backs version `n` — `n` itself
+    * for a normal generation, the redirect's target for a restored
+    * one. [[restore]] resolves before writing, so redirects never
+    * chain: one hop is always enough.
+    */
+  def resolveVersion(n: Long): Long = redirectTarget(n).getOrElse(n)
+
+  /** RESTORE: make version `toVersion`'s content the LATEST, as a new
+    * commit — Delta's `RESTORE TABLE ... TO VERSION AS OF`, with the
+    * same metadata-only cost. The new generation is a redirect file
+    * naming `toVersion`'s data directory; nothing is copied, so
+    * restoring a 100 TB snapshot is one claim + one one-line file, not
+    * a rewrite. History is preserved (the bad versions stay readable
+    * for forensics until vacuumed), and the commit races like any
+    * other: claim, then rename the staged marker in.
+    *
+    * [[vacuum]] knows: a redirect's target is protected for as long as
+    * any KEPT version points at it, then retires normally once the
+    * redirect itself is vacuumed away.
+    */
+  def restore(toVersion: Long): Long = {
+    ensureMode("overwrite")
+    require(fs.exists(claimPath(toVersion)) && fs.exists(genPath(toVersion)),
+      s"version $toVersion is not committed at $basePath")
+    val target = resolveVersion(toVersion)
+    val f = fs
+    f.mkdirs(claimsDir); f.mkdirs(genDir); f.mkdirs(stagingDir)
+    val staging = new Path(stagingDir,
+      "." + java.util.UUID.randomUUID().toString)
+    val out = f.create(staging, true)
+    out.write(target.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    try {
+      var n = listNumbers(claimsDir).lastOption.getOrElse(-1L) + 1L
+      var committed = false
+      while (!committed) {
+        val won =
+          try { f.create(claimPath(n), false).close(); true }
+          catch {
+            case e: java.io.IOException =>
+              if (f.exists(claimPath(n))) false else throw e
+          }
+        if (won) {
+          if (!f.rename(staging, genPath(n)))
+            throw new java.io.IOException(
+              s"rename $staging -> ${genPath(n)} failed")
+          committed = true
+        } else n += 1
+      }
+      n
+    } finally {
+      if (f.exists(staging)) f.delete(staging, false)
+    }
   }
 
   /** Commit `df` as the next generation; returns its version number.
@@ -360,7 +426,8 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
         "claim a generation number a future stream batch needs"))
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"nothing to compact at $basePath"))
-    val bytes = fs.listStatus(genPath(v)).toSeq
+    // a restored latest is a redirect FILE — size the target's data dir
+    val bytes = fs.listStatus(genPath(resolveVersion(v))).toSeq
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     (v, math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt)
   }
@@ -516,8 +583,13 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     // to an IN-FLIGHT first commit (between its claim and rename) —
     // deleting it would orphan that writer's data dir
     if (keep.isEmpty) return Seq.empty
+    // a kept RESTORE generation is a redirect file — the data dir it
+    // names must survive with it, however old; once the redirect
+    // itself falls out of the kept window the target retires normally
+    val protectedTargets = keep.flatMap(redirectTarget)
     val dropped = listNumbers(claimsDir).filterNot(keep.contains)
       .filter(n => keep.forall(_ > n)) // never drop claims above the kept set
+      .filterNot(protectedTargets.contains)
     // cdc generations ARE stream epochs: record the retirement BEFORE
     // deleting the claims, so a checkpoint-reset replay of a vacuumed
     // batch reads "already committed" instead of finding nothing and

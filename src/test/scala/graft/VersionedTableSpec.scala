@@ -279,4 +279,69 @@ class VersionedTableSpec extends SparkSpec {
     assert(t1.versions == Seq(0L, 1L), "S1 recovery must not retire anything")
     assert(t1.readAll().as[Int].collect().toSet == Set(0, 1))
   }
+
+  test("restore: metadata-only redirect — content, history, latest all " +
+    "correct; no data copy") {
+    val dir = tmpDir("vt") + "/t"
+    val t = new VersionedTable(spark, dir)
+    val v0 = t.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val v1 = t.overwrite(Seq((9, "bad")).toDF("k", "v"))
+    val v2 = t.restore(v0)
+    assert(v2 > v1)
+    assert(t.latestVersion.contains(v2))
+    // latest content IS v0's content
+    assert(t.read().as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b")))
+    // the bad version stays readable for forensics
+    assert(t.readVersion(v1).as[(Int, String)].collect().toSet ==
+      Set((9, "bad")))
+    // metadata-only: the restored generation is a FILE, and resolves
+    // to v0's data directory
+    val gen2 = new Path(dir, f"_gen/$v2%06d")
+    assert(!fs(dir).getFileStatus(gen2).isDirectory)
+    assert(t.resolveVersion(v2) == v0)
+    // restore of a restore resolves — never a redirect chain
+    val v3 = t.overwrite(Seq((0, "x")).toDF("k", "v"))
+    val v4 = t.restore(v2)
+    assert(t.resolveVersion(v4) == v0 && v4 > v3)
+    assert(t.read().as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b")))
+    // a further overwrite moves latest forward normally
+    val v5 = t.overwrite(Seq((7, "z")).toDF("k", "v"))
+    assert(t.read().as[(Int, String)].collect().toSet == Set((7, "z")))
+    assert(t.versions == Seq(v0, v1, v2, v3, v4, v5))
+  }
+
+  test("vacuum protects a kept restore's target, then retires it once " +
+    "the redirect itself is gone") {
+    val dir = tmpDir("vt") + "/t"
+    val t = new VersionedTable(spark, dir)
+    val v0 = t.overwrite(Seq(10).toDF("k"))
+    val v1 = t.overwrite(Seq(11).toDF("k"))
+    val v2 = t.overwrite(Seq(12).toDF("k"))
+    val v3 = t.restore(v0)
+    // keep only the restore: v0 must survive (its data backs v3);
+    // v1 and v2 retire
+    val dropped = t.vacuum(keepLast = 1)
+    assert(dropped.toSet == Set(v1, v2))
+    assert(t.read().as[Int].head() == 10)
+    assert(t.versions == Seq(v0, v3))
+    // compaction through a redirect latest works and materializes
+    val v4 = t.compact()
+    assert(t.read().as[Int].head() == 10)
+    // now nothing points at v0 or the redirect — both retire
+    val dropped2 = t.vacuum(keepLast = 1)
+    assert(dropped2.toSet == Set(v0, v3))
+    assert(t.versions == Seq(v4))
+    assert(t.read().as[Int].head() == 10)
+  }
+
+  test("restore refuses uncommitted versions and non-overwrite modes") {
+    val t = new VersionedTable(spark, tmpDir("vt") + "/t")
+    t.overwrite(Seq(1).toDF("k"))
+    intercept[IllegalArgumentException](t.restore(99L))
+    val ap = new VersionedTable(spark, tmpDir("vt") + "/ap")
+    ap.commitBatch(0L, Seq(1).toDF("k"))
+    intercept[IllegalArgumentException](ap.restore(0L))
+  }
 }
