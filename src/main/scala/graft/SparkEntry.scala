@@ -996,6 +996,23 @@ object SparkEntry {
           col("latest_delta"))
     }),
 
+    // ── S20: DESCRIBE HISTORY — the audit surface of the versioned
+    //    table: every live version with its kind and the data
+    //    generation that backs it (a restore reports its target).
+    //    Deterministic columns only; file counts/bytes are
+    //    layout-dependent and spec-covered instead ───────────────────
+    "q_s20_history" -> ((s, dir) => {
+      val root = s.conf.get("graft.scratch.dir",
+        System.getProperty("java.io.tmpdir"))
+      val tbl = new graft.engine.VersionedTable(s, s"$root/graft-vt/part_hs")
+      tbl.destroy()
+      val part = t(s, dir, "part")
+      tbl.overwrite(part.filter(col("p_size") > 25))
+      tbl.overwrite(part)
+      tbl.restore(0L)
+      tbl.history().select(col("version"), col("kind"), col("target"))
+    }),
+
     // ── S12: small-file compaction — 16 writer files rewritten into a
     //    target-sized generation; content must be IDENTICAL (the
     //    oracle is the raw table) and the pre-compaction version stays
@@ -1352,6 +1369,14 @@ object SparkEntry {
         "SELECT 'v0' AS snap, count(*) AS n_rows, " +
         "CAST(sum(p_partkey) AS BIGINT) AS sum_key, " +
         "CAST(2 AS BIGINT) AS latest_delta FROM part WHERE p_size > 25"),
+
+    // three live versions: two data generations, one restore whose
+    // target is the first
+    "q_s20_history" ->
+      ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'data', CAST(0 AS BIGINT)), " +
+        "(CAST(1 AS BIGINT), 'data', CAST(1 AS BIGINT)), " +
+        "(CAST(2 AS BIGINT), 'restore', CAST(0 AS BIGINT))) " +
+        "AS t(version, kind, target)"),
 
     // compaction must be content-invisible
     "q_s8_compact" -> "SELECT * FROM part",

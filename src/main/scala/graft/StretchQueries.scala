@@ -758,6 +758,16 @@ object StretchQueries {
       SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 16), k = 5)
     }),
 
+    // hard-negative mining: most-similar DIFFERENT-label vectors per
+    // query — the contrastive-training sampler. Exact path gated here
+    // (label anti-filter before scoring, bounded top-k tail); the LSH/
+    // IVF shortlist swap keeps the same contract at scale
+    "q_v_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.hardNegatives(emb, emb.filter(col("vec_id") < 16),
+        k = 5)
+    }),
+
     // incremental index growth: build on HALF the corpus, append the
     // other half to the existing centroids (FAISS `add` — no retrain,
     // no rewrite), search full-probe → exhaustive over ALL vectors,
@@ -1306,6 +1316,28 @@ object StretchQueries {
     "q_ev_window" -> ((s, dir) =>
       EventStream.windowedAgg(
         EventStream.loadEvents(s, s"$dir/events.parquet"))),
+
+    // trailing time-RANGE window features — the per-event training
+    // features of a behavioral model (each event annotated with its
+    // user's trailing-1h count/sum and trailing-24h count). RANGE
+    // frames on event-time microseconds: value-based, peers included,
+    // so ties are deterministic on both engines; both frames share one
+    // partition+sort (one shuffle, two window passes over it); sums in
+    // integer micros, never doubles
+    "q_ev_trailing" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 1000000).cast("long").as("vmic"))
+      val base = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      val w1h = base.rangeBetween(-3600000000L, 0L)
+      val w24 = base.rangeBetween(-86400000000L, 0L)
+      ev.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w1h).as("n_1h"),
+        sum(col("vmic")).over(w1h).as("sum_micros_1h"),
+        count(lit(1)).over(w24).as("n_24h"))
+    }),
 
     // trending top-k per window: the rank runs over the bounded
     // per-window rollup (never the raw events); ties broken by name so
@@ -2101,6 +2133,25 @@ object StretchQueries {
          |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk FROM scored)
          |WHERE rnk <= 5""".stripMargin).replaceAll(raw"\s+", " "),
 
+    // q_v_topk with the label anti-filter: negatives must outrank the
+    // same-label neighbors they displace
+    "q_v_hard_negatives" ->
+      ("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+         |  FROM embeddings WHERE vec_id < 16),
+         | scored AS (SELECT q.q_id, c.vec_id AS n_id,
+         |   list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |     i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+         |   (sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |     i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))) *
+         |    sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+         |     i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS cos
+         |  FROM embeddings c, q
+         |  WHERE c.vec_id <> q.q_id AND c.label <> q.q_label)
+         |SELECT q_id, CAST(rnk AS INT) AS rank, n_id, round(cos, 6) AS cosine FROM (
+         |  SELECT q_id, n_id, cos, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk FROM scored)
+         |WHERE rnk <= 5""".stripMargin).replaceAll(raw"\s+", " "),
+
     "q_v_rrf" ->
       ("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
          |  FROM embeddings WHERE vec_id < 16),
@@ -2700,6 +2751,22 @@ object StretchQueries {
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
         "count(*) AS n_events, round(sum(value), 2) AS total_value " +
         "FROM events GROUP BY 1, 2"),
+
+    // RANGE INTERVAL frames are µs-exact on both engines (Spark runs
+    // the same frame on unix_micros); BIGINT sums cast down from
+    // DuckDB's HUGEINT
+    "q_ev_trailing" ->
+      ("""SELECT event_id, user_id,
+         |  count(*) OVER w1 AS n_1h,
+         |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w1
+         |    AS BIGINT) AS sum_micros_1h,
+         |  count(*) OVER w2 AS n_24h
+         |FROM events
+         |WINDOW w1 AS (PARTITION BY user_id ORDER BY ts
+         |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+         |  w2 AS (PARTITION BY user_id ORDER BY ts
+         |    RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW)"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     // Spark's tumbling windows align to the epoch; the oracle rebuilds
     // the same floor arithmetic on naive timestamps (no time_bucket —

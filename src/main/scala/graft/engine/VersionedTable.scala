@@ -672,5 +672,25 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
   }
 
   /** Remove the table entirely (tests and rebuild-from-scratch). */
+  /** DESCRIBE HISTORY: one row per live version — `(version, kind,
+    * target, n_files, bytes)` where `kind` is `data` or `restore` and
+    * `target` is the version whose data directory backs it (itself
+    * for a data generation). Driver-side metadata listing,
+    * O(versions × files-per-generation) namenode calls and zero data
+    * reads — the same cost class as resolving `latest`; vacuum keeps
+    * the version list short.
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    val f = fs
+    versions.map { n =>
+      val target = resolveVersion(n)
+      val kind = if (target == n) "data" else "restore"
+      val files = f.listStatus(genPath(target)).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      (n, kind, target, files.length, files.map(_.getLen).sum)
+    }.toDF("version", "kind", "target", "n_files", "bytes")
+  }
+
   def destroy(): Unit = fs.delete(base, true)
 }

@@ -47,6 +47,33 @@ object SimilaritySearch {
     TopK.topKPerKey(scored, k)(corpus.sparkSession)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per
+    * query, the top-k most-similar corpus vectors with a DIFFERENT
+    * label — the negatives a uniform sampler almost never draws and
+    * the ones that carry gradient. Same execution shape as
+    * [[bruteForceTopK]]: broadcast query block, ONE corpus scan, the
+    * label anti-filter applied before scoring (cheaper than scoring
+    * then filtering), bounded per-key top-k aggregation, no global
+    * sort. At billion-vector scale swap the exact scorer for an
+    * [[lshTopK]]/IVF shortlist and keep the same anti-filter + top-k
+    * tail — the output contract does not change.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      col(labelCol).as("n_label"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("q_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id") &&
+        col("n_label") =!= col("q_label"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cosine"))
+    TopK.topKPerKey(scored, k)(corpus.sparkSession)
+  }
+
   /** Approximate top-k: hyperplane-bucketed candidate generation, then
     * exact cosine only on signature-close candidates. Recall < 1 by
     * design; the output shape is identical to the exact path so
