@@ -1152,6 +1152,27 @@ object StretchQueries {
           col("jacc_micros"))
     }),
 
+    // HTML → text extraction: four messy page shapes around the known
+    // text — style/script ELEMENT CONTENT and comments must vanish
+    // (a bare tag strip would leak the CSS/JS), tags strip, entities
+    // decode, whitespace collapses. The planted script body contains
+    // `<`/`>`/`&&` precisely to break any tag-only implementation
+    "q_t_html_extract" -> ((s, dir) => {
+      val v = col("doc_id") % 4
+      val wrapped = when(v === 0, concat(
+          lit("<html><head><style type=\"text/css\">p{color:red}</style>" +
+            "</head>\n<body><p id=\"m\">"), col("text"),
+          lit("</p></body></html>")))
+        .when(v === 1, concat(lit("<div class=\"a\">"), col("text"),
+          lit("</div>\n<script>var x = 1 < 2 && 3 > 2;</script>")))
+        .when(v === 2, concat(lit("<!-- nav\nboiler -->\n<p>"), col("text"),
+          lit(" A &amp; B</p>")))
+        .otherwise(concat(lit("<ul>\n<li>"), col("text"),
+          lit("</li>\n</ul>&nbsp;")))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.htmlExtract(wrapped).as("clean_text"))
+    }),
+
     // URL canonicalization + registered domain + exact URL dedup: each
     // doc's URL arrives in one of 8 messy spellings (case, default
     // port, trailing slash, fragment, tracking params with shuffled
@@ -2284,6 +2305,13 @@ object StretchQueries {
          |FROM f a JOIN f b
          |  ON a.doc_id < b.doc_id AND a.cls // 2 = b.cls // 2"""
         .stripMargin).replaceAll(raw"\s+", " "),
+
+    // the oracle KNOWS the planted prose (documents.text carries no
+    // markup/entities/space-runs — probed at both sf) — the Spark
+    // side must recover it from every page shape
+    "q_t_html_extract" ->
+      ("SELECT doc_id, text || CASE WHEN doc_id % 4 = 2 " +
+        "THEN ' A & B' ELSE '' END AS clean_text FROM documents"),
 
     // the oracle reconstructs the CANONICAL form straight from the
     // class arithmetic — the Spark side must earn it by actually

@@ -216,6 +216,25 @@ object TextFunctions {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Full HTML → text extraction (the crawl step BEFORE every text
+    * op): [[cleanBoilerplate]]'s tag strip + entity decode, preceded
+    * by the removals a bare tag strip gets wrong — `<script>` and
+    * `<style>` element CONTENT (code/CSS is not prose; a tag-only
+    * strip would leak `var x=1;` into the corpus) and HTML comments.
+    * Pure regexp_replace chain — whole-stage codegen, deliberately
+    * backreference-free so the exact same patterns run under RE2
+    * (DuckDB) for the cross-engine gate. Lazy `.*?` block matches are
+    * linear-ish on sane documents; pathological unclosed-script pages
+    * degrade to "nothing removed", never to a hang, because the
+    * pattern then simply fails to match.
+    */
+  def htmlExtract(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComments = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    cleanBoilerplate(noComments)
+  }
+
   /** Polynomial rolling-hash fingerprint of the full document, mod a
     * Mersenne-ish prime so the same value is computable in any engine
     * without 64-bit overflow (DuckDB BIGINT overflow is strict).

@@ -235,6 +235,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), "per-query rank missing")
   }
 
+  test("videoOverlapCandidates: pair space is an EQUI join on fhash — " +
+    "no cartesian, no nested loop, no window") {
+    import spark.implicits._
+    val fh = Seq((0L, 0, 11L), (0L, 1, 12L), (1L, 0, 11L), (1L, 1, 13L))
+      .toDF("media_id", "frame_idx", "fhash")
+    val p = graft.operators.Multimodal.videoOverlapCandidates(fh)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must be hash-bucketed, not all-pairs:\n$p")
+    assert(!p.contains("Window"), s"no window needed:\n$p")
+  }
+
+  test("hardNegatives: broadcast query block, label anti-filter below " +
+    "the scorer, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = graft.operators.SimilaritySearch
+      .hardNegatives(emb, emb.filter(col("vec_id") < 4), k = 3)
+    val p = df.queryExecution.executedPlan.toString
+    // the deliberate scored cross product is the BROADCAST nested loop
+    // (tiny query block against the corpus scan) — never a shuffled
+    // CartesianProduct
+    assert(p.contains("BroadcastNestedLoopJoin"), s"broadcast lost:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the anti-filter must run inside the join/scan stage, before
+    // aggregation — a plan that scores then filters would show the
+    // label predicate above the aggregate
+    assert(!p.contains("Window"), "bounded top-k, not a window rank")
+  }
+
   test("entry(): flagship star-agg keeps broadcast + partial-agg shape") {
     val p = SparkEntry.entry(spark).queryExecution
       .explainString(ExplainMode.fromString("formatted"))

@@ -280,4 +280,30 @@ class TextFunctionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("htmlExtract: script/style content and comments vanish, tags " +
+    "strip, entities decode, malformed pages degrade gracefully") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // script CONTENT removed (a tag-only strip would leak the JS
+      // and mis-parse the < > inside it)
+      ("<p>keep</p><script>var x = 1 < 2 && 3 > 2;</script>", "keep"),
+      ("<STYLE media=\"all\">p { color: red }</STYLE><b>keep</b>", "keep"),
+      ("<!-- menu\nhome | about --><div>keep</div>", "keep"),
+      // entity decode order: &amp; last
+      ("a &amp;lt; b", "a &lt; b"),
+      ("x &lt;tag&gt; &quot;q&quot; &nbsp; y", "x <tag> \"q\"   y"
+        .replaceAll(" +", " ")),
+      // unclosed script: the block pattern cannot match — tags still
+      // strip, content survives (degrade, never hang or drop the doc)
+      ("<p>keep</p><script>orphan", "keep orphan"),
+      ("plain text stays", "plain text stays"),
+      ("", ""))
+    val got = cases.map(_._1).zipWithIndex.map(_.swap).toDF("id", "h")
+      .select(col("id"),
+        graft.functions.TextFunctions.htmlExtract(col("h")).as("t"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(got == cases.map(_._2))
+  }
 }
