@@ -58,7 +58,12 @@ object ScaleGate {
     // two AvailableNow query startups + per-epoch commits on a
     // half-corpus feed, measured corpus-independent in r8 (halving
     // the corpus moved nothing) — 10× data must stay startup-bound
-    "q_d_stream_inc" -> 3.0
+    "q_d_stream_inc" -> 3.0,
+    // round-9: trailing RANGE-frame features — ONE shuffle + per-user
+    // sort; users scale 10x with history depth held constant, so the
+    // ratio is n*log(n)-ish. A per-user quadratic frame scan (the
+    // classic RANGE-frame implementation trap) would blow far past it
+    "q_ev_trailing" -> 14.0
   )
 
   def main(args: Array[String]): Unit = {
@@ -78,7 +83,7 @@ object ScaleGate {
     // (or when the perturbation scheme changes — bump the fingerprint;
     // v2 added the part table for the MV gate)
     graft.engine.Scratch.ensureAt(spark, big, base,
-      fingerprint = s"scaleup-v2,copies=$copies") { staging =>
+      fingerprint = s"scaleup-v3,copies=$copies") { staging =>
       ScaleUp.build(spark, base, staging, copies)
     }
 

@@ -84,6 +84,21 @@ object ScaleUp {
     }.repartition(32).write.mode("overwrite")
       .parquet(s"$out/part.parquet")
 
+    // events feeds the window-family gate (q_ev_trailing): user_id
+    // shifted per copy, so per-user window partitions keep their
+    // natural size (10× users, same events-per-user) — the gate then
+    // measures the n·log(n)-ish partition+sort, not an artificial
+    // 10×-deep user history a naive union would create
+    val events = spark.read.parquet(s"$src/events.parquet")
+    copiesOf(events) { k =>
+      events.select(Seq(
+        (col("event_id") + k * 100000000L).as("event_id"),
+        (col("user_id") + k * 10000000L).as("user_id")) ++
+        events.columns.filterNot(c => c == "event_id" || c == "user_id")
+          .map(col): _*)
+    }.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+
     // small tables Profile's warm-up and shared helpers touch
     Seq("nation", "region").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
