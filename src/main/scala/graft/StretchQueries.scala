@@ -1152,6 +1152,22 @@ object StretchQueries {
           col("jacc_micros"))
     }),
 
+    // link-graph authority: PageRank in exact integer micros over a
+    // deterministic 2-out-regular synthetic link graph — every
+    // division floors, so the DuckDB oracle unrolls the identical
+    // recurrence and must match bit-for-bit (no floating-point
+    // PageRank survives cross-engine sum order)
+    "q_g_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count() // bounded driver metadata, like §2-A2
+      val e = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % n).as("dst"))
+        .union(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % n).as("dst")))
+      graft.operators.LinkGraph.pageRankMicros(e, iters = 3)
+        .select(col("id").as("doc_id"), col("pr_micros"))
+    }),
+
     // HTML → text extraction: four messy page shapes around the known
     // text — style/script ELEMENT CONTENT and comments must vanish
     // (a bare tag strip would leak the CSS/JS), tags strip, entities
@@ -2305,6 +2321,30 @@ object StretchQueries {
          |FROM f a JOIN f b
          |  ON a.doc_id < b.doc_id AND a.cls // 2 = b.cls // 2"""
         .stripMargin).replaceAll(raw"\s+", " "),
+
+    // the identical integer recurrence, unrolled: 3 rounds of
+    // (in-mass sum of floored shares) → damped floor. DuckDB's
+    // HUGEINT sum casts back down; every value stays positive so //
+    // and Spark's `div` agree
+    "q_g_pagerank" -> {
+      def round(prev: String, out: String): String =
+        s"$out AS (SELECT nodes.id, " +
+          "CAST(150000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr " +
+          "FROM nodes LEFT JOIN (SELECT e.dst, SUM(pr // d) AS m " +
+          s"FROM e JOIN od USING (src) JOIN $prev ON e.src = $prev.id " +
+          "GROUP BY e.dst) s ON nodes.id = s.dst)"
+      ("WITH nn AS (SELECT count(*) AS cnt FROM documents), " +
+        "e AS (SELECT doc_id AS src, (doc_id*7+3) % cnt AS dst " +
+        "FROM documents, nn UNION ALL " +
+        "SELECT doc_id, (doc_id*13+5) % cnt FROM documents, nn), " +
+        "od AS (SELECT src, count(*) AS d FROM e GROUP BY src), " +
+        "nodes AS (SELECT DISTINCT id FROM " +
+        "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)), " +
+        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes), " +
+        round("r0", "r1") + ", " + round("r1", "r2") + ", " +
+        round("r2", "r3") + " " +
+        "SELECT id AS doc_id, pr AS pr_micros FROM r3")
+    },
 
     // the oracle KNOWS the planted prose (documents.text carries no
     // markup/entities/space-runs — probed at both sf) — the Spark

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.LinkGraph
+
+/** Ground truth for integer-micros PageRank: the distributed operator
+  * must reproduce, exactly, a 10-line reference fold over the same
+  * recurrence — floors and all.
+  */
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The documented recurrence, computed serially. */
+  private def reference(edges: Seq[(Long, Long)],
+                        iters: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = nodes.map(_ -> 1000000L).toMap
+    (1 to iters).foreach { _ =>
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => pr(u) / outdeg(u) }.sum).toMap
+      pr = nodes.map(v => v -> (150000L + 85L * in.getOrElse(v, 0L) / 100L))
+        .toMap
+    }
+    pr
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    LinkGraph.pageRankMicros(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRankMicros == the serial recurrence on a mixed graph " +
+    "(hub, chain, dangling sink, self-loop, parallel edge)") {
+    val edges = Seq[(Long, Long)](
+      (1, 2), (1, 3), (1, 4), // hub out
+      (2, 1), (3, 1), // back-links
+      (4, 5), (5, 6), // chain into 6, which is DANGLING (mass drops)
+      (7, 7), // self-loop
+      (2, 1)) // parallel edge: counts twice
+    for (iters <- Seq(1, 3, 7))
+      assert(run(edges, iters) == reference(edges, iters),
+        s"divergence at iters=$iters")
+  }
+
+  test("authority orders as expected: a node every page links beats " +
+    "the periphery, and the result is deterministic across reruns") {
+    val edges = (1L to 20L).map(i => (i, 0L)) ++ Seq((0L, 1L))
+    val a = run(edges, 3)
+    val b = run(edges, 3)
+    assert(a == b)
+    assert(a(0L) > a(2L), "the universally-linked node must rank higher")
+    assert(a == reference(edges, 3))
+  }
+
+  test("iteration leaves no cache residue and an empty edge list " +
+    "yields an empty result") {
+    assert(LinkGraph.pageRankMicros(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), 2).collect().isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+}
