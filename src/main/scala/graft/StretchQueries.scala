@@ -561,6 +561,27 @@ object StretchQueries {
       Dedup.connectedComponents(pairs)
     }),
 
+    // the real-world dedup KEEP RULE: within each resolved duplicate
+    // cluster keep the highest-QUALITY member (ties by lowest id) —
+    // not blindly the min id. components → quality join → per-cluster
+    // argmax as ONE struct-max aggregation (partial+final, no window
+    // sort over the corpus)
+    "q_d_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id"))
+        .filter(col("doc_id") % 10 =!= 0)
+        .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
+      val comp = Dedup.connectedComponents(pairs)
+      val scored = comp.join(docs.select(col("doc_id").as("id"),
+        graft.functions.NativeExpressions.textProfile(col("text"))
+          .getField("quality_micros").as("qm")), "id")
+      scored.groupBy(col("component"))
+        .agg(max(struct(col("qm"), (-col("id")).as("neg_id"))).as("best"),
+          count(lit(1)).as("n_members"))
+        .select(col("component"), (-col("best.neg_id")).as("keep_id"),
+          col("best.qm").as("keep_quality_micros"), col("n_members"))
+    }),
+
     // streaming near-dup candidates, batch-executed (the same
     // flatMapGroupsWithState code streams — StreamingSpec pins
     // stream ≡ batch pair-for-pair); hash-engine-specific → rows-only
@@ -710,6 +731,27 @@ object StretchQueries {
     // the full curation pipeline composed end-to-end: quality filter →
     // exact dedup → content-hash split → per-split corpus stats. Every
     // stage is engine-exact, so the COMPOSITION gets a full oracle.
+    // curation funnel: per-stage attrition of the standard cascade
+    // (quality → language → length) counted in ONE scan — sums of
+    // cumulative flag conjunctions, never one pass per stage. This is
+    // the observability artifact every real pipeline ships next to
+    // its output (how many docs each stage dropped), and the
+    // flag-sum shape is what makes it free at 100 TB
+    "q_pipe_funnel" -> ((s, dir) => {
+      val p = graft.functions.NativeExpressions.textProfile(col("text"))
+      val docs = t(s, dir, "documents")
+        .select(p.getField("quality_micros").as("qm"),
+          p.getField("lang_pred").as("lang"),
+          p.getField("n_tokens").as("nt"))
+      val s1 = col("qm") >= 400000L
+      val s2 = s1 && col("lang") === "en"
+      val s3 = s2 && col("nt") >= 20L
+      docs.agg(count(lit(1)).as("n_all"),
+        sum(when(s1, 1L).otherwise(0L)).as("n_quality"),
+        sum(when(s2, 1L).otherwise(0L)).as("n_lang"),
+        sum(when(s3, 1L).otherwise(0L)).as("n_length"))
+    }),
+
     "q_pipe_curate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .filter(graft.functions.NativeExpressions.textProfile(col("text"))
@@ -1011,7 +1053,10 @@ object StretchQueries {
     // ramp — see ImageIoCodec.synth)
     "q_mm_phash_groups" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        // the docs table is ONE parquet file at gate scale — without a
+        // repartition every per-row codec op lands on a single core
+        .repartition(32).as[Long]
         .map { id =>
           val cls = id % 41
           Multimodal.MediaRow(id,
@@ -1035,7 +1080,10 @@ object StretchQueries {
     // one level down: frames inside containers instead of images)
     "q_mm_gif_frames" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        // the docs table is ONE parquet file at gate scale — without a
+        // repartition every per-row codec op lands on a single core
+        .repartition(32).as[Long]
         .map { id =>
           val cls = id % 23
           Multimodal.MediaRow(id,
@@ -1057,7 +1105,10 @@ object StretchQueries {
     // oracle recomputes, so every sample byte is on the hook
     "q_mm_audio_stats" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        // the docs table is ONE parquet file at gate scale — without a
+        // repartition every per-row codec op lands on a single core
+        .repartition(32).as[Long]
         .map { id =>
           Multimodal.MediaRow(id,
             Multimodal.MediaSynth.wavTone((id % 100).toInt + 10,
@@ -1078,7 +1129,10 @@ object StretchQueries {
     // hook, and `codec` must be earned from the WAV format tag
     "q_mm_audio_g711" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        // the docs table is ONE parquet file at gate scale — without a
+        // repartition every per-row codec op lands on a single core
+        .repartition(32).as[Long]
         .map { id =>
           Multimodal.MediaRow(id,
             Multimodal.MediaSynth.wavToneG711((id % 80).toInt + 8,
@@ -1095,7 +1149,10 @@ object StretchQueries {
     // JPEG decode per frame must reproduce them
     "q_mm_avi_frames" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        // the docs table is ONE parquet file at gate scale — without a
+        // repartition every per-row codec op lands on a single core
+        .repartition(32).as[Long]
         .map { id =>
           val cls = id % 19
           Multimodal.MediaRow(id,
@@ -1115,7 +1172,10 @@ object StretchQueries {
     // multi-page TIFF: lossless sibling of the GIF/AVI gates
     "q_mm_tiff_frames" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        // the docs table is ONE parquet file at gate scale — without a
+        // repartition every per-row codec op lands on a single core
+        .repartition(32).as[Long]
         .map { id =>
           val cls = id % 13
           Multimodal.MediaRow(id,
@@ -1139,7 +1199,10 @@ object StretchQueries {
     // Jaccard must all reproduce the class arithmetic
     "q_mm_video_neardup" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        // the docs table is ONE parquet file at gate scale — without a
+        // repartition every per-row codec op lands on a single core
+        .repartition(32).as[Long]
         .map { id =>
           val cls = id % 62
           val seeds = (0 until 4).map(j => (cls / 2) * 1000L + cls % 2 + j)
@@ -1748,6 +1811,19 @@ object StretchQueries {
     "q_t_sample" ->
       s"SELECT doc_id FROM documents WHERE $bucketSql < 64",
 
+    "q_pipe_funnel" ->
+      (s"""WITH d AS (SELECT $qualityMicrosSql AS qm,
+         |  $langCaseSql AS lang, CAST(len($tokensSql) AS BIGINT) AS nt
+         |  FROM documents)
+         |SELECT count(*) AS n_all,
+         |  CAST(sum(CASE WHEN qm >= 400000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality,
+         |  CAST(sum(CASE WHEN qm >= 400000 AND lang = 'en' THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_lang,
+         |  CAST(sum(CASE WHEN qm >= 400000 AND lang = 'en' AND nt >= 20
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_length
+         |FROM d""".stripMargin).replaceAll(raw"\s+", " "),
+
     "q_pipe_curate" ->
       (s"""WITH f AS (SELECT doc_id, text FROM documents
          |  WHERE $qualityMicrosSql >= 400000),
@@ -2062,6 +2138,17 @@ object StretchQueries {
     // chain components of 10 consecutive ids → component = floor(id/10)*10
     "q_d_resolve" ->
       "SELECT doc_id AS id, doc_id - doc_id % 10 AS component FROM documents",
+
+    "q_d_keep_best" ->
+      (s"""WITH c AS (SELECT doc_id AS id, doc_id - doc_id % 10 AS component,
+         |  $qualityMicrosSql AS qm FROM documents),
+         |r AS (SELECT component, id, qm,
+         |  row_number() OVER (PARTITION BY component
+         |    ORDER BY qm DESC, id ASC) AS rk,
+         |  count(*) OVER (PARTITION BY component) AS n FROM c)
+         |SELECT component, id AS keep_id, qm AS keep_quality_micros,
+         |  CAST(n AS BIGINT) AS n_members FROM r WHERE rk = 1"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     // ALL set-identical pairs of the planted stream corpus — the
     // union-over-epochs identity (every pair reports once, in its

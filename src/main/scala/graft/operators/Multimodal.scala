@@ -146,6 +146,13 @@ object Multimodal {
     * Pandas-UDF decode stage.
     */
   object ImageIoCodec {
+    // ImageIO's default stream cache is DISK-backed: every
+    // encode/decode of an in-memory byte[] round-trips a temp FILE.
+    // For a corpus scrub that is per-row disk IO for no benefit —
+    // memory-cached streams only (JVM-wide; safe: all payloads here
+    // are already in memory)
+    javax.imageio.ImageIO.setUseCache(false)
+
     def sniff(b: Array[Byte]): Option[String] =
       if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P'.toByte &&
         b(2) == 'N'.toByte && b(3) == 'G'.toByte) Some("image/png")

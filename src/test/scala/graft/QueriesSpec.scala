@@ -51,6 +51,16 @@ class QueriesSpec extends SparkSpec {
     assert(keys.forall(_ >= 1L))
   }
 
+  test("q_pipe_funnel: stage counts are monotone non-increasing and " +
+    "bounded by the corpus") {
+    val r = SparkEntry.queries("q_pipe_funnel")(spark, dir).head
+    val (all, q, l, n) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(all >= q && q >= l && l >= n && n >= 0,
+      s"funnel must only narrow: $all >= $q >= $l >= $n")
+    assert(all == spark.read.parquet(s"$dir/documents.parquet").count())
+  }
+
   test("q_j3_upsert is idempotent across repeated execution") {
     val once = SparkEntry.queries("q_j3_upsert")(spark, dir)
       .agg(count(lit(1)), round(sum("p_retailprice"), 2)).head
