@@ -824,6 +824,26 @@ object SparkEntry {
         ntile(4).over(w).cast("int").as("quartile"))
     }),
 
+    // ── W: distribution window functions (percent_rank / cume_dist) —
+    //    per-priority order-value percentiles. The order key
+    //    (cents, o_orderkey) is a total order, so rank is unique; both
+    //    engines evaluate the SAME double ((r-1)/(n-1), r/n), so the
+    //    micros rounding is bit-identical — no cross-engine drift. One
+    //    shuffle (hash by priority), sort inside partitions ────────────
+    "q_w_dist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+          round(percent_rank().over(w) * 1000000).cast("long")
+            .as("pr_micros"),
+          round(cume_dist().over(w) * 1000000).cast("long")
+            .as("cd_micros"))
+    }),
+
     // ── J7: bucketed co-located join — the zero-shuffle join path a
     //    1000-executor cluster lives on: both sides written bucketed on
     //    the join key (same bucket count), so the join consumes the
@@ -1344,6 +1364,17 @@ object SparkEntry {
         "ORDER BY o_orderdate, o_orderkey) AS next_key, " +
         "CAST(ntile(4) OVER (PARTITION BY o_custkey " +
         "ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile FROM orders"),
+
+    // both engines evaluate the same (r-1)/(n-1) and r/n doubles over
+    // a total order, so the micros rounding is bit-identical
+    "q_w_dist" ->
+      ("WITH o AS (SELECT o_orderkey, o_orderpriority, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT o_orderkey, o_orderpriority, cents, " +
+        "CAST(round(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_micros, " +
+        "CAST(round(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_micros " +
+        "FROM o WINDOW w AS (PARTITION BY o_orderpriority " +
+        "ORDER BY cents, o_orderkey)"),
 
     // the oracle is the UNBUCKETED join: the layout must be invisible
     "q_j7_bucketed" ->

@@ -1634,6 +1634,55 @@ object StretchQueries {
       val approx = SimilaritySearch.bruteForceTopK(
         emb.filter(col("vec_id") % 2 === 0), q, k = 5)
       SimilaritySearch.recallAtK(exact, approx)
+    }),
+
+    // DLT priority sampling: a 100-doc token-weighted sample without
+    // replacement — heavy documents are proportionally favored, the
+    // selection is a fixed set (content-hash priorities, id
+    // tie-breaks), and the plan is TakeOrderedAndProject: per-partition
+    // heaps, only k rows cross the wire
+    "q_t_priority_sample" -> ((s, dir) =>
+      graft.operators.DatasetSplit.prioritySample(
+        t(s, dir, "documents").select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).as("nt"))
+          .filter(col("nt") >= 1),
+        idCol = "doc_id", weightCol = "nt", k = 100, seed = "samp")),
+
+    // one-pass column profiler over the documents table: exact
+    // null/distinct/min/max per column from a single Aggregate (the
+    // multi-count-distinct Expand plan), unpivoted with stack()
+    "q_dq_profile" -> ((s, dir) =>
+      graft.operators.DataQuality.profile(
+        t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
+
+    // log2 token-length histogram (dataset-card sequence-length view):
+    // the bucket is length(bin(nt)) = floor(log2 nt)+1 — EXACT integer
+    // arithmetic, no libm log2 at bucket boundaries
+    "q_t_len_hist" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(size(TextFunctions.tokens(col("text"))).as("nt"))
+        .select(length(bin(col("nt").cast("long"))).as("len_bucket"),
+          col("nt"))
+        .groupBy(col("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt").cast("long")).as("total_tokens"))),
+
+    // per-type min-max feature normalization in exact integer micros:
+    // (v - min)·1e6 div (max - min) over an unbounded partition window
+    // — ONE shuffle on event_type, no join-back, engine-exact
+    "q_ev_minmax_norm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+      EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 1000000).cast("long").as("vmic"))
+        .withColumn("__lo", min(col("vmic")).over(w))
+        .withColumn("__hi", max(col("vmic")).over(w))
+        .withColumn("norm_micros",
+          when(col("__hi") === col("__lo"), lit(0L))
+            .otherwise(expr("((vmic - __lo) * 1000000L) div (__hi - __lo)")))
+        .select(col("event_id"), col("event_type"), col("norm_micros"))
     })
   )
 
@@ -2954,6 +3003,61 @@ object StretchQueries {
     "q_ev_sessions" ->
       ("SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value, " +
         "epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms, false AS closed " +
-        "FROM events GROUP BY user_id")
+        "FROM events GROUP BY user_id"),
+
+    // DLT priority sampling replayed exactly: h from the first 8 md5
+    // hex digits (per-digit polynomial — DuckDB has no base-16 conv),
+    // priority = w·2³² // h in BIGINT, (priority desc, id) total order
+    "q_t_priority_sample" ->
+      (s"""WITH d AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS nt,
+         |  md5('samp:' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+         |f AS (SELECT doc_id, nt, ${hex32Sql("m")} + 1 AS h FROM d
+         |  WHERE nt >= 1)
+         |SELECT doc_id, nt AS weight, (nt * 4294967296) // h AS priority
+         |FROM f ORDER BY priority DESC, doc_id ASC LIMIT 100"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // the profiler's per-column aggregates, one UNION ALL branch per
+    // column (the Spark side does it in ONE pass — the oracle only has
+    // to agree on the values)
+    "q_dq_profile" ->
+      Seq("doc_id", "lang", "source", "n_chars").map(c =>
+        s"SELECT '$c' AS col_name, count(*) - count($c) AS n_null, " +
+          s"count(DISTINCT $c) AS n_distinct, " +
+          s"CAST(min($c) AS VARCHAR) AS min_str, " +
+          s"CAST(max($c) AS VARCHAR) AS max_str, count(*) AS n_rows " +
+          "FROM documents").mkString(" UNION ALL "),
+
+    // floor(log2)+1 via length(bin(n)) — exact integer bucketing on
+    // both engines, no libm log2 at power-of-two boundaries
+    "q_t_len_hist" ->
+      (s"""WITH d AS (SELECT CAST(len($tokensSql) AS BIGINT) AS nt
+         |  FROM documents)
+         |SELECT CAST(length(bin(nt)) AS INT) AS len_bucket,
+         |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens
+         |FROM d GROUP BY 1""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // integer min-max normalization: non-negative numerator, positive
+    // denominator, so DuckDB's floor-// and Spark's truncating div
+    // agree everywhere
+    "q_ev_minmax_norm" ->
+      ("""WITH e AS (SELECT event_id, event_type,
+         |  CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events),
+         |m AS (SELECT event_id, event_type, vmic,
+         |  min(vmic) OVER (PARTITION BY event_type) AS lo,
+         |  max(vmic) OVER (PARTITION BY event_type) AS hi FROM e)
+         |SELECT event_id, event_type,
+         |  CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+         |    ELSE ((vmic - lo) * 1000000) // (hi - lo) END AS norm_micros
+         |FROM m""".stripMargin).replaceAll(raw"\s+", " ")
   )
+
+  /** First 8 hex digits of md5 column `m` as a BIGINT in [0, 2³²) —
+    * the same value Spark's `conv(substring(md5(x),1,8),16,10)` yields
+    * (DuckDB has no base-conv; a per-digit polynomial is exact).
+    */
+  private def hex32Sql(m: String): String =
+    (1 to 8).map(i =>
+      s"CAST(strpos('0123456789abcdef', substr($m, $i, 1)) - 1 AS BIGINT)" +
+        s" * ${BigInt(16).pow(8 - i)}").mkString("(", " + ", ")")
 }

@@ -45,6 +45,49 @@ object DataQuality {
         "__rows AS n_rows")
   }
 
+  /** One-pass column profiler: per column — row count, null count,
+    * EXACT distinct count, min and max (computed in the column's native
+    * type, then rendered as strings so the output schema is uniform).
+    * The dataset-card / "what landed in this table" primitive every
+    * ingest step wants before curation decisions.
+    *
+    * Execution shape (100 TB): ONE Aggregate over the scan. The
+    * null/min/max counters partial-aggregate map-side; the exact
+    * distinct counts make Catalyst plan an Expand (one stream per
+    * distinct aggregate) — the standard multi-count-distinct plan,
+    * shuffling only (column-tag, value) pairs, never the full rows.
+    * The wide single-row result is unpivoted with stack(): no second
+    * scan, nothing collected. Callers who can tolerate ±2% should
+    * profile with approx_count_distinct instead (`approxDistinct`
+    * flag) — that collapses the Expand and the whole profile becomes
+    * one map-side pass.
+    *
+    * min/max of FLOATING columns render engine-specifically — profile
+    * integral/string/date columns when the output must be
+    * engine-replayable (the gate does).
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+              approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
+      s"column name must match [A-Za-z0-9_]+: '$c'"))
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        (if (approxDistinct) approx_count_distinct(col(c))
+         else countDistinct(col(c))).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val wide = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __rows - `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`")
+      .mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.length}, $stackArgs) AS " +
+        "(col_name, n_null, n_distinct, min_str, max_str)",
+      "__rows AS n_rows")
+  }
+
   /** Throw if any rule has violations (the CHECK-constraint form). */
   def enforce(df: DataFrame, rules: Seq[Rule]): Unit = {
     val bad = check(df, rules)

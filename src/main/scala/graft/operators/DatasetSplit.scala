@@ -180,6 +180,45 @@ object DatasetSplit {
         defaultRate = 0, salt))
   }
 
+  /** Duffield–Lund–Thorup priority sampling: a k-item
+    * weight-proportional sample WITHOUT replacement, deterministic and
+    * engine-replayable (Priority sampling, Duffield/Lund/Thorup 2007 —
+    * item i gets priority q_i = w_i / u_i for u_i ~ U(0,1]; the k
+    * largest priorities form the sample, and the scheme's inclusion
+    * probabilities are ∝ w_i for w_i well below the threshold).
+    *
+    * Determinism contract (same as the split/mixing family): u_i comes
+    * from a CONTENT hash, not an RNG — the first 8 md5 hex digits of
+    * `seed:id` give h ∈ [1, 2³²] and q_i = ⌊w_i·2³² / h⌋ in EXACT int64
+    * arithmetic (w ≤ 2²¹ keeps the product < 2⁵³; enforced). Ties are
+    * broken by id, so (q desc, id asc) is a total order and the top-k
+    * is one fixed set across runs, engines, and repartitions.
+    *
+    * Execution shape (100 TB): hash + priority are codegen'd
+    * projections the scan absorbs; the top-k is Spark's
+    * TakeOrderedAndProject — per-partition bounded heaps, only k rows
+    * ever cross the wire. No global sort, no shuffle of the corpus.
+    * The standard "select a token-budget subset, favoring long/heavy
+    * documents" curation step.
+    */
+  def prioritySample(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     weightCol: String, k: Int, seed: String)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"sample size k must be positive, got $k")
+    val h = conv(substring(md5(concat(lit(seed + ":"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long") + lit(1L)
+    val w = when(col(weightCol) >= 1 && col(weightCol) <= 2097152,
+      col(weightCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("prioritySample: weight out of [1, 2^21]: "),
+        col(weightCol).cast("string"))))
+    df.withColumn("__h", h).withColumn("__w", w)
+      .withColumn("priority", expr("(__w * 4294967296L) div __h"))
+      .select(col(idCol), col("__w").as("weight"), col("priority"))
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Largest r with r^n ≤ x (x ≥ 0, n ≥ 1) — exact integer root. */
   private[graft] def iroot(x: BigInt, n: Int): BigInt = {
     require(x >= 0 && n >= 1)

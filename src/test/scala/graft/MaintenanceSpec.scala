@@ -219,4 +219,31 @@ class MaintenanceSpec extends SparkSpec {
       DataQuality.enforce(df, Seq(DataQuality.rule("v_big", "v > 6"))))
     assert(e.getMessage.contains("v_big"))
   }
+
+  test("profile: exact per-column nulls/distinct/min/max from one pass; " +
+    "native-type ordering (not string ordering) for numeric min/max") {
+    val df = Seq(
+      (Some(100L), Some("b")), (Some(2L), Some("a")),
+      (Some(2L), None), (None, Some("a")))
+      .toDF("k", "s")
+    val got = DataQuality.profile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4),
+          r.getLong(5)))).toMap
+    // numeric min/max: 2 < 100 numerically ("100" < "2" as strings —
+    // the profiler must aggregate BEFORE the string render)
+    assert(got("k") == ((1L, 2L, "2", "100", 4L)), s"k: ${got("k")}")
+    assert(got("s") == ((1L, 2L, "a", "b", 4L)), s"s: ${got("s")}")
+  }
+
+  test("profile: rejects non-identifier column names; approxDistinct " +
+    "still reports exact null/min/max") {
+    val df = Seq((1, 2)).toDF("id", "v")
+    intercept[IllegalArgumentException](
+      DataQuality.profile(df, Seq("id; drop")))
+    val r = DataQuality.profile(df, Seq("id"), approxDistinct = true)
+      .collect().head
+    assert(r.getLong(1) == 0L && r.getString(3) == "1" &&
+      r.getString(4) == "1" && r.getLong(5) == 1L)
+  }
 }

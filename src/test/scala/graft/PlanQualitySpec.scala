@@ -272,4 +272,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(p.split("HashAggregate").length >= 3)
   }
+
+  test("q_t_priority_sample: top-k is TakeOrderedAndProject (bounded " +
+    "per-partition heaps), never a global sort") {
+    val p = plan("q_t_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"no bounded top-k:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort:\n$p")
+  }
+
+  test("q_dq_profile: ONE aggregation pass — a single scan feeds the " +
+    "multi-count-distinct Expand; no per-column re-scan") {
+    val p = SparkEntry.queries("q_dq_profile")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.split("FileScan parquet").length == 2,
+      s"expected one scan:\n$p")
+    assert(p.contains("Expand"), s"expected the multi-distinct Expand:\n$p")
+  }
+
+  test("q_ev_minmax_norm: min/max ride ONE window over one shuffle — " +
+    "no join-back of a grouped aggregate") {
+    val p = SparkEntry.queries("q_ev_minmax_norm")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.split("\\bWindow\\b").length == 2, s"expected one Window:\n$p")
+    assert(!p.contains("Join"), s"unexpected join-back:\n$p")
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly one shuffle:\n$p")
+  }
 }

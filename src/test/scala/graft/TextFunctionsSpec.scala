@@ -306,4 +306,32 @@ class TextFunctionsSpec extends SparkSpec {
       .orderBy("id").collect().map(_.getString(1)).toSeq
     assert(got == cases.map(_._2))
   }
+
+  test("prioritySample: deterministic fixed set, stable under " +
+    "repartition; an overwhelming weight is always selected; " +
+    "out-of-range weights are rejected at runtime") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.DatasetSplit
+    import spark.implicits._
+    val items = ((1L to 200L).map(i => (i, 3L)) :+ (999L, 2000000L))
+      .toDF("id", "w")
+    def sample(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      DatasetSplit.prioritySample(df, "id", "w", k = 20, seed = "s")
+        .select(col("id"), col("priority")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val s1 = sample(items)
+    assert(s1.length == 20)
+    // w=2e6 vs w=3: the heavy item's priority floor (w·2³²/2³²=w=2e6)
+    // exceeds the light items' ceiling only probabilistically — but at
+    // 666667× the weight it wins unless its u lands in the worst 1/666667
+    // tail AND every light doc draws near-zero u; with the fixed seed
+    // this is a deterministic fact of the corpus, pinned here
+    assert(s1.map(_._1).contains(999L), s"heavy item missing: $s1")
+    // same set and priorities under adversarial partitioning
+    assert(sample(items.repartition(13)) == s1)
+    // weight 0 → raise_error surfaces as a SparkException
+    val bad = Seq((1L, 0L)).toDF("id", "w")
+    intercept[Exception](
+      DatasetSplit.prioritySample(bad, "id", "w", 5, "s").collect())
+  }
 }
