@@ -1668,6 +1668,80 @@ object StretchQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nt").cast("long")).as("total_tokens"))),
 
+    // stratified eval-set sampling: a fixed 25-doc uniform subset PER
+    // LANGUAGE, keyed on a salted content hash (same determinism
+    // contract as the split family). Rides the bounded top-k
+    // aggregator — map-side k-item heaps, never a window sort over a
+    // 5-key skewed partition (the low-cardinality-strata trap at
+    // 100 TB). score = -hash ⇒ (hash asc, id asc) per stratum
+    "q_t_strat_sample" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (-(conv(substring(md5(concat(lit("strat:"), col("text"))), 1, 8),
+            16, 10).cast("long"))).cast("double").as("negh"))
+      graft.operators.TopK.topKPerGroup(scored, 25, "lang", "doc_id",
+        "negh")(s).select(col("lang"), col("rank"), col("doc_id"))
+    }),
+
+    // per-type winsorization: clamp event values to the [p05, p95]
+    // band, thresholds snapped to integers (ceil(lo), floor(hi)) so
+    // the output stays exact int64. The thresholds table is
+    // group-cardinality-sized → BROADCAST join-back, no second shuffle
+    // of the events. Exact percentile buffers per-group values — at
+    // real scale the thresholds come from approx_percentile instead
+    // (same clamp shape); the gate pins the exact form for the oracle
+    "q_ev_winsor" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 1000000).cast("long").as("vmic"))
+      val th = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(vmic, 0.05)").as("lo"),
+          expr("percentile(vmic, 0.95)").as("hi"))
+      ev.join(broadcast(th), "event_type")
+        .select(col("event_id"), col("event_type"),
+          least(greatest(col("vmic"), ceil(col("lo"))),
+            floor(col("hi"))).as("w_micros"))
+    }),
+
+    // pointwise mutual information over adjacent token bigrams — the
+    // collocation-mining pass ("New York", "machine learning") of a
+    // text pipeline. All counts are exact integers; the PMI ratio is
+    // ONE double expression with identical association order on both
+    // engines (each *, / is correctly rounded ⇒ bit-identical input to
+    // ln), micros-rounded. Unigram/total tables are vocab-sized →
+    // broadcast; the only data-sized shuffle is the bigram count
+    "q_t_pmi" -> ((s, dir) => {
+      val ta = TextFunctions.tokens(col("text"))
+      val toks = t(s, dir, "documents").select(ta.as("ta"))
+        .filter(size(col("ta")) >= 2)
+      val bigAll = toks
+        .select(slice(col("ta"), lit(1), size(col("ta")) - 1).as("a1"),
+          slice(col("ta"), lit(2), size(col("ta")) - 1).as("b1"))
+        .select(explode(arrays_zip(col("a1"), col("b1"))).as("p"))
+        .select(col("p.a1").as("a"), col("p.b1").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      val big = bigAll.filter(col("n_ab") >= 5)
+      val uni = t(s, dir, "documents")
+        .select(explode(ta).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+      // totals over the UNFILTERED corpus: p(ab) = n_ab/N_bigrams,
+      // p(a) = n_a/N_tokens — the ≥5 support cut only bounds output
+      val totals = bigAll.agg(sum(col("n_ab")).as("nbig")).crossJoin(
+        uni.agg(sum(col("n_tok")).as("nuni")))
+      big
+        .join(broadcast(uni.withColumnRenamed("tok", "a")
+          .withColumnRenamed("n_tok", "na")), "a")
+        .join(broadcast(uni.withColumnRenamed("tok", "b")
+          .withColumnRenamed("n_tok", "ncb")), "b")
+        .crossJoin(broadcast(totals))
+        .select(col("a"), col("b"), col("n_ab"),
+          round(log((col("n_ab").cast("double") * col("nuni") * col("nuni"))
+            / (col("nbig").cast("double") * col("na") * col("ncb")))
+            * 1000000).cast("long").as("pmi_micros"))
+        .orderBy(col("pmi_micros").desc, col("a"), col("b"))
+        .limit(100)
+    }),
+
     // per-type min-max feature normalization in exact integer micros:
     // (v - min)·1e6 div (max - min) over an unbounded partition window
     // — ONE shuffle on event_type, no join-back, engine-exact
@@ -3036,6 +3110,59 @@ object StretchQueries {
          |SELECT CAST(length(bin(nt)) AS INT) AS len_bucket,
          |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens
          |FROM d GROUP BY 1""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // same salted content hash, same (hash asc, id asc) order — the
+    // window row_number replays the bounded aggregator's selection
+    "q_t_strat_sample" ->
+      (s"""WITH m AS (SELECT doc_id, lang,
+         |  md5('strat:' || text) AS mm FROM documents),
+         |h AS (SELECT doc_id, lang, ${hex32Sql("mm")} AS hv FROM m),
+         |r AS (SELECT lang, doc_id, row_number() OVER
+         |  (PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS rank
+         |  FROM h)
+         |SELECT lang, CAST(rank AS INT) AS rank, doc_id FROM r
+         |WHERE rank <= 25""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // quantile_cont interpolates like Spark's exact percentile (the
+    // q_a6 precedent); integer snapping keeps the clamp in BIGINT
+    "q_ev_winsor" ->
+      ("""WITH e AS (SELECT event_id, event_type,
+         |  CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events),
+         |th AS (SELECT event_type,
+         |  quantile_cont(vmic, 0.05) AS lo,
+         |  quantile_cont(vmic, 0.95) AS hi FROM e GROUP BY 1)
+         |SELECT event_id, event_type,
+         |  least(greatest(vmic, CAST(ceil(lo) AS BIGINT)),
+         |    CAST(floor(hi) AS BIGINT)) AS w_micros
+         |FROM e JOIN th USING (event_type)"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // the PMI ratio is built with the SAME association order as the
+    // Spark side (each *, / correctly rounded ⇒ identical double into
+    // ln), then micros-rounded; counts and totals are exact integers
+    "q_t_pmi" ->
+      (s"""WITH tq AS (SELECT $tokensSql AS ta FROM documents),
+         |t2 AS (SELECT ta FROM tq WHERE len(ta) >= 2),
+         |pr AS (SELECT unnest(list_zip(ta[1:len(ta)-1], ta[2:len(ta)]))
+         |  AS p FROM t2),
+         |bigall AS (SELECT p[1] AS a, p[2] AS b, count(*) AS n_ab
+         |  FROM pr GROUP BY 1, 2),
+         |big AS (SELECT * FROM bigall WHERE n_ab >= 5),
+         |uni AS (SELECT unnest(ta) AS tok FROM tq),
+         |unic AS (SELECT tok, count(*) AS n_tok FROM uni GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(n_ab) AS BIGINT) FROM bigall)
+         |    AS nbig,
+         |  (SELECT CAST(sum(n_tok) AS BIGINT) FROM unic) AS nuni)
+         |SELECT a, b, n_ab, CAST(round(
+         |  ln((CAST(n_ab AS DOUBLE) * nuni * nuni)
+         |    / (CAST(nbig AS DOUBLE) * ua.n_tok * ub.n_tok)) * 1000000)
+         |  AS BIGINT) AS pmi_micros
+         |FROM big
+         |JOIN unic ua ON big.a = ua.tok
+         |JOIN unic ub ON big.b = ub.tok
+         |CROSS JOIN tot
+         |ORDER BY pmi_micros DESC, a, b LIMIT 100"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     // integer min-max normalization: non-negative numerator, positive
     // denominator, so DuckDB's floor-// and Spark's truncating div

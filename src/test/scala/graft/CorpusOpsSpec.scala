@@ -136,4 +136,51 @@ class CorpusOpsSpec extends SparkSpec {
       .count()
     assert(bad == 0L)
   }
+
+  // ── q_t_pmi / q_ev_winsor gate kernels ───────────────────────────────
+
+  test("PMI: a planted always-adjacent pair ranks above an " +
+    "independent pair; counts are exact") {
+    // "alpha beta" always adjacent (10×); "gamma"/"delta" co-occur
+    // never adjacent-dependent: gamma delta appear adjacent only by
+    // chance of construction (here 5× but each also occurs alone 20×)
+    val rows = Seq.fill(10)("alpha beta filler") ++
+      Seq.fill(5)("gamma delta mid") ++
+      Seq.fill(20)("gamma lone") ++ Seq.fill(20)("delta solo")
+    val docs = rows.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    val got = StretchQueries.queries("q_t_pmi")(spark, writeDocs(docs))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("alpha", "beta"))._1 == 10L)
+    assert(got(("gamma", "delta"))._1 == 5L)
+    // p(alpha)=p(beta)=10/N while gamma/delta are 25/N each: the
+    // dedicated pair's PMI must be strictly higher
+    assert(got(("alpha", "beta"))._2 > got(("gamma", "delta"))._2)
+  }
+
+  test("winsor: values clamp to the snapped [ceil(p05), floor(p95)] " +
+    "band per type; interior values pass through untouched") {
+    val ev = ((1 to 99).map(i => (i.toLong, "a", i * 1.0)) :+
+      (100L, "a", 10000.0)).toDF("event_id", "event_type", "value")
+    val dir = tmpDir("winsor")
+    ev.selectExpr("event_id", "timestamp '2024-01-01' AS ts",
+        "event_id AS user_id", "event_type", "value", "'' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StretchQueries.queries("q_ev_winsor")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // p05 of (1..99, 10000)·1e6: between 5e6 and 6e6 → low tail clamps
+    assert(got(1L) >= 5000000L && got(1L) <= 6000000L)
+    assert(got(50L) == 50000000L) // interior untouched
+    assert(got(100L) < 10000000000L) // the outlier is capped
+    assert(got(100L) == got.values.max)
+  }
+
+  private def writeDocs(df: org.apache.spark.sql.DataFrame): String = {
+    val dir = tmpDir("pmi-docs")
+    df.selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text",
+        "'en' AS lang", "'synth' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
 }
