@@ -1,10 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Ivf, Multimodal, SimilaritySearch}
+import graft.operators.{Dedup, EntityResolution, Ivf, Multimodal, SimilaritySearch}
 import graft.streaming.EventStream
 
 /** The LLM-training-data-pipeline operator surface (BASELINE.json north
@@ -62,6 +62,38 @@ object StretchQueries {
         lit("//b"), canonQ))
       .otherwise(concat(base, lit("."), path, canonQ))
     t(s, dir, "documents").select(col("doc_id"), raw.as("raw_url"))
+  }
+
+  /** Deterministic messy-name corpus from `customer` for the entity-
+    * resolution gates: entity `e = c_custkey div 6` owns ONE canonical
+    * name (three arithmetic-chosen syllables + "son"); variant
+    * `v = c_custkey % 6` misspells it with one edit at character
+    * position ≥ 4 (delete / duplicate / adjacent swap / substitute /
+    * insert), so a first-3-chars blocking key is typo-stable by
+    * construction. ASCII throughout — the JW gate pins DuckDB's
+    * byte-based scorer against Spark's UTF-16 one, identical only on
+    * ASCII. Pure-`Column` synth (runs inside codegen); the DuckDB
+    * oracle replays the same arithmetic.
+    */
+  private def messyNames(s: SparkSession, dir: String): DataFrame = {
+    val syl = array(Seq("an", "bel", "cor", "dan", "els", "far", "gil",
+      "hart", "ing", "jas", "kel", "lor").map(lit): _*)
+    def at(i: Column) = element_at(syl, (i % 12).cast("int") + 1)
+    def cut(c: Column, from: Int, len: Int = 100) = substring(c, from, len)
+    t(s, dir, "customer").select(col("c_custkey"))
+      .withColumn("__e", expr("c_custkey div 6"))
+      .withColumn("__v", col("c_custkey") % 6)
+      .withColumn("__c", concat(at(col("__e")), at(col("__e") * 5 + 1),
+        at(expr("(c_custkey div 6) div 12")), lit("son")))
+      .withColumn("name", when(col("__v") === 0, col("__c"))
+        .when(col("__v") === 1, concat(cut(col("__c"), 1, 3), cut(col("__c"), 5)))
+        .when(col("__v") === 2, concat(cut(col("__c"), 1, 4), cut(col("__c"), 4)))
+        .when(col("__v") === 3, concat(cut(col("__c"), 1, 3),
+          cut(col("__c"), 5, 1), cut(col("__c"), 4, 1), cut(col("__c"), 6)))
+        .when(col("__v") === 4, concat(cut(col("__c"), 1, 3), lit("x"),
+          cut(col("__c"), 5)))
+        .otherwise(concat(cut(col("__c"), 1, 5), lit("q"), cut(col("__c"), 6))))
+      .select(col("c_custkey").as("rec_id"), col("name"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1757,6 +1789,33 @@ object StretchQueries {
           when(col("__hi") === col("__lo"), lit(0L))
             .otherwise(expr("((vmic - __lo) * 1000000L) div (__hi - __lo)")))
         .select(col("event_id"), col("event_type"), col("norm_micros"))
+    }),
+
+    // entity resolution, edit-distance arm: blocked candidate pairs
+    // (ONE self-join on the typo-stable 3-char prefix — never
+    // all-pairs) scored with Spark's codegen'd levenshtein. Exact
+    // integer distances → full cross-engine oracle replaying the same
+    // blocking join
+    "q_e_lev_match" -> ((s, dir) => {
+      val recs = messyNames(s, dir)
+      val pairs = EntityResolution.candidatePairs(
+        recs, "rec_id", Seq("name"), Seq(substring(col("name"), 1, 3)))
+      EntityResolution.levenshteinMatches(pairs, "name_a", "name_b", 2)
+        .select(col("rec_id_a"), col("rec_id_b"),
+          col("name_a"), col("name_b"), col("lev"))
+    }),
+
+    // entity resolution, Jaro–Winkler arm: same blocked pair stream,
+    // scored by the native JW kernel. The oracle is DuckDB's
+    // independent jaro_winkler_similarity — two implementations of
+    // Winkler's exact variant agreeing in rounded micros on every
+    // surviving pair
+    "q_e_jw_match" -> ((s, dir) => {
+      val recs = messyNames(s, dir)
+      val pairs = EntityResolution.candidatePairs(
+        recs, "rec_id", Seq("name"), Seq(substring(col("name"), 1, 3)))
+      EntityResolution.jaroWinklerMatches(pairs, "name_a", "name_b", 900000L)
+        .select(col("rec_id_a"), col("rec_id_b"), col("jw_micros"))
     })
   )
 
@@ -3176,8 +3235,65 @@ object StretchQueries {
          |SELECT event_id, event_type,
          |  CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
          |    ELSE ((vmic - lo) * 1000000) // (hi - lo) END AS norm_micros
-         |FROM m""".stripMargin).replaceAll(raw"\s+", " ")
+         |FROM m""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // the oracle replays the name synth and the prefix-3 block join,
+    // then scores with DuckDB's own levenshtein — exact integers on
+    // both engines
+    "q_e_lev_match" ->
+      (s"""WITH $messyNamesCtes,
+         |p AS (SELECT a.rec_id AS rec_id_a, b.rec_id AS rec_id_b,
+         |  a.name AS name_a, b.name AS name_b
+         |  FROM mn a JOIN mn b
+         |  ON substr(a.name, 1, 3) = substr(b.name, 1, 3)
+         |  AND a.rec_id < b.rec_id)
+         |SELECT rec_id_a, rec_id_b, name_a, name_b,
+         |  CAST(levenshtein(name_a, name_b) AS INT) AS lev
+         |FROM p WHERE levenshtein(name_a, name_b) <= 2"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // DuckDB's jaro_winkler_similarity is a genuinely independent
+    // implementation (rapidfuzz-derived, byte-based — identical to the
+    // UTF-16 kernel on this ASCII corpus): agreement in rounded micros
+    // pins the exact Winkler variant end to end
+    "q_e_jw_match" ->
+      (s"""WITH $messyNamesCtes,
+         |p AS (SELECT a.rec_id AS rec_id_a, b.rec_id AS rec_id_b,
+         |  a.name AS name_a, b.name AS name_b
+         |  FROM mn a JOIN mn b
+         |  ON substr(a.name, 1, 3) = substr(b.name, 1, 3)
+         |  AND a.rec_id < b.rec_id)
+         |SELECT rec_id_a, rec_id_b,
+         |  CAST(round(jaro_winkler_similarity(name_a, name_b) * 1000000)
+         |    AS BIGINT) AS jw_micros
+         |FROM p
+         |WHERE CAST(round(jaro_winkler_similarity(name_a, name_b) * 1000000)
+         |    AS BIGINT) >= 900000"""
+        .stripMargin).replaceAll(raw"\s+", " ")
   )
+
+  /** The messy-name synth mirrored in DuckDB — ends in
+    * `mn(rec_id, name)`.
+    */
+  private lazy val messyNamesCtes: String = {
+    val syl = "['an','bel','cor','dan','els','far','gil','hart'," +
+      "'ing','jas','kel','lor']"
+    s"""f AS (SELECT c_custkey AS rec_id, c_custkey // 6 AS e,
+       |  c_custkey % 6 AS v FROM customer),
+       |cn AS (SELECT rec_id, v,
+       |  $syl[CAST(e % 12 AS INT) + 1] ||
+       |  $syl[CAST((e * 5 + 1) % 12 AS INT) + 1] ||
+       |  $syl[CAST((e // 12) % 12 AS INT) + 1] || 'son' AS c FROM f),
+       |mn AS (SELECT rec_id, CASE v
+       |  WHEN 0 THEN c
+       |  WHEN 1 THEN substr(c, 1, 3) || substr(c, 5)
+       |  WHEN 2 THEN substr(c, 1, 4) || substr(c, 4)
+       |  WHEN 3 THEN substr(c, 1, 3) || substr(c, 5, 1) ||
+       |    substr(c, 4, 1) || substr(c, 6)
+       |  WHEN 4 THEN substr(c, 1, 3) || 'x' || substr(c, 5)
+       |  ELSE substr(c, 1, 5) || 'q' || substr(c, 6) END AS name
+       |  FROM cn)""".stripMargin
+  }
 
   /** First 8 hex digits of md5 column `m` as a BIGINT in [0, 2³²) —
     * the same value Spark's `conv(substring(md5(x),1,8),16,10)` yields

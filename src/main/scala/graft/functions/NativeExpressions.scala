@@ -644,6 +644,91 @@ object NativeExpressions {
     */
   def normalizeText(c: Column): Column = toCol(NormalizeText(toExpr(c)))
 
+  // ── Jaro–Winkler string similarity ──────────────────────────────────
+
+  /** Jaro–Winkler similarity — the fuzzy-match kernel of the entity-
+    * resolution operator ([[graft.operators.EntityResolution]]). Spark
+    * ships `levenshtein` but nothing prefix-weighted, and JW is the
+    * standard scorer for short identity strings (names, titles, SKUs)
+    * where early characters carry most of the signal.
+    *
+    * Exact variant (the classic Winkler 1990 parameters, the same ones
+    * DuckDB's `jaro_winkler_similarity` implements — the
+    * `q_e_jw_match` gate pins the two implementations against each
+    * other in rounded integer micros over an ASCII corpus):
+    *   - match window = max(|a|,|b|)/2 - 1 (floor, min 0);
+    *   - transpositions counted over matched sequences, halved;
+    *   - jaro = (m/|a| + m/|b| + (m-t)/m) / 3;
+    *   - Winkler boost only when jaro > 0.7: jw = jaro +
+    *     l·0.1·(1-jaro) with l = common prefix capped at 4;
+    *   - either side empty → 0.0 (DuckDB convention, incl. both
+    *     empty);
+    *   - case-sensitive; operates on UTF-16 code units (identical to
+    *     DuckDB's byte-based loop on ASCII — the cross-engine gate
+    *     keeps its corpus ASCII for exactly this reason).
+    */
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[UTF8String].toString
+      val b = r.asInstanceOf[UTF8String].toString
+      java.lang.Double.valueOf(jaroWinklerImpl(a, b))
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): JaroWinkler = copy(left = l, right = r)
+  }
+
+  private[graft] def jaroWinklerImpl(a: String, b: String): Double = {
+    val la = a.length; val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aMatch = new Array[Boolean](la)
+    val bMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(i - window, 0)
+      val hi = math.min(i + window + 1, lb)
+      var j = lo
+      var found = false
+      while (j < hi && !found) {
+        if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+          aMatch(i) = true; bMatch(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: walk the matched characters of each side in
+    // order; every position where they disagree is a half-transposition
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aMatch(i)) {
+        while (!bMatch(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (m - t / 2) / md) / 3.0
+    if (jaro <= 0.7) return jaro
+    var prefix = 0
+    val maxPrefix = math.min(math.min(la, lb), 4)
+    while (prefix < maxPrefix && a.charAt(prefix) == b.charAt(prefix)) {
+      prefix += 1
+    }
+    jaro + prefix * 0.1 * (1.0 - jaro)
+  }
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    toCol(JaroWinkler(toExpr(a), toExpr(b)))
+
   /** Register the SQL-facing names so `spark.sql` users get the same
     * kernels: graft_minhash, graft_simhash, graft_fingerprint,
     * graft_cosine.
@@ -668,6 +753,8 @@ object NativeExpressions {
       es => MinHashFromHashes(es.head, 32, 42L), "scala_udf")
     reg.createOrReplaceTempFunction("graft_normalize_text",
       es => NormalizeText(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_jaro_winkler",
+      es => JaroWinkler(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_canonical_url",
       es => UrlFunctions.CanonicalUrl(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_registered_domain",

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.NativeExpressions
+import graft.operators.EntityResolution
+
+/** Ground truth for the entity-resolution operator: the Jaro–Winkler
+  * kernel point by point (literature values, the exact Winkler-variant
+  * edges), blocking recall vs brute force, and multi-pass union
+  * semantics. The `q_e_*` gates pin the same kernel against DuckDB's
+  * independent implementation in rounded micros at corpus scale.
+  */
+class EntityResolutionSpec extends SparkSpec {
+
+  private def jw(a: String, b: String): Double =
+    NativeExpressions.jaroWinklerImpl(a, b)
+
+  test("jaro-winkler: literature reference values") {
+    // the canonical Winkler test vectors (also DuckDB's outputs —
+    // probed while authoring the q_e_jw_match oracle)
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("dwayne", "duane") - 0.84) < 1e-15)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-15)
+  }
+
+  test("jaro-winkler: variant edges (threshold, prefix cap, empties)") {
+    // boost only ABOVE jaro 0.7: this pair has jaro ~0.5417 and a
+    // 1-char common prefix — jw must equal jaro exactly
+    assert(jw("ab", "axcdefgh") == 0.5416666666666666)
+    // prefix capped at 4: jaro 5/6 boosts to exactly 0.9, not beyond
+    assert(math.abs(jw("abcdefgh", "abcdefxy") - 0.9) < 1e-15)
+    // empties are 0 on either side (DuckDB convention, incl. both)
+    assert(jw("", "") == 0.0)
+    assert(jw("a", "") == 0.0)
+    assert(jw("", "a") == 0.0)
+    // identity
+    assert(jw("same", "same") == 1.0)
+    // no shared characters in window
+    assert(jw("abc", "xyz") == 0.0)
+    // case-sensitive (callers lower() upstream if they want folding)
+    assert(jw("ABC", "abc") == 0.0)
+    // odd transposition count floors (t = 3 mismatches → 1):
+    // jaro(abcdef, bcadef) = (1 + 1 + 5/6)/3 — probed equal in DuckDB
+    assert(math.abs(jw("abcdef", "bcadef") -
+      ((1.0 + 1.0 + 5.0 / 6.0) / 3.0 + 0.0)) < 1e-15 ||
+      // boost applies (jaro > 0.7, zero common prefix → unchanged)
+      math.abs(jw("abcdef", "bcadef") - 0.9444444444444445) < 1e-15)
+  }
+
+  test("jaro-winkler column form matches the kernel") {
+    import spark.implicits._
+    val rows = Seq(("martha", "marhta"), ("dwayne", "duane"), ("", "x"))
+      .toDF("a", "b")
+      .select(NativeExpressions.jaroWinkler(col("a"), col("b")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(rows.toSeq == Seq(jw("martha", "marhta"),
+      jw("dwayne", "duane"), 0.0))
+  }
+
+  test("blocking: single-pass pairs = exactly the within-block pairs") {
+    import spark.implicits._
+    val recs = Seq((1L, "anna"), (2L, "annb"), (3L, "bob"), (4L, "boc"),
+      (5L, "ann")).toDF("id", "name")
+    val got = EntityResolution.candidatePairs(
+        recs, "id", Seq("name"), Seq(substring(col("name"), 1, 2)))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // blocks: "an" → {1,2,5}, "bo" → {3,4}
+    assert(got == Set((1L, 2L), (1L, 5L), (2L, 5L), (3L, 4L)))
+  }
+
+  test("blocking: multi-pass unions and de-duplicates pairs") {
+    import spark.implicits._
+    // prefix pass pairs (1,2); suffix pass pairs (1,2) again AND (3,4)
+    val recs = Seq((1L, "aax"), (2L, "aax"), (3L, "bzz"), (4L, "czz"))
+      .toDF("id", "name")
+    val got = EntityResolution.candidatePairs(
+        recs, "id", Seq("name"),
+        Seq(substring(col("name"), 1, 1), substring(col("name"), 2, 2)))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got.toSet == Set((1L, 2L), (3L, 4L)))
+    assert(got.size == 2, "pair found by both passes must appear once")
+  }
+
+  test("blocking: null block key generates no candidates") {
+    import spark.implicits._
+    val recs = Seq((1L, "ann"), (2L, "ann"), (3L, null))
+      .toDF("id", "name")
+    val got = EntityResolution.candidatePairs(
+        recs, "id", Seq("name"), Seq(substring(col("name"), 1, 2)))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("scorers: levenshtein threshold and jw micros threshold") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, "martha", "marhta"), (1L, 3L, "martha", "zzz"))
+      .toDF("id_a", "id_b", "name_a", "name_b")
+    val lev = EntityResolution
+      .levenshteinMatches(pairs, "name_a", "name_b", 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lev == Set((1L, 2L)))
+    val jwm = EntityResolution
+      .jaroWinklerMatches(pairs, "name_a", "name_b", 900000L)
+      .select(col("id_b"), col("jw_micros")).as[(Long, Long)]
+      .collect().toSet
+    assert(jwm == Set((2L, 961111L)))
+  }
+
+  test("end to end: typo-stable blocking reaches full within-entity recall") {
+    import spark.implicits._
+    // five records of one entity, typos only at positions >= 4 (the
+    // messyNames contract), plus an unrelated entity in another block
+    val recs = Seq((1L, "cordansson"), (2L, "cordnsson"), (3L, "corxansson"),
+      (4L, "cordaansson"), (10L, "belkelson")).toDF("id", "name")
+    val pairs = EntityResolution.candidatePairs(
+      recs, "id", Seq("name"), Seq(substring(col("name"), 1, 3)))
+    // all 6 within-entity pairs present, none with the other block
+    val ids = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ids == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)))
+  }
+}
