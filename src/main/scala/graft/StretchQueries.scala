@@ -1816,6 +1816,71 @@ object StretchQueries {
         recs, "rec_id", Seq("name"), Seq(substring(col("name"), 1, 3)))
       EntityResolution.jaroWinklerMatches(pairs, "name_a", "name_b", 900000L)
         .select(col("rec_id_a"), col("rec_id_b"), col("jw_micros"))
+    }),
+
+    // interval coalescing (islands-and-gaps): each event opens a span
+    // of (event_id%7 + 1) minutes; overlapping-or-touching spans per
+    // user merge into activity islands. Linear window composition —
+    // ONE shuffle, no self-join — and all-integer micros, so the
+    // oracle replays the identical windows
+    "q_ev_coalesce" -> ((s, dir) => {
+      val spans = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            (col("event_id") % 7 + 1) * 60000000L).as("e_us"))
+      graft.operators.Intervals.coalesceSpans(spans, "user_id", "s_us", "e_us")
+    }),
+
+    // total covered airtime per user — the coverage fold over the same
+    // islands (overlaps counted once)
+    "q_ev_coverage" -> ((s, dir) => {
+      val spans = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            (col("event_id") % 7 + 1) * 60000000L).as("e_us"))
+      graft.operators.Intervals.coverage(spans, "user_id", "s_us", "e_us")
+    }),
+
+    // robust outlier detection: median/MAD per event_type with the
+    // doubled-integer trick — 2·median of longs is always an exact
+    // integer (an element or a midpoint), so med2 = 2·median(v) and
+    // mad4 = 2·median(|2v − med2|) = 4·MAD stay in int64 and the
+    // k=3 sigma-equivalent cut |v−med| > 3·MAD becomes the pure
+    // integer predicate 2·dev2 > 3·mad4. Two aggregations + two
+    // broadcast join-backs; the big side is scanned twice, never
+    // shuffled on a non-key
+    "q_dq_mad" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("event_type"),
+          round(col("value") * 1000000).cast("long").as("v"))
+      val med = ev.groupBy("event_type")
+        .agg((percentile(col("v"), lit(0.5)) * 2).cast("long").as("med2"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev2", abs(col("v") * 2 - col("med2")))
+      val mad = dev.groupBy("event_type")
+        .agg((percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("med2")).as("med2_micros"),
+          max(col("mad4")).as("mad4_micros"),
+          sum(when(col("dev2") * 2 > col("mad4") * 3, 1L).otherwise(0L))
+            .as("n_outliers"))
+    }),
+
+    // time-decayed engagement score: weight = 1e6 >> age_days (halves
+    // each day, integer-exact, zero past 20 days) — the freshness
+    // prior of a crawl scheduler without any float pow drift
+    "q_ev_decay" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val mx = ev.agg(max(col("us")).as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("age", expr("(mx - us) div 86400000000"))
+        .withColumn("w", when(col("age") >= 20, 0L)
+          .otherwise(expr("1000000L div shiftleft(1L, cast(age as int))")))
+        .groupBy("user_id")
+        .agg(sum(col("w")).as("decay_micros"),
+          count(lit(1)).as("n_events"))
     })
   )
 
@@ -3269,8 +3334,81 @@ object StretchQueries {
          |FROM p
          |WHERE CAST(round(jaro_winkler_similarity(name_a, name_b) * 1000000)
          |    AS BIGINT) >= 900000"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // identical islands windows: strict > keeps touching spans merged;
+    // start-ties are island-stable (a tied twin can never out-reach
+    // the other's end), so no total order is needed
+    "q_ev_coalesce" ->
+      (s"""WITH $eventSpansCtes,
+         |w AS (SELECT user_id, s_us, e_us, CASE WHEN s_us > coalesce(
+         |  max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |  -9223372036854775807) THEN 1 ELSE 0 END AS op FROM sp),
+         |i AS (SELECT user_id, s_us, e_us, sum(op) OVER
+         |  (PARTITION BY user_id ORDER BY s_us, e_us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM w)
+         |SELECT user_id, min(s_us) AS island_start,
+         |  max(e_us) AS island_end, count(*) AS n_spans
+         |FROM i GROUP BY user_id, isl"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ev_coverage" ->
+      (s"""WITH $eventSpansCtes,
+         |w AS (SELECT user_id, s_us, e_us, CASE WHEN s_us > coalesce(
+         |  max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |  -9223372036854775807) THEN 1 ELSE 0 END AS op FROM sp),
+         |i AS (SELECT user_id, s_us, e_us, sum(op) OVER
+         |  (PARTITION BY user_id ORDER BY s_us, e_us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM w),
+         |g AS (SELECT user_id, min(s_us) AS a, max(e_us) AS b,
+         |  count(*) AS n FROM i GROUP BY user_id, isl)
+         |SELECT user_id, CAST(sum(b - a) AS BIGINT) AS covered,
+         |  count(*) AS n_islands, CAST(sum(n) AS BIGINT) AS n_spans
+         |FROM g GROUP BY user_id"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // DuckDB's median is quantile_cont(0.5) — same interpolation as
+    // Spark's exact percentile; doubling before the BIGINT cast makes
+    // every midpoint integral, so no float survives into the compare
+    "q_dq_mad" ->
+      ("""WITH e AS (SELECT event_type,
+         |  CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+         |md AS (SELECT event_type,
+         |  CAST(2 * median(v) AS BIGINT) AS med2 FROM e GROUP BY event_type),
+         |d AS (SELECT e.event_type, abs(v * 2 - med2) AS dev2, med2
+         |  FROM e JOIN md USING (event_type)),
+         |mb AS (SELECT event_type,
+         |  CAST(2 * median(dev2) AS BIGINT) AS mad4 FROM d
+         |  GROUP BY event_type)
+         |SELECT d.event_type, max(med2) AS med2_micros,
+         |  max(mad4) AS mad4_micros,
+         |  CAST(sum(CASE WHEN dev2 * 2 > mad4 * 3 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_outliers
+         |FROM d JOIN mb USING (event_type) GROUP BY d.event_type"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ev_decay" ->
+      ("""WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |e AS (SELECT user_id,
+         |  (mx - epoch_us(ts)) // 86400000000 AS age FROM events, mx)
+         |SELECT user_id, CAST(sum(CASE WHEN age >= 20 THEN 0
+         |  ELSE 1000000 // (1 << age) END) AS BIGINT) AS decay_micros,
+         |  count(*) AS n_events
+         |FROM e GROUP BY user_id"""
         .stripMargin).replaceAll(raw"\s+", " ")
   )
+
+  /** Per-event activity spans mirrored in DuckDB — ends in
+    * `sp(user_id, s_us, e_us)`.
+    */
+  private lazy val eventSpansCtes: String =
+    """sp AS (SELECT user_id, epoch_us(ts) AS s_us,
+      |  epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e_us
+      |  FROM events)""".stripMargin
 
   /** The messy-name synth mirrored in DuckDB — ends in
     * `mn(rec_id, name)`.
