@@ -1881,6 +1881,60 @@ object StretchQueries {
         .groupBy("user_id")
         .agg(sum(col("w")).as("decay_micros"),
           count(lit(1)).as("n_events"))
+    }),
+
+    // planar radius self-join via grid blocking: md5-scrambled
+    // coordinates (a multiplicative lattice has NO close pairs — the
+    // hash placement is what makes the pair count realistic), cells
+    // are radius-sized, and each within-radius pair is found exactly
+    // once — 9× expansion + ONE equi-join, never a cross/theta join
+    "q_g_spatial" -> ((s, dir) => {
+      def coord(tag: String) =
+        conv(substring(md5(concat(lit(tag),
+          col("event_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 1000000L
+      val pts = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("event_id").as("id"),
+          coord("gx:").as("x"), coord("gy:").as("y"))
+      graft.operators.SpatialJoin.gridSelfJoin(pts, "id", "x", "y", 4000L)
+    }),
+
+    // k-anonymity generalization ladder over customer quasi-
+    // identifiers: (nation, segment, $200-balance-bucket) → (nation,
+    // segment, $2000-bucket) → (segment); each record reports the
+    // first level whose group reaches k=5, or -1 (suppress). Balance
+    // cents are shifted positive so truncating div ≡ floor //
+    "q_p_kanon" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").as("rec_id"), col("c_nationkey").as("nat"),
+        col("c_mktsegment").as("seg"),
+        (round(col("c_acctbal") * 100).cast("long") + 100000L).as("cen"))
+      graft.operators.Anonymize.kAnonymityLevels(c, Seq(
+          Seq(col("nat"), col("seg"), expr("cen div 400000")),
+          Seq(col("nat"), col("seg")),
+          Seq(col("seg"))), k = 5L)
+        .select(col("rec_id"), col("anon_level"))
+    }),
+
+    // per-node triangle participation: the q_g_pagerank 2-out-regular
+    // maps alone are triangle-free at corpus sizes, so the graph adds
+    // K4 community cliques (each node links +1 and +2 within its
+    // 4-block — the "mutual citation ring" shape triangle counting
+    // exists to flag) on top of the long-range 7i/13i edges.
+    // Degree-ordered orientation bounds the wedge join on power-law
+    // graphs; exact integer counts → the oracle replays the joins
+    "q_g_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count() // bounded driver metadata, like q_g_pagerank
+      val i = col("doc_id")
+      val e = docs.select(i.as("src"), ((i * 7 + 3) % n).as("dst"))
+        .union(docs.select(i.as("src"), ((i * 13 + 5) % n).as("dst")))
+        .union(docs.select(i.as("src"),
+          (expr("(doc_id div 4) * 4") + (i % 4 + 1) % 4).as("dst")))
+        .union(docs.select(i.as("src"),
+          (expr("(doc_id div 4) * 4") + (i % 4 + 2) % 4).as("dst")))
+      graft.operators.LinkGraph.triangleCounts(e)
+        .select(col("id").as("doc_id"), col("n_tri"))
     })
   )
 
@@ -3399,6 +3453,75 @@ object StretchQueries {
          |  ELSE 1000000 // (1 << age) END) AS BIGINT) AS decay_micros,
          |  count(*) AS n_events
          |FROM e GROUP BY user_id"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // the oracle replays the 3×3 grid probe — coordinates and cells
+    // are pure integer arithmetic on both engines
+    "q_g_spatial" ->
+      (s"""WITH p AS (SELECT event_id AS id,
+         |  ${hex32Sql("md5('gx:' || CAST(event_id AS VARCHAR))")}
+         |    % 1000000 AS x,
+         |  ${hex32Sql("md5('gy:' || CAST(event_id AS VARCHAR))")}
+         |    % 1000000 AS y FROM events),
+         |pa AS (SELECT id, x, y, x // 4000 + dx AS cx, y // 4000 + dy AS cy
+         |  FROM p, generate_series(-1, 1) g1(dx),
+         |  generate_series(-1, 1) g2(dy)),
+         |pb AS (SELECT id, x, y, x // 4000 AS cx, y // 4000 AS cy FROM p)
+         |SELECT pa.id AS id_a, pb.id AS id_b,
+         |  (pa.x - pb.x) * (pa.x - pb.x) +
+         |  (pa.y - pb.y) * (pa.y - pb.y) AS dist2
+         |FROM pa JOIN pb ON pa.cx = pb.cx AND pa.cy = pb.cy
+         |  AND pa.id < pb.id
+         |WHERE (pa.x - pb.x) * (pa.x - pb.x) +
+         |  (pa.y - pb.y) * (pa.y - pb.y) <= 16000000"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // window counts per ladder level — count over ALL rows at each
+    // level, exactly the operator's documented contract
+    "q_p_kanon" ->
+      ("""WITH c AS (SELECT c_custkey AS rec_id, c_nationkey AS nat,
+         |  c_mktsegment AS seg,
+         |  CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS cen
+         |  FROM customer),
+         |w AS (SELECT rec_id,
+         |  count(*) OVER (PARTITION BY nat, seg, cen // 400000) AS n0,
+         |  count(*) OVER (PARTITION BY nat, seg) AS n1,
+         |  count(*) OVER (PARTITION BY seg) AS n2 FROM c)
+         |SELECT rec_id, CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1
+         |  WHEN n2 >= 5 THEN 2 ELSE -1 END AS anon_level FROM w"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // degree-ordered triangle enumeration replayed join for join:
+    // undirect+distinct, degree table, orientation, wedge join,
+    // closing-edge join (o rows are unique → inner ≡ semi)
+    "q_g_triangles" ->
+      ("""WITH nn AS (SELECT count(*) AS cnt FROM documents),
+         |e0 AS (SELECT doc_id AS src, (doc_id * 7 + 3) % cnt AS dst
+         |  FROM documents, nn
+         |  UNION ALL SELECT doc_id, (doc_id * 13 + 5) % cnt
+         |  FROM documents, nn
+         |  UNION ALL SELECT doc_id,
+         |  (doc_id // 4) * 4 + (doc_id % 4 + 1) % 4 FROM documents
+         |  UNION ALL SELECT doc_id,
+         |  (doc_id // 4) * 4 + (doc_id % 4 + 2) % 4 FROM documents),
+         |und AS (SELECT DISTINCT least(src, dst) AS a,
+         |  greatest(src, dst) AS b FROM e0
+         |  WHERE least(src, dst) < greatest(src, dst)),
+         |dg AS (SELECT id, count(*) AS d FROM
+         |  (SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY id),
+         |o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+         |    THEN a ELSE b END AS u,
+         |  CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+         |    THEN b ELSE a END AS v
+         |  FROM und JOIN dg da ON und.a = da.id
+         |  JOIN dg db ON und.b = db.id),
+         |wg AS (SELECT o1.u AS u, o1.v AS v, o2.v AS ww
+         |  FROM o o1 JOIN o o2 ON o1.v = o2.u),
+         |tr AS (SELECT wg.u, wg.v, wg.ww FROM wg
+         |  JOIN o ON wg.u = o.u AND wg.ww = o.v),
+         |x AS (SELECT unnest([u, v, ww]) AS id FROM tr)
+         |SELECT id AS doc_id, count(*) AS n_tri FROM x GROUP BY id"""
         .stripMargin).replaceAll(raw"\s+", " ")
   )
 

@@ -79,4 +79,54 @@ object LinkGraph {
     nodesScratch.drop()
     ranks.select(col("id"), col("pr").as("pr_micros"))
   }
+
+  /** Per-node triangle participation over an undirected view of the
+    * edge list — the local-clustering signal (link farms and mutual-
+    * citation rings triangle-count far above organic pages, so this
+    * feeds spam scoring next to [[pageRankMicros]]'s authority).
+    *
+    * Classic degree-ordered orientation: normalize to distinct
+    * undirected edges (self-loops and parallel/reverse duplicates
+    * dropped), orient each edge from the (degree, id)-smaller endpoint
+    * to the larger, join wedges u→v→w on the middle node, then
+    * semi-join the closing edge u→w. Every triangle {u,v,w} is counted
+    * EXACTLY once (its unique orientation-ordered traversal), and the
+    * orientation bounds wedge fan-out by each node's HIGHER-ordered
+    * degree — O(m^1.5) total work even on power-law graphs, where the
+    * unoriented wedge join is Σ deg² (hub-quadratic).
+    *
+    * Scale shape: degree table once (one agg), two hash equi-joins on
+    * node keys, one explode + count. Exact integers throughout — the
+    * `q_g_triangles` oracle replays the identical joins.
+    */
+  def triangleCounts(edges: DataFrame,
+                     srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    // (degree, id) total order; orient a→b in that order
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.withColumnRenamed("id", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("id", "b").withColumnRenamed("d", "db"), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+    val wedges = oriented.select(col("u"), col("v"))
+      .join(oriented.select(col("u").as("v"), col("v").as("w")), "v")
+    val triangles = wedges.join(
+      oriented.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_semi")
+    triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+  }
 }

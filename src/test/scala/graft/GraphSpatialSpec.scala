@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Anonymize, LinkGraph, SpatialJoin}
+
+/** Ground truth for the batch-3 graph/spatial/privacy operators:
+  * grid-blocked radius join vs brute force, triangle counting vs a
+  * serial enumerator, and the k-anonymity ladder's full level range
+  * (including the -1 suppression the corpus gate never reaches).
+  */
+class GraphSpatialSpec extends SparkSpec {
+
+  // ── SpatialJoin ─────────────────────────────────────────────────────
+
+  test("gridSelfJoin matches brute force on a random point set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = (1L to 300L).map(i =>
+      (i, rnd.nextInt(2000).toLong, rnd.nextInt(2000).toLong))
+    val r = 150L
+    val want = (for {
+      (i, xi, yi) <- pts; (j, xj, yj) <- pts if i < j
+      d2 = (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj)
+      if d2 <= r * r
+    } yield (i, j, d2)).toSet
+    val got = SpatialJoin
+      .gridSelfJoin(pts.toDF("id", "x", "y"), "id", "x", "y", r)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty, "degenerate test corpus")
+  }
+
+  test("gridSelfJoin: pairs exactly on the radius are kept, beyond dropped") {
+    import spark.implicits._
+    val pts = Seq((1L, 0L, 0L), (2L, 3L, 4L), (3L, 6L, 0L))
+      .toDF("id", "x", "y")
+    // d(1,2) = 5 (kept at r=5), d(1,3) = 6 (dropped), d(2,3) = sqrt(25)=5
+    val got = SpatialJoin.gridSelfJoin(pts, "id", "x", "y", 5L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 25L), (2L, 3L, 25L)))
+  }
+
+  test("gridSelfJoin finds pairs straddling cell boundaries") {
+    import spark.implicits._
+    // radius 10: cells [0,10), [10,20) — points at 9 and 11 straddle
+    val pts = Seq((1L, 9L, 9L), (2L, 11L, 11L)).toDF("id", "x", "y")
+    val got = SpatialJoin.gridSelfJoin(pts, "id", "x", "y", 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 8L)))
+  }
+
+  // ── LinkGraph.triangleCounts ────────────────────────────────────────
+
+  private def triangles(
+      edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    LinkGraph.triangleCounts(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("triangles: K4 has 3 per node; appendages add none") {
+    // K4 on {1,2,3,4} = 4 triangles, each node in 3; pendant 5-1
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(triangles(k4 :+ (5L, 1L)) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: direction, duplicates and self-loops are normalized away") {
+    // same triangle given as mixed directions + dupes + a self-loop
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
+      (3L, 2L))
+    assert(triangles(messy) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles: random graph matches a serial enumerator") {
+    val rnd = new scala.util.Random(23)
+    val n = 40
+    val edges = (for {
+      a <- 0L until n; b <- (a + 1) until n if rnd.nextInt(5) == 0
+    } yield (a, b)).toSeq
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(b) if adj(a).contains(c)) {
+      want(a) += 1; want(b) += 1; want(c) += 1
+    }
+    assert(triangles(edges) == want.toMap)
+    assert(want.nonEmpty, "degenerate test graph")
+  }
+
+  // ── Anonymize ───────────────────────────────────────────────────────
+
+  test("k-anonymity ladder: every level including suppression") {
+    import spark.implicits._
+    // zip codes: 6 rows share (z,a) → level 0 at k=3; 2 rows share z
+    // only → level 1; one unique row → -1 with a 2-level ladder
+    val rows = Seq(
+      (1L, "94110", 30), (2L, "94110", 30), (3L, "94110", 30),
+      (4L, "94110", 31), (5L, "94110", 32), (6L, "94110", 33),
+      (7L, "10001", 40), (8L, "10001", 41), (9L, "73301", 50))
+      .toDF("id", "zip", "age")
+    val lvls = Anonymize.kAnonymityLevels(rows,
+        Seq(Seq(col("zip"), col("age")), Seq(col("zip"))), k = 3L)
+      .select("id", "anon_level")
+      .as[(Long, Int)].collect().toMap
+    assert(lvls == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1,
+      6L -> 1, 7L -> -1, 8L -> -1, 9L -> -1))
+    // release filter: maxLevel 1 keeps the first six rows only
+    val kept = Anonymize.kAnonymize(rows,
+        Seq(Seq(col("zip"), col("age")), Seq(col("zip"))), k = 3L,
+        maxLevel = 1)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("k-anonymity counts each level over ALL rows (documented contract)") {
+    import spark.implicits._
+    // 2 rows at (z,a)=(x,1) fail level 0 at k=3, but level-1 count
+    // includes the level-0-satisfied rows of the same zip
+    val rows = Seq((1L, "x", 1), (2L, "x", 1), (3L, "x", 2), (4L, "x", 2),
+      (5L, "x", 2)).toDF("id", "zip", "age")
+    val lvls = Anonymize.kAnonymityLevels(rows,
+        Seq(Seq(col("zip"), col("age")), Seq(col("zip"))), k = 3L)
+      .select("id", "anon_level").as[(Long, Int)].collect().toMap
+    assert(lvls == Map(1L -> 1, 2L -> 1, 3L -> 0, 4L -> 0, 5L -> 0))
+  }
+}
