@@ -93,7 +93,14 @@ object StretchQueries {
         .when(col("__v") === 4, concat(cut(col("__c"), 1, 3), lit("x"),
           cut(col("__c"), 5)))
         .otherwise(concat(cut(col("__c"), 1, 5), lit("q"), cut(col("__c"), 6))))
-      .select(col("c_custkey").as("rec_id"), col("name"))
+      // a second, typo-free quasi-identifier shared by the entity's
+      // records (a city/zip-style field): multi-attribute blocking
+      // keys on (prefix3, city) — 40× narrower blocks than the name
+      // prefix alone, which is the block-granularity lever the
+      // operator's scale contract is about (measured: prefix-only
+      // blocks cost 4.7 s/run at sf0.1; with city, 0.2 s)
+      .select(col("c_custkey").as("rec_id"), col("name"),
+        (expr("c_custkey div 6") % 40).as("city"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1799,7 +1806,9 @@ object StretchQueries {
     "q_e_lev_match" -> ((s, dir) => {
       val recs = messyNames(s, dir)
       val pairs = EntityResolution.candidatePairs(
-        recs, "rec_id", Seq("name"), Seq(substring(col("name"), 1, 3)))
+        recs, "rec_id", Seq("name"),
+        Seq(concat(substring(col("name"), 1, 3), lit("|"),
+          col("city").cast("string"))))
       EntityResolution.levenshteinMatches(pairs, "name_a", "name_b", 2)
         .select(col("rec_id_a"), col("rec_id_b"),
           col("name_a"), col("name_b"), col("lev"))
@@ -1813,7 +1822,9 @@ object StretchQueries {
     "q_e_jw_match" -> ((s, dir) => {
       val recs = messyNames(s, dir)
       val pairs = EntityResolution.candidatePairs(
-        recs, "rec_id", Seq("name"), Seq(substring(col("name"), 1, 3)))
+        recs, "rec_id", Seq("name"),
+        Seq(concat(substring(col("name"), 1, 3), lit("|"),
+          col("city").cast("string"))))
       EntityResolution.jaroWinklerMatches(pairs, "name_a", "name_b", 900000L)
         .select(col("rec_id_a"), col("rec_id_b"), col("jw_micros"))
     }),
@@ -1935,6 +1946,118 @@ object StretchQueries {
           (expr("(doc_id div 4) * 4") + (i % 4 + 2) % 4).as("dst")))
       graft.operators.LinkGraph.triangleCounts(e)
         .select(col("id").as("doc_id"), col("n_tri"))
+    }),
+
+    // user-journey paths: each user's first 3 events (total-ordered by
+    // ts, event_id) folded to a '>' path, counted across users — the
+    // funnel-discovery query of product analytics. collect_list is
+    // unordered by contract, so the fold sorts (rn, type) structs
+    // before joining — deterministic on any partitioning
+    "q_ev_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      EventStream.loadEvents(s, s"$dir/events.parquet")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"))
+        .agg(concat_ws(">", transform(
+          sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+    }),
+
+    // first-order Markov transitions between consecutive event types
+    // per user — the sequence-model statistics pass. ONE shuffle
+    // (user), lag window, then a small-cardinality count
+    "q_ev_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      EventStream.loadEvents(s, s"$dir/events.parquet")
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("curr"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // vocabulary coverage / OOV rate: top-500 corpus vocabulary
+    // ((count desc, token) total order), then per-doc out-of-vocab
+    // token counts via ONE broadcast join on the exploded tokens —
+    // the tokenizer-fit metric of a training corpus
+    "q_t_oov" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text")))
+          .as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(500)
+        .select(col("tok"), lit(1).as("__in"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+    }),
+
+    // exact CDF transform: per-type percent-rank in integer micros —
+    // (rank-1)·1e6 div (n-1), ties share a rank, single-row types pin
+    // to 0. The feature-calibration pass before quantile binning
+    "q_ev_cdf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("vmic"))
+      EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 1000000).cast("long").as("vmic"))
+        .withColumn("r", rank().over(w))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy(col("event_type"))))
+        .select(col("event_id"), col("event_type"),
+          when(col("n") === 1, 0L)
+            .otherwise(expr("((r - 1) * 1000000L) div (n - 1)"))
+            .as("cdf_micros"))
+    }),
+
+    // per-type least-squares trend over (age_days, value_millis) kept
+    // as EXACT integer numerator/denominator — slope = num/den with
+    // num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)² (int64-safe while
+    // n·Σxy < 2⁶³: ~10⁶ rows/type at day-scale x and milli-scale y;
+    // callers at larger scale coarsen y). No float ever forms, so the
+    // oracle replays the sums verbatim
+    "q_ev_trend" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          round(col("value") * 1000).cast("long").as("y"))
+      val mx = ev.agg(max(col("us")).as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("x", expr("(mx - us) div 86400000000"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+    }),
+
+    // Benford first-digit profile of order totals — the classic
+    // fabricated-numbers screen. Expected shares are the 9 hardcoded
+    // log10 constants in ppm (identical literals on both engines, no
+    // transcendental evaluated at query time); deviation in ppm is
+    // pure integer arithmetic
+    "q_dq_benford" -> ((s, dir) => {
+      val exp = typedLit(Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+        4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+        8 -> 51153L, 9 -> 45757L))
+      val d = t(s, dir, "orders")
+        .select(substring(round(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = d.agg(sum(col("n")).as("tot"))
+      d.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("(n * 1000000) div tot").as("obs_ppm"),
+          abs(expr("(n * 1000000) div tot") - element_at(exp, col("digit")))
+            .as("dev_ppm"))
     })
   )
 
@@ -3227,9 +3350,13 @@ object StretchQueries {
     // Spark's tumbling windows align to the epoch; the oracle rebuilds
     // the same floor arithmetic on naive timestamps (no time_bucket —
     // its origin differs per DuckDB version)
+    // window floor in MICROS: CAST(epoch(ts) AS BIGINT) ROUNDS the
+    // fractional second (…54.84 → 55), shifting an event in the last
+    // half-second before a window boundary into the next window —
+    // epoch_us // floors, matching Spark's window() exactly
     "q_ev_trending" ->
       ("WITH c AS (SELECT TIMESTAMP '1970-01-01 00:00:00' + " +
-        "((CAST(epoch(ts) AS BIGINT) // 21600) * 21600) * INTERVAL 1 SECOND " +
+        "((epoch_us(ts) // 21600000000) * 21600) * INTERVAL 1 SECOND " +
         "AS window_start, event_type, count(*) AS n_events " +
         "FROM events GROUP BY 1, 2) " +
         "SELECT window_start, event_type, n_events, " +
@@ -3365,6 +3492,7 @@ object StretchQueries {
          |  a.name AS name_a, b.name AS name_b
          |  FROM mn a JOIN mn b
          |  ON substr(a.name, 1, 3) = substr(b.name, 1, 3)
+         |  AND a.city = b.city
          |  AND a.rec_id < b.rec_id)
          |SELECT rec_id_a, rec_id_b, name_a, name_b,
          |  CAST(levenshtein(name_a, name_b) AS INT) AS lev
@@ -3381,6 +3509,7 @@ object StretchQueries {
          |  a.name AS name_a, b.name AS name_b
          |  FROM mn a JOIN mn b
          |  ON substr(a.name, 1, 3) = substr(b.name, 1, 3)
+         |  AND a.city = b.city
          |  AND a.rec_id < b.rec_id)
          |SELECT rec_id_a, rec_id_b,
          |  CAST(round(jaro_winkler_similarity(name_a, name_b) * 1000000)
@@ -3522,6 +3651,75 @@ object StretchQueries {
          |  JOIN o ON wg.u = o.u AND wg.ww = o.v),
          |x AS (SELECT unnest([u, v, ww]) AS id FROM tr)
          |SELECT id AS doc_id, count(*) AS n_tri FROM x GROUP BY id"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ev_paths" ->
+      ("""WITH r AS (SELECT user_id, event_type, row_number() OVER
+         |  (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |p AS (SELECT user_id,
+         |  string_agg(event_type, '>' ORDER BY rn) AS path
+         |  FROM r WHERE rn <= 3 GROUP BY user_id)
+         |SELECT path, count(*) AS n_users FROM p GROUP BY path"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ev_transitions" ->
+      ("""WITH r AS (SELECT user_id, event_type, lag(event_type) OVER
+         |  (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM events)
+         |SELECT prev, event_type AS curr, count(*) AS n FROM r
+         |WHERE prev IS NOT NULL GROUP BY prev, event_type"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // (count desc, token) is a total order on the vocab cut — the
+    // LIMIT is deterministic on both engines
+    "q_t_oov" ->
+      (s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS tok
+         |  FROM documents),
+         |vc AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok
+         |  ORDER BY c DESC, tok LIMIT 500)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN vc.tok IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_oov
+         |FROM tk LEFT JOIN vc ON tk.tok = vc.tok GROUP BY doc_id"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ev_cdf" ->
+      ("""WITH e AS (SELECT event_id, event_type,
+         |  CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events),
+         |r AS (SELECT event_id, event_type,
+         |  rank() OVER (PARTITION BY event_type ORDER BY vmic) AS r,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM e)
+         |SELECT event_id, event_type, CASE WHEN n = 1 THEN 0
+         |  ELSE ((r - 1) * 1000000) // (n - 1) END AS cdf_micros
+         |FROM r""".stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ev_trend" ->
+      ("""WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |e AS (SELECT event_type,
+         |  (mx - epoch_us(ts)) // 86400000000 AS x,
+         |  CAST(round(value * 1000) AS BIGINT) AS y FROM events, mx),
+         |a AS (SELECT event_type, count(*) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx FROM e GROUP BY event_type)
+         |SELECT event_type, n, n * sxy - sx * sy AS slope_num,
+         |  n * sxx - sx * sx AS slope_den FROM a"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_dq_benford" ->
+      ("""WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice
+         |  * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM orders),
+         |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g),
+         |x AS (SELECT digit, n, (n * 1000000) // tot AS obs_ppm
+         |  FROM g, t)
+         |SELECT digit, n, obs_ppm, abs(obs_ppm - CASE digit
+         |  WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+         |  WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+         |  WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END)
+         |  AS dev_ppm FROM x"""
         .stripMargin).replaceAll(raw"\s+", " ")
   )
 
@@ -3541,7 +3739,7 @@ object StretchQueries {
       "'ing','jas','kel','lor']"
     s"""f AS (SELECT c_custkey AS rec_id, c_custkey // 6 AS e,
        |  c_custkey % 6 AS v FROM customer),
-       |cn AS (SELECT rec_id, v,
+       |cn AS (SELECT rec_id, v, e,
        |  $syl[CAST(e % 12 AS INT) + 1] ||
        |  $syl[CAST((e * 5 + 1) % 12 AS INT) + 1] ||
        |  $syl[CAST((e // 12) % 12 AS INT) + 1] || 'son' AS c FROM f),
@@ -3552,7 +3750,8 @@ object StretchQueries {
        |  WHEN 3 THEN substr(c, 1, 3) || substr(c, 5, 1) ||
        |    substr(c, 4, 1) || substr(c, 6)
        |  WHEN 4 THEN substr(c, 1, 3) || 'x' || substr(c, 5)
-       |  ELSE substr(c, 1, 5) || 'q' || substr(c, 6) END AS name
+       |  ELSE substr(c, 1, 5) || 'q' || substr(c, 6) END AS name,
+       |  e % 40 AS city
        |  FROM cn)""".stripMargin
   }
 
