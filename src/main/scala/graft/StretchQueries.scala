@@ -83,8 +83,8 @@ object StretchQueries {
     t(s, dir, "customer").select(col("c_custkey"))
       .withColumn("__e", expr("c_custkey div 6"))
       .withColumn("__v", col("c_custkey") % 6)
-      .withColumn("__c", concat(at(col("__e")), at(col("__e") * 5 + 1),
-        at(expr("(c_custkey div 6) div 12")), lit("son")))
+      .withColumn("__c", concat(at(col("__e")), at(expr("__e div 12")),
+        at(expr("__e div 144")), lit("son")))
       .withColumn("name", when(col("__v") === 0, col("__c"))
         .when(col("__v") === 1, concat(cut(col("__c"), 1, 3), cut(col("__c"), 5)))
         .when(col("__v") === 2, concat(cut(col("__c"), 1, 4), cut(col("__c"), 4)))
@@ -1948,6 +1948,21 @@ object StretchQueries {
         .select(col("id").as("doc_id"), col("n_tri"))
     }),
 
+    // entity resolution, set-similarity arm: trigram-posting pairs
+    // over the composed name|city key — the blocking mechanism that
+    // survives FIRST-character edits where the prefix blocker goes
+    // blind. Stop-grams above df = n/10 drop (the Σ df² skew knob);
+    // the oracle replays grams, cap and fold
+    "q_e_trigram_pairs" -> ((s, dir) => {
+      val recs = messyNames(s, dir)
+        .select(col("rec_id"),
+          concat(col("name"), lit("|"), col("city").cast("string"))
+            .as("k"))
+      val n = recs.count() // bounded driver metadata, like q_g_pagerank
+      EntityResolution.trigramPairs(recs, "rec_id", "k",
+        minCommon = 5, maxDf = n / 10)
+    }),
+
     // user-journey paths: each user's first 3 events (total-ordered by
     // ts, event_id) folded to a '>' path, counted across users — the
     // funnel-discovery query of product analytics. collect_list is
@@ -3653,6 +3668,25 @@ object StretchQueries {
          |SELECT id AS doc_id, count(*) AS n_tri FROM x GROUP BY id"""
         .stripMargin).replaceAll(raw"\s+", " "),
 
+    "q_e_trigram_pairs" ->
+      (s"""WITH $messyNamesCtes,
+         |rk AS (SELECT rec_id, name || '|' || CAST(city AS VARCHAR)
+         |  AS k FROM mn),
+         |nrec AS (SELECT count(*) AS n FROM rk),
+         |g0 AS (SELECT rec_id, unnest(list_distinct(list_transform(
+         |  range(1, greatest(length(k) - 2, 1) + 1),
+         |  i -> substr(k, CAST(i AS INT), 3)))) AS g FROM rk),
+         |df AS (SELECT g, count(*) AS df FROM g0 GROUP BY g),
+         |gs AS (SELECT g0.rec_id, g0.g FROM g0 JOIN df USING (g), nrec
+         |  WHERE df.df <= nrec.n // 10),
+         |p AS (SELECT a.rec_id AS rec_id_a, b.rec_id AS rec_id_b,
+         |  count(*) AS n_common
+         |  FROM gs a JOIN gs b ON a.g = b.g AND a.rec_id < b.rec_id
+         |  GROUP BY 1, 2)
+         |SELECT rec_id_a, rec_id_b, n_common FROM p
+         |WHERE n_common >= 5"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
     "q_ev_paths" ->
       ("""WITH r AS (SELECT user_id, event_type, row_number() OVER
          |  (PARTITION BY user_id ORDER BY ts, event_id) AS rn
@@ -3741,8 +3775,8 @@ object StretchQueries {
        |  c_custkey % 6 AS v FROM customer),
        |cn AS (SELECT rec_id, v, e,
        |  $syl[CAST(e % 12 AS INT) + 1] ||
-       |  $syl[CAST((e * 5 + 1) % 12 AS INT) + 1] ||
-       |  $syl[CAST((e // 12) % 12 AS INT) + 1] || 'son' AS c FROM f),
+       |  $syl[CAST((e // 12) % 12 AS INT) + 1] ||
+       |  $syl[CAST((e // 144) % 12 AS INT) + 1] || 'son' AS c FROM f),
        |mn AS (SELECT rec_id, CASE v
        |  WHEN 0 THEN c
        |  WHEN 1 THEN substr(c, 1, 3) || substr(c, 5)

@@ -63,7 +63,24 @@ object ScaleGate {
     // sort; users scale 10x with history depth held constant, so the
     // ratio is n*log(n)-ish. A per-user quadratic frame scan (the
     // classic RANGE-frame implementation trap) would blow far past it
-    "q_ev_trailing" -> 14.0
+    "q_ev_trailing" -> 14.0,
+    // islands-and-gaps interval merge: same window family as
+    // q_ev_trailing (one shuffle, per-user sort, linear windows); a
+    // reintroduced overlap SELF-join would be per-user quadratic
+    "q_ev_coalesce" -> 14.0,
+    // degree-ordered triangle enumeration: the scaled corpus keeps the
+    // per-copy K4 cliques and skews the long-range maps toward copy
+    // 0's id range — exactly the hub shape the orientation exists to
+    // bound. An unoriented wedge join is hub-quadratic (Σ deg²)
+    "q_g_triangles" -> 10.0
+    // NOT gated (documented, not an oversight): q_g_spatial and the
+    // three q_e_* pair generators. ScaleUp multiplies DENSITY inside
+    // a fixed coordinate plane / fixed synthetic key space, so their
+    // TRUE result size grows ~100× at 10× rows by construction — a
+    // ratio envelope would gate the corpus synth, not the operator.
+    // At real scale the levers are cell size / block keys / gram df
+    // caps, which the operators expose and their Scaladoc contracts
+    // document.
   )
 
   def main(args: Array[String]): Unit = {

