@@ -1963,6 +1963,105 @@ object StretchQueries {
         minCommon = 5, maxDf = n / 10)
     }),
 
+    // entity resolution end-to-end: blocked pairs → edit-distance
+    // matches → connected components (the dedup family's CC, long-id
+    // fast path or iterative) — every record labeled with its
+    // entity-cluster representative (min id). The oracle propagates
+    // min labels for 8 unrolled rounds — the match graph's measured
+    // diameter is 3 at gate scale, so propagation has converged
+    "q_e_resolve" -> ((s, dir) => {
+      val recs = messyNames(s, dir)
+      val pairs = EntityResolution.candidatePairs(
+        recs, "rec_id", Seq("name"),
+        Seq(concat(substring(col("name"), 1, 3), lit("|"),
+          col("city").cast("string"))))
+      val matches = EntityResolution
+        .levenshteinMatches(pairs, "name_a", "name_b", 2)
+        .select(col("rec_id_a").as("id_a"), col("rec_id_b").as("id_b"))
+      Dedup.connectedComponents(matches)
+    }),
+
+    // time-series resampling with gap fill: per-user hourly grid from
+    // first to last activity, missing hours at 0, running cumulative —
+    // the regularization pass before any sequence model. The grid
+    // generates from per-user (min, max) spans (sequence + explode),
+    // never from a calendar cross join
+    "q_ev_resample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 3600000000").as("h"))
+      val cnt = ev.groupBy(col("user_id"), col("h"))
+        .agg(count(lit(1)).as("n"))
+      val grid = cnt.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"))).as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(cnt, Seq("user_id", "h"), "left")
+        .withColumn("n_events", coalesce(col("n"), lit(0L)))
+        .withColumn("cum_events", sum(col("n_events")).over(w))
+        .select(col("user_id"), col("h"), col("n_events"),
+          col("cum_events"))
+    }),
+
+    // feature hashing (hashing-trick vectorization): token → one of
+    // 128 buckets via the md5 hex32 polynomial (engine-replayable),
+    // per-doc bucket counts — the fixed-width featurizer that needs
+    // no vocabulary broadcast at any corpus size
+    "q_ml_fhash" -> ((s, dir) => {
+      val bucket = conv(substring(md5(concat(lit("fh:"), col("tok"))),
+        1, 8), 16, 10).cast("long") % 128
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), bucket.as("bucket"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // leave-one-out target encoding: each order's category statistic
+    // EXCLUDING itself — the leakage-free categorical encoder. Exact
+    // integer numerator/denominator (cents); a singleton category
+    // yields den = 0, which the consumer treats as "no signal"
+    "q_ml_target_enc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("cat"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority").as("cat"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("loo_num", sum(col("cents")).over(w) - col("cents"))
+        .withColumn("loo_den", count(lit(1)).over(w) - 1)
+        .select(col("o_orderkey"), col("cat"), col("loo_num"),
+          col("loo_den"))
+    }),
+
+    // two-sample distribution drift: early-vs-late halves of the event
+    // stream, 10 equal-width value buckets from the GLOBAL range, and
+    // the cross-multiplied per-bucket imbalance na·Nb − nb·Na — the
+    // integer-exact drift screen (no float ratios, no log); values at
+    // the global max clamp into the last bucket
+    "q_dq_drift" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(unix_micros(col("ts")).as("us"),
+          round(col("value") * 1000000).cast("long").as("vmic"))
+      val bounds = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"),
+        min(col("vmic")).as("lo"), max(col("vmic")).as("hi"))
+      val bucketed = ev.crossJoin(broadcast(bounds))
+        .select(
+          least(expr("((vmic - lo) * 10) div (hi - lo + 1)"), lit(9L))
+            .as("bucket"),
+          (col("us") * 2 < col("t0") + col("t1")).as("early"))
+      val agg = bucketed.groupBy(col("bucket"))
+        .agg(sum(when(col("early"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("early"), 1L).otherwise(0L)).as("nb"))
+      val tots = agg.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      agg.crossJoin(broadcast(tots))
+        .select(col("bucket"), col("na"), col("nb"),
+          (col("na") * col("tb") - col("nb") * col("ta")).as("imbalance"))
+    }),
+
     // user-journey paths: each user's first 3 events (total-ordered by
     // ts, event_id) folded to a '>' path, counted across users — the
     // funnel-discovery query of product analytics. collect_list is
@@ -3686,6 +3785,80 @@ object StretchQueries {
          |SELECT rec_id_a, rec_id_b, n_common FROM p
          |WHERE n_common >= 5"""
         .stripMargin).replaceAll(raw"\s+", " "),
+
+    // min-label propagation unrolled 8 rounds over the undirected
+    // match edges — exact CC once rounds ≥ diameter (measured 3)
+    "q_e_resolve" -> {
+      def round(prev: String, out: String): String =
+        s"$out AS (SELECT v.id, least(v.l, coalesce(m.nm, v.l)) AS l " +
+          s"FROM $prev v LEFT JOIN (SELECT e.d AS id, min($prev.l) AS nm " +
+          s"FROM e JOIN $prev ON e.s = $prev.id GROUP BY e.d) m " +
+          "ON v.id = m.id)"
+      val rounds = (0 until 8)
+        .map(i => round(s"r$i", s"r${i + 1}")).mkString(", ")
+      (s"""WITH $messyNamesCtes,
+         |p AS (SELECT a.rec_id AS ra, b.rec_id AS rb
+         |  FROM mn a JOIN mn b
+         |  ON substr(a.name, 1, 3) = substr(b.name, 1, 3)
+         |  AND a.city = b.city AND a.rec_id < b.rec_id
+         |  WHERE levenshtein(a.name, b.name) <= 2),
+         |e AS (SELECT ra AS s, rb AS d FROM p
+         |  UNION ALL SELECT rb, ra FROM p),
+         |r0 AS (SELECT DISTINCT s AS id, s AS l FROM e),
+         |""".stripMargin + rounds +
+        " SELECT id, l AS component FROM r8")
+        .replaceAll(raw"\s+", " ")
+    },
+
+    "q_ev_resample" ->
+      ("""WITH ev AS (SELECT user_id,
+         |  epoch_us(ts) // 3600000000 AS h FROM events),
+         |cnt AS (SELECT user_id, h, count(*) AS n FROM ev GROUP BY 1, 2),
+         |sp AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM cnt
+         |  GROUP BY 1),
+         |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM sp),
+         |f AS (SELECT g.user_id, g.h, coalesce(cnt.n, 0) AS ne
+         |  FROM grid g LEFT JOIN cnt
+         |  ON g.user_id = cnt.user_id AND g.h = cnt.h)
+         |SELECT user_id, h, CAST(ne AS BIGINT) AS n_events,
+         |  CAST(sum(ne) OVER (PARTITION BY user_id ORDER BY h
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |  AS BIGINT) AS cum_events FROM f"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ml_fhash" ->
+      (s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS tok
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ${hex32Sql("md5('fh:' || tok)")} % 128 AS bucket,
+         |  count(*) AS n FROM tk GROUP BY 1, 2"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ml_target_enc" ->
+      ("""WITH o AS (SELECT o_orderkey, o_orderpriority,
+         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders)
+         |SELECT o_orderkey, o_orderpriority AS cat,
+         |  CAST(sum(cents) OVER (PARTITION BY o_orderpriority) - cents
+         |    AS BIGINT) AS loo_num,
+         |  count(*) OVER (PARTITION BY o_orderpriority) - 1 AS loo_den
+         |FROM o""".stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_dq_drift" ->
+      ("""WITH ev AS (SELECT epoch_us(ts) AS us,
+         |  CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events),
+         |b AS (SELECT min(us) AS t0, max(us) AS t1, min(vmic) AS lo,
+         |  max(vmic) AS hi FROM ev),
+         |k AS (SELECT least(((vmic - lo) * 10) // (hi - lo + 1), 9)
+         |  AS bucket, (us * 2 < t0 + t1) AS early FROM ev, b),
+         |a AS (SELECT bucket,
+         |  CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |  CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS nb
+         |  FROM k GROUP BY bucket),
+         |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+         |  CAST(sum(nb) AS BIGINT) AS tb FROM a)
+         |SELECT bucket, na, nb, na * tb - nb * ta AS imbalance
+         |FROM a, t""".stripMargin).replaceAll(raw"\s+", " "),
 
     "q_ev_paths" ->
       ("""WITH r AS (SELECT user_id, event_type, row_number() OVER
