@@ -1033,6 +1033,34 @@ object SparkEntry {
       tbl.history().select(col("version"), col("kind"), col("target"))
     }),
 
+    // ── S21: Bloom-index point lookup — equality skipping on a
+    //    HASH-distributed key, where every file's [min,max] spans the
+    //    whole range and the interval manifest prunes nothing. The
+    //    per-file Bloom (Catalyst's own BloomFilterAggregate, one
+    //    pass, grouped by input_file_name) opens ~1 of 16 files per
+    //    key; a false positive costs a wasted open, never a wrong row
+    //    (the exact filter still runs). LayoutExtensionsSpec pins the
+    //    pruning ratio and absent-key behavior ──────────────────────
+    "q_s21_bloom_point" -> ((s, dir) => {
+      val scratch = graft.engine.Scratch.ensure(s, "bloomidx",
+        s"$dir/orders.parquet", "bloom-v1") { out =>
+        val path = s"$out/ord"
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .repartition(16, col("o_orderkey"))
+          .write.parquet(path)
+        graft.engine.Layout.writeBloomIndex(s, path, "o_orderkey",
+          expectedPerFile = 1 << 17)
+      }
+      // three smallest keys — present at every sf, driver metadata
+      val keys = t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(3).collect().map(_.getLong(0))
+      keys.map(k => graft.engine.Layout.pointRead(
+          s, s"$scratch/ord", "o_orderkey", k))
+        .reduce(_ unionByName _)
+    }),
+
     // ── S12: small-file compaction — 16 writer files rewritten into a
     //    target-sized generation; content must be IDENTICAL (the
     //    oracle is the raw table) and the pre-compaction version stays
@@ -1408,6 +1436,13 @@ object SparkEntry {
         "(CAST(1 AS BIGINT), 'data', CAST(1 AS BIGINT)), " +
         "(CAST(2 AS BIGINT), 'restore', CAST(0 AS BIGINT))) " +
         "AS t(version, kind, target)"),
+
+    // bloom skipping must be content-invisible: exactly the rows of
+    // the three smallest keys, however few files were opened
+    "q_s21_bloom_point" ->
+      ("SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders " +
+        "WHERE o_orderkey IN " +
+        "(SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)"),
 
     // compaction must be content-invisible
     "q_s8_compact" -> "SELECT * FROM part",

@@ -488,4 +488,107 @@ object Layout {
       col(s"min_$colName") <= lit(hi)).count()
     (kept, total)
   }
+
+  // ── Bloom-filter equality skipping ─────────────────────────────────
+
+  private def bloomPath(tablePath: String, colName: String): String =
+    tablePath + s"__bloom_$colName"
+
+  /** Per-file Bloom index for EQUALITY predicates — the skipping
+    * companion to the min/max manifest: range stats prune interval
+    * scans, but a point lookup on a HASH-distributed key (user id,
+    * order key) intersects every file's range and prunes nothing.
+    * A per-file Bloom answers "might this file contain k?" instead,
+    * so the lookup opens ~1 file out of 30,000 with fpp-bounded
+    * false opens (a false positive costs one wasted file read,
+    * never a wrong result — the exact filter still runs).
+    *
+    * Built Spark-native in ONE pass: Catalyst's own
+    * `BloomFilterAggregate` (the kernel behind runtime row-filter
+    * pushdown) over `xxhash64(col)`, grouped by `input_file_name()` —
+    * no per-file driver loop, no second scan per file. Blooms store
+    * by file NAME (location-independent, like the stats manifest).
+    *
+    * The index column must be LongType or StringType (the two
+    * shapes [[pointRead]] can hash identically driver-side).
+    */
+  def writeBloomIndex(spark: org.apache.spark.sql.SparkSession,
+                      tablePath: String, colName: String,
+                      expectedPerFile: Long = 1000000L,
+                      fpp: Double = 0.01): Unit = {
+    import org.apache.spark.sql.functions._
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedPerFile, fpp)
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        org.apache.spark.sql.graftshim.ColumnBridge
+          .expression(xxhash64(col(colName))),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedPerFile),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+    val bloomCol = org.apache.spark.sql.graftshim.ColumnBridge
+      .column(agg.toAggregateExpression())
+    spark.read.parquet(tablePath)
+      .groupBy(regexp_replace(input_file_name(), "^.*/", "").as("file"))
+      .agg(bloomCol.as("bloom"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(bloomPath(tablePath, colName))
+  }
+
+  /** The driver-side hash matching `xxhash64(col)` for the two
+    * supported key types (Spark's XXH64, seed 42).
+    */
+  private[graft] def bloomHash(value: Any): Long = value match {
+    case l: Long => org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashLong(l, 42L)
+    case i: Int => org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashInt(i, 42L)
+    case s: String =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, 42L)
+    case other => throw new IllegalArgumentException(
+      s"bloom key type unsupported: ${other.getClass}")
+  }
+
+  /** Point lookup through the Bloom index: open only the files whose
+    * Bloom might contain the key, then apply the exact equality
+    * filter. Returns the rows; [[filesForPoint]] reports the pruning
+    * ratio for the plan-quality pins.
+    */
+  def pointRead(spark: org.apache.spark.sql.SparkSession,
+                tablePath: String, colName: String,
+                value: Any): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val h = bloomHash(value)
+    // bloom table = one small row per file (driver metadata, same
+    // category as the planner's file listing)
+    val files = spark.read.parquet(bloomPath(tablePath, colName))
+      .collect()
+      .filter { r =>
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(r.getAs[Array[Byte]]("bloom"))
+        bf.mightContainLong(h)
+      }
+      .map(r => s"$tablePath/${r.getAs[String]("file")}")
+    if (files.isEmpty)
+      spark.read.parquet(tablePath).filter(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*)
+      .filter(col(colName) === lit(value))
+  }
+
+  /** (files a point lookup opens, total files) — the skipping
+    * effectiveness meter.
+    */
+  def filesForPoint(spark: org.apache.spark.sql.SparkSession,
+                    tablePath: String, colName: String,
+                    value: Any): (Long, Long) = {
+    val h = bloomHash(value)
+    val rows = spark.read.parquet(bloomPath(tablePath, colName)).collect()
+    val kept = rows.count { r =>
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(r.getAs[Array[Byte]]("bloom")).mightContainLong(h)
+    }
+    (kept.toLong, rows.length.toLong)
+  }
 }

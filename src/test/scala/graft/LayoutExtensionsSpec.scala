@@ -395,4 +395,64 @@ class LayoutExtensionsSpec extends SparkSpec {
       assert(e.getMessage.contains("held past"))
     } finally fs.delete(lock, false)
   }
+
+  test("bloom point lookup: exact rows, real pruning where min/max " +
+    "prunes nothing, absent keys open ~no files") {
+    val path = tmpDir("bloom") + "/ord"
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    // hash distribution: every file spans the whole key range — the
+    // interval manifest's worst case, the bloom's home turf
+    ord.repartition(8, col("o_orderkey")).write.parquet(path)
+    Layout.writeFileStats(spark, path, Seq("o_orderkey"))
+    Layout.writeBloomIndex(spark, path, "o_orderkey",
+      expectedPerFile = 1 << 14)
+
+    // MIDDLE keys: an extreme key is inside only the global-min
+    // file's range even under hash layout; mid-range keys are inside
+    // every file's [min,max], which is the prunes-nothing claim below
+    val all = ord.select(col("o_orderkey")).orderBy(col("o_orderkey"))
+      .as[Long].collect()
+    val keys = (0 until 5).map(i => all(all.length / 2 + i))
+    keys.foreach { k =>
+      // content: pointRead ≡ full-scan equality filter
+      val got = Layout.pointRead(spark, path, "o_orderkey", k)
+        .select("o_orderkey", "o_totalprice")
+        .as[(Long, Double)].collect().toSet
+      val want = ord.filter(col("o_orderkey") === k)
+        .as[(Long, Double)].collect().toSet
+      assert(got == want && want.nonEmpty, s"key $k")
+      // pruning: the range manifest keeps ALL files (hash layout),
+      // the bloom keeps few
+      val (rangeKept, total) =
+        Layout.filesForInterval(spark, path, "o_orderkey", k, k)
+      assert(rangeKept == total, "hash layout should defeat min/max")
+      val (bloomKept, total2) = Layout.filesForPoint(
+        spark, path, "o_orderkey", k)
+      assert(total2 == total && bloomKept <= math.max(1, total / 2),
+        s"bloom kept $bloomKept of $total2 for key $k")
+    }
+    // absent keys: average opens must be fpp-small, and results empty
+    val absent = (1L to 50L).map(i => 1000000000L + i)
+    val opens = absent.map { k =>
+      assert(Layout.pointRead(spark, path, "o_orderkey", k).isEmpty)
+      Layout.filesForPoint(spark, path, "o_orderkey", k)._1
+    }
+    assert(opens.sum <= absent.size, // avg ≤ 1 file at fpp=0.01 × 8 files
+      s"absent keys opened ${opens.sum} files over ${absent.size} probes")
+  }
+
+  test("bloom index supports string keys") {
+    val path = tmpDir("bloomstr") + "/c"
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_name"), col("c_acctbal"))
+    c.repartition(4, col("c_name")).write.parquet(path)
+    Layout.writeBloomIndex(spark, path, "c_name", expectedPerFile = 1 << 12)
+    val name = c.select(col("c_name")).orderBy(col("c_name"))
+      .limit(1).as[String].head()
+    val got = Layout.pointRead(spark, path, "c_name", name).count()
+    assert(got == c.filter(col("c_name") === name).count() && got >= 1)
+    assert(Layout.pointRead(spark, path, "c_name", "no such customer")
+      .isEmpty)
+  }
 }
