@@ -1963,6 +1963,17 @@ object StretchQueries {
         minCommon = 5, maxDf = n / 10)
     }),
 
+    // MMR diverse selection: greedy k-round argmax of relevance minus
+    // max-similarity-to-picked, all cosines micros-rounded BEFORE any
+    // comparison so the greedy trajectory is engine-exact. Driver-side
+    // loop over k=6 rounds, one corpus scan + TakeOrdered(1) each
+    "q_v_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ref = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toIndexedSeq
+      SimilaritySearch.mmrSelect(emb.filter(col("vec_id") =!= 0), ref, k = 6)
+    }),
+
     // entity resolution end-to-end: blocked pairs → edit-distance
     // matches → connected components (the dedup family's CC, long-id
     // fast path or iterative) — every record labeled with its
@@ -3785,6 +3796,50 @@ object StretchQueries {
          |SELECT rec_id_a, rec_id_b, n_common FROM p
          |WHERE n_common >= 5"""
         .stripMargin).replaceAll(raw"\s+", " "),
+
+    // the k greedy MMR rounds unrolled: each w_i CTE is the argmax of
+    // (relmic − greatest of micros-cosines to w_1..w_{i−1}), ties by
+    // id — the identical integer trajectory the Spark loop walks
+    "q_v_mmr" -> {
+      def cosm(a: String, b: String): String =
+        s"CAST(round(1000000 * (" +
+          s"list_sum(list_transform(range(1, len($a) + 1), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
+          s"(sqrt(list_sum(list_transform(range(1, len($a) + 1), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) * " +
+          s"sqrt(list_sum(list_transform(range(1, len($b) + 1), " +
+          s"i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))) " +
+          "AS BIGINT)"
+      val k = 6
+      // DuckDB disallows subqueries inside list lambdas — winner
+      // vectors join in as plain columns instead
+      val steps = (1 to k).map { i =>
+        if (i == 1)
+          "w1 AS (SELECT vec_id, relmic AS margin, v FROM r " +
+            "ORDER BY margin DESC, vec_id LIMIT 1)"
+        else {
+          val joins = (1 until i)
+            .map(j => s"CROSS JOIN (SELECT v AS pv$j FROM w$j) x$j")
+            .mkString(" ")
+          val sims = (1 until i)
+            .map(j => cosm("r.v", s"pv$j")).mkString(", ")
+          val gr = if (i == 2) sims else s"greatest($sims)"
+          val excl = (1 until i).map(j => s"SELECT vec_id FROM w$j")
+            .mkString(" UNION ALL ")
+          s"w$i AS (SELECT r.vec_id, r.relmic - $gr AS margin, r.v " +
+            s"FROM r $joins WHERE r.vec_id NOT IN ($excl) " +
+            "ORDER BY margin DESC, r.vec_id LIMIT 1)"
+        }
+      }.mkString(", ")
+      val out = (1 to k).map(i =>
+        s"SELECT $i AS step, vec_id, margin AS margin_micros FROM w$i")
+        .mkString(" UNION ALL ")
+      (s"WITH rf AS (SELECT embedding AS refv FROM embeddings " +
+        "WHERE vec_id = 0), " +
+        s"r AS (SELECT vec_id, embedding AS v, " +
+        s"${cosm("embedding", "refv")} AS relmic " +
+        s"FROM embeddings CROSS JOIN rf WHERE vec_id <> 0), $steps $out")
+    },
 
     // min-label propagation unrolled 8 rounds over the undirected
     // match edges — exact CC once rounds ≥ diameter (measured 3)

@@ -74,6 +74,67 @@ object SimilaritySearch {
     TopK.topKPerKey(scored, k)(corpus.sparkSession)
   }
 
+  /** Maximal-marginal-relevance diverse selection: greedily pick k
+    * vectors maximizing relevance MINUS similarity to anything already
+    * picked — the diversity sampler of a training-data pipeline
+    * (augmentation-source picking, eval-set curation, prompt-seed
+    * spread), where plain top-k returns k near-copies of the same
+    * mode.
+    *
+    *   margin(v) = rel_micros(v) − max_{s ∈ selected} cos_micros(v, s)
+    *
+    * with relevance = cosine to `refVec`, every cosine rounded to
+    * integer MICROS before any comparison — so the greedy argmax
+    * (margin desc, id asc) is engine-exact and the `q_v_mmr` oracle
+    * replays the k unrolled steps verbatim.
+    *
+    * Execution: the selection loop is DRIVER-side over k rounds (k is
+    * a small constant — this is a "pick 8 of a billion" operator, not
+    * a join); each round is ONE corpus scan scoring against the ≤ k
+    * broadcast-literal selected vectors, with the argmax as a bounded
+    * TakeOrdered(1), never a global sort. Cost k·|corpus|·dim FLOPs,
+    * zero shuffles beyond the argmax's single-row reduction.
+    */
+  def mmrSelect(corpus: DataFrame, refVec: Seq[Float], k: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 64, s"driver-side greedy loop: k=$k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def mic(c: Column): Column = round(c * 1000000).cast("long")
+    val (base, baseScratch) = Materialize.viaScratchWithPath(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .withColumn("relmic", mic(cosine(col("vec"), typedlit(refVec)))),
+      "graft-mmr-base")
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Seq[Float])]
+    var step = 1
+    while (step <= k) {
+      val margin = picked.toSeq
+        .map(p => mic(cosine(col("vec"), typedlit(p._4)))) match {
+        case Nil      => col("relmic")
+        case Seq(one) => col("relmic") - one
+        case many     => col("relmic") - greatest(many: _*)
+      }
+      val pickedIds = picked.map(_._2)
+      val row = base
+        .filter(!col("id").isInCollection(
+          if (pickedIds.isEmpty) Seq(-1L) else pickedIds.toSeq))
+        .withColumn("margin", margin)
+        .orderBy(col("margin").desc, col("id"))
+        .select(col("id"), col("margin"), col("vec"))
+        .limit(1).collect()
+      require(row.nonEmpty, s"corpus exhausted at step $step")
+      val r = row.head
+      picked += ((step, r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).toIndexedSeq))
+      step += 1
+    }
+    baseScratch.drop() // result is driver-local; the scratch can go
+    picked.toSeq.map(p => (p._1, p._2, p._3))
+      .toDF("step", "vec_id", "margin_micros")
+  }
+
   /** Approximate top-k: hyperplane-bucketed candidate generation, then
     * exact cosine only on signature-close candidates. Recall < 1 by
     * design; the output shape is identical to the exact path so

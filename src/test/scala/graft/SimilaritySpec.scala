@@ -393,4 +393,38 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(twice == once.map { case (k, v) => k -> v * 2 })
   }
+
+  test("mmrSelect spreads across planted clusters where top-k collapses " +
+    "into one") {
+    import spark.implicits._
+    // three tight clusters along distinct axes; relevance reference
+    // slightly favors cluster 0 — plain top-3 would take all of
+    // cluster 0, MMR must take one per cluster
+    def v(axis: Int, eps: Float): Seq[Float] = {
+      val a = Array.fill(6)(0.01f)
+      a(axis) = 1.0f
+      a((axis + 3) % 6) += eps
+      a.toSeq
+    }
+    val rows = (for {
+      c <- 0 until 3
+      m <- 0 until 3
+    } yield ((c * 3 + m).toLong, v(c, 0.001f * m))).toDF("vec_id", "embedding")
+    val ref = Array.fill(6)(0.4f)
+    ref(0) = 0.6f // cluster-0 bias
+    val picks = graft.operators.SimilaritySearch
+      .mmrSelect(rows, ref.toSeq, k = 3)
+      .select("vec_id").as[Long].collect().toSet
+    val clusters = picks.map(_ / 3)
+    assert(clusters == Set(0L, 1L, 2L),
+      s"MMR must take one per cluster, took $picks")
+    // greedy margins are non-increasing: the winner of step i+1 was
+    // available at step i with at-most that margin, and adding a
+    // selection can only raise the similarity penalty
+    val margins = graft.operators.SimilaritySearch
+      .mmrSelect(rows, ref.toSeq, k = 3)
+      .orderBy("step").select("margin_micros").as[Long].collect()
+    assert(margins.sliding(2).forall { case Array(a, b) => a >= b },
+      s"greedy margins should not increase: ${margins.toSeq}")
+  }
 }
