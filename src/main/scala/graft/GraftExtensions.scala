@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.GraftRules.BoundedLevenshtein)
     e.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash"),
       (es: Seq[Expression]) => MinHashSig(es.head, 3, 32, 42L)))

@@ -159,12 +159,19 @@ object EntityResolution {
 
   /** Edit-distance match: keep pairs with levenshtein ≤ `maxEdits`.
     * Expects `<a>`/`<b>` string columns on the pair stream.
+    *
+    * Uses the BOUNDED kernel (banded O(k·min) DP with early exit)
+    * rather than the full O(n·m) form — on a pair stream most pairs
+    * are non-matches and take the bail-out. The bounded form returns
+    * -1 past the threshold, hence the `>= 0` guard (the same rewrite
+    * [[graft.plans.GraftRules.BoundedLevenshtein]] applies to SQL
+    * predicates); for surviving pairs the value IS the exact distance.
     */
   def levenshteinMatches(
       pairs: DataFrame, a: String, b: String, maxEdits: Int): DataFrame =
     pairs
-      .withColumn("lev", levenshtein(col(a), col(b)))
-      .filter(col("lev") <= maxEdits)
+      .withColumn("lev", levenshtein(col(a), col(b), maxEdits))
+      .filter(col("lev") >= 0 && col("lev") <= maxEdits)
 
   /** Jaro–Winkler match in rounded integer micros: keep pairs with
     * jw ≥ `minMicros`. Micros (not raw doubles) so downstream

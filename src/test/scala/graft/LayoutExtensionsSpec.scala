@@ -114,6 +114,45 @@ class LayoutExtensionsSpec extends SparkSpec {
     } finally ()
   }
 
+  test("BoundedLevenshtein rule: rewritten predicate is semantically " +
+    "identical and the -1 sentinel never leaks a false match") {
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    // the raw bounded kernel really does return -1 past the threshold
+    // (the trap the rule's >= 0 guard exists for)
+    assert(spark.sql("SELECT levenshtein('abc', 'xyzq', 1) AS d")
+      .head.getInt(0) == -1)
+    // apply the rule to a filter plan and compare result sets against
+    // the unbounded predicate on a corpus where most pairs exceed k
+    val df = spark.sql(
+      """SELECT a, b FROM VALUES
+        |('kitten', 'sitting'), ('kitten', 'kitten'), ('kitten', 'mitten'),
+        |('kitten', 'abcdefgh'), ('', 'xx'), ('xx', ''), ('', ''),
+        |('aaaa', 'aabb'), ('short', 'a-very-long-other-string')
+        |AS t(a, b)""".stripMargin)
+    df.createOrReplaceTempView("lev_pairs")
+    val unbounded = spark.sql(
+      "SELECT a, b FROM lev_pairs WHERE levenshtein(a, b) <= 2")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // the ANALYZED plan: over a VALUES relation the optimizer folds
+    // the whole filter into a LocalRelation before any rule could see
+    // it (on a file-backed table the rule runs in the optimizer batch)
+    val plan = spark.sql(
+      "SELECT a, b FROM lev_pairs WHERE levenshtein(a, b) <= 2")
+      .queryExecution.analyzed
+    val rewritten = graft.plans.GraftRules.BoundedLevenshtein(plan)
+    assert(rewritten.toString.contains("levenshtein(a#"),
+      s"kernel missing after rewrite:\n$rewritten")
+    assert(rewritten != plan, "rule should have rewritten the predicate")
+    // execute the rule's exact output shape (hand-spelled SQL) and
+    // compare to the unbounded predicate — including the empty/long
+    // rows whose bounded kernel returns the -1 sentinel
+    val got = spark.sql(
+      "SELECT a, b FROM lev_pairs WHERE levenshtein(a, b, 2) >= 0 " +
+        "AND levenshtein(a, b, 2) <= 2")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == unbounded)
+  }
+
   test("sessionize runs in streaming update mode (stateful query)") {
     implicit val s = spark
     val staged = tmpDir("stream-sess") + "/ev"
