@@ -1451,6 +1451,24 @@ object StretchQueries {
         s, staged, s"$scratch/out", s"$scratch/ckpt")
     }),
 
+    // streaming Markov transitions: a REAL transformWithState run
+    // over a 3-epoch time-partitioned feed (one file per micro-batch)
+    // — per-user last-event state bridges the epochs, and the final
+    // counts share q_ev_transitions' batch lag-window oracle
+    "q_ev_transitions_stream" -> ((s, dir) => {
+      val staged = graft.engine.Scratch.ensure(s, "trans-events",
+        s"$dir/events.parquet", "epochs-v1") { out =>
+        graft.streaming.TransitionStream.stageEpochs(
+          s, EventStream.loadEvents(s, s"$dir/events.parquet"), out)
+      }
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_trans_q"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      graft.streaming.TransitionStream.transitionsStream(
+        s, staged, s"$scratch/out", s"$scratch/ckpt")
+    }),
+
     // ── event-stream transforms, batch-executed (same plan streams) ────
     "q_ev_window" -> ((s, dir) =>
       EventStream.windowedAgg(
@@ -2273,7 +2291,8 @@ object StretchQueries {
       ("q_v_topk_ivf_c" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq_idx" -> oracleSqlMap("q_v_topk")) +
-      ("q_ev_sessions_et" -> oracleSqlMap("q_ev_sessions"))
+      ("q_ev_sessions_et" -> oracleSqlMap("q_ev_sessions")) +
+      ("q_ev_transitions_stream" -> oracleSqlMap("q_ev_transitions"))
 
   /** The q_t_gopher report, shared so compositions can CTE it. */
   private lazy val gopherReportSql: String =

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Streaming Markov-transition statistics: the unbounded-stream
+  * counterpart of the batch `q_ev_transitions` lag-window pass. A lag
+  * window needs the WHOLE per-user history sorted; on a stream the
+  * only state that matters is each user's LAST event — exactly one
+  * row per user, carried in a `transformWithState` ValueState, with
+  * every arriving event emitting its (prev → curr) edge and replacing
+  * the state.
+  *
+  * Ordering contract: within a micro-batch the group's rows fold in
+  * (event-time, event_id) order (the iterator itself is unordered —
+  * sorting the batch slice is the processor's job); ACROSS batches
+  * order holds when the feed is staged time-partitioned (epoch file k
+  * contains only events later than file k−1, `maxFilesPerTrigger=1` —
+  * the same discipline the incremental-dedup feed uses). Same-ts
+  * boundary events can't split epochs: the epoch is a pure function
+  * of the timestamp.
+  *
+  * State size: one (ts, id, type) triple per user — bounded by the
+  * user population, not the stream length; at 100 TB the state store
+  * shards by key across executors and a TTL can retire dormant users.
+  */
+object TransitionStream {
+
+  final case class Ev(user_id: Long, us: Long, event_id: Long,
+                      event_type: String)
+  final case class Edge(user_id: Long, prev: String, curr: String)
+
+  final class TransitionProcessor
+      extends StatefulProcessor[Long, Ev, Edge] {
+    @transient private var last: ValueState[(Long, Long, String)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[(Long, Long, String)]("last",
+        Encoders.product[(Long, Long, String)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[Edge] = {
+      val sorted = rows.toArray.sortBy(e => (e.us, e.event_id))
+      var prev: Option[(Long, Long, String)] =
+        if (last.exists()) Some(last.get()) else None
+      val out = Array.newBuilder[Edge]
+      sorted.foreach { e =>
+        prev.foreach(p => out += Edge(key, p._3, e.event_type))
+        prev = Some((e.us, e.event_id, e.event_type))
+      }
+      prev.foreach(last.update)
+      out.result().iterator
+    }
+  }
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val PartitionsKey = "spark.sql.shuffle.partitions"
+
+  /** Stage `eventsDf` as `epochs` time-range files (written oldest
+    * first, one file each — FileStreamSource then feeds them to the
+    * query in staging order under `maxFilesPerTrigger = 1`).
+    */
+  def stageEpochs(spark: SparkSession, eventsDf: DataFrame,
+                  stagedDir: String, epochs: Int = 3): Unit = {
+    val ev = eventsDf.select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+    val b = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1")).head()
+    val (t0, t1) = (b.getLong(0), b.getLong(1))
+    val dir = new org.apache.hadoop.fs.Path(stagedDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var seen = Set.empty[String]
+    (0 until epochs).foreach { k =>
+      ev.filter(
+          expr(s"((us - ${t0}L) * $epochs) div ${t1 - t0 + 1}L") === k)
+        .coalesce(1)
+        .write.mode(if (k == 0) "overwrite" else "append")
+        .parquet(stagedDir)
+      // FileStreamSource orders new files by modification time; two
+      // epoch files written back-to-back can share an mtime
+      // millisecond, which would leave their order to the (random)
+      // part names — stamp strictly increasing mtimes instead
+      fs.listStatus(dir)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .filterNot(f => seen(f.getPath.getName))
+        .foreach { f =>
+          fs.setTimes(f.getPath, 1000000000L + k * 60000L, -1)
+          seen += f.getPath.getName
+        }
+    }
+  }
+
+  /** Drive the staged feed through the processor (AvailableNow, one
+    * file per micro-batch), append each batch's edges to `outDir`,
+    * and return the transition counts — the exact relation the batch
+    * lag-window pass produces. Restart on the same checkpoint resumes
+    * mid-feed with the per-user last-event state intact
+    * (StreamingSpec drives that split run).
+    */
+  def transitionsStream(spark: SparkSession, stagedDir: String,
+                        outDir: String, checkpoint: String,
+                        statePartitions: Int = 4): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(stagedDir).schema
+    val prevProvider = spark.conf.getOption(ProviderKey)
+    val prevParts = spark.conf.getOption(PartitionsKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    spark.conf.set(PartitionsKey, statePartitions.toString)
+    try {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stagedDir)
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new TransitionProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[Edge], _: Long) =>
+            batch.toDF().write.mode("append").parquet(outDir); ()
+        }
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir)
+        .groupBy(col("prev"), col("curr"))
+        .agg(count(lit(1)).as("n"))
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None    => spark.conf.unset(ProviderKey)
+      }
+      prevParts match {
+        case Some(v) => spark.conf.set(PartitionsKey, v)
+        case None    => spark.conf.unset(PartitionsKey)
+      }
+    }
+  }
+}

@@ -406,4 +406,55 @@ class StreamingSpec extends SparkSpec {
         s"user $uid: restart lost state (got $got, want ${full(uid)})")
     }
   }
+
+  test("transition stream: epoch-split run with a mid-feed restart " +
+    "equals the batch lag-window counts") {
+    import graft.streaming.TransitionStream
+    val base = tmpDir("trans")
+    val staged = s"$base/feed"
+    val ev = EventStream.loadEvents(spark, dir).limit(2000)
+    TransitionStream.stageEpochs(spark, ev, staged, epochs = 3)
+    // batch reference over exactly the staged rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val want = spark.read.parquet(staged)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type"))
+      .count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+    // run 1 drains the full 3-epoch feed
+    val got = TransitionStream.transitionsStream(
+        spark, staged, s"$base/out", s"$base/ckpt")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == want, "stream counts must equal the batch lag window")
+
+    // a 4th, LATER epoch lands; restart on the same checkpoint — the
+    // per-user last-event state must bridge the restart (an edge per
+    // user spans the old feed's tail and the new epoch's head)
+    val mx = spark.read.parquet(staged).agg(max(col("us"))).head.getLong(0)
+    spark.read.parquet(staged).filter(col("us") >
+        mx - 3600L * 1000000L) // the last hour replays, shifted forward
+      .withColumn("us", col("us") + 7L * 24 * 3600 * 1000000L)
+      .withColumn("event_id", col("event_id") + 10000000L)
+      .coalesce(1).write.mode("append").parquet(staged)
+    val got2 = TransitionStream.transitionsStream(
+        spark, staged, s"$base/out", s"$base/ckpt")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val want2 = spark.read.parquet(staged)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type"))
+      .count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got2 == want2,
+      "restarted stream must bridge epochs with persisted last-event state")
+    assert(want2.values.sum > want.values.sum,
+      "the appended epoch must have added transitions")
+  }
 }
