@@ -1451,6 +1451,63 @@ object StretchQueries {
         s, staged, s"$scratch/out", s"$scratch/ckpt")
     }),
 
+    // ordered funnel with step deadlines: view → click within 24h →
+    // purchase within 24h, each step anchored at the user's EARLIEST
+    // qualifying prior step (min-aggregation, not a row explosion);
+    // three conditional aggs + two user-keyed joins, all exact micros
+    "q_ev_funnel_seq" -> ((s, dir) => {
+      val day = 86400000000L
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val a = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("ta"))
+      val b = ev.filter(col("event_type") === "click")
+        .join(a, "user_id")
+        .filter(col("us") >= col("ta") && col("us") <= col("ta") + day)
+        .groupBy(col("user_id")).agg(min(col("us")).as("tb"))
+      val c = ev.filter(col("event_type") === "purchase")
+        .join(b, "user_id")
+        .filter(col("us") >= col("tb") && col("us") <= col("tb") + day)
+        .groupBy(col("user_id")).agg(min(col("us")).as("tc"))
+      a.agg(count(lit(1)).as("n_view")).crossJoin(
+          b.agg(count(lit(1)).as("n_click")))
+        .crossJoin(c.agg(count(lit(1)).as("n_purchase")))
+    }),
+
+    // retention cohort matrix: users keyed by first-activity week,
+    // counted once per (cohort, weeks-since-first) cell — absolute
+    // epoch-week indexing, no global-min scan needed
+    "q_ev_retention" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("c0"))
+      ev.join(first, "user_id")
+        .select(col("user_id"), col("c0").as("cohort_week"),
+          (col("wk") - col("c0")).as("week_offset"))
+        .distinct()
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // per-(type, day) latency bands: exact interpolated P50/P90 kept
+    // integral by scaling — 2·p50 is an element or a midpoint;
+    // 10·p90 is 10·lo + (hi−lo)·(9(n−1) mod 10), integer on both
+    // engines — plus the max. ONE aggregation pass
+    "q_ev_bands" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          round(col("value") * 1000000).cast("long").as("vmic"))
+      ev.groupBy(col("event_type"), col("day"))
+        .agg(round(percentile(col("vmic"), lit(0.5)) * 2).cast("long")
+            .as("p50_x2"),
+          round(percentile(col("vmic"), lit(0.9)) * 10).cast("long")
+            .as("p90_x10"),
+          max(col("vmic")).as("vmax"))
+    }),
+
     // streaming Markov transitions: a REAL transformWithState run
     // over a 3-epoch time-partitioned feed (one file per micro-batch)
     // — per-user last-event state bridges the epochs, and the final
@@ -3933,6 +3990,43 @@ object StretchQueries {
          |  CAST(sum(nb) AS BIGINT) AS tb FROM a)
          |SELECT bucket, na, nb, na * tb - nb * ta AS imbalance
          |FROM a, t""".stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ev_funnel_seq" ->
+      ("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |a AS (SELECT user_id, min(us) AS ta FROM ev
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |b AS (SELECT ev.user_id, min(us) AS tb FROM ev JOIN a USING
+         |  (user_id) WHERE event_type = 'click' AND us >= ta
+         |  AND us <= ta + 86400000000 GROUP BY ev.user_id),
+         |c AS (SELECT ev.user_id, min(us) AS tc FROM ev JOIN b USING
+         |  (user_id) WHERE event_type = 'purchase' AND us >= tb
+         |  AND us <= tb + 86400000000 GROUP BY ev.user_id)
+         |SELECT (SELECT count(*) FROM a) AS n_view,
+         |  (SELECT count(*) FROM b) AS n_click,
+         |  (SELECT count(*) FROM c) AS n_purchase"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ev_retention" ->
+      ("""WITH ev AS (SELECT user_id,
+         |  epoch_us(ts) // 604800000000 AS wk FROM events),
+         |f AS (SELECT user_id, min(wk) AS c0 FROM ev GROUP BY user_id),
+         |d AS (SELECT DISTINCT ev.user_id, c0 AS cohort_week,
+         |  wk - c0 AS week_offset FROM ev JOIN f USING (user_id))
+         |SELECT cohort_week, week_offset, count(*) AS n_users
+         |FROM d GROUP BY 1, 2"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ev_bands" ->
+      ("""WITH e AS (SELECT event_type,
+         |  epoch_us(ts) // 86400000000 AS day,
+         |  CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events)
+         |SELECT event_type, day,
+         |  CAST(round(2 * quantile_cont(vmic, 0.5)) AS BIGINT) AS p50_x2,
+         |  CAST(round(10 * quantile_cont(vmic, 0.9)) AS BIGINT) AS p90_x10,
+         |  max(vmic) AS vmax
+         |FROM e GROUP BY 1, 2"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_ev_paths" ->
       ("""WITH r AS (SELECT user_id, event_type, row_number() OVER
