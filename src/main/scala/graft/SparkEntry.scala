@@ -382,6 +382,53 @@ object SparkEntry {
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     }),
 
+    // ── S22: malformed-record quarantine — PERMISSIVE CSV ingest with
+    //    a corrupt-record column: bad rows surface as quarantine rows
+    //    (never dropped silently, never failing the batch), good rows
+    //    parse exactly. The synthetic feed plants one malformed line
+    //    per ten (unparseable int + wrong arity); the oracle replays
+    //    the plant arithmetic over range(count(orders)) ─────────────
+    "q_s22_csv_badrecords" -> ((s, dir) => {
+      val n = t(s, dir, "orders").count()
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_badcsv_q"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      import s.implicits._
+      s.range(n).select(
+          when(col("id") % 10 === 7, lit("BAD,row"))
+            .otherwise(concat_ws(",", col("id"),
+              concat(lit("name_"), col("id")), col("id") * 3))
+            .as("line"))
+        .coalesce(4).write.text(scratch)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_bad",
+          org.apache.spark.sql.types.StringType)))
+      val parsed = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(scratch)
+      // the output must touch EVERY data column: Catalyst prunes the
+      // parse to the referenced fields, and a record is only marked
+      // corrupt if a REFERENCED field fails to convert — an agg over
+      // (v, _bad) alone would read "BAD,row" as (null, null) with no
+      // type failure and quarantine nothing (measured: n_bad = 0)
+      parsed.agg(
+        sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(when(col("_bad").isNull, col("v")).otherwise(0L))
+          .as("sum_v_good"),
+        sum(when(col("_bad").isNull, col("id")).otherwise(0L))
+          .as("sum_id_good"),
+        count(col("name")).as("n_named"))
+    }),
+
     // ── The full SCD Type-1 template (distinct → left-join sink →
     //    null-split → key alloc → union → MERGE), run initial +
     //    incremental against a scratch warehouse. Keys are
@@ -1436,6 +1483,19 @@ object SparkEntry {
         "(CAST(1 AS BIGINT), 'data', CAST(1 AS BIGINT)), " +
         "(CAST(2 AS BIGINT), 'restore', CAST(0 AS BIGINT))) " +
         "AS t(version, kind, target)"),
+
+    // the quarantine counts replay the plant arithmetic: one bad line
+    // per ten, good values are 3i
+    "q_s22_csv_badrecords" ->
+      ("""WITH nn AS (SELECT count(*) AS n FROM orders),
+         |x AS (SELECT unnest(range(0, n)) AS i FROM nn),
+         |g AS (SELECT i FROM x WHERE i % 10 <> 7)
+         |SELECT (SELECT count(*) FROM g) AS n_good,
+         |  (SELECT count(*) FROM x WHERE i % 10 = 7) AS n_bad,
+         |  (SELECT CAST(sum(i * 3) AS BIGINT) FROM g) AS sum_v_good,
+         |  (SELECT CAST(sum(i) AS BIGINT) FROM g) AS sum_id_good,
+         |  (SELECT count(*) FROM x) AS n_named"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     // bloom skipping must be content-invisible: exactly the rows of
     // the three smallest keys, however few files were opened
