@@ -230,16 +230,48 @@ object Layout {
     * including [[Scratch.ensureAt]]) would carry a manifest full of
     * paths that no longer exist.
     */
+  /** The per-file stat row: [min, max] per tracked column PLUS the
+    * aggregation-pushdown stats — row count and per-column sum — so
+    * COUNT(*)/SUM(col) answer from the manifest alone
+    * ([[metadataAgg]]), the Delta metadata-only-count idea extended to
+    * sums. Tracked columns must be numeric (a sum over strings has no
+    * meaning and would fail the build).
+    */
+  private def statAggs(cols: Seq[String])
+      : Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    count(lit(1)).as("n_rows") +: cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(col(c)).as(s"sum_$c")))
+  }
+
   def writeFileStats(spark: org.apache.spark.sql.SparkSession,
                      tablePath: String, cols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions._
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val aggs = statAggs(cols)
     spark.read.parquet(tablePath)
       .groupBy(regexp_replace(input_file_name(), "^.*/", "").as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(statsPath(tablePath))
+  }
+
+  /** Metadata-only aggregates: COUNT(*) and SUM of every tracked
+    * column, answered from the manifest without opening ONE data file
+    * — at 100 TB the difference between a catalog lookup and a table
+    * scan. Exact by construction: the manifest rows are maintained by
+    * the same writers that move data ([[writeFileStats]],
+    * [[rewriteMatching]] — DML recomputes stats for rewritten files
+    * and carries untouched rows verbatim).
+    */
+  def metadataAgg(spark: org.apache.spark.sql.SparkSession,
+                  tablePath: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val stats = statsDf(spark, tablePath)
+    val sumCols = stats.columns.filter(_.startsWith("sum_")).toSeq
+    val aggs = sum(col("n_rows")).as("n_rows") +:
+      sumCols.map(c => sum(col(c)).as(c))
+    stats.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Interval read through the manifest: open ONLY the files whose
@@ -410,8 +442,7 @@ object Layout {
         val newRows =
           if (moved.isEmpty) untouched
           else {
-            val aggs = cols.toSeq.flatMap(c =>
-              Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+            val aggs = statAggs(cols.toSeq)
             untouched.unionByName(
               spark.read.parquet(
                 moved.map(n => s"$tablePath/$n").toIndexedSeq: _*)

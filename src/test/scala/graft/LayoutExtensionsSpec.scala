@@ -435,6 +435,34 @@ class LayoutExtensionsSpec extends SparkSpec {
     } finally fs.delete(lock, false)
   }
 
+  test("metadataAgg answers COUNT/SUM from the manifest and stays exact " +
+    "through DML rewrites") {
+    val path = tmpDir("metaagg") + "/li"
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    Layout.writeRangeSorted(li, path, 4, col("l_orderkey"))
+    Layout.writeFileStats(spark, path, Seq("l_orderkey"))
+    def full(): (Long, Long) = {
+      val r = Layout.manifestRead(spark, path)
+        .agg(count(lit(1)), sum(col("l_orderkey"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    def meta(): (Long, Long) = {
+      val r = Layout.metadataAgg(spark, path).head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(meta() == full(), "fresh manifest aggregates must be exact")
+    // a targeted DELETE rewrites some files; carried-over rows keep
+    // their stats verbatim, rewritten files get fresh ones — the
+    // metadata aggregates must track the surviving content exactly
+    val keys = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head
+    val (lo, hi) = (keys.getLong(0), keys.getLong(1))
+    val mid = lo + (hi - lo) / 3
+    Layout.deleteMatching(spark, path, "l_orderkey", lo, mid)
+    assert(meta() == full(), "post-DELETE metadata aggregates must be exact")
+    assert(meta()._1 < li.count(), "the delete must have removed rows")
+  }
+
   test("bloom point lookup: exact rows, real pruning where min/max " +
     "prunes nothing, absent keys open ~no files") {
     val path = tmpDir("bloom") + "/ord"
