@@ -2038,6 +2038,27 @@ object StretchQueries {
         minCommon = 5, maxDf = n / 10)
     }),
 
+    // one-row dataset card (the datasheet a corpus ships with):
+    // volume, exact-dup text count, token mass, language spread, mean
+    // quality — ONE scan through the TextProfile kernel plus one
+    // distinct-text count, all exact integers
+    "q_pipe_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prof = docs.select(col("text"), col("lang"),
+          graft.functions.NativeExpressions.textProfile(col("text"))
+            .as("__p"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__p.n_tokens")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("__p.quality_micros")).as("__qsum"))
+      val distinctText = docs.select(countDistinct(col("text"))
+        .as("n_distinct_text"))
+      prof.crossJoin(distinctText)
+        .select(col("n_docs"), col("n_distinct_text"), col("n_tokens"),
+          col("n_langs"),
+          expr("__qsum div n_docs").as("mean_quality_micros"))
+    }),
+
     // MMR diverse selection: greedy k-round argmax of relevance minus
     // max-similarity-to-picked, all cosines micros-rounded BEFORE any
     // comparison so the greedy trajectory is engine-exact. Driver-side
@@ -3990,6 +4011,17 @@ object StretchQueries {
          |  CAST(sum(nb) AS BIGINT) AS tb FROM a)
          |SELECT bucket, na, nb, na * tb - nb * ta AS imbalance
          |FROM a, t""".stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_pipe_card" ->
+      (s"""WITH q AS (SELECT text, lang, $tokensSql AS ta,
+         |  $qualityMicrosSql AS qm FROM documents)
+         |SELECT count(*) AS n_docs,
+         |  (SELECT count(DISTINCT text) FROM documents)
+         |    AS n_distinct_text,
+         |  CAST(sum(len(ta)) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(sum(qm) AS BIGINT) // count(*) AS mean_quality_micros
+         |FROM q""".stripMargin).replaceAll(raw"\s+", " "),
 
     "q_ev_funnel_seq" ->
       ("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
