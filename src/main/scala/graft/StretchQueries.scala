@@ -2038,6 +2038,36 @@ object StretchQueries {
         minCommon = 5, maxDf = n / 10)
     }),
 
+    // dedup-cluster size histogram — the shape report a dedup pass
+    // ships with (how much of the corpus sits in how-big duplicate
+    // families); two bounded aggregations over the CC labels
+    "q_d_cluster_hist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val pairs = docs.filter(col("doc_id") % 10 =!= 0)
+        .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+    }),
+
+    // cumulative distinct-user growth curve: each user counts once on
+    // their FIRST day; the running sum over days is the exact
+    // cumulative-distinct series — no per-day distinct over growing
+    // prefixes (that classic formulation rescans the whole history
+    // per day)
+    "q_ev_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val first = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      first.groupBy(col("d0").as("day"))
+        .agg(count(lit(1)).as("n_new"))
+        .withColumn("n_cum", sum(col("n_new")).over(w))
+    }),
+
     // one-row dataset card (the datasheet a corpus ships with):
     // volume, exact-dup text count, token mass, language spread, mean
     // quality — ONE scan through the TextProfile kernel plus one
@@ -4011,6 +4041,25 @@ object StretchQueries {
          |  CAST(sum(nb) AS BIGINT) AS tb FROM a)
          |SELECT bucket, na, nb, na * tb - nb * ta AS imbalance
          |FROM a, t""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // chain components have 10 members except the tail stub — replay
+    // the same closed-form component arithmetic as q_d_resolve
+    "q_d_cluster_hist" ->
+      ("""WITH c AS (SELECT doc_id - doc_id % 10 AS component
+         |  FROM documents),
+         |s AS (SELECT component, count(*) AS sz FROM c GROUP BY 1)
+         |SELECT sz, count(*) AS n_clusters FROM s GROUP BY sz"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ev_growth" ->
+      ("""WITH f AS (SELECT user_id,
+         |  min(epoch_us(ts) // 86400000000) AS d0 FROM events
+         |  GROUP BY user_id),
+         |g AS (SELECT d0 AS day, count(*) AS n_new FROM f GROUP BY 1)
+         |SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |  AS BIGINT) AS n_cum FROM g"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_pipe_card" ->
       (s"""WITH q AS (SELECT text, lang, $tokensSql AS ta,
