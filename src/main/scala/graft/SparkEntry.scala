@@ -767,6 +767,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ── J10: differential (adaptive) salting — detect hot keys from
+    //    one count pass, salt ONLY them, cold keys take the plain hash
+    //    join. The synth puts 30% of lineitem on key 0; threshold 5000
+    //    isolates it at sf0.01/sf0.1 (at sf0.001 nothing is hot and
+    //    the operator must degrade to the plain join — same answer) ──
+    "q_j10_adaptive_salt" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 10 < 3, 0L)
+          .otherwise(col("l_orderkey") % 1000).as("k"),
+        col("l_quantity"))
+      val dim = li.select(col("k")).distinct()
+        .withColumn("label", col("k") % 7)
+      graft.engine.SkewJoin.adaptiveSaltedJoin(li, dim, "k",
+          hotThreshold = 5000, saltBuckets = 8)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // ── A7: CUBE — all four grouping sets from one aggregation pass
     //    (the sibling of q_t_stats' ROLLUP; exact cents arithmetic) ───
     "q_a7_cube" -> ((s, dir) =>
@@ -1383,6 +1402,16 @@ object SparkEntry {
       ("SELECT o_orderpriority, count(*) AS n_items, " +
         "sum(l_quantity) AS sum_qty FROM lineitem " +
         "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"),
+
+    // salting must be result-invisible: the oracle is the PLAIN join
+    // over the same skewed synth
+    "q_j10_adaptive_salt" ->
+      ("""WITH li AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0
+         |  ELSE l_orderkey % 1000 END AS k, l_quantity FROM lineitem),
+         |dim AS (SELECT DISTINCT k, k % 7 AS label FROM li)
+         |SELECT label, count(*) AS n_items, sum(l_quantity) AS sum_qty
+         |FROM li JOIN dim USING (k) GROUP BY label"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_a7_cube" ->
       ("WITH o AS (SELECT o_orderpriority, " +

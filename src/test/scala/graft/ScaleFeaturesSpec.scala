@@ -31,6 +31,42 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(out.filter(col("name").isNotNull).count() == 1)
   }
 
+  test("adaptiveSaltedJoin ≡ plain join under skew, no hot keys, " +
+    "all hot keys, nulls, and left semantics") {
+    val big = spark.range(10000)
+      .select(when(col("id") % 10 =!= 0, lit(1L))
+        .otherwise(when(col("id") % 20 === 0, lit(null))
+          .otherwise(col("id"))).as("k"),
+        col("id").as("v"))
+    val small = Seq((1L, "hot"), (20L, "a"), (30L, "b"), (31L, "c"))
+      .toDF("k", "name")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, String)] =
+      df.select(coalesce(col("k"), lit(-1L)).as("k"), col("v"),
+          coalesce(col("name"), lit("-")).as("name"))
+        .as[(Long, Long, String)].collect().sorted.toSeq
+    for (jt <- Seq("inner", "left")) {
+      val plain = canon(big.join(small, Seq("k"), jt))
+      // threshold isolates the 1L hot key
+      assert(canon(SkewJoin.adaptiveSaltedJoin(
+        big, small, "k", hotThreshold = 1000, saltBuckets = 8,
+        joinType = jt)) == plain, s"skewed/$jt")
+      // threshold above every count: no hot keys -> plain path
+      assert(canon(SkewJoin.adaptiveSaltedJoin(
+        big, small, "k", hotThreshold = 100000, joinType = jt))
+        == plain, s"cold/$jt")
+      // threshold of 1: every key is hot -> fully salted path
+      assert(canon(SkewJoin.adaptiveSaltedJoin(
+        big, small, "k", hotThreshold = 1, joinType = jt))
+        == plain, s"allhot/$jt")
+    }
+    // the bounded hot-key collect refuses pathological thresholds
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.adaptiveSaltedJoin(big, small, "k", hotThreshold = 1,
+        maxHotKeys = 3)
+    }
+    assert(e.getMessage.contains("repartition"))
+  }
+
   test("mergePartitioned: rewrites only touched partitions, merges keys") {
     val path = tmpDir("pmerge") + "/t"
     val initial = Seq(
