@@ -1129,15 +1129,15 @@ object SparkEntry {
     //    pruning ratio and absent-key behavior ──────────────────────
     "q_s21_bloom_point" -> ((s, dir) => {
       val scratch = graft.engine.Scratch.ensure(s, "bloomidx",
-        s"$dir/orders.parquet", "bloom-v1") { out =>
+        s"$dir/orders.parquet", "bloom-v2") { out =>
         val path = s"$out/ord"
         t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"),
             col("o_orderpriority"))
           .repartition(16, col("o_orderkey"))
           .write.parquet(path)
-        graft.engine.Layout.writeBloomIndex(s, path, "o_orderkey",
-          expectedPerFile = 1 << 17)
+        graft.engine.Layout.writeFileStats(s, path, Seq("o_orderkey"),
+          bloomCols = Seq("o_orderkey"))
       }
       // three smallest keys — present at every sf, driver metadata
       val keys = t(s, dir, "orders").select(col("o_orderkey"))

@@ -237,18 +237,50 @@ object Layout {
     * sums. Tracked columns must be numeric (a sum over strings has no
     * meaning and would fail the build).
     */
-  private def statAggs(cols: Seq[String])
-      : Seq[org.apache.spark.sql.Column] = {
+  /** Default Bloom sizing for manifest blooms. The parameters shape
+    * the FALSE-POSITIVE rate only (a false positive is one wasted
+    * file open, never a wrong row), so a DML rebuild using these
+    * defaults on files originally indexed with other parameters is
+    * still correct.
+    */
+  private val BloomExpectedPerFile = 1L << 17
+  private val BloomFpp = 0.01
+
+  private def bloomAgg(c: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    count(lit(1)).as("n_rows") +: cols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-        sum(col(c)).as(s"sum_$c")))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(BloomExpectedPerFile, BloomFpp)
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        org.apache.spark.sql.graftshim.ColumnBridge
+          .expression(xxhash64(col(c))),
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          BloomExpectedPerFile),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+    org.apache.spark.sql.graftshim.ColumnBridge
+      .column(agg.toAggregateExpression()).as(s"bloom_$c")
   }
 
-  def writeFileStats(spark: org.apache.spark.sql.SparkSession,
-                     tablePath: String, cols: Seq[String]): Unit = {
+  private def statAggs(cols: Seq[String], bloomCols: Seq[String] = Nil)
+      : Seq[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions._
-    val aggs = statAggs(cols)
+    (count(lit(1)).as("n_rows") +: cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(col(c)).as(s"sum_$c")))) ++ bloomCols.map(bloomAgg)
+  }
+
+  /** `cols` (numeric) get min/max/sum stats; `bloomCols` (long or
+    * string) additionally get a per-file Bloom for equality skipping
+    * ([[pointRead]]). Blooms live in the SAME manifest row as the
+    * range stats, so the DML rewrite path maintains them with the
+    * ranges — a table whose Bloom index lives in a side directory
+    * goes stale the first time a DELETE moves rows between files.
+    */
+  def writeFileStats(spark: org.apache.spark.sql.SparkSession,
+                     tablePath: String, cols: Seq[String],
+                     bloomCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions._
+    val aggs = statAggs(cols, bloomCols)
     spark.read.parquet(tablePath)
       .groupBy(regexp_replace(input_file_name(), "^.*/", "").as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -439,10 +471,12 @@ object Layout {
         //    intermediate state).
         val cols = stats.columns.filter(_.startsWith("min_"))
           .map(_.stripPrefix("min_"))
+        val bloomCols = stats.columns.filter(_.startsWith("bloom_"))
+          .map(_.stripPrefix("bloom_"))
         val newRows =
           if (moved.isEmpty) untouched
           else {
-            val aggs = statAggs(cols.toSeq)
+            val aggs = statAggs(cols.toSeq, bloomCols.toSeq)
             untouched.unionByName(
               spark.read.parquet(
                 moved.map(n => s"$tablePath/$n").toIndexedSeq: _*)
@@ -521,49 +555,18 @@ object Layout {
   }
 
   // ── Bloom-filter equality skipping ─────────────────────────────────
-
-  private def bloomPath(tablePath: String, colName: String): String =
-    tablePath + s"__bloom_$colName"
-
-  /** Per-file Bloom index for EQUALITY predicates — the skipping
-    * companion to the min/max manifest: range stats prune interval
-    * scans, but a point lookup on a HASH-distributed key (user id,
-    * order key) intersects every file's range and prunes nothing.
-    * A per-file Bloom answers "might this file contain k?" instead,
-    * so the lookup opens ~1 file out of 30,000 with fpp-bounded
-    * false opens (a false positive costs one wasted file read,
-    * never a wrong result — the exact filter still runs).
-    *
-    * Built Spark-native in ONE pass: Catalyst's own
-    * `BloomFilterAggregate` (the kernel behind runtime row-filter
-    * pushdown) over `xxhash64(col)`, grouped by `input_file_name()` —
-    * no per-file driver loop, no second scan per file. Blooms store
-    * by file NAME (location-independent, like the stats manifest).
-    *
-    * The index column must be LongType or StringType (the two
-    * shapes [[pointRead]] can hash identically driver-side).
-    */
-  def writeBloomIndex(spark: org.apache.spark.sql.SparkSession,
-                      tablePath: String, colName: String,
-                      expectedPerFile: Long = 1000000L,
-                      fpp: Double = 0.01): Unit = {
-    import org.apache.spark.sql.functions._
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expectedPerFile, fpp)
-    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
-      .BloomFilterAggregate(
-        org.apache.spark.sql.graftshim.ColumnBridge
-          .expression(xxhash64(col(colName))),
-        org.apache.spark.sql.catalyst.expressions.Literal(expectedPerFile),
-        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
-    val bloomCol = org.apache.spark.sql.graftshim.ColumnBridge
-      .column(agg.toAggregateExpression())
-    spark.read.parquet(tablePath)
-      .groupBy(regexp_replace(input_file_name(), "^.*/", "").as("file"))
-      .agg(bloomCol.as("bloom"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(bloomPath(tablePath, colName))
-  }
+  //
+  // The skipping companion to the min/max manifest: range stats prune
+  // interval scans, but a point lookup on a HASH-distributed key
+  // (user id, order key) intersects every file's range and prunes
+  // nothing. A per-file Bloom answers "might this file contain k?"
+  // instead, so the lookup opens ~1 file out of 30,000 with
+  // fpp-bounded false opens. Built Spark-native in ONE pass:
+  // Catalyst's own BloomFilterAggregate (the kernel behind runtime
+  // row-filter pushdown) over xxhash64(col), grouped by
+  // input_file_name — no per-file driver loop. Blooms are manifest
+  // COLUMNS ([[writeFileStats]] `bloomCols`), so the DML rewrite path
+  // regenerates them for rewritten files exactly like the ranges.
 
   /** The driver-side hash matching `xxhash64(col)` for the two
     * supported key types (Spark's XXH64, seed 42).
@@ -592,16 +595,18 @@ object Layout {
                 value: Any): DataFrame = {
     import org.apache.spark.sql.functions._
     val h = bloomHash(value)
-    // bloom table = one small row per file (driver metadata, same
-    // category as the planner's file listing)
-    val files = spark.read.parquet(bloomPath(tablePath, colName))
+    // manifest rows = one small row per file (driver metadata, same
+    // category as the planner's file listing); statsDf runs manifest
+    // recovery first, so a crashed DML never strands the lookup
+    val files = statsDf(spark, tablePath)
+      .select(col("file"), col(s"bloom_$colName"))
       .collect()
       .filter { r =>
         val bf = org.apache.spark.util.sketch.BloomFilter
-          .readFrom(r.getAs[Array[Byte]]("bloom"))
+          .readFrom(r.getAs[Array[Byte]](1))
         bf.mightContainLong(h)
       }
-      .map(r => s"$tablePath/${r.getAs[String]("file")}")
+      .map(r => s"$tablePath/${r.getString(0)}")
     if (files.isEmpty)
       spark.read.parquet(tablePath).filter(lit(false))
     else spark.read.parquet(files.toIndexedSeq: _*)
@@ -615,10 +620,12 @@ object Layout {
                     tablePath: String, colName: String,
                     value: Any): (Long, Long) = {
     val h = bloomHash(value)
-    val rows = spark.read.parquet(bloomPath(tablePath, colName)).collect()
+    val rows = statsDf(spark, tablePath)
+      .select(org.apache.spark.sql.functions.col(s"bloom_$colName"))
+      .collect()
     val kept = rows.count { r =>
       org.apache.spark.util.sketch.BloomFilter
-        .readFrom(r.getAs[Array[Byte]]("bloom")).mightContainLong(h)
+        .readFrom(r.getAs[Array[Byte]](0)).mightContainLong(h)
     }
     (kept.toLong, rows.length.toLong)
   }

@@ -471,9 +471,8 @@ class LayoutExtensionsSpec extends SparkSpec {
     // hash distribution: every file spans the whole key range — the
     // interval manifest's worst case, the bloom's home turf
     ord.repartition(8, col("o_orderkey")).write.parquet(path)
-    Layout.writeFileStats(spark, path, Seq("o_orderkey"))
-    Layout.writeBloomIndex(spark, path, "o_orderkey",
-      expectedPerFile = 1 << 14)
+    Layout.writeFileStats(spark, path, Seq("o_orderkey"),
+      bloomCols = Seq("o_orderkey"))
 
     // MIDDLE keys: an extreme key is inside only the global-min
     // file's range even under hash layout; mid-range keys are inside
@@ -507,6 +506,21 @@ class LayoutExtensionsSpec extends SparkSpec {
     }
     assert(opens.sum <= absent.size, // avg ≤ 1 file at fpp=0.01 × 8 files
       s"absent keys opened ${opens.sum} files over ${absent.size} probes")
+
+    // DML consistency: blooms live IN the manifest, so a targeted
+    // DELETE regenerates them for rewritten files — lookups stay
+    // exact for surviving keys and empty for deleted ones (the
+    // side-directory design this replaced went stale here)
+    val delLo = keys.head
+    Layout.deleteMatching(spark, path, "o_orderkey", delLo, delLo)
+    assert(Layout.pointRead(spark, path, "o_orderkey", delLo).isEmpty,
+      "deleted key must not resurface")
+    val survivor = keys.last
+    val got2 = Layout.pointRead(spark, path, "o_orderkey", survivor)
+      .select("o_orderkey", "o_totalprice")
+      .as[(Long, Double)].collect().toSet
+    assert(got2 == ord.filter(col("o_orderkey") === survivor)
+      .as[(Long, Double)].collect().toSet && got2.nonEmpty)
   }
 
   test("bloom index supports string keys") {
@@ -514,7 +528,7 @@ class LayoutExtensionsSpec extends SparkSpec {
     val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
       .select(col("c_name"), col("c_acctbal"))
     c.repartition(4, col("c_name")).write.parquet(path)
-    Layout.writeBloomIndex(spark, path, "c_name", expectedPerFile = 1 << 12)
+    Layout.writeFileStats(spark, path, Nil, bloomCols = Seq("c_name"))
     val name = c.select(col("c_name")).orderBy(col("c_name"))
       .limit(1).as[String].head()
     val got = Layout.pointRead(spark, path, "c_name", name).count()
