@@ -2038,6 +2038,28 @@ object StretchQueries {
         minCommon = 5, maxDf = n / 10)
     }),
 
+    // keyframe (shot-boundary) detection: 12-frame videos with four
+    // 3-frame scenes — within a scene frames are byte-identical
+    // (hamming 0), across scenes the synth's distinct-seed dHashes
+    // split far past the threshold (the same distinctness the
+    // neardup gate's planted-overlap oracle already relies on), so
+    // keyframes are exactly the scene starts {0, 3, 6, 9}
+    "q_mm_keyframes" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(32).as[Long]
+        .map { id =>
+          val cls = id % 62
+          val seeds = (0 until 4).flatMap(j =>
+            Seq.fill(3)((cls / 2) * 1000L + cls % 2 + j))
+          Multimodal.MediaRow(id,
+            Multimodal.AviCodec.synthMjpegSeeds(12, 10, seeds), "video/avi")
+        }.toDF("media_id", "content", "format")
+      Multimodal.keyframes(Multimodal.aviFrameHashes(media),
+          minHamming = 8)
+        .select(col("media_id").as("doc_id"), col("frame_idx"))
+    }),
+
     // dedup-cluster size histogram — the shape report a dedup pass
     // ships with (how much of the corpus sits in how-big duplicate
     // families); two bounded aggregations over the CC labels
@@ -4041,6 +4063,12 @@ object StretchQueries {
          |  CAST(sum(nb) AS BIGINT) AS tb FROM a)
          |SELECT bucket, na, nb, na * tb - nb * ta AS imbalance
          |FROM a, t""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // the oracle KNOWS the scene grid: keyframes at 0/3/6/9 per video
+    "q_mm_keyframes" ->
+      ("""SELECT doc_id, CAST(f AS INT) AS frame_idx
+         |FROM documents, unnest([0, 3, 6, 9]) t(f)"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     // chain components have 10 members except the tail stub — replay
     // the same closed-form component arithmetic as q_d_resolve

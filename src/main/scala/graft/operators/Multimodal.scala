@@ -1011,6 +1011,30 @@ object Multimodal {
       .toDF(idCol, "frame_idx", "fhash")
   }
 
+  /** Keyframe (scene-change) detection over any per-frame fingerprint
+    * relation `(id, frame_idx, fhash)`: a frame is a keyframe when it
+    * is the first of its video or its dHash is ≥ `minHamming` bits
+    * from the PREVIOUS frame's — the shot-boundary pass that picks
+    * which frames of a 100 TB video corpus are worth decoding fully,
+    * captioning, or embedding (consecutive near-identical frames
+    * carry no new signal).
+    *
+    * ONE shuffle (video id), one lag window, `bit_count(xor)` for the
+    * hamming distance — no decode here: this runs downstream of
+    * [[aviFrameHashes]]/[[gifFrameHashes]]/[[tiffFrameHashes]], which
+    * already paid the per-frame decode in their shuffle-free pass.
+    */
+  def keyframes(frameHashes: DataFrame, minHamming: Int,
+                idCol: String = "media_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    frameHashes
+      .withColumn("__prev", lag(col("fhash"), 1).over(w))
+      .filter(col("__prev").isNull ||
+        expr(s"bit_count(__prev ^ fhash) >= $minHamming"))
+      .select(col(idCol), col("frame_idx"))
+  }
+
   /** `(idCol, frame_idx, fhash)` over AVI payloads — the video sibling
     * of [[gifFrameHashes]], same shuffle-free mapPartitions shape.
     */

@@ -419,4 +419,30 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(strict == Set((0L, 2L)))
   }
+
+  test("keyframes: first frame + scene boundaries; repeats never fire; " +
+    "threshold binds") {
+    import spark.implicits._
+    // video 0: scenes AABB -> keyframes {0, 2}; video 1: all same ->
+    // keyframe {0} only
+    val media = Seq(
+      (0L, Multimodal.AviCodec.synthMjpegSeeds(12, 10,
+        Seq(5L, 5L, 9L, 9L)), "video/avi"),
+      (1L, Multimodal.AviCodec.synthMjpegSeeds(12, 10,
+        Seq(7L, 7L, 7L, 7L)), "video/avi"))
+      .toDF("media_id", "content", "format")
+    val fh = Multimodal.aviFrameHashes(media)
+    val got = Multimodal.keyframes(fh, minHamming = 8)
+      .as[(Long, Int)].collect().toSet
+    assert(got == Set((0L, 0), (0L, 2), (1L, 0)))
+    // an impossible threshold keeps only the first frames
+    val strict = Multimodal.keyframes(fh, minHamming = 65)
+      .as[(Long, Int)].collect().toSet
+    assert(strict == Set((0L, 0), (1L, 0)))
+    // threshold 1 fires on ANY change — same boundaries here (scenes
+    // are byte-identical within, distinct-seed dHashes differ)
+    val loose = Multimodal.keyframes(fh, minHamming = 1)
+      .as[(Long, Int)].collect().toSet
+    assert(loose == got)
+  }
 }
