@@ -2038,6 +2038,38 @@ object StretchQueries {
         minCommon = 5, maxDf = n / 10)
     }),
 
+    // rolling 7-day active users: each (user, active-day) pair
+    // CONTRIBUTES itself to the 7 window-end days it falls in
+    // (map-side sequence-explode), then one distinct-count per day —
+    // the scalable formulation of sliding-window distinct; the naive
+    // one rescans a growing prefix per day
+    "q_ev_wau" -> ((s, dir) => {
+      val ud = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val mx = ud.agg(max(col("day")).as("mx"))
+      ud.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("d"))
+        .distinct()
+        .crossJoin(broadcast(mx))
+        .filter(col("d") <= col("mx"))
+        .groupBy(col("d").as("day"))
+        .agg(count(lit(1)).as("wau"))
+    }),
+
+    // per-source duplication report: the corpus-health table a crawl
+    // operator reads daily — volume, distinct content, dup rate in
+    // ppm, all exact integers in one pass per source
+    "q_t_dup_by_source" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          expr("((n_docs - n_distinct) * 1000000) div n_docs")
+            .as("dup_ppm"))),
+
     // keyframe (shot-boundary) detection: 12-frame videos with four
     // 3-frame scenes — within a scene frames are byte-identical
     // (hamming 0), across scenes the synth's distinct-seed dHashes
@@ -4063,6 +4095,26 @@ object StretchQueries {
          |  CAST(sum(nb) AS BIGINT) AS tb FROM a)
          |SELECT bucket, na, nb, na * tb - nb * ta AS imbalance
          |FROM a, t""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // the window-membership identity: user u counts toward day d iff
+    // u was active in [d-6, d] — replayed as an explicit interval join
+    "q_ev_wau" ->
+      ("""WITH ud AS (SELECT DISTINCT user_id,
+         |  epoch_us(ts) // 86400000000 AS day FROM events),
+         |m AS (SELECT max(day) AS mx FROM ud),
+         |x AS (SELECT DISTINCT user_id, day + o AS d
+         |  FROM ud, unnest([0, 1, 2, 3, 4, 5, 6]) t(o))
+         |SELECT d AS day, count(*) AS wau FROM x, m
+         |WHERE d <= mx GROUP BY d"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_t_dup_by_source" ->
+      ("""SELECT source, count(*) AS n_docs,
+         |count(DISTINCT text) AS n_distinct,
+         |((count(*) - count(DISTINCT text)) * 1000000) // count(*)
+         |  AS dup_ppm
+         |FROM documents GROUP BY source"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     // the oracle KNOWS the scene grid: keyframes at 0/3/6/9 per video
     "q_mm_keyframes" ->
