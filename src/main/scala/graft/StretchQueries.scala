@@ -2038,6 +2038,54 @@ object StretchQueries {
         minCommon = 5, maxDf = n / 10)
     }),
 
+    // exact AUC as an integer U-statistic: does quality score rank
+    // English docs above the rest? Grouped-by-score-value cumulative
+    // formulation — U2 = Σ_s [2·np(s)·cumneg(<s) + np(s)·nn(s)]
+    // (the np·nn term is the tie half-credit, doubled) — so the
+    // global-order window runs over DISTINCT score values, never the
+    // raw rows, and no float forms until the caller divides
+    "q_ml_auc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select(
+        graft.functions.NativeExpressions.textProfile(col("text"))
+          .getField("quality_micros").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val g = d.groupBy(col("score"))
+        .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+      val w = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
+        .agg(sum(col("np") * col("cumneg") * 2 + col("np") * col("nn"))
+            .as("u2"),
+          sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+    }),
+
+    // language-ID confusion matrix: predicted vs labeled language —
+    // the classifier-eval table, one count pass
+    "q_t_lang_conf" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          graft.functions.NativeExpressions.textProfile(col("text"))
+            .getField("lang_pred").as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))),
+
+    // hourly rate-spike detection: flag (type, hour) cells whose count
+    // beats 1.5× the type's median hourly rate — 4n > 3·med2 keeps the
+    // whole comparison in integers (med2 = 2·median is always whole)
+    "q_ev_spikes" -> ((s, dir) => {
+      val hourly = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hour"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"))
+      val med = hourly.groupBy(col("event_type"))
+        .agg((percentile(col("n"), lit(0.5)) * 2).cast("long").as("med2"))
+      hourly.join(broadcast(med), "event_type")
+        .filter(col("n") * 4 > col("med2") * 3)
+        .select(col("event_type"), col("hour"), col("n"))
+    }),
+
     // rolling 7-day active users: each (user, active-day) pair
     // CONTRIBUTES itself to the 7 window-end days it falls in
     // (map-side sequence-explode), then one distinct-count per day —
@@ -4098,6 +4146,35 @@ object StretchQueries {
 
     // the window-membership identity: user u counts toward day d iff
     // u was active in [d-6, d] — replayed as an explicit interval join
+    "q_ml_auc" ->
+      (s"""WITH d AS (SELECT $qualityMicrosSql AS score,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents),
+         |g AS (SELECT score, CAST(sum(pos) AS BIGINT) AS np,
+         |  CAST(sum(1 - pos) AS BIGINT) AS nn FROM d GROUP BY score),
+         |c AS (SELECT score, np, nn, coalesce(sum(nn) OVER
+         |  (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |   1 PRECEDING), 0) AS cumneg FROM g)
+         |SELECT CAST(sum(np * cumneg * 2 + np * nn) AS BIGINT) AS u2,
+         |  CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(nn) AS BIGINT) AS n_neg FROM c"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_t_lang_conf" ->
+      (s"""SELECT lang, $langCaseSql AS lang_pred, count(*) AS n
+         |FROM documents GROUP BY 1, 2"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ev_spikes" ->
+      ("""WITH h AS (SELECT event_type,
+         |  epoch_us(ts) // 3600000000 AS hour, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type, CAST(2 * median(n) AS BIGINT) AS med2
+         |  FROM h GROUP BY 1)
+         |SELECT h.event_type, hour, n FROM h JOIN m USING (event_type)
+         |WHERE n * 4 > med2 * 3"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
     "q_ev_wau" ->
       ("""WITH ud AS (SELECT DISTINCT user_id,
          |  epoch_us(ts) // 86400000000 AS day FROM events),
