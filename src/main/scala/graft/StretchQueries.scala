@@ -2038,6 +2038,50 @@ object StretchQueries {
         minCommon = 5, maxDf = n / 10)
     }),
 
+    // per-class precision/recall counts for the language classifier —
+    // tp/fp/fn as exact integers from one confusion pass (the caller
+    // divides; a float ratio here would just lose the oracle)
+    "q_ml_prf" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"),
+        graft.functions.NativeExpressions.textProfile(col("text"))
+          .getField("lang_pred").as("pred"))
+      d.groupBy(col("lang"))
+        .agg(sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("pred") =!= col("lang"), 1L).otherwise(0L))
+            .as("fn"))
+        .join(
+          d.groupBy(col("pred").as("lang"))
+            .agg(count(lit(1)).as("n_pred")), Seq("lang"), "left")
+        .select(col("lang"), col("tp"), col("fn"),
+          (coalesce(col("n_pred"), lit(0L)) - col("tp")).as("fp"))
+    }),
+
+    // calibration bins: does a higher quality score really mean more
+    // English? 10 fixed-width score bins × (n, n_pos) — the
+    // reliability-diagram table, exact integers
+    "q_ml_calibration" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+          graft.functions.NativeExpressions.textProfile(col("text"))
+            .getField("quality_micros").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy(least(expr("score div 100000"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))),
+
+    // top-3 TF-IDF keywords per document — the per-doc descriptor
+    // pass; integer-micros scores make the (score desc, token) order
+    // engine-exact
+    "q_t_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf_micros").desc, col("token"))
+      graft.operators.TfIdf.tfIdf(t(s, dir, "documents"), "text", "doc_id")
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("token"),
+          col("tfidf_micros"))
+    }),
+
     // exact AUC as an integer U-statistic: does quality score rank
     // English docs above the rest? Grouped-by-score-value cumulative
     // formulation — U2 = Σ_s [2·np(s)·cumneg(<s) + np(s)·nn(s)]
@@ -4146,6 +4190,45 @@ object StretchQueries {
 
     // the window-membership identity: user u counts toward day d iff
     // u was active in [d-6, d] — replayed as an explicit interval join
+    "q_ml_prf" ->
+      (s"""WITH d AS (SELECT lang, $langCaseSql AS pred FROM documents),
+         |r AS (SELECT lang,
+         |  CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN pred <> lang THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fn FROM d GROUP BY lang),
+         |p AS (SELECT pred AS lang, count(*) AS n_pred FROM d
+         |  GROUP BY pred)
+         |SELECT r.lang, tp, fn, coalesce(n_pred, 0) - tp AS fp
+         |FROM r LEFT JOIN p USING (lang)"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ml_calibration" ->
+      (s"""WITH d AS (SELECT $qualityMicrosSql AS score,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents)
+         |SELECT least(score // 100000, 9) AS bin, count(*) AS n,
+         |  CAST(sum(pos) AS BIGINT) AS n_pos FROM d GROUP BY 1"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_t_keywords" ->
+      (s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+         |  GROUP BY 1, 2),
+         |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+         |  GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.token, tf.tf,
+         |  tf.tf * CAST(round(1000000.0 * ln(CAST(n.n AS DOUBLE) / df))
+         |    AS BIGINT) AS tfidf_micros
+         |  FROM tf, dfreq, n WHERE tf.token = dfreq.token),
+         |r AS (SELECT doc_id, token, tfidf_micros, CAST(row_number()
+         |  OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf_micros DESC, token) AS INT) AS rnk FROM sc)
+         |SELECT doc_id, rnk, token, tfidf_micros FROM r
+         |WHERE rnk <= 3""".stripMargin).replaceAll(raw"\s+", " "),
+
     "q_ml_auc" ->
       (s"""WITH d AS (SELECT $qualityMicrosSql AS score,
          |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
