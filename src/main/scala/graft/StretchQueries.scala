@@ -2038,6 +2038,37 @@ object StretchQueries {
         minCommon = 5, maxDf = n / 10)
     }),
 
+    // seasonality grid: hour-of-day × day-of-week counts — computed
+    // ARITHMETICALLY from epoch micros (1970-01-01 was a Thursday, so
+    // dow = (epoch_day + 4) % 7 with Sunday = 0), never via calendar
+    // functions whose week-start/locale conventions differ per engine
+    "q_ev_seasonality" -> ((s, dir) =>
+      EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(
+          (expr("unix_micros(ts) div 3600000000") % 24).as("hod"),
+          ((expr("unix_micros(ts) div 86400000000") + 4) % 7).as("dow"))
+        .groupBy(col("dow"), col("hod"))
+        .agg(count(lit(1)).as("n"))),
+
+    // per-user inter-event gap statistics: lag diffs over the
+    // (ts, event_id) total order, exact doubled-median and max per
+    // user — the burstiness profile of a behavioral stream
+    "q_ev_gaps" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          (percentile(col("gap"), lit(0.5)) * 2).cast("long")
+            .as("med2_gap_us"),
+          max(col("gap")).as("max_gap_us"))
+    }),
+
     // per-class precision/recall counts for the language classifier —
     // tp/fp/fn as exact integers from one confusion pass (the caller
     // divides; a float ratio here would just lose the oracle)
@@ -4190,6 +4221,23 @@ object StretchQueries {
 
     // the window-membership identity: user u counts toward day d iff
     // u was active in [d-6, d] — replayed as an explicit interval join
+    "q_ev_seasonality" ->
+      ("""SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         |(epoch_us(ts) // 3600000000) % 24 AS hod, count(*) AS n
+         |FROM events GROUP BY 1, 2"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ev_gaps" ->
+      ("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+         |  FROM events),
+         |g AS (SELECT user_id, us - lag(us) OVER (PARTITION BY user_id
+         |  ORDER BY us, event_id) AS gap FROM e)
+         |SELECT user_id, count(*) AS n_gaps,
+         |  CAST(2 * median(gap) AS BIGINT) AS med2_gap_us,
+         |  max(gap) AS max_gap_us
+         |FROM g WHERE gap IS NOT NULL GROUP BY user_id"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
     "q_ml_prf" ->
       (s"""WITH d AS (SELECT lang, $langCaseSql AS pred FROM documents),
          |r AS (SELECT lang,
