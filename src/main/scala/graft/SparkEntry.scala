@@ -261,7 +261,7 @@ object SparkEntry {
     //    deterministic and SQL-expressible, so it DOES get an oracle ───
     "q_j3_upsert" -> ((s, dir) => {
       val part = t(s, dir, "part")
-      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_q"
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_q_${graft.engine.Scratch.runToken}"
       val target = part.filter(col("p_size") <= 25)
       val src = part.filter(col("p_size") > 20)
         .withColumn("p_retailprice", col("p_retailprice") * 2)
@@ -284,7 +284,7 @@ object SparkEntry {
     "q_j8_merge_evolve" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val scratch =
-        s"${System.getProperty("java.io.tmpdir")}/graft_evolve_q"
+        s"${System.getProperty("java.io.tmpdir")}/graft_evolve_q_${graft.engine.Scratch.runToken}"
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -310,7 +310,7 @@ object SparkEntry {
     //    shifted-key inserts ───────────────────────────────────────────
     "q_cdc_apply" -> ((s, dir) => {
       val part = t(s, dir, "part")
-      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_cdc_q"
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_cdc_q_${graft.engine.Scratch.runToken}"
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -330,7 +330,7 @@ object SparkEntry {
 
     // ── S3 variant: JSON-lines source round-trip (schema inference) ────
     "q_s3_json_roundtrip" -> ((s, dir) => {
-      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_json_q"
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_json_q_${graft.engine.Scratch.runToken}"
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -342,7 +342,7 @@ object SparkEntry {
     // ── S3 variant: ORC source round-trip (columnar, self-describing;
     //    pushdown survives like parquet) ──────────────────────────────
     "q_s3_orc_roundtrip" -> ((s, dir) => {
-      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_orc_q"
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_orc_q_${graft.engine.Scratch.runToken}"
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -356,7 +356,7 @@ object SparkEntry {
     //    pruning layout on the driver surface; content equality is the
     //    oracle, file-range narrowness is LayoutExtensionsSpec's job ──
     "q_s4_zorder_roundtrip" -> ((s, dir) => {
-      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_q"
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_q_${graft.engine.Scratch.runToken}"
       val li = t(s, dir, "lineitem").select(col("l_orderkey"),
         col("l_partkey"), col("l_suppkey"), col("l_quantity"))
       graft.engine.Layout.writeZOrdered(li, scratch, numFiles = 8,
@@ -373,7 +373,7 @@ object SparkEntry {
 
     // ── S3: CSV source round-trip (header, inferSchema) ────────────────
     "q_s3_csv_roundtrip" -> ((s, dir) => {
-      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_csv_q"
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_csv_q_${graft.engine.Scratch.runToken}"
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -410,7 +410,8 @@ object SparkEntry {
     //    the plant arithmetic over range(count(orders)) ─────────────
     "q_s22_csv_badrecords" -> ((s, dir) => {
       val n = t(s, dir, "orders").count()
-      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_badcsv_q"
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_badcsv_q_${graft.engine.Scratch.runToken}"
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -454,7 +455,7 @@ object SparkEntry {
     //    incremental against a scratch warehouse. Keys are
     //    nondeterministic, so the gate compares the entity content ────
     "q_scd1_dim_build" -> ((s, dir) => {
-      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_scd1_q"
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_scd1_q_${graft.engine.Scratch.runToken}"
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -475,7 +476,7 @@ object SparkEntry {
     //    here the whole path runs against a scratch warehouse and the
     //    ANSWER is checked (stats change plans, never results) ────────
     "q_cbo_join" -> ((s, dir) => {
-      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_cbo_q"
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_cbo_q_${graft.engine.Scratch.runToken}"
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -507,7 +508,7 @@ object SparkEntry {
     //    ledger. Exactly-once + crash semantics pinned in CdcStreamSpec;
     //    here the FINAL SNAPSHOT is oracle-checked ────────────────────
     "q_cdc_stream" -> ((s, dir) => {
-      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_cdc_q"
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_cdc_q_${graft.engine.Scratch.runToken}"
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -540,7 +541,7 @@ object SparkEntry {
     //    null. The schema-drift-over-time reality of any long-lived
     //    landing zone ───────────────────────────────────────────────
     "q_s13_merge_schema" -> ((s, dir) => {
-      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_msch_q"
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_msch_q_${graft.engine.Scratch.runToken}"
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -679,7 +680,7 @@ object SparkEntry {
     //    dynamic), the daily-reload idiom: at 100 TB the update touches
     //    3 of 3,000 date partitions and the other 2,997 stay as-is ────
     "q_s12_dyn_overwrite" -> ((s, dir) => {
-      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_dynow_q"
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_dynow_q_${graft.engine.Scratch.runToken}"
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)

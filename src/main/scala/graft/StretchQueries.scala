@@ -475,7 +475,7 @@ object StretchQueries {
         .withColumn("price_cents", col("price_cents") +
           when(col("p_partkey") % 5 === 0, 100L).otherwise(0L))
         .drop("p_size")
-      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_mv_stream_q"
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_mv_stream_q_${graft.engine.Scratch.runToken}"
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -689,7 +689,7 @@ object StretchQueries {
         planted.filter(pmod(xxhash64(col("doc_id")), lit(2)) =!= 0)
           .coalesce(1).write.mode("append").parquet(out)
       }
-      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_dsi_q"
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_dsi_q_${graft.engine.Scratch.runToken}"
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -855,7 +855,7 @@ object StretchQueries {
     // so the brute-force oracle holds whatever the centroid quality
     "q_v_topk_ivf_inc" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_inc_q"
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_inc_q_${graft.engine.Scratch.runToken}"
       val fs = new org.apache.hadoop.fs.Path(idx)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(idx), true)
@@ -1443,7 +1443,7 @@ object StretchQueries {
           .select(col("user_id"), col("value"))
           .write.mode("overwrite").parquet(out)
       }
-      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_tws_q"
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_tws_q_${graft.engine.Scratch.runToken}"
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -1518,7 +1518,8 @@ object StretchQueries {
         graft.streaming.TransitionStream.stageEpochs(
           s, EventStream.loadEvents(s, s"$dir/events.parquet"), out)
       }
-      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_trans_q"
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_trans_q_${graft.engine.Scratch.runToken}"
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -2222,7 +2223,16 @@ object StretchQueries {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val pairs = docs.filter(col("doc_id") % 10 =!= 0)
         .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
-      Dedup.connectedComponents(pairs)
+      // connectedComponents only labels nodes that appear in an edge;
+      // a doc in NO pair (e.g. the tail chain-start when the corpus
+      // size ≡ 1 mod 10) is still a size-1 cluster in the histogram —
+      // anti-join it back in as its own component so the gate holds at
+      // every corpus size
+      val nodes = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id")))
+      val isolated = docs.join(nodes, Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("id"), col("doc_id").as("component"))
+      Dedup.connectedComponents(pairs).union(isolated)
         .groupBy(col("component")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
     }),

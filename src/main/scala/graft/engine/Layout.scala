@@ -570,19 +570,60 @@ object Layout {
 
   /** The driver-side hash matching `xxhash64(col)` for the two
     * supported key types (Spark's XXH64, seed 42).
+    *
+    * The Bloom was built over `xxhash64` of the column's STORED type,
+    * and XXH64 hashes an Int and the equal-valued Long differently
+    * (`hashInt` vs `hashLong`). So the probe value must be coerced to
+    * the column's Catalyst type BEFORE hashing — probing an
+    * IntegerType column with a Long would otherwise prune every file
+    * and silently return zero rows (a false NEGATIVE, breaking the
+    * "false positive = wasted open, never a wrong row" contract).
+    * Incompatible probe types throw instead of returning empty.
     */
-  private[graft] def bloomHash(value: Any): Long = value match {
-    case l: Long => org.apache.spark.sql.catalyst.expressions.XXH64
-      .hashLong(l, 42L)
-    case i: Int => org.apache.spark.sql.catalyst.expressions.XXH64
-      .hashInt(i, 42L)
-    case s: String =>
-      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        b.length, 42L)
-    case other => throw new IllegalArgumentException(
-      s"bloom key type unsupported: ${other.getClass}")
+  private[graft] def bloomHashTyped(dt: org.apache.spark.sql.types.DataType,
+                                    value: Any): Long = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.{XXH64 => xx}
+    def bad(): Nothing = throw new IllegalArgumentException(
+      s"bloom probe ${value} (${value.getClass.getSimpleName}) " +
+        s"incompatible with column type $dt")
+    dt match {
+      case LongType => value match {
+        case l: Long  => xx.hashLong(l, 42L)
+        case i: Int   => xx.hashLong(i.toLong, 42L)
+        case s: Short => xx.hashLong(s.toLong, 42L)
+        case b: Byte  => xx.hashLong(b.toLong, 42L)
+        case _        => bad()
+      }
+      case IntegerType => value match {
+        case i: Int               => xx.hashInt(i, 42L)
+        case l: Long if l.isValidInt => xx.hashInt(l.toInt, 42L)
+        case s: Short             => xx.hashInt(s.toInt, 42L)
+        case b: Byte              => xx.hashInt(b.toInt, 42L)
+        case _                    => bad()
+      }
+      case StringType => value match {
+        case s: String =>
+          val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          xx.hashUnsafeBytes(
+            b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            b.length, 42L)
+        case _ => bad()
+      }
+      case _ => throw new IllegalArgumentException(
+        s"bloom key column type unsupported: $dt")
+    }
+  }
+
+  /** Resolve `colName`'s stored type from the table's parquet schema
+    * (one footer read, driver metadata — same category as the file
+    * listing the planner already does).
+    */
+  private def bloomProbeHash(spark: org.apache.spark.sql.SparkSession,
+                             tablePath: String, colName: String,
+                             value: Any): Long = {
+    val dt = spark.read.parquet(tablePath).schema(colName).dataType
+    bloomHashTyped(dt, value)
   }
 
   /** Point lookup through the Bloom index: open only the files whose
@@ -594,7 +635,7 @@ object Layout {
                 tablePath: String, colName: String,
                 value: Any): DataFrame = {
     import org.apache.spark.sql.functions._
-    val h = bloomHash(value)
+    val h = bloomProbeHash(spark, tablePath, colName, value)
     // manifest rows = one small row per file (driver metadata, same
     // category as the planner's file listing); statsDf runs manifest
     // recovery first, so a crashed DML never strands the lookup
@@ -619,7 +660,7 @@ object Layout {
   def filesForPoint(spark: org.apache.spark.sql.SparkSession,
                     tablePath: String, colName: String,
                     value: Any): (Long, Long) = {
-    val h = bloomHash(value)
+    val h = bloomProbeHash(spark, tablePath, colName, value)
     val rows = statsDf(spark, tablePath)
       .select(org.apache.spark.sql.functions.col(s"bloom_$colName"))
       .collect()

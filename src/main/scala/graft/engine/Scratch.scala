@@ -19,6 +19,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Scratch {
 
+  /** Per-JVM unique token for throwaway scratch paths. A FIXED
+    * tmpdir name lets two drivers on the same machine delete each
+    * other's in-flight scratch (flaky failures / wrong gate output);
+    * a fresh UUID per CALL leaks a dir per bench rep. Per-process is
+    * the right scope: concurrent drivers never collide, and reps
+    * inside one JVM reuse-and-clear the same dir.
+    */
+  val runToken: String = java.util.UUID.randomUUID().toString.take(8)
+
   /** (newest mtime, direct-child count, total bytes) of a file or
     * directory — driver-side FS metadata, one listing.
     */

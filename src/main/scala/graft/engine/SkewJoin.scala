@@ -109,6 +109,16 @@ object SkewJoin {
     require(hotThreshold >= 1, "hotThreshold must be positive")
     require(sampleFraction > 0 && sampleFraction <= 1.0,
       s"sampleFraction in (0, 1], got $sampleFraction")
+    // validate BEFORE hot-key detection: the no-hot-keys early return
+    // would otherwise run right/full outer through the plain join while
+    // the same call throws once the data grows hot keys — whether an
+    // unsupported type errors must not depend on the data (and the
+    // hot/cold decomposition joins cold rows against the FULL small
+    // table, which would duplicate unmatched small rows under
+    // right/full semantics)
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
+      s"adaptiveSaltedJoin supports left-preserving join types only, " +
+        s"got $joinType")
     val counted =
       (if (sampleFraction < 1.0) big.sample(sampleFraction) else big)
         .groupBy(col(key)).agg(count(lit(1)).as("__n"))

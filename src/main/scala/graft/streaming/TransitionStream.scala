@@ -121,8 +121,34 @@ object TransitionStream {
         .option("checkpointLocation", checkpoint)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[Edge], _: Long) =>
-            batch.toDF().write.mode("append").parquet(outDir); ()
+          // foreachBatch is at-least-once: a crash between the sink
+          // write and the checkpoint commit replays the batch. The
+          // batch directory IS the claim ledger (same protocol as
+          // VersionedTable.commitBatch): stage hidden, rename in
+          // atomically, skip ids already renamed — a replayed batch
+          // finds its directory and writes nothing, so edges are
+          // never double-counted.
+          (batch: org.apache.spark.sql.Dataset[Edge], batchId: Long) =>
+            val out = new org.apache.hadoop.fs.Path(outDir)
+            val fs = out.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            val dst = new org.apache.hadoop.fs.Path(out, s"batch=$batchId")
+            if (!fs.exists(dst)) {
+              val staging = new org.apache.hadoop.fs.Path(out,
+                s".staging_b${batchId}_${java.util.UUID.randomUUID()}")
+              batch.toDF().write.mode("overwrite").parquet(staging.toString)
+              // rename can only lose to another attempt of the SAME
+              // batch id (which wrote identical content) — drop ours
+              if (!fs.rename(staging, dst)) fs.delete(staging, true)
+            } else {
+              // already claimed: still CONSUME every partition — the
+              // stateful operator's stores only commit when the batch
+              // is fully processed (Spark validates this and fails the
+              // query otherwise); the noop sink advances state without
+              // touching the sink
+              batch.toDF().write.format("noop").mode("overwrite").save()
+            }
+            ()
         }
         .start()
       q.awaitTermination()

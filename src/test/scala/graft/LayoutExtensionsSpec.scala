@@ -523,6 +523,40 @@ class LayoutExtensionsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSet && got2.nonEmpty)
   }
 
+  test("bloom probe coerces to the column's STORED type — a Long " +
+    "probe on an IntegerType key must find the row, not silently " +
+    "prune every file") {
+    val path = tmpDir("bloomtyp") + "/n"
+    val n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .select(col("n_nationkey").cast("int").as("nk"), col("n_name"))
+    n.repartition(4, col("nk")).write.parquet(path)
+    Layout.writeFileStats(spark, path, Nil, bloomCols = Seq("nk"))
+    // XXH64.hashLong(3) != hashInt(3): an untyped probe would return 0
+    // rows here — the false NEGATIVE the typed hash exists to prevent
+    val gotLong = Layout.pointRead(spark, path, "nk", 3L).count()
+    val gotInt = Layout.pointRead(spark, path, "nk", 3).count()
+    assert(gotLong == 1 && gotInt == 1,
+      s"typed probes must agree and hit: long=$gotLong int=$gotInt")
+    // and the other direction: Int probe on a LongType column
+    val path2 = tmpDir("bloomtyp") + "/o"
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"))
+    ord.repartition(4, col("o_orderkey")).write.parquet(path2)
+    Layout.writeFileStats(spark, path2, Nil, bloomCols = Seq("o_orderkey"))
+    val k = ord.orderBy(col("o_orderkey")).limit(1).as[Long].head()
+    assert(k.isValidInt, "test key must fit an Int for the probe")
+    assert(Layout.pointRead(spark, path2, "o_orderkey", k.toInt).count() ==
+      Layout.pointRead(spark, path2, "o_orderkey", k).count())
+    // incompatible probe type throws — never a silent empty result
+    intercept[IllegalArgumentException] {
+      Layout.pointRead(spark, path, "nk", "three")
+    }
+    // out-of-Int-range Long probe on an Int column is incompatible too
+    intercept[IllegalArgumentException] {
+      Layout.pointRead(spark, path, "nk", Long.MaxValue)
+    }
+  }
+
   test("bloom index supports string keys") {
     val path = tmpDir("bloomstr") + "/c"
     val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")

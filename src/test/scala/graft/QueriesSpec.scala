@@ -61,6 +61,21 @@ class QueriesSpec extends SparkSpec {
     assert(all == spark.read.parquet(s"$dir/documents.parquet").count())
   }
 
+  test("q_d_cluster_hist counts isolated singleton clusters — corpus " +
+    "size ≡ 1 (mod 10) leaves the tail chain-start in no pair") {
+    // 11 docs: ids 0..10. Pairs chain 0..9; doc 10 appears in NO pair
+    // (10 % 10 == 0 and doc 11 doesn't exist) — before the
+    // isolated-node union, connectedComponents dropped it and the
+    // histogram disagreed with the closed-form oracle at such sizes.
+    val d = tmpDir("clusterhist")
+    spark.range(11).select(col("id").as("doc_id"))
+      .write.parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("q_d_cluster_hist")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 1L, 1L -> 1L),
+      s"want one 10-chain and one singleton, got $got")
+  }
+
   test("q_j3_upsert is idempotent across repeated execution") {
     val once = SparkEntry.queries("q_j3_upsert")(spark, dir)
       .agg(count(lit(1)), round(sum("p_retailprice"), 2)).head

@@ -65,6 +65,18 @@ class ScaleFeaturesSpec extends SparkSpec {
         maxHotKeys = 3)
     }
     assert(e.getMessage.contains("repartition"))
+    // unsupported join types are rejected up front, DATA-INDEPENDENTLY:
+    // both the no-hot-keys early-return path and the hot path must
+    // throw the same way (a right/full outer through the hot/cold
+    // decomposition would duplicate unmatched small rows)
+    for (thresh <- Seq(100000L, 1000L)) {
+      val e2 = intercept[IllegalArgumentException] {
+        SkewJoin.adaptiveSaltedJoin(big, small, "k",
+          hotThreshold = thresh, joinType = "right")
+      }
+      assert(e2.getMessage.contains("left-preserving"),
+        s"threshold $thresh must reject right join before running")
+    }
   }
 
   test("mergePartitioned: rewrites only touched partitions, merges keys") {

@@ -457,4 +457,37 @@ class StreamingSpec extends SparkSpec {
     assert(want2.values.sum > want.values.sum,
       "the appended epoch must have added transitions")
   }
+
+  test("transition stream sink is exactly-once under batch replay: " +
+    "the batch-directory claim ledger absorbs a full checkpoint reset") {
+    import graft.streaming.TransitionStream
+    val base = tmpDir("transreplay")
+    val staged = s"$base/feed"
+    TransitionStream.stageEpochs(spark,
+      EventStream.loadEvents(spark, dir).limit(1000), staged, epochs = 3)
+    val out = s"$base/out"
+    val run1 = TransitionStream.transitionsStream(
+        spark, staged, out, s"$base/ckpt")
+      .as[(String, String, Long)].collect().toSet
+    // checkpoint wiped, sink kept: foreachBatch replays batches 0..2
+    // from scratch — at-least-once delivery's worst case. The plain
+    // `append` sink this replaced would double every count; the
+    // batch=<id> claim directories make the replay write NOTHING.
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt"), true)
+    val run2 = TransitionStream.transitionsStream(
+        spark, staged, out, s"$base/ckpt2")
+      .as[(String, String, Long)].collect().toSet
+    assert(run2 == run1,
+      "replayed batches must hit the claim ledger, not double-count")
+    // and the ledger really is per-batch directories, no loose files
+    val top = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .filterNot(_.getPath.getName.startsWith("."))
+    assert(top.nonEmpty && top.forall(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch=")),
+      s"sink layout must be batch=<id> claim dirs, got " +
+        top.map(_.getPath.getName).mkString(","))
+  }
 }
