@@ -382,14 +382,15 @@ object SparkEntry {
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     }),
 
-    // ── S23: aggregation pushdown to the manifest — COUNT(*) and
-    //    SUM(col) answered from the per-file stats without opening a
-    //    single data file (the catalog-lookup-vs-table-scan difference
-    //    at 100 TB). Shares q_s9's staged table; the oracle is the
-    //    FULL-SCAN aggregate, so the metadata answer must be exact ──
+    // ── S23: aggregation pushdown to the manifest — COUNT(*),
+    //    SUM/MIN/MAX(col) and non-null COUNT(col) answered from the
+    //    per-file stats without opening a single data file (the
+    //    catalog-lookup-vs-table-scan difference at 100 TB). Shares
+    //    q_s9's staged table; the oracle is the FULL-SCAN aggregate,
+    //    so the metadata answer must be exact ──
     "q_s23_meta_agg" -> ((s, dir) => {
       val scratch = graft.engine.Scratch.ensure(s, "skip",
-        s"$dir/lineitem.parquet", "stats-names-v3") { out =>
+        s"$dir/lineitem.parquet", "stats-names-v4") { out =>
         val path = s"$out/li"
         graft.engine.Layout.writeRangeSorted(
           t(s, dir, "lineitem")
@@ -399,7 +400,9 @@ object SparkEntry {
         graft.engine.Layout.writeFileStats(s, path, Seq("l_orderkey"))
       }
       graft.engine.Layout.metadataAgg(s, s"$scratch/li")
-        .select(col("n_rows"), col("sum_l_orderkey"))
+        .select(col("n_rows"), col("sum_l_orderkey"),
+          col("min_l_orderkey"), col("max_l_orderkey"),
+          col("cnt_l_orderkey"))
     }),
 
     // ── S22: malformed-record quarantine — PERMISSIVE CSV ingest with
@@ -989,11 +992,11 @@ object SparkEntry {
       // between the two writes rebuilds (marker lands only after
       // both), and a REGENERATED source at the same path rebuilds too
       // (marker mtime vs newest source file)
-      // fingerprint "stats-names-v3": the manifest format changed from
+      // fingerprint "stats-names-v4": the manifest format changed from
       // absolute input_file_name() URIs to table-relative names — a
       // cached artifact with the old manifest must rebuild
       val scratch = graft.engine.Scratch.ensure(s, "skip",
-        s"$dir/lineitem.parquet", "stats-names-v3") { out =>
+        s"$dir/lineitem.parquet", "stats-names-v4") { out =>
         val path = s"$out/li"
         graft.engine.Layout.writeRangeSorted(
           t(s, dir, "lineitem")
@@ -1013,7 +1016,7 @@ object SparkEntry {
     //    so sharing q_s9's table would corrupt its oracle ─────────────
     "q_s16_delete" -> ((s, dir) => {
       val scratch = graft.engine.Scratch.ensure(s, "delskip",
-        s"$dir/lineitem.parquet", "stats-names-v3") { out =>
+        s"$dir/lineitem.parquet", "stats-names-v4") { out =>
         val path = s"$out/li"
         graft.engine.Layout.writeRangeSorted(
           t(s, dir, "lineitem")
@@ -1032,7 +1035,7 @@ object SparkEntry {
     //    rewrite ─────────────────────────────────────────────────────
     "q_s17_update" -> ((s, dir) => {
       val scratch = graft.engine.Scratch.ensure(s, "updskip",
-        s"$dir/lineitem.parquet", "stats-names-v3") { out =>
+        s"$dir/lineitem.parquet", "stats-names-v4") { out =>
         val path = s"$out/li"
         graft.engine.Layout.writeRangeSorted(
           t(s, dir, "lineitem")
@@ -1537,7 +1540,11 @@ object SparkEntry {
     // the metadata answer must equal the full-scan aggregate exactly
     "q_s23_meta_agg" ->
       ("SELECT count(*) AS n_rows, " +
-        "CAST(sum(l_orderkey) AS BIGINT) AS sum_l_orderkey FROM lineitem"),
+        "CAST(sum(l_orderkey) AS BIGINT) AS sum_l_orderkey, " +
+        "CAST(min(l_orderkey) AS BIGINT) AS min_l_orderkey, " +
+        "CAST(max(l_orderkey) AS BIGINT) AS max_l_orderkey, " +
+        "CAST(count(l_orderkey) AS BIGINT) AS cnt_l_orderkey " +
+        "FROM lineitem"),
 
     // the quarantine counts replay the plant arithmetic: one bad line
     // per ten, good values are 3i

@@ -261,12 +261,17 @@ object Layout {
       .column(agg.toAggregateExpression()).as(s"bloom_$c")
   }
 
-  private def statAggs(cols: Seq[String], bloomCols: Seq[String] = Nil)
+  private def statAggs(cols: Seq[String], bloomCols: Seq[String] = Nil,
+                       cntCols: Seq[String] = Nil)
       : Seq[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions._
     (count(lit(1)).as("n_rows") +: cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-        sum(col(c)).as(s"sum_$c")))) ++ bloomCols.map(bloomAgg)
+        sum(col(c)).as(s"sum_$c")))) ++
+      // per-file NON-NULL counts (manifest v4): what COUNT(col) needs
+      // that COUNT(*) doesn't — SQL count skips nulls
+      cntCols.map(c => count(col(c)).as(s"cnt_$c")) ++
+      bloomCols.map(bloomAgg)
   }
 
   /** `cols` (numeric) get min/max/sum stats; `bloomCols` (long or
@@ -280,7 +285,7 @@ object Layout {
                      tablePath: String, cols: Seq[String],
                      bloomCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions._
-    val aggs = statAggs(cols, bloomCols)
+    val aggs = statAggs(cols, bloomCols, cntCols = cols)
     spark.read.parquet(tablePath)
       .groupBy(regexp_replace(input_file_name(), "^.*/", "").as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -288,21 +293,35 @@ object Layout {
       .write.mode("overwrite").parquet(statsPath(tablePath))
   }
 
-  /** Metadata-only aggregates: COUNT(*) and SUM of every tracked
-    * column, answered from the manifest without opening ONE data file
-    * — at 100 TB the difference between a catalog lookup and a table
-    * scan. Exact by construction: the manifest rows are maintained by
-    * the same writers that move data ([[writeFileStats]],
-    * [[rewriteMatching]] — DML recomputes stats for rewritten files
-    * and carries untouched rows verbatim).
+  /** Metadata-only aggregates: COUNT(*), SUM, MIN, MAX, and (manifest
+    * v4) non-null COUNT of every tracked column, answered from the
+    * manifest without opening ONE data file — at 100 TB the difference
+    * between a catalog lookup and a table scan. Exact by construction:
+    * the manifest rows are maintained by the same writers that move
+    * data ([[writeFileStats]], [[rewriteMatching]] — DML recomputes
+    * stats for rewritten files and carries untouched rows verbatim).
+    * Exactness of the derived forms:
+    *  - MIN(col) = min over per-file minima; an all-null file has a
+    *    null min and the outer min skips it — exactly SQL MIN's
+    *    null-skipping (all files all-null → null, = MIN of the table);
+    *  - COUNT(col) = Σ per-file non-null counts; served only when the
+    *    manifest carries `cnt_` columns (pre-v4 manifests simply omit
+    *    the column rather than approximating with n_rows, which counts
+    *    nulls).
     */
   def metadataAgg(spark: org.apache.spark.sql.SparkSession,
                   tablePath: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val stats = statsDf(spark, tablePath)
     val sumCols = stats.columns.filter(_.startsWith("sum_")).toSeq
+    val minCols = stats.columns.filter(_.startsWith("min_")).toSeq
+    val maxCols = stats.columns.filter(_.startsWith("max_")).toSeq
+    val cntCols = stats.columns.filter(_.startsWith("cnt_")).toSeq
     val aggs = sum(col("n_rows")).as("n_rows") +:
-      sumCols.map(c => sum(col(c)).as(c))
+      (sumCols.map(c => sum(col(c)).as(c)) ++
+        minCols.map(c => min(col(c)).as(c)) ++
+        maxCols.map(c => max(col(c)).as(c)) ++
+        cntCols.map(c => sum(col(c)).as(c)))
     stats.agg(aggs.head, aggs.tail: _*)
   }
 
@@ -473,10 +492,16 @@ object Layout {
           .map(_.stripPrefix("min_"))
         val bloomCols = stats.columns.filter(_.startsWith("bloom_"))
           .map(_.stripPrefix("bloom_"))
+        // cnt_ columns are derived from the EXISTING manifest, not the
+        // current writeFileStats defaults — a pre-v4 manifest rebuilds
+        // without them (no mixed null/exact column), a v4 manifest
+        // keeps its non-null counts exact through the rewrite
+        val cntCols = stats.columns.filter(_.startsWith("cnt_"))
+          .map(_.stripPrefix("cnt_"))
         val newRows =
           if (moved.isEmpty) untouched
           else {
-            val aggs = statAggs(cols.toSeq, bloomCols.toSeq)
+            val aggs = statAggs(cols.toSeq, bloomCols.toSeq, cntCols.toSeq)
             untouched.unionByName(
               spark.read.parquet(
                 moved.map(n => s"$tablePath/$n").toIndexedSeq: _*)

@@ -435,32 +435,54 @@ class LayoutExtensionsSpec extends SparkSpec {
     } finally fs.delete(lock, false)
   }
 
-  test("metadataAgg answers COUNT/SUM from the manifest and stays exact " +
-    "through DML rewrites") {
+  test("metadataAgg answers COUNT(*)/SUM/MIN/MAX/COUNT(col) from the " +
+    "manifest and stays exact through DML rewrites — null columns " +
+    "included") {
     val path = tmpDir("metaagg") + "/li"
+    // a second tracked column with PLANTED NULLs: COUNT(col) must skip
+    // them (n_rows counts them) and per-file MIN/MAX must null-skip
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_quantity"))
+      .select(col("l_orderkey"),
+        when(col("l_linenumber") % 3 === 0, lit(null))
+          .otherwise(col("l_linenumber")).as("ln"))
     Layout.writeRangeSorted(li, path, 4, col("l_orderkey"))
-    Layout.writeFileStats(spark, path, Seq("l_orderkey"))
-    def full(): (Long, Long) = {
+    Layout.writeFileStats(spark, path, Seq("l_orderkey", "ln"))
+    def full(): Seq[Any] = {
       val r = Layout.manifestRead(spark, path)
-        .agg(count(lit(1)), sum(col("l_orderkey"))).head
-      (r.getLong(0), r.getLong(1))
+        .agg(count(lit(1)), sum(col("l_orderkey")),
+          min(col("l_orderkey")), max(col("l_orderkey")),
+          count(col("l_orderkey")), sum(col("ln")).cast("long"),
+          min(col("ln")), max(col("ln")), count(col("ln"))).head
+      r.toSeq
     }
-    def meta(): (Long, Long) = {
-      val r = Layout.metadataAgg(spark, path).head
-      (r.getLong(0), r.getLong(1))
+    def meta(): Seq[Any] = {
+      val r = Layout.metadataAgg(spark, path)
+        .select(col("n_rows"), col("sum_l_orderkey"),
+          col("min_l_orderkey"), col("max_l_orderkey"),
+          col("cnt_l_orderkey"), col("sum_ln").cast("long"),
+          col("min_ln"), col("max_ln"), col("cnt_ln")).head
+      r.toSeq
     }
     assert(meta() == full(), "fresh manifest aggregates must be exact")
+    val m0 = meta()
+    assert(m0(4).asInstanceOf[Long] == m0.head.asInstanceOf[Long],
+      "l_orderkey has no nulls: COUNT(col) == COUNT(*)")
+    assert(m0(8).asInstanceOf[Long] < m0.head.asInstanceOf[Long],
+      "ln has planted nulls: COUNT(ln) < COUNT(*)")
     // a targeted DELETE rewrites some files; carried-over rows keep
     // their stats verbatim, rewritten files get fresh ones — the
-    // metadata aggregates must track the surviving content exactly
+    // metadata aggregates must track the surviving content exactly,
+    // including the derived MIN (the global minimum lived in the
+    // deleted range, so the post-DELETE MIN comes from REWRITTEN stats)
     val keys = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head
     val (lo, hi) = (keys.getLong(0), keys.getLong(1))
     val mid = lo + (hi - lo) / 3
     Layout.deleteMatching(spark, path, "l_orderkey", lo, mid)
     assert(meta() == full(), "post-DELETE metadata aggregates must be exact")
-    assert(meta()._1 < li.count(), "the delete must have removed rows")
+    assert(meta().head.asInstanceOf[Long] < li.count(),
+      "the delete must have removed rows")
+    assert(meta()(2).asInstanceOf[Long] > lo,
+      "post-DELETE MIN must move above the deleted range")
   }
 
   test("bloom point lookup: exact rows, real pruning where min/max " +

@@ -185,4 +185,54 @@ class NativeExprSpec extends SparkSpec {
       NativeExpressions.simhash(col("t")).as("sh")).collect()
     assert(out(1).isNullAt(0) && out(1).isNullAt(1))
   }
+
+  test("kernels survive codegen with fallback DISABLED — the real " +
+    "doGenCode path compiles and evaluates (not a silent interpreted " +
+    "fallback)") {
+    // spark.sql.codegen.fallback=false turns a broken generated class
+    // from a silent slow path into a test failure; running EVERY
+    // kernel under it pins that the NativeKernels static-call bridge
+    // actually compiles through Janino
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val extra = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, ""), (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      val textKernels = docs.select(col("doc_id"), col("text"))
+        .union(extra)
+        .select(col("doc_id"),
+          NativeExpressions.minhashSignature(col("text")).as("mh"),
+          NativeExpressions.minhashFromHashes(
+            NativeExpressions.shingleHashSet(col("text"))).as("mh2"),
+          NativeExpressions.simhash(col("text")).as("sh"),
+          NativeExpressions.fingerprint(col("text")).as("fp"),
+          NativeExpressions.normalizeText(col("text")).as("norm"),
+          NativeExpressions.textProfile(col("text")).as("prof"),
+          NativeExpressions.jaroWinkler(col("text"), col("text")).as("jw"),
+          NativeExpressions.sortedJaccard(
+            NativeExpressions.shingleHashSet(col("text")),
+            NativeExpressions.shingleHashSet(col("text"))).as("jac"))
+      assert(textKernels.count() == docs.count() + 3)
+      // non-null text must self-match under JW and self-jaccard 1.0
+      val row = textKernels.filter(col("doc_id") === 1L).head()
+      assert(row.getAs[Double]("jw") == 1.0 && row.getAs[Double]("jac") == 1.0)
+      val centroids = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+      val vecKernels = emb.select(col("vec_id"),
+        NativeExpressions.cosine(col("embedding"), col("embedding"))
+          .as("cos"),
+        NativeExpressions.hyperplaneSignature(col("embedding"),
+          dim = emb.selectExpr("size(embedding)").head().getInt(0))
+          .as("hp"))
+      assert(vecKernels.filter(col("cos") > 0.999).count() == emb.count())
+      assert(vecKernels.count() == emb.count())
+      val nc = emb.limit(8).select(NativeExpressions.nearestCentroids(
+        col("embedding"), centroids, 2).as("nc")).collect()
+      assert(nc.forall(_.getSeq[Int](0).length == 2))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
 }
