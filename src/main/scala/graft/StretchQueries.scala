@@ -83,8 +83,17 @@ object StretchQueries {
     t(s, dir, "customer").select(col("c_custkey"))
       .withColumn("__e", expr("c_custkey div 6"))
       .withColumn("__v", col("c_custkey") % 6)
+      // the syllable name space is periodic at 12³ = 1728 entities; a
+      // corpus past that would hand every name 10× clones at 10× scale
+      // and the trigram join's TRUE pair volume would grow
+      // quadratically by construction. The digit tier (e div 1728,
+      // empty below 1728) makes names unique per entity at ANY corpus
+      // size — the second half of the entity-scaling synth.
       .withColumn("__c", concat(at(col("__e")), at(expr("__e div 12")),
-        at(expr("__e div 144")), lit("son")))
+        at(expr("__e div 144")),
+        when(expr("__e div 1728") > 0,
+          expr("cast(__e div 1728 as string)")).otherwise(lit("")),
+        lit("son")))
       .withColumn("name", when(col("__v") === 0, col("__c"))
         .when(col("__v") === 1, concat(cut(col("__c"), 1, 3), cut(col("__c"), 5)))
         .when(col("__v") === 2, concat(cut(col("__c"), 1, 4), cut(col("__c"), 4)))
@@ -99,8 +108,16 @@ object StretchQueries {
       // prefix alone, which is the block-granularity lever the
       // operator's scale contract is about (measured: prefix-only
       // blocks cost 4.7 s/run at sf0.1; with city, 0.2 s)
+      // city = entity div 15 (15 entities per city), NOT entity % K:
+      // a modulus keeps the city domain FIXED as the corpus grows, so
+      // blocks swell linearly and blocked pairs grow quadratically —
+      // the synth would manufacture the very density explosion the
+      // blocking exists to avoid (round-9 VERDICT #4). With div, the
+      // city count scales with the entity count and per-block
+      // population stays bounded, which is what lets ScaleGate put
+      // real linear envelopes on the ER family.
       .select(col("c_custkey").as("rec_id"), col("name"),
-        (expr("c_custkey div 6") % 40).as("city"))
+        expr("(c_custkey div 6) div 15").as("city"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1032,6 +1049,20 @@ object StretchQueries {
     // rescore decides every rank → shares the brute-force oracle;
     // cold-reload ≡ in-session and the codes-only shortlist scan are
     // pinned in PqSpec.
+    // residual IVF-PQ (the FAISS-IVFPQ default): same m·k code budget
+    // spent on v − centroid(v) — recall win at identical code size
+    // (PqSpec measures it); corpus-sized shortlist keeps the gate's
+    // final answer exact against the shared brute-force oracle
+    "q_v_topk_pq_res" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivf = Ivf.train(emb, k = 4, iters = 2)
+      val pq = graft.operators.Pq.trainResidual(emb, ivf, m = 8, k = 16,
+        iters = 4, sampleN = 1024)
+      graft.operators.Pq.topKClusteredResidual(emb,
+        emb.filter(col("vec_id") < 16), ivf, pq, k = 5, nprobe = 4,
+        rescoreK = emb.count().toInt)
+    }),
+
     "q_v_topk_pq_idx" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_pq_idx_q_" +
@@ -2194,6 +2225,38 @@ object StretchQueries {
           expr("((n_docs - n_distinct) * 1000000) div n_docs")
             .as("dup_ppm"))),
 
+    // PII density report: emails/IPv4s/phones planted arithmetically
+    // onto the (digit-free) corpus — doc_id%3 gets an email, %5 an IP,
+    // %7 a phone — then counted per category (TextFunctions.piiCounts,
+    // the report a scrub pass ships) and redacted through the existing
+    // q_t_redact chain. The oracle replays the PLANT, not the regex:
+    // detector vs ground truth. len_redacted pins the redaction
+    // byte-exactly (each plant's appended length and placeholder
+    // length are pure id arithmetic).
+    "q_t_pii" -> ((s, dir) => {
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact bob"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" from 10.0."),
+              (col("doc_id") % 256).cast("string"), lit("."),
+              (col("doc_id") % 200).cast("string"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" call 555-123-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+      planted
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.piiCounts(col("text")).as("__c"),
+          length(graft.functions.TextFunctions.redactPii(col("text")))
+            .as("len_redacted"))
+        .select(col("doc_id"), col("__c.n_email").as("n_email"),
+          col("__c.n_ip").as("n_ip"), col("__c.n_phone").as("n_phone"),
+          col("len_redacted"))
+    }),
+
     // keyframe (shot-boundary) detection: 12-frame videos with four
     // 3-frame scenes — within a scene frames are byte-identical
     // (hamming 0), across scenes the synth's distinct-seed dHashes
@@ -2274,6 +2337,35 @@ object StretchQueries {
         .select(col("n_docs"), col("n_distinct_text"), col("n_tokens"),
           col("n_langs"),
           expr("__qsum div n_docs").as("mean_quality_micros"))
+    }),
+
+    // dataset card v2 (per-SOURCE table — the datasheet an operator
+    // actually reads): volume, distinct content + dup ppm, token mass,
+    // language spread, mean quality, and a 4-bin quality histogram
+    // (250k-micro buckets, top bucket closed) — ONE TextProfile scan +
+    // one grouped distinct, all exact integers, one row per source
+    "q_pipe_card2" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bin = least(expr("__p.quality_micros div 250000"), lit(3L))
+      docs.select(col("source"), col("lang"), col("text"),
+          graft.functions.NativeExpressions.textProfile(col("text"))
+            .as("__p"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct"),
+          sum(col("__p.n_tokens")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("__p.quality_micros")).as("__qsum"),
+          count(when(bin === 0, 1)).as("q_h0"),
+          count(when(bin === 1, 1)).as("q_h1"),
+          count(when(bin === 2, 1)).as("q_h2"),
+          count(when(bin === 3, 1)).as("q_h3"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          expr("((n_docs - n_distinct) * 1000000) div n_docs")
+            .as("dup_ppm"),
+          col("n_tokens"), col("n_langs"),
+          expr("__qsum div n_docs").as("mean_quality_micros"),
+          col("q_h0"), col("q_h1"), col("q_h2"), col("q_h3"))
     }),
 
     // MMR diverse selection: greedy k-round argmax of relevance minus
@@ -2585,6 +2677,7 @@ object StretchQueries {
       ("q_v_topk_ivf_idx" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_c" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq" -> oracleSqlMap("q_v_topk")) +
+      ("q_v_topk_pq_res" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq_idx" -> oracleSqlMap("q_v_topk")) +
       ("q_ev_sessions_et" -> oracleSqlMap("q_ev_sessions")) +
       ("q_ev_transitions_stream" -> oracleSqlMap("q_ev_transitions"))
@@ -4334,6 +4427,26 @@ object StretchQueries {
          |FROM documents GROUP BY source"""
         .stripMargin).replaceAll(raw"\s+", " "),
 
+    // the oracle replays the PLANT arithmetic — ground truth for the
+    // regex detectors. Redacted length: base len(text) plus, per
+    // plant, the non-PII prefix (9/6/6 chars) + the placeholder
+    // (7/4/7) — the PII span itself is arithmetic-exact by id
+    "q_t_pii" ->
+      ("""SELECT doc_id,
+         |CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+         |  AS n_email,
+         |CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT)
+         |  AS n_ip,
+         |CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT)
+         |  AS n_phone,
+         |CAST(len(text)
+         |  + CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 0 END
+         |  + CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 0 END
+         |  + CASE WHEN doc_id % 7 = 0 THEN 13 ELSE 0 END AS INT)
+         |  AS len_redacted
+         |FROM documents"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
     // the oracle KNOWS the scene grid: keyframes at 0/3/6/9 per video
     "q_mm_keyframes" ->
       ("""SELECT doc_id, CAST(f AS INT) AS frame_idx
@@ -4369,6 +4482,23 @@ object StretchQueries {
          |  count(DISTINCT lang) AS n_langs,
          |  CAST(sum(qm) AS BIGINT) // count(*) AS mean_quality_micros
          |FROM q""".stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_pipe_card2" ->
+      (s"""WITH q AS (SELECT source, lang, text, $tokensSql AS ta,
+         |  $qualityMicrosSql AS qm FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT text) AS n_distinct,
+         |  ((count(*) - count(DISTINCT text)) * 1000000) // count(*)
+         |    AS dup_ppm,
+         |  CAST(sum(len(ta)) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(sum(qm) AS BIGINT) // count(*) AS mean_quality_micros,
+         |  count(*) FILTER (WHERE least(qm // 250000, 3) = 0) AS q_h0,
+         |  count(*) FILTER (WHERE least(qm // 250000, 3) = 1) AS q_h1,
+         |  count(*) FILTER (WHERE least(qm // 250000, 3) = 2) AS q_h2,
+         |  count(*) FILTER (WHERE least(qm // 250000, 3) = 3) AS q_h3
+         |FROM q GROUP BY source""".stripMargin)
+        .replaceAll(raw"\s+", " "),
 
     "q_ev_funnel_seq" ->
       ("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
@@ -4496,7 +4626,9 @@ object StretchQueries {
        |cn AS (SELECT rec_id, v, e,
        |  $syl[CAST(e % 12 AS INT) + 1] ||
        |  $syl[CAST((e // 12) % 12 AS INT) + 1] ||
-       |  $syl[CAST((e // 144) % 12 AS INT) + 1] || 'son' AS c FROM f),
+       |  $syl[CAST((e // 144) % 12 AS INT) + 1] ||
+       |  CASE WHEN e // 1728 > 0 THEN CAST(e // 1728 AS VARCHAR)
+       |       ELSE '' END || 'son' AS c FROM f),
        |mn AS (SELECT rec_id, CASE v
        |  WHEN 0 THEN c
        |  WHEN 1 THEN substr(c, 1, 3) || substr(c, 5)
@@ -4505,7 +4637,7 @@ object StretchQueries {
        |    substr(c, 4, 1) || substr(c, 6)
        |  WHEN 4 THEN substr(c, 1, 3) || 'x' || substr(c, 5)
        |  ELSE substr(c, 1, 5) || 'q' || substr(c, 6) END AS name,
-       |  e % 40 AS city
+       |  e // 15 AS city
        |  FROM cn)""".stripMargin
   }
 

@@ -695,4 +695,109 @@ object Layout {
     }
     (kept.toLong, rows.length.toLong)
   }
+
+  // ── One read front door ────────────────────────────────────────────
+  //
+  // prunedRead / pointRead / metadataAgg grew up as separate entry
+  // points; a user shouldn't have to know which skipping structure the
+  // manifest happens to carry. `read` routes a predicate to the best
+  // available structure (bloom for equality, min/max ranges for
+  // intervals, plain manifest read otherwise) and `readAgg` answers
+  // manifest-servable aggregates without opening a data file. Every
+  // path goes through [[statsDf]], which runs manifest crash recovery
+  // under the table lock first — the front door is also the recovery
+  // point.
+
+  /** Predicate language of [[read]]: what the manifest's skipping
+    * structures can accelerate. Anything richer belongs in a normal
+    * `.filter` on the returned DataFrame — Spark pushes it into the
+    * parquet scan anyway; the manifest's job is only choosing which
+    * FILES to open.
+    */
+  sealed trait TablePredicate
+  /** `col = value` — bloom-skippable. */
+  final case class PointEq(colName: String, value: Any) extends TablePredicate
+  /** `col BETWEEN lo AND hi` — min/max-skippable. */
+  final case class Interval(colName: String, lo: Any, hi: Any)
+      extends TablePredicate
+
+  /** Read the table through its manifest, opening only the files the
+    * best available skipping structure keeps:
+    *  - [[PointEq]] with a `bloom_<col>` manifest column → Bloom
+    *    skipping ([[pointRead]]: ~1 open out of 30k under hash layout);
+    *  - [[PointEq]] with only range stats → min/max pruning with
+    *    lo = hi = value;
+    *  - [[Interval]] with range stats → min/max pruning
+    *    ([[prunedRead]]);
+    *  - no stats for the column / no predicate → [[manifestRead]]
+    *    (+ the exact filter — correct, just unpruned).
+    * The exact predicate is always re-applied to the survivors, so
+    * the result equals the full-scan filter regardless of the route.
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+           predicate: Option[TablePredicate] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    lazy val statCols = statsDf(spark, tablePath).columns.toSet
+    predicate match {
+      case None => manifestRead(spark, tablePath)
+      case Some(PointEq(c, v)) if statCols(s"bloom_$c") =>
+        pointRead(spark, tablePath, c, v)
+      case Some(PointEq(c, v)) if statCols(s"min_$c") =>
+        prunedRead(spark, tablePath, c, v, v)
+      case Some(PointEq(c, v)) =>
+        manifestRead(spark, tablePath).filter(col(c) === lit(v))
+      case Some(Interval(c, lo, hi)) if statCols(s"min_$c") =>
+        prunedRead(spark, tablePath, c, lo, hi)
+      case Some(Interval(c, lo, hi)) =>
+        manifestRead(spark, tablePath)
+          .filter(col(c).between(lit(lo), lit(hi)))
+    }
+  }
+
+  /** Aggregate through the front door. `aggs` are (function, column)
+    * pairs from {count(*), count(col), sum, min, max}; when there is
+    * no predicate and EVERY requested aggregate is manifest-servable
+    * (the tracked-stat set covers it), the answer comes from
+    * [[metadataAgg]] — zero data files opened; otherwise it computes
+    * over [[read]] (predicate-pruned). Both routes emit the SAME
+    * column names (`n_rows`, `sum_c`, `min_c`, `max_c`, `cnt_c`), so
+    * callers can't tell which one served them — except by speed.
+    */
+  def readAgg(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+              aggs: Seq[(String, String)],
+              predicate: Option[TablePredicate] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(aggs.nonEmpty, "readAgg needs at least one aggregate")
+    def outName(f: String, c: String): String = (f, c) match {
+      case ("count", "*") => "n_rows"
+      case ("count", _)   => s"cnt_$c"
+      case ("sum", _)     => s"sum_$c"
+      case ("min", _)     => s"min_$c"
+      case ("max", _)     => s"max_$c"
+      case _ => throw new IllegalArgumentException(
+        s"readAgg supports count/sum/min/max, got $f($c)")
+    }
+    val wanted = aggs.map { case (f, c) => outName(f, c) }
+    val servable = predicate.isEmpty && {
+      val statCols = statsDf(spark, tablePath).columns.toSet
+      wanted.forall(statCols.contains) // n_rows/sum_/min_/max_/cnt_ all
+                                       // appear verbatim in the manifest
+    }
+    if (servable)
+      metadataAgg(spark, tablePath)
+        .select(wanted.map(col).toIndexedSeq: _*)
+    else {
+      val base = read(spark, tablePath, predicate)
+      val exprs = aggs.map {
+        case ("count", "*") => count(lit(1)).as("n_rows")
+        case ("count", c)   => count(col(c)).as(s"cnt_$c")
+        case ("sum", c)     => sum(col(c)).as(s"sum_$c")
+        case ("min", c)     => min(col(c)).as(s"min_$c")
+        case ("max", c)     => max(col(c)).as(s"max_$c")
+        case (f, c) => throw new IllegalArgumentException(
+          s"readAgg supports count/sum/min/max, got $f($c)")
+      }
+      base.agg(exprs.head, exprs.tail: _*)
+    }
+  }
 }

@@ -193,6 +193,19 @@ object TextFunctions {
       regexp_replace(acc, pat, tok)
     }
 
+  /** Per-row PII hit counts by category (the density report a scrub
+    * pass ships next to the redacted corpus), over the same
+    * [[piiPatterns]]. Each category scans the RAW text independently —
+    * unlike the sequential redaction fold, which can consume a span a
+    * later pattern would otherwise see; the patterns are disjoint by
+    * construction (a 555-group is never a valid octet, an address
+    * never contains `@`), so on any one span the two views agree.
+    */
+  def piiCounts(c: Column): Column = struct(
+    regexp_count(c, lit(piiPatterns(0)._1)).as("n_email"),
+    regexp_count(c, lit(piiPatterns(1)._1)).as("n_phone"),
+    regexp_count(c, lit(piiPatterns(2)._1)).as("n_ip"))
+
   /** C4-style boilerplate cleanup for scraped text: strip HTML-ish
     * tags, decode the five ubiquitous entities, collapse whitespace
     * runs, trim. A pure codegen'd regexp_replace chain (patterns are

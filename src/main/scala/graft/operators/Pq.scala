@@ -367,6 +367,115 @@ object Pq {
     rescoreExact(cands, corpus, queries, k, shortK, idCol, vecCol)
   }
 
+  // ── Residual encoding (IVF-PQ proper) ────────────────────────────────
+  //
+  // Plain PQ quantizes the VECTOR; residual PQ quantizes v − c(v),
+  // the offset from the vector's assigned IVF centroid. Residuals
+  // concentrate near the origin with far smaller spread than the
+  // vectors themselves, so the same m·k code budget spends its
+  // resolution where the data actually is — the standard recall win
+  // at identical code size (FAISS's IVFPQ default; see Jégou et al.,
+  // "Product Quantization for Nearest Neighbor Search", TPAMI 2011,
+  // §IV.C). Scoring stays ADC-shaped because the inner product
+  // decomposes: dot(q, v) = dot(q, c) + dot(q, r) — one per-(query,
+  // probe) centroid dot plus the SAME per-query ADC table lookups
+  // (the residual codebooks are shared across clusters, so the table
+  // is still built once per query, not once per probe).
+
+  /** Train codebooks on RESIDUALS of a bounded deterministic sample
+    * (same sampling protocol as [[train]]; assignment via the IVF
+    * model's own argmax-cosine kernel so build and search agree on
+    * c(v)).
+    */
+  def trainResidual(df: DataFrame, ivf: Ivf.IvfModel, m: Int = 8,
+                    k: Int = 16, iters: Int = 8, sampleN: Int = 4096,
+                    seed: Long = 42L, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): PqModel = {
+    require(m >= 1 && k >= 1, s"m=$m, k=$k must be positive")
+    val rows = Ivf.assign(df.filter(col(vecCol).isNotNull), ivf, vecCol)
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(sampleN)
+      .select(col(vecCol), col("cluster")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](0).toArray
+        val cen = ivf.centroids(r.getInt(1))
+        Array.tabulate(v.length)(i => (v(i) - cen(i)).toFloat)
+      }
+    require(rows.nonEmpty, "cannot train residual PQ on an empty corpus")
+    val dim = rows(0).length
+    require(dim % m == 0, s"dim $dim is not divisible by m=$m")
+    val sub = dim / m
+    val codebooks = Array.tabulate(m) { j =>
+      localKMeans(rows.map(v =>
+        java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)), k, iters)
+    }
+    PqModel(sub, codebooks)
+  }
+
+  /** Centroid matrix as a literal column (k×dim doubles ride the plan
+    * like the NearestCentroids kernel's copy — no broadcast round
+    * trip).
+    */
+  private def centroidsLit(ivf: Ivf.IvfModel): Column =
+    typedlit(ivf.centroids.map(_.toSeq).toSeq)
+
+  /** `cluster`-assigned corpus + residual `pq_code` + EXACT vector
+    * norm. The residual is built declaratively (one zip_with per row
+    * at index-BUILD time, never per candidate pair) and encoded by the
+    * same kernel as plain PQ; the stored norm is of the ORIGINAL
+    * vector — the approximate-cosine denominator must not see the
+    * residual decomposition.
+    */
+  def withResidualCodes(df: DataFrame, ivf: Ivf.IvfModel, model: PqModel,
+                        vecCol: String = "embedding",
+                        codeCol: String = "pq_code",
+                        normCol: String = "pq_norm"): DataFrame = {
+    val assigned = Ivf.assign(df, ivf, vecCol)
+    val keep = assigned.columns.map(col).toIndexedSeq
+    val residual = zip_with(col(vecCol),
+      element_at(centroidsLit(ivf), col("cluster") + 1),
+      (a, b) => (a - b).cast("float"))
+    assigned
+      .select(keep :+ encodeStruct(residual, model).as("__pq"): _*)
+      .select(keep :+ col("__pq.codes").as(codeCol) :+
+        sqrt(aggregate(col(vecCol), lit(0.0d),
+          (acc, x) => acc + x * x)).as(normCol): _*)
+  }
+
+  /** IVF-PQ with residual codes: same probe/shortlist/rescore shape as
+    * [[topKClustered]], scored as (dot(q, centroid) + ADC(residual))
+    * over the exact norm.
+    */
+  def topKClusteredResidual(corpus: DataFrame, queries: DataFrame,
+                            ivf: Ivf.IvfModel, model: PqModel, k: Int,
+                            nprobe: Int = 2, rescoreK: Int = 0,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    import NativeExpressions.nearestCentroids
+    val shortK = if (rescoreK > 0) math.max(rescoreK, k) else 4 * k
+    val c = withResidualCodes(corpus, ivf, model, vecCol)
+      .select(col(idCol).as("n_id"), col("pq_code"), col("pq_norm"),
+        col("cluster"))
+    // per (query, probe): the shared ADC table plus the centroid dot —
+    // nq·nprobe rows of driver-free arithmetic, built BEFORE the
+    // broadcast so the candidate join pays lookups only
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"),
+        adcTable(col(vecCol), model).as("__t"),
+        explode(nearestCentroids(col(vecCol), ivf.centroids, nprobe))
+          .as("cluster"))
+      .withColumn("__qc", aggregate(
+        zip_with(col("__qv"),
+          element_at(centroidsLit(ivf), col("cluster") + 1),
+          (a, b) => a * b),
+        lit(0.0d), (acc, x) => acc + x))
+      .drop("__qv")
+    val cands = c.join(broadcast(q), Seq("cluster"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        ((col("__qc") + adcScore(col("__t"), col("pq_code"), model.k)) /
+          when(col("pq_norm") =!= 0.0, col("pq_norm"))).as("cosine"))
+    rescoreExact(cands, corpus, queries, k, shortK, idCol, vecCol)
+  }
+
   /** IVF + PQ: candidates from the query's `nprobe` nearest clusters
     * only (equi-join on cluster id), scored from codes, shortlist
     * rescored exact — the full FAISS-IVFPQ shape, on DataFrames.

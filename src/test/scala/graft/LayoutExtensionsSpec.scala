@@ -579,6 +579,89 @@ class LayoutExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("Layout.read front door: one API routes point→bloom, " +
+    "interval→minmax, fallback→manifest, all value-identical to the " +
+    "full-scan filter") {
+    val path = tmpDir("frontdoor") + "/ord"
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    ord.repartition(8, col("o_orderkey")).write.parquet(path)
+    Layout.writeFileStats(spark, path, Seq("o_orderkey"),
+      bloomCols = Seq("o_orderkey"))
+    val k = ord.select(col("o_orderkey")).orderBy(col("o_orderkey"))
+      .limit(1).as[Long].head()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("o_orderkey"), col("o_custkey")).as[(Long, Long)]
+        .collect().toSet
+    // point on the bloom column: must route through the bloom (visible
+    // as real pruning — min/max prunes nothing under hash layout)
+    assert(canon(Layout.read(spark, path,
+      Some(Layout.PointEq("o_orderkey", k)))) ==
+      canon(ord.filter(col("o_orderkey") === k)))
+    val (bloomKept, total) = Layout.filesForPoint(spark, path, "o_orderkey", k)
+    assert(bloomKept < total, "bloom route must actually prune")
+    // interval on the range column
+    assert(canon(Layout.read(spark, path,
+      Some(Layout.Interval("o_orderkey", k, k + 100)))) ==
+      canon(ord.filter(col("o_orderkey").between(k, k + 100))))
+    // predicate on an UNTRACKED column: no skipping structure — must
+    // still return the exact filtered result via the manifest
+    val ck = ord.select(col("o_custkey")).orderBy(col("o_custkey"))
+      .limit(1).as[Long].head()
+    assert(canon(Layout.read(spark, path,
+      Some(Layout.PointEq("o_custkey", ck)))) ==
+      canon(ord.filter(col("o_custkey") === ck)))
+    // no predicate = manifest read
+    assert(Layout.read(spark, path).count() == ord.count())
+  }
+
+  test("Layout.readAgg serves manifest-covered aggregates with ZERO " +
+    "data-file opens, and computes predicate aggregates over the " +
+    "pruned read") {
+    val path = tmpDir("frontagg") + "/ord"
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Layout.writeRangeSorted(ord, path, 4, col("o_orderkey"))
+    Layout.writeFileStats(spark, path, Seq("o_orderkey"))
+    val aggs = Seq(("count", "*"), ("sum", "o_orderkey"),
+      ("min", "o_orderkey"), ("max", "o_orderkey"),
+      ("count", "o_orderkey"))
+    val want = ord.agg(count(lit(1)).as("n_rows"),
+      sum(col("o_orderkey")).as("sum_o_orderkey"),
+      min(col("o_orderkey")).as("min_o_orderkey"),
+      max(col("o_orderkey")).as("max_o_orderkey"),
+      count(col("o_orderkey")).as("cnt_o_orderkey")).head.toSeq
+    assert(Layout.readAgg(spark, path, aggs).head.toSeq == want)
+    // proof the metadata route opens no data file: corrupt one file
+    // behind the manifest's back — the metadata answer must not notice
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val bytes = new Array[Byte](16)
+    val out = fs.create(victim, true) // truncate to garbage
+    out.write(bytes); out.close()
+    assert(Layout.readAgg(spark, path, aggs).head.toSeq == want,
+      "metadata route must answer without touching data files")
+    intercept[Exception] { // while an actual scan of that file fails
+      spark.read.parquet(victim.toString).count()
+    }
+    // predicate route: falls back to compute over the pruned read —
+    // rebuild the table first (one file is garbage now)
+    val path2 = tmpDir("frontagg") + "/ord2"
+    Layout.writeRangeSorted(ord, path2, 4, col("o_orderkey"))
+    Layout.writeFileStats(spark, path2, Seq("o_orderkey"))
+    val keys = ord.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head
+    val (lo, hi) = (keys.getLong(0), keys.getLong(0) +
+      (keys.getLong(1) - keys.getLong(0)) / 3)
+    val gotP = Layout.readAgg(spark, path2, Seq(("count", "*"),
+      ("sum", "o_orderkey")),
+      Some(Layout.Interval("o_orderkey", lo, hi))).head.toSeq
+    val wantP = ord.filter(col("o_orderkey").between(lo, hi))
+      .agg(count(lit(1)), sum(col("o_orderkey"))).head.toSeq
+    assert(gotP == wantP)
+  }
+
   test("bloom index supports string keys") {
     val path = tmpDir("bloomstr") + "/c"
     val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")

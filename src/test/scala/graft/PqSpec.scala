@@ -103,6 +103,47 @@ class PqSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("residual IVF-PQ: full-probe + exhaustive shortlist equals " +
+    "brute force (correctness anchor)") {
+    val ivf = Ivf.train(emb, k = 4, iters = 2)
+    val model = Pq.trainResidual(emb, ivf, m = 8, k = 16, iters = 4)
+    val q = emb.filter(col("vec_id") < 8)
+    val n = emb.count().toInt
+    val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val got = Pq.topKClusteredResidual(emb, q, ivf, model, k = 5,
+      nprobe = 4, rescoreK = n)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(got == exact)
+  }
+
+  test("residual IVF-PQ recall at the same code size >= plain IVF-PQ " +
+    "(the reason residual encoding exists)") {
+    val ivf = Ivf.train(emb, k = 4, iters = 2)
+    val plain = Pq.train(emb, m = 8, k = 16, iters = 4)
+    val resid = Pq.trainResidual(emb, ivf, m = 8, k = 16, iters = 4)
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    // identical probe sets (nprobe = all 4 clusters), identical
+    // 64-candidate shortlist budget — the ONLY difference is whether
+    // the m·k code budget quantizes vectors or centroid residuals
+    val rPlain = recall(Pq.topKClustered(emb, q, ivf, plain, k = 5,
+      nprobe = 4, rescoreK = 64))
+    val rResid = recall(Pq.topKClusteredResidual(emb, q, ivf, resid, k = 5,
+      nprobe = 4, rescoreK = 64))
+    info(f"recall@5, 64-of-500 shortlist: plain=$rPlain%.3f residual=$rResid%.3f")
+    // deterministic corpus + seeded training → these are fixed values,
+    // not luck; the margin tolerates nothing (residual must not LOSE)
+    assert(rResid >= rPlain,
+      s"residual encoding must not reduce recall: $rResid vs $rPlain")
+    assert(rResid >= 0.7, s"residual recall floor: $rResid")
+  }
+
   test("persisted index: cold reload equals the in-session models exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString
     val src = "/root/testdata/sf0.001/embeddings.parquet"
