@@ -75,6 +75,13 @@ object StretchQueries {
     * ASCII. Pure-`Column` synth (runs inside codegen); the DuckDB
     * oracle replays the same arithmetic.
     */
+  // Fellegi–Sunter field weights, derived once and shared by the
+  // q_e_fs gate AND its oracle SQL (interpolated as literals), so
+  // both engines score with bit-identical integers
+  private val fsJw = EntityResolution.fsWeightsMicros(0.9, 0.1)
+  private val fsLen = EntityResolution.fsWeightsMicros(0.85, 0.3)
+  private val fsPre = EntityResolution.fsWeightsMicros(0.95, 0.5)
+
   private def messyNames(s: SparkSession, dir: String): DataFrame = {
     val syl = array(Seq("an", "bel", "cor", "dan", "els", "far", "gil",
       "hart", "ing", "jas", "kel", "lor").map(lit): _*)
@@ -188,6 +195,19 @@ object StretchQueries {
       t(s, dir, "documents").select(col("doc_id"),
         graft.operators.DatasetSplit.bucket256(col("text")).as("bucket"),
         graft.operators.DatasetSplit.splitLabel(col("text")).as("split"))),
+
+    // leakage-safe split: near-dup FAMILIES (the chain components,
+    // closed-form doc_id div 10) move between splits as a unit — the
+    // split hashes the component id, not the text, so no duplicate
+    // family straddles train/test. Singletons (chain starts in no
+    // pair) keep their own id as component
+    "q_t_split_leakfree" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val pairs = docs.filter(col("doc_id") % 10 =!= 0)
+        .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
+      graft.operators.DatasetSplit.leakageSafeSplit(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("component"), col("split"))
+    }),
 
     // deterministic ~25% sample keyed on the same content hash
     "q_t_sample" -> ((s, dir) =>
@@ -2005,15 +2025,23 @@ object StretchQueries {
     // coordinates (a multiplicative lattice has NO close pairs — the
     // hash placement is what makes the pair count realistic), cells
     // are radius-sized, and each within-radius pair is found exactly
-    // once — 9× expansion + ONE equi-join, never a cross/theta join
+    // once — 9× expansion + ONE equi-join, never a cross/theta join.
+    // The plane side scales as 4000·⌊√n⌋ — ~1 point per radius-sized
+    // cell at ANY corpus size (round-10: more data covers more
+    // territory at constant density, which is the realistic growth
+    // mode AND what lets ScaleGate hold a linear envelope over the
+    // operator; a fixed plane makes true pair volume quadratic by
+    // construction — the same synth defect the r9 ER family had)
     "q_g_spatial" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+      val side = 4000L * math.max(4L,
+        math.sqrt(ev.count().toDouble).toLong)
       def coord(tag: String) =
         conv(substring(md5(concat(lit(tag),
           col("event_id").cast("string"))), 1, 8), 16, 10)
-          .cast("long") % 1000000L
-      val pts = EventStream.loadEvents(s, s"$dir/events.parquet")
-        .select(col("event_id").as("id"),
-          coord("gx:").as("x"), coord("gy:").as("y"))
+          .cast("long") % side
+      val pts = ev.select(col("event_id").as("id"),
+        coord("gx:").as("x"), coord("gy:").as("y"))
       graft.operators.SpatialJoin.gridSelfJoin(pts, "id", "x", "y", 4000L)
     }),
 
@@ -2397,6 +2425,51 @@ object StretchQueries {
       Dedup.connectedComponents(matches)
     }),
 
+    // Fellegi–Sunter probabilistic linkage scoring over the blocked
+    // candidate pairs: three comparison fields (JW ≥ 0.92, equal
+    // length, equal 4-prefix) with weights derived from m/u
+    // probabilities ONCE on the driver (fsWeightsMicros) — the
+    // per-pair score is pure integer addition, and the oracle gets
+    // the identical weight literals interpolated into its SQL, so it
+    // replays the scoring exactly (DuckDB's jaro_winkler_similarity
+    // supplies the independent JW implementation, as in q_e_jw_match)
+    "q_e_fs" -> ((s, dir) => {
+      val recs = messyNames(s, dir)
+      val pairs = EntityResolution.candidatePairs(
+        recs, "rec_id", Seq("name"),
+        Seq(concat(substring(col("name"), 1, 3), lit("|"),
+          col("city").cast("string"))))
+        .withColumn("jw_micros",
+          round(graft.functions.NativeExpressions.jaroWinkler(
+            col("name_a"), col("name_b")) * 1000000).cast("long"))
+      EntityResolution.fellegiSunter(pairs, Seq(
+          (col("jw_micros") >= 920000L, fsJw._1, fsJw._2),
+          (length(col("name_a")) === length(col("name_b")),
+            fsLen._1, fsLen._2),
+          (substring(col("name_a"), 1, 4) ===
+            substring(col("name_b"), 1, 4), fsPre._1, fsPre._2)),
+          upperMicros = 2000000L, lowerMicros = 0L)
+        .select(col("rec_id_a"), col("rec_id_b"), col("fs_micros"),
+          col("fs_class"))
+    }),
+
+    // position-based (40/20/40) multi-touch attribution: every touch
+    // belongs to the next purchase of its user; credit is all-integer
+    // micros with the division remainder pinned to the last touch, so
+    // Σ credit ≡ 1,000,000 per converted window on both engines. One
+    // user shuffle + a co-partitioned window join — never a time-range
+    // self-join. Reported per touch type
+    "q_ev_attrib" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+      graft.operators.Attribution.positionBased(ev, "user_id", "ts",
+          "event_id", col("event_type") === "purchase")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_micros")).as("credit_micros"))
+    }),
+
     // time-series resampling with gap fill: per-user hourly grid from
     // first to last activity, missing hours at 0, running cumulative —
     // the regularization pass before any sequence model. The grid
@@ -2766,6 +2839,18 @@ object StretchQueries {
 
     "q_t_sample" ->
       s"SELECT doc_id FROM documents WHERE $bucketSql < 64",
+
+    // components are closed-form (chain decades); the split hashes the
+    // component id exactly like q_t_split hashes the text
+    "q_t_split_leakfree" ->
+      (s"""WITH c AS (SELECT doc_id, doc_id - doc_id % 10 AS component
+         |  FROM documents),
+         |b AS (SELECT doc_id, component,
+         |  CAST(${bucketSqlOf("CAST(component AS VARCHAR)")} AS INT)
+         |    AS bk FROM c)
+         |SELECT doc_id, component, CASE WHEN bk < 205 THEN 'train'
+         |  WHEN bk < 230 THEN 'val' ELSE 'test' END AS split FROM b"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_pipe_funnel" ->
       (s"""WITH d AS (SELECT $qualityMicrosSql AS qm,
@@ -4117,13 +4202,17 @@ object StretchQueries {
         .stripMargin).replaceAll(raw"\s+", " "),
 
     // the oracle replays the 3×3 grid probe — coordinates and cells
-    // are pure integer arithmetic on both engines
+    // are pure integer arithmetic on both engines; the plane side is
+    // 4000·⌊√n⌋ on both (IEEE sqrt is correctly rounded, so FLOOR of
+    // it matches Scala's toLong truncation for every integer n)
     "q_g_spatial" ->
-      (s"""WITH p AS (SELECT event_id AS id,
+      (s"""WITH n AS (SELECT 4000 * GREATEST(4,
+         |  CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS side FROM events),
+         |p AS (SELECT event_id AS id,
          |  ${hex32Sql("md5('gx:' || CAST(event_id AS VARCHAR))")}
-         |    % 1000000 AS x,
+         |    % side AS x,
          |  ${hex32Sql("md5('gy:' || CAST(event_id AS VARCHAR))")}
-         |    % 1000000 AS y FROM events),
+         |    % side AS y FROM events, n),
          |pa AS (SELECT id, x, y, x // 4000 + dx AS cx, y // 4000 + dy AS cy
          |  FROM p, generate_series(-1, 1) g1(dx),
          |  generate_series(-1, 1) g2(dy)),
@@ -4271,6 +4360,60 @@ object StretchQueries {
         " SELECT id, l AS component FROM r8")
         .replaceAll(raw"\s+", " ")
     },
+
+    // same blocked pairs as q_e_jw_match; the weight literals are the
+    // SAME Scala values the Spark gate uses (interpolated), so the
+    // comparison exercises the scoring machinery, not libm
+    "q_e_fs" ->
+      (s"""WITH $messyNamesCtes,
+         |p AS (SELECT a.rec_id AS rec_id_a, b.rec_id AS rec_id_b,
+         |  a.name AS name_a, b.name AS name_b
+         |  FROM mn a JOIN mn b
+         |  ON substr(a.name, 1, 3) = substr(b.name, 1, 3)
+         |  AND a.city = b.city AND a.rec_id < b.rec_id),
+         |w AS (SELECT rec_id_a, rec_id_b,
+         |  CASE WHEN CAST(round(jaro_winkler_similarity(name_a, name_b)
+         |      * 1000000) AS BIGINT) >= 920000
+         |    THEN ${fsJw._1} ELSE ${fsJw._2} END
+         |  + CASE WHEN length(name_a) = length(name_b)
+         |    THEN ${fsLen._1} ELSE ${fsLen._2} END
+         |  + CASE WHEN substr(name_a, 1, 4) = substr(name_b, 1, 4)
+         |    THEN ${fsPre._1} ELSE ${fsPre._2} END AS fs_micros
+         |  FROM p)
+         |SELECT rec_id_a, rec_id_b, CAST(fs_micros AS BIGINT) AS fs_micros,
+         |  CASE WHEN fs_micros >= 2000000 THEN 'match'
+         |    WHEN fs_micros > 0 THEN 'possible'
+         |    ELSE 'non-match' END AS fs_class FROM w"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // the oracle replays the window segmentation and the integer
+    // credit split (remainder to the LAST touch) verbatim
+    "q_ev_attrib" ->
+      ("""WITH e AS (SELECT event_id, user_id, ts, event_type,
+         |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ic
+         |  FROM events),
+         |s AS (SELECT *, sum(ic) OVER (PARTITION BY user_id
+         |  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |  CURRENT ROW) - ic AS win FROM e),
+         |t AS (SELECT user_id, win, event_id, event_type, ts FROM s
+         |  WHERE ic = 0),
+         |c AS (SELECT user_id, win FROM s WHERE ic = 1),
+         |j AS (SELECT t.* FROM t JOIN c
+         |  ON t.user_id = c.user_id AND t.win = c.win),
+         |r AS (SELECT event_type,
+         |  count(*) OVER (PARTITION BY user_id, win) AS k,
+         |  row_number() OVER (PARTITION BY user_id, win
+         |    ORDER BY ts, event_id) AS pos FROM j),
+         |cr AS (SELECT event_type,
+         |  CASE WHEN k = 1 THEN 1000000
+         |    WHEN k = 2 THEN 500000
+         |    WHEN pos = 1 THEN 400000
+         |    WHEN pos = k THEN 600000 - (k - 2) * (200000 // (k - 2))
+         |    ELSE 200000 // (k - 2) END AS credit FROM r)
+         |SELECT event_type, count(*) AS n_touches,
+         |  CAST(sum(credit) AS BIGINT) AS credit_micros
+         |FROM cr GROUP BY 1"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_ev_resample" ->
       ("""WITH ev AS (SELECT user_id,

@@ -253,6 +253,39 @@ object DatasetSplit {
     * cluster's write parallelism; per-shard position is a sort of
     * corpus/nShards rows, the same cost as the shard write itself.
     */
+  /** Leakage-safe split: assign train/val/test by the NEAR-DUP
+    * FAMILY, not the document. [[splitLabel]] already keeps exact
+    * duplicates together (same text ⇒ same hash); near-duplicates
+    * hash differently, so a content split scatters a duplicate family
+    * across train AND test — the classic contamination path
+    * train/test dedup exists to close. Here every document inherits
+    * its connected component over the near-dup pair list
+    * ([[Dedup.connectedComponents]]'s min-label, so the key is the
+    * family's smallest member id — deterministic, not
+    * partition-dependent), and the split hashes the COMPONENT id:
+    * whole families move between splits as a unit. Documents in no
+    * pair are their own singleton family (left join + coalesce), so
+    * the operator never drops or re-keys clean documents.
+    *
+    * Cost shape at 100 TB: CC over the pair list (pairs ≪ corpus
+    * after LSH), one broadcast-or-shuffle left join of the labels
+    * back onto the corpus, then the same zero-shuffle hash
+    * projection as [[splitLabel]].
+    */
+  def leakageSafeSplit(docs: org.apache.spark.sql.DataFrame,
+                       idCol: String,
+                       pairs: org.apache.spark.sql.DataFrame,
+                       trainBuckets: Int = 205,
+                       valBuckets: Int = 25): org.apache.spark.sql.DataFrame = {
+    val cc = Dedup.connectedComponents(pairs)
+    docs.join(cc.withColumnRenamed("id", "__cc_id"),
+        docs(idCol) === col("__cc_id"), "left")
+      .withColumn("component", coalesce(col("component"), docs(idCol)))
+      .drop("__cc_id")
+      .withColumn("split", splitLabel(col("component").cast("string"),
+        trainBuckets, valBuckets))
+  }
+
   def deterministicShuffle(df: org.apache.spark.sql.DataFrame,
                            idCol: String, seed: String,
                            nShards: Int): org.apache.spark.sql.DataFrame = {

@@ -184,4 +184,47 @@ object EntityResolution {
         round(NativeExpressions.jaroWinkler(col(a), col(b)) * 1000000)
           .cast("long"))
       .filter(col("jw_micros") >= minMicros)
+
+  /** Fellegi–Sunter field weights in micros from the field's m- and
+    * u-probabilities (P(agree | match) and P(agree | non-match)):
+    * (log₂(m/u), log₂((1−m)/(1−u))), each rounded to integer micros.
+    * Weight derivation happens ONCE on the driver; the per-pair score
+    * is then pure integer arithmetic — exact, engine-independent, and
+    * free of per-row floating point.
+    */
+  def fsWeightsMicros(m: Double, u: Double): (Long, Long) = {
+    require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
+      s"need 0 < u < m < 1, got m=$m u=$u")
+    def log2micros(x: Double): Long =
+      math.round(math.log(x) / math.log(2.0) * 1e6)
+    (log2micros(m / u), log2micros((1 - m) / (1 - u)))
+  }
+
+  /** Fellegi–Sunter record-linkage scoring over candidate pairs: each
+    * field contributes its agreement weight when `agree` holds, its
+    * (negative) disagreement weight otherwise; the pair's score is the
+    * sum, and thresholds classify `match` / `possible` (the clerical-
+    * review band) / `non-match`. Fields are (agreement predicate,
+    * agreeWeightMicros, disagreeWeightMicros) — derive the weights
+    * from trained m/u probabilities with [[fsWeightsMicros]], or pass
+    * hand-tuned values. A pure projection over the blocked pair list:
+    * no shuffle beyond what produced the candidates, codegen'd
+    * end-to-end, linear in pairs at any corpus size.
+    */
+  def fellegiSunter(pairs: DataFrame,
+                    fields: Seq[(Column, Long, Long)],
+                    upperMicros: Long,
+                    lowerMicros: Long): DataFrame = {
+    require(fields.nonEmpty, "at least one comparison field")
+    require(upperMicros >= lowerMicros, "upper threshold below lower")
+    val score = fields.map { case (agree, aw, dw) =>
+      when(agree, lit(aw)).otherwise(lit(dw))
+    }.reduce(_ + _)
+    pairs
+      .withColumn("fs_micros", score)
+      .withColumn("fs_class",
+        when(col("fs_micros") >= upperMicros, lit("match"))
+          .when(col("fs_micros") > lowerMicros, lit("possible"))
+          .otherwise(lit("non-match")))
+  }
 }

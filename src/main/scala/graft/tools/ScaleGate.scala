@@ -90,13 +90,14 @@ object ScaleGate {
     // must track the synthesized video count (docs, 10×); this gate
     // would have contradicted the r9 bench phantom (8.4 s recorded,
     // 1.1 s quiet) on the spot
-    "q_mm_keyframes" -> 8.0
-    // NOT gated (documented, not an oversight): q_g_spatial. ScaleUp
-    // multiplies point DENSITY inside a fixed coordinate plane, so
-    // its TRUE pair count grows ~100× at 10× rows by construction —
-    // a ratio envelope would gate the corpus synth, not the operator.
-    // At real scale the lever is cell sizing, which the operator
-    // exposes and documents.
+    "q_mm_keyframes" -> 8.0,
+    // round-10: the last ungated family. The query's plane side now
+    // scales as 4000·⌊√n⌋ (~1 point per radius-sized cell at any
+    // corpus size — more data covers more territory at constant
+    // density), so true pair volume is linear and the envelope gates
+    // the grid join itself: a dropped cell-key equi-join (theta/cross
+    // regression) or a density-quadratic cell would blow past 12
+    "q_g_spatial" -> 12.0
   )
 
   def main(args: Array[String]): Unit = {
