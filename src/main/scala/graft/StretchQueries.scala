@@ -2083,6 +2083,18 @@ object StretchQueries {
         .select(col("id").as("doc_id"), col("n_tri"))
     }),
 
+    // market-basket co-occurrence: parts appearing in the same order
+    // (the bipartite projection every recommender/co-click pipeline
+    // computes). Context degree is capped BEFORE the self-join — the
+    // hub-context quadratic guard; TPC-H orders hold ≤ 7 parts, so
+    // the cap is inert here and the oracle replays it exactly
+    "q_g_cooccur" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.LinkGraph.bipartiteProject(
+        li, "l_orderkey", "l_partkey", maxDegree = 100L)
+    }),
+
     // entity resolution, set-similarity arm: trigram-posting pairs
     // over the composed name|city key — the blocking mechanism that
     // survives FIRST-character edits where the prefix blocker goes
@@ -4272,6 +4284,17 @@ object StretchQueries {
          |  JOIN o ON wg.u = o.u AND wg.ww = o.v),
          |x AS (SELECT unnest([u, v, ww]) AS id FROM tr)
          |SELECT id AS doc_id, count(*) AS n_tri FROM x GROUP BY id"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // distinct → degree cap → one self-equi-join on the order key
+    "q_g_cooccur" ->
+      ("""WITH e AS (SELECT DISTINCT l_orderkey AS ctx,
+         |  l_partkey AS it FROM lineitem),
+         |d AS (SELECT ctx FROM e GROUP BY ctx HAVING count(*) <= 100),
+         |k AS (SELECT e.ctx, e.it FROM e JOIN d USING (ctx))
+         |SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_common
+         |FROM k a JOIN k b ON a.ctx = b.ctx AND a.it < b.it
+         |GROUP BY 1, 2"""
         .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_e_trigram_pairs" ->

@@ -89,6 +89,21 @@ object EntityResolution {
     * The key string should be discriminative (name alone rarely is —
     * compose name|city|zip): pair volume follows the gram-key
     * cardinality, not the operator.
+    *
+    * SCALE CONTRACT (round-10, measured): this is the EXACT arm, and
+    * exact set-similarity self-join is Θ(n²/G) in candidate volume
+    * once the distinct-gram space G saturates — per-gram df grows
+    * ∝ n by pigeonhole, and with an absolute `minCommon` threshold
+    * the TRUE result set itself grows quadratically (random pairs
+    * reach a fixed overlap at a ~constant rate; sampled on the
+    * ScaleGate synth: 259k pairs at 150k records → 33.4M at 10×).
+    * No prefix/positional filter changes that asymptotic — it is a
+    * property of the relation being computed. Use this arm when the
+    * corpus (or a blocked partition of it) is bounded; at web scale
+    * route through MinHash-LSH banding
+    * ([[graft.operators.Dedup]], sub-quadratic with the documented
+    * ρ-exponent recall bound) or key-equality blocking
+    * ([[candidatePairs]], linear in records at constant block size).
     */
   def trigramPairs(
       records: DataFrame,

@@ -129,4 +129,41 @@ object LinkGraph {
       .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Bipartite co-occurrence projection: from (context, item) edges,
+    * count for every item pair how many contexts contain both — the
+    * market-basket / co-click similarity graph (parts bought in the
+    * same order, docs read in the same session, tokens sharing a
+    * window).
+    *
+    * Scale contract: pair volume is Σ_ctx deg(ctx)², which ONE hub
+    * context can blow up quadratically (a crawler session touching
+    * 10^6 pages yields 10^12 pairs on its own). `maxDegree` caps the
+    * context degree BEFORE the self-join — hub contexts are dropped
+    * whole (a context with more items than the cap carries almost no
+    * pairwise signal anyway; its pairs are noise, exactly like
+    * stop-grams in the trigram join). With the cap, pair volume is
+    * ≤ maxDegree · |E|: linear in the edge list at any corpus size.
+    * Execution is distinct → degree filter → ONE self-equi-join on
+    * the context key → pair aggregation; no cartesian, no broadcast
+    * of anything unbounded.
+    */
+  def bipartiteProject(edges: DataFrame, ctxCol: String, itemCol: String,
+                       maxDegree: Long = 1000L): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val e = edges.select(col(ctxCol).as("__ctx"), col(itemCol).as("__it"))
+      .filter(col("__ctx").isNotNull && col("__it").isNotNull)
+      .distinct()
+    val kept = e.join(
+      e.groupBy(col("__ctx")).agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") <= maxDegree)
+        .select(col("__ctx")),
+      Seq("__ctx"))
+    kept.select(col("__ctx"), col("__it").as("item_a"))
+      .join(kept.select(col("__ctx"), col("__it").as("item_b")),
+        Seq("__ctx"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_common"))
+  }
 }

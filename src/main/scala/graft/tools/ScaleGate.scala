@@ -81,7 +81,20 @@ object ScaleGate {
     // OPERATOR, not the synth. A fixed-domain blocking key regression
     // (or a dropped prefix filter) shows as ~100×
     "q_e_jw_match" -> 10.0,
-    "q_e_trigram_pairs" -> 10.0,
+    // q_e_trigram_pairs is deliberately NOT here (round-10, measured):
+    // its OUTPUT is quadratic in the corpus under ANY implementation —
+    // a fixed absolute overlap (minCommon = 5 of ~12 kept grams) over
+    // a saturated gram space (384 distinct grams at 1×, 1485 at 10×)
+    // makes per-gram df grow ∝ n (pigeonhole), so random record pairs
+    // reach the threshold at a ~constant RATE: sampled true-pair
+    // counts 259k at 1× → 33.4M at 10× (129×); runtime 5.0 s → 206 s
+    // (41×, candidate-bound, better than the 90–193× simulated
+    // candidate volume). An envelope here would gate that arithmetic,
+    // not the operator. The at-scale arms ARE gated: blocking
+    // (q_e_jw_match, 1.2× measured) and CC resolve below; web-scale
+    // set similarity goes through the MinHash-LSH arm (Dedup) whose
+    // ρ-exponent bound is documented at q_v_neardup. Full analysis in
+    // NOTES "Round-10: set-similarity scale analysis".
     // CC resolve: matches are intra-entity (6-record components), so
     // rounds stay O(log 6) and per-round cost linear
     "q_e_resolve" -> 10.0,
@@ -97,7 +110,11 @@ object ScaleGate {
     // density), so true pair volume is linear and the envelope gates
     // the grid join itself: a dropped cell-key equi-join (theta/cross
     // regression) or a density-quadratic cell would blow past 12
-    "q_g_spatial" -> 12.0
+    "q_g_spatial" -> 12.0,
+    // bipartite co-occurrence: 10× orders at unchanged per-order
+    // degree → pairs scale linearly; a dropped degree cap or a
+    // context-key regression to cross products shows as ≫10
+    "q_g_cooccur" -> 10.0
   )
 
   def main(args: Array[String]): Unit = {
@@ -117,8 +134,9 @@ object ScaleGate {
     // (or when the perturbation scheme changes — bump the fingerprint;
     // v2 added the part table for the MV gate)
     // v4: adds the customer table (entity-scaling ER gates)
+    // v5: adds lineitem (co-occurrence projection gate)
     graft.engine.Scratch.ensureAt(spark, big, base,
-      fingerprint = s"scaleup-v4,copies=$copies") { staging =>
+      fingerprint = s"scaleup-v5,copies=$copies") { staging =>
       ScaleUp.build(spark, base, staging, copies)
     }
 

@@ -115,6 +115,18 @@ object ScaleUp {
     }.repartition(32).write.mode("overwrite")
       .parquet(s"$out/customer.parquet")
 
+    // lineitem feeds the co-occurrence projection gate: order keys
+    // shift per copy (contexts scale 10×) while part keys stay global
+    // (shared item vocabulary) — per-order degree is unchanged, so
+    // TRUE pair volume scales linearly and the envelope gates the
+    // projection, not the synth
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    copiesOf(li) { k =>
+      li.select((col("l_orderkey") + k * 10000000L).as("l_orderkey") +:
+        li.columns.filterNot(_ == "l_orderkey").map(col): _*)
+    }.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/lineitem.parquet")
+
     // small tables Profile's warm-up and shared helpers touch
     Seq("nation", "region").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")

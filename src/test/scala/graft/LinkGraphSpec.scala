@@ -59,4 +59,27 @@ class LinkGraphSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("src", "dst"), 2).collect().isEmpty)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("bipartiteProject: co-occurrence counts, duplicate edges " +
+    "collapse, hub contexts drop whole at the degree cap") {
+    // ctx 1: items {10, 20, 30}; ctx 2: {10, 20} (10 duplicated);
+    // ctx 3 is a hub with 4 items — dropped at maxDegree = 3
+    val edges = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 30L), (3L, 40L))
+      .toDF("ctx", "it")
+    val got = LinkGraph.bipartiteProject(edges, "ctx", "it", maxDegree = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 20L, 2L), (10L, 30L, 1L), (20L, 30L, 1L)),
+      s"got $got")
+    // without the cap the hub contributes its pairs (incl. item 40)
+    val uncapped = LinkGraph.bipartiteProject(edges, "ctx", "it",
+      maxDegree = 100)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(uncapped.contains((10L, 40L, 1L)) &&
+      uncapped.contains((10L, 20L, 3L)))
+    // pair orientation: every pair appears exactly once, item_a < item_b
+    assert(uncapped.forall(p => p._1 < p._2))
+  }
 }
