@@ -1321,6 +1321,23 @@ object StretchQueries {
         .select(col("id").as("doc_id"), col("pr_micros"))
     }),
 
+    // BFS hop distance from a trusted seed core (every 97th doc) over
+    // the same multiplicative link maps — the TrustRank-style
+    // link-distance signal; 3 frontier rounds, each ONE equi-join.
+    // The oracle unrolls the identical 3 layers
+    "q_g_hops" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count() // bounded driver metadata, like §2-A2
+      val e = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % n).as("dst"))
+        .union(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % n).as("dst")))
+      val seeds = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("id"))
+      graft.operators.LinkGraph.hopDistance(e, seeds, maxHops = 3)
+        .select(col("id").as("doc_id"), col("hops"))
+    }),
+
     // HTML → text extraction: four messy page shapes around the known
     // text — style/script ELEMENT CONTENT and comments must vanish
     // (a bare tag strip would leak the CSS/JS), tags strip, entities
@@ -3485,6 +3502,32 @@ object StretchQueries {
         round("r2", "r3") + " " +
         "SELECT id AS doc_id, pr AS pr_micros FROM r3")
     },
+
+    // the 3 BFS layers unrolled — each layer = undirected neighbors
+    // of the previous frontier minus everything already settled
+    "q_g_hops" ->
+      ("""WITH nn AS (SELECT count(*) AS cnt FROM documents),
+         |e AS (SELECT doc_id AS s, (doc_id*7+3) % cnt AS d
+         |  FROM documents, nn UNION ALL
+         |  SELECT doc_id, (doc_id*13+5) % cnt FROM documents, nn),
+         |und AS (SELECT DISTINCT u, v FROM
+         |  (SELECT s AS u, d AS v FROM e UNION ALL SELECT d, s FROM e)
+         |  WHERE u <> v),
+         |d0 AS (SELECT doc_id AS id FROM documents WHERE doc_id % 97 = 0),
+         |l1 AS (SELECT DISTINCT v AS id FROM und JOIN d0 ON und.u = d0.id
+         |  WHERE v NOT IN (SELECT id FROM d0)),
+         |l2 AS (SELECT DISTINCT v AS id FROM und JOIN l1 ON und.u = l1.id
+         |  WHERE v NOT IN (SELECT id FROM d0)
+         |  AND v NOT IN (SELECT id FROM l1)),
+         |l3 AS (SELECT DISTINCT v AS id FROM und JOIN l2 ON und.u = l2.id
+         |  WHERE v NOT IN (SELECT id FROM d0)
+         |  AND v NOT IN (SELECT id FROM l1)
+         |  AND v NOT IN (SELECT id FROM l2))
+         |SELECT id AS doc_id, CAST(0 AS BIGINT) AS hops FROM d0
+         |UNION ALL SELECT id, 1 FROM l1
+         |UNION ALL SELECT id, 2 FROM l2
+         |UNION ALL SELECT id, 3 FROM l3"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     // the oracle KNOWS the planted prose (documents.text carries no
     // markup/entities/space-runs — probed at both sf) — the Spark

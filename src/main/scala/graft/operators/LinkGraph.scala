@@ -130,6 +130,56 @@ object LinkGraph {
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** BFS hop distance from a seed set over an undirected view of the
+    * edge list — crawl depth from the seed list, link distance from a
+    * trusted core (the TrustRank-style provenance signal), blast
+    * radius of a takedown. Returns `(id, hops)` for every node within
+    * `maxHops` of a seed (seeds at 0); unreachable nodes are absent.
+    *
+    * Frontier BFS with per-round scratch materialization (NOTES
+    * lesson 7: iterative plans must truncate lineage): each round is
+    * ONE equi-join of the frontier onto the neighbor map, an
+    * anti-join against the settled set, and a union — all keyed on
+    * the node id, shuffle-partitioned identically round to round.
+    * Work per round ∝ edges incident to the frontier, total ∝ m·1
+    * (each edge relaxes at most twice) — hub degrees only widen a
+    * round, never square it.
+    */
+  def hopDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                  srcCol: String = "src", dstCol: String = "dst",
+                  seedCol: String = "id"): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 100, s"unreasonable maxHops: $maxHops")
+    val (und, undScratch) = Materialize.viaScratchWithPath(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+        .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+        .filter(col("u") =!= col("v") &&
+          col("u").isNotNull && col("v").isNotNull)
+        .distinct(),
+      "graft-bfs-edges")
+    var dist = seeds.select(col(seedCol).as("id"), lit(0L).as("hops"))
+    var frontier = dist.select(col("id"))
+    val scratches = scala.collection.mutable.ListBuffer.empty[Materialize.Scratch]
+    var h = 1
+    while (h <= maxHops) {
+      val next = frontier.join(und, frontier("id") === und("u"))
+        .select(und("v").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .select(col("id"), lit(h.toLong).as("hops"))
+      val (mat, s) = Materialize.viaScratchWithPath(dist.union(next),
+        "graft-bfs-dist")
+      scratches += s
+      dist = mat
+      frontier = mat.filter(col("hops") === h).select(col("id"))
+      h += 1
+    }
+    // pin the final layer before dropping the per-round scratches the
+    // plan reads from
+    val pinned = Materialize.viaScratch(dist, "graft-bfs-out")
+    scratches.foreach(_.drop())
+    undScratch.drop()
+    pinned
+  }
+
   /** Bipartite co-occurrence projection: from (context, item) edges,
     * count for every item pair how many contexts contain both — the
     * market-basket / co-click similarity graph (parts bought in the

@@ -114,7 +114,28 @@ object ScaleGate {
     // bipartite co-occurrence: 10× orders at unchanged per-order
     // degree → pairs scale linearly; a dropped degree cap or a
     // context-key regression to cross products shows as ≫10
-    "q_g_cooccur" -> 10.0
+    "q_g_cooccur" -> 10.0,
+    // round-10 second batch: the new operator families.
+    // attribution: ScaleUp multiplies per-user event DEPTH (user ids
+    // are shared across copies), so windows deepen 10× — same family
+    // and envelope as q_ev_trailing; a time-range self-join
+    // regression would be per-user quadratic
+    "q_ev_attrib" -> 14.0,
+    // leakage-safe split: CC over the 10× chain-pair list + one
+    // label join — linear; a CC that re-derived labels per round
+    // from scratch (lineage regrowth) would blow the envelope
+    "q_t_split_leakfree" -> 10.0,
+    // FS scoring is a projection over the blocked pairs (linear with
+    // the entity-scaling synth, like q_e_jw_match)
+    "q_e_fs" -> 10.0,
+    // residual PQ search: same shape as the gated IVF family (probe
+    // clusters → ADC scan → bounded rescore)
+    "q_v_topk_pq_res" -> 8.0,
+    // BFS: work per round ∝ frontier-incident edges, each edge
+    // relaxes at most twice — linear in the 10× doc graph; a
+    // lineage-regrowth regression (un-truncated iterative plan)
+    // shows as exponential plan depth, not a ratio
+    "q_g_hops" -> 10.0
   )
 
   def main(args: Array[String]): Unit = {

@@ -60,6 +60,21 @@ class LinkGraphSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("hopDistance: BFS layers from a seed set, bounded hops, " +
+    "unreachable nodes absent, shortest distance wins") {
+    // path 1-2-3-4-5 plus a cycle 10-11-12-10 seeded at both 1 and 12:
+    // node 3 is 2 hops from seed 1; 11 is 1 hop from seed 12 (not 2
+    // via 10); 5 is 4 hops away -> absent at maxHops=2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val seeds = Seq(1L, 12L).toDF("id")
+    val got = graft.operators.LinkGraph.hopDistance(edges, seeds, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L,
+      12L -> 0L, 10L -> 1L, 11L -> 1L), s"got $got")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("bipartiteProject: co-occurrence counts, duplicate edges " +
     "collapse, hub contexts drop whole at the degree cap") {
     // ctx 1: items {10, 20, 30}; ctx 2: {10, 20} (10 duplicated);
