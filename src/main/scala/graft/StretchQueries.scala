@@ -1338,6 +1338,25 @@ object StretchQueries {
         .select(col("id").as("doc_id"), col("hops"))
     }),
 
+    // TrustRank: the personalized variant over the same maps and the
+    // same trusted core — teleport floor only on seeds, so the score
+    // is link proximity to trust (the raw-PageRank/TrustRank gap is
+    // the classic spam signal). Exact integer micros, 3 unrolled
+    // rounds in the oracle
+    "q_g_trustrank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count() // bounded driver metadata, like §2-A2
+      val e = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % n).as("dst"))
+        .union(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % n).as("dst")))
+      val seeds = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("id"))
+      graft.operators.LinkGraph.personalizedPageRankMicros(e, seeds,
+          iters = 3)
+        .select(col("id").as("doc_id"), col("pr_micros"))
+    }),
+
     // HTML → text extraction: four messy page shapes around the known
     // text — style/script ELEMENT CONTENT and comments must vanish
     // (a bare tag strip would leak the CSS/JS), tags strip, entities
@@ -3498,6 +3517,31 @@ object StretchQueries {
         "nodes AS (SELECT DISTINCT id FROM " +
         "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)), " +
         "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes), " +
+        round("r0", "r1") + ", " + round("r1", "r2") + ", " +
+        round("r2", "r3") + " " +
+        "SELECT id AS doc_id, pr AS pr_micros FROM r3")
+    },
+
+    // the personalized recurrence unrolled — identical to q_g_pagerank
+    // except the floor term carries the seed indicator
+    "q_g_trustrank" -> {
+      def round(prev: String, out: String): String =
+        s"$out AS (SELECT nodes.id, nodes.s, " +
+          "CAST(nodes.s * 150000 + (85 * COALESCE(x.m, 0)) // 100 " +
+          "AS BIGINT) AS pr " +
+          "FROM nodes LEFT JOIN (SELECT e.dst, SUM(pr // d) AS m " +
+          s"FROM e JOIN od USING (src) JOIN $prev ON e.src = $prev.id " +
+          "GROUP BY e.dst) x ON nodes.id = x.dst)"
+      ("WITH nn AS (SELECT count(*) AS cnt FROM documents), " +
+        "e AS (SELECT doc_id AS src, (doc_id*7+3) % cnt AS dst " +
+        "FROM documents, nn UNION ALL " +
+        "SELECT doc_id, (doc_id*13+5) % cnt FROM documents, nn), " +
+        "od AS (SELECT src, count(*) AS d FROM e GROUP BY src), " +
+        "nodes AS (SELECT DISTINCT id, " +
+        "CASE WHEN id % 97 = 0 THEN 1 ELSE 0 END AS s FROM " +
+        "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)), " +
+        "r0 AS (SELECT id, s, CAST(s * 1000000 AS BIGINT) AS pr " +
+        "FROM nodes), " +
         round("r0", "r1") + ", " + round("r1", "r2") + ", " +
         round("r2", "r3") + " " +
         "SELECT id AS doc_id, pr AS pr_micros FROM r3")

@@ -80,6 +80,65 @@ object LinkGraph {
     ranks.select(col("id"), col("pr").as("pr_micros"))
   }
 
+  /** Personalized PageRank (TrustRank): identical recurrence to
+    * [[pageRankMicros]] except the teleport floor lands ONLY on the
+    * seed set — authority flows outward from a trusted core, so a
+    * page's score measures its link proximity to trust (spam farms
+    * rank high on raw PageRank but near zero here; the gap between
+    * the two scores is the classic spam signal). Same exact-integer
+    * contract: every division floors, the oracle unrolls the same
+    * recurrence, bit-for-bit.
+    *
+    *   pr_0(v)   = 1,000,000 · [v ∈ S]
+    *   pr_t+1(v) = 150,000 · [v ∈ S]
+    *             + (85 · Σ_{(u,v)∈E} (pr_t(u) div outdeg(u))) div 100
+    *
+    * Execution shape is [[pageRankMicros]]'s: the seed flag joins
+    * onto the node set ONCE (broadcast — seed lists are small by
+    * definition), then each round is the same join + aggregation +
+    * left join, scratch-materialized so plan depth stays O(1).
+    */
+  def personalizedPageRankMicros(edges: DataFrame, seeds: DataFrame,
+                                 iters: Int = 3,
+                                 srcCol: String = "src",
+                                 dstCol: String = "dst",
+                                 seedCol: String = "id"): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"unreasonable iters: $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val (eDeg, eDegScratch) = Materialize.viaScratchWithPath(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("od")), "src"),
+      "graft-ppr-edges")
+    val (nodes, nodesScratch) = Materialize.viaScratchWithPath(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .join(broadcast(seeds.select(col(seedCol).as("id"),
+          lit(1L).as("__seed"))), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__seed"), lit(0L)).as("s")),
+      "graft-ppr-nodes")
+    var ranks = nodes.select(col("id"),
+      (col("s") * 1000000L).as("pr"))
+    var prev: Option[Materialize.Scratch] = None
+    var it = 0
+    while (it < iters) {
+      val inMass = eDeg.join(ranks, eDeg("src") === ranks("id"))
+        .select(col("dst"), expr("pr div od").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      val next = nodes.join(inMass, nodes("id") === inMass("dst"), "left")
+        .select(nodes("id"),
+          expr("s * 150000L + (85L * coalesce(m, 0L)) div 100L").as("pr"))
+      val (mat, scratch) = Materialize.viaScratchWithPath(next,
+        "graft-ppr-ranks")
+      prev.foreach(_.drop())
+      prev = Some(scratch)
+      ranks = mat
+      it += 1
+    }
+    eDegScratch.drop()
+    nodesScratch.drop()
+    ranks.select(col("id"), col("pr").as("pr_micros"))
+  }
+
   /** Per-node triangle participation over an undirected view of the
     * edge list — the local-clustering signal (link farms and mutual-
     * citation rings triangle-count far above organic pages, so this

@@ -60,6 +60,33 @@ class LinkGraphSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("personalizedPageRank: teleport mass lands only on seeds, " +
+    "trust decays with link distance, unlinked nodes score zero") {
+    // directed chain 0->1->2->3->4 plus an isolated pair 10->11,
+    // seeded at 0: trust must decay strictly along the chain and the
+    // disconnected component must end at zero
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val a = graft.operators.LinkGraph
+      .personalizedPageRankMicros(edges, seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = graft.operators.LinkGraph
+      .personalizedPageRankMicros(edges, seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "must be deterministic")
+    assert(a(0L) == 150000L, "seed keeps exactly the teleport floor " +
+      "(nothing links to it)")
+    // nodes 1 and 2 have converged after 3 rounds (the initial-mass
+    // wave has passed them; node 3 still carries it) — decay must
+    // hold on the converged prefix, and trust must have REACHED 3
+    assert(a(1L) > a(2L) && a(2L) > 0 && a(3L) > 0,
+      s"trust must decay along the converged chain prefix: $a")
+    assert(a(10L) == 0L && a(11L) == 0L,
+      "no trust path -> zero (raw PageRank would give both the floor)")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("hopDistance: BFS layers from a seed set, bounded hops, " +
     "unreachable nodes absent, shortest distance wins") {
     // path 1-2-3-4-5 plus a cycle 10-11-12-10 seeded at both 1 and 12:
