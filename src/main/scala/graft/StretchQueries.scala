@@ -573,6 +573,16 @@ object StretchQueries {
         DataQuality.rule("ship_known", "l_shipdate IS NOT NULL")))
     }),
 
+    // functional-dependency audit: orderkey→custkey is a TRUE key
+    // dependency (zero violations — the claim a MERGE pipeline
+    // relies on), custkey→orderpriority is deliberately false
+    // (customers place orders at many priorities) — the report
+    // quantifies how false
+    "q_dq_fd" -> ((s, dir) =>
+      graft.operators.DataQuality.fdCheck(t(s, dir, "orders"), Seq(
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderpriority")))),
+
     // BPE trainer, round-1 slice: adjacent-pair counts over the
     // initial (chars + </w>) symbol sequences — the oracle-checkable
     // piece of the merge loop ((n desc, a, b) is a total order)
@@ -2131,6 +2141,16 @@ object StretchQueries {
         li, "l_orderkey", "l_partkey", maxDegree = 100L)
     }),
 
+    // the published Jaccard-threshold PPJoin (proportional overlap,
+    // prefix + length filters, both EXACT): high-similarity name
+    // pairs at θ = 0.7. The oracle is the NAIVE all-pairs
+    // formulation — the filters must be invisible in the result
+    "q_e_jaccard_pairs" -> ((s, dir) => {
+      val recs = messyNames(s, dir).select(col("rec_id"), col("name"))
+      EntityResolution.trigramPairsJaccard(recs, "rec_id", "name",
+        thetaMicros = 700000L)
+    }),
+
     // entity resolution, set-similarity arm: trigram-posting pairs
     // over the composed name|city key — the blocking mechanism that
     // survives FIRST-character edits where the prefix blocker goes
@@ -3189,6 +3209,35 @@ object StretchQueries {
         "coalesce(l_quantity <= 30, false)), count(*) FROM lineitem " +
         "UNION ALL SELECT 'ship_known', count(*) FILTER (WHERE " +
         "l_shipdate IS NULL), count(*) FROM lineitem"),
+
+    // the identical per-claim rollup: distinct dependents (+1 when a
+    // NULL dependent appears), keys with fan-out > 1
+    "q_dq_fd" ->
+      ("""WITH c1 AS (SELECT o_orderkey AS det,
+         |  count(DISTINCT o_custkey) +
+         |    max(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nv,
+         |  count(*) AS nr FROM orders WHERE o_orderkey IS NOT NULL
+         |  GROUP BY 1),
+         |v1 AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |  CAST(coalesce(sum(nr), 0) AS BIGINT) AS r,
+         |  CAST(coalesce(max(nv), 0) AS BIGINT) AS f FROM c1
+         |  WHERE nv > 1),
+         |c2 AS (SELECT o_custkey AS det,
+         |  count(DISTINCT o_orderpriority) +
+         |    max(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+         |    AS nv,
+         |  count(*) AS nr FROM orders WHERE o_custkey IS NOT NULL
+         |  GROUP BY 1),
+         |v2 AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |  CAST(coalesce(sum(nr), 0) AS BIGINT) AS r,
+         |  CAST(coalesce(max(nv), 0) AS BIGINT) AS f FROM c2
+         |  WHERE nv > 1)
+         |SELECT 'o_orderkey->o_custkey' AS claim,
+         |  k AS n_violating_keys, r AS n_rows_covered, f AS max_fanout
+         |  FROM v1
+         |UNION ALL SELECT 'o_custkey->o_orderpriority', k, r, f
+         |  FROM v2"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_t_bpe_pairs" ->
       (s"""WITH t AS (SELECT $tokensSql AS ta FROM documents),
@@ -4382,6 +4431,22 @@ object StretchQueries {
          |SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_common
          |FROM k a JOIN k b ON a.ctx = b.ctx AND a.it < b.it
          |GROUP BY 1, 2"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // naive all-pairs Jaccard — the PPJoin's prefix/length filters
+    // must not change the answer
+    "q_e_jaccard_pairs" ->
+      (s"""WITH $messyNamesCtes,
+         |g AS (SELECT rec_id, list_distinct(list_transform(
+         |  range(1, greatest(length(name) - 2, 1) + 1),
+         |  i -> substr(name, CAST(i AS INT), 3))) AS gs FROM mn),
+         |p AS (SELECT a.rec_id AS rec_id_a, b.rec_id AS rec_id_b,
+         |  CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n,
+         |  CAST(len(a.gs) + len(b.gs)
+         |    - len(list_intersect(a.gs, b.gs)) AS BIGINT) AS u
+         |  FROM g a JOIN g b ON a.rec_id < b.rec_id)
+         |SELECT rec_id_a, rec_id_b, (n * 1000000) // u AS jac_micros
+         |FROM p WHERE n * 1000000 >= u * 700000"""
         .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_e_trigram_pairs" ->

@@ -88,6 +88,40 @@ object DataQuality {
       "__rows AS n_rows")
   }
 
+  /** Functional-dependency audit: for each determinant→dependent
+    * claim (e.g. "zip → city", "order_id → customer"), report the
+    * determinant values that map to MORE than one dependent value —
+    * the violations a MERGE/CDC pipeline silently manufactures when
+    * an upstream key stops being a key. Per claim: the number of
+    * violating determinant values, the rows they cover, and the
+    * worst determinant's fan-out.
+    *
+    * One aggregation per claim (groupBy determinant, countDistinct
+    * dependent — partial-aggregated, never a self-join), then a
+    * bounded per-claim rollup; claims union into one small report.
+    * NULL determinants are excluded (SQL keys are non-null by
+    * definition); NULL dependents count as a distinct value via the
+    * null-flag trick, because key→NULL-sometimes IS a violation
+    * worth seeing.
+    */
+  def fdCheck(df: DataFrame, claims: Seq[(String, String)]): DataFrame = {
+    require(claims.nonEmpty, "need at least one determinant->dependent claim")
+    claims.map { case (det, dep) =>
+      df.filter(col(det).isNotNull)
+        .groupBy(col(det))
+        .agg((countDistinct(col(dep)) +
+          max(when(col(dep).isNull, 1L).otherwise(0L))).as("__nv"),
+          count(lit(1)).as("__rows"))
+        .filter(col("__nv") > 1)
+        .agg(count(lit(1)).as("n_violating_keys"),
+          coalesce(sum(col("__rows")), lit(0L)).as("n_rows_covered"),
+          coalesce(max(col("__nv")), lit(0L)).as("max_fanout"))
+        .select(lit(s"$det->$dep").as("claim"),
+          col("n_violating_keys"), col("n_rows_covered"),
+          col("max_fanout"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Throw if any rule has violations (the CHECK-constraint form). */
   def enforce(df: DataFrame, rules: Seq[Rule]): Unit = {
     val bad = check(df, rules)

@@ -200,6 +200,88 @@ object EntityResolution {
           .cast("long"))
       .filter(col("jw_micros") >= minMicros)
 
+  /** Jaccard-threshold set-similarity self-join over character
+    * trigrams — the published PPJoin/All-Pairs form, where the
+    * overlap requirement SCALES with record size instead of
+    * [[trigramPairs]]' absolute `minCommon`:
+    *
+    *   J(A,B) ≥ θ  ⇒  |A∩B| ≥ ⌈θ·max(|A|,|B|)⌉, so the rarest
+    *   |X| − ⌈θ·|X|⌉ + 1 grams of each side must intersect (prefix
+    *   filter under a global rarest-first total order), and
+    *   θ·|A| ≤ |B| ≤ |A|/θ (length filter, applied IN the posting
+    *   join before any pair materializes).
+    *
+    * Both filters are EXACT — the verify step recomputes the true
+    * Jaccard over the kept-gram sets, so the oracle stays the naive
+    * all-pairs formulation. With a proportional threshold the TRUE
+    * result is driven by genuinely-similar pairs (near-identical
+    * strings), not by the corpus-wide floor an absolute threshold
+    * converges to — the semantic fix for the Θ(n²) output measured
+    * on [[trigramPairs]] (NOTES round-10). Candidate volume still
+    * follows Σ_prefix df² (the data's property, not the
+    * algorithm's); the prefix here is the rarest ≈(1−θ)·|A|+1 grams
+    * — at θ=0.7 that is 3–4 grams instead of |A|−minCommon+1 ≈ 11.
+    *
+    * Returns `(idCol_a, idCol_b, jac_micros)` with
+    * jac_micros = ⌊10⁶·|∩|/|∪|⌋ — integer-exact, oracle-replayable.
+    */
+  def trigramPairsJaccard(
+      records: DataFrame,
+      idCol: String,
+      keyCol: String,
+      thetaMicros: Long,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(thetaMicros > 0 && thetaMicros <= 1000000L,
+      s"thetaMicros in (0, 1e6], got $thetaMicros")
+    val base = records
+      .select(col(idCol).as("__id"), col(keyCol).as("__k"))
+      .select(col("__id"), array_distinct(expr(
+        "transform(sequence(1, greatest(length(__k) - 2, 1))," +
+          " i -> substring(__k, i, 3))")).as("__gs"))
+    val exploded = base.select(col("__id"), explode(col("__gs")).as("__g"))
+    val dfTab = exploded.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    val (ordered, orderedScratch) = Materialize.viaScratchWithPath(
+      exploded.join(dfTab, "__g")
+        .groupBy(col("__id"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("__df"), col("__g")))),
+          x => x.getField("__g")).as("__ga")),
+      "graft-er-jgrams")
+    // prefix length |X| − ⌈θ|X|⌉ + 1; sizes ride the postings so the
+    // length filter applies inside the equi-join, before any pair row
+    val pre = ordered
+      .withColumn("__sz", size(col("__ga")).cast("long"))
+      .withColumn("__g", explode(slice(col("__ga"), lit(1),
+        greatest(size(col("__ga")) -
+          ceil(size(col("__ga")) * thetaMicros / 1000000d).cast("int") +
+          lit(1), lit(0)))))
+      .select(col("__g"), col("__id"), col("__sz"))
+    val cands = pre.select(col("__g"), col("__id").as(s"${idCol}_a"),
+        col("__sz").as("__sa"))
+      .join(pre.select(col("__g"), col("__id").as(s"${idCol}_b"),
+        col("__sz").as("__sb")), Seq("__g"))
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b") &&
+        col("__sb") * 1000000L >= col("__sa") * thetaMicros &&
+        col("__sa") * 1000000L >= col("__sb") * thetaMicros)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b")).distinct()
+    val out = cands
+      .join(ordered.select(col("__id").as(s"${idCol}_a"),
+        col("__ga").as("__ka")), s"${idCol}_a")
+      .join(ordered.select(col("__id").as(s"${idCol}_b"),
+        col("__ga").as("__kb")), s"${idCol}_b")
+      .withColumn("__n", size(array_intersect(col("__ka"), col("__kb")))
+        .cast("long"))
+      .withColumn("__u", size(col("__ka")) + size(col("__kb")) - col("__n"))
+      .filter(col("__n") * 1000000L >= col("__u") * thetaMicros)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"),
+        expr("(__n * 1000000L) div __u").as("jac_micros"))
+    val pinned = Materialize.viaScratch(out, "graft-er-jpairs")
+    orderedScratch.drop()
+    pinned
+  }
+
   /** Fellegi–Sunter field weights in micros from the field's m- and
     * u-probabilities (P(agree | match) and P(agree | non-match)):
     * (log₂(m/u), log₂((1−m)/(1−u))), each rounded to integer micros.

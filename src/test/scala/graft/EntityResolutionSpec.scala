@@ -158,4 +158,32 @@ class EntityResolutionSpec extends SparkSpec {
     assert(ids == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L)))
   }
+
+  test("trigramPairsJaccard equals the naive all-pairs Jaccard at " +
+    "every threshold — the prefix and length filters are exact") {
+    import spark.implicits._
+    val names = Seq("jonathansmith", "jonathansmyth", "jonathansmithx",
+      "jonathan", "elizabethjones", "elizabethjone", "lizabethjones",
+      "bob", "bobb", "completelyother", "zzzz")
+    val recs = names.zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("id", "name")
+    def naive(thetaMicros: Long): Set[(Long, Long, Long)] = {
+      def grams(s: String): Set[String] =
+        if (s.length <= 3) Set(s.take(3))
+        else (1 to s.length - 2).map(i => s.substring(i - 1, i + 2)).toSet
+      (for {
+        (a, i) <- names.zipWithIndex; (b, j) <- names.zipWithIndex
+        if i < j
+        n = grams(a).intersect(grams(b)).size.toLong
+        u = grams(a).size + grams(b).size - n
+        if n * 1000000L >= u * thetaMicros
+      } yield (i.toLong, j.toLong, n * 1000000L / u)).toSet
+    }
+    for (theta <- Seq(500000L, 700000L, 900000L)) {
+      val got = EntityResolution
+        .trigramPairsJaccard(recs, "id", "name", theta)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == naive(theta), s"theta=$theta: $got vs ${naive(theta)}")
+    }
+  }
 }

@@ -84,4 +84,31 @@ class QualityRulesSpec extends SparkSpec {
     assert(QualityRules.gopherFilter(df, "text", "doc_id").columns.toSeq ==
       df.columns.toSeq, "filter preserves the input schema")
   }
+
+  test("fdCheck: true FDs report zero, violations count keys/rows/" +
+    "fan-out, a NULL dependent on an otherwise-clean key violates, " +
+    "NULL determinants are excluded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String, String)](
+      (1L, "a", "x"), (1L, "a", "x"),        // key 1: clean
+      (2L, "b", "x"), (2L, "c", "x"),        // key 2: dep1 fans out (2)
+      (3L, "d", "x"), (3L, "d", null),       // key 3: NULL dep2 violates
+      (4L, "e", "y"),
+      (null, "zzz", "zzz"))                  // NULL det: ignored
+      .toDF("k", "d1", "d2")
+    val got = graft.operators.DataQuality.fdCheck(df,
+        Seq(("k", "d1"), ("k", "d2")))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (c, a, b, f) => c -> ((a, b, f)) }.toMap
+    // claim k->d1: key 2 violates (2 rows, fanout 2)
+    assert(got("k->d1") == ((1L, 2L, 2L)), got.toString)
+    // claim k->d2: key 3 violates via the NULL dependent (fanout 1+1)
+    assert(got("k->d2") == ((1L, 2L, 2L)), got.toString)
+    // a fully-true FD reports a zero row, not an empty result
+    val clean = graft.operators.DataQuality.fdCheck(df,
+        Seq(("d1", "k")))
+      .as[(String, Long, Long, Long)].head()
+    assert(clean == (("d1->k", 0L, 0L, 0L)))
+  }
 }
