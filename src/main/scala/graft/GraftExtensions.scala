@@ -47,5 +47,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_minhash_from_hashes"),
       info("graft_minhash_from_hashes"),
       (es: Seq[Expression]) => MinHashFromHashes(es.head, 32, 42L)))
+    e.injectFunction((FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler"),
+      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))))
   }
 }

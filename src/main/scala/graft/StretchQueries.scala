@@ -1820,6 +1820,27 @@ object StretchQueries {
           sum(col("nt")).as("total_tokens"))
     }),
 
+    // leakage-safe curation close: near-dup families (the LSH stage's
+    // output shape, closed-form chain decades here) → CC → family-
+    // hashed split → per-split corpus stats. The report an operator
+    // reads to confirm the split didn't starve val/test AND can't
+    // leak a family across the boundary
+    "q_pipe_curate5" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = docs.filter(col("doc_id") % 10 =!= 0)
+        .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
+      val split = graft.operators.DatasetSplit.leakageSafeSplit(
+        docs.select(col("doc_id")), "doc_id", pairs)
+      docs.join(split.select(col("doc_id"), col("split")), "doc_id")
+        .select(col("split"),
+          graft.functions.NativeExpressions.textProfile(col("text"))
+            .as("__p"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("__p.quality_micros")).as("sum_quality_micros"),
+          sum(expr("__p.n_tokens")).as("total_tokens"))
+    }),
+
     // reciprocal-rank fusion of two retrievers (full-corpus exact +
     // half-corpus approx — the recall harness's pair): per-(list,
     // rank) micros contributions, int64 sums, id tie-breaks — the
@@ -3168,6 +3189,24 @@ object StretchQueries {
          |  CAST(sum(nt) AS BIGINT) AS total_tokens
          |FROM lab GROUP BY split""".stripMargin)
         .replaceAll(raw"\s+", " "),
+
+    // components are closed-form; the split hashes the component id
+    // (q_t_split_leakfree's arithmetic) and the per-split stats
+    // replay the profile formulas
+    "q_pipe_curate5" ->
+      (s"""WITH c AS (SELECT doc_id, doc_id - doc_id % 10 AS component,
+         |  $qualityMicrosSql AS qm,
+         |  CAST(len($tokensSql) AS BIGINT) AS nt FROM documents),
+         |b AS (SELECT qm, nt,
+         |  CAST(${bucketSqlOf("CAST(component AS VARCHAR)")} AS INT)
+         |    AS bk FROM c)
+         |SELECT CASE WHEN bk < 205 THEN 'train'
+         |  WHEN bk < 230 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(qm) AS BIGINT) AS sum_quality_micros,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens
+         |FROM b GROUP BY 1"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     // both MV-maintenance oracles are the FULL aggregate over the
     // after-state relation — the maintenance identity itself

@@ -404,6 +404,31 @@ final class VersionedTable(val spark: SparkSession, val basePath: String) {
     overwrite(readVersion(v).coalesce(nFiles))
   }
 
+  /** Small files in the latest snapshot — the compaction-need meter
+    * (metadata-only: one directory listing, no data read). */
+  def smallFileCount(smallFileBytes: Long = 16L * 1024 * 1024): Int = {
+    val v = latestVersion.getOrElse(return 0)
+    fs.listStatus(genPath(resolveVersion(v))).toSeq
+      .filter(s => s.getPath.getName.endsWith(".parquet") &&
+        s.getLen < smallFileBytes)
+      .size
+  }
+
+  /** Compaction-need policy, the [[graft.operators.Ivf.needsRebuild]]
+    * convention: fire when the latest snapshot carries more than
+    * `maxSmallFiles` files under `smallFileBytes`. The operational
+    * loop is meter → trigger → [[compact]] → meter resets (the
+    * compacted generation is size-targeted, so the count drops to
+    * ~0); wire it wherever ingestion commits (the same place a Delta
+    * pipeline schedules OPTIMIZE). Like the IVF drift policy this is
+    * a POLICY, not an automatism — maintenance must run quiesced or
+    * with retrying readers (see [[compactAppend]]'s visibility note),
+    * so the engine reports, the operator schedules.
+    */
+  def needsCompaction(smallFileBytes: Long = 16L * 1024 * 1024,
+                      maxSmallFiles: Int = 8): Boolean =
+    smallFileCount(smallFileBytes) > maxSmallFiles
+
   /** OPTIMIZE ZORDER BY: rewrite the latest snapshot z-order-clustered
     * on `cols` into size-targeted files as a NEW generation — the
     * maintenance pass that makes subsequent multi-column range scans

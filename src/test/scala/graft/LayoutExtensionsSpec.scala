@@ -111,6 +111,9 @@ class LayoutExtensionsSpec extends SparkSpec {
       assert(ok == expected)
       assert(s2.sql("SELECT graft_jaccard(array(1L,2L,3L), array(2L,3L,4L)) AS j")
         .head.getDouble(0) == 0.5)
+      // the Winkler literature vector through the SQL registration
+      assert(math.abs(s2.sql("SELECT graft_jaro_winkler('martha', 'marhta') AS j")
+        .head.getDouble(0) - 0.9611111111111111) < 1e-15)
     } finally ()
   }
 

@@ -10,6 +10,25 @@ class VersionedTableSpec extends SparkSpec {
   private def fs(p: String) = new Path(p)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  test("needsCompaction: meter counts small files, trigger fires past " +
+    "the cap, compact resets the meter") {
+    val t = new VersionedTable(spark, tmpDir("vt") + "/t")
+    assert(t.smallFileCount() == 0 && !t.needsCompaction(),
+      "empty table must not demand maintenance")
+    // 16 tiny files (every file is "small" at any sane threshold)
+    t.overwrite(spark.range(0, 1600).toDF("k").repartition(16))
+    assert(t.smallFileCount() == 16)
+    assert(t.needsCompaction(maxSmallFiles = 8))
+    assert(!t.needsCompaction(maxSmallFiles = 16),
+      "cap is exclusive: 16 small files is within maxSmallFiles = 16")
+    val before = t.read().as[Long].collect().toSet
+    t.compact()
+    assert(t.smallFileCount() <= 1, "compacted generation resets the meter")
+    assert(!t.needsCompaction(maxSmallFiles = 8))
+    assert(t.read().as[Long].collect().toSet == before,
+      "maintenance must not change the data")
+  }
+
   test("commit / snapshot read / time travel") {
     val t = new VersionedTable(spark, tmpDir("vt") + "/t")
     assert(!t.exists)
