@@ -1093,6 +1093,21 @@ object StretchQueries {
         rescoreK = emb.count().toInt)
     }),
 
+    // the residual encoding as a PERSISTED artifact: build once under
+    // the freshness protocol, search from a cold reload — exhaustive
+    // probe + full rescore ⇒ the exact-top-k oracle applies
+    "q_v_topk_pq_res_idx" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}" +
+        "/graft_pq_residx_q_" + graft.engine.Scratch.encode(dir)
+      Ivf.ensureIndexPqResidual(emb, s"$dir/embeddings.parquet", scratch,
+        k = 4, iters = 2, pqM = 8, pqK = 16, pqIters = 4, pqSampleN = 1024)
+      Ivf.searchIndexPqResidual(s, scratch, emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 4,
+        rescoreK = Ivf.indexRowCount(s, scratch)
+          .getOrElse(sys.error(s"index at $scratch has no _ROWS")).toInt)
+    }),
+
     "q_v_topk_pq_idx" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_pq_idx_q_" +
@@ -2840,6 +2855,7 @@ object StretchQueries {
       ("q_v_topk_ivf_c" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq_res" -> oracleSqlMap("q_v_topk")) +
+      ("q_v_topk_pq_res_idx" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq_idx" -> oracleSqlMap("q_v_topk")) +
       ("q_ev_sessions_et" -> oracleSqlMap("q_ev_sessions")) +
       ("q_ev_transitions_stream" -> oracleSqlMap("q_ev_transitions"))

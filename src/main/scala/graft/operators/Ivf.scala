@@ -485,6 +485,80 @@ object Ivf {
     Pq.rescoreExact(cands, corpus, queries, k, shortK, idCol, vecCol)
   }
 
+  /** Build-and-persist the RESIDUAL-encoded IVF-PQ index (codebooks
+    * trained on centroid residuals — [[Pq.trainResidual]]'s recall
+    * win at the same code size). Same artifact shape and freshness
+    * protocol as [[ensureIndexPq]]; the fingerprint carries
+    * `residual=1`, so switching encodings rebuilds rather than
+    * silently mixing code semantics.
+    */
+  def ensureIndexPqResidual(df: DataFrame, sourcePath: String,
+                            indexPath: String,
+                            k: Int, iters: Int = 3, seed: Long = 42L,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            pqM: Int = 8, pqK: Int = 16,
+                            pqIters: Int = 8,
+                            pqSampleN: Int = 4096): Unit =
+    graft.engine.Scratch.ensureAt(df.sparkSession, indexPath, sourcePath,
+      fingerprint = s"src=$sourcePath,k=$k,iters=$iters,seed=$seed," +
+        s"idCol=$idCol,vecCol=$vecCol," +
+        s"pqM=$pqM,pqK=$pqK,pqIters=$pqIters,pqSampleN=$pqSampleN," +
+        "residual=1",
+      markerName = "_INDEX_READY") { dir =>
+      val spark = df.sparkSession
+      val model = train(df, k, iters, seed, idCol, vecCol)
+      val pq = Pq.trainResidual(df, model, pqM, pqK, pqIters, pqSampleN,
+        seed, idCol, vecCol)
+      saveModel(spark, model, s"$dir/centroids")
+      Pq.saveModel(spark, pq, s"$dir/pq")
+      Pq.withResidualCodes(df, model, pq, vecCol)
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$dir/corpus")
+      val n = writeRowCount(spark, dir)
+      writeCountFile(spark, s"$dir/_ROWS_BASE", n)
+    }
+
+  /** Search an [[ensureIndexPqResidual]] artifact cold: probe →
+    * residual-ADC shortlist (score = dot(q, centroid) + ADC(residual)
+    * over the stored exact norm, [[Pq.topKClusteredResidual]]'s
+    * decomposition against the RELOADED models) → exact rescore of
+    * the shortlist only.
+    */
+  def searchIndexPqResidual(spark: SparkSession, indexPath: String,
+                            queries: DataFrame, k: Int, nprobe: Int = 2,
+                            rescoreK: Int = 0,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val shortK = if (rescoreK > 0) math.max(rescoreK, k) else 4 * k
+    val model = loadModelCached(spark, s"$indexPath/centroids")
+    val pq = Pq.loadModelCached(spark, s"$indexPath/pq")
+    val probed = queries
+      .select(explode(
+        nearestCentroids(col(vecCol), model.centroids, nprobe)).as("cluster"))
+      .distinct().collect().map(_.getInt(0))
+    val corpus = spark.read.parquet(s"$indexPath/corpus")
+      .filter(col("cluster").isin(probed.toIndexedSeq: _*))
+    val cq = corpus.select(col(idCol).as("n_id"), col("pq_code"),
+      col("pq_norm"), col("cluster"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"),
+        Pq.adcTable(col(vecCol), pq).as("__t"),
+        explode(nearestCentroids(col(vecCol), model.centroids, nprobe))
+          .as("cluster"))
+      .withColumn("__qc", aggregate(
+        zip_with(col("__qv"),
+          element_at(Pq.centroidsLit(model), col("cluster") + 1),
+          (a, b) => a * b),
+        lit(0.0d), (acc, x) => acc + x))
+      .drop("__qv")
+    val cands = cq.join(broadcast(q), Seq("cluster"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        ((col("__qc") + Pq.adcScore(col("__t"), col("pq_code"), pq.k)) /
+          when(col("pq_norm") =!= 0.0, col("pq_norm"))).as("cosine"))
+    Pq.rescoreExact(cands, corpus, queries, k, shortK, idCol, vecCol)
+  }
+
   /** Compressed-domain ANN against a `quantize = true` index — the
     * shape a 100 TB embedding corpus actually searches:
     *

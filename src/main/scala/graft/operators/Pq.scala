@@ -415,7 +415,7 @@ object Pq {
     * like the NearestCentroids kernel's copy — no broadcast round
     * trip).
     */
-  private def centroidsLit(ivf: Ivf.IvfModel): Column =
+  private[operators] def centroidsLit(ivf: Ivf.IvfModel): Column =
     typedlit(ivf.centroids.map(_.toSeq).toSeq)
 
   /** `cluster`-assigned corpus + residual `pq_code` + EXACT vector

@@ -233,6 +233,38 @@ class IvfSpec extends SparkSpec {
       "full-shortlist PQ search over the appended index must match exact")
   }
 
+  test("residual IVF-PQ index: cold-reload search with exhaustive " +
+    "shortlist equals brute force; rebuild only on fingerprint change") {
+    val src = "/root/testdata/sf0.001/embeddings.parquet"
+    val idx = tmpDir("graft-ivf-residx")
+    val n = emb.count().toInt
+    Ivf.ensureIndexPqResidual(emb, src, idx, k = 4, iters = 2,
+      pqM = 8, pqK = 16, pqIters = 4, pqSampleN = 1024)
+    val ready = new org.apache.hadoop.fs.Path(s"$idx/_INDEX_READY")
+    val fs = ready.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val builtAt = fs.getFileStatus(ready).getModificationTime
+    val q = emb.filter(col("vec_id") < 8)
+    val got = Ivf.searchIndexPqResidual(spark, idx, q, k = 5,
+        nprobe = 4, rescoreK = n)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val exact = graft.operators.SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(got == exact,
+      "exhaustive probe + full rescore must equal brute force cold")
+    // freshness: a second ensure is a no-op, same-parameter reuse
+    Ivf.ensureIndexPqResidual(emb, src, idx, k = 4, iters = 2,
+      pqM = 8, pqK = 16, pqIters = 4, pqSampleN = 1024)
+    assert(fs.getFileStatus(ready).getModificationTime == builtAt,
+      "fresh index must not rebuild")
+    // default shortlist from the cold artifact keeps useful recall
+    val approx = Ivf.searchIndexPqResidual(spark, idx, q, k = 5,
+        nprobe = 4, rescoreK = 64)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val hits = exact.map(t => (t._1, t._3)).intersect(approx)
+    assert(hits.size >= (exact.size * 6) / 10,
+      s"residual index recall collapsed: ${hits.size}/${exact.size}")
+  }
+
   test("searchIndexCompressed with a full shortlist equals the float search") {
     val m = Ivf.train(emb, k = 4, iters = 2)
     val path = tmpDir("graft-ivf-pq-full")
