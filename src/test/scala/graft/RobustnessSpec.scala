@@ -86,6 +86,58 @@ class RobustnessSpec extends SparkSpec {
       .select("op").as[String].collect().toSeq == Seq("I"))
   }
 
+  test("round-10 operators accept degenerate inputs: no conversions, " +
+    "empty seeds/edges/pairs, empty claims' tables") {
+    import graft.operators._
+    val noEv = Seq.empty[(Long, Long, Long, String)]
+      .toDF("event_id", "user_id", "us", "event_type")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"), col("event_type"))
+    // attribution: empty feed and a feed with ZERO conversions both
+    // yield empty credit, not an error
+    assert(Attribution.positionBased(noEv, "user_id", "ts", "event_id",
+      col("event_type") === "purchase").count() == 0)
+    val touchesOnly = Seq((1L, 1L, 10L, "view"), (2L, 1L, 20L, "click"))
+      .toDF("event_id", "user_id", "us", "event_type")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"), col("event_type"))
+    assert(Attribution.positionBased(touchesOnly, "user_id", "ts",
+      "event_id", col("event_type") === "purchase").count() == 0)
+    // BFS: empty seed set and empty edge list
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val noSeeds = Seq.empty[Long].toDF("id")
+    assert(LinkGraph.hopDistance(edges, noSeeds, 2).count() == 0)
+    assert(LinkGraph.hopDistance(Seq.empty[(Long, Long)].toDF("src", "dst"),
+      Seq(1L).toDF("id"), 2).as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 0L)), "seeds survive with hops 0 even on an empty graph")
+    // personalized PR: empty seeds -> all-zero scores, not a crash
+    val ppr = LinkGraph.personalizedPageRankMicros(edges, noSeeds, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(ppr.values.forall(_ == 0L))
+    // bipartite projection: empty edges, and a corpus of only hubs
+    assert(LinkGraph.bipartiteProject(
+      Seq.empty[(Long, Long)].toDF("ctx", "it"), "ctx", "it").count() == 0)
+    assert(LinkGraph.bipartiteProject(
+      Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("ctx", "it"),
+      "ctx", "it", maxDegree = 2).count() == 0,
+      "a corpus whose every context is a hub projects to nothing")
+    // leakage-safe split with NO pairs = everyone their own family
+    val docs = spark.range(0, 10).select(col("id").as("doc_id"))
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val split = DatasetSplit.leakageSafeSplit(docs, "doc_id", noPairs)
+    assert(split.count() == 10)
+    assert(split.filter(col("component") =!= col("doc_id")).count() == 0)
+    // jaccard PPJoin on an empty corpus
+    assert(EntityResolution.trigramPairsJaccard(
+      Seq.empty[(Long, String)].toDF("id", "name"), "id", "name",
+      700000L).count() == 0)
+    // fdCheck on an empty table: zero-violation report rows, not empty
+    val got = DataQuality.fdCheck(
+      Seq.empty[(Long, String)].toDF("k", "v"), Seq(("k", "v")))
+      .as[(String, Long, Long, Long)].head()
+    assert(got == (("k->v", 0L, 0L, 0L)))
+  }
+
   test("two writers racing the SAME batch id: exactly one commit wins") {
     val t = new VersionedTable(spark, tmpDir("graft-race") + "/t")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
