@@ -95,6 +95,41 @@ object Bench {
     var retryBudget =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_BUDGET", "300").toInt
 
+    // LOAD-IMMUNE evidence channel (round-10): wall time degrades under
+    // ambient load, but executor CPU time and bytes read/shuffled per
+    // attempt do not — a future "query X regressed" claim is settled by
+    // comparing cpu_sec maps without re-running anything. Task metrics
+    // accumulate through a public SparkListener; events are posted
+    // async, so the per-query snapshot polls until the counters
+    // stabilize (two reads 20 ms apart equal, 200 ms cap) rather than
+    // touching the private listener bus.
+    val mInput = new java.util.concurrent.atomic.AtomicLong
+    val mShuffle = new java.util.concurrent.atomic.AtomicLong
+    val mCpu = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            mInput.addAndGet(m.inputMetrics.bytesRead)
+            mShuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            mCpu.addAndGet(m.executorCpuTime)
+          }
+        }
+      })
+    def metricsSnapshot(): (Long, Long, Long) = {
+      var prev = (mInput.get, mShuffle.get, mCpu.get)
+      var waited = 0
+      while (waited < 200) {
+        Thread.sleep(20); waited += 20
+        val cur = (mInput.get, mShuffle.get, mCpu.get)
+        if (cur == prev) return cur
+        prev = cur
+      }
+      prev
+    }
+
     // a failing query is recorded in "errors" and contributes NO wall
     // time — a broken query must never quietly look fast
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -131,6 +166,7 @@ object Bench {
         // to the before-sample (loadavg is a sluggish 1-min EMA)
         ((System.nanoTime() - t0) / 1e9, err, math.max(loadBefore, loadAvg))
       }
+      val m0 = metricsSnapshot()
       var runs = (1 to reps).map(_ => attempt()).toVector
       def clean = runs.collect { case (t, None, _) => t }.sorted
       def unstable: Boolean = {
@@ -157,7 +193,13 @@ object Bench {
         else if (base.size % 2 == 1) base(base.size / 2)
         else (base(base.size / 2 - 1) + base(base.size / 2)) / 2
       val min = if (times.isEmpty) 0.0 else times.head
-      (name, median, min, err, qLoad, extra)
+      // per-ATTEMPT metrics: bytes are identical across attempts of
+      // one query, so the per-query delta divides by the attempt count
+      val m1 = metricsSnapshot()
+      val nAtt = math.max(1, runs.size)
+      val perAtt = ((m1._1 - m0._1) / nAtt, (m1._2 - m0._2) / nAtt,
+        (m1._3 - m0._3).toDouble / nAtt / 1e9)
+      (name, median, min, err, qLoad, extra, perAtt)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -172,7 +214,7 @@ object Bench {
     // windows — the min is the defensible number for the headline, and
     // the query is LISTED so a reader can see exactly which entries
     // rode the fallback (and their recorded load)
-    val fallback = ok.filter { case (_, med, mn, _, _, _) =>
+    val fallback = ok.filter { case (_, med, mn, _, _, _, _) =>
       mn > 0.0 && med > 2.0 * mn
     }.map(_._1).toSet
     // 3-decimal per-query values (ms resolution is plenty) keep the
@@ -184,20 +226,29 @@ object Bench {
     // locale, and a comma-decimal locale would corrupt the JSON line
     def f3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val qs = ok.map { case (k, med, mn, _, _, _) =>
+    val qs = ok.map { case (k, med, mn, _, _, _, _) =>
       jstr(k) + ":" + f3(if (fallback(k)) mn else med)
     }.mkString("{", ",", "}")
-    val mins = ok.map { case (k, _, mn, _, _, _) => jstr(k) + ":" + f3(mn) }
+    val mins = ok.map { case (k, _, mn, _, _, _, _) => jstr(k) + ":" + f3(mn) }
       .mkString("{", ",", "}")
-    val loads = ok.map { case (k, _, _, _, ld, _) => jstr(k) + ":" + f3(ld) }
+    val loads = ok.map { case (k, _, _, _, ld, _, _) => jstr(k) + ":" + f3(ld) }
       .mkString("{", ",", "}")
-    val retries = ok.collect { case (k, _, _, _, _, ex) if ex > 0 =>
+    val retries = ok.collect { case (k, _, _, _, _, ex, _) if ex > 0 =>
       jstr(k) + ":" + ex
     }.mkString("{", ",", "}")
     val fbList = fallback.toSeq.sorted.map(jstr).mkString("[", ",", "]")
-    val errs = results.collect { case (k, _, _, Some(e), _, _) => jstr(k) + ":" + jstr(e) }
+    // the load-immune channel: per-attempt executor CPU seconds and
+    // bytes (identical on a quiet or thrashed box — the map that
+    // settles future phantom-regression claims without a re-run)
+    val cpus_ = ok.map { case (k, _, _, _, _, _, m) =>
+      jstr(k) + ":" + f3(m._3) }.mkString("{", ",", "}")
+    val bytesIn = ok.map { case (k, _, _, _, _, _, m) =>
+      jstr(k) + ":" + m._1 }.mkString("{", ",", "}")
+    val shufW = ok.map { case (k, _, _, _, _, _, m) =>
+      jstr(k) + ":" + m._2 }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e), _, _, _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = ok.map { case (k, med, mn, _, _, _) =>
+    val total = ok.map { case (k, med, mn, _, _, _, _) =>
       if (fallback(k)) mn else med
     }.sum
     // the load map and env fields print BEFORE the queries maps: the
@@ -206,7 +257,7 @@ object Bench {
     // holds everything
     val env = s""""cpus":$cpus,"ts_start":$tsStart,"ts_end":$tsEnd,""" +
       s""""load_start":${f3(loadStart)},"load_end":${f3(loadEnd)}"""
-    val line = s"""{"metric":"total","unit":"sec",$env,"load_max":$loads,"retries":$retries,"fallback_min":$fbList,"retry_budget_left":$retryBudget,"queries":$qs,"queries_min":$mins,"reps":$reps,"errors":$errs,"sf":"$sfDir","failed":${results.count(_._4.nonEmpty)},"value":${f3(total)}}"""
+    val line = s"""{"metric":"total","unit":"sec",$env,"load_max":$loads,"cpu_sec":$cpus_,"bytes_read":$bytesIn,"shuffle_write":$shufW,"retries":$retries,"fallback_min":$fbList,"retry_budget_left":$retryBudget,"queries":$qs,"queries_min":$mins,"reps":$reps,"errors":$errs,"sf":"$sfDir","failed":${results.count(_._4.nonEmpty)},"value":${f3(total)}}"""
     println(line)
     // sidecar with the SAME line: the driver tail-captures stdout, and
     // with 100+ queries the line's head (alphabetically early queries)

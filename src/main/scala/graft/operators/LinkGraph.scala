@@ -219,7 +219,8 @@ object LinkGraph {
     var frontier = dist.select(col("id"))
     val scratches = scala.collection.mutable.ListBuffer.empty[Materialize.Scratch]
     var h = 1
-    while (h <= maxHops) {
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
       val next = frontier.join(und, frontier("id") === und("u"))
         .select(und("v").as("id")).distinct()
         .join(dist, Seq("id"), "left_anti")
@@ -229,6 +230,10 @@ object LinkGraph {
       scratches += s
       dist = mat
       frontier = mat.filter(col("hops") === h).select(col("id"))
+      // an empty frontier can never grow again — stop instead of
+      // paying (maxHops − h) empty join rounds; the count reads the
+      // just-materialized parquet, one cheap metadata-sized job
+      exhausted = frontier.limit(1).isEmpty
       h += 1
     }
     // pin the final layer before dropping the per-round scratches the
