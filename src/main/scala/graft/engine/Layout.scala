@@ -139,11 +139,19 @@ object Layout {
       } catch { case _: java.io.IOException => false }
       owned = created && {
         // confirm by content: if two creators raced through the local-FS
-        // exists window, exactly one id survives in the file
-        val in = fs.open(lock)
-        val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                  finally in.close()
-        got == id
+        // exists window, exactly one id survives in the file. The read
+        // itself can race the OTHER creator's in-flight write — on a
+        // ChecksumFileSystem the data and .crc sidecar replace
+        // non-atomically, so the read-back may throw ChecksumException
+        // (observed once in the concurrent-delete spec). An unreadable
+        // lock is by definition NOT confirmed ours: treat any read
+        // failure as contention and retry, never propagate it
+        try {
+          val in = fs.open(lock)
+          val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                    finally in.close()
+          got == id
+        } catch { case _: java.io.IOException => false }
       }
       if (!owned) {
         val st = try Some(fs.getFileStatus(lock))
