@@ -180,7 +180,12 @@ object Bench {
         retryBudget -= 1; extra += 1
         runs = runs :+ attempt()
       }
-      val err = runs.flatMap(_._2).headOption
+      // error status comes from the BASE reps only: a transient
+      // failure during a dispersion TOP-UP (which only runs because
+      // the box was noisy) must not erase a reps-complete set of
+      // clean timings — the top-ups exist to improve the estimate,
+      // never to invalidate it
+      val err = runs.take(reps).flatMap(_._2).headOption
       val times = clean
       val qLoad = runs.map(_._3).max
       // median over the `reps` fastest clean attempts (≡ plain median

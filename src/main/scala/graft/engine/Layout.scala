@@ -318,9 +318,17 @@ object Layout {
     *    nulls).
     */
   def metadataAgg(spark: org.apache.spark.sql.SparkSession,
-                  tablePath: String): org.apache.spark.sql.DataFrame = {
+                  tablePath: String): org.apache.spark.sql.DataFrame =
+    metadataAggFrom(statsDf(spark, tablePath))
+
+  /** [[metadataAgg]] over an already-loaded manifest — lets a caller
+    * that has read the manifest (the [[readAgg]] front door checks
+    * coverage against the same columns) serve the aggregate without
+    * a second manifest read.
+    */
+  private def metadataAggFrom(stats: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val stats = statsDf(spark, tablePath)
     val sumCols = stats.columns.filter(_.startsWith("sum_")).toSeq
     val minCols = stats.columns.filter(_.startsWith("min_")).toSeq
     val maxCols = stats.columns.filter(_.startsWith("max_")).toSeq
@@ -648,16 +656,28 @@ object Layout {
     }
   }
 
-  /** Resolve `colName`'s stored type from the table's parquet schema
-    * (one footer read, driver metadata — same category as the file
-    * listing the planner already does).
+  /** Resolve `colName`'s stored type from the MANIFEST: the
+    * `min_<col>` stat column carries the data column's exact type, so
+    * the common case costs nothing beyond the manifest the caller
+    * already holds — never `spark.read.parquet(tablePath)`, whose
+    * O(files) directory listing is exactly what the manifest exists
+    * to avoid (a point-lookup loop on a 30k-file table would pay a
+    * 30k-entry listing per probe). A bloom-only column without range
+    * stats falls back to ONE manifest-listed file's footer.
     */
-  private def bloomProbeHash(spark: org.apache.spark.sql.SparkSession,
-                             tablePath: String, colName: String,
-                             value: Any): Long = {
-    val dt = spark.read.parquet(tablePath).schema(colName).dataType
-    bloomHashTyped(dt, value)
-  }
+  private def probeType(spark: org.apache.spark.sql.SparkSession,
+                        tablePath: String,
+                        stats: org.apache.spark.sql.DataFrame,
+                        colName: String)
+      : org.apache.spark.sql.types.DataType =
+    stats.schema.fields.find(_.name == s"min_$colName").map(_.dataType)
+      .getOrElse {
+        val f = stats.select(org.apache.spark.sql.functions.col("file"))
+          .limit(1).collect()
+        require(f.nonEmpty, s"empty manifest at $tablePath")
+        spark.read.parquet(s"$tablePath/${f(0).getString(0)}")
+          .schema(colName).dataType
+      }
 
   /** Point lookup through the Bloom index: open only the files whose
     * Bloom might contain the key, then apply the exact equality
@@ -668,11 +688,15 @@ object Layout {
                 tablePath: String, colName: String,
                 value: Any): DataFrame = {
     import org.apache.spark.sql.functions._
-    val h = bloomProbeHash(spark, tablePath, colName, value)
     // manifest rows = one small row per file (driver metadata, same
     // category as the planner's file listing); statsDf runs manifest
-    // recovery first, so a crashed DML never strands the lookup
-    val files = statsDf(spark, tablePath)
+    // recovery first, so a crashed DML never strands the lookup.
+    // ONE manifest read serves the probe-type resolution AND the
+    // bloom scan
+    val stats = statsDf(spark, tablePath)
+    val h = bloomHashTyped(probeType(spark, tablePath, stats, colName),
+      value)
+    val files = stats
       .select(col("file"), col(s"bloom_$colName"))
       .collect()
       .filter { r =>
@@ -693,8 +717,10 @@ object Layout {
   def filesForPoint(spark: org.apache.spark.sql.SparkSession,
                     tablePath: String, colName: String,
                     value: Any): (Long, Long) = {
-    val h = bloomProbeHash(spark, tablePath, colName, value)
-    val rows = statsDf(spark, tablePath)
+    val stats = statsDf(spark, tablePath)
+    val h = bloomHashTyped(probeType(spark, tablePath, stats, colName),
+      value)
+    val rows = stats
       .select(org.apache.spark.sql.functions.col(s"bloom_$colName"))
       .collect()
     val kept = rows.count { r =>
@@ -786,13 +812,15 @@ object Layout {
         s"readAgg supports count/sum/min/max, got $f($c)")
     }
     val wanted = aggs.map { case (f, c) => outName(f, c) }
+    // ONE manifest read serves the coverage check AND the aggregate
+    lazy val stats = statsDf(spark, tablePath)
     val servable = predicate.isEmpty && {
-      val statCols = statsDf(spark, tablePath).columns.toSet
+      val statCols = stats.columns.toSet
       wanted.forall(statCols.contains) // n_rows/sum_/min_/max_/cnt_ all
                                        // appear verbatim in the manifest
     }
     if (servable)
-      metadataAgg(spark, tablePath)
+      metadataAggFrom(stats)
         .select(wanted.map(col).toIndexedSeq: _*)
     else {
       val base = read(spark, tablePath, predicate)

@@ -195,16 +195,25 @@ object TextFunctions {
 
   /** Per-row PII hit counts by category (the density report a scrub
     * pass ships next to the redacted corpus), over the same
-    * [[piiPatterns]]. Each category scans the RAW text independently —
-    * unlike the sequential redaction fold, which can consume a span a
-    * later pattern would otherwise see; the patterns are disjoint by
-    * construction (a 555-group is never a valid octet, an address
-    * never contains `@`), so on any one span the two views agree.
+    * [[piiPatterns]]. Each category counts on the text with the PRIOR
+    * categories already redacted — the same sequential fold
+    * [[redactPii]] applies — so the report counts exactly the spans
+    * the redaction replaces. Counting every category on the raw text
+    * would double-report nested spans: a dotted quad inside an email
+    * local part ("a.10.0.0.1@example.com") matches the IP pattern on
+    * its own, but redaction consumes it inside `<EMAIL>` and emits no
+    * `<IP>` — the report must agree with the output it describes.
     */
-  def piiCounts(c: Column): Column = struct(
-    regexp_count(c, lit(piiPatterns(0)._1)).as("n_email"),
-    regexp_count(c, lit(piiPatterns(1)._1)).as("n_phone"),
-    regexp_count(c, lit(piiPatterns(2)._1)).as("n_ip"))
+  def piiCounts(c: Column): Column = {
+    val afterEmail =
+      regexp_replace(c, piiPatterns(0)._1, piiPatterns(0)._2)
+    val afterPhone =
+      regexp_replace(afterEmail, piiPatterns(1)._1, piiPatterns(1)._2)
+    struct(
+      regexp_count(c, lit(piiPatterns(0)._1)).as("n_email"),
+      regexp_count(afterEmail, lit(piiPatterns(1)._1)).as("n_phone"),
+      regexp_count(afterPhone, lit(piiPatterns(2)._1)).as("n_ip"))
+  }
 
   /** C4-style boilerplate cleanup for scraped text: strip HTML-ish
     * tags, decode the five ubiquitous entities, collapse whitespace

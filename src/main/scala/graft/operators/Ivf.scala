@@ -541,21 +541,10 @@ object Ivf {
       .filter(col("cluster").isin(probed.toIndexedSeq: _*))
     val cq = corpus.select(col(idCol).as("n_id"), col("pq_code"),
       col("pq_norm"), col("cluster"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"),
-        Pq.adcTable(col(vecCol), pq).as("__t"),
-        explode(nearestCentroids(col(vecCol), model.centroids, nprobe))
-          .as("cluster"))
-      .withColumn("__qc", aggregate(
-        zip_with(col("__qv"),
-          element_at(Pq.centroidsLit(model), col("cluster") + 1),
-          (a, b) => a * b),
-        lit(0.0d), (acc, x) => acc + x))
-      .drop("__qv")
-    val cands = cq.join(broadcast(q), Seq("cluster"))
-      .filter(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"),
-        ((col("__qc") + Pq.adcScore(col("__t"), col("pq_code"), pq.k)) /
-          when(col("pq_norm") =!= 0.0, col("pq_norm"))).as("cosine"))
+    // same shortlist stage as the in-memory path — one implementation
+    // ([[Pq.residualCandidates]]), two corpus sources
+    val cands = Pq.residualCandidates(cq, queries, model, pq, nprobe,
+      idCol, vecCol)
     Pq.rescoreExact(cands, corpus, queries, k, shortK, idCol, vecCol)
   }
 

@@ -43,22 +43,43 @@ object LinkGraph {
     */
   def pageRankMicros(edges: DataFrame, iters: Int = 3,
                      srcCol: String = "src",
-                     dstCol: String = "dst"): DataFrame = {
+                     dstCol: String = "dst"): DataFrame =
+    pageRankCore(edges, None, iters, srcCol, dstCol, "id")
+
+  /** The shared iterate/materialize/drop loop behind
+    * [[pageRankMicros]] and [[personalizedPageRankMicros]]: the two
+    * rankers differ ONLY in the teleport indicator `s` (1 everywhere
+    * for uniform PageRank; the seed flag for the personalized form),
+    * which scales both the initial mass and the per-round floor —
+    * `s = 1` reduces the recurrence to the plain one term for term,
+    * so the uniform oracle stays bit-exact through the shared path.
+    */
+  private def pageRankCore(edges: DataFrame, seeds: Option[DataFrame],
+                           iters: Int, srcCol: String, dstCol: String,
+                           seedCol: String): DataFrame = {
     require(iters >= 1 && iters <= 100, s"unreasonable iters: $iters")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
 
     // outdeg annotated once; node set = all endpoints (isolated nodes
-    // don't exist in an edge list by definition)
+    // don't exist in an edge list by definition). The seed flag joins
+    // on ONCE (broadcast — seed lists are small by definition)
     val (eDeg, eDegScratch) = Materialize.viaScratchWithPath(
       e.join(e.groupBy(col("src")).agg(count(lit(1)).as("od")), "src"),
       "graft-pr-edges")
+    val nodesBase = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
     val (nodes, nodesScratch) = Materialize.viaScratchWithPath(
-      e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id"))).distinct(),
+      seeds match {
+        case None => nodesBase.select(col("id"), lit(1L).as("s"))
+        case Some(sd) => nodesBase
+          .join(broadcast(sd.select(col(seedCol).as("id"),
+            lit(1L).as("__seed"))), Seq("id"), "left")
+          .select(col("id"), coalesce(col("__seed"), lit(0L)).as("s"))
+      },
       "graft-pr-nodes")
 
-    var ranks = nodes.select(col("id"), lit(1000000L).as("pr"))
+    var ranks = nodes.select(col("id"), (col("s") * 1000000L).as("pr"))
     var prev: Option[Materialize.Scratch] = None
     var it = 0
     while (it < iters) {
@@ -67,7 +88,7 @@ object LinkGraph {
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
       val next = nodes.join(inMass, nodes("id") === inMass("dst"), "left")
         .select(nodes("id"),
-          expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr"))
+          expr("s * 150000L + (85L * coalesce(m, 0L)) div 100L").as("pr"))
       val (mat, scratch) = Materialize.viaScratchWithPath(next,
         "graft-pr-ranks")
       prev.foreach(_.drop())
@@ -102,42 +123,8 @@ object LinkGraph {
                                  iters: Int = 3,
                                  srcCol: String = "src",
                                  dstCol: String = "dst",
-                                 seedCol: String = "id"): DataFrame = {
-    require(iters >= 1 && iters <= 100, s"unreasonable iters: $iters")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-    val (eDeg, eDegScratch) = Materialize.viaScratchWithPath(
-      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("od")), "src"),
-      "graft-ppr-edges")
-    val (nodes, nodesScratch) = Materialize.viaScratchWithPath(
-      e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id"))).distinct()
-        .join(broadcast(seeds.select(col(seedCol).as("id"),
-          lit(1L).as("__seed"))), Seq("id"), "left")
-        .select(col("id"), coalesce(col("__seed"), lit(0L)).as("s")),
-      "graft-ppr-nodes")
-    var ranks = nodes.select(col("id"),
-      (col("s") * 1000000L).as("pr"))
-    var prev: Option[Materialize.Scratch] = None
-    var it = 0
-    while (it < iters) {
-      val inMass = eDeg.join(ranks, eDeg("src") === ranks("id"))
-        .select(col("dst"), expr("pr div od").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      val next = nodes.join(inMass, nodes("id") === inMass("dst"), "left")
-        .select(nodes("id"),
-          expr("s * 150000L + (85L * coalesce(m, 0L)) div 100L").as("pr"))
-      val (mat, scratch) = Materialize.viaScratchWithPath(next,
-        "graft-ppr-ranks")
-      prev.foreach(_.drop())
-      prev = Some(scratch)
-      ranks = mat
-      it += 1
-    }
-    eDegScratch.drop()
-    nodesScratch.drop()
-    ranks.select(col("id"), col("pr").as("pr_micros"))
-  }
+                                 seedCol: String = "id"): DataFrame =
+    pageRankCore(edges, Some(seeds), iters, srcCol, dstCol, seedCol)
 
   /** Per-node triangle participation over an undirected view of the
     * edge list — the local-clustering signal (link farms and mutual-
@@ -215,7 +202,11 @@ object LinkGraph {
           col("u").isNotNull && col("v").isNotNull)
         .distinct(),
       "graft-bfs-edges")
+    // seed hygiene: null seeds can't anchor a layer and a duplicated
+    // seed id must not emit two hops-0 rows (only `next` is deduped —
+    // a dirty seed list would ride every union verbatim)
     var dist = seeds.select(col(seedCol).as("id"), lit(0L).as("hops"))
+      .filter(col("id").isNotNull).distinct()
     var frontier = dist.select(col("id"))
     val scratches = scala.collection.mutable.ListBuffer.empty[Materialize.Scratch]
     var h = 1

@@ -441,23 +441,20 @@ object Pq {
           (acc, x) => acc + x * x)).as(normCol): _*)
   }
 
-  /** IVF-PQ with residual codes: same probe/shortlist/rescore shape as
-    * [[topKClustered]], scored as (dot(q, centroid) + ADC(residual))
-    * over the exact norm.
+  /** Residual-ADC candidate scoring over a residual-ENCODED corpus
+    * (`n_id`, `pq_code`, `pq_norm`, `cluster`) — the shared shortlist
+    * stage of [[topKClusteredResidual]] (in-memory) and
+    * [[Ivf.searchIndexPqResidual]] (cold reload). Per (query, probe):
+    * the shared ADC table plus the centroid dot — nq·nprobe rows of
+    * driver-free arithmetic, built BEFORE the broadcast so the
+    * candidate join pays lookups only; approximate cosine =
+    * (dot(q, centroid) + ADC(residual)) over the stored EXACT norm.
     */
-  def topKClusteredResidual(corpus: DataFrame, queries: DataFrame,
-                            ivf: Ivf.IvfModel, model: PqModel, k: Int,
-                            nprobe: Int = 2, rescoreK: Int = 0,
-                            idCol: String = "vec_id",
-                            vecCol: String = "embedding"): DataFrame = {
+  private[operators] def residualCandidates(
+      encoded: DataFrame, queries: DataFrame,
+      ivf: Ivf.IvfModel, model: PqModel, nprobe: Int,
+      idCol: String, vecCol: String): DataFrame = {
     import NativeExpressions.nearestCentroids
-    val shortK = if (rescoreK > 0) math.max(rescoreK, k) else 4 * k
-    val c = withResidualCodes(corpus, ivf, model, vecCol)
-      .select(col(idCol).as("n_id"), col("pq_code"), col("pq_norm"),
-        col("cluster"))
-    // per (query, probe): the shared ADC table plus the centroid dot —
-    // nq·nprobe rows of driver-free arithmetic, built BEFORE the
-    // broadcast so the candidate join pays lookups only
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"),
         adcTable(col(vecCol), model).as("__t"),
         explode(nearestCentroids(col(vecCol), ivf.centroids, nprobe))
@@ -468,11 +465,28 @@ object Pq {
           (a, b) => a * b),
         lit(0.0d), (acc, x) => acc + x))
       .drop("__qv")
-    val cands = c.join(broadcast(q), Seq("cluster"))
+    encoded.join(broadcast(q), Seq("cluster"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
         ((col("__qc") + adcScore(col("__t"), col("pq_code"), model.k)) /
           when(col("pq_norm") =!= 0.0, col("pq_norm"))).as("cosine"))
+  }
+
+  /** IVF-PQ with residual codes: same probe/shortlist/rescore shape as
+    * [[topKClustered]], scored as (dot(q, centroid) + ADC(residual))
+    * over the exact norm.
+    */
+  def topKClusteredResidual(corpus: DataFrame, queries: DataFrame,
+                            ivf: Ivf.IvfModel, model: PqModel, k: Int,
+                            nprobe: Int = 2, rescoreK: Int = 0,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val shortK = if (rescoreK > 0) math.max(rescoreK, k) else 4 * k
+    val c = withResidualCodes(corpus, ivf, model, vecCol)
+      .select(col(idCol).as("n_id"), col("pq_code"), col("pq_norm"),
+        col("cluster"))
+    val cands = residualCandidates(c, queries, ivf, model, nprobe,
+      idCol, vecCol)
     rescoreExact(cands, corpus, queries, k, shortK, idCol, vecCol)
   }
 

@@ -109,6 +109,21 @@ object TransitionStream {
     spark.conf.set(ProviderKey, RocksDb)
     spark.conf.set(PartitionsKey, statePartitions.toString)
     try {
+      // staging reaper: a writer that died between its staging write
+      // and the rename leaves a `.staging_b*` orphan (dot-prefixed, so
+      // invisible to readers — but it is a full copy of a batch's
+      // edges accumulating disk across restarts). At stream START no
+      // attempt is in flight (single-writer stream), so every staging
+      // dir present is a dead attempt's garbage: sweep them before
+      // processing
+      locally {
+        val out = new org.apache.hadoop.fs.Path(outDir)
+        val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(out))
+          fs.listStatus(out).filter(
+            _.getPath.getName.startsWith(".staging_b"))
+            .foreach(s => fs.delete(s.getPath, true))
+      }
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stagedDir)
