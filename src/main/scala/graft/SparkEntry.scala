@@ -1151,6 +1151,75 @@ object SparkEntry {
         .reduce(_ unionByName _)
     }),
 
+    // ── S24: the ONE read front door (round-10 VERDICT #7) — the same
+    //    bloom-indexed table answered through Layout.read, which
+    //    routes PointEq → bloom skipping, Interval → min/max pruning,
+    //    and an untracked column → manifest + exact filter. Every
+    //    route must be value-identical to the plain filter (the
+    //    oracle); LayoutExtensionsSpec pins that the routing actually
+    //    prunes ─────────────────────────────────────────────────────
+    "q_s24_front_read" -> ((s, dir) => {
+      val scratch = graft.engine.Scratch.ensure(s, "bloomidx",
+        s"$dir/orders.parquet", "bloom-v2") { out =>
+        val path = s"$out/ord"
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .repartition(16, col("o_orderkey"))
+          .write.parquet(path)
+        graft.engine.Layout.writeFileStats(s, path, Seq("o_orderkey"),
+          bloomCols = Seq("o_orderkey"))
+      }
+      val ks = t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(1).collect().map(_.getLong(0))
+      val tbl = s"$scratch/ord"
+      import graft.engine.Layout
+      Layout.read(s, tbl, Some(Layout.PointEq("o_orderkey", ks(0))))
+        .unionByName(Layout.read(s, tbl,
+          Some(Layout.Interval("o_orderkey", ks(0) + 1, ks(0) + 64))))
+        .unionByName(Layout.read(s, tbl,
+          Some(Layout.PointEq("o_orderpriority", "1-URGENT")))
+          .filter(col("o_orderkey") <= ks(0) + 2048))
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price2"),
+          col("o_orderpriority"))
+    }),
+
+    // ── S25: aggregate front door — Layout.readAgg serves the
+    //    no-predicate aggregate from the MANIFEST (zero data files
+    //    opened; the spec proves it by corrupting a file) and the
+    //    predicate aggregate over the pruned read; both rows must
+    //    equal plain SQL over the raw table ─────────────────────────
+    "q_s25_front_agg" -> ((s, dir) => {
+      val scratch = graft.engine.Scratch.ensure(s, "bloomidx",
+        s"$dir/orders.parquet", "bloom-v2") { out =>
+        val path = s"$out/ord"
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .repartition(16, col("o_orderkey"))
+          .write.parquet(path)
+        graft.engine.Layout.writeFileStats(s, path, Seq("o_orderkey"),
+          bloomCols = Seq("o_orderkey"))
+      }
+      val tbl = s"$scratch/ord"
+      val lo = t(s, dir, "orders").agg(min(col("o_orderkey")))
+        .head.getLong(0)
+      import graft.engine.Layout
+      Layout.readAgg(s, tbl, Seq(("count", "*"), ("sum", "o_orderkey"),
+          ("min", "o_orderkey"), ("max", "o_orderkey")))
+        .select(lit("all").as("scope"), col("n_rows"),
+          col("sum_o_orderkey"), col("min_o_orderkey"),
+          col("max_o_orderkey"))
+        .unionByName(Layout.readAgg(s, tbl,
+            Seq(("count", "*"), ("sum", "o_orderkey"),
+              ("min", "o_orderkey"), ("max", "o_orderkey")),
+            Some(Layout.Interval("o_orderkey", lo, lo + 4096)))
+          .select(lit("interval").as("scope"), col("n_rows"),
+            col("sum_o_orderkey"), col("min_o_orderkey"),
+            col("max_o_orderkey")))
+    }),
+
     // ── S12: small-file compaction — 16 writer files rewritten into a
     //    target-sized generation; content must be IDENTICAL (the
     //    oracle is the raw table) and the pre-compaction version stays
@@ -1565,6 +1634,33 @@ object SparkEntry {
       ("SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders " +
         "WHERE o_orderkey IN " +
         "(SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)"),
+
+    // every front-door route ≡ the plain filter over the raw table
+    "q_s24_front_read" ->
+      ("""WITH lo AS (SELECT min(o_orderkey) AS k FROM orders),
+         |b AS (SELECT o_orderkey, round(o_totalprice, 2) AS price2,
+         |  o_orderpriority FROM orders)
+         |SELECT b.* FROM b, lo WHERE o_orderkey = lo.k
+         |UNION ALL SELECT b.* FROM b, lo
+         |  WHERE o_orderkey BETWEEN lo.k + 1 AND lo.k + 64
+         |UNION ALL SELECT b.* FROM b, lo
+         |  WHERE o_orderpriority = '1-URGENT'
+         |  AND o_orderkey <= lo.k + 2048"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // both scopes ≡ plain SQL aggregates over the raw table
+    "q_s25_front_agg" ->
+      ("""WITH lo AS (SELECT min(o_orderkey) AS k FROM orders)
+         |SELECT 'all' AS scope, count(*) AS n_rows,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_o_orderkey,
+         |  min(o_orderkey) AS min_o_orderkey,
+         |  max(o_orderkey) AS max_o_orderkey FROM orders
+         |UNION ALL SELECT 'interval', count(*),
+         |  CAST(sum(o_orderkey) AS BIGINT), min(o_orderkey),
+         |  max(o_orderkey)
+         |  FROM orders, lo
+         |  WHERE o_orderkey BETWEEN lo.k AND lo.k + 4096"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     // compaction must be content-invisible
     "q_s8_compact" -> "SELECT * FROM part",
