@@ -242,6 +242,15 @@ object Bench {
       jstr(k) + ":" + ex
     }.mkString("{", ",", "}")
     val fbList = fallback.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    // the discarded medians for fallback queries: when the headline
+    // substitutes the min, the median it rejected is exactly the
+    // evidence an auditor wants (how contaminated WAS the set?) —
+    // without it the fallback decision is unreviewable from the
+    // artifact. Only fallback keys: on a clean run this map is empty
+    // and costs nothing on the line.
+    val fbMedians = ok.collect { case (k, med, _, _, _, _, _)
+      if fallback(k) => jstr(k) + ":" + f3(med)
+    }.mkString("{", ",", "}")
     // the load-immune channel: per-attempt executor CPU seconds and
     // bytes (identical on a quiet or thrashed box — the map that
     // settles future phantom-regression claims without a re-run)
@@ -262,7 +271,7 @@ object Bench {
     // holds everything
     val env = s""""cpus":$cpus,"ts_start":$tsStart,"ts_end":$tsEnd,""" +
       s""""load_start":${f3(loadStart)},"load_end":${f3(loadEnd)}"""
-    val line = s"""{"metric":"total","unit":"sec",$env,"load_max":$loads,"cpu_sec":$cpus_,"bytes_read":$bytesIn,"shuffle_write":$shufW,"retries":$retries,"fallback_min":$fbList,"retry_budget_left":$retryBudget,"queries":$qs,"queries_min":$mins,"reps":$reps,"errors":$errs,"sf":"$sfDir","failed":${results.count(_._4.nonEmpty)},"value":${f3(total)}}"""
+    val line = s"""{"metric":"total","unit":"sec",$env,"load_max":$loads,"cpu_sec":$cpus_,"bytes_read":$bytesIn,"shuffle_write":$shufW,"retries":$retries,"fallback_min":$fbList,"fallback_median":$fbMedians,"retry_budget_left":$retryBudget,"queries":$qs,"queries_min":$mins,"reps":$reps,"errors":$errs,"sf":"$sfDir","failed":${results.count(_._4.nonEmpty)},"value":${f3(total)}}"""
     println(line)
     // sidecar with the SAME line: the driver tail-captures stdout, and
     // with 100+ queries the line's head (alphabetically early queries)

@@ -28,6 +28,33 @@ object Scratch {
     */
   val runToken: String = java.util.UUID.randomUUID().toString.take(8)
 
+  /** Per-process scratch is per-process garbage: the `graft_*_<token>`
+    * dirs are reused-and-cleared WITHIN the JVM but nothing outside it
+    * ever reuses them (the token is fresh next run), so without exit
+    * cleanup every driver invocation permanently leaks one dir per
+    * tmpdir-scratch query family. A shutdown hook deletes exactly this
+    * process's dirs — matching `graft_*_<runToken>` under
+    * `java.io.tmpdir` — and nothing else: the durable
+    * `graft-scratch/` build-once cache (keyed by content, reused
+    * across runs) and other processes' tokens are untouched.
+    * Best-effort by design (a kill -9 still leaks; the next explicit
+    * [[cleanupRunToken]] caller or OS tmp reaper picks that up).
+    */
+  def cleanupRunToken(): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val mine = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft_") &&
+        f.getName.endsWith("_" + runToken))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    mine.foreach(rm)
+  }
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => cleanupRunToken()))
+
   /** (newest mtime, direct-child count, total bytes) of a file or
     * directory — driver-side FS metadata, one listing.
     */

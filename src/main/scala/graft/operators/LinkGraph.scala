@@ -73,8 +73,15 @@ object LinkGraph {
       seeds match {
         case None => nodesBase.select(col("id"), lit(1L).as("s"))
         case Some(sd) => nodesBase
-          .join(broadcast(sd.select(col(seedCol).as("id"),
-            lit(1L).as("__seed"))), Seq("id"), "left")
+          // Seed hygiene (mirrors hopDistance): a duplicate seed id
+          // would duplicate that node's row through this join —
+          // multiplying its initial mass and per-round teleport floor
+          // — and a null id can never match an endpoint; dedupe and
+          // null-filter BEFORE the broadcast so the public API is safe
+          // regardless of caller discipline.
+          .join(broadcast(sd.select(col(seedCol).as("id"))
+            .filter(col("id").isNotNull).distinct()
+            .select(col("id"), lit(1L).as("__seed"))), Seq("id"), "left")
           .select(col("id"), coalesce(col("__seed"), lit(0L)).as("s"))
       },
       "graft-pr-nodes")

@@ -98,6 +98,20 @@ object TransitionStream {
     * lag-window pass produces. Restart on the same checkpoint resumes
     * mid-feed with the per-user last-event state intact
     * (StreamingSpec drives that split run).
+    *
+    * EXACTLY-ONCE INVARIANT: the `batch=N` claim ledger assumes the
+    * batch-id→content mapping is stable across replays. That holds
+    * for same-checkpoint retries (Spark replans a replayed batch from
+    * the offsets the checkpoint recorded) and for a full checkpoint
+    * reset over UNCHANGED staging (the deterministic file order —
+    * see [[stageEpochs]]'s mtime stamping — regroups identically). It
+    * does NOT hold for a checkpoint reset after the staging dir has
+    * gained files: batch id N can then carry different edges, the
+    * `exists(dst)` check routes it to the noop consume, and those
+    * edges would be silently dropped. Ledger contract: `outDir` is
+    * valid only while staging is append-stable relative to the
+    * checkpoint — if you reset the checkpoint after adding staged
+    * files, clear `outDir` with it (the pair is one atom).
     */
   def transitionsStream(spark: SparkSession, stagedDir: String,
                         outDir: String, checkpoint: String,

@@ -85,6 +85,14 @@ class LinkGraphSpec extends SparkSpec {
     assert(a(10L) == 0L && a(11L) == 0L,
       "no trust path -> zero (raw PageRank would give both the floor)")
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // seed hygiene: a dirty seed list (dups + nulls) must score
+    // identically to the clean one — without the dedupe, seed 0's row
+    // duplicates through the join and its mass doubles
+    val dirty = Seq(Some(0L), Some(0L), None).toDF("id")
+    val c = graft.operators.LinkGraph
+      .personalizedPageRankMicros(edges, dirty, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(c == a, s"duplicate/null seeds must not inflate scores: $c vs $a")
   }
 
   test("hopDistance: BFS layers from a seed set, bounded hops, " +
