@@ -27,6 +27,9 @@ object Bench {
     require(reps > 0, s"SPARK_GRAFT_BENCH_REPS must be positive, got $reps")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // same injection path as Verify: the bench measures the session
+      // shape a production deployment configures
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

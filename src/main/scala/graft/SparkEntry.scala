@@ -1220,6 +1220,34 @@ object SparkEntry {
             col("max_o_orderkey")))
     }),
 
+    // ── S26: PLANNER-gated skipping (round-10 VERDICT #1) — the same
+    //    bloom-indexed table queried through PLAIN SQL with zero
+    //    Layout calls: the injected ManifestSkip rule routes the
+    //    equality to bloom skipping and the BETWEEN to min/max
+    //    pruning at optimization time. Value-identical to the raw
+    //    filter (the oracle); PlanQualitySpec pins that the rewritten
+    //    scan's file set actually shrinks ───────────────────────────
+    "q_s26_planner_skip" -> ((s, dir) => {
+      val scratch = graft.engine.Scratch.ensure(s, "bloomidx",
+        s"$dir/orders.parquet", "bloom-v2") { out =>
+        val path = s"$out/ord"
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .repartition(16, col("o_orderkey"))
+          .write.parquet(path)
+        graft.engine.Layout.writeFileStats(s, path, Seq("o_orderkey"),
+          bloomCols = Seq("o_orderkey"))
+      }
+      val tbl = s"$scratch/ord"
+      val k = t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(1).collect()(0).getLong(0)
+      val sel = "SELECT o_orderkey, round(o_totalprice, 2) AS price2, " +
+        s"o_orderpriority FROM parquet.`$tbl`"
+      s.sql(s"$sel WHERE o_orderkey = $k UNION ALL " +
+        s"$sel WHERE o_orderkey BETWEEN ${k + 1} AND ${k + 64}")
+    }),
+
     // ── S12: small-file compaction — 16 writer files rewritten into a
     //    target-sized generation; content must be IDENTICAL (the
     //    oracle is the raw table) and the pre-compaction version stays
@@ -1646,6 +1674,16 @@ object SparkEntry {
          |UNION ALL SELECT b.* FROM b, lo
          |  WHERE o_orderpriority = '1-URGENT'
          |  AND o_orderkey <= lo.k + 2048"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // the planner-pruned plain-SQL read ≡ the raw filters
+    "q_s26_planner_skip" ->
+      ("""WITH lo AS (SELECT min(o_orderkey) AS k FROM orders),
+         |b AS (SELECT o_orderkey, round(o_totalprice, 2) AS price2,
+         |  o_orderpriority FROM orders)
+         |SELECT b.* FROM b, lo WHERE o_orderkey = lo.k
+         |UNION ALL SELECT b.* FROM b, lo
+         |  WHERE o_orderkey BETWEEN lo.k + 1 AND lo.k + 64"""
         .stripMargin).replaceAll(raw"\s+", " "),
 
     // both scopes ≡ plain SQL aggregates over the raw table

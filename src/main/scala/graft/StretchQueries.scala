@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, EntityResolution, Ivf, Multimodal, SimilaritySearch}
+import graft.operators.{Dedup, EntityResolution, Hnsw, Ivf, Multimodal, SimilaritySearch}
 import graft.streaming.EventStream
 
 /** The LLM-training-data-pipeline operator surface (BASELINE.json north
@@ -1029,6 +1029,23 @@ object StretchQueries {
         iters = 2)
       Ivf.searchIndex(s, scratch, emb.filter(col("vec_id") < 16),
         k = 5, nprobe = 4)
+    }),
+
+    // graph ANN (sharded HNSW): build-if-stale persisted index, cold
+    // reload, search in the exhaustive mode (full probe + unbounded
+    // ef) — the connectivity-repair pass makes unbounded graph search
+    // provably exhaustive per shard, so the gate shares the
+    // brute-force oracle at any sf; the finite-ef production path's
+    // recall is pinned in HnswSpec (≥ the residual-PQ point at the
+    // same candidate budget)
+    "q_v_topk_hnsw" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_q_" +
+        graft.engine.Scratch.encode(dir)
+      Hnsw.ensureIndex(emb, s"$dir/embeddings.parquet", scratch,
+        shards = 4, m = 8, efC = 32)
+      Hnsw.searchIndex(s, scratch, emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 4, ef = 0)
     }),
 
     // compressed-domain IVF search: the int8 (4×-smaller) column feeds
@@ -2852,6 +2869,7 @@ object StretchQueries {
       ("q_v_topk_ivf" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_inc" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_idx" -> oracleSqlMap("q_v_topk")) +
+      ("q_v_topk_hnsw" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_c" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq_res" -> oracleSqlMap("q_v_topk")) +

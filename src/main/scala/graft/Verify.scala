@@ -14,6 +14,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the deployment-config injection path: pure-SQL gates (planner
+      // skipping, bounded-Levenshtein rewrite, graft_* kernels) run
+      // exactly as a production session configured this way would
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -836,4 +836,118 @@ object Layout {
       base.agg(exprs.head, exprs.tail: _*)
     }
   }
+
+  // ── Planner integration ────────────────────────────────────────────
+  //
+  // [[read]] prunes only for callers who call it; a user who writes
+  // plain `SELECT … FROM parquet.`/t` WHERE k = 5` gets a full scan.
+  // These hooks serve [[graft.plans.GraftRules.ManifestSkip]], the
+  // injected Catalyst rule that rewrites such a Filter-over-scan to
+  // the bloom/minmax-pruned file set — the same decision [[read]]
+  // makes, surfaced to pure SQL. The hooks must NEVER fail a query:
+  // any error means "don't prune" (the unrewritten plan is always
+  // correct, just slower).
+
+  /** One extracted skipping opportunity from a Filter conjunct:
+    * equality probe, lower bound, or upper bound on a column. Strict
+    * bounds are passed as their inclusive relaxation — file pruning
+    * keeps a SUPERSET of matching files and the exact predicate still
+    * runs, so relaxing a bound never changes results.
+    */
+  sealed trait PlannerBound { def colName: String }
+  final case class BoundEq(colName: String, value: Any) extends PlannerBound
+  final case class BoundLo(colName: String, value: Any) extends PlannerBound
+  final case class BoundHi(colName: String, value: Any) extends PlannerBound
+
+  /** Does `tablePath` carry a manifest? One `exists` probe — the
+    * planner's cheap eligibility test, safe on any path.
+    */
+  def hasManifest(spark: org.apache.spark.sql.SparkSession,
+                  tablePath: String): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(statsPath(tablePath))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Memo of planner pruning decisions, keyed by (table, bounds,
+    * manifest fingerprint). The optimizer runs its rule batches to
+    * fixpoint, so an eligible-but-unprunable filter would otherwise
+    * pay the manifest read on every batch iteration — and a bench
+    * rep re-running the same query would pay it every rep. The
+    * fingerprint is [[Scratch.stat]] of the manifest dir (newest
+    * mtime + file count + bytes): any DML republish changes it, so a
+    * stale decision is never served across a table rewrite. Bounded;
+    * driver-side only.
+    */
+  private val plannerMemo =
+    new java.util.LinkedHashMap[String, Option[Seq[String]]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[Seq[String]]]): Boolean =
+        size() > 256
+    }
+
+  /** The files a Filter carrying `bounds` needs to open, or None when
+    * no skipping structure applies (untracked columns, unusable
+    * types, any internal error). ONE manifest read evaluates every
+    * bound: min/max conditions filter the stats rows in Spark;
+    * bloom probes test the collected per-file filters driver-side.
+    * Returned paths are absolute (manifest names resolved against
+    * `tablePath`). A column with NULL stats for a bounded column is
+    * pruned — correct, because every bound predicate is
+    * null-rejecting (an all-null file cannot satisfy `c = v` or a
+    * range).
+    */
+  private[graft] def plannerKeptFiles(spark: org.apache.spark.sql.SparkSession,
+                                      tablePath: String,
+                                      bounds: Seq[PlannerBound])
+      : Option[Seq[String]] =
+    try {
+      val key = tablePath + "§" + bounds.mkString("|") + "§" +
+        Scratch.stat(spark, statsPath(tablePath))
+      plannerMemo.synchronized {
+        val hit = plannerMemo.get(key)
+        if (hit != null) return hit
+      }
+      val computed = plannerKeptFilesUncached(spark, tablePath, bounds)
+      plannerMemo.synchronized { plannerMemo.put(key, computed) }
+      computed
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def plannerKeptFilesUncached(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      bounds: Seq[PlannerBound]): Option[Seq[String]] = {
+    import org.apache.spark.sql.functions._
+    val stats = statsDf(spark, tablePath)
+    val statCols = stats.columns.toSet
+    // min/max conditions — evaluated inside the (tiny) stats scan
+    val rangeConds: Seq[org.apache.spark.sql.Column] = bounds.flatMap {
+      case BoundEq(c, v) if statCols(s"min_$c") =>
+        Some(col(s"max_$c") >= lit(v) && col(s"min_$c") <= lit(v))
+      case BoundLo(c, v) if statCols(s"min_$c") =>
+        Some(col(s"max_$c") >= lit(v))
+      case BoundHi(c, v) if statCols(s"min_$c") =>
+        Some(col(s"min_$c") <= lit(v))
+      case _ => None
+    }
+    // bloom probes — driver-side over the collected filters
+    val bloomProbes: Seq[(String, Any)] = bounds.collect {
+      case BoundEq(c, v) if statCols(s"bloom_$c") => (c, v)
+    }
+    if (rangeConds.isEmpty && bloomProbes.isEmpty) return None
+    val hashes = bloomProbes.map { case (c, v) =>
+      (s"bloom_$c", bloomHashTyped(probeType(spark, tablePath, stats, c), v))
+    }
+    val filtered = rangeConds.foldLeft(stats)((df, c) => df.filter(c))
+    val rows = filtered
+      .select((col("file") +: hashes.map { case (bc, _) => col(bc) })
+        .toIndexedSeq: _*)
+      .collect()
+    val kept = rows.filter { r =>
+      hashes.zipWithIndex.forall { case ((_, h), i) =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(r.getAs[Array[Byte]](i + 1)).mightContainLong(h)
+      }
+    }.map(r => s"$tablePath/${r.getString(0)}")
+    Some(kept.toIndexedSeq)
+  }
 }

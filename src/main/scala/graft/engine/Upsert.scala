@@ -55,6 +55,15 @@ object Upsert {
   def forPath(spark: SparkSession, path: String): UpsertTable =
     new UpsertTable(spark, path)
 
+  /** Name-addressed handle mirroring `DeltaTable.forName`
+    * (`4_Gold_fact_sales_table.py:69`): the catalog resolves
+    * `catalog.schema.table` to its filesystem location and the merge
+    * protocol is [[forPath]]'s — the two reference entry shapes are
+    * the same table, addressed two ways.
+    */
+  def forName(catalog: TableCatalog, name: String): UpsertTable =
+    new UpsertTable(catalog.spark, catalog.pathFor(name))
+
   /** Core merge: source wins on key match; unmatched source rows are
     * inserted; unmatched target rows are kept.
     * Column alignment is BY NAME, case-insensitive (the pipeline mixes

@@ -1,0 +1,427 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.NativeExpressions.{cosine, nearestCentroids}
+
+/** Graph ANN: a sharded HNSW (Hierarchical Navigable Small World,
+  * Malkov & Yashunin 2016) index — the standard recall/latency point
+  * past the IVF-PQ ladder (round-10 VERDICT #6: residual-PQ's measured
+  * recall@5 is 0.75 at a 64-of-500 shortlist; a navigable graph buys
+  * recall back without widening the shortlist).
+  *
+  * DISTRIBUTION SHAPE — a navigable graph is an in-memory structure,
+  * so the scale design is shard-per-IVF-cluster (the SPANN/partitioned-
+  * HNSW hybrid): coarse k-means centroids route a query to its
+  * `nprobe` nearest shards (hive partition pruning on the stored
+  * graph, exactly [[Ivf.searchIndex]]'s pruning), and an independent
+  * HNSW graph navigates WITHIN each shard. Per-shard build is genuine
+  * per-partition imperative work — `flatMapGroups` is the correct
+  * primitive (same category as the Multimodal codecs), and the ONLY
+  * memory contract is that one shard's vectors fit one executor
+  * (pick `shards` so a shard is a few GB; the coarse assignment
+  * itself is one distributed pass, never a driver collect).
+  *
+  * DETERMINISM — the artifact is byte-stable so the index can be
+  * oracle-gated: node levels derive from a splitmix64 hash of the
+  * vector id (not a build-time RNG), insertion order is sorted-by-id
+  * within a shard, and every heap ordering breaks ties by id. Two
+  * builds of the same corpus produce identical adjacency.
+  *
+  * EXACTNESS ESCAPE HATCH — graph search with `ef <= 0` runs
+  * unbounded: it visits every node REACHABLE from the entry point,
+  * and the build finishes with a connectivity repair pass (BFS from
+  * the entry; stragglers are linked to it), so unbounded search is
+  * provably exhaustive within a shard. Full probe + unbounded ef +
+  * exact rescore therefore shares the brute-force oracle at any
+  * scale factor — the same trick every IVF gate uses — while finite
+  * `ef` is the production path whose recall HnswSpec measures.
+  *
+  * Search scores are NOT the graph's float dots: traversal only
+  * nominates candidates; the emitted cosine comes from the shared
+  * [[graft.functions.NativeExpressions.cosine]] column over the
+  * stored vectors, so ranking semantics are identical to
+  * [[SimilaritySearch.bruteForceTopK]].
+  */
+object Hnsw {
+
+  /** One stored graph node: its shard, id, vector, and per-level
+    * neighbor ids (`adj(l)` = neighbors at level l; node's top level
+    * = `adj.length - 1`). Neighbors are vector IDS, not positions —
+    * rows reload in any order.
+    */
+  final case class GraphNode(cluster: Int, vec_id: Long,
+                             vec: Seq[Float], adj: Seq[Seq[Long]])
+
+  // ── deterministic level assignment ─────────────────────────────────
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Geometric level from the id hash: floor(−ln(u)·mL), mL = 1/ln(m)
+    * — the paper's distribution, but replayable from the id alone so
+    * levels don't depend on build order or partitioning.
+    */
+  private[graft] def levelOf(id: Long, m: Int): Int = {
+    val u = ((splitmix64(id) >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+    val mL = 1.0 / math.log(m.toDouble)
+    math.floor(-math.log(u) * mL).toInt.min(30)
+  }
+
+  // ── the in-memory shard graph ──────────────────────────────────────
+
+  /** Build/search state for ONE shard. `ids` must be sorted ascending
+    * (the deterministic insertion order). All similarity math is
+    * double over the float vectors in index order — replayed
+    * identically at build and search. `levelsIn` restores a stored
+    * graph's levels (a reloaded index must NOT re-derive them from
+    * `m`, which may differ from the build's).
+    */
+  private[graft] final class ShardGraph(
+      val ids: Array[Long], val vecs: Array[Array[Float]], m: Int,
+      levelsIn: Array[Int] = null) {
+    val n: Int = ids.length
+    private val norms: Array[Double] = vecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val levels: Array[Int] =
+      if (levelsIn != null) levelsIn else ids.map(levelOf(_, m))
+    // adj(i)(l) for l in 0..levels(i)
+    val adj: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]] =
+      Array.tabulate(n)(i => Array.fill(levels(i) + 1)(
+        scala.collection.mutable.ArrayBuffer.empty[Int]))
+    var entry: Int = -1
+
+    private def simTo(i: Int, q: Array[Float], qNorm: Double): Double = {
+      val v = vecs(i)
+      val den = norms(i) * qNorm
+      if (den == 0.0) return -2.0 // zero vectors rank last, consistently
+      var s = 0.0; var j = 0
+      while (j < v.length) { s += v(j).toDouble * q(j).toDouble; j += 1 }
+      s / den
+    }
+
+    /** Higher sim first; ties → lower id first (total order). */
+    private def better(s1: Double, i1: Int, s2: Double, i2: Int): Boolean =
+      s1 > s2 || (s1 == s2 && ids(i1) < ids(i2))
+
+    /** Classic layer search from `eps`: bounded best-first expansion,
+      * result = up to `ef` best visited (every visited node when
+      * `ef >= n` — the exhaustive mode's guarantee).
+      */
+    private def searchLayer(q: Array[Float], qNorm: Double,
+                            eps: Seq[Int], ef: Int, level: Int)
+        : Array[(Double, Int)] = {
+      val visited = new java.util.BitSet(n)
+      // candidates: best first. results: worst first (for eviction).
+      val cand = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(
+        Ordering.by[(Double, Int), (Double, Long)](t => (t._1, -ids(t._2))))
+      val res = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(
+        Ordering.by[(Double, Int), (Double, Long)](t => (-t._1, ids(t._2))))
+      eps.foreach { e =>
+        if (!visited.get(e)) {
+          visited.set(e)
+          val s = simTo(e, q, qNorm)
+          cand.enqueue((s, e)); res.enqueue((s, e))
+          if (res.size > ef) res.dequeue(): Unit
+        }
+      }
+      while (cand.nonEmpty) {
+        val (cs, c) = cand.dequeue()
+        val worst = if (res.isEmpty) Double.NegativeInfinity else res.head._1
+        if (res.size >= ef && !better(cs, c, worst, res.head._2)) {
+          cand.clear() // every remaining candidate is no better
+        } else {
+          adj(c)(level).foreach { nb =>
+            if (!visited.get(nb)) {
+              visited.set(nb)
+              val s = simTo(nb, q, qNorm)
+              if (res.size < ef ||
+                  better(s, nb, res.head._1, res.head._2)) {
+                cand.enqueue((s, nb)); res.enqueue((s, nb))
+                if (res.size > ef) res.dequeue(): Unit
+              }
+            }
+          }
+        }
+      }
+      res.dequeueAll.reverse.toArray // best first
+    }
+
+    private def greedyStep(q: Array[Float], qNorm: Double,
+                           ep0: Int, level: Int): Int = {
+      var ep = ep0
+      var epSim = simTo(ep, q, qNorm)
+      var improved = true
+      while (improved) {
+        improved = false
+        adj(ep)(level).foreach { nb =>
+          val s = simTo(nb, q, qNorm)
+          if (better(s, nb, epSim, ep)) { ep = nb; epSim = s; improved = true }
+        }
+      }
+      ep
+    }
+
+    private def cap(level: Int): Int = if (level == 0) 2 * m else m
+
+    /** The paper's SELECT-NEIGHBORS-HEURISTIC (Alg. 4), determinized:
+      * walk candidates best-first and keep `e` only if it is strictly
+      * closer to the anchor than to every already-kept neighbor — so
+      * links spread across directions instead of piling into one
+      * clump (the difference between a navigable graph and a near-
+      * clique that greedy search can't escape). Discards back-fill
+      * remaining capacity in order (keepPrunedConnections), so degree
+      * — and with it reachability — never drops below the simple
+      * top-cap rule's.
+      */
+    private def selectDiverse(cands: Seq[(Double, Int)],
+                              limit: Int): Seq[Int] = {
+      val sorted = cands.sortWith((a, b) => better(a._1, a._2, b._1, b._2))
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val spill = scala.collection.mutable.ArrayBuffer.empty[Int]
+      sorted.foreach { case (s, e) =>
+        if (kept.length < limit) {
+          val diverse = kept.forall { r =>
+            s > simTo(r, vecs(e), norms(e))
+          }
+          if (diverse) kept += e else spill += e
+        }
+      }
+      kept ++= spill.take(limit - kept.length)
+      kept.toSeq
+    }
+
+    /** Keep a neighbor list within its degree cap via the diversity
+      * heuristic (similarities measured to the list's owner).
+      */
+    private def prune(node: Int, level: Int): Unit = {
+      val lst = adj(node)(level)
+      if (lst.length > cap(level)) {
+        val q = vecs(node); val qn = norms(node)
+        val kept = selectDiverse(
+          lst.toSeq.map(nb => (simTo(nb, q, qn), nb)), cap(level))
+        lst.clear(); lst ++= kept
+      }
+    }
+
+    def insert(i: Int, efC: Int): Unit = {
+      if (entry < 0) { entry = i; return }
+      val q = vecs(i); val qn = norms(i)
+      val l = levels(i)
+      var ep = entry
+      var lev = levels(entry)
+      while (lev > l) { ep = greedyStep(q, qn, ep, math.min(lev, levels(ep))); lev -= 1 }
+      var eps: Seq[Int] = Seq(ep)
+      var cur = math.min(l, levels(entry))
+      while (cur >= 0) {
+        val w = searchLayer(q, qn, eps, efC, cur)
+        val neigh = selectDiverse(w.toSeq, m)
+        neigh.foreach { nb =>
+          adj(i)(cur) += nb
+          adj(nb)(cur) += i
+          prune(nb, cur)
+        }
+        eps = w.map(_._2).toSeq
+        cur -= 1
+      }
+      if (l > levels(entry)) entry = i
+    }
+
+    /** Level-0 connectivity repair: BFS from the entry; any node the
+      * graph cannot reach gets a direct bidirectional link to the
+      * entry (uncapped — a repair link must never be pruned away).
+      * After this pass, unbounded search from the entry visits every
+      * node: the exhaustive-mode guarantee.
+      */
+    def repair(): Unit = {
+      if (n == 0 || entry < 0) return
+      val seen = new java.util.BitSet(n)
+      val stack = new java.util.ArrayDeque[Integer]()
+      seen.set(entry); stack.push(entry)
+      while (!stack.isEmpty) {
+        val c = stack.pop().intValue()
+        adj(c)(0).foreach { nb =>
+          if (!seen.get(nb)) { seen.set(nb); stack.push(nb) }
+        }
+      }
+      var i = 0
+      while (i < n) {
+        if (!seen.get(i)) { adj(i)(0) += entry; adj(entry)(0) += i }
+        i += 1
+      }
+    }
+
+    /** Candidate ids for `q`: descend levels greedily, then layer-0
+      * search with `ef` (`ef <= 0` → unbounded = exhaustive).
+      */
+    def search(q: Array[Float], ef: Int): Array[Long] = {
+      if (n == 0 || entry < 0) return Array.empty
+      var qsq = 0.0
+      var j = 0
+      while (j < q.length) { qsq += q(j).toDouble * q(j).toDouble; j += 1 }
+      val qn = math.sqrt(qsq)
+      var ep = entry
+      var lev = levels(entry)
+      while (lev > 0) { ep = greedyStep(q, qn, ep, lev); lev -= 1 }
+      val effEf = if (ef <= 0) n else ef
+      // the ENTRY seeds level 0 alongside the descended ep: pruning
+      // makes the level-0 graph a digraph, and the repair pass hangs
+      // its rescue links off the entry — a descent that walks into a
+      // pruned sink could otherwise never reach them (observed: a
+      // tie-heavy clump pruned itself into a 9-node sink). With the
+      // entry seeded, unbounded search visits everything reachable
+      // from the entry = everything, by repair's guarantee.
+      searchLayer(q, qn, Seq(ep, entry), effEf, 0).map(t => ids(t._2))
+    }
+  }
+
+  /** Build one shard's graph from its (id, vec) rows and emit the
+    * stored form. Sorted insertion + hash levels + tie-broken heaps
+    * make the output a pure function of the row SET.
+    */
+  private def buildShard(cluster: Int, rows: Iterator[(Long, Seq[Float])],
+                         m: Int, efC: Int): Iterator[GraphNode] = {
+    val sorted = rows.toArray.sortBy(_._1)
+    val g = new ShardGraph(sorted.map(_._1),
+      sorted.map(_._2.toArray), m)
+    var i = 0
+    while (i < g.n) { g.insert(i, efC); i += 1 }
+    g.repair()
+    (0 until g.n).iterator.map { i =>
+      GraphNode(cluster, g.ids(i), sorted(i)._2,
+        g.adj(i).toSeq.map(_.toSeq.map(g.ids(_)).sorted))
+    }
+  }
+
+  /** Build-if-stale the sharded HNSW artifact at `indexPath`:
+    * `centroids` (the coarse router, [[Ivf]]'s format) +
+    * `graph/cluster=N` (nodes with vectors and adjacency, one hive
+    * partition per shard). Same freshness protocol as
+    * [[Ivf.ensureIndex]] — rebuilt only when the source or a build
+    * parameter changes.
+    */
+  def ensureIndex(df: DataFrame, sourcePath: String, indexPath: String,
+                  shards: Int, m: Int = 16, efC: Int = 100,
+                  iters: Int = 2, seed: Long = 42L,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Unit =
+    graft.engine.Scratch.ensureAt(df.sparkSession, indexPath, sourcePath,
+      fingerprint = s"hnsw,src=$sourcePath,shards=$shards,m=$m,efC=$efC," +
+        s"iters=$iters,seed=$seed,idCol=$idCol,vecCol=$vecCol",
+      markerName = "_INDEX_READY") { dir =>
+      val spark = df.sparkSession
+      import spark.implicits._
+      val model = Ivf.train(df, shards, iters, seed, idCol, vecCol)
+      Ivf.saveModel(spark, model, s"$dir/centroids")
+      Ivf.assign(df, model, vecCol)
+        .select(col("cluster"), col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<float>").as("vec"))
+        .as[(Int, Long, Seq[Float])]
+        .groupByKey(_._1)
+        .flatMapGroups((cl, it) =>
+          buildShard(cl, it.map(r => (r._2, r._3)), m, efC))
+        .toDF()
+        .write.partitionBy("cluster").mode("overwrite")
+        .parquet(s"$dir/graph")
+    }
+
+  /** ANN top-k against the reloaded index: queries route to their
+    * `nprobe` nearest shards (partition-pruned graph scan), each
+    * probed shard's graph nominates up to `ef` candidates per query,
+    * and the EXACT cosine over the stored vectors ranks the union —
+    * output schema (`q_id, rank, n_id, cosine`) and semantics
+    * identical to [[Ivf.searchIndex]]. `ef <= 0` = exhaustive within
+    * the probed shards (the full-probe oracle mode). Queries are
+    * small by the same contract as every ANN entry point here: they
+    * broadcast to the shards.
+    */
+  def searchIndex(spark: SparkSession, indexPath: String,
+                  queries: DataFrame, k: Int, nprobe: Int = 2,
+                  ef: Int = 64,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val model = Ivf.loadModelCached(spark, s"$indexPath/centroids")
+    // (q_id, vec, probe clusters) — bounded driver round-trip, then a
+    // broadcast keyed by shard so flatMapGroups sees only its queries
+    val qRows = queries
+      .select(col(idCol).cast("long").as("q_id"),
+        col(vecCol).cast("array<float>").as("q_vec"),
+        nearestCentroids(col(vecCol), model.centroids, nprobe).as("probe"))
+      .as[(Long, Seq[Float], Seq[Int])]
+      .collect()
+    val byShard: Map[Int, Array[(Long, Array[Float])]] = qRows
+      .flatMap { case (qid, v, probe) =>
+        probe.map(c => (c, (qid, v.toArray)))
+      }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val bq = spark.sparkContext.broadcast(byShard)
+    val probed = byShard.keys.toSeq.sorted
+    val graph = spark.read.parquet(s"$indexPath/graph")
+      .filter(col("cluster").isin(probed: _*))
+    val cands = graph
+      .select(col("cluster"), col("vec_id"), col("vec"), col("adj"))
+      .as[(Int, Long, Seq[Float], Seq[Seq[Long]])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cl, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val ids = rows.map(_._2)
+        val idToIdx = ids.zipWithIndex.toMap
+        // restore the STORED graph (levels from stored adjacency
+        // shape; never rebuilt at search time)
+        val g = new ShardGraph(ids, rows.map(_._3.toArray), m = 16,
+          levelsIn = rows.map(_._4.length - 1))
+        var i = 0
+        while (i < g.n) {
+          val stored = rows(i)._4
+          var l = 0
+          while (l < stored.length) {
+            g.adj(i)(l).clear()
+            g.adj(i)(l) ++= stored(l).iterator.flatMap(idToIdx.get(_))
+            l += 1
+          }
+          i += 1
+        }
+        // entry = (max level, min id) — exactly the node the build's
+        // insertion order left as entry (sorted inserts only replace
+        // the entry on a STRICTLY higher level), so the repair pass's
+        // reachability guarantee holds from here
+        if (g.n > 0) {
+          var best = 0
+          i = 1
+          while (i < g.n) {
+            if (g.levels(i) > g.levels(best)) best = i
+            i += 1
+          }
+          g.entry = best
+        }
+        bq.value.getOrElse(cl, Array.empty[(Long, Array[Float])])
+          .iterator.flatMap { case (qid, qv) =>
+            g.search(qv, ef).iterator
+              .filter(_ != qid)
+              .map(nid => (qid, nid))
+          }
+      }
+      .toDF("q_id", "n_id")
+    // exact rescore over the stored vectors — the graph only nominated
+    val corpus = spark.read.parquet(s"$indexPath/graph")
+      .filter(col("cluster").isin(probed: _*))
+      .select(col("vec_id").as("n_id"), col("vec").as("n_vec"))
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).cast("array<float>").as("q_vec"))
+    val scored = cands
+      .join(corpus, Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cosine"))
+    TopK.topKPerKey(scored, k)(spark)
+  }
+}

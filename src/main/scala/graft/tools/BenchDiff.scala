@@ -1,0 +1,122 @@
+package graft.tools
+
+/** One-command round-over-round bench comparison on the LOAD-IMMUNE
+  * basis (round-10 VERDICT #5): reads two bench artifacts (the JSON
+  * line `graft.Bench` writes to `target/bench*.json` / the driver's
+  * `BENCH_r{N}.json`) and diffs the per-query `cpu_sec` map — executor
+  * CPU seconds per attempt, which a thrashed box does not inflate the
+  * way wall time does. This turns the phantom-regression adjudication
+  * loop (r8–r10's recurring time sink: "is +40% wall a regression or
+  * a noisy neighbor?") into one command whose answer does not depend
+  * on machine load during either run.
+  *
+  *   runMain graft.tools.BenchDiff old.json new.json [ratioFlag]
+  *
+  * Flags queries whose CPU grew > `ratioFlag` (default 1.5×) AND by
+  * an absolute floor of 0.2 cpu-sec (a 3 ms kernel doubling to 6 ms
+  * is noise, not a finding). Also lists added/removed queries and the
+  * wall-time ratio alongside for context — when wall moves and CPU
+  * does not, the verdict is "load, not code".
+  *
+  * Exit code 1 when any query is flagged, so a round script can gate
+  * on it.
+  */
+object BenchDiff {
+
+  /** Extract the balanced `{...}` value of `"key":` from a JSON line.
+    * The bench maps hold only string keys and number values (no
+    * nested objects), but the scan is brace-balanced anyway so a
+    * future nested field cannot silently truncate the map.
+    */
+  private[tools] def objectOf(json: String, key: String): Option[String] = {
+    val k = "\"" + key + "\":{"
+    val i = json.indexOf(k)
+    if (i < 0) return None
+    val start = i + k.length - 1
+    var depth = 0; var j = start; var inStr = false; var esc = false
+    while (j < json.length) {
+      val c = json(j)
+      if (esc) esc = false
+      else if (inStr) { if (c == '\\') esc = true else if (c == '"') inStr = false }
+      else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return Some(json.substring(start, j + 1))
+        case _ =>
+      }
+      j += 1
+    }
+    None
+  }
+
+  /** `{"a":1.2,"b":3}` → Map("a" -> 1.2, "b" -> 3.0). */
+  private[tools] def numberMap(obj: String): Map[String, Double] =
+    raw""""((?:[^"\\]|\\.)*)"\s*:\s*(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)""".r
+      .findAllMatchIn(obj)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  private def mapOf(json: String, key: String): Map[String, Double] =
+    objectOf(json, key).map(numberMap).getOrElse(Map.empty)
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: BenchDiff <old.json> <new.json> [ratioFlag]")
+    val ratioFlag = if (args.length > 2) args(2).toDouble else 1.5
+    val absFloor = 0.2 // cpu-sec — below this a ratio is arithmetic noise
+    def load(p: String): String =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")
+    val (oldJ, newJ) = (load(args(0)), load(args(1)))
+    val (cpuOld, cpuNew) = (mapOf(oldJ, "cpu_sec"), mapOf(newJ, "cpu_sec"))
+    val (wallOld, wallNew) = (mapOf(oldJ, "queries"), mapOf(newJ, "queries"))
+    require(cpuOld.nonEmpty && cpuNew.nonEmpty,
+      "both artifacts must carry a cpu_sec map (bench r10+)")
+
+    val common = (cpuOld.keySet & cpuNew.keySet).toSeq.sorted
+    val added = (cpuNew.keySet -- cpuOld.keySet).toSeq.sorted
+    val removed = (cpuOld.keySet -- cpuNew.keySet).toSeq.sorted
+
+    def f(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    case class Row(q: String, o: Double, n: Double) {
+      def ratio: Double = if (o > 0) n / o else Double.PositiveInfinity
+      def wallNote: String =
+        (wallOld.get(q), wallNew.get(q)) match {
+          case (Some(wo), Some(wn)) if wo > 0 =>
+            s" (wall ${f(wn / wo)}x)"
+          case _ => ""
+        }
+    }
+    val rows = common.map(q => Row(q, cpuOld(q), cpuNew(q)))
+    val flagged = rows.filter(r =>
+      r.n - r.o > absFloor && r.ratio > ratioFlag).sortBy(-_.ratio)
+    val improved = rows.filter(r =>
+      r.o - r.n > absFloor && r.ratio < 1 / ratioFlag).sortBy(_.ratio)
+
+    val (to, tn) = (rows.map(_.o).sum, rows.map(_.n).sum)
+    println(s"== BenchDiff cpu_sec: ${args(0)} -> ${args(1)} ==")
+    println(s"common ${common.size}  added ${added.size}  " +
+      s"removed ${removed.size}")
+    println(s"common-query cpu total: ${f(to)} -> ${f(tn)} " +
+      s"(${f(if (to > 0) tn / to else 0)}x)")
+    if (added.nonEmpty) println(s"added: ${added.mkString(", ")}")
+    if (removed.nonEmpty) println(s"removed: ${removed.mkString(", ")}")
+    if (flagged.isEmpty)
+      println(s"no cpu regressions > ${ratioFlag}x (+${absFloor} floor)")
+    else {
+      println(s"FLAGGED (> ${ratioFlag}x cpu):")
+      flagged.foreach(r => println(
+        s"  ${r.q}: ${f(r.o)} -> ${f(r.n)} cpu-sec " +
+          s"(${f(r.ratio)}x)${r.wallNote}"))
+    }
+    if (improved.nonEmpty) {
+      println("improved:")
+      improved.foreach(r => println(
+        s"  ${r.q}: ${f(r.o)} -> ${f(r.n)} cpu-sec " +
+          s"(${f(r.ratio)}x)${r.wallNote}"))
+    }
+    if (flagged.nonEmpty) sys.exit(1)
+  }
+}

@@ -13,6 +13,7 @@ object MarginProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", classOf[graft.GraftExtensions].getName)
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")

@@ -140,7 +140,24 @@ object ScaleGate {
     // relaxes at most twice — linear in the 10× doc graph; a
     // lineage-regrowth regression (un-truncated iterative plan)
     // shows as exponential plan depth, not a ratio
-    "q_g_hops" -> 10.0
+    "q_g_hops" -> 10.0,
+    // round-11 (VERDICT r10 #9): the read front door. The manifest
+    // routing itself is O(manifest) = flat, but each gate carries
+    // linear components the envelope must admit: the oracle-key
+    // lookup scans orders for its min, a bloom-kept file is 10×
+    // bigger, and q_s25's interval arm aggregates hash-distributed
+    // files that min/max cannot prune (every file spans the key
+    // range by construction). What the envelope EXCLUDES is a
+    // re-listing / full-rescan regression of the routing itself
+    // (O(files) listings per probe showed as ≫10 in round 9's
+    // pre-manifest probeType)
+    "q_s24_front_read" -> 6.0,
+    "q_s25_front_agg" -> 8.0,
+    // the planner-gated twin: plain SQL through ManifestSkip — same
+    // cost anatomy as q_s24 (bloom point arm + unprunable BETWEEN
+    // arm) plus one optimizer-time manifest probe, memoized per
+    // (table, bounds, manifest fingerprint)
+    "q_s26_planner_skip" -> 8.0
   )
 
   def main(args: Array[String]): Unit = {
@@ -149,6 +166,7 @@ object ScaleGate {
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", classOf[graft.GraftExtensions].getName)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -161,8 +179,9 @@ object ScaleGate {
     // v2 added the part table for the MV gate)
     // v4: adds the customer table (entity-scaling ER gates)
     // v5: adds lineitem (co-occurrence projection gate)
+    // v6: adds orders (front-door skipping gates)
     graft.engine.Scratch.ensureAt(spark, big, base,
-      fingerprint = s"scaleup-v5,copies=$copies") { staging =>
+      fingerprint = s"scaleup-v6,copies=$copies") { staging =>
       ScaleUp.build(spark, base, staging, copies)
     }
 

@@ -31,6 +31,7 @@ object ScaleUp {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", classOf[graft.GraftExtensions].getName)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -126,6 +127,18 @@ object ScaleUp {
         li.columns.filterNot(_ == "l_orderkey").map(col): _*)
     }.repartition(32).write.mode("overwrite")
       .parquet(s"$out/lineitem.parquet")
+
+    // orders feeds the skipping-front-door gates (q_s24/q_s25/q_s26):
+    // order keys shift per copy, so the bloom-probed smallest key
+    // stays a 1-of-16-files point lookup and the interval arm's key
+    // range scales with the table — the envelopes then measure
+    // manifest routing + pruned scans, not a synth artifact
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    copiesOf(ord) { k =>
+      ord.select((col("o_orderkey") + k * 10000000L).as("o_orderkey") +:
+        ord.columns.filterNot(_ == "o_orderkey").map(col): _*)
+    }.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/orders.parquet")
 
     // small tables Profile's warm-up and shared helpers touch
     Seq("nation", "region").foreach { t =>

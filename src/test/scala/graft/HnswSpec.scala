@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Hnsw, Ivf, Pq, SimilaritySearch}
+
+/** Sharded-HNSW coverage: exhaustive-mode exactness vs brute force
+  * (the gate's premise), production-ef recall vs the IVF-PQ ladder,
+  * build determinism, and the connectivity-repair guarantee.
+  */
+class HnswSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def freshIndex(tag: String, shards: Int = 4): String = {
+    val p = tmpDir(tag) + "/idx"
+    Hnsw.ensureIndex(emb, s"$dir/embeddings.parquet", p, shards = shards,
+      m = 8, efC = 32)
+    p
+  }
+
+  test("exhaustive mode (ef<=0, full probe) equals brute-force top-k " +
+    "exactly — the gate's oracle premise") {
+    val idx = freshIndex("hnsw-ex")
+    val q = emb.filter(col("vec_id") < 16)
+    val got = Hnsw.searchIndex(spark, idx, q, k = 5, nprobe = 4, ef = 0)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val want = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == want,
+      s"exhaustive HNSW != brute force:\n missing=${want -- got}\n extra=${got -- want}")
+  }
+
+  test("production ef: recall@5 at a bounded candidate budget beats " +
+    "the residual-PQ point at the same k") {
+    val idx = freshIndex("hnsw-rec")
+    val q = emb.filter(col("vec_id") < 64)
+    val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+    // PqSpec's 0.740/0.750 point is FULL probe (nprobe=4) with a
+    // 64-candidate total shortlist; the matching HNSW budget is
+    // nprobe=4 × ef=16 = 64 nominated candidates per query
+    val approx = Hnsw.searchIndex(spark, idx, q, k = 5, nprobe = 4, ef = 16)
+    val r = SimilaritySearch.recallAtK(exact, approx)
+      .agg(sum(col("n_hit")), sum(col("n_exact"))).head
+    val recall = r.getLong(0).toDouble / r.getLong(1)
+    info(f"hnsw recall@5 (nprobe=4, ef=16, 64-candidate budget): " +
+      f"$recall%.3f (residual IVF-PQ at 64-of-500: 0.750)")
+    assert(recall >= 0.75,
+      s"graph ANN must reach the PQ ladder's recall point: $recall")
+  }
+
+  test("build is deterministic: two builds of the same corpus produce " +
+    "identical adjacency") {
+    val a = freshIndex("hnsw-det-a")
+    val b = freshIndex("hnsw-det-b")
+    def rows(p: String) = spark.read.parquet(s"$p/graph")
+      .select(col("cluster"), col("vec_id"), col("adj"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(a) == rows(b), "non-deterministic build artifact")
+  }
+
+  test("connectivity repair: unbounded search reaches every node even " +
+    "when the corpus has far-apart clumps in one shard") {
+    // two tight clumps with orthogonal directions — a graph built
+    // greedily could strand one; repair must reconnect
+    val vecs = (0 until 40).map { i =>
+      val v = new Array[Float](8)
+      if (i < 20) v(0) = 1.0f + (i % 5) * 0.01f
+      else v(7) = 1.0f + (i % 5) * 0.01f
+      (i.toLong, v.toSeq)
+    }
+    val sorted = vecs.sortBy(_._1)
+    val g = new Hnsw.ShardGraph(sorted.map(_._1).toArray,
+      sorted.map(_._2.toArray).toArray, m = 4)
+    sorted.indices.foreach(i => g.insert(i, efC = 16))
+    g.repair()
+    val probe = { val v = new Array[Float](8); v(0) = 1.0f; v }
+    val reached = g.search(probe, ef = 0)
+    assert(reached.length == 40,
+      s"unbounded search reached ${reached.length}/40 nodes")
+  }
+
+  test("recall ladder context: HNSW vs plain IVF-PQ on the same " +
+    "corpus (evidence for NOTES)") {
+    val q = emb.filter(col("vec_id") < 64)
+    val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = SimilaritySearch.recallAtK(exact, df)
+        .agg(sum(col("n_hit")), sum(col("n_exact"))).head
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    val idx = freshIndex("hnsw-lad")
+    val hnsw = recallOf(
+      Hnsw.searchIndex(spark, idx, q, k = 5, nprobe = 2, ef = 64))
+    val ivf = Ivf.train(emb, k = 4, iters = 2)
+    val pqm = Pq.train(emb, m = 8, k = 16)
+    val pq = recallOf(Pq.topKClustered(emb, q, ivf, pqm, k = 5,
+      nprobe = 2, rescoreK = 64))
+    info(f"recall@5 same budget: hnsw=$hnsw%.3f ivf-pq=$pq%.3f")
+    assert(hnsw >= pq - 0.02,
+      s"graph index should not lose to the PQ shortlist: $hnsw vs $pq")
+  }
+}

@@ -333,4 +333,91 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length == 2,
       s"expected exactly one shuffle:\n$p")
   }
+
+  // ── ManifestSkip: planner-gated file skipping ────────────────────
+
+  import org.apache.spark.sql.functions.{col, min}
+
+  private def prunedIndexFiles(df: DataFrame): Option[Int] =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if l.relation.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+          l.relation
+            .asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.isInstanceOf[graft.plans.GraftPrunedFileIndex] =>
+        l.relation
+          .asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }
+
+  test("ManifestSkip: plain SQL point lookup on a bloom-indexed table " +
+    "scans a pruned file set, result identical to the full scan") {
+    val tbl = tmpDir("graft-mskip") + "/ord"
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartition(8, col("o_orderkey"))
+      .write.parquet(tbl)
+    graft.engine.Layout.writeFileStats(spark, tbl, Seq("o_orderkey"),
+      bloomCols = Seq("o_orderkey"))
+    val k = spark.read.parquet(tbl).agg(min(col("o_orderkey")))
+      .head.getLong(0)
+    val q = spark.sql(
+      s"SELECT o_orderkey, o_totalprice FROM parquet.`$tbl` " +
+        s"WHERE o_orderkey = $k")
+    val kept = prunedIndexFiles(q)
+    assert(kept.isDefined, "plain SQL did not get the pruned index:\n" +
+      q.queryExecution.optimizedPlan.toString)
+    assert(kept.get < 8, s"bloom kept all files: $kept")
+    val expect = spark.read.parquet(tbl)
+      .filter(col("o_orderkey") === k).collect().sortBy(_.toString)
+    assert(q.collect().sortBy(_.toString).sameElements(expect),
+      "pruned result differs from full scan")
+    // absent key: every bloom rejects → zero-file scan, zero rows
+    val absent = spark.sql(
+      s"SELECT * FROM parquet.`$tbl` WHERE o_orderkey = -42")
+    assert(prunedIndexFiles(absent).contains(0), "absent key kept files")
+    assert(absent.count() == 0)
+  }
+
+  test("ManifestSkip: range predicate on a range-sorted table prunes " +
+    "via min/max; untracked columns and disabled flag leave the plan " +
+    "alone") {
+    val tbl = tmpDir("graft-mskip-rng") + "/ord"
+    graft.engine.Layout.writeRangeSorted(
+      spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")),
+      tbl, 8, col("o_orderkey"))
+    graft.engine.Layout.writeFileStats(spark, tbl, Seq("o_orderkey"))
+    val lo = spark.read.parquet(tbl).agg(min(col("o_orderkey")))
+      .head.getLong(0)
+    val q = spark.sql(s"SELECT o_orderkey, o_totalprice FROM " +
+      s"parquet.`$tbl` WHERE o_orderkey BETWEEN $lo AND ${lo + 16}")
+    val kept = prunedIndexFiles(q)
+    assert(kept.exists(_ <= 2), s"range-sorted BETWEEN kept $kept of 8")
+    val expect = spark.read.parquet(tbl)
+      .filter(col("o_orderkey").between(lo, lo + 16))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .collect().sortBy(_.toString)
+    assert(q.collect().sortBy(_.toString).sameElements(expect))
+    // untracked column → no rewrite (stats don't cover it)
+    val un = spark.sql(s"SELECT * FROM parquet.`$tbl` " +
+      "WHERE o_orderpriority = '1-URGENT'")
+    assert(prunedIndexFiles(un).isEmpty, "untracked column got rewritten")
+    // kill switch → no rewrite even for the trackable predicate
+    spark.conf.set("graft.planner.manifestSkip", "false")
+    try {
+      val off = spark.sql(s"SELECT o_orderkey FROM parquet.`$tbl` " +
+        s"WHERE o_orderkey = $lo")
+      assert(prunedIndexFiles(off).isEmpty, "disabled flag still rewrote")
+    } finally spark.conf.unset("graft.planner.manifestSkip")
+    // manifest-less table → untouched
+    val plainDir = s"$dir/orders.parquet"
+    val plain = spark.sql(
+      s"SELECT * FROM parquet.`$plainDir` WHERE o_orderkey = $lo")
+    assert(prunedIndexFiles(plain).isEmpty, "manifest-less table rewritten")
+  }
 }

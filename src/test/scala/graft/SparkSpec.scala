@@ -15,6 +15,10 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // every suite runs under the production extension set — a rule
+      // that misfires on an unrelated plan shows up as a test failure
+      // here, not in a user's session
+      .config("spark.sql.extensions", classOf[graft.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",

@@ -24,6 +24,21 @@ class UpsertSpec extends SparkSpec {
       (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("forName: catalog-resolved handle merges into the same table " +
+    "forPath addresses (`4_Gold:69` DeltaTable.forName shape)") {
+    val base = tmpDir("upsert-cat")
+    val cat = new graft.engine.TableCatalog(spark, base)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.parquet(cat.pathFor("main.gold.Fact_Sales"))
+    Upsert.forName(cat, "main.gold.Fact_Sales")
+      .merge(Seq((2L, "B2"), (3L, "c")).toDF("k", "v"), Seq("k"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    // name resolution is case-insensitive like the metastore's
+    val got = readBack(cat.pathFor("MAIN.GOLD.fact_sales"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B2"), (3L, "c")))
+  }
+
   test("composite 4-column key merge (J4, `4_Fact:68-74` shape)") {
     val path = tmpDir("upsert") + "/fact"
     Seq((1L, 1L, 1L, 1L, 100.0), (1L, 1L, 1L, 2L, 200.0))
