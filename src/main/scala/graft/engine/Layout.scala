@@ -858,6 +858,11 @@ object Layout {
   final case class BoundEq(colName: String, value: Any) extends PlannerBound
   final case class BoundLo(colName: String, value: Any) extends PlannerBound
   final case class BoundHi(colName: String, value: Any) extends PlannerBound
+  /** `col IN (v…)` — a file survives if ANY value could be present
+    * (bloom: any probe hits; min/max: any value inside the range).
+    */
+  final case class BoundIn(colName: String, values: Seq[Any])
+      extends PlannerBound
 
   /** Does `tablePath` carry a manifest? One `exists` probe — the
     * planner's cheap eligibility test, safe on any path.
@@ -919,7 +924,8 @@ object Layout {
     import org.apache.spark.sql.functions._
     val stats = statsDf(spark, tablePath)
     val statCols = stats.columns.toSet
-    // min/max conditions — evaluated inside the (tiny) stats scan
+    // min/max conditions — evaluated inside the (tiny) stats scan;
+    // bounds AND together, an IN-list's values OR within the bound
     val rangeConds: Seq[org.apache.spark.sql.Column] = bounds.flatMap {
       case BoundEq(c, v) if statCols(s"min_$c") =>
         Some(col(s"max_$c") >= lit(v) && col(s"min_$c") <= lit(v))
@@ -927,15 +933,24 @@ object Layout {
         Some(col(s"max_$c") >= lit(v))
       case BoundHi(c, v) if statCols(s"min_$c") =>
         Some(col(s"min_$c") <= lit(v))
+      case BoundIn(c, vs) if statCols(s"min_$c") && !statCols(s"bloom_$c")
+          && vs.nonEmpty =>
+        Some(vs.map(v => col(s"max_$c") >= lit(v) && col(s"min_$c") <= lit(v))
+          .reduce(_ || _))
       case _ => None
     }
-    // bloom probes — driver-side over the collected filters
-    val bloomProbes: Seq[(String, Any)] = bounds.collect {
-      case BoundEq(c, v) if statCols(s"bloom_$c") => (c, v)
+    // bloom probes — driver-side over the collected filters; each
+    // entry is (bloom column, acceptable hashes): a file survives the
+    // entry if ANY hash might be present (1 hash for equality, the
+    // value list for IN), and must survive EVERY entry
+    val bloomProbes: Seq[(String, Seq[Any])] = bounds.collect {
+      case BoundEq(c, v) if statCols(s"bloom_$c") => (c, Seq(v))
+      case BoundIn(c, vs) if statCols(s"bloom_$c") && vs.nonEmpty => (c, vs)
     }
     if (rangeConds.isEmpty && bloomProbes.isEmpty) return None
-    val hashes = bloomProbes.map { case (c, v) =>
-      (s"bloom_$c", bloomHashTyped(probeType(spark, tablePath, stats, c), v))
+    val hashes = bloomProbes.map { case (c, vs) =>
+      val dt = probeType(spark, tablePath, stats, c)
+      (s"bloom_$c", vs.map(bloomHashTyped(dt, _)))
     }
     val filtered = rangeConds.foldLeft(stats)((df, c) => df.filter(c))
     val rows = filtered
@@ -943,9 +958,10 @@ object Layout {
         .toIndexedSeq: _*)
       .collect()
     val kept = rows.filter { r =>
-      hashes.zipWithIndex.forall { case ((_, h), i) =>
-        org.apache.spark.util.sketch.BloomFilter
-          .readFrom(r.getAs[Array[Byte]](i + 1)).mightContainLong(h)
+      hashes.zipWithIndex.forall { case ((_, hs), i) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(r.getAs[Array[Byte]](i + 1))
+        hs.exists(bf.mightContainLong)
       }
     }.map(r => s"$tablePath/${r.getString(0)}")
     Some(kept.toIndexedSeq)

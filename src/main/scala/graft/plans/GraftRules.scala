@@ -138,6 +138,23 @@ object GraftRules {
         scalaValue(l).map(Layout.BoundLo(a.name, _)).toSeq
       case LessThan(l: Literal, a: AttributeReference) =>
         scalaValue(l).map(Layout.BoundLo(a.name, _)).toSeq
+      // IN-lists: a null element never ADDS a match (NULL = x is
+      // never TRUE), so probing only the non-null values is sound;
+      // any non-literal element bails the whole bound. The optimizer
+      // rewrites long lists to InSet before this rule runs in its
+      // second batch — handle both shapes.
+      case In(a: AttributeReference, list)
+          if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.flatMap(l => scalaValue(l.asInstanceOf[Literal]))
+        if (vs.nonEmpty) Seq(Layout.BoundIn(a.name, vs)) else Nil
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(a.dataType)
+        val vs = hset.toSeq.filter(_ != null).map(conv)
+        if (vs.nonEmpty) Seq(Layout.BoundIn(a.name, vs)) else Nil
+      // NOT StartsWith/LIKE-prefix: it would need string range stats,
+      // and the manifest tracks min/max only for summable (numeric)
+      // columns — strings skip through blooms (equality/IN) only.
       case _ => Nil
     }
 

@@ -380,6 +380,17 @@ class PlanQualitySpec extends SparkSpec {
       s"SELECT * FROM parquet.`$tbl` WHERE o_orderkey = -42")
     assert(prunedIndexFiles(absent).contains(0), "absent key kept files")
     assert(absent.count() == 0)
+    // IN-list: union of per-value bloom probes (absent values add no
+    // files), result identical to the raw filter
+    val inQ = spark.sql(s"SELECT o_orderkey, o_totalprice FROM " +
+      s"parquet.`$tbl` WHERE o_orderkey IN ($k, ${k + 1}, -42)")
+    val inKept = prunedIndexFiles(inQ)
+    assert(inKept.exists(_ < 8), s"IN-list kept all files: $inKept")
+    val inExpect = spark.read.parquet(tbl)
+      .filter(col("o_orderkey").isin(k, k + 1, -42))
+      .collect().sortBy(_.toString)
+    assert(inQ.collect().sortBy(_.toString).sameElements(inExpect),
+      "IN-list pruned result differs from full scan")
   }
 
   test("ManifestSkip: range predicate on a range-sorted table prunes " +
