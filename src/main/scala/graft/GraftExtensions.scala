@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.GraftRules.BoundedLevenshtein)
     e.injectOptimizerRule(s => new graft.plans.GraftRules.ManifestSkip(s))
+    e.injectOptimizerRule(s => new graft.plans.GraftRules.ManifestAgg(s))
     e.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash"),
       (es: Seq[Expression]) => MinHashSig(es.head, 3, 32, 42L)))

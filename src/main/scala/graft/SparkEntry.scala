@@ -1248,6 +1248,29 @@ object SparkEntry {
         s"$sel WHERE o_orderkey BETWEEN ${k + 1} AND ${k + 64}")
     }),
 
+    // ── S27: PLANNER-gated metadata aggregate — plain SQL
+    //    count(*)/sum/min/max/count(col) over the manifest-backed
+    //    table, folded to a LocalRelation by the injected ManifestAgg
+    //    rule (zero data files opened; PlanQualitySpec proves it by
+    //    corrupting one). Values ≡ plain aggregates over the raw
+    //    table (the oracle) ─────────────────────────────────────────
+    "q_s27_planner_agg" -> ((s, dir) => {
+      val scratch = graft.engine.Scratch.ensure(s, "bloomidx",
+        s"$dir/orders.parquet", "bloom-v2") { out =>
+        val path = s"$out/ord"
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .repartition(16, col("o_orderkey"))
+          .write.parquet(path)
+        graft.engine.Layout.writeFileStats(s, path, Seq("o_orderkey"),
+          bloomCols = Seq("o_orderkey"))
+      }
+      s.sql("SELECT count(*) AS n_rows, sum(o_orderkey) AS sum_k, " +
+        "min(o_orderkey) AS min_k, max(o_orderkey) AS max_k, " +
+        s"count(o_orderkey) AS cnt_k FROM parquet.`$scratch/ord`")
+    }),
+
     // ── S12: small-file compaction — 16 writer files rewritten into a
     //    target-sized generation; content must be IDENTICAL (the
     //    oracle is the raw table) and the pre-compaction version stays
@@ -1685,6 +1708,13 @@ object SparkEntry {
          |UNION ALL SELECT b.* FROM b, lo
          |  WHERE o_orderkey BETWEEN lo.k + 1 AND lo.k + 64"""
         .stripMargin).replaceAll(raw"\s+", " "),
+
+    // the planner-folded metadata aggregate ≡ raw-table aggregates
+    "q_s27_planner_agg" ->
+      ("SELECT count(*) AS n_rows, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS sum_k, " +
+        "min(o_orderkey) AS min_k, max(o_orderkey) AS max_k, " +
+        "count(o_orderkey) AS cnt_k FROM orders"),
 
     // both scopes ≡ plain SQL aggregates over the raw table
     "q_s25_front_agg" ->

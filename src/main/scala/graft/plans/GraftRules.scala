@@ -178,6 +178,116 @@ object GraftRules {
           }
       }
   }
+
+  /** Aggregate pushdown to the manifest for pure SQL (the
+    * [[graft.engine.Layout.readAgg]] metadata route, planner-gated):
+    * a global (no GROUP BY, no filter, no DISTINCT) aggregate of
+    * count(*) / count(col) / min / max / sum over a manifest-backed
+    * parquet scan is answered from the manifest at OPTIMIZATION time
+    * and replaced by a one-row LocalRelation — zero data files
+    * opened, the Delta "metadata-only count" idea extended to
+    * sum/min/max/count(col) and surfaced to `SELECT count(*) FROM
+    * parquet.`/t``.
+    *
+    * Exactness: the manifest rows are maintained by the same writers
+    * that move data (writeFileStats / the DML rewrite path), and
+    * [[graft.engine.Layout.metadataAgg]]'s scaladoc carries the
+    * per-function null-semantics proof. The rewrite additionally
+    * requires the manifest-served value's type to EQUAL the
+    * aggregate's result type — a mismatch (e.g. a pre-v4 manifest)
+    * bails to the ordinary plan rather than casting. Any error →
+    * plan untouched. Shares `graft.planner.manifestSkip` as its kill
+    * switch (one flag governs planner-manifest integration).
+    */
+  class ManifestAgg(spark: org.apache.spark.sql.SparkSession)
+      extends Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, LocalRelation, Project}
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    import graft.engine.Layout
+
+    private def enabled: Boolean =
+      conf.getConfString("graft.planner.manifestSkip", "true") == "true"
+
+    private def relationOf(plan: LogicalPlan): Option[HadoopFsRelation] =
+      plan match {
+        case LogicalRelation(r: HadoopFsRelation, _, _, _, _) => Some(r)
+        // column pruning's bare-attribute Project is transparent
+        case Project(ps, LogicalRelation(r: HadoopFsRelation, _, _, _, _))
+            if ps.forall(_.isInstanceOf[AttributeReference]) => Some(r)
+        case _ => None
+      }
+
+    private def eligible(r: HadoopFsRelation): Boolean =
+      r.partitionSchema.isEmpty &&
+        r.location.rootPaths.length == 1 &&
+        !r.location.rootPaths.head.getName.endsWith("__stats") &&
+        Layout.hasManifest(spark, r.location.rootPaths.head.toString)
+
+    /** (manifest column, output attribute) per result expression, or
+      * None if any expression is not a plain complete non-distinct
+      * servable aggregate.
+      */
+    private def planServes(aggs: Seq[NamedExpression])
+        : Option[Seq[(String, Attribute)]] = {
+      val served = aggs.map {
+        case a @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+          ManifestAggHelper.servedBy(fn).map((_, a.toAttribute))
+        case _ => None
+      }
+      if (served.forall(_.isDefined)) Some(served.flatten) else None
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (!enabled) plan
+      else plan.transform {
+        case agg @ Aggregate(Nil, aggExprs, child, _)
+            if relationOf(child).exists(eligible) &&
+              planServes(aggExprs).isDefined =>
+          val served = planServes(aggExprs).get
+          val table = relationOf(child).get.location.rootPaths.head.toString
+          try {
+            val res = Layout.metadataAgg(spark, table)
+            val schema = res.schema
+            val covered = served.forall { case (c, out) =>
+              schema.fields.exists(f => f.name == c && f.dataType == out.dataType)
+            }
+            if (!covered) agg
+            else {
+              val row = res.head()
+              val values = served.map { case (c, out) =>
+                org.apache.spark.sql.catalyst.CatalystTypeConverters
+                  .createToCatalystConverter(out.dataType)(
+                    row.get(row.fieldIndex(c)))
+              }
+              LocalRelation(agg.output,
+                Seq(org.apache.spark.sql.catalyst.InternalRow
+                  .fromSeq(values)))
+            }
+          } catch { case scala.util.control.NonFatal(_) => agg }
+      }
+  }
+}
+
+object ManifestAggHelper {
+  /** The manifest output-column name serving one aggregate call, or
+    * None when the call shape isn't manifest-servable.
+    */
+  private[plans] def servedBy(
+      fn: org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateFunction): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    fn match {
+      case Count(Seq(Literal(_, _))) => Some("n_rows")
+      case Count(Seq(a: AttributeReference)) => Some(s"cnt_${a.name}")
+      case Min(a: AttributeReference) => Some(s"min_${a.name}")
+      case Max(a: AttributeReference) => Some(s"max_${a.name}")
+      case Sum(a: AttributeReference, _) => Some(s"sum_${a.name}")
+      case _ => None
+    }
+  }
 }
 
 /** Marker FileIndex for a [[GraftRules.ManifestSkip]]-pruned scan:

@@ -336,7 +336,7 @@ class PlanQualitySpec extends SparkSpec {
 
   // ── ManifestSkip: planner-gated file skipping ────────────────────
 
-  import org.apache.spark.sql.functions.{col, min}
+  import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
 
   private def prunedIndexFiles(df: DataFrame): Option[Int] =
     df.queryExecution.optimizedPlan.collectFirst {
@@ -430,5 +430,55 @@ class PlanQualitySpec extends SparkSpec {
     val plain = spark.sql(
       s"SELECT * FROM parquet.`$plainDir` WHERE o_orderkey = $lo")
     assert(prunedIndexFiles(plain).isEmpty, "manifest-less table rewritten")
+  }
+
+  test("ManifestAgg: plain-SQL global aggregate over a manifest-backed " +
+    "table folds to a LocalRelation — zero data files opened (proven " +
+    "by corrupting one)") {
+    val tbl = tmpDir("graft-magg") + "/ord"
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartition(8, col("o_orderkey"))
+      .write.parquet(tbl)
+    graft.engine.Layout.writeFileStats(spark, tbl, Seq("o_orderkey"))
+    val schema = spark.read.parquet(tbl).schema
+    val want = spark.read.parquet(tbl)
+      .agg(count(lit(1)), sum(col("o_orderkey")), min(col("o_orderkey")),
+        max(col("o_orderkey")), count(col("o_orderkey"))).head
+    def check(q: org.apache.spark.sql.DataFrame): Unit = {
+      assert(q.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        s"aggregate not folded:\n${q.queryExecution.optimizedPlan}")
+      val got = q.head
+      assert(got.getLong(0) == want.getLong(0) &&
+        got.getLong(1) == want.getLong(1) &&
+        got.getLong(2) == want.getLong(2) &&
+        got.getLong(3) == want.getLong(3) &&
+        got.getLong(4) == want.getLong(4),
+        s"manifest aggregate differs: $got vs $want")
+    }
+    val aggSql = "SELECT count(*) AS n, sum(o_orderkey) AS s, " +
+      "min(o_orderkey) AS mn, max(o_orderkey) AS mx, " +
+      "count(o_orderkey) AS c FROM "
+    check(spark.sql(aggSql + s"parquet.`$tbl`"))
+    // corrupt one data file: a metadata-served aggregate cannot
+    // notice; any plan that actually scans throws. The path-table
+    // form infers its schema from footers at ANALYSIS time, so the
+    // post-corruption arm pins the schema through a temp view —
+    // same optimizer, same rule, no analysis-time footer read
+    val f = new java.io.File(tbl).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+    spark.read.schema(schema).parquet(tbl).createOrReplaceTempView("magg_t")
+    try {
+      check(spark.sql(aggSql + "magg_t"))
+      // avg is NOT servable → ordinary plan, and the corrupted file
+      // now fails it — the proof the folded plan skipped the data
+      val avg = spark.sql("SELECT avg(o_orderkey) FROM magg_t")
+      assert(!avg.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        "avg must not fold")
+      intercept[Exception] { avg.collect() }
+    } finally spark.catalog.dropTempView("magg_t"): Unit
   }
 }
