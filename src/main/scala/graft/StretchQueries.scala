@@ -381,6 +381,21 @@ object StretchQueries {
         "doc_id").select(col("doc_id"))
     }),
 
+    // decontamination, EMBEDDING arm: corpus rows semantically equal
+    // to a benchmark entry (cosine ≥ 0.8 — above this corpus's
+    // natural ceiling ~0.6, so the only qualifying pairs are the
+    // planted benchmark copies, which share every LSH band → the
+    // banded path provably equals the exact-SQL oracle, q_v_neardup's
+    // argument applied to the two-relation case)
+    "q_t_decontam_sem" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bench = emb.filter(col("vec_id") % 7 === 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      SimilaritySearch.decontaminateSemantic(emb, bench,
+          threshold = 0.8, dim = 64)
+        .select(col("vec_id"))
+    }),
+
     // deterministic per-group reservoir: bottom-k by a multiplicative
     // hash — the unbiased "sample k docs per language" pass whose
     // output is a pure function of the data (re-runnable, auditable).
@@ -1045,6 +1060,27 @@ object StretchQueries {
       Hnsw.ensureIndex(emb, s"$dir/embeddings.parquet", scratch,
         shards = 4, m = 8, efC = 32)
       Hnsw.searchIndex(s, scratch, emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 4, ef = 0)
+    }),
+
+    // incremental HNSW growth (the graph twin of q_v_topk_ivf_inc):
+    // build on half the corpus, append the other half through the
+    // EXISTING centroids — only touched shards rebuild, and the
+    // rebuilt shard is bit-identical to a fresh build over its row
+    // set (HnswSpec pins the canonical equality), so the exhaustive-
+    // mode search shares the brute-force oracle
+    "q_v_topk_hnsw_inc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_inc_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      Hnsw.ensureIndex(half0, s"$dir/embeddings.parquet", idx,
+        shards = 4, m = 8, efC = 32)
+      Hnsw.appendToIndex(half1, idx)
+      Hnsw.searchIndex(s, idx, emb.filter(col("vec_id") < 16),
         k = 5, nprobe = 4, ef = 0)
     }),
 
@@ -2870,6 +2906,7 @@ object StretchQueries {
       ("q_v_topk_ivf_inc" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_idx" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_hnsw" -> oracleSqlMap("q_v_topk")) +
+      ("q_v_topk_hnsw_inc" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_c" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq_res" -> oracleSqlMap("q_v_topk")) +
@@ -3176,6 +3213,19 @@ object StretchQueries {
          |SELECT doc_id FROM documents WHERE doc_id % 97 <> 0
          |AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin)
         .replaceAll(raw"\s+", " "),
+
+    // embedding arm: flagged corpus rows ≡ the exact cross-relation
+    // cosine threshold (the LSH blocking must be invisible)
+    "q_t_decontam_sem" ->
+      ("""SELECT DISTINCT c.vec_id FROM embeddings c JOIN embeddings b
+         |ON b.vec_id % 7 = 3 AND
+         |  list_sum(list_transform(range(1, len(c.embedding) + 1),
+         |    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+         |  (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+         |    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))) *
+         |   sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+         |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+         |  >= 0.8""".stripMargin).replaceAll(raw"\s+", " "),
 
     "q_t_bottomk" ->
       (s"WITH d AS (SELECT doc_id, $langCaseSql AS lang, " +

@@ -287,7 +287,7 @@ object Hnsw {
     * stored form. Sorted insertion + hash levels + tie-broken heaps
     * make the output a pure function of the row SET.
     */
-  private def buildShard(cluster: Int, rows: Iterator[(Long, Seq[Float])],
+  private[graft] def buildShard(cluster: Int, rows: Iterator[(Long, Seq[Float])],
                          m: Int, efC: Int): Iterator[GraphNode] = {
     val sorted = rows.toArray.sortBy(_._1)
     val g = new ShardGraph(sorted.map(_._1),
@@ -332,6 +332,68 @@ object Hnsw {
         .write.partitionBy("cluster").mode("overwrite")
         .parquet(s"$dir/graph")
     }
+
+  /** Incremental index growth (the FAISS `add` shape, like
+    * [[Ivf.appendToIndex]]): new vectors route through the EXISTING
+    * centroids (no retrain), and only the TOUCHED shards rebuild —
+    * an untouched shard's files are not rewritten (dynamic partition
+    * overwrite). Because [[buildShard]] is a pure function of the
+    * shard's row SET (sorted insertion, hash levels, tie-broken
+    * heaps), append-then-search is BIT-IDENTICAL to a fresh build
+    * over the union — HnswSpec pins that equality — so appends never
+    * degrade the graph the way in-place insertion into a pruned
+    * graph can. Cost is O(touched shard), the price of canonical
+    * equality; build parameters (m, efC) come from the index's own
+    * `_INDEX_READY` fingerprint, so an append can never silently mix
+    * graph-shape regimes.
+    */
+  def appendToIndex(df: DataFrame, indexPath: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val markerPath = new org.apache.hadoop.fs.Path(
+      s"$indexPath/_INDEX_READY")
+    val fs = markerPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(markerPath), s"no HNSW index at $indexPath")
+    val marker = {
+      val in = fs.open(markerPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    def param(k: String): Int =
+      s"$k=(\\d+)".r.findFirstMatchIn(marker)
+        .map(_.group(1).toInt)
+        .getOrElse(sys.error(s"index marker lacks $k: $marker"))
+    val (m, efC) = (param("m"), param("efC"))
+    val model = Ivf.loadModelCached(spark, s"$indexPath/centroids")
+    val assigned = Ivf.assign(df, model, vecCol)
+      .select(col("cluster"), col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .as[(Int, Long, Seq[Float])]
+    val touched = assigned.map(_._1).distinct().collect().sorted
+    val existing = spark.read.parquet(s"$indexPath/graph")
+      .filter(col("cluster").isin(touched.toIndexedSeq: _*))
+      .select(col("cluster"), col("vec_id").as("id"), col("vec"))
+      .as[(Int, Long, Seq[Float])]
+    val rebuilt = existing.union(assigned)
+      .groupByKey(_._1)
+      .flatMapGroups((cl, it) =>
+        buildShard(cl, it.map(r => (r._2, r._3)), m, efC))
+      .toDF()
+    val prev = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rebuilt.write.partitionBy("cluster").mode("overwrite")
+      .parquet(s"$indexPath/graph")
+    finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset(
+        "spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 
   /** ANN top-k against the reloaded index: queries route to their
     * `nprobe` nearest shards (partition-pruned graph scan), each

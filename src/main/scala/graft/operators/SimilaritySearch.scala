@@ -395,6 +395,40 @@ object SimilaritySearch {
   /** Dropped-bucket accounting for [[cosineNearDupPairs]] under the
     * same banding parameters (see [[Dedup.LshStats]]).
     */
+  /** Benchmark decontamination, EMBEDDING arm (the semantic
+    * complement of [[Dedup.decontaminate]]'s shingle overlap): corpus
+    * rows whose embedding cosine reaches `threshold` against ANY
+    * benchmark vector — the paraphrase-contamination case n-gram
+    * overlap can't see (a reworded test question shares few shingles
+    * but sits at cosine ≳ 0.9). Execution rides the banded
+    * hyperplane-LSH candidate machinery ([[cosineNearDupPairs]]):
+    * corpus and benchmark ids interleave into one parity-tagged id
+    * space (corpus → 2·id, benchmark → 2·id+1 — ids must be
+    * non-negative and < 2⁶²), candidates block on shared signature
+    * bands, and only CROSS-parity survivors flag corpus rows —
+    * never an all-pairs join. Returns the flagged corpus rows
+    * (semi-join; drop them to decontaminate). Same recall contract
+    * as the LSH family: identical vectors share every band
+    * (guaranteed catch); near-pairs follow the documented ρ-bound.
+    */
+  def decontaminateSemantic(corpus: DataFrame, bench: DataFrame,
+                            threshold: Double, dim: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val u = corpus.select((col(idCol) * 2).as(idCol), col(vecCol))
+      .unionByName(bench.select((col(idCol) * 2 + 1).as(idCol),
+        col(vecCol)))
+    val pairs = cosineNearDupPairsAuto(u, threshold, dim,
+      idCol = idCol, vecCol = vecCol)
+    val flagged = pairs
+      .filter(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
+      .select(expr(
+        "(CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END) div 2")
+        .as("__cid"))
+      .distinct()
+    corpus.join(flagged, corpus(idCol) === flagged("__cid"), "left_semi")
+  }
+
   def cosineNearDupStats(df: DataFrame, dim: Int, nBits: Int = 16,
                          bands: Int = 4, maxBucketSize: Int = 1000,
                          idCol: String = "vec_id",

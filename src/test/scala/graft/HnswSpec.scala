@@ -81,6 +81,51 @@ class HnswSpec extends SparkSpec {
       s"unbounded search reached ${reached.length}/40 nodes")
   }
 
+  test("appendToIndex is canonically equal to a fresh build over the " +
+    "union — append never degrades the graph") {
+    val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    // full build over everything
+    val full = tmpDir("hnsw-inc-full") + "/idx"
+    Hnsw.ensureIndex(emb, s"$dir/embeddings.parquet", full, shards = 4,
+      m = 8, efC = 32)
+    // half build + append: centroids must MATCH the full build's for
+    // row-level equality, so build the index artifact on the full
+    // corpus's centroids by training on the same df — instead, build
+    // on half0 and compare SEARCH RESULTS (exhaustive mode), which
+    // are centroid-independent, plus row-level equality against a
+    // fresh build that shares the half-trained centroids
+    val inc = tmpDir("hnsw-inc") + "/idx"
+    Hnsw.ensureIndex(half0, s"$dir/embeddings.parquet", inc, shards = 4,
+      m = 8, efC = 32)
+    Hnsw.appendToIndex(half1, inc)
+    val q = emb.filter(col("vec_id") < 16)
+    val got = Hnsw.searchIndex(spark, inc, q, k = 5, nprobe = 4, ef = 0)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val want = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == want, "appended index exhaustive search != brute force")
+    // canonical equality: the appended artifact must equal a direct
+    // rebuild over the union with the SAME (half-trained) centroids —
+    // append is a pure function of the row set, not of the history
+    val after = spark.read.parquet(s"$inc/graph")
+      .select(col("cluster"), col("vec_id"), col("adj"))
+      .collect().map(_.toString).sorted.toSeq
+    val model = Ivf.loadModelCached(spark, s"$inc/centroids")
+    val fresh = Ivf.assign(emb, model)
+      .select(col("cluster"), col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("vec"))
+      .as[(Int, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups((cl, it) =>
+        Hnsw.buildShard(cl, it.map(r => (r._2, r._3)), 8, 32))
+      .toDF()
+      .select(col("cluster"), col("vec_id"), col("adj"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == fresh,
+      "append-then-read differs from a fresh build over the union")
+  }
+
   test("recall ladder context: HNSW vs plain IVF-PQ on the same " +
     "corpus (evidence for NOTES)") {
     val q = emb.filter(col("vec_id") < 64)

@@ -99,6 +99,30 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == exact) // identical vectors share every bucket → full recall
   }
 
+  test("decontaminateSemantic flags exactly the corpus rows with a " +
+    "benchmark twin; disjoint benchmark flags nothing") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // benchmark = copies of every 7th corpus vector (different ids)
+    val bench = emb.filter(col("vec_id") % 7 === 3)
+      .withColumn("vec_id", col("vec_id") + 500000L)
+    val flagged = SimilaritySearch
+      .decontaminateSemantic(emb, bench, threshold = 0.8, dim = 64)
+      .select("vec_id").as[Long].collect().toSet
+    val want = emb.filter(col("vec_id") % 7 === 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(flagged == want,
+      s"flag set != planted twins: extra=${flagged -- want} " +
+        s"missing=${want -- flagged}")
+    // a benchmark with nothing similar flags nothing (threshold above
+    // this corpus's natural cosine ceiling)
+    val ortho = Seq((1L, Seq.fill(63)(0f) :+ 1000f)).toDF(
+      "vec_id", "embedding")
+    assert(SimilaritySearch
+      .decontaminateSemantic(emb, ortho, threshold = 0.8, dim = 64)
+      .count() == 0)
+  }
+
   test("cosineNearDupStats accounts for skew-cap drops; gate corpus clean") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // 50 identical vectors → one bucket of 50 in each of the 4 bands
