@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, EntityResolution, Hnsw, Ivf, Multimodal, SimilaritySearch}
+import graft.operators.{Blocklist, Dedup, EntityResolution, Hnsw, Ivf, Multimodal, NaiveBayes, SimilaritySearch}
 import graft.streaming.EventStream
 
 /** The LLM-training-data-pipeline operator surface (BASELINE.json north
@@ -2818,8 +2818,136 @@ object StretchQueries {
           expr("(n * 1000000) div tot").as("obs_ppm"),
           abs(expr("(n * 1000000) div tot") - element_at(exp, col("digit")))
             .as("dev_ppm"))
+    }),
+
+    // blocklist content filter: ALL patterns matched in one
+    // Aho–Corasick pass per document (map-only, automaton ships inside
+    // the plan — no join, no shuffle, one data pass regardless of
+    // pattern count). Overlapping occurrences and nested patterns
+    // ("table" inside "table table") all count; the oracle replays
+    // per-position substr equality
+    "q_t_blocklist" -> ((s, dir) => {
+      Blocklist.tag(
+        t(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")),
+        "text", blocklistPatterns)
+        .select(col("doc_id"), col("n_hits"), col("n_patterns"))
+    }),
+
+    // ranking-eval metrics: NDCG@10 + MRR per user over the event
+    // stream (rank by value desc, event_id tiebreak = total order;
+    // graded relevance event_id%4). DCG terms rounded to micros THEN
+    // integer-summed, NDCG as integer ppm division — engine-exact.
+    // ONE shuffle on user_id; the ideal ranking reuses the same
+    // partitioning
+    "q_ml_ndcg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      val top = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .withColumn("rel", col("event_id") % 4)
+      val wi = Window.partitionBy(col("user_id")).orderBy(col("rel").desc)
+      // ties among equal rel values are interchangeable: the term
+      // depends only on (rel, position), so the sum is order-invariant
+      val ideal = top
+        .withColumn("irk", row_number().over(wi))
+        .select(col("user_id"),
+          round(col("rel") * 1000000.0 / log(2.0, col("irk") + 1))
+            .cast("long").as("iterm"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("iterm")).as("idcg_micros"))
+      top
+        .select(col("user_id"),
+          round(col("rel") * 1000000.0 / log(2.0, col("rk") + 1))
+            .cast("long").as("term"),
+          when(col("rel") > 0, col("rk")).as("hit_rk"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("term")).as("dcg_micros"),
+          min(col("hit_rk")).as("first_hit"))
+        .join(ideal, "user_id")
+        .select(col("user_id"), col("dcg_micros"),
+          when(col("idcg_micros") === 0, 0L)
+            .otherwise(expr("(dcg_micros * 1000000) div idcg_micros"))
+            .as("ndcg_ppm"),
+          coalesce(expr("1000000 div first_hit"), lit(0L)).as("rr_micros"))
+    }),
+
+    // mutual-information feature selection (en vs rest, token-presence
+    // features): the four contingency cells from TWO counting
+    // aggregates, each cell's log rounded to micros then weighted by
+    // its exact count — the feature-selection pass before classifier
+    // training. Top-50 by MI, token tiebreak = total order
+    "q_ml_mi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("lang"),
+        TextFunctions.tokens(coalesce(col("text"), lit(""))).as("ta"))
+      val counts = docs
+        .select(col("lang"), explode(array_distinct(col("ta"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(when(col("lang") === "en", 1)).as("n11"),
+          count(when(col("lang") =!= "en", 1)).as("n10"))
+      val totals = docs.agg(count(lit(1)).as("nn"),
+        count(when(col("lang") === "en", 1)).as("n_en"))
+      def cell(c: Column, rowTot: Column, colTot: Column, n: Column) =
+        when(c > 0, c * round(
+          log((c.cast("double") * n) / (rowTot.cast("double") * colTot))
+            * 1000000).cast("long")).otherwise(lit(0L))
+      counts.crossJoin(broadcast(totals))
+        .select(col("token"), col("n11"), col("n10"),
+          (cell(col("n11"), col("n11") + col("n10"), col("n_en"), col("nn"))
+            + cell(col("n10"), col("n11") + col("n10"),
+              col("nn") - col("n_en"), col("nn"))
+            + cell(col("n_en") - col("n11"),
+              col("nn") - col("n11") - col("n10"), col("n_en"), col("nn"))
+            + cell(col("nn") - col("n_en") - col("n10"),
+              col("nn") - col("n11") - col("n10"),
+              col("nn") - col("n_en"), col("nn"))).as("mi_score"))
+        .orderBy(col("mi_score").desc, col("token"))
+        .limit(50)
+    }),
+
+    // naive-Bayes language classifier, TRAINING: add-one-smoothed
+    // per-(lang, token) log-likelihood weights in micros — classifier
+    // training as pure counting aggregates (the fastText-class
+    // baseline), so the oracle replays it exactly
+    "q_ml_nb_train" -> ((s, dir) => {
+      NaiveBayes.train(nbDocs(s, dir), col("ta"), col("lang"))._1
+        .select(col("label").as("lang"), col("token"), col("c_tl"),
+          col("w_micros"))
+    }),
+
+    // naive-Bayes INFERENCE over the training corpus: per doc,
+    // argmax over langs of prior + Σ token weights (unseen tokens get
+    // the lang's smoothed floor). Integer-micro sums → deterministic
+    // argmax (score desc, lang asc tiebreak). Train/apply quality
+    // classifiers entirely in counting + one join — no driver loop
+    "q_ml_nb_score" -> ((s, dir) => {
+      val docs = nbDocs(s, dir)
+      val (weights, labelStats) = NaiveBayes.train(docs, col("ta"),
+        col("lang"))
+      NaiveBayes.score(docs, "doc_id", col("ta"), weights, labelStats)
+        .select(col("doc_id"), col("pred_label").as("pred_lang"),
+          col("score_micros"))
     })
   )
+
+  /** The blocklist gate's pattern set: nested patterns ("table" inside
+    * "table table"/"fast table") exercise AC output links; "zzqx"
+    * never occurs. Shared with the oracle SQL so both engines filter
+    * the same list.
+    */
+  private[graft] val blocklistPatterns: Seq[String] =
+    Seq("fast table", "table table", "table", "scan slow",
+      "value part", "zzqx")
+
+  /** The NB gates' tokenized training corpus (doc_id, lang, ta) — one
+    * definition for both gates so train and inference can never drift.
+    */
+  private def nbDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextFunctions.tokens(coalesce(col("text"), lit(""))).as("ta"))
 
   private val tokensSql =
     raw"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> length(t) > 0)"
@@ -5045,6 +5173,131 @@ object StretchQueries {
          |  WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
          |  WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END)
          |  AS dev_ppm FROM x"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // ground truth for the AC automaton: per-position substr equality
+    // counts EVERY occurrence (overlaps and nested patterns included)
+    "q_t_blocklist" ->
+      (s"""WITH p(pat) AS (SELECT * FROM (VALUES ${
+             blocklistPatterns.map(p => s"('$p')").mkString(", ")})),
+         |d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         |i AS (SELECT CAST(range AS INT) AS i FROM range(1, 2049)),
+         |occ AS (SELECT d.doc_id, p.pat,
+         |  count(*) FILTER (WHERE substr(d.text, i.i, len(p.pat)) = p.pat)
+         |    AS occ
+         |  FROM d CROSS JOIN p CROSS JOIN i
+         |  WHERE i.i + len(p.pat) - 1 <= len(d.text)
+         |  GROUP BY 1, 2)
+         |SELECT d.doc_id, CAST(coalesce(sum(occ), 0) AS BIGINT) AS n_hits,
+         |  CAST(count(*) FILTER (WHERE occ > 0) AS BIGINT) AS n_patterns
+         |FROM d LEFT JOIN occ ON d.doc_id = occ.doc_id
+         |GROUP BY d.doc_id"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ml_ndcg" ->
+      ("""WITH r AS (SELECT user_id, event_id, row_number() OVER
+         |  (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+         |  FROM events),
+         |t AS (SELECT user_id, event_id % 4 AS rel, rk
+         |  FROM r WHERE rk <= 10),
+         |i AS (SELECT user_id, rel, row_number() OVER
+         |  (PARTITION BY user_id ORDER BY rel DESC) AS irk FROM t),
+         |id AS (SELECT user_id, CAST(sum(CAST(round(rel * 1000000.0
+         |  / log2(irk + 1)) AS BIGINT)) AS BIGINT) AS idcg_micros
+         |  FROM i GROUP BY user_id),
+         |d AS (SELECT user_id, CAST(sum(CAST(round(rel * 1000000.0
+         |  / log2(rk + 1)) AS BIGINT)) AS BIGINT) AS dcg_micros,
+         |  min(CASE WHEN rel > 0 THEN rk END) AS first_hit
+         |  FROM t GROUP BY user_id)
+         |SELECT user_id, dcg_micros,
+         |  CAST(CASE WHEN idcg_micros = 0 THEN 0
+         |    ELSE (dcg_micros * 1000000) // idcg_micros END AS BIGINT)
+         |    AS ndcg_ppm,
+         |  CAST(coalesce(1000000 // first_hit, 0) AS BIGINT) AS rr_micros
+         |FROM d JOIN id USING (user_id)"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ml_mi" ->
+      (s"""WITH d AS (SELECT lang, $tokensSql AS ta FROM
+         |  (SELECT lang, coalesce(text, '') AS text FROM documents)),
+         |dt AS (SELECT lang, unnest(list_distinct(ta)) AS token FROM d),
+         |c AS (SELECT token,
+         |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n11,
+         |  CAST(count(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS n10
+         |  FROM dt GROUP BY token),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+         |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en
+         |  FROM d)
+         |SELECT token, n11, n10,
+         |  (CASE WHEN n11 > 0 THEN n11 * CAST(round(ln(CAST(n11 AS DOUBLE)
+         |    * nn / (CAST(n11 + n10 AS DOUBLE) * n_en)) * 1000000)
+         |    AS BIGINT) ELSE 0 END
+         |  + CASE WHEN n10 > 0 THEN n10 * CAST(round(ln(CAST(n10 AS DOUBLE)
+         |    * nn / (CAST(n11 + n10 AS DOUBLE) * (nn - n_en))) * 1000000)
+         |    AS BIGINT) ELSE 0 END
+         |  + CASE WHEN n_en - n11 > 0 THEN (n_en - n11)
+         |    * CAST(round(ln(CAST(n_en - n11 AS DOUBLE) * nn
+         |    / (CAST(nn - n11 - n10 AS DOUBLE) * n_en)) * 1000000)
+         |    AS BIGINT) ELSE 0 END
+         |  + CASE WHEN nn - n_en - n10 > 0 THEN (nn - n_en - n10)
+         |    * CAST(round(ln(CAST(nn - n_en - n10 AS DOUBLE) * nn
+         |    / (CAST(nn - n11 - n10 AS DOUBLE) * (nn - n_en))) * 1000000)
+         |    AS BIGINT) ELSE 0 END) AS mi_score
+         |FROM c, t ORDER BY mi_score DESC, token LIMIT 50"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ml_nb_train" ->
+      (s"""WITH d AS (SELECT doc_id, lang, $tokensSql AS ta FROM
+         |  (SELECT doc_id, lang, coalesce(text, '') AS text
+         |   FROM documents)),
+         |tok AS (SELECT doc_id, lang, unnest(ta) AS token FROM d),
+         |v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+         |  FROM tok),
+         |cl AS (SELECT lang, CAST(count(*) AS BIGINT) AS c_l
+         |  FROM tok GROUP BY lang),
+         |ctl AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c_tl
+         |  FROM tok GROUP BY lang, token)
+         |SELECT lang, token, c_tl,
+         |  CAST(round(ln(CAST(c_tl + 1 AS DOUBLE)
+         |    / CAST(c_l + v AS DOUBLE)) * 1000000) AS BIGINT) AS w_micros
+         |FROM ctl JOIN cl USING (lang), v"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ml_nb_score" ->
+      (s"""WITH d AS (SELECT doc_id, lang, $tokensSql AS ta FROM
+         |  (SELECT doc_id, lang, coalesce(text, '') AS text
+         |   FROM documents)),
+         |tok AS (SELECT doc_id, lang, unnest(ta) AS token FROM d),
+         |v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+         |  FROM tok),
+         |cl AS (SELECT lang, CAST(count(*) AS BIGINT) AS c_l
+         |  FROM tok GROUP BY lang),
+         |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+         |  FROM d GROUP BY lang),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+         |ls AS (SELECT lang, c_l,
+         |  CAST(round(ln(1.0 / CAST(c_l + v AS DOUBLE)) * 1000000)
+         |    AS BIGINT) AS w0,
+         |  CAST(round(ln(CAST(n_l AS DOUBLE) / nn) * 1000000)
+         |    AS BIGINT) AS prior
+         |  FROM cl JOIN nl USING (lang), v, nn),
+         |w AS (SELECT lang, token,
+         |  CAST(round(ln(CAST(count(*) + 1 AS DOUBLE)
+         |    / CAST(any_value(c_l) + any_value(v) AS DOUBLE)) * 1000000)
+         |    AS BIGINT) AS w_micros
+         |  FROM tok JOIN cl USING (lang), v GROUP BY lang, token),
+         |dt AS (SELECT doc_id, token FROM tok),
+         |sc AS (SELECT dt.doc_id, ls.lang, any_value(ls.prior) AS prior,
+         |  CAST(sum(coalesce(w.w_micros, ls.w0)) AS BIGINT) AS lk
+         |  FROM dt CROSS JOIN ls LEFT JOIN w
+         |    ON w.lang = ls.lang AND w.token = dt.token
+         |  GROUP BY dt.doc_id, ls.lang),
+         |r AS (SELECT doc_id, lang, prior + lk AS score_micros,
+         |  row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY prior + lk DESC, lang) AS rn FROM sc)
+         |SELECT doc_id, lang AS pred_lang,
+         |  CAST(score_micros AS BIGINT) AS score_micros
+         |FROM r WHERE rn = 1"""
         .stripMargin).replaceAll(raw"\s+", " ")
   )
 

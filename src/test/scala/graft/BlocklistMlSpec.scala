@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AcAutomaton, Blocklist, NaiveBayes}
+import graft.functions.TextFunctions
+
+/** Ground truth for the round-11 additions: the Aho–Corasick blocklist
+  * matcher (vs a naive all-start-positions scan), the ranking-metric
+  * margin contract, and the naive-Bayes classifier (planted separable
+  * corpus + partitioning invariance).
+  */
+class BlocklistMlSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── Aho–Corasick ────────────────────────────────────────────────────
+
+  /** All-start-positions occurrence count — the oracle's semantics. */
+  private def naiveCounts(text: String,
+                          patterns: Seq[String]): (Long, Long) = {
+    val occ = patterns.map { p =>
+      (0 to text.length - p.length)
+        .count(i => text.regionMatches(i, p, 0, p.length)).toLong
+    }
+    (occ.sum, occ.count(_ > 0).toLong)
+  }
+
+  test("AC == naive on 400 random texts × random pattern sets " +
+    "(overlaps, nesting, absent patterns)") {
+    val rnd = new scala.util.Random(7)
+    def randStr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(2)).toChar)
+      .mkString
+    (1 to 20).foreach { _ =>
+      val pats = Iterator.continually(randStr(1 + rnd.nextInt(4)))
+        .distinct.take(2 + rnd.nextInt(5)).toSeq
+      val aut = AcAutomaton(pats)
+      (1 to 20).foreach { _ =>
+        val t = randStr(rnd.nextInt(40))
+        assert(aut.scan(t) == naiveCounts(t, pats),
+          s"text='$t' patterns=$pats")
+      }
+    }
+  }
+
+  test("AC nested-pattern output links: 'aaaa' vs [a, aa, aaa]") {
+    val aut = AcAutomaton(Seq("a", "aa", "aaa"))
+    // 4 + 3 + 2 overlapping occurrences, all three patterns present
+    assert(aut.scan("aaaa") == (9L, 3L))
+    assert(aut.scan("") == (0L, 0L))
+    assert(aut.scan("bbb") == (0L, 0L))
+  }
+
+  test("AC construction rejects empty and duplicate patterns") {
+    intercept[IllegalArgumentException](AcAutomaton(Seq.empty))
+    intercept[IllegalArgumentException](AcAutomaton(Seq("a", "")))
+    intercept[IllegalArgumentException](AcAutomaton(Seq("a", "a")))
+  }
+
+  test("Blocklist.tag (codegen path) == naive on sf0.001 documents " +
+    "with the gate's pattern set; clean() keeps exactly the zero-hit docs") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val pats = StretchQueries.blocklistPatterns
+    val got = Blocklist.tag(docs, "text", pats)
+      .select(col("doc_id"), col("n_hits"), col("n_patterns"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val texts = docs.as[(Long, String)].collect()
+    assert(got.size == texts.length)
+    texts.foreach { case (id, t) =>
+      assert(got(id) == naiveCounts(t, pats), s"doc $id")
+    }
+    val expectClean = texts.filter { case (_, t) =>
+      naiveCounts(t, pats)._1 == 0L }.map(_._1).toSet
+    val gotClean = Blocklist.clean(docs, "text", pats)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(gotClean == expectClean)
+    // the gate corpus must exercise both sides of the filter
+    assert(expectClean.nonEmpty && expectClean.size < texts.length)
+  }
+
+  // ── ranking-metric margin contract ──────────────────────────────────
+
+  test("NDCG term micros never land on a .5 rounding boundary " +
+    "(all 40 (rel, rank) combinations)") {
+    for (rel <- 0 to 3; rk <- 1 to 10) {
+      val x = rel * 1000000.0 / (math.log(rk + 1.0) / math.log(2.0))
+      val frac = x - math.floor(x)
+      val margin = math.abs(frac - 0.5)
+      assert(margin > 1e-3, s"rel=$rel rk=$rk x=$x margin=$margin")
+    }
+  }
+
+  test("MI / NB log-micros margins on sf0.001: every rounded value is " +
+    "far from a .5 boundary (cross-engine 1-ulp log noise can't flip it)") {
+    def margins(vals: Seq[Double]): Double =
+      vals.map { v =>
+        val x = v * 1000000.0
+        val frac = x - math.floor(x)
+        math.abs(frac - 0.5)
+      }.min
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokens(coalesce(col("text"), lit(""))).as("ta"))
+    // NB: the raw logs behind every w_micros / w0 / prior
+    val tok = docs.select(col("lang"), explode(col("ta")).as("token"))
+    val v = tok.select(countDistinct(col("token"))).as[Long].head()
+    val cl = tok.groupBy(col("lang")).count().as[(String, Long)]
+      .collect().toMap
+    val ctl = tok.groupBy(col("lang"), col("token")).count()
+      .as[(String, String, Long)].collect()
+    val nDocs = docs.count()
+    val nl = docs.groupBy(col("lang")).count().as[(String, Long)]
+      .collect().toMap
+    val nbLogs = ctl.map { case (l, _, c) =>
+      math.log((c + 1.0) / (cl(l) + v)) }.toSeq ++
+      cl.keys.map(l => math.log(1.0 / (cl(l) + v))) ++
+      nl.map { case (l, n) => math.log(n.toDouble / nDocs) }
+    val mNb = margins(nbLogs)
+    assert(mNb > 1e-4, s"NB min margin $mNb")
+    // MI: the four cell logs per token (en vs rest, presence counts)
+    val dt = docs.select(col("lang"),
+      explode(array_distinct(col("ta"))).as("token"))
+    val cells = dt.groupBy(col("token")).agg(
+      count(when(col("lang") === "en", 1)).as("n11"),
+      count(when(col("lang") =!= "en", 1)).as("n10"))
+      .as[(String, Long, Long)].collect()
+    val nEn = nl.getOrElse("en", 0L)
+    val miLogs = cells.flatMap { case (_, n11, n10) =>
+      val n1 = n11 + n10
+      Seq((n11, n1 * nEn), (n10, n1 * (nDocs - nEn)),
+        (nEn - n11, (nDocs - n1) * nEn),
+        (nDocs - nEn - n10, (nDocs - n1) * (nDocs - nEn)))
+        .collect { case (c, d) if c > 0 =>
+          math.log(c.toDouble * nDocs / d) }
+    }.toSeq
+    val mMi = margins(miLogs)
+    assert(mMi > 1e-4, s"MI min margin $mMi")
+  }
+
+  // ── naive Bayes ─────────────────────────────────────────────────────
+
+  test("NB on a separable planted corpus: every doc classified to its " +
+    "own label; unseen-token doc goes to the shallower smoothing floor") {
+    val docs = Seq(
+      (1L, "alpha beta alpha", "A"), (2L, "beta alpha beta", "A"),
+      (3L, "alpha alpha", "A"),
+      (4L, "gamma delta", "B"), (5L, "delta gamma gamma", "B"))
+      .toDF("doc_id", "text", "lab")
+      .select(col("doc_id"), col("lab"),
+        TextFunctions.tokens(col("text")).as("ta"))
+    val (w, ls) = NaiveBayes.train(docs, col("ta"), col("lab"))
+    val pred = NaiveBayes.score(docs, "doc_id", col("ta"), w, ls)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(pred == Map(1L -> "A", 2L -> "A", 3L -> "A",
+      4L -> "B", 5L -> "B"))
+    // unseen tokens only: every label serves its floor
+    // w0 = ln(1/(c_l+V)), which is SHALLOWER for the label with fewer
+    // training tokens (B: ln(1/9) vs A: ln(1/12)); two floors outweigh
+    // A's prior edge → B wins: prior+2·w0 = ln(2/5)−2·ln9 = −5.311 vs
+    // ln(3/5)−2·ln12 = −5.481
+    val unseen = Seq((9L, "zeta eta")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ta"))
+    val p9 = NaiveBayes.score(unseen, "doc_id", col("ta"), w, ls)
+      .as[(Long, String, Long)].collect()
+    assert(p9.length == 1 && p9.head._2 == "B")
+    // the engine rounds EACH term to micros, then integer-sums
+    def mic(x: Double) = BigDecimal(x * 1000000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(p9.head._3 == mic(math.log(2.0 / 5)) + 2 * mic(math.log(1.0 / 9)))
+  }
+
+  test("NB predictions are partitioning-invariant on sf0.001 documents") {
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokens(coalesce(col("text"), lit(""))).as("ta"))
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val (w, ls) = NaiveBayes.train(df, col("ta"), col("lang"))
+      NaiveBayes.score(df, "doc_id", col("ta"), w, ls)
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(run(base.repartition(1)) == run(base.repartition(17)))
+  }
+}
