@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Blocklist, Dedup, EntityResolution, Hnsw, Ivf, Multimodal, NaiveBayes, SimilaritySearch}
+import graft.operators.{Blocklist, Dedup, EntityResolution, Hnsw, Ivf, LogReg, Multimodal, NaiveBayes, SimilaritySearch}
 import graft.streaming.EventStream
 
 /** The LLM-training-data-pipeline operator surface (BASELINE.json north
@@ -2930,8 +2930,51 @@ object StretchQueries {
       NaiveBayes.score(docs, "doc_id", col("ta"), weights, labelStats)
         .select(col("doc_id"), col("pred_label").as("pred_lang"),
           col("score_micros"))
+    }),
+
+    // gradient-descent TRAINING, engine-exact: 3 full-batch logistic
+    // iterations from w=0 (is-English on 4 micro features); each
+    // iteration is ONE map-side-combined aggregate, the per-row σ is
+    // the only float (rounded to micros, margin-probed in spec), and
+    // the truncating weight update is replayed by the oracle's
+    // unrolled CTE chain. The d·iters weight table is inherently
+    // driver-sized output
+    "q_ml_lr_train" -> ((s, dir) => {
+      val hist = LogReg.train(lrFeatures(s, dir), col("y"), col("x"),
+        4, 3, LrPpm)
+      import s.implicits._
+      hist.zipWithIndex.map { case (w, i) =>
+        (i + 1, w(0), w(1), w(2), w(3)) }
+        .toDF("iter", "w0_micros", "w1_micros", "w2_micros", "w3_micros")
+    }),
+
+    // scoring with the trained vector: one codegen projection per doc
+    "q_ml_lr_score" -> ((s, dir) => {
+      val feat = lrFeatures(s, dir)
+      val w = LogReg.train(feat, col("y"), col("x"), 4, 3, LrPpm).last
+      LogReg.withScore(feat, col("x"), w)
+        .select(col("doc_id"), col("y"), col("p_micros"))
     })
   )
+
+  /** LR gate learning rate (ppm). */
+  private val LrPpm = 300000L
+
+  /** The LR gate's featurizer — 4 integer-micro features (bias,
+    * capped length, capped token count, a held-out pseudo feature) +
+    * is-English label, mirrored literally by the oracle SQL.
+    */
+  private def lrFeatures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("lang") === "en", 1000000L).otherwise(0L).as("y"),
+      array(
+        lit(1000000L),
+        least(coalesce(col("n_chars"), lit(0L)), lit(500L)) * 2000L,
+        least(size(TextFunctions.tokens(coalesce(col("text"), lit(""))))
+          .cast("long") * 20000L, lit(1000000L)),
+        (coalesce(col("n_chars"), lit(0L)) % 7) * 142857L
+      ).as("x"))
 
   /** The blocklist gate's pattern set: nested patterns ("table" inside
     * "table table"/"fast table") exercise AC output links; "zzqx"
@@ -2951,6 +2994,54 @@ object StretchQueries {
 
   private val tokensSql =
     raw"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> length(t) > 0)"
+
+  /** Truncate-toward-zero division in DuckDB — mirrors Long division /
+    * Spark `div` regardless of `//`'s rounding mode on negatives.
+    */
+  private def tdSql(a: String, b: String): String =
+    s"(CASE WHEN ($a) >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END)"
+
+  /** The LR gates' unrolled training chain: featurization + 3
+    * iterations, each `p_k` (per-row σ micros under the previous
+    * weights) → `g_k` (exact gradient sums) → `wi_k` (truncating
+    * update) — the SQL replay of `LogReg.train`.
+    */
+  private lazy val lrOracleCtes: String = {
+    val feat =
+      s"""feat AS (SELECT doc_id,
+         |  CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS BIGINT)
+         |    AS y,
+         |  CAST(1000000 AS BIGINT) AS x0,
+         |  CAST(least(coalesce(n_chars, 0), 500) * 2000 AS BIGINT) AS x1,
+         |  CAST(least(CAST(len($tokensSql) AS BIGINT) * 20000, 1000000)
+         |    AS BIGINT) AS x2,
+         |  CAST((coalesce(n_chars, 0) % 7) * 142857 AS BIGINT) AS x3
+         |  FROM (SELECT doc_id, lang, n_chars, coalesce(text, '') AS text
+         |        FROM documents))""".stripMargin
+    val w0 = "wi0 AS (SELECT CAST(0 AS BIGINT) AS a0, " +
+      "CAST(0 AS BIGINT) AS a1, CAST(0 AS BIGINT) AS a2, " +
+      "CAST(0 AS BIGINT) AS a3)"
+    val iters = (1 to 3).map { k =>
+      val p =
+        s"""p$k AS (SELECT y, x0, x1, x2, x3,
+           |  CAST(round(1000000.0 / (1.0 + exp(-(CAST(x0*a0 + x1*a1
+           |    + x2*a2 + x3*a3 AS DOUBLE)) / 1000000000000.0)))
+           |    AS BIGINT) AS p FROM feat, wi${k - 1})""".stripMargin
+      val g =
+        s"""g$k AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |  ${(0 to 3).map(j =>
+                s"CAST(sum((p - y) * x$j) AS BIGINT) AS g$j")
+                .mkString(", ")}
+           |  FROM p$k)""".stripMargin
+      val upd = (0 to 3).map { j =>
+        s"a$j - ${tdSql(s"${tdSql(s"g$j", "n")} * $LrPpm",
+          "1000000000000")} AS a$j"
+      }.mkString(", ")
+      Seq(p, g, s"wi$k AS (SELECT $upd FROM wi${k - 1}, g$k)")
+        .mkString(", ")
+    }.mkString(", ")
+    Seq(feat, w0, iters).mkString(", ")
+  }
 
   /** Shared DSIR CTE chain ending in `wt(doc_id, n_tokens,
     * logw_micros)` — the weights relation the q_t_dsir* gates and the
@@ -5261,6 +5352,22 @@ object StretchQueries {
          |  CAST(round(ln(CAST(c_tl + 1 AS DOUBLE)
          |    / CAST(c_l + v AS DOUBLE)) * 1000000) AS BIGINT) AS w_micros
          |FROM ctl JOIN cl USING (lang), v"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ml_lr_train" ->
+      (s"""WITH $lrOracleCtes
+         |SELECT CAST(1 AS INT) AS iter, a0 AS w0_micros,
+         |  a1 AS w1_micros, a2 AS w2_micros, a3 AS w3_micros FROM wi1
+         |UNION ALL SELECT CAST(2 AS INT), a0, a1, a2, a3 FROM wi2
+         |UNION ALL SELECT CAST(3 AS INT), a0, a1, a2, a3 FROM wi3"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_ml_lr_score" ->
+      (s"""WITH $lrOracleCtes
+         |SELECT doc_id, y, CAST(round(1000000.0 / (1.0
+         |  + exp(-(CAST(x0*a0 + x1*a1 + x2*a2 + x3*a3 AS DOUBLE))
+         |  / 1000000000000.0))) AS BIGINT) AS p_micros
+         |FROM feat, wi3"""
         .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_ml_nb_score" ->

@@ -170,6 +170,87 @@ class BlocklistMlSpec extends SparkSpec {
     assert(p9.head._3 == mic(math.log(2.0 / 5)) + 2 * mic(math.log(1.0 / 9)))
   }
 
+  // ── logistic regression (distributed GD) ────────────────────────────
+
+  /** The gate's featurizer, replayed in plain Scala. */
+  private def lrRows(sf: String): Array[(Long, Array[Long])] = {
+    val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      .select(col("lang"), coalesce(col("n_chars"), lit(0L)).as("nc"),
+        size(graft.functions.TextFunctions.tokens(
+          coalesce(col("text"), lit("")))).cast("long").as("nt"))
+      .as[(String, Long, Long)].collect()
+    docs.map { case (lang, nc, nt) =>
+      (if (lang == "en") 1000000L else 0L,
+        Array(1000000L, math.min(nc, 500L) * 2000L,
+          math.min(nt * 20000L, 1000000L), (nc % 7) * 142857L))
+    }
+  }
+
+  private def lrFeatDf(sf: String) = {
+    val rows = lrRows(sf)
+    rows.toSeq.toDF("y", "x")
+  }
+
+  /** Pure-Scala replay of LogReg.train (independent implementation). */
+  private def lrRef(rows: Array[(Long, Array[Long])], iters: Int,
+                    lrPpm: Long): Seq[Array[Long]] = {
+    var w = Array.fill(4)(0L)
+    (1 to iters).map { _ =>
+      val g = Array.fill(4)(0L)
+      rows.foreach { case (y, x) =>
+        val z = x.zip(w).map { case (a, b) => a * b }.sum
+        val p = BigDecimal(1000000.0 / (1.0 + math.exp(-z / 1e12)))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (0 until 4).foreach(j => g(j) += (p - y) * x(j))
+      }
+      w = w.indices.map(j =>
+        w(j) - (g(j) / rows.length) * 300000L / 1000000000000L).toArray
+      w
+    }
+  }
+
+  test("LogReg.train == independent Scala replay on sf0.001, and is " +
+    "partitioning-invariant") {
+    val rows = lrRows("sf0.001")
+    val expect = lrRef(rows, 3, 300000L)
+    val df = lrFeatDf("sf0.001")
+    val got = graft.operators.LogReg.train(df.repartition(13),
+      col("y"), col("x"), 4, 3, 300000L)
+    assert(got.map(_.toSeq) == expect.map(_.toSeq))
+    val got1 = graft.operators.LogReg.train(df.repartition(1),
+      col("y"), col("x"), 4, 3, 300000L)
+    assert(got1.map(_.toSeq) == got.map(_.toSeq))
+  }
+
+  test("LR σ micros stay off the .5 boundary along the whole sf0.01 " +
+    "training path, and the log-loss decreases every iteration") {
+    val rows = lrRows("sf0.01")
+    var w = Array.fill(4)(0L)
+    var lastLoss = Double.MaxValue
+    (1 to 4).foreach { _ =>  // one step past the gate's 3: scoring pass
+      var minMargin = Double.MaxValue
+      var loss = 0.0
+      val g = Array.fill(4)(0L)
+      rows.foreach { case (y, x) =>
+        val z = x.zip(w).map { case (a, b) => a * b }.sum
+        val sig = 1.0 / (1.0 + math.exp(-z / 1e12))
+        val xm = sig * 1000000.0
+        val frac = xm - math.floor(xm)
+        minMargin = math.min(minMargin, math.abs(frac - 0.5))
+        val p = BigDecimal(xm)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (0 until 4).foreach(j => g(j) += (p - y) * x(j))
+        val yb = y == 1000000L
+        loss -= math.log(math.max(if (yb) sig else 1.0 - sig, 1e-12))
+      }
+      assert(minMargin > 1e-4, s"σ margin $minMargin too tight")
+      assert(loss < lastLoss, s"loss $loss did not improve on $lastLoss")
+      lastLoss = loss
+      w = w.indices.map(j =>
+        w(j) - (g(j) / rows.length) * 300000L / 1000000000000L).toArray
+    }
+  }
+
   test("NB predictions are partitioning-invariant on sf0.001 documents") {
     val base = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
