@@ -2932,6 +2932,27 @@ object StretchQueries {
           col("score_micros"))
     }),
 
+    // the real pipeline shape: train the classifier on the
+    // content-hash TRAIN split, evaluate on held-out docs, report the
+    // confusion matrix — split, train, inference, and eval all
+    // engine-exact, so the oracle replays the whole composition
+    "q_pipe_nb_eval" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("text"), lit("")).as("text"))
+        .withColumn("ta", TextFunctions.tokens(col("text")))
+        .withColumn("is_train",
+          graft.operators.DatasetSplit.bucket256(col("text")) < 205)
+      val train = base.filter(col("is_train"))
+      val test = base.filter(!col("is_train"))
+      val (w, ls) = NaiveBayes.train(train, col("ta"), col("lang"))
+      NaiveBayes.score(test, "doc_id", col("ta"), w, ls)
+        .join(test.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("lang"), col("pred_label").as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // gradient-descent TRAINING, engine-exact: 3 full-batch logistic
     // iterations from w=0 (is-English on 4 micro features); each
     // iteration is ONE map-side-combined aggregate, the per-row σ is
@@ -5352,6 +5373,47 @@ object StretchQueries {
          |  CAST(round(ln(CAST(c_tl + 1 AS DOUBLE)
          |    / CAST(c_l + v AS DOUBLE)) * 1000000) AS BIGINT) AS w_micros
          |FROM ctl JOIN cl USING (lang), v"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_pipe_nb_eval" ->
+      (s"""WITH d0 AS (SELECT doc_id, lang, coalesce(text, '') AS text
+         |  FROM documents),
+         |d AS (SELECT doc_id, lang, $tokensSql AS ta,
+         |  CAST($bucketSql AS INT) AS bucket FROM d0),
+         |tr AS (SELECT doc_id, lang, ta FROM d WHERE bucket < 205),
+         |te AS (SELECT doc_id, lang, ta FROM d WHERE bucket >= 205),
+         |tok AS (SELECT lang, unnest(ta) AS token FROM tr),
+         |v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+         |  FROM tok),
+         |cl AS (SELECT lang, CAST(count(*) AS BIGINT) AS c_l
+         |  FROM tok GROUP BY lang),
+         |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+         |  FROM tr GROUP BY lang),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tr),
+         |ls AS (SELECT lang, c_l,
+         |  CAST(round(ln(1.0 / CAST(c_l + v AS DOUBLE)) * 1000000)
+         |    AS BIGINT) AS w0,
+         |  CAST(round(ln(CAST(n_l AS DOUBLE) / nn) * 1000000)
+         |    AS BIGINT) AS prior
+         |  FROM cl JOIN nl USING (lang), v, nn),
+         |w AS (SELECT lang, token,
+         |  CAST(round(ln(CAST(count(*) + 1 AS DOUBLE)
+         |    / CAST(any_value(c_l) + any_value(v) AS DOUBLE)) * 1000000)
+         |    AS BIGINT) AS w_micros
+         |  FROM tok JOIN cl USING (lang), v GROUP BY lang, token),
+         |dt AS (SELECT doc_id, unnest(ta) AS token FROM te),
+         |sc AS (SELECT dt.doc_id, ls.lang,
+         |  any_value(ls.prior) AS prior,
+         |  CAST(sum(coalesce(w.w_micros, ls.w0)) AS BIGINT) AS lk
+         |  FROM dt CROSS JOIN ls LEFT JOIN w
+         |    ON w.lang = ls.lang AND w.token = dt.token
+         |  GROUP BY dt.doc_id, ls.lang),
+         |r AS (SELECT doc_id, lang AS pred_lang, row_number() OVER
+         |  (PARTITION BY doc_id ORDER BY prior + lk DESC, lang) AS rn
+         |  FROM sc)
+         |SELECT te.lang, r.pred_lang, CAST(count(*) AS BIGINT) AS n
+         |FROM r JOIN te ON r.doc_id = te.doc_id
+         |WHERE rn = 1 GROUP BY te.lang, r.pred_lang"""
         .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_ml_lr_train" ->

@@ -157,7 +157,30 @@ object ScaleGate {
     // cost anatomy as q_s24 (bloom point arm + unprunable BETWEEN
     // arm) plus one optimizer-time manifest probe, memoized per
     // (table, bounds, manifest fingerprint)
-    "q_s26_planner_skip" -> 8.0
+    "q_s26_planner_skip" -> 8.0,
+    // round-11 second batch: blocklist is a decode-class linear family
+    // (pure per-byte automaton CPU on both sides, nothing to amortize
+    // — same reasoning as q_mm_keyframes' 13); a fail-link regression
+    // to per-pattern rescans would scale with patterns × text and a
+    // naive contains-per-pattern with P passes
+    "q_t_blocklist" -> 13.0,
+    // NB inference: token explode + broadcast weight join + (doc,
+    // label) sum — linear token shuffle like q_t_dsir; a weight-join
+    // regression to shuffle-both-sides (or a vocab-quadratic rebuild)
+    // would blow it
+    "q_ml_nb_score" -> 10.0,
+    // LR training: 3 map-side-combined aggregates, linear scan each;
+    // a lineage-regrowth regression across iterations (re-deriving
+    // the featurization per step) shows superlinear
+    "q_ml_lr_train" -> 10.0,
+    // ranking metrics: ONE user_id shuffle + row_number windows; the
+    // scaled corpus deepens per-user history 10× (shared user ids),
+    // same family/envelope as q_ev_trailing; a rank-via-self-join
+    // regression is per-user quadratic
+    "q_ml_ndcg" -> 14.0,
+    // MI: distinct-token presence counts + one broadcast of totals —
+    // linear token shuffle
+    "q_ml_mi" -> 10.0
   )
 
   def main(args: Array[String]): Unit = {
