@@ -39,7 +39,8 @@ object NaiveBayes {
     val nDocs = base.agg(count(lit(1)).as("nn"))
     val labelStats = tok.groupBy(col("label"))
       .agg(count(lit(1)).as("c_l"))
-      .join(base.groupBy(col("label")).agg(count(lit(1)).as("n_l")), "label")
+      .join(broadcast(base.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_l"))), "label")
       .crossJoin(broadcast(vocab)).crossJoin(broadcast(nDocs))
       .select(col("label"), col("c_l"), col("v"),
         round(log(lit(1.0) / (col("c_l") + col("v")).cast("double"))

@@ -481,4 +481,25 @@ class PlanQualitySpec extends SparkSpec {
       intercept[Exception] { avg.collect() }
     } finally spark.catalog.dropTempView("magg_t"): Unit
   }
+
+  test("q_t_blocklist: map-only — zero exchanges, AC scan inside " +
+    "whole-stage codegen") {
+    val p = plan("q_t_blocklist")
+    assert(!p.contains("Exchange"), s"blocklist scan shuffled:\n$p")
+    assert(p.contains("codegen id"), s"no codegen span:\n$p")
+  }
+
+  test("q_ml_nb_score: model tables broadcast — no sort-merge join " +
+    "anywhere in inference") {
+    val p = plan("q_ml_nb_score")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"model join shuffled:\n$p")
+  }
+
+  test("q_ml_ndcg: one shuffle key (user_id) — no range partitioning, " +
+    "no join back through a different key") {
+    val p = plan("q_ml_ndcg")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"cross join:\n$p")
+  }
 }
