@@ -174,17 +174,27 @@ class LayoutExtensionsSpec extends SparkSpec {
       .outputMode("update").format("memory").queryName("sess_stream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000); q.stop()
-    val got = spark.table("sess_stream")
-    assert(got.count() > 0)
-    // last update per user matches the batch rollup counts
+    // last update per user must reach the batch rollup counts. Poll
+    // for the invariant instead of a fixed awaitTermination: under
+    // full-suite load the timeout-batch spin can outlast any fixed
+    // wait, and an interrupting stop() mid-commit made this test
+    // flaky (the data batches finish early; only no-data timeout
+    // batches follow, and they never change max(n_events))
     val batchCounts = spark.read.parquet(staged)
       .groupBy("user_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val streamed = got.groupBy(col("user_id"))
+    def streamed = spark.table("sess_stream").groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(streamed == batchCounts)
+    val deadline = System.nanoTime + 600L * 1000 * 1000 * 1000
+    var ok = streamed == batchCounts
+    while (!ok && System.nanoTime < deadline && q.isActive) {
+      Thread.sleep(2000)
+      ok = streamed == batchCounts
+    }
+    q.stop()
+    assert(ok || streamed == batchCounts,
+      s"streamed counts never converged: $streamed vs $batchCounts")
   }
 
   test("file skipping: pruned read equals the full-scan filter and " +
