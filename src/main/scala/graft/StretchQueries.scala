@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Blocklist, Dedup, EntityResolution, Hnsw, Ivf, LogReg, Multimodal, NaiveBayes, SimilaritySearch}
+import graft.operators.{Blocklist, Dedup, EntityResolution, Hnsw, Ivf, LogReg, Multimodal, NaiveBayes, Pca, SimilaritySearch}
 import graft.streaming.EventStream
 
 /** The LLM-training-data-pipeline operator surface (BASELINE.json north
@@ -2932,6 +2932,26 @@ object StretchQueries {
           col("score_micros"))
     }),
 
+    // exact second-moment (Gram) matrix of the embedding corpus — the
+    // data-sized half of PCA/whitening as ONE map-side-combined
+    // aggregate over integer micros (a float·1e6 product is EXACT in
+    // double, so both engines round the identical value and any .5
+    // landing breaks by the shared away-from-zero rule — PcaSpec)
+    "q_v_gram" -> ((s, dir) =>
+      Pca.gramMicros(t(s, dir, "embeddings"), col("embedding"), 64)),
+
+    // PCA projection (rows-only BY DESIGN: the driver-side Jacobi
+    // eigensolve is not SQL-expressible; PcaSpec carries the ground
+    // truth — exact-gram replay, reconstruction, orthonormality,
+    // variance-matches-eigenvalue, partitioning invariance)
+    "q_v_pca_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = Pca.fit(emb, col("embedding"), 64, 8)
+      Pca.project(emb.select(col("vec_id"), col("embedding")),
+        col("embedding"), model)
+        .select(col("vec_id"), col("pca"))
+    }),
+
     // the real pipeline shape: train the classifier on the
     // content-hash TRAIN split, evaluate on held-out docs, report the
     // confusion matrix — split, train, inference, and eval all
@@ -5373,6 +5393,17 @@ object StretchQueries {
          |  CAST(round(ln(CAST(c_tl + 1 AS DOUBLE)
          |    / CAST(c_l + v AS DOUBLE)) * 1000000) AS BIGINT) AS w_micros
          |FROM ctl JOIN cl USING (lang), v"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_v_gram" ->
+      ("""WITH q AS (SELECT list_transform(embedding, x ->
+         |  CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |ij AS (SELECT CAST(a.range AS INT) AS i,
+         |  CAST(b.range AS INT) AS j
+         |  FROM range(1, 65) a, range(1, 65) b WHERE b.range >= a.range)
+         |SELECT i, j, CAST(sum(q[i] * q[j]) AS BIGINT) AS g
+         |FROM q, ij GROUP BY i, j"""
         .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_pipe_nb_eval" ->
