@@ -19,8 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Match semantics (what the DuckDB oracle replays with per-position
   * `substr` equality): every occurrence counts, INCLUDING overlapping
   * ones and patterns that are substrings of other patterns — standard
-  * AC output-link semantics. Matching is case-sensitive and exact;
-  * callers wanting case-folding lower() both sides.
+  * AC output-link semantics. Matching is case-sensitive and exact,
+  * over UTF-16 code units — identical to codepoint matching for BMP
+  * text (an astral-plane pattern matches as its surrogate pair, which
+  * is still exact, but positions/counts then differ from a
+  * codepoint-based oracle). Callers wanting case-folding lower() both
+  * sides.
   *
   * Scale shape for the 100 TB content-filter stage: the automaton is
   * plan-shipped state (no join, no shuffle); the scan is a map-only

@@ -42,7 +42,10 @@ object Pca {
 
   /** Exact integer-micro Gram triangle: (i, j, g) for 1 ≤ i ≤ j ≤ dim,
     * `g = Σ_rows round(1e6·x_i)·round(1e6·x_j)` — the one data-sized
-    * pass, engine-exact.
+    * pass, engine-exact. Vectors must have length ≥ dim: under ANSI
+    * mode (the Spark 4 default, all engine sessions) a shorter row
+    * fails the element_at loudly rather than silently dropping from
+    * the sums.
     */
   def gramMicros(df: DataFrame, vecCol: Column, dim: Int): DataFrame = {
     val q = transform(vecCol,
