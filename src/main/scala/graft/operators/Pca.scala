@@ -60,17 +60,20 @@ object Pca {
       .agg(sum(col("e.p")).as("g"))
   }
 
-  /** Per-dim exact micro sums + row count (for mean-centering). */
+  /** Per-dim exact micro sums + row count (for mean-centering).
+    * Count first: on an empty frame the pivot row is all-null and a
+    * friendly require beats an NPE.
+    */
   private def sumsMicros(df: DataFrame, vecCol: Column,
                          dim: Int): (Array[Long], Long) = {
+    val n = df.select(count(lit(1))).head().getLong(0)
+    require(n > 1, s"need at least 2 rows to fit PCA, got $n")
     val q = transform(vecCol,
       x => round(x.cast("double") * 1000000).cast("long"))
     val row = df.select(q.as("__q"))
       .select(posexplode(col("__q")).as(Seq("j", "v")))
       .groupBy().pivot("j", 0 until dim).agg(sum(col("v")))
       .head()
-    // count from the same source, not an extra scan of the caller's df
-    val n = df.select(count(lit(1))).head().getLong(0)
     (Array.tabulate(dim)(j => row.getLong(j)), n)
   }
 
@@ -79,9 +82,8 @@ object Pca {
     */
   def fit(df: DataFrame, vecCol: Column, dim: Int, k: Int): Model = {
     require(k >= 1 && k <= dim)
-    val tri = gramMicros(df, vecCol, dim).collect()
     val (sums, n) = sumsMicros(df, vecCol, dim)
-    require(n > 1, "need at least 2 rows to fit")
+    val tri = gramMicros(df, vecCol, dim).collect()
     val g = Array.ofDim[Double](dim, dim)
     tri.foreach { r =>
       val (i, j, v) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getLong(2))

@@ -251,6 +251,60 @@ class BlocklistMlSpec extends SparkSpec {
     }
   }
 
+  test("streaming curation scoring ≡ batch: blocklist counts flow " +
+    "map-only through a file stream; NB scores per micro-batch via " +
+    "foreachBatch with a batch-trained model") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_blml_stream").toString
+    val batch = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("text"), lit("")).as("text"))
+    batch.write.parquet(s"$tmp/in")
+    val toks = batch.withColumn("ta", TextFunctions.tokens(col("text")))
+    val (w, ls) = NaiveBayes.train(toks, col("ta"), col("lang"))
+    val expectNb = NaiveBayes.score(toks, "doc_id", col("ta"), w, ls)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val pats = StretchQueries.blocklistPatterns
+    val expectBl = Blocklist.tag(batch, "text", pats)
+      .select(col("doc_id"), col("n_hits"), col("n_patterns"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    // blocklist: a plain map-only projection — streaming-native
+    val qBl = Blocklist.tag(stream, "text", pats)
+      .select(col("doc_id"), col("n_hits"), col("n_patterns"))
+      .writeStream.format("memory").queryName("bl_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // NB inference needs a per-doc argmax (a window) → the standard
+    // composition is foreachBatch: score each micro-batch with the
+    // broadcast-trained model and append
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, String, Long)]()
+    val qNb = stream
+      .withColumn("ta", TextFunctions.tokens(col("text")))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        NaiveBayes.score(b, "doc_id", col("ta"), w, ls)
+          .as[(Long, String, Long)](
+            org.apache.spark.sql.Encoders.product[(Long, String, Long)])
+          .collect().foreach(got.add)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    qBl.awaitTermination(300000); qBl.stop()
+    qNb.awaitTermination(300000); qNb.stop()
+    val gotBl = spark.table("bl_stream")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(gotBl == expectBl)
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSeq.sortBy(_._1) == expectNb)
+  }
+
   test("NB predictions are partitioning-invariant on sf0.001 documents") {
     val base = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
