@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.{Upsert, VersionedTable}
-import graft.operators.{Dedup, DatasetSplit, Ivf, Pq, SimilaritySearch, TopK}
+import graft.functions.TextFunctions
+import graft.operators.{AcAutomaton, Blocklist, Dedup, DatasetSplit, Ivf, LogReg, NaiveBayes, Pca, Pq, SimilaritySearch, TopK}
 import graft.streaming.StreamingCdc
 
 /** Degenerate-input behavior: at 100 TB every operator eventually sees
@@ -136,6 +137,66 @@ class RobustnessSpec extends SparkSpec {
       Seq.empty[(Long, String)].toDF("k", "v"), Seq(("k", "v")))
       .as[(String, Long, Long, Long)].head()
     assert(got == (("k->v", 0L, 0L, 0L)))
+  }
+
+  test("round-11 operators accept degenerate inputs: oversized " +
+    "patterns, null text, single-label and empty training sets, " +
+    "constant embedding corpora") {
+    // blocklist: pattern longer than every text; absent patterns
+    val aut = AcAutomaton(Seq("averyverylongpatternnotpresent"))
+    assert(aut.scan("short") == (0L, 0L))
+    val twoDocs = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    assert(Blocklist.tag(twoDocs, "text", Seq("zzz"))
+      .filter(col("n_hits") =!= 0).count() == 0)
+    // null text propagates null counts (callers coalesce if they want 0)
+    val withNull = Seq((1L, "x"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = Blocklist.tag(withNull, "text", Seq("x"))
+      .select(col("doc_id"), col("n_hits"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(r(1L).contains(1L) && r(2L).isEmpty)
+
+    // NB: single-label corpus predicts that label everywhere; an
+    // empty training set yields an empty model and empty scores
+    val one = Seq((1L, "a b", "X"), (2L, "b c", "X"))
+      .toDF("doc_id", "text", "lab")
+      .select(col("doc_id"), col("lab"),
+        TextFunctions.tokens(col("text")).as("ta"))
+    val (w1, ls1) = NaiveBayes.train(one, col("ta"), col("lab"))
+    val p = NaiveBayes.score(one, "doc_id", col("ta"), w1, ls1)
+      .as[(Long, String, Long)].collect()
+    assert(p.length == 2 && p.forall(_._2 == "X"))
+    val noDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lab", "text")
+      .select(col("doc_id"), col("lab"),
+        TextFunctions.tokens(col("text")).as("ta"))
+    val (w0, ls0) = NaiveBayes.train(noDocs, col("ta"), col("lab"))
+    assert(w0.count() == 0 && ls0.count() == 0)
+    assert(NaiveBayes.score(one, "doc_id", col("ta"), w0, ls0)
+      .count() == 0)
+
+    // LR: all-positive labels drive every weight up (gradient
+    // (p − 1e6)·x < 0 on positive features); empty set → friendly require
+    val feats = Seq((1000000L, Seq(1000000L, 500000L)),
+      (1000000L, Seq(1000000L, 700000L))).toDF("y", "x")
+    val hist = LogReg.train(feats, col("y"), col("x"), 2, 3, 300000L)
+    assert(hist.last.forall(_ > 0L))
+    val noFeats = Seq.empty[(Long, Seq[Long])].toDF("y", "x")
+    intercept[IllegalArgumentException](
+      LogReg.train(noFeats, col("y"), col("x"), 2, 1, 1L))
+
+    // PCA: < 2 rows → friendly require; a constant corpus has zero
+    // covariance → all eigenvalues 0 and whitening maps to exact 0
+    val oneVec = Seq((1L, Seq(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      Pca.fit(oneVec, col("embedding"), 2, 1))
+    val const = Seq.tabulate(3)(i => (i.toLong, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val m = Pca.fit(const, col("embedding"), 2, 2)
+    assert(m.eigenvalues.forall(v => math.abs(v) < 1e-12))
+    val wpr = Pca.whiten(const, col("embedding"), m)
+      .select(col("white")).as[Seq[Double]].collect()
+    assert(wpr.forall(_.forall(_ == 0.0)))
   }
 
   test("two writers racing the SAME batch id: exactly one commit wins") {
