@@ -2932,6 +2932,28 @@ object StretchQueries {
           col("score_micros"))
     }),
 
+    // mixed-script tokenization: the han-bigram fallback over a
+    // corpus with planted CJK runs (a 3-char run → 2 bigrams, an
+    // arithmetic-gated lone char → unigram, and a latin-adjacent run
+    // with NO space — the case whitespace tokenizers silently eat).
+    // Counts per doc are engine-exact; the oracle replays the plant
+    // arithmetic and the same segmentation in RE2 syntax
+    "q_t_tokens_cjk" -> ((s, dir) => {
+      val han = array(Seq("中", "文", "数", "据",
+        "处", "理", "工", "具").map(lit): _*)
+      def ch(k: Int) =
+        element_at(han, ((col("doc_id") + k) % 8).cast("int") + 1)
+      val planted = concat(coalesce(col("text"), lit("")),
+        lit(" "), ch(0), ch(1), ch(2),
+        when(col("doc_id") % 3 === 0, concat(lit(" "), ch(3)))
+          .otherwise(lit("")),
+        lit(" x"), ch(4), ch(5))
+      val ta = TextFunctions.tokensCjk(planted)
+      t(s, dir, "documents").select(col("doc_id"),
+        size(ta).as("n_tok"),
+        size(filter(ta, tk => TextFunctions.isCjkToken(tk))).as("n_cjk"))
+    }),
+
     // exact second-moment (Gram) matrix of the embedding corpus — the
     // data-sized half of PCA/whitening as ONE map-side-combined
     // aggregate over integer micros (a float·1e6 product is EXACT in
@@ -5393,6 +5415,34 @@ object StretchQueries {
          |  CAST(round(ln(CAST(c_tl + 1 AS DOUBLE)
          |    / CAST(c_l + v AS DOUBLE)) * 1000000) AS BIGINT) AS w_micros
          |FROM ctl JOIN cl USING (lang), v"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_t_tokens_cjk" ->
+      (raw"""WITH l AS (SELECT ['中', '文', '数', '据',
+         |  '处', '理', '工', '具'] AS h),
+         |p AS (SELECT doc_id, coalesce(text, '') || ' '
+         |  || h[CAST((doc_id + 0) % 8 AS INT) + 1]
+         |  || h[CAST((doc_id + 1) % 8 AS INT) + 1]
+         |  || h[CAST((doc_id + 2) % 8 AS INT) + 1]
+         |  || CASE WHEN doc_id % 3 = 0
+         |       THEN ' ' || h[CAST((doc_id + 3) % 8 AS INT) + 1]
+         |       ELSE '' END
+         |  || ' x'
+         |  || h[CAST((doc_id + 4) % 8 AS INT) + 1]
+         |  || h[CAST((doc_id + 5) % 8 AS INT) + 1] AS text
+         |  FROM documents, l),
+         |tk AS (SELECT doc_id, flatten(list_transform(
+         |  regexp_extract_all(lower(trim(text)),
+         |    '[\x{4e00}-\x{9fff}]+|[^\x{4e00}-\x{9fff}\s]+'),
+         |  s -> CASE WHEN regexp_matches(s, '^[\x{4e00}-\x{9fff}]')
+         |    THEN CASE WHEN length(s) = 1 THEN [s]
+         |      ELSE list_transform(range(1, length(s)),
+         |        i -> s[CAST(i AS INT):CAST(i + 1 AS INT)]) END
+         |    ELSE [s] END)) AS ta FROM p)
+         |SELECT doc_id, CAST(len(ta) AS INT) AS n_tok,
+         |  CAST(len(list_filter(ta, t ->
+         |    regexp_matches(t, '^[\x{4e00}-\x{9fff}]'))) AS INT) AS n_cjk
+         |FROM tk"""
         .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_v_gram" ->

@@ -22,6 +22,39 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  // CJK Unified Ideographs (BMP block — UTF-16-safe on both engines)
+  private val HanLo = 0x4e00.toChar
+  private val HanHi = 0x9fff.toChar
+
+  /** Mixed-script tokenization: whitespace-style word tokens for
+    * non-CJK runs PLUS character bigrams inside each CJK run (a lone
+    * CJK char keeps itself) — the standard han-bigram fallback for
+    * corpora where whitespace segmentation silently turns a Chinese
+    * document into one giant token (df statistics, dedup shingles,
+    * and classifier features all collapse). Scriptless segmentation:
+    * the text first splits into maximal CJK / non-CJK-non-space runs,
+    * so `abc中文` yields `abc` + one bigram. Pure `Column` transform
+    * (regexp + HOFs), codegen end to end; the same segmentation is
+    * SQL-expressible in DuckDB RE2 (`\x{4e00}` class syntax), which
+    * is what keeps the gate oracle-checkable.
+    */
+  def tokensCjk(c: Column): Column = {
+    val han = s"[$HanLo-$HanHi]"
+    val segPattern = s"$han+|[^$HanLo-$HanHi\\s]+"
+    val segs = regexp_extract_all(lower(trim(c)), lit(segPattern), lit(0))
+    flatten(transform(segs, s =>
+      when(s.rlike(s"^$han"),
+        when(length(s) === 1, array(s))
+          .otherwise(transform(sequence(lit(1), length(s) - 1),
+            i => s.substr(i, lit(2)))))
+        .otherwise(array(s))))
+  }
+
+  /** Predicate: token begins with a CJK ideograph (bigrams and lone
+    * chars from [[tokensCjk]] both satisfy it).
+    */
+  def isCjkToken(t: Column): Column = t.rlike(s"^[$HanLo-$HanHi]")
+
   /** BPE-ish subword count: letter-runs, digits, and punctuation each
     * count as one token (the GPT-2 pre-tokenizer shape, minus byte
     * merges). A cheap, deterministic proxy for LLM token budgeting.

@@ -180,7 +180,15 @@ object ScaleGate {
     "q_ml_ndcg" -> 14.0,
     // MI: distinct-token presence counts + one broadcast of totals —
     // linear token shuffle
-    "q_ml_mi" -> 10.0
+    "q_ml_mi" -> 10.0,
+    // exact Gram: per-row d(d+1)/2 products, map-side combined to
+    // 2080 keys — pure linear per-row CPU (decode-class bound); a
+    // combine regression (raw pair rows reaching the shuffle) would
+    // show as memory pressure and ≫13
+    "q_v_gram" -> 13.0,
+    // split → NB train → held-out confusion: the same token-shuffle
+    // family as q_ml_nb_score, twice
+    "q_pipe_nb_eval" -> 10.0
   )
 
   def main(args: Array[String]): Unit = {

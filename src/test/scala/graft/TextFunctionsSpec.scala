@@ -334,4 +334,30 @@ class TextFunctionsSpec extends SparkSpec {
     intercept[Exception](
       DatasetSplit.prioritySample(bad, "id", "w", 5, "s").collect())
   }
+
+  test("tokensCjk: han-bigram fallback — bigrams inside CJK runs, " +
+    "word tokens elsewhere, latin-adjacent runs split without spaces") {
+    def tk(s: String): Option[Seq[String]] =
+      Seq(Tuple1(s)).toDF("t")
+        .select(tokensCjk(col("t"))).as[Option[Seq[String]]].head()
+    // pure ASCII ≡ the whitespace tokenizer
+    assert(tk("  Foo BAR baz ") == Some(Seq("foo", "bar", "baz")))
+    // a CJK run of n chars → n−1 overlapping bigrams
+    assert(tk("中文数据") == Some(Seq("中文", "文数", "数据")))
+    // a lone ideograph keeps itself
+    assert(tk("中") == Some(Seq("中")))
+    // latin adjacent to CJK with NO whitespace still segments
+    assert(tk("abc中文 def") == Some(Seq("abc", "中文", "def")))
+    assert(tk("x中") == Some(Seq("x", "中")))
+    // empty / blank / null
+    assert(tk("") == Some(Seq()))
+    assert(tk("   ") == Some(Seq()))
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(tokensCjk(col("t"))).head()
+    assert(n.isNullAt(0))
+    // isCjkToken separates the scripts
+    assert(Seq(("中文"), ("abc")).toDF("t")
+      .select(graft.functions.TextFunctions.isCjkToken(col("t")))
+      .as[Boolean].collect().toSeq == Seq(true, false))
+  }
 }
