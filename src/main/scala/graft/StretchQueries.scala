@@ -2932,6 +2932,15 @@ object StretchQueries {
           col("score_micros"))
     }),
 
+    // SQ8 quantized top-k: int8-scan ANN (4× smaller than float32)
+    // whose ranking key dot8·scale_c·scale_q is PURE int64 — unlike
+    // PQ's float ADC, the whole quantized ranking hash-matches the
+    // oracle, not just the id set
+    "q_v_topk_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.sq8TopK(emb, emb.filter(col("vec_id") < 16), k = 5)
+    }),
+
     // mixed-script tokenization: the han-bigram fallback over a
     // corpus with planted CJK runs (a 3-char run → 2 bigrams, an
     // arithmetic-gated lone char → unigram, and a latin-adjacent run
@@ -5415,6 +5424,30 @@ object StretchQueries {
          |  CAST(round(ln(CAST(c_tl + 1 AS DOUBLE)
          |    / CAST(c_l + v AS DOUBLE)) * 1000000) AS BIGINT) AS w_micros
          |FROM ctl JOIN cl USING (lang), v"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    "q_v_topk_sq8" ->
+      ("""WITH b AS (SELECT vec_id, embedding,
+         |  list_max(list_transform(embedding,
+         |    x -> abs(CAST(x AS DOUBLE)))) AS s FROM embeddings),
+         |e AS (SELECT vec_id,
+         |  CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+         |    ELSE list_transform(embedding, x ->
+         |      CAST(round(CAST(x AS DOUBLE) * 127.0 / s) AS INT)) END
+         |    AS q8,
+         |  CAST(round(s * 1000000) AS BIGINT) AS s_mic FROM b),
+         |q AS (SELECT vec_id AS q_id, q8 AS qq8, s_mic AS qs
+         |  FROM e WHERE vec_id < 16),
+         |sc AS (SELECT q.q_id, c.vec_id AS n_id,
+         |  CAST(list_sum(list_transform(range(1, len(c.q8) + 1),
+         |    i -> CAST(c.q8[i] AS BIGINT) * qq8[i])) AS BIGINT) AS dot8,
+         |  c.s_mic AS cs, q.qs AS qs
+         |  FROM e c, q WHERE c.vec_id <> q.q_id)
+         |SELECT q_id, CAST(rnk AS INT) AS rank, n_id, dot8, score
+         |FROM (SELECT q_id, n_id, dot8, dot8 * cs * qs AS score,
+         |  row_number() OVER (PARTITION BY q_id
+         |    ORDER BY dot8 * cs * qs DESC, n_id) AS rnk FROM sc)
+         |WHERE rnk <= 5"""
         .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_t_tokens_cjk" ->

@@ -451,4 +451,24 @@ class SimilaritySpec extends SparkSpec {
     assert(margins.sliding(2).forall { case Array(a, b) => a >= b },
       s"greedy margins should not increase: ${margins.toSeq}")
   }
+
+  test("sq8TopK: int8-quantized ranking recovers the exact float " +
+    "top-5 at high recall and is deterministic across partitionings") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 16)
+    val exact = SimilaritySearch.bruteForceTopK(emb, queries, k = 5)
+    val sq8 = SimilaritySearch.sq8TopK(emb, queries, k = 5)
+    val rec = SimilaritySearch.recallAtK(exact, sq8)
+      .agg(sum(col("n_hit")), sum(col("n_exact"))).head()
+    val recall = rec.getLong(0).toDouble / rec.getLong(1)
+    // int8 over 64 dims keeps ~1% relative score error — the top-5
+    // should survive almost everywhere. Floor at 0.85, log the value
+    assert(recall >= 0.85, s"sq8 recall@5 $recall")
+    info(s"sq8 recall@5 = $recall")
+    val a = sq8.collect().map(_.toSeq).toSet
+    val b = SimilaritySearch.sq8TopK(emb.repartition(13), queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
