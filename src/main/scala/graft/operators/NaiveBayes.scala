@@ -34,21 +34,34 @@ object NaiveBayes {
   def train(docs: DataFrame, tokensCol: Column,
             labelCol: Column): (DataFrame, DataFrame) = {
     val base = docs.select(labelCol.as("label"), tokensCol.as("__ta"))
-    val tok = base.select(col("label"), explode(col("__ta")).as("token"))
-    val vocab = tok.agg(countDistinct(col("token")).as("v"))
-    val nDocs = base.agg(count(lit(1)).as("nn"))
-    val labelStats = tok.groupBy(col("label"))
-      .agg(count(lit(1)).as("c_l"))
-      .join(broadcast(base.groupBy(col("label"))
-        .agg(count(lit(1)).as("n_l"))), "label")
+    // EVERYTHING derives from two materialized count tables — one
+    // (label, token) aggregate (vocabulary-sized) and one per-label
+    // doc count. Without the materialization each downstream consumer
+    // re-executed its whole lineage: the composed train→score plan
+    // scanned the corpus 10× with zero exchange reuse (the round-4
+    // q_t_surprisal lesson — consumers push different projections, so
+    // canonical equality never fires). Now: train = 2 corpus scans,
+    // score = 1.
+    val ctl = Materialize.viaScratch(
+      base.select(col("label"), explode(col("__ta")).as("token"))
+        .groupBy(col("label"), col("token"))
+        .agg(count(lit(1)).as("c_tl")),
+      "graft_nb_ctl")
+    val nl = Materialize.viaScratch(
+      base.groupBy(col("label")).agg(count(lit(1)).as("n_l")),
+      "graft_nb_nl")
+    val vocab = ctl.agg(countDistinct(col("token")).as("v"))
+    val cl = ctl.groupBy(col("label")).agg(sum(col("c_tl")).as("c_l"))
+    val nDocs = nl.agg(sum(col("n_l")).as("nn"))
+    val labelStats = cl
+      .join(broadcast(nl), "label")
       .crossJoin(broadcast(vocab)).crossJoin(broadcast(nDocs))
       .select(col("label"), col("c_l"), col("v"),
         round(log(lit(1.0) / (col("c_l") + col("v")).cast("double"))
           * 1000000).cast("long").as("w0_micros"),
         round(log(col("n_l").cast("double") / col("nn")) * 1000000)
           .cast("long").as("prior_micros"))
-    val weights = tok.groupBy(col("label"), col("token"))
-      .agg(count(lit(1)).as("c_tl"))
+    val weights = ctl
       .join(broadcast(labelStats.select(col("label"), col("c_l"), col("v"))),
         "label")
       .select(col("label"), col("token"), col("c_tl"),
