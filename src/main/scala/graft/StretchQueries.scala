@@ -2844,11 +2844,16 @@ object StretchQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("value").desc, col("event_id"))
-      val top = EventStream.loadEvents(s, s"$dir/events.parquet")
-        .select(col("user_id"), col("event_id"), col("value"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 10)
-        .withColumn("rel", col("event_id") % 4)
+      // materialized: both the DCG and ideal-DCG branches consume it,
+      // and users×10 rows is tiny next to re-running the ranking
+      // window over the full event stream twice
+      val top = graft.operators.Materialize.viaScratch(
+        EventStream.loadEvents(s, s"$dir/events.parquet")
+          .select(col("user_id"), col("event_id"), col("value"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .withColumn("rel", col("event_id") % 4),
+        "graft_ndcg_top")
       val wi = Window.partitionBy(col("user_id")).orderBy(col("rel").desc)
       // ties among equal rel values are interchangeable: the term
       // depends only on (rel, position), so the sum is order-invariant

@@ -48,7 +48,12 @@ object LogReg {
   def train(df: DataFrame, yCol: Column, xCol: Column, numFeatures: Int,
             iters: Int, lrPpm: Long): Seq[Array[Long]] = {
     require(iters >= 1 && numFeatures >= 1)
-    val base = df.select(yCol.as("y"), xCol.as("x"))
+    // materialize the featurized rows ONCE: they are a few longs per
+    // row (tiny next to the source corpus), and every iteration would
+    // otherwise re-execute the full featurization lineage against the
+    // raw corpus — iters corpus scans instead of one
+    val base = Materialize.viaScratch(
+      df.select(yCol.as("y"), xCol.as("x")), "graft_lr_feat")
     var w = Array.fill(numFeatures)(0L)
     val history = Seq.newBuilder[Array[Long]]
     (1 to iters).foreach { _ =>
