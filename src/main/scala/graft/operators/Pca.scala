@@ -60,35 +60,29 @@ object Pca {
       .agg(sum(col("e.p")).as("g"))
   }
 
-  /** Per-dim exact micro sums + row count (for mean-centering).
-    * Count first: on an empty frame the pivot row is all-null and a
-    * friendly require beats an NPE.
-    */
-  private def sumsMicros(df: DataFrame, vecCol: Column,
-                         dim: Int): (Array[Long], Long) = {
-    val n = df.select(count(lit(1))).head().getLong(0)
-    require(n > 1, s"need at least 2 rows to fit PCA, got $n")
-    val q = transform(vecCol,
-      x => round(x.cast("double") * 1000000).cast("long"))
-    val row = df.select(q.as("__q"))
-      .select(posexplode(col("__q")).as(Seq("j", "v")))
-      .groupBy().pivot("j", 0 until dim).agg(sum(col("v")))
-      .head()
-    (Array.tabulate(dim)(j => row.getLong(j)), n)
-  }
-
   /** Fit a k-component model: distributed exact Gram + driver Jacobi
-    * eigensolve of the mean-centered covariance.
+    * eigensolve of the mean-centered covariance. ONE corpus scan: the
+    * vector is extended with a constant bias dim (0.001 → exactly
+    * 1000 micros), so the extended Gram's last column carries the
+    * per-dim sums ×1000 and its corner carries n×10⁶ — count, sums,
+    * and second moments from a single aggregate (the same trick that
+    * fixed the 10-scan NB composition, applied at birth here). The
+    * small bias quantum keeps the corner's int64 bound (n < 9.2e12)
+    * above the Gram terms' own bound.
     */
   def fit(df: DataFrame, vecCol: Column, dim: Int, k: Int): Model = {
     require(k >= 1 && k <= dim)
-    val (sums, n) = sumsMicros(df, vecCol, dim)
-    val tri = gramMicros(df, vecCol, dim).collect()
-    val g = Array.ofDim[Double](dim, dim)
+    val tri = gramMicros(df,
+      concat(vecCol, array(lit(0.001f))), dim + 1).collect()
+    val gx = Array.ofDim[Long](dim + 1, dim + 1)
     tri.foreach { r =>
       val (i, j, v) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getLong(2))
-      g(i)(j) = v.toDouble; g(j)(i) = v.toDouble
+      gx(i)(j) = v; gx(j)(i) = v
     }
+    val n = gx(dim)(dim) / 1000000L
+    require(n > 1, s"need at least 2 rows to fit PCA, got $n")
+    val sums = Array.tabulate(dim)(i => gx(i)(dim) / 1000L)
+    val g = Array.tabulate(dim, dim)((i, j) => gx(i)(j).toDouble)
     val mean = sums.map(_.toDouble / n)
     val cov = Array.tabulate(dim, dim) { (i, j) =>
       (g(i)(j) / n - mean(i) * mean(j)) / 1e12
