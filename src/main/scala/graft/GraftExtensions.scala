@@ -52,5 +52,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_jaro_winkler"),
       info("graft_jaro_winkler"),
       (es: Seq[Expression]) => JaroWinkler(es(0), es(1))))
+    // graft_blocklist_counts(text, 'pat1', 'pat2', …) →
+    // array<long>[total hits, distinct patterns] in ONE AC pass; the
+    // pattern list must be string literals (the automaton is built at
+    // plan time and shipped with the plan)
+    e.injectFunction((FunctionIdentifier("graft_blocklist_counts"),
+      info("graft_blocklist_counts"),
+      (es: Seq[Expression]) => {
+        require(es.length >= 2,
+          "graft_blocklist_counts(text, pattern, ...) needs >= 1 pattern")
+        val pats = es.tail.map { p =>
+          require(p.foldable &&
+            p.dataType == org.apache.spark.sql.types.StringType,
+            s"blocklist patterns must be string literals, got $p")
+          p.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .toString
+        }
+        graft.operators.Blocklist.AcScan(es.head, pats)
+      }))
+    // graft_tokens_cjk(text) → the han-bigram mixed-script tokenizer
+    // (native kernel; bit-identical to TextFunctions.tokensCjk)
+    e.injectFunction((FunctionIdentifier("graft_tokens_cjk"),
+      info("graft_tokens_cjk"),
+      (es: Seq[Expression]) => TokensCjk(es.head)))
   }
 }

@@ -119,6 +119,46 @@ object NativeKernels {
     new GenericArrayData(sig)
   }
 
+  /** Mixed-script tokenization — the native twin of
+    * `TextFunctions.tokensCjk` (bit-identity pinned in
+    * TextFunctionsSpec): maximal CJK / non-CJK-non-space runs over
+    * UTF-16 units, han runs emit char bigrams (lone char keeps
+    * itself). Whitespace is the regex `\s` set (ASCII), NOT
+    * Character.isWhitespace — the Column form's segmentation regex
+    * must see identical boundaries.
+    */
+  def tokensCjk(text: UTF8String): ArrayData = {
+    val s = text.toLowerCase.trim().toString
+    def isSpace(c: Char) = c == ' ' || c == '\t' || c == '\n' ||
+      c == 11.toChar || c == '\f' || c == '\r' // 11 = \v, a regex \s member
+    def isHan(c: Char) = c >= 0x4e00.toChar && c <= 0x9fff.toChar
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (isSpace(s.charAt(i))) i += 1
+      else if (isHan(s.charAt(i))) {
+        var j = i + 1
+        while (j < n && isHan(s.charAt(j))) j += 1
+        if (j - i == 1) out += UTF8String.fromString(s.substring(i, j))
+        else {
+          var p = i
+          while (p + 1 < j) {
+            out += UTF8String.fromString(s.substring(p, p + 2))
+            p += 1
+          }
+        }
+        i = j
+      } else {
+        var j = i + 1
+        while (j < n && !isSpace(s.charAt(j)) && !isHan(s.charAt(j))) j += 1
+        out += UTF8String.fromString(s.substring(i, j))
+        i = j
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
   def simhash(text: UTF8String, bits: Int): Long = {
     val toks = tokenize(text)
     val counts = new Array[Long](bits)
@@ -564,6 +604,26 @@ object NativeExpressions {
 
   def simhash(text: Column, bits: Int = 64): Column =
     toCol(SimHash(toExpr(text), bits))
+
+  /** Native twin of `TextFunctions.tokensCjk` (bit-identity pinned in
+    * TextFunctionsSpec) — and the form the SQL registry can inject.
+    */
+  case class TokensCjk(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      NativeKernels.tokensCjk(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$KernelsCls.tokensCjk($c)")
+    override protected def withNewChildInternal(c: Expression): TokensCjk =
+      copy(child = c)
+  }
+
+  def tokensCjkNative(text: Column): Column =
+    toCol(TokensCjk(toExpr(text)))
 
   /** Sorted distinct shingle-hash set — the compact form documents are
     * joined on for exact-Jaccard verification (16 bytes per shingle

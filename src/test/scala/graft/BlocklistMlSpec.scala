@@ -78,6 +78,22 @@ class BlocklistMlSpec extends SparkSpec {
     assert(expectClean.nonEmpty && expectClean.size < texts.length)
   }
 
+  test("pure-SQL surface: graft_blocklist_counts and graft_tokens_cjk " +
+    "resolve through the extension and match the Scala forms") {
+    val r = spark.sql(
+      "SELECT graft_blocklist_counts('fast table table x', " +
+        "'fast table', 'table table', 'table') AS c").head.getSeq[Long](0)
+    // 'fast table' 1 + 'table table' 1 + 'table' 2 = 4 hits, 3 patterns
+    assert(r == Seq(4L, 3L))
+    // non-literal pattern → loud failure at plan time, not silence
+    intercept[Exception](spark.sql(
+      "SELECT graft_blocklist_counts(t, t) FROM VALUES ('x') v(t)")
+      .collect())
+    val tk = spark.sql("SELECT graft_tokens_cjk('abc中文数 def') AS t")
+      .head.getSeq[String](0)
+    assert(tk == Seq("abc", "中文", "文数", "def"))
+  }
+
   // ── ranking-metric margin contract ──────────────────────────────────
 
   test("NDCG term micros never land on a .5 rounding boundary " +

@@ -360,4 +360,25 @@ class TextFunctionsSpec extends SparkSpec {
       .select(graft.functions.TextFunctions.isCjkToken(col("t")))
       .as[Boolean].collect().toSeq == Seq(true, false))
   }
+
+  test("tokensCjk native kernel ≡ the Column form on sf0.001 docs and " +
+    "edge strings (supplementary chars, tabs, lone han, adjacency)") {
+    val edge = Seq("", "   ", "中", "中文数据", "abc中文 def", "x中",
+      "\tAB\r中文\n", "emoji😀中x", "ＡＢ中文ｃｄ")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .union(edge.toDF("doc_id", "text"))
+    val both = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokensCjk(col("text")).as("a"),
+      graft.functions.NativeExpressions.tokensCjkNative(col("text")).as("b"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    both.foreach { case (id, a, b) => assert(a == b, s"doc $id") }
+    // and through the SQL registry
+    val viaSql = spark.sql(
+      "SELECT graft_tokens_cjk('abc中文数 def') AS t")
+      .head.getSeq[String](0)
+    assert(viaSql == Seq("abc", "中文", "文数", "def"))
+  }
 }
