@@ -18,8 +18,16 @@ package graft.tools
   * wall-time ratio alongside for context — when wall moves and CPU
   * does not, the verdict is "load, not code".
   *
-  * Exit code 1 when any query is flagged, so a round script can gate
-  * on it.
+  * Round-11 adjudication rule, learned the measured way: cpu_sec is
+  * load-RESISTANT, not load-immune — co-resident cache pressure
+  * inflates task CPU up to ~2× on sub-second queries with the WORK
+  * unchanged. A cpu flag therefore only counts as a REGRESSION when
+  * the query's `bytes_read` or `shuffle_write` also moved (> 1%) —
+  * the work changed; same-bytes/same-shuffle flags are reported as
+  * attribution noise and do not fail the run.
+  *
+  * Exit code 1 when any work-backed regression is flagged, so a round
+  * script can gate on it.
   */
 object BenchDiff {
 
@@ -71,6 +79,10 @@ object BenchDiff {
     val (oldJ, newJ) = (load(args(0)), load(args(1)))
     val (cpuOld, cpuNew) = (mapOf(oldJ, "cpu_sec"), mapOf(newJ, "cpu_sec"))
     val (wallOld, wallNew) = (mapOf(oldJ, "queries"), mapOf(newJ, "queries"))
+    val (bytesOld, bytesNew) =
+      (mapOf(oldJ, "bytes_read"), mapOf(newJ, "bytes_read"))
+    val (shufOld, shufNew) =
+      (mapOf(oldJ, "shuffle_write"), mapOf(newJ, "shuffle_write"))
     require(cpuOld.nonEmpty && cpuNew.nonEmpty,
       "both artifacts must carry a cpu_sec map (bench r10+)")
 
@@ -90,8 +102,20 @@ object BenchDiff {
         }
     }
     val rows = common.map(q => Row(q, cpuOld(q), cpuNew(q)))
-    val flagged = rows.filter(r =>
+    // work changed ⟺ bytes_read or shuffle_write moved > 1% (or a map
+    // is missing the query — then we can't clear it, treat as changed)
+    def workChanged(q: String): Boolean = {
+      def moved(o: Map[String, Double], n: Map[String, Double]) =
+        (o.get(q), n.get(q)) match {
+          case (Some(a), Some(b)) =>
+            math.abs(b - a) > 0.01 * math.max(math.max(a, b), 1.0)
+          case _ => true
+        }
+      moved(bytesOld, bytesNew) || moved(shufOld, shufNew)
+    }
+    val cpuGrew = rows.filter(r =>
       r.n - r.o > absFloor && r.ratio > ratioFlag).sortBy(-_.ratio)
+    val (flagged, noise) = cpuGrew.partition(r => workChanged(r.q))
     val improved = rows.filter(r =>
       r.o - r.n > absFloor && r.ratio < 1 / ratioFlag).sortBy(_.ratio)
 
@@ -104,10 +128,17 @@ object BenchDiff {
     if (added.nonEmpty) println(s"added: ${added.mkString(", ")}")
     if (removed.nonEmpty) println(s"removed: ${removed.mkString(", ")}")
     if (flagged.isEmpty)
-      println(s"no cpu regressions > ${ratioFlag}x (+${absFloor} floor)")
+      println(s"no work-backed cpu regressions > ${ratioFlag}x " +
+        s"(+${absFloor} floor)")
     else {
-      println(s"FLAGGED (> ${ratioFlag}x cpu):")
+      println(s"FLAGGED (> ${ratioFlag}x cpu AND bytes/shuffle moved):")
       flagged.foreach(r => println(
+        s"  ${r.q}: ${f(r.o)} -> ${f(r.n)} cpu-sec " +
+          s"(${f(r.ratio)}x)${r.wallNote}"))
+    }
+    if (noise.nonEmpty) {
+      println("attribution noise (cpu grew, bytes/shuffle identical):")
+      noise.foreach(r => println(
         s"  ${r.q}: ${f(r.o)} -> ${f(r.n)} cpu-sec " +
           s"(${f(r.ratio)}x)${r.wallNote}"))
     }
