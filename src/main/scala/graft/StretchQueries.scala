@@ -2937,6 +2937,21 @@ object StretchQueries {
           col("score_micros"))
     }),
 
+    // the deployment-shape twin of q_t_blocklist: PLAIN SQL through
+    // the graft_blocklist_counts registry function (zero Scala calls)
+    // — proves a spark.sql.extensions-configured session gets the
+    // one-pass AC filter from SQL alone. Shares q_t_blocklist's oracle
+    "q_s28_sql_blocklist" -> ((s, dir) => {
+      val pats = blocklistPatterns.map(p => s"'$p'").mkString(", ")
+      s.sql(
+        s"""SELECT doc_id,
+           |  element_at(graft_blocklist_counts(coalesce(text, ''),
+           |    $pats), 1) AS n_hits,
+           |  element_at(graft_blocklist_counts(coalesce(text, ''),
+           |    $pats), 2) AS n_patterns
+           |FROM parquet.`$dir/documents.parquet`""".stripMargin)
+    }),
+
     // SQ8 quantized top-k: int8-scan ANN (4× smaller than float32)
     // whose ranking key dot8·scale_c·scale_q is PURE int64 — unlike
     // PQ's float ADC, the whole quantized ranking hash-matches the
@@ -3209,7 +3224,8 @@ object StretchQueries {
       ("q_v_topk_pq_res_idx" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq_idx" -> oracleSqlMap("q_v_topk")) +
       ("q_ev_sessions_et" -> oracleSqlMap("q_ev_sessions")) +
-      ("q_ev_transitions_stream" -> oracleSqlMap("q_ev_transitions"))
+      ("q_ev_transitions_stream" -> oracleSqlMap("q_ev_transitions")) +
+      ("q_s28_sql_blocklist" -> oracleSqlMap("q_t_blocklist"))
 
   /** The q_t_gopher report, shared so compositions can CTE it. */
   private lazy val gopherReportSql: String =
