@@ -188,7 +188,11 @@ object ScaleGate {
     "q_v_gram" -> 13.0,
     // split → NB train → held-out confusion: the same token-shuffle
     // family as q_ml_nb_score, twice
-    "q_pipe_nb_eval" -> 10.0
+    "q_pipe_nb_eval" -> 10.0,
+    // the pure-SQL registry twin of q_t_blocklist — same linear
+    // per-byte bound; a registry-path regression to interpreted eval
+    // would show as a constant-factor blowup
+    "q_s28_sql_blocklist" -> 13.0
   )
 
   def main(args: Array[String]): Unit = {
