@@ -1266,9 +1266,14 @@ object SparkEntry {
         graft.engine.Layout.writeFileStats(s, path, Seq("o_orderkey"),
           bloomCols = Seq("o_orderkey"))
       }
+      // avg folds too (round-11 VERDICT #7): exactly-served sum /
+      // exactly-served count, guarded by the cnt·max|v| < 2⁵³ bound
+      // that makes Spark's double-accumulated Average equal the
+      // manifest's exact integer sum in any order
       s.sql("SELECT count(*) AS n_rows, sum(o_orderkey) AS sum_k, " +
         "min(o_orderkey) AS min_k, max(o_orderkey) AS max_k, " +
-        s"count(o_orderkey) AS cnt_k FROM parquet.`$scratch/ord`")
+        "count(o_orderkey) AS cnt_k, avg(o_orderkey) AS avg_k " +
+        s"FROM parquet.`$scratch/ord`")
     }),
 
     // ── S12: small-file compaction — 16 writer files rewritten into a
@@ -1709,12 +1714,17 @@ object SparkEntry {
          |  WHERE o_orderkey BETWEEN lo.k + 1 AND lo.k + 64"""
         .stripMargin).replaceAll(raw"\s+", " "),
 
-    // the planner-folded metadata aggregate ≡ raw-table aggregates
+    // the planner-folded metadata aggregate ≡ raw-table aggregates.
+    // avg is replayed as exact-sum / count in DOUBLE — the identical
+    // IEEE division Spark's Average performs once its double
+    // accumulation is exact (the fold's 2⁵³ bound guarantees it)
     "q_s27_planner_agg" ->
       ("SELECT count(*) AS n_rows, " +
         "CAST(sum(o_orderkey) AS BIGINT) AS sum_k, " +
         "min(o_orderkey) AS min_k, max(o_orderkey) AS max_k, " +
-        "count(o_orderkey) AS cnt_k FROM orders"),
+        "count(o_orderkey) AS cnt_k, " +
+        "CAST(sum(o_orderkey) AS DOUBLE) / count(o_orderkey) AS avg_k " +
+        "FROM orders"),
 
     // both scopes ≡ plain SQL aggregates over the raw table
     "q_s25_front_agg" ->

@@ -78,6 +78,17 @@ object StretchQueries {
   // Fellegi–Sunter field weights, derived once and shared by the
   // q_e_fs gate AND its oracle SQL (interpolated as literals), so
   // both engines score with bit-identical integers
+  /** Driver-fitted PCA literals (mean micros, component-weight
+    * micros), stashed by the q_v_pca_project gate run and read by its
+    * oracle builder. Sound because Verify runs every gate BEFORE it
+    * dumps oracle_sql.json, in the same JVM — the q_e_fs literal
+    * pattern extended to DATA-dependent literals. Empty (gate never
+    * ran or crashed) ⇒ the oracle falls back to a never-matching
+    * sentinel, keeping the row red rather than silently green.
+    */
+  @volatile private var pcaLiterals:
+      Option[(Array[Long], Array[Array[Long]])] = None
+
   private val fsJw = EntityResolution.fsWeightsMicros(0.9, 0.1)
   private val fsLen = EntityResolution.fsWeightsMicros(0.85, 0.3)
   private val fsPre = EntityResolution.fsWeightsMicros(0.95, 0.5)
@@ -2991,16 +3002,30 @@ object StretchQueries {
     "q_v_gram" -> ((s, dir) =>
       Pca.gramMicros(t(s, dir, "embeddings"), col("embedding"), 64)),
 
-    // PCA projection (rows-only BY DESIGN: the driver-side Jacobi
-    // eigensolve is not SQL-expressible; PcaSpec carries the ground
-    // truth — exact-gram replay, reconstruction, orthonormality,
-    // variance-matches-eigenvalue, partitioning invariance)
+    // PCA projection, ORACLE-GREEN via the q_e_fs weight-literal
+    // pattern: the Jacobi eigensolve itself is not SQL-expressible,
+    // but its OUTPUT is a handful of numbers — so the gate rounds the
+    // fitted means/components to integer micros ONCE on the driver,
+    // stashes them, and the oracle SQL (built AFTER the gate runs —
+    // Verify dumps oracle_sql.json last) interpolates the identical
+    // literals. Both engines then replay the DISTRIBUTED work — the
+    // exact-micros quantization, centering, and 8 dot products — over
+    // pure int64, and the output is scalarized to (vec_id, component,
+    // proj) so the driver's row compare hashes it (the round-11 red
+    // row was an array<double> column crashing pandas). PcaSpec still
+    // pins the full-precision eigensolve ground truth.
     "q_v_pca_project" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = Pca.fit(emb, col("embedding"), 64, 8)
-      Pca.project(emb.select(col("vec_id"), col("embedding")),
-        col("embedding"), model)
-        .select(col("vec_id"), col("pca"))
+      val m = model.means.map(x => Math.round(x * 1e6))
+      val w = model.components.map(_.map(x => Math.round(x * 1e6)))
+      pcaLiterals = Some((m, w))
+      Pca.projectMicros(emb.select(col("vec_id"), col("embedding")),
+          col("embedding"), m, w)
+        .select(col("vec_id"),
+          posexplode(col("proj")).as(Seq("c0", "proj")))
+        .select(col("vec_id"),
+          (col("c0") + 1).cast("int").as("component"), col("proj"))
     }),
 
     // the real pipeline shape: train the classifier on the
@@ -3225,7 +3250,32 @@ object StretchQueries {
       ("q_v_topk_pq_idx" -> oracleSqlMap("q_v_topk")) +
       ("q_ev_sessions_et" -> oracleSqlMap("q_ev_sessions")) +
       ("q_ev_transitions_stream" -> oracleSqlMap("q_ev_transitions")) +
-      ("q_s28_sql_blocklist" -> oracleSqlMap("q_t_blocklist"))
+      ("q_s28_sql_blocklist" -> oracleSqlMap("q_t_blocklist")) +
+      ("q_v_pca_project" -> pcaProjectOracle)
+
+  /** Oracle for q_v_pca_project, built from the gate's stashed
+    * driver-fitted literals (see pcaLiterals). Replays the distributed
+    * half — micros quantization, literal-mean centering, literal-
+    * weight dot products — in pure BIGINT; one UNION ALL branch per
+    * component. Must be a def: the literals only exist after the gate
+    * runs.
+    */
+  private def pcaProjectOracle: String = pcaLiterals match {
+    case None => "SELECT 1 AS never WHERE 1 = 0"
+    case Some((m, w)) =>
+      val ml = m.mkString("[", ", ", "]")
+      val d = m.length
+      val comps = w.zipWithIndex.map { case (row, c) =>
+        val wl = row.mkString("[", ", ", "]")
+        s"SELECT vec_id, ${c + 1} AS component, " +
+          s"CAST(list_sum(list_transform(range(1, ${d + 1}), " +
+          s"j -> (q[j] - ($ml)[j]) * (($wl)[j]))) AS BIGINT) AS proj " +
+          "FROM q"
+      }.mkString(" UNION ALL ")
+      "WITH q AS (SELECT vec_id, list_transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q " +
+        s"FROM embeddings) $comps"
+  }
 
   /** The q_t_gopher report, shared so compositions can CTE it. */
   private lazy val gopherReportSql: String =

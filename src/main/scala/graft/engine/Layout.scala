@@ -333,11 +333,16 @@ object Layout {
     val minCols = stats.columns.filter(_.startsWith("min_")).toSeq
     val maxCols = stats.columns.filter(_.startsWith("max_")).toSeq
     val cntCols = stats.columns.filter(_.startsWith("cnt_")).toSeq
-    val aggs = sum(col("n_rows")).as("n_rows") +:
+    // n_rows / cnt_* are COUNTS: over a zero-row manifest (a table of
+    // zero files) SQL's sum() is NULL but the true count is 0 —
+    // coalesce so count(*) / count(col) fold to 0, exactly what the
+    // full scan of an empty table returns. Data sums and min/max keep
+    // NULL: that IS sum/min/max of an empty table.
+    val aggs = coalesce(sum(col("n_rows")), lit(0L)).as("n_rows") +:
       (sumCols.map(c => sum(col(c)).as(c)) ++
         minCols.map(c => min(col(c)).as(c)) ++
         maxCols.map(c => max(col(c)).as(c)) ++
-        cntCols.map(c => sum(col(c)).as(c)))
+        cntCols.map(c => coalesce(sum(col(c)), lit(0L)).as(c)))
     stats.agg(aggs.head, aggs.tail: _*)
   }
 
@@ -873,6 +878,44 @@ object Layout {
       val p = new org.apache.hadoop.fs.Path(statsPath(tablePath))
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Manifest file-NAME set, memoized by manifest fingerprint — the
+    * planner's consistency probe. A pure-SQL `parquet.`/t`` scan is a
+    * DIRECTORY read by the user's own words, so the planner rewrites
+    * ([[graft.plans.GraftRules.ManifestSkip]]/`ManifestAgg`) must fire
+    * only when the manifest's view EQUALS the directory's file set:
+    * the rewrite's own staleness argument ("the manifest fails loudly
+    * on a missing file") covers only the deleted-file direction —
+    * files appended out-of-band after [[writeFileStats]] would be
+    * silently DROPPED from results/aggregates otherwise. Callers
+    * compare against the relation's actual `inputFiles` basenames
+    * (fresh per optimizer invocation), so a data-dir change is caught
+    * even while the manifest fingerprint — and therefore this memo —
+    * is unchanged. Basenames suffice: eligibility requires a single
+    * unpartitioned root, and names are unique within one directory.
+    */
+  private val manifestNamesMemo =
+    new java.util.LinkedHashMap[String, Option[Set[String]]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[Set[String]]]): Boolean =
+        size() > 256
+    }
+
+  private[graft] def manifestFileNames(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Option[Set[String]] =
+    try {
+      val key = tablePath + "§" + Scratch.stat(spark, statsPath(tablePath))
+      manifestNamesMemo.synchronized {
+        val hit = manifestNamesMemo.get(key)
+        if (hit != null) return hit
+      }
+      val computed = Some(statsDf(spark, tablePath)
+        .select(org.apache.spark.sql.functions.col("file"))
+        .collect().map(_.getString(0)).toSet)
+      manifestNamesMemo.synchronized { manifestNamesMemo.put(key, computed) }
+      computed
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Memo of planner pruning decisions, keyed by (table, bounds,
     * manifest fingerprint). The optimizer runs its rule batches to

@@ -314,8 +314,13 @@ object Hnsw {
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): Unit =
     graft.engine.Scratch.ensureAt(df.sparkSession, indexPath, sourcePath,
-      fingerprint = s"hnsw,src=$sourcePath,shards=$shards,m=$m,efC=$efC," +
-        s"iters=$iters,seed=$seed,idCol=$idCol,vecCol=$vecCol",
+      // structured numeric params FIRST, free-form values (paths,
+      // column names) LAST: appendToIndex re-parses m/efC from this
+      // marker with comma-anchored first-match regexes, so a path
+      // like `/dim=64/` — or even a pathological `,m=9,` inside it —
+      // can never shadow the genuine fields
+      fingerprint = s"hnsw,shards=$shards,m=$m,efC=$efC,iters=$iters," +
+        s"seed=$seed,idCol=$idCol,vecCol=$vecCol,src=$sourcePath",
       markerName = "_INDEX_READY") { dir =>
       val spark = df.sparkSession
       import spark.implicits._
@@ -362,8 +367,16 @@ object Hnsw {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     }
+    // anchored to a field delimiter on BOTH sides and first-match:
+    // an unanchored "m=(\d+)" would bind inside the marker's embedded
+    // source path (e.g. `/dim=64/` matches `m=64`) and silently
+    // rebuild touched shards with the wrong m/efC, breaking the
+    // append-equals-fresh-build bit-identity the gate pins. The
+    // genuine fields are also serialized BEFORE the path (see
+    // ensureIndex's fingerprint), so first-match wins regardless.
     def param(k: String): Int =
-      s"$k=(\\d+)".r.findFirstMatchIn(marker)
+      s"(?:^|,)${java.util.regex.Pattern.quote(k)}=(\\d+)(?=,|$$)".r
+        .findFirstMatchIn(marker)
         .map(_.group(1).toInt)
         .getOrElse(sys.error(s"index marker lacks $k: $marker"))
     val (m, efC) = (param("m"), param("efC"))

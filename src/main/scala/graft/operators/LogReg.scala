@@ -60,11 +60,27 @@ object LogReg {
       val resid = (pExpr(w, col("x")) - col("y")).as("r")
       val sums = base.select(col("x"), resid)
         .agg(count(lit(1)).as("n"),
+          ((0 until numFeatures).map(j =>
+            sum(col("r") * element_at(col("x"), j + 1)).as(s"g$j")) ++
+          // per-feature max |x_j|, free inside the same aggregate —
+          // feeds the overflow guard below
           (0 until numFeatures).map(j =>
-            sum(col("r") * element_at(col("x"), j + 1)).as(s"g$j")): _*)
+            max(abs(element_at(col("x"), j + 1))).as(s"m$j"))): _*)
         .head()
       val n = sums.getLong(0)
       require(n > 0, "empty training set")
+      // overflow guard: the gradient Σ r·x_j is a raw int64 sum that
+      // would WRAP silently past 2⁶³ (non-ANSI sum), training on
+      // corrupt weights with no error. |r| ≤ 1e6 and |x_j| ≤ mX are
+      // hard bounds, so n·1e6·mX < 2⁶³ ⟹ no partial sum can wrap.
+      // The max feature magnitudes ride the same aggregate — the
+      // guard is data-derived and costs zero extra passes.
+      val maxAbsX = (0 until numFeatures)
+        .map(j => sums.getLong(1 + numFeatures + j)).max max 1L
+      require(n <= Long.MaxValue / 1000000L / maxAbsX,
+        s"gradient sum could overflow int64: n=$n rows with max " +
+          s"|x|=$maxAbsX micros exceeds the n*1e6*maxAbsX < 2^63 " +
+          "bound — rescale features or quantize coarser")
       w = w.indices.map { j =>
         w(j) - truncDiv(truncDiv(sums.getLong(j + 1), n) * lrPpm,
           1000000000000L)

@@ -217,6 +217,36 @@ object Pca {
     staged.withColumn(outCol, array(comps: _*)).drop("__c")
   }
 
+  /** Engine-exact integer projection: quantize the vector to micros
+    * (`round(1e6·x)` — the q_v_gram-proven exact step), center on the
+    * given LITERAL micro-means, dot with the given LITERAL micro-
+    * weights. `proj(c) = Σ_j (q_j − m_j)·w_cj` is pure int64 (bounded
+    * by d·(2e6)·max|w| ≈ 1.3e14 for unit-scale embeddings), so any
+    * engine handed the same literals computes the identical integers —
+    * this is the oracle-able half of PCA: the literals come from the
+    * driver's eigensolve ONCE and are interpolated into both the Spark
+    * plan and the replaying SQL. Map-only, codegen HOFs; the centered
+    * vector is staged as a column so the 8 component dot products
+    * don't re-evaluate the quantization (CollapseProject keeps a
+    * multiply-referenced non-cheap producer staged).
+    */
+  def projectMicros(df: DataFrame, vecCol: Column,
+                    meanMicros: Array[Long],
+                    weightMicros: Array[Array[Long]],
+                    outCol: String = "proj"): DataFrame = {
+    require(weightMicros.forall(_.length == meanMicros.length),
+      "each weight row must match the mean vector's length")
+    val centered = zip_with(
+      transform(vecCol, x => round(x.cast("double") * 1000000).cast("long")),
+      lit(meanMicros), (q, m) => q - m)
+    val staged = df.withColumn("__c", centered)
+    val comps = weightMicros.map { w =>
+      aggregate(zip_with(col("__c"), lit(w), (x, ww) => x * ww),
+        lit(0L), (acc, x) => acc + x)
+    }
+    staged.withColumn(outCol, array(comps: _*)).drop("__c")
+  }
+
   /** Whitened projection: each component scaled by 1/√λ (components
     * with λ ≤ 0 — numerically flat directions — map to 0).
     */

@@ -74,6 +74,15 @@ object GraftRules {
     *    is the visibility contract of a manifest-maintained table
     *    (see [[graft.engine.Layout.deleteMatching]]: unlisted files
     *    are garbage awaiting vacuum, not data);
+    *  - a PLANNER rewrite additionally requires the manifest's file
+    *    set to EQUAL the directory's ([[Layout.manifestFileNames]] vs
+    *    the relation's `inputFiles` basenames): a pure-SQL
+    *    `parquet.`/t`` scan is a directory read by the user's own
+    *    words, and the manifest-view argument above only covers the
+    *    deleted-file direction — files appended out-of-band after
+    *    writeFileStats would otherwise be silently dropped. API
+    *    callers who WANT manifest visibility use
+    *    [[graft.engine.Layout.read]]/`manifestRead`, which keep it;
     *  - any error in the hooks leaves the plan untouched (the
     *    unrewritten plan is always correct), and the rewrite is
     *    skipped unless it strictly shrinks the file count;
@@ -167,7 +176,8 @@ object GraftRules {
               .exists(boundsOf(_).nonEmpty) && eligible(r) =>
           val bounds = splitConjunctivePredicates(cond).flatMap(boundsOf)
           val table = r.location.rootPaths.head.toString
-          Layout.plannerKeptFiles(spark, table, bounds) match {
+          if (!ManifestAggHelper.manifestMatchesDir(spark, table, r)) f
+          else Layout.plannerKeptFiles(spark, table, bounds) match {
             case Some(kept) if kept.length < r.location.inputFiles.length =>
               val idx = new GraftPrunedFileIndex(spark,
                 kept.map(new org.apache.hadoop.fs.Path(_)), r.dataSchema)
@@ -226,12 +236,12 @@ object GraftRules {
         !r.location.rootPaths.head.getName.endsWith("__stats") &&
         Layout.hasManifest(spark, r.location.rootPaths.head.toString)
 
-    /** (manifest column, output attribute) per result expression, or
-      * None if any expression is not a plain complete non-distinct
-      * servable aggregate.
+    /** (served-aggregate spec, output attribute) per result
+      * expression, or None if any expression is not a plain complete
+      * non-distinct servable aggregate.
       */
     private def planServes(aggs: Seq[NamedExpression])
-        : Option[Seq[(String, Attribute)]] = {
+        : Option[Seq[(ManifestAggHelper.ServedAgg, Attribute)]] = {
       val served = aggs.map {
         case a @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
           ManifestAggHelper.servedBy(fn).map((_, a.toAttribute))
@@ -247,20 +257,22 @@ object GraftRules {
             if relationOf(child).exists(eligible) &&
               planServes(aggExprs).isDefined =>
           val served = planServes(aggExprs).get
-          val table = relationOf(child).get.location.rootPaths.head.toString
-          try {
+          val rel = relationOf(child).get
+          val table = rel.location.rootPaths.head.toString
+          if (!ManifestAggHelper.manifestMatchesDir(spark, table, rel)) agg
+          else try {
             val res = Layout.metadataAgg(spark, table)
             val schema = res.schema
-            val covered = served.forall { case (c, out) =>
-              schema.fields.exists(f => f.name == c && f.dataType == out.dataType)
+            val covered = served.forall { case (sa, out) =>
+              ManifestAggHelper.covers(sa, out, schema)
             }
             if (!covered) agg
             else {
               val row = res.head()
-              val values = served.map { case (c, out) =>
+              val values = served.map { case (sa, out) =>
                 org.apache.spark.sql.catalyst.CatalystTypeConverters
                   .createToCatalystConverter(out.dataType)(
-                    row.get(row.fieldIndex(c)))
+                    ManifestAggHelper.valueOf(sa, row))
               }
               LocalRelation(agg.output,
                 Seq(org.apache.spark.sql.catalyst.InternalRow
@@ -272,22 +284,107 @@ object GraftRules {
 }
 
 object ManifestAggHelper {
-  /** The manifest output-column name serving one aggregate call, or
-    * None when the call shape isn't manifest-servable.
+  import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
+
+  /** How one aggregate call is served from the manifest: directly by
+    * one manifest column, or (avg) derived from an exactly-served
+    * sum/count pair.
+    */
+  sealed trait ServedAgg
+  final case class Direct(col: String) extends ServedAgg
+  final case class AvgOf(sumCol: String, cntCol: String,
+                         minCol: String, maxCol: String) extends ServedAgg
+
+  /** The manifest serving spec for one aggregate call, or None when
+    * the call shape isn't manifest-servable.
     */
   private[plans] def servedBy(
       fn: org.apache.spark.sql.catalyst.expressions.aggregate
-        .AggregateFunction): Option[String] = {
+        .AggregateFunction): Option[ServedAgg] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate._
     fn match {
-      case Count(Seq(Literal(_, _))) => Some("n_rows")
-      case Count(Seq(a: AttributeReference)) => Some(s"cnt_${a.name}")
-      case Min(a: AttributeReference) => Some(s"min_${a.name}")
-      case Max(a: AttributeReference) => Some(s"max_${a.name}")
-      case Sum(a: AttributeReference, _) => Some(s"sum_${a.name}")
+      // the literal must be NON-NULL: count(NULL) is 0, not the row
+      // count — n_rows only serves count(*) / count(<non-null lit>)
+      case Count(Seq(Literal(v, _))) if v != null => Some(Direct("n_rows"))
+      case Count(Seq(a: AttributeReference)) => Some(Direct(s"cnt_${a.name}"))
+      case Min(a: AttributeReference) => Some(Direct(s"min_${a.name}"))
+      case Max(a: AttributeReference) => Some(Direct(s"max_${a.name}"))
+      case Sum(a: AttributeReference, _) => Some(Direct(s"sum_${a.name}"))
+      // avg = exactly-served sum / exactly-served non-null count.
+      // min/max ride along to bound the summation (see covers)
+      case Average(a: AttributeReference, _) =>
+        Some(AvgOf(s"sum_${a.name}", s"cnt_${a.name}",
+          s"min_${a.name}", s"max_${a.name}"))
       case _ => None
     }
   }
+
+  /** Is `sa` exactly served by this manifest-aggregate schema for an
+    * output of `out.dataType`? Direct requires name + type equality
+    * (no casting — a pre-v4 manifest bails). AvgOf requires the
+    * integral-sum shape: a LongType manifest sum/count pair and a
+    * DoubleType output — Spark's own Average over an integral column
+    * accumulates in DOUBLE, which equals the exact integer sum only
+    * while every partial sum is integer-representable in double, so
+    * the VALUE check in [[valueOf]] additionally bounds
+    * count·max(|min|,|max|) < 2⁵³ before trusting the fold. Double
+    * and decimal inputs never fold: their table-side sums are
+    * order-dependent / differently-typed, and the unrewritten plan is
+    * always correct.
+    */
+  private[plans] def covers(sa: ServedAgg, out: Attribute,
+                            schema: StructType): Boolean = sa match {
+    case Direct(c) =>
+      schema.fields.exists(f => f.name == c && f.dataType == out.dataType)
+    case AvgOf(s, c, mn, mx) =>
+      out.dataType == DoubleType &&
+        Seq(s, mn, mx).forall(n =>
+          schema.fields.exists(f => f.name == n && f.dataType == LongType)) &&
+        schema.fields.exists(f => f.name == c && f.dataType == LongType)
+  }
+
+  /** The Scala value serving `sa` from the manifest-aggregate row.
+    * Throws (→ the rule's catch bails to the ordinary plan) when an
+    * AvgOf's exactness bound fails.
+    */
+  private[plans] def valueOf(sa: ServedAgg,
+                             row: org.apache.spark.sql.Row): Any = sa match {
+    case Direct(c) => row.get(row.fieldIndex(c))
+    case AvgOf(s, c, mn, mx) =>
+      val cnt = row.getLong(row.fieldIndex(c))
+      if (cnt == 0L) null
+      else {
+        val lo = row.getLong(row.fieldIndex(mn))
+        val hi = row.getLong(row.fieldIndex(mx))
+        val bound = math.max(math.abs(lo), math.abs(hi))
+        // every prefix of Spark's double summation is ≤ cnt·max|v|;
+        // below 2^53 all prefixes are exact integers, so the double
+        // accumulation ≡ the manifest's exact long sum in ANY order
+        require(bound <= 0L || cnt <= (1L << 53) / bound,
+          s"avg fold exactness bound exceeded: $cnt rows of |v| ≤ $bound")
+        row.getLong(row.fieldIndex(s)).toDouble / cnt.toDouble
+      }
+  }
+
+  /** The planner rewrites' consistency gate: true iff the manifest's
+    * file-name set EQUALS the relation's actual input-file basenames.
+    * Out-of-band appends (data-dir files the manifest never saw) and
+    * manifest-only rows (files deleted out-of-band) both fail the
+    * probe, so the rewrite falls back to the ordinary directory scan
+    * the SQL literally asked for. The manifest side is memoized by
+    * fingerprint; the directory side comes fresh from the relation on
+    * every optimizer invocation, so no memo can serve a decision
+    * across a data-dir change.
+    */
+  private[plans] def manifestMatchesDir(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      r: org.apache.spark.sql.execution.datasources.HadoopFsRelation)
+      : Boolean =
+    graft.engine.Layout.manifestFileNames(spark, tablePath).exists { mf =>
+      val dirNames = r.location.inputFiles
+        .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+      mf == dirNames
+    }
 }
 
 /** Marker FileIndex for a [[GraftRules.ManifestSkip]]-pruned scan:

@@ -222,6 +222,24 @@ class LayoutExtensionsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("metadataAgg over a zero-row manifest: counts fold to 0, not " +
+    "NULL; data sum/min/max stay NULL (≡ aggregates of an empty table)") {
+    val path = tmpDir("magg-empty") + "/li"
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey")).filter(lit(false))
+      .coalesce(1).write.parquet(path)
+    graft.engine.Layout.writeFileStats(spark, path, Seq("l_orderkey"))
+    val row = graft.engine.Layout.metadataAgg(spark, path).head()
+    assert(row.getLong(row.fieldIndex("n_rows")) == 0L,
+      "count(*) of an empty table must be 0, not NULL")
+    assert(row.getLong(row.fieldIndex("cnt_l_orderkey")) == 0L,
+      "count(col) of an empty table must be 0, not NULL")
+    assert(row.isNullAt(row.fieldIndex("sum_l_orderkey")) &&
+      row.isNullAt(row.fieldIndex("min_l_orderkey")) &&
+      row.isNullAt(row.fieldIndex("max_l_orderkey")),
+      "sum/min/max of an empty table must be NULL")
+  }
+
   test("deleteMatching rewrites ONLY the intersecting files; untouched " +
     "files keep their exact bytes; the manifest stays consistent") {
     import org.apache.hadoop.fs.Path

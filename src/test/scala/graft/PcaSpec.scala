@@ -109,4 +109,28 @@ class PcaSpec extends SparkSpec {
       model.components.map(_.toSeq).toSeq)
     assert(m2.eigenvalues.toSeq == model.eigenvalues.toSeq)
   }
+
+  test("projectMicros == exact Scala integer replay (the oracle-able " +
+    "projection: literal micro means/weights, pure int64)") {
+    val k = 8
+    val model = Pca.fit(emb, col("embedding"), dim, k)
+    val mMic = model.means.map(x => Math.round(x * 1e6))
+    val wMic = model.components.map(_.map(x => Math.round(x * 1e6)))
+    val got = Pca.projectMicros(
+        emb.select(col("vec_id"), col("embedding")),
+        col("embedding"), mMic, wMic)
+      .select(col("vec_id"), col("proj"))
+      .as[(Long, Array[Long])].collect().toMap
+    val ids = emb.select(col("vec_id")).as[Long].collect()
+    assert(got.size == ids.length)
+    ids.zip(vecs).foreach { case (id, v) =>
+      val expect = wMic.map { w =>
+        var s = 0L
+        var j = 0
+        while (j < dim) { s += (q(v(j)) - mMic(j)) * w(j); j += 1 }
+        s
+      }
+      assert(got(id).toSeq == expect.toSeq, s"vec $id")
+    }
+  }
 }

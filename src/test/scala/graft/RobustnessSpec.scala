@@ -184,6 +184,15 @@ class RobustnessSpec extends SparkSpec {
     val noFeats = Seq.empty[(Long, Seq[Long])].toDF("y", "x")
     intercept[IllegalArgumentException](
       LogReg.train(noFeats, col("y"), col("x"), 2, 1, 1L))
+    // gradient-overflow guard: huge feature magnitudes shrink the
+    // n·1e6·max|x| < 2⁶³ envelope to a handful of rows — training on
+    // more must fail LOUDLY, never silently wrap the int64 gradient
+    val big = Seq.tabulate(8)(i =>
+      ((i % 2).toLong * 1000000L, Seq(1000000L, 4000000000000L)))
+      .toDF("y", "x")
+    val e = intercept[IllegalArgumentException](
+      LogReg.train(big, col("y"), col("x"), 2, 1, 300000L))
+    assert(e.getMessage.contains("overflow"), e.getMessage)
 
     // PCA: < 2 rows → friendly require; a constant corpus has zero
     // covariance → all eigenvalues 0 and whitening maps to exact 0
