@@ -1184,11 +1184,16 @@ object StretchQueries {
           .getOrElse(sys.error(s"index at $scratch has no _ROWS")).toInt)
     }),
 
-    // LSH/ANN scale path — recall-checked against brute force in tests
+    // LSH top-k in the probe-all-buckets exhaustive mode (maxHamming
+    // ≥ nBits — the HNSW ef<=0 escape-hatch pattern): every (query,
+    // corpus) pair flows through the SAME hash-join + exact-cosine +
+    // TopK machinery the budgeted path uses, so the gate shares the
+    // brute-force oracle at any sf; the default budget's recall stays
+    // measured in SimilaritySpec
     "q_v_topk_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") < 16),
-        k = 5, dim = 64)
+        k = 5, dim = 64, maxHamming = 16)
     }),
 
     // ── multimodal plumbing (stub codec, real Spark mechanics) ─────────
@@ -3239,6 +3244,7 @@ object StretchQueries {
   def oracleSql: Map[String, String] =
     oracleSqlMap +
       ("q_v_topk_ivf" -> oracleSqlMap("q_v_topk")) +
+      ("q_v_topk_lsh" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_inc" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_idx" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_hnsw" -> oracleSqlMap("q_v_topk")) +

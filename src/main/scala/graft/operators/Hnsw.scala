@@ -336,6 +336,12 @@ object Hnsw {
         .toDF()
         .write.partitionBy("cluster").mode("overwrite")
         .parquet(s"$dir/graph")
+      // drift-meter base: build-time row count, the denominator of
+      // appendedFraction (the Ivf._ROWS_BASE protocol). Footer-only —
+      // the graph was just written, no data scan
+      val n = footerShardSizes(spark, dir).values.sum
+      Ivf.writeCountFile(spark, s"$dir/_ROWS_BASE", n)
+      Ivf.writeCountFile(spark, s"$dir/_ROWS", n)
     }
 
   /** Incremental index growth (the FAISS `add` shape, like
@@ -406,7 +412,107 @@ object Hnsw {
       case None => spark.conf.unset(
         "spark.sql.sources.partitionOverwriteMode")
     }
+    // maintain the live row count from footers (exact: untouched
+    // shards keep their files, touched shards were just rewritten) —
+    // _ROWS_BASE stays at build value, so appendedFraction meters
+    // drift since the last RETRAIN, not since the last append
+    Ivf.writeCountFile(spark, s"$indexPath/_ROWS",
+      footerShardSizes(spark, indexPath).values.sum)
   }
+
+  // ── drift / imbalance meters (round-11 VERDICT #6) ─────────────────
+
+  /** Per-shard row counts read from parquet FOOTERS only — a driver
+    * metadata walk (list `graph/cluster=N/`, sum each footer's record
+    * count), never a data scan. This is the [[Ivf.indexRowCount]]
+    * idea widened to per-shard resolution, which HNSW needs because
+    * its memory contract is PER-SHARD ("one shard's vectors fit one
+    * executor"): a global row count can look healthy while routing
+    * drift funnels every append into one shard.
+    */
+  def footerShardSizes(spark: SparkSession,
+                       indexPath: String): Map[Int, Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val graph = new org.apache.hadoop.fs.Path(s"$indexPath/graph")
+    val fs = graph.getFileSystem(conf)
+    if (!fs.exists(graph)) return Map.empty
+    fs.listStatus(graph).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
+      .map { shardDir =>
+        val cl = shardDir.getPath.getName.stripPrefix("cluster=").toInt
+        val rows = fs.listStatus(shardDir.getPath).iterator
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(f.getPath, conf))
+            try rdr.getRecordCount finally rdr.close()
+          }.sum
+        cl -> rows
+      }.toMap
+  }
+
+  /** Appended-since-build fraction — identical semantics to
+    * [[Ivf.appendedFraction]] (live − base) / base, with the live
+    * count from the maintained `_ROWS` (footer fallback for an index
+    * whose `_ROWS` predates this meter). 0.0 for a fresh build.
+    */
+  def appendedFraction(spark: SparkSession, indexPath: String): Double = {
+    val live = Ivf.readCountFile(spark, s"$indexPath/_ROWS")
+      .getOrElse(footerShardSizes(spark, indexPath).values.sum)
+    Ivf.readCountFile(spark, s"$indexPath/_ROWS_BASE") match {
+      case Some(base) if base > 0 =>
+        math.max(0.0, (live - base).toDouble / base)
+      case _ => 0.0
+    }
+  }
+
+  /** Largest-shard skew: max shard rows / mean shard rows (1.0 =
+    * perfectly even, ∞-ish = one shard owns the corpus). Footer-only.
+    * 0.0 for an empty/missing graph.
+    */
+  def shardImbalance(spark: SparkSession, indexPath: String): Double = {
+    val sizes = footerShardSizes(spark, indexPath).values
+    if (sizes.isEmpty || sizes.sum == 0L) 0.0
+    else sizes.max.toDouble * sizes.size / sizes.sum
+  }
+
+  /** The operable rebuild trigger ([[Ivf.needsRebuild]]'s twin, with
+    * the per-shard axis HNSW adds): fire when appended mass stops
+    * being a minority of the index (same measured 0.5 default and
+    * rationale as IVF — the router IS an IVF centroid set, so the
+    * frozen-centroid drift table transfers verbatim), OR when one
+    * shard has grown past `maxShardSkew`× the even share.
+    *
+    * What the skew axis protects is NOT recall — the measured table
+    * (NOTES round-12, `hnsw-imbalance`: targeted appends funneled
+    * into one shard of a planted-cluster corpus) shows frozen-index
+    * recall@5 at the fixed nprobe=2/ef=64 budget holding 1.000 all
+    * the way to 4.5× skew, because graph navigation within a shard
+    * degrades only logarithmically with shard size. The operative
+    * costs are the two LINEAR ones: (a) the per-shard memory
+    * contract — one shard's vectors must fit one executor, and a
+    * shard at S× the even share needs S× the planned headroom — and
+    * (b) append latency — appendToIndex rebuilds the TOUCHED shard,
+    * so a hot shard makes every append to it cost O(S·evenShare)
+    * (measured: append wall 1.0 → 2.1 s as the hot shard grew 2× at
+    * constant batch size). 4.0 marks a shard owning half a 8-shard
+    * index's rows — past any sane headroom plan. The same run also
+    * measured the rebalancing trade: a retrain splits the fat
+    * natural cluster across shards, restoring skew to ~1.5 but
+    * costing ~0.1 recall at the SAME nprobe=2 (its mass now spans
+    * more shards than the probe budget) — so the trigger's rebuild
+    * should bump nprobe or shard count along with the retrain when
+    * the hot mass is one semantic cluster. Rebuild = re-run
+    * [[ensureIndex]] after deleting the marker, or bump any
+    * fingerprint parameter; both retrain the router and restamp the
+    * base.
+    */
+  def needsRebuild(spark: SparkSession, indexPath: String,
+                   maxAppendedFraction: Double = 0.5,
+                   maxShardSkew: Double = 4.0): Boolean =
+    appendedFraction(spark, indexPath) > maxAppendedFraction ||
+      shardImbalance(spark, indexPath) > maxShardSkew
 
   /** ANN top-k against the reloaded index: queries route to their
     * `nprobe` nearest shards (partition-pruned graph scan), each

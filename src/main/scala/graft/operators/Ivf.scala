@@ -299,7 +299,7 @@ object Ivf {
     n
   }
 
-  private def writeCountFile(spark: SparkSession, pathStr: String,
+  private[operators] def writeCountFile(spark: SparkSession, pathStr: String,
                              n: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(pathStr)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -307,7 +307,7 @@ object Ivf {
     o.write(n.toString.getBytes("UTF-8")); o.close()
   }
 
-  private def readCountFile(spark: SparkSession,
+  private[operators] def readCountFile(spark: SparkSession,
                             pathStr: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(pathStr)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

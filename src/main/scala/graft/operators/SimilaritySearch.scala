@@ -163,28 +163,53 @@ object SimilaritySearch {
               nBits: Int = 16, maxHamming: Int = 6,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val (bands, subRadius) = bandPlan(nBits, maxHamming)
+    // EXACTNESS ESCAPE HATCH (the Hnsw `ef <= 0` pattern): maxHamming
+    // ≥ nBits means "admit any signature distance", so the hatch
+    // probes EVERY bucket of ONE band — each corpus row lands in
+    // exactly one band-0 bucket and the query probes all 2^rows of
+    // them, so every (query, corpus) pair is admitted exactly once
+    // and the exact-cosine rescore + shared TopK tail make the result
+    // ≡ [[bruteForceTopK]] at any sf. Same physical shape as the
+    // budgeted path (hash join on (band, bucket), never a nested
+    // loop), which is what lets the q_v_topk_lsh gate share the
+    // brute-force oracle while SimilaritySpec keeps measuring the
+    // default budget's recall.
+    val exhaustive = maxHamming >= nBits
+    val (bands, subRadius) =
+      if (exhaustive) {
+        val b = math.max(1, nBits / 4) // 4-bit band-0 buckets → 16 probes
+        (b, nBits / b)                 // subRadius = rows → every slice passes
+      } else bandPlan(nBits, maxHamming)
     val rows = nBits / bands
     val mask = (1L << rows) - 1
+    // exhaustive mode keys the corpus by band 0 only (probing all of
+    // band 0's buckets already covers every row; exploding the other
+    // bands would just multiply the scan)
+    val corpusBands = if (exhaustive) 1 else bands
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .withColumn("n_sig", hyperplaneSignature(col("n_vec"), dim, nBits))
       .select(col("n_id"), col("n_vec"), col("n_sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        explode(sequence(lit(0), lit(corpusBands - 1))).as("band"))
       .withColumn("bucket", expr(s"(n_sig >> (band * $rows)) & $mask"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("q_sig", hyperplaneSignature(col("q_vec"), dim, nBits))
     // probes carry (q_id, q_sig, band, bucket) ONLY — exploding the
     // query VECTOR probe-count times would multiply the broadcast by
     // dim·probes; the vector re-joins by q_id after the bucket match
-    val subMasks = hammingBallMasks(rows, subRadius)
-    val probes = q
-      .select(col("q_id"), col("q_sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("q_id"), col("q_sig"), col("band"),
-        explode(typedlit(subMasks)).as("m"))
-      .select(col("q_id"), col("q_sig"), col("band"),
-        expr(s"(q_sig >> (band * $rows)) & $mask")
-          .bitwiseXOR(col("m")).as("bucket"))
+    val probes =
+      if (exhaustive)
+        q.select(col("q_id"), col("q_sig"), lit(0).as("band"),
+          explode(sequence(lit(0L), lit(mask))).as("bucket"))
+      else {
+        val subMasks = hammingBallMasks(rows, subRadius)
+        q.select(col("q_id"), col("q_sig"),
+            explode(sequence(lit(0), lit(bands - 1))).as("band"))
+          .select(col("q_id"), col("q_sig"), col("band"),
+            explode(typedlit(subMasks)).as("m"))
+          .select(col("q_id"), col("q_sig"), col("band"),
+            expr(s"(q_sig >> (band * $rows)) & $mask")
+              .bitwiseXOR(col("m")).as("bucket"))
+      }
     // dedup without a shuffle: keep a matched pair only in its FIRST
     // band whose sub-distance is ≤ subRadius (bands are disjoint bit
     // ranges, so band j's sub-distance is bit_count of the XOR slice)

@@ -11,6 +11,7 @@ object Profile {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("topk-micro")) { topkMicro(); return }
     if (args.headOption.contains("ivf-drift")) { ivfDrift(); return }
+    if (args.headOption.contains("hnsw-imbalance")) { hnswImbalance(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -124,6 +125,93 @@ object Profile {
       Ivf.writeIndex(fullCorpus, Ivf.train(fullCorpus, k = 32), idx2)
       println(f"retrained at 100%%: recall@5=${recallOf(idx2)}%.3f " +
         f"frac=${Ivf.appendedFraction(spark, idx2)}%.2f")
+    }
+    spark.stop()
+  }
+
+  /** Measured grounding for [[graft.operators.Hnsw.needsRebuild]]'s
+    * shard-skew threshold: plant even clusters, build shard-per-
+    * cluster, then funnel appends into ONE shard and track (skew,
+    * frozen-index recall at the production budget, retrained recall,
+    * append wall) per step. The recall question: does a shard at S×
+    * the even share still answer its queries at fixed ef, or does the
+    * fixed exploration budget explore a shrinking fraction of a
+    * growing graph? Results recorded in NOTES (`hnsw-imbalance`).
+    */
+  private def hnswImbalance(): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Hnsw, Ivf, SimilaritySearch}
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val dim = 16
+    val clusters = 8
+    val perCluster = 500
+    val rnd = new scala.util.Random(5)
+    val anchors = Array.fill(clusters, dim)(rnd.nextGaussian())
+    def mk(id: Long, c: Int): (Long, Seq[Float]) =
+      (id, anchors(c).map(x => (x + rnd.nextGaussian() * 0.15).toFloat).toSeq)
+    val base = (0 until clusters * perCluster)
+      .map(i => mk(i.toLong, i % clusters)).toDF("vec_id", "embedding")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_imb"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val src = s"$root/src"; base.write.parquet(src)
+    val idx = s"$root/idx"
+    Hnsw.ensureIndex(base, src, idx, shards = clusters, m = 8, efC = 32)
+    def corpusOf(path: String) = spark.read.parquet(s"$path/graph")
+      .select(col("vec_id"), col("vec").as("embedding"))
+    // queries FROM the fattened cluster's region — the worst case for
+    // a fixed-ef search of a growing shard
+    def recallOf(path: String): Double = {
+      val corpus = corpusOf(idx) // ground truth over the LIVE row set
+      val qs = corpus.filter(pmod(col("vec_id"), lit(perCluster)) === 0)
+        .limit(48)
+      val exact = SimilaritySearch.bruteForceTopK(corpus, qs, k = 5)
+      val approx = Hnsw.searchIndex(spark, path, qs, k = 5,
+        nprobe = 2, ef = 64)
+      val r = SimilaritySearch.recallAtK(exact, approx)
+        .agg(sum("n_hit").as("h"), sum("n_exact").as("e")).head()
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    println(f"base: skew=${Hnsw.shardImbalance(spark, idx)}%.2f " +
+      f"recall@5=${recallOf(idx)}%.3f")
+    var nextId = (clusters * perCluster).toLong
+    Seq(1, 2, 4, 8).foreach { mult =>
+      // grow shard 0 to ~mult× extra even shares (cumulative)
+      val target = perCluster * mult
+      val have = Hnsw.footerShardSizes(spark, idx).values.max - perCluster
+      val need = (target - have).toInt
+      if (need > 0) {
+        val app = (0 until need)
+          .map(i => mk(nextId + i, 0)).toDF("vec_id", "embedding")
+        nextId += need
+        val t0 = System.nanoTime()
+        Hnsw.appendToIndex(app, idx)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val skew = Hnsw.shardImbalance(spark, idx)
+        val frozen = recallOf(idx)
+        // the rebuild the trigger points at: retrained router over the
+        // live rows, same params
+        val all = corpusOf(idx)
+        val src2 = s"$root/src_$mult"; all.write.parquet(src2)
+        val idx2 = s"$root/idx_$mult"
+        Hnsw.ensureIndex(all, src2, idx2, shards = clusters, m = 8,
+          efC = 32)
+        println(f"skew=$skew%.2f frozen_recall=$frozen%.3f " +
+          f"retrained_recall=${recallOf(idx2)}%.3f " +
+          f"retrained_skew=${Hnsw.shardImbalance(spark, idx2)}%.2f " +
+          f"append_wall=$wall%.1fs " +
+          f"needsRebuild=${Hnsw.needsRebuild(spark, idx,
+            maxAppendedFraction = 1e9)}")
+      }
     }
     spark.stop()
   }

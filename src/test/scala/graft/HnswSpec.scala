@@ -146,4 +146,61 @@ class HnswSpec extends SparkSpec {
     assert(hnsw >= pq - 0.02,
       s"graph index should not lose to the PQ shortlist: $hnsw vs $pq")
   }
+
+  test("drift policy (Ivf.needsRebuild's twin): meters read footers " +
+    "only, appended fraction and shard skew each fire the trigger, " +
+    "and a rebuild resets both") {
+    // 3 planted clusters, 100 rows each → even shards at build
+    val rnd = new scala.util.Random(7)
+    val anchors = Array.fill(3, 16)(rnd.nextGaussian())
+    val rows = (0 until 300).map { i =>
+      val a = anchors(i % 3)
+      (i.toLong, a.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val base = rows.toDF("vec_id", "embedding")
+    val src = tmpDir("hnsw-drift-src") + "/src"
+    base.write.parquet(src)
+    val idx = tmpDir("hnsw-drift") + "/idx"
+    Hnsw.ensureIndex(base, src, idx, shards = 3, m = 8, efC = 32)
+    val sizes0 = Hnsw.footerShardSizes(spark, idx)
+    assert(sizes0.values.sum == 300L, s"footer counts off: $sizes0")
+    assert(Hnsw.appendedFraction(spark, idx) == 0.0)
+    assert(Hnsw.shardImbalance(spark, idx) < 2.0,
+      s"planted even clusters built skewed: $sizes0")
+    assert(!Hnsw.needsRebuild(spark, idx))
+    // targeted append: 180 rows AT anchor 0 — all route to one shard,
+    // moving both meters at once
+    val drift = (1000 until 1180).map { i =>
+      (i.toLong,
+        anchors(0).map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    Hnsw.appendToIndex(drift.toDF("vec_id", "embedding"), idx)
+    val frac = Hnsw.appendedFraction(spark, idx)
+    assert(math.abs(frac - 0.6) < 0.01, s"appended meter off: $frac")
+    val skew = Hnsw.shardImbalance(spark, idx)
+    // the fattened shard holds ~280 of 480 rows → skew ~1.75×
+    assert(skew > 1.5 && skew < 2.2, s"skew meter off: $skew")
+    assert(Hnsw.needsRebuild(spark, idx),
+      "0.6 appended must trip the 0.5 default")
+    // each axis fires independently of the other
+    assert(Hnsw.needsRebuild(spark, idx,
+      maxAppendedFraction = 10.0, maxShardSkew = 1.5),
+      "skew axis alone must fire below the measured skew")
+    assert(!Hnsw.needsRebuild(spark, idx,
+      maxAppendedFraction = 10.0, maxShardSkew = 2.5),
+      "neither axis past threshold must not fire")
+    // the rebuild the trigger points at: fresh build over the union —
+    // retrained router re-splits the mass and restamps the base
+    val all = spark.read.parquet(s"$idx/graph")
+      .select(col("vec_id"), col("vec").as("embedding"))
+    val src2 = tmpDir("hnsw-drift-src2") + "/src"
+    all.write.parquet(src2)
+    val idx2 = tmpDir("hnsw-drift2") + "/idx"
+    Hnsw.ensureIndex(all, src2, idx2, shards = 4, m = 8, efC = 32)
+    assert(Hnsw.appendedFraction(spark, idx2) == 0.0,
+      "rebuild must reset the appended meter")
+    assert(Hnsw.shardImbalance(spark, idx2) < 2.0,
+      "retrained router must re-balance the shards")
+    assert(!Hnsw.needsRebuild(spark, idx2))
+  }
 }

@@ -50,6 +50,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("lshTopK exhaustive mode (maxHamming >= nBits) == bruteForceTopK " +
+    "row-for-row (the probe-all-buckets escape hatch behind the " +
+    "q_v_topk_lsh oracle)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+      .collect().map(_.toSeq).toSet
+    val hatch = SimilaritySearch.lshTopK(emb, q, k = 5, dim = 64,
+        nBits = 16, maxHamming = 16)
+      .collect().map(_.toSeq).toSet
+    assert(hatch == exact,
+      s"exhaustive LSH diverged from brute force: ${hatch.size} vs ${exact.size}")
+  }
+
   test("bandPlan: cheapest (bands, subRadius) still covers the full Hamming ball") {
     // the pigeonhole guarantee, checked exhaustively: every XOR pattern
     // with popcount <= maxHamming must have SOME band within subRadius
