@@ -2968,6 +2968,45 @@ object StretchQueries {
            |FROM parquet.`$dir/documents.parquet`""".stripMargin)
     }),
 
+    // ── S29: pure-SQL near-dup through the LSH kernels (round-11
+    //    VERDICT #8 — the q_s28 deployment-shape proof extended to the
+    //    dedup surface): an extensions-configured session runs banded
+    //    MinHash candidate generation + exact-Jaccard verification
+    //    with ZERO Scala calls — graft_minhash buckets (8 bands × 4
+    //    values, array-valued join keys), DISTINCT pair dedup, and a
+    //    graft_jaccard = 1.0 confirm. The oracle never sees the
+    //    engine-specific hashes: identical shingle SETS ⟺ identical
+    //    signatures ⟺ same bucket in EVERY band (seed-independent),
+    //    so banding recall for jaccard-1.0 pairs is exactly 1 and the
+    //    oracle replays the SEMANTIC result — pairs with equal sorted
+    //    distinct string-shingle lists — in DuckDB list arithmetic.
+    //    Planted copies (doc_id + 1e6, same text) make the pair list
+    //    deterministically nonempty; natural exact-dups surface too,
+    //    identically on both sides ───────────────────────────────────
+    "q_s29_sql_neardup" -> ((s, dir) => s.sql(
+      s"""WITH c AS (
+         |  SELECT doc_id, coalesce(text, '') AS text
+         |  FROM parquet.`$dir/documents.parquet`
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, coalesce(text, '')
+         |  FROM parquet.`$dir/documents.parquet`),
+         |s AS (
+         |  SELECT doc_id, graft_minhash(text) AS sig,
+         |    graft_shingle_set(text) AS sh
+         |  FROM c WHERE length(trim(text)) > 0),
+         |bd AS (
+         |  SELECT doc_id, b, slice(sig, b * 4 + 1, 4) AS bucket
+         |  FROM s LATERAL VIEW explode(sequence(0, 7)) t AS b),
+         |p AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+         |  FROM bd a JOIN bd bb
+         |  ON a.b = bb.b AND a.bucket = bb.bucket
+         |    AND a.doc_id < bb.doc_id)
+         |SELECT p.id_a, p.id_b
+         |FROM p JOIN s sa ON sa.doc_id = p.id_a
+         |  JOIN s sb ON sb.doc_id = p.id_b
+         |WHERE graft_jaccard(sa.sh, sb.sh) = 1.0""".stripMargin)),
+
     // SQ8 quantized top-k: int8-scan ANN (4× smaller than float32)
     // whose ranking key dot8·scale_c·scale_q is PURE int64 — unlike
     // PQ's float ADC, the whole quantized ranking hash-matches the
@@ -3823,6 +3862,25 @@ object StretchQueries {
           "SELECT doc_id, round(CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0 " +
           "ELSE len(list_intersect(sa, sb)) * 1.0 / len(list_distinct(list_concat(sa, sb))) END, 6) AS jaccard FROM s"
       withTok.replaceAll(raw"\s+", " ")
+    },
+
+    // the SEMANTIC result of the engine's banded-minhash + jaccard=1
+    // pipeline: pairs whose sorted distinct string-shingle lists are
+    // EQUAL (identical sets ⟺ identical signatures ⟺ caught in every
+    // band; the = 1.0 confirm rejects everything else), replayed
+    // without the engine-specific hash values
+    "q_s29_sql_neardup" -> {
+      (s"""WITH c AS (
+         |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, coalesce(text, '') FROM documents),
+         |t AS (SELECT doc_id, $tokensSql AS ta FROM c
+         |  WHERE length(trim(text)) > 0),
+         |s AS (SELECT doc_id,
+         |  list_sort(list_distinct($shinglesSqlA)) AS key FROM t)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM s a JOIN s b ON a.key = b.key AND a.doc_id < b.doc_id"""
+        .stripMargin).replaceAll(raw"\s+", " ")
     },
 
     // every planted copy resolves to its original (min id in the

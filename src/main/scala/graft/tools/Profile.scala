@@ -12,6 +12,7 @@ object Profile {
     if (args.headOption.contains("topk-micro")) { topkMicro(); return }
     if (args.headOption.contains("ivf-drift")) { ivfDrift(); return }
     if (args.headOption.contains("hnsw-imbalance")) { hnswImbalance(); return }
+    if (args.headOption.contains("ann-clustered")) { annClustered(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -126,6 +127,77 @@ object Profile {
       println(f"retrained at 100%%: recall@5=${recallOf(idx2)}%.3f " +
         f"frac=${Ivf.appendedFraction(spark, idx2)}%.2f")
     }
+    spark.stop()
+  }
+
+  /** Clustered-corpus ANN recall study (round-11 VERDICT #10): the
+    * synthetic isotropic embeddings bound what the recall ladder can
+    * show (documented twice in NOTES), so this arm plants a CLUSTERED
+    * corpus — the shape real embedding models emit — at 10× the sf0.01
+    * vector count and re-measures the whole ladder at EQUAL candidate
+    * budgets. Mixed cluster tightness (σ from 0.05 to 0.4 across
+    * clusters) plus 10% isotropic background noise, so neighbors are
+    * neither trivially-in-cluster nor uniformly spread.
+    */
+  private def annClustered(): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Hnsw, Ivf, Pq, SimilaritySearch}
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val dim = 64
+    val clusters = 40
+    val perCluster = 112  // 40·112 + 500 noise ≈ 5k ≈ 10× sf0.01
+    val rnd = new scala.util.Random(13)
+    val anchors = Array.fill(clusters, dim)(rnd.nextGaussian())
+    val sigma = Array.tabulate(clusters)(c => 0.05 + 0.35 * c / clusters)
+    val rows = (0 until clusters * perCluster).map { i =>
+      val c = i % clusters
+      (i.toLong, anchors(c)
+        .map(x => (x + rnd.nextGaussian() * sigma(c)).toFloat).toSeq)
+    } ++ (0 until 500).map(i => ((100000 + i).toLong,
+      Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val emb = rows.toDF("vec_id", "embedding")
+    emb.cache().count(): Unit
+    val q = emb.filter(pmod(col("vec_id"), lit(59)) === 1).limit(64)
+    val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+    exact.cache().count(): Unit
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = SimilaritySearch.recallAtK(exact, df)
+        .agg(sum(col("n_hit")), sum(col("n_exact"))).head
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    // equal budgets across the ladder: 8 coarse cells, nprobe=2,
+    // 64-candidate shortlist / ef=64 — the HnswSpec/NOTES convention
+    val ivf = Ivf.train(emb, k = 8, iters = 4)
+    println(f"ivf_full_probe   recall@5=${recallOf(
+      Ivf.searchTopK(emb, q, ivf, k = 5, nprobe = 8))}%.3f")
+    println(f"ivf_nprobe2      recall@5=${recallOf(
+      Ivf.searchTopK(emb, q, ivf, k = 5, nprobe = 2))}%.3f")
+    val pqm = Pq.train(emb, m = 8, k = 16)
+    println(f"ivfpq_rescore64  recall@5=${recallOf(Pq.topKClustered(
+      emb, q, ivf, pqm, k = 5, nprobe = 2, rescoreK = 64))}%.3f")
+    val pqr = Pq.trainResidual(emb, ivf, m = 8, k = 16)
+    println(f"respq_rescore64  recall@5=${recallOf(
+      Pq.topKClusteredResidual(
+        emb, q, ivf, pqr, k = 5, nprobe = 2, rescoreK = 64))}%.3f")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ann_clust"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val src = s"$root/src"; emb.write.parquet(src)
+    val idx = s"$root/idx"
+    Hnsw.ensureIndex(emb, src, idx, shards = 8, m = 16, efC = 100)
+    println(f"hnsw_ef64        recall@5=${recallOf(
+      Hnsw.searchIndex(spark, idx, q, k = 5, nprobe = 2, ef = 64))}%.3f")
+    println(f"lsh_h7           recall@5=${recallOf(SimilaritySearch
+      .lshTopK(emb, q, k = 5, dim = dim, nBits = 16, maxHamming = 7))}%.3f")
     spark.stop()
   }
 

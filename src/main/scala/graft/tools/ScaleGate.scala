@@ -192,7 +192,13 @@ object ScaleGate {
     // the pure-SQL registry twin of q_t_blocklist — same linear
     // per-byte bound; a registry-path regression to interpreted eval
     // would show as a constant-factor blowup
-    "q_s28_sql_blocklist" -> 13.0
+    "q_s28_sql_blocklist" -> 13.0,
+    // pure-SQL banded-minhash near-dup: per-doc kernel CPU (minhash +
+    // shingle set) is linear; the band join's bucket occupancy is
+    // O(dup-group size), which TESTDATA keeps constant across sf —
+    // a bucket-degeneracy regression (signature collapse) would show
+    // as quadratic pair enumeration
+    "q_s29_sql_neardup" -> 12.0
   )
 
   def main(args: Array[String]): Unit = {
