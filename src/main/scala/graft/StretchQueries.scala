@@ -337,6 +337,23 @@ object StretchQueries {
       graft.operators.LangModel.bigramSurprisal(
         t(s, dir, "documents"), "text", "doc_id")),
 
+    // Kneser–Ney smoothed LM scoring (the smoothing the MLE surprisal
+    // lacks): train on the content-hash TRAIN split, score the
+    // held-out docs — absolute discounting d=3/4 + continuation
+    // backoff, P_KN as an exact int64 num/den pair so both engines
+    // ln-and-round the identical micros per bigram type; unseen
+    // bigrams report as n_oov instead of a zero-probability cliff
+    "q_t_kn_surprisal" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"))
+        .withColumn("__b",
+          graft.operators.DatasetSplit.bucket256(col("text")))
+      graft.operators.LangModel.knSurprisal(
+        base.filter(col("__b") < 205),
+        base.filter(col("__b") >= 205), "text", "doc_id")
+    }),
+
     // deterministic weighted corpus mixing: per-language keep rates
     // (en 192/256, und 64/256, default 128/256) keyed on the content
     // hash — the pretraining-mixture re-weighting step, reproducible
@@ -3016,6 +3033,16 @@ object StretchQueries {
       SimilaritySearch.sq8TopK(emb, emb.filter(col("vec_id") < 16), k = 5)
     }),
 
+    // binary-quantized top-k: 32× compression, Hamming shortlist +
+    // exact rescore — integers end to end, so the oracle replays the
+    // WHOLE pipeline (shortlist selection included), not just an
+    // exhaustive escape hatch
+    "q_v_topk_bin" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.binTopK(emb, emb.filter(col("vec_id") < 16),
+        k = 5, shortlistK = 64)
+    }),
+
     // mixed-script tokenization: the han-bigram fallback over a
     // corpus with planted CJK runs (a 3-char run → 2 bigrams, an
     // arithmetic-gated lone char → unigram, and a latin-adjacent run
@@ -3583,6 +3610,43 @@ object StretchQueries {
          |FROM occ JOIN s ON occ.w1 = s.w1 AND occ.w2 = s.w2
          |GROUP BY 1""".stripMargin).replaceAll(raw"\s+", " "),
 
+    // the KN composition replayed end to end: split → count tables
+    // (c12, c1+n1f, ne, nt) → per-type micros (ln of the identical
+    // int64 ratio) → held-out scoring with LEFT-join OOV accounting
+    "q_t_kn_surprisal" ->
+      (s"""WITH d0 AS (SELECT doc_id, coalesce(text, '') AS text
+         |  FROM documents),
+         |d AS (SELECT doc_id, $tokensSql AS ta,
+         |  CAST($bucketSql AS INT) AS bucket FROM d0),
+         |bgt AS (SELECT doc_id, unnest(list_transform(range(1, len(ta)),
+         |    i -> struct_pack(w1 := ta[i], w2 := ta[i+1]))) AS b
+         |  FROM d WHERE bucket < 205 AND len(ta) >= 2),
+         |c12 AS (SELECT b.w1 AS w1, b.w2 AS w2,
+         |  CAST(count(*) AS BIGINT) AS c12 FROM bgt GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |  CAST(count(*) AS BIGINT) AS n1f FROM c12 GROUP BY 1),
+         |ne AS (SELECT w2, CAST(count(*) AS BIGINT) AS ne
+         |  FROM c12 GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM c12),
+         |sm AS (SELECT c12.w1, c12.w2, CAST(round(1000000.0 *
+         |    ln(CAST(c1.c1 * 4 * nt.nt AS DOUBLE) /
+         |       CAST(greatest(c12.c12 * 4 - 3, 0) * nt.nt
+         |         + c1.n1f * 3 * ne.ne AS DOUBLE))) AS BIGINT) AS s
+         |  FROM c12 JOIN c1 ON c12.w1 = c1.w1
+         |  JOIN ne ON c12.w2 = ne.w2, nt),
+         |bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(ta)),
+         |    i -> struct_pack(w1 := ta[i], w2 := ta[i+1]))) AS b
+         |  FROM d WHERE bucket >= 205 AND len(ta) >= 2),
+         |occ AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2,
+         |  CAST(count(*) AS BIGINT) AS tf FROM bgs GROUP BY 1, 2, 3),
+         |j AS (SELECT occ.doc_id, occ.tf, sm.s FROM occ
+         |  LEFT JOIN sm ON occ.w1 = sm.w1 AND occ.w2 = sm.w2)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(sum(CASE WHEN s IS NULL THEN tf END), 0)
+         |    AS BIGINT) AS n_oov,
+         |  CAST(coalesce(sum(tf * s), 0) AS BIGINT) AS kn_micros
+         |FROM j GROUP BY 1""".stripMargin).replaceAll(raw"\s+", " "),
+
     "q_t_mix" ->
       (s"WITH d AS (SELECT doc_id, $langCaseSql AS lang, " +
         s"$mixBucketSql AS bucket FROM documents) " +
@@ -3942,6 +4006,38 @@ object StretchQueries {
          |SELECT q_id, CAST(rnk AS INT) AS rank, n_id, round(cos, 6) AS cosine FROM (
          |  SELECT q_id, n_id, cos, row_number() OVER
          |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk FROM scored)
+         |WHERE rnk <= 5""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // the FULL binary-quantized pipeline replayed: sign-disagreement
+    // hamming (≡ popcount of XORed sign-packs, packing-free), the
+    // 64-candidate shortlist with the engine's (ham asc, id asc)
+    // tie-break, exact-cosine rescore, final (cos desc, id asc) rank
+    "q_v_topk_bin" ->
+      ("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |  FROM embeddings WHERE vec_id < 16),
+         |h AS (SELECT q.q_id, c.vec_id AS n_id, q.q_vec,
+         |  c.embedding AS n_vec,
+         |  CAST(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |    i -> CASE WHEN (CAST(q.q_vec[i] AS DOUBLE) > 0)
+         |      <> (CAST(c.embedding[i] AS DOUBLE) > 0)
+         |      THEN 1 ELSE 0 END)) AS INT) AS ham
+         |  FROM embeddings c, q WHERE c.vec_id <> q.q_id),
+         |s AS (SELECT q_id, n_id, q_vec, n_vec, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY ham ASC, n_id ASC) AS srk FROM h),
+         |sc AS (SELECT q_id, n_id,
+         |  list_sum(list_transform(range(1, len(q_vec) + 1),
+         |    i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))) /
+         |  (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+         |    i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)))) *
+         |   sqrt(list_sum(list_transform(range(1, len(n_vec) + 1),
+         |    i -> CAST(n_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE)))))
+         |  AS cos
+         |  FROM s WHERE srk <= 64)
+         |SELECT q_id, CAST(rnk AS INT) AS rank, n_id,
+         |  round(cos, 6) AS cosine FROM (
+         |  SELECT q_id, n_id, cos, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
+         |  FROM sc)
          |WHERE rnk <= 5""".stripMargin).replaceAll(raw"\s+", " "),
 
     // q_v_topk with the label anti-filter: negatives must outrank the

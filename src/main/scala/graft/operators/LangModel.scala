@@ -84,4 +84,79 @@ object LangModel {
     occScratch.drop()
     out
   }
+
+  /** Kneser–Ney smoothed per-bigram-type surprisal table
+    * `(w1, w2, s)` with `s = round(1e6·(−ln P_KN(w2|w1)))` — the
+    * industry-standard n-gram smoothing (absolute discounting d = 3/4
+    * + continuation-probability backoff) realized engine-exact:
+    *
+    *   P_KN(w2|w1) = [max(4·c12 − 3, 0)·nT + 3·n1f(w1)·nE(w2)]
+    *                 / (4·c1(w1)·nT)
+    *
+    * (the standard form with d = 3/4 multiplied through by 4·c1·nT)
+    * where c12/c1 are bigram/prefix occurrence counts, n1f(w1) = how
+    * many DISTINCT w2 follow w1, nE(w2) = how many distinct bigram
+    * TYPES end in w2, nT = total distinct bigram types. Numerator and
+    * denominator are exact int64s, so both engines take ln of the
+    * IDENTICAL double ratio and round the identical micros value (the
+    * [[bigramSurprisal]] / NB-weight rounding discipline — one
+    * rounding site per bigram TYPE, margin-probed in spec). Unlike
+    * the MLE surprisal, P_KN < 1 strictly and rare continuations are
+    * scored by how PROMISCUOUSLY their word continues elsewhere —
+    * the fix for MLE's zero-probability cliff.
+    *
+    * Int64 envelope: 4·c1·nT < 2⁶³ — validated with a require over
+    * the model table's own aggregates (max c1 and nT are
+    * model-metadata scalars, not a corpus scan), so an oversized
+    * corpus fails loudly; past it, train per shard or discount the
+    * count quantum.
+    */
+  def knBigramScores(train: DataFrame, textCol: String,
+                     idCol: String): DataFrame = {
+    val (occ, occScratch) = Materialize.viaScratchWithPath(
+      bigramOccurrences(train, textCol, idCol), "graft-kn-occ")
+    val c12 = Materialize.viaScratch(occ.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("tf")).as("c12")), "graft-kn-c12")
+    occScratch.drop()
+    val c1 = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val nE = c12.groupBy(col("w2")).agg(count(lit(1)).as("ne"))
+    val nT = c12.agg(count(lit(1))).head().getLong(0)
+    require(nT > 0, "empty training corpus: no bigram types")
+    val maxC1 = c1.agg(max(col("c1"))).head().getLong(0)
+    require(maxC1 <= Long.MaxValue / 4 / nT,
+      s"KN int64 envelope exceeded: 4·c1·nT with c1=$maxC1, nT=$nT — " +
+        "train per shard or coarsen the count quantum")
+    c12.join(c1, "w1").join(nE, "w2")
+      .select(col("w1"), col("w2"),
+        (greatest(col("c12") * 4 - 3, lit(0L)) * nT +
+          col("n1f") * 3 * col("ne")).as("__num"),
+        (col("c1") * 4 * nT).as("__den"))
+      .select(col("w1"), col("w2"),
+        round(lit(1000000.0) *
+          log(col("__den").cast("double") / col("__num").cast("double")))
+          .cast("long").as("s"))
+  }
+
+  /** Score `docs` under a KN model trained on `train`: per document,
+    * `(id, n_bigrams, n_oov, kn_micros)` — total KN surprisal over
+    * the bigrams the model knows, plus the count of occurrences of
+    * UNSEEN bigram types (the backoff-to-nothing tail a production
+    * filter thresholds separately). Both the model build and the
+    * scoring join are aggregation passes over count tables; the model
+    * table is materialized once (the n-gram-LM artifact shape), never
+    * the corpus.
+    */
+  def knSurprisal(train: DataFrame, docs: DataFrame, textCol: String,
+                  idCol: String): DataFrame = {
+    val model = Materialize.viaScratch(
+      knBigramScores(train, textCol, idCol), "graft-kn-model")
+    val occ = bigramOccurrences(docs, textCol, idCol)
+    occ.join(model, Seq("w1", "w2"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        coalesce(sum(when(col("s").isNull, col("tf"))), lit(0L))
+          .as("n_oov"),
+        coalesce(sum(col("tf") * col("s")), lit(0L)).as("kn_micros"))
+  }
 }

@@ -651,6 +651,42 @@ object SimilaritySearch {
         col("score"))
   }
 
+  /** Binary-quantized (1-bit) top-k — the 32× compression rung of the
+    * quantized-search ladder (below SQ8's 4× and PQ's ~32×-with-
+    * codebooks): each vector becomes ⌈d/64⌉ sign-packed longs, the
+    * shortlist ranks by HAMMING distance (one popcount-XOR per 64
+    * dims — the cheapest possible scan), and the exact cosine rescores
+    * the `shortlistK` survivors through the shared bounded-top-k tail.
+    *
+    * ENGINE-EXACT end to end: sign bits (`x > 0`) and Hamming counts
+    * are integers both engines compute identically, the shortlist
+    * tie-break (hamming asc, id asc) is total, and the rescore is the
+    * shared exact cosine — so unlike PQ's float ADC the ENTIRE
+    * pipeline is replayable by the SQL oracle (the oracle recomputes
+    * hamming as Σ sign-disagreements, packing-free). Same execution
+    * shape as [[bruteForceTopK]]: broadcast query block, ONE corpus
+    * scan, bounded top-k, no window sort; at scale the same packed
+    * scan runs over an IVF shortlist.
+    */
+  def binTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              shortlistK: Int = 64,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.NativeExpressions.{signPack, hammingPacked}
+    val c = corpus.select(col(idCol).as("n_id"),
+      signPack(col(vecCol)).as("cb"))
+    val q = queries.select(col(idCol).as("q_id"),
+      signPack(col(vecCol)).as("qb"))
+    // score = −hamming: TopKAggregator ranks (score desc, id asc),
+    // which the oracle replays as (hamming asc, n_id asc)
+    val cands = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (-hammingPacked(col("cb"), col("qb"))).cast("double").as("cosine"))
+    Pq.rescoreExact(cands, corpus, queries, k,
+      math.max(shortlistK, k), idCol, vecCol)
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame,
                 qCol: String = "q_id", nCol: String = "n_id"): DataFrame = {
     val hits = approx.select(col(qCol), col(nCol)).distinct()

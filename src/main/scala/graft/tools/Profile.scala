@@ -198,6 +198,8 @@ object Profile {
       Hnsw.searchIndex(spark, idx, q, k = 5, nprobe = 2, ef = 64))}%.3f")
     println(f"lsh_h7           recall@5=${recallOf(SimilaritySearch
       .lshTopK(emb, q, k = 5, dim = dim, nBits = 16, maxHamming = 7))}%.3f")
+    println(f"bin_shortlist64  recall@5=${recallOf(SimilaritySearch
+      .binTopK(emb, q, k = 5, shortlistK = 64))}%.3f")
     spark.stop()
   }
 

@@ -50,6 +50,46 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("signPack/hammingPacked == scalar replay (multi-word vectors " +
+    "included); binTopK recall@5 measured against brute force") {
+    import graft.functions.NativeExpressions.{signPack, hammingPacked}
+    val rnd = new scala.util.Random(17)
+    // 130 dims → 3 packed words, last one partial
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(130)((rnd.nextGaussian() * 0.3).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val packed = df.select(col("vec_id"), signPack(col("embedding")))
+      .as[(Long, Array[Long])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val expect = new Array[Long]((v.length + 63) / 64)
+      v.zipWithIndex.foreach { case (x, i) =>
+        if (x > 0f) expect(i >> 6) |= (1L << (i & 63))
+      }
+      assert(packed(id).toSeq == expect.toSeq, s"pack $id")
+    }
+    val hams = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        hammingPacked(signPack(col("a.embedding")),
+          signPack(col("b.embedding"))))
+      .as[(Long, Long, Int)].collect()
+    hams.foreach { case (ia, ib, h) =>
+      val va = vecs(ia.toInt)._2; val vb = vecs(ib.toInt)._2
+      val expect = va.zip(vb).count { case (x, y) => (x > 0f) != (y > 0f) }
+      assert(h == expect, s"hamming($ia,$ib)")
+    }
+    // recall of the 64-candidate binary shortlist on the real corpus
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val bin = SimilaritySearch.binTopK(emb, q, k = 5, shortlistK = 64)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(bin).size.toDouble / exact.size
+    info(f"binTopK recall@5 at 64-candidate shortlist: $recall%.3f")
+    assert(recall >= 0.5, s"binary shortlist recall too low: $recall")
+  }
+
   test("lshTopK exhaustive mode (maxHamming >= nBits) == bruteForceTopK " +
     "row-for-row (the probe-all-buckets escape hatch behind the " +
     "q_v_topk_lsh oracle)") {

@@ -259,6 +259,81 @@ class TextFunctionsSpec extends SparkSpec {
     assert(!out.contains(4L) && !out.contains(5L))
   }
 
+  test("Kneser–Ney: hand-computed tiny corpus, OOV accounting, " +
+    "micros margin probe, partitioning invariance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // train bigrams: (a,b)×3, (a,c)×1, (b,a)×1 → nT=3 types;
+    // c1(a)=4, n1f(a)=2; c1(b)=1, n1f(b)=1; ne(b)=1, ne(c)=1, ne(a)=1
+    val train = Seq((1L, "a b"), (2L, "a c"), (3L, "a b a b"))
+      .toDF("doc_id", "text")
+    def knRef(c12: Long, c1: Long, n1f: Long, ne: Long, nT: Long): Long =
+      math.round(1e6 * math.log(
+        (c1 * 4 * nT).toDouble /
+          (math.max(c12 * 4 - 3, 0) * nT + n1f * 3 * ne).toDouble))
+    val sAB = knRef(3, 4, 2, 1, 3)
+    val sAC = knRef(1, 4, 2, 1, 3)
+    val sBA = knRef(1, 1, 1, 1, 3)
+    // P_KN < 1 strictly — every micros score positive (the MLE model
+    // scored (b,a) at exactly 0; smoothing removes the cliff)
+    assert(sAB > 0 && sAC > 0 && sBA > 0)
+    // score: doc 10 all seen, doc 11 has the unseen bigram (c,a)
+    val docs = Seq((10L, "a b a c"), (11L, "c a b")).toDF("doc_id", "text")
+    val out = graft.operators.LangModel
+      .knSurprisal(train, docs, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L) == ((3L, 0L, sAB + sBA + sAC)), s"got ${out(10L)}")
+    assert(out(11L) == ((2L, 1L, sAB)), s"got ${out(11L)}")
+    // margin probe on the REAL gate corpus: replay every per-type
+    // unrounded 1e6·ln(den/num) in Scala from independently-computed
+    // counts and assert no value sits within 1e-3 of a rounding
+    // boundary (the NB-weight discipline) — AND that the model's
+    // rounded micros equal the replay exactly
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.coalesce(col("text"),
+          org.apache.spark.sql.functions.lit("")).as("text"))
+    val model = graft.operators.LangModel
+      .knBigramScores(base, "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val texts = base.select(col("text")).collect().map(_.getString(0))
+    val c12 = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val tk = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      tk.sliding(2).foreach {
+        case Array(a, b) => c12((a, b)) = c12.getOrElse((a, b), 0L) + 1
+        case _ =>
+      }
+    }
+    val c1 = c12.groupBy(_._1._1).view
+      .mapValues(m => (m.values.sum, m.size.toLong)).toMap
+    val ne = c12.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val nT = c12.size.toLong
+    assert(model.size == nT, s"model ${model.size} types vs replay $nT")
+    var minMargin = Double.MaxValue
+    c12.foreach { case ((a, b), n12) =>
+      val (ca, n1f) = c1(a)
+      val x = 1e6 * math.log((ca * 4 * nT).toDouble /
+        (math.max(n12 * 4 - 3, 0) * nT + n1f * 3 * ne(b)).toDouble)
+      minMargin = math.min(minMargin,
+        math.abs(x - math.floor(x) - 0.5))
+      assert(model((a, b)) == math.round(x), s"type ($a,$b)")
+    }
+    info(f"KN micros min boundary margin: $minMargin%.6f over $nT types")
+    assert(minMargin > 1e-3, s"margin $minMargin too thin to trust")
+    // partitioning invariance: the model table is identical at any
+    // parallelism (pure count arithmetic)
+    val m13 = graft.operators.LangModel
+      .knBigramScores(base.repartition(13), "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(m13 == model)
+  }
+
   test("packOffsets: per-bucket streams are contiguous, non-overlapping, " +
     "and deterministically ordered") {
     import org.apache.spark.sql.functions.col
