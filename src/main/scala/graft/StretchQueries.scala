@@ -89,6 +89,12 @@ object StretchQueries {
   @volatile private var pcaLiterals:
       Option[(Array[Long], Array[Array[Long]])] = None
 
+  /** Driver-computed temperature-mix keep rates (group → /65536),
+    * stashed by q_t_temp_mix for its oracle — same soundness argument
+    * as [[pcaLiterals]].
+    */
+  @volatile private var tempMixRates: Option[Seq[(String, Int)]] = None
+
   private val fsJw = EntityResolution.fsWeightsMicros(0.9, 0.1)
   private val fsLen = EntityResolution.fsWeightsMicros(0.85, 0.3)
   private val fsPre = EntityResolution.fsWeightsMicros(0.95, 0.5)
@@ -352,6 +358,24 @@ object StretchQueries {
       graft.operators.LangModel.knSurprisal(
         base.filter(col("__b") < 205),
         base.filter(col("__b") >= 205), "text", "doc_id")
+    }),
+
+    // temperature-scaled mixture sampling (sampling ∝ p_g^(1/T), the
+    // standard multilingual re-weighting): keep rates derived from
+    // the corpus's own language counts at T = 2 on the driver (ONE
+    // pow-rounding site), stashed as literals for the oracle — so the
+    // data-dependent rates are bit-identical on both sides and the
+    // filter itself is the exact md5-bucket arithmetic
+    "q_t_temp_mix" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("text"), lit("")).as("text"))
+      val rates = graft.operators.DatasetSplit
+        .temperatureMixRates(base, "lang", temperature = 2.0)
+      tempMixRates = Some(rates)
+      graft.operators.DatasetSplit
+        .temperatureMix(base, "lang", col("text"), rates)
+        .select(col("doc_id"), col("lang"))
     }),
 
     // deterministic weighted corpus mixing: per-language keep rates
@@ -937,6 +961,23 @@ object StretchQueries {
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.hardNegatives(emb, emb.filter(col("vec_id") < 16),
         k = 5)
+    }),
+
+    // the triplet's other side: most-similar SAME-label vectors (the
+    // anchor→positive miner) — same shape, equality filter
+    "q_v_topk_pos" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.positives(emb, emb.filter(col("vec_id") < 16),
+        k = 5)
+    }),
+
+    // Matryoshka two-stage search: 16-dim-prefix shortlist (1/4 of
+    // the vector bytes), full-dim exact rescore — both stages
+    // deterministic, so the oracle replays shortlist AND rescore
+    "q_v_topk_trunc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.truncTopK(emb, emb.filter(col("vec_id") < 16),
+        k = 5, dims = 16, shortlistK = 64)
     }),
 
     // incremental index growth: build on HALF the corpus, append the
@@ -3323,7 +3364,31 @@ object StretchQueries {
       ("q_ev_sessions_et" -> oracleSqlMap("q_ev_sessions")) +
       ("q_ev_transitions_stream" -> oracleSqlMap("q_ev_transitions")) +
       ("q_s28_sql_blocklist" -> oracleSqlMap("q_t_blocklist")) +
-      ("q_v_pca_project" -> pcaProjectOracle)
+      ("q_v_pca_project" -> pcaProjectOracle) +
+      ("q_t_temp_mix" -> tempMixOracle)
+
+  /** Oracle for q_t_temp_mix from the stashed driver-computed rates
+    * (see tempMixRates); replays the salted 16-bit md5-bucket filter
+    * with the identical rate literals. Must be a def — the stash only
+    * exists after the gate runs.
+    */
+  private def tempMixOracle: String = tempMixRates match {
+    case None => "SELECT 1 AS never WHERE 1 = 0"
+    case Some(rates) =>
+      val values = rates.map { case (g, r) =>
+        s"('${g.replace("'", "''")}', $r)"
+      }.mkString(", ")
+      val h = "md5('tmix:' || text)"
+      val bucket = (1 to 4).map { i =>
+        val w = math.pow(16, 4 - i).toInt
+        s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * $w"
+      }.mkString(" + ")
+      s"WITH d AS (SELECT doc_id, lang, coalesce(text, '') AS text " +
+        "FROM documents), " +
+        s"r AS (SELECT * FROM (VALUES $values) t(lang, rate)) " +
+        "SELECT d.doc_id, d.lang FROM d JOIN r USING (lang) " +
+        s"WHERE $bucket < rate"
+  }
 
   /** Oracle for q_v_pca_project, built from the gate's stashed
     * driver-fitted literals (see pcaLiterals). Replays the distributed
@@ -4057,6 +4122,57 @@ object StretchQueries {
          |SELECT q_id, CAST(rnk AS INT) AS rank, n_id, round(cos, 6) AS cosine FROM (
          |  SELECT q_id, n_id, cos, row_number() OVER
          |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk FROM scored)
+         |WHERE rnk <= 5""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // hard_negatives with the equality filter — the positive miner
+    "q_v_topk_pos" ->
+      ("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+         |  FROM embeddings WHERE vec_id < 16),
+         | scored AS (SELECT q.q_id, c.vec_id AS n_id,
+         |   list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |     i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+         |   (sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |     i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))) *
+         |    sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+         |     i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS cos
+         |  FROM embeddings c, q
+         |  WHERE c.vec_id <> q.q_id AND c.label = q.q_label)
+         |SELECT q_id, CAST(rnk AS INT) AS rank, n_id, round(cos, 6) AS cosine FROM (
+         |  SELECT q_id, n_id, cos, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk FROM scored)
+         |WHERE rnk <= 5""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // the Matryoshka pipeline replayed: 16-dim-prefix cosine
+    // shortlist (ties n_id asc), full-dim exact rescore, final rank
+    "q_v_topk_trunc" ->
+      ("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |  FROM embeddings WHERE vec_id < 16),
+         |h AS (SELECT q.q_id, c.vec_id AS n_id, q.q_vec,
+         |  c.embedding AS n_vec,
+         |  list_sum(list_transform(range(1, 17),
+         |    i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+         |  (sqrt(list_sum(list_transform(range(1, 17),
+         |    i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))) *
+         |   sqrt(list_sum(list_transform(range(1, 17),
+         |    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+         |  AS tcos
+         |  FROM embeddings c, q WHERE c.vec_id <> q.q_id),
+         |s AS (SELECT q_id, n_id, q_vec, n_vec, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY tcos DESC, n_id ASC) AS srk FROM h),
+         |sc AS (SELECT q_id, n_id,
+         |  list_sum(list_transform(range(1, len(q_vec) + 1),
+         |    i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))) /
+         |  (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+         |    i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)))) *
+         |   sqrt(list_sum(list_transform(range(1, len(n_vec) + 1),
+         |    i -> CAST(n_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE)))))
+         |  AS cos
+         |  FROM s WHERE srk <= 64)
+         |SELECT q_id, CAST(rnk AS INT) AS rank, n_id,
+         |  round(cos, 6) AS cosine FROM (
+         |  SELECT q_id, n_id, cos, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
+         |  FROM sc)
          |WHERE rnk <= 5""".stripMargin).replaceAll(raw"\s+", " "),
 
     "q_v_rrf" ->

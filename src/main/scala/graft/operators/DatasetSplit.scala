@@ -26,6 +26,65 @@ object DatasetSplit {
   def bucket256(content: Column): Column =
     conv(substring(md5(content), 1, 2), 16, 10).cast("int")
 
+  /** Stable bucket in [0, 65536): the first two md5 bytes — the
+    * finer-grained sibling of [[bucket256]] for stages whose keep
+    * rates need better than 1/256 resolution (temperature mixing).
+    */
+  def bucket65536(content: Column): Column =
+    conv(substring(md5(content), 1, 4), 16, 10).cast("int")
+
+  /** Temperature-scaled mixture keep-rates — the multilingual-/
+    * multi-source-sampling step of a pretraining mix (sampling
+    * probability ∝ p_g^(1/T), the standard temperature form): group g
+    * keeps `rate_g/65536` of its rows with
+    *
+    *   rate_g = round(65536·(n_g/n_min)^((1−T)/T))
+    *
+    * so at T = 1 every group keeps everything (rate 65536), and as
+    * T → ∞ keep ∝ 1/n_g (groups equalize). T ≥ 1 only: temperatures
+    * below 1 would require UPsampling the large groups, which a
+    * filter cannot express (that is [[Packing]]-with-repetition
+    * territory). Rates are computed ONCE on the driver from the
+    * group-count table (bounded — groups are languages/sources, not
+    * rows) and returned so callers can interpolate the identical
+    * literals into an oracle (the PCA weight-literal pattern): the
+    * pow() rounding happens at ONE site, never re-derived per engine.
+    * Null groups carry no rate and are dropped by [[temperatureMix]].
+    */
+  def temperatureMixRates(df: org.apache.spark.sql.DataFrame,
+                          groupCol: String,
+                          temperature: Double): Seq[(String, Int)] = {
+    require(temperature >= 1.0,
+      s"temperature $temperature < 1 would need upsampling, not a filter")
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.nonEmpty, "no non-null groups to mix")
+    val nMin = counts.map(_._2).min
+    counts.map { case (g, n) =>
+      val keep = math.pow(n.toDouble / nMin,
+        (1.0 - temperature) / temperature)
+      g -> math.min(65536L, math.max(0L,
+        math.round(65536.0 * keep))).toInt
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Apply [[temperatureMixRates]]: keep a row iff its salted content
+    * bucket falls under its group's rate. Map-only (the rates ride
+    * the plan as a map literal); rows whose group has no rate (null,
+    * or unseen relative to the `rates` the caller computed) drop.
+    */
+  def temperatureMix(df: org.apache.spark.sql.DataFrame,
+                     groupCol: String, contentCol: Column,
+                     rates: Seq[(String, Int)],
+                     salt: String = "tmix"): org.apache.spark.sql.DataFrame = {
+    val rateOf = element_at(
+      typedlit(rates.toMap), col(groupCol).cast("string"))
+    df.filter(
+      bucket65536(concat(lit(salt + ":"), contentCol)) < rateOf)
+  }
+
   /** [[bucket256]] under a salt prefix — an INDEPENDENT hash family
     * per salt. Any stage that samples by content hash (mixing,
     * subsampling) must use a different salt than the split: with the

@@ -74,6 +74,56 @@ object SimilaritySearch {
     TopK.topKPerKey(scored, k)(corpus.sparkSession)
   }
 
+  /** Contrastive POSITIVE mining — [[hardNegatives]]' counterpart:
+    * per query, the top-k most-similar corpus vectors with the SAME
+    * label (excluding itself) — the anchor→positive side of a
+    * training triplet. Identical execution shape (broadcast query
+    * block, label filter below the scorer, bounded top-k tail).
+    */
+  def positives(corpus: DataFrame, queries: DataFrame, k: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding",
+                labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      col(labelCol).as("n_label"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("q_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id") &&
+        col("n_label") === col("q_label"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cosine"))
+    TopK.topKPerKey(scored, k)(corpus.sparkSession)
+  }
+
+  /** Matryoshka (MRL-style) two-stage search: shortlist by cosine
+    * over the FIRST `dims` components only — the cheap low-dim prefix
+    * an MRL-trained embedding packs its signal into — then exact
+    * full-dim rescore of the `shortlistK` survivors through the
+    * shared bounded-top-k tail. The scan reads `dims/d` of the vector
+    * bytes (with a prefix-truncated column or PCA-rotated layout,
+    * that is a real IO cut, not just FLOPs); recall tunes with
+    * `dims`/`shortlistK` like every other rung. Both stages are
+    * deterministic sequential-sum cosines with total tie-breaks, so
+    * the WHOLE pipeline — shortlist selection included — replays in
+    * the SQL oracle, like [[binTopK]].
+    */
+  def truncTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                dims: Int, shortlistK: Int = 64,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, s"dims=$dims")
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val cands = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(slice(col("q_vec"), 1, dims),
+          slice(col("n_vec"), 1, dims)).as("cosine"))
+    Pq.rescoreExact(cands, corpus, queries, k,
+      math.max(shortlistK, k), idCol, vecCol)
+  }
+
   /** Maximal-marginal-relevance diverse selection: greedily pick k
     * vectors maximizing relevance MINUS similarity to anything already
     * picked — the diversity sampler of a training-data pipeline

@@ -200,6 +200,8 @@ object Profile {
       .lshTopK(emb, q, k = 5, dim = dim, nBits = 16, maxHamming = 7))}%.3f")
     println(f"bin_shortlist64  recall@5=${recallOf(SimilaritySearch
       .binTopK(emb, q, k = 5, shortlistK = 64))}%.3f")
+    println(f"trunc16_short64  recall@5=${recallOf(SimilaritySearch
+      .truncTopK(emb, q, k = 5, dims = 16, shortlistK = 64))}%.3f")
     spark.stop()
   }
 

@@ -90,6 +90,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"binary shortlist recall too low: $recall")
   }
 
+  test("positives: every result shares the query's label, never the " +
+    "query itself, and is disjoint from hardNegatives; truncTopK " +
+    "recall@5 measured at the 16-dim prefix") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20)
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Long)].collect().toMap
+    val pos = SimilaritySearch.positives(emb, q, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(pos.nonEmpty)
+    pos.foreach { case (qid, nid) =>
+      assert(nid != qid)
+      assert(labels(nid) == labels(qid), s"label mismatch $qid -> $nid")
+    }
+    val neg = SimilaritySearch.hardNegatives(emb, q, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(pos.toSet.intersect(neg).isEmpty,
+      "a pair cannot be both positive and hard negative")
+    // Matryoshka prefix shortlist recall at equal budget
+    val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val trunc = SimilaritySearch.truncTopK(emb, q, k = 5, dims = 16,
+        shortlistK = 64)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(trunc).size.toDouble / exact.size
+    info(f"truncTopK recall@5, 16-of-64-dim prefix @64 shortlist: $recall%.3f")
+    assert(recall >= 0.5, s"prefix shortlist recall too low: $recall")
+  }
+
   test("lshTopK exhaustive mode (maxHamming >= nBits) == bruteForceTopK " +
     "row-for-row (the probe-all-buckets escape hatch behind the " +
     "q_v_topk_lsh oracle)") {

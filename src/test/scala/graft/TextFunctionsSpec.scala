@@ -238,6 +238,47 @@ class TextFunctionsSpec extends SparkSpec {
       ""))
   }
 
+  test("temperatureMix: T=1 keeps everything, T→∞ equalizes groups, " +
+    "realized counts track the rate targets, null groups drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.DatasetSplit
+    val rnd = new scala.util.Random(23)
+    def txt() = Seq.fill(8)(('a' + rnd.nextInt(26)).toChar).mkString
+    // 3 groups with 8:4:1 counts + a few null-group rows
+    val rows = (Seq.fill(3200)("big") ++ Seq.fill(1600)("mid") ++
+      Seq.fill(400)("small")).map(g => (g, txt())) ++
+      Seq.fill(20)((null: String, txt()))
+    val df = rows.toDF("src", "text")
+    // T = 1: every group's rate is 65536 → filter keeps all non-null
+    val r1 = DatasetSplit.temperatureMixRates(df, "src", 1.0)
+    assert(r1.forall(_._2 == 65536), s"T=1 rates: $r1")
+    assert(DatasetSplit.temperatureMix(df, "src", col("text"), r1)
+      .count() == 5200, "T=1 must keep every non-null-group row")
+    // T very large: keep ∝ 1/n → expected counts equalize at ~n_min
+    val rBig = DatasetSplit.temperatureMixRates(df, "src", 1000.0)
+      .toMap
+    assert(rBig("small") == 65536)
+    assert(math.abs(rBig("big") - 65536.0 * 400 / 3200) <= 60,
+      s"big-group rate: ${rBig("big")}")
+    val kept = DatasetSplit
+      .temperatureMix(df, "src", col("text"),
+        rBig.toSeq.sortBy(_._1))
+      .groupBy(col("src")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // realized counts within 4σ of the binomial target
+    rBig.foreach { case (g, rate) =>
+      val n = Map("big" -> 3200, "mid" -> 1600, "small" -> 400)(g)
+      val target = n.toDouble * rate / 65536
+      val sigma = math.sqrt(target)
+      assert(math.abs(kept(g) - target) <= 4 * sigma + 1,
+        s"group $g kept ${kept(g)} vs target $target")
+    }
+    // T < 1 is an upsampling request a filter can't honor → loud
+    intercept[IllegalArgumentException](
+      DatasetSplit.temperatureMixRates(df, "src", 0.5))
+  }
+
   test("bigramSurprisal: hand-computed MLE on a tiny corpus; short docs " +
     "have no score") {
     import spark.implicits._
