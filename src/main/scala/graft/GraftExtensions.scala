@@ -75,5 +75,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_tokens_cjk"),
       info("graft_tokens_cjk"),
       (es: Seq[Expression]) => TokensCjk(es.head)))
+    // graft_signpack(embedding) / graft_hamming(a, b) → the binary-
+    // quantized ANN kernels, so a pure-SQL session can run the 32×
+    // compressed shortlist scan with zero Scala
+    e.injectFunction((FunctionIdentifier("graft_signpack"),
+      info("graft_signpack"),
+      (es: Seq[Expression]) => SignPack(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_hamming"),
+      info("graft_hamming"),
+      (es: Seq[Expression]) => HammingPacked(es(0), es(1))))
   }
 }

@@ -1059,5 +1059,9 @@ object NativeExpressions {
       es => UrlFunctions.CanonicalUrl(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_registered_domain",
       es => UrlFunctions.RegisteredDomain(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_signpack",
+      es => SignPack(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hamming",
+      es => HammingPacked(es(0), es(1)), "scala_udf")
   }
 }

@@ -35,8 +35,19 @@ object DatasetSplit {
 
   /** Temperature-scaled mixture keep-rates — the multilingual-/
     * multi-source-sampling step of a pretraining mix (sampling
-    * probability ∝ p_g^(1/T), the standard temperature form): group g
-    * keeps `rate_g/65536` of its rows with
+    * probability ∝ p_g^(1/T), the standard temperature form).
+    *
+    * Relation to [[rebalanceTemperature]] (the exact-iroot form): that
+    * path is exact integer arithmetic for RATIONAL α = num/den at
+    * 1/256 rate resolution; this one takes any REAL T ≥ 1 (one
+    * driver-side pow rounding, returned so the identical literals can
+    * be interpolated into an oracle — the PCA weight-literal pattern)
+    * at 1/65536 resolution. The finer buckets are the point: at a
+    * 1000:1 group ratio and high T the correct keep rate for the big
+    * group is ~1/1000, which rounds to ZERO of 256 buckets (the group
+    * empties) but to ~65 of 65536.
+    *
+    * Group g keeps `rate_g/65536` of its rows with
     *
     *   rate_g = round(65536·(n_g/n_min)^((1−T)/T))
     *

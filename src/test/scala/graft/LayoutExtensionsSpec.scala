@@ -114,6 +114,14 @@ class LayoutExtensionsSpec extends SparkSpec {
       // the Winkler literature vector through the SQL registration
       assert(math.abs(s2.sql("SELECT graft_jaro_winkler('martha', 'marhta') AS j")
         .head.getDouble(0) - 0.9611111111111111) < 1e-15)
+      // binary-ANN kernels: pack + hamming through pure SQL
+      val ham = s2.sql(
+        "SELECT graft_hamming(" +
+          "graft_signpack(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT), " +
+          "CAST(0.5 AS FLOAT))), " +
+          "graft_signpack(array(CAST(-1.0 AS FLOAT), CAST(-1.0 AS FLOAT), " +
+          "CAST(2.0 AS FLOAT)))) AS h").head.getInt(0)
+      assert(ham == 1, s"sign-disagreement count: $ham")
     } finally ()
   }
 

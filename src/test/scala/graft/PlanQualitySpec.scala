@@ -72,11 +72,19 @@ class PlanQualitySpec extends SparkSpec {
   test("ANN rankings use the bounded top-k aggregator, never a window sort") {
     // row_number().over(Window) would shuffle + sort the FULL score
     // matrix; the TopK aggregator keeps k pairs per key per partition
-    Seq("q_v_topk", "q_v_topk_lsh", "q_v_topk_ivf", "q_t_quota").foreach { q =>
+    Seq("q_v_topk", "q_v_topk_lsh", "q_v_topk_ivf", "q_t_quota",
+      "q_v_topk_bin", "q_v_topk_trunc", "q_v_topk_pos").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Window"), s"$q ranks via window sort:\n$p")
       assert(!p.contains("RunningWindowFunction"), s"$q window rank:\n$p")
     }
+  }
+
+  test("q_t_temp_mix: the mixture filter is map-only — rates ride the " +
+    "plan as literals, zero exchanges below the output") {
+    val df = graft.SparkEntry.queries("q_t_temp_mix")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"temperature mix shuffled:\n$p")
   }
 
   test("near-dup bracket plans: bucketed LSH — no nested-loop or cartesian " +
