@@ -3065,6 +3065,34 @@ object StretchQueries {
          |  JOIN s sb ON sb.doc_id = p.id_b
          |WHERE graft_jaccard(sa.sh, sb.sh) = 1.0""".stripMargin)),
 
+    // ── S30: pure-SQL binary-quantized ANN (the q_s29 deployment-
+    //    shape proof extended to the VECTOR surface): sign-pack,
+    //    popcount-hamming shortlist, exact-cosine rescore — all
+    //    through registered kernels with ZERO Scala. The plain-SQL
+    //    expression uses window ranks (the natural SQL shape; the
+    //    Scala operator binTopK is the bounded-aggregator scale
+    //    path); shares q_v_topk_bin's full-replay oracle ────────────
+    "q_s30_sql_ann" -> ((s, dir) => s.sql(
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  graft_signpack(embedding) AS b
+         |  FROM parquet.`$dir/embeddings.parquet`),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_vec, b AS qb
+         |  FROM e WHERE vec_id < 16),
+         |h AS (SELECT q.q_id, c.vec_id AS n_id, q.q_vec,
+         |  c.embedding AS n_vec, graft_hamming(c.b, q.qb) AS ham
+         |  FROM e c, q WHERE c.vec_id <> q.q_id),
+         |s AS (SELECT q_id, n_id, q_vec, n_vec, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY ham ASC, n_id ASC) AS srk
+         |  FROM h),
+         |sc AS (SELECT q_id, n_id, graft_cosine(q_vec, n_vec) AS cos
+         |  FROM s WHERE srk <= 64)
+         |SELECT q_id, CAST(rnk AS INT) AS rank, n_id,
+         |  round(cos, 6) AS cosine FROM (
+         |  SELECT q_id, n_id, cos, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= 5""".stripMargin)),
+
     // SQ8 quantized top-k: int8-scan ANN (4× smaller than float32)
     // whose ranking key dot8·scale_c·scale_q is PURE int64 — unlike
     // PQ's float ADC, the whole quantized ranking hash-matches the
@@ -3364,6 +3392,7 @@ object StretchQueries {
       ("q_ev_sessions_et" -> oracleSqlMap("q_ev_sessions")) +
       ("q_ev_transitions_stream" -> oracleSqlMap("q_ev_transitions")) +
       ("q_s28_sql_blocklist" -> oracleSqlMap("q_t_blocklist")) +
+      ("q_s30_sql_ann" -> oracleSqlMap("q_v_topk_bin")) +
       ("q_v_pca_project" -> pcaProjectOracle) +
       ("q_t_temp_mix" -> tempMixOracle)
 
