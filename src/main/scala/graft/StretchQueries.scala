@@ -1159,6 +1159,25 @@ object StretchQueries {
     // Full probe + exhaustive shortlist here → the exact-cosine rescore
     // decides every rank → shares the brute-force oracle; the
     // approximate path's recall + int8-only scan are pinned in IvfSpec.
+    // the binary rung's PRODUCTION shape: sign-packed column stored
+    // in the IVF index (32× smaller hot scan), cluster-pruned
+    // shortlist, exact rescore of shortlisted ids only. Full probe ⇒
+    // the pair space equals binTopK's and the hamming/rescore
+    // tie-breaks are shared, so the gate reuses q_v_topk_bin's
+    // FULL-replay oracle (shortlist selection included) — stronger
+    // than the exhaustive-rescore escape the float/PQ index gates
+    // need. Partial-probe recall + packed-column-only plan pin live
+    // in IvfSpec
+    "q_v_topk_bin_idx" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_bin_q_" +
+        graft.engine.Scratch.encode(dir)
+      Ivf.ensureIndex(emb, s"$dir/embeddings.parquet", scratch, k = 4,
+        iters = 2, binarize = true)
+      Ivf.searchIndexBin(s, scratch, emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 4, shortlistK = 64)
+    }),
+
     "q_v_topk_ivf_c" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_pq_q_" +
@@ -3393,6 +3412,7 @@ object StretchQueries {
       ("q_ev_transitions_stream" -> oracleSqlMap("q_ev_transitions")) +
       ("q_s28_sql_blocklist" -> oracleSqlMap("q_t_blocklist")) +
       ("q_s30_sql_ann" -> oracleSqlMap("q_v_topk_bin")) +
+      ("q_v_topk_bin_idx" -> oracleSqlMap("q_v_topk_bin")) +
       ("q_v_pca_project" -> pcaProjectOracle) +
       ("q_t_temp_mix" -> tempMixOracle)
 

@@ -218,7 +218,8 @@ object Ivf {
   def writeIndex(df: DataFrame, model: IvfModel, path: String,
                  vecCol: String = "embedding",
                  quantize: Boolean = false,
-                 pq: Option[Pq.PqModel] = None): Unit = {
+                 pq: Option[Pq.PqModel] = None,
+                 binarize: Boolean = false): Unit = {
     saveModel(df.sparkSession, model, s"$path/centroids")
     // PQ codebooks persist WITH the index (FAISS's IVFPQ artifact
     // shape): search reloads them cold — round 6 re-trained codebooks
@@ -229,7 +230,14 @@ object Ivf {
     val q8 = if (quantize)
       graft.functions.VectorFunctions.withQuantizedInt8(assigned, vecCol)
     else assigned
-    val out = pq.map(p => Pq.withCodes(q8, p, vecCol)).getOrElse(q8)
+    // sign-packed column for [[searchIndexBin]]: ⌈d/64⌉ longs per row
+    // (32× smaller than the float vector) — parquet being columnar,
+    // the binary shortlist phase reads ONLY this
+    val b8 = if (binarize)
+      q8.withColumn("b",
+        graft.functions.NativeExpressions.signPack(col(vecCol)))
+    else q8
+    val out = pq.map(p => Pq.withCodes(b8, p, vecCol)).getOrElse(b8)
     out.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/corpus")
     val n = writeRowCount(df.sparkSession, path)
@@ -270,9 +278,15 @@ object Ivf {
     val model = loadModelCached(spark, s"$indexPath/centroids")
     val corpusSchema = spark.read.parquet(s"$indexPath/corpus").schema
     val assigned = assign(df.filter(col(vecCol).isNotNull), model, vecCol)
-    val q8 = if (corpusSchema.fieldNames.contains("q8"))
+    val q8a = if (corpusSchema.fieldNames.contains("q8"))
       graft.functions.VectorFunctions.withQuantizedInt8(assigned, vecCol)
     else assigned
+    // a binarized index's append must carry the packed column too —
+    // schema-driven like the q8 branch
+    val q8 = if (corpusSchema.fieldNames.contains("b"))
+      q8a.withColumn("b",
+        graft.functions.NativeExpressions.signPack(col(vecCol)))
+    else q8a
     val fsPath = new org.apache.hadoop.fs.Path(s"$indexPath/pq")
     val hasPq = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(fsPath)
@@ -390,16 +404,18 @@ object Ivf {
                   k: Int, iters: Int = 3, seed: Long = 42L,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding",
-                  quantize: Boolean = false): Unit =
+                  quantize: Boolean = false,
+                  binarize: Boolean = false): Unit =
     // sourcePath is part of the fingerprint (round-6 ADVICE): a caller
     // whose index-path key collides across two source dirs must get a
     // rebuild, never the other source's index
     graft.engine.Scratch.ensureAt(df.sparkSession, indexPath, sourcePath,
       fingerprint = s"src=$sourcePath,k=$k,iters=$iters,seed=$seed," +
-        s"idCol=$idCol,vecCol=$vecCol,quantize=$quantize",
+        s"idCol=$idCol,vecCol=$vecCol,quantize=$quantize," +
+        s"binarize=$binarize",
       markerName = "_INDEX_READY") { dir =>
       val model = train(df, k, iters, seed, idCol, vecCol)
-      writeIndex(df, model, dir, vecCol, quantize)
+      writeIndex(df, model, dir, vecCol, quantize, binarize = binarize)
     }
 
   /** [[ensureIndex]] for the IVF-PQ artifact: the corpus is stored
@@ -595,6 +611,54 @@ object Ivf {
     val shortlist = TopK.topKPerKey(approx, shortK)(spark)
       .select(col("q_id"), col("n_id"))
     // full-precision vectors for shortlisted ids only
+    val exactVecs = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .join(broadcast(shortlist), Seq("n_id"))
+    val rescored = exactVecs
+      .join(broadcast(queries.select(col(idCol).as("q_id"),
+        col(vecCol).as("q_vec"))), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cosine"))
+    TopK.topKPerKey(rescored, k)(spark)
+  }
+
+  /** Binary-shortlist search over a `binarize = true` index — the
+    * production shape of [[SimilaritySearch.binTopK]]: partition
+    * pruning routes to the `nprobe` nearest clusters, the shortlist
+    * phase scans ONLY `(id, b, cluster)` — the sign-packed column is
+    * 32× smaller than the float vectors, so at 100 TB the hot scan
+    * is ~3 TB of longs — and the exact cosine rescores the
+    * `shortlistK` survivors from the full vectors of the shortlisted
+    * ids alone. With full probe the pair space equals
+    * [[SimilaritySearch.binTopK]]'s exactly (same hamming tie-break,
+    * same rescore), so the full-probe gate shares q_v_topk_bin's
+    * full-replay oracle; partial-probe recall is IvfSpec territory.
+    */
+  def searchIndexBin(spark: SparkSession, indexPath: String,
+                     queries: DataFrame, k: Int, nprobe: Int = 2,
+                     shortlistK: Int = 64,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.NativeExpressions.{signPack, hammingPacked}
+    val model = loadModelCached(spark, s"$indexPath/centroids")
+    val probed = queries
+      .select(explode(
+        nearestCentroids(col(vecCol), model.centroids, nprobe)).as("cluster"))
+      .distinct().collect().map(_.getInt(0))
+    val corpus = spark.read.parquet(s"$indexPath/corpus")
+      .filter(col("cluster").isin(probed.toIndexedSeq: _*))
+    val cb = corpus.select(col(idCol).as("n_id"), col("b").as("nb"),
+      col("cluster"))
+    val q = queries
+      .select(col(idCol).as("q_id"), signPack(col(vecCol)).as("qb"),
+        explode(nearestCentroids(col(vecCol), model.centroids, nprobe))
+          .as("cluster"))
+    val approx = cb.join(broadcast(q), Seq("cluster"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (-hammingPacked(col("nb"), col("qb"))).cast("double").as("cosine"))
+    val shortlist = TopK.topKPerKey(approx, math.max(shortlistK, k))(spark)
+      .select(col("q_id"), col("n_id"))
     val exactVecs = corpus
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .join(broadcast(shortlist), Seq("n_id"))

@@ -316,6 +316,43 @@ class IvfSpec extends SparkSpec {
     assert(p.contains("PartitionFilters"), s"unpruned compressed scan:\n$p")
   }
 
+  test("searchIndexBin: full probe ≡ binTopK exactly; shortlist scan " +
+    "reads the packed column only; partial-probe recall measured") {
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val path = tmpDir("graft-ivf-bin")
+    Ivf.writeIndex(emb, m, path, binarize = true)
+    val q = emb.filter(col("vec_id") < 20)
+    // full probe: pair space and tie-breaks shared with binTopK —
+    // exact row equality (the gate's oracle premise)
+    val idx = Ivf.searchIndexBin(spark, path, q, k = 5, nprobe = 4,
+        shortlistK = 64)
+      .collect().map(_.toSeq).toSet
+    val direct = SimilaritySearch.binTopK(emb, q, k = 5, shortlistK = 64)
+      .collect().map(_.toSeq).toSet
+    assert(idx == direct, "full-probe index path diverged from binTopK")
+    // plan: the shortlist phase reads b (one long per 64 dims), never
+    // the float vectors; the rescore still reads them (shortlist only)
+    val df = Ivf.searchIndexBin(spark, path, q, k = 5, nprobe = 2)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema:")).toList
+    assert(schemas.exists(s => s.contains("b:array<bigint>") &&
+      !s.contains("embedding")),
+      s"no packed-only corpus scan in:\n$p")
+    assert(schemas.exists(_.contains("embedding")),
+      s"no full-precision rescore scan in:\n$p")
+    assert(p.contains("PartitionFilters"), s"unpruned bin scan:\n$p")
+    // partial probe: recall vs the full-probe truth stays useful
+    val part = Ivf.searchIndexBin(spark, path, q, k = 5, nprobe = 2,
+        shortlistK = 64)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val full = direct.map(r => (r.head.asInstanceOf[Long],
+      r(2).asInstanceOf[Long]))
+    val recall = full.intersect(part).size.toDouble / full.size
+    info(f"bin index nprobe=2 recall vs full probe: $recall%.3f")
+    assert(recall >= 0.4, s"partial-probe bin recall collapsed: $recall")
+  }
+
   test("planted clusters: nprobe=1 achieves near-perfect recall") {
     // 3 tight clusters around orthogonal-ish anchors
     val rnd = new scala.util.Random(7)
