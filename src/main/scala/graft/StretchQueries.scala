@@ -360,6 +360,35 @@ object StretchQueries {
         base.filter(col("__b") >= 205), "text", "doc_id")
     }),
 
+    // the CCNet composition: perplexity-filter the corpus with the KN
+    // model — train on the content-hash split, score EVERY doc, keep
+    // each language's best 90% by per-known-bigram surprisal. The
+    // threshold is RANK-based (r·10 ≤ n·9, integer-exact on both
+    // engines) — never a float quantile, whose interpolation rules
+    // differ across engines. Docs whose bigrams are all-OOV (nothing
+    // the model can score) are excluded by definition, like the <2-
+    // token docs the bigram family already excludes
+    "q_pipe_ppl_filter" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          coalesce(col("text"), lit("")).as("text"))
+        .withColumn("__b",
+          graft.operators.DatasetSplit.bucket256(col("text")))
+      val train = base.filter(col("__b") < 205)
+      val scored = graft.operators.LangModel
+        .knSurprisal(train, base, "text", "doc_id")
+        .filter(col("n_bigrams") - col("n_oov") > 0)
+        .withColumn("ppl_q", expr("kn_micros div (n_bigrams - n_oov)"))
+        .join(base.select(col("doc_id"), col("lang")), "doc_id")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("ppl_q"), col("doc_id"))
+      val cw = Window.partitionBy(col("lang"))
+      scored.withColumn("__r", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(cw))
+        .filter(col("__r") * 10 <= col("__n") * 9)
+        .select(col("doc_id"), col("lang"), col("ppl_q"))
+    }),
+
     // temperature-scaled mixture sampling (sampling ∝ p_g^(1/T), the
     // standard multilingual re-weighting): keep rates derived from
     // the corpus's own language counts at T = 2 on the driver (ONE
@@ -3760,6 +3789,52 @@ object StretchQueries {
          |    AS BIGINT) AS n_oov,
          |  CAST(coalesce(sum(tf * s), 0) AS BIGINT) AS kn_micros
          |FROM j GROUP BY 1""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // the KN composition at corpus scope: model CTEs shared with
+    // q_t_kn_surprisal, every doc scored, integer avg surprisal,
+    // rank-threshold keep (r·10 ≤ n·9) per language
+    "q_pipe_ppl_filter" ->
+      (s"""WITH d0 AS (SELECT doc_id, lang, coalesce(text, '') AS text
+         |  FROM documents),
+         |d AS (SELECT doc_id, lang, $tokensSql AS ta,
+         |  CAST($bucketSql AS INT) AS bucket FROM d0),
+         |bgt AS (SELECT doc_id, unnest(list_transform(range(1, len(ta)),
+         |    i -> struct_pack(w1 := ta[i], w2 := ta[i+1]))) AS b
+         |  FROM d WHERE bucket < 205 AND len(ta) >= 2),
+         |c12 AS (SELECT b.w1 AS w1, b.w2 AS w2,
+         |  CAST(count(*) AS BIGINT) AS c12 FROM bgt GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |  CAST(count(*) AS BIGINT) AS n1f FROM c12 GROUP BY 1),
+         |ne AS (SELECT w2, CAST(count(*) AS BIGINT) AS ne
+         |  FROM c12 GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM c12),
+         |sm AS (SELECT c12.w1, c12.w2, CAST(round(1000000.0 *
+         |    ln(CAST(c1.c1 * 4 * nt.nt AS DOUBLE) /
+         |       CAST(greatest(c12.c12 * 4 - 3, 0) * nt.nt
+         |         + c1.n1f * 3 * ne.ne AS DOUBLE))) AS BIGINT) AS s
+         |  FROM c12 JOIN c1 ON c12.w1 = c1.w1
+         |  JOIN ne ON c12.w2 = ne.w2, nt),
+         |bga AS (SELECT doc_id, unnest(list_transform(range(1, len(ta)),
+         |    i -> struct_pack(w1 := ta[i], w2 := ta[i+1]))) AS b
+         |  FROM d WHERE len(ta) >= 2),
+         |occ AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2,
+         |  CAST(count(*) AS BIGINT) AS tf FROM bga GROUP BY 1, 2, 3),
+         |j AS (SELECT occ.doc_id, occ.tf, sm.s FROM occ
+         |  LEFT JOIN sm ON occ.w1 = sm.w1 AND occ.w2 = sm.w2),
+         |sc AS (SELECT doc_id,
+         |  CAST(coalesce(sum(tf * s), 0) AS BIGINT) AS kn,
+         |  CAST(sum(CASE WHEN s IS NOT NULL THEN tf END) AS BIGINT)
+         |    AS known
+         |  FROM j GROUP BY 1),
+         |k AS (SELECT sc.doc_id, d0.lang,
+         |  CAST(kn // known AS BIGINT) AS ppl_q
+         |  FROM sc JOIN d0 ON sc.doc_id = d0.doc_id WHERE known > 0),
+         |r AS (SELECT doc_id, lang, ppl_q,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY ppl_q ASC, doc_id ASC) AS r,
+         |  count(*) OVER (PARTITION BY lang) AS n FROM k)
+         |SELECT doc_id, lang, ppl_q FROM r WHERE r * 10 <= n * 9"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_t_mix" ->
       (s"WITH d AS (SELECT doc_id, $langCaseSql AS lang, " +

@@ -59,6 +59,46 @@ class RobustnessSpec extends SparkSpec {
     assert(Ivf.searchTopK(nulls, q, m, k = 3).count() == 0)
   }
 
+  test("round-12 operators accept degenerate inputs: empty sides, " +
+    "short vectors, unknown mix groups, empty KN training") {
+    val vecs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = vecs.limit(2)
+    // binary / truncated / positive rungs: empty either side → empty
+    assert(SimilaritySearch.binTopK(vecs, emptyVecs, k = 3).count() == 0)
+    assert(SimilaritySearch.binTopK(emptyVecs, q, k = 3).count() == 0)
+    assert(SimilaritySearch.truncTopK(vecs, emptyVecs, k = 3, dims = 16)
+      .count() == 0)
+    assert(SimilaritySearch.positives(emptyVecs
+      .withColumn("label", lit(0L)), q.withColumn("label", lit(0L)),
+      k = 3).count() == 0)
+    // dims beyond the vector length: slice returns the whole vector —
+    // truncTopK degenerates to the exact path, never crashes
+    val full = SimilaritySearch
+      .truncTopK(vecs, q, k = 3, dims = 4096, shortlistK = 8192)
+      .count()
+    assert(full > 0)
+    // signPack of a short vector packs into one partial word
+    import graft.functions.NativeExpressions.signPack
+    val one = Seq((1L, Seq(0.5f))).toDF("vec_id", "embedding")
+      .select(signPack(col("embedding"))).as[Array[Long]].head()
+    assert(one.toSeq == Seq(1L))
+    // temperatureMix: a group absent from the rates table drops; an
+    // empty rates request fails loudly
+    val df = Seq(("a", "x"), ("b", "y")).toDF("g", "text")
+    val kept = DatasetSplit.temperatureMix(df, "g", col("text"),
+      Seq("a" -> 65536))
+    assert(kept.select(col("g")).as[String].collect().toSet == Set("a"))
+    intercept[IllegalArgumentException](
+      DatasetSplit.temperatureMixRates(
+        df.filter(lit(false)), "g", 2.0))
+    // KN: an empty training corpus fails loudly, never divides by zero
+    intercept[IllegalArgumentException](
+      graft.operators.LangModel.knBigramScores(
+        emptyDocs.select(col("doc_id"), lit("").as("text")),
+        "text", "doc_id"))
+  }
+
   test("topKPerKey on empty input and k larger than the data") {
     val empty = emptyDocs.select(col("doc_id").as("q_id"),
       col("doc_id").as("n_id"), col("doc_id").cast("double").as("cosine"))
