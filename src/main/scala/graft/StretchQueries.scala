@@ -360,6 +360,23 @@ object StretchQueries {
         base.filter(col("__b") >= 205), "text", "doc_id")
     }),
 
+    // INTERPOLATED trigram KN (Chen & Goodman) — the order-3 standard:
+    // same split composition as the bigram gate, the per-type P₃ a
+    // single exact int64 rational composed over the common
+    // denominator 16·h12·t2·nT (continuation counts at both lower
+    // orders — the property that makes KN state-of-the-art among
+    // count LMs)
+    "q_t_kn3_surprisal" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"))
+        .withColumn("__b",
+          graft.operators.DatasetSplit.bucket256(col("text")))
+      graft.operators.LangModel.kn3Surprisal(
+        base.filter(col("__b") < 205),
+        base.filter(col("__b") >= 205), "text", "doc_id")
+    }),
+
     // the CCNet composition: perplexity-filter the corpus with the KN
     // model — train on the content-hash split, score EVERY doc, keep
     // each language's best 90% by per-known-bigram surprisal. The
@@ -3788,6 +3805,58 @@ object StretchQueries {
          |  CAST(coalesce(sum(CASE WHEN s IS NULL THEN tf END), 0)
          |    AS BIGINT) AS n_oov,
          |  CAST(coalesce(sum(tf * s), 0) AS BIGINT) AS kn_micros
+         |FROM j GROUP BY 1""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // the interpolated order-3 replay: trigram/bigram type tables,
+    // continuation counts at both orders, ONE ln per trigram type
+    // over the composed int64 rational, held-out scoring with OOV
+    "q_t_kn3_surprisal" ->
+      (s"""WITH d0 AS (SELECT doc_id, coalesce(text, '') AS text
+         |  FROM documents),
+         |d AS (SELECT doc_id, $tokensSql AS ta,
+         |  CAST($bucketSql AS INT) AS bucket FROM d0),
+         |tg AS (SELECT doc_id, unnest(list_transform(range(1, len(ta) - 1),
+         |    i -> struct_pack(w1 := ta[i], w2 := ta[i+1],
+         |      w3 := ta[i+2]))) AS b
+         |  FROM d WHERE bucket < 205 AND len(ta) >= 3),
+         |c123 AS (SELECT b.w1 AS w1, b.w2 AS w2, b.w3 AS w3,
+         |  CAST(count(*) AS BIGINT) AS c123 FROM tg GROUP BY 1, 2, 3),
+         |h12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS h12,
+         |  CAST(count(*) AS BIGINT) AS f3 FROM c123 GROUP BY 1, 2),
+         |t23 AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS t23
+         |  FROM c123 GROUP BY 1, 2),
+         |t2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS t2,
+         |  CAST(count(DISTINCT w3) AS BIGINT) AS f2
+         |  FROM c123 GROUP BY 1),
+         |bg AS (SELECT unnest(list_transform(range(1, len(ta)),
+         |    i -> struct_pack(w1 := ta[i], w2 := ta[i+1]))) AS b
+         |  FROM d WHERE bucket < 205 AND len(ta) >= 2),
+         |bt AS (SELECT DISTINCT b.w1 AS w1, b.w2 AS w2 FROM bg),
+         |ne AS (SELECT w2 AS w3, CAST(count(*) AS BIGINT) AS ne
+         |  FROM bt GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM bt),
+         |sm AS (SELECT c123.w1, c123.w2, c123.w3, CAST(round(1000000.0 *
+         |    ln(CAST(h12.h12 * 16 * t2.t2 * nt.nt AS DOUBLE) /
+         |       CAST(greatest(c123.c123 * 4 - 3, 0) * 4 * t2.t2 * nt.nt
+         |         + h12.f3 * 3 * (greatest(t23.t23 * 4 - 3, 0) * nt.nt
+         |           + t2.f2 * 3 * ne.ne) AS DOUBLE))) AS BIGINT) AS s
+         |  FROM c123 JOIN h12 ON c123.w1 = h12.w1 AND c123.w2 = h12.w2
+         |  JOIN t23 ON c123.w2 = t23.w2 AND c123.w3 = t23.w3
+         |  JOIN t2 ON c123.w2 = t2.w2
+         |  JOIN ne ON c123.w3 = ne.w3, nt),
+         |tgs AS (SELECT doc_id, unnest(list_transform(range(1, len(ta) - 1),
+         |    i -> struct_pack(w1 := ta[i], w2 := ta[i+1],
+         |      w3 := ta[i+2]))) AS b
+         |  FROM d WHERE bucket >= 205 AND len(ta) >= 3),
+         |occ AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2, b.w3 AS w3,
+         |  CAST(count(*) AS BIGINT) AS tf FROM tgs GROUP BY 1, 2, 3, 4),
+         |j AS (SELECT occ.doc_id, occ.tf, sm.s FROM occ
+         |  LEFT JOIN sm ON occ.w1 = sm.w1 AND occ.w2 = sm.w2
+         |    AND occ.w3 = sm.w3)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+         |  CAST(coalesce(sum(CASE WHEN s IS NULL THEN tf END), 0)
+         |    AS BIGINT) AS n_oov,
+         |  CAST(coalesce(sum(tf * s), 0) AS BIGINT) AS kn3_micros
          |FROM j GROUP BY 1""".stripMargin).replaceAll(raw"\s+", " "),
 
     // the KN composition at corpus scope: model CTEs shared with

@@ -159,4 +159,114 @@ object LangModel {
           .as("n_oov"),
         coalesce(sum(col("tf") * col("s")), lit(0L)).as("kn_micros"))
   }
+
+  /** (id, w1, w2, w3, tf): per-document trigram occurrence counts —
+    * the order-3 sibling of [[bigramOccurrences]].
+    */
+  def trigramOccurrences(df: DataFrame, textCol: String,
+                         idCol: String): DataFrame =
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 3)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__t")) - 2), i =>
+          struct(element_at(col("__t"), i).as("w1"),
+            element_at(col("__t"), i + 1).as("w2"),
+            element_at(col("__t"), i + 2).as("w3")))).as("b"))
+      .groupBy(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"),
+        col("b.w3").as("w3"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** INTERPOLATED trigram Kneser–Ney per-type surprisal table
+    * `(w1, w2, w3, s)` — the order-3 standard (Chen & Goodman's
+    * interpolated KN with one absolute discount d = 3/4 at both
+    * orders), engine-exact as ONE int64 rational per trigram type:
+    *
+    *   P₃(w3|w1w2) = max(4·c123−3, 0)/(4·h12)
+    *                 + 3·f3(w1w2)/(4·h12) · P₂c(w3|w2)
+    *   P₂c(w3|w2)  = [max(4·t23−3, 0)·nT + 3·f2(w2)·ne(w3)]
+    *                 / (4·t2(w2)·nT)
+    *
+    * with every symbol an integer COUNT from the train corpus's
+    * n-gram TYPE tables: c123 trigram occurrences, h12 = Σ_w3 c123
+    * (the history count), f3 = distinct continuations of (w1,w2),
+    * t23 = N1+(·w2w3) (distinct predecessors of the bigram — the
+    * continuation count that makes KN "KN"), t2 = N1+(·w2·), f2 =
+    * distinct w3 after w2 in trigram types, ne/nT from the BIGRAM
+    * type table ([[knBigramScores]]'s continuation unigram). Composed
+    * over the common denominator:
+    *
+    *   P₃ = [max(4·c123−3,0)·4·t2·nT
+    *          + 3·f3·(max(4·t23−3,0)·nT + 3·f2·ne)]
+    *        / (16·h12·t2·nT)
+    *
+    * Numerator/denominator are exact int64s (P₃ ≤ 1 means the
+    * numerator is bounded by the denominator, so ONE envelope require
+    * on 16·max(h12)·max(t2)·nT covers both — data-derived from the
+    * model tables' own aggregates, loud on overflow), so both engines
+    * take ln of the identical double ratio and round the identical
+    * `s = round(1e6·(−ln P₃))`. KN is a proper distribution —
+    * Σ_w3 P₃(w3|w1w2) = 1 exactly — which the spec verifies by full
+    * vocab enumeration on a tiny corpus.
+    */
+  def kn3TrigramScores(train: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val (occ3, occ3Scratch) = Materialize.viaScratchWithPath(
+      trigramOccurrences(train, textCol, idCol), "graft-kn3-occ")
+    val c123 = Materialize.viaScratch(
+      occ3.groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(sum(col("tf")).as("c123")), "graft-kn3-c123")
+    occ3Scratch.drop()
+    val h12 = c123.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).as("h12"), count(lit(1)).as("f3"))
+    val t23 = c123.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("t23"))
+    val t2 = c123.groupBy(col("w2"))
+      .agg(count(lit(1)).as("t2"),
+        countDistinct(col("w3")).as("f2"))
+    // continuation unigram from the BIGRAM type table
+    val (occ2, occ2Scratch) = Materialize.viaScratchWithPath(
+      bigramOccurrences(train, textCol, idCol), "graft-kn3-occ2")
+    val bTypes = Materialize.viaScratch(
+      occ2.select(col("w1"), col("w2")).distinct(), "graft-kn3-btypes")
+    occ2Scratch.drop()
+    val ne = bTypes.groupBy(col("w2").as("w3"))
+      .agg(count(lit(1)).as("ne"))
+    val nT = bTypes.count()
+    require(nT > 0, "empty training corpus: no bigram types")
+    val maxH12 = h12.agg(max(col("h12"))).head().getLong(0)
+    val maxT2 = t2.agg(max(col("t2"))).head().getLong(0)
+    require(maxH12 <= Long.MaxValue / 16 / nT / math.max(maxT2, 1L),
+      s"KN3 int64 envelope exceeded: 16·h12·t2·nT with h12=$maxH12, " +
+        s"t2=$maxT2, nT=$nT — train per shard or coarsen the quantum")
+    c123.join(h12, Seq("w1", "w2")).join(t23, Seq("w2", "w3"))
+      .join(t2, Seq("w2")).join(ne, Seq("w3"))
+      .select(col("w1"), col("w2"), col("w3"),
+        (greatest(col("c123") * 4 - 3, lit(0L)) * 4 * col("t2") * nT +
+          col("f3") * 3 *
+            (greatest(col("t23") * 4 - 3, lit(0L)) * nT +
+              col("f2") * 3 * col("ne"))).as("__num"),
+        (col("h12") * 16 * col("t2") * nT).as("__den"))
+      .select(col("w1"), col("w2"), col("w3"),
+        round(lit(1000000.0) *
+          log(col("__den").cast("double") / col("__num").cast("double")))
+          .cast("long").as("s"))
+  }
+
+  /** Score `docs` under the interpolated trigram KN model:
+    * `(id, n_trigrams, n_oov, kn3_micros)` — the order-3 twin of
+    * [[knSurprisal]] (OOV = trigram types absent from the train
+    * table, thresholded separately by the caller).
+    */
+  def kn3Surprisal(train: DataFrame, docs: DataFrame, textCol: String,
+                   idCol: String): DataFrame = {
+    val model = Materialize.viaScratch(
+      kn3TrigramScores(train, textCol, idCol), "graft-kn3-model")
+    val occ = trigramOccurrences(docs, textCol, idCol)
+    occ.join(model, Seq("w1", "w2", "w3"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        coalesce(sum(when(col("s").isNull, col("tf"))), lit(0L))
+          .as("n_oov"),
+        coalesce(sum(col("tf") * col("s")), lit(0L)).as("kn3_micros"))
+  }
 }
