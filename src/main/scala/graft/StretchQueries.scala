@@ -1527,6 +1527,29 @@ object StretchQueries {
     // division floors, so the DuckDB oracle unrolls the identical
     // recurrence and must match bit-for-bit (no floating-point
     // PageRank survives cross-engine sum order)
+    // label-propagation COMMUNITIES on planted 6-cliques chained by
+    // single bridges — the construction where components ≠
+    // communities: CC merges the whole bridge chain into one label,
+    // LPA's frequency vote keeps each clique its own (the clique's 5
+    // internal votes out-vote its 1 bridge). Synchronous, min-tie,
+    // exactly 4 rounds — the K-round state is a pure function of the
+    // edge set, unrolled verbatim by the oracle
+    "q_g_lpa" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count() // bounded driver metadata, like §2-A2
+      val intra = docs
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(1), lit(5))).as("k"))
+        .select(col("src"), (col("src") + col("k")).as("dst"))
+        .filter(expr("src div 6 = dst div 6") && col("dst") < n)
+      val bridges = docs.filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 6).as("dst"))
+        .filter(col("dst") < n)
+      graft.operators.LinkGraph
+        .labelPropagation(intra.union(bridges), iters = 4)
+        .select(col("id").as("doc_id"), col("community"))
+    }),
+
     "q_g_pagerank" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val n = docs.count() // bounded driver metadata, like §2-A2
@@ -4505,6 +4528,33 @@ object StretchQueries {
     // (in-mass sum of floored shares) → damped floor. DuckDB's
     // HUGEINT sum casts back down; every value stays positive so //
     // and Spark's `div` agree
+    // the 4 synchronous LPA rounds unrolled: per round a neighbor-
+    // label vote count and an (n desc, lab asc) argmax per node
+    "q_g_lpa" -> {
+      def round(prev: String, out: String): String =
+        s"v$out AS (SELECT e.s AS id, $prev.lab AS lab, count(*) AS n " +
+          s"FROM e JOIN $prev ON e.d = $prev.id GROUP BY 1, 2), " +
+          s"$out AS (SELECT id, lab FROM (SELECT id, lab, row_number() " +
+          "OVER (PARTITION BY id ORDER BY n DESC, lab ASC) AS rn " +
+          s"FROM v$out) WHERE rn = 1)"
+      val rounds = (0 until 4)
+        .map(i => round(s"l$i", s"l${i + 1}")).mkString(", ")
+      ("""WITH docs AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT count(*) AS n FROM docs),
+         |intra AS (SELECT doc_id AS s, doc_id + k.k AS d
+         |  FROM docs, (SELECT unnest(range(1, 6)) AS k) k, nn
+         |  WHERE (doc_id + k.k) // 6 = doc_id // 6 AND doc_id + k.k < n),
+         |br AS (SELECT doc_id AS s, doc_id + 6 AS d FROM docs, nn
+         |  WHERE doc_id % 6 = 0 AND doc_id + 6 < n),
+         |e0 AS (SELECT s, d FROM intra UNION ALL SELECT s, d FROM br),
+         |e AS (SELECT DISTINCT s, d FROM (SELECT s, d FROM e0
+         |  UNION ALL SELECT d, s FROM e0) WHERE s <> d),
+         |l0 AS (SELECT DISTINCT s AS id, s AS lab FROM e),
+         |""".stripMargin + rounds +
+        " SELECT id AS doc_id, CAST(lab AS BIGINT) AS community FROM l4")
+        .replaceAll(raw"\s+", " ")
+    },
+
     "q_g_pagerank" -> {
       def round(prev: String, out: String): String =
         s"$out AS (SELECT nodes.id, " +

@@ -278,4 +278,68 @@ object LinkGraph {
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_common"))
   }
+
+  /** SYNCHRONOUS label-propagation community detection (LPA) —
+    * communities, not components: where [[graft.operators.Dedup
+    * .connectedComponents]]' min-label propagation merges everything
+    * a single bridge connects, LPA's FREQUENCY vote keeps densely-
+    * linked groups distinct (a clique out-votes its one bridge edge).
+    * The domain-clustering / topic-grouping signal of a link corpus.
+    *
+    * Determinism is the design constraint (classic async LPA depends
+    * on visit order — useless for an oracle): every round, every node
+    * simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLER label, for exactly `iters`
+    * rounds from `label = own id`. The K-round state is a pure
+    * function of the edge set, replayed by the oracle's unrolled
+    * CTEs. Parallel edges are deduplicated first — a doubled edge
+    * must not double its vote.
+    *
+    * Execution: per round ONE equi-join (edge map × labels) + a
+    * (node, label) count + a struct-max argmax (never a window over
+    * the corpus), scratch-materialized per round (NOTES lesson 7:
+    * O(1) plan depth). Work per round ∝ edges, like the PageRank
+    * loop.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 4,
+                       srcCol: String = "src",
+                       dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"unreasonable iters: $iters")
+    val dir0 = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+    val (und, undScratch) = Materialize.viaScratchWithPath(
+      dir0.union(dir0.select(col("d").as("s"), col("s").as("d")))
+        .distinct(),
+      "graft-lpa-edges")
+    val (nodes, nodesScratch) = Materialize.viaScratchWithPath(
+      und.select(col("s").as("id")).distinct(), "graft-lpa-nodes")
+    var labels = nodes.select(col("id"), col("id").as("lab"))
+    var prev: Option[Materialize.Scratch] = None
+    var it = 0
+    while (it < iters) {
+      val votes = und
+        .join(labels.select(col("id").as("d"), col("lab")), "d")
+        .groupBy(col("s"), col("lab"))
+        .agg(count(lit(1)).as("n"))
+      // argmax (n desc, lab asc) as ONE struct-max aggregation — the
+      // q_d_keep_best shape; -lab makes the lexicographic max pick
+      // the smaller label on vote ties
+      val best = votes
+        .groupBy(col("s").as("id"))
+        .agg(max(struct(col("n"), (-col("lab")).as("nl"))).as("b"))
+        .select(col("id"), (-col("b.nl")).as("lab"))
+      val (mat, scratch) = Materialize.viaScratchWithPath(best,
+        "graft-lpa-labels")
+      prev.foreach(_.drop())
+      prev = Some(scratch)
+      labels = mat
+      it += 1
+    }
+    undScratch.drop()
+    nodesScratch.drop()
+    labels.select(col("id"), col("lab").as("community"))
+  }
 }

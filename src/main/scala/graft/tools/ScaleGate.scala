@@ -198,7 +198,22 @@ object ScaleGate {
     // O(dup-group size), which TESTDATA keeps constant across sf —
     // a bucket-degeneracy regression (signature collapse) would show
     // as quadratic pair enumeration
-    "q_s29_sql_neardup" -> 12.0
+    "q_s29_sql_neardup" -> 12.0,
+    // round-12 LM family: count tables are TYPE-sized (sublinear in
+    // duplicated corpora — the 10× corpus repeats texts, so type
+    // growth is modest while occurrence scans are linear); the model
+    // build is a handful of partial+final aggregations over the type
+    // table plus one broadcastable join chain. A regression that
+    // re-derives the occurrence explode per count table (the lineage
+    // trap the scratch materialization guards) shows superlinear
+    "q_t_kn_surprisal" -> 10.0,
+    "q_t_kn3_surprisal" -> 10.0,
+    // the perplexity-filter composition adds per-lang rank windows
+    // over doc-level rows (linear shuffle, few partitions)
+    "q_pipe_ppl_filter" -> 10.0,
+    // binarized IVF index: build-if-stale fixed overhead + packed
+    // shortlist scan — the ivf_idx family's envelope reasoning
+    "q_v_topk_bin_idx" -> 8.0
   )
 
   def main(args: Array[String]): Unit = {

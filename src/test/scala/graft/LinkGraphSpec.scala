@@ -132,4 +132,41 @@ class LinkGraphSpec extends SparkSpec {
     // pair orientation: every pair appears exactly once, item_a < item_b
     assert(uncapped.forall(p => p._1 < p._2))
   }
+
+  test("labelPropagation: bridged cliques stay distinct communities " +
+    "(where CC merges them), duplicate edges don't double votes, " +
+    "partitioning-invariant") {
+    import org.apache.spark.sql.functions.col
+    // two 5-cliques {0..4} and {10..14} joined by ONE bridge 0–10
+    val cl = (for {
+      base <- Seq(0L, 10L)
+      i <- 0 until 5; j <- i + 1 until 5
+    } yield (base + i, base + j)) :+ ((0L, 10L))
+    val e = cl.toDF("src", "dst")
+    val got = graft.operators.LinkGraph.labelPropagation(e, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val comm0 = (0L until 5L).map(got).toSet
+    val comm1 = (10L until 15L).map(got).toSet
+    assert(comm0.size == 1 && comm1.size == 1,
+      s"cliques fragmented: $got")
+    assert(comm0 != comm1,
+      s"bridge merged the cliques (that's CC, not LPA): $got")
+    // CC control: the same graph IS one component
+    val cc = graft.operators.Dedup.connectedComponents(
+      e.select(col("src").as("id_a"), col("dst").as("id_b")))
+      .select(col("component")).distinct().count()
+    assert(cc == 1L, "construction broke: bridge should connect CC")
+    // duplicate + reversed edges must not change the vote
+    val doubled = e.union(e).union(e.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val got2 = graft.operators.LinkGraph
+      .labelPropagation(doubled, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == got, "parallel/reversed edges changed the result")
+    // partitioning invariance
+    val got3 = graft.operators.LinkGraph
+      .labelPropagation(e.repartition(7), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got3 == got)
+  }
 }
