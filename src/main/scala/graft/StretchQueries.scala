@@ -2119,6 +2119,19 @@ object StretchQueries {
         t(s, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))),
 
+    // inter-annotator agreement: Cohen's κ between the dataset's lang
+    // label and the engine's own n-gram langid — two independent
+    // annotation sources over every doc, κ as an exact int64 rational
+    // (agree·N − S)/(N² − S) with ONE micros rounding; the oracle
+    // replays the langid CASE and the identical arithmetic
+    "q_dq_kappa" -> ((s, dir) =>
+      graft.operators.DataQuality.cohenKappaMicros(
+        t(s, dir, "documents")
+          .select(col("lang"),
+            graft.functions.NativeExpressions.textProfile(col("text"))
+              .getField("lang_pred").as("pred")),
+        col("lang"), col("pred"))),
+
     // log2 token-length histogram (dataset-card sequence-length view):
     // the bucket is length(bin(nt)) = floor(log2 nt)+1 — EXACT integer
     // arithmetic, no libm log2 at bucket boundaries
@@ -3597,6 +3610,30 @@ object StretchQueries {
     "q_t_langid" ->
       s"SELECT doc_id, $langCaseSql AS lang_pred FROM documents"
         .replaceAll(raw"\s+", " "),
+
+    // κ replayed: the langid CASE supplies annotator 2, then the
+    // exact (agree·N − S)/(N² − S) rational with one micros rounding
+    "q_dq_kappa" ->
+      (s"""WITH p0 AS (SELECT lang AS a, $langCaseSql AS b
+         |  FROM documents),
+         |p AS (SELECT a, b FROM p0
+         |  WHERE a IS NOT NULL AND b IS NOT NULL),
+         |n1 AS (SELECT a AS l, CAST(count(*) AS BIGINT) AS n1
+         |  FROM p GROUP BY 1),
+         |n2 AS (SELECT b AS l, CAST(count(*) AS BIGINT) AS n2
+         |  FROM p GROUP BY 1),
+         |s AS (SELECT CAST(coalesce(sum(n1 * n2), 0) AS BIGINT)
+         |  AS s_prod FROM n1 JOIN n2 USING (l)),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(coalesce(sum(CASE WHEN a = b THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS agree FROM p)
+         |SELECT n, agree, s_prod,
+         |  CASE WHEN n * n = s_prod THEN NULL
+         |    ELSE CAST(round(1000000.0 *
+         |      (CAST(agree * n - s_prod AS DOUBLE) /
+         |       CAST(n * n - s_prod AS DOUBLE))) AS BIGINT) END
+         |  AS kappa_micros
+         |FROM t, s""".stripMargin).replaceAll(raw"\s+", " "),
 
     "q_t_quota" ->
       (s"WITH d AS (SELECT doc_id, $langCaseSql AS lang, " +

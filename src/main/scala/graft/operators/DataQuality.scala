@@ -122,6 +122,47 @@ object DataQuality {
     }.reduce(_ unionByName _)
   }
 
+  /** Cohen's κ between two nominal label columns — inter-annotator
+    * agreement, the label-quality meter of any labeling pipeline
+    * (human vs heuristic, two models, annotation rounds). Exact
+    * integer throughout:
+    *
+    *   κ = (p_o − p_e)/(1 − p_e)
+    *     = (agree·N − S) / (N² − S),  S = Σ_label n₁(l)·n₂(l)
+    *
+    * with N/agree/S exact int64 counts (bounded: N² < 2⁶³ up to ~3e9
+    * rows), so the ONLY rounding is the final micros site — both
+    * engines divide the identical doubles. Rows with a NULL on either
+    * side are excluded (un-annotated, not disagreement). κ is NULL
+    * when p_e = 1 (both annotators constant and identical — agreement
+    * is vacuous and the denominator is 0). Output one row:
+    * `(n, agree, s_prod, kappa_micros)` — the raw counts ride along
+    * so a caller (or the oracle) can audit the rational.
+    */
+  def cohenKappaMicros(df: DataFrame, col1: Column,
+                       col2: Column): DataFrame = {
+    val base = df.select(col1.cast("string").as("a"),
+        col2.cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val n1 = base.groupBy(col("a").as("l")).agg(count(lit(1)).as("n1"))
+    val n2 = base.groupBy(col("b").as("l")).agg(count(lit(1)).as("n2"))
+    val s = n1.join(n2, "l")
+      .agg(coalesce(sum(col("n1") * col("n2")), lit(0L)).as("s_prod"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("a") === col("b"), 1L).otherwise(0L)),
+        lit(0L)).as("agree"))
+    // both sides are 1-row aggregates — the sanctioned cross join
+    tot.crossJoin(s)
+      .select(col("n"), col("agree"), col("s_prod"),
+        when(col("n") * col("n") === col("s_prod"),
+          lit(null).cast("long"))
+          .otherwise(round(lit(1000000.0) *
+            ((col("agree") * col("n") - col("s_prod")).cast("double") /
+              (col("n") * col("n") - col("s_prod")).cast("double")))
+            .cast("long"))
+          .as("kappa_micros"))
+  }
+
   /** Throw if any rule has violations (the CHECK-constraint form). */
   def enforce(df: DataFrame, rules: Seq[Rule]): Unit = {
     val bad = check(df, rules)

@@ -111,4 +111,38 @@ class QualityRulesSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].head()
     assert(clean == (("d1->k", 0L, 0L, 0L)))
   }
+
+  test("cohenKappaMicros: textbook value, NULL exclusion, perfect " +
+    "agreement = 1e6, vacuous constant agreement = NULL, " +
+    "label-independent annotators ≈ 0") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.DataQuality
+    // classic 2x2: a=(y:25,n:25) b mixing — agree 35 of 50:
+    // n1(y)=25,n1(n)=25; n2(y)=30,n2(n)=20 → S=25·30+25·20=1250
+    // κ = (35·50−1250)/(2500−1250) = 500/1250 = 0.4 exactly
+    val rows =
+      Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq((null, "y"), ("y", null)) // un-annotated rows must drop
+    val out = DataQuality.cohenKappaMicros(
+      rows.toDF("a", "b"), col("a"), col("b")).head()
+    assert(out.getLong(0) == 50L && out.getLong(1) == 35L)
+    assert(out.getLong(3) == 400000L, s"κ: ${out.getLong(3)}")
+    // perfect agreement over ≥2 labels → κ = 1 exactly
+    val perfect = DataQuality.cohenKappaMicros(
+      Seq(("x", "x"), ("y", "y")).toDF("a", "b"), col("a"), col("b"))
+      .head()
+    assert(perfect.getLong(3) == 1000000L)
+    // both annotators constant and identical → p_e = 1 → NULL
+    val vac = DataQuality.cohenKappaMicros(
+      Seq(("x", "x"), ("x", "x")).toDF("a", "b"), col("a"), col("b"))
+      .head()
+    assert(vac.isNullAt(3), "vacuous agreement must be NULL, not 1")
+    // independence: b is a constant while a varies → κ = 0 exactly
+    // (agree·N = n1(x)·N = S when n2(x) = N)
+    val indep = DataQuality.cohenKappaMicros(
+      Seq(("x", "x"), ("y", "x"), ("x", "x"), ("z", "x"))
+        .toDF("a", "b"), col("a"), col("b")).head()
+    assert(indep.getLong(3) == 0L, s"κ: ${indep.getLong(3)}")
+  }
 }
