@@ -98,7 +98,8 @@ object SpillProbe {
     spark.sparkContext.addSparkListener(listener)
     def gb(b: Long): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(b / 1e9))
-    Seq("q_v_semdedup", "q_d_minhash_lsh").foreach { name =>
+    Seq("q_v_semdedup", "q_d_minhash_lsh", "q_t_kn3_surprisal")
+      .foreach { name =>
       listener.reset()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, big)
