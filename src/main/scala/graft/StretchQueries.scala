@@ -1199,6 +1199,52 @@ object StretchQueries {
         k = 5, nprobe = 4, ef = 0)
     }),
 
+    // the HNSW maintenance loop as a DEPLOYMENT gate: build on half
+    // the corpus, append the other half, read the drift meters (pure
+    // footer/count arithmetic — exact integers the oracle replays
+    // from the corpus's own parity counts), observe needsRebuild
+    // fire, rebuild over the union, observe the meters reset. The
+    // rebuilt index's search correctness is q_v_topk_hnsw_inc's job;
+    // THIS gate pins the meter→trigger→rebuild→reset lifecycle
+    // numbers end to end (shard imbalance is k-means-dependent and
+    // stays spec-pinned, not oracled)
+    "q_v_hnsw_rebuild" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_rb_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      Hnsw.ensureIndex(half0, s"$dir/embeddings.parquet", idx,
+        shards = 4, m = 8, efC = 32)
+      Hnsw.appendToIndex(half1, idx)
+      val live = Hnsw.footerShardSizes(s, idx).values.sum
+      val base = Hnsw.baseRowCount(s, idx).get
+      val ppmBefore = (live - base) * 1000000L / base
+      val firesBefore = Hnsw.needsRebuild(s, idx)
+      // the rebuild the trigger points at: fresh build over the union
+      val idx2 = idx + "_rebuilt"
+      fs.delete(new org.apache.hadoop.fs.Path(idx2), true)
+      Hnsw.ensureIndex(emb, s"$dir/embeddings.parquet", idx2,
+        shards = 4, m = 8, efC = 32)
+      val live2 = Hnsw.footerShardSizes(s, idx2).values.sum
+      val base2 = Hnsw.baseRowCount(s, idx2).get
+      val ppmAfter = (live2 - base2) * 1000000L / base2
+      import s.implicits._
+      Seq(
+        ("appended_ppm_before", ppmBefore),
+        ("fires_before", if (firesBefore) 1L else 0L),
+        ("rows_after", live2),
+        ("appended_ppm_after", ppmAfter),
+        ("fires_after",
+          if (Hnsw.needsRebuild(s, idx2,
+            // the skew axis is k-means-dependent; the oracle covers
+            // the APPEND axis, so probe only that one here
+            maxShardSkew = Double.MaxValue)) 1L else 0L))
+        .toDF("metric", "value")
+    }),
+
     // compressed-domain IVF search: the int8 (4×-smaller) column feeds
     // the shortlist scan, full-precision vectors rescore ONLY the
     // shortlist — the IVF-PQ-style shape a 100 TB corpus searches.
@@ -3495,6 +3541,26 @@ object StretchQueries {
       ("q_s28_sql_blocklist" -> oracleSqlMap("q_t_blocklist")) +
       ("q_s30_sql_ann" -> oracleSqlMap("q_v_topk_bin")) +
       ("q_v_topk_bin_idx" -> oracleSqlMap("q_v_topk_bin")) +
+      // the maintenance lifecycle replayed from parity counts: base =
+      // even ids, appended = odd ids; the trigger arithmetic is the
+      // integer ppm the engine computes from index metadata (both
+      // sides ≈ 1.0 appended fraction, nowhere near the 0.5 boundary)
+      ("q_v_hnsw_rebuild" ->
+        ("""WITH c AS (SELECT
+           |  CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n0,
+           |  CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n1 FROM embeddings)
+           |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+           |  SELECT 'appended_ppm_before' AS metric,
+           |    n1 * 1000000 // n0 AS value FROM c
+           |  UNION ALL SELECT 'fires_before',
+           |    CASE WHEN n1 * 1000000 // n0 > 500000 THEN 1 ELSE 0 END
+           |    FROM c
+           |  UNION ALL SELECT 'rows_after', n0 + n1 FROM c
+           |  UNION ALL SELECT 'appended_ppm_after', 0 FROM c
+           |  UNION ALL SELECT 'fires_after', 0 FROM c)"""
+          .stripMargin).replaceAll(raw"\s+", " ")) +
       ("q_v_pca_project" -> pcaProjectOracle) +
       ("q_t_temp_mix" -> tempMixOracle)
 

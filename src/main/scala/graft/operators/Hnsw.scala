@@ -452,6 +452,13 @@ object Hnsw {
       }.toMap
   }
 
+  /** The build-time row count (`_ROWS_BASE`) — the drift meter's
+    * denominator, exposed for callers that want the raw integers
+    * (e.g. a lifecycle gate computing an exact ppm).
+    */
+  def baseRowCount(spark: SparkSession, indexPath: String): Option[Long] =
+    Ivf.readCountFile(spark, s"$indexPath/_ROWS_BASE")
+
   /** Appended-since-build fraction — identical semantics to
     * [[Ivf.appendedFraction]] (live − base) / base, with the live
     * count from the maintained `_ROWS` (footer fallback for an index
