@@ -95,6 +95,11 @@ object StretchQueries {
     */
   @volatile private var tempMixRates: Option[Seq[(String, Int)]] = None
 
+  /** q_pipe_curate6's own rate stash (its rates derive from the
+    * POST-blocklist survivor counts, not the raw corpus).
+    */
+  @volatile private var curate6Rates: Option[Seq[(String, Int)]] = None
+
   private val fsJw = EntityResolution.fsWeightsMicros(0.9, 0.1)
   private val fsLen = EntityResolution.fsWeightsMicros(0.85, 0.3)
   private val fsPre = EntityResolution.fsWeightsMicros(0.95, 0.5)
@@ -2096,6 +2101,30 @@ object StretchQueries {
           sum(col("nt")).as("total_tokens"))
     }),
 
+    // round-12 capstone composition: Aho–Corasick blocklist clean →
+    // temperature mixture sampling at T=2 over the SURVIVORS (rates
+    // derived post-filter and stash-interpolated into the oracle —
+    // order matters and the oracle proves it) → per-language dataset
+    // card. The three stages are each oracle-green alone; this gate
+    // pins their composition, including that the mix rates see the
+    // blocklist-filtered counts, not the raw corpus's
+    "q_pipe_curate6" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("text"), lit("")).as("text"))
+      val clean = graft.operators.Blocklist
+        .clean(base, "text", blocklistPatterns)
+      val rates = graft.operators.DatasetSplit
+        .temperatureMixRates(clean, "lang", temperature = 2.0)
+      curate6Rates = Some(rates)
+      graft.operators.DatasetSplit
+        .temperatureMix(clean, "lang", col("text"), rates)
+        .withColumn("nt",
+          size(TextFunctions.tokens(col("text"))).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    }),
+
     // leakage-safe curation close: near-dup families (the LSH stage's
     // output shape, closed-form chain decades here) → CC → family-
     // hashed split → per-split corpus stats. The report an operator
@@ -3562,7 +3591,46 @@ object StretchQueries {
            |  UNION ALL SELECT 'fires_after', 0 FROM c)"""
           .stripMargin).replaceAll(raw"\s+", " ")) +
       ("q_v_pca_project" -> pcaProjectOracle) +
-      ("q_t_temp_mix" -> tempMixOracle)
+      ("q_t_temp_mix" -> tempMixOracle) +
+      ("q_pipe_curate6" -> curate6Oracle)
+
+  /** Oracle for the round-12 capstone: blocklist clean (per-position
+    * substr replay) → mix filter with the stashed post-filter rate
+    * literals → per-language card. A def — the stash only exists
+    * after the gate runs.
+    */
+  private def curate6Oracle: String = curate6Rates match {
+    case None => "SELECT 1 AS never WHERE 1 = 0"
+    case Some(rates) =>
+      val values = rates.map { case (g, r) =>
+        s"('${g.replace("'", "''")}', $r)"
+      }.mkString(", ")
+      val pats = blocklistPatterns.map(p => s"('$p')").mkString(", ")
+      val h = "md5('tmix:' || text)"
+      val bucket = (1 to 4).map { i =>
+        val w = math.pow(16, 4 - i).toInt
+        s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * $w"
+      }.mkString(" + ")
+      (s"""WITH p(pat) AS (SELECT * FROM (VALUES $pats)),
+         |d AS (SELECT doc_id, lang, coalesce(text, '') AS text
+         |  FROM documents),
+         |i AS (SELECT CAST(range AS INT) AS i FROM range(1, 2049)),
+         |hit AS (SELECT DISTINCT d.doc_id
+         |  FROM d CROSS JOIN p CROSS JOIN i
+         |  WHERE i.i + len(p.pat) - 1 <= len(d.text)
+         |    AND substr(d.text, i.i, len(p.pat)) = p.pat),
+         |c AS (SELECT d.doc_id, d.lang, d.text FROM d
+         |  LEFT JOIN hit ON d.doc_id = hit.doc_id
+         |  WHERE hit.doc_id IS NULL),
+         |r AS (SELECT * FROM (VALUES $values) t(lang, rate)),
+         |m AS (SELECT c.doc_id, c.lang, c.text FROM c
+         |  JOIN r USING (lang) WHERE $bucket < rate),
+         |tk AS (SELECT lang,
+         |  CAST(len($tokensSql) AS BIGINT) AS nt FROM m)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens
+         |FROM tk GROUP BY 1""".stripMargin).replaceAll(raw"\s+", " ")
+  }
 
   /** Oracle for q_t_temp_mix from the stashed driver-computed rates
     * (see tempMixRates); replays the salted 16-bit md5-bucket filter
