@@ -31,6 +31,22 @@ object StretchQueries {
       concat(col("text"), lit(" planted near duplicate")).as("text")))
   }
 
+  /** documents ∪ EXACT copies of itself (doc_id + 1e6, same text;
+    * whitespace-only/null texts excluded) — the q_s29 semantic-oracle
+    * corpus in DataFrame form. Over it, identical shingle sets ⟺
+    * identical MinHash signatures ⟺ same bucket in EVERY band, so a
+    * jaccard-1.0-confirmed result is the SEMANTIC equal-shingle-set
+    * relation: seed- and hash-engine-independent, fully oracle-able.
+    * Natural exact-dup pairs surface identically on both sides.
+    */
+  private def docsWithPlantedCopies(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .filter(length(trim(col("text"))) > 0)
+    docs.union(docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
   /** Deterministic messy-URL corpus: class `doc_id % 23` owns ONE
     * canonical URL (`https://{www|blog}.site{cls%5}{.co.uk|.com}
     * /a{cls}/b[?x=1&y=2]`); the variant `(doc_id / 23) % 8` spells it
@@ -752,6 +768,77 @@ object StretchQueries {
       Dedup.simhashCandidates(docsWithPlantedDups(s, dir), "text", "doc_id",
         maxHamming = 3)),
 
+    // the Scala-arm twin of q_s29 (round-12 VERDICT #1): the
+    // PRODUCTION operator Dedup.nearDupPairs — native shingle-set
+    // kernel, banded LSH candidates, exact-Jaccard verification —
+    // run at threshold = 1.0 over planted exact copies. Banding
+    // recall for jaccard-1.0 pairs is exactly 1 (equal shingle sets
+    // ⇒ equal signatures ⇒ co-bucketed in every band) and the
+    // confirm rejects everything else, so the output IS the semantic
+    // equal-shingle-set relation and shares q_s29's oracle. The
+    // production-threshold arm (0.3) stays q_d_minhash_lsh,
+    // rows-only by documented design.
+    "q_d_minhash_confirmed" -> ((s, dir) =>
+      Dedup.nearDupPairs(docsWithPlantedCopies(s, dir), "text", "doc_id",
+        threshold = 1.0).select(col("id_a"), col("id_b"))),
+
+    // SimHash's confirmed arm: candidates at maxHamming = 0 (equal
+    // 64-bit fingerprints — recall 1 for equal token MULTISETS, since
+    // the fingerprint is a pure function of the multiset), confirmed
+    // by sorted-token-list equality. Output = the semantic
+    // equal-token-multiset relation; fingerprint collisions between
+    // DIFFERENT multisets are rejected by the confirm, and equal
+    // multisets can never be missed (hamming 0 co-buckets in every
+    // 16-bit block). maxBucketSize is lifted to the corpus size —
+    // the same determinism hatch as q_v_topk_lsh's probe-all mode:
+    // the cap is a production skew guard, and a capped bucket would
+    // silently drop true pairs the oracle keeps.
+    "q_d_simhash_confirmed" -> ((s, dir) => {
+      val docs = docsWithPlantedCopies(s, dir)
+      val keys = docs.select(col("doc_id"),
+        array_sort(TextFunctions.tokens(col("text"))).as("__k"))
+      Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 0,
+          maxBucketSize = Int.MaxValue)
+        .join(keys.select(col("doc_id").as("id_a"), col("__k").as("__ka")),
+          "id_a")
+        .join(keys.select(col("doc_id").as("id_b"), col("__k").as("__kb")),
+          "id_b")
+        .filter(col("__ka") === col("__kb"))
+        .select(col("id_a"), col("id_b"))
+    }),
+
+    // the streaming arm's confirmed gate (round-12 VERDICT #6):
+    // flatMapGroupsWithState candidates (batch-executed — stream ≡
+    // batch pair-for-pair is StreamingSpec's pin) over the planted-
+    // copy corpus, deduped across bands, confirmed at jaccard = 1.0
+    // on the stored shingle-hash sets. Same semantics argument as
+    // q_d_minhash_confirmed ⇒ shares q_s29's oracle; the raw
+    // candidate arm stays q_d_stream_cands (rows-only by design).
+    "q_d_stream_confirmed" -> ((s, dir) => {
+      import s.implicits._
+      val docs = docsWithPlantedCopies(s, dir)
+      val banded = graft.streaming.StreamingDedup.bandedSignatures(
+        docs, "text", "doc_id")
+        .as[graft.streaming.StreamingDedup.Banded]
+      // bucket cap lifted (the q_d_simhash_confirmed hatch): a
+      // poisoned bucket would drop later-arriving true pairs the
+      // oracle keeps
+      val cands = graft.streaming.StreamingDedup.candidateStream(banded,
+          maxBucketSize = Int.MaxValue)(s)
+        .toDF().select(col("id_a"), col("id_b")).distinct()
+      val sets = docs.select(col("doc_id"),
+        graft.functions.NativeExpressions.shingleHashSet(col("text"), 3)
+          .as("__set"))
+      cands
+        .join(sets.select(col("doc_id").as("id_a"), col("__set").as("__sa")),
+          "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("__set").as("__sb")),
+          "id_b")
+        .filter(graft.functions.NativeExpressions
+          .sortedJaccard(col("__sa"), col("__sb")) === 1.0)
+        .select(col("id_a"), col("id_b"))
+    }),
+
     // dedup resolution: connected components over a pair list whose
     // component structure is known analytically (chains of 10
     // consecutive ids — diameter 9, so convergence needs real
@@ -1227,7 +1314,14 @@ object StretchQueries {
       val live = Hnsw.footerShardSizes(s, idx).values.sum
       val base = Hnsw.baseRowCount(s, idx).get
       val ppmBefore = (live - base) * 1000000L / base
-      val firesBefore = Hnsw.needsRebuild(s, idx)
+      // the oracle replays ONLY the append-ppm axis, so both trigger
+      // probes pin exactly that axis (a degenerate k-means router
+      // could push skew past the default 4.0 with appended fraction
+      // <= 0.5 and silently diverge from the oracle otherwise —
+      // round-12 ADVICE); the skew axis lives in q_v_hnsw_split +
+      // HnswSpec
+      val firesBefore = Hnsw.needsRebuild(s, idx,
+        maxShardSkew = Double.MaxValue)
       // the rebuild the trigger points at: fresh build over the union
       val idx2 = idx + "_rebuilt"
       fs.delete(new org.apache.hadoop.fs.Path(idx2), true)
@@ -3568,6 +3662,13 @@ object StretchQueries {
       ("q_ev_sessions_et" -> oracleSqlMap("q_ev_sessions")) +
       ("q_ev_transitions_stream" -> oracleSqlMap("q_ev_transitions")) +
       ("q_s28_sql_blocklist" -> oracleSqlMap("q_t_blocklist")) +
+      // the Scala production arms at threshold 1.0 compute the same
+      // SEMANTIC relation as the pure-SQL deployment gate: equal
+      // sorted distinct shingle lists (see q_d_minhash_confirmed /
+      // q_d_stream_confirmed comments for the recall-exactly-1
+      // argument)
+      ("q_d_minhash_confirmed" -> oracleSqlMap("q_s29_sql_neardup")) +
+      ("q_d_stream_confirmed" -> oracleSqlMap("q_s29_sql_neardup")) +
       ("q_s30_sql_ann" -> oracleSqlMap("q_v_topk_bin")) +
       ("q_v_topk_bin_idx" -> oracleSqlMap("q_v_topk_bin")) +
       // the maintenance lifecycle replayed from parity counts: base =
@@ -4385,6 +4486,23 @@ object StretchQueries {
     // EQUAL (identical sets ⟺ identical signatures ⟺ caught in every
     // band; the = 1.0 confirm rejects everything else), replayed
     // without the engine-specific hash values
+    // the SEMANTIC result of hamming-0 SimHash blocking + multiset
+    // confirm: pairs with EQUAL sorted token lists (the fingerprint
+    // is a pure function of the token multiset, so equal multisets
+    // can never be missed; collisions between different multisets
+    // are rejected by the confirm) — replayed without the
+    // engine-specific 64-bit fingerprints
+    "q_d_simhash_confirmed" ->
+      (s"""WITH c AS (
+         |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, coalesce(text, '') FROM documents),
+         |t AS (SELECT doc_id, list_sort($tokensSql) AS key FROM c
+         |  WHERE length(trim(text)) > 0)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM t a JOIN t b ON a.key = b.key AND a.doc_id < b.doc_id"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
     "q_s29_sql_neardup" -> {
       (s"""WITH c AS (
          |  SELECT doc_id, coalesce(text, '') AS text FROM documents

@@ -901,11 +901,40 @@ object Layout {
         size() > 256
     }
 
+  /** Memo key for a manifest's current CONTENT: mtime/count/bytes
+    * from [[Scratch.stat]] PLUS a hash of the stats dir's sorted
+    * child (name, length) listing. mtime granularity alone can't
+    * distinguish two rewrites landing in one granule with identical
+    * file count and total size — but a rewrite always changes the
+    * part-file names (task UUIDs), so the name hash makes the key
+    * content-accurate without reading any data (round-12 ADVICE).
+    * One extra listStatus per memo probe, driver-side.
+    */
+  private[graft] def manifestMemoKey(spark: org.apache.spark.sql.SparkSession,
+                              tablePath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(statsPath(tablePath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(c => c.getPath.getName + ":" + c.getLen)
+          .sorted
+      else Array.empty[String]
+    var h = -3750763034362895579L // FNV-1a 64 offset basis
+    names.foreach { s =>
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+        h ^= (b & 0xffL); h *= 1099511628211L
+      }
+      h ^= 0x1fL; h *= 1099511628211L // record separator
+    }
+    tablePath + "§" + Scratch.stat(spark, statsPath(tablePath)) + "§" +
+      java.lang.Long.toHexString(h)
+  }
+
   private[graft] def manifestFileNames(
       spark: org.apache.spark.sql.SparkSession,
       tablePath: String): Option[Set[String]] =
     try {
-      val key = tablePath + "§" + Scratch.stat(spark, statsPath(tablePath))
+      val key = manifestMemoKey(spark, tablePath)
       manifestNamesMemo.synchronized {
         val hit = manifestNamesMemo.get(key)
         if (hit != null) return hit
@@ -922,10 +951,11 @@ object Layout {
     * fixpoint, so an eligible-but-unprunable filter would otherwise
     * pay the manifest read on every batch iteration — and a bench
     * rep re-running the same query would pay it every rep. The
-    * fingerprint is [[Scratch.stat]] of the manifest dir (newest
-    * mtime + file count + bytes): any DML republish changes it, so a
-    * stale decision is never served across a table rewrite. Bounded;
-    * driver-side only.
+    * fingerprint is [[manifestMemoKey]] ([[Scratch.stat]] of the
+    * manifest dir plus a hash of its child names): any DML republish
+    * changes it — including a same-mtime-granule rewrite of identical
+    * size, which rewrites part-file names — so a stale decision is
+    * never served across a table rewrite. Bounded; driver-side only.
     */
   private val plannerMemo =
     new java.util.LinkedHashMap[String, Option[Seq[String]]](64, 0.75f, true) {
@@ -950,8 +980,10 @@ object Layout {
                                       bounds: Seq[PlannerBound])
       : Option[Seq[String]] =
     try {
-      val key = tablePath + "§" + bounds.mkString("|") + "§" +
-        Scratch.stat(spark, statsPath(tablePath))
+      // same content-accurate key as manifestFileNames: the pruning
+      // decision must never survive a same-granule same-size rewrite
+      val key = manifestMemoKey(spark, tablePath) + "§" +
+        bounds.mkString("|")
       plannerMemo.synchronized {
         val hit = plannerMemo.get(key)
         if (hit != null) return hit

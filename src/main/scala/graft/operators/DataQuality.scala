@@ -130,8 +130,12 @@ object DataQuality {
     *   κ = (p_o − p_e)/(1 − p_e)
     *     = (agree·N − S) / (N² − S),  S = Σ_label n₁(l)·n₂(l)
     *
-    * with N/agree/S exact int64 counts (bounded: N² < 2⁶³ up to ~3e9
-    * rows), so the ONLY rounding is the final micros site — both
+    * with N/agree/S exact int64 counts (bounded: N² < 2⁶³ up to
+    * N = 3 037 000 499 ≈ 3e9 rows — past it the plan raises instead
+    * of serving a silently-wrapped κ; label-agreement inputs are
+    * samples, so the bound is operationally unreachable and a loud
+    * stop is the right failure mode), so the ONLY rounding is the
+    * final micros site — both
     * engines divide the identical doubles. Rows with a NULL on either
     * side are excluded (un-annotated, not disagreement). κ is NULL
     * when p_e = 1 (both annotators constant and identical — agreement
@@ -151,10 +155,21 @@ object DataQuality {
     val tot = base.agg(count(lit(1)).as("n"),
       coalesce(sum(when(col("a") === col("b"), 1L).otherwise(0L)),
         lit(0L)).as("agree"))
+    // n² must stay exact in int64: floor(√(2⁶³−1)) = 3 037 000 499.
+    // The guard is data-derived and in-plan (evaluated on the single
+    // aggregated row), so an oversized input fails loudly instead of
+    // returning a wrapped kappa_micros — the LogReg/KN loud-envelope
+    // convention (round-12 ADVICE).
+    val maxN = 3037000499L
     // both sides are 1-row aggregates — the sanctioned cross join
     tot.crossJoin(s)
       .select(col("n"), col("agree"), col("s_prod"),
-        when(col("n") * col("n") === col("s_prod"),
+        when(col("n") > maxN,
+          raise_error(format_string(
+            "cohenKappaMicros: n = %s exceeds the int64 exactness " +
+              "envelope (n^2 < 2^63 requires n <= 3037000499)",
+            col("n"))).cast("long"))
+          .when(col("n") * col("n") === col("s_prod"),
           lit(null).cast("long"))
           .otherwise(round(lit(1000000.0) *
             ((col("agree") * col("n") - col("s_prod")).cast("double") /

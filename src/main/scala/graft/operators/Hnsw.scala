@@ -386,6 +386,16 @@ object Hnsw {
         .map(_.group(1).toInt)
         .getOrElse(sys.error(s"index marker lacks $k: $marker"))
     val (m, efC) = (param("m"), param("efC"))
+    // an index built before the drift meters existed has no
+    // _ROWS_BASE; a caller that only ever appends (never re-running
+    // ensureIndex) would otherwise read appendedFraction = 0.0
+    // forever and the rebuild trigger's append axis would silently
+    // never fire (round-12 ADVICE). Stamp the base from the
+    // PRE-append footer sum — the best available "as-built" count —
+    // so drift meters start from this append instead of never.
+    if (Ivf.readCountFile(spark, s"$indexPath/_ROWS_BASE").isEmpty)
+      Ivf.writeCountFile(spark, s"$indexPath/_ROWS_BASE",
+        footerShardSizes(spark, indexPath).values.sum)
     val model = Ivf.loadModelCached(spark, s"$indexPath/centroids")
     val assigned = Ivf.assign(df, model, vecCol)
       .select(col("cluster"), col(idCol).cast("long").as("id"),

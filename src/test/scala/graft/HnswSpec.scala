@@ -203,4 +203,30 @@ class HnswSpec extends SparkSpec {
       "retrained router must re-balance the shards")
     assert(!Hnsw.needsRebuild(spark, idx2))
   }
+
+  test("appendToIndex against a pre-meter index (no _ROWS_BASE) stamps " +
+    "the base from the pre-append footer sum, so the drift meter " +
+    "starts from that append instead of reading 0.0 forever") {
+    val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val idx = tmpDir("hnsw-legacy-base") + "/idx"
+    Hnsw.ensureIndex(half0, s"$dir/embeddings.parquet", idx,
+      shards = 4, m = 8, efC = 32)
+    val n0 = Hnsw.footerShardSizes(spark, idx).values.sum
+    // simulate an index built before the meters existed
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_ROWS_BASE"), true)
+    assert(Hnsw.baseRowCount(spark, idx).isEmpty)
+    assert(Hnsw.appendedFraction(spark, idx) == 0.0,
+      "no base -> meter reads 0.0 (the legacy blind spot)")
+    Hnsw.appendToIndex(half1, idx)
+    assert(Hnsw.baseRowCount(spark, idx).contains(n0),
+      "append must stamp _ROWS_BASE from the PRE-append footer sum")
+    val frac = Hnsw.appendedFraction(spark, idx)
+    assert(frac > 0.9 && frac < 1.1,
+      s"meter must see the appended half against the stamped base: $frac")
+    assert(Hnsw.needsRebuild(spark, idx, maxShardSkew = Double.MaxValue),
+      "the append axis must be able to fire on a legacy index")
+  }
 }

@@ -230,6 +230,38 @@ class LayoutExtensionsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("manifest memo key is CONTENT-accurate: a stats rewrite that " +
+    "keeps mtime granule, file count, and total bytes identical still " +
+    "changes the key (round-12 ADVICE — the name hash closes the " +
+    "same-granule same-size stale-serve window)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val path = tmpDir("memo-key") + "/li"
+    graft.engine.Layout.writeRangeSorted(li, path, 4, col("l_orderkey"))
+    graft.engine.Layout.writeFileStats(spark, path, Seq("l_orderkey"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsDir = new org.apache.hadoop.fs.Path(path + "__stats")
+    val key1 = graft.engine.Layout.manifestMemoKey(spark, path)
+    // simulate the pathological rewrite: same child count, same total
+    // bytes, same mtimes — only a part-file NAME differs (every real
+    // rewrite changes part names via task UUIDs)
+    val statBefore = graft.engine.Scratch.stat(spark, path + "__stats")
+    val dirStat = fs.getFileStatus(statsDir)
+    val children = fs.listStatus(statsDir)
+    val part = children.find(_.getPath.getName.endsWith(".parquet")).get
+    val renamed = new org.apache.hadoop.fs.Path(
+      statsDir, "zz-" + part.getPath.getName)
+    assert(fs.rename(part.getPath, renamed))
+    fs.setTimes(renamed, part.getModificationTime, -1)
+    fs.setTimes(statsDir, dirStat.getModificationTime, -1)
+    assert(graft.engine.Scratch.stat(spark, path + "__stats") == statBefore,
+      "precondition: mtime/count/bytes must be unchanged by the rename")
+    val key2 = graft.engine.Layout.manifestMemoKey(spark, path)
+    assert(key1 != key2,
+      "memo key must see the rewrite through the name hash")
+  }
+
   test("metadataAgg over a zero-row manifest: counts fold to 0, not " +
     "NULL; data sum/min/max stay NULL (≡ aggregates of an empty table)") {
     val path = tmpDir("magg-empty") + "/li"
