@@ -725,14 +725,40 @@ object StretchQueries {
         graft.operators.BpeTrainer.wordCounts(t(s, dir, "documents"), "text"))
         .orderBy(col("n").desc, col("a"), col("b")).limit(30)),
 
-    // the full learned merge sequence: exact-integer argmax with a
-    // total tie-break makes it engine-independent and deterministic,
-    // but the iterative fixpoint is not SQL-expressible → rows-only;
-    // BpeSpec pins the distributed path ≡ the local reference exactly
+    // the full learned merge sequence. Round 13: the iterative
+    // fixpoint IS SQL-expressible after all — the LR-oracle unroll
+    // pattern applied to all 16 rounds (pair count over the evolving
+    // wrapped-symbol vocab → total-order argmax → left-to-right
+    // non-overlapping replace, see [[bpeMergeCtes]]) — so the gate
+    // left the no-oracle list with a TRUE independent replay of the
+    // training loop, not a literal-stash echo. BpeSpec still pins
+    // distributed ≡ local reference.
     "q_t_bpe" -> ((s, dir) => {
       import s.implicits._
       graft.operators.BpeTrainer.train(t(s, dir, "documents"), "text",
         numMerges = 16).toDF()
+    }),
+
+    // the encode side over a held-out slice: train on the corpus,
+    // segment every 37th doc with the learned merges (the native
+    // ApplyMergesExpr kernel), emit the subword string + count. The
+    // oracle re-learns the merges with the same unrolled CTEs and
+    // replays encode as 16 chained replaces over the doc's
+    // concatenated wrapped-symbol string — sound because no learned
+    // merge's left element can contain '</w>' (word-final symbols
+    // never have an in-word successor during training), so no merge
+    // ever fires across a word boundary and per-word ≡ per-doc.
+    "q_t_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.BpeTrainer.train(docs, "text",
+        numMerges = 16)
+      graft.operators.BpeTrainer.encode(
+        docs.filter(col("doc_id") % 37 === 0)
+          .filter(size(TextFunctions.tokens(col("text"))) > 0),
+        "text", merges)
+        .select(col("doc_id"),
+          concat_ws(" ", col("bpe_tokens")).as("bpe"),
+          size(col("bpe_tokens")).as("n_subwords"))
     }),
 
     // ── dedup ──────────────────────────────────────────────────────────
@@ -3570,6 +3596,78 @@ object StretchQueries {
     Seq(feat, w0, iters).mkString(", ")
   }
 
+  /** Unrolled BPE trainer oracle (the lrOracleCtes pattern applied to
+    * the tokenizer-training loop): 16 merge rounds, each = adjacent-
+    * pair count over the evolving vocabulary → argmax with the
+    * trainer's total tie-break (n DESC, a, b — DuckDB's default
+    * BINARY collation is UTF-8 byte order, exactly
+    * `BpeTrainer.utf8Compare`) → one merge application.
+    *
+    * Representation: a word's symbol sequence rides as ONE string of
+    * delimiter-wrapped symbols (`chr(1) sym chr(2)` …). `replace()`
+    * scans left-to-right without rescanning replaced text, which IS
+    * the kernel's non-overlapping merge semantics, and a pattern
+    * anchored by both delimiters can only match a COMPLETE symbol
+    * (chr(1)/chr(2) never occur inside document text). Every w/m CTE
+    * is MATERIALIZED: each round references the previous one twice
+    * (pair counts + merge application), so inlined CTEs would expand
+    * 2¹⁶-fold.
+    */
+  private lazy val bpeMergeCtes: String = {
+    val d = "chr(1)"
+    val e = "chr(2)"
+    val head = Seq(
+      s"wc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM " +
+        s"(SELECT unnest($tokensSql) AS word FROM documents) GROUP BY 1)",
+      s"w0 AS MATERIALIZED (SELECT cnt, array_to_string(list_transform(" +
+        s"list_append([substring(word, i, 1) for i in " +
+        s"range(1, len(word)+1)], '</w>'), s -> $d || s || $e), '') " +
+        s"AS r FROM wc)")
+    val rounds = (1 to 16).flatMap { k => Seq(
+      s"p$k AS (SELECT cnt, unnest([struct_pack(a := l[i], b := l[i+1]) " +
+        s"for i in range(1, len(l))], recursive := true) FROM " +
+        s"(SELECT cnt, string_split(r[2:len(r)-1], $e || $d) AS l " +
+        s"FROM w${k - 1}))",
+      s"m$k AS MATERIALIZED (SELECT a, b FROM (SELECT a, b, " +
+        s"CAST(sum(cnt) AS BIGINT) AS n FROM p$k GROUP BY a, b) " +
+        s"ORDER BY n DESC, a, b LIMIT 1)",
+      s"w$k AS MATERIALIZED (SELECT cnt, replace(r, " +
+        s"$d || a || $e || $d || b || $e, $d || a || b || $e) AS r " +
+        s"FROM w${k - 1}, m$k)")
+    }
+    (head ++ rounds).mkString(", ")
+  }
+
+  /** The encode replay on top of [[bpeMergeCtes]]: held-out docs'
+    * token sequences become one wrapped-symbol string per doc, and
+    * the same 16 merges apply as chained replaces. Per-doc ≡ per-word
+    * because no learned merge's LEFT element contains '</w>' (a
+    * symbol containing the end marker is always word-final, so such
+    * pairs never occur in training counts), and every cross-boundary
+    * adjacent pair has a '</w>'-bearing left element.
+    */
+  private lazy val bpeEncodeSql: String = {
+    val d = "chr(1)"
+    val e = "chr(2)"
+    val enc = Seq(
+      s"tq2 AS (SELECT doc_id, $tokensSql AS ta FROM documents)",
+      s"e0 AS MATERIALIZED (SELECT doc_id, array_to_string(" +
+        s"list_transform(flatten(list_transform(ta, w -> list_append(" +
+        s"[substring(w, i, 1) for i in range(1, len(w)+1)], '</w>'))), " +
+        s"s -> $d || s || $e), '') AS r FROM tq2 " +
+        s"WHERE doc_id % 37 = 0 AND len(ta) > 0)") ++
+      (1 to 16).map { k =>
+        s"e$k AS MATERIALIZED (SELECT doc_id, replace(r, " +
+          s"$d || a || $e || $d || b || $e, $d || a || b || $e) AS r " +
+          s"FROM e${k - 1}, m$k)"
+      }
+    s"WITH $bpeMergeCtes, ${enc.mkString(", ")} " +
+      s"SELECT doc_id, array_to_string(l, ' ') AS bpe, " +
+      s"CAST(len(l) AS INT) AS n_subwords FROM " +
+      s"(SELECT doc_id, string_split(r[2:len(r)-1], $e || $d) AS l " +
+      s"FROM e16)"
+  }
+
   /** Shared DSIR CTE chain ending in `wt(doc_id, n_tokens,
     * logw_micros)` — the weights relation the q_t_dsir* gates and the
     * curation composition all build on (one definition, zero drift).
@@ -4385,6 +4483,15 @@ object StretchQueries {
          |UNION ALL SELECT 'o_custkey->o_orderpriority', k, r, f
          |  FROM v2"""
         .stripMargin).replaceAll(raw"\s+", " "),
+
+    // round 13: the merge LIST itself — the full 16-round training
+    // loop unrolled in SQL (see [[bpeMergeCtes]]); formerly rows-only
+    "q_t_bpe" ->
+      (s"WITH $bpeMergeCtes " + (1 to 16).map(k =>
+        s"SELECT CAST(${k - 1} AS INT) AS rank, a, b FROM m$k")
+        .mkString(" UNION ALL ")),
+
+    "q_t_bpe_encode" -> bpeEncodeSql,
 
     "q_t_bpe_pairs" ->
       (s"""WITH t AS (SELECT $tokensSql AS ta FROM documents),
