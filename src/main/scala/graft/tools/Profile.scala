@@ -246,13 +246,13 @@ object Profile {
       .select(col("vec_id"), col("vec").as("embedding"))
     // queries FROM the fattened cluster's region — the worst case for
     // a fixed-ef search of a growing shard
-    def recallOf(path: String): Double = {
+    def recallOf(path: String, nprobe: Int = 2): Double = {
       val corpus = corpusOf(idx) // ground truth over the LIVE row set
       val qs = corpus.filter(pmod(col("vec_id"), lit(perCluster)) === 0)
         .limit(48)
       val exact = SimilaritySearch.bruteForceTopK(corpus, qs, k = 5)
       val approx = Hnsw.searchIndex(spark, path, qs, k = 5,
-        nprobe = 2, ef = 64)
+        nprobe = nprobe, ef = 64)
       val r = SimilaritySearch.recallAtK(exact, approx)
         .agg(sum("n_hit").as("h"), sum("n_exact").as("e")).head()
       r.getLong(0).toDouble / r.getLong(1)
@@ -281,9 +281,37 @@ object Profile {
         val idx2 = s"$root/idx_$mult"
         Hnsw.ensureIndex(all, src2, idx2, shards = clusters, m = 8,
           efC = 32)
+        // remedy (a), round-13: split the hot shard IN PLACE on a
+        // copy of the live index (the study keeps appending to idx) —
+        // the skew-axis remedy rebuildRemedy selects
+        val idxS = s"$root/idx_split_$mult"
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(idx), fs,
+          new org.apache.hadoop.fs.Path(idxS), false,
+          spark.sparkContext.hadoopConfiguration)
+        val nSplits = Hnsw.rebalance(spark, idxS, maxShardSkew = 2.0)
+        // emergency mode on a second copy: target reached regardless,
+        // recall owed an nprobe bump (measured at 2 and 3)
+        val idxD = s"$root/idx_deep_$mult"
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(idx), fs,
+          new org.apache.hadoop.fs.Path(idxD), false,
+          spark.sparkContext.hadoopConfiguration)
+        val nDeep = Hnsw.rebalance(spark, idxD, maxShardSkew = 2.0,
+          recallSafe = false)
         println(f"skew=$skew%.2f frozen_recall=$frozen%.3f " +
           f"retrained_recall=${recallOf(idx2)}%.3f " +
           f"retrained_skew=${Hnsw.shardImbalance(spark, idx2)}%.2f " +
+          // the Retrain(1) compensation: same retrained router, one
+          // more probe — must recover the scattered cluster's mass
+          f"retrained_comp_recall=${recallOf(idx2, nprobe = 3)}%.3f " +
+          f"split_recall=${recallOf(idxS)}%.3f " +
+          f"split_skew=${Hnsw.shardImbalance(spark, idxS)}%.2f " +
+          f"n_splits=$nSplits " +
+          f"deep_skew=${Hnsw.shardImbalance(spark, idxD)}%.2f " +
+          f"deep_recall=${recallOf(idxD)}%.3f " +
+          f"deep_comp_recall=${recallOf(idxD, nprobe = 3)}%.3f " +
+          f"n_deep=$nDeep " +
           f"append_wall=$wall%.1fs " +
           f"needsRebuild=${Hnsw.needsRebuild(spark, idx,
             maxAppendedFraction = 1e9)}")
