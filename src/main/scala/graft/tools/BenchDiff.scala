@@ -68,15 +68,105 @@ object BenchDiff {
   private def mapOf(json: String, key: String): Map[String, Double] =
     objectOf(json, key).map(numberMap).getOrElse(Map.empty)
 
+  private def load(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), "UTF-8")
+
+  /** `--spread a.json b.json [c.json …]`: quantify the per-query
+    * quiet-cpu NOISE BAND across repeated same-code runs (round-12
+    * VERDICT #5 — the multimodal decode family's cpu deltas kept
+    * dominating round-over-round diffs with byte-identical IO; this
+    * records how wide same-work cpu attribution actually wobbles, so
+    * a future diff can classify an mm delta against the measured
+    * band instead of re-litigating it). Only queries whose
+    * bytes_read AND shuffle_write are constant (≤1%) across ALL runs
+    * count toward the band — work-varied queries are listed
+    * separately, they measure nothing about attribution. Reports
+    * overall p50/p90/max relative spread ((max−min)/min, queries
+    * above the 0.2 cpu-sec floor) and the `q_mm_` family's
+    * individual rows. Always exits 0 — this is a measurement, not a
+    * gate.
+    */
+  private def spreadMode(paths: Seq[String]): Unit = {
+    require(paths.length >= 2,
+      "usage: BenchDiff --spread <a.json> <b.json> [more.json ...]")
+    val arts = paths.map { p =>
+      val j = load(p)
+      (mapOf(j, "cpu_sec"), mapOf(j, "bytes_read"), mapOf(j, "shuffle_write"))
+    }
+    val common = arts.map(_._1.keySet).reduce(_ & _).toSeq.sorted
+    def f(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    def constant(vals: Seq[Double]): Boolean =
+      vals.max - vals.min <= 0.01 * math.max(vals.max, 1.0)
+    val (workConst, workVaried) = common.partition { q =>
+      arts.forall(a => a._2.contains(q) && a._3.contains(q)) &&
+        constant(arts.map(_._2(q))) && constant(arts.map(_._3(q)))
+    }
+    case class S(q: String, cpus: Seq[Double]) {
+      def lo: Double = cpus.min
+      def hi: Double = cpus.max
+      def spread: Double = if (lo > 0) (hi - lo) / lo else 0.0
+    }
+    val rows = workConst.map(q => S(q, arts.map(_._1(q))))
+      .filter(_.hi > 0.2) // sub-floor kernels: arithmetic noise
+    val spreads = rows.map(_.spread).sorted
+    def pct(p: Double): Double =
+      if (spreads.isEmpty) 0.0
+      else spreads(math.min(spreads.size - 1, (p * spreads.size).toInt))
+    println(s"== BenchDiff --spread over ${paths.length} runs ==")
+    println(s"common ${common.size}  work-constant ${workConst.size} " +
+      s"(${rows.size} above the ${0.2} cpu-sec floor)  " +
+      s"work-varied ${workVaried.size}")
+    if (workVaried.nonEmpty)
+      println(s"work-varied (excluded): ${workVaried.mkString(", ")}")
+    println(s"same-work cpu spread: p50 ${f(pct(0.5) * 100)}%  " +
+      s"p90 ${f(pct(0.9) * 100)}%  max ${f(pct(1.0) * 100)}%")
+    val mm = rows.filter(_.q.startsWith("q_mm_"))
+    if (mm.nonEmpty) {
+      val worst = mm.map(_.spread).max
+      println(s"q_mm_ family (decode attribution band): " +
+        s"max spread ${f(worst * 100)}%")
+      mm.sortBy(-_.spread).foreach(r => println(
+        s"  ${r.q}: [${r.cpus.map(f).mkString(", ")}] cpu-sec " +
+          s"(${f(r.spread * 100)}%)"))
+    }
+    val top = rows.sortBy(-_.spread).take(8)
+    if (top.nonEmpty) {
+      println("widest bands overall:")
+      top.foreach(r => println(
+        s"  ${r.q}: [${r.cpus.map(f).mkString(", ")}] cpu-sec " +
+          s"(${f(r.spread * 100)}%)"))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
-      "usage: BenchDiff <old.json> <new.json> [ratioFlag]")
-    val ratioFlag = if (args.length > 2) args(2).toDouble else 1.5
+    if (args.headOption.contains("--spread")) {
+      spreadMode(args.toSeq.tail); return
+    }
+    // --band <third.json>: a SECOND same-code run of the `new` side
+    // (the recorded third sidecar, round-12 VERDICT #5). Attribution-
+    // noise rows are then classified against the replication band:
+    // when the old→new cpu delta is no larger than the new↔third
+    // spread of the SAME query at identical work, the delta is
+    // within what same-code replication already wobbles — measured
+    // contention noise, not something to re-litigate. (Motivated by
+    // the multimodal decode family: quiet-run spreads up to ~44% on
+    // byte-identical IO — JIT/GC attribution on decode-heavy
+    // mapPartitions tasks — kept dominating round-over-round diffs.)
+    val bandIdx = args.indexOf("--band")
+    val bandPath = if (bandIdx >= 0 && bandIdx + 1 < args.length)
+      Some(args(bandIdx + 1)) else None
+    val posArgs = (if (bandIdx >= 0)
+      args.take(bandIdx) ++ args.drop(bandIdx + 2) else args).toSeq
+    require(posArgs.length >= 2,
+      "usage: BenchDiff <old.json> <new.json> [ratioFlag] " +
+        "[--band <third.json>] | " +
+        "BenchDiff --spread <a.json> <b.json> [more.json ...]")
+    val args2 = posArgs
+    val ratioFlag = if (args2.length > 2) args2(2).toDouble else 1.5
     val absFloor = 0.2 // cpu-sec — below this a ratio is arithmetic noise
-    def load(p: String): String =
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(p)), "UTF-8")
-    val (oldJ, newJ) = (load(args(0)), load(args(1)))
+    val (oldJ, newJ) = (load(args2(0)), load(args2(1)))
     val (cpuOld, cpuNew) = (mapOf(oldJ, "cpu_sec"), mapOf(newJ, "cpu_sec"))
     val (wallOld, wallNew) = (mapOf(oldJ, "queries"), mapOf(newJ, "queries"))
     val (bytesOld, bytesNew) =
@@ -137,10 +227,38 @@ object BenchDiff {
           s"(${f(r.ratio)}x)${r.wallNote}"))
     }
     if (noise.nonEmpty) {
+      // replication band from the third sidecar, when recorded
+      val band: Map[String, Double] = bandPath.map { bp =>
+        val bJ = load(bp)
+        val cpuB = mapOf(bJ, "cpu_sec")
+        val bytesB = mapOf(bJ, "bytes_read")
+        val shufB = mapOf(bJ, "shuffle_write")
+        def const(a: Option[Double], b: Option[Double]) = (a, b) match {
+          case (Some(x), Some(y)) =>
+            math.abs(y - x) <= 0.01 * math.max(math.max(x, y), 1.0)
+          case _ => false
+        }
+        noise.flatMap { r =>
+          cpuB.get(r.q).collect {
+            case c if const(bytesNew.get(r.q), bytesB.get(r.q)) &&
+                const(shufNew.get(r.q), shufB.get(r.q)) && math.min(c, r.n) > 0 =>
+              r.q -> (math.max(c, r.n) - math.min(c, r.n)) / math.min(c, r.n)
+          }
+        }.toMap
+      }.getOrElse(Map.empty)
       println("attribution noise (cpu grew, bytes/shuffle identical):")
-      noise.foreach(r => println(
-        s"  ${r.q}: ${f(r.o)} -> ${f(r.n)} cpu-sec " +
-          s"(${f(r.ratio)}x)${r.wallNote}"))
+      noise.foreach { r =>
+        val note = band.get(r.q) match {
+          case Some(b) if r.ratio - 1.0 <= b =>
+            f" [within replication band ${b * 100}%.0f%%]"
+          case Some(b) =>
+            f" [exceeds replication band ${b * 100}%.0f%%]"
+          case None => ""
+        }
+        println(
+          s"  ${r.q}: ${f(r.o)} -> ${f(r.n)} cpu-sec " +
+            s"(${f(r.ratio)}x)${r.wallNote}$note")
+      }
     }
     if (improved.nonEmpty) {
       println("improved:")
