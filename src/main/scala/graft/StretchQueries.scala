@@ -1111,6 +1111,58 @@ object StretchQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"))
     }),
 
+    // the per-document DROP LEDGER over the q_pipe_curate2 chain —
+    // the audit artifact ("why is doc X not in the training set?")
+    // every curation deployment owes its users. ONE row per input
+    // doc; the outcome is the FIRST stage in pipeline order that
+    // removed it, or kept_<split>. Stage semantics mirror curate2
+    // EXACTLY — bench docs participate in quality + dedup before
+    // being held out, so a bench doc can own a dedup group and its
+    // duplicates still read dup_loser. Every stage is engine-exact ⇒
+    // the whole ledger has a full oracle. Execution shape: the same
+    // aggregations curate2 runs plus one left join of the keeper
+    // table and one anti-join for the contaminated set — no windows,
+    // no collects.
+    "q_pipe_ledger" -> ((s, dir) => {
+      import graft.operators.DatasetSplit
+      val cleaned = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.cleanBoilerplate(col("text")).as("text"))
+      val profiled = cleaned.select(col("doc_id"), col("text"),
+        graft.functions.NativeExpressions.textProfile(col("text")).as("__p"))
+      // null-hardened: a NULL profile must read low_quality, not
+      // fall through the when-chain
+      val qok = coalesce(col("__p.quality_micros") >= 400000L, lit(false))
+      val q = profiled.filter(col("__p.quality_micros") >= 400000L)
+      val keepers = q.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("__keeper"))
+      val deduped = q.join(keepers, "text")
+        .filter(col("doc_id") === col("__keeper"))
+      val bench = cleaned.filter(col("doc_id") % 97 === 0)
+      val corpus = deduped.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val survivors = Dedup.decontaminate(corpus, bench, "text", "doc_id")
+      val contaminated = corpus.select(col("doc_id"))
+        .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(true).as("__contam"))
+      profiled
+        .join(keepers.select(col("text"), col("__keeper")),
+          Seq("text"), "left")
+        .join(contaminated, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(!qok, lit("low_quality"))
+            .when(col("doc_id") =!= col("__keeper"), lit("dup_loser"))
+            .when(col("doc_id") % 97 === 0, lit("benchmark_heldout"))
+            .when(coalesce(col("__contam"), lit(false)),
+              lit("contaminated"))
+            .when(!DatasetSplit.weightedSampleFilter(col("text"),
+              col("__p.lang_pred"), Map("en" -> 192, "und" -> 64), 128),
+              lit("mix_sampled_out"))
+            .otherwise(concat(lit("kept_"),
+              DatasetSplit.splitLabel(col("text"))))
+            .as("outcome"))
+    }),
+
     // ── similarity search ──────────────────────────────────────────────
     "q_v_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2351,6 +2403,18 @@ object StretchQueries {
             graft.functions.NativeExpressions.textProfile(col("text"))
               .getField("lang_pred").as("pred")),
         col("lang"), col("pred"))),
+
+    // token-distribution drift between snapshots (the ingestion
+    // monitor): evens = reference, odds = current batch; per-type
+    // add-1 smoothed KL contribution, micros-rounded PER TYPE (the
+    // DSIR discipline — no float summation order reaches the
+    // artifact; Σ kl_micros is the integer drift total downstream)
+    "q_dq_vocab_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.DataQuality.vocabDriftMicros(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text")
+    }),
 
     // log2 token-length histogram (dataset-card sequence-length view):
     // the bucket is length(bin(nt)) = floor(log2 nt)+1 — EXACT integer
@@ -3966,6 +4030,29 @@ object StretchQueries {
       (s"SELECT doc_id, $qualityMicrosSql AS quality_micros FROM documents")
         .replaceAll(raw"\s+", " "),
 
+    // per-type smoothed-KL replay: integer counts, the ONE ln/round
+    // site per type (the dsirWtCtes precedent for ln parity)
+    "q_dq_vocab_drift" ->
+      (s"""WITH cr AS (SELECT token, count(*) AS n FROM
+         |  (SELECT unnest($tokensSql) AS token FROM documents
+         |   WHERE doc_id % 2 = 0) GROUP BY 1),
+         |cc AS (SELECT token, count(*) AS n FROM
+         |  (SELECT unnest($tokensSql) AS token FROM documents
+         |   WHERE doc_id % 2 = 1) GROUP BY 1),
+         |j AS (SELECT coalesce(cr.token, cc.token) AS token,
+         |  coalesce(cr.n, 0) AS n_ref, coalesce(cc.n, 0) AS n_cur
+         |  FROM cr FULL OUTER JOIN cc ON cr.token = cc.token),
+         |t AS (SELECT coalesce(sum(n_ref), 0) AS nr,
+         |  coalesce(sum(n_cur), 0) AS nc, count(*) AS v FROM j)
+         |SELECT token, CAST(n_ref AS BIGINT) AS n_ref,
+         |  CAST(n_cur AS BIGINT) AS n_cur,
+         |  CAST(round(1000000.0 *
+         |    ((n_cur + 1) / CAST(nc + v AS DOUBLE)) *
+         |    ln(((n_cur + 1) / CAST(nc + v AS DOUBLE)) /
+         |       ((n_ref + 1) / CAST(nr + v AS DOUBLE))))
+         |    AS BIGINT) AS kl_micros
+         |FROM j, t""".stripMargin).replaceAll(raw"\s+", " "),
+
     "q_t_langid" ->
       s"SELECT doc_id, $langCaseSql AS lang_pred FROM documents"
         .replaceAll(raw"\s+", " "),
@@ -4071,6 +4158,37 @@ object StretchQueries {
          |  count(*) AS n_docs,
          |  CAST(sum(len($tokensSql)) AS BIGINT) AS total_tokens
          |FROM mixed GROUP BY 1""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // the ledger replay: curate2's CTE chain kept per-doc, outcome =
+    // first-failing-stage CASE in the same order the engine computes
+    "q_pipe_ledger" ->
+      (s"""WITH c AS (SELECT doc_id, ${cleanSql("text")} AS text FROM documents),
+         |p AS (SELECT doc_id, text,
+         |  CASE WHEN $qualityMicrosSql >= 400000 THEN 1 ELSE 0 END AS qok
+         |  FROM c),
+         |q AS (SELECT doc_id, text FROM p WHERE qok = 1),
+         |k AS (SELECT text, min(doc_id) AS keeper FROM q GROUP BY text),
+         |corp AS (SELECT q.doc_id, q.text FROM q JOIN k USING (text)
+         |         WHERE q.doc_id = k.keeper AND q.doc_id % 97 <> 0),
+         |bt AS (SELECT $tokensSql AS ta FROM c WHERE doc_id % 97 = 0),
+         |bsh AS (SELECT DISTINCT unnest($shinglesSqlA) AS sh FROM bt),
+         |ct AS (SELECT doc_id, $tokensSql AS ta FROM corp),
+         |csh AS (SELECT doc_id, unnest(list_distinct($shinglesSqlA)) AS sh
+         |        FROM ct),
+         |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh))
+         |SELECT p.doc_id,
+         |  CASE WHEN p.qok = 0 THEN 'low_quality'
+         |    WHEN p.doc_id <> k.keeper THEN 'dup_loser'
+         |    WHEN p.doc_id % 97 = 0 THEN 'benchmark_heldout'
+         |    WHEN p.doc_id IN (SELECT doc_id FROM bad) THEN 'contaminated'
+         |    WHEN $mixBucketSql >= CASE WHEN $langCaseSql = 'en' THEN 192
+         |      WHEN $langCaseSql = 'und' THEN 64 ELSE 128 END
+         |      THEN 'mix_sampled_out'
+         |    ELSE 'kept_' || CASE WHEN $bucketSql < 205 THEN 'train'
+         |      WHEN $bucketSql < 230 THEN 'val' ELSE 'test' END
+         |  END AS outcome
+         |FROM p LEFT JOIN k USING (text)"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_t_heavy" ->
       (s"SELECT u.token AS token, count(*) AS n FROM " +

@@ -178,6 +178,54 @@ object DataQuality {
           .as("kappa_micros"))
   }
 
+  /** Token-distribution drift between two corpus snapshots — the
+    * ingestion-monitoring meter a training-data pipeline runs on
+    * every batch ("did the crawl's language/domain mix move under
+    * us?"). Per token TYPE of the union vocabulary, the add-1
+    * smoothed KL contribution of the current snapshot against the
+    * reference:
+    *
+    *   p_ref(w) = (c_ref(w)+1)/(N_ref+V),  p_cur likewise,
+    *   kl_micros(w) = round(1e6 · p_cur(w) · ln(p_cur(w)/p_ref(w)))
+    *
+    * Σ kl_micros over the output IS the (micros-quantized) smoothed
+    * KL(cur ‖ ref); emitting per-type rows makes the meter an
+    * explainer too — the top positive movers are the newly
+    * over-represented tokens. Determinism discipline: rounding
+    * happens PER TYPE (the DSIR construction) so no float summation
+    * order ever reaches the artifact; totals are exact integer sums
+    * downstream. Execution shape: two token-count aggregations (the
+    * only corpus-sized shuffles), a full-outer join on the TYPE
+    * table, one 3-long driver round-trip for (N_ref, N_cur, V) —
+    * bounded like every model-artifact collect here.
+    */
+  def vocabDriftMicros(ref: DataFrame, cur: DataFrame,
+                       textCol: String): DataFrame = {
+    def counts(df: DataFrame): DataFrame =
+      df.select(explode(graft.functions.TextFunctions.tokens(
+          coalesce(col(textCol), lit("")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val joined = counts(ref).select(col("token"), col("n").as("n_ref"))
+      .join(counts(cur).select(col("token"), col("n").as("n_cur")),
+        Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val t = joined.agg(
+      coalesce(sum(col("n_ref")), lit(0L)),
+      coalesce(sum(col("n_cur")), lit(0L)),
+      count(lit(1))).head()
+    val (nr, nc, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    // empty union vocab (both corpora empty): no rows, no division
+    if (v == 0L) return joined.select(col("token"), col("n_ref"),
+      col("n_cur"), lit(0L).as("kl_micros")).limit(0)
+    val pRef = (col("n_ref") + 1L).cast("double") / lit((nr + v).toDouble)
+    val pCur = (col("n_cur") + 1L).cast("double") / lit((nc + v).toDouble)
+    joined.select(col("token"), col("n_ref"), col("n_cur"),
+      round(lit(1000000.0) * pCur * log(pCur / pRef)).cast("long")
+        .as("kl_micros"))
+  }
+
   /** Throw if any rule has violations (the CHECK-constraint form). */
   def enforce(df: DataFrame, rules: Seq[Rule]): Unit = {
     val bad = check(df, rules)

@@ -213,7 +213,32 @@ object ScaleGate {
     "q_pipe_ppl_filter" -> 10.0,
     // binarized IVF index: build-if-stale fixed overhead + packed
     // shortlist scan — the ivf_idx family's envelope reasoning
-    "q_v_topk_bin_idx" -> 8.0
+    "q_v_topk_bin_idx" -> 8.0,
+    // round-13 confirmed-pairs arms (Scala + stream) share
+    // q_s29_sql_neardup's shape and rationale: linear per-doc kernel
+    // CPU, constant dup-group size in TESTDATA → linear pair volume;
+    // a signature-collapse regression shows as quadratic enumeration
+    "q_d_minhash_confirmed" -> 12.0,
+    "q_d_simhash_confirmed" -> 12.0,
+    "q_d_stream_confirmed" -> 12.0,
+    // BPE: ONE corpus-sized word-count shuffle, then every merge
+    // round runs on the TYPE table (copy-suffixed tokens keep it
+    // ~linear here; absolute size is tiny). A regression that drags
+    // the merge loop back onto the corpus shows superlinear.
+    "q_t_bpe" -> 10.0,
+    "q_t_bpe_encode" -> 10.0,
+    // build-if-stale sharded graph + ONE in-place hot-shard split
+    // (O(hot shard)) + exhaustive search — the ivf_idx family's
+    // build-dominated envelope reasoning
+    "q_v_hnsw_split" -> 8.0,
+    // drop ledger = curate2's aggregations + a keeper-table left join
+    // + a bench-bounded shingle semi-join — all linear shuffles; a
+    // regression to a window over the corpus shows superlinear
+    "q_pipe_ledger" -> 10.0,
+    // two token-count shuffles + a type-table outer join (type table
+    // grows ~linearly under the copy-suffix scheme, absolute size
+    // tiny); the 3-long totals collect is corpus-independent
+    "q_dq_vocab_drift" -> 10.0
   )
 
   def main(args: Array[String]): Unit = {

@@ -145,4 +145,44 @@ class QualityRulesSpec extends SparkSpec {
         .toDF("a", "b"), col("a"), col("b")).head()
     assert(indep.getLong(3) == 0L, s"κ: ${indep.getLong(3)}")
   }
+
+  test("vocabDriftMicros: identical snapshots read exactly 0 per type; " +
+    "new-only tokens contribute positive, vanished tokens negative; " +
+    "the integer total is the smoothed KL in micros; null/empty texts " +
+    "and an empty union vocab are safe") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.DataQuality
+    val ref = Seq((1L, "alpha beta beta"), (2L, "gamma alpha"))
+      .toDF("id", "text")
+    // identity: p_cur == p_ref per type → ln 1 = 0 → 0 micros EXACTLY
+    val same = DataQuality.vocabDriftMicros(ref, ref, "text")
+      .as[(String, Long, Long, Long)].collect()
+    assert(same.length == 3 && same.forall(_._4 == 0L),
+      s"identity drift must be exactly zero: ${same.toSeq}")
+    // shifted mix: 'delta' arrives, 'gamma' vanishes
+    val cur = Seq((3L, "alpha beta delta delta"), (4L, null: String))
+      .toDF("id", "text")
+    val drift = DataQuality.vocabDriftMicros(ref, cur, "text")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(drift.keySet == Set("alpha", "beta", "gamma", "delta"))
+    assert(drift("delta")._4 > 0L, "arriving token must read positive")
+    assert(drift("gamma")._4 < 0L, "vanished token must read negative")
+    // the total is Σ of per-type micros — integer arithmetic, and it
+    // equals the double-precision smoothed KL within per-type
+    // rounding (4 types → ±2 micros)
+    val total = drift.values.map(_._4).sum
+    def p(c: Long, n: Long, v: Long): Double =
+      (c + 1).toDouble / (n + v).toDouble
+    val klDirect = drift.values.map { case (_, cr, cc, _) =>
+      p(cc, 4, 4) * math.log(p(cc, 4, 4) / p(cr, 5, 4))
+    }.sum * 1e6
+    assert(math.abs(total - klDirect) <= 2.0,
+      s"total $total vs direct $klDirect")
+    // degenerate: both snapshots tokenless → empty result, no division
+    val empty = DataQuality.vocabDriftMicros(
+      Seq((1L, ""), (2L, null: String)).toDF("id", "text"),
+      Seq((3L, "   ")).toDF("id", "text"), "text")
+    assert(empty.count() == 0L)
+  }
 }
