@@ -3478,6 +3478,57 @@ object StretchQueries {
          |  FROM sc)
          |WHERE rnk <= 5""".stripMargin)),
 
+    // ── S31: the drop LEDGER as PURE SQL (the q_s28/s29/s30
+    //    deployment-shape family extended to the curation surface):
+    //    an extensions-configured session reproduces q_pipe_ledger —
+    //    boilerplate clean (plain regexp_replace chain, entity order
+    //    = TextFunctions.entityDecodes), quality + language from the
+    //    graft_text_profile registry kernel, GROUP-BY dedup keeper,
+    //    graft_shingle_set decontamination, md5-bucket mixing and
+    //    split — with ZERO Scala calls. Shares q_pipe_ledger's
+    //    oracle. ─────────────────────────────────────────────────────
+    "q_s31_sql_ledger" -> ((s, dir) => s.sql(
+      s"""WITH c AS (SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    text,
+         |    '<[^>]*>', ' '),
+         |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+         |    '&quot;', '"'), '&amp;', '&'),
+         |    '\\\\s+', ' ')) AS text
+         |  FROM parquet.`$dir/documents.parquet`),
+         |p AS (SELECT doc_id, text, graft_text_profile(text) AS pr FROM c),
+         |q AS (SELECT doc_id, text FROM p WHERE pr.quality_micros >= 400000),
+         |k AS (SELECT text, min(doc_id) AS keeper FROM q GROUP BY text),
+         |corp AS (SELECT q.doc_id, q.text FROM q JOIN k ON q.text = k.text
+         |         WHERE q.doc_id = k.keeper AND q.doc_id % 97 <> 0),
+         |bsh AS (SELECT DISTINCT sh FROM
+         |  (SELECT explode(graft_shingle_set(text)) AS sh FROM c
+         |   WHERE doc_id % 97 = 0)),
+         |csh AS (SELECT DISTINCT doc_id, sh FROM
+         |  (SELECT doc_id, explode(graft_shingle_set(text)) AS sh FROM corp)),
+         |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh))
+         |SELECT p.doc_id,
+         |  CASE WHEN p.pr.quality_micros IS NULL
+         |         OR p.pr.quality_micros < 400000 THEN 'low_quality'
+         |    WHEN p.doc_id <> k.keeper THEN 'dup_loser'
+         |    WHEN p.doc_id % 97 = 0 THEN 'benchmark_heldout'
+         |    WHEN bad.doc_id IS NOT NULL THEN 'contaminated'
+         |    WHEN CAST(conv(substring(md5(concat('mix:', p.text)), 1, 2),
+         |        16, 10) AS INT) >=
+         |      CASE WHEN p.pr.lang_pred = 'en' THEN 192
+         |           WHEN p.pr.lang_pred = 'und' THEN 64 ELSE 128 END
+         |      THEN 'mix_sampled_out'
+         |    ELSE concat('kept_', CASE
+         |      WHEN CAST(conv(substring(md5(p.text), 1, 2), 16, 10)
+         |        AS INT) < 205 THEN 'train'
+         |      WHEN CAST(conv(substring(md5(p.text), 1, 2), 16, 10)
+         |        AS INT) < 230 THEN 'val'
+         |      ELSE 'test' END)
+         |  END AS outcome
+         |FROM p LEFT JOIN k ON p.text = k.text
+         |  LEFT JOIN bad ON p.doc_id = bad.doc_id""".stripMargin)),
+
     // SQ8 quantized top-k: int8-scan ANN (4× smaller than float32)
     // whose ranking key dot8·scale_c·scale_q is PURE int64 — unlike
     // PQ's float ADC, the whole quantized ranking hash-matches the
@@ -3857,6 +3908,7 @@ object StretchQueries {
       // argument)
       ("q_d_minhash_confirmed" -> oracleSqlMap("q_s29_sql_neardup")) +
       ("q_d_stream_confirmed" -> oracleSqlMap("q_s29_sql_neardup")) +
+      ("q_s31_sql_ledger" -> oracleSqlMap("q_pipe_ledger")) +
       ("q_s30_sql_ann" -> oracleSqlMap("q_v_topk_bin")) +
       ("q_v_topk_bin_idx" -> oracleSqlMap("q_v_topk_bin")) +
       // the maintenance lifecycle replayed from parity counts: base =

@@ -235,6 +235,7 @@ object ScaleGate {
     // + a bench-bounded shingle semi-join — all linear shuffles; a
     // regression to a window over the corpus shows superlinear
     "q_pipe_ledger" -> 10.0,
+    "q_s31_sql_ledger" -> 10.0,
     // two token-count shuffles + a type-table outer join (type table
     // grows ~linearly under the copy-suffix scheme, absolute size
     // tiny); the 3-long totals collect is corpus-independent
