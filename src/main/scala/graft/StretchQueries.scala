@@ -111,6 +111,11 @@ object StretchQueries {
     */
   @volatile private var tempMixRates: Option[Seq[(String, Int)]] = None
 
+  /** Driver-computed temperature EPOCH factors (group → /65536),
+    * stashed by q_t_temp_epochs — same soundness as [[tempMixRates]].
+    */
+  @volatile private var tempEpochFactors: Option[Seq[(String, Int)]] = None
+
   /** q_pipe_curate6's own rate stash (its rates derive from the
     * POST-blocklist survivor counts, not the raw corpus).
     */
@@ -443,6 +448,41 @@ object StretchQueries {
       graft.operators.DatasetSplit
         .temperatureMix(base, "lang", col("text"), rates)
         .select(col("doc_id"), col("lang"))
+    }),
+
+    // temperature UPSAMPLING end-to-end (the deployment form of the
+    // epoch operator): factors from the corpus's own language counts
+    // at T = 2 — largest group pins 1.0 epoch, rarer languages repeat
+    // toward equalization — stashed as literals for the oracle (the
+    // q_t_temp_mix pattern), then repeatFractional applies them. Null
+    // groups drop (the temperatureMix contract).
+    "q_t_temp_epochs" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("text"), lit("")).as("text"))
+      val fs = graft.operators.DatasetSplit
+        .temperatureEpochFactors(base, "lang", temperature = 2.0)
+      tempEpochFactors = Some(fs)
+      graft.operators.DatasetSplit.repeatFractional(base, col("text"),
+        col("lang"), fs.toMap, 65536)
+        .select(col("doc_id"), col("lang"), col("copy"))
+    }),
+
+    // fractional-epoch UPSAMPLING (the other half of the mixing axis
+    // — weightedSampleFilter/temperatureMix only go DOWN): en at
+    // 150733/65536 ≈ 2.3 epochs, de at 1.5, everything else 1.0.
+    // Every row repeats floor(f) times plus once more when its
+    // salted 16-bit bucket falls under the fractional part; the
+    // oracle replays the identical md5 arithmetic and range-explodes
+    // the copy index
+    "q_t_epochs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+          col("lang"))
+      graft.operators.DatasetSplit.repeatFractional(docs, col("text"),
+        col("lang"), Map("en" -> 150733, "de" -> 98304), 65536)
+        .select(col("doc_id"), col("copy"))
     }),
 
     // deterministic weighted corpus mixing: per-language keep rates
@@ -3861,6 +3901,15 @@ object StretchQueries {
     s"(strpos('0123456789abcdef', substr(md5($inner), 1, 1)) - 1) * 16 + " +
       s"(strpos('0123456789abcdef', substr(md5($inner), 2, 1)) - 1)"
 
+  /** The 16-bit sibling of [[bucketSqlOf]] (first four md5 hex
+    * digits) — DatasetSplit.bucket65536 replayed in DuckDB.
+    */
+  private def bucket65536SqlOf(inner: String): String =
+    (1 to 4).map { i =>
+      val w = math.pow(16, 4 - i).toInt
+      s"(strpos('0123456789abcdef', substr(md5($inner), $i, 1)) - 1) * $w"
+    }.mkString(" + ")
+
   private val bucketSql: String = bucketSqlOf("text")
 
   /** The salted mixing bucket (independent of the split bucket). */
@@ -3933,6 +3982,7 @@ object StretchQueries {
           .stripMargin).replaceAll(raw"\s+", " ")) +
       ("q_v_pca_project" -> pcaProjectOracle) +
       ("q_t_temp_mix" -> tempMixOracle) +
+      ("q_t_temp_epochs" -> tempEpochOracle) +
       ("q_pipe_curate6" -> curate6Oracle)
 
   /** Oracle for the round-12 capstone: blocklist clean (per-position
@@ -3994,6 +4044,28 @@ object StretchQueries {
         s"r AS (SELECT * FROM (VALUES $values) t(lang, rate)) " +
         "SELECT d.doc_id, d.lang FROM d JOIN r USING (lang) " +
         s"WHERE $bucket < rate"
+  }
+
+  /** Oracle for q_t_temp_epochs from the stashed driver-computed
+    * epoch factors: VALUES-literal factor table, identical md5 16-bit
+    * bucket, integer floor/mod split, range-exploded copy index.
+    * Must be a def — the stash only exists after the gate runs.
+    */
+  private def tempEpochOracle: String = tempEpochFactors match {
+    case None => "SELECT 1 AS never WHERE 1 = 0"
+    case Some(fs) =>
+      val values = fs.map { case (g, r) =>
+        s"('${g.replace("'", "''")}', $r)"
+      }.mkString(", ")
+      s"WITH d AS (SELECT doc_id, lang, coalesce(text, '') AS text " +
+        "FROM documents WHERE lang IS NOT NULL), " +
+        s"r AS (SELECT * FROM (VALUES $values) t(lang, f)), " +
+        "c AS (SELECT doc_id, d.lang AS lang, (f // 65536) + " +
+        s"CASE WHEN ${bucket65536SqlOf("'rep:' || text")} < (f % 65536) " +
+        "THEN 1 ELSE 0 END AS n FROM d JOIN r USING (lang)) " +
+        "SELECT doc_id, lang, CAST(u AS INT) AS copy FROM " +
+        "(SELECT doc_id, lang, unnest(range(1, n + 1)) AS u FROM c " +
+        "WHERE n > 0)"
   }
 
   /** Oracle for q_v_pca_project, built from the gate's stashed
@@ -4500,6 +4572,21 @@ object StretchQueries {
         "SELECT doc_id, lang FROM d WHERE bucket < " +
         "CASE WHEN lang = 'en' THEN 192 WHEN lang = 'und' THEN 64 " +
         "ELSE 128 END").replaceAll(raw"\s+", " "),
+
+    // fractional-epoch replay: identical md5 16-bit bucket, integer
+    // floor/mod split of the factor, range-exploded copy index
+    "q_t_epochs" -> {
+      val f = "CASE WHEN lang = 'en' THEN 150733 WHEN lang = 'de' " +
+        "THEN 98304 ELSE 65536 END"
+      (s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text, lang
+         |  FROM documents),
+         |c AS (SELECT doc_id, ($f // 65536) +
+         |  CASE WHEN ${bucket65536SqlOf("'rep:' || text")} < ($f % 65536)
+         |  THEN 1 ELSE 0 END AS n FROM d)
+         |SELECT doc_id, CAST(u AS INT) AS copy FROM
+         |  (SELECT doc_id, unnest(range(1, n + 1)) AS u FROM c
+         |   WHERE n > 0)""".stripMargin).replaceAll(raw"\s+", " ")
+    },
 
     // sum(BIGINT) is HUGEINT in DuckDB — cast back to Spark's long
     "q_t_pack" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic train/val/test assignment for training-data curation.
@@ -81,6 +81,44 @@ object DatasetSplit {
     }.toSeq.sortBy(_._1)
   }
 
+  /** Temperature-scaled EPOCH factors — the UPSAMPLING twin of
+    * [[temperatureMixRates]], closing its documented T-form gap
+    * ("temperatures below 1 would require UPsampling … repetition
+    * territory"): instead of filtering the large groups down to the
+    * smallest, repeat the small groups up to the LARGEST —
+    *
+    *   factor_g = round(65536·(n_g/n_max)^((1−T)/T))  (≥ 65536)
+    *
+    * so at T = 1 every group trains exactly 1.0 epoch (identity) and
+    * as T → ∞ factor → n_max/n_g (groups equalize by repetition —
+    * the multilingual temperature-sampling deployment where rare
+    * languages are epoch-repeated rather than common ones
+    * discarded). Same contract as the mix rates: ONE driver-side pow
+    * rounding over the bounded group-count table, literals returned
+    * for oracle interpolation; feed the result to
+    * [[repeatFractional]]. Clamped to Int.MaxValue (a 32767:1 group
+    * ratio at T → ∞ saturates the 65536ths representation — a
+    * corpus that skewed needs curation, not 32k epochs).
+    */
+  def temperatureEpochFactors(df: DataFrame, groupCol: String,
+                              temperature: Double): Seq[(String, Int)] = {
+    require(temperature >= 1.0,
+      s"temperature $temperature < 1 inverts the form; use " +
+        "temperatureMixRates for the downsampling direction")
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.nonEmpty, "no non-null groups to mix")
+    val nMax = counts.map(_._2).max
+    counts.map { case (g, n) =>
+      val f = math.pow(n.toDouble / nMax,
+        (1.0 - temperature) / temperature)
+      g -> math.min(Int.MaxValue.toLong,
+        math.max(65536L, math.round(65536.0 * f))).toInt
+    }.toSeq.sortBy(_._1)
+  }
+
   /** Apply [[temperatureMixRates]]: keep a row iff its salted content
     * bucket falls under its group's rate. Map-only (the rates ride
     * the plan as a map literal); rows whose group has no rate (null,
@@ -153,6 +191,44 @@ object DatasetSplit {
       when(group === g, lit(r)).otherwise(acc)
     }
     bucket256Salted(content, salt) < rate
+  }
+
+  /** Deterministic FRACTIONAL REPETITION — the upsampling side of a
+    * pretraining mixture ("2.3 epochs of wiki, 1.5 of books, 1 of
+    * the rest"), which [[weightedSampleFilter]] cannot express (a
+    * keep-filter only goes DOWN). Per-group epoch factors are given
+    * in 65536ths: every row repeats ⌊f⌋ times, plus once more when
+    * its salted 16-bit content bucket falls under the fractional
+    * part — so a group's row (and token) budget scales by exactly
+    * f/65536 in expectation with the same reproducibility contract
+    * as the split/mix stages (stable across runs, engines,
+    * repartitions; identical texts land in the same epoch count; the
+    * `rep` salt keeps the extra-copy choice independent of split and
+    * mix buckets). Factors < 65536 degrade gracefully to pure
+    * downsampling (⌊f⌋ = 0 rows drop unless the fraction keeps
+    * them), so one operator covers the whole mixing axis. Output =
+    * input columns + `copy` (1-based epoch index) — a scan-side
+    * row multiplication (projection + explode, no shuffle, no seed
+    * state); training-order shuffling stays a separate stage.
+    */
+  def repeatFractional(df: DataFrame, content: Column, group: Column,
+                       factors64k: Map[String, Int], default64k: Int,
+                       salt: String = "rep",
+                       copyCol: String = "copy"): DataFrame = {
+    require((default64k +: factors64k.values.toSeq).forall(_ >= 0),
+      "epoch factors are 65536ths and must be non-negative")
+    val f = factors64k.foldLeft(lit(default64k)) { case (acc, (g, r)) =>
+      when(group === g, lit(r)).otherwise(acc)
+    }
+    val copies = floor(f.cast("long") / lit(65536L)).cast("int") +
+      when(bucket65536(concat(lit(salt + ":"), content)) < f % 65536, 1)
+        .otherwise(0)
+    // sequence(1, 0) COUNTS DOWN — zero-copy rows must drop before
+    // the explode, not explode into a descending range
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn(copyCol, explode(sequence(lit(1), col("__copies"))))
+      .drop("__copies")
   }
 
   /** Per-group sampling rates that REBALANCE the corpus toward integer

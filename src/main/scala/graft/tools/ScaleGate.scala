@@ -239,7 +239,11 @@ object ScaleGate {
     // two token-count shuffles + a type-table outer join (type table
     // grows ~linearly under the copy-suffix scheme, absolute size
     // tiny); the 3-long totals collect is corpus-independent
-    "q_dq_vocab_drift" -> 10.0
+    "q_dq_vocab_drift" -> 10.0,
+    // scan-side row multiplication (projection + explode, no
+    // shuffle); temp variant adds one bounded group-count collect
+    "q_t_epochs" -> 10.0,
+    "q_t_temp_epochs" -> 10.0
   )
 
   def main(args: Array[String]): Unit = {

@@ -279,6 +279,86 @@ class TextFunctionsSpec extends SparkSpec {
       DatasetSplit.temperatureMixRates(df, "src", 0.5))
   }
 
+  test("repeatFractional: whole factors repeat exactly with dense " +
+    "1..n copy indices, fractional factors hit the binomial target, " +
+    "factor 0 drops the group, null groups take the default") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct, max => smax}
+    import graft.operators.DatasetSplit
+    val rnd = new scala.util.Random(31)
+    def txt() = Seq.fill(10)(('a' + rnd.nextInt(26)).toChar).mkString
+    val rows = (Seq.fill(2000)("en") ++ Seq.fill(1000)("de") ++
+      Seq.fill(500)("xx")).map(g => (g, txt())) ++
+      Seq.fill(100)((null: String, txt()))
+    val df = rows.toDF("src", "text")
+    // en ×2 exactly, de ×1.5, xx ×0 (drop), null-group → default ×1
+    val out = DatasetSplit.repeatFractional(df, col("text"), col("src"),
+      Map("en" -> 131072, "de" -> 98304, "xx" -> 0), 65536)
+    val byG = out.groupBy(col("src"))
+      .agg(org.apache.spark.sql.functions.count(col("text")).as("n"),
+        smax(col("copy")).as("mx"))
+      .collect().map(r => Option(r.getString(0)).getOrElse("_") ->
+        ((r.getLong(1), r.getInt(2)))).toMap
+    assert(byG("en")._1 == 4000L, s"×2 must be exact: ${byG("en")}")
+    assert(byG("en")._2 == 2)
+    assert(byG("_") == ((100L, 1)), "null group takes the default ×1")
+    assert(!byG.contains("xx"), "factor 0 must drop the group")
+    // de ×1.5: 1000·1.5 target, binomial on the half
+    val deN = byG("de")._1.toDouble
+    assert(math.abs(deN - 1500.0) <= 4 * math.sqrt(250.0) + 1,
+      s"de kept $deN vs 1500 target")
+    // copy indices dense per row: a doubled text has copies {1, 2}
+    val en2 = out.filter(col("src") === "en")
+      .groupBy(col("text"))
+      .agg(countDistinct(col("copy")).as("d"), smax(col("copy")).as("m"))
+      .filter(col("d") =!= col("m")).count()
+    assert(en2 == 0L, "copy indices must be dense 1..n per text")
+    // determinism: same plan twice → identical multiset
+    assert(out.collect().toSeq.sorted(RowOrd) ==
+      DatasetSplit.repeatFractional(df, col("text"), col("src"),
+        Map("en" -> 131072, "de" -> 98304, "xx" -> 0), 65536)
+        .collect().toSeq.sorted(RowOrd))
+  }
+
+  private val RowOrd: Ordering[org.apache.spark.sql.Row] =
+    Ordering.by(r => r.mkString("\u0001")) // non-colliding separator
+
+  test("temperatureEpochFactors: T=1 is identity (every group 1.0 " +
+    "epoch), largest group always pins 1.0, T->inf equalizes realized " +
+    "counts at ~n_max by repetition, T<1 rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.DatasetSplit
+    val rnd = new scala.util.Random(37)
+    def txt() = Seq.fill(9)(('a' + rnd.nextInt(26)).toChar).mkString
+    val rows = (Seq.fill(3200)("big") ++ Seq.fill(800)("mid") ++
+      Seq.fill(200)("small")).map(g => (g, txt()))
+    val df = rows.toDF("src", "text")
+    val f1 = DatasetSplit.temperatureEpochFactors(df, "src", 1.0)
+    assert(f1.forall(_._2 == 65536), s"T=1 factors: $f1")
+    val fBig = DatasetSplit.temperatureEpochFactors(df, "src", 1000.0)
+      .toMap
+    assert(fBig("big") == 65536, "largest group must pin 1.0 epoch")
+    // T = 1000 sits 16^(1/1000) under the T=inf asymptote of x16 -
+    // allow 1%
+    assert(math.abs(fBig("small") - 65536.0 * 16) <= 65536.0 * 16 * 0.01,
+      s"small-group factor: ${fBig("small")}")
+    val kept = DatasetSplit.repeatFractional(df, col("text"), col("src"),
+        fBig, 65536)
+      .groupBy(col("src")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Map("big" -> 3200, "mid" -> 800, "small" -> 200).foreach {
+      case (g, n) =>
+        val target = n.toDouble * fBig(g) / 65536
+        assert(math.abs(kept(g) - target) <= 4 * math.sqrt(target) + 1,
+          s"group $g kept ${kept(g)} vs target $target")
+        assert(math.abs(kept(g) - 3200.0) <= 4 * math.sqrt(3200.0) + 1,
+          s"T->inf must equalize at ~n_max: $g kept ${kept(g)}")
+    }
+    intercept[IllegalArgumentException](
+      DatasetSplit.temperatureEpochFactors(df, "src", 0.5))
+  }
+
   test("interpolated trigram KN: P₃ is a PROPER distribution " +
     "(Σ_w3 P₃ = 1 by full vocab enumeration), engine micros == exact " +
     "Scala replay with margin probe, partitioning invariance") {
