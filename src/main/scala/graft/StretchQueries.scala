@@ -1151,6 +1151,41 @@ object StretchQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"))
     }),
 
+    // curation + EPOCH REPETITION composed (round 13): clean →
+    // quality → exact dedup → benchmark holdout + decontamination →
+    // fractional-epoch upsampling (en ≈2.3, de 1.5) → split → stats.
+    // Stage ORDER is the claim: epochs run AFTER decontam (a
+    // contaminated doc must never be repeated into the corpus), and
+    // the content-keyed split means every copy of a doc lands in ONE
+    // split — n_docs counts distinct documents, n_copies the epoch-
+    // multiplied rows, total_tokens the trained token budget. Every
+    // stage engine-exact ⇒ full oracle.
+    "q_pipe_curate7" -> ((s, dir) => {
+      import graft.operators.DatasetSplit
+      val cleaned = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.cleanBoilerplate(col("text")).as("text"))
+      val profiled = cleaned
+        .select(col("doc_id"), col("text"),
+          graft.functions.NativeExpressions.textProfile(col("text")).as("__p"))
+        .filter(col("__p.quality_micros") >= 400000L)
+        .select(col("doc_id"), col("text"),
+          col("__p.lang_pred").as("lang"), col("__p.n_tokens").as("nt"))
+      val deduped = Dedup.exactRows(profiled, "text", "doc_id")
+      val bench = cleaned.filter(col("doc_id") % 97 === 0)
+      val corpus = deduped.filter(col("doc_id") % 97 =!= 0)
+      val decon = Dedup.decontaminate(corpus, bench, "text", "doc_id")
+      val repeated = DatasetSplit.repeatFractional(decon, col("text"),
+        col("lang"), Map("en" -> 150733, "de" -> 98304), 65536)
+      repeated
+        .select(DatasetSplit.splitLabel(col("text")).as("split"),
+          col("doc_id"), col("nt"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("nt")).as("total_tokens"))
+    }),
+
     // the per-document DROP LEDGER over the q_pipe_curate2 chain —
     // the audit artifact ("why is doc X not in the training set?")
     // every curation deployment owes its users. ONE row per input
@@ -4282,6 +4317,37 @@ object StretchQueries {
          |  count(*) AS n_docs,
          |  CAST(sum(len($tokensSql)) AS BIGINT) AS total_tokens
          |FROM mixed GROUP BY 1""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // curate7 replay: curate2's chain, then the fractional-epoch
+    // explode (identical md5 16-bit bucket) before the split rollup
+    "q_pipe_curate7" -> {
+      val f = "CASE WHEN lang = 'en' THEN 150733 WHEN lang = 'de' " +
+        "THEN 98304 ELSE 65536 END"
+      (s"""WITH c AS (SELECT doc_id, ${cleanSql("text")} AS text FROM documents),
+         |q AS (SELECT doc_id, text FROM c WHERE $qualityMicrosSql >= 400000),
+         |d AS (SELECT min(doc_id) AS doc_id, text FROM q GROUP BY text),
+         |corp AS (SELECT doc_id, text FROM d WHERE doc_id % 97 <> 0),
+         |bt AS (SELECT $tokensSql AS ta FROM c WHERE doc_id % 97 = 0),
+         |bsh AS (SELECT DISTINCT unnest($shinglesSqlA) AS sh FROM bt),
+         |ct AS (SELECT doc_id, $tokensSql AS ta FROM corp),
+         |csh AS (SELECT doc_id, unnest(list_distinct($shinglesSqlA)) AS sh
+         |        FROM ct),
+         |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh)),
+         |decon AS (SELECT doc_id, text FROM corp
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |e AS (SELECT doc_id, text, $langCaseSql AS lang FROM decon),
+         |n AS (SELECT doc_id, text, ($f // 65536) +
+         |  CASE WHEN ${bucket65536SqlOf("'rep:' || text")} < ($f % 65536)
+         |  THEN 1 ELSE 0 END AS n FROM e),
+         |x AS (SELECT doc_id, text FROM
+         |  (SELECT doc_id, text, unnest(range(1, n + 1)) FROM n
+         |   WHERE n > 0))
+         |SELECT CASE WHEN $bucketSql < 205 THEN 'train'
+         |  WHEN $bucketSql < 230 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs,
+         |  CAST(sum(len($tokensSql)) AS BIGINT) AS total_tokens
+         |FROM x GROUP BY 1""".stripMargin).replaceAll(raw"\s+", " ")
+    },
 
     // the ledger replay: curate2's CTE chain kept per-doc, outcome =
     // first-failing-stage CASE in the same order the engine computes

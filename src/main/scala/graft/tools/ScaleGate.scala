@@ -243,7 +243,10 @@ object ScaleGate {
     // scan-side row multiplication (projection + explode, no
     // shuffle); temp variant adds one bounded group-count collect
     "q_t_epochs" -> 10.0,
-    "q_t_temp_epochs" -> 10.0
+    "q_t_temp_epochs" -> 10.0,
+    // curate chain + epoch explode: same linear stages as the other
+    // pipe compositions, bench-bounded decontam join
+    "q_pipe_curate7" -> 10.0
   )
 
   def main(args: Array[String]): Unit = {
