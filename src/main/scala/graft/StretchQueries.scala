@@ -1337,6 +1337,25 @@ object StretchQueries {
     // NATURAL pairwise cosine in this data is ~0.6 (margin-probed at
     // sf0.01 AND sf0.1) — so the kept set is provably the originals:
     // a full oracle for the whole composition.
+    // cross-split leakage audit (embedding-space eval decontam):
+    // train = the corpus; test = exact copies of every 20th vector
+    // (id + 1e6 — the planted LEAKS) ∪ negated copies of every 20th-
+    // offset-10 vector (id + 2e6 — guaranteed non-leaks: cosine −1
+    // to their source, |cosine| ≤ the measured ~0.6 natural max to
+    // everything else). The blocked operator catches exact copies
+    // with recall 1 under any centroids (identical vector ⇒ same
+    // cluster), so the full |test|×|train| cosine-≥0.9 relation is
+    // the oracle — pair identities AND rounded cosines.
+    "q_v_split_leaks" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val test = emb.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .union(emb.filter(col("vec_id") % 20 === 10)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+      SimilaritySearch.splitLeaks(emb, test, threshold = 0.9)
+    }),
+
     "q_v_semdedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = emb.union(emb.select(
@@ -4972,6 +4991,33 @@ object StretchQueries {
          |FROM s a JOIN s b ON a.key = b.key AND a.doc_id < b.doc_id"""
         .stripMargin).replaceAll(raw"\s+", " ")
     },
+
+    // the full cross-split cosine relation at the 0.9 threshold —
+    // pair identities and rounded values (same double cosine formula
+    // as q_v_topk; the blocked arm's recall-1 argument for exact
+    // copies is in the gate comment)
+    "q_v_split_leaks" ->
+      ("""WITH te AS (
+         |  SELECT vec_id + 1000000 AS test_id, embedding FROM embeddings
+         |  WHERE vec_id % 20 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 2000000,
+         |    list_transform(embedding, x -> -x) FROM embeddings
+         |  WHERE vec_id % 20 = 10),
+         |s AS (SELECT te.test_id, tr.vec_id AS train_id,
+         |  round(
+         |   list_sum(list_transform(range(1, len(te.embedding) + 1),
+         |     i -> CAST(te.embedding[i] AS DOUBLE) *
+         |          CAST(tr.embedding[i] AS DOUBLE))) /
+         |   (sqrt(list_sum(list_transform(range(1, len(te.embedding) + 1),
+         |     i -> CAST(te.embedding[i] AS DOUBLE) *
+         |          CAST(te.embedding[i] AS DOUBLE)))) *
+         |    sqrt(list_sum(list_transform(range(1, len(tr.embedding) + 1),
+         |     i -> CAST(tr.embedding[i] AS DOUBLE) *
+         |          CAST(tr.embedding[i] AS DOUBLE))))), 6) AS cosine
+         |  FROM te, embeddings tr)
+         |SELECT test_id, train_id, cosine FROM s WHERE cosine >= 0.9"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     // every planted copy resolves to its original (min id in the
     // 2-member component); no natural pair crosses the threshold —

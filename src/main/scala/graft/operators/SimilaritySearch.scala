@@ -610,6 +610,43 @@ object SimilaritySearch {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Cross-split SEMANTIC LEAKAGE — the eval-decontamination step in
+    * embedding space ("is any test example a near-copy of a training
+    * example?"), the vector-side sibling of [[Dedup.decontaminate]].
+    * Output: every (test_id, train_id) pair with cosine ≥ threshold,
+    * the rounded cosine riding along for audit.
+    *
+    * Execution shape (the SemDeDup blocking): k-means centroids
+    * trained on the TRAIN side route both splits, and only
+    * within-cluster cross pairs are scored — the pair space is
+    * Σ_c |test_c|·|train_c| instead of |test|·|train| (use
+    * [[autoClusterK]] of the train count to hold cluster occupancy
+    * constant at scale). Recall contract, same argument as the
+    * q_v_semdedup gates: an EXACT copy routes to its source's
+    * cluster deterministically (identical vector ⇒ identical argmin),
+    * so duplicate-level leaks (the decontamination target) are caught
+    * with recall exactly 1 under ANY centroids — which is what lets
+    * the gate share a full brute-force oracle; near-copies at lower
+    * thresholds inherit k-means boundary recall like every SemDeDup
+    * arm (spec-measured there).
+    */
+  def splitLeaks(train: DataFrame, test: DataFrame, threshold: Double,
+                 k: Int = 16, iters: Int = 1,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val model = Ivf.train(train, k, iters, idCol = idCol, vecCol = vecCol)
+    val tr = Ivf.assign(train, model, vecCol)
+      .select(col("cluster"), col(idCol).as("train_id"),
+        col(vecCol).as("__tv"))
+    val te = Ivf.assign(test, model, vecCol)
+      .select(col("cluster"), col(idCol).as("test_id"),
+        col(vecCol).as("__qv"))
+    te.join(tr, "cluster")
+      .select(col("test_id"), col("train_id"),
+        round(cosine(col("__qv"), col("__tv")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Corpus-size-adaptive k for the SemDeDup family — the second knob
     * the sf1 run proved must not be constant: with fixed k, cluster
     * occupancy n/k grows linearly and the Σ n_c² pair space grows

@@ -246,7 +246,11 @@ object ScaleGate {
     "q_t_temp_epochs" -> 10.0,
     // curate chain + epoch explode: same linear stages as the other
     // pipe compositions, bench-bounded decontam join
-    "q_pipe_curate7" -> 10.0
+    "q_pipe_curate7" -> 10.0,
+    // k-means blocking holds the cross pair space at
+    // sum_c |test_c|*|train_c|; test side scales with the corpus, so
+    // linear; a dropped cluster key regresses to the full cross join
+    "q_v_split_leaks" -> 10.0
   )
 
   def main(args: Array[String]): Unit = {

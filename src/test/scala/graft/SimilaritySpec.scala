@@ -554,4 +554,40 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("splitLeaks: blocked result equals the brute-force cross " +
+    "relation at the duplicate threshold; every planted exact copy " +
+    "maps to exactly its source; negated vectors never leak") {
+    import org.apache.spark.sql.functions.transform
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val test = emb.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .union(emb.filter(col("vec_id") % 20 === 10)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+    val blocked = SimilaritySearch.splitLeaks(emb, test, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force: plain cross join + cosine, no blocking
+    val brute = test.select(col("vec_id").as("test_id"),
+        col("embedding").as("__qv"))
+      .crossJoin(emb.select(col("vec_id").as("train_id"),
+        col("embedding").as("__tv")))
+      .select(col("test_id"), col("train_id"),
+        org.apache.spark.sql.functions.round(
+          graft.functions.NativeExpressions.cosine(
+            col("__qv"), col("__tv")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked == brute,
+      s"blocked != brute: missing=${brute -- blocked} extra=${blocked -- brute}")
+    // every leak is (source + 1e6, source, 1.0); negated ids absent
+    assert(blocked.forall { case (te, tr, c) =>
+      te == tr + 1000000L && c == 1.0
+    }, s"unexpected pairs: $blocked")
+    val nLeaks = emb.filter(col("vec_id") % 20 === 0).count()
+    assert(blocked.size.toLong == nLeaks,
+      s"${blocked.size} leaks vs $nLeaks planted")
+  }
 }
