@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Blocklist, Dedup, EntityResolution, Hnsw, Ivf, LogReg, Multimodal, NaiveBayes, Pca, SimilaritySearch}
+import graft.operators.{Blocklist, Dedup, EntityResolution, Hnsw, Ivf, LogReg, Multimodal, NaiveBayes, Pca, SimilaritySearch, Sketch}
 import graft.streaming.EventStream
 
 /** The LLM-training-data-pipeline operator surface (BASELINE.json north
@@ -309,6 +309,30 @@ object StretchQueries {
         .orderBy(col("n").desc, col("token").asc).limit(100)
         .select(col("token")).as[String].collect().toSeq
       graft.operators.Sketch.estimateAll(s, cms, probes)
+    }),
+
+    // KMV distinct sketch — the oracle-checkable distinct counter
+    // (q_t_hll's estimate is a register artifact; KMV's is a pure
+    // integer function of the k smallest md5-48 hashes, so DuckDB
+    // replays the WHOLE estimate: rank distinct hashes, take h_k,
+    // (k−1)·2⁴⁸ div h_k). Same bounded-buffer execution shape as HLL:
+    // ≤ k longs per (group × partition), map-side partials, never the
+    // token stream on the wire. lang staged BEFORE the explode (the
+    // per-OUTPUT-row generator-projection lesson, q_t_hll above).
+    // k = 16 — BELOW the template corpus's ~30-token per-lang
+    // vocabulary, so the gate pins the SATURATED estimator path
+    // (rank-16 hash + integer division), not just the exact small-set
+    // path; SketchSpec covers both regimes at realistic cardinality
+    "q_t_kmv" -> ((s, dir) => {
+      implicit val ss = s
+      val d = t(s, dir, "documents")
+        .select(graft.functions.NativeExpressions.textProfile(col("text"))
+            .getField("lang_pred").as("lang"),
+          TextFunctions.tokens(col("text")).as("__t"))
+        .select(col("lang"), explode(col("__t")).as("token"))
+      graft.operators.Sketch.kmvDistinctPerGroup(d, "lang", "token",
+          k = 16)
+        .orderBy(col("lang"))
     }),
 
     // exact heavy hitters in two bounded passes: per-partition
@@ -3964,6 +3988,16 @@ object StretchQueries {
       s"(strpos('0123456789abcdef', substr(md5($inner), $i, 1)) - 1) * $w"
     }.mkString(" + ")
 
+  /** Sketch.hash48 replayed in DuckDB: the first 12 md5 hex digits
+    * read as a big-endian base-16 integer (hex-digit polynomial,
+    * weights 16¹¹ … 16⁰ — max sum 2⁴⁸−1, comfortably int64).
+    */
+  private def hash48SqlOf(inner: String): String =
+    (1 to 12).map { i =>
+      val w = 1L << (4 * (12 - i))
+      s"(strpos('0123456789abcdef', substr(md5($inner), $i, 1)) - 1) * $w"
+    }.mkString("(", " + ", ")")
+
   private val bucketSql: String = bucketSqlOf("text")
 
   /** The salted mixing bucket (independent of the split bucket). */
@@ -4466,6 +4500,26 @@ object StretchQueries {
       (s"SELECT u.token AS token, count(*) AS est_count FROM " +
         s"(SELECT unnest($tokensSql) AS token FROM documents) u GROUP BY 1 " +
         "ORDER BY est_count DESC, token ASC LIMIT 100"),
+
+    // the full KMV estimator replayed: distinct (lang, hash48) pairs,
+    // rank within lang, exact count below saturation, else
+    // (k−1)·2⁴⁸ // h_k — integer arithmetic end to end (k = 16,
+    // 15·2⁴⁸ ≈ 4.2e15 < 2⁶³)
+    "q_t_kmv" ->
+      (s"""WITH tok AS (SELECT $langCaseSql AS lang,
+         |    unnest(list_distinct($tokensSql)) AS token FROM documents),
+         |  d AS (SELECT DISTINCT lang, ${hash48SqlOf("token")} AS h FROM tok),
+         |  r AS (SELECT lang, h,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS nd FROM d)
+         |SELECT lang,
+         |  CAST(CASE WHEN max(nd) < 16 THEN max(nd)
+         |    ELSE (15 * ${Sketch.Kmv.HashSpace}) //
+         |      max(CASE WHEN rn = 16 THEN h END) END AS BIGINT)
+         |    AS est_distinct,
+         |  CAST(least(max(nd), 16) AS BIGINT) AS sketch_rows
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+        .replaceAll(raw"\s+", " ")),
 
     "q_t_docfreq" ->
       (s"SELECT u.token AS token, count(*) AS n_docs FROM " +

@@ -213,4 +213,106 @@ object Sketch {
       .map { case (g, hll) => (g, hll.estimate) }
       .toDF(groupCol, "est_distinct")
   }
+
+  /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002) — the
+    * sketch family's one EXACTLY-replayable member. HLL's estimate is
+    * a register-layout artifact no second engine reproduces (q_t_hll
+    * is rows-only for exactly that reason); KMV's estimate is a pure
+    * integer function of the k smallest 48-bit hash values of the
+    * distinct elements, and the hash is md5 — which every SQL engine
+    * computes bit-identically. A DuckDB oracle therefore replays the
+    * whole estimate: rank the distinct md5-derived hashes, take the
+    * k-th smallest h_k, emit (k−1)·2⁴⁸ `div` h_k. Same fixed-memory
+    * execution shape as CMS/HLL: per-partition bounded buffer (≤ k
+    * longs), map-side partial aggregation, merge = keep the k smallest
+    * of the union — only k·8 bytes per (group × partition) cross the
+    * wire, never the token stream.
+    *
+    * Estimator contract: while UNSATURATED (fewer than k distinct
+    * hashes seen) the sketch holds the entire distinct hash set and
+    * the count is exact; once saturated, (k−1)·M/h_k with
+    * M = 2⁴⁸ and integer division (exact in int64 for k ≤ 32767:
+    * (k−1)·2⁴⁸ < 2⁶³). 48-bit hashes keep the estimate within int64
+    * on BOTH engines; hash collisions at 2⁴⁸ are ~n²/2⁴⁹ — irrelevant
+    * for the estimator's own ±1/√(k−2) error, and harmless to the
+    * oracle either way because both sides rank the same hash values.
+    */
+  /** Buffer layout: `arr(0 until n)` is the sorted ascending set of
+    * kept hashes, `n ≤ k` — a flat primitive array (the CMS buffer
+    * discipline: kryo round-trips an `Array[Long]` bit-exactly, where
+    * a comparator-carrying tree collection does not survive partial-
+    * aggregation serialization intact). Post-saturation adds cost one
+    * comparison against `arr(k−1)` in the common reject case.
+    */
+  final case class Kmv(k: Int, var n: Int, arr: Array[Long]) {
+    def add(h: Long): Unit = {
+      if (n >= k && h >= arr(k - 1)) return
+      val pos = java.util.Arrays.binarySearch(arr, 0, n, h)
+      if (pos >= 0) return // set semantics: already kept
+      val ins = -pos - 1
+      if (n < k) {
+        System.arraycopy(arr, ins, arr, ins + 1, n - ins)
+        arr(ins) = h
+        n += 1
+      } else {
+        System.arraycopy(arr, ins, arr, ins + 1, k - ins - 1)
+        arr(ins) = h
+      }
+    }
+    def merge(other: Kmv): Kmv = {
+      var i = 0
+      while (i < other.n) { add(other.arr(i)); i += 1 }
+      this
+    }
+    def saturated: Boolean = n >= k
+    /** Exact while unsaturated; (k−1)·2⁴⁸ div h_k once saturated. */
+    def estimate: Long =
+      if (!saturated) n.toLong
+      else ((k - 1).toLong * Kmv.HashSpace) / arr(k - 1)
+  }
+  object Kmv {
+    /** 2⁴⁸ — the hash range (12 md5 hex digits). */
+    val HashSpace: Long = 1L << 48
+    def empty(k: Int): Kmv = Kmv(k, 0, new Array[Long](k))
+  }
+
+  final class KmvAggregator(k: Int) extends Aggregator[Long, Kmv, Kmv] {
+    override def zero: Kmv = Kmv.empty(k)
+    override def reduce(buf: Kmv, h: Long): Kmv = { buf.add(h); buf }
+    override def merge(a: Kmv, b: Kmv): Kmv = a.merge(b)
+    override def finish(buf: Kmv): Kmv = buf
+    override def bufferEncoder: Encoder[Kmv] = Encoders.kryo[Kmv]
+    override def outputEncoder: Encoder[Kmv] = Encoders.kryo[Kmv]
+  }
+
+  /** The engine-portable 48-bit hash: first 12 md5 hex digits as an
+    * integer. `conv` here ≡ the hex-digit polynomial a SQL oracle
+    * spells out — both are the same big-endian base-16 read.
+    */
+  def hash48(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** `(group, est_distinct, sketch_rows)` — per-group KMV distinct
+    * estimates. Null contract and STRING-group output type identical
+    * to [[distinctPerGroup]]; `sketch_rows` = min(distinct, k) is the
+    * buffer occupancy (k ⇒ saturated, estimate path; < k ⇒ exact
+    * path).
+    */
+  def kmvDistinctPerGroup(df: DataFrame, groupCol: String, colName: String,
+                          k: Int = 1024)
+                         (implicit spark: SparkSession): DataFrame = {
+    require(k >= 2 && k <= 32767,
+      s"k must be in [2, 32767] for exact int64 arithmetic, got $k")
+    import spark.implicits._
+    val agg = new KmvAggregator(k)
+    df.filter(col(colName).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        hash48(col(colName)).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn)
+      .map { case (g, kmv) => (g, kmv.estimate, kmv.n.toLong) }
+      .toDF(groupCol, "est_distinct", "sketch_rows")
+  }
 }

@@ -250,7 +250,12 @@ object ScaleGate {
     // k-means blocking holds the cross pair space at
     // sum_c |test_c|*|train_c|; test side scales with the corpus, so
     // linear; a dropped cluster key regresses to the full cross join
-    "q_v_split_leaks" -> 10.0
+    "q_v_split_leaks" -> 10.0,
+    // bounded-buffer sketch over the token explode: one scan + k-long
+    // partials per (group × partition) — the same linear token-stream
+    // family as q_t_dsir; a buffer that stopped rejecting would show
+    // as memory, not time, so this is a plain linearity envelope
+    "q_t_kmv" -> 10.0
   )
 
   def main(args: Array[String]): Unit = {

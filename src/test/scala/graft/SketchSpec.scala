@@ -73,6 +73,56 @@ class SketchSpec extends SparkSpec {
     assert(got == Map("g" -> 1L), s"null contract violated: $got")
   }
 
+  test("KMV: exact below saturation, estimate within the 1/sqrt(k-2) " +
+    "envelope above it, deterministic across partitionings") {
+    implicit val s = spark
+    // unsaturated regime: the sketch holds every distinct hash → exact
+    val small = spark.range(150)
+      .select(lit("g").as("g"), col("id").cast("string").as("v"))
+    val got = Sketch.kmvDistinctPerGroup(small, "g", "v", k = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("g", 150L, 150L)), s"unsaturated: ${got.toSeq}")
+    // saturated regime: 50k distinct at k=256 → σ ≈ 6.3%; assert 4σ
+    val big = spark.range(50000)
+      .select(lit("g").as("g"), col("id").cast("string").as("v"))
+    val est = Sketch.kmvDistinctPerGroup(big, "g", "v", k = 256)
+      .collect().head
+    assert(est.getLong(2) == 256L, "saturated sketch_rows must be k")
+    assert(math.abs(est.getLong(1) - 50000.0) / 50000.0 < 0.26,
+      s"estimate ${est.getLong(1)} too far from 50000")
+    // duplicates are idempotent; partitioning never changes the result
+    // (this exactness is what makes KMV the oracle-able sketch)
+    val dup = big.union(big).union(big)
+    val a = Sketch.kmvDistinctPerGroup(dup.repartition(1), "g", "v", k = 256)
+      .collect().head.getLong(1)
+    val b = Sketch.kmvDistinctPerGroup(dup.repartition(7), "g", "v", k = 256)
+      .collect().head.getLong(1)
+    assert(a == est.getLong(1) && b == est.getLong(1),
+      s"partitioning/duplication changed the KMV estimate: $a / $b vs " +
+        s"${est.getLong(1)}")
+  }
+
+  test("KMV: merge = keep k smallest of the union; null contract") {
+    implicit val s = spark
+    // scrambled insertion order on both sides; overlap between them
+    val all = (1L to 500L).map(i => (i * 48271L) % 1000003L).distinct
+    val (ea, eb) = all.partition(_ % 3 == 0)
+    def sk(xs: Seq[Long]): Sketch.Kmv = {
+      val m = Sketch.Kmv.empty(64); xs.foreach(m.add); m
+    }
+    val merged = sk(ea).merge(sk(eb ++ ea.take(10)))
+    val direct = all.sorted.take(64)
+    assert(merged.arr.take(merged.n).toSeq == direct,
+      "merged sketch is not the k smallest of the union")
+    assert(merged.estimate == sk(all).estimate,
+      "merge path and single-stream path disagree")
+    val withNull = Seq((Some("g"), Some("a")), (Some("g"), None),
+      (Option.empty[String], Some("x"))).toDF("g", "v")
+    val got = Sketch.kmvDistinctPerGroup(withNull, "g", "v", k = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("g" -> 1L), s"null contract violated: $got")
+  }
+
   test("HLL is deterministic across partitionings; per-group matches " +
     "per-group exact within 5%") {
     implicit val s = spark
