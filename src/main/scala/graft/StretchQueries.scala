@@ -3514,6 +3514,48 @@ object StretchQueries {
           col("score_micros"))
     }),
 
+    // ── S32: binary-blob lake ingestion — the multimodal 100 TB
+    // shape: one file per asset on the object store, read back through
+    // Spark's binaryFile source (path / length / content columns,
+    // distributed file listing + partitioned reads), identity carried
+    // by the asset FILENAME, content integrity by md5. Blobs are
+    // written executor-side (foreachPartition — producers write the
+    // lake, never the driver); the gate caps the asset count at 2000
+    // because the surface under test is the source path, not
+    // small-file throughput (a real lake batches small assets into
+    // archives long before 100 TB). Oracle: byte length + md5
+    // recomputed from the source table — the round trip must preserve
+    // every byte
+    "q_s32_binary_ingest" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_bing_q_${graft.engine.Scratch.runToken}"
+      val p = new org.apache.hadoop.fs.Path(scratch)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      fs.mkdirs(p)
+      t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"))
+        .repartition(8)
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val dirPath = new org.apache.hadoop.fs.Path(scratch)
+          val pfs = dirPath.getFileSystem(conf)
+          rows.foreach { r =>
+            val out = pfs.create(new org.apache.hadoop.fs.Path(dirPath,
+              f"doc_${r.getLong(0)}%08d.txt"), true)
+            try out.write(r.getString(1)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          }
+        }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+        .load(scratch)
+        .select(
+          regexp_extract(col("path"), raw"doc_(\d+)\.txt$$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("byte_len"),
+          md5(col("content")).as("content_md5"))
+    }),
+
     // the deployment-shape twin of q_t_blocklist: PLAIN SQL through
     // the graft_blocklist_counts registry function (zero Scala calls)
     // — proves a spark.sql.extensions-configured session gets the
@@ -4520,6 +4562,13 @@ object StretchQueries {
          |  CAST(least(max(nd), 16) AS BIGINT) AS sketch_rows
          |FROM r GROUP BY lang ORDER BY lang""".stripMargin
         .replaceAll(raw"\s+", " ")),
+
+    // the blob round trip must preserve every byte: length + md5 of
+    // the UTF-8 encoding, straight from the source table
+    "q_s32_binary_ingest" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) " +
+        "AS byte_len, md5(text) AS content_md5 FROM documents " +
+        "WHERE doc_id < 2000"),
 
     "q_t_docfreq" ->
       (s"SELECT u.token AS token, count(*) AS n_docs FROM " +

@@ -83,4 +83,36 @@ class QueriesSpec extends SparkSpec {
       .agg(count(lit(1)), round(sum("p_retailprice"), 2)).head
     assert(once == twice)
   }
+
+  test("binaryFile blob round trip preserves multi-byte UTF-8 content " +
+    "(the gate corpus is ASCII; the lake's assets are not)") {
+    // same write-then-read shape as q_s32_binary_ingest, on content
+    // the synthetic corpus cannot exercise: CJK, emoji, combining marks
+    val texts = Seq(0L -> "héllo wörld", 1L -> "数据湖摄取", 2L -> "🚀 é")
+    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_bing_spec_${graft.engine.Scratch.runToken}"
+    val p = new org.apache.hadoop.fs.Path(scratch)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.mkdirs(p)
+    texts.foreach { case (id, s) =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(p, f"doc_$id%08d.txt"), true)
+      try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val got = spark.read.format("binaryFile").load(scratch)
+      .select(
+        regexp_extract(col("path"), raw"doc_(\d+)\.txt$$", 1)
+          .cast("long").as("doc_id"),
+        col("length"), md5(col("content")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    val want = texts.map { case (id, s) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val m = java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+      (id, b.length.toLong, m)
+    }
+    assert(got.toSeq == want,
+      s"binary round trip corrupted multi-byte content: $got vs $want")
+  }
 }
