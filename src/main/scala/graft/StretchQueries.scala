@@ -3689,6 +3689,26 @@ object StretchQueries {
          |FROM p LEFT JOIN k ON p.text = k.text
          |  LEFT JOIN bad ON p.doc_id = bad.doc_id""".stripMargin)),
 
+    // ── S33: sequence packing as PLAIN SQL — the s28/s29/s30/s31
+    //    deployment-shape family extended to the training-batch
+    //    assembler: token counts through the graft_text_profile
+    //    registry kernel, the content-hash bucket and the running
+    //    offset in vanilla SQL (one window sum per bucket, never a
+    //    global sort). Shares q_t_pack's algorithm and oracle ────────
+    "q_s33_sql_pack" -> ((s, dir) => s.sql(
+      s"""WITH b AS (SELECT doc_id,
+         |    CAST(conv(substring(md5(text), 1, 2), 16, 10) AS INT)
+         |      AS bucket,
+         |    CAST(graft_text_profile(text).n_tokens AS BIGINT)
+         |      AS n_tokens
+         |  FROM parquet.`$dir/documents.parquet`),
+         |o AS (SELECT doc_id, bucket, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+         |  FROM b)
+         |SELECT doc_id, bucket, n_tokens, start_offset,
+         |  start_offset div 1024 AS seq_id FROM o""".stripMargin)),
+
     // SQ8 quantized top-k: int8-scan ANN (4× smaller than float32)
     // whose ranking key dot8·scale_c·scale_q is PURE int64 — unlike
     // PQ's float ADC, the whole quantized ranking hash-matches the
@@ -4088,6 +4108,9 @@ object StretchQueries {
       ("q_d_minhash_confirmed" -> oracleSqlMap("q_s29_sql_neardup")) +
       ("q_d_stream_confirmed" -> oracleSqlMap("q_s29_sql_neardup")) +
       ("q_s31_sql_ledger" -> oracleSqlMap("q_pipe_ledger")) +
+      // same algorithm (content-hash bucket, per-bucket running token
+      // offset, div 1024) expressed in plain SQL through the registry
+      ("q_s33_sql_pack" -> oracleSqlMap("q_t_pack")) +
       ("q_s30_sql_ann" -> oracleSqlMap("q_v_topk_bin")) +
       ("q_v_topk_bin_idx" -> oracleSqlMap("q_v_topk_bin")) +
       // the maintenance lifecycle replayed from parity counts: base =
