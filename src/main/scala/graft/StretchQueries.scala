@@ -1213,6 +1213,35 @@ object StretchQueries {
     // the per-document DROP LEDGER over the q_pipe_curate2 chain —
     // the audit artifact ("why is doc X not in the training set?")
     // every curation deployment owes its users. ONE row per input
+    // the curation chain as CONTINUOUS INGESTION (clean → quality →
+    // stream-dedup → lang + split), run epoch-generation style: feed
+    // batch 0 = even-id originals, run to completion; feed batch 1 =
+    // the whole corpus re-arriving as +1e6-id copies, run again on
+    // the same checkpoint. Batch 1 exercises BOTH state paths: even
+    // texts hit the seen-flag and drop (the cross-batch dedup), odd
+    // texts are first-seen and emit (the late-new-document path).
+    // Deterministic end to end — per-key min-id wins inside a batch,
+    // earliest batch wins across batches — so the winner set is pure
+    // arithmetic and the chain gets a full SQL oracle
+    "q_pipe_stream_curate" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_scur_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val feed = s"$scratch/feed"
+      val out = s"$scratch/out"
+      val ckpt = s"$scratch/ckpt"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingCurate.curateStream(s, feed, out, ckpt)
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingCurate.curateStream(s, feed, out, ckpt)
+        .select(col("doc_id"), col("lang"), col("split"))
+    }),
+
     // doc; the outcome is the FIRST stage in pipeline order that
     // removed it, or kept_<split>. Stage semantics mirror curate2
     // EXACTLY — bench docs participate in quality + dedup before
@@ -4412,6 +4441,23 @@ object StretchQueries {
          |SELECT split, count(*) AS n_docs,
          |  CAST(sum(nt) AS BIGINT) AS total_tokens FROM l GROUP BY 1"""
         .stripMargin).replaceAll(raw"\s+", " "),
+
+    // the stream's winner set is pure arithmetic: per distinct cleaned
+    // text among quality-passers, the min EVEN id if one exists (batch
+    // 0 emitted it), else the min id + 1e6 (first seen in batch 1 as a
+    // copy); lang/split recomputed over the winner's cleaned text
+    "q_pipe_stream_curate" ->
+      (s"""WITH c AS (SELECT doc_id,
+         |    ${cleanSql("coalesce(text, '')")} AS text FROM documents),
+         |q AS (SELECT doc_id, text FROM c WHERE $qualityMicrosSql >= 400000),
+         |w AS (SELECT text,
+         |    coalesce(min(CASE WHEN doc_id % 2 = 0 THEN doc_id END),
+         |      min(doc_id) + 1000000) AS doc_id
+         |  FROM q GROUP BY text)
+         |SELECT doc_id, $langCaseSql AS lang,
+         |  CASE WHEN $bucketSql < 205 THEN 'train'
+         |    WHEN $bucketSql < 230 THEN 'val' ELSE 'test' END AS split
+         |FROM w""".stripMargin.replaceAll(raw"\s+", " ")),
 
     "q_pipe_curate2" ->
       (s"""WITH c AS (SELECT doc_id, ${cleanSql("text")} AS text FROM documents),

@@ -255,7 +255,13 @@ object ScaleGate {
     // partials per (group × partition) — the same linear token-stream
     // family as q_t_dsir; a buffer that stopped rejecting would show
     // as memory, not time, so this is a plain linearity envelope
-    "q_t_kmv" -> 10.0
+    "q_t_kmv" -> 10.0,
+    // two AvailableNow runs (fixed startup, the q_d_stream_inc family)
+    // + per-row kernels + one-flag-per-distinct-text state: linear row
+    // work on top of corpus-independent overhead. A state blowup
+    // (e.g. keying on the full text instead of its hash) would surface
+    // as a superlinear ratio here
+    "q_pipe_stream_curate" -> 6.0
   )
 
   def main(args: Array[String]): Unit = {

@@ -490,4 +490,33 @@ class StreamingSpec extends SparkSpec {
       s"sink layout must be batch=<id> claim dirs, got " +
         top.map(_.getPath.getName).mkString(","))
   }
+
+  test("StreamingCurate: min-id wins inside a batch, seen-flag drops " +
+    "across batches and across separate runs (checkpoint resume)") {
+    import spark.implicits._
+    val root = tmpDir("stream") + "/curate"
+    val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    // quality-passing content (long enough, stopwords, clean)
+    val textA = "the quick brown fox jumps over the lazy dog and then " +
+      "the fox runs far away into the quiet green woods for a while"
+    val textB = textA + " but the second story ends in the small town"
+    // batch 0: textA arrives THREE times in ONE micro-batch with ids
+    // 30, 10, 20 — the winner must be min(10), not an arbitrary first
+    Seq((30L, textA), (10L, textA), (20L, textA))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(feed)
+    val r1 = graft.streaming.StreamingCurate
+      .curateStream(spark, feed, out, ckpt)
+      .select("doc_id").as[Long].collect().sorted
+    assert(r1.toSeq == Seq(10L), s"intra-batch winner must be min id: ${r1.toSeq}")
+    // batch 1 (separate run, same checkpoint): textA again (id 5 —
+    // LOWER than the emitted winner, still dropped: append mode never
+    // retracts) + textB first-seen
+    Seq((5L, textA), (40L, textB))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(feed)
+    val r2 = graft.streaming.StreamingCurate
+      .curateStream(spark, feed, out, ckpt)
+      .select("doc_id").as[Long].collect().sorted
+    assert(r2.toSeq == Seq(10L, 40L),
+      s"cross-run state must drop the re-arrival and keep the new doc: ${r2.toSeq}")
+  }
 }
