@@ -825,6 +825,26 @@ object StretchQueries {
           size(col("bpe_tokens")).as("n_subwords"))
     }),
 
+    // unigram-LM tokenizer (the SentencePiece family next to BPE's):
+    // substring seed → 2 hard-EM rounds (integer-micros Viterbi
+    // E-step, count-renormalized M-step). Scores are rounded ONCE per
+    // piece per round in the DataFrame layer and the DP is pure int64,
+    // so the WHOLE trainer replays in SQL: unrolled DP + backtrack
+    // CTEs per EM round (the bpeMergeCtes discipline, DP edition)
+    "q_t_unigram" -> ((s, dir) =>
+      graft.operators.UnigramLm.train(t(s, dir, "documents"), "text",
+        rounds = 2)),
+
+    // the encode side: segment EVERY document under the trained vocab
+    // (single-char coverage keeps segmentation total; empty docs emit
+    // ('', 0)); oracle = one more unrolled Viterbi pass under the
+    // replayed round-2 scores, pieces re-joined in token order
+    "q_t_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.UnigramLm.train(docs, "text", rounds = 2)
+      graft.operators.UnigramLm.encode(docs, "text", "doc_id", vocab)
+    }),
+
     // ── dedup ──────────────────────────────────────────────────────────
     "q_d_exact" -> ((s, dir) =>
       Dedup.exactByHash(t(s, dir, "documents"), "text", "doc_id")),
@@ -4017,6 +4037,124 @@ object StretchQueries {
       s"FROM e16)"
   }
 
+  /** One integer-micros Viterbi pass replayed in SQL: candidates =
+    * (word × start × len ≤ 4) pieces found in `scoreCte`, DP unrolled
+    * over positions 1..16 (each `udp{tag}_j` takes the row_number-1
+    * candidate by `ORDER BY score DESC, piece-length DESC` over the
+    * up-to-4 reachable predecessors — exactly UnigramLm.segment's
+    * tie-break), then the argmax PATH recovered by an unrolled
+    * backtrack walk over the stored best piece lengths. Everything is
+    * MATERIALIZED: dp_j feeds up to 4 later dp CTEs plus the
+    * backtrack, and inlined CTEs would expand exponentially (the
+    * bpeMergeCtes lesson). `upc{tag}` ends with (word, piece, ep) —
+    * the path pieces with their end positions.
+    */
+  private def ugViterbiCtes(tag: String, scoreCte: String): Seq[String] = {
+    val cand = s"ucand$tag AS MATERIALIZED (SELECT w.word, t1.i, t2.l, " +
+      s"sc.s FROM uw w CROSS JOIN range(1, 17) t1(i) " +
+      s"CROSS JOIN range(1, 5) t2(l) " +
+      s"JOIN $scoreCte sc ON sc.piece = substr(w.word, t1.i, t2.l) " +
+      s"WHERE t1.i + t2.l - 1 <= length(w.word))"
+    val dp0 = s"udp${tag}_0 AS MATERIALIZED (SELECT word, " +
+      s"CAST(0 AS BIGINT) AS sc, CAST(0 AS BIGINT) AS l FROM uw)"
+    val dps = (1 to 16).map { j =>
+      val prevs = (math.max(0, j - 4) until j).map(jp =>
+        s"SELECT word, sc, CAST($jp AS BIGINT) AS pos FROM udp${tag}_$jp")
+        .mkString(" UNION ALL ")
+      s"udp${tag}_$j AS MATERIALIZED (SELECT word, sc, l FROM (" +
+        s"SELECT c.word, p.sc + c.s AS sc, c.l, " +
+        s"row_number() OVER (PARTITION BY c.word " +
+        s"ORDER BY p.sc + c.s DESC, c.l DESC) AS rn " +
+        s"FROM ucand$tag c JOIN ($prevs) p ON p.word = c.word " +
+        s"AND c.i = p.pos + 1 AND c.i + c.l - 1 = $j) WHERE rn = 1)"
+    }
+    val dpa = s"udpa$tag AS MATERIALIZED (" + (1 to 16).map(j =>
+      s"SELECT word, CAST($j AS BIGINT) AS pos, l FROM udp${tag}_$j")
+      .mkString(" UNION ALL ") + ")"
+    val bt1 = s"ubt${tag}_1 AS MATERIALIZED (SELECT word, pos AS ep, l " +
+      s"FROM udpa$tag WHERE pos = length(word))"
+    val bts = (2 to 16).map { k =>
+      s"ubt${tag}_$k AS MATERIALIZED (SELECT d.word, d.pos AS ep, d.l " +
+        s"FROM ubt${tag}_${k - 1} b JOIN udpa$tag d ON d.word = b.word " +
+        s"AND d.pos = b.ep - b.l WHERE b.ep - b.l > 0)"
+    }
+    val pieces = s"upc$tag AS MATERIALIZED (SELECT word, " +
+      s"substr(word, ep - l + 1, l) AS piece, ep FROM (" +
+      (1 to 16).map(k => s"SELECT word, ep, l FROM ubt${tag}_$k")
+        .mkString(" UNION ALL ") + "))"
+    Seq(cand, dp0) ++ dps ++ Seq(dpa, bt1) ++ bts ++ Seq(pieces)
+  }
+
+  /** score CTE: s = round(1e6 · ln(cnt/C)), C = Σ cnt — the same
+    * once-per-piece rounding UnigramLm.withScores does with Spark
+    * round/log (both engines: IEEE double division, ≤1-ulp ln,
+    * half-away-from-zero round; the boundary margin is probed in
+    * NOTES like the vocab-drift gate's).
+    */
+  private def ugScoreCte(name: String, vocabCte: String): String =
+    s"$name AS MATERIALIZED (SELECT piece, cnt, CAST(round(1000000.0 * " +
+      s"ln(cnt * 1.0 / (SELECT CAST(sum(cnt) AS BIGINT) FROM $vocabCte)))" +
+      s" AS BIGINT) AS s FROM $vocabCte)"
+
+  /** The full unigram-LM trainer unrolled: word table → substring
+    * seed (top-512 by (cnt, piece) + all single chars) → per EM round
+    * r ∈ {1, 2}: Viterbi pass under s{r−1}, frequency-weighted path
+    * counts, M-step (zero-count pieces drop, single chars floor at 1),
+    * rescore. Ends with `us2(piece, cnt, s)`.
+    */
+  private lazy val unigramTrainCtes: String = {
+    val head = Seq(
+      s"uw AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS f " +
+        s"FROM (SELECT unnest($tokensSql) AS word FROM documents) u " +
+        s"WHERE length(word) <= 16 GROUP BY 1)",
+      s"useed AS MATERIALIZED (SELECT substr(word, i, l) AS piece, " +
+        s"CAST(sum(f) AS BIGINT) AS cnt FROM uw " +
+        s"CROSS JOIN range(1, 17) t1(i) CROSS JOIN range(1, 5) t2(l) " +
+        s"WHERE i + l - 1 <= length(word) GROUP BY 1)",
+      s"uv0 AS MATERIALIZED (SELECT piece, CAST(max(cnt) AS BIGINT) " +
+        s"AS cnt FROM ((SELECT piece, cnt FROM useed " +
+        s"ORDER BY cnt DESC, piece ASC LIMIT 512) UNION ALL " +
+        s"SELECT piece, cnt FROM useed WHERE length(piece) = 1) " +
+        s"GROUP BY 1)",
+      ugScoreCte("us0", "uv0"))
+    val rounds = (1 to 2).flatMap { r =>
+      ugViterbiCtes(r.toString, s"us${r - 1}") ++ Seq(
+        s"ucc$r AS MATERIALIZED (SELECT p.piece, " +
+          s"CAST(sum(w.f) AS BIGINT) AS cnt FROM upc$r p " +
+          s"JOIN uw w USING (word) GROUP BY 1)",
+        s"uv$r AS MATERIALIZED (SELECT v.piece, CAST(CASE WHEN " +
+          s"length(v.piece) = 1 THEN greatest(coalesce(c.cnt, 0), 1) " +
+          s"ELSE coalesce(c.cnt, 0) END AS BIGINT) AS cnt " +
+          s"FROM uv${r - 1} v LEFT JOIN ucc$r c USING (piece) " +
+          s"WHERE length(v.piece) = 1 OR coalesce(c.cnt, 0) > 0)",
+        ugScoreCte(s"us$r", s"uv$r"))
+    }
+    (head ++ rounds).mkString(", ")
+  }
+
+  private lazy val unigramVocabSql: String =
+    s"WITH $unigramTrainCtes SELECT piece, cnt, s AS score_micros FROM us2"
+
+  /** Encode replay: one more Viterbi pass under the replayed round-2
+    * scores, each document's token stream re-joined in (token index,
+    * piece end position) order; docs with no tokens emit ('', 0).
+    */
+  private lazy val unigramEncodeSql: String = {
+    val enc = ugViterbiCtes("e", "us2") ++ Seq(
+      s"utd AS MATERIALIZED (SELECT doc_id, w AS word, ti FROM " +
+        s"(SELECT doc_id, unnest([struct_pack(w := ta[i], ti := i) " +
+        s"for i in range(1, len(ta) + 1)], recursive := true) " +
+        s"FROM (SELECT doc_id, $tokensSql AS ta FROM documents)))",
+      s"uenc AS MATERIALIZED (SELECT d.doc_id, " +
+        s"string_agg(p.piece, ' ' ORDER BY d.ti ASC, p.ep ASC) " +
+        s"AS encoded, CAST(count(*) AS BIGINT) AS n_pieces " +
+        s"FROM utd d JOIN upce p ON p.word = d.word GROUP BY d.doc_id)")
+    s"WITH $unigramTrainCtes, ${enc.mkString(", ")} " +
+      s"SELECT t.doc_id, coalesce(e.encoded, '') AS encoded, " +
+      s"CAST(coalesce(e.n_pieces, 0) AS BIGINT) AS n_pieces " +
+      s"FROM documents t LEFT JOIN uenc e ON e.doc_id = t.doc_id"
+  }
+
   /** Shared DSIR CTE chain ending in `wt(doc_id, n_tokens,
     * logw_micros)` — the weights relation the q_t_dsir* gates and the
     * curation composition all build on (one definition, zero drift).
@@ -5032,6 +5170,13 @@ object StretchQueries {
         .mkString(" UNION ALL ")),
 
     "q_t_bpe_encode" -> bpeEncodeSql,
+
+    // the unigram-LM trainer replayed END TO END: substring seed,
+    // two hard-EM rounds of unrolled integer-micros Viterbi DP +
+    // backtrack, count M-steps, rescoring (see [[unigramTrainCtes]])
+    "q_t_unigram" -> unigramVocabSql,
+
+    "q_t_unigram_encode" -> unigramEncodeSql,
 
     "q_t_bpe_pairs" ->
       (s"""WITH t AS (SELECT $tokensSql AS ta FROM documents),

@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Unigram language-model tokenizer (the SentencePiece-unigram family
+  * — Kudo 2018), trained with hard EM: seed a substring vocabulary,
+  * then alternate Viterbi segmentation of the word table (E-step,
+  * counts) with count-renormalized piece scores (M-step). The BPE
+  * trainer's sibling: BPE grows a vocabulary bottom-up by merges;
+  * unigram starts over-complete and lets EM concentrate mass on the
+  * pieces that actually explain the corpus.
+  *
+  * Exactness discipline (the KN/DSIR convention): piece scores are
+  * log-probabilities in MICROS, rounded ONCE per piece per round —
+  * `round(1e6 · ln(cnt/C))` computed in the DataFrame layer (Spark
+  * `round`/`log` ≡ DuckDB `round`/`ln`, half-away-from-zero both
+  * sides) — and the Viterbi DP then runs in pure int64 (score sums
+  * and comparisons are exact integer arithmetic, so the argmax path
+  * is engine-reproducible and the WHOLE trainer replays in SQL as
+  * unrolled DP + backtrack CTEs, one set per EM round). Ties break
+  * deterministically: higher path score, then LONGER piece.
+  *
+  * Scale shape: the word table is one token-explode aggregation; the
+  * vocabulary is bounded (topV + alphabet) and rides as a broadcast
+  * int64 score map; Viterbi is per-DISTINCT-word local DP inside
+  * `mapPartitions` (genuine per-row imperative logic — no builtin
+  * expresses a DP argmax) — linear in distinct words, never in corpus
+  * tokens; E-step counts are one groupBy. Driver holds only the
+  * bounded vocabulary, never words.
+  *
+  * Training ignores words longer than `maxWordLen` (the SentencePiece
+  * max-sentencepiece-length discipline: tail mega-tokens contribute
+  * noise and unbounded DP cost); `encode` segments EVERY word — single
+  * characters stay in the vocabulary across rounds (coverage floor
+  * `greatest(cnt, 1)`), so segmentation is total.
+  */
+object UnigramLm {
+
+  /** `(word, f)` — the distinct-word frequency table, training-bounded. */
+  def wordTable(df: DataFrame, textCol: String,
+                maxWordLen: Int = 16): DataFrame =
+    df.select(explode(TextFunctions.tokens(
+        coalesce(col(textCol), lit("")))).as("word"))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+
+  /** Seed vocabulary: every substring of length 1..maxPieceLen counted
+    * with positional multiplicity × word frequency; keep the top
+    * `topV` by (cnt DESC, piece ASC) plus ALL single characters (the
+    * coverage floor that keeps Viterbi total).
+    */
+  def seedVocab(words: DataFrame, maxPieceLen: Int = 4,
+                topV: Int = 512): DataFrame = {
+    val subs = words
+      .select(col("word"), col("f"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("f"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("i") + 1)))
+          .as("l"))
+      .select(col("word").substr(col("i"), col("l")).as("piece"), col("f"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+    val top = subs.orderBy(col("cnt").desc, col("piece").asc).limit(topV)
+    val chars = subs.filter(length(col("piece")) === 1)
+    top.unionByName(chars)
+      .groupBy(col("piece")).agg(max(col("cnt")).as("cnt"))
+  }
+
+  /** `(piece, cnt, s)`: s = round(1e6 · ln(cnt/C)) with C = Σ cnt —
+    * the once-per-piece float rounding; everything downstream is
+    * integer. Computed in the DataFrame layer so Spark and the SQL
+    * oracle share round/ln semantics exactly.
+    */
+  def withScores(vocab: DataFrame): DataFrame = {
+    val c = vocab.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    require(c > 0L, "empty vocabulary — no training words")
+    vocab.select(col("piece"), col("cnt"),
+      round(lit(1000000.0) * log(col("cnt").cast("double") / lit(c.toDouble)))
+        .cast("long").as("s"))
+  }
+
+  /** Integer-micros Viterbi over one word. `scores` maps piece →
+    * score; every single character of `word` must be present (the
+    * coverage floor). Returns the argmax path's pieces left to right.
+    * Tie-break: higher score, then LONGER piece — identical to the
+    * SQL replay's `ORDER BY sc DESC, l DESC`.
+    */
+  private[graft] def segment(word: String,
+                             scores: collection.Map[String, Long],
+                             maxPieceLen: Int): Seq[String] = {
+    val n = word.length
+    val dp = new Array[Long](n + 1)
+    val bp = new Array[Int](n + 1)
+    java.util.Arrays.fill(dp, Long.MinValue)
+    dp(0) = 0L
+    var j = 1
+    while (j <= n) {
+      var l = 1
+      while (l <= math.min(maxPieceLen, j)) {
+        val i = j - l
+        if (dp(i) != Long.MinValue) {
+          scores.get(word.substring(i, j)) match {
+            case Some(s) =>
+              val cand = dp(i) + s
+              // strictly-greater OR equal-with-longer-piece: since l
+              // ascends, "equal and longer" is cand == dp(j) && l > bp(j),
+              // which the >= on later (longer) l implements exactly
+              if (cand > dp(j) || (cand == dp(j) && l > bp(j))) {
+                dp(j) = cand; bp(j) = l
+              }
+            case None =>
+          }
+        }
+        l += 1
+      }
+      require(dp(j) != Long.MinValue,
+        s"no segmentation for '$word' at $j — single-char coverage broken")
+      j += 1
+    }
+    // backtrack
+    var pos = n
+    var out = List.empty[String]
+    while (pos > 0) {
+      val l = bp(pos)
+      out = word.substring(pos - l, pos) :: out
+      pos -= l
+    }
+    out
+  }
+
+  /** E-step: Viterbi-segment the word table under `scored` (piece,
+    * cnt, s) and return per-piece path counts weighted by word
+    * frequency. The vocabulary is bounded → broadcast; the DP is
+    * per-distinct-word local work.
+    */
+  def viterbiCounts(words: DataFrame, scored: DataFrame,
+                    maxPieceLen: Int = 4): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val m = scored.select(col("piece"), col("s")).as[(String, Long)]
+      .collect().toMap
+    val bc = spark.sparkContext.broadcast(m)
+    words.select(col("word"), col("f")).as[(String, Long)]
+      .mapPartitions { it =>
+        val sc = bc.value
+        it.flatMap { case (w, f) =>
+          segment(w, sc, maxPieceLen).map(p => (p, f))
+        }
+      }
+      .toDF("piece", "f")
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+  }
+
+  /** M-step: pieces keep their Viterbi count; zero-count pieces drop
+    * EXCEPT single characters, which floor at 1 (coverage).
+    */
+  def mStep(vocab: DataFrame, counts: DataFrame): DataFrame =
+    vocab.select(col("piece"))
+      .join(counts, Seq("piece"), "left")
+      .select(col("piece"),
+        when(length(col("piece")) === 1,
+          greatest(coalesce(col("cnt"), lit(0L)), lit(1L)))
+          .otherwise(coalesce(col("cnt"), lit(0L))).as("cnt"))
+      .filter(col("cnt") > 0L)
+
+  /** Full trainer: seed → `rounds` × (E-step, M-step) → scored
+    * vocabulary `(piece, cnt, score_micros)`.
+    */
+  def train(df: DataFrame, textCol: String, rounds: Int = 2,
+            maxPieceLen: Int = 4, topV: Int = 512,
+            maxWordLen: Int = 16): DataFrame = {
+    val words = wordTable(df, textCol, maxWordLen)
+    // the word table feeds every round AND the doc encode — one scan
+    words.cache()
+    var vocab = seedVocab(words, maxPieceLen, topV)
+    var r = 0
+    while (r < rounds) {
+      val scored = withScores(vocab)
+      vocab = mStep(vocab, viterbiCounts(words, scored, maxPieceLen))
+      r += 1
+    }
+    val out = withScores(vocab)
+      .select(col("piece"), col("cnt"), col("s").as("score_micros"))
+    out.count() // materialize before unpersist
+    words.unpersist()
+    out
+  }
+
+  /** Segment every document under a trained vocabulary: `(id, encoded,
+    * n_pieces)` with pieces space-joined in token order (array-typed
+    * gate columns crash the driver compare — the q_t_postings CSV
+    * convention).
+    */
+  def encode(df: DataFrame, textCol: String, idCol: String,
+             scored: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = scored.select(col("piece"), col("score_micros"))
+      .as[(String, Long)].collect().toMap
+    val bc = spark.sparkContext.broadcast(m)
+    df.select(col(idCol).cast("long"),
+        TextFunctions.tokens(coalesce(col(textCol), lit(""))))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val sc = bc.value
+        it.map { case (id, toks) =>
+          val pieces = toks.flatMap(w => segment(w, sc, maxPieceLen))
+          (id, pieces.mkString(" "), pieces.length.toLong)
+        }
+      }
+      .toDF(idCol, "encoded", "n_pieces")
+  }
+}

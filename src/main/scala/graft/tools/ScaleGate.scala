@@ -261,7 +261,14 @@ object ScaleGate {
     // work on top of corpus-independent overhead. A state blowup
     // (e.g. keying on the full text instead of its hash) would surface
     // as a superlinear ratio here
-    "q_pipe_stream_curate" -> 6.0
+    "q_pipe_stream_curate" -> 6.0,
+    // unigram-LM trainer: one token-explode aggregation (linear) +
+    // per-DISTINCT-WORD bounded DP per EM round — a regression that
+    // segmented corpus TOKENS instead of distinct words would scale
+    // with the token stream and blow the envelope; encode adds the
+    // linear per-doc segmentation pass
+    "q_t_unigram" -> 10.0,
+    "q_t_unigram_encode" -> 10.0
   )
 
   def main(args: Array[String]): Unit = {

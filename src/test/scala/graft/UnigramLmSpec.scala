@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.UnigramLm
+
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("segment: integer-micros Viterbi picks the max-score path with " +
+    "the (score, longer-piece) tie-break") {
+    // scores chosen so 'abab' has competing parses:
+    //   ab+ab = -200, a+b+a+b = -400, abab not in vocab
+    val sc = Map("a" -> -100L, "b" -> -100L, "ab" -> -100L, "ba" -> -100L)
+    assert(UnigramLm.segment("abab", sc, 4) == Seq("ab", "ab"))
+    // exact tie: 'aa' as a+a (-200) vs 'aa' (-200) → LONGER piece wins
+    val tie = Map("a" -> -100L, "aa" -> -200L)
+    assert(UnigramLm.segment("aa", tie, 4) == Seq("aa"))
+    // and when the long piece is strictly worse, chars win
+    val worse = Map("a" -> -100L, "aa" -> -201L)
+    assert(UnigramLm.segment("aa", worse, 4) == Seq("a", "a"))
+    // maxPieceLen caps the candidate window
+    val capped = Map("a" -> -100L, "aaaaa" -> -1L)
+    assert(UnigramLm.segment("aaaaa", capped, 4) ==
+      Seq("a", "a", "a", "a", "a"))
+  }
+
+  test("train: coverage is total (every corpus char survives as a " +
+    "piece), encode reconstructs every document, deterministic " +
+    "across partitionings") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vocab = UnigramLm.train(docs, "text", rounds = 2)
+    val pieces = vocab.select("piece").as[String].collect().toSet
+    val corpusChars = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("w"))
+      .filter(length(col("w")) <= 16)
+      .select(explode(split(col("w"), "")).as("c"))
+      .filter(length(col("c")) === 1)
+      .distinct().as[String].collect().toSet
+    assert(corpusChars.subsetOf(pieces),
+      s"missing coverage chars: ${corpusChars -- pieces}")
+
+    // scores are proper log-probs: sum of exp(s/1e6) over vocab ≈ 1
+    val mass = vocab.select("score_micros").as[Long].collect()
+      .map(s => math.exp(s / 1e6)).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"score mass $mass")
+
+    // encode reconstructs: pieces concatenated == tokens concatenated
+    val enc = UnigramLm.encode(docs, "text", "doc_id", vocab)
+    val joined = docs
+      .select(col("doc_id"),
+        concat_ws("", graft.functions.TextFunctions.tokens(col("text")))
+          .as("orig"))
+      .join(enc.select(col("doc_id"),
+        regexp_replace(col("encoded"), " ", "").as("rebuilt")), "doc_id")
+    assert(joined.filter(col("orig") =!= col("rebuilt")).count() == 0,
+      "encode lost content")
+
+    // determinism across partitionings (the oracle-ability property)
+    val v2 = UnigramLm.train(docs.repartition(7), "text", rounds = 2)
+    val a = vocab.orderBy("piece").collect().toSeq
+    val b = v2.orderBy("piece").collect().toSeq
+    assert(a == b, "partitioning changed the trained vocabulary")
+  }
+
+  test("EM concentrates mass: whole-word pieces of frequent words beat " +
+    "their character parse after two rounds") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vocab = UnigramLm.train(docs, "text", rounds = 2)
+    val m = vocab.select("piece", "score_micros").as[(String, Long)]
+      .collect().toMap
+    // 'the' is a frequent short word (<= maxPieceLen): EM must keep it
+    // whole — its piece score beats t+h+e
+    assert(m.contains("the"), "frequent whole word fell out of the vocab")
+    assert(m("the") > m("t") + m("h") + m("e"),
+      "EM failed to concentrate mass on the whole word")
+    assert(UnigramLm.segment("the", m, 4) == Seq("the"))
+  }
+}
