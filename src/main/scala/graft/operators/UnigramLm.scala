@@ -82,9 +82,20 @@ object UnigramLm {
         .cast("long").as("s"))
   }
 
+  /** Score assigned to a single character the training corpus never
+    * saw (byte-fallback analogue): far below any trained piece
+    * (ln ≈ e⁻²⁰), so an unknown character never displaces a trained
+    * parse of its neighbors, but segmentation stays TOTAL on data the
+    * trainer didn't see — production encode cannot crash on a new
+    * alphabet. The trainer's own word table never needs it (every
+    * training char seeds the vocabulary).
+    */
+  val UnkScoreMicros: Long = -20000000L
+
   /** Integer-micros Viterbi over one word. `scores` maps piece →
-    * score; every single character of `word` must be present (the
-    * coverage floor). Returns the argmax path's pieces left to right.
+    * score; single characters missing from it fall back to
+    * [[UnkScoreMicros]] (self-emitting unknowns), keeping the DP
+    * total. Returns the argmax path's pieces left to right.
     * Tie-break: higher score, then LONGER piece — identical to the
     * SQL replay's `ORDER BY sc DESC, l DESC`.
     */
@@ -102,7 +113,13 @@ object UnigramLm {
       while (l <= math.min(maxPieceLen, j)) {
         val i = j - l
         if (dp(i) != Long.MinValue) {
-          scores.get(word.substring(i, j)) match {
+          val sub = word.substring(i, j)
+          val sc = scores.get(sub) match {
+            case Some(s) => Some(s)
+            case None if l == 1 => Some(UnkScoreMicros)
+            case None => None
+          }
+          sc match {
             case Some(s) =>
               val cand = dp(i) + s
               // strictly-greater OR equal-with-longer-piece: since l
@@ -116,8 +133,6 @@ object UnigramLm {
         }
         l += 1
       }
-      require(dp(j) != Long.MinValue,
-        s"no segmentation for '$word' at $j — single-char coverage broken")
       j += 1
     }
     // backtrack

@@ -24,6 +24,27 @@ class UnigramLmSpec extends SparkSpec {
       Seq("a", "a", "a", "a", "a"))
   }
 
+  test("segment stays total on characters training never saw " +
+    "(UNK fallback), and unknowns never displace a trained parse") {
+    val sc = Map("a" -> -100L, "ab" -> -150L, "b" -> -100L)
+    // 'x' unseen: self-emits at the UNK floor, neighbors keep their parse
+    assert(UnigramLm.segment("xab", sc, 4) == Seq("x", "ab"))
+    assert(UnigramLm.segment("axb", sc, 4) == Seq("a", "x", "b"))
+    // an all-unknown word still segments (one UNK char per position)
+    assert(UnigramLm.segment("zzz", sc, 4) == Seq("z", "z", "z"))
+  }
+
+  test("empty corpus fails loudly at training, not with a silent " +
+    "empty vocabulary") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      UnigramLm.train(empty, "text", rounds = 1)
+    }
+    assert(e.getMessage.contains("empty vocabulary"),
+      s"wrong failure mode: ${e.getMessage}")
+  }
+
   test("train: coverage is total (every corpus char survives as a " +
     "piece), encode reconstructs every document, deterministic " +
     "across partitionings") {
