@@ -845,6 +845,25 @@ object StretchQueries {
       graft.operators.UnigramLm.encode(docs, "text", "doc_id", vocab)
     }),
 
+    // tokenize THEN pack — the end-to-end pretraining data path:
+    // q_t_pack's whitespace counts are a proxy; a packed batch's real
+    // budget is TOKENIZER pieces. Train → encode → pack by n_pieces,
+    // bucketed on the encoded string (content-derived, so no join back
+    // to text). Oracle = the encode replay's piece counts fed through
+    // the same window arithmetic
+    "q_pipe_tokenize_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.UnigramLm.train(docs, "text", rounds = 2)
+      val enc = graft.operators.UnigramLm.encode(docs, "text", "doc_id",
+        vocab)
+      graft.operators.Packing.packOffsetsWeighted(
+        enc.select(col("doc_id"),
+          graft.operators.DatasetSplit.bucket256(col("encoded"))
+            .as("bucket"),
+          col("n_pieces")),
+        "doc_id", "n_pieces", seqTokens = 1024)
+    }),
+
     // ── dedup ──────────────────────────────────────────────────────────
     "q_d_exact" -> ((s, dir) =>
       Dedup.exactByHash(t(s, dir, "documents"), "text", "doc_id")),
@@ -4155,6 +4174,26 @@ object StretchQueries {
       s"FROM documents t LEFT JOIN uenc e ON e.doc_id = t.doc_id"
   }
 
+  /** The encode replay fed through q_t_pack's window arithmetic —
+    * packing by REAL tokenizer piece counts, bucketed on the encoded
+    * string.
+    */
+  private lazy val unigramPackSql: String = {
+    val encf = s"(SELECT t.doc_id, coalesce(e.encoded, '') AS encoded, " +
+      s"CAST(coalesce(e.n_pieces, 0) AS BIGINT) AS n_pieces " +
+      s"FROM documents t LEFT JOIN uenc e ON e.doc_id = t.doc_id)"
+    val i = unigramEncodeSql.indexOf(" SELECT t.doc_id")
+    unigramEncodeSql.take(i) +
+      s", encf AS (SELECT doc_id, CAST(${bucketSqlOf("encoded")} AS INT)" +
+      s" AS bucket, n_pieces FROM $encf), " +
+      s"o AS (SELECT doc_id, bucket, n_pieces, " +
+      s"CAST(sum(n_pieces) OVER (PARTITION BY bucket ORDER BY doc_id " +
+      s"ROWS UNBOUNDED PRECEDING) - n_pieces AS BIGINT) AS start_offset" +
+      s" FROM encf) " +
+      s"SELECT doc_id, bucket, n_pieces, start_offset, " +
+      s"start_offset // 1024 AS seq_id FROM o"
+  }
+
   /** Shared DSIR CTE chain ending in `wt(doc_id, n_tokens,
     * logw_micros)` — the weights relation the q_t_dsir* gates and the
     * curation composition all build on (one definition, zero drift).
@@ -5177,6 +5216,8 @@ object StretchQueries {
     "q_t_unigram" -> unigramVocabSql,
 
     "q_t_unigram_encode" -> unigramEncodeSql,
+
+    "q_pipe_tokenize_pack" -> unigramPackSql,
 
     "q_t_bpe_pairs" ->
       (s"""WITH t AS (SELECT $tokensSql AS ta FROM documents),

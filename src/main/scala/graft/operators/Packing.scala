@@ -36,14 +36,29 @@ object Packing {
     * stream, `seq_id` = start_offset div seqTokens.
     */
   def packOffsets(df: DataFrame, textCol: String, idCol: String,
-                  seqTokens: Int): DataFrame = {
+                  seqTokens: Int): DataFrame =
+    packOffsetsWeighted(
+      df.select(col(idCol),
+        DatasetSplit.bucket256(col(textCol)).as("bucket"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      idCol, "n_tokens", seqTokens)
+
+  /** The same packing bookkeeping over PRECOMPUTED per-document
+    * weights — for packers that count REAL tokenizer pieces (or bytes,
+    * or image patches) instead of whitespace tokens. Input must carry
+    * `(idCol, bucket, weightCol)`; use [[DatasetSplit.bucket256]] on
+    * whatever content column defines co-packing. Output preserves the
+    * weight column's name.
+    */
+  def packOffsetsWeighted(df: DataFrame, idCol: String, weightCol: String,
+                          seqTokens: Int): DataFrame = {
     require(seqTokens > 0, "seqTokens must be positive")
     val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol),
-        DatasetSplit.bucket256(col(textCol)).as("bucket"),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    df.select(col(idCol), col("bucket"),
+        col(weightCol).cast("long").as(weightCol))
+      .withColumn("start_offset",
+        sum(col(weightCol)).over(w) - col(weightCol))
       .withColumn("seq_id", expr(s"start_offset div $seqTokens"))
   }
 }

@@ -268,7 +268,9 @@ object ScaleGate {
     // with the token stream and blow the envelope; encode adds the
     // linear per-doc segmentation pass
     "q_t_unigram" -> 10.0,
-    "q_t_unigram_encode" -> 10.0
+    "q_t_unigram_encode" -> 10.0,
+    // encode + one per-bucket window sum on top — same linearity
+    "q_pipe_tokenize_pack" -> 10.0
   )
 
   def main(args: Array[String]): Unit = {
