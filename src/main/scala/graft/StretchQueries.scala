@@ -845,6 +845,15 @@ object StretchQueries {
       graft.operators.UnigramLm.encode(docs, "text", "doc_id", vocab)
     }),
 
+    // the vocabulary-size budget (SentencePiece's prune control, hard-
+    // EM edition): each M-step keeps the top-24 pieces by (cnt, piece)
+    // with single chars exempt; EM re-concentrates the surviving mass
+    // next round. Same full unrolled-EM oracle with the prune rank
+    // folded into each uv CTE
+    "q_t_unigram_pruned" -> ((s, dir) =>
+      graft.operators.UnigramLm.train(t(s, dir, "documents"), "text",
+        rounds = 2, targetV = Some(24))),
+
     // tokenize THEN pack — the end-to-end pretraining data path:
     // q_t_pack's whitespace counts are a proxy; a packed batch's real
     // budget is TOKENIZER pieces. Train → encode → pack by n_pieces,
@@ -4118,10 +4127,12 @@ object StretchQueries {
   /** The full unigram-LM trainer unrolled: word table → substring
     * seed (top-512 by (cnt, piece) + all single chars) → per EM round
     * r ∈ {1, 2}: Viterbi pass under s{r−1}, frequency-weighted path
-    * counts, M-step (zero-count pieces drop, single chars floor at 1),
+    * counts, M-step (zero-count pieces drop, single chars floor at 1;
+    * with `targetV` set, prune to the top-V by (cnt, piece) with
+    * single chars exempt — UnigramLm.mStep's vocabulary budget),
     * rescore. Ends with `us2(piece, cnt, s)`.
     */
-  private lazy val unigramTrainCtes: String = {
+  private def unigramTrainCtesOf(targetV: Option[Int]): String = {
     val head = Seq(
       s"uw AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS f " +
         s"FROM (SELECT unnest($tokensSql) AS word FROM documents) u " +
@@ -4141,18 +4152,34 @@ object StretchQueries {
         s"ucc$r AS MATERIALIZED (SELECT p.piece, " +
           s"CAST(sum(w.f) AS BIGINT) AS cnt FROM upc$r p " +
           s"JOIN uw w USING (word) GROUP BY 1)",
-        s"uv$r AS MATERIALIZED (SELECT v.piece, CAST(CASE WHEN " +
-          s"length(v.piece) = 1 THEN greatest(coalesce(c.cnt, 0), 1) " +
-          s"ELSE coalesce(c.cnt, 0) END AS BIGINT) AS cnt " +
-          s"FROM uv${r - 1} v LEFT JOIN ucc$r c USING (piece) " +
-          s"WHERE length(v.piece) = 1 OR coalesce(c.cnt, 0) > 0)",
+        {
+          val base = s"SELECT v.piece, CAST(CASE WHEN " +
+            s"length(v.piece) = 1 THEN greatest(coalesce(c.cnt, 0), 1) " +
+            s"ELSE coalesce(c.cnt, 0) END AS BIGINT) AS cnt " +
+            s"FROM uv${r - 1} v LEFT JOIN ucc$r c USING (piece) " +
+            s"WHERE length(v.piece) = 1 OR coalesce(c.cnt, 0) > 0"
+          targetV match {
+            case None => s"uv$r AS MATERIALIZED ($base)"
+            case Some(v) =>
+              s"uv$r AS MATERIALIZED (SELECT piece, cnt FROM (" +
+                s"SELECT piece, cnt, row_number() OVER (ORDER BY cnt " +
+                s"DESC, piece ASC) AS rn FROM ($base)) " +
+                s"WHERE rn <= $v OR length(piece) = 1)"
+          }
+        },
         ugScoreCte(s"us$r", s"uv$r"))
     }
     (head ++ rounds).mkString(", ")
   }
 
+  private lazy val unigramTrainCtes: String = unigramTrainCtesOf(None)
+
   private lazy val unigramVocabSql: String =
     s"WITH $unigramTrainCtes SELECT piece, cnt, s AS score_micros FROM us2"
+
+  private lazy val unigramPrunedSql: String =
+    s"WITH ${unigramTrainCtesOf(Some(24))} " +
+      s"SELECT piece, cnt, s AS score_micros FROM us2"
 
   /** Encode replay: one more Viterbi pass under the replayed round-2
     * scores, each document's token stream re-joined in (token index,
@@ -5216,6 +5243,8 @@ object StretchQueries {
     "q_t_unigram" -> unigramVocabSql,
 
     "q_t_unigram_encode" -> unigramEncodeSql,
+
+    "q_t_unigram_pruned" -> unigramPrunedSql,
 
     "q_pipe_tokenize_pack" -> unigramPackSql,
 

@@ -170,23 +170,41 @@ object UnigramLm {
   }
 
   /** M-step: pieces keep their Viterbi count; zero-count pieces drop
-    * EXCEPT single characters, which floor at 1 (coverage).
+    * EXCEPT single characters, which floor at 1 (coverage). With
+    * `targetV` set, additionally prune to the top `targetV` pieces by
+    * (cnt DESC, piece ASC) — single characters always survive (the
+    * SentencePiece prune-to-vocab-size control, hard-EM edition: EM
+    * re-concentrates the surviving mass next round).
     */
-  def mStep(vocab: DataFrame, counts: DataFrame): DataFrame =
-    vocab.select(col("piece"))
+  def mStep(vocab: DataFrame, counts: DataFrame,
+            targetV: Option[Int] = None): DataFrame = {
+    val kept = vocab.select(col("piece"))
       .join(counts, Seq("piece"), "left")
       .select(col("piece"),
         when(length(col("piece")) === 1,
           greatest(coalesce(col("cnt"), lit(0L)), lit(1L)))
           .otherwise(coalesce(col("cnt"), lit(0L))).as("cnt"))
       .filter(col("cnt") > 0L)
+    targetV match {
+      case None => kept
+      case Some(v) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("piece").asc)
+        // single-partition window: the vocabulary is bounded (≤ topV +
+        // alphabet rows) — this ranks a driver-sized table, never data
+        kept.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= v || length(col("piece")) === 1)
+          .select(col("piece"), col("cnt"))
+    }
+  }
 
   /** Full trainer: seed → `rounds` × (E-step, M-step) → scored
-    * vocabulary `(piece, cnt, score_micros)`.
+    * vocabulary `(piece, cnt, score_micros)`. `targetV` prunes each
+    * M-step to a vocabulary-size budget (single chars exempt).
     */
   def train(df: DataFrame, textCol: String, rounds: Int = 2,
             maxPieceLen: Int = 4, topV: Int = 512,
-            maxWordLen: Int = 16): DataFrame = {
+            maxWordLen: Int = 16, targetV: Option[Int] = None): DataFrame = {
     val words = wordTable(df, textCol, maxWordLen)
     // the word table feeds every round AND the doc encode — one scan
     words.cache()
@@ -194,7 +212,8 @@ object UnigramLm {
     var r = 0
     while (r < rounds) {
       val scored = withScores(vocab)
-      vocab = mStep(vocab, viterbiCounts(words, scored, maxPieceLen))
+      vocab = mStep(vocab, viterbiCounts(words, scored, maxPieceLen),
+        targetV)
       r += 1
     }
     val out = withScores(vocab)

@@ -84,6 +84,35 @@ class UnigramLmSpec extends SparkSpec {
     assert(a == b, "partitioning changed the trained vocabulary")
   }
 
+  test("prune-to-target: vocabulary bounded by targetV + alphabet, " +
+    "single chars exempt, encode still reconstructs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pruned = UnigramLm.train(docs, "text", rounds = 2,
+      targetV = Some(8))
+    val pieces = pruned.select("piece").as[String].collect().toSet
+    val chars = pieces.filter(_.length == 1)
+    assert(pieces.size <= 8 + chars.size,
+      s"prune budget exceeded: ${pieces.size} pieces, ${chars.size} chars")
+    // every corpus char still present (exempt from the prune)
+    val corpusChars = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("w"))
+      .filter(length(col("w")) <= 16)
+      .select(explode(split(col("w"), "")).as("c"))
+      .filter(length(col("c")) === 1).distinct().as[String].collect().toSet
+    assert(corpusChars.subsetOf(chars), "prune dropped a coverage char")
+    // segmentation stays total and content-preserving under the budget
+    val enc = UnigramLm.encode(docs, "text", "doc_id", pruned)
+    val joined = docs
+      .select(col("doc_id"),
+        concat_ws("", graft.functions.TextFunctions.tokens(col("text")))
+          .as("orig"))
+      .join(enc.select(col("doc_id"),
+        regexp_replace(col("encoded"), " ", "").as("rebuilt")), "doc_id")
+    assert(joined.filter(col("orig") =!= col("rebuilt")).count() == 0,
+      "pruned encode lost content")
+  }
+
   test("EM concentrates mass: whole-word pieces of frequent words beat " +
     "their character parse after two rounds") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
