@@ -845,6 +845,35 @@ object StretchQueries {
       graft.operators.UnigramLm.encode(docs, "text", "doc_id", vocab)
     }),
 
+    // per-doc LM surprisal under the trained unigram model — the
+    // quality-scoring application (CCNet's scoring half with the
+    // unigram LM in place of KN). score_micros = Σ integer piece
+    // scores on the Viterbi path ≡ the DP's final value, so the
+    // oracle reads it straight off the replayed dp tables
+    "q_t_unigram_surprisal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.UnigramLm.train(docs, "text", rounds = 2)
+      graft.operators.UnigramLm.surprisal(docs, "text", "doc_id", vocab)
+    }),
+
+    // packing efficiency — the meter that SIZES seqTokens: per bucket,
+    // docs, total pieces, windows touched (max seq_id + 1) and the
+    // padding waste the last partial window of each bucket leaves.
+    // Pure aggregation over the pack bookkeeping
+    "q_t_pack_eff" -> ((s, dir) => {
+      val packed = graft.operators.Packing.packOffsets(
+        t(s, dir, "documents"), "text", "doc_id", seqTokens = 1024)
+      packed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        // windows the bucket's stream fills = ceil(total/seq); waste =
+        // the final partial window's padding
+        .withColumn("n_seqs",
+          expr("(total_tokens + 1023) div 1024"))
+        .withColumn("waste_tokens",
+          col("n_seqs") * 1024L - col("total_tokens"))
+    }),
+
     // the vocabulary-size budget (SentencePiece's prune control, hard-
     // EM edition): each M-step keeps the top-24 pieces by (cnt, piece)
     // with single chars exempt; EM re-concentrates the surviving mass
@@ -4097,7 +4126,7 @@ object StretchQueries {
         s"AND c.i = p.pos + 1 AND c.i + c.l - 1 = $j) WHERE rn = 1)"
     }
     val dpa = s"udpa$tag AS MATERIALIZED (" + (1 to 16).map(j =>
-      s"SELECT word, CAST($j AS BIGINT) AS pos, l FROM udp${tag}_$j")
+      s"SELECT word, CAST($j AS BIGINT) AS pos, sc, l FROM udp${tag}_$j")
       .mkString(" UNION ALL ") + ")"
     val bt1 = s"ubt${tag}_1 AS MATERIALIZED (SELECT word, pos AS ep, l " +
       s"FROM udpa$tag WHERE pos = length(word))"
@@ -4181,16 +4210,22 @@ object StretchQueries {
     s"WITH ${unigramTrainCtesOf(Some(24))} " +
       s"SELECT piece, cnt, s AS score_micros FROM us2"
 
+  /** The documents' token stream with per-doc token indexes —
+    * `utd(doc_id, word, ti)`.
+    */
+  private lazy val ugDocTokensCte: String =
+    s"utd AS MATERIALIZED (SELECT doc_id, w AS word, ti FROM " +
+      s"(SELECT doc_id, unnest([struct_pack(w := ta[i], ti := i) " +
+      s"for i in range(1, len(ta) + 1)], recursive := true) " +
+      s"FROM (SELECT doc_id, $tokensSql AS ta FROM documents)))"
+
   /** Encode replay: one more Viterbi pass under the replayed round-2
     * scores, each document's token stream re-joined in (token index,
     * piece end position) order; docs with no tokens emit ('', 0).
     */
   private lazy val unigramEncodeSql: String = {
     val enc = ugViterbiCtes("e", "us2") ++ Seq(
-      s"utd AS MATERIALIZED (SELECT doc_id, w AS word, ti FROM " +
-        s"(SELECT doc_id, unnest([struct_pack(w := ta[i], ti := i) " +
-        s"for i in range(1, len(ta) + 1)], recursive := true) " +
-        s"FROM (SELECT doc_id, $tokensSql AS ta FROM documents)))",
+      ugDocTokensCte,
       s"uenc AS MATERIALIZED (SELECT d.doc_id, " +
         s"string_agg(p.piece, ' ' ORDER BY d.ti ASC, p.ep ASC) " +
         s"AS encoded, CAST(count(*) AS BIGINT) AS n_pieces " +
@@ -4199,6 +4234,30 @@ object StretchQueries {
       s"SELECT t.doc_id, coalesce(e.encoded, '') AS encoded, " +
       s"CAST(coalesce(e.n_pieces, 0) AS BIGINT) AS n_pieces " +
       s"FROM documents t LEFT JOIN uenc e ON e.doc_id = t.doc_id"
+  }
+
+  /** Surprisal replay: the per-word DP FINAL value (score at
+    * pos = word length) is exactly the path's score sum, so the doc
+    * score reads straight off the replayed dp tables — no re-walk;
+    * piece counts come from the backtracked path lengths.
+    */
+  private lazy val unigramSurprisalSql: String = {
+    val ctes = ugViterbiCtes("e", "us2") ++ Seq(
+      ugDocTokensCte,
+      s"ufin AS MATERIALIZED (SELECT word, sc FROM udpae " +
+        s"WHERE pos = length(word))",
+      s"uws AS MATERIALIZED (SELECT f.word, f.sc, n.np FROM ufin f " +
+        s"JOIN (SELECT word, CAST(count(*) AS BIGINT) AS np FROM upce " +
+        s"GROUP BY 1) n USING (word))",
+      s"udoc AS MATERIALIZED (SELECT d.doc_id, " +
+        s"CAST(sum(w.np) AS BIGINT) AS n_pieces, " +
+        s"CAST(sum(w.sc) AS BIGINT) AS score_micros " +
+        s"FROM utd d JOIN uws w USING (word) GROUP BY 1)")
+    s"WITH $unigramTrainCtes, ${ctes.mkString(", ")} " +
+      s"SELECT t.doc_id, CAST(coalesce(u.n_pieces, 0) AS BIGINT) " +
+      s"AS n_pieces, CAST(coalesce(u.score_micros, 0) AS BIGINT) " +
+      s"AS score_micros FROM documents t " +
+      s"LEFT JOIN udoc u ON u.doc_id = t.doc_id"
   }
 
   /** The encode replay fed through q_t_pack's window arithmetic —
@@ -5246,7 +5305,21 @@ object StretchQueries {
 
     "q_t_unigram_pruned" -> unigramPrunedSql,
 
+    "q_t_unigram_surprisal" -> unigramSurprisalSql,
+
     "q_pipe_tokenize_pack" -> unigramPackSql,
+
+    // windows = ceil(total/seq) per bucket; waste = the final partial
+    // window's padding — plain integer arithmetic over the pack base
+    "q_t_pack_eff" ->
+      (s"""WITH b AS (SELECT doc_id, CAST($bucketSql AS INT) AS bucket,
+         |  CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT bucket, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST((sum(n_tokens) + 1023) // 1024 AS BIGINT) AS n_seqs,
+         |  CAST(((sum(n_tokens) + 1023) // 1024) * 1024
+         |    - sum(n_tokens) AS BIGINT) AS waste_tokens
+         |FROM b GROUP BY 1""".stripMargin.replaceAll(raw"\s+", " ")),
 
     "q_t_bpe_pairs" ->
       (s"""WITH t AS (SELECT $tokensSql AS ta FROM documents),

@@ -223,6 +223,35 @@ object UnigramLm {
     out
   }
 
+  /** Per-document LM surprisal under a trained vocabulary: `(id,
+    * n_pieces, score_micros)` where score_micros = Σ piece scores
+    * along each token's Viterbi path (≡ the DP's final value — an
+    * integer, so the quality signal is engine-exact). The CCNet-style
+    * filter's scoring half with the unigram LM in place of KN:
+    * low-scoring docs (per piece) are the distribution outliers.
+    */
+  def surprisal(df: DataFrame, textCol: String, idCol: String,
+                scored: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = scored.select(col("piece"), col("score_micros"))
+      .as[(String, Long)].collect().toMap
+    val bc = spark.sparkContext.broadcast(m)
+    df.select(col(idCol).cast("long"),
+        TextFunctions.tokens(coalesce(col(textCol), lit(""))))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val sc = bc.value
+        it.map { case (id, toks) =>
+          val pieces = toks.flatMap(w => segment(w, sc, maxPieceLen))
+          val total = pieces.iterator
+            .map(p => sc.getOrElse(p, UnkScoreMicros)).sum
+          (id, pieces.length.toLong, total)
+        }
+      }
+      .toDF(idCol, "n_pieces", "score_micros")
+  }
+
   /** Segment every document under a trained vocabulary: `(id, encoded,
     * n_pieces)` with pieces space-joined in token order (array-typed
     * gate columns crash the driver compare — the q_t_postings CSV
