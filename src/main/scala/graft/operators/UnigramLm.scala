@@ -219,7 +219,9 @@ object UnigramLm {
     val out = withScores(vocab)
       .select(col("piece"), col("cnt"), col("s").as("score_micros"))
     out.count() // materialize before unpersist
-    words.unpersist()
+    // blocking: the cache-hygiene contract checks persisted blocks
+    // right after the operator returns (QueriesSpec, VERDICT r3)
+    words.unpersist(blocking = true)
     out
   }
 
