@@ -856,6 +856,27 @@ object StretchQueries {
       graft.operators.UnigramLm.surprisal(docs, "text", "doc_id", vocab)
     }),
 
+    // curriculum banding: per-PIECE surprisal (micros, truncate-toward-
+    // zero) ranks documents easy→hard under the trained LM; ntile(10)
+    // over the (score, doc_id) total order assigns the difficulty
+    // decile a loss-ordered curriculum samples from. Empty docs band
+    // with the easiest (score 0)
+    "q_t_curriculum" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.UnigramLm.train(docs, "text", rounds = 2)
+      val sur = graft.operators.UnigramLm.surprisal(docs, "text",
+        "doc_id", vocab)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ppl_micros").desc, col("doc_id").asc)
+      // single-partition window: ranks one row per doc at gate scale;
+      // a 100 TB curriculum would band via approx quantile cuts — the
+      // exact ntile is the oracle-able reference semantics
+      sur.withColumn("ppl_micros",
+          when(col("n_pieces") === 0L, lit(0L))
+            .otherwise(expr("score_micros div n_pieces")))
+        .withColumn("decile", ntile(10).over(w))
+    }),
+
     // packing efficiency — the meter that SIZES seqTokens: per bucket,
     // docs, total pieces, windows touched (max seq_id + 1) and the
     // padding waste the last partial window of each bucket leaves.
@@ -4260,6 +4281,26 @@ object StretchQueries {
       s"LEFT JOIN udoc u ON u.doc_id = t.doc_id"
   }
 
+  /** Curriculum replay: the surprisal result + per-piece score
+    * (truncate-toward-zero division — Spark `div`) + exact ntile
+    * banding over the (ppl, doc_id) total order.
+    */
+  private lazy val unigramCurriculumSql: String = {
+    val i = unigramSurprisalSql.indexOf(" SELECT t.doc_id")
+    unigramSurprisalSql.take(i) +
+      s", ub AS (SELECT t.doc_id, CAST(coalesce(u.n_pieces, 0) " +
+      s"AS BIGINT) AS n_pieces, CAST(coalesce(u.score_micros, 0) " +
+      s"AS BIGINT) AS score_micros FROM documents t " +
+      s"LEFT JOIN udoc u ON u.doc_id = t.doc_id), " +
+      s"up AS (SELECT doc_id, n_pieces, score_micros, " +
+      s"CAST(CASE WHEN n_pieces = 0 THEN 0 ELSE " +
+      tdSql("score_micros", "n_pieces") +
+      s" END AS BIGINT) AS ppl_micros FROM ub) " +
+      s"SELECT doc_id, n_pieces, score_micros, ppl_micros, " +
+      s"CAST(ntile(10) OVER (ORDER BY ppl_micros DESC, doc_id ASC) " +
+      s"AS INT) AS decile FROM up"
+  }
+
   /** The encode replay fed through q_t_pack's window arithmetic —
     * packing by REAL tokenizer piece counts, bucketed on the encoded
     * string.
@@ -5306,6 +5347,8 @@ object StretchQueries {
     "q_t_unigram_pruned" -> unigramPrunedSql,
 
     "q_t_unigram_surprisal" -> unigramSurprisalSql,
+
+    "q_t_curriculum" -> unigramCurriculumSql,
 
     "q_pipe_tokenize_pack" -> unigramPackSql,
 

@@ -271,6 +271,7 @@ object ScaleGate {
     "q_t_unigram_encode" -> 10.0,
     "q_t_unigram_pruned" -> 10.0,
     "q_t_unigram_surprisal" -> 10.0,
+    "q_t_curriculum" -> 10.0,
     // encode + one per-bucket window sum on top — same linearity
     "q_pipe_tokenize_pack" -> 10.0
   )
