@@ -31,6 +31,30 @@ object StretchQueries {
       concat(col("text"), lit(" planted near duplicate")).as("text")))
   }
 
+  /** The unigram-LM vocabulary, trained once per (corpus dir, budget)
+    * and reused by every downstream gate (encode, surprisal, pack,
+    * curriculum) — the ensureIndex "build once, serve many" shape: a
+    * production tokenizer trains once and ships to every consumer.
+    * Keyed in-JVM only: the testdata dirs are immutable for a run and
+    * training is partitioning-deterministic (UnigramLmSpec), so the
+    * memo can never serve a wrong vocabulary. The memo holds the
+    * BOUNDED vocabulary rows (≤ topV + alphabet), never data.
+    */
+  private val ugMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long, Long)]]()
+  private def ugVocab(s: SparkSession, dir: String,
+                      targetV: Option[Int] = None): DataFrame = {
+    val key = s"$dir|${targetV.getOrElse(-1)}"
+    val rows = ugMemo.computeIfAbsent(key, _ =>
+      graft.operators.UnigramLm.train(t(s, dir, "documents"), "text",
+          rounds = 2, targetV = targetV)
+        .select(col("piece"), col("cnt"), col("score_micros"))
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+    import s.implicits._
+    rows.toDF("piece", "cnt", "score_micros")
+  }
+
   /** documents ∪ EXACT copies of itself (doc_id + 1e6, same text;
     * whitespace-only/null texts excluded) — the q_s29 semantic-oracle
     * corpus in DataFrame form. Over it, identical shingle sets ⟺
@@ -831,30 +855,24 @@ object StretchQueries {
     // piece per round in the DataFrame layer and the DP is pure int64,
     // so the WHOLE trainer replays in SQL: unrolled DP + backtrack
     // CTEs per EM round (the bpeMergeCtes discipline, DP edition)
-    "q_t_unigram" -> ((s, dir) =>
-      graft.operators.UnigramLm.train(t(s, dir, "documents"), "text",
-        rounds = 2)),
+    "q_t_unigram" -> ((s, dir) => ugVocab(s, dir)),
 
     // the encode side: segment EVERY document under the trained vocab
     // (single-char coverage keeps segmentation total; empty docs emit
     // ('', 0)); oracle = one more unrolled Viterbi pass under the
     // replayed round-2 scores, pieces re-joined in token order
-    "q_t_unigram_encode" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val vocab = graft.operators.UnigramLm.train(docs, "text", rounds = 2)
-      graft.operators.UnigramLm.encode(docs, "text", "doc_id", vocab)
-    }),
+    "q_t_unigram_encode" -> ((s, dir) =>
+      graft.operators.UnigramLm.encode(t(s, dir, "documents"), "text",
+        "doc_id", ugVocab(s, dir))),
 
     // per-doc LM surprisal under the trained unigram model — the
     // quality-scoring application (CCNet's scoring half with the
     // unigram LM in place of KN). score_micros = Σ integer piece
     // scores on the Viterbi path ≡ the DP's final value, so the
     // oracle reads it straight off the replayed dp tables
-    "q_t_unigram_surprisal" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val vocab = graft.operators.UnigramLm.train(docs, "text", rounds = 2)
-      graft.operators.UnigramLm.surprisal(docs, "text", "doc_id", vocab)
-    }),
+    "q_t_unigram_surprisal" -> ((s, dir) =>
+      graft.operators.UnigramLm.surprisal(t(s, dir, "documents"), "text",
+        "doc_id", ugVocab(s, dir))),
 
     // curriculum banding: per-PIECE surprisal (micros, truncate-toward-
     // zero) ranks documents easy→hard under the trained LM; ntile(10)
@@ -862,10 +880,8 @@ object StretchQueries {
     // decile a loss-ordered curriculum samples from. Empty docs band
     // with the easiest (score 0)
     "q_t_curriculum" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val vocab = graft.operators.UnigramLm.train(docs, "text", rounds = 2)
-      val sur = graft.operators.UnigramLm.surprisal(docs, "text",
-        "doc_id", vocab)
+      val sur = graft.operators.UnigramLm.surprisal(
+        t(s, dir, "documents"), "text", "doc_id", ugVocab(s, dir))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("ppl_micros").desc, col("doc_id").asc)
       // single-partition window: ranks one row per doc at gate scale;
@@ -900,9 +916,7 @@ object StretchQueries {
     // with single chars exempt; EM re-concentrates the surviving mass
     // next round. Same full unrolled-EM oracle with the prune rank
     // folded into each uv CTE
-    "q_t_unigram_pruned" -> ((s, dir) =>
-      graft.operators.UnigramLm.train(t(s, dir, "documents"), "text",
-        rounds = 2, targetV = Some(24))),
+    "q_t_unigram_pruned" -> ((s, dir) => ugVocab(s, dir, Some(24))),
 
     // tokenize THEN pack — the end-to-end pretraining data path:
     // q_t_pack's whitespace counts are a proxy; a packed batch's real
@@ -911,10 +925,8 @@ object StretchQueries {
     // to text). Oracle = the encode replay's piece counts fed through
     // the same window arithmetic
     "q_pipe_tokenize_pack" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val vocab = graft.operators.UnigramLm.train(docs, "text", rounds = 2)
-      val enc = graft.operators.UnigramLm.encode(docs, "text", "doc_id",
-        vocab)
+      val enc = graft.operators.UnigramLm.encode(t(s, dir, "documents"),
+        "text", "doc_id", ugVocab(s, dir))
       graft.operators.Packing.packOffsetsWeighted(
         enc.select(col("doc_id"),
           graft.operators.DatasetSplit.bucket256(col("encoded"))
