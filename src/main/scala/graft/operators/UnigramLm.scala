@@ -206,23 +206,26 @@ object UnigramLm {
             maxPieceLen: Int = 4, topV: Int = 512,
             maxWordLen: Int = 16, targetV: Option[Int] = None): DataFrame = {
     val words = wordTable(df, textCol, maxWordLen)
-    // the word table feeds every round AND the doc encode — one scan
+    // the word table feeds every round AND the doc encode — one scan.
+    // try/finally: the empty-corpus loud failure (withScores) must not
+    // leak the cached table into the session (the cache-hygiene
+    // contract, QueriesSpec / VERDICT r3); blocking so a hygiene check
+    // right after the operator returns sees zero persisted blocks
     words.cache()
-    var vocab = seedVocab(words, maxPieceLen, topV)
-    var r = 0
-    while (r < rounds) {
-      val scored = withScores(vocab)
-      vocab = mStep(vocab, viterbiCounts(words, scored, maxPieceLen),
-        targetV)
-      r += 1
-    }
-    val out = withScores(vocab)
-      .select(col("piece"), col("cnt"), col("s").as("score_micros"))
-    out.count() // materialize before unpersist
-    // blocking: the cache-hygiene contract checks persisted blocks
-    // right after the operator returns (QueriesSpec, VERDICT r3)
-    words.unpersist(blocking = true)
-    out
+    try {
+      var vocab = seedVocab(words, maxPieceLen, topV)
+      var r = 0
+      while (r < rounds) {
+        val scored = withScores(vocab)
+        vocab = mStep(vocab, viterbiCounts(words, scored, maxPieceLen),
+          targetV)
+        r += 1
+      }
+      val out = withScores(vocab)
+        .select(col("piece"), col("cnt"), col("s").as("score_micros"))
+      out.count() // materialize before unpersist
+      out
+    } finally words.unpersist(blocking = true)
   }
 
   /** Per-document LM surprisal under a trained vocabulary: `(id,
