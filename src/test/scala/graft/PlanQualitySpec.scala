@@ -571,4 +571,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), s"global sort:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"cross join:\n$p")
   }
+
+  test("q_t_kmv: sketch aggregation is partial+final object aggregate — " +
+    "the shuffle carries k-long buffers, never the token stream") {
+    val p = plan("q_t_kmv")
+    // typed Aggregator → ObjectHashAggregate pairs around ONE exchange
+    assert(p.contains("ObjectHashAggregate"), s"no object aggregate:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort:\n$p")
+    assert(!p.contains("Window"), s"window crept into a sketch:\n$p")
+  }
+
+  test("q_t_pack and q_s33_sql_pack: ONE hash exchange on the bucket + " +
+    "per-bucket window — never a global (range) sort") {
+    for (g <- Seq("q_t_pack", "q_s33_sql_pack")) {
+      val p = plan(g)
+      assert(p.contains("Window"), s"$g: window missing:\n$p")
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"$g: packing serialized through a global sort:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$g: cross join:\n$p")
+    }
+  }
+
+  test("q_s32_binary_ingest: the blob scan is the binaryFile source " +
+    "(distributed listing), not a driver-side read") {
+    val p = plan("q_s32_binary_ingest")
+    assert(p.toLowerCase.contains("binaryfile"), s"not binaryFile:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort:\n$p")
+  }
 }
