@@ -113,6 +113,45 @@ class UnigramLmSpec extends SparkSpec {
       "pruned encode lost content")
   }
 
+  test("large synthetic vocabulary (5k distinct words): budget holds, " +
+    "coverage total, EM compresses the encoding vs the seed") {
+    // deterministic Zipf-ish corpus far beyond the template corpus's
+    // 31 words: word w_i = base-26 spelling of i, frequency ~ 5000/i
+    val words = (1 to 5000).map { i =>
+      val sb = new StringBuilder; var n = i
+      while (n > 0) { sb.append(('a' + n % 26).toChar); n /= 26 }
+      (sb.toString * 2, math.max(1, 5000 / i)) // doubled → len 2..6
+    }
+    val docs = words.zipWithIndex.map { case ((w, f), i) =>
+      (i.toLong, (w + " ") * f)
+    }.toDF("doc_id", "text")
+    val vocab = UnigramLm.train(docs, "text", rounds = 2, targetV = Some(256))
+    val pieces = vocab.select("piece").as[String].collect()
+    val chars = pieces.count(_.length == 1)
+    assert(pieces.length <= 256 + chars,
+      s"budget exceeded: ${pieces.length} pieces / $chars chars")
+    // encode reconstructs at this scale too
+    val enc = UnigramLm.encode(docs, "text", "doc_id", vocab)
+    val bad = docs
+      .select(col("doc_id"),
+        concat_ws("", graft.functions.TextFunctions.tokens(col("text")))
+          .as("orig"))
+      .join(enc.select(col("doc_id"),
+        regexp_replace(col("encoded"), " ", "").as("rebuilt")), "doc_id")
+      .filter(col("orig") =!= col("rebuilt")).count()
+    assert(bad == 0, s"$bad docs corrupted at 5k-word scale")
+    // EM compresses: trained pieces/token < the all-chars ceiling and
+    // frequent words segment into few pieces
+    val total = enc.agg(sum("n_pieces")).head().getLong(0)
+    val charCeiling = docs.select(
+      sum(length(regexp_replace(col("text"), " ", ""))))
+      .head().getLong(0)
+    // 256 pieces over 5000 words: measured 0.59 pieces/char (1.68
+    // chars/piece); assert the compression stays clearly real
+    assert(total < charCeiling * 7 / 10,
+      s"EM failed to compress: $total pieces vs $charCeiling chars")
+  }
+
   test("EM concentrates mass: whole-word pieces of frequent words beat " +
     "their character parse after two rounds") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
