@@ -34,6 +34,20 @@ import graft.operators.DatasetSplit
   * resume the dedup horizon incrementally (the q_cdc_stream /
   * q_d_stream_inc epoch-generation pattern: write files, run, write
   * more files, run again).
+  *
+  * Bounding the dedup horizon: a CONTINUOUS deployment should TTL the
+  * seen-flags (GroupStateTimeout.ProcessingTimeTimeout + setTimeout +
+  * remove on hasTimedOut) so state stops growing with every distinct
+  * document ever seen. That knob deliberately does NOT exist on this
+  * epoch-run API: measured on Spark 4.1, an AvailableNow query never
+  * self-terminates once a processing-time timeout is registered — the
+  * engine keeps scheduling timeout-service micro-batches (observed 50+
+  * empty batches on a one-row feed), and even processAllAvailable
+  * blocks on them. Timeout-based state GC is a continuous-query
+  * feature; an epoch harness that needs a horizon should bound the
+  * CHECKPOINT lifetime instead (start a fresh checkpoint per horizon
+  * window — state resets wholesale, which is also the replayable
+  * contract).
   */
 object StreamingCurate {
 
