@@ -358,4 +358,60 @@ class PropertySpec extends SparkSpec {
       assert(once == twice, "applyChanges not idempotent")
     }
   }
+
+  test("unigram segment laws: exact cover, optimality vs the all-chars " +
+    "path, score additivity (40 random vocab/word cases)") {
+    import graft.operators.UnigramLm
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c'))
+      .map(_.take(12).mkString)
+    val vocabGen: Gen[Map[String, Long]] = for {
+      extra <- Gen.listOf(Gen.zip(
+        Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.take(4).mkString),
+        Gen.choose(-9000000L, -100000L)))
+      ca <- Gen.choose(-9000000L, -100000L)
+      cb <- Gen.choose(-9000000L, -100000L)
+      cc <- Gen.choose(-9000000L, -100000L)
+    } yield (extra.toMap ++ Map("a" -> ca, "b" -> cb, "c" -> cc))
+    val cases = samples(Gen.zip(wordGen, vocabGen), 40)
+    cases.foreach { case (w, vocab) =>
+      val path = UnigramLm.segment(w, vocab, maxPieceLen = 4)
+      // exact cover: concatenation rebuilds the word
+      assert(path.mkString == w, s"cover broken: $path vs $w")
+      // every piece is known (single-char coverage is in the vocab)
+      assert(path.forall(vocab.contains), s"unknown piece in $path")
+      // optimality floor: the DP's score is >= the all-chars path
+      val sc = path.map(vocab).sum
+      val allChars = w.map(c => vocab(c.toString)).sum
+      assert(sc >= allChars,
+        s"DP beat by the trivial path: $sc < $allChars for '$w'")
+    }
+  }
+
+  test("KMV merge algebra: commutative, associative, idempotent, and " +
+    "order/duplication-invariant (30 random stream splits)") {
+    import graft.operators.Sketch.Kmv
+    def sk(xs: Seq[Long], k: Int = 32): Kmv = {
+      val m = Kmv.empty(k); xs.foreach(h => m.add(math.abs(h) % (1L << 48)))
+      m
+    }
+    def contents(m: Kmv): Seq[Long] = m.arr.take(m.n).toSeq
+    val streamGen = Gen.nonEmptyListOf(Gen.choose(Long.MinValue + 1, Long.MaxValue))
+    val cases = samples(Gen.zip(streamGen, streamGen), 30)
+    cases.foreach { case (xs, ys) =>
+      val ab = contents(sk(xs).merge(sk(ys)))
+      val ba = contents(sk(ys).merge(sk(xs)))
+      assert(ab == ba, "merge not commutative")
+      // merge == single-stream fold (order/duplication invariance)
+      val whole = contents(sk(xs ++ ys ++ xs.reverse))
+      assert(ab == whole, "merge != concatenated stream with duplicates")
+      // idempotent: folding a sketch into itself changes nothing
+      assert(contents(sk(xs).merge(sk(xs))) == contents(sk(xs)),
+        "merge not idempotent")
+      // associativity via a 3-way split
+      val (h, t) = xs.splitAt(xs.length / 2)
+      val left = contents(sk(h).merge(sk(t)).merge(sk(ys)))
+      val right = contents(sk(h).merge(sk(t ++ ys)))
+      assert(left == right, "merge not associative")
+    }
+  }
 }
