@@ -335,6 +335,27 @@ object StretchQueries {
       graft.operators.Sketch.estimateAll(s, cms, probes)
     }),
 
+    // the KMV sketch folded across a STREAM: two micro-batches (even /
+    // odd docs), per-batch bounded sketches merged in foreachBatch.
+    // Merge is commutative/associative/IDEMPOTENT (PropertySpec), so
+    // the fold is bit-identical to the one-shot sketch of the whole
+    // corpus — the gate shares q_t_kmv's oracle outright
+    "q_t_kmv_stream" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_kmvs_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val feed = s"$scratch/feed"
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(feed)
+      docs.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingSketch.kmvDistinctTokensStream(
+          s, feed, s"$scratch/ckpt", k = 16)
+        .orderBy(col("lang"))
+    }),
+
     // KMV distinct sketch — the oracle-checkable distinct counter
     // (q_t_hll's estimate is a register artifact; KMV's is a pure
     // integer function of the k smallest md5-48 hashes, so DuckDB
@@ -4456,6 +4477,9 @@ object StretchQueries {
       // same algorithm (content-hash bucket, per-bucket running token
       // offset, div 1024) expressed in plain SQL through the registry
       ("q_s33_sql_pack" -> oracleSqlMap("q_t_pack")) +
+      // the micro-batch fold is bit-identical to the one-shot sketch
+      // (idempotent merge) — same oracle as the batch gate
+      ("q_t_kmv_stream" -> oracleSqlMap("q_t_kmv")) +
       ("q_s30_sql_ann" -> oracleSqlMap("q_v_topk_bin")) +
       ("q_v_topk_bin_idx" -> oracleSqlMap("q_v_topk_bin")) +
       // the maintenance lifecycle replayed from parity counts: base =

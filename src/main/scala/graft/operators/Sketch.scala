@@ -292,6 +292,28 @@ object Sketch {
   def hash48(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
 
+  /** Per-group KMV sketches as a bounded driver map (groups × k
+    * longs — a sketch is a bounded driver object by design, the CMS
+    * precedent). The raw-sketch form exists for FOLDING: merge these
+    * across feeds/micro-batches/days and the result is bit-identical
+    * to the one-shot sketch of the concatenation (merge is
+    * commutative, associative, idempotent — PropertySpec).
+    */
+  def kmvPerGroup(df: DataFrame, groupCol: String, colName: String,
+                  k: Int = 1024)
+                 (implicit spark: SparkSession): Map[String, Kmv] = {
+    import spark.implicits._
+    val agg = new KmvAggregator(k)
+    df.filter(col(colName).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        hash48(col(colName)).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn)
+      .collect().toMap
+  }
+
   /** `(group, est_distinct, sketch_rows)` — per-group KMV distinct
     * estimates. Null contract and STRING-group output type identical
     * to [[distinctPerGroup]]; `sketch_rows` = min(distinct, k) is the

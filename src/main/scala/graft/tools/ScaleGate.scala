@@ -256,6 +256,9 @@ object ScaleGate {
     // family as q_t_dsir; a buffer that stopped rejecting would show
     // as memory, not time, so this is a plain linearity envelope
     "q_t_kmv" -> 10.0,
+    // streaming fold: fixed AvailableNow startup + the same linear
+    // token-stream work per micro-batch; driver state is groups × k
+    "q_t_kmv_stream" -> 10.0,
     // two AvailableNow runs (fixed startup, the q_d_stream_inc family)
     // + per-row kernels + one-flag-per-distinct-text state: linear row
     // work on top of corpus-independent overhead. A state blowup

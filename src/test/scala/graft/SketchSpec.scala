@@ -123,6 +123,40 @@ class SketchSpec extends SparkSpec {
     assert(got == Map("g" -> 1L), s"null contract violated: $got")
   }
 
+  test("KMV streaming fold equals the one-shot batch sketch, and a " +
+    "replayed batch (restart recovery) changes nothing") {
+    implicit val s = spark
+    import graft.operators.Sketch.Kmv
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val d = docs.select(
+      graft.functions.NativeExpressions.textProfile(col("text"))
+        .getField("lang_pred").as("lang"),
+      explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("token"))
+    val whole = Sketch.kmvPerGroup(d, "lang", "token", k = 16)
+    val even = Sketch.kmvPerGroup(
+      d.filter(crc32(col("token")) % 2 === 0), "lang", "token", k = 16)
+    val odd = Sketch.kmvPerGroup(
+      d.filter(crc32(col("token")) % 2 === 1), "lang", "token", k = 16)
+    def fold(ms: Seq[Map[String, Kmv]]): Map[String, Kmv] = {
+      val acc = scala.collection.mutable.Map.empty[String, Kmv]
+      ms.foreach(_.foreach { case (g, sk) =>
+        acc.get(g) match {
+          case Some(c) => c.merge(sk); ()
+          case None => acc(g) = Kmv(sk.k, sk.n, sk.arr.clone())
+        }
+      })
+      acc.toMap
+    }
+    def view(m: Map[String, Kmv]) =
+      m.view.mapValues(x => x.arr.take(x.n).toSeq).toMap
+    assert(view(fold(Seq(even, odd))) == view(whole),
+      "split fold != one-shot sketch")
+    // replaying a batch after a restart is a no-op (idempotent merge)
+    assert(view(fold(Seq(even, odd, odd))) == view(whole),
+      "replayed batch changed the fold")
+  }
+
   test("HLL is deterministic across partitionings; per-group matches " +
     "per-group exact within 5%") {
     implicit val s = spark
