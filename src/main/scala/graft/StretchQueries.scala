@@ -356,6 +356,34 @@ object StretchQueries {
         .orderBy(col("lang"))
     }),
 
+    // the CMS twin of the streaming fold: element-wise-ADD merge is
+    // exact over disjoint micro-batches (fold ≡ one-shot sketch) but
+    // not idempotent — the additive sketch leans on the checkpoint's
+    // batch-skip where KMV's min-merge is replay-safe by algebra.
+    // Same probe protocol as q_t_cms ⇒ shares its oracle
+    "q_t_cms_stream" -> ((s, dir) => {
+      implicit val ss = s
+      import s.implicits._
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_cmss_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val feed = s"$scratch/feed"
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(feed)
+      docs.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(feed)
+      val cms = graft.streaming.StreamingSketch.cmsTokensStream(
+        s, feed, s"$scratch/ckpt")
+      val probes = docs
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(100)
+        .select(col("token")).as[String].collect().toSeq
+      graft.operators.Sketch.estimateAll(s, cms, probes)
+    }),
+
     // KMV distinct sketch — the oracle-checkable distinct counter
     // (q_t_hll's estimate is a register artifact; KMV's is a pure
     // integer function of the k smallest md5-48 hashes, so DuckDB
@@ -4480,6 +4508,7 @@ object StretchQueries {
       // the micro-batch fold is bit-identical to the one-shot sketch
       // (idempotent merge) — same oracle as the batch gate
       ("q_t_kmv_stream" -> oracleSqlMap("q_t_kmv")) +
+      ("q_t_cms_stream" -> oracleSqlMap("q_t_cms")) +
       ("q_s30_sql_ann" -> oracleSqlMap("q_v_topk_bin")) +
       ("q_v_topk_bin_idx" -> oracleSqlMap("q_v_topk_bin")) +
       // the maintenance lifecycle replayed from parity counts: base =

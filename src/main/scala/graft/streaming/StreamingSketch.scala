@@ -68,4 +68,37 @@ object StreamingSketch {
       .map { case (g, s) => (g, s.estimate, s.n.toLong) }
       .toDF("lang", "est_distinct", "sketch_rows")
   }
+
+  /** Count–min sketch folded across the feed's micro-batches. The
+    * instructive CONTRAST with the KMV fold above: CMS merge is
+    * element-wise ADDITION — exact for a concatenation of disjoint
+    * batches (fold ≡ one-shot, SketchSpec), but NOT idempotent: a
+    * replayed batch double-counts. The KMV fold is replay-safe by
+    * algebra; the CMS fold instead leans on the checkpoint's
+    * batch-skip (a completed batch id is never re-offered to
+    * foreachBatch on AvailableNow resume) — i.e. additive sketches
+    * need the harness's effectively-once, min-style sketches don't.
+    */
+  def cmsTokensStream(spark: SparkSession, feedDir: String,
+                      checkpoint: String, depth: Int = 4,
+                      width: Int = 1 << 12): Sketch.Cms = {
+    var acc: Sketch.Cms = null
+    val schema = spark.read.parquet(feedDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val c = Sketch.sketchTokens(batch, "text", depth,
+          width)(batch.sparkSession)
+        acc = if (acc == null) c else acc.merge(c)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    require(acc != null, "empty feed — no batches arrived")
+    acc
+  }
 }

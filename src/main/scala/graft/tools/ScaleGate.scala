@@ -256,9 +256,11 @@ object ScaleGate {
     // family as q_t_dsir; a buffer that stopped rejecting would show
     // as memory, not time, so this is a plain linearity envelope
     "q_t_kmv" -> 10.0,
-    // streaming fold: fixed AvailableNow startup + the same linear
+    // streaming folds: fixed AvailableNow startup + the same linear
     // token-stream work per micro-batch; driver state is groups × k
+    // (KMV) / depth × width longs (CMS)
     "q_t_kmv_stream" -> 10.0,
+    "q_t_cms_stream" -> 10.0,
     // two AvailableNow runs (fixed startup, the q_d_stream_inc family)
     // + per-row kernels + one-flag-per-distinct-text state: linear row
     // work on top of corpus-independent overhead. A state blowup

@@ -157,6 +157,27 @@ class SketchSpec extends SparkSpec {
       "replayed batch changed the fold")
   }
 
+  test("CMS fold over disjoint batches equals the one-shot sketch; a " +
+    "replayed batch double-counts (the additive-merge caveat)") {
+    implicit val s = spark
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (a, b) = (docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+    val whole = Sketch.sketchTokens(docs, "text")
+    val ca = Sketch.sketchTokens(a, "text")
+    val cb = Sketch.sketchTokens(b, "text")
+    assert(ca.merge(cb).counters.toSeq == whole.counters.toSeq,
+      "disjoint fold != one-shot sketch")
+    // NOT idempotent: re-merging a batch inflates totals — the reason
+    // the streaming CMS fold leans on checkpoint batch-skip where the
+    // KMV fold is replay-safe by algebra
+    val replay = Sketch.sketchTokens(a, "text")
+      .merge(Sketch.sketchTokens(b, "text"))
+      .merge(Sketch.sketchTokens(b, "text"))
+    assert(replay.totalCount > whole.totalCount,
+      "a replayed additive batch should double-count")
+  }
+
   test("HLL is deterministic across partitionings; per-group matches " +
     "per-group exact within 5%") {
     implicit val s = spark
