@@ -914,6 +914,22 @@ object StretchQueries {
       graft.operators.UnigramLm.encode(t(s, dir, "documents"), "text",
         "doc_id", ugVocab(s, dir))),
 
+    // the tokenizer-SHIPPING deployment shape (q_v_topk_ivf_idx's
+    // contract applied to the tokenizer): train-if-stale → persist the
+    // vocab artifact (pieces + maxPieceLen meta) → cold reload →
+    // encode under the reloaded pieces. Training is deterministic
+    // (spec-pinned), so the shipped encode is bit-identical to the
+    // in-memory arm and shares q_t_unigram_encode's oracle
+    "q_t_unigram_ship" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_ugvocab_q_" +
+        graft.engine.Scratch.encode(dir)
+      val (vocab, mpl) = graft.operators.UnigramLm.ensureVocab(
+        t(s, dir, "documents"), s"$dir/documents.parquet", scratch,
+        "text", rounds = 2)
+      graft.operators.UnigramLm.encode(t(s, dir, "documents"), "text",
+        "doc_id", vocab, maxPieceLen = mpl)
+    }),
+
     // per-doc LM surprisal under the trained unigram model — the
     // quality-scoring application (CCNet's scoring half with the
     // unigram LM in place of KN). score_micros = Σ integer piece
@@ -1635,6 +1651,38 @@ object StretchQueries {
         iters = 2)
       Ivf.searchIndex(s, scratch, emb.filter(col("vec_id") < 16),
         k = 5, nprobe = 4)
+    }),
+
+    // filtered ANN (the vector-DB "filtered search"): a static
+    // attribute predicate pushed INTO the index scan (PushedFilters,
+    // stacked on cluster partition pruning — IvfSpec pins both), never
+    // a post-filter over an unfiltered top-k. Shares q_v_topk_ivf_idx's
+    // persisted artifact (identical fingerprint ⇒ no rebuild); full
+    // probe ⇒ exhaustive over the label<5 slice ⇒ brute-force-filtered
+    // oracle
+    "q_v_topk_flt" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_q_" +
+        graft.engine.Scratch.encode(dir)
+      Ivf.ensureIndex(emb, s"$dir/embeddings.parquet", scratch, k = 4,
+        iters = 2)
+      Ivf.searchIndexWhere(s, scratch, emb.filter(col("vec_id") < 16),
+        predicate = col("label") < 5, k = 5, nprobe = 4)
+    }),
+
+    // per-query filtered ANN: the INDEXED arm of the positive miner
+    // (q_v_topk_pos) — label equality applied scan-side (distinct query
+    // labels as a pushed isin) then pre-scoring at the join, so the k
+    // budget lands entirely on same-label candidates. Full probe ⇒
+    // exhaustive over the matching set ⇒ shares q_v_topk_pos's oracle
+    "q_v_topk_pos_idx" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_q_" +
+        graft.engine.Scratch.encode(dir)
+      Ivf.ensureIndex(emb, s"$dir/embeddings.parquet", scratch, k = 4,
+        iters = 2)
+      Ivf.searchIndexMatch(s, scratch, emb.filter(col("vec_id") < 16),
+        matchCol = "label", k = 5, nprobe = 4)
     }),
 
     // graph ANN (sharded HNSW): build-if-stale persisted index, cold
@@ -4483,6 +4531,14 @@ object StretchQueries {
       ("q_v_topk_lsh" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_inc" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_idx" -> oracleSqlMap("q_v_topk")) +
+      // full-probe filtered search ≡ brute force over the matching
+      // set: the per-query arm shares the positives oracle outright;
+      // the static-predicate arm gets its own WHERE'd brute force
+      ("q_v_topk_pos_idx" -> oracleSqlMap("q_v_topk_pos")) +
+      // deterministic training ⇒ the shipped-artifact encode is
+      // bit-identical to the in-memory arm (UnigramLmSpec pins the
+      // roundtrip); the gate exercises persist + cold reload + meta
+      ("q_t_unigram_ship" -> oracleSqlMap("q_t_unigram_encode")) +
       ("q_v_topk_hnsw" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_hnsw_inc" -> oracleSqlMap("q_v_topk")) +
       ("q_v_hnsw_split" -> oracleSqlMap("q_v_topk")) +
@@ -5643,6 +5699,24 @@ object StretchQueries {
          |    sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
          |     i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS cos
          |  FROM embeddings c, q WHERE c.vec_id <> q.q_id)
+         |SELECT q_id, CAST(rnk AS INT) AS rank, n_id, round(cos, 6) AS cosine FROM (
+         |  SELECT q_id, n_id, cos, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk FROM scored)
+         |WHERE rnk <= 5""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // q_v_topk restricted to the label<5 slice of the corpus — the
+    // static-predicate filtered-search oracle (full probe ⇒ the
+    // engine's index arm is exhaustive over exactly this set)
+    "q_v_topk_flt" ->
+      ("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 16),
+         | scored AS (SELECT q.q_id, c.vec_id AS n_id,
+         |   list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |     i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+         |   (sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |     i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))) *
+         |    sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+         |     i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS cos
+         |  FROM embeddings c, q WHERE c.vec_id <> q.q_id AND c.label < 5)
          |SELECT q_id, CAST(rnk AS INT) AS rank, n_id, round(cos, 6) AS cosine FROM (
          |  SELECT q_id, n_id, cos, row_number() OVER
          |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk FROM scored)

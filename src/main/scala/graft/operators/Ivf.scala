@@ -145,20 +145,28 @@ object Ivf {
 
   private def scoreAndRank(c: DataFrame, queries: DataFrame, model: IvfModel,
                            k: Int, nprobe: Int, idCol: String,
-                           vecCol: String): DataFrame = {
-    val q = queries
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        explode(nearestCentroids(col(vecCol), model.centroids, nprobe))
-          .as("cluster"))
+                           vecCol: String,
+                           matchCol: Option[String] = None): DataFrame = {
+    val qCols = Seq(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      explode(nearestCentroids(col(vecCol), model.centroids, nprobe))
+        .as("cluster")) ++ matchCol.map(m => col(m).as("q_match"))
+    val q = queries.select(qCols: _*)
     // each corpus row carries exactly one cluster id and a query's probe
     // list is distinct, so every (query, candidate) pair joins at most
     // once — scores feed the bounded top-k aggregator directly (the
     // shuffle carries k pairs per query per map partition, never the
     // full score matrix a window rank would sort)
-    val scored = c.join(broadcast(q), Seq("cluster"))
+    val joined = c.join(broadcast(q), Seq("cluster"))
       .filter(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"),
-        cosine(col("q_vec"), col("n_vec")).as("cosine"))
+    // per-query attribute match (filtered ANN): the equality applies
+    // BEFORE scoring and before the bounded top-k, so the k budget is
+    // spent entirely on qualifying candidates — post-filtering a
+    // finished top-k would return < k rows whenever non-matching
+    // neighbors crowded the list
+    val matched = matchCol.fold(joined)(_ =>
+      joined.filter(col("n_match") <=> col("q_match")))
+    val scored = matched.select(col("q_id"), col("n_id"),
+      cosine(col("q_vec"), col("n_vec")).as("cosine"))
     TopK.topKPerKey(scored, k)(c.sparkSession)
   }
 
@@ -460,6 +468,87 @@ object Ivf {
       .filter(col("cluster").isin(probed.toIndexedSeq: _*))
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cluster"))
     scoreAndRank(c, queries, model, k, nprobe, idCol, vecCol)
+  }
+
+  /** Filtered ANN over a persisted index (the vector-DB "filtered
+    * search" shape): a STATIC attribute predicate — over whatever
+    * extra columns [[writeIndex]] stored alongside the vectors —
+    * applies AT THE INDEX SCAN, stacked on the nprobe partition
+    * pruning. Because the predicate is a plain column comparison on a
+    * parquet scan, Spark pushes it into the reader (`PushedFilters`,
+    * pinned in IvfSpec), so at 100 TB the scan skips non-qualifying
+    * row groups via column statistics instead of materializing them.
+    *
+    * Contrast with post-filtering an UNFILTERED top-k: that returns
+    * fewer than k valid rows whenever non-matching neighbors crowd the
+    * list (and zero rows for a selective predicate); here every scored
+    * candidate already qualifies, so the full k budget lands on the
+    * filtered set. With full probe (nprobe ≥ number of clusters) the
+    * result is exactly brute-force-over-the-filtered-corpus, which is
+    * what the driver gate's oracle replays.
+    */
+  def searchIndexWhere(spark: SparkSession, indexPath: String,
+                       queries: DataFrame, predicate: org.apache.spark.sql.Column,
+                       k: Int, nprobe: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val model = loadModelCached(spark, s"$indexPath/centroids")
+    val probed = queries
+      .select(explode(
+        nearestCentroids(col(vecCol), model.centroids, nprobe)).as("cluster"))
+      .distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(s"$indexPath/corpus")
+      .filter(col("cluster").isin(probed.toIndexedSeq: _*))
+      .filter(predicate)
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cluster"))
+    scoreAndRank(c, queries, model, k, nprobe, idCol, vecCol)
+  }
+
+  /** Per-query filtered ANN over a persisted index: each query matches
+    * only candidates whose `matchCol` equals its own (the indexed arm
+    * of [[SimilaritySearch.positives]] — the anchor→positive miner).
+    * The per-pair equality can't be a static scan predicate, so the
+    * pushdown happens in two stages:
+    *
+    *  1. scan-side: the DISTINCT query match-values (bounded — queries
+    *     are small by the same contract that bounds the probe list)
+    *     become an `isin` filter the parquet reader pushes down, so
+    *     the scan materializes only rows whose attribute appears among
+    *     the queries at all;
+    *  2. join-side: the exact per-pair equality applies BEFORE scoring
+    *     and before the bounded top-k aggregator, never as a
+    *     post-filter over a finished neighbor list.
+    *
+    * Equality is null-safe: null-attribute candidates match exactly
+    * the null-attribute queries. Full probe ⇒ exhaustive over the
+    * matching set, so the gate shares the brute-force positives
+    * oracle; partial-probe behavior is pinned in IvfSpec.
+    */
+  def searchIndexMatch(spark: SparkSession, indexPath: String,
+                       queries: DataFrame, matchCol: String,
+                       k: Int, nprobe: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val model = loadModelCached(spark, s"$indexPath/centroids")
+    val probed = queries
+      .select(explode(
+        nearestCentroids(col(vecCol), model.centroids, nprobe)).as("cluster"))
+      .distinct().collect().map(_.getInt(0))
+    val qVals = queries.select(col(matchCol)).distinct().collect()
+      .map(_.get(0)).toIndexedSeq
+    val (nonNull, hasNull) = (qVals.filter(_ != null), qVals.contains(null))
+    // isin(null) never matches; null query attributes need an explicit
+    // isNull arm to reach the null-safe join equality below
+    val attrFilter =
+      if (hasNull) col(matchCol).isin(nonNull: _*) || col(matchCol).isNull
+      else col(matchCol).isin(nonNull: _*)
+    val c = spark.read.parquet(s"$indexPath/corpus")
+      .filter(col("cluster").isin(probed.toIndexedSeq: _*))
+      .filter(attrFilter)
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        col(matchCol).as("n_match"), col("cluster"))
+    scoreAndRank(c, queries, model, k, nprobe, idCol, vecCol,
+      matchCol = Some(matchCol))
   }
 
   /** IVF-PQ search against an [[ensureIndexPq]] artifact, all from a

@@ -228,6 +228,73 @@ object UnigramLm {
     } finally words.unpersist(blocking = true)
   }
 
+  // ── Vocabulary shipping (the tokenizer-deployment artifact) ────────
+  // A trained tokenizer is an OFFLINE artifact: train once, ship the
+  // vocabulary, and every consumer (encode / surprisal / packing) runs
+  // without retraining — the IVF ensureIndex contract applied to the
+  // tokenizer. The artifact persists maxPieceLen WITH the pieces: a
+  // consumer who reloads the vocabulary but segments under a different
+  // maxPieceLen than training gets silently different parses (longer
+  // trained pieces become unreachable, or untrained lengths open up) —
+  // the one parameter mismatch the pieces table itself cannot reveal.
+
+  /** Persist a trained vocabulary: `<path>/pieces` (bounded parquet,
+    * one file) + `<path>/_VOCAB_META` (`maxPieceLen=<n>`).
+    */
+  def saveVocab(scored: DataFrame, maxPieceLen: Int, path: String): Unit = {
+    val spark = scored.sparkSession
+    scored.select(col("piece"), col("cnt"), col("score_micros"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pieces")
+    val p = new org.apache.hadoop.fs.Path(s"$path/_VOCAB_META")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(p, true)
+    o.write(s"maxPieceLen=$maxPieceLen".getBytes("UTF-8")); o.close()
+  }
+
+  /** Reload a shipped vocabulary: `(scored pieces, maxPieceLen)`.
+    * Loud on a malformed artifact (missing meta, wrong schema) — a
+    * tokenizer mismatch must never degrade into silent resegmentation.
+    */
+  def loadVocab(spark: SparkSession, path: String): (DataFrame, Int) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_VOCAB_META")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"not a unigram vocab artifact (no _VOCAB_META): $path")
+    val in = fs.open(p)
+    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val maxPieceLen = meta.linesIterator
+      .collectFirst { case s if s.startsWith("maxPieceLen=") =>
+        s.stripPrefix("maxPieceLen=").trim.toInt }
+      .getOrElse(throw new IllegalArgumentException(
+        s"malformed _VOCAB_META at $path: '$meta'"))
+    val pieces = spark.read.parquet(s"$path/pieces")
+    val need = Set("piece", "cnt", "score_micros")
+    require(need.subsetOf(pieces.columns.toSet),
+      s"vocab schema mismatch at $path: ${pieces.columns.mkString(",")}")
+    (pieces.select(col("piece"), col("cnt"), col("score_micros")),
+      maxPieceLen)
+  }
+
+  /** Build-if-stale shipped vocabulary ([[graft.engine.Scratch.ensureAt]]
+    * freshness protocol): retrains only when the source corpus or any
+    * training parameter changes; otherwise the artifact on disk serves
+    * every consumer. Returns [[loadVocab]]'s reload of it.
+    */
+  def ensureVocab(df: DataFrame, sourcePath: String, vocabPath: String,
+                  textCol: String, rounds: Int = 2, maxPieceLen: Int = 4,
+                  topV: Int = 512, maxWordLen: Int = 16,
+                  targetV: Option[Int] = None): (DataFrame, Int) = {
+    graft.engine.Scratch.ensureAt(df.sparkSession, vocabPath, sourcePath,
+      fingerprint = s"src=$sourcePath,textCol=$textCol,rounds=$rounds," +
+        s"maxPieceLen=$maxPieceLen,topV=$topV,maxWordLen=$maxWordLen," +
+        s"targetV=${targetV.getOrElse(-1)}",
+      markerName = "_VOCAB_READY") { dir =>
+      saveVocab(train(df, textCol, rounds, maxPieceLen, topV, maxWordLen,
+        targetV), maxPieceLen, dir)
+    }
+    loadVocab(df.sparkSession, vocabPath)
+  }
+
   /** Per-document LM surprisal under a trained vocabulary: `(id,
     * n_pieces, score_micros)` where score_micros = Σ piece scores
     * along each token's Viterbi path (≡ the DP's final value — an

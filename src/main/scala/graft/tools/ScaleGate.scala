@@ -38,6 +38,13 @@ object ScaleGate {
     "q_d_simhash" -> 12.0,
     "q_v_topk" -> 6.0,
     "q_v_topk_ivf_idx" -> 6.0,
+    // filtered ANN over the same persisted index: a pushed attribute
+    // predicate can only SHRINK the scan, so the envelope matches the
+    // unfiltered arm; a regression to post-filtering would read the
+    // same data (still linear) but a broken pushdown that re-scored
+    // everything per query would blow past it
+    "q_v_topk_flt" -> 6.0,
+    "q_v_topk_pos_idx" -> 6.0,
     "q_v_neardup" -> 10.0,
     "q_v_semdedup" -> 8.0,
     // vocabulary-sized model tables + per-doc integer dot products:
@@ -274,6 +281,9 @@ object ScaleGate {
     // linear per-doc segmentation pass
     "q_t_unigram" -> 10.0,
     "q_t_unigram_encode" -> 10.0,
+    // shipped-artifact encode: train-if-stale + cold reload + the same
+    // encode pass — must scale exactly like the in-memory arm
+    "q_t_unigram_ship" -> 10.0,
     "q_t_unigram_pruned" -> 10.0,
     "q_t_unigram_surprisal" -> 10.0,
     "q_t_curriculum" -> 10.0,
@@ -301,8 +311,9 @@ object ScaleGate {
     // v4: adds the customer table (entity-scaling ER gates)
     // v5: adds lineitem (co-occurrence projection gate)
     // v6: adds orders (front-door skipping gates)
+    // v7: embeddings carry label + attribute columns (filtered ANN)
     graft.engine.Scratch.ensureAt(spark, big, base,
-      fingerprint = s"scaleup-v6,copies=$copies") { staging =>
+      fingerprint = s"scaleup-v7,copies=$copies") { staging =>
       ScaleUp.build(spark, base, staging, copies)
     }
 
@@ -324,7 +335,14 @@ object ScaleGate {
       .empty[(String, Double, Double, Double, Double, Boolean)]
     println(f"${"query"}%-20s ${"1x(s)"}%8s ${"10x(s)"}%8s " +
       f"${"ratio"}%7s ${"max"}%5s  verdict")
-    envelope.foreach { case (name, maxRatio) =>
+    // local-iteration filter (comma-separated substrings), mirroring
+    // Verify's third arg; the driver/round-close run leaves it unset
+    // and checks every envelope
+    val only = sys.env.getOrElse("SPARK_GRAFT_SCALE_ONLY", "")
+      .split(',').filter(_.nonEmpty).toSeq
+    envelope.filter { case (name, _) =>
+      only.isEmpty || only.exists(name.contains)
+    }.foreach { case (name, maxRatio) =>
       val t1 = time(name, base)
       val t10 = time(name, big)
       val ratio = t10 / math.max(t1, 1e-9)

@@ -68,8 +68,12 @@ object ScaleUp {
       val rot = if (k == 0) col("embedding")
       else concat(slice(col("embedding"), k * 6 + 1, 1000),
         slice(col("embedding"), 1, k * 6))
-      emb.select((col("vec_id") + k * 10000000L).as("vec_id"),
-        rot.as("embedding"))
+      // label (and any other attribute column) carries through — the
+      // filtered-ANN gates (q_v_topk_flt / q_v_topk_pos_idx) scan it
+      emb.select(Seq((col("vec_id") + k * 10000000L).as("vec_id"),
+        rot.as("embedding")) ++
+        emb.columns.filterNot(c => c == "vec_id" || c == "embedding")
+          .map(col): _*)
     }.repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
 

@@ -422,4 +422,82 @@ class IvfSpec extends SparkSpec {
       s"retrain must recover drifted recall: frozen=$frozen retrained=$retrained")
     assert(Ivf.appendedFraction(spark, idx2) == 0.0, "rebuild must reset the meter")
   }
+
+  test("searchIndexWhere: predicate pushed into the scan; full probe ≡ " +
+    "brute force over the filtered slice; beats post-filtering") {
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val path = tmpDir("graft-ivf-flt")
+    Ivf.writeIndex(emb, m, path)
+    val q = emb.filter(col("vec_id") < 8)
+    val res = Ivf.searchIndexWhere(spark, path, q,
+      predicate = col("label") < 5, k = 5, nprobe = 4)
+    // full probe ⇒ exhaustive over exactly the label<5 slice
+    val exact = SimilaritySearch.bruteForceTopK(
+        emb.filter(col("label") < 5), q, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val got = res.select("q_id", "rank", "n_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == exact, "filtered index search diverged from filtered brute force")
+    // the attribute predicate reaches the parquet reader (row-group
+    // pruning at scale), stacked on the cluster partition pruning
+    val p = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("LessThan(label,5)"),
+      s"label predicate not pushed:\n$p")
+    assert(p.contains("PartitionFilters"), s"unpruned filtered scan:\n$p")
+    // the value proposition: every returned row qualifies and each
+    // query gets its full k; post-filtering an UNFILTERED top-k
+    // starves queries whose neighborhoods are label≥5-heavy
+    val labels = emb.select(col("vec_id"), col("label")).as[(Long, Int)]
+      .collect().toMap
+    val unfiltered = Ivf.searchIndex(spark, path, q, k = 5, nprobe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    val postCounts = unfiltered.filter { case (_, n) => labels(n) < 5 }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val qIds = q.select("vec_id").as[Long].collect()
+    assert(qIds.forall(id => got.count(_._1 == id) == 5),
+      "filtered arm must fill the k budget from the qualifying set")
+    assert(qIds.exists(id => postCounts.getOrElse(id, 0) < 5),
+      "construction check: post-filtering should starve some query " +
+        "(if not, this corpus stopped exercising the contrast)")
+  }
+
+  test("searchIndexMatch: full probe ≡ the positives miner; query " +
+    "attribute values reach the scan as a pushed isin") {
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val path = tmpDir("graft-ivf-match")
+    Ivf.writeIndex(emb, m, path)
+    val q = emb.filter(col("vec_id") < 8)
+    val res = Ivf.searchIndexMatch(spark, path, q, matchCol = "label",
+      k = 5, nprobe = 4)
+    val exact = SimilaritySearch.positives(emb, q, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val got = res.select("q_id", "rank", "n_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == exact, "indexed positives diverged from the brute-force miner")
+    // scan-side stage: the distinct query labels land in the reader as
+    // an In(label, …) pushdown alongside the partition filter
+    val p = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("In(label,"), s"query-label isin not pushed:\n$p")
+    assert(p.contains("PartitionFilters"), s"unpruned match scan:\n$p")
+    // null-safety contract: a null-attribute query matches exactly the
+    // null-attribute candidates (and never the non-null ones)
+    val withNulls = emb.select(col("vec_id"),
+      col("embedding"),
+      when(col("vec_id") % 7 === 0, lit(null)).otherwise(col("label"))
+        .cast("int").as("label"))
+    val path2 = tmpDir("graft-ivf-match-null")
+    Ivf.writeIndex(withNulls, m, path2)
+    val qn = withNulls.filter(col("vec_id").isin(0L, 1L))
+    val rn = Ivf.searchIndexMatch(spark, path2, qn, matchCol = "label",
+        k = 3, nprobe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    val nullIds = withNulls.filter(col("label").isNull)
+      .select("vec_id").as[Long].collect().toSet
+    assert(rn.filter(_._1 == 0L).forall(r => nullIds.contains(r._2)),
+      "null-label query matched a non-null candidate")
+    assert(rn.filter(_._1 == 1L).forall(r => !nullIds.contains(r._2)),
+      "non-null query matched a null-label candidate")
+  }
 }

@@ -165,4 +165,58 @@ class UnigramLmSpec extends SparkSpec {
       "EM failed to concentrate mass on the whole word")
     assert(UnigramLm.segment("the", m, 4) == Seq("the"))
   }
+
+  test("vocab shipping: save → cold reload → encode is bit-identical; " +
+    "meta carries maxPieceLen; malformed artifacts fail loudly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vocab = UnigramLm.train(docs, "text", rounds = 2, maxPieceLen = 4)
+    val path = tmpDir("graft-ugvocab")
+    UnigramLm.saveVocab(vocab, maxPieceLen = 4, path)
+    val (re, mpl) = UnigramLm.loadVocab(spark, path)
+    assert(mpl == 4, "meta must round-trip maxPieceLen")
+    // pieces table round-trips exactly (bounded, one file)
+    val a = vocab.select("piece", "cnt", "score_micros")
+      .as[(String, Long, Long)].collect().toSet
+    val b = re.as[(String, Long, Long)].collect().toSet
+    assert(a == b, "pieces table corrupted by the round-trip")
+    // the deployment contract: encode under the reloaded artifact ≡
+    // encode under the in-memory vocabulary, row for row
+    val mem = UnigramLm.encode(docs, "text", "doc_id", vocab, 4)
+      .as[(Long, String, Long)].collect().toSet
+    val shipped = UnigramLm.encode(docs, "text", "doc_id", re, mpl)
+      .as[(Long, String, Long)].collect().toSet
+    assert(mem == shipped, "shipped encode diverged from the trained one")
+    // loud failures: no meta / malformed meta — never silent resegmentation
+    val bare = tmpDir("graft-ugvocab-bad")
+    vocab.write.mode("overwrite").parquet(s"$bare/pieces")
+    intercept[IllegalArgumentException] { UnigramLm.loadVocab(spark, bare) }
+    val metaP = new org.apache.hadoop.fs.Path(s"$bare/_VOCAB_META")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(metaP, true); o.write("garbage".getBytes("UTF-8")); o.close()
+    intercept[IllegalArgumentException] { UnigramLm.loadVocab(spark, bare) }
+  }
+
+  test("ensureVocab: trains once, serves the artifact while fresh, " +
+    "retrains when the fingerprint changes") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = tmpDir("graft-ugvocab-ensure")
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    // materialize eagerly: the reloaded frames are lazy scans of the
+    // artifact, and the rebuild below overwrites its files
+    val (v1df, _) = UnigramLm.ensureVocab(docs, src, path, "text", rounds = 2)
+    val v1 = v1df.as[(String, Long, Long)].collect().toSet
+    val stamp1 = graft.engine.Scratch.stat(spark, s"$path/pieces")
+    val (v2df, _) = UnigramLm.ensureVocab(docs, src, path, "text", rounds = 2)
+    val v2 = v2df.as[(String, Long, Long)].collect().toSet
+    val stamp2 = graft.engine.Scratch.stat(spark, s"$path/pieces")
+    assert(stamp1 == stamp2, "fresh artifact must not rebuild")
+    assert(v1 == v2)
+    // a parameter change is a new fingerprint → rebuild
+    val (v3df, _) = UnigramLm.ensureVocab(docs, src, path, "text", rounds = 2,
+      targetV = Some(24))
+    val v3n = v3df.count()
+    val stamp3 = graft.engine.Scratch.stat(spark, s"$path/pieces")
+    assert(stamp3 != stamp2, "changed params must force a retrain")
+    assert(v3n < v1.size, "pruned retrain must shrink the vocab")
+  }
 }
