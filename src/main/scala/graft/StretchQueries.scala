@@ -2163,6 +2163,24 @@ object StretchQueries {
         .select(col("id").as("doc_id"), col("pr_micros"))
     }),
 
+    // HITS hubs & authorities over the same multiplicative link maps —
+    // max-normalized exact-integer recurrence (each half-round is one
+    // equi-join + grouped sum + a scalar max re-injected as a literal),
+    // so the oracle unrolls all 3 rounds in CTEs with scalar-subquery
+    // maxima. Complements PageRank: authority rewards being endorsed
+    // by good hubs, hub rewards endorsing good authorities
+    "q_g_hits" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count() // bounded driver metadata, like §2-A2
+      val e = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % n).as("dst"))
+        .union(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % n).as("dst")))
+      graft.operators.LinkGraph.hitsMicros(e, iters = 3)
+        .select(col("id").as("doc_id"), col("hub_micros"),
+          col("auth_micros"))
+    }),
+
     // BFS hop distance from a trusted seed core (every 97th doc) over
     // the same multiplicative link maps — the TrustRank-style
     // link-distance signal; 3 frontier rounds, each ONE equi-join.
@@ -6006,6 +6024,42 @@ object StretchQueries {
         round("r0", "r1") + ", " + round("r1", "r2") + ", " +
         round("r2", "r3") + " " +
         "SELECT id AS doc_id, pr AS pr_micros FROM r3")
+    },
+
+    // the HITS recurrence unrolled: per round, authority-raw = Σ hub
+    // over in-edges then max-normalize to micros, hub-raw = Σ authority
+    // over out-edges then max-normalize; AS MATERIALIZED (each CTE
+    // feeds the next twice — the bpeMergeCtes lesson), SUMs cast back
+    // to BIGINT (DuckDB sums to HUGEINT), GREATEST(max,1) guards the
+    // all-zero degenerate the engine guards with max(mx,1)
+    "q_g_hits" -> {
+      def round(hPrev: String, i: Int): String = {
+        val (ar, a, hr, h) = (s"a${i}r", s"a$i", s"h${i}r", s"h$i")
+        s"$ar AS MATERIALIZED (SELECT e.dst AS id, " +
+          s"CAST(SUM($hPrev.h) AS BIGINT) AS raw " +
+          s"FROM e JOIN $hPrev ON e.src = $hPrev.id GROUP BY e.dst), " +
+          s"$a AS MATERIALIZED (SELECT nodes.id, " +
+          s"(COALESCE(raw, 0) * 1000000) // " +
+          s"(SELECT GREATEST(MAX(raw), 1) FROM $ar) AS a " +
+          s"FROM nodes LEFT JOIN $ar USING (id)), " +
+          s"$hr AS MATERIALIZED (SELECT e.src AS id, " +
+          s"CAST(SUM($a.a) AS BIGINT) AS raw " +
+          s"FROM e JOIN $a ON e.dst = $a.id GROUP BY e.src), " +
+          s"$h AS MATERIALIZED (SELECT nodes.id, " +
+          s"(COALESCE(raw, 0) * 1000000) // " +
+          s"(SELECT GREATEST(MAX(raw), 1) FROM $hr) AS h " +
+          s"FROM nodes LEFT JOIN $hr USING (id))"
+      }
+      ("WITH nn AS (SELECT count(*) AS cnt FROM documents), " +
+        "e AS MATERIALIZED (SELECT doc_id AS src, (doc_id*7+3) % cnt AS dst " +
+        "FROM documents, nn UNION ALL " +
+        "SELECT doc_id, (doc_id*13+5) % cnt FROM documents, nn), " +
+        "nodes AS MATERIALIZED (SELECT DISTINCT id FROM " +
+        "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)), " +
+        "h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes), " +
+        round("h0", 1) + ", " + round("h1", 2) + ", " + round("h2", 3) + " " +
+        "SELECT h3.id AS doc_id, h3.h AS hub_micros, a3.a AS auth_micros " +
+        "FROM h3 JOIN a3 ON h3.id = a3.id")
     },
 
     // the personalized recurrence unrolled — identical to q_g_pagerank

@@ -133,6 +133,86 @@ object LinkGraph {
                                  seedCol: String = "id"): DataFrame =
     pageRankCore(edges, Some(seeds), iters, srcCol, dstCol, seedCol)
 
+  /** HITS hubs & authorities (Kleinberg 1999) in exact integer
+    * micros — the query-independent link-quality pair next to
+    * [[pageRankMicros]]: authority = endorsed BY good hubs, hub =
+    * points AT good authorities (directory pages score as hubs, cited
+    * references as authorities — both feed web-corpus curation as
+    * crawl-seed and quality signals).
+    *
+    * Exactness: the classical L2 normalization is irrational, so each
+    * half-round normalizes by the GLOBAL MAX instead — `x·1e6 div
+    * max(x)` in pure int64 (max-normalized HITS converges to the same
+    * principal eigenvector direction; scores land in [0, 1e6] with the
+    * top node pinned at exactly 1e6). The max is one scalar aggregate
+    * per half-round — bounded driver metadata, the §2-A2 category —
+    * collected, LOUDLY bound-checked (raw·1e6 must fit int64: raw sums
+    * n·1e6-scale terms, so indegree beyond ~9.2e6 would overflow — the
+    * KN/LogReg loud-envelope convention, never a silent wrap), and
+    * re-injected as a literal so the division stays engine-exact.
+    *
+    * Parallel edges count with multiplicity (a multigraph endorsement
+    * is worth its copies; dedupe upstream if not). Each half-round is
+    * ONE equi-join + grouped sum, scratch-materialized for O(1) plan
+    * depth ([[pageRankCore]]'s loop discipline); nodes without
+    * in-edges (out-edges) hold authority (hub) exactly 0.
+    */
+  def hitsMicros(edges: DataFrame, iters: Int = 3,
+                 srcCol: String = "src",
+                 dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"unreasonable iters: $iters")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val (e, eScratch) = Materialize.viaScratchWithPath(e0, "graft-hits-edges")
+    val (nodes, nodesScratch) = Materialize.viaScratchWithPath(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct(),
+      "graft-hits-nodes")
+
+    // normalize a raw-score table to micros against its own max; the
+    // collect is ONE scalar (bounded driver metadata)
+    def normalized(raw: DataFrame): DataFrame = {
+      val mx = raw.agg(coalesce(max(col("raw")), lit(0L))).head().getLong(0)
+      require(mx <= Long.MaxValue / 1000000L,
+        s"HITS raw score $mx would overflow micros scaling — " +
+          "indegree/hub mass beyond the int64 envelope; shard or " +
+          "pre-aggregate the graph")
+      val d = math.max(mx, 1L)
+      nodes.join(raw, nodes("id") === raw("nid"), "left")
+        .select(nodes("id"),
+          expr(s"(coalesce(raw, 0L) * 1000000L) div ${d}L").as("score"))
+    }
+
+    var hubs = nodes.select(col("id"), lit(1000000L).as("score"))
+    var auths: DataFrame = null
+    var prevScratches = List.empty[Materialize.Scratch]
+    var it = 0
+    while (it < iters) {
+      val rawA = e.join(hubs, e("src") === hubs("id"))
+        .groupBy(e("dst").as("nid")).agg(sum(col("score")).as("raw"))
+      val (matA, sA) = Materialize.viaScratchWithPath(rawA, "graft-hits-a")
+      val a = normalized(matA)
+      val rawH = e.join(a, e("dst") === a("id"))
+        .groupBy(e("src").as("nid")).agg(sum(col("score")).as("raw"))
+      val (matH, sH) = Materialize.viaScratchWithPath(rawH, "graft-hits-h")
+      val h = normalized(matH)
+      prevScratches.foreach(_.drop())
+      prevScratches = List(sA, sH)
+      auths = a
+      hubs = h
+      it += 1
+    }
+    val out = hubs.select(col("id"), col("score").as("hub_micros"))
+      .join(auths.select(col("id"), col("score").as("auth_micros")),
+        Seq("id"))
+    // materialize the result BEFORE dropping the scratches it reads
+    val (res, _) = Materialize.viaScratchWithPath(out, "graft-hits-out")
+    prevScratches.foreach(_.drop())
+    eScratch.drop()
+    nodesScratch.drop()
+    res
+  }
+
   /** Per-node triangle participation over an undirected view of the
     * edge list — the local-clustering signal (link farms and mutual-
     * citation rings triangle-count far above organic pages, so this

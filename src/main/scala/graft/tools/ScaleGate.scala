@@ -148,6 +148,9 @@ object ScaleGate {
     // lineage-regrowth regression (un-truncated iterative plan)
     // shows as exponential plan depth, not a ratio
     "q_g_hops" -> 10.0,
+    // HITS: per half-round one equi-join + grouped sum + scalar max —
+    // the PageRank family's shape; work ∝ edges per round
+    "q_g_hits" -> 10.0,
     // round-11 (VERDICT r10 #9): the read front door. The manifest
     // routing itself is O(manifest) = flat, but each gate carries
     // linear components the envelope must admit: the oracle-key

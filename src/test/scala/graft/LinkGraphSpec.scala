@@ -169,4 +169,61 @@ class LinkGraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got3 == got)
   }
+
+  /** The documented HITS recurrence, computed serially: per round,
+    * raw authority = Σ hub over in-edges (multiplicity counts),
+    * max-normalize to micros; then raw hub = Σ authority over
+    * out-edges, max-normalize. Floors and all.
+    */
+  private def hitsReference(edges: Seq[(Long, Long)],
+                            iters: Int): Map[Long, (Long, Long)] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val mx = math.max(raw.values.foldLeft(0L)(math.max), 1L)
+      nodes.map(v => v -> raw.getOrElse(v, 0L) * 1000000L / mx).toMap
+    }
+    var h = nodes.map(_ -> 1000000L).toMap
+    var a = Map.empty[Long, Long]
+    (1 to iters).foreach { _ =>
+      a = norm(edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => h(u) }.sum).toMap)
+      h = norm(edges.groupBy(_._1).view.mapValues(
+        _.map { case (_, v) => a(v) }.sum).toMap)
+    }
+    nodes.map(v => v -> ((h(v), a(v)))).toMap
+  }
+
+  test("hitsMicros == the serial recurrence (hub page, cited sink, " +
+    "dangling, parallel edges); top scores pin at exactly 1e6") {
+    val edges = Seq[(Long, Long)](
+      (1, 10), (2, 10), (3, 10), // 10 is the authority
+      (1, 11), (2, 11), // 11 second authority
+      (10, 20), // authorities can point on
+      (4, 10), (4, 10), // parallel endorsement counts twice
+      (5, 6)) // periphery
+    for (iters <- Seq(1, 3)) {
+      val got = LinkGraph.hitsMicros(edges.toDF("src", "dst"), iters)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got == hitsReference(edges, iters), s"divergence at iters=$iters")
+    }
+    val got = LinkGraph.hitsMicros(edges.toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // semantics: 10 is the top authority (pinned at 1e6); the nodes
+    // endorsing BOTH authorities are the top hubs; the dangling sink
+    // holds hub exactly 0; a pure authority holds what its out-edge earns
+    assert(got(10L)._2 == 1000000L, "top authority must pin at 1e6")
+    assert(got.values.map(_._1).max == 1000000L, "top hub must pin at 1e6")
+    // node 4's parallel endorsement of the top authority (2 × a(10))
+    // outweighs the dual endorsers' a(10)+a(11) — multiplicity counts
+    assert(got(4L)._1 == 1000000L,
+      "the double-endorser of the top authority must be the top hub")
+    assert(got(1L)._1 == got(2L)._1 && got(1L)._1 > got(3L)._1,
+      "dual endorsers tie, and beat the single endorser")
+    assert(got(20L)._1 == 0L, "dangling sink must hold hub 0")
+    assert(got(10L)._2 > got(11L)._2, "3+ endorsements must beat 2")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "hitsMicros leaked cached plans")
+  }
 }
