@@ -145,6 +145,14 @@ object StretchQueries {
     */
   @volatile private var curate6Rates: Option[Seq[(String, Int)]] = None
 
+  /** Driver-fitted k-means centroids in micros, stashed by
+    * q_t_pack_sem for its oracle — same soundness as [[pcaLiterals]]
+    * (the centroids are constants; the distributed half — embedding
+    * quantization, integer inner products, argmax, ordering, packing —
+    * is what the oracle checks).
+    */
+  @volatile private var semPackCentroids: Option[Array[Array[Long]]] = None
+
   private val fsJw = EntityResolution.fsWeightsMicros(0.9, 0.1)
   private val fsLen = EntityResolution.fsWeightsMicros(0.85, 0.3)
   private val fsPre = EntityResolution.fsWeightsMicros(0.95, 0.5)
@@ -601,6 +609,29 @@ object StretchQueries {
     "q_t_pack" -> ((s, dir) =>
       graft.operators.Packing.packOffsets(
         t(s, dir, "documents"), "text", "doc_id", seqTokens = 1024)),
+
+    // SEMANTIC packing (in-context-pretraining ordering): k-means
+    // centroids (driver-fitted, stashed as micros literals), exact-
+    // integer centroid affinity assigns each doc a cluster + a
+    // centrality rank, and the packer streams each cluster in
+    // (ip desc, id) order — so a context window holds RELATED docs.
+    // The oracle replays quantization, the k integer dot products,
+    // the argmax, and the window arithmetic with the stashed literals
+    "q_t_pack_sem" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = Ivf.train(emb, k = 4, iters = 2)
+      val cm = model.centroids.map(_.map(x => math.round(x * 1000000.0)))
+      semPackCentroids = Some(cm)
+      val aff = SimilaritySearch.centroidAffinityMicros(emb, cm)
+        .select(col("vec_id").as("doc_id"), col("cluster"),
+          col("ip_micros"))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long").as("n_tokens"))
+      graft.operators.Packing.packOffsetsSemantic(
+        aff.join(docs, "doc_id"), "doc_id", "ip_micros", "n_tokens",
+        seqTokens = 1024)
+    }),
 
     // within-doc duplicate-shingle fraction (the Gopher-style
     // repetition quality signal): staged token → shingle projections,
@@ -4607,6 +4638,7 @@ object StretchQueries {
           .stripMargin).replaceAll(raw"\s+", " ")) +
       ("q_v_pca_project" -> pcaProjectOracle) +
       ("q_t_temp_mix" -> tempMixOracle) +
+      ("q_t_pack_sem" -> semPackOracle) +
       ("q_t_temp_epochs" -> tempEpochOracle) +
       ("q_pipe_curate6" -> curate6Oracle)
 
@@ -4700,6 +4732,40 @@ object StretchQueries {
     * component. Must be a def: the literals only exist after the gate
     * runs.
     */
+  /** Oracle for q_t_pack_sem from the stashed centroid-micros
+    * literals: quantize embeddings the PCA way, k integer dot
+    * products per row, argmax via list_position (first occurrence =
+    * lowest cluster, the engine's tie-break), then the per-cluster
+    * (ip desc, id) window packing. Must be a def — the stash only
+    * exists after the gate runs.
+    */
+  private def semPackOracle: String = semPackCentroids match {
+    case None => "SELECT 1 AS never WHERE 1 = 0"
+    case Some(cm) =>
+      val d = cm.head.length
+      val ips = cm.map { c =>
+        val wl = c.mkString("[", ", ", "]")
+        s"CAST(list_sum(list_transform(range(1, ${d + 1}), " +
+          s"j -> qm[j] * (($wl)[j]))) AS BIGINT)"
+      }.mkString("[", ", ", "]")
+      "WITH q AS (SELECT vec_id AS doc_id, list_transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qm " +
+        "FROM embeddings), " +
+        s"a AS MATERIALIZED (SELECT doc_id, $ips AS ips FROM q), " +
+        "c AS (SELECT doc_id, CAST(list_position(ips, list_max(ips)) - 1 " +
+        "AS INT) AS cluster, list_max(ips) AS ip_micros FROM a), " +
+        "src AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), " +
+        s"tok AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) " +
+        "AS n_tokens FROM src), " +
+        "o AS (SELECT c.doc_id, cluster, ip_micros, n_tokens, " +
+        "CAST(sum(n_tokens) OVER (PARTITION BY cluster " +
+        "ORDER BY ip_micros DESC, c.doc_id ASC ROWS UNBOUNDED PRECEDING) " +
+        "- n_tokens AS BIGINT) AS start_offset " +
+        "FROM c JOIN tok ON c.doc_id = tok.doc_id) " +
+        "SELECT doc_id, cluster, ip_micros, n_tokens, start_offset, " +
+        "start_offset // 1024 AS seq_id FROM o"
+  }
+
   private def pcaProjectOracle: String = pcaLiterals match {
     case None => "SELECT 1 AS never WHERE 1 = 0"
     case Some((m, w)) =>

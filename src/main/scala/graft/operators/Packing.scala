@@ -61,4 +61,40 @@ object Packing {
         sum(col(weightCol)).over(w) - col(weightCol))
       .withColumn("seq_id", expr(s"start_offset div $seqTokens"))
   }
+
+  /** SEMANTIC packing (the in-context-pretraining ordering, Shi et al.
+    * 2023 "In-Context Pretraining"): instead of hash buckets +
+    * id order, each document streams with its semantic CLUSTER and,
+    * within the cluster, in centrality order — so a context window
+    * holds RELATED documents (the signal ICP trains on) rather than a
+    * hash-random mix. Input must carry `(idCol, cluster, orderCol,
+    * weightCol)` — produce the first two with
+    * [[SimilaritySearch.centroidAffinityMicros]] and join the weight
+    * from the corpus; `orderCol` descends (most-central documents
+    * anchor the stream head), ties broken by id, so the order is total
+    * and engine-reproducible when `orderCol` is exact-integer.
+    *
+    * Same execution contract as [[packOffsetsWeighted]]: ONE window
+    * sum partitioned by cluster — k independent per-cluster sorts,
+    * never a global order. At 100 TB cluster granularity is the knob:
+    * k must be large enough that a cluster's documents fit an
+    * executor's sort budget (the centroid count plays the role the
+    * 256 hash buckets play in the exact packer). A greedy
+    * traveling-salesman doc order would be sequential by nature; the
+    * cluster+centrality sort is the distributed-stable approximation
+    * production ICP pipelines use.
+    */
+  def packOffsetsSemantic(df: DataFrame, idCol: String, orderCol: String,
+                          weightCol: String, seqTokens: Int): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col("cluster"),
+        col(orderCol).cast("long").as(orderCol),
+        col(weightCol).cast("long").as(weightCol))
+      .withColumn("start_offset",
+        sum(col(weightCol)).over(w) - col(weightCol))
+      .withColumn("seq_id", expr(s"start_offset div $seqTokens"))
+  }
 }

@@ -96,6 +96,48 @@ object SimilaritySearch {
     TopK.topKPerKey(scored, k)(corpus.sparkSession)
   }
 
+  /** Exact-integer centroid affinity: per row, the argmax cluster
+    * under INNER PRODUCT in quantized micros — `(id, cluster,
+    * ip_micros)` with ip = Σⱼ round(vecⱼ·1e6) · centroid_microsⱼ, a
+    * pure int64 (dim · 1e6-scale products stay far under 2⁶³ for any
+    * realistic dim), argmax tie-break = lowest cluster index. The
+    * centroid matrix arrives ALREADY quantized (driver-fitted
+    * constants — k-means output quantized once on the driver), so the
+    * whole distributed computation is exact integer arithmetic and an
+    * oracle replays it with the same literals (the PCA projectMicros
+    * discipline applied to assignment).
+    *
+    * This is the semantic-ordering primitive behind in-context-
+    * pretraining-style packing: cluster = which topic stream a
+    * document joins, ip = how central it sits in that stream. IP
+    * ordering (not cosine) is deliberate — it avoids irrational norms
+    * and is the standard MIPS ranking; within a cluster it orders by
+    * alignment-weighted magnitude.
+    *
+    * Execution: quantization staged ONCE as a column (HOF-CSE lesson),
+    * k aggregate/zip_with dot products per row, argmax via
+    * array_position on the staged score array — one scan-side
+    * projection, ZERO shuffles.
+    */
+  def centroidAffinityMicros(df: DataFrame,
+                             centroidMicros: Array[Array[Long]],
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    require(centroidMicros.nonEmpty, "need at least one centroid")
+    val staged = df.withColumn("__q",
+      transform(col(vecCol), x =>
+        round(x.cast("double") * 1000000).cast("long")))
+    val ips = centroidMicros.map { c =>
+      aggregate(zip_with(col("__q"), lit(c), (x, w) => x * w),
+        lit(0L), (acc, x) => acc + x)
+    }
+    staged.withColumn("__ips", array(ips.toIndexedSeq: _*))
+      .select(col(idCol),
+        (array_position(col("__ips"), array_max(col("__ips"))) - 1)
+          .cast("int").as("cluster"),
+        array_max(col("__ips")).as("ip_micros"))
+  }
+
   /** Matryoshka (MRL-style) two-stage search: shortlist by cosine
     * over the FIRST `dims` components only — the cheap low-dim prefix
     * an MRL-trained embedding packs its signal into — then exact

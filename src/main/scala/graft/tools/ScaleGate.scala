@@ -151,6 +151,10 @@ object ScaleGate {
     // HITS: per half-round one equi-join + grouped sum + scalar max —
     // the PageRank family's shape; work ∝ edges per round
     "q_g_hits" -> 10.0,
+    // semantic packing: k-means fit + one scan-side affinity
+    // projection + one per-cluster window — the q_t_pack family with
+    // the k-means fit's fixed per-iter jobs amortizing at scale
+    "q_t_pack_sem" -> 12.0,
     // round-11 (VERDICT r10 #9): the read front door. The manifest
     // routing itself is O(manifest) = flat, but each gate carries
     // linear components the envelope must admit: the oracle-key

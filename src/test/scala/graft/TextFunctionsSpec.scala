@@ -563,6 +563,47 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("centroidAffinityMicros: argmax cluster with lowest-index " +
+    "tie-break, exact integer ip; semantic packing streams clusters " +
+    "in (ip desc, id) order and tiles offsets exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // hand-checkable 2-dim geometry: centroids at x-axis and y-axis
+    val cents = Array(Array(1000000L, 0L), Array(0L, 1000000L))
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.1f)),   // cluster 0, ip = 1e12 + 0.1e12·0
+      (1L, Seq(0.5f, 0.2f)),   // cluster 0, lower centrality
+      (2L, Seq(0.1f, 2.0f)),   // cluster 1
+      (3L, Seq(0.3f, 0.3f)),   // exact tie → cluster 0 (lowest index)
+      (4L, Seq(-1.0f, -0.5f))) // both ips negative: argmax still works
+    val aff = graft.operators.SimilaritySearch
+      .centroidAffinityMicros(rows.toDF("vec_id", "embedding"), cents)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(aff(0L) == ((0, 1000000L * 1000000L)))
+    assert(aff(1L)._1 == 0 && aff(1L)._2 == 500000L * 1000000L)
+    assert(aff(2L)._1 == 1)
+    assert(aff(3L) == ((0, 300000L * 1000000L)), "tie must pick cluster 0")
+    assert(aff(4L)._1 == 1, "-0.5e12 beats -1e12")
+    // packing: cluster 0 stream orders 0 (ip 1e12) then 3 (0.3e12)
+    // then 1 (wait: 1 has 0.5e12 > 0.3e12) → 0, 1, 3
+    val weights = Seq((0L, 10L), (1L, 20L), (2L, 5L), (3L, 7L), (4L, 3L))
+      .toDF("vec_id", "n_tokens")
+    val packed = graft.operators.Packing.packOffsetsSemantic(
+        graft.operators.SimilaritySearch
+          .centroidAffinityMicros(rows.toDF("vec_id", "embedding"), cents)
+          .join(weights, "vec_id"),
+        "vec_id", "ip_micros", "n_tokens", seqTokens = 16)
+      .select("vec_id", "cluster", "start_offset", "seq_id")
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(packed(0L) == ((0, 0L, 0L)))   // head of cluster-0 stream
+    assert(packed(1L) == ((0, 10L, 0L)))  // after doc 0
+    assert(packed(3L) == ((0, 30L, 1L)))  // after 0+1, second window
+    assert(packed(2L) == ((1, 0L, 0L)))   // head of cluster-1 stream
+    assert(packed(4L) == ((1, 5L, 0L)))
+  }
+
   test("htmlExtract: script/style content and comments vanish, tags " +
     "strip, entities decode, malformed pages degrade gracefully") {
     import spark.implicits._
