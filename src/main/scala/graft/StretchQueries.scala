@@ -961,6 +961,40 @@ object StretchQueries {
         "doc_id", vocab, maxPieceLen = mpl)
     }),
 
+    // tokenizer FERTILITY by language (the standard tokenizer-eval
+    // meter: pieces per word, chars per piece) under the trained
+    // unigram vocab — high fertility on a language = the vocabulary
+    // under-serves it (the signal that drives per-language vocab
+    // budgets). Exact integers: counts summed per language, ratios in
+    // truncating micros; oracle = the encode replay aggregated the
+    // same way
+    "q_t_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val enc = graft.operators.UnigramLm.encode(docs, "text", "doc_id",
+        ugVocab(s, dir)).select(col("doc_id"), col("n_pieces"))
+      val base = docs
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokens(coalesce(col("text"), lit(""))).as("__t"))
+        .select(col("doc_id"), col("lang"),
+          size(col("__t")).cast("long").as("n_words"),
+          aggregate(transform(col("__t"), x => length(x).cast("long")),
+            lit(0L), (a, x) => a + x).as("n_chars"))
+      base.join(enc, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          sum(col("n_chars")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_pieces"), col("n_chars"),
+          when(col("n_words") === 0, lit(0L))
+            .otherwise(expr("(n_pieces * 1000000L) div n_words"))
+            .as("fertility_micros"),
+          when(col("n_pieces") === 0, lit(0L))
+            .otherwise(expr("(n_chars * 1000000L) div n_pieces"))
+            .as("cpp_micros"))
+    }),
+
     // per-doc LM surprisal under the trained unigram model — the
     // quality-scoring application (CCNet's scoring half with the
     // unigram LM in place of KN). score_micros = Σ integer piece
@@ -3994,6 +4028,48 @@ object StretchQueries {
          |SELECT doc_id, bucket, n_tokens, start_offset,
          |  start_offset div 1024 AS seq_id FROM o""".stripMargin)),
 
+    // semantic packing as PURE SQL (the s28–s33 deployment-shape
+    // family): the offline k-means centroids arrive as literal arrays
+    // (exactly how a SQL-only consumer receives a trained router),
+    // and the whole pipeline — micros quantization, k integer dot
+    // products, argmax, per-cluster centrality window — is vanilla
+    // Spark SQL over the path tables. Shares q_t_pack_sem's stashed
+    // oracle; the stash is set here too (training is deterministic)
+    // so the gate stands alone
+    "q_s34_sql_pack_sem" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = Ivf.train(emb, k = 4, iters = 2)
+      val cm = model.centroids.map(_.map(x => math.round(x * 1000000.0)))
+      semPackCentroids = Some(cm)
+      val ips = cm.map { c =>
+        val arr = c.mkString("array(", "L, ", "L)")
+        s"aggregate(zip_with(qm, $arr, (x, w) -> x * w), 0L, " +
+          "(acc, x) -> acc + x)"
+      }.mkString("array(", ", ", ")")
+      s.sql(
+        s"""WITH q AS (SELECT vec_id AS doc_id,
+           |    transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+           |      AS qm
+           |  FROM parquet.`$dir/embeddings.parquet`),
+           |a AS (SELECT doc_id, $ips AS ips FROM q),
+           |c AS (SELECT doc_id,
+           |    CAST(array_position(ips, array_max(ips)) - 1 AS INT)
+           |      AS cluster,
+           |    array_max(ips) AS ip_micros FROM a),
+           |tok AS (SELECT doc_id,
+           |    CAST(graft_text_profile(coalesce(text, '')).n_tokens
+           |      AS BIGINT) AS n_tokens
+           |  FROM parquet.`$dir/documents.parquet`),
+           |o AS (SELECT c.doc_id, cluster, ip_micros, n_tokens,
+           |    sum(n_tokens) OVER (PARTITION BY cluster
+           |      ORDER BY ip_micros DESC, c.doc_id ASC
+           |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+           |  FROM c JOIN tok ON c.doc_id = tok.doc_id)
+           |SELECT doc_id, cluster, ip_micros, n_tokens, start_offset,
+           |  start_offset div 1024 AS seq_id FROM o""".stripMargin)
+    }),
+
     // SQ8 quantized top-k: int8-scan ANN (4× smaller than float32)
     // whose ranking key dot8·scale_c·scale_q is PURE int64 — unlike
     // PQ's float ADC, the whole quantized ranking hash-matches the
@@ -4479,6 +4555,35 @@ object StretchQueries {
       s"start_offset // 1024 AS seq_id FROM o"
   }
 
+  /** Fertility replay: the encode CTEs (piece counts per doc from the
+    * replayed Viterbi paths) aggregated per language with the same
+    * truncating-micros ratios. Word/char counts re-derive from the
+    * shared tokenization (the gopher sumlen pattern).
+    */
+  private lazy val unigramFertilitySql: String = {
+    val i = unigramEncodeSql.indexOf(" SELECT t.doc_id")
+    unigramEncodeSql.take(i) +
+      s", ftq AS (SELECT doc_id, lang, coalesce(text, '') AS text " +
+      s"FROM documents), " +
+      s"fta AS (SELECT doc_id, lang, $tokensSql AS ta FROM ftq), " +
+      s"fb AS (SELECT f.doc_id, f.lang, CAST(len(ta) AS BIGINT) " +
+      s"AS n_words, CAST(coalesce(list_sum(list_transform(ta, " +
+      s"t -> length(t))), 0) AS BIGINT) AS n_chars, " +
+      s"CAST(coalesce(e.n_pieces, 0) AS BIGINT) AS n_pieces " +
+      s"FROM fta f LEFT JOIN uenc e ON e.doc_id = f.doc_id), " +
+      s"fg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+      s"CAST(sum(n_words) AS BIGINT) AS n_words, " +
+      s"CAST(sum(n_pieces) AS BIGINT) AS n_pieces, " +
+      s"CAST(sum(n_chars) AS BIGINT) AS n_chars FROM fb GROUP BY lang) " +
+      s"SELECT lang, n_docs, n_words, n_pieces, n_chars, " +
+      s"CAST(CASE WHEN n_words = 0 THEN 0 ELSE " +
+      s"(n_pieces * 1000000) // n_words END AS BIGINT) " +
+      s"AS fertility_micros, " +
+      s"CAST(CASE WHEN n_pieces = 0 THEN 0 ELSE " +
+      s"(n_chars * 1000000) // n_pieces END AS BIGINT) AS cpp_micros " +
+      s"FROM fg"
+  }
+
   /** Shared DSIR CTE chain ending in `wt(doc_id, n_tokens,
     * logw_micros)` — the weights relation the q_t_dsir* gates and the
     * curation composition all build on (one definition, zero drift).
@@ -4639,6 +4744,7 @@ object StretchQueries {
       ("q_v_pca_project" -> pcaProjectOracle) +
       ("q_t_temp_mix" -> tempMixOracle) +
       ("q_t_pack_sem" -> semPackOracle) +
+      ("q_s34_sql_pack_sem" -> semPackOracle) +
       ("q_t_temp_epochs" -> tempEpochOracle) +
       ("q_pipe_curate6" -> curate6Oracle)
 
@@ -5548,6 +5654,7 @@ object StretchQueries {
     "q_t_unigram" -> unigramVocabSql,
 
     "q_t_unigram_encode" -> unigramEncodeSql,
+    "q_t_fertility" -> unigramFertilitySql,
 
     "q_t_unigram_pruned" -> unigramPrunedSql,
 
