@@ -4070,6 +4070,34 @@ object StretchQueries {
            |  start_offset div 1024 AS seq_id FROM o""".stripMargin)
     }),
 
+    // preference-data QA (the RLHF/DPO assembly stage): synthetic
+    // annotation stream — one vote per document via modular maps
+    // (prompt d%50, responses d%7 vs (3d+1)%7 — self-pairs at
+    // d≡3 mod 7 exercise the malformed-drop, rater d%5). The
+    // preference derives from the (prompt, pair, rater) KEY so a
+    // rater's repeated submissions of a pair agree (they must
+    // collapse, not cancel — a raw-d preference degenerates to an
+    // empty result once every key repeats), with a rare d%97 flip
+    // manufacturing REAL contradictions that exercise the
+    // self-cancel path at every scale. → canonical orientation →
+    // per-rater hygiene → majority resolution with exact-integer
+    // margin. Full SQL oracle, stage for stage
+    "q_pref_resolve" -> ((s, dir) => {
+      val ann = t(s, dir, "documents").select(
+        (col("doc_id") % 50).as("prompt_id"),
+        (col("doc_id") % 7).as("resp_a"),
+        ((col("doc_id") * 3 + 1) % 7).as("resp_b"),
+        // rater decouples from prompt via div (d%5 would be a pure
+        // function of d%50 — one rater per pair, no majorities); the
+        // preference is keyed on (prompt, pair, rater) + the rare flip
+        (expr("(doc_id % 50 + (doc_id % 7) * 2 + " +
+          "((doc_id div 50) % 5) * 3) % 5 < 3") =!=
+          (col("doc_id") % 97 === 0)).as("prefer_a"),
+        expr("(doc_id div 50) % 5").as("rater_id"))
+      graft.operators.Preference.resolveAnnotations(ann, "prompt_id",
+        "resp_a", "resp_b", "prefer_a", "rater_id")
+    }),
+
     // SQ8 quantized top-k: int8-scan ANN (4× smaller than float32)
     // whose ranking key dot8·scale_c·scale_q is PURE int64 — unlike
     // PQ's float ADC, the whole quantized ranking hash-matches the
@@ -5655,6 +5683,39 @@ object StretchQueries {
 
     "q_t_unigram_encode" -> unigramEncodeSql,
     "q_t_fertility" -> unigramFertilitySql,
+
+    // the preference pipeline replayed stage for stage: orientation
+    // normalization (flip on swap), per-rater dedup/self-cancel
+    // (max = min over the rater's booleans), majority + margin
+    "q_pref_resolve" ->
+      ("""WITH ann AS (SELECT doc_id % 50 AS prompt_id,
+         |    doc_id % 7 AS a, (doc_id*3+1) % 7 AS b,
+         |    (((doc_id % 50 + (doc_id % 7) * 2 + ((doc_id // 50) % 5) * 3)
+         |      % 5 < 3) <> (doc_id % 97 = 0)) AS pa,
+         |    (doc_id // 50) % 5 AS rater
+         |  FROM documents),
+         |norm AS (SELECT prompt_id, rater,
+         |    least(a, b) AS lo, greatest(a, b) AS hi,
+         |    CASE WHEN a < b THEN pa ELSE NOT pa END AS prefer_lo
+         |  FROM ann WHERE a <> b),
+         |pr AS (SELECT rater, prompt_id, lo, hi,
+         |    max(prefer_lo) AS anyv, min(prefer_lo) AS allv
+         |  FROM norm GROUP BY 1, 2, 3, 4),
+         |votes AS (SELECT prompt_id, lo, hi, anyv AS prefer_lo
+         |  FROM pr WHERE anyv = allv),
+         |res AS (SELECT prompt_id, lo, hi,
+         |    CAST(count(*) AS BIGINT) AS n_votes,
+         |    CAST(sum(CASE WHEN prefer_lo THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_lo
+         |  FROM votes GROUP BY 1, 2, 3)
+         |SELECT prompt_id, lo, hi, n_votes, n_lo,
+         |  n_votes - n_lo AS n_hi,
+         |  CASE WHEN n_lo*2 > n_votes THEN 'lo'
+         |       WHEN n_lo*2 < n_votes THEN 'hi' END AS winner,
+         |  (n_lo <> 0 AND n_lo <> n_votes) AS conflict,
+         |  CAST((abs(n_lo*2 - n_votes) * 1000000) // n_votes AS BIGINT)
+         |    AS margin_micros
+         |FROM res""".stripMargin).replaceAll(raw"\s+", " "),
 
     "q_t_unigram_pruned" -> unigramPrunedSql,
 

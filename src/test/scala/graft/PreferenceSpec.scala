@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Preference
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (prompt, a, b, preferA, rater)
+  private def ann(rows: (Long, java.lang.Long, java.lang.Long, Boolean, Long)*) =
+    rows.toDF("p", "a", "b", "pa", "r")
+
+  private def resolved(rows: (Long, java.lang.Long, java.lang.Long, Boolean, Long)*) =
+    Preference.resolveAnnotations(ann(rows: _*), "p", "a", "b", "pa", "r")
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)) ->
+        ((row.getLong(3), row.getLong(4), row.getLong(5),
+          Option(row.getString(6)), row.getBoolean(7), row.getLong(8))))
+      .toMap
+
+  test("orientation: a swapped presentation is the SAME vote — " +
+    "(x,y,preferA) and (y,x,!preferA) aggregate together") {
+    val got = resolved(
+      (1L, 10L, 20L, true, 1L),  // rater 1: prefers 10
+      (1L, 20L, 10L, false, 2L)) // rater 2: same preference, swapped
+    assert(got.keySet == Set((1L, 10L, 20L)))
+    val (n, nLo, nHi, winner, conflict, margin) = got((1L, 10L, 20L))
+    assert(n == 2L && nLo == 2L && nHi == 0L)
+    assert(winner.contains("lo") && !conflict && margin == 1000000L)
+  }
+
+  test("per-rater hygiene: identical re-submissions collapse to one " +
+    "vote; a rater voting both ways self-cancels") {
+    val got = resolved(
+      (1L, 10L, 20L, true, 1L),
+      (1L, 10L, 20L, true, 1L),   // duplicate: still ONE vote
+      (1L, 20L, 10L, false, 1L),  // same vote again, swapped form
+      (1L, 10L, 20L, false, 2L),
+      (1L, 10L, 20L, true, 2L),   // rater 2 contradicts herself: cancels
+      (1L, 10L, 20L, false, 3L))
+    val (n, nLo, nHi, winner, conflict, _) = got((1L, 10L, 20L))
+    assert(n == 2L, s"expected rater 1 + rater 3 only, got $n votes")
+    assert(nLo == 1L && nHi == 1L)
+    assert(winner.isEmpty, "a tie must resolve to NULL, not a pick")
+    assert(conflict)
+  }
+
+  test("majority, conflict, and margin semantics") {
+    val got = resolved(
+      (1L, 10L, 20L, true, 1L),
+      (1L, 10L, 20L, true, 2L),
+      (1L, 10L, 20L, false, 3L), // 2-1 for lo
+      (2L, 10L, 20L, false, 1L),
+      (2L, 10L, 20L, false, 2L)) // unanimous hi
+    val p1 = got((1L, 10L, 20L))
+    assert(p1._4.contains("lo") && p1._5, "2-1 is a conflicted lo win")
+    assert(p1._6 == 333333L, s"|2-1|/3 in truncating micros: ${p1._6}")
+    val p2 = got((2L, 10L, 20L))
+    assert(p2._4.contains("hi") && !p2._5 && p2._6 == 1000000L)
+  }
+
+  test("malformed annotations drop: self-pairs and null response ids") {
+    val got = resolved(
+      (1L, 10L, 10L, true, 1L),  // self-pair
+      (1L, null, 20L, true, 1L), // null side
+      (1L, 10L, null.asInstanceOf[java.lang.Long], false, 1L),
+      (1L, 10L, 20L, true, 1L))  // the one real vote
+    assert(got.keySet == Set((1L, 10L, 20L)))
+    assert(got((1L, 10L, 20L))._1 == 1L)
+  }
+}
