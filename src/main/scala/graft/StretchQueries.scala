@@ -4098,6 +4098,30 @@ object StretchQueries {
         "resp_a", "resp_b", "prefer_a", "rater_id")
     }),
 
+    // SFT conversation-thread assembly QA: 16-message threads
+    // synthesized from documents (conv = d div 16 so the thread COUNT
+    // scales with the corpus and fixed-modulus corruptions hit a
+    // fixed FRACTION of threads at every sf — a fixed conv count
+    // degenerates to all-corrupt as the corpus grows). d%97 shifts a
+    // turn down (duplicate + implicit gap), d%211 flips a role,
+    // d%139 blanks a message; roles derive from the ORIGINAL turn
+    // parity so a shifted turn also misaligns. One groupBy; full SQL
+    // oracle stage for stage
+    "q_sft_threads" -> ((s, dir) => {
+      val m = t(s, dir, "documents").select(
+        expr("doc_id div 16").as("conv_id"),
+        when(col("doc_id") % 97 === 0 && col("doc_id") % 16 > 0,
+          col("doc_id") % 16 - 1).otherwise(col("doc_id") % 16)
+          .as("turn"),
+        when((col("doc_id") % 16 % 2 === 0) =!=
+            (col("doc_id") % 211 === 0), lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        when(col("doc_id") % 139 === 0, lit(""))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
+      graft.operators.Conversations.assemble(m, "conv_id", "turn",
+        "role", "text")
+    }),
+
     // SQ8 quantized top-k: int8-scan ANN (4× smaller than float32)
     // whose ranking key dot8·scale_c·scale_q is PURE int64 — unlike
     // PQ's float ADC, the whole quantized ranking hash-matches the
@@ -5683,6 +5707,43 @@ object StretchQueries {
 
     "q_t_unigram_encode" -> unigramEncodeSql,
     "q_t_fertility" -> unigramFertilitySql,
+
+    // the thread-QA pipeline replayed: the same synthetic corruption
+    // maps, per-message parity expectation, one GROUP BY with the
+    // ranked status CASE, string_agg ORDER BY turn for ok threads
+    // (turn is unique there, so the order is total)
+    "q_sft_threads" ->
+      (s"""WITH m AS (SELECT doc_id // 16 AS conv_id,
+         |    CASE WHEN doc_id % 97 = 0 AND doc_id % 16 > 0
+         |      THEN doc_id % 16 - 1 ELSE doc_id % 16 END AS turn,
+         |    CASE WHEN ((doc_id % 16) % 2 = 0) <> (doc_id % 211 = 0)
+         |      THEN 'user' ELSE 'assistant' END AS role,
+         |    CASE WHEN doc_id % 139 = 0 THEN ''
+         |      ELSE coalesce(text, '') END AS text
+         |  FROM documents),
+         |g AS (SELECT conv_id,
+         |    CAST(count(*) AS BIGINT) AS n_msgs,
+         |    CAST(count(DISTINCT turn) AS BIGINT) AS n_turns,
+         |    CAST(max(turn) AS BIGINT) AS max_turn,
+         |    CAST(sum(len($tokensSql)) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN role <> (CASE WHEN turn % 2 = 0
+         |      THEN 'user' ELSE 'assistant' END) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS mismatches,
+         |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0
+         |      END) AS BIGINT) AS empties,
+         |    string_agg(role || ': ' || text, chr(10) ORDER BY turn ASC)
+         |      AS tx
+         |  FROM m GROUP BY conv_id)
+         |SELECT conv_id, n_msgs, n_turns, max_turn, n_tokens,
+         |  CASE WHEN n_msgs <> n_turns THEN 'duplicate_turn'
+         |       WHEN max_turn <> n_turns - 1 THEN 'turn_gap'
+         |       WHEN mismatches > 0 THEN 'role_break'
+         |       WHEN empties > 0 THEN 'empty_message'
+         |       ELSE 'ok' END AS status,
+         |  CASE WHEN n_msgs = n_turns AND max_turn = n_turns - 1
+         |       AND mismatches = 0 AND empties = 0 THEN tx END
+         |    AS transcript
+         |FROM g""".stripMargin).replaceAll(raw"\s+", " "),
 
     // the preference pipeline replayed stage for stage: orientation
     // normalization (flip on swap), per-rater dedup/self-cancel

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Conversations
+
+class ConversationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (conv, turn, role, text)
+  private def run(rows: (Long, Long, String, String)*) =
+    Conversations.assemble(rows.toDF("c", "t", "role", "x"),
+        "c", "t", "role", "x")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5), Option(r.getString(6)))))
+      .toMap
+
+  test("ok thread: transcript assembles in turn order with role tags; " +
+    "token count sums the messages") {
+    val got = run(
+      (1L, 1L, "assistant", "hi there"),   // out-of-order input is fine
+      (1L, 0L, "user", "hello"),
+      (1L, 2L, "user", "how are you"))
+    val (nMsgs, nTurns, maxTurn, nTok, status, tx) = got(1L)
+    assert(nMsgs == 3 && nTurns == 3 && maxTurn == 2)
+    assert(status == "ok")
+    assert(tx.contains("user: hello\nassistant: hi there\nuser: how are you"))
+    assert(nTok == 6L, s"1 + 2 + 3 whitespace tokens, got $nTok")
+  }
+
+  test("violations rank structurally first and transcript is NULL: " +
+    "duplicate_turn > turn_gap > role_break > empty_message") {
+    val got = run(
+      // conv 1: duplicate turn AND a role break — duplicate wins
+      (1L, 0L, "user", "a"), (1L, 0L, "assistant", "b"),
+      // conv 2: pure gap (0 then 2)
+      (2L, 0L, "user", "a"), (2L, 2L, "user", "b"),
+      // conv 3: contiguous but roles do not alternate
+      (3L, 0L, "user", "a"), (3L, 1L, "user", "b"),
+      // conv 4: starts with the wrong role — also a role break
+      (4L, 0L, "assistant", "a"), (4L, 1L, "user", "b"),
+      // conv 5: alternates but one message is whitespace-only
+      (5L, 0L, "user", "a"), (5L, 1L, "assistant", "  "),
+      // conv 6: clean
+      (6L, 0L, "user", "a"), (6L, 1L, "assistant", "b"))
+    assert(got(1L)._5 == "duplicate_turn" && got(1L)._6.isEmpty)
+    assert(got(2L)._5 == "turn_gap" && got(2L)._6.isEmpty)
+    assert(got(3L)._5 == "role_break" && got(3L)._6.isEmpty)
+    assert(got(4L)._5 == "role_break")
+    assert(got(5L)._5 == "empty_message" && got(5L)._6.isEmpty)
+    assert(got(6L)._5 == "ok" && got(6L)._6.contains("user: a\nassistant: b"))
+  }
+
+  test("null text counts as empty, never crashes assembly") {
+    val rows = Seq((1L, 0L, "user", "a"),
+      (1L, 1L, "assistant", null.asInstanceOf[String]))
+    val got = Conversations.assemble(rows.toDF("c", "t", "role", "x"),
+        "c", "t", "role", "x")
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(got(1L) == "empty_message")
+  }
+
+  test("single-message thread: a lone user turn 0 is ok by the rules") {
+    val got = run((1L, 0L, "user", "hello"))
+    assert(got(1L)._5 == "ok" && got(1L)._6.contains("user: hello"))
+  }
+}
