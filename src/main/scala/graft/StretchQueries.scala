@@ -1750,6 +1750,26 @@ object StretchQueries {
         matchCol = "label", k = 5, nprobe = 4)
     }),
 
+    // FILTERED graph ANN: attribute-carrying HNSW index (label stored
+    // on the graph rows), predicate evaluated scan-side, traversal
+    // routes THROUGH failing nodes while only passing ones spend the
+    // result budget (ShardGraph.searchWhere — pre-filtering the graph
+    // disconnects it exactly when the predicate is selective, the
+    // ACORN problem; post-filtering starves k). Own scratch path: the
+    // attrs fingerprint differs from the plain index and sharing the
+    // path would ping-pong rebuilds between the two gates. Exhaustive
+    // mode (ef=0, full probe) ⇒ shares q_v_topk_flt's filtered
+    // brute-force oracle; finite-ef filtered recall pinned in HnswSpec
+    "q_v_topk_hnsw_flt" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_fl_q_" +
+        graft.engine.Scratch.encode(dir)
+      Hnsw.ensureIndex(emb, s"$dir/embeddings.parquet", scratch,
+        shards = 4, m = 8, efC = 32, attrCols = Seq("label"))
+      Hnsw.searchIndexWhere(s, scratch, emb.filter(col("vec_id") < 16),
+        predicate = col("label") < 5, k = 5, nprobe = 4, ef = 0)
+    }),
+
     // graph ANN (sharded HNSW): build-if-stale persisted index, cold
     // reload, search in the exhaustive mode (full probe + unbounded
     // ef) — the connectivity-repair pass makes unbounded graph search
@@ -4741,6 +4761,9 @@ object StretchQueries {
       // set: the per-query arm shares the positives oracle outright;
       // the static-predicate arm gets its own WHERE'd brute force
       ("q_v_topk_pos_idx" -> oracleSqlMap("q_v_topk_pos")) +
+      // exhaustive filtered graph search ≡ brute force over the
+      // label<5 slice — the same filtered oracle as the IVF arm
+      ("q_v_topk_hnsw_flt" -> oracleSqlMap("q_v_topk_flt")) +
       // deterministic training ⇒ the shipped-artifact encode is
       // bit-identical to the in-memory arm (UnigramLmSpec pins the
       // roundtrip); the gate exercises persist + cold reload + meta

@@ -281,6 +281,74 @@ object Hnsw {
       // from the entry = everything, by repair's guarantee.
       searchLayer(q, qn, Seq(ep, entry), effEf, 0).map(t => ids(t._2))
     }
+
+    /** FILTERED candidate ids: graph traversal routes through EVERY
+      * node (a failing node stays a stepping stone — pre-filtering
+      * the graph would disconnect it exactly when the predicate is
+      * selective, the failure mode ACORN-style filtered ANN exists
+      * to avoid), but only nodes passing `pass` are admitted to the
+      * result set, and `ef` budgets PASSING results. `ef <= 0` →
+      * unbounded: every passing node reachable from the entry — which
+      * by repair's guarantee is every passing node, so exhaustive
+      * filtered search is provably exact and shares a brute-force
+      * oracle over the filtered slice.
+      */
+    def searchWhere(q: Array[Float], ef: Int,
+                    pass: Int => Boolean): Array[Long] = {
+      if (n == 0 || entry < 0) return Array.empty
+      var qsq = 0.0
+      var j = 0
+      while (j < q.length) { qsq += q(j).toDouble * q(j).toDouble; j += 1 }
+      val qn = math.sqrt(qsq)
+      var ep = entry
+      var lev = levels(entry)
+      while (lev > 0) { ep = greedyStep(q, qn, ep, lev); lev -= 1 }
+      val effEf = if (ef <= 0) n else ef
+      val visited = new java.util.BitSet(n)
+      val cand = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(
+        Ordering.by[(Double, Int), (Double, Long)](t => (t._1, -ids(t._2))))
+      val res = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(
+        Ordering.by[(Double, Int), (Double, Long)](t => (-t._1, ids(t._2))))
+      Seq(ep, entry).foreach { e =>
+        if (!visited.get(e)) {
+          visited.set(e)
+          val s = simTo(e, q, qn)
+          cand.enqueue((s, e))
+          if (pass(e)) {
+            res.enqueue((s, e))
+            if (res.size > effEf) res.dequeue(): Unit
+          }
+        }
+      }
+      while (cand.nonEmpty) {
+        val (cs, c) = cand.dequeue()
+        val worst = if (res.isEmpty) Double.NegativeInfinity else res.head._1
+        // the frontier cutoff only applies once the PASSING budget is
+        // met: with fewer than ef passing results every reachable
+        // node is still a potential route to one
+        if (res.size >= effEf && !better(cs, c, worst, res.head._2)) {
+          cand.clear()
+        } else {
+          adj(c)(0).foreach { nb =>
+            if (!visited.get(nb)) {
+              visited.set(nb)
+              val s = simTo(nb, q, qn)
+              // expansion admits every unvisited node (routability);
+              // the result heap admits only passing ones
+              if (res.size < effEf ||
+                  better(s, nb, res.head._1, res.head._2)) {
+                cand.enqueue((s, nb))
+                if (pass(nb)) {
+                  res.enqueue((s, nb))
+                  if (res.size > effEf) res.dequeue(): Unit
+                }
+              }
+            }
+          }
+        }
+      }
+      res.dequeueAll.reverse.toArray.map(t => ids(t._2))
+    }
   }
 
   /** Build one shard's graph from its (id, vec) rows and emit the
@@ -312,21 +380,27 @@ object Hnsw {
                   shards: Int, m: Int = 16, efC: Int = 100,
                   iters: Int = 2, seed: Long = 42L,
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): Unit =
+                  vecCol: String = "embedding",
+                  attrCols: Seq[String] = Nil): Unit =
     graft.engine.Scratch.ensureAt(df.sparkSession, indexPath, sourcePath,
       // structured numeric params FIRST, free-form values (paths,
       // column names) LAST: appendToIndex re-parses m/efC from this
       // marker with comma-anchored first-match regexes, so a path
       // like `/dim=64/` — or even a pathological `,m=9,` inside it —
-      // can never shadow the genuine fields
+      // can never shadow the genuine fields. `attrs` (the filtered-ANN
+      // attribute columns stored on the graph rows) serializes before
+      // the path for the same reason; empty attrs keeps the legacy
+      // string so existing indexes stay fresh.
       fingerprint = s"hnsw,shards=$shards,m=$m,efC=$efC,iters=$iters," +
-        s"seed=$seed,idCol=$idCol,vecCol=$vecCol,src=$sourcePath",
+        s"seed=$seed," +
+        (if (attrCols.isEmpty) "" else s"attrs=${attrCols.mkString("+")},") +
+        s"idCol=$idCol,vecCol=$vecCol,src=$sourcePath",
       markerName = "_INDEX_READY") { dir =>
       val spark = df.sparkSession
       import spark.implicits._
       val model = Ivf.train(df, shards, iters, seed, idCol, vecCol)
       Ivf.saveModel(spark, model, s"$dir/centroids")
-      Ivf.assign(df, model, vecCol)
+      val graph = Ivf.assign(df, model, vecCol)
         .select(col("cluster"), col(idCol).cast("long").as("id"),
           col(vecCol).cast("array<float>").as("vec"))
         .as[(Int, Long, Seq[Float])]
@@ -334,7 +408,15 @@ object Hnsw {
         .flatMapGroups((cl, it) =>
           buildShard(cl, it.map(r => (r._2, r._3)), m, efC))
         .toDF()
-        .write.partitionBy("cluster").mode("overwrite")
+      // attribute columns ride the graph rows themselves (one
+      // build-time join), so a filtered search evaluates its predicate
+      // scan-side on the shard it reads — no side table, no second
+      // lookup at query time
+      val out = if (attrCols.isEmpty) graph
+        else graph.join(
+          df.select(col(idCol).cast("long").as("vec_id") +:
+            attrCols.map(col): _*), Seq("vec_id"))
+      out.write.partitionBy("cluster").mode("overwrite")
         .parquet(s"$dir/graph")
       // drift-meter base: build-time row count, the denominator of
       // appendedFraction (the Ivf._ROWS_BASE protocol). Footer-only —
@@ -375,6 +457,28 @@ object Hnsw {
     (param("m"), param("efC"))
   }
 
+  /** Attribute columns stored on this index's graph rows (empty for a
+    * plain index) — parsed from the same marker as [[markerParams]],
+    * so maintenance ops carry them through without the caller having
+    * to remember.
+    */
+  private def markerAttrs(spark: SparkSession,
+                          indexPath: String): Seq[String] = {
+    val markerPath = new org.apache.hadoop.fs.Path(
+      s"$indexPath/_INDEX_READY")
+    val fs = markerPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(markerPath), s"no HNSW index at $indexPath")
+    val marker = {
+      val in = fs.open(markerPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    "(?:^|,)attrs=([^,]*)(?=,|$)".r.findFirstMatchIn(marker)
+      .map(_.group(1).split('+').filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+  }
+
   /** Incremental index growth (the FAISS `add` shape, like
     * [[Ivf.appendToIndex]]): new vectors route through the EXISTING
     * centroids (no retrain), and only the TOUCHED shards rebuild —
@@ -406,20 +510,37 @@ object Hnsw {
       Ivf.writeCountFile(spark, s"$indexPath/_ROWS_BASE",
         footerShardSizes(spark, indexPath).values.sum)
     val model = Ivf.loadModelCached(spark, s"$indexPath/centroids")
+    // an attribute-carrying index (filtered ANN) must keep its attrs
+    // through a touched-shard rebuild: the delta is REQUIRED to carry
+    // them (a silent null-fill would make appended rows invisible to
+    // every predicate), and the rebuilt shards re-join attrs from
+    // existing ∪ delta — buildShard itself stays attr-free
+    val attrs = markerAttrs(spark, indexPath)
+    val missing = attrs.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"index at $indexPath stores attribute column(s) ${attrs.mkString(",")}; " +
+        s"the append delta lacks ${missing.mkString(",")}")
     val assigned = Ivf.assign(df, model, vecCol)
       .select(col("cluster"), col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"))
       .as[(Int, Long, Seq[Float])]
     val touched = assigned.map(_._1).distinct().collect().sorted
-    val existing = spark.read.parquet(s"$indexPath/graph")
+    val graphExisting = spark.read.parquet(s"$indexPath/graph")
       .filter(col("cluster").isin(touched.toIndexedSeq: _*))
+    val existing = graphExisting
       .select(col("cluster"), col("vec_id").as("id"), col("vec"))
       .as[(Int, Long, Seq[Float])]
-    val rebuilt = existing.union(assigned)
+    val rebuiltBare = existing.union(assigned)
       .groupByKey(_._1)
       .flatMapGroups((cl, it) =>
         buildShard(cl, it.map(r => (r._2, r._3)), m, efC))
       .toDF()
+    val rebuilt = if (attrs.isEmpty) rebuiltBare
+      else rebuiltBare.join(
+        graphExisting.select(col("vec_id") +: attrs.map(col): _*)
+          .unionByName(df.select(
+            col(idCol).cast("long").as("vec_id") +: attrs.map(col): _*)),
+        Seq("vec_id"))
     val prev = spark.conf.getOption(
       "spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -624,13 +745,13 @@ object Hnsw {
     val model = Ivf.loadModelCached(spark, s"$indexPath/centroids")
     require(cluster >= 0 && cluster < model.centroids.length,
       s"no shard $cluster in a ${model.centroids.length}-shard index")
-    val shard = spark.read.parquet(s"$indexPath/graph")
+    val shardAll = spark.read.parquet(s"$indexPath/graph")
       .filter(col("cluster") === cluster)
-      .select(col("vec_id").as("id"), col("vec"))
+    val shard = shardAll.select(col("vec_id").as("id"), col("vec"))
     val sub = Ivf.train(shard, k = 2, iters = iters, seed = seed,
       idCol = "id", vecCol = "vec")
     val newId = model.centroids.length
-    val rebuilt = shard
+    val rebuiltBare = shard
       .select(
         when(element_at(
           nearestCentroids(col("vec"), sub.centroids, 1), 1) === 0,
@@ -641,6 +762,13 @@ object Hnsw {
       .flatMapGroups((cl, it) =>
         buildShard(cl, it.map(r => (r._2, r._3)), m, efC))
       .toDF()
+    // an attribute-carrying index keeps its attrs through the split
+    // (the appendToIndex contract: the split rows already carry them)
+    val attrs = markerAttrs(spark, indexPath)
+    val rebuilt = if (attrs.isEmpty) rebuiltBare
+      else rebuiltBare.join(
+        shardAll.select(col("vec_id") +: attrs.map(col): _*),
+        Seq("vec_id"))
     val prev = spark.conf.getOption(
       "spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -795,6 +923,100 @@ object Hnsw {
     // exact rescore over the stored vectors — the graph only nominated
     val corpus = spark.read.parquet(s"$indexPath/graph")
       .filter(col("cluster").isin(probed: _*))
+      .select(col("vec_id").as("n_id"), col("vec").as("n_vec"))
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).cast("array<float>").as("q_vec"))
+    val scored = cands
+      .join(corpus, Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cosine"))
+    TopK.topKPerKey(scored, k)(spark)
+  }
+
+  /** FILTERED graph ANN over an attribute-carrying index (built with
+    * `ensureIndex(attrCols = …)`): the predicate — any Column over the
+    * stored attribute columns — evaluates SCAN-SIDE on the shard rows,
+    * and the traversal routes through failing nodes while admitting
+    * only passing ones to the result budget ([[ShardGraph.searchWhere]]
+    * — the ACORN-style semantics: pre-filtering the graph would
+    * disconnect it exactly when the predicate is selective; a
+    * post-filter would starve the k budget). `ef` counts PASSING
+    * candidates; `ef = 0` is exhaustive over the passing set (repair
+    * guarantees reachability), so the full-probe gate shares a
+    * brute-force oracle over the filtered slice. NULL predicate rows
+    * fail (SQL boolean semantics). The rescore phase re-applies the
+    * predicate at its scan, so it reads only qualifying vectors.
+    */
+  def searchIndexWhere(spark: SparkSession, indexPath: String,
+                       queries: DataFrame,
+                       predicate: org.apache.spark.sql.Column,
+                       k: Int, nprobe: Int = 2, ef: Int = 64,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val model = Ivf.loadModelCached(spark, s"$indexPath/centroids")
+    val qRows = queries
+      .select(col(idCol).cast("long").as("q_id"),
+        col(vecCol).cast("array<float>").as("q_vec"),
+        nearestCentroids(col(vecCol), model.centroids, nprobe).as("probe"))
+      .as[(Long, Seq[Float], Seq[Int])]
+      .collect()
+    val byShard: Map[Int, Array[(Long, Array[Float])]] = qRows
+      .flatMap { case (qid, v, probe) =>
+        probe.map(c => (c, (qid, v.toArray)))
+      }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val bq = spark.sparkContext.broadcast(byShard)
+    val probed = byShard.keys.toSeq.sorted
+    val graph = spark.read.parquet(s"$indexPath/graph")
+      .filter(col("cluster").isin(probed: _*))
+    val cands = graph
+      .select(col("cluster"), col("vec_id"), col("vec"), col("adj"),
+        coalesce(predicate.cast("boolean"), lit(false)).as("__pass"))
+      .as[(Int, Long, Seq[Float], Seq[Seq[Long]], Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroups { (cl, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val ids = rows.map(_._2)
+        val idToIdx = ids.zipWithIndex.toMap
+        val pass = rows.map(_._5)
+        val g = new ShardGraph(ids, rows.map(_._3.toArray), m = 16,
+          levelsIn = rows.map(_._4.length - 1))
+        var i = 0
+        while (i < g.n) {
+          val stored = rows(i)._4
+          var l = 0
+          while (l < stored.length) {
+            g.adj(i)(l).clear()
+            g.adj(i)(l) ++= stored(l).iterator.flatMap(idToIdx.get(_))
+            l += 1
+          }
+          i += 1
+        }
+        // entry = (max level, min id), exactly as [[searchIndex]]
+        // restores it — the stored graph is already repaired at build
+        // time, so reachability holds from this entry
+        if (g.n > 0) {
+          var best = 0
+          var i2 = 1
+          while (i2 < g.n) {
+            if (g.levels(i2) > g.levels(best)) best = i2
+            i2 += 1
+          }
+          g.entry = best
+        }
+        bq.value.getOrElse(cl, Array.empty[(Long, Array[Float])])
+          .iterator.flatMap { case (qid, qv) =>
+            g.searchWhere(qv, ef, i => pass(i)).iterator
+              .filter(_ != qid)
+              .map(nid => (qid, nid))
+          }
+      }
+      .toDF("q_id", "n_id")
+    val corpus = spark.read.parquet(s"$indexPath/graph")
+      .filter(col("cluster").isin(probed: _*))
+      .filter(coalesce(predicate.cast("boolean"), lit(false)))
       .select(col("vec_id").as("n_id"), col("vec").as("n_vec"))
     val q = queries.select(col(idCol).cast("long").as("q_id"),
       col(vecCol).cast("array<float>").as("q_vec"))

@@ -45,6 +45,10 @@ object ScaleGate {
     // everything per query would blow past it
     "q_v_topk_flt" -> 6.0,
     "q_v_topk_pos_idx" -> 6.0,
+    // filtered graph ANN: index build amortizes (ensureIndex skips
+    // when fresh), the searched work is the probed shards' rows —
+    // same family as the unfiltered hnsw arm
+    "q_v_topk_hnsw_flt" -> 8.0,
     "q_v_neardup" -> 10.0,
     "q_v_semdedup" -> 8.0,
     // vocabulary-sized model tables + per-doc integer dot products:

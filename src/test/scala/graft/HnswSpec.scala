@@ -354,4 +354,101 @@ class HnswSpec extends SparkSpec {
     assert(Hnsw.needsRebuild(spark, idx, maxShardSkew = Double.MaxValue),
       "the append axis must be able to fire on a legacy index")
   }
+
+  private def freshAttrIndex(tag: String): String = {
+    val p = tmpDir(tag) + "/idx"
+    Hnsw.ensureIndex(emb, s"$dir/embeddings.parquet", p, shards = 4,
+      m = 8, efC = 32, attrCols = Seq("label"))
+    p
+  }
+
+  test("filtered search, exhaustive mode: equals brute force over the " +
+    "filtered slice (failing nodes stay routable)") {
+    val idx = freshAttrIndex("hnsw-flt-ex")
+    val q = emb.filter(col("vec_id") < 16)
+    val got = Hnsw.searchIndexWhere(spark, idx, q,
+        predicate = col("label") < 5, k = 5, nprobe = 4, ef = 0)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val want = SimilaritySearch.bruteForceTopK(
+        emb.filter(col("label") < 5), q, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(got == want, "exhaustive filtered graph search diverged")
+    // a HIGHLY selective predicate: only ~10% of nodes pass — every
+    // route to them goes through failing nodes, and exhaustive
+    // traversal still finds them all (pre-filtering the graph would
+    // strand them)
+    val rare = Hnsw.searchIndexWhere(spark, idx, q,
+        predicate = col("label") === 3, k = 5, nprobe = 4, ef = 0)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val rareWant = SimilaritySearch.bruteForceTopK(
+        emb.filter(col("label") === 3), q, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(rare == rareWant, "selective filtered search diverged")
+  }
+
+  test("filtered search, finite ef: the ef budget counts PASSING " +
+    "candidates — in-traversal filtering beats post-filtering the " +
+    "same budget") {
+    val idx = freshAttrIndex("hnsw-flt-ef")
+    val q = emb.filter(col("vec_id") < 32)
+    val exact = SimilaritySearch.bruteForceTopK(
+      emb.filter(col("label") < 3), q, k = 5)
+    val filtered = Hnsw.searchIndexWhere(spark, idx, q,
+      predicate = col("label") < 3, k = 5, nprobe = 4, ef = 16)
+    val rF = SimilaritySearch.recallAtK(exact, filtered)
+      .agg(sum(col("n_hit")), sum(col("n_exact"))).head
+    val recallF = rF.getLong(0).toDouble / rF.getLong(1)
+    // post-filter arm: UNFILTERED ef=16 nomination, predicate applied
+    // after — with ~30% selectivity most nominations are wasted
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val post = Hnsw.searchIndex(spark, idx, q, k = 64, nprobe = 4, ef = 16)
+      .filter(col("rank") <= 16) // the same 16-candidate budget
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .filter { case (_, n) => labels(n) < 3 }
+      .groupBy(_._1).view.mapValues(_.map(_._2).take(5).toSet).toMap
+    val exactSet = exact.select("q_id", "n_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val postHits = exactSet.map { case (qid, want) =>
+      want.intersect(post.getOrElse(qid, Set.empty)).size
+    }.sum
+    val recallP = postHits.toDouble / exactSet.values.map(_.size).sum
+    info(f"filtered-ef recall: $recallF%.3f vs post-filter $recallP%.3f")
+    assert(recallF > recallP,
+      s"in-traversal filtering must beat post-filtering: $recallF vs $recallP")
+    assert(recallF >= 0.8, s"filtered recall collapsed: $recallF")
+  }
+
+  test("attrs survive appendToIndex and splitShard; a delta without " +
+    "the attr column is refused loudly") {
+    val idx = tmpDir("hnsw-flt-inc") + "/idx"
+    val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    Hnsw.ensureIndex(half0, s"$dir/embeddings.parquet", idx, shards = 4,
+      m = 8, efC = 32, attrCols = Seq("label"))
+    Hnsw.appendToIndex(half1, idx)
+    val q = emb.filter(col("vec_id") < 16)
+    val got = Hnsw.searchIndexWhere(spark, idx, q,
+        predicate = col("label") < 5, k = 5, nprobe = 4, ef = 0)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val want = SimilaritySearch.bruteForceTopK(
+        emb.filter(col("label") < 5), q, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(got == want, "filtered search over an appended index diverged")
+    // split the hottest shard: attrs must carry into both halves
+    val sizes = Hnsw.footerShardSizes(spark, idx)
+    val hot = sizes.maxBy(_._2)._1
+    Hnsw.splitShard(spark, idx, hot)
+    val got2 = Hnsw.searchIndexWhere(spark, idx, q,
+        predicate = col("label") < 5, k = 5, nprobe = 5, ef = 0)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(got2 == want, "filtered search over a split index diverged")
+    // loud refusal: appending rows with no label column would make
+    // them invisible to every predicate
+    val err = intercept[IllegalArgumentException] {
+      Hnsw.appendToIndex(half1.select(col("vec_id") + 1000000L
+        as "vec_id", col("embedding")), idx)
+    }
+    assert(err.getMessage.contains("label"))
+  }
 }
