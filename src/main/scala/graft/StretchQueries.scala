@@ -4142,6 +4142,19 @@ object StretchQueries {
         "role", "text")
     }),
 
+    // best-of-n (rejection-sampling) assembly: 8 candidates per
+    // prompt, integer rewards from a multiplicative map, argmax with
+    // (reward desc, id asc) tie-break, prompts whose best reward
+    // misses the floor drop entirely. One struct-max aggregation
+    "q_pref_bestof" -> ((s, dir) => {
+      val cands = t(s, dir, "documents").select(
+        expr("doc_id div 8").as("prompt_id"),
+        col("doc_id").as("resp_id"),
+        (col("doc_id") * 37 % 101).as("reward"))
+      graft.operators.Preference.bestOfN(cands, "prompt_id", "resp_id",
+        "reward", minReward = 20L)
+    }),
+
     // SQ8 quantized top-k: int8-scan ANN (4× smaller than float32)
     // whose ranking key dot8·scale_c·scale_q is PURE int64 — unlike
     // PQ's float ADC, the whole quantized ranking hash-matches the
@@ -5767,6 +5780,24 @@ object StretchQueries {
          |       AND mismatches = 0 AND empties = 0 THEN tx END
          |    AS transcript
          |FROM g""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // best-of-n replayed: row_number over the (reward desc, id asc)
+    // total order per prompt, rank-1 rows, audit aggregates, floor
+    "q_pref_bestof" ->
+      ("""WITH c AS (SELECT doc_id // 8 AS prompt_id, doc_id AS resp_id,
+         |    (doc_id * 37) % 101 AS reward FROM documents),
+         |r AS (SELECT prompt_id, resp_id, reward, row_number() OVER
+         |    (PARTITION BY prompt_id ORDER BY reward DESC, resp_id ASC)
+         |    AS rk FROM c),
+         |a AS (SELECT prompt_id, CAST(count(*) AS BIGINT)
+         |    AS n_candidates, CAST(min(reward) AS BIGINT) AS min_reward
+         |  FROM c GROUP BY prompt_id)
+         |SELECT r.prompt_id, r.resp_id AS best_resp,
+         |  CAST(r.reward AS BIGINT) AS best_reward,
+         |  a.n_candidates, a.min_reward
+         |FROM r JOIN a ON r.prompt_id = a.prompt_id
+         |WHERE r.rk = 1 AND r.reward >= 20""".stripMargin)
+        .replaceAll(raw"\s+", " "),
 
     // the preference pipeline replayed stage for stage: orientation
     // normalization (flip on swap), per-rater dedup/self-cancel

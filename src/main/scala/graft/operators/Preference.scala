@@ -88,6 +88,32 @@ object Preference {
         expr("(abs(n_lo * 2 - n_votes) * 1000000L) div n_votes")
           .as("margin_micros"))
 
+  /** Best-of-n (rejection-sampling) assembly — the RFT/RLHF sibling
+    * of [[resolve]]: per prompt, from n candidate responses with
+    * reward scores, keep the argmax (reward desc, response-id asc —
+    * a total order, so the pick is engine-reproducible when rewards
+    * are exact integers) PLUS the audit columns a curation ledger
+    * wants: candidate count and the reward spread. Prompts whose BEST
+    * candidate scores below `minReward` drop entirely (the rejection
+    * half: if even the best is bad, no training example is minted).
+    *
+    * ONE struct-max aggregation (the LPA argmax discipline — never a
+    * window over the candidate table); n_candidates and spread ride
+    * the same pass.
+    */
+  def bestOfN(df: DataFrame, promptCol: String, respCol: String,
+              rewardCol: String, minReward: Long = Long.MinValue): DataFrame =
+    df.groupBy(col(promptCol))
+      .agg(max(struct(col(rewardCol).cast("long").as("r"),
+          (-col(respCol)).cast("long").as("nid"))).as("__best"),
+        count(lit(1)).as("n_candidates"),
+        min(col(rewardCol).cast("long")).as("min_reward"))
+      .select(col(promptCol),
+        (-col("__best.nid")).as("best_resp"),
+        col("__best.r").as("best_reward"),
+        col("n_candidates"), col("min_reward"))
+      .filter(col("best_reward") >= minReward)
+
   /** The full pipeline: raw annotations → canonical orientation →
     * per-rater hygiene → majority resolution.
     */

@@ -60,6 +60,23 @@ class PreferenceSpec extends SparkSpec {
     assert(p2._4.contains("hi") && !p2._5 && p2._6 == 1000000L)
   }
 
+  test("bestOfN: argmax with (reward desc, id asc) tie-break, audit " +
+    "columns, and the rejection floor") {
+    val cands = Seq(
+      (1L, 10L, 50L), (1L, 11L, 80L), (1L, 12L, 80L), // tie at 80 → id 11
+      (2L, 20L, 5L), (2L, 21L, 10L),                  // best 10 < floor
+      (3L, 30L, 99L))
+      .toDF("p", "resp", "rw")
+    val got = Preference.bestOfN(cands, "p", "resp", "rw", minReward = 20L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set(1L, 3L), "prompt 2 must be rejected whole")
+    assert(got(1L) == ((11L, 80L, 3L, 50L)),
+      s"tie must break to the lower id: ${got(1L)}")
+    assert(got(3L) == ((30L, 99L, 1L, 99L)))
+  }
+
   test("malformed annotations drop: self-pairs and null response ids") {
     val got = resolved(
       (1L, 10L, 10L, true, 1L),  // self-pair
