@@ -4142,6 +4142,40 @@ object StretchQueries {
         "role", "text")
     }),
 
+    // STREAMING preference resolution: the same annotation synth fed
+    // as two epochs (even doc_ids, then odd) through the changelog
+    // stream — per-pair monotone upd counter, per-rater side map as
+    // state so a batches-apart contradiction cancels exactly like a
+    // same-batch one. The latest-wins view over the changelog (the
+    // CDC-consumer read) is bit-identical to the batch resolver over
+    // the whole feed ⇒ shares q_pref_resolve's oracle verbatim
+    "q_pref_stream" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_spref_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val (feed, out, ckpt) = (s"$scratch/feed", s"$scratch/out",
+        s"$scratch/ckpt")
+      val ann = t(s, dir, "documents").select(
+        (col("doc_id") % 50).as("prompt_id"),
+        (col("doc_id") % 7).as("resp_a"),
+        ((col("doc_id") * 3 + 1) % 7).as("resp_b"),
+        (expr("(doc_id % 50 + (doc_id % 7) * 2 + " +
+          "((doc_id div 50) % 5) * 3) % 5 < 3") =!=
+          (col("doc_id") % 97 === 0)).as("prefer_a"),
+        expr("(doc_id div 50) % 5").as("rater_id"),
+        col("doc_id"))
+      ann.filter(col("doc_id") % 2 === 0).drop("doc_id")
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingPreference.resolutionStream(
+        s, feed, out, ckpt)
+      ann.filter(col("doc_id") % 2 === 1).drop("doc_id")
+        .coalesce(1).write.mode("append").parquet(feed)
+      val changelog = graft.streaming.StreamingPreference
+        .resolutionStream(s, feed, out, ckpt)
+      graft.streaming.StreamingPreference.latest(changelog)
+    }),
+
     // best-of-n (rejection-sampling) assembly: 8 candidates per
     // prompt, integer rewards from a multiplicative map, argmax with
     // (reward desc, id asc) tie-break, prompts whose best reward
@@ -4777,6 +4811,10 @@ object StretchQueries {
       // exhaustive filtered graph search ≡ brute force over the
       // label<5 slice — the same filtered oracle as the IVF arm
       ("q_v_topk_hnsw_flt" -> oracleSqlMap("q_v_topk_flt")) +
+      // latest-wins over the streaming changelog ≡ the batch resolver
+      // over the whole feed (per-rater side map makes cross-batch
+      // hygiene exact; StreamingSpec-style pins in PreferenceSpec)
+      ("q_pref_stream" -> oracleSqlMap("q_pref_resolve")) +
       // deterministic training ⇒ the shipped-artifact encode is
       // bit-identical to the in-memory arm (UnigramLmSpec pins the
       // roundtrip); the gate exercises persist + cold reload + meta

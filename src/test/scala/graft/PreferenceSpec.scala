@@ -77,6 +77,45 @@ class PreferenceSpec extends SparkSpec {
     assert(got(3L) == ((30L, 99L, 1L, 99L)))
   }
 
+  test("streaming resolution: latest-wins over the changelog equals " +
+    "the batch resolver; a later epoch revises an earlier winner and " +
+    "a cross-batch contradiction cancels") {
+    import graft.streaming.StreamingPreference
+    val base = tmpDir("pref-stream")
+    val (feed, out, ckpt) = (s"$base/feed", s"$base/out", s"$base/ckpt")
+    // epoch 0: rater 1 prefers lo, rater 2 prefers lo → winner lo
+    val e0 = ann((1L, 10L, 20L, true, 1L), (1L, 10L, 20L, true, 2L),
+      (2L, 10L, 20L, true, 7L))
+    // epoch 1: raters 3,4,5 prefer hi → winner flips to hi; rater 7
+    // contradicts her epoch-0 vote on prompt 2 → cancels across batches
+    val e1 = ann((1L, 10L, 20L, false, 3L), (1L, 10L, 20L, false, 4L),
+      (1L, 20L, 10L, true, 5L), (2L, 20L, 10L, true, 7L))
+    e0.coalesce(1).write.mode("append").parquet(feed)
+    StreamingPreference.resolutionStream(spark, feed, out, ckpt,
+      "p", "a", "b", "pa", "r")
+    e1.coalesce(1).write.mode("append").parquet(feed)
+    val changelog = StreamingPreference.resolutionStream(spark, feed,
+      out, ckpt, "p", "a", "b", "pa", "r")
+    // the changelog RECORDS the revision: pair (1,10,20) has an early
+    // row with winner lo and a later row with winner hi
+    val p1 = changelog.filter(col("prompt_id") === 1L)
+      .select("upd", "winner").as[(Int, String)].collect().toMap
+    assert(p1.size >= 2 && p1(p1.keys.min) == "lo" && p1(p1.keys.max) == "hi",
+      s"changelog must record the flip: $p1")
+    // latest-wins ≡ batch over the union; prompt 2 vanishes entirely
+    // (its only rater self-cancelled across batches)
+    val got = StreamingPreference.latest(changelog)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(6))).toSet
+    val want = Preference.resolveAnnotations(e0.unionByName(e1),
+        "p", "a", "b", "pa", "r")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(6))).toSet
+    assert(got == want, s"stream != batch:\n got=$got\n want=$want")
+    assert(!got.exists(_._1 == 2L), "cancelled-rater pair must vanish")
+    assert(got.exists(t => t._1 == 1L && t._4 == 5L && t._5 == "hi"))
+  }
+
   test("malformed annotations drop: self-pairs and null response ids") {
     val got = resolved(
       (1L, 10L, 10L, true, 1L),  // self-pair
