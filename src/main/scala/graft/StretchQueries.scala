@@ -4176,6 +4176,24 @@ object StretchQueries {
       graft.streaming.StreamingPreference.latest(changelog)
     }),
 
+    // per-rater quality (annotator audit): leave-one-out agreement
+    // with each pair's consensus — own vote excluded, a vote counts
+    // only when the OTHER raters hold a strict majority; exact
+    // truncating micros, NULL when a rater never had an independent
+    // consensus to be judged against
+    "q_pref_raters" -> ((s, dir) => {
+      val ann = t(s, dir, "documents").select(
+        (col("doc_id") % 50).as("prompt_id"),
+        (col("doc_id") % 7).as("resp_a"),
+        ((col("doc_id") * 3 + 1) % 7).as("resp_b"),
+        (expr("(doc_id % 50 + (doc_id % 7) * 2 + " +
+          "((doc_id div 50) % 5) * 3) % 5 < 3") =!=
+          (col("doc_id") % 97 === 0)).as("prefer_a"),
+        expr("(doc_id div 50) % 5").as("rater_id"))
+      graft.operators.Preference.raterQuality(ann, "prompt_id",
+        "resp_a", "resp_b", "prefer_a", "rater_id")
+    }),
+
     // best-of-n (rejection-sampling) assembly: 8 candidates per
     // prompt, integer rewards from a multiplicative map, argmax with
     // (reward desc, id asc) tie-break, prompts whose best reward
@@ -4347,6 +4365,34 @@ object StretchQueries {
 
   private val tokensSql =
     raw"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> length(t) > 0)"
+
+  /** Shared preference-vote CTE chain (the q_pref_* synth + the
+    * normalize/hygiene/tally stages), ending in `votes(prompt_id, lo,
+    * hi, prefer_lo)` and `res(prompt_id, lo, hi, n_votes, n_lo)` —
+    * one definition for the resolver and rater-audit oracles.
+    */
+  private val prefVotesCtes: String =
+    ("""ann AS (SELECT doc_id % 50 AS prompt_id,
+       |    doc_id % 7 AS a, (doc_id*3+1) % 7 AS b,
+       |    (((doc_id % 50 + (doc_id % 7) * 2 + ((doc_id // 50) % 5) * 3)
+       |      % 5 < 3) <> (doc_id % 97 = 0)) AS pa,
+       |    (doc_id // 50) % 5 AS rater
+       |  FROM documents),
+       |norm AS (SELECT prompt_id, rater,
+       |    least(a, b) AS lo, greatest(a, b) AS hi,
+       |    CASE WHEN a < b THEN pa ELSE NOT pa END AS prefer_lo
+       |  FROM ann WHERE a <> b),
+       |pr AS (SELECT rater, prompt_id, lo, hi,
+       |    max(prefer_lo) AS anyv, min(prefer_lo) AS allv
+       |  FROM norm GROUP BY 1, 2, 3, 4),
+       |votes AS (SELECT rater, prompt_id, lo, hi, anyv AS prefer_lo
+       |  FROM pr WHERE anyv = allv),
+       |res AS (SELECT prompt_id, lo, hi,
+       |    CAST(count(*) AS BIGINT) AS n_votes,
+       |    CAST(sum(CASE WHEN prefer_lo THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_lo
+       |  FROM votes GROUP BY 1, 2, 3)""".stripMargin)
+      .replaceAll(raw"\s+", " ")
 
   /** Truncate-toward-zero division in DuckDB — mirrors Long division /
     * Spark `div` regardless of `//`'s rounding mode on negatives.
@@ -5841,26 +5887,7 @@ object StretchQueries {
     // normalization (flip on swap), per-rater dedup/self-cancel
     // (max = min over the rater's booleans), majority + margin
     "q_pref_resolve" ->
-      ("""WITH ann AS (SELECT doc_id % 50 AS prompt_id,
-         |    doc_id % 7 AS a, (doc_id*3+1) % 7 AS b,
-         |    (((doc_id % 50 + (doc_id % 7) * 2 + ((doc_id // 50) % 5) * 3)
-         |      % 5 < 3) <> (doc_id % 97 = 0)) AS pa,
-         |    (doc_id // 50) % 5 AS rater
-         |  FROM documents),
-         |norm AS (SELECT prompt_id, rater,
-         |    least(a, b) AS lo, greatest(a, b) AS hi,
-         |    CASE WHEN a < b THEN pa ELSE NOT pa END AS prefer_lo
-         |  FROM ann WHERE a <> b),
-         |pr AS (SELECT rater, prompt_id, lo, hi,
-         |    max(prefer_lo) AS anyv, min(prefer_lo) AS allv
-         |  FROM norm GROUP BY 1, 2, 3, 4),
-         |votes AS (SELECT prompt_id, lo, hi, anyv AS prefer_lo
-         |  FROM pr WHERE anyv = allv),
-         |res AS (SELECT prompt_id, lo, hi,
-         |    CAST(count(*) AS BIGINT) AS n_votes,
-         |    CAST(sum(CASE WHEN prefer_lo THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_lo
-         |  FROM votes GROUP BY 1, 2, 3)
+      (s"""WITH $prefVotesCtes
          |SELECT prompt_id, lo, hi, n_votes, n_lo,
          |  n_votes - n_lo AS n_hi,
          |  CASE WHEN n_lo*2 > n_votes THEN 'lo'
@@ -5869,6 +5896,35 @@ object StretchQueries {
          |  CAST((abs(n_lo*2 - n_votes) * 1000000) // n_votes AS BIGINT)
          |    AS margin_micros
          |FROM res""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // the rater audit replayed: the same vote chain, leave-one-out
+    // recount by subtracting each vote's own indicator from its
+    // pair's tallies, strict-majority 'decided', per-rater rollup
+    "q_pref_raters" ->
+      (s"""WITH $prefVotesCtes,
+         |j AS (SELECT v.rater,
+         |    (res.n_lo - CASE WHEN v.prefer_lo THEN 1 ELSE 0 END)
+         |      AS r_lo,
+         |    ((res.n_votes - res.n_lo) -
+         |      CASE WHEN v.prefer_lo THEN 0 ELSE 1 END) AS r_hi,
+         |    v.prefer_lo
+         |  FROM votes v JOIN res ON v.prompt_id = res.prompt_id
+         |    AND v.lo = res.lo AND v.hi = res.hi),
+         |d AS (SELECT rater, (r_lo <> r_hi) AS decided,
+         |    (CASE WHEN prefer_lo THEN r_lo > r_hi
+         |      ELSE r_hi > r_lo END) AS agree FROM j)
+         |SELECT rater AS rater_id,
+         |  CAST(count(*) AS BIGINT) AS n_votes,
+         |  CAST(sum(CASE WHEN decided THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_decided,
+         |  CAST(sum(CASE WHEN decided AND agree THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_agree,
+         |  CASE WHEN sum(CASE WHEN decided THEN 1 ELSE 0 END) = 0
+         |    THEN NULL
+         |    ELSE CAST((sum(CASE WHEN decided AND agree THEN 1 ELSE 0
+         |      END) * 1000000) // sum(CASE WHEN decided THEN 1 ELSE 0
+         |      END) AS BIGINT) END AS agree_micros
+         |FROM d GROUP BY rater""".stripMargin).replaceAll(raw"\s+", " "),
 
     "q_t_unigram_pruned" -> unigramPrunedSql,
 

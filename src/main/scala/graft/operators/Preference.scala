@@ -125,4 +125,52 @@ object Preference {
         normalized(df, promptCol, aCol, bCol, preferACol, raterCol),
         promptCol, raterCol),
       promptCol)
+
+  /** Per-rater quality meter — the annotator audit that decides who
+    * keeps labeling: each surviving vote scored against the
+    * LEAVE-ONE-OUT consensus of its pair (own vote excluded — with
+    * the 2–5 votes real pairs carry, self-inclusive agreement mostly
+    * measures the rater's own weight in the majority, not their
+    * alignment with everyone else). A vote counts as `decided` only
+    * when the OTHER raters hold a strict majority; `agree_micros` =
+    * agreements·1e6 div decided, NULL for a rater none of whose pairs
+    * had an independent consensus (no evidence ≠ perfect score).
+    *
+    * Exact integers end to end: the leave-one-out recount is plain
+    * subtraction of the rater's own indicator from the pair tallies,
+    * so the whole meter replays in SQL. Shape: the resolver's two
+    * aggregations plus ONE broadcast-join of pair tallies back onto
+    * votes and one final groupBy(rater).
+    */
+  def raterQuality(df: DataFrame, promptCol: String, aCol: String,
+                   bCol: String, preferACol: String,
+                   raterCol: String): DataFrame = {
+    val votes = perRater(
+      normalized(df, promptCol, aCol, bCol, preferACol, raterCol),
+      promptCol, raterCol)
+    val tallies = resolve(votes, promptCol)
+      .select(col(promptCol), col("lo"), col("hi"),
+        col("n_lo").as("__t_lo"), col("n_hi").as("__t_hi"))
+    votes.join(tallies, Seq(promptCol, "lo", "hi"))
+      .select(col(raterCol),
+        (col("__t_lo") - when(col("prefer_lo"), 1L).otherwise(0L))
+          .as("__r_lo"),
+        (col("__t_hi") - when(col("prefer_lo"), 0L).otherwise(1L))
+          .as("__r_hi"),
+        col("prefer_lo"))
+      .select(col(raterCol),
+        (col("__r_lo") =!= col("__r_hi")).as("__decided"),
+        (when(col("prefer_lo"), col("__r_lo") > col("__r_hi"))
+          .otherwise(col("__r_hi") > col("__r_lo"))).as("__agree"))
+      .groupBy(col(raterCol))
+      .agg(count(lit(1)).as("n_votes"),
+        sum(when(col("__decided"), 1L).otherwise(0L)).as("n_decided"),
+        sum(when(col("__decided") && col("__agree"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col(raterCol), col("n_votes"), col("n_decided"),
+        col("n_agree"),
+        when(col("n_decided") === 0, lit(null).cast("long"))
+          .otherwise(expr("(n_agree * 1000000L) div n_decided"))
+          .as("agree_micros"))
+  }
 }

@@ -116,6 +116,34 @@ class PreferenceSpec extends SparkSpec {
     assert(got.exists(t => t._1 == 1L && t._4 == 5L && t._5 == "hi"))
   }
 
+  test("raterQuality: leave-one-out consensus — own vote excluded, " +
+    "ties among the others are undecided, no-evidence raters read NULL") {
+    val got = Preference.raterQuality(ann(
+      // P1 (prompt 1): raters 1,2,3 → lo; rater 4 → hi
+      (1L, 10L, 20L, true, 1L), (1L, 10L, 20L, true, 2L),
+      (1L, 10L, 20L, true, 3L), (1L, 10L, 20L, false, 4L),
+      // P2 (prompt 2): raters 1,2 split — each disagrees with the other
+      (2L, 10L, 20L, true, 1L), (2L, 10L, 20L, false, 2L),
+      // P3 (prompt 3): raters 1,2 → lo; rater 3 → hi
+      //   LOO for 1 and 2: others tie (1,1) → undecided
+      //   LOO for 3: others (2,0) → decided lo, vote hi → disagree
+      (3L, 10L, 20L, true, 1L), (3L, 10L, 20L, true, 2L),
+      (3L, 10L, 20L, false, 3L),
+      // P4: rater 5 alone — no independent consensus exists
+      (4L, 10L, 20L, true, 5L)),
+      "p", "a", "b", "pa", "r")
+      .collect()
+      .map(row => row.getLong(0) -> ((row.getLong(1), row.getLong(2),
+        row.getLong(3), Option(row.get(4)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(got(1L) == ((3L, 2L, 1L, Some(500000L))), s"r1: ${got(1L)}")
+    assert(got(2L) == ((3L, 2L, 1L, Some(500000L))), s"r2: ${got(2L)}")
+    assert(got(3L) == ((2L, 2L, 1L, Some(500000L))), s"r3: ${got(3L)}")
+    assert(got(4L) == ((1L, 1L, 0L, Some(0L))), s"r4: ${got(4L)}")
+    assert(got(5L) == ((1L, 0L, 0L, None)),
+      s"no independent consensus must read NULL, not 1e6: ${got(5L)}")
+  }
+
   test("malformed annotations drop: self-pairs and null response ids") {
     val got = resolved(
       (1L, 10L, 10L, true, 1L),  // self-pair
