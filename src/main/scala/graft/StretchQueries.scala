@@ -4142,6 +4142,33 @@ object StretchQueries {
         "role", "text")
     }),
 
+    // the SFT chain end to end: assemble → keep only validated (ok)
+    // threads → pack the TRANSCRIPTS by their real token counts,
+    // bucketed on transcript content (only clean threads mint
+    // training sequences — the stage-ORDER proof for dialogue data,
+    // the curate6 discipline). Shares sftThreadCtes' oracle chain
+    "q_pipe_sft" -> ((s, dir) => {
+      val m = t(s, dir, "documents").select(
+        expr("doc_id div 16").as("conv_id"),
+        when(col("doc_id") % 97 === 0 && col("doc_id") % 16 > 0,
+          col("doc_id") % 16 - 1).otherwise(col("doc_id") % 16)
+          .as("turn"),
+        when((col("doc_id") % 16 % 2 === 0) =!=
+            (col("doc_id") % 211 === 0), lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        when(col("doc_id") % 139 === 0, lit(""))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
+      val ok = graft.operators.Conversations.assemble(m, "conv_id",
+          "turn", "role", "text")
+        .filter(col("status") === "ok")
+        .select(col("conv_id"),
+          graft.operators.DatasetSplit.bucket256(col("transcript"))
+            .as("bucket"),
+          col("n_tokens"))
+      graft.operators.Packing.packOffsetsWeighted(ok, "conv_id",
+        "n_tokens", seqTokens = 1024)
+    }),
+
     // STREAMING preference resolution: the same annotation synth fed
     // as two epochs (even doc_ids, then odd) through the changelog
     // stream — per-pair monotone upd counter, per-rater side map as
@@ -4365,6 +4392,35 @@ object StretchQueries {
 
   private val tokensSql =
     raw"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> length(t) > 0)"
+
+  /** Shared SFT thread-QA CTE chain (the q_sft_* synth + the one
+    * GROUP BY), ending in `g(conv_id, n_msgs, n_turns, max_turn,
+    * n_tokens, mismatches, empties, tx)` — one definition for the
+    * thread gate and the packing composition.
+    */
+  private lazy val sftThreadCtes: String =
+    (s"""m AS (SELECT doc_id // 16 AS conv_id,
+       |    CASE WHEN doc_id % 97 = 0 AND doc_id % 16 > 0
+       |      THEN doc_id % 16 - 1 ELSE doc_id % 16 END AS turn,
+       |    CASE WHEN ((doc_id % 16) % 2 = 0) <> (doc_id % 211 = 0)
+       |      THEN 'user' ELSE 'assistant' END AS role,
+       |    CASE WHEN doc_id % 139 = 0 THEN ''
+       |      ELSE coalesce(text, '') END AS text
+       |  FROM documents),
+       |g AS (SELECT conv_id,
+       |    CAST(count(*) AS BIGINT) AS n_msgs,
+       |    CAST(count(DISTINCT turn) AS BIGINT) AS n_turns,
+       |    CAST(max(turn) AS BIGINT) AS max_turn,
+       |    CAST(sum(len($tokensSql)) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN role <> (CASE WHEN turn % 2 = 0
+       |      THEN 'user' ELSE 'assistant' END) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS mismatches,
+       |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0
+       |      END) AS BIGINT) AS empties,
+       |    string_agg(role || ': ' || text, chr(10) ORDER BY turn ASC)
+       |      AS tx
+       |  FROM m GROUP BY conv_id)""".stripMargin)
+      .replaceAll(raw"\s+", " ")
 
   /** Shared preference-vote CTE chain (the q_pref_* synth + the
     * normalize/hygiene/tally stages), ending in `votes(prompt_id, lo,
@@ -5833,27 +5889,7 @@ object StretchQueries {
     // ranked status CASE, string_agg ORDER BY turn for ok threads
     // (turn is unique there, so the order is total)
     "q_sft_threads" ->
-      (s"""WITH m AS (SELECT doc_id // 16 AS conv_id,
-         |    CASE WHEN doc_id % 97 = 0 AND doc_id % 16 > 0
-         |      THEN doc_id % 16 - 1 ELSE doc_id % 16 END AS turn,
-         |    CASE WHEN ((doc_id % 16) % 2 = 0) <> (doc_id % 211 = 0)
-         |      THEN 'user' ELSE 'assistant' END AS role,
-         |    CASE WHEN doc_id % 139 = 0 THEN ''
-         |      ELSE coalesce(text, '') END AS text
-         |  FROM documents),
-         |g AS (SELECT conv_id,
-         |    CAST(count(*) AS BIGINT) AS n_msgs,
-         |    CAST(count(DISTINCT turn) AS BIGINT) AS n_turns,
-         |    CAST(max(turn) AS BIGINT) AS max_turn,
-         |    CAST(sum(len($tokensSql)) AS BIGINT) AS n_tokens,
-         |    CAST(sum(CASE WHEN role <> (CASE WHEN turn % 2 = 0
-         |      THEN 'user' ELSE 'assistant' END) THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS mismatches,
-         |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0
-         |      END) AS BIGINT) AS empties,
-         |    string_agg(role || ': ' || text, chr(10) ORDER BY turn ASC)
-         |      AS tx
-         |  FROM m GROUP BY conv_id)
+      (s"""WITH $sftThreadCtes
          |SELECT conv_id, n_msgs, n_turns, max_turn, n_tokens,
          |  CASE WHEN n_msgs <> n_turns THEN 'duplicate_turn'
          |       WHEN max_turn <> n_turns - 1 THEN 'turn_gap'
@@ -5864,6 +5900,23 @@ object StretchQueries {
          |       AND mismatches = 0 AND empties = 0 THEN tx END
          |    AS transcript
          |FROM g""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // the SFT composition replayed: ok threads only, transcript-hash
+    // bucket, the q_t_pack window over validated token counts
+    "q_pipe_sft" ->
+      (s"""WITH $sftThreadCtes,
+         |ok AS (SELECT conv_id, n_tokens,
+         |    CAST(${bucketSqlOf("tx")} AS INT) AS bucket
+         |  FROM g WHERE n_msgs = n_turns AND max_turn = n_turns - 1
+         |    AND mismatches = 0 AND empties = 0),
+         |o AS (SELECT conv_id, bucket, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY bucket
+         |      ORDER BY conv_id ROWS UNBOUNDED PRECEDING) - n_tokens
+         |      AS BIGINT) AS start_offset
+         |  FROM ok)
+         |SELECT conv_id, bucket, n_tokens, start_offset,
+         |  start_offset // 1024 AS seq_id FROM o""".stripMargin)
+        .replaceAll(raw"\s+", " "),
 
     // best-of-n replayed: row_number over the (reward desc, id asc)
     // total order per prompt, rank-1 rows, audit aggregates, floor
