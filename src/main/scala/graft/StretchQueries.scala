@@ -4221,6 +4221,28 @@ object StretchQueries {
         "resp_a", "resp_b", "prefer_a", "rater_id")
     }),
 
+    // multi-rater agreement over the hygiened preference votes:
+    // Fleiss' κ in the varying-raters pairwise form — items =
+    // (prompt, pair), categories = the vote direction; single-vote
+    // pairs drop from both sides. The chance-corrected scalar the
+    // annotation project tracks next to the per-rater audit
+    "q_dq_fleiss" -> ((s, dir) => {
+      val ann = t(s, dir, "documents").select(
+        (col("doc_id") % 50).as("prompt_id"),
+        (col("doc_id") % 7).as("resp_a"),
+        ((col("doc_id") * 3 + 1) % 7).as("resp_b"),
+        (expr("(doc_id % 50 + (doc_id % 7) * 2 + " +
+          "((doc_id div 50) % 5) * 3) % 5 < 3") =!=
+          (col("doc_id") % 97 === 0)).as("prefer_a"),
+        expr("(doc_id div 50) % 5").as("rater_id"))
+      val votes = graft.operators.Preference.perRater(
+        graft.operators.Preference.normalized(ann, "prompt_id",
+          "resp_a", "resp_b", "prefer_a", "rater_id"),
+        "prompt_id", "rater_id")
+      graft.operators.DataQuality.fleissKappaMicros(votes,
+        Seq("prompt_id", "lo", "hi"), "prefer_lo")
+    }),
+
     // best-of-n (rejection-sampling) assembly: 8 candidates per
     // prompt, integer rewards from a multiplicative map, argmax with
     // (reward desc, id asc) tie-break, prompts whose best reward
@@ -5949,6 +5971,43 @@ object StretchQueries {
          |  CAST((abs(n_lo*2 - n_votes) * 1000000) // n_votes AS BIGINT)
          |    AS margin_micros
          |FROM res""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // Fleiss replayed over the same vote chain: per-item-category
+    // counts, kept items (≥2 assignments), prevalence over kept
+    // assignments, the exact int64 A/B/D/E scalars, and the
+    // cohen-kappa double-division shape for the final micros
+    "q_dq_fleiss" ->
+      (s"""WITH $prefVotesCtes,
+         |nic AS (SELECT prompt_id, lo, hi,
+         |    CAST(prefer_lo AS VARCHAR) AS c,
+         |    CAST(count(*) AS BIGINT) AS n_ic
+         |  FROM votes GROUP BY 1, 2, 3, 4),
+         |item AS (SELECT prompt_id, lo, hi,
+         |    CAST(sum(n_ic) AS BIGINT) AS n_i,
+         |    CAST(sum(n_ic * (n_ic - 1)) AS BIGINT) AS a_i
+         |  FROM nic GROUP BY 1, 2, 3 HAVING sum(n_ic) >= 2),
+         |knic AS (SELECT nic.c, nic.n_ic FROM nic
+         |  JOIN item USING (prompt_id, lo, hi)),
+         |lc AS (SELECT c, CAST(sum(n_ic) AS BIGINT) AS l_c
+         |  FROM knic GROUP BY c),
+         |ab AS (SELECT CAST(coalesce(sum(a_i), 0) AS BIGINT) AS a,
+         |    CAST(coalesce(sum(n_i * (n_i - 1)), 0) AS BIGINT) AS b,
+         |    CAST(count(*) AS BIGINT) AS n_items FROM item),
+         |de AS (SELECT CAST(coalesce(sum(l_c), 0) AS BIGINT) AS d,
+         |    CAST(coalesce(sum(l_c * l_c), 0) AS BIGINT) AS e FROM lc)
+         |SELECT n_items, d AS n_assign,
+         |  CASE WHEN b = 0 THEN NULL ELSE CAST(round(1000000.0 *
+         |    (CAST(a AS DOUBLE) / CAST(b AS DOUBLE))) AS BIGINT) END
+         |    AS po_micros,
+         |  CASE WHEN d = 0 THEN NULL ELSE CAST(round(1000000.0 *
+         |    (CAST(e AS DOUBLE) / CAST(d * d AS DOUBLE))) AS BIGINT)
+         |    END AS pe_micros,
+         |  CASE WHEN b * (d * d - e) = 0 THEN NULL
+         |    ELSE CAST(round(1000000.0 *
+         |      (CAST(a * d * d - b * e AS DOUBLE) /
+         |       CAST(b * (d * d - e) AS DOUBLE))) AS BIGINT) END
+         |    AS kappa_micros
+         |FROM ab, de""".stripMargin).replaceAll(raw"\s+", " "),
 
     // the rater audit replayed: the same vote chain, leave-one-out
     // recount by subtracting each vote's own indicator from its

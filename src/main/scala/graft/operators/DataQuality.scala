@@ -178,6 +178,84 @@ object DataQuality {
           .as("kappa_micros"))
   }
 
+  /** Multi-rater agreement — Fleiss' κ in its varying-raters
+    * (pairwise-agreement) form, [[cohenKappaMicros]]'s n-rater
+    * sibling: the chance-corrected probability that two RANDOM raters
+    * of the same item agree. Items are whatever `itemCols` identify,
+    * categories whatever `catCol` holds; items with fewer than two
+    * assignments carry no pair and drop from BOTH the observed and
+    * the expected side (the standard varying-n generalization):
+    *
+    *   P_o = Σᵢ Σ_c n_ic(n_ic−1) / Σᵢ nᵢ(nᵢ−1)
+    *   P_e = Σ_c L_c² / D²   (L_c = Σᵢ n_ic over kept items, D = Σ L_c)
+    *   κ   = (P_o − P_e)/(1 − P_e)
+    *       = (A·D² − B·E) / (B·(D² − E))   with E = Σ L_c²
+    *
+    * Exactness: A, B, D, E are exact int64 aggregates; the κ ratio is
+    * the int64 numerator/denominator double-divided then rounded —
+    * the cohenKappaMicros convention, which the SQL oracle replays
+    * bit for bit. The int64 envelope is A·D² ≤ D⁴ < 2⁶³ ⇒ D ≤ 55 108
+    * total assignments, guarded loudly IN-PLAN (the LogReg/KN
+    * convention). That bound is the honest production contract too:
+    * agreement meters run per annotation project or per stratum —
+    * strata beyond ~55k assignments should κ per stratum (this
+    * operator grouped by the stratum) rather than collapse millions
+    * of votes into one scalar.
+    *
+    * NULL κ when the denominator vanishes (every kept assignment in
+    * one category — chance agreement is 1 and κ is undefined).
+    * Output one row: (n_items, n_assign, po_micros, pe_micros,
+    * kappa_micros).
+    */
+  def fleissKappaMicros(df: DataFrame, itemCols: Seq[String],
+                        catCol: String): DataFrame = {
+    require(itemCols.nonEmpty, "need at least one item column")
+    val base = df
+      .select(itemCols.map(col) :+
+        col(catCol).cast("string").as("__c"): _*)
+      .filter(col("__c").isNotNull)
+    val nic = base.groupBy(itemCols.map(col) :+ col("__c"): _*)
+      .agg(count(lit(1)).as("n_ic"))
+    val item = nic.groupBy(itemCols.map(col): _*)
+      .agg(sum(col("n_ic")).as("n_i"),
+        sum(col("n_ic") * (col("n_ic") - 1)).as("a_i"))
+      .filter(col("n_i") >= 2)
+    val keptNic = nic.join(item.select(itemCols.map(col): _*),
+      itemCols, "left_semi")
+    val lc = keptNic.groupBy(col("__c")).agg(sum(col("n_ic")).as("l_c"))
+    val ab = item.agg(coalesce(sum(col("a_i")), lit(0L)).as("a"),
+      coalesce(sum(col("n_i") * (col("n_i") - 1)), lit(0L)).as("b"),
+      count(lit(1)).as("n_items"))
+    val de = lc.agg(coalesce(sum(col("l_c")), lit(0L)).as("d"),
+      coalesce(sum(col("l_c") * col("l_c")), lit(0L)).as("e"))
+    val maxD = 55108L // floor(2^63 ^ 0.25): A·D² ≤ D⁴ must stay exact
+    ab.crossJoin(de)
+      .select(col("n_items"), col("d").as("n_assign"),
+        when(col("b") === 0, lit(null).cast("long"))
+          .otherwise(round(lit(1000000.0) *
+            (col("a").cast("double") / col("b").cast("double")))
+            .cast("long")).as("po_micros"),
+        when(col("d") === 0, lit(null).cast("long"))
+          .otherwise(round(lit(1000000.0) *
+            (col("e").cast("double") /
+              (col("d") * col("d")).cast("double")))
+            .cast("long")).as("pe_micros"),
+        when(col("d") > maxD,
+          raise_error(format_string(
+            "fleissKappaMicros: %s assignments exceed the int64 " +
+              "exactness envelope (D^4 < 2^63 requires D <= 55108); " +
+              "compute kappa per stratum instead",
+            col("d"))).cast("long"))
+          .when(col("b") * (col("d") * col("d") - col("e")) === 0,
+            lit(null).cast("long"))
+          .otherwise(round(lit(1000000.0) *
+            ((col("a") * col("d") * col("d") - col("b") * col("e"))
+              .cast("double") /
+             (col("b") * (col("d") * col("d") - col("e")))
+              .cast("double"))).cast("long"))
+          .as("kappa_micros"))
+  }
+
   /** Token-distribution drift between two corpus snapshots — the
     * ingestion-monitoring meter a training-data pipeline runs on
     * every batch ("did the crawl's language/domain mix move under

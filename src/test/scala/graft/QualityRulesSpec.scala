@@ -146,6 +146,51 @@ class QualityRulesSpec extends SparkSpec {
     assert(indep.getLong(3) == 0L, s"κ: ${indep.getLong(3)}")
   }
 
+  test("fleissKappaMicros: hand-computed varying-raters value, " +
+    "single-vote items drop from both sides, unanimity is NULL, " +
+    "the assignment envelope raises loudly") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.DataQuality
+    // item A [x,x]: a=2; item B [x,y]: a=0; item C [y,y,y]: a=6;
+    // item D [x] drops. A=8, B=2+2+6=10 → P_o=0.8.
+    // L_x=3, L_y=4, D=7, E=25 → P_e=25/49.
+    // κ = (8·49−10·25)/(10·(49−25)) = 142/240 = 0.5916667
+    val votes = Seq(
+      ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "y"),
+      ("C", "y"), ("C", "y"), ("C", "y"),
+      ("D", "x")).toDF("item", "c")
+    val out = DataQuality.fleissKappaMicros(votes, Seq("item"), "c").head()
+    assert(out.getLong(0) == 3L, "item D (single vote) must drop")
+    assert(out.getLong(1) == 7L, "kept assignments")
+    assert(out.getLong(2) == 800000L, s"P_o: ${out.getLong(2)}")
+    assert(out.getLong(3) == 510204L, s"P_e: ${out.getLong(3)}")
+    assert(out.getLong(4) == 591667L, s"κ: ${out.getLong(4)}")
+    // unanimity in ONE category: chance agreement is 1 → κ undefined
+    val unan = DataQuality.fleissKappaMicros(
+      Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "x"))
+        .toDF("item", "c"), Seq("item"), "c").head()
+    assert(unan.getLong(2) == 1000000L && unan.isNullAt(4),
+      "all-one-category must be NULL, not 1")
+    // perfect agreement over ≥2 categories → κ = 1 exactly
+    val perfect = DataQuality.fleissKappaMicros(
+      Seq(("A", "x"), ("A", "x"), ("B", "y"), ("B", "y"))
+        .toDF("item", "c"), Seq("item"), "c").head()
+    assert(perfect.getLong(4) == 1000000L)
+    // the in-plan envelope: 60k assignments on one item must raise,
+    // never wrap
+    val big = spark.range(60000L)
+      .select(org.apache.spark.sql.functions.lit("A").as("item"),
+        (col("id") % 2).cast("string").as("c"))
+    val e = intercept[Exception] {
+      DataQuality.fleissKappaMicros(big, Seq("item"), "c").head()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("envelope") ||
+        Option(e.getCause).exists(_.getMessage.contains("envelope"))),
+      s"expected the loud envelope error, got: ${e.getMessage}")
+  }
+
   test("vocabDriftMicros: identical snapshots read exactly 0 per type; " +
     "new-only tokens contribute positive, vanished tokens negative; " +
     "the integer total is the smoothed KL in micros; null/empty texts " +
