@@ -159,6 +159,24 @@ object ScaleGate {
     // projection + one per-cluster window — the q_t_pack family with
     // the k-means fit's fixed per-iter jobs amortizing at scale
     "q_t_pack_sem" -> 12.0,
+    // the pure-SQL deployment twin: same shape through Spark SQL
+    "q_s34_sql_pack_sem" -> 12.0,
+    // tokenizer fertility: encode-dominated (rides the ugVocab memo)
+    "q_t_fertility" -> 10.0,
+    // preference family: two groupBy aggregations over the synthetic
+    // annotation stream — linear in documents
+    "q_pref_resolve" -> 8.0,
+    "q_pref_raters" -> 8.0,
+    "q_pref_bestof" -> 8.0,
+    "q_dq_fleiss" -> 8.0,
+    // FIXED-OVERHEAD assertion (the q_d_stream_inc convention): two
+    // AvailableNow startups + per-epoch commits dominate; 10× votes
+    // must stay startup-bound
+    "q_pref_stream" -> 3.0,
+    // SFT thread QA + its packing composition: one groupBy with
+    // token counting — linear in messages
+    "q_sft_threads" -> 8.0,
+    "q_pipe_sft" -> 8.0,
     // round-11 (VERDICT r10 #9): the read front door. The manifest
     // routing itself is O(manifest) = flat, but each gate carries
     // linear components the envelope must admit: the oracle-key
