@@ -3113,6 +3113,21 @@ object StretchQueries {
         .select(col("rec_id"), col("anon_level"))
     }),
 
+    // l-diversity audit — k-anonymity's necessary complement (the
+    // homogeneity attack: a big group that all shares one sensitive
+    // value discloses it anyway). Quasi = (nation, segment), sensitive
+    // = the account-balance band; one groupBy + count-distinct
+    "q_p_ldiv" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        (round(col("c_acctbal") * 100).cast("long") + 100000L)
+          .as("cen"))
+      graft.operators.Anonymize.lDiversityGroups(c,
+          Seq(col("nat"), col("seg")), expr("cen div 200000"), l = 3L)
+        .select(col("nat"), col("seg"), col("n_rows"),
+          col("n_sensitive"), col("diverse"))
+    }),
+
     // per-node triangle participation: the q_g_pagerank 2-out-regular
     // maps alone are triangle-free at corpus sizes, so the graph adds
     // K4 community cliques (each node links +1 and +2 within its
@@ -7434,6 +7449,18 @@ object StretchQueries {
          |SELECT rec_id, CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1
          |  WHEN n2 >= 5 THEN 2 ELSE -1 END AS anon_level FROM w"""
         .stripMargin).replaceAll(raw"\s+", " "),
+
+    // l-diversity replayed: one GROUP BY with count(distinct band)
+    "q_p_ldiv" ->
+      ("""WITH c AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 200000
+         |    AS band
+         |  FROM customer)
+         |SELECT nat, seg, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT band) AS BIGINT) AS n_sensitive,
+         |  count(DISTINCT band) >= 3 AS diverse
+         |FROM c GROUP BY nat, seg""".stripMargin)
+        .replaceAll(raw"\s+", " "),
 
     // degree-ordered triangle enumeration replayed join for join:
     // undirect+distinct, degree table, orientation, wedge join,

@@ -54,4 +54,45 @@ object Anonymize {
     kAnonymityLevels(df, levels, k)
       .filter(col("anon_level") >= 0 && col("anon_level") <= maxLevel)
       .drop("anon_level")
+
+  /** Distinct l-diversity audit — k-anonymity's necessary complement:
+    * a group of ≥ k records that all share one SENSITIVE value still
+    * discloses it for everyone in the group (the homogeneity attack),
+    * so a releasable group must also hold at least `l` distinct
+    * sensitive values. Per quasi-identifier group: row count, distinct
+    * sensitive count, and the verdict. NULL sensitive values are
+    * missing data, not a disclosed value — they never count toward
+    * diversity (a group of only-NULLs reads 0 distinct and fails).
+    *
+    * Scale shape: ONE groupBy on the quasi key with a count-distinct —
+    * the same single shuffle the k-anonymity window pays per level.
+    */
+  def lDiversityGroups(df: DataFrame, quasi: Seq[Column],
+                       sensitive: Column, l: Long): DataFrame = {
+    require(quasi.nonEmpty, "at least one quasi-identifier column")
+    require(l >= 1, s"l must be positive, got $l")
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
+
+  /** The release filter: keep rows whose quasi-identifier group is
+    * l-diverse — one groupBy + one semi join on the (null-safe) quasi
+    * key. Quasi columns may be arbitrary expressions, so the group
+    * table carries aliased keys and the join matches positionally;
+    * null quasi values form a group like groupBy does (`<=>`).
+    */
+  def lDiversify(df: DataFrame, quasi: Seq[Column],
+                 sensitive: Column, l: Long): DataFrame = {
+    val ok = df
+      .groupBy(quasi.zipWithIndex.map { case (c, i) => c.as(s"__q$i") }: _*)
+      .agg(countDistinct(sensitive).as("__ns"))
+      .filter(col("__ns") >= l)
+      .select(quasi.indices.map(i => col(s"__q$i")): _*)
+    val cond = quasi.zipWithIndex
+      .map { case (c, i) => c <=> ok(s"__q$i") }
+      .reduce(_ && _)
+    df.join(ok, cond, "left_semi")
+  }
 }

@@ -126,4 +126,38 @@ class GraphSpatialSpec extends SparkSpec {
       .select("id", "anon_level").as[(Long, Int)].collect().toMap
     assert(lvls == Map(1L -> 1, 2L -> 1, 3L -> 0, 4L -> 0, 5L -> 0))
   }
+
+  test("l-diversity: homogeneous groups fail however large, NULL " +
+    "sensitive values never count, the release filter keeps diverse " +
+    "groups (null quasi keys included)") {
+    import spark.implicits._
+    val rows = Seq(
+      // group (10001): 4 rows but ONE disease — k-anonymous, not diverse
+      (1L, "10001", "flu"), (2L, "10001", "flu"),
+      (3L, "10001", "flu"), (4L, "10001", "flu"),
+      // group (10002): 3 rows, 3 diseases — diverse at l=3
+      (5L, "10002", "flu"), (6L, "10002", "cold"), (7L, "10002", "covid"),
+      // group (10003): nulls don't count — 1 real value → fails
+      (8L, "10003", "flu"), (9L, "10003", null),
+      // null-zip group: 3 distinct values → diverse, and the release
+      // filter must keep it (null-safe key join)
+      (10L, null, "a"), (11L, null, "b"), (12L, null, "c"))
+      .toDF("id", "zip", "disease")
+    val g = Anonymize.lDiversityGroups(rows, Seq(col("zip")),
+        col("disease"), l = 3L)
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(g(Some("10001")) == ((4L, 1L, false)),
+      "homogeneity attack: big group, one value must fail")
+    assert(g(Some("10002")) == ((3L, 3L, true)))
+    assert(g(Some("10003")) == ((2L, 1L, false)),
+      "NULL sensitive must not count as a value")
+    assert(g(None) == ((3L, 3L, true)))
+    val kept = Anonymize.lDiversify(rows, Seq(col("zip")),
+        col("disease"), l = 3L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(5L, 6L, 7L, 10L, 11L, 12L),
+      s"release filter wrong: $kept")
+  }
 }
