@@ -3116,14 +3116,20 @@ object StretchQueries {
     // l-diversity audit — k-anonymity's necessary complement (the
     // homogeneity attack: a big group that all shares one sensitive
     // value discloses it anyway). Quasi = (nation, segment), sensitive
-    // = the account-balance band; one groupBy + count-distinct
+    // = the account-balance band, COLLAPSED to one value for nat%5=0
+    // (planted homogeneity, the planted-copies discipline: the
+    // natural bands saturate at 6 for every group past sf0.01, so
+    // without planting the failing verdict would never appear at
+    // scale). One groupBy + count-distinct
     "q_p_ldiv" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(
         col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
         (round(col("c_acctbal") * 100).cast("long") + 100000L)
           .as("cen"))
       graft.operators.Anonymize.lDiversityGroups(c,
-          Seq(col("nat"), col("seg")), expr("cen div 200000"), l = 3L)
+          Seq(col("nat"), col("seg")),
+          when(col("nat") % 5 === 0, lit(0L))
+            .otherwise(expr("cen div 200000")), l = 3L)
         .select(col("nat"), col("seg"), col("n_rows"),
           col("n_sensitive"), col("diverse"))
     }),
@@ -7450,11 +7456,13 @@ object StretchQueries {
          |  WHEN n2 >= 5 THEN 2 ELSE -1 END AS anon_level FROM w"""
         .stripMargin).replaceAll(raw"\s+", " "),
 
-    // l-diversity replayed: one GROUP BY with count(distinct band)
+    // l-diversity replayed: one GROUP BY with count(distinct band),
+    // the nat%5 homogeneity planting included
     "q_p_ldiv" ->
       ("""WITH c AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
-         |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 200000
-         |    AS band
+         |  CASE WHEN c_nationkey % 5 = 0 THEN 0 ELSE
+         |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 200000
+         |    END AS band
          |  FROM customer)
          |SELECT nat, seg, CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(count(DISTINCT band) AS BIGINT) AS n_sensitive,
