@@ -1911,6 +1911,22 @@ object StretchQueries {
         k = 5, nprobe = 4, shortlistK = 64)
     }),
 
+    // filtered ANN on the COMPRESSED arm: the label predicate applies
+    // at the packed-column shortlist scan (pushdown + partition
+    // pruning), so the whole 64-candidate Hamming budget lands on
+    // qualifying vectors and the rescore reads only their floats.
+    // Deterministic shortlist ⇒ the full filtered pipeline replays in
+    // SQL; shares q_v_topk_bin_idx's artifact
+    "q_v_topk_bin_flt" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_bin_q_" +
+        graft.engine.Scratch.encode(dir)
+      Ivf.ensureIndex(emb, s"$dir/embeddings.parquet", scratch, k = 4,
+        iters = 2, binarize = true)
+      Ivf.searchIndexBinWhere(s, scratch, emb.filter(col("vec_id") < 16),
+        predicate = col("label") < 5, k = 5, nprobe = 4, shortlistK = 64)
+    }),
+
     "q_v_topk_ivf_c" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_pq_q_" +
@@ -6330,6 +6346,39 @@ object StretchQueries {
          |      <> (CAST(c.embedding[i] AS DOUBLE) > 0)
          |      THEN 1 ELSE 0 END)) AS INT) AS ham
          |  FROM embeddings c, q WHERE c.vec_id <> q.q_id),
+         |s AS (SELECT q_id, n_id, q_vec, n_vec, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY ham ASC, n_id ASC) AS srk FROM h),
+         |sc AS (SELECT q_id, n_id,
+         |  list_sum(list_transform(range(1, len(q_vec) + 1),
+         |    i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))) /
+         |  (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+         |    i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)))) *
+         |   sqrt(list_sum(list_transform(range(1, len(n_vec) + 1),
+         |    i -> CAST(n_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE)))))
+         |  AS cos
+         |  FROM s WHERE srk <= 64)
+         |SELECT q_id, CAST(rnk AS INT) AS rank, n_id,
+         |  round(cos, 6) AS cosine FROM (
+         |  SELECT q_id, n_id, cos, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= 5""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // the binary pipeline replayed over the FILTERED candidate set:
+    // identical to q_v_topk_bin with the label predicate inside the
+    // Hamming stage, so both the shortlist and the rescore see only
+    // qualifying vectors
+    "q_v_topk_bin_flt" ->
+      ("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |  FROM embeddings WHERE vec_id < 16),
+         |h AS (SELECT q.q_id, c.vec_id AS n_id, q.q_vec,
+         |  c.embedding AS n_vec,
+         |  CAST(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |    i -> CASE WHEN (CAST(q.q_vec[i] AS DOUBLE) > 0)
+         |      <> (CAST(c.embedding[i] AS DOUBLE) > 0)
+         |      THEN 1 ELSE 0 END)) AS INT) AS ham
+         |  FROM embeddings c, q
+         |  WHERE c.vec_id <> q.q_id AND c.label < 5),
          |s AS (SELECT q_id, n_id, q_vec, n_vec, row_number() OVER
          |  (PARTITION BY q_id ORDER BY ham ASC, n_id ASC) AS srk FROM h),
          |sc AS (SELECT q_id, n_id,

@@ -723,19 +723,55 @@ object Ivf {
     * same rescore), so the full-probe gate shares q_v_topk_bin's
     * full-replay oracle; partial-probe recall is IvfSpec territory.
     */
+  /** [[searchIndexBin]] with a static attribute predicate (filtered
+    * ANN on the compressed arm): the predicate applies AT THE
+    * SHORTLIST SCAN — a parquet pushdown over whatever attribute
+    * columns [[writeIndex]] stored, stacked on the cluster partition
+    * pruning — so the WHOLE `shortlistK` Hamming budget lands on
+    * qualifying candidates and the rescore reads only qualifying
+    * float vectors. Post-filtering the unfiltered shortlist instead
+    * would shrink it by the predicate's selectivity and starve the
+    * final k exactly like the uncompressed post-filter does. The
+    * shortlist selection is deterministic (ham asc, id asc), so the
+    * full pipeline — now over the filtered candidate set — replays in
+    * the SQL oracle like [[searchIndexBin]]'s.
+    */
+  def searchIndexBinWhere(spark: SparkSession, indexPath: String,
+                          queries: DataFrame,
+                          predicate: org.apache.spark.sql.Column,
+                          k: Int, nprobe: Int = 2, shortlistK: Int = 64,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame =
+    searchIndexBinImpl(spark, indexPath, queries, Some(predicate), k,
+      nprobe, shortlistK, idCol, vecCol)
+
   def searchIndexBin(spark: SparkSession, indexPath: String,
                      queries: DataFrame, k: Int, nprobe: Int = 2,
                      shortlistK: Int = 64,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding"): DataFrame =
+    searchIndexBinImpl(spark, indexPath, queries, None, k, nprobe,
+      shortlistK, idCol, vecCol)
+
+  private def searchIndexBinImpl(spark: SparkSession, indexPath: String,
+                     queries: DataFrame,
+                     predicate: Option[org.apache.spark.sql.Column],
+                     k: Int, nprobe: Int,
+                     shortlistK: Int,
+                     idCol: String,
+                     vecCol: String): DataFrame = {
     import graft.functions.NativeExpressions.{signPack, hammingPacked}
     val model = loadModelCached(spark, s"$indexPath/centroids")
     val probed = queries
       .select(explode(
         nearestCentroids(col(vecCol), model.centroids, nprobe)).as("cluster"))
       .distinct().collect().map(_.getInt(0))
-    val corpus = spark.read.parquet(s"$indexPath/corpus")
+    val corpusAll = spark.read.parquet(s"$indexPath/corpus")
       .filter(col("cluster").isin(probed.toIndexedSeq: _*))
+    // NULL predicate rows fail — a plain Filter already has exactly
+    // that semantics, and (unlike a coalesce wrapper, which blocks
+    // the data-source translation) it reaches PushedFilters
+    val corpus = predicate.fold(corpusAll)(p => corpusAll.filter(p))
     val cb = corpus.select(col(idCol).as("n_id"), col("b").as("nb"),
       col("cluster"))
     val q = queries

@@ -45,6 +45,9 @@ object ScaleGate {
     // everything per query would blow past it
     "q_v_topk_flt" -> 6.0,
     "q_v_topk_pos_idx" -> 6.0,
+    // filtered compressed arm: packed-column shortlist over the
+    // predicate-pruned scan — the bin-index family's shape
+    "q_v_topk_bin_flt" -> 6.0,
     // filtered graph ANN: index build amortizes (ensureIndex skips
     // when fresh), the searched work is the probed shards' rows —
     // same family as the unfiltered hnsw arm

@@ -462,6 +462,39 @@ class IvfSpec extends SparkSpec {
         "(if not, this corpus stopped exercising the contrast)")
   }
 
+  test("searchIndexBinWhere: the filtered pipeline equals binTopK " +
+    "over the pre-filtered corpus; the shortlist budget lands on " +
+    "qualifying candidates; the predicate reaches both scans") {
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val path = tmpDir("graft-ivf-bin-flt")
+    Ivf.writeIndex(emb, m, path, binarize = true)
+    val q = emb.filter(col("vec_id") < 16)
+    val res = Ivf.searchIndexBinWhere(spark, path, q,
+      predicate = col("label") < 5, k = 5, nprobe = 4, shortlistK = 64)
+    // full probe: whole-pipeline equality with the direct kernel over
+    // the filtered corpus — shortlist SELECTION included, not just ids
+    val want = SimilaritySearch.binTopK(emb.filter(col("label") < 5),
+        q, k = 5, shortlistK = 64)
+      .collect().map(_.toSeq).toSet
+    assert(res.collect().map(_.toSeq).toSet == want,
+      "filtered bin index diverged from binTopK over the filtered slice")
+    // plan: predicate pushed at the packed shortlist scan (which still
+    // reads b only) AND at the float rescore scan
+    val p = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("LessThan(label,5)"), s"label not pushed:\n$p")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema:")).toList
+    assert(schemas.exists(s => s.contains("b:array<bigint>") &&
+      !s.contains("embedding")), s"no packed-only shortlist scan:\n$p")
+    // every returned row qualifies and each query fills its k
+    import spark.implicits._
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val rows = res.select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(rows.forall { case (_, n) => labels(n) < 5 })
+    assert(rows.groupBy(_._1).forall(_._2.length == 5))
+  }
+
   test("searchIndexMatch: full probe ≡ the positives miner; query " +
     "attribute values reach the scan as a pushed isin") {
     val m = Ivf.train(emb, k = 4, iters = 2)
