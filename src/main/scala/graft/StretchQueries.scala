@@ -3150,6 +3150,22 @@ object StretchQueries {
           col("n_sensitive"), col("diverse"))
     }),
 
+    // the ENTROPY form over the same construction: skew-aware —
+    // distinct-l passes a 99%-one-value group, entropy requires the
+    // mass to spread (H ≥ ln 3). Per-value micros rounding (the DSIR
+    // discipline), exact integer sums and threshold compare
+    "q_p_ldiv_ent" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        (round(col("c_acctbal") * 100).cast("long") + 100000L)
+          .as("cen"))
+        .select(col("nat"), col("seg"),
+          when(col("nat") % 5 === 0, lit(0L))
+            .otherwise(expr("cen div 200000")).as("band"))
+      graft.operators.Anonymize.entropyLDiversityGroups(c,
+        Seq("nat", "seg"), col("band"), l = 3L)
+    }),
+
     // per-node triangle participation: the q_g_pagerank 2-out-regular
     // maps alone are triangle-free at corpus sizes, so the graph adds
     // K4 community cliques (each node links +1 and +2 within its
@@ -7517,6 +7533,34 @@ object StretchQueries {
          |  CAST(count(DISTINCT band) AS BIGINT) AS n_sensitive,
          |  count(DISTINCT band) >= 3 AS diverse
          |FROM c GROUP BY nat, seg""".stripMargin)
+        .replaceAll(raw"\s+", " "),
+
+    // entropy l-diversity replayed: per-value micros terms (round
+    // once per value — the DSIR construction), exact integer group
+    // sums, the literal ln(3)-micros threshold (1098612 — both
+    // engines' ln(3) agree far beyond the .5 boundary)
+    "q_p_ldiv_ent" ->
+      ("""WITH c AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         |  CASE WHEN c_nationkey % 5 = 0 THEN 0 ELSE
+         |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 200000
+         |    END AS band
+         |  FROM customer),
+         |nv AS (SELECT nat, seg, band, CAST(count(*) AS BIGINT) AS nv
+         |  FROM c GROUP BY 1, 2, 3),
+         |tot AS (SELECT nat, seg, CAST(sum(nv) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_sensitive
+         |  FROM nv GROUP BY 1, 2),
+         |t AS (SELECT nv.nat, nv.seg,
+         |  CAST(round(1000000.0 *
+         |    (CAST(nv AS DOUBLE) / CAST(n_rows AS DOUBLE)) *
+         |    ln(CAST(n_rows AS DOUBLE) / CAST(nv AS DOUBLE)))
+         |    AS BIGINT) AS term
+         |  FROM nv JOIN tot USING (nat, seg)),
+         |e AS (SELECT nat, seg, CAST(sum(term) AS BIGINT)
+         |  AS entropy_micros FROM t GROUP BY 1, 2)
+         |SELECT e.nat, e.seg, tot.n_rows, tot.n_sensitive,
+         |  e.entropy_micros, e.entropy_micros >= 1098612 AS diverse
+         |FROM e JOIN tot USING (nat, seg)""".stripMargin)
         .replaceAll(raw"\s+", " "),
 
     // degree-ordered triangle enumeration replayed join for join:

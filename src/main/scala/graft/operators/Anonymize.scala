@@ -77,6 +77,48 @@ object Anonymize {
       .withColumn("diverse", col("n_sensitive") >= l)
   }
 
+  /** ENTROPY l-diversity — the skew-aware form: distinct-l passes a
+    * group where one sensitive value holds 99% of the rows (an
+    * attacker's posterior is nearly certain anyway); the entropy form
+    * requires H(sensitive | group) ≥ ln(l), so probability mass must
+    * actually spread. Exactness discipline: the per-VALUE term
+    * round(1e6·(n_v/n)·ln(n/n_v)) rounds ONCE per value (the
+    * DSIR/vocabDrift construction — no float summation order reaches
+    * the artifact), the group entropy is the exact integer sum, and
+    * the verdict compares against the integer threshold
+    * round(1e6·ln l). NULL sensitive values are missing data and drop
+    * before counting (a group of only-NULLs has no rows here).
+    *
+    * Shape: two groupBys + one join on the quasi key — the
+    * value-count table is the only addition over the distinct form.
+    * Quasi columns by NAME (the join needs stable keys).
+    */
+  def entropyLDiversityGroups(df: DataFrame, quasi: Seq[String],
+                              sensitive: Column, l: Long): DataFrame = {
+    require(quasi.nonEmpty, "at least one quasi-identifier column")
+    require(l >= 1, s"l must be positive, got $l")
+    val base = df.filter(sensitive.isNotNull)
+      .select(quasi.map(col) :+ sensitive.as("__v"): _*)
+    val nv = base.groupBy((quasi :+ "__v").map(col): _*)
+      .agg(count(lit(1)).as("__nv"))
+    val tot = nv.groupBy(quasi.map(col): _*)
+      .agg(sum(col("__nv")).as("n_rows"),
+        count(lit(1)).as("n_sensitive"))
+    val terms = nv.join(tot, quasi)
+      .select(quasi.map(col) :+
+        round(lit(1000000.0) *
+          (col("__nv").cast("double") / col("n_rows").cast("double")) *
+          log(col("n_rows").cast("double") / col("__nv").cast("double")))
+          .cast("long").as("__t"): _*)
+    val thresholdMicros = math.round(1000000.0 * math.log(l.toDouble))
+    terms.groupBy(quasi.map(col): _*)
+      .agg(sum(col("__t")).as("entropy_micros"))
+      .join(tot, quasi)
+      .select(quasi.map(col) :+ col("n_rows") :+ col("n_sensitive") :+
+        col("entropy_micros") :+
+        (col("entropy_micros") >= thresholdMicros).as("diverse"): _*)
+  }
+
   /** The release filter: keep rows whose quasi-identifier group is
     * l-diverse — one groupBy + one semi join on the (null-safe) quasi
     * key. Quasi columns may be arbitrary expressions, so the group

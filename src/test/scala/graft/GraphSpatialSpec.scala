@@ -160,4 +160,31 @@ class GraphSpatialSpec extends SparkSpec {
     assert(kept == Set(5L, 6L, 7L, 10L, 11L, 12L),
       s"release filter wrong: $kept")
   }
+
+  test("entropy l-diversity: a skewed group passes distinct-l but " +
+    "fails entropy; uniform-3 sits exactly at the threshold") {
+    import spark.implicits._
+    // skewed: 8×a + b + c — 3 distinct values (passes distinct l=3)
+    // but H = .8·ln1.25 + 2·(.1·ln10) → 178515+230259+230259 = 639033
+    // micros < ln3·1e6 = 1098612 → entropy FAILS it
+    // uniform: 2×a + 2×b + 2×c → 3·round(1e6·ln3/3) = 1098612 ≥
+    // threshold (exactly the boundary, and it must PASS)
+    val rows = (Seq.fill(8)(("S", "a")) ++ Seq(("S", "b"), ("S", "c")) ++
+      Seq(("U", "a"), ("U", "a"), ("U", "b"), ("U", "b"),
+        ("U", "c"), ("U", "c")))
+      .toDF("zip", "disease")
+    val dist = Anonymize.lDiversityGroups(rows, Seq(col("zip")),
+        col("disease"), l = 3L)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(dist("S") && dist("U"), "both pass the distinct form")
+    val ent = Anonymize.entropyLDiversityGroups(rows, Seq("zip"),
+        col("disease"), l = 3L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(ent("S") == ((639033L, false)),
+      s"skewed group must fail entropy: ${ent("S")}")
+    assert(ent("U") == ((1098612L, true)),
+      s"uniform-3 is exactly the threshold and passes: ${ent("U")}")
+  }
 }
