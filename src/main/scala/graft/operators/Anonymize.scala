@@ -91,7 +91,11 @@ object Anonymize {
     *
     * Shape: two groupBys + one join on the quasi key — the
     * value-count table is the only addition over the distinct form.
-    * Quasi columns by NAME (the join needs stable keys).
+    * Quasi columns by NAME (the join needs stable keys). Joins on the
+    * quasi key are NULL-SAFE (`<=>`) so a group whose quasi value is
+    * NULL is audited like any other — groupBy keeps null groups, and a
+    * null-unsafe join would silently drop them from the audit (the one
+    * kind of row a privacy audit must never lose).
     */
   def entropyLDiversityGroups(df: DataFrame, quasi: Seq[String],
                               sensitive: Column, l: Long): DataFrame = {
@@ -104,18 +108,23 @@ object Anonymize {
     val tot = nv.groupBy(quasi.map(col): _*)
       .agg(sum(col("__nv")).as("n_rows"),
         count(lit(1)).as("n_sensitive"))
-    val terms = nv.join(tot, quasi)
-      .select(quasi.map(col) :+
+    def nullSafeOn(left: DataFrame, la: String, right: DataFrame,
+                   ra: String): Column =
+      quasi.map(q => col(s"$la.$q") <=> col(s"$ra.$q")).reduce(_ && _)
+    val terms = nv.alias("__l")
+      .join(tot.alias("__r"), nullSafeOn(nv, "__l", tot, "__r"))
+      .select(quasi.map(q => col(s"__l.$q")) :+
         round(lit(1000000.0) *
           (col("__nv").cast("double") / col("n_rows").cast("double")) *
           log(col("n_rows").cast("double") / col("__nv").cast("double")))
           .cast("long").as("__t"): _*)
     val thresholdMicros = math.round(1000000.0 * math.log(l.toDouble))
-    terms.groupBy(quasi.map(col): _*)
+    val ent = terms.groupBy(quasi.map(col): _*)
       .agg(sum(col("__t")).as("entropy_micros"))
-      .join(tot, quasi)
-      .select(quasi.map(col) :+ col("n_rows") :+ col("n_sensitive") :+
-        col("entropy_micros") :+
+    ent.alias("__l")
+      .join(tot.alias("__r"), nullSafeOn(ent, "__l", tot, "__r"))
+      .select(quasi.map(q => col(s"__l.$q").as(q)) :+ col("n_rows") :+
+        col("n_sensitive") :+ col("entropy_micros") :+
         (col("entropy_micros") >= thresholdMicros).as("diverse"): _*)
   }
 

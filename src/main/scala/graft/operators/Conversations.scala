@@ -12,6 +12,11 @@ import graft.functions.TextFunctions
   * reason for every thread it rejects (the drop-ledger discipline
   * applied to dialogue):
   *
+  *  - `null_field` — a message with a NULL turn or NULL role (an
+  *    unplaceable message: without both, no other check can even be
+  *    evaluated honestly — a NULL role compares as NULL against the
+  *    expected role and would otherwise pass alternation while
+  *    array_join silently dropped its NULL transcript line);
   *  - `duplicate_turn` — two messages claim the same turn slot (a
   *    re-send or merge artifact; ordering is ambiguous, the thread is
   *    unusable as-is);
@@ -54,6 +59,8 @@ object Conversations {
       col(turnCol).cast("long").as(turnCol),
       col(roleCol),
       coalesce(col(textCol), lit("")).as("__text"),
+      when(col(turnCol).isNull || col(roleCol).isNull, 1L)
+        .otherwise(0L).as("__nullfield"),
       when(col(roleCol) =!= expected, 1L).otherwise(0L).as("__mismatch"),
       when(length(trim(coalesce(col(textCol), lit("")))) === 0, 1L)
         .otherwise(0L).as("__empty"))
@@ -64,6 +71,7 @@ object Conversations {
         max(col(turnCol)).as("max_turn"),
         sum(TextFunctions.tokenCount(col("__text")).cast("long"))
           .as("n_tokens"),
+        sum(col("__nullfield")).as("__nulls"),
         sum(col("__mismatch")).as("__mismatches"),
         sum(col("__empty")).as("__empties"),
         collect_list(struct(col(turnCol).as("t"),
@@ -71,12 +79,14 @@ object Conversations {
           .as("__msgs"))
       .select(col(convCol), col("n_msgs"), col("n_turns"),
         col("max_turn"), col("n_tokens"),
-        when(col("n_msgs") =!= col("n_turns"), lit("duplicate_turn"))
+        when(col("__nulls") > 0, lit("null_field"))
+          .when(col("n_msgs") =!= col("n_turns"), lit("duplicate_turn"))
           .when(col("max_turn") =!= col("n_turns") - 1, lit("turn_gap"))
           .when(col("__mismatches") > 0, lit("role_break"))
           .when(col("__empties") > 0, lit("empty_message"))
           .otherwise(lit("ok")).as("status"),
-        when(col("n_msgs") === col("n_turns") &&
+        when(col("__nulls") === 0 &&
+            col("n_msgs") === col("n_turns") &&
             col("max_turn") === col("n_turns") - 1 &&
             col("__mismatches") === 0 && col("__empties") === 0,
           array_join(transform(array_sort(col("__msgs")),

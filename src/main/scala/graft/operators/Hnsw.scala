@@ -460,10 +460,15 @@ object Hnsw {
   /** Attribute columns stored on this index's graph rows (empty for a
     * plain index) — parsed from the same marker as [[markerParams]],
     * so maintenance ops carry them through without the caller having
-    * to remember.
+    * to remember. The parse is confined to the STRUCTURED PREFIX of
+    * the fingerprint (everything before the genuine `,idCol=` field):
+    * first-match alone protects an attr-carrying index, but a PLAIN
+    * index has no attrs field at all, so a source path containing
+    * `,attrs=foo` would otherwise be read as a real attribute column
+    * and make append/split demand a column that doesn't exist.
     */
-  private def markerAttrs(spark: SparkSession,
-                          indexPath: String): Seq[String] = {
+  private[graft] def markerAttrs(spark: SparkSession,
+                                 indexPath: String): Seq[String] = {
     val markerPath = new org.apache.hadoop.fs.Path(
       s"$indexPath/_INDEX_READY")
     val fs = markerPath.getFileSystem(
@@ -474,7 +479,11 @@ object Hnsw {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     }
-    "(?:^|,)attrs=([^,]*)(?=,|$)".r.findFirstMatchIn(marker)
+    val structured = marker.indexOf(",idCol=") match {
+      case -1 => marker // legacy marker shape: no free-form tail
+      case i  => marker.substring(0, i)
+    }
+    "(?:^|,)attrs=([^,]*)(?=,|$)".r.findFirstMatchIn(structured)
       .map(_.group(1).split('+').filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
   }

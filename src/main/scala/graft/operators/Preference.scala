@@ -39,14 +39,17 @@ object Preference {
   /** Canonical orientation: emits (promptCol, carryCols…, lo, hi,
     * prefer_lo) with lo < hi by id and the vote flipped when a > b.
     * Self-pairs (a = b) are malformed annotations and drop. Null
-    * response ids drop (they cannot form a pair). `carryCols` (e.g.
-    * the rater id) pass through untouched.
+    * response ids drop (they cannot form a pair), and so does a NULL
+    * vote (an abstention carries no signal — and letting it through
+    * would make [[resolve]] count the row in n_votes while tallying
+    * it as a 'hi' vote, a silent bias). `carryCols` (e.g. the rater
+    * id) pass through untouched.
     */
   def normalized(df: DataFrame, promptCol: String, aCol: String,
                  bCol: String, preferACol: String,
                  carryCols: String*): DataFrame =
     df.filter(col(aCol).isNotNull && col(bCol).isNotNull &&
-        col(aCol) =!= col(bCol))
+        col(preferACol).isNotNull && col(aCol) =!= col(bCol))
       .select(col(promptCol) +: carryCols.map(col) :+
         least(col(aCol), col(bCol)).as("lo") :+
         greatest(col(aCol), col(bCol)).as("hi") :+
@@ -97,20 +100,23 @@ object Preference {
     * candidate scores below `minReward` drop entirely (the rejection
     * half: if even the best is bad, no training example is minted).
     *
-    * ONE struct-max aggregation (the LPA argmax discipline — never a
+    * ONE struct-min aggregation (the LPA argmax discipline — never a
     * window over the candidate table); n_candidates and spread ride
-    * the same pass.
+    * the same pass. The struct negates the REWARD (not the response
+    * id), so min(struct) orders reward desc then response-id asc for
+    * ANY orderable response-id type — string ids work; the reward
+    * must be integral (it is cast to long).
     */
   def bestOfN(df: DataFrame, promptCol: String, respCol: String,
               rewardCol: String, minReward: Long = Long.MinValue): DataFrame =
     df.groupBy(col(promptCol))
-      .agg(max(struct(col(rewardCol).cast("long").as("r"),
-          (-col(respCol)).cast("long").as("nid"))).as("__best"),
+      .agg(min(struct((-col(rewardCol).cast("long")).as("nr"),
+          col(respCol).as("resp"))).as("__best"),
         count(lit(1)).as("n_candidates"),
         min(col(rewardCol).cast("long")).as("min_reward"))
       .select(col(promptCol),
-        (-col("__best.nid")).as("best_resp"),
-        col("__best.r").as("best_reward"),
+        col("__best.resp").as("best_resp"),
+        (-col("__best.nr")).as("best_reward"),
         col("n_candidates"), col("min_reward"))
       .filter(col("best_reward") >= minReward)
 

@@ -395,7 +395,15 @@ object ScaleGate {
         s""""$n":{"t1_sec":${f3(t1)},"t10_sec":${f3(t10)},""" +
           s""""ratio":${f3(r)},"max":$m,"ok":$ok}"""
       }.mkString(",")
+      // a filtered run (SPARK_GRAFT_SCALE_ONLY) writes only a subset
+      // of envelopes; stamp the filter into the record so a partial
+      // artifact can never be mistaken for (or silently replace) a
+      // full round-close run
+      val onlyField =
+        if (only.isEmpty) ""
+        else s""""only":"${only.mkString(",")}","""
       val json = s"""{"base":"$base","copies":$copies,"reps":$reps,""" +
+        onlyField +
         s""""failed":${failed.length},"queries":{$qs}}""" + "\n"
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         json.getBytes("UTF-8"))

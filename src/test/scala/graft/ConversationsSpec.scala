@@ -64,4 +64,24 @@ class ConversationsSpec extends SparkSpec {
     val got = run((1L, 0L, "user", "hello"))
     assert(got(1L)._5 == "ok" && got(1L)._6.contains("user: hello"))
   }
+
+  test("null role or turn → null_field, ranked before every other " +
+    "check (a NULL role would otherwise PASS alternation and vanish " +
+    "from the transcript)") {
+    val rows = Seq[(Long, java.lang.Long, String, String)](
+      (1L, 0L, "user", "a"), (1L, 1L, null, "b"),          // null role
+      (2L, null, "user", "a"), (2L, 1L, "assistant", "b"), // null turn
+      (3L, 0L, "user", "a"), (3L, 1L, "assistant", "b"))   // clean
+      .toDF("c", "t", "role", "x")
+    val got = Conversations.assemble(rows, "c", "t", "role", "x")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(5), Option(r.getString(6))))).toMap
+    assert(got(1L) == (("null_field", None)),
+      s"NULL role must be rejected, not pass alternation: ${got(1L)}")
+    assert(got(2L)._1 == "null_field",
+      s"NULL turn must read null_field, not duplicate_turn: ${got(2L)}")
+    assert(got(3L)._1 == "ok" &&
+      got(3L)._2.contains("user: a\nassistant: b"))
+  }
 }

@@ -187,4 +187,26 @@ class GraphSpatialSpec extends SparkSpec {
     assert(ent("U") == ((1098612L, true)),
       s"uniform-3 is exactly the threshold and passes: ${ent("U")}")
   }
+
+  test("entropy l-diversity: a NULL quasi group is audited, never " +
+    "silently dropped by the internal joins") {
+    import spark.implicits._
+    // the null-zip group is uniform-3 (must pass at the threshold);
+    // a null-unsafe join would make it vanish from the audit output
+    val rows = (Seq((Some("10001"), "a"), (Some("10001"), "b"),
+      (Some("10001"), "c")) ++
+      Seq("a", "a", "b", "b", "c", "c").map(v => (None, v)))
+      .toDF("zip", "disease")
+    val ent = Anonymize.entropyLDiversityGroups(rows, Seq("zip"),
+        col("disease"), l = 3L)
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(ent.keySet == Set(Some("10001"), None),
+      s"the NULL quasi group must appear in the audit: ${ent.keySet}")
+    assert(ent(None) == ((6L, 1098612L, true)),
+      s"uniform-3 null group sits at the threshold: ${ent(None)}")
+    assert(ent(Some("10001"))._3,
+      "uniform-3 named group passes like the null one")
+  }
 }

@@ -451,4 +451,24 @@ class HnswSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("label"))
   }
+
+  test("markerAttrs: a source path containing ',attrs=' can never " +
+    "inject attribute columns — the parse stops at the structured " +
+    "prefix") {
+    def withMarker(text: String): Seq[String] = {
+      val dir = tmpDir("hnsw-marker")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_INDEX_READY"),
+        text.getBytes("UTF-8"))
+      Hnsw.markerAttrs(spark, dir)
+    }
+    // plain index (no attrs field) whose PATH embeds ',attrs=foo,'
+    assert(withMarker("hnsw,shards=4,m=8,efC=32,iters=3,seed=42," +
+      "idCol=vec_id,vecCol=embedding,src=/data/x,attrs=foo,/y").isEmpty,
+      "path-embedded attrs must not be parsed as real columns")
+    // genuine attrs survive even with the same pathological path
+    assert(withMarker("hnsw,shards=4,m=8,efC=32,iters=3,seed=42," +
+      "attrs=label+flag,idCol=vec_id,vecCol=embedding," +
+      "src=/data/x,attrs=foo,/y") == Seq("label", "flag"))
+  }
 }

@@ -153,4 +153,31 @@ class PreferenceSpec extends SparkSpec {
     assert(got.keySet == Set((1L, 10L, 20L)))
     assert(got((1L, 10L, 20L))._1 == 1L)
   }
+
+  test("a NULL vote is an abstention: dropped in normalized, never " +
+    "silently tallied as a 'hi' vote by resolve") {
+    val rows = Seq[(Long, Long, Long, java.lang.Boolean, Long)](
+      (1L, 10L, 20L, true, 1L),
+      (1L, 10L, 20L, null, 2L), // abstention: no signal either way
+      (1L, 10L, 20L, true, 3L))
+      .toDF("p", "a", "b", "pa", "r")
+    val got = Preference.resolveAnnotations(rows, "p", "a", "b", "pa", "r")
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(3) == 2L, s"n_votes must exclude the abstention")
+    assert(r.getLong(4) == 2L && r.getLong(5) == 0L,
+      "both real votes are for lo; the NULL must not count as hi")
+    assert(r.getString(6) == "lo" && !r.getBoolean(7))
+  }
+
+  test("bestOfN: string response ids work — the tie-break negates " +
+    "the reward, not the id") {
+    val cands = Seq((1L, "b", 80L), (1L, "a", 80L), (1L, "c", 50L))
+      .toDF("p", "resp", "rw")
+    val got = Preference.bestOfN(cands, "p", "resp", "rw").collect()
+    assert(got.length == 1)
+    assert(got.head.getString(1) == "a" && got.head.getLong(2) == 80L,
+      s"tie at 80 must break to the lexicographically first id")
+  }
 }
