@@ -2010,6 +2010,41 @@ object StretchQueries {
           .getOrElse(sys.error(s"index at $scratch has no _ROWS")).toInt)
     }),
 
+    // filtered ANN on the PQ arm — the last index type to get a
+    // predicate-aware search: the label predicate applies at the
+    // code-column shortlist scan (plain Filter → PushedFilters,
+    // stacked on cluster partition pruning; the coalesce-wrapper trap
+    // is the Ivf lesson), so the whole ADC budget lands on qualifying
+    // candidates. Full probe + exhaustive rescore ⇒ brute force over
+    // the label<5 slice ⇒ shares q_v_topk_flt's oracle; shares
+    // q_v_topk_pq_idx's persisted artifact (identical fingerprint)
+    "q_v_topk_pq_flt" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_pq_idx_q_" +
+        graft.engine.Scratch.encode(dir)
+      Ivf.ensureIndexPq(emb, s"$dir/embeddings.parquet", scratch, k = 4,
+        iters = 2, pqM = 8, pqK = 16, pqIters = 4, pqSampleN = 1024)
+      Ivf.searchIndexPqWhere(s, scratch, emb.filter(col("vec_id") < 16),
+        predicate = col("label") < 5, k = 5, nprobe = 4,
+        rescoreK = Ivf.indexRowCount(s, scratch)
+          .getOrElse(sys.error(s"index at $scratch has no _ROWS")).toInt)
+    }),
+
+    // the residual-encoded twin: same pushed predicate, same
+    // full-probe-exact contract, over q_v_topk_pq_res_idx's artifact
+    "q_v_topk_pqr_flt" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}" +
+        "/graft_pq_residx_q_" + graft.engine.Scratch.encode(dir)
+      Ivf.ensureIndexPqResidual(emb, s"$dir/embeddings.parquet", scratch,
+        k = 4, iters = 2, pqM = 8, pqK = 16, pqIters = 4, pqSampleN = 1024)
+      Ivf.searchIndexPqResidualWhere(s, scratch,
+        emb.filter(col("vec_id") < 16),
+        predicate = col("label") < 5, k = 5, nprobe = 4,
+        rescoreK = Ivf.indexRowCount(s, scratch)
+          .getOrElse(sys.error(s"index at $scratch has no _ROWS")).toInt)
+    }),
+
     // LSH top-k in the probe-all-buckets exhaustive mode (maxHamming
     // ≥ nBits — the HNSW ef<=0 escape-hatch pattern): every (query,
     // corpus) pair flows through the SAME hash-join + exact-cosine +
@@ -5004,6 +5039,11 @@ object StretchQueries {
       ("q_v_topk_pq_res" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq_res_idx" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq_idx" -> oracleSqlMap("q_v_topk")) +
+      // full probe + exhaustive rescore makes the predicate-aware PQ
+      // arms exactly brute force over the label<5 slice — the same
+      // filtered oracle as the IVF/HNSW/binary filtered arms
+      ("q_v_topk_pq_flt" -> oracleSqlMap("q_v_topk_flt")) +
+      ("q_v_topk_pqr_flt" -> oracleSqlMap("q_v_topk_flt")) +
       ("q_ev_sessions_et" -> oracleSqlMap("q_ev_sessions")) +
       ("q_ev_transitions_stream" -> oracleSqlMap("q_ev_transitions")) +
       ("q_s28_sql_blocklist" -> oracleSqlMap("q_t_blocklist")) +

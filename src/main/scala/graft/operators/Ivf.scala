@@ -568,7 +568,41 @@ object Ivf {
                     queries: DataFrame, k: Int, nprobe: Int = 2,
                     rescoreK: Int = 0,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding"): DataFrame =
+    searchIndexPqImpl(spark, indexPath, queries, None, k, nprobe,
+      rescoreK, idCol, vecCol)
+
+  /** [[searchIndexPq]] with a static attribute predicate — filtered
+    * ANN on the PQ arm, closing the asymmetry with
+    * [[searchIndexWhere]]/[[searchIndexBinWhere]]/Hnsw: the predicate
+    * applies AT THE CODE-COLUMN SHORTLIST SCAN (a plain Filter over
+    * whatever attribute columns [[writeIndex]] stored — NULL
+    * predicate rows fail, and unlike a coalesce wrapper the plain
+    * form reaches `PushedFilters`), stacked on the cluster partition
+    * pruning. The whole ADC shortlist budget therefore lands on
+    * qualifying candidates and the rescore reads only qualifying
+    * floats; post-filtering a finished neighbor list would starve k
+    * by the predicate's selectivity. Full probe + exhaustive
+    * shortlist ⇒ exactly brute-force-over-the-filtered-corpus, the
+    * relation the driver gate's oracle replays.
+    */
+  def searchIndexPqWhere(spark: SparkSession, indexPath: String,
+                         queries: DataFrame,
+                         predicate: org.apache.spark.sql.Column,
+                         k: Int, nprobe: Int = 2,
+                         rescoreK: Int = 0,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame =
+    searchIndexPqImpl(spark, indexPath, queries, Some(predicate), k,
+      nprobe, rescoreK, idCol, vecCol)
+
+  private def searchIndexPqImpl(spark: SparkSession, indexPath: String,
+                    queries: DataFrame,
+                    predicate: Option[org.apache.spark.sql.Column],
+                    k: Int, nprobe: Int,
+                    rescoreK: Int,
+                    idCol: String,
+                    vecCol: String): DataFrame = {
     val shortK = if (rescoreK > 0) math.max(rescoreK, k) else 4 * k
     val model = loadModelCached(spark, s"$indexPath/centroids")
     val pq = Pq.loadModelCached(spark, s"$indexPath/pq")
@@ -576,8 +610,9 @@ object Ivf {
       .select(explode(
         nearestCentroids(col(vecCol), model.centroids, nprobe)).as("cluster"))
       .distinct().collect().map(_.getInt(0))
-    val corpus = spark.read.parquet(s"$indexPath/corpus")
+    val corpusAll = spark.read.parquet(s"$indexPath/corpus")
       .filter(col("cluster").isin(probed.toIndexedSeq: _*))
+    val corpus = predicate.fold(corpusAll)(p => corpusAll.filter(p))
     val cq = corpus.select(col(idCol).as("n_id"), col("pq_code"),
       col("pq_norm"), col("cluster"))
     val q = queries.select(col(idCol).as("q_id"),
@@ -634,7 +669,33 @@ object Ivf {
                             queries: DataFrame, k: Int, nprobe: Int = 2,
                             rescoreK: Int = 0,
                             idCol: String = "vec_id",
-                            vecCol: String = "embedding"): DataFrame = {
+                            vecCol: String = "embedding"): DataFrame =
+    searchIndexPqResidualImpl(spark, indexPath, queries, None, k,
+      nprobe, rescoreK, idCol, vecCol)
+
+  /** [[searchIndexPqResidual]] with a static attribute predicate —
+    * the residual-encoded twin of [[searchIndexPqWhere]]: same
+    * plain-Filter pushdown at the code-column scan, same
+    * full-probe-is-exact contract over the filtered corpus.
+    */
+  def searchIndexPqResidualWhere(spark: SparkSession, indexPath: String,
+                                 queries: DataFrame,
+                                 predicate: org.apache.spark.sql.Column,
+                                 k: Int, nprobe: Int = 2,
+                                 rescoreK: Int = 0,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding"): DataFrame =
+    searchIndexPqResidualImpl(spark, indexPath, queries,
+      Some(predicate), k, nprobe, rescoreK, idCol, vecCol)
+
+  private def searchIndexPqResidualImpl(spark: SparkSession,
+                            indexPath: String,
+                            queries: DataFrame,
+                            predicate: Option[org.apache.spark.sql.Column],
+                            k: Int, nprobe: Int,
+                            rescoreK: Int,
+                            idCol: String,
+                            vecCol: String): DataFrame = {
     val shortK = if (rescoreK > 0) math.max(rescoreK, k) else 4 * k
     val model = loadModelCached(spark, s"$indexPath/centroids")
     val pq = Pq.loadModelCached(spark, s"$indexPath/pq")
@@ -642,8 +703,9 @@ object Ivf {
       .select(explode(
         nearestCentroids(col(vecCol), model.centroids, nprobe)).as("cluster"))
       .distinct().collect().map(_.getInt(0))
-    val corpus = spark.read.parquet(s"$indexPath/corpus")
+    val corpusAll = spark.read.parquet(s"$indexPath/corpus")
       .filter(col("cluster").isin(probed.toIndexedSeq: _*))
+    val corpus = predicate.fold(corpusAll)(p => corpusAll.filter(p))
     val cq = corpus.select(col(idCol).as("n_id"), col("pq_code"),
       col("pq_norm"), col("cluster"))
     // same shortlist stage as the in-memory path — one implementation

@@ -48,6 +48,11 @@ object ScaleGate {
     // filtered compressed arm: packed-column shortlist over the
     // predicate-pruned scan — the bin-index family's shape
     "q_v_topk_bin_flt" -> 6.0,
+    // filtered PQ arms: code-column ADC shortlist over the predicate-
+    // pruned scan + exhaustive rescore (the gate's exactness premise
+    // makes the rescore corpus-linear like the brute oracle itself)
+    "q_v_topk_pq_flt" -> 8.0,
+    "q_v_topk_pqr_flt" -> 8.0,
     // filtered graph ANN: index build amortizes (ensureIndex skips
     // when fresh), the searched work is the probed shards' rows —
     // same family as the unfiltered hnsw arm

@@ -533,4 +533,45 @@ class IvfSpec extends SparkSpec {
     assert(rn.filter(_._1 == 1L).forall(r => !nullIds.contains(r._2)),
       "non-null query matched a null-label candidate")
   }
+
+  test("searchIndexPqWhere / searchIndexPqResidualWhere: the predicate " +
+    "is pushed at the code-column shortlist scan; full probe + " +
+    "exhaustive rescore ≡ brute force over the filtered slice") {
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val q = emb.filter(col("vec_id") < 8)
+    val n = emb.count().toInt
+    val exact = SimilaritySearch.bruteForceTopK(
+        emb.filter(col("label") < 5), q, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    def check(res: org.apache.spark.sql.DataFrame, arm: String): Unit = {
+      val got = res.select("q_id", "rank", "n_id")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(got == exact,
+        s"$arm filtered search diverged from filtered brute force")
+      val p = res.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("LessThan(label,5)"),
+        s"$arm: label predicate not pushed:\n$p")
+      // the shortlist phase still scans codes only (no float vectors)
+      val schemas = p.linesIterator.filter(_.contains("ReadSchema:")).toList
+      assert(schemas.exists(s => s.contains("pq_code") &&
+        !s.contains("embedding")),
+        s"$arm: no codes-only shortlist scan:\n$p")
+      assert(p.contains("PartitionFilters"),
+        s"$arm: unpruned filtered scan:\n$p")
+    }
+    val pq = graft.operators.Pq.train(emb, m = 8, k = 16, iters = 4,
+      sampleN = 1024)
+    val path = tmpDir("graft-ivf-pq-flt")
+    Ivf.writeIndex(emb, m, path, pq = Some(pq))
+    check(Ivf.searchIndexPqWhere(spark, path, q,
+      predicate = col("label") < 5, k = 5, nprobe = 4, rescoreK = n), "pq")
+    val pathR = tmpDir("graft-ivf-pqr-flt") + "/idx"
+    Ivf.ensureIndexPqResidual(emb,
+      "/root/testdata/sf0.001/embeddings.parquet", pathR,
+      k = 4, iters = 2, pqM = 8, pqK = 16, pqIters = 4, pqSampleN = 1024)
+    check(Ivf.searchIndexPqResidualWhere(spark, pathR, q,
+      predicate = col("label") < 5, k = 5, nprobe = 4, rescoreK = n),
+      "residual-pq")
+  }
 }
