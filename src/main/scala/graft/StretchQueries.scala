@@ -3201,6 +3201,25 @@ object StretchQueries {
         Seq("nat", "seg"), col("band"), l = 3L)
     }),
 
+    // t-closeness over the same construction — the distribution-aware
+    // complement: nat%4 groups band on a COARSER ladder ({0..2}, a
+    // low-shifted subset of the corpus domain), so their sensitive
+    // distribution diverges from the corpus-wide one and EMD flags
+    // them even where distinct counts look fine. Exact integer
+    // prefix-sum EMD (P_i = Σ n_gj·N − N_j·n_g), one truncating
+    // division at the end — full SQL replay, no margin probe
+    "q_p_tclose" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        (round(col("c_acctbal") * 100).cast("long") + 100000L)
+          .as("cen"))
+        .select(col("nat"), col("seg"),
+          when(col("nat") % 4 === 0, expr("cen div 500000"))
+            .otherwise(expr("cen div 200000")).as("band"))
+      graft.operators.Anonymize.tClosenessGroups(c,
+        Seq("nat", "seg"), col("band"), tMicros = 150000L)
+    }),
+
     // per-node triangle participation: the q_g_pagerank 2-out-regular
     // maps alone are triangle-free at corpus sizes, so the graph adds
     // K4 community cliques (each node links +1 and +2 within its
@@ -7602,6 +7621,45 @@ object StretchQueries {
          |  e.entropy_micros, e.entropy_micros >= 1098612 AS diverse
          |FROM e JOIN tot USING (nat, seg)""".stripMargin)
         .replaceAll(raw"\s+", " "),
+
+    // t-closeness replayed stage for stage: domain table + scalar
+    // (N, m), group×domain grid with genuine-zero cells, integer
+    // prefix-sum window, Σ|P_i| over i<m, one truncating division.
+    // Everything before emd_micros is exact int, so the hash matches
+    // without any rounding-boundary analysis
+    "q_p_tclose" ->
+      ("""WITH c AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         |  CASE WHEN c_nationkey % 4 = 0 THEN
+         |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 500000
+         |  ELSE
+         |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 200000
+         |  END AS band FROM customer),
+         |vals AS (SELECT band, CAST(count(*) AS BIGINT) AS cv
+         |  FROM c GROUP BY 1),
+         |sc AS (SELECT CAST(sum(cv) AS BIGINT) AS n_corpus,
+         |  CAST(count(*) AS BIGINT) AS m FROM vals),
+         |idx AS (SELECT band, cv,
+         |  row_number() OVER (ORDER BY band) AS i FROM vals),
+         |gtot AS (SELECT nat, seg, CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM c GROUP BY 1, 2),
+         |gv AS (SELECT nat, seg, band, CAST(count(*) AS BIGINT) AS ng
+         |  FROM c GROUP BY 1, 2, 3),
+         |grid AS (SELECT g.nat, g.seg, g.n_rows, d.cv, d.i,
+         |  coalesce(v.ng, 0) AS ng
+         |  FROM gtot g CROSS JOIN idx d LEFT JOIN gv v
+         |  ON v.nat = g.nat AND v.seg = g.seg AND v.band = d.band),
+         |pref AS (SELECT nat, seg, n_rows, i,
+         |  sum(ng * (SELECT n_corpus FROM sc) - cv * n_rows)
+         |    OVER (PARTITION BY nat, seg ORDER BY i) AS p FROM grid),
+         |emd AS (SELECT nat, seg, n_rows,
+         |  CAST(sum(abs(p)) AS BIGINT) AS num
+         |  FROM pref WHERE i < (SELECT m FROM sc) GROUP BY 1, 2, 3)
+         |SELECT nat, seg, n_rows,
+         |  CAST((num * 1000000) // ((SELECT m - 1 FROM sc) * n_rows *
+         |    (SELECT n_corpus FROM sc)) AS BIGINT) AS emd_micros,
+         |  num * 1000000 <= 150000 * (SELECT m - 1 FROM sc) *
+         |    (SELECT n_corpus FROM sc) * n_rows AS close
+         |FROM emd""".stripMargin).replaceAll(raw"\s+", " "),
 
     // degree-ordered triangle enumeration replayed join for join:
     // undirect+distinct, degree table, orientation, wedge join,

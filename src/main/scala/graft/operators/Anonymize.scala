@@ -128,6 +128,89 @@ object Anonymize {
         (col("entropy_micros") >= thresholdMicros).as("diverse"): _*)
   }
 
+  /** t-CLOSENESS audit — the distribution-aware complement of
+    * l-diversity: a group can hold l distinct sensitive values and
+    * still leak (the skewness attack — a group that is 75% "cancer"
+    * in a 5%-cancer corpus discloses plenty), so a releasable group's
+    * sensitive DISTRIBUTION must sit within Earth-Mover's Distance t
+    * of the corpus-wide one. Over an ORDERED domain with m values,
+    * EMD(p, q) = (1/(m−1)) · Σ_{i<m} |Σ_{j≤i} (p_j − q_j)| (Li, Li &
+    * Venkatasubramanian, ICDE 2007, §5.2 — the ordered-distance
+    * form).
+    *
+    * Exactness discipline: the prefix terms are INTEGER count
+    * cross-products — P_i = Σ_{j≤i} (n_gj·N − N_j·n_g) — so
+    * EMD = Σ|P_i| / ((m−1)·n_g·N) exactly, no float summation, no
+    * rounding boundary, no margin probe. `emd_micros` is the single
+    * truncating division at the end; the verdict compares
+    * cross-multiplied int64 (Σ|P_i|·1e6 ≤ t·(m−1)·n_g·N), exact like
+    * the Fleiss-κ scalars. A LOUD envelope guard refuses corpora
+    * where (m−1)·N²·1e6 could overflow int64 (N ≈ 10⁶ at m=10) —
+    * beyond it, route to a micros-rounded-probabilities arm rather
+    * than silently wrapping.
+    *
+    * NULL sensitive values are missing data and drop (the
+    * entropy-form rule); NULL quasi values form an audited group
+    * (null-safe joins — the one kind of row a privacy audit must
+    * never lose). Scale shape: two groupBys + one broadcast of the
+    * m-row domain table + ONE window per group over the groups×m
+    * grid — m is small by the ordered-domain contract, so the grid
+    * is |groups|·m rows, never |rows|.
+    */
+  def tClosenessGroups(df: DataFrame, quasi: Seq[String],
+                       sensitive: Column, tMicros: Long): DataFrame = {
+    require(quasi.nonEmpty, "at least one quasi-identifier column")
+    require(tMicros >= 0 && tMicros <= 1000000L,
+      s"t is a micros fraction in [0, 1e6], got $tMicros")
+    val base = df.filter(sensitive.isNotNull)
+      .select(quasi.map(col) :+ sensitive.as("__v"): _*)
+    // corpus distribution over the ordered domain (m rows, broadcast)
+    val vals = base.groupBy(col("__v")).agg(count(lit(1)).as("__cv"))
+    // N and m: bounded driver metadata (one tiny agg over the m-row
+    // table), like the probe lists — they become plan literals
+    val scalars = vals.agg(sum(col("__cv")), count(lit(1))).head()
+    val gtot = base.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    if (scalars.isNullAt(0))          // empty corpus: nothing to audit
+      return gtot.select(quasi.map(col) :+ col("n_rows") :+
+        lit(0L).as("emd_micros") :+ lit(true).as("close"): _*)
+    val (nTotal, m) = (scalars.getLong(0), scalars.getLong(1))
+    if (m <= 1)                       // one-value domain: EMD ≡ 0
+      return gtot.select(quasi.map(col) :+ col("n_rows") :+
+        lit(0L).as("emd_micros") :+ lit(true).as("close"): _*)
+    require((m - 1).toDouble * nTotal.toDouble * nTotal.toDouble * 1e6
+      < Long.MaxValue.toDouble * 0.99,
+      s"t-closeness exact-integer envelope exceeded: (m-1)·N²·1e6 with " +
+        s"m=$m, N=$nTotal would overflow int64 — use a coarser domain " +
+        "or a micros-rounded-probabilities variant at this scale")
+    val indexed = vals.withColumn("__i",
+      row_number().over(Window.orderBy(col("__v"))))
+    val gv = base.groupBy((quasi :+ "__v").map(col): _*)
+      .agg(count(lit(1)).as("__ng"))
+    // full grid: every group × every ordered value — absent cells are
+    // genuine zero counts and MUST contribute −N_j·n_g to the prefix
+    val grid = gtot.alias("__g").crossJoin(broadcast(indexed.alias("__d")))
+    val cond = quasi.map(q => col(s"__g.$q") <=> col(s"__gv.$q"))
+      .reduce(_ && _) && (col("__d.__v") === col("__gv.__v"))
+    val joined = grid.join(gv.alias("__gv"), cond, "left")
+      .select(quasi.map(q => col(s"__g.$q")) :+ col("n_rows") :+
+        col("__i") :+ col("__cv") :+
+        coalesce(col("__gv.__ng"), lit(0L)).as("__ng"): _*)
+    val wp = Window.partitionBy(quasi.map(col): _*).orderBy(col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val emd = joined
+      .withColumn("__p",
+        sum(col("__ng") * nTotal - col("__cv") * col("n_rows")).over(wp))
+      .filter(col("__i") < m)         // the i = m prefix is identically 0
+      .groupBy(quasi.map(col) :+ col("n_rows"): _*)
+      .agg(sum(abs(col("__p"))).as("__emd_num"))
+    emd.select(quasi.map(col) :+ col("n_rows") :+
+      expr(s"(__emd_num * 1000000L) div ((${m - 1}L) * n_rows * ${nTotal}L)")
+        .as("emd_micros") :+
+      (col("__emd_num") * 1000000L <=
+        lit(tMicros * (m - 1) * nTotal) * col("n_rows")).as("close"): _*)
+  }
+
   /** The release filter: keep rows whose quasi-identifier group is
     * l-diverse — one groupBy + one semi join on the (null-safe) quasi
     * key. Quasi columns may be arbitrary expressions, so the group

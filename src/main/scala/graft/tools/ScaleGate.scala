@@ -185,6 +185,9 @@ object ScaleGate {
     // token counting — linear in messages
     "q_sft_threads" -> 8.0,
     "q_pipe_sft" -> 8.0,
+    // t-closeness: two groupBys + a groups×m grid window (m fixed by
+    // the band domain) — linear in customer rows
+    "q_p_tclose" -> 8.0,
     // round-11 (VERDICT r10 #9): the read front door. The manifest
     // routing itself is O(manifest) = flat, but each gate carries
     // linear components the envelope must admit: the oracle-key

@@ -209,4 +209,57 @@ class GraphSpatialSpec extends SparkSpec {
     assert(ent(Some("10001"))._3,
       "uniform-3 named group passes like the null one")
   }
+
+  test("t-closeness: a group that PASSES distinct l-diversity still " +
+    "fails when its sensitive distribution diverges from the corpus " +
+    "(the skewness attack); exact integer EMD") {
+    import spark.implicits._
+    // domain {0,1,2}, m=3. Anchor group C: uniform 10/10/10 (n=30).
+    // Skewed group B: 6/1/1 (n=8) — 3 distinct values, so distinct
+    // l-diversity at l=3 PASSES it. Corpus: 16/11/11, N=38.
+    // Hand-computed exact prefixes P_i = Σ(n_gj·N − N_j·n_g):
+    //   B: P1 = 6·38−16·8 = 100; P2 = 100 + (38−88) = 50 → Σ|P|=150
+    //      EMD = 150/(2·8·38) = 150/608 → 246710 micros (truncating)
+    //   C: P1 = 380−480 = −100; P2 = −100+50 = −50 → Σ|P|=150
+    //      EMD = 150/(2·30·38) = 150/2280 → 65789 micros
+    val rows = (Seq.tabulate(30)(i => ("C", (i % 3).toLong)) ++
+      (Seq.fill(6)(0L) ++ Seq(1L, 2L)).map(v => ("B", v)))
+      .toDF("zip", "sev")
+    val ldiv = Anonymize.lDiversityGroups(rows, Seq(col("zip")),
+        col("sev"), l = 3L)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(ldiv("B") && ldiv("C"), "both groups pass distinct l=3")
+    val tc = Anonymize.tClosenessGroups(rows, Seq("zip"), col("sev"),
+        tMicros = 200000L)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(tc("B") == ((8L, 246710L, false)),
+      s"skewed-but-diverse group must fail t=0.2: ${tc("B")}")
+    assert(tc("C") == ((30L, 65789L, true)),
+      s"anchor group sits near the corpus: ${tc("C")}")
+  }
+
+  test("t-closeness edge cases: one-value domain reads EMD 0; NULL " +
+    "sensitive drops; NULL quasi group is audited") {
+    import spark.implicits._
+    val one = Seq(("A", Some(1L)), ("A", Some(1L)), ("B", Some(1L)),
+      ("B", None)).toDF("zip", "sev")
+    val got1 = Anonymize.tClosenessGroups(one, Seq("zip"), col("sev"),
+        tMicros = 0L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got1("A") == ((2L, 0L, true)) && got1("B") == ((1L, 0L, true)),
+      s"one-value domain must read EMD 0 everywhere: $got1")
+    val nq = (Seq.tabulate(6)(i => (Some("Z"), (i % 3).toLong)) ++
+      Seq.tabulate(6)(i => (None, (i % 3).toLong)))
+      .toDF("zip", "sev")
+    val got2 = Anonymize.tClosenessGroups(nq, Seq("zip"), col("sev"),
+        tMicros = 0L)
+      .collect().map(r => Option(r.getString(0)) -> r.getBoolean(3)).toMap
+    assert(got2.keySet == Set(Some("Z"), None),
+      s"NULL quasi group must be audited: ${got2.keySet}")
+    assert(got2(None) && got2(Some("Z")),
+      "both groups mirror the corpus exactly → EMD 0 passes t=0")
+  }
 }
