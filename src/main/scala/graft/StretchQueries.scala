@@ -4225,6 +4225,26 @@ object StretchQueries {
         "resp_a", "resp_b", "prefer_a", "rater_id")
     }),
 
+    // Bradley-Terry strengths over the same resolved votes: 3 MM
+    // rounds in exact integer micros (one truncating division per
+    // pair term, ghost-regularized), so the whole fit — not a
+    // convergence point — replays in SQL with the rounds unrolled
+    // (the HITS/LogReg discipline)
+    "q_pref_bt" -> ((s, dir) => {
+      val ann = t(s, dir, "documents").select(
+        (col("doc_id") % 50).as("prompt_id"),
+        (col("doc_id") % 7).as("resp_a"),
+        ((col("doc_id") * 3 + 1) % 7).as("resp_b"),
+        (expr("(doc_id % 50 + (doc_id % 7) * 2 + " +
+          "((doc_id div 50) % 5) * 3) % 5 < 3") =!=
+          (col("doc_id") % 97 === 0)).as("prefer_a"),
+        expr("(doc_id div 50) % 5").as("rater_id"))
+      graft.operators.Preference.bradleyTerry(
+        graft.operators.Preference.resolveAnnotations(ann, "prompt_id",
+          "resp_a", "resp_b", "prefer_a", "rater_id"),
+        "prompt_id", rounds = 3)
+    }),
+
     // SFT conversation-thread assembly QA: 16-message threads
     // synthesized from documents (conv = d div 16 so the thread COUNT
     // scales with the corpus and fixed-modulus corruptions hit a
@@ -4578,6 +4598,55 @@ object StretchQueries {
        |      AS n_lo
        |  FROM votes GROUP BY 1, 2, 3)""".stripMargin)
       .replaceAll(raw"\s+", " ")
+
+  /** The Bradley-Terry gate's unrolled MM chain over `res`:
+    * `it` (per-item win/comparison tallies), `s0` (uniform micros),
+    * then per round k: `t{k}` (pair terms — ONE truncating division
+    * each), `d{k}` (per-item denominator sums), `s{k}` (the
+    * ghost-regularized update). All operands positive, so DuckDB `//`
+    * ≡ Spark `div`.
+    */
+  private lazy val btOracleSql: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""t$k AS (SELECT r.prompt_id, r.lo, r.hi,
+         |    CAST((r.n_votes * 1000000000000) // (sl.s + sh.s)
+         |      AS BIGINT) AS term
+         |  FROM pr2 r
+         |  JOIN s${k - 1} sl ON sl.prompt_id = r.prompt_id
+         |    AND sl.resp = r.lo
+         |  JOIN s${k - 1} sh ON sh.prompt_id = r.prompt_id
+         |    AND sh.resp = r.hi),
+         |d$k AS (SELECT prompt_id, resp, CAST(sum(term) AS BIGINT) AS d
+         |  FROM (SELECT prompt_id, lo AS resp, term FROM t$k
+         |        UNION ALL SELECT prompt_id, hi, term FROM t$k)
+         |  GROUP BY 1, 2),
+         |s$k AS (SELECT i.prompt_id, i.resp,
+         |    CAST(((i.n_wins + 1) * 1000000000000) //
+         |      greatest(d.d + (2000000000000 // (p.s + 1000000)), 1)
+         |      AS BIGINT) AS s
+         |  FROM it i
+         |  JOIN d$k d ON d.prompt_id = i.prompt_id AND d.resp = i.resp
+         |  JOIN s${k - 1} p ON p.prompt_id = i.prompt_id
+         |    AND p.resp = i.resp)""".stripMargin
+    }.mkString(",\n")
+    (s"""WITH $prefVotesCtes,
+       |pr2 AS (SELECT prompt_id, lo, hi, n_votes, n_lo,
+       |  n_votes - n_lo AS n_hi FROM res),
+       |it AS (SELECT prompt_id, resp, CAST(sum(w) AS BIGINT) AS n_wins,
+       |    CAST(sum(nv) AS BIGINT) AS n_comparisons
+       |  FROM (SELECT prompt_id, lo AS resp, n_lo AS w, n_votes AS nv
+       |          FROM pr2
+       |        UNION ALL SELECT prompt_id, hi, n_hi, n_votes FROM pr2)
+       |  GROUP BY 1, 2),
+       |s0 AS (SELECT prompt_id, resp, CAST(1000000 AS BIGINT) AS s
+       |  FROM it),
+       |$rounds
+       |SELECT i.prompt_id, i.resp, s3.s AS strength_micros,
+       |  i.n_wins, i.n_comparisons
+       |FROM it i JOIN s3 ON s3.prompt_id = i.prompt_id
+       |  AND s3.resp = i.resp""".stripMargin)
+      .replaceAll(raw"\s+", " ")
+  }
 
   /** Truncate-toward-zero division in DuckDB — mirrors Long division /
     * Spark `div` regardless of `//`'s rounding mode on negatives.
@@ -6083,6 +6152,12 @@ object StretchQueries {
          |  CAST((abs(n_lo*2 - n_votes) * 1000000) // n_votes AS BIGINT)
          |    AS margin_micros
          |FROM res""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // Bradley-Terry replayed: items/wins from the pair tallies, then
+    // 3 MM rounds unrolled — each round one pair-term CTE (single
+    // truncating division), one per-item denominator sum, one
+    // ghost-regularized update. Exact int64 end to end
+    "q_pref_bt" -> btOracleSql,
 
     // Fleiss replayed over the same vote chain: per-item-category
     // counts, kept items (≥2 assignments), prevalence over kept

@@ -120,6 +120,96 @@ object Preference {
         col("n_candidates"), col("min_reward"))
       .filter(col("best_reward") >= minReward)
 
+  /** Bradley-Terry preference strengths over [[resolve]] output — the
+    * strength-of-preference meter majority voting cannot give: the
+    * majority yields the mode per pair, BT fits one latent strength
+    * per (prompt, response) such that P(i beats j) = s_i/(s_i+s_j)
+    * across ALL of a prompt's pairs jointly, which is what a
+    * DPO-style filter thresholds on (margin between chosen and
+    * rejected strengths, transitively consistent across the pair
+    * graph).
+    *
+    * Fixed-round minorization (MM) updates (Hunter, "MM algorithms
+    * for generalized Bradley-Terry models", Ann. Statist. 2004):
+    *   s'_i = W_i / Σ_{pairs (i,j)} n_ij / (s_i + s_j)
+    * regularized by one virtual win AND one virtual comparison-pair
+    * against a fixed-strength ghost (the standard connectivity prior:
+    * zero-win items get a small positive strength instead of 0/0, and
+    * the ghost anchors BT's arbitrary scale). Exactness discipline:
+    * strengths live in integer micros, each pair term is ONE
+    * truncating division (n_ij·1e12 div (s_i+s_j)), the update is one
+    * more — everything replays in SQL with the rounds unrolled (the
+    * HITS/LogReg treatment); int64 headroom requires W_i < 9.2e6
+    * votes per item, far above any annotation reality.
+    *
+    * Scale shape per round: two broadcast-size joins of strengths
+    * onto pairs + one groupBy — all keyed (prompt, resp); rounds are
+    * materialized through scratch parquet (superseded rounds dropped
+    * eagerly), so the plan never re-derives the vote pipeline
+    * 3^rounds times.
+    */
+  def bradleyTerry(resolved: DataFrame, promptCol: String,
+                   rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"1..8 MM rounds, got $rounds")
+    val (pairs, pairsScratch) = Materialize.viaScratchWithPath(
+      resolved.select(col(promptCol), col("lo"), col("hi"),
+        col("n_votes"), col("n_lo"),
+        (col("n_votes") - col("n_lo")).as("n_hi")),
+      "graft-bt-pairs")
+    val (items, itemsScratch) = Materialize.viaScratchWithPath(
+      pairs.select(col(promptCol), col("lo").as("resp"),
+          col("n_lo").as("__w"), col("n_votes").as("__n"))
+        .union(pairs.select(col(promptCol), col("hi").as("resp"),
+          col("n_hi").as("__w"), col("n_votes").as("__n")))
+        .groupBy(col(promptCol), col("resp"))
+        .agg(sum(col("__w")).as("n_wins"),
+          sum(col("__n")).as("n_comparisons")),
+      "graft-bt-items")
+    try {
+      var s = items.select(col(promptCol), col("resp"),
+        lit(1000000L).as("__s"))
+      var prev: Option[Materialize.Scratch] = None
+      for (_ <- 1 to rounds) {
+        val t = pairs
+          .join(s.select(col(promptCol), col("resp").as("lo"),
+            col("__s").as("__sl")), Seq(promptCol, "lo"))
+          .join(s.select(col(promptCol), col("resp").as("hi"),
+            col("__s").as("__sh")), Seq(promptCol, "hi"))
+          .withColumn("__term",
+            expr("(n_votes * 1000000000000L) div (__sl + __sh)"))
+        val d = t.select(col(promptCol), col("lo").as("resp"), col("__term"))
+          .union(t.select(col(promptCol), col("hi").as("resp"),
+            col("__term")))
+          .groupBy(col(promptCol), col("resp"))
+          .agg(sum(col("__term")).as("__d"))
+        val (next, scratch) = Materialize.viaScratchWithPath(
+          items.join(d, Seq(promptCol, "resp"))
+            .join(s, Seq(promptCol, "resp"))
+            // ghost term rides the same denominator; greatest(·,1)
+            // keeps the division total if every term truncates to 0
+            .select(col(promptCol), col("resp"),
+              expr("((n_wins + 1L) * 1000000000000L) div " +
+                "greatest(__d + (2000000000000L div (__s + 1000000L)), 1L)")
+                .as("__s")),
+          "graft-bt-round")
+        prev.foreach(_.drop())
+        prev = Some(scratch)
+        s = next
+      }
+      val out = Materialize.viaScratch(
+        items.join(s, Seq(promptCol, "resp"))
+          .select(col(promptCol), col("resp"),
+            col("__s").as("strength_micros"),
+            col("n_wins"), col("n_comparisons")),
+        "graft-bt-out")
+      prev.foreach(_.drop())
+      out
+    } finally {
+      pairsScratch.drop()
+      itemsScratch.drop()
+    }
+  }
+
   /** The full pipeline: raw annotations → canonical orientation →
     * per-rater hygiene → majority resolution.
     */

@@ -176,6 +176,10 @@ object ScaleGate {
     "q_pref_resolve" -> 8.0,
     "q_pref_raters" -> 8.0,
     "q_pref_bestof" -> 8.0,
+    // BT adds 3 fixed MM rounds (2 joins + 1 groupBy each, scratch-
+    // materialized) on top of the resolve chain — still vote-linear,
+    // with the fixed round-job overhead amortizing at 10×
+    "q_pref_bt" -> 8.0,
     "q_dq_fleiss" -> 8.0,
     // FIXED-OVERHEAD assertion (the q_d_stream_inc convention): two
     // AvailableNow startups + per-epoch commits dominate; 10× votes

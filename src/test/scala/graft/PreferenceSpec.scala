@@ -171,6 +171,52 @@ class PreferenceSpec extends SparkSpec {
     assert(r.getString(6) == "lo" && !r.getBoolean(7))
   }
 
+  test("bradleyTerry: strengths are transitive and monotone in win " +
+    "fraction — including for a pair never directly compared — and " +
+    "zero-win items stay positive (ghost prior)") {
+    // A(1) beats B(2) 4-1, B beats C(3) 4-1; A and C never compared.
+    val rows = (1L to 5L).flatMap { r =>
+      Seq((1L, 1L, 2L, r <= 4, r), (1L, 2L, 3L, r <= 4, r))
+    }.toDF("p", "a", "b", "pa", "r")
+    val resolved = Preference.resolveAnnotations(rows, "p", "a", "b",
+      "pa", "r")
+    val s = Preference.bradleyTerry(resolved, "p", rounds = 3)
+      .collect()
+      .map(x => x.getLong(1) -> ((x.getLong(2), x.getLong(3),
+        x.getLong(4)))).toMap
+    assert(s.keySet == Set(1L, 2L, 3L))
+    val (sa, sb, sc) = (s(1L)._1, s(2L)._1, s(3L)._1)
+    assert(sa > sb && sb > sc,
+      s"BT must order by joint fit: A=$sa B=$sb C=$sc")
+    assert(sc > 0L, "ghost prior keeps low-win items positive")
+    assert(s(1L)._2 == 4L && s(1L)._3 == 5L,
+      s"A's tallies: ${s(1L)}")
+    assert(s(2L)._2 == 5L && s(2L)._3 == 10L,
+      s"B: 1 win vs A + 4 vs C over 10 comparisons: ${s(2L)}")
+  }
+
+  test("bradleyTerry: permutation invariance — relabeling responses " +
+    "permutes strengths with them (orientation flips included)") {
+    def fit(ids: Map[Long, Long]): Map[Long, Long] = {
+      val rows = (1L to 5L).flatMap { r =>
+        Seq((1L, ids(1L), ids(2L), r <= 4, r),
+          (1L, ids(2L), ids(3L), r <= 4, r))
+      }.toDF("p", "a", "b", "pa", "r")
+      Preference.bradleyTerry(
+          Preference.resolveAnnotations(rows, "p", "a", "b", "pa", "r"),
+          "p", rounds = 3)
+        .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    }
+    val id = Map(1L -> 1L, 2L -> 2L, 3L -> 3L)
+    // 1→9, 2→5, 3→7 flips the canonical (lo, hi) orientation of
+    // both pairs — the fit must not care
+    val perm = Map(1L -> 9L, 2L -> 5L, 3L -> 7L)
+    val (base, got) = (fit(id), fit(perm))
+    assert(got(9L) == base(1L) && got(5L) == base(2L) &&
+      got(7L) == base(3L),
+      s"strengths must follow the relabeling: $base vs $got")
+  }
+
   test("bestOfN: string response ids work — the tie-break negates " +
     "the reward, not the id") {
     val cands = Seq((1L, "b", 80L), (1L, "a", 80L), (1L, "c", 50L))
