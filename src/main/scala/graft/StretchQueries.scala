@@ -4269,6 +4269,43 @@ object StretchQueries {
         "role", "text")
     }),
 
+    // STREAMING thread assembly: the same message synth fed as two
+    // epochs (even doc_ids, then odd) through the thread-QA changelog
+    // stream — a thread's verdict re-validates as turns arrive (the
+    // gap-closing odd turns flip turn_gap→ok or →role_break), status
+    // transitions are the emitted rows, full-tuple message dedup
+    // makes epoch replay idempotent. The latest-wins view over the
+    // changelog is bit-identical to the batch assembler over the
+    // whole feed ⇒ shares q_sft_threads' oracle
+    "q_sft_stream" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_ssft_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val (feed, out, ckpt) = (s"$scratch/feed", s"$scratch/out",
+        s"$scratch/ckpt")
+      val m = t(s, dir, "documents").select(
+        expr("doc_id div 16").as("conv_id"),
+        when(col("doc_id") % 97 === 0 && col("doc_id") % 16 > 0,
+          col("doc_id") % 16 - 1).otherwise(col("doc_id") % 16)
+          .as("turn"),
+        when((col("doc_id") % 16 % 2 === 0) =!=
+            (col("doc_id") % 211 === 0), lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        when(col("doc_id") % 139 === 0, lit(""))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"),
+        col("doc_id"))
+      m.filter(col("doc_id") % 2 === 0).drop("doc_id")
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingConversations.assembleStream(
+        s, feed, out, ckpt)
+      m.filter(col("doc_id") % 2 === 1).drop("doc_id")
+        .coalesce(1).write.mode("append").parquet(feed)
+      val changelog = graft.streaming.StreamingConversations
+        .assembleStream(s, feed, out, ckpt)
+      graft.streaming.StreamingConversations.latest(changelog)
+    }),
+
     // the SFT chain end to end: assemble → keep only validated (ok)
     // threads → pack the TRANSCRIPTS by their real token counts,
     // bucketed on transcript content (only clean threads mint
@@ -5115,6 +5152,11 @@ object StretchQueries {
       // over the whole feed (per-rater side map makes cross-batch
       // hygiene exact; StreamingSpec-style pins in PreferenceSpec)
       ("q_pref_stream" -> oracleSqlMap("q_pref_resolve")) +
+      // latest-wins over the thread-QA changelog ≡ the batch
+      // assembler over the accumulated feed (full-tuple dedup makes
+      // epochs idempotent; StreamingSpec-style pins in
+      // ConversationsSpec)
+      ("q_sft_stream" -> oracleSqlMap("q_sft_threads")) +
       // deterministic training ⇒ the shipped-artifact encode is
       // bit-identical to the in-memory arm (UnigramLmSpec pins the
       // roundtrip); the gate exercises persist + cold reload + meta

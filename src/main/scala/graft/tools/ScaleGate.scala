@@ -185,6 +185,8 @@ object ScaleGate {
     // AvailableNow startups + per-epoch commits dominate; 10× votes
     // must stay startup-bound
     "q_pref_stream" -> 3.0,
+    // same fixed-overhead assertion for the thread-QA changelog
+    "q_sft_stream" -> 3.0,
     // SFT thread QA + its packing composition: one groupBy with
     // token counting — linear in messages
     "q_sft_threads" -> 8.0,

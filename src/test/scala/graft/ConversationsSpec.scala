@@ -84,4 +84,45 @@ class ConversationsSpec extends SparkSpec {
     assert(got(3L)._1 == "ok" &&
       got(3L)._2.contains("user: a\nassistant: b"))
   }
+
+  test("streaming assembly: the changelog records cross-epoch status " +
+    "transitions and latest-wins equals the batch assembler; epoch " +
+    "replay is idempotent") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamingConversations
+    val base = tmpDir("sft-stream")
+    val (feed, out, ckpt) = (s"$base/feed", s"$base/out", s"$base/ckpt")
+    def msgs(rows: (Long, Long, String, String)*) =
+      rows.toDF("conv_id", "turn", "role", "text")
+    // epoch 0: conv 1 has turns 0 and 2 (a gap); conv 2 is clean
+    val e0 = msgs((1L, 0L, "user", "a"), (1L, 2L, "user", "c"),
+      (2L, 0L, "user", "x"), (2L, 1L, "assistant", "y"))
+    // epoch 1: the gap-closing turn 1 arrives → conv 1 flips
+    // turn_gap → ok; conv 3 appears with a duplicate slot
+    val e1 = msgs((1L, 1L, "assistant", "b"),
+      (3L, 0L, "user", "p"), (3L, 0L, "assistant", "q"))
+    e0.coalesce(1).write.mode("append").parquet(feed)
+    StreamingConversations.assembleStream(spark, feed, out, ckpt)
+    e1.coalesce(1).write.mode("append").parquet(feed)
+    val changelog = StreamingConversations.assembleStream(
+      spark, feed, out, ckpt)
+    val c1 = changelog.filter(col("conv_id") === 1L)
+      .select("upd", "status").as[(Int, String)].collect().toMap
+    assert(c1(c1.keys.min) == "turn_gap" && c1(c1.keys.max) == "ok",
+      s"changelog must record the gap-closing flip: $c1")
+    val got = StreamingConversations.latest(changelog)
+      .collect().map(_.toSeq).toSet
+    val want = Conversations.assemble(e0.unionByName(e1),
+        "conv_id", "turn", "role", "text")
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"stream != batch:\n got=$got\n want=$want")
+    // replaying the last epoch re-absorbs idempotently: the verdicts
+    // (latest rows) are unchanged
+    e1.coalesce(1).write.mode("append").parquet(feed)
+    val replay = StreamingConversations.assembleStream(
+      spark, feed, out, ckpt)
+    val got2 = StreamingConversations.latest(replay)
+      .collect().map(_.toSeq).toSet
+    assert(got2 == want, "replayed epoch must not change any verdict")
+  }
 }
