@@ -1015,8 +1015,11 @@ object StretchQueries {
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("ppl_micros").desc, col("doc_id").asc)
       // single-partition window: ranks one row per doc at gate scale;
-      // a 100 TB curriculum would band via approx quantile cuts — the
-      // exact ntile is the oracle-able reference semantics
+      // a 100 TB curriculum bands via DatasetSplit.quantileBands
+      // (approx_percentile cuts + scan-side assignment — the
+      // implemented at-scale arm; UnigramLmSpec bounds its agreement
+      // with this exact ntile) — the exact ntile stays the
+      // oracle-able reference semantics
       sur.withColumn("ppl_micros",
           when(col("n_pieces") === 0L, lit(0L))
             .otherwise(expr("score_micros div n_pieces")))
@@ -1831,6 +1834,28 @@ object StretchQueries {
       Hnsw.splitShard(s, idx, hot)
       Hnsw.searchIndex(s, idx, emb.filter(col("vec_id") < 16),
         k = 5, nprobe = 5, ef = 0)
+    }),
+
+    // the round-13 features COMPOSED under one oracle: an
+    // attr-carrying index, hot-shard split in place (attrs must ride
+    // the 2-means rebuild), then FILTERED search over the split
+    // index — predicate at the scan, exhaustive mode over 5 shards ⇒
+    // shares q_v_topk_flt's filtered brute-force oracle. A split that
+    // dropped or null-filled the attribute column would surface here
+    // as missing/extra neighbors, not just in the HnswSpec pins
+    "q_v_hnsw_split_flt" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_spf_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      Hnsw.ensureIndex(emb, s"$dir/embeddings.parquet", idx,
+        shards = 4, m = 8, efC = 32, attrCols = Seq("label"))
+      val hot = Hnsw.hottestShard(s, idx)
+        .getOrElse(sys.error(s"empty index at $idx"))
+      Hnsw.splitShard(s, idx, hot)
+      Hnsw.searchIndexWhere(s, idx, emb.filter(col("vec_id") < 16),
+        predicate = col("label") < 5, k = 5, nprobe = 5, ef = 0)
     }),
 
     // the HNSW maintenance loop as a DEPLOYMENT gate: build on half
@@ -5164,6 +5189,9 @@ object StretchQueries {
       ("q_v_topk_hnsw" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_hnsw_inc" -> oracleSqlMap("q_v_topk")) +
       ("q_v_hnsw_split" -> oracleSqlMap("q_v_topk")) +
+      // filtered search AFTER a hot-shard split: exhaustive over the
+      // 5 post-split shards ⇒ the same filtered brute-force relation
+      ("q_v_hnsw_split_flt" -> oracleSqlMap("q_v_topk_flt")) +
       ("q_v_topk_ivf_c" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq_res" -> oracleSqlMap("q_v_topk")) +

@@ -26,6 +26,43 @@ object DatasetSplit {
   def bucket256(content: Column): Column =
     conv(substring(md5(content), 1, 2), 16, 10).cast("int")
 
+  /** Difficulty/quantile BAND assignment by approximate cuts — the
+    * 100 TB arm of the curriculum gate's exact ntile
+    * (q_t_curriculum): ntile needs a global sort-rank through one
+    * partition, impossible at corpus scale, while approx_percentile
+    * is a MERGEABLE one-pass sketch (Greenwald-Khanna), so the n−1
+    * cut points cost one aggregation over the corpus and come back
+    * as bounded driver metadata (like the ANN probe lists). Band
+    * assignment is then a scan-side literal comparison — no global
+    * sort, no single-partition window, no second shuffle.
+    *
+    * `band` is 1-based and ASCENDS with `valueCol` (mirror a
+    * descending curriculum by negating the value). Documented
+    * divergence from ntile: equal values land in ONE band (value
+    * semantics) where ntile splits ties by rank, and the sketch's
+    * cut positions are within its accuracy guarantee of the exact
+    * ones — the spec bounds the total per-row disagreement on the
+    * curriculum gate corpus. NULL values band NULL (missing ≠
+    * easiest).
+    */
+  def quantileBands(df: DataFrame, valueCol: Column, n: Int,
+                    accuracy: Int = 10000,
+                    bandCol: String = "band"): DataFrame = {
+    require(n >= 2, s"need at least 2 bands, got $n")
+    val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+    val row = df.select(
+      percentile_approx(valueCol, probs, lit(accuracy)).as("c")).head()
+    if (row.isNullAt(0))        // empty input: nothing to band
+      return df.withColumn(bandCol,
+        when(valueCol.isNotNull, lit(1)).otherwise(lit(null)))
+    val cuts = row.getSeq[Any](0)
+    val band = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(valueCol > lit(c), 1).otherwise(0)
+    }
+    df.withColumn(bandCol,
+      when(valueCol.isNotNull, band).otherwise(lit(null)))
+  }
+
   /** Stable bucket in [0, 65536): the first two md5 bytes — the
     * finer-grained sibling of [[bucket256]] for stages whose keep
     * rates need better than 1/256 resolution (temperature mixing).

@@ -284,6 +284,9 @@ object ScaleGate {
     // (O(hot shard)) + exhaustive search — the ivf_idx family's
     // build-dominated envelope reasoning
     "q_v_hnsw_split" -> 8.0,
+    // split + filtered search composition: same build/split shape
+    // with a predicate-pruned exhaustive search on top
+    "q_v_hnsw_split_flt" -> 8.0,
     // drop ledger = curate2's aggregations + a keeper-table left join
     // + a bench-bounded shingle semi-join — all linear shuffles; a
     // regression to a window over the corpus shows superlinear

@@ -219,4 +219,37 @@ class UnigramLmSpec extends SparkSpec {
     assert(stamp3 != stamp2, "changed params must force a retrain")
     assert(v3n < v1.size, "pruned retrain must shrink the vocab")
   }
+
+  test("curriculum at-scale arm: DatasetSplit.quantileBands (approx " +
+    "cuts + scan-side assignment) agrees with the gate's exact ntile " +
+    "banding on the gate corpus — never off by more than one decile") {
+    import graft.operators.DatasetSplit
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val vocab = UnigramLm.train(docs, "text", rounds = 2)
+      .select("piece", "cnt", "score_micros")
+    val sur = UnigramLm.surprisal(docs, "text", "doc_id", vocab)
+      .withColumn("ppl_micros",
+        when(col("n_pieces") === 0L, lit(0L))
+          .otherwise(expr("score_micros div n_pieces")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ppl_micros").desc, col("doc_id").asc)
+    val exact = sur.withColumn("decile",
+      org.apache.spark.sql.functions.ntile(10).over(w))
+    // band ascends with value; decile 1 = hardest, so band on −ppl
+    val both = DatasetSplit
+      .quantileBands(exact, -col("ppl_micros"), n = 10)
+      .select("decile", "band").as[(Int, Int)].collect()
+    assert(both.nonEmpty)
+    val agree = both.count { case (d, b) => d == b }.toDouble / both.length
+    val worst = both.map { case (d, b) => math.abs(d - b) }.max
+    info(f"exact-vs-approx decile agreement ${agree * 100}%.1f%%, " +
+      s"worst offset $worst")
+    assert(worst <= 1,
+      s"a band must never sit more than one decile from the exact " +
+        s"assignment (worst=$worst)")
+    assert(agree >= 0.8,
+      f"approx banding must agree with exact ntile on most of the " +
+        f"corpus: ${agree * 100}%.1f%%")
+  }
 }
