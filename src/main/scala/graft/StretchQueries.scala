@@ -1970,6 +1970,23 @@ object StretchQueries {
           .getOrElse(sys.error(s"index at $scratch has no _ROWS")).toInt)
     }),
 
+    // filtered ANN on the int8 arm — the last encoding to get a
+    // predicate-aware search, completing the family (float, binary,
+    // PQ, residual-PQ, HNSW, and now SQ8 all filter at the scan).
+    // Shares q_v_topk_ivf_c's artifact and q_v_topk_flt's oracle
+    "q_v_topk_ivfc_flt" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_pq_q_" +
+        graft.engine.Scratch.encode(dir)
+      Ivf.ensureIndex(emb, s"$dir/embeddings.parquet", scratch, k = 4,
+        iters = 2, quantize = true)
+      Ivf.searchIndexCompressedWhere(s, scratch,
+        emb.filter(col("vec_id") < 16),
+        predicate = col("label") < 5, k = 5, nprobe = 4,
+        rescoreK = Ivf.indexRowCount(s, scratch)
+          .getOrElse(sys.error(s"index at $scratch has no _ROWS")).toInt)
+    }),
+
     // IVF-PQ: candidates from probed clusters, scored from m-byte PQ
     // codes via an ADC lookup table (32× less vector data through the
     // scan/broadcast than floats), exact rescore of the shortlist.
@@ -4270,6 +4287,28 @@ object StretchQueries {
         "prompt_id", rounds = 3)
     }),
 
+    // DPO-pair minting on top of the BT fit: strongest-vs-weakest per
+    // prompt with symmetric total-order tie-breaks, margin threshold
+    // at the measured per-prompt spread median (722k at sf0.01) so
+    // both keep and drop paths stay exercised at every sf. Oracle:
+    // the BT chain + two rank-1 window picks
+    "q_pref_dpo" -> ((s, dir) => {
+      val ann = t(s, dir, "documents").select(
+        (col("doc_id") % 50).as("prompt_id"),
+        (col("doc_id") % 7).as("resp_a"),
+        ((col("doc_id") * 3 + 1) % 7).as("resp_b"),
+        (expr("(doc_id % 50 + (doc_id % 7) * 2 + " +
+          "((doc_id div 50) % 5) * 3) % 5 < 3") =!=
+          (col("doc_id") % 97 === 0)).as("prefer_a"),
+        expr("(doc_id div 50) % 5").as("rater_id"))
+      graft.operators.Preference.dpoPairs(
+        graft.operators.Preference.bradleyTerry(
+          graft.operators.Preference.resolveAnnotations(ann,
+            "prompt_id", "resp_a", "resp_b", "prefer_a", "rater_id"),
+          "prompt_id", rounds = 3),
+        "prompt_id", minMarginMicros = 700000L)
+    }),
+
     // SFT conversation-thread assembly QA: 16-message threads
     // synthesized from documents (conv = d div 16 so the thread COUNT
     // scales with the corpus and fixed-modulus corruptions hit a
@@ -4329,6 +4368,31 @@ object StretchQueries {
       val changelog = graft.streaming.StreamingConversations
         .assembleStream(s, feed, out, ckpt)
       graft.streaming.StreamingConversations.latest(changelog)
+    }),
+
+    // context-window truncation in pipeline order (QA gate first,
+    // then truncate): ok threads keep their longest even-turn-aligned
+    // suffix under a 600-token budget (median ok thread is 853 at
+    // sf0.01, so both the truncate and keep-whole paths stay
+    // exercised at every sf), turns reindexed to 0-based. Suffix
+    // cumsum + min-fit window — full SQL replay
+    "q_sft_truncate" -> ((s, dir) => {
+      val m = t(s, dir, "documents").select(
+        expr("doc_id div 16").as("conv_id"),
+        when(col("doc_id") % 97 === 0 && col("doc_id") % 16 > 0,
+          col("doc_id") % 16 - 1).otherwise(col("doc_id") % 16)
+          .as("turn"),
+        when((col("doc_id") % 16 % 2 === 0) =!=
+            (col("doc_id") % 211 === 0), lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        when(col("doc_id") % 139 === 0, lit(""))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
+      val ok = graft.operators.Conversations.assemble(m, "conv_id",
+          "turn", "role", "text")
+        .filter(col("status") === "ok").select("conv_id")
+      graft.operators.Conversations.truncateToBudget(
+        m.join(ok, Seq("conv_id"), "left_semi"),
+        "conv_id", "turn", "role", "text", budgetTokens = 600L)
     }),
 
     // the SFT chain end to end: assemble → keep only validated (ok)
@@ -4669,6 +4733,16 @@ object StretchQueries {
     * ≡ Spark `div`.
     */
   private lazy val btOracleSql: String = {
+    s"WITH $btOracleCtes " +
+      "SELECT prompt_id, resp, strength_micros, n_wins, n_comparisons " +
+      "FROM bt"
+  }
+
+  /** The CTE chain behind [[btOracleSql]], ending in
+    * `bt(prompt_id, resp, strength_micros, n_wins, n_comparisons)` —
+    * shared by the strengths gate and the DPO-pair composition.
+    */
+  private lazy val btOracleCtes: String = {
     val rounds = (1 to 3).map { k =>
       s"""t$k AS (SELECT r.prompt_id, r.lo, r.hi,
          |    CAST((r.n_votes * 1000000000000) // (sl.s + sh.s)
@@ -4691,7 +4765,7 @@ object StretchQueries {
          |  JOIN s${k - 1} p ON p.prompt_id = i.prompt_id
          |    AND p.resp = i.resp)""".stripMargin
     }.mkString(",\n")
-    (s"""WITH $prefVotesCtes,
+    (s"""$prefVotesCtes,
        |pr2 AS (SELECT prompt_id, lo, hi, n_votes, n_lo,
        |  n_votes - n_lo AS n_hi FROM res),
        |it AS (SELECT prompt_id, resp, CAST(sum(w) AS BIGINT) AS n_wins,
@@ -4702,11 +4776,11 @@ object StretchQueries {
        |  GROUP BY 1, 2),
        |s0 AS (SELECT prompt_id, resp, CAST(1000000 AS BIGINT) AS s
        |  FROM it),
-       |$rounds
-       |SELECT i.prompt_id, i.resp, s3.s AS strength_micros,
+       |$rounds,
+       |bt AS (SELECT i.prompt_id, i.resp, s3.s AS strength_micros,
        |  i.n_wins, i.n_comparisons
        |FROM it i JOIN s3 ON s3.prompt_id = i.prompt_id
-       |  AND s3.resp = i.resp""".stripMargin)
+       |  AND s3.resp = i.resp)""".stripMargin)
       .replaceAll(raw"\s+", " ")
   }
 
@@ -5202,6 +5276,7 @@ object StretchQueries {
       // filtered oracle as the IVF/HNSW/binary filtered arms
       ("q_v_topk_pq_flt" -> oracleSqlMap("q_v_topk_flt")) +
       ("q_v_topk_pqr_flt" -> oracleSqlMap("q_v_topk_flt")) +
+      ("q_v_topk_ivfc_flt" -> oracleSqlMap("q_v_topk_flt")) +
       ("q_ev_sessions_et" -> oracleSqlMap("q_ev_sessions")) +
       ("q_ev_transitions_stream" -> oracleSqlMap("q_ev_transitions")) +
       ("q_s28_sql_blocklist" -> oracleSqlMap("q_t_blocklist")) +
@@ -6228,6 +6303,56 @@ object StretchQueries {
     // truncating division), one per-item denominator sum, one
     // ghost-regularized update. Exact int64 end to end
     "q_pref_bt" -> btOracleSql,
+
+    // DPO pairs replayed: the BT chain + two rank-1 picks over the
+    // same total orders (strength desc/resp asc for chosen, strength
+    // asc/resp desc for rejected), margin threshold
+    "q_pref_dpo" ->
+      (s"""WITH $btOracleCtes,
+         |ranked AS (SELECT prompt_id, resp, strength_micros,
+         |  row_number() OVER (PARTITION BY prompt_id
+         |    ORDER BY strength_micros DESC, resp ASC) AS rc,
+         |  row_number() OVER (PARTITION BY prompt_id
+         |    ORDER BY strength_micros ASC, resp DESC) AS rr,
+         |  CAST(count(*) OVER (PARTITION BY prompt_id) AS BIGINT)
+         |    AS n_responses
+         |  FROM bt)
+         |SELECT c.prompt_id, c.resp AS chosen_resp,
+         |  r.resp AS rejected_resp,
+         |  c.strength_micros AS chosen_strength,
+         |  r.strength_micros AS rejected_strength,
+         |  c.strength_micros - r.strength_micros AS margin_micros,
+         |  c.n_responses
+         |FROM ranked c JOIN ranked r ON c.prompt_id = r.prompt_id
+         |  AND c.rc = 1 AND r.rr = 1
+         |WHERE c.n_responses >= 2
+         |  AND c.strength_micros - r.strength_micros >= 700000"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // truncation replayed: the QA chain's ok gate, per-row token
+    // counts (the same split-regex), suffix cumsum over turn desc
+    // (turns unique within ok threads → total order), min even-turn
+    // fit, filter + reindex
+    "q_sft_truncate" ->
+      (s"""WITH $sftThreadCtes,
+         |okc AS (SELECT conv_id FROM g WHERE n_msgs = n_turns
+         |  AND max_turn = n_turns - 1 AND mismatches = 0
+         |  AND empties = 0),
+         |mm AS (SELECT m.conv_id, m.turn, m.role, m.text,
+         |  CAST(len($tokensSql) AS BIGINT) AS n_tok
+         |  FROM m JOIN okc USING (conv_id)),
+         |suf AS (SELECT conv_id, turn, role, text, n_tok,
+         |  CAST(sum(n_tok) OVER (PARTITION BY conv_id
+         |    ORDER BY turn DESC) AS BIGINT) AS suf_tokens FROM mm),
+         |cut AS (SELECT conv_id, min(CASE WHEN turn % 2 = 0
+         |    AND suf_tokens <= 600 THEN turn END) AS c
+         |  FROM suf GROUP BY 1)
+         |SELECT s.conv_id, CAST(s.turn AS BIGINT) AS orig_turn,
+         |  CAST(s.turn - cut.c AS BIGINT) AS new_turn, s.role, s.text,
+         |  s.n_tok
+         |FROM suf s JOIN cut ON cut.conv_id = s.conv_id
+         |WHERE cut.c IS NOT NULL AND s.turn >= cut.c"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     // Fleiss replayed over the same vote chain: per-item-category
     // counts, kept items (≥2 assignments), prevalence over kept

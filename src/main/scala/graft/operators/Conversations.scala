@@ -93,4 +93,52 @@ object Conversations {
             x => x.getField("line")), "\n"))
           .otherwise(lit(null).cast("string")).as("transcript"))
   }
+
+  /** Context-window truncation — the SFT-prep step between thread QA
+    * and packing: a thread longer than the model's window keeps its
+    * most recent turns (chat context lives at the end), but the kept
+    * SUFFIX must still render — it has to start on a `firstRole`
+    * (even-parity) turn, or the template opens mid-exchange with an
+    * unanswered assistant turn. Per message: `suf_tokens` (tokens
+    * from this turn to the end), the cut = the SMALLEST even turn
+    * whose suffix fits `budgetTokens`, kept turns reindex to
+    * `new_turn` = turn − cut so downstream rendering/QA sees a
+    * 0-based thread again. A thread whose every even-turn suffix
+    * overflows drops entirely (`cut` NULL → no rows; the audit is
+    * the row difference, the drop-ledger discipline).
+    *
+    * Shape: one suffix-cumsum window + one min-aggregation window on
+    * the SAME partition key — a single shuffle on conv, no
+    * self-joins; per-group memory is one running sum, never the
+    * thread. Token counting is the same [[TextFunctions.tokenCount]]
+    * column the QA path uses.
+    *
+    * Precondition: one message per turn slot (run threads through
+    * [[assemble]]'s `ok` gate first — the pipeline order the gate
+    * pins); with duplicate turns the suffix order, and thus the cut,
+    * would be tie-dependent.
+    */
+  def truncateToBudget(df: DataFrame, convCol: String, turnCol: String,
+                       roleCol: String, textCol: String,
+                       budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"positive token budget, got $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val wSuf = Window.partitionBy(col(convCol))
+      .orderBy(col(turnCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wConv = Window.partitionBy(col(convCol))
+    val staged = df.select(col(convCol), col(turnCol).cast("long").as(turnCol),
+        col(roleCol), col(textCol),
+        TextFunctions.tokenCount(coalesce(col(textCol), lit("")))
+          .cast("long").as("n_tok"))
+      .withColumn("suf_tokens", sum(col("n_tok")).over(wSuf))
+      .withColumn("__cut",
+        min(when(col(turnCol) % 2 === 0 &&
+          col("suf_tokens") <= budgetTokens, col(turnCol))).over(wConv))
+    staged
+      .filter(col("__cut").isNotNull && col(turnCol) >= col("__cut"))
+      .select(col(convCol), col(turnCol).as("orig_turn"),
+        (col(turnCol) - col("__cut")).as("new_turn"),
+        col(roleCol), col(textCol), col("n_tok"))
+  }
 }

@@ -739,15 +739,43 @@ object Ivf {
                             queries: DataFrame, k: Int, nprobe: Int = 2,
                             rescoreK: Int = 0,
                             idCol: String = "vec_id",
-                            vecCol: String = "embedding"): DataFrame = {
+                            vecCol: String = "embedding"): DataFrame =
+    searchIndexCompressedImpl(spark, indexPath, queries, None, k,
+      nprobe, rescoreK, idCol, vecCol)
+
+  /** [[searchIndexCompressed]] with a static attribute predicate —
+    * the int8 twin of [[searchIndexPqWhere]], completing the
+    * filtered-ANN family across every index encoding: same
+    * plain-Filter pushdown at the quantized-column shortlist scan,
+    * same full-probe-is-exact contract over the filtered corpus.
+    */
+  def searchIndexCompressedWhere(spark: SparkSession, indexPath: String,
+                            queries: DataFrame,
+                            predicate: org.apache.spark.sql.Column,
+                            k: Int, nprobe: Int = 2,
+                            rescoreK: Int = 0,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame =
+    searchIndexCompressedImpl(spark, indexPath, queries,
+      Some(predicate), k, nprobe, rescoreK, idCol, vecCol)
+
+  private def searchIndexCompressedImpl(spark: SparkSession,
+                            indexPath: String,
+                            queries: DataFrame,
+                            predicate: Option[org.apache.spark.sql.Column],
+                            k: Int, nprobe: Int,
+                            rescoreK: Int,
+                            idCol: String,
+                            vecCol: String): DataFrame = {
     val shortK = if (rescoreK > 0) math.max(rescoreK, k) else 4 * k
     val model = loadModelCached(spark, s"$indexPath/centroids")
     val probed = queries
       .select(explode(
         nearestCentroids(col(vecCol), model.centroids, nprobe)).as("cluster"))
       .distinct().collect().map(_.getInt(0))
-    val corpus = spark.read.parquet(s"$indexPath/corpus")
+    val corpusAll = spark.read.parquet(s"$indexPath/corpus")
       .filter(col("cluster").isin(probed.toIndexedSeq: _*))
+    val corpus = predicate.fold(corpusAll)(p => corpusAll.filter(p))
     // int8 elements are exact in float (|q| ≤ 127), so the cast is free
     val cq = corpus.select(col(idCol).as("n_id"),
       col("q8").cast("array<float>").as("n_q8"), col("cluster"))

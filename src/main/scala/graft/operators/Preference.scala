@@ -210,6 +210,40 @@ object Preference {
     }
   }
 
+  /** DPO-pair minting over [[bradleyTerry]] strengths — the stage
+    * that turns a fitted preference model into training rows: per
+    * prompt, `chosen` = strongest response, `rejected` = weakest,
+    * kept only when the prompt holds ≥ 2 responses and the strength
+    * margin clears `minMarginMicros` (a pair whose ends the fit
+    * cannot separate teaches nothing — the standard DPO curation
+    * filter, now thresholded on the TRANSITIVE strength rather than
+    * a single pair's raw vote margin).
+    *
+    * Tie-breaks form a total order on BOTH ends — chosen breaks to
+    * the smaller response id, rejected to the LARGER — so an
+    * all-equal prompt still yields two distinct responses (margin 0,
+    * dropped by any positive threshold) and the pick is
+    * engine-reproducible for any orderable id type. ONE aggregation:
+    * min and max of the same (−strength, resp) struct.
+    */
+  def dpoPairs(strengths: DataFrame, promptCol: String,
+               minMarginMicros: Long = 0L): DataFrame =
+    strengths.groupBy(col(promptCol))
+      .agg(min(struct((-col("strength_micros")).as("ns"),
+          col("resp").as("resp"))).as("__c"),
+        max(struct((-col("strength_micros")).as("ns"),
+          col("resp").as("resp"))).as("__r"),
+        count(lit(1)).as("n_responses"))
+      .filter(col("n_responses") >= 2)
+      .select(col(promptCol),
+        col("__c.resp").as("chosen_resp"),
+        col("__r.resp").as("rejected_resp"),
+        (-col("__c.ns")).as("chosen_strength"),
+        (-col("__r.ns")).as("rejected_strength"),
+        (col("__r.ns") - col("__c.ns")).as("margin_micros"),
+        col("n_responses"))
+      .filter(col("margin_micros") >= minMarginMicros)
+
   /** The full pipeline: raw annotations → canonical orientation →
     * per-rater hygiene → majority resolution.
     */

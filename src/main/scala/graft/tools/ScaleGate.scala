@@ -53,6 +53,7 @@ object ScaleGate {
     // makes the rescore corpus-linear like the brute oracle itself)
     "q_v_topk_pq_flt" -> 8.0,
     "q_v_topk_pqr_flt" -> 8.0,
+    "q_v_topk_ivfc_flt" -> 8.0,
     // filtered graph ANN: index build amortizes (ensureIndex skips
     // when fresh), the searched work is the probed shards' rows —
     // same family as the unfiltered hnsw arm
@@ -180,6 +181,7 @@ object ScaleGate {
     // materialized) on top of the resolve chain — still vote-linear,
     // with the fixed round-job overhead amortizing at 10×
     "q_pref_bt" -> 8.0,
+    "q_pref_dpo" -> 8.0,
     "q_dq_fleiss" -> 8.0,
     // FIXED-OVERHEAD assertion (the q_d_stream_inc convention): two
     // AvailableNow startups + per-epoch commits dominate; 10× votes
@@ -191,6 +193,8 @@ object ScaleGate {
     // token counting — linear in messages
     "q_sft_threads" -> 8.0,
     "q_pipe_sft" -> 8.0,
+    // truncation: the QA chain + two same-key windows — still linear
+    "q_sft_truncate" -> 8.0,
     // t-closeness: two groupBys + a groups×m grid window (m fixed by
     // the band domain) — linear in customer rows
     "q_p_tclose" -> 8.0,

@@ -85,6 +85,29 @@ class ConversationsSpec extends SparkSpec {
       got(3L)._2.contains("user: a\nassistant: b"))
   }
 
+  test("truncateToBudget: keeps the longest even-turn-aligned suffix " +
+    "under the budget, reindexes turns, drops overflow-everywhere " +
+    "threads") {
+    val rows = Seq(
+      // conv 1: suffixes t0=6 > 3, t1=3 (odd — ineligible), t2=2 → cut 2
+      (1L, 0L, "user", "w w w"), (1L, 1L, "assistant", "x"),
+      (1L, 2L, "user", "y"), (1L, 3L, "assistant", "z"),
+      // conv 2: fits whole → cut 0, turns unchanged
+      (2L, 0L, "user", "a"), (2L, 1L, "assistant", "b"),
+      // conv 3: even the full-thread suffix overflows at its only
+      // even turn → drops entirely
+      (3L, 0L, "user", "p q r s"), (3L, 1L, "assistant", "t u v w"))
+      .toDF("c", "t", "role", "x")
+    val got = Conversations.truncateToBudget(rows, "c", "t", "role", "x",
+        budgetTokens = 3L)
+      .select("c", "orig_turn", "new_turn", "role")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 0L, "user"), (1L, 3L, 1L, "assistant"),
+      (2L, 0L, 0L, "user"), (2L, 1L, 1L, "assistant")),
+      s"wrong truncation: $got")
+  }
+
   test("streaming assembly: the changelog records cross-epoch status " +
     "transitions and latest-wins equals the batch assembler; epoch " +
     "replay is idempotent") {

@@ -543,7 +543,8 @@ class IvfSpec extends SparkSpec {
     val exact = SimilaritySearch.bruteForceTopK(
         emb.filter(col("label") < 5), q, k = 5)
       .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
-    def check(res: org.apache.spark.sql.DataFrame, arm: String): Unit = {
+    def check(res: org.apache.spark.sql.DataFrame, arm: String,
+              shortCol: String = "pq_code"): Unit = {
       val got = res.select("q_id", "rank", "n_id")
         .as[(Long, Int, Long)].collect().toSet
       assert(got == exact,
@@ -552,11 +553,12 @@ class IvfSpec extends SparkSpec {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert(p.contains("LessThan(label,5)"),
         s"$arm: label predicate not pushed:\n$p")
-      // the shortlist phase still scans codes only (no float vectors)
+      // the shortlist phase still scans the compressed column only
+      // (no float vectors)
       val schemas = p.linesIterator.filter(_.contains("ReadSchema:")).toList
-      assert(schemas.exists(s => s.contains("pq_code") &&
+      assert(schemas.exists(s => s.contains(shortCol) &&
         !s.contains("embedding")),
-        s"$arm: no codes-only shortlist scan:\n$p")
+        s"$arm: no compressed-only shortlist scan:\n$p")
       assert(p.contains("PartitionFilters"),
         s"$arm: unpruned filtered scan:\n$p")
     }
@@ -573,5 +575,12 @@ class IvfSpec extends SparkSpec {
     check(Ivf.searchIndexPqResidualWhere(spark, pathR, q,
       predicate = col("label") < 5, k = 5, nprobe = 4, rescoreK = n),
       "residual-pq")
+    // the int8 arm completes the family: same contract over the
+    // quantized column
+    val pathC = tmpDir("graft-ivf-c-flt")
+    Ivf.writeIndex(emb, m, pathC, quantize = true)
+    check(Ivf.searchIndexCompressedWhere(spark, pathC, q,
+      predicate = col("label") < 5, k = 5, nprobe = 4, rescoreK = n),
+      "sq8", shortCol = "q8")
   }
 }

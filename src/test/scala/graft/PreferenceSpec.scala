@@ -217,6 +217,29 @@ class PreferenceSpec extends SparkSpec {
       s"strengths must follow the relabeling: $base vs $got")
   }
 
+  test("dpoPairs: strongest-vs-weakest per prompt with symmetric " +
+    "total-order tie-breaks; an all-equal prompt yields two DISTINCT " +
+    "ends at margin 0; single-response prompts drop") {
+    val strengths = Seq(
+      (1L, 10L, 3000000L, 4L, 5L), (1L, 11L, 1000000L, 1L, 5L),
+      (1L, 12L, 2000000L, 2L, 5L),
+      (2L, 20L, 1500000L, 2L, 4L), (2L, 21L, 1500000L, 2L, 4L),
+      (3L, 30L, 9000000L, 9L, 9L))
+      .toDF("p", "resp", "strength_micros", "n_wins", "n_comparisons")
+    val all = Preference.dpoPairs(strengths, "p")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(5)))).toMap
+    assert(all.keySet == Set(1L, 2L), "single-response prompt 3 drops")
+    assert(all(1L) == ((10L, 11L, 2000000L)), s"p1: ${all(1L)}")
+    assert(all(2L) == ((20L, 21L, 0L)),
+      s"all-equal ties must break to distinct ends: ${all(2L)}")
+    val kept = Preference.dpoPairs(strengths, "p", minMarginMicros = 1L)
+      .select("p").as[Long].collect().toSet
+    assert(kept == Set(1L),
+      "a positive margin threshold drops the inseparable pair")
+  }
+
   test("bestOfN: string response ids work — the tie-break negates " +
     "the reward, not the id") {
     val cands = Seq((1L, "b", 80L), (1L, "a", 80L), (1L, "c", 50L))
