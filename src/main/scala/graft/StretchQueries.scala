@@ -1836,6 +1836,41 @@ object StretchQueries {
         k = 5, nprobe = 5, ef = 0)
     }),
 
+    // index DELETION (FAISS remove_ids, the append complement): build
+    // fresh, delete the label≥5 rows — only touched posting lists
+    // rewrite, emptied ones are removed explicitly — then exhaustive
+    // search over the survivors ≡ brute force over the label<5 slice,
+    // so the gate shares q_v_topk_flt's oracle without any
+    // deletion-specific SQL
+    "q_v_topk_ivf_del" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_del_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      Ivf.ensureIndex(emb, s"$dir/embeddings.parquet", idx, k = 4,
+        iters = 2)
+      Ivf.deleteFromIndex(s, idx, col("label") >= 5)
+      Ivf.searchIndex(s, idx, emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 4)
+    }),
+
+    // the graph twin: attr-carrying HNSW, delete label≥5 (touched
+    // shards rebuild canonically from survivors — no dangling-edge
+    // unlink), exhaustive search ≡ the same filtered brute force
+    "q_v_hnsw_del" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_del_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      Hnsw.ensureIndex(emb, s"$dir/embeddings.parquet", idx,
+        shards = 4, m = 8, efC = 32, attrCols = Seq("label"))
+      Hnsw.deleteFromIndex(s, idx, col("label") >= 5)
+      Hnsw.searchIndex(s, idx, emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 4, ef = 0)
+    }),
+
     // the round-13 features COMPOSED under one oracle: an
     // attr-carrying index, hot-shard split in place (attrs must ride
     // the 2-means rebuild), then FILTERED search over the split
@@ -5266,6 +5301,10 @@ object StretchQueries {
       // filtered search AFTER a hot-shard split: exhaustive over the
       // 5 post-split shards ⇒ the same filtered brute-force relation
       ("q_v_hnsw_split_flt" -> oracleSqlMap("q_v_topk_flt")) +
+      // deletion gates: exhaustive search over the survivors of a
+      // label≥5 delete ≡ brute force over the label<5 slice
+      ("q_v_topk_ivf_del" -> oracleSqlMap("q_v_topk_flt")) +
+      ("q_v_hnsw_del" -> oracleSqlMap("q_v_topk_flt")) +
       ("q_v_topk_ivf_c" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq_res" -> oracleSqlMap("q_v_topk")) +

@@ -747,6 +747,81 @@ object Hnsw {
     * the extra centroid routes alongside its twin — harmless, and the
     * split is a no-op as it should be. Returns the new shard id.
     */
+  /** Delete vectors from an existing graph index — the maintenance
+    * complement of [[appendToIndex]], [[Ivf.deleteFromIndex]]'s graph
+    * twin: only shards that actually hold matching rows REBUILD
+    * (from their remaining row set — [[buildShard]] being a pure
+    * function of the set, the rebuilt shard is bit-identical to a
+    * fresh build over the survivors, so deletion never leaves the
+    * dangling-edge holes an in-place graph unlink does), untouched
+    * shards keep their files. Attribute columns ride the rebuild
+    * from the surviving rows. Rows whose predicate evaluates NULL
+    * are KEPT (delete means provably matching); a shard deleted to
+    * empty is removed explicitly (dynamic overwrite would keep its
+    * old files). Cost O(touched shards). Returns rows deleted.
+    */
+  def deleteFromIndex(spark: SparkSession, indexPath: String,
+                      predicate: org.apache.spark.sql.Column): Long = {
+    import spark.implicits._
+    if (!Ivf.hasParquetFiles(spark, s"$indexPath/graph"))
+      return 0L                     // already emptied: nothing to do
+    val (m, efC) = markerParams(spark, indexPath)
+    val attrs = markerAttrs(spark, indexPath)
+    // see Ivf.deleteFromIndex: refresh the shared FileStatusCache on
+    // both sides of the mutation
+    spark.catalog.refreshByPath(s"$indexPath/graph")
+    val graph = spark.read.parquet(s"$indexPath/graph")
+    val perShard = graph.filter(predicate).groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (perShard.isEmpty) return 0L
+    val nDel = perShard.values.sum
+    val touched = perShard.keys.toArray.sorted
+    val (keep, scratch) = graft.operators.Materialize.viaScratchWithPath(
+      graph.filter(col("cluster").isin(touched.toIndexedSeq: _*))
+        .filter(!(predicate <=> lit(true)))
+        .select(col("cluster") +: col("vec_id") +: col("vec") +:
+          attrs.map(col): _*),
+      "graft-hnsw-del")
+    try {
+      val survivors = keep
+        .select(col("cluster"), col("vec_id").as("id"), col("vec"))
+        .as[(Int, Long, Seq[Float])]
+      val rebuiltBare = survivors
+        .groupByKey(_._1)
+        .flatMapGroups((cl, it) =>
+          buildShard(cl, it.map(r => (r._2, r._3)), m, efC))
+        .toDF()
+      val rebuilt = if (attrs.isEmpty) rebuiltBare
+        else rebuiltBare.join(
+          keep.select(col("vec_id") +: attrs.map(col): _*), Seq("vec_id"))
+      val emptied = touched.filterNot(
+        keep.select(col("cluster")).distinct()
+          .collect().map(_.getInt(0)).toSet)
+      val prev = spark.conf.getOption(
+        "spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try rebuilt.write.partitionBy("cluster").mode("overwrite")
+        .parquet(s"$indexPath/graph")
+      finally prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset(
+          "spark.sql.sources.partitionOverwriteMode")
+      }
+      val fs = new org.apache.hadoop.fs.Path(s"$indexPath/graph")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$indexPath/graph/cluster=$c"), true)
+      }
+      spark.catalog.refreshByPath(s"$indexPath/graph")
+    } finally scratch.drop()
+    Ivf.writeCountFile(spark, s"$indexPath/_ROWS",
+      footerShardSizes(spark, indexPath).values.sum)
+    nDel
+  }
+
   def splitShard(spark: SparkSession, indexPath: String, cluster: Int,
                  iters: Int = 4, seed: Long = 42L): Int = {
     import spark.implicits._

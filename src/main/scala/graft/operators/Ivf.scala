@@ -307,6 +307,96 @@ object Ivf {
     writeRowCount(spark, indexPath)
   }
 
+  /** Delete vectors from an existing on-disk index without
+    * retraining or rewriting untouched posting lists — FAISS's
+    * `remove_ids` made distributed, the maintenance complement of
+    * [[appendToIndex]]: only partitions that actually hold matching
+    * rows are rewritten (dynamic partition overwrite keeps every
+    * other cluster's files byte-identical), so the cost is O(touched
+    * posting lists), never O(index). A partition deleted to EMPTY is
+    * removed explicitly — dynamic overwrite only replaces partitions
+    * present in the output, so an emptied posting list would
+    * otherwise silently keep its old files (and its deleted rows).
+    *
+    * Rows whose predicate evaluates NULL are KEPT — delete means
+    * provably matching, the blocklist discipline. `_ROWS` re-counts
+    * so exhaustive-rescore searchers stay exact; `_ROWS_BASE` stays
+    * at the build value, so the drift meter reads NET change since
+    * the last retrain (deletes pull it down as appends push it up).
+    * Deletion is not atomic for concurrent readers, like append —
+    * wrap in the caller's ledger if that matters. Returns the number
+    * of rows deleted.
+    */
+  def deleteFromIndex(spark: SparkSession, indexPath: String,
+                      predicate: org.apache.spark.sql.Column): Long = {
+    if (!hasParquetFiles(spark, s"$indexPath/corpus"))
+      return 0L                     // already emptied: nothing to do
+    // a prior maintenance op in this session may have left a stale
+    // file listing in the shared FileStatusCache — refresh before
+    // reading what we are about to rewrite
+    spark.catalog.refreshByPath(s"$indexPath/corpus")
+    val corpus = spark.read.parquet(s"$indexPath/corpus")
+    val matching = corpus.filter(predicate)
+    val perCluster = matching.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (perCluster.isEmpty) return 0L
+    val nDel = perCluster.values.sum
+    val touched = perCluster.keys.toArray.sorted
+    // keep = touched-cluster rows the predicate does NOT provably
+    // match; materialize through scratch so the overwrite never races
+    // its own read of the files it replaces
+    val (keep, scratch) = Materialize.viaScratchWithPath(
+      corpus.filter(col("cluster").isin(touched.toIndexedSeq: _*))
+        .filter(!(predicate <=> lit(true))),
+      "graft-ivf-del")
+    try {
+      val emptied = touched.filterNot(
+        keep.select(col("cluster")).distinct()
+          .collect().map(_.getInt(0)).toSet)
+      val prev = spark.conf.getOption(
+        "spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try keep.write.partitionBy("cluster").mode("overwrite")
+        .parquet(s"$indexPath/corpus")
+      finally prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset(
+          "spark.sql.sources.partitionOverwriteMode")
+      }
+      val fs = new org.apache.hadoop.fs.Path(s"$indexPath/corpus")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$indexPath/corpus/cluster=$c"), true)
+      }
+      // the fs-level dir removals bypass Spark's write-path cache
+      // invalidation — refresh so later reads see the new listing
+      spark.catalog.refreshByPath(s"$indexPath/corpus")
+    } finally scratch.drop()
+    // an index deleted to empty has no parquet left to infer a
+    // schema from — record the zero directly
+    if (hasParquetFiles(spark, s"$indexPath/corpus"))
+      writeRowCount(spark, indexPath)
+    else writeCountFile(spark, s"$indexPath/_ROWS", 0L)
+    nDel
+  }
+
+  /** Any parquet part file under `dir` (recursive)? Footer-free probe
+    * for the emptied-index edge both delete paths share.
+    */
+  private[operators] def hasParquetFiles(spark: SparkSession,
+                                         dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext)
+      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    false
+  }
+
   /** Record the corpus row count in `<path>/_ROWS` at BUILD time — a
     * parquet-footer count over the just-written corpus, paid once per
     * build. Searchers that need the corpus size (e.g. an exhaustive

@@ -291,6 +291,10 @@ object ScaleGate {
     // split + filtered search composition: same build/split shape
     // with a predicate-pruned exhaustive search on top
     "q_v_hnsw_split_flt" -> 8.0,
+    // deletion: O(touched posting lists/shards) rewrite + exhaustive
+    // search — the build dominates, same family as the inc/split gates
+    "q_v_topk_ivf_del" -> 8.0,
+    "q_v_hnsw_del" -> 8.0,
     // drop ledger = curate2's aggregations + a keeper-table left join
     // + a bench-bounded shingle semi-join — all linear shuffles; a
     // regression to a window over the corpus shows superlinear

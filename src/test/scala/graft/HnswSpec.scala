@@ -452,6 +452,57 @@ class HnswSpec extends SparkSpec {
     assert(err.getMessage.contains("label"))
   }
 
+  test("deleteFromIndex: touched shards rebuild from survivors (no " +
+    "dangling-edge unlink), untouched shards keep their files, attrs " +
+    "survive, and exhaustive search equals the survivors' brute force") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = tmpDir("hnsw-del") + "/idx"
+    Hnsw.ensureIndex(emb, "/root/testdata/sf0.001/embeddings.parquet",
+      idx, shards = 4, m = 8, efC = 32, attrCols = Seq("label"))
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(): Map[String, Long] = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$idx/graph"), true)
+      val b = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) { val f = it.next()
+        b += f.getPath.toString -> f.getModificationTime }
+      b.toMap
+    }
+    val before = files()
+    val graph0 = spark.read.parquet(s"$idx/graph")
+    val touched = graph0.filter(col("label") >= 8)
+      .select("cluster").distinct().as[Int].collect().toSet
+    val expectDel = graph0.filter(col("label") >= 8).count()
+    val nDel = Hnsw.deleteFromIndex(spark, idx, col("label") >= 8)
+    assert(nDel == expectDel)
+    val after = files()
+    before.keys.filterNot(k =>
+        touched.exists(c => k.contains(s"cluster=$c/")))
+      .foreach { k =>
+        assert(after.contains(k) && after(k) == before(k),
+          s"untouched shard file rewritten: $k")
+      }
+    val q = emb.filter(col("vec_id") < 8)
+    val got = Hnsw.searchIndex(spark, idx, q, k = 5, nprobe = 4, ef = 0)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val want = SimilaritySearch.bruteForceTopK(
+        emb.filter(col("label") < 8), q, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(got == want,
+      "post-delete search diverged from survivors' brute force")
+    // attrs rode the rebuild: filtered search still sees them
+    val flt = Hnsw.searchIndexWhere(spark, idx, q,
+        predicate = col("label") < 3, k = 5, nprobe = 4, ef = 0)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val fltWant = SimilaritySearch.bruteForceTopK(
+        emb.filter(col("label") < 3), q, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(flt == fltWant, "attrs lost through the delete rebuild")
+  }
+
   test("markerAttrs: a source path containing ',attrs=' can never " +
     "inject attribute columns — the parse stops at the structured " +
     "prefix") {

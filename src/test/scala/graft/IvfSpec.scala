@@ -534,6 +534,74 @@ class IvfSpec extends SparkSpec {
       "non-null query matched a null-label candidate")
   }
 
+  test("deleteFromIndex: only touched posting lists rewrite, NULL " +
+    "predicate rows are kept, emptied partitions disappear, and " +
+    "search equals brute force over the survivors") {
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val path = tmpDir("graft-ivf-del")
+    // plant a NULL-label row set: vec_id % 97 == 0 gets a null label
+    val withNulls = emb.select(col("vec_id"), col("embedding"),
+      when(col("vec_id") % 97 === 0, lit(null)).otherwise(col("label"))
+        .cast("int").as("label"))
+    Ivf.writeIndex(withNulls, m, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/corpus"), true)
+      val b = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) { val f = it.next()
+        b += f.getPath.toString -> f.getModificationTime }
+      b.toMap
+    }
+    val before = files()
+    val untouchedBefore = before.filterNot(_._1.contains("cluster=")) // none
+    // delete a slice that lives in SOME clusters only: label >= 8
+    val expectDel = withNulls.filter(col("label") >= 8).count()
+    val touchedClusters = Ivf.assign(withNulls, m)
+      .filter(col("label") >= 8).select("cluster")
+      .distinct().as[Int].collect().toSet
+    val nDel = Ivf.deleteFromIndex(spark, path, col("label") >= 8)
+    assert(nDel == expectDel, s"returned $nDel, expected $expectDel")
+    val after = files()
+    val untouched = before.keys.filterNot(k =>
+      touchedClusters.exists(c => k.contains(s"cluster=$c/")))
+    assert(untouched.nonEmpty, "construction: some cluster untouched")
+    untouched.foreach { k =>
+      assert(after.contains(k) && after(k) == before(k),
+        s"untouched file rewritten: $k")
+    }
+    // NULL-label rows survived (delete means provably matching)
+    val kept = spark.read.parquet(s"$path/corpus")
+    val keptN = kept.count()
+    assert(kept.filter(col("label").isNull).count() ==
+      withNulls.filter(col("label").isNull).count())
+    assert(kept.filter(col("label") >= 8).count() == 0)
+    // row count file tracks the survivors
+    assert(Ivf.indexRowCount(spark, path).contains(keptN))
+    // search ≡ brute force over survivors (full probe)
+    val q = withNulls.filter(col("vec_id") < 8)
+    val got = Ivf.searchIndex(spark, path, q, k = 5, nprobe = 4)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val want = SimilaritySearch.bruteForceTopK(
+        withNulls.filter(!(col("label") >= 8 <=> lit(true))), q, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(got == want, "post-delete search diverged from survivors' brute force")
+    // deleting EVERYTHING in a cluster removes its partition dir
+    val all = Ivf.deleteFromIndex(spark, path, lit(true))
+    assert(all == keptN)
+    val leftover = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$path/corpus"), true)
+      val b = scala.collection.mutable.ListBuffer.empty[String]
+      while (it.hasNext) b += it.next().getPath.getName
+      b.toList
+    }
+    assert(!leftover.exists(_.endsWith(".parquet")),
+      s"emptied partitions must disappear (left: $leftover)")
+    assert(Ivf.deleteFromIndex(spark, path, lit(true)) == 0L,
+      "idempotent on an emptied index")
+  }
+
   test("searchIndexPqWhere / searchIndexPqResidualWhere: the predicate " +
     "is pushed at the code-column shortlist scan; full probe + " +
     "exhaustive rescore ≡ brute force over the filtered slice") {
