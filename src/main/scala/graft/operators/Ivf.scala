@@ -298,13 +298,41 @@ object Ivf {
     val fsPath = new org.apache.hadoop.fs.Path(s"$indexPath/pq")
     val hasPq = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(fsPath)
-    val out = if (hasPq)
-      Pq.withCodes(q8, Pq.loadModel(spark, s"$indexPath/pq"), vecCol)
-    else q8
+    // a RESIDUAL index ([[ensureIndexPqResidual]], fingerprint
+    // `residual=1`) encodes v − centroid(v): appending plain-encoded
+    // codes would silently mix code semantics — every appended row's
+    // residual-ADC score would be computed from a plain code, wrong
+    // in a way only a small-rescore recall drop reveals
+    val out = if (hasPq) {
+      val pqm = Pq.loadModel(spark, s"$indexPath/pq")
+      if (indexIsResidual(spark, indexPath))
+        Pq.withResidualCodes(df.filter(col(vecCol).isNotNull), model,
+          pqm, vecCol)
+      else Pq.withCodes(q8, pqm, vecCol)
+    } else q8
     out.select(corpusSchema.fieldNames.map(col).toIndexedSeq: _*)
       .write.mode("append").partitionBy("cluster")
       .parquet(s"$indexPath/corpus")
     writeRowCount(spark, indexPath)
+  }
+
+  /** Does the index's `_INDEX_READY` fingerprint mark a
+    * residual-encoded corpus? [[ensureIndexPqResidual]] serializes
+    * `residual=1` as the LAST fingerprint field (after the free-form
+    * source path), so the suffix anchor is exact — a source path
+    * fragment can never shadow it (the Hnsw markerAttrs lesson).
+    */
+  private[graft] def indexIsResidual(spark: SparkSession,
+                                     indexPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_INDEX_READY")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val marker = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    marker.endsWith(",residual=1")
   }
 
   /** Delete vectors from an existing on-disk index without

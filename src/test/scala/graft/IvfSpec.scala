@@ -534,6 +534,41 @@ class IvfSpec extends SparkSpec {
       "non-null query matched a null-label candidate")
   }
 
+  test("appendToIndex on a RESIDUAL index encodes the delta with " +
+    "residual codes — plain codes scored by residual ADC would be " +
+    "silently wrong") {
+    import graft.operators.Pq
+    val src = "/root/testdata/sf0.001/embeddings.parquet"
+    val idx = tmpDir("ivf-resapp") + "/idx"
+    val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    Ivf.ensureIndexPqResidual(half0, src, idx, k = 4, iters = 2,
+      pqM = 8, pqK = 16, pqIters = 4, pqSampleN = 1024)
+    assert(Ivf.indexIsResidual(spark, idx))
+    Ivf.appendToIndex(half1, idx)
+    val model = Ivf.loadModel(spark, s"$idx/centroids")
+    val pqm = Pq.loadModel(spark, s"$idx/pq")
+    val stored = spark.read.parquet(s"$idx/corpus")
+      .filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id"), col("pq_code"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val want = Pq.withResidualCodes(half1, model, pqm)
+      .select(col("vec_id"), col("pq_code"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(stored == want,
+      "appended rows must carry residual codes under the index's models")
+    val plain = Pq.withCodes(Ivf.assign(half1, model), pqm)
+      .select(col("vec_id"), col("pq_code"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(plain != want,
+      "construction: plain and residual encodes must differ somewhere")
+    // a plain PQ index is untouched by the fix
+    val idxP = tmpDir("ivf-plainapp") + "/idx"
+    Ivf.ensureIndexPq(half0, src, idxP, k = 4, iters = 2,
+      pqM = 8, pqK = 16, pqIters = 4, pqSampleN = 1024)
+    assert(!Ivf.indexIsResidual(spark, idxP))
+  }
+
   test("deleteFromIndex: only touched posting lists rewrite, NULL " +
     "predicate rows are kept, emptied partitions disappear, and " +
     "search equals brute force over the survivors") {
