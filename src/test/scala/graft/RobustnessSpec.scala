@@ -359,4 +359,54 @@ class RobustnessSpec extends SparkSpec {
         s"batches with extra rows: ${perBatch.filter(_._2 != 1).toSeq}")
     } finally pool.shutdown()
   }
+
+  test("round-14 operators accept empty/degenerate inputs") {
+    import graft.operators.{Anonymize, Conversations, Preference}
+    val emptyAnn = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("p", LongType),
+        StructField("a", LongType), StructField("b", LongType),
+        StructField("pa", BooleanType), StructField("r", LongType))))
+    // BT over zero votes: no items, no rounds to diverge
+    assert(Preference.bradleyTerry(
+      Preference.resolveAnnotations(emptyAnn, "p", "a", "b", "pa", "r"),
+      "p").count() == 0)
+    assert(Preference.dpoPairs(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("p", LongType),
+          StructField("resp", LongType),
+          StructField("strength_micros", LongType),
+          StructField("n_wins", LongType),
+          StructField("n_comparisons", LongType)))), "p").count() == 0)
+    // t-closeness over an empty table and an all-null sensitive slice
+    val emptyZip = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("zip", StringType),
+        StructField("sev", LongType))))
+    assert(Anonymize.tClosenessGroups(emptyZip, Seq("zip"), col("sev"),
+      0L).count() == 0)
+    val allNull = Seq(("A", null.asInstanceOf[java.lang.Long]),
+      ("B", null.asInstanceOf[java.lang.Long])).toDF("zip", "sev")
+    assert(Anonymize.tClosenessGroups(allNull, Seq("zip"), col("sev"),
+      0L).count() == 0,
+      "NULL sensitive is missing data — groups with no values drop " +
+        "from the audit (the entropy-form rule), never crash")
+    // truncation over an empty thread table
+    val emptyMsgs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("c", LongType),
+        StructField("t", LongType), StructField("role", StringType),
+        StructField("x", StringType))))
+    assert(Conversations.truncateToBudget(emptyMsgs, "c", "t", "role",
+      "x", 10L).count() == 0)
+    // quantile bands over empty and single-value inputs
+    assert(DatasetSplit.quantileBands(
+      emptyDocs.select(col("doc_id").as("v")), col("v"), 4).count() == 0)
+    val one = Seq(1L, 1L, 1L).toDF("v")
+    val bands = DatasetSplit.quantileBands(one, col("v"), 4)
+      .select("band").as[Int].collect()
+    assert(bands.forall(_ >= 1) && bands.distinct.length == 1,
+      s"constant column must land in one band: ${bands.toSeq}")
+  }
 }
