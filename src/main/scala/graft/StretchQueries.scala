@@ -1836,6 +1836,48 @@ object StretchQueries {
         k = 5, nprobe = 5, ef = 0)
     }),
 
+    // STREAMING vector-index ingestion (the vector-DB write path):
+    // initial build, then two upsert epochs through the CDC stream —
+    // epoch 1 negates the %7 ids' vectors and inserts new ids (+1e6,
+    // reversed vectors); epoch 2 reverts the %14 ids (update-of-
+    // update). Each micro-batch is delete-then-append, so exhaustive
+    // search after the drain ≡ brute force over the latest snapshot —
+    // a deterministic construction the oracle replays with CASE +
+    // list_transform
+    "q_v_stream_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_vidx_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val (feed, ckpt, idx) = (s"$scratch/feed", s"$scratch/ckpt",
+        s"$scratch/idx")
+      Ivf.ensureIndex(emb, s"$dir/embeddings.parquet", idx, k = 4,
+        iters = 2)
+      val e1 = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => (-x).cast("float"))
+            .as("embedding"),
+          col("label"))
+        .unionByName(emb.filter(col("vec_id") % 5 === 3)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding"), col("label")))
+      e1.coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+        ckpt)
+      emb.filter(col("vec_id") % 14 === 0)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+        ckpt)
+      val latestQ = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id"),
+          when(col("vec_id") % 7 === 0 && col("vec_id") % 14 =!= 0,
+            transform(col("embedding"), x => (-x).cast("float")))
+            .otherwise(col("embedding")).as("embedding"))
+      Ivf.searchIndex(s, idx, latestQ, k = 5, nprobe = 4)
+    }),
+
     // index DELETION (FAISS remove_ids, the append complement): build
     // fresh, delete the label≥5 rows — only touched posting lists
     // rewrite, emptied ones are removed explicitly — then exhaustive
@@ -6693,6 +6735,35 @@ object StretchQueries {
          |    sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
          |     i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS cos
          |  FROM embeddings c, q WHERE c.vec_id <> q.q_id)
+         |SELECT q_id, CAST(rnk AS INT) AS rank, n_id, round(cos, 6) AS cosine FROM (
+         |  SELECT q_id, n_id, cos, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk FROM scored)
+         |WHERE rnk <= 5""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // the streaming-upsert snapshot replayed: the latest corpus is a
+    // CASE over the deterministic epoch transforms (negate %7 unless
+    // %14 reverted it; reversed-vector inserts), then the standard
+    // cosine top-k over it — queries drawn from the same snapshot
+    "q_v_stream_index" ->
+      ("""WITH latest AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 7 = 0 AND vec_id % 14 <> 0
+         |      THEN list_transform(embedding, x -> -x)
+         |      ELSE embedding END AS embedding
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_reverse(embedding)
+         |  FROM embeddings WHERE vec_id % 5 = 3),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM latest
+         |  WHERE vec_id < 16),
+         |scored AS (SELECT q.q_id, c.vec_id AS n_id,
+         |   list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |     i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+         |   (sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |     i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))) *
+         |    sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+         |     i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS cos
+         |  FROM latest c, q WHERE c.vec_id <> q.q_id)
          |SELECT q_id, CAST(rnk AS INT) AS rank, n_id, round(cos, 6) AS cosine FROM (
          |  SELECT q_id, n_id, cos, row_number() OVER
          |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk FROM scored)

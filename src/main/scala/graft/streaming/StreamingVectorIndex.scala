@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Ivf
+
+/** Vector-index CDC ingestion — the write path of a vector database,
+  * composed from the two index-maintenance primitives: upserts arrive
+  * as full rows (id, vector, attribute columns…) in epoch files; each
+  * micro-batch applies DELETE-THEN-APPEND against the persisted IVF
+  * index ([[Ivf.deleteFromIndex]] removes the ids' old versions from
+  * their touched posting lists, [[Ivf.appendToIndex]] routes the new
+  * vectors through the existing centroids), so a search immediately
+  * after the stream drains sees exactly the latest version of every
+  * vector — never both, never neither.
+  *
+  * `foreachBatch`, not a row transform: index maintenance is a
+  * transactional side effect on an external artifact, the same shape
+  * as [[StreamingCdc]]'s snapshot generations. The per-batch changed-id
+  * set becomes the delete predicate (bounded by the epoch contract —
+  * an ingest feed's epoch is a changed-rows file, not a corpus; a feed
+  * that re-ships the world should rebuild via `ensureIndex` instead).
+  * Within a batch, duplicate ids collapse deterministically
+  * (lexicographic max of the vector struct) — a well-formed feed
+  * carries one row per id per epoch, and replaying an epoch is then
+  * idempotent: the delete removes what the replayed append wrote.
+  *
+  * Drift contract unchanged: appends move the `_ROWS`/`_ROWS_BASE`
+  * meters exactly like batch maintenance, so `needsRebuild` still
+  * decides when the centroids have outlived the distribution.
+  */
+object StreamingVectorIndex {
+
+  /** Drain everything unprocessed in `feedDir` into the index at
+    * `indexPath` (which must exist — build the initial corpus with
+    * `ensureIndex` first).
+    */
+  def upsertStream(spark: SparkSession, feedDir: String,
+                   indexPath: String, checkpoint: String,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = {
+    val schema = spark.read.parquet(feedDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val others = batch.columns.filterNot(_ == idCol).toIndexedSeq
+        val latest = batch.groupBy(col(idCol))
+          .agg(max(struct(others.map(col): _*)).as("__u"))
+          .select(col(idCol) +: others.map(c => col(s"__u.$c").as(c)): _*)
+        val ids = latest.select(col(idCol)).distinct()
+          .collect().map(_.get(0)).toIndexedSeq
+        if (ids.nonEmpty) {
+          Ivf.deleteFromIndex(spark, indexPath, col(idCol).isin(ids: _*))
+          Ivf.appendToIndex(latest, indexPath, idCol, vecCol)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

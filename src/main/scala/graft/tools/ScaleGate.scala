@@ -295,6 +295,10 @@ object ScaleGate {
     // search — the build dominates, same family as the inc/split gates
     "q_v_topk_ivf_del" -> 8.0,
     "q_v_hnsw_del" -> 8.0,
+    // streaming upsert ingestion: initial build + two epoch batches,
+    // each O(touched posting lists) — build + stream overhead
+    // amortize at 10×
+    "q_v_stream_index" -> 8.0,
     // drop ledger = curate2's aggregations + a keeper-table left join
     // + a bench-bounded shingle semi-join — all linear shuffles; a
     // regression to a window over the corpus shows superlinear

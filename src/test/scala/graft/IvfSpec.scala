@@ -534,6 +534,46 @@ class IvfSpec extends SparkSpec {
       "non-null query matched a null-label candidate")
   }
 
+  test("StreamingVectorIndex: each epoch is delete-then-append — the " +
+    "corpus holds exactly the latest version of every id, and " +
+    "replaying an epoch changes nothing") {
+    import graft.streaming.StreamingVectorIndex
+    val base = tmpDir("ivf-vidx")
+    val (feed, ckpt, idx) = (s"$base/feed", s"$base/ckpt", s"$base/idx")
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    Ivf.writeIndex(emb, m, idx)
+    val n0 = emb.count()
+    // epoch: update ids %9==0 to the negated vector, insert 3 new ids
+    val upd = emb.filter(col("vec_id") % 9 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => (-x).cast("float"))
+          .as("embedding"),
+        col("label"))
+    val ins = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"),
+        col("label"))
+    upd.unionByName(ins).coalesce(1).write.mode("append").parquet(feed)
+    StreamingVectorIndex.upsertStream(spark, feed, idx, ckpt)
+    val corpus1 = spark.read.parquet(s"$idx/corpus")
+    assert(corpus1.count() == n0 + 3, "upsert adds only the inserts")
+    assert(corpus1.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0,
+      "never two versions of one id")
+    val negated = corpus1.join(emb.select(col("vec_id"),
+        col("embedding").as("__orig")), Seq("vec_id"))
+      .filter(col("vec_id") % 9 === 0)
+      .filter(expr("embedding[0]") =!= -expr("__orig[0]"))
+    assert(negated.count() == 0, "updated ids must carry the new vector")
+    // replay the same epoch file set: a fresh checkpoint reprocesses
+    // it, and delete-then-append makes that a no-op on the state
+    StreamingVectorIndex.upsertStream(spark, feed, idx, s"$base/ckpt2")
+    val corpus2 = spark.read.parquet(s"$idx/corpus")
+    assert(corpus2.count() == n0 + 3)
+    assert(corpus2.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0,
+      "replay must not duplicate any id")
+  }
+
   test("appendToIndex on a RESIDUAL index encodes the delta with " +
     "residual codes — plain codes scored by residual ADC would be " +
     "silently wrong") {
