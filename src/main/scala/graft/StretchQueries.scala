@@ -1878,6 +1878,45 @@ object StretchQueries {
       Ivf.searchIndex(s, idx, latestQ, k = 5, nprobe = 4)
     }),
 
+    // the graph twin of q_v_stream_index: same epoch feed against the
+    // HNSW index — deletes rebuild touched shards canonically,
+    // appends keep bit-identity with a fresh build, so exhaustive
+    // search over the drained index shares the same latest-snapshot
+    // oracle
+    "q_v_stream_hnsw" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_vhidx_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val (feed, ckpt, idx) = (s"$scratch/feed", s"$scratch/ckpt",
+        s"$scratch/idx")
+      Hnsw.ensureIndex(emb, s"$dir/embeddings.parquet", idx,
+        shards = 4, m = 8, efC = 32)
+      val e1 = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => (-x).cast("float"))
+            .as("embedding"),
+          col("label"))
+        .unionByName(emb.filter(col("vec_id") % 5 === 3)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding"), col("label")))
+      e1.coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingVectorIndex.upsertStreamHnsw(s, feed,
+        idx, ckpt)
+      emb.filter(col("vec_id") % 14 === 0)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingVectorIndex.upsertStreamHnsw(s, feed,
+        idx, ckpt)
+      val latestQ = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id"),
+          when(col("vec_id") % 7 === 0 && col("vec_id") % 14 =!= 0,
+            transform(col("embedding"), x => (-x).cast("float")))
+            .otherwise(col("embedding")).as("embedding"))
+      Hnsw.searchIndex(s, idx, latestQ, k = 5, nprobe = 4, ef = 0)
+    }),
+
     // index DELETION (FAISS remove_ids, the append complement): build
     // fresh, delete the label≥5 rows — only touched posting lists
     // rewrite, emptied ones are removed explicitly — then exhaustive
@@ -5347,6 +5386,8 @@ object StretchQueries {
       // label≥5 delete ≡ brute force over the label<5 slice
       ("q_v_topk_ivf_del" -> oracleSqlMap("q_v_topk_flt")) +
       ("q_v_hnsw_del" -> oracleSqlMap("q_v_topk_flt")) +
+      // both streaming-upsert arms drain to the same latest snapshot
+      ("q_v_stream_hnsw" -> oracleSqlMap("q_v_stream_index")) +
       ("q_v_topk_ivf_c" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq_res" -> oracleSqlMap("q_v_topk")) +

@@ -33,14 +33,37 @@ import graft.operators.Ivf
   */
 object StreamingVectorIndex {
 
-  /** Drain everything unprocessed in `feedDir` into the index at
+  /** Drain everything unprocessed in `feedDir` into the IVF index at
     * `indexPath` (which must exist — build the initial corpus with
     * `ensureIndex` first).
     */
   def upsertStream(spark: SparkSession, feedDir: String,
                    indexPath: String, checkpoint: String,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): Unit = {
+                   vecCol: String = "embedding"): Unit =
+    upsertStreamImpl(spark, feedDir, checkpoint, idCol,
+      deleteFn = p => { Ivf.deleteFromIndex(spark, indexPath, p); () },
+      appendFn = d => Ivf.appendToIndex(d, indexPath, idCol, vecCol))
+
+  /** The graph twin: same epoch contract against an HNSW index —
+    * deletes rebuild touched shards canonically, appends route
+    * through the existing centroids.
+    */
+  def upsertStreamHnsw(spark: SparkSession, feedDir: String,
+                       indexPath: String, checkpoint: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit =
+    upsertStreamImpl(spark, feedDir, checkpoint, idCol,
+      deleteFn = p => {
+        graft.operators.Hnsw.deleteFromIndex(spark, indexPath, p); ()
+      },
+      appendFn = d =>
+        graft.operators.Hnsw.appendToIndex(d, indexPath, idCol, vecCol))
+
+  private def upsertStreamImpl(spark: SparkSession, feedDir: String,
+                   checkpoint: String, idCol: String,
+                   deleteFn: org.apache.spark.sql.Column => Unit,
+                   appendFn: DataFrame => Unit): Unit = {
     val schema = spark.read.parquet(feedDir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -56,8 +79,8 @@ object StreamingVectorIndex {
         val ids = latest.select(col(idCol)).distinct()
           .collect().map(_.get(0)).toIndexedSeq
         if (ids.nonEmpty) {
-          Ivf.deleteFromIndex(spark, indexPath, col(idCol).isin(ids: _*))
-          Ivf.appendToIndex(latest, indexPath, idCol, vecCol)
+          deleteFn(col(idCol).isin(ids: _*))
+          appendFn(latest)
         }
         ()
       }

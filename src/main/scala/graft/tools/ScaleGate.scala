@@ -299,6 +299,7 @@ object ScaleGate {
     // each O(touched posting lists) — build + stream overhead
     // amortize at 10×
     "q_v_stream_index" -> 8.0,
+    "q_v_stream_hnsw" -> 8.0,
     // drop ledger = curate2's aggregations + a keeper-table left join
     // + a bench-bounded shingle semi-join — all linear shuffles; a
     // regression to a window over the corpus shows superlinear
