@@ -1836,6 +1836,29 @@ object StretchQueries {
         k = 5, nprobe = 5, ef = 0)
     }),
 
+    // index COMPACTION (OPTIMIZE for posting lists — the third
+    // maintenance primitive): build half, append half (fragmenting
+    // every touched posting list), read the fragmentation meter, act
+    // on it, search. Compaction is content-invisible by construction,
+    // so the gate shares the plain brute-force oracle — a compaction
+    // that dropped or duplicated rows would hash-mismatch here
+    "q_v_topk_ivf_cpt" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cpt_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      Ivf.ensureIndex(half0, s"$dir/embeddings.parquet", idx, k = 4,
+        iters = 2)
+      Ivf.appendToIndex(half1, idx)
+      if (Ivf.needsCompaction(s, idx, maxFilesPerCluster = 1))
+        Ivf.compactIndex(s, idx)
+      Ivf.searchIndex(s, idx, emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 4)
+    }),
+
     // STREAMING vector-index ingestion (the vector-DB write path):
     // initial build, then two upsert epochs through the CDC stream —
     // epoch 1 negates the %7 ids' vectors and inserts new ids (+1e6,
@@ -5388,6 +5411,9 @@ object StretchQueries {
       ("q_v_hnsw_del" -> oracleSqlMap("q_v_topk_flt")) +
       // both streaming-upsert arms drain to the same latest snapshot
       ("q_v_stream_hnsw" -> oracleSqlMap("q_v_stream_index")) +
+      // compaction is content-invisible: the compacted index answers
+      // exactly like the fresh-built one
+      ("q_v_topk_ivf_cpt" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_c" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq_res" -> oracleSqlMap("q_v_topk")) +

@@ -480,6 +480,75 @@ object Ivf {
     * frozen PQ codebooks), so as the appended mass grows the
     * partition of space fits the corpus less and recall decays.
     */
+  /** Files per posting list — the FRAGMENTATION meter the append path
+    * needs: every [[appendToIndex]] adds at least one file per touched
+    * cluster, and at 100 TB a daily-ingest index degrades into
+    * thousands of KB-scale files per partition (open/footer overhead
+    * starts to dominate the scan — the classic small-files problem).
+    * Footer-free: one recursive listing, no Spark job.
+    */
+  def filesPerCluster(spark: SparkSession,
+                      indexPath: String): Map[Int, Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/corpus")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val counts = scala.collection.mutable.Map.empty[Int, Int]
+    val it = fs.listFiles(p, true)
+    val re = ".*/cluster=(\\d+)/[^/]*\\.parquet$".r
+    while (it.hasNext) it.next().getPath.toString match {
+      case re(c) => counts(c.toInt) = counts.getOrElse(c.toInt, 0) + 1
+      case _ => ()
+    }
+    counts.toMap
+  }
+
+  /** The operable compaction trigger: true once any posting list
+    * holds more than `maxFilesPerCluster` files ([[filesPerCluster]]
+    * read) — the [[needsRebuild]] pattern applied to layout health
+    * instead of centroid drift; [[compactIndex]] is the remedy.
+    */
+  def needsCompaction(spark: SparkSession, indexPath: String,
+                      maxFilesPerCluster: Int = 16): Boolean =
+    filesPerCluster(spark, indexPath).values
+      .exists(_ > maxFilesPerCluster)
+
+  /** Rewrite fragmented posting lists into one file each — OPTIMIZE
+    * for the index corpus, the third maintenance primitive beside
+    * append and delete. Content-invisible by construction (same rows,
+    * same partition values — the search path cannot tell, which is
+    * what the gate's shared oracle checks); only clusters holding
+    * more than one file rewrite, every other partition's files stay
+    * byte-identical. The rewrite repartitions by the partition column
+    * so each touched posting list lands in exactly one task → one
+    * file. Returns the number of compacted clusters.
+    */
+  def compactIndex(spark: SparkSession, indexPath: String): Int = {
+    val frag = filesPerCluster(spark, indexPath).filter(_._2 > 1)
+    if (frag.isEmpty) return 0
+    val touched = frag.keys.toArray.sorted
+    spark.catalog.refreshByPath(s"$indexPath/corpus")
+    val corpus = spark.read.parquet(s"$indexPath/corpus")
+    val (keep, scratch) = Materialize.viaScratchWithPath(
+      corpus.filter(col("cluster").isin(touched.toIndexedSeq: _*)),
+      "graft-ivf-compact")
+    try {
+      val prev = spark.conf.getOption(
+        "spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try keep.repartition(touched.length, col("cluster"))
+        .write.partitionBy("cluster").mode("overwrite")
+        .parquet(s"$indexPath/corpus")
+      finally prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset(
+          "spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.catalog.refreshByPath(s"$indexPath/corpus")
+    } finally scratch.drop()
+    touched.length
+  }
+
   def appendedFraction(spark: SparkSession, indexPath: String): Double = {
     val live = indexRowCount(spark, indexPath)
       .getOrElse(spark.read.parquet(s"$indexPath/corpus").count())

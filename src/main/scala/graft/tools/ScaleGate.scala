@@ -300,6 +300,9 @@ object ScaleGate {
     // amortize at 10×
     "q_v_stream_index" -> 8.0,
     "q_v_stream_hnsw" -> 8.0,
+    // compaction: O(fragmented posting lists) rewrite on top of the
+    // inc-gate shape
+    "q_v_topk_ivf_cpt" -> 8.0,
     // drop ledger = curate2's aggregations + a keeper-table left join
     // + a bench-bounded shingle semi-join — all linear shuffles; a
     // regression to a window over the corpus shows superlinear

@@ -534,6 +534,33 @@ class IvfSpec extends SparkSpec {
       "non-null query matched a null-label candidate")
   }
 
+  test("compactIndex: the fragmentation meter trips after appends, " +
+    "compaction leaves one file per posting list with identical " +
+    "content, and an unfragmented index is a no-op") {
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val idx = tmpDir("ivf-cpt")
+    val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    Ivf.writeIndex(half0, m, idx)
+    Ivf.appendToIndex(half1, idx)
+    val frag = Ivf.filesPerCluster(spark, idx)
+    assert(frag.values.exists(_ > 1),
+      s"construction: an append must fragment some posting list: $frag")
+    assert(Ivf.needsCompaction(spark, idx, maxFilesPerCluster = 1))
+    val before = spark.read.parquet(s"$idx/corpus")
+      .collect().map(_.toSeq).toSet
+    val compacted = Ivf.compactIndex(spark, idx)
+    assert(compacted == frag.count(_._2 > 1))
+    val after = Ivf.filesPerCluster(spark, idx)
+    assert(after.values.forall(_ == 1),
+      s"every posting list must be one file after compaction: $after")
+    assert(spark.read.parquet(s"$idx/corpus")
+      .collect().map(_.toSeq).toSet == before,
+      "compaction must be content-invisible")
+    assert(!Ivf.needsCompaction(spark, idx, maxFilesPerCluster = 1))
+    assert(Ivf.compactIndex(spark, idx) == 0, "no-op when unfragmented")
+  }
+
   test("StreamingVectorIndex: each epoch is delete-then-append — the " +
     "corpus holds exactly the latest version of every id, and " +
     "replaying an epoch changes nothing") {
