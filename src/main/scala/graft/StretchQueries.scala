@@ -1901,6 +1901,52 @@ object StretchQueries {
       Ivf.searchIndex(s, idx, latestQ, k = 5, nprobe = 4)
     }),
 
+    // FULL-CDC ingestion (I/U/D parity with StreamingCdc): the same
+    // upsert epochs plus DELETE tombstones (%11≡5 ids, disjoint from
+    // the update set) — op='D' rows delete without re-append. Search
+    // after the drain ≡ brute force over the latest snapshot minus
+    // the tombstoned ids
+    "q_v_stream_cdc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_vcdc_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val (feed, ckpt, idx) = (s"$scratch/feed", s"$scratch/ckpt",
+        s"$scratch/idx")
+      Ivf.ensureIndex(emb, s"$dir/embeddings.parquet", idx, k = 4,
+        iters = 2)
+      val e1 = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => (-x).cast("float"))
+            .as("embedding"),
+          col("label"), lit("U").as("op"))
+        .unionByName(emb.filter(col("vec_id") % 5 === 3)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding"), col("label"),
+            lit("I").as("op")))
+        .unionByName(emb.filter(col("vec_id") % 11 === 5 &&
+            col("vec_id") % 7 =!= 0)
+          .select(col("vec_id"), col("embedding"), col("label"),
+            lit("D").as("op")))
+      e1.coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+        ckpt, opCol = Some("op"))
+      emb.filter(col("vec_id") % 14 === 0)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          lit("U").as("op"))
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+        ckpt, opCol = Some("op"))
+      val latestQ = emb.filter(col("vec_id") < 16 &&
+          !(col("vec_id") % 11 === 5 && col("vec_id") % 7 =!= 0))
+        .select(col("vec_id"),
+          when(col("vec_id") % 7 === 0 && col("vec_id") % 14 =!= 0,
+            transform(col("embedding"), x => (-x).cast("float")))
+            .otherwise(col("embedding")).as("embedding"))
+      Ivf.searchIndex(s, idx, latestQ, k = 5, nprobe = 4)
+    }),
+
     // the graph twin of q_v_stream_index: same epoch feed against the
     // HNSW index — deletes rebuild touched shards canonically,
     // appends keep bit-identity with a fresh build, so exhaustive
@@ -6818,6 +6864,33 @@ object StretchQueries {
          |      THEN list_transform(embedding, x -> -x)
          |      ELSE embedding END AS embedding
          |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_reverse(embedding)
+         |  FROM embeddings WHERE vec_id % 5 = 3),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM latest
+         |  WHERE vec_id < 16),
+         |scored AS (SELECT q.q_id, c.vec_id AS n_id,
+         |   list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |     i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+         |   (sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |     i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))) *
+         |    sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+         |     i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS cos
+         |  FROM latest c, q WHERE c.vec_id <> q.q_id)
+         |SELECT q_id, CAST(rnk AS INT) AS rank, n_id, round(cos, 6) AS cosine FROM (
+         |  SELECT q_id, n_id, cos, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk FROM scored)
+         |WHERE rnk <= 5""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // the CDC variant: latest snapshot minus the tombstoned ids
+    "q_v_stream_cdc" ->
+      ("""WITH latest AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 7 = 0 AND vec_id % 14 <> 0
+         |      THEN list_transform(embedding, x -> -x)
+         |      ELSE embedding END AS embedding
+         |  FROM embeddings
+         |  WHERE NOT (vec_id % 11 = 5 AND vec_id % 7 <> 0)
          |  UNION ALL
          |  SELECT vec_id + 1000000, list_reverse(embedding)
          |  FROM embeddings WHERE vec_id % 5 = 3),

@@ -35,13 +35,19 @@ object StreamingVectorIndex {
 
   /** Drain everything unprocessed in `feedDir` into the IVF index at
     * `indexPath` (which must exist — build the initial corpus with
-    * `ensureIndex` first).
+    * `ensureIndex` first). With `opCol` set, the feed is a full CDC
+    * changelog: rows whose op is `"D"` delete their id without a
+    * re-append (tombstones); every other row upserts. An id carrying
+    * BOTH a D and an upsert in one epoch resolves to the upsert (the
+    * epoch contract is one op per id; delete-then-append applies the
+    * surviving row either way).
     */
   def upsertStream(spark: SparkSession, feedDir: String,
                    indexPath: String, checkpoint: String,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): Unit =
-    upsertStreamImpl(spark, feedDir, checkpoint, idCol,
+                   vecCol: String = "embedding",
+                   opCol: Option[String] = None): Unit =
+    upsertStreamImpl(spark, feedDir, checkpoint, idCol, opCol,
       deleteFn = p => { Ivf.deleteFromIndex(spark, indexPath, p); () },
       appendFn = d => Ivf.appendToIndex(d, indexPath, idCol, vecCol))
 
@@ -52,8 +58,9 @@ object StreamingVectorIndex {
   def upsertStreamHnsw(spark: SparkSession, feedDir: String,
                        indexPath: String, checkpoint: String,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit =
-    upsertStreamImpl(spark, feedDir, checkpoint, idCol,
+                       vecCol: String = "embedding",
+                       opCol: Option[String] = None): Unit =
+    upsertStreamImpl(spark, feedDir, checkpoint, idCol, opCol,
       deleteFn = p => {
         graft.operators.Hnsw.deleteFromIndex(spark, indexPath, p); ()
       },
@@ -62,6 +69,7 @@ object StreamingVectorIndex {
 
   private def upsertStreamImpl(spark: SparkSession, feedDir: String,
                    checkpoint: String, idCol: String,
+                   opCol: Option[String],
                    deleteFn: org.apache.spark.sql.Column => Unit,
                    appendFn: DataFrame => Unit): Unit = {
     val schema = spark.read.parquet(feedDir).schema
@@ -72,15 +80,22 @@ object StreamingVectorIndex {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val others = batch.columns.filterNot(_ == idCol).toIndexedSeq
-        val latest = batch.groupBy(col(idCol))
+        val upserts = opCol.fold(batch)(oc =>
+          batch.filter(!(col(oc) <=> lit("D"))).drop(oc))
+        val others = upserts.columns.filterNot(_ == idCol).toIndexedSeq
+        val latest = upserts.groupBy(col(idCol))
           .agg(max(struct(others.map(col): _*)).as("__u"))
           .select(col(idCol) +: others.map(c => col(s"__u.$c").as(c)): _*)
-        val ids = latest.select(col(idCol)).distinct()
+        val upsertIds = latest.select(col(idCol)).distinct()
           .collect().map(_.get(0)).toIndexedSeq
-        if (ids.nonEmpty) {
-          deleteFn(col(idCol).isin(ids: _*))
-          appendFn(latest)
+        val tombstoneIds = opCol.toSeq.flatMap(oc =>
+          batch.filter(col(oc) <=> lit("D")).select(col(idCol))
+            .distinct().collect().map(_.get(0)))
+          .filterNot(upsertIds.contains)
+        val touched = upsertIds ++ tombstoneIds
+        if (touched.nonEmpty) {
+          deleteFn(col(idCol).isin(touched: _*))
+          if (upsertIds.nonEmpty) appendFn(latest)
         }
         ()
       }

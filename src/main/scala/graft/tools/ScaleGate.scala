@@ -300,6 +300,7 @@ object ScaleGate {
     // amortize at 10×
     "q_v_stream_index" -> 8.0,
     "q_v_stream_hnsw" -> 8.0,
+    "q_v_stream_cdc" -> 8.0,
     // compaction: O(fragmented posting lists) rewrite on top of the
     // inc-gate shape
     "q_v_topk_ivf_cpt" -> 8.0,

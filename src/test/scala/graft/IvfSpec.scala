@@ -601,6 +601,38 @@ class IvfSpec extends SparkSpec {
       "replay must not duplicate any id")
   }
 
+  test("StreamingVectorIndex CDC ops: a tombstone deletes without " +
+    "re-append; an id carrying both D and U in one epoch resolves " +
+    "to the upsert") {
+    import graft.streaming.StreamingVectorIndex
+    val base = tmpDir("ivf-vcdc")
+    val (feed, ckpt, idx) = (s"$base/feed", s"$base/ckpt", s"$base/idx")
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    Ivf.writeIndex(emb, m, idx)
+    val n0 = emb.count()
+    val mk = (id: Long, op: String) => emb.filter(col("vec_id") === id)
+      .select(col("vec_id"),
+        (if (op == "U")
+          transform(col("embedding"), x => (-x).cast("float"))
+        else col("embedding")).as("embedding"),
+        col("label"), lit(op).as("op"))
+    mk(10L, "D").unionByName(mk(20L, "U"))
+      .unionByName(mk(30L, "D")).unionByName(mk(30L, "U"))
+      .coalesce(1).write.mode("append").parquet(feed)
+    StreamingVectorIndex.upsertStream(spark, feed, idx, ckpt,
+      opCol = Some("op"))
+    val corpus = spark.read.parquet(s"$idx/corpus")
+    assert(corpus.count() == n0 - 1, "exactly the tombstoned id leaves")
+    assert(corpus.filter(col("vec_id") === 10L).count() == 0)
+    assert(corpus.filter(col("vec_id") === 30L).count() == 1,
+      "D+U in one epoch: the upsert wins, one version stored")
+    val v20 = corpus.filter(col("vec_id") === 20L)
+      .select(expr("embedding[0]")).as[Float].head()
+    val o20 = emb.filter(col("vec_id") === 20L)
+      .select(expr("embedding[0]")).as[Float].head()
+    assert(v20 == -o20, "updated id must carry the new vector")
+  }
+
   test("appendToIndex on a RESIDUAL index encodes the delta with " +
     "residual codes — plain codes scored by residual ADC would be " +
     "silently wrong") {
