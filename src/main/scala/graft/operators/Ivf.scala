@@ -549,6 +549,33 @@ object Ivf {
     touched.length
   }
 
+  /** What [[maintain]] did and what it could not do itself. */
+  final case class MaintenanceReport(compactedClusters: Int,
+                                     appendedFraction: Double,
+                                     needsRetrain: Boolean)
+
+  /** The maintenance autopilot — [[Hnsw.rebuildRemedy]]'s IVF
+    * sibling, acting on the meters instead of reporting them: reads
+    * layout health ([[filesPerCluster]]) and centroid drift
+    * ([[appendedFraction]]), COMPACTS in place when fragmented (cheap,
+    * content-invisible, always safe), and REPORTS when drift needs a
+    * retrain — a retrain re-fits centroids/codebooks, which only the
+    * owner of the build parameters can do ([[ensureIndex]] with a
+    * bumped fingerprint), so the autopilot never does it silently.
+    * One listing + one count-file read when healthy; O(fragmented
+    * posting lists) when compacting.
+    */
+  def maintain(spark: SparkSession, indexPath: String,
+               maxFilesPerCluster: Int = 16,
+               maxAppendedFraction: Double = 0.5): MaintenanceReport = {
+    val compacted =
+      if (needsCompaction(spark, indexPath, maxFilesPerCluster))
+        compactIndex(spark, indexPath)
+      else 0
+    val frac = appendedFraction(spark, indexPath)
+    MaintenanceReport(compacted, frac, frac > maxAppendedFraction)
+  }
+
   def appendedFraction(spark: SparkSession, indexPath: String): Double = {
     val live = indexRowCount(spark, indexPath)
       .getOrElse(spark.read.parquet(s"$indexPath/corpus").count())

@@ -601,6 +601,32 @@ class IvfSpec extends SparkSpec {
       "replay must not duplicate any id")
   }
 
+  test("maintain: compacts when fragmented (content-invisible), " +
+    "reports drift honestly, and is a cheap no-op when healthy") {
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val idx = tmpDir("ivf-maint")
+    val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    Ivf.writeIndex(half0, m, idx)
+    Ivf.appendToIndex(half1, idx)
+    val r1 = Ivf.maintain(spark, idx, maxFilesPerCluster = 1,
+      maxAppendedFraction = 0.5)
+    assert(r1.compactedClusters > 0, "fragmented index must compact")
+    assert(r1.needsRetrain && r1.appendedFraction > 0.9,
+      s"a doubled corpus is ~1.0 appended: $r1")
+    val r2 = Ivf.maintain(spark, idx, maxFilesPerCluster = 1,
+      maxAppendedFraction = 2.0)
+    assert(r2.compactedClusters == 0 && !r2.needsRetrain,
+      s"healthy thresholds → no-op: $r2")
+    // content invisible: post-maintenance search ≡ brute force
+    val q = emb.filter(col("vec_id") < 8)
+    val got = Ivf.searchIndex(spark, idx, q, k = 5, nprobe = 4)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val want = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("StreamingVectorIndex CDC ops: a tombstone deletes without " +
     "re-append; an id carrying both D and U in one epoch resolves " +
     "to the upsert") {
