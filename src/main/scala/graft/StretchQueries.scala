@@ -3447,6 +3447,22 @@ object StretchQueries {
         Seq("nat", "seg"), col("band"), tMicros = 150000L)
     }),
 
+    // the t-closeness RELEASE (row filter): the audit + one null-safe
+    // semi join — 62 of 125 groups survive t=0.15 at sf0.01, so the
+    // kept-rows relation discriminates at every sf
+    "q_p_tclose_rel" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").as("cust"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        (round(col("c_acctbal") * 100).cast("long") + 100000L)
+          .as("cen"))
+        .select(col("cust"), col("nat"), col("seg"),
+          when(col("nat") % 4 === 0, expr("cen div 500000"))
+            .otherwise(expr("cen div 200000")).as("band"))
+      graft.operators.Anonymize.tCloseRelease(c,
+        Seq("nat", "seg"), col("band"), tMicros = 150000L)
+    }),
+
     // per-node triangle participation: the q_g_pagerank 2-out-regular
     // maps alone are triangle-free at corpus sizes, so the graph adds
     // K4 community cliques (each node links +1 and +2 within its
@@ -8180,6 +8196,43 @@ object StretchQueries {
          |  num * 1000000 <= 150000 * (SELECT m - 1 FROM sc) *
          |    (SELECT n_corpus FROM sc) * n_rows AS close
          |FROM emd""".stripMargin).replaceAll(raw"\s+", " "),
+
+    // the release filter replayed: the same EMD chain (with the row
+    // key carried), close groups, one join back onto the rows
+    "q_p_tclose_rel" ->
+      ("""WITH c AS (SELECT c_custkey AS cust, c_nationkey AS nat,
+         |  c_mktsegment AS seg,
+         |  CASE WHEN c_nationkey % 4 = 0 THEN
+         |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 500000
+         |  ELSE
+         |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 200000
+         |  END AS band FROM customer),
+         |vals AS (SELECT band, CAST(count(*) AS BIGINT) AS cv
+         |  FROM c GROUP BY 1),
+         |sc AS (SELECT CAST(sum(cv) AS BIGINT) AS n_corpus,
+         |  CAST(count(*) AS BIGINT) AS m FROM vals),
+         |idx AS (SELECT band, cv,
+         |  row_number() OVER (ORDER BY band) AS i FROM vals),
+         |gtot AS (SELECT nat, seg, CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM c GROUP BY 1, 2),
+         |gv AS (SELECT nat, seg, band, CAST(count(*) AS BIGINT) AS ng
+         |  FROM c GROUP BY 1, 2, 3),
+         |grid AS (SELECT g.nat, g.seg, g.n_rows, d.cv, d.i,
+         |  coalesce(v.ng, 0) AS ng
+         |  FROM gtot g CROSS JOIN idx d LEFT JOIN gv v
+         |  ON v.nat = g.nat AND v.seg = g.seg AND v.band = d.band),
+         |pref AS (SELECT nat, seg, n_rows, i,
+         |  sum(ng * (SELECT n_corpus FROM sc) - cv * n_rows)
+         |    OVER (PARTITION BY nat, seg ORDER BY i) AS p FROM grid),
+         |emd AS (SELECT nat, seg, n_rows,
+         |  CAST(sum(abs(p)) AS BIGINT) AS num
+         |  FROM pref WHERE i < (SELECT m FROM sc) GROUP BY 1, 2, 3),
+         |ok AS (SELECT nat, seg FROM emd
+         |  WHERE num * 1000000 <= 150000 * (SELECT m - 1 FROM sc) *
+         |    (SELECT n_corpus FROM sc) * n_rows)
+         |SELECT c.cust, c.nat, c.seg, c.band
+         |FROM c JOIN ok ON c.nat = ok.nat AND c.seg = ok.seg"""
+        .stripMargin).replaceAll(raw"\s+", " "),
 
     // degree-ordered triangle enumeration replayed join for join:
     // undirect+distinct, degree table, orientation, wedge join,

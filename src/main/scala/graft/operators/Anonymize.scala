@@ -211,6 +211,26 @@ object Anonymize {
         lit(tMicros * (m - 1) * nTotal) * col("n_rows")).as("close"): _*)
   }
 
+  /** The t-closeness release filter — [[lDiversify]]'s sibling over
+    * [[tClosenessGroups]]: keep rows whose quasi group's sensitive
+    * distribution sits within t of the corpus. The audit + ONE
+    * null-safe semi join on the quasi key. Privacy-conservative on
+    * the audit's blind spot: a group with no non-null sensitive
+    * values never appears in the audit, so its rows are NOT released
+    * (unauditable ≠ close).
+    */
+  def tCloseRelease(df: DataFrame, quasi: Seq[String],
+                    sensitive: Column, tMicros: Long): DataFrame = {
+    val ok = tClosenessGroups(df, quasi, sensitive, tMicros)
+      .filter(col("close"))
+      .select(quasi.zipWithIndex.map { case (q, i) =>
+        col(q).as(s"__q$i") }: _*)
+    val cond = quasi.zipWithIndex
+      .map { case (q, i) => df(q) <=> ok(s"__q$i") }
+      .reduce(_ && _)
+    df.join(ok, cond, "left_semi")
+  }
+
   /** The release filter: keep rows whose quasi-identifier group is
     * l-diverse — one groupBy + one semi join on the (null-safe) quasi
     * key. Quasi columns may be arbitrary expressions, so the group

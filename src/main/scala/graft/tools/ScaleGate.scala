@@ -198,6 +198,8 @@ object ScaleGate {
     // t-closeness: two groupBys + a groups×m grid window (m fixed by
     // the band domain) — linear in customer rows
     "q_p_tclose" -> 8.0,
+    // the release filter adds one null-safe semi join — same shape
+    "q_p_tclose_rel" -> 8.0,
     // round-11 (VERDICT r10 #9): the read front door. The manifest
     // routing itself is O(manifest) = flat, but each gate carries
     // linear components the envelope must admit: the oracle-key

@@ -240,6 +240,21 @@ class GraphSpatialSpec extends SparkSpec {
       s"anchor group sits near the corpus: ${tc("C")}")
   }
 
+  test("tCloseRelease: rows of close groups survive, far groups " +
+    "drop, and an unauditable (all-null-sensitive) group is NOT " +
+    "released") {
+    import spark.implicits._
+    val rows = (Seq.tabulate(30)(i => ("C", Some((i % 3).toLong))) ++
+      (Seq.fill(6)(0L) ++ Seq(1L, 2L)).map(v => ("B", Some(v))) ++
+      Seq(("G", None), ("G", None)))
+      .toDF("zip", "sev")
+    val kept = Anonymize.tCloseRelease(rows, Seq("zip"), col("sev"),
+        tMicros = 200000L)
+      .groupBy("zip").count().as[(String, Long)].collect().toMap
+    assert(kept == Map("C" -> 30L),
+      s"only the close group's rows release: $kept")
+  }
+
   test("t-closeness edge cases: one-value domain reads EMD 0; NULL " +
     "sensitive drops; NULL quasi group is audited") {
     import spark.implicits._
