@@ -534,21 +534,33 @@ object Hnsw {
         col(vecCol).cast("array<float>").as("vec"))
       .as[(Int, Long, Seq[Float])]
     val touched = assigned.map(_._1).distinct().collect().sorted
-    val graphExisting = spark.read.parquet(s"$indexPath/graph")
-      .filter(col("cluster").isin(touched.toIndexedSeq: _*))
-    val existing = graphExisting
-      .select(col("cluster"), col("vec_id").as("id"), col("vec"))
-      .as[(Int, Long, Seq[Float])]
+    // a graph deleted to EMPTY (all-tombstone CDC epoch) has no
+    // parquet left to infer a schema from — the next append rebuilds
+    // its touched shards from the delta alone instead of crashing on
+    // schema inference (round-14 ADVICE)
+    val hasGraph = Ivf.hasParquetFiles(spark, s"$indexPath/graph")
+    val existing =
+      if (hasGraph)
+        spark.read.parquet(s"$indexPath/graph")
+          .filter(col("cluster").isin(touched.toIndexedSeq: _*))
+          .select(col("cluster"), col("vec_id").as("id"), col("vec"))
+          .as[(Int, Long, Seq[Float])]
+      else spark.emptyDataset[(Int, Long, Seq[Float])]
     val rebuiltBare = existing.union(assigned)
       .groupByKey(_._1)
       .flatMapGroups((cl, it) =>
         buildShard(cl, it.map(r => (r._2, r._3)), m, efC))
       .toDF()
+    val deltaAttrs = df.select(
+      col(idCol).cast("long").as("vec_id") +: attrs.map(col): _*)
     val rebuilt = if (attrs.isEmpty) rebuiltBare
       else rebuiltBare.join(
-        graphExisting.select(col("vec_id") +: attrs.map(col): _*)
-          .unionByName(df.select(
-            col(idCol).cast("long").as("vec_id") +: attrs.map(col): _*)),
+        if (hasGraph)
+          spark.read.parquet(s"$indexPath/graph")
+            .filter(col("cluster").isin(touched.toIndexedSeq: _*))
+            .select(col("vec_id") +: attrs.map(col): _*)
+            .unionByName(deltaAttrs)
+        else deltaAttrs,
         Seq("vec_id"))
     val prev = spark.conf.getOption(
       "spark.sql.sources.partitionOverwriteMode")
@@ -792,9 +804,15 @@ object Hnsw {
         .flatMapGroups((cl, it) =>
           buildShard(cl, it.map(r => (r._2, r._3)), m, efC))
         .toDF()
+      // attrs re-join on (cluster, vec_id), not vec_id alone: the
+      // append contract tolerates a re-appended id landing in more
+      // than one touched shard, and an id-only join would fan out
+      // across those shards and duplicate graph rows in every
+      // rebuilt shard (round-14 ADVICE)
       val rebuilt = if (attrs.isEmpty) rebuiltBare
         else rebuiltBare.join(
-          keep.select(col("vec_id") +: attrs.map(col): _*), Seq("vec_id"))
+          keep.select(col("cluster") +: col("vec_id") +: attrs.map(col): _*),
+          Seq("cluster", "vec_id"))
       val emptied = touched.filterNot(
         keep.select(col("cluster")).distinct()
           .collect().map(_.getInt(0)).toSet)
@@ -924,6 +942,135 @@ object Hnsw {
         skip += h
     }
     n
+  }
+
+  /** Files per graph shard — [[Ivf.filesPerCluster]]'s graph twin,
+    * the fragmentation meter the append path needs: every maintenance
+    * rewrite of a touched shard can land multiple files (the
+    * attr-rejoin shuffles rows across tasks before the partitioned
+    * write), and at 100 TB a daily-ingest index degrades into
+    * KB-scale files whose open/footer overhead dominates the scan.
+    * Footer-free: one recursive listing, no Spark job.
+    */
+  def filesPerShard(spark: SparkSession,
+                    indexPath: String): Map[Int, Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/graph")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val counts = scala.collection.mutable.Map.empty[Int, Int]
+    val it = fs.listFiles(p, true)
+    val re = ".*/cluster=(\\d+)/[^/]*\\.parquet$".r
+    while (it.hasNext) it.next().getPath.toString match {
+      case re(c) => counts(c.toInt) = counts.getOrElse(c.toInt, 0) + 1
+      case _ => ()
+    }
+    counts.toMap
+  }
+
+  /** The operable compaction trigger: true once any shard holds more
+    * than `maxFilesPerShard` files — layout health, not content
+    * health; [[compactShards]] is the remedy.
+    */
+  def needsCompaction(spark: SparkSession, indexPath: String,
+                      maxFilesPerShard: Int = 16): Boolean =
+    filesPerShard(spark, indexPath).values.exists(_ > maxFilesPerShard)
+
+  /** Rewrite fragmented graph shards into one file each —
+    * [[Ivf.compactIndex]]'s graph twin, OPTIMIZE for the shard
+    * layout. Content-invisible by construction: the graph adjacency
+    * is stored PER ROW ([[GraphNode]] carries its neighbor lists), so
+    * compaction moves rows between files without rebuilding anything
+    * — same rows, same partition values, and the search path cannot
+    * tell (the gate's shared brute-force oracle checks exactly that).
+    * Only shards holding more than one file rewrite; every other
+    * shard's files stay byte-identical (dynamic partition overwrite).
+    * The rewrite repartitions by the partition column so each touched
+    * shard lands in exactly one task → one file. Returns the number
+    * of compacted shards.
+    */
+  def compactShards(spark: SparkSession, indexPath: String): Int = {
+    val frag = filesPerShard(spark, indexPath).filter(_._2 > 1)
+    if (frag.isEmpty) return 0
+    val touched = frag.keys.toArray.sorted
+    spark.catalog.refreshByPath(s"$indexPath/graph")
+    val graph = spark.read.parquet(s"$indexPath/graph")
+    val (keep, scratch) = Materialize.viaScratchWithPath(
+      graph.filter(col("cluster").isin(touched.toIndexedSeq: _*)),
+      "graft-hnsw-compact")
+    try {
+      val prev = spark.conf.getOption(
+        "spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try keep.repartition(touched.length, col("cluster"))
+        .write.partitionBy("cluster").mode("overwrite")
+        .parquet(s"$indexPath/graph")
+      finally prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset(
+          "spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.catalog.refreshByPath(s"$indexPath/graph")
+    } finally scratch.drop()
+    touched.length
+  }
+
+  /** What [[maintain]] did and what it could not do itself —
+    * [[Ivf.MaintenanceReport]]'s graph sibling, with the extra axes
+    * HNSW has: splits performed (the skew remedy the autopilot CAN
+    * take) and the nprobe compensation a reported retrain carries.
+    */
+  final case class MaintenanceReport(compactedShards: Int,
+                                     splits: Int,
+                                     appendedFraction: Double,
+                                     shardImbalance: Double,
+                                     needsRetrain: Boolean,
+                                     nprobeDelta: Int)
+
+  /** The graph-side maintenance autopilot — [[Ivf.maintain]]'s HNSW
+    * sibling, unifying the meters ([[filesPerShard]],
+    * [[appendedFraction]], [[shardImbalance]]) with the remedies
+    * ([[compactShards]], [[rebalance]]/[[splitShard]],
+    * [[rebuildRemedy]]) under the act-vs-report split:
+    *
+    *  - COMPACT when fragmented — always safe, content-invisible.
+    *  - SPLIT/REBALANCE when only the skew axis fired — safe within
+    *    the measured recall boundary ([[rebalance]] with
+    *    `recallSafe = true`: each natural cluster partitions at most
+    *    2-way per maintenance window, the NOTES `hnsw-imbalance`
+    *    measurement; successive windows converge).
+    *  - REPORT a retrain when the append axis fired — a retrain
+    *    re-fits the router, which only the owner of the build
+    *    parameters can do ([[ensureIndex]] with a bumped
+    *    fingerprint), so the autopilot never does it silently;
+    *    `nprobeDelta` carries the measured probe-budget compensation
+    *    exactly as [[rebuildRemedy]]'s [[Retrain]] does.
+    *
+    * Meters in the report are read AFTER acting, so a caller logging
+    * the report sees the post-maintenance state (imbalance after the
+    * splits, not before). One listing + count-file reads when
+    * healthy; O(fragmented + hot shards) when acting.
+    */
+  def maintain(spark: SparkSession, indexPath: String,
+               maxFilesPerShard: Int = 16,
+               maxAppendedFraction: Double = 0.5,
+               maxShardSkew: Double = 4.0,
+               maxSplits: Int = 8): MaintenanceReport = {
+    val compacted =
+      if (needsCompaction(spark, indexPath, maxFilesPerShard))
+        compactShards(spark, indexPath)
+      else 0
+    val (splits, retrain, delta) =
+      rebuildRemedy(spark, indexPath, maxAppendedFraction,
+        maxShardSkew) match {
+        case Retrain(d) => (0, true, d)
+        case SplitHot(_) =>
+          (rebalance(spark, indexPath, maxShardSkew, maxSplits), false, 0)
+        case NoRebuild => (0, false, 0)
+      }
+    MaintenanceReport(compacted, splits,
+      appendedFraction(spark, indexPath),
+      shardImbalance(spark, indexPath), retrain, delta)
   }
 
   /** ANN top-k against the reloaded index: queries route to their

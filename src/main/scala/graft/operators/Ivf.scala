@@ -248,6 +248,12 @@ object Ivf {
     val out = pq.map(p => Pq.withCodes(b8, p, vecCol)).getOrElse(b8)
     out.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/corpus")
+    // persist the corpus schema beside the count files: appendToIndex
+    // aligns its delta to the stored column set by reading it back,
+    // and an index whose every row has been deleted (a legal CDC
+    // state — an all-tombstone epoch) has no parquet footer left to
+    // infer it from (round-14 ADVICE)
+    writeSchemaFile(df.sparkSession, s"$path/_SCHEMA", out.schema)
     val n = writeRowCount(df.sparkSession, path)
     // the BUILD-time count, stamped only here (never by append): the
     // denominator of the drift meter appendedFraction reads
@@ -284,7 +290,18 @@ object Ivf {
                     vecCol: String = "embedding"): Unit = {
     val spark = df.sparkSession
     val model = loadModelCached(spark, s"$indexPath/centroids")
-    val corpusSchema = spark.read.parquet(s"$indexPath/corpus").schema
+    // an index deleted to EMPTY (all-tombstone CDC epoch) has no
+    // parquet left to infer the column set from — fall back to the
+    // build-time _SCHEMA record so the next append resurrects the
+    // corpus instead of crashing on schema inference (round-14
+    // ADVICE); a pre-_SCHEMA artifact in that state gets a loud,
+    // actionable error instead of Spark's "unable to infer schema"
+    val corpusSchema =
+      if (hasParquetFiles(spark, s"$indexPath/corpus"))
+        spark.read.parquet(s"$indexPath/corpus").schema
+      else readSchemaFile(spark, s"$indexPath/_SCHEMA").getOrElse(
+        sys.error(s"index corpus at $indexPath is empty and predates " +
+          "the _SCHEMA record; rebuild via ensureIndex"))
     val assigned = assign(df.filter(col(vecCol).isNotNull), model, vecCol)
     val q8a = if (corpusSchema.fieldNames.contains("q8"))
       graft.functions.VectorFunctions.withQuantizedInt8(assigned, vecCol)
@@ -437,6 +454,29 @@ object Ivf {
     val n = spark.read.parquet(s"$path/corpus").count()
     writeCountFile(spark, s"$path/_ROWS", n)
     n
+  }
+
+  private[operators] def writeSchemaFile(spark: SparkSession,
+      pathStr: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(p, true)
+    o.write(schema.json.getBytes("UTF-8")); o.close()
+  }
+
+  private[operators] def readSchemaFile(spark: SparkSession,
+      pathStr: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val json = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        Some(org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      } finally in.close()
+    }
   }
 
   private[operators] def writeCountFile(spark: SparkSession, pathStr: String,

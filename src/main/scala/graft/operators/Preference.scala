@@ -102,21 +102,26 @@ object Preference {
     *
     * ONE struct-min aggregation (the LPA argmax discipline — never a
     * window over the candidate table); n_candidates and spread ride
-    * the same pass. The struct negates the REWARD (not the response
+    * the same pass. The struct REVERSES the reward (not the response
     * id), so min(struct) orders reward desc then response-id asc for
     * ANY orderable response-id type — string ids work; the reward
-    * must be integral (it is cast to long).
+    * must be integral (it is cast to long). The reversal is bitwise
+    * NOT (~r = −r−1), a total order-reversing bijection on int64:
+    * arithmetic negation would overflow at Long.MinValue and silently
+    * corrupt the argmax, whereas ~ is overflow-free on the whole
+    * domain (round-14 ADVICE), and a second ~ recovers the reward
+    * exactly.
     */
   def bestOfN(df: DataFrame, promptCol: String, respCol: String,
               rewardCol: String, minReward: Long = Long.MinValue): DataFrame =
     df.groupBy(col(promptCol))
-      .agg(min(struct((-col(rewardCol).cast("long")).as("nr"),
+      .agg(min(struct(bitwise_not(col(rewardCol).cast("long")).as("nr"),
           col(respCol).as("resp"))).as("__best"),
         count(lit(1)).as("n_candidates"),
         min(col(rewardCol).cast("long")).as("min_reward"))
       .select(col(promptCol),
         col("__best.resp").as("best_resp"),
-        (-col("__best.nr")).as("best_reward"),
+        bitwise_not(col("__best.nr")).as("best_reward"),
         col("n_candidates"), col("min_reward"))
       .filter(col("best_reward") >= minReward)
 

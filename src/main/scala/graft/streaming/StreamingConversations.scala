@@ -19,11 +19,22 @@ import graft.functions.TextFunctions
   * are BIT-IDENTICAL to the batch assembler over the whole feed —
   * which is what the gate's oracle checks.
   *
-  * State per thread is its absorbed MESSAGE SET (full-tuple dedup, so
-  * a replayed epoch re-absorbs idempotently — the changelog row
-  * re-emits but latest-wins consumers are unaffected); per-group
-  * memory is bounded by thread length exactly like the batch
-  * operator's collect_list. All text semantics (token count, the
+  * State per thread is its absorbed message MULTISET, stored as
+  * per-tuple multiplicities merged by MAX per epoch: a replayed epoch
+  * re-delivers every tuple at the same within-epoch count, so the max
+  * absorbs it idempotently (the changelog row re-emits but
+  * latest-wins consumers are unaffected), while a genuinely
+  * duplicated identical message INSIDE one epoch arrives at count ≥ 2
+  * and trips `duplicate_turn` exactly like the batch assembler
+  * (round-14 ADVICE: full-tuple SET dedup conflated the two and the
+  * stream could report ok where batch reported duplicate_turn). The
+  * one residual divergence is inherent, not implementational: an
+  * identical tuple arriving once in each of two DIFFERENT epochs is
+  * indistinguishable from a replay of the first (at-least-once
+  * delivery carries no epoch identity), so the stream counts it once
+  * where batch counts twice. Per-group memory is bounded by thread
+  * length exactly like the batch operator's collect_list. All text
+  * semantics (token count, the
   * Spark-trim emptiness test, the parity-expected role mismatch) are
   * computed SCAN-SIDE with the very same Column expressions the batch
   * path uses, so the stateful handler only counts — there is no
@@ -42,7 +53,12 @@ object StreamingConversations {
                        role: Option[String], text: String, n_tok: Long,
                        null_field: Boolean, mismatch: Boolean,
                        empty: Boolean)
-  final case class ThreadState(upd: Int, msgs: Seq[Msg])
+  /** One distinct absorbed tuple with its multiplicity — the max of
+    * its within-epoch counts across absorbed epochs (see the replay
+    * contract in the object doc).
+    */
+  final case class MsgCount(msg: Msg, n: Int)
+  final case class ThreadState(upd: Int, entries: Seq[MsgCount])
   final case class ThreadQa(conv_id: Long, upd: Int, n_msgs: Long,
                             n_turns: Long, max_turn: Option[Long],
                             n_tokens: Long, status: String,
@@ -85,11 +101,21 @@ object StreamingConversations {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (conv, rows, state) =>
           val st = state.getOption.getOrElse(ThreadState(0, Vector.empty))
-          var acc = st.msgs
-          rows.foreach { m =>
-            if (!acc.contains(m)) acc = acc :+ m
-          }
-          val next = ThreadState(st.upd + 1, acc)
+          // multiplicity max-merge (one epoch file per batch under
+          // maxFilesPerTrigger=1): replay re-delivers the same
+          // per-epoch counts → no-op; a within-epoch duplicate
+          // arrives at count ≥ 2 → absorbed at full multiplicity
+          val batchCounts = rows.toVector.groupBy(identity)
+            .map { case (m, v) => (m, v.size) }
+          val known = st.entries.map(_.msg).toSet
+          val entries = st.entries.map(e =>
+            e.copy(n = math.max(e.n, batchCounts.getOrElse(e.msg, 0)))) ++
+            batchCounts.collect {
+              case (m, n) if !known(m) => MsgCount(m, n)
+            }.toVector.sortBy(e =>
+              (e.msg.turn.getOrElse(Long.MaxValue), e.msg.text))
+          val acc = entries.flatMap(e => Vector.fill(e.n)(e.msg))
+          val next = ThreadState(st.upd + 1, entries)
           state.update(next)
           // the batch QA, recomputed over the absorbed set — counting
           // only; every text-semantic flag arrived from the scan

@@ -86,16 +86,19 @@ object StreamingVectorIndex {
         val latest = upserts.groupBy(col(idCol))
           .agg(max(struct(others.map(col): _*)).as("__u"))
           .select(col(idCol) +: others.map(c => col(s"__u.$c").as(c)): _*)
-        val upsertIds = latest.select(col(idCol)).distinct()
+        // delete-then-append touches every id in the batch regardless
+        // of op (a tombstoned id deletes and is not re-appended; an
+        // upserted id deletes its old version first) — so the delete
+        // predicate is ONE distinct collect over the whole batch, not
+        // separate upsert/tombstone lists reconciled with an O(n²)
+        // filterNot (round-14 ADVICE). The collect stays bounded by
+        // the epoch contract (a changed-rows file, not a corpus); a
+        // feed that re-ships the world rebuilds via ensureIndex.
+        val touched = batch.select(col(idCol)).distinct()
           .collect().map(_.get(0)).toIndexedSeq
-        val tombstoneIds = opCol.toSeq.flatMap(oc =>
-          batch.filter(col(oc) <=> lit("D")).select(col(idCol))
-            .distinct().collect().map(_.get(0)))
-          .filterNot(upsertIds.contains)
-        val touched = upsertIds ++ tombstoneIds
         if (touched.nonEmpty) {
           deleteFn(col(idCol).isin(touched: _*))
-          if (upsertIds.nonEmpty) appendFn(latest)
+          if (!latest.isEmpty) appendFn(latest)
         }
         ()
       }
