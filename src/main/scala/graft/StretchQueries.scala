@@ -20,6 +20,25 @@ object StretchQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Run `body` under the at-scale shuffle layout (no broadcast
+    * joins, no AQE partition coalescing), restoring the session confs
+    * after. Gates that must exercise the multi-file-per-partition
+    * fragmentation regime use this: at sf0.01 every shuffle otherwise
+    * folds into one partition and the layout problem vanishes.
+    */
+  private def atScaleShuffle[T](s: SparkSession)(body: => T): T = {
+    val keys = Seq(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** documents ∪ a perturbed copy of itself — the standard self-test
     * corpus for near-dup detection (every doc has exactly one planted
     * near-duplicate, id + 1,000,000, with three extra tokens).
@@ -1834,6 +1853,58 @@ object StretchQueries {
       Hnsw.splitShard(s, idx, hot)
       Hnsw.searchIndex(s, idx, emb.filter(col("vec_id") < 16),
         k = 5, nprobe = 5, ef = 0)
+    }),
+
+    // graph-shard COMPACTION (q_v_topk_ivf_cpt's graph twin): build
+    // half, append half under the at-scale shuffle layout (no
+    // broadcast, no AQE coalescing — the attr re-join then scatters
+    // the touched shards' rows across tasks, one file per task, the
+    // real 100 TB fragmentation regime), read the meter, act on it,
+    // search exhaustively. Compaction moves rows between files
+    // without touching content — the shared brute-force oracle would
+    // hash-mismatch on any dropped or duplicated row
+    "q_v_hnsw_cpt" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_cpt_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      Hnsw.ensureIndex(half0, s"$dir/embeddings.parquet", idx,
+        shards = 4, m = 8, efC = 32, attrCols = Seq("label"))
+      atScaleShuffle(s) { Hnsw.appendToIndex(half1, idx) }
+      if (Hnsw.needsCompaction(s, idx, maxFilesPerShard = 1))
+        Hnsw.compactShards(s, idx)
+      Hnsw.searchIndex(s, idx, emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 4, ef = 0)
+    }),
+
+    // the graph-side maintenance AUTOPILOT (Ivf.maintain's sibling,
+    // round-14 VERDICT #1): same fragmented+drifted construction,
+    // one maintain() call — it compacts (safe, content-invisible),
+    // REPORTS the drift retrain for the fingerprint owner instead of
+    // acting, and the exhaustive search over the maintained index
+    // still answers exactly like brute force over the union. The
+    // act-vs-report routing and the skew-axis rebalance live in
+    // HnswSpec's planted-cluster pins
+    "q_v_hnsw_maint" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_mnt_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      Hnsw.ensureIndex(half0, s"$dir/embeddings.parquet", idx,
+        shards = 4, m = 8, efC = 32, attrCols = Seq("label"))
+      atScaleShuffle(s) { Hnsw.appendToIndex(half1, idx) }
+      val report = Hnsw.maintain(s, idx, maxFilesPerShard = 1,
+        maxAppendedFraction = 0.5, maxShardSkew = 100.0)
+      require(report.needsRetrain && report.splits == 0,
+        s"a doubled corpus must report (not act on) drift: $report")
+      Hnsw.searchIndex(s, idx, emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 4, ef = 0)
     }),
 
     // index COMPACTION (OPTIMIZE for posting lists — the third
@@ -5453,9 +5524,9 @@ object StretchQueries {
       // hygiene exact; StreamingSpec-style pins in PreferenceSpec)
       ("q_pref_stream" -> oracleSqlMap("q_pref_resolve")) +
       // latest-wins over the thread-QA changelog ≡ the batch
-      // assembler over the accumulated feed (full-tuple dedup makes
-      // epochs idempotent; StreamingSpec-style pins in
-      // ConversationsSpec)
+      // assembler over the accumulated feed (per-tuple multiplicity
+      // max-merge makes epoch replay idempotent while within-epoch
+      // duplicates still count; pins in ConversationsSpec)
       ("q_sft_stream" -> oracleSqlMap("q_sft_threads")) +
       // deterministic training ⇒ the shipped-artifact encode is
       // bit-identical to the in-memory arm (UnigramLmSpec pins the
@@ -5476,6 +5547,10 @@ object StretchQueries {
       // compaction is content-invisible: the compacted index answers
       // exactly like the fresh-built one
       ("q_v_topk_ivf_cpt" -> oracleSqlMap("q_v_topk")) +
+      ("q_v_hnsw_cpt" -> oracleSqlMap("q_v_topk")) +
+      // the autopilot compacts and reports — never mutates content —
+      // so the maintained index shares the plain brute-force oracle
+      ("q_v_hnsw_maint" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_c" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_pq_res" -> oracleSqlMap("q_v_topk")) +

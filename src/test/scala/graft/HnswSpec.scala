@@ -522,4 +522,192 @@ class HnswSpec extends SparkSpec {
       "attrs=label+flag,idCol=vec_id,vecCol=embedding," +
       "src=/data/x,attrs=foo,/y") == Seq("label", "flag"))
   }
+
+  /** Run `body` under the AT-SCALE shuffle layout: no broadcast
+    * joins (a 100 TB attr side sort-merge-joins, scattering a
+    * rebuilt shard's rows across tasks) and no AQE partition
+    * coalescing (which at spec scale folds every tiny shuffle into
+    * one partition). Together they surface the real fragmentation
+    * regime — one file per task per touched shard — that
+    * compactShards exists for.
+    */
+  private def withoutAqeCoalesce[T](body: => T): T = {
+    val keys = Seq(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def shardFiles(idx: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$idx/graph")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        out(f.getPath.toString) = f.getModificationTime
+    }
+    out.toMap
+  }
+
+  test("compactShards: the fragmentation meter trips after an " +
+    "attr-carrying append, compaction is content-invisible and " +
+    "leaves one file per shard, shards already at one file keep " +
+    "their files byte-stable, and an unfragmented index is a no-op") {
+    val base = tmpDir("hnsw-cpt")
+    val src = s"$base/src"
+    emb.write.parquet(src)
+    val idx = s"$base/idx"
+    val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    // attr-carrying: the rebuild's attr re-join shuffles rows across
+    // tasks before the partitioned write, so touched shards land in
+    // MANY files — exactly the fragmentation regime the meter is for.
+    // At spec scale AQE coalesces the tiny shuffle to one partition
+    // and hides it; disable coalescing so the at-scale multi-task
+    // layout (one file per task per shard) surfaces here.
+    Hnsw.ensureIndex(half0, src, idx, shards = 4, m = 8, efC = 32,
+      attrCols = Seq("label"))
+    withoutAqeCoalesce { Hnsw.appendToIndex(half1, idx) }
+    val frag = Hnsw.filesPerShard(spark, idx)
+    assert(frag.values.exists(_ > 1),
+      s"construction: the attr-join append must fragment: $frag")
+    assert(Hnsw.needsCompaction(spark, idx, maxFilesPerShard = 1))
+    val before = spark.read.parquet(s"$idx/graph")
+      .collect().map(_.toSeq).toSet
+    val n1 = Hnsw.compactShards(spark, idx)
+    assert(n1 == frag.count(_._2 > 1), s"compacted $n1 of $frag")
+    assert(Hnsw.filesPerShard(spark, idx).values.forall(_ == 1),
+      "one file per shard after compaction")
+    assert(spark.read.parquet(s"$idx/graph")
+      .collect().map(_.toSeq).toSet == before,
+      "compaction must be content-invisible")
+    assert(Hnsw.compactShards(spark, idx) == 0,
+      "no-op when unfragmented")
+    // refragment a SUBSET of shards (3 new ids touch <= 3 of the 4),
+    // then pin that compaction leaves single-file shards untouched
+    withoutAqeCoalesce {
+      Hnsw.appendToIndex(
+        emb.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"),
+            col("label")), idx)
+    }
+    val fragNow = Hnsw.filesPerShard(spark, idx)
+    val singles = fragNow.filter(_._2 == 1).keySet
+    assert(singles.nonEmpty,
+      s"construction: a 3-row delta must leave some shard at 1 file: $fragNow")
+    val filesBefore = shardFiles(idx)
+    Hnsw.compactShards(spark, idx)
+    val filesAfter = shardFiles(idx)
+    singles.foreach { c =>
+      val pre = filesBefore.filter(_._1.contains(s"cluster=$c/"))
+      val post = filesAfter.filter(_._1.contains(s"cluster=$c/"))
+      assert(pre == post,
+        s"untouched shard $c must keep its files byte-stable:\n" +
+          s" pre=$pre\n post=$post")
+    }
+    // the search path cannot tell (the q_v_hnsw_cpt oracle premise)
+    val q = emb.filter(col("vec_id") < 16)
+    val got = Hnsw.searchIndex(spark, idx, q, k = 5, nprobe = 4, ef = 0)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val want = SimilaritySearch.bruteForceTopK(
+        emb.unionByName(emb.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select((col("vec_id") + 9000L).as("vec_id"),
+            col("embedding"), col("label"))),
+        q, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(got == want, "post-compaction search != brute force")
+  }
+
+  test("maintain: healthy index is a no-op (files untouched), " +
+    "fragmentation compacts, drift is REPORTED with the retrain " +
+    "left to the fingerprint owner, and skew-only acts via " +
+    "recall-safe splits") {
+    // part 1: healthy + fragmented + drift, on the real corpus
+    val base = tmpDir("hnsw-maint")
+    val src = s"$base/src"
+    emb.write.parquet(src)
+    val idx = s"$base/idx"
+    val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    Hnsw.ensureIndex(half0, src, idx, shards = 4, m = 8, efC = 32,
+      attrCols = Seq("label"))
+    val files0 = shardFiles(idx)
+    // (AQE coalescing hidden at spec scale — see the compactShards
+    // test; the fragmenting append below disables it)
+    val r0 = Hnsw.maintain(spark, idx, maxFilesPerShard = 16,
+      maxAppendedFraction = 0.5, maxShardSkew = 100.0)
+    assert(r0.compactedShards == 0 && r0.splits == 0 &&
+      !r0.needsRetrain && r0.nprobeDelta == 0,
+      s"fresh build must be a maintenance no-op: $r0")
+    assert(shardFiles(idx) == files0,
+      "a healthy no-op must not touch any graph file")
+    withoutAqeCoalesce { Hnsw.appendToIndex(half1, idx) }
+    val r1 = Hnsw.maintain(spark, idx, maxFilesPerShard = 1,
+      maxAppendedFraction = 0.5, maxShardSkew = 100.0)
+    assert(r1.compactedShards > 0, s"fragmented index must compact: $r1")
+    assert(r1.needsRetrain && r1.appendedFraction > 0.9,
+      s"a doubled corpus is ~1.0 appended and needs the owner's " +
+        s"retrain: $r1")
+    assert(r1.splits == 0,
+      s"drift must be reported, never 'fixed' by splitting: $r1")
+    // content-invisible: post-maintenance exhaustive search ≡ brute
+    val q = emb.filter(col("vec_id") < 16)
+    val got = Hnsw.searchIndex(spark, idx, q, k = 5, nprobe = 4, ef = 0)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val want = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(got == want, "post-maintenance search != brute force")
+    // part 2: skew-only fires -> the autopilot ACTS (recall-safe
+    // rebalance), planted-cluster geometry so the hot shard is real
+    val rnd = new scala.util.Random(11)
+    val anchors = Array.fill(4, 16)(rnd.nextGaussian())
+    val pts = (0 until 240).map { i =>
+      val a = anchors(i % 4)
+      (i.toLong, a.map(x => (x + rnd.nextGaussian() * 0.15).toFloat).toSeq)
+    }
+    val hotMass = (1000 until 1160).map { i =>
+      (i.toLong,
+        anchors(0).map(x => (x + rnd.nextGaussian() * 0.15).toFloat).toSeq)
+    }
+    val src2 = s"$base/src2"
+    pts.toDF("vec_id", "embedding").write.parquet(src2)
+    val idx2 = s"$base/idx2"
+    Hnsw.ensureIndex(pts.toDF("vec_id", "embedding"), src2, idx2,
+      shards = 4, m = 8, efC = 32)
+    Hnsw.appendToIndex(hotMass.toDF("vec_id", "embedding"), idx2)
+    val skewBefore = Hnsw.shardImbalance(spark, idx2)
+    assert(skewBefore > 2.0,
+      s"construction: hot mass must skew the shards: $skewBefore")
+    val r2 = Hnsw.maintain(spark, idx2, maxFilesPerShard = 16,
+      maxAppendedFraction = 10.0, maxShardSkew = 2.0)
+    assert(r2.splits > 0 && !r2.needsRetrain,
+      s"skew-only must act by splitting, not report a retrain: $r2")
+    assert(r2.shardImbalance < skewBefore,
+      s"post-maintenance meter must show the improvement: " +
+        s"$skewBefore -> ${r2.shardImbalance}")
+    // the splits only refine routing: exhaustive search stays exact
+    val union = (pts ++ hotMass).toDF("vec_id", "embedding")
+    val q2 = union.filter(col("vec_id") % 40 === 0)
+    val nShards = Hnsw.footerShardSizes(spark, idx2).size
+    val got2 = Hnsw.searchIndex(spark, idx2, q2, k = 5,
+        nprobe = nShards, ef = 0)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val want2 = SimilaritySearch.bruteForceTopK(union, q2, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(got2 == want2, "post-split exhaustive search != brute force")
+  }
 }
