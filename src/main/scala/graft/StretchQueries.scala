@@ -2018,6 +2018,61 @@ object StretchQueries {
       Ivf.searchIndex(s, idx, latestQ, k = 5, nprobe = 4)
     }),
 
+    // streaming CDC COMPOSED with a residual-PQ index (round-14
+    // VERDICT #3): the same I/U/D epoch feed drains into an
+    // ensureIndexPqResidual artifact — each appended delta must
+    // encode v − centroid(v) with the SAVED codebooks (the round-14
+    // residual-append fix, Ivf.appendToIndex's residual=1 branch),
+    // and each delete rewrites only touched posting lists' code
+    // columns. Full probe + exhaustive rescore over the drained
+    // index ≡ brute force over the latest snapshot minus tombstones,
+    // so the gate shares q_v_stream_cdc's oracle: a plain-encoded
+    // appended row would ADC-misscore, misorder the shortlist, and
+    // hash-mismatch here
+    "q_v_stream_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_vpq_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val (feed, ckpt, idx) = (s"$scratch/feed", s"$scratch/ckpt",
+        s"$scratch/idx")
+      Ivf.ensureIndexPqResidual(emb, s"$dir/embeddings.parquet", idx,
+        k = 4, iters = 2, pqM = 8, pqK = 16, pqIters = 4,
+        pqSampleN = 1024)
+      val e1 = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => (-x).cast("float"))
+            .as("embedding"),
+          col("label"), lit("U").as("op"))
+        .unionByName(emb.filter(col("vec_id") % 5 === 3)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding"), col("label"),
+            lit("I").as("op")))
+        .unionByName(emb.filter(col("vec_id") % 11 === 5 &&
+            col("vec_id") % 7 =!= 0)
+          .select(col("vec_id"), col("embedding"), col("label"),
+            lit("D").as("op")))
+      e1.coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+        ckpt, opCol = Some("op"))
+      emb.filter(col("vec_id") % 14 === 0)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          lit("U").as("op"))
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+        ckpt, opCol = Some("op"))
+      val latestQ = emb.filter(col("vec_id") < 16 &&
+          !(col("vec_id") % 11 === 5 && col("vec_id") % 7 =!= 0))
+        .select(col("vec_id"),
+          when(col("vec_id") % 7 === 0 && col("vec_id") % 14 =!= 0,
+            transform(col("embedding"), x => (-x).cast("float")))
+            .otherwise(col("embedding")).as("embedding"))
+      Ivf.searchIndexPqResidual(s, idx, latestQ, k = 5, nprobe = 4,
+        rescoreK = Ivf.indexRowCount(s, idx)
+          .getOrElse(sys.error(s"index at $idx has no _ROWS")).toInt)
+    }),
+
     // the graph twin of q_v_stream_index: same epoch feed against the
     // HNSW index — deletes rebuild touched shards canonically,
     // appends keep bit-identity with a fresh build, so exhaustive
@@ -5544,6 +5599,10 @@ object StretchQueries {
       ("q_v_hnsw_del" -> oracleSqlMap("q_v_topk_flt")) +
       // both streaming-upsert arms drain to the same latest snapshot
       ("q_v_stream_hnsw" -> oracleSqlMap("q_v_stream_index")) +
+      // CDC into the residual-PQ artifact: full probe + exhaustive
+      // rescore ≡ brute force over latest-minus-tombstones — the
+      // same relation q_v_stream_cdc replays
+      ("q_v_stream_pq" -> oracleSqlMap("q_v_stream_cdc")) +
       // compaction is content-invisible: the compacted index answers
       // exactly like the fresh-built one
       ("q_v_topk_ivf_cpt" -> oracleSqlMap("q_v_topk")) +
