@@ -3589,6 +3589,23 @@ object StretchQueries {
         Seq("nat", "seg"), col("band"), tMicros = 150000L)
     }),
 
+    // CATEGORICAL t-closeness (round-14 VERDICT #4): market segment
+    // as the non-ordinal sensitive attribute over (nation, balance
+    // band) quasi groups — equal-distance EMD = total-variation
+    // distance, exact integer cross-products, one grid aggregation
+    // with genuine-zero absent cells, no ordered-domain machinery.
+    // The ordered-vs-categorical divergence (near vs far mass moves)
+    // is pinned in AnonymizeSpec
+    "q_p_tclose_cat" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_nationkey").as("nat"),
+        expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) " +
+          "div 300000").as("band"),
+        col("c_mktsegment").as("seg"))
+      graft.operators.Anonymize.tClosenessGroupsCat(c,
+        Seq("nat", "band"), col("seg"), tMicros = 200000L)
+    }),
+
     // per-node triangle participation: the q_g_pagerank 2-out-regular
     // maps alone are triangle-free at corpus sizes, so the graph adds
     // K4 community cliques (each node links +1 and +2 within its
@@ -8367,6 +8384,37 @@ object StretchQueries {
          |SELECT c.cust, c.nat, c.seg, c.band
          |FROM c JOIN ok ON c.nat = ok.nat AND c.seg = ok.seg"""
         .stripMargin).replaceAll(raw"\s+", " "),
+
+    // categorical t-closeness replayed: TVD numerator as integer
+    // cross-products over the group×segment grid (absent cells =
+    // genuine zeros), one truncating division, cross-multiplied
+    // verdict — no ordering, no prefix window, no (m-1)
+    "q_p_tclose_cat" ->
+      ("""WITH c AS (SELECT c_nationkey AS nat,
+         |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 300000
+         |    AS band,
+         |  c_mktsegment AS seg FROM customer),
+         |vals AS (SELECT seg, CAST(count(*) AS BIGINT) AS cv
+         |  FROM c GROUP BY 1),
+         |sc AS (SELECT CAST(sum(cv) AS BIGINT) AS n_corpus FROM vals),
+         |gtot AS (SELECT nat, band, CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM c GROUP BY 1, 2),
+         |gv AS (SELECT nat, band, seg, CAST(count(*) AS BIGINT) AS ng
+         |  FROM c GROUP BY 1, 2, 3),
+         |grid AS (SELECT g.nat, g.band, g.n_rows, d.cv,
+         |  coalesce(v.ng, 0) AS ng
+         |  FROM gtot g CROSS JOIN vals d LEFT JOIN gv v
+         |  ON v.nat = g.nat AND v.band = g.band AND v.seg = d.seg),
+         |tvd AS (SELECT nat, band, n_rows,
+         |  CAST(sum(abs(ng * (SELECT n_corpus FROM sc) - cv * n_rows))
+         |    AS BIGINT) AS num
+         |  FROM grid GROUP BY 1, 2, 3)
+         |SELECT nat, band, n_rows,
+         |  CAST((num * 1000000) // (2 * n_rows *
+         |    (SELECT n_corpus FROM sc)) AS BIGINT) AS tvd_micros,
+         |  num * 1000000 <= 200000 * 2 *
+         |    (SELECT n_corpus FROM sc) * n_rows AS close
+         |FROM tvd""".stripMargin).replaceAll(raw"\s+", " "),
 
     // degree-ordered triangle enumeration replayed join for join:
     // undirect+distinct, degree table, orientation, wedge join,

@@ -211,6 +211,68 @@ object Anonymize {
         lit(tMicros * (m - 1) * nTotal) * col("n_rows")).as("close"): _*)
   }
 
+  /** CATEGORICAL t-closeness — [[tClosenessGroups]]'s sibling for
+    * non-ordinal sensitive attributes (diagnosis codes, segments,
+    * categories), per the original Li/Li/Venkatasubramanian paper's
+    * equal-distance ground metric: with every value pair at distance
+    * 1, EMD degenerates to total-variation distance,
+    * TVD = ½·Σ_v |p_g(v) − p(v)| — no ordered-domain prefix sums, no
+    * (m−1) factor, strictly cheaper (one grid aggregation, no
+    * window).
+    *
+    * Same exactness discipline as the ordered form: each cell term is
+    * the integer cross-product |n_gv·N − N_v·n_g| (absent cells are
+    * genuine zeros contributing N_v·n_g), `tvd_micros` is ONE
+    * truncating division, and the verdict compares cross-multiplied
+    * int64 (Σ·1e6 ≤ t·2·n_g·N). Σ ≤ 2·n_g·N ≤ 2N², so the LOUD
+    * envelope guard is 2·N²·1e6 < 2⁶³ (N ≈ 2.1·10⁶) — no m in it,
+    * so a wide categorical domain costs grid rows, never headroom.
+    * A one-value domain reads TVD ≡ 0 with no special case (the
+    * lone cell's cross-product is identically zero).
+    *
+    * NULL handling and scale shape mirror the ordered form: NULL
+    * sensitive drops, NULL quasi audits as a group; two groupBys +
+    * one broadcast domain table + a |groups|·m grid aggregation.
+    */
+  def tClosenessGroupsCat(df: DataFrame, quasi: Seq[String],
+                          sensitive: Column, tMicros: Long): DataFrame = {
+    require(quasi.nonEmpty, "at least one quasi-identifier column")
+    require(tMicros >= 0 && tMicros <= 1000000L,
+      s"t is a micros fraction in [0, 1e6], got $tMicros")
+    val base = df.filter(sensitive.isNotNull)
+      .select(quasi.map(col) :+ sensitive.as("__v"): _*)
+    val vals = base.groupBy(col("__v")).agg(count(lit(1)).as("__cv"))
+    val scalars = vals.agg(sum(col("__cv"))).head()
+    val gtot = base.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    if (scalars.isNullAt(0))          // empty corpus: nothing to audit
+      return gtot.select(quasi.map(col) :+ col("n_rows") :+
+        lit(0L).as("tvd_micros") :+ lit(true).as("close"): _*)
+    val nTotal = scalars.getLong(0)
+    require(2.0 * nTotal.toDouble * nTotal.toDouble * 1e6
+      < Long.MaxValue.toDouble * 0.99,
+      s"categorical t-closeness exact-integer envelope exceeded: " +
+        s"2·N²·1e6 with N=$nTotal would overflow int64 — audit a " +
+        "partition of the corpus or use a micros-rounded variant")
+    val gv = base.groupBy((quasi :+ "__v").map(col): _*)
+      .agg(count(lit(1)).as("__ng"))
+    val grid = gtot.alias("__g").crossJoin(broadcast(vals.alias("__d")))
+    val cond = quasi.map(q => col(s"__g.$q") <=> col(s"__gv.$q"))
+      .reduce(_ && _) && (col("__d.__v") === col("__gv.__v"))
+    val tvd = grid.join(gv.alias("__gv"), cond, "left")
+      .select(quasi.map(q => col(s"__g.$q")) :+ col("n_rows") :+
+        col("__cv") :+
+        coalesce(col("__gv.__ng"), lit(0L)).as("__ng"): _*)
+      .groupBy(quasi.map(col) :+ col("n_rows"): _*)
+      .agg(sum(abs(col("__ng") * nTotal - col("__cv") * col("n_rows")))
+        .as("__num"))
+    tvd.select(quasi.map(col) :+ col("n_rows") :+
+      expr(s"(__num * 1000000L) div (2L * n_rows * ${nTotal}L)")
+        .as("tvd_micros") :+
+      (col("__num") * 1000000L <=
+        lit(tMicros * 2L * nTotal) * col("n_rows")).as("close"): _*)
+  }
+
   /** The t-closeness release filter — [[lDiversify]]'s sibling over
     * [[tClosenessGroups]]: keep rows whose quasi group's sensitive
     * distribution sits within t of the corpus. The audit + ONE

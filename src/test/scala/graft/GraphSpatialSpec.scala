@@ -277,4 +277,53 @@ class GraphSpatialSpec extends SparkSpec {
     assert(got2(None) && got2(Some("Z")),
       "both groups mirror the corpus exactly → EMD 0 passes t=0")
   }
+
+  test("categorical t-closeness: equal-distance EMD = TVD ignores " +
+    "WHERE the mass moved (near ≡ far), ordered EMD charges for " +
+    "distance — the divergence that decides which form fits the " +
+    "attribute; exact integers on both") {
+    import spark.implicits._
+    // domain {0..4}. C: 6 each (n=30). NEAR moves one row 0→1,
+    // FAR moves one row 0→4 (both n=10, counts (1,3,2,2,2) and
+    // (1,2,2,2,3)). Corpus: (8,11,10,10,11), N=50. Hand-computed:
+    //   TVD numerators: NEAR 30+40+0+0+10 = 80 = FAR 30+10+0+0+40
+    //     → both 80·1e6/(2·10·50) = 80000 micros — TVD is blind to
+    //     the move's distance by construction
+    //   ordered prefixes: NEAR |−30|+|10|+|10|+|10| = 60 → 30000
+    //     micros; FAR |−30|+|−40|+|−40|+|−40| = 150 → 75000 micros
+    val rows = (Seq.tabulate(30)(i => ("C", (i % 5).toLong)) ++
+      (Seq(0L, 1L, 1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L).map(("NEAR", _))) ++
+      (Seq(0L, 1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L, 4L).map(("FAR", _))))
+      .toDF("zip", "sev")
+    val cat = Anonymize.tClosenessGroupsCat(rows, Seq("zip"),
+        col("sev"), tMicros = 50000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(cat("NEAR") == ((10L, 80000L, false)) &&
+      cat("FAR") == ((10L, 80000L, false)),
+      s"TVD must read near and far moves identically: $cat")
+    assert(cat("C") == ((30L, 40000L, true)), s"anchor: $cat")
+    val ord = Anonymize.tClosenessGroups(rows, Seq("zip"),
+        col("sev"), tMicros = 50000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(ord("NEAR") == ((30000L, true)) &&
+      ord("FAR") == ((75000L, false)),
+      s"ordered EMD must charge the far move more: $ord")
+    // edge parity with the ordered form: empty corpus audits as all
+    // close, NULL sensitive drops, NULL quasi groups audit
+    val allNull = Seq(("A", None: Option[Long]), ("B", None))
+      .toDF("zip", "sev")
+    assert(Anonymize.tClosenessGroupsCat(allNull, Seq("zip"),
+        col("sev"), tMicros = 0L).collect().isEmpty,
+      "all-null sensitive: no auditable group rows at all")
+    val nq = (Seq.tabulate(6)(i => (Some("Z"), (i % 3).toLong)) ++
+      Seq.tabulate(6)(i => (None, (i % 3).toLong)))
+      .toDF("zip", "sev")
+    val got = Anonymize.tClosenessGroupsCat(nq, Seq("zip"),
+        col("sev"), tMicros = 0L)
+      .collect().map(r => Option(r.getString(0)) -> r.getBoolean(3)).toMap
+    assert(got == Map(Some("Z") -> true, None -> true),
+      s"NULL quasi audits; exact corpus mirror passes t=0: $got")
+  }
 }
