@@ -4653,6 +4653,27 @@ object StretchQueries {
         "prompt_id", minMarginMicros = 700000L)
     }),
 
+    // ALL-pairs DPO minting (round-14 VERDICT #5): same BT chain,
+    // every pair above a LOWER margin, capped at the 4 widest per
+    // prompt with n_pairs_total carrying the exact dropped-pair
+    // accounting — the maxBucketSize discipline on the n² pair space
+    "q_pref_dpo_all" -> ((s, dir) => {
+      val ann = t(s, dir, "documents").select(
+        (col("doc_id") % 50).as("prompt_id"),
+        (col("doc_id") % 7).as("resp_a"),
+        ((col("doc_id") * 3 + 1) % 7).as("resp_b"),
+        (expr("(doc_id % 50 + (doc_id % 7) * 2 + " +
+          "((doc_id div 50) % 5) * 3) % 5 < 3") =!=
+          (col("doc_id") % 97 === 0)).as("prefer_a"),
+        expr("(doc_id div 50) % 5").as("rater_id"))
+      graft.operators.Preference.dpoPairsAll(
+        graft.operators.Preference.bradleyTerry(
+          graft.operators.Preference.resolveAnnotations(ann,
+            "prompt_id", "resp_a", "resp_b", "prefer_a", "rater_id"),
+          "prompt_id", rounds = 3),
+        "prompt_id", minMarginMicros = 300000L, maxPairsPerPrompt = 4)
+    }),
+
     // SFT conversation-thread assembly QA: 16-message threads
     // synthesized from documents (conv = d div 16 so the thread COUNT
     // scales with the corpus and fixed-modulus corruptions hit a
@@ -6689,6 +6710,32 @@ object StretchQueries {
          |WHERE c.n_responses >= 2
          |  AND c.strength_micros - r.strength_micros >= 700000"""
         .stripMargin).replaceAll(raw"\s+", " "),
+
+    // all-pairs DPO replayed: the BT chain + the pair self-join
+    // (strict-inequality or tie-broken-once orientation), margin
+    // floor, widest-4 window with the total count carried
+    "q_pref_dpo_all" ->
+      (s"""WITH $btOracleCtes,
+         |pairs AS (SELECT c.prompt_id, c.resp AS chosen_resp,
+         |  r.resp AS rejected_resp,
+         |  c.strength_micros AS chosen_strength,
+         |  r.strength_micros AS rejected_strength,
+         |  c.strength_micros - r.strength_micros AS margin_micros
+         |  FROM bt c JOIN bt r ON c.prompt_id = r.prompt_id
+         |  WHERE (c.strength_micros > r.strength_micros
+         |     OR (c.strength_micros = r.strength_micros
+         |         AND c.resp < r.resp))
+         |    AND c.strength_micros - r.strength_micros >= 300000),
+         |rk AS (SELECT prompt_id, chosen_resp, rejected_resp,
+         |  chosen_strength, rejected_strength, margin_micros,
+         |  CAST(row_number() OVER (PARTITION BY prompt_id
+         |    ORDER BY margin_micros DESC, chosen_resp ASC,
+         |    rejected_resp ASC) AS INT) AS pair_rank,
+         |  CAST(count(*) OVER (PARTITION BY prompt_id) AS BIGINT)
+         |    AS n_pairs_total
+         |  FROM pairs)
+         |SELECT * FROM rk WHERE pair_rank <= 4""".stripMargin)
+        .replaceAll(raw"\s+", " "),
 
     // truncation replayed: the QA chain's ok gate, per-row token
     // counts (the same split-regex), suffix cumsum over turn desc

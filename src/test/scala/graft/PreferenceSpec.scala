@@ -240,6 +240,46 @@ class PreferenceSpec extends SparkSpec {
       "a positive margin threshold drops the inseparable pair")
   }
 
+  test("dpoPairsAll: every pair above margin, ties mint once with " +
+    "the deterministic orientation, the widest-margin cap keeps a " +
+    "total order and n_pairs_total carries exact dropped-pair " +
+    "accounting") {
+    val strengths = Seq(
+      // p1: strengths 4 > 3 > 1 → three qualifying pairs at margin 0
+      (1L, 10L, 4000000L), (1L, 11L, 3000000L), (1L, 12L, 1000000L),
+      // p2: a tie pair (orientation must mint once, 20 chosen)
+      (2L, 20L, 1500000L), (2L, 21L, 1500000L),
+      // p3: single response → no pairs
+      (3L, 30L, 9000000L))
+      .toDF("p", "resp", "strength_micros")
+    val all = Preference.dpoPairsAll(strengths, "p")
+      .select("p", "chosen_resp", "rejected_resp", "margin_micros",
+        "pair_rank", "n_pairs_total")
+      .as[(Long, Long, Long, Long, Int, Long)].collect().toSet
+    assert(all == Set(
+      (1L, 10L, 12L, 3000000L, 1, 3L),
+      (1L, 11L, 12L, 2000000L, 2, 3L),
+      (1L, 10L, 11L, 1000000L, 3, 3L),
+      (2L, 20L, 21L, 0L, 1, 1L)),
+      s"full pair set with ranks: $all")
+    // margin floor: only the two widest p1 pairs qualify
+    val floored = Preference.dpoPairsAll(strengths, "p",
+        minMarginMicros = 1500000L)
+      .select("p", "chosen_resp", "rejected_resp", "n_pairs_total")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(floored == Set((1L, 10L, 12L, 2L), (1L, 11L, 12L, 2L)),
+      s"margin floor: $floored")
+    // cap: rank > maxPairsPerPrompt drops, but n_pairs_total still
+    // reads the FULL qualifying count — dropped = 3 − 2, exact
+    val capped = Preference.dpoPairsAll(strengths, "p",
+        maxPairsPerPrompt = 2)
+      .filter(col("p") === 1L)
+      .select("chosen_resp", "rejected_resp", "n_pairs_total")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((10L, 12L, 3L), (11L, 12L, 3L)),
+      s"cap keeps the widest margins and accounts the rest: $capped")
+  }
+
   test("bestOfN: string response ids work — the tie-break negates " +
     "the reward, not the id") {
     val cands = Seq((1L, "b", 80L), (1L, "a", 80L), (1L, "c", 50L))
