@@ -226,26 +226,26 @@ object BenchDiff {
         s"  ${r.q}: ${f(r.o)} -> ${f(r.n)} cpu-sec " +
           s"(${f(r.ratio)}x)${r.wallNote}"))
     }
-    if (noise.nonEmpty) {
-      // replication band from the third sidecar, when recorded
-      val band: Map[String, Double] = bandPath.map { bp =>
-        val bJ = load(bp)
-        val cpuB = mapOf(bJ, "cpu_sec")
-        val bytesB = mapOf(bJ, "bytes_read")
-        val shufB = mapOf(bJ, "shuffle_write")
-        def const(a: Option[Double], b: Option[Double]) = (a, b) match {
-          case (Some(x), Some(y)) =>
-            math.abs(y - x) <= 0.01 * math.max(math.max(x, y), 1.0)
-          case _ => false
+    // replication band from the third sidecar, when recorded
+    val band: Map[String, Double] = bandPath.map { bp =>
+      val bJ = load(bp)
+      val cpuB = mapOf(bJ, "cpu_sec")
+      val bytesB = mapOf(bJ, "bytes_read")
+      val shufB = mapOf(bJ, "shuffle_write")
+      def const(a: Option[Double], b: Option[Double]) = (a, b) match {
+        case (Some(x), Some(y)) =>
+          math.abs(y - x) <= 0.01 * math.max(math.max(x, y), 1.0)
+        case _ => false
+      }
+      noise.flatMap { r =>
+        cpuB.get(r.q).collect {
+          case c if const(bytesNew.get(r.q), bytesB.get(r.q)) &&
+              const(shufNew.get(r.q), shufB.get(r.q)) && math.min(c, r.n) > 0 =>
+            r.q -> (math.max(c, r.n) - math.min(c, r.n)) / math.min(c, r.n)
         }
-        noise.flatMap { r =>
-          cpuB.get(r.q).collect {
-            case c if const(bytesNew.get(r.q), bytesB.get(r.q)) &&
-                const(shufNew.get(r.q), shufB.get(r.q)) && math.min(c, r.n) > 0 =>
-              r.q -> (math.max(c, r.n) - math.min(c, r.n)) / math.min(c, r.n)
-          }
-        }.toMap
-      }.getOrElse(Map.empty)
+      }.toMap
+    }.getOrElse(Map.empty)
+    if (noise.nonEmpty) {
       println("attribution noise (cpu grew, bytes/shuffle identical):")
       noise.foreach { r =>
         val note = band.get(r.q) match {
@@ -260,6 +260,36 @@ object BenchDiff {
             s"(${f(r.ratio)}x)${r.wallNote}$note")
       }
     }
+    // machine-adjudicated outliers (round-14 VERDICT #6): the
+    // q_v_neardup-shaped artifacts — cpu spread far beyond any
+    // replication band at BYTE-IDENTICAL IO — classified by the
+    // standing three-channel rule with no judge re-derivation:
+    //   cpu up + IO identical + wall NOT tracking the cpu ratio
+    //     → "contention" (the extra cpu-seconds are ambient
+    //       attribution on a loaded 32-thread box, not the query's
+    //       own work — wall would track if the work were real);
+    //   cpu up + IO identical + wall tracking → "suspect" (a
+    //       genuinely slower kernel at the same data — re-litigate).
+    // One parseable line, emitted ALWAYS (empty list = clean diff),
+    // so the close NOTES can quote the verdicts verbatim.
+    val outliers = noise.map { r =>
+      val wallRatio = (wallOld.get(r.q), wallNew.get(r.q)) match {
+        case (Some(wo), Some(wn)) if wo > 0 => wn / wo
+        case _ => Double.NaN
+      }
+      val verdict =
+        if (!wallRatio.isNaN && wallRatio <= math.max(1.6, r.ratio / 2))
+          "contention"
+        else "suspect"
+      (r, wallRatio, verdict)
+    }
+    println("BENCHDIFF_OUTLIERS " + outliers.map { case (r, w, v) =>
+      val bandNote = band.get(r.q)
+        .map(b => s""","band":${f(b)}""").getOrElse("")
+      s"""{"q":"${r.q}","cpu_old":${f(r.o)},"cpu_new":${f(r.n)},""" +
+        s""""cpu_ratio":${f(r.ratio)},"wall_ratio":${
+          if (w.isNaN) "null" else f(w)}$bandNote,"verdict":"$v"}"""
+    }.mkString("[", ",", "]"))
     if (improved.nonEmpty) {
       println("improved:")
       improved.foreach(r => println(
