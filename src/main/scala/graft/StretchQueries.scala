@@ -3873,6 +3873,32 @@ object StretchQueries {
         .select(col("media_id").as("doc_id"), col("frame_idx"))
     }),
 
+    // the production TWO-PHASE keyframe pipeline with frame-index
+    // pushdown (round-14 VERDICT #8): phase 1 fingerprints every
+    // frame (unavoidable — each frame compares to its predecessor),
+    // phase 2 decodes ONLY the detected keyframes via framesAt —
+    // the 8 non-keyframe JPEG payloads per video are skipped by
+    // header arithmetic, never materialized (the corrupt-skip pin in
+    // MultimodalSpec proves they are untouched). Output dims are
+    // synth-deterministic, so the oracle replays the full relation
+    "q_mm_keyframes_push" -> ((s, dir) => {
+      import s.implicits._
+      val mk = () => t(s, dir, "documents").select(col("doc_id"))
+        .repartition(32).as[Long]
+        .map { id =>
+          val cls = id % 62
+          val seeds = (0 until 4).flatMap(j =>
+            Seq.fill(3)((cls / 2) * 1000L + cls % 2 + j))
+          Multimodal.MediaRow(id,
+            Multimodal.AviCodec.synthMjpegSeeds(12, 10, seeds), "video/avi")
+        }.toDF("media_id", "content", "format")
+      val keys = Multimodal.keyframes(
+        Multimodal.aviFrameHashes(mk()), minHamming = 8)
+      Multimodal.aviDecodeFramesAt(mk(), keys)
+        .select(col("media_id").as("doc_id"), col("frame_idx"),
+          col("width"), col("height"))
+    }),
+
     // dedup-cluster size histogram — the shape report a dedup pass
     // ships with (how much of the corpus sits in how-big duplicate
     // families); two bounded aggregations over the CC labels
@@ -8842,6 +8868,14 @@ object StretchQueries {
     // the oracle KNOWS the scene grid: keyframes at 0/3/6/9 per video
     "q_mm_keyframes" ->
       ("""SELECT doc_id, CAST(f AS INT) AS frame_idx
+         |FROM documents, unnest([0, 3, 6, 9]) t(f)"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // pushdown decode of exactly the keyframes: same closed-form
+    // index set, synth-deterministic dimensions
+    "q_mm_keyframes_push" ->
+      ("""SELECT doc_id, CAST(f AS INT) AS frame_idx,
+         |  CAST(12 AS INT) AS width, CAST(10 AS INT) AS height
          |FROM documents, unnest([0, 3, 6, 9]) t(f)"""
         .stripMargin).replaceAll(raw"\s+", " "),
 

