@@ -2073,6 +2073,51 @@ object StretchQueries {
           .getOrElse(sys.error(s"index at $idx has no _ROWS")).toInt)
     }),
 
+    // the maintenance autopilot COMPOSED with the streaming write
+    // path: CDC epochs genuinely fragment posting lists (each
+    // delete-then-append adds at least one file per touched
+    // cluster), maintain() compacts them after the drain, and the
+    // search over the maintained index still answers exactly like
+    // the latest snapshot — the nightly-maintenance deployment loop
+    // under one oracle
+    "q_v_stream_maint" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_vmnt_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val (feed, ckpt, idx) = (s"$scratch/feed", s"$scratch/ckpt",
+        s"$scratch/idx")
+      Ivf.ensureIndex(emb, s"$dir/embeddings.parquet", idx, k = 4,
+        iters = 2)
+      val e1 = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => (-x).cast("float"))
+            .as("embedding"),
+          col("label"))
+        .unionByName(emb.filter(col("vec_id") % 5 === 3)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding"), col("label")))
+      e1.coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+        ckpt)
+      emb.filter(col("vec_id") % 14 === 0)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+        ckpt)
+      val report = Ivf.maintain(s, idx, maxFilesPerCluster = 1,
+        maxAppendedFraction = 10.0)
+      require(report.compactedClusters > 0,
+        s"construction: two CDC epochs must fragment: $report")
+      val latestQ = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id"),
+          when(col("vec_id") % 7 === 0 && col("vec_id") % 14 =!= 0,
+            transform(col("embedding"), x => (-x).cast("float")))
+            .otherwise(col("embedding")).as("embedding"))
+      Ivf.searchIndex(s, idx, latestQ, k = 5, nprobe = 4)
+    }),
+
     // the graph twin of q_v_stream_index: same epoch feed against the
     // HNSW index — deletes rebuild touched shards canonically,
     // appends keep bit-identity with a fresh build, so exhaustive
@@ -4700,6 +4745,36 @@ object StretchQueries {
         "prompt_id", minMarginMicros = 300000L, maxPairsPerPrompt = 4)
     }),
 
+    // group-relative advantage (GRPO family, mean-only per the
+    // Dr. GRPO correction): exact centered numerator with NO
+    // division + sign-split truncating micros — the one negative-
+    // numerator division in the repo, replayed with an explicit CASE
+    "q_pref_grpo" -> ((s, dir) => {
+      val samples = t(s, dir, "documents").select(
+        expr("doc_id div 8").as("prompt_id"),
+        col("doc_id").as("resp_id"),
+        ((col("doc_id") * 37) % 101).as("reward"))
+      graft.operators.Preference.groupAdvantage(samples,
+        "prompt_id", "resp_id", "reward")
+    }),
+
+    // RLVR pass-rate curriculum window: prompts whose sampled
+    // completions all fail or all pass carry no gradient — drop
+    // them, keep the mixed middle with the group meters attached
+    "q_pref_passrate" -> ((s, dir) => {
+      // reward = id^2 mod 101: the stride-37 walk's three-distance
+      // regularity keeps every 8-window at 2-4 passes (the filter
+      // would be inert at every scale); the quadratic synth spreads
+      // pass counts over 0..8 so both window edges genuinely fire
+      val samples = t(s, dir, "documents").select(
+        expr("doc_id div 8").as("prompt_id"),
+        col("doc_id").as("resp_id"),
+        ((col("doc_id") * col("doc_id")) % 101).as("reward"))
+      graft.operators.Preference.passRateFilter(samples,
+        "prompt_id", "resp_id", "reward", passReward = 60L,
+        loMicros = 200000L, hiMicros = 800000L)
+    }),
+
     // SFT conversation-thread assembly QA: 16-message threads
     // synthesized from documents (conv = d div 16 so the thread COUNT
     // scales with the corpus and fixed-modulus corruptions hit a
@@ -4784,6 +4859,29 @@ object StretchQueries {
       graft.operators.Conversations.truncateToBudget(
         m.join(ok, Seq("conv_id"), "left_semi"),
         "conv_id", "turn", "role", "text", budgetTokens = 600L)
+    }),
+
+    // SFT loss-mask spans: per message, its token span in the
+    // rendered thread (prefix cumsum of the SAME tokenCount the QA
+    // and truncation stages use) and the assistant-only-loss mask —
+    // the collator handoff between validated threads and training
+    "q_sft_lossmask" -> ((s, dir) => {
+      val m = t(s, dir, "documents").select(
+        expr("doc_id div 16").as("conv_id"),
+        when(col("doc_id") % 97 === 0 && col("doc_id") % 16 > 0,
+          col("doc_id") % 16 - 1).otherwise(col("doc_id") % 16)
+          .as("turn"),
+        when((col("doc_id") % 16 % 2 === 0) =!=
+            (col("doc_id") % 211 === 0), lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        when(col("doc_id") % 139 === 0, lit(""))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
+      val ok = graft.operators.Conversations.assemble(m, "conv_id",
+          "turn", "role", "text")
+        .filter(col("status") === "ok").select("conv_id")
+      graft.operators.Conversations.lossMask(
+        m.join(ok, Seq("conv_id"), "left_semi"),
+        "conv_id", "turn", "role", "text")
     }),
 
     // the SFT chain end to end: assemble → keep only validated (ok)
@@ -5667,6 +5765,9 @@ object StretchQueries {
       // rescore ≡ brute force over latest-minus-tombstones — the
       // same relation q_v_stream_cdc replays
       ("q_v_stream_pq" -> oracleSqlMap("q_v_stream_cdc")) +
+      // post-drain maintenance is content-invisible: the compacted
+      // index answers exactly like the freshly drained one
+      ("q_v_stream_maint" -> oracleSqlMap("q_v_stream_index")) +
       // compaction is content-invisible: the compacted index answers
       // exactly like the fresh-built one
       ("q_v_topk_ivf_cpt" -> oracleSqlMap("q_v_topk")) +
@@ -6763,6 +6864,44 @@ object StretchQueries {
          |SELECT * FROM rk WHERE pair_rank <= 4""".stripMargin)
         .replaceAll(raw"\s+", " "),
 
+    // mean-centered group advantage replayed: the exact n-scaled
+    // numerator, then the sign-split truncating division (DuckDB //
+    // floors on negatives where Spark div truncates — the CASE keeps
+    // both engines on |x| where they agree)
+    "q_pref_grpo" ->
+      ("""WITH c AS (SELECT doc_id // 8 AS prompt_id, doc_id AS resp_id,
+         |  CAST((doc_id * 37) % 101 AS BIGINT) AS reward
+         |  FROM documents),
+         |g AS (SELECT prompt_id, CAST(sum(reward) AS BIGINT) AS s,
+         |  CAST(count(*) AS BIGINT) AS n_samples FROM c GROUP BY 1)
+         |SELECT c.prompt_id, c.resp_id, c.reward, g.n_samples,
+         |  c.reward * g.n_samples - g.s AS adv_num,
+         |  CAST(CASE WHEN c.reward * g.n_samples - g.s < 0
+         |    THEN -((abs(c.reward * g.n_samples - g.s) * 1000000)
+         |      // g.n_samples)
+         |    ELSE ((c.reward * g.n_samples - g.s) * 1000000)
+         |      // g.n_samples END AS BIGINT) AS adv_micros
+         |FROM c JOIN g USING (prompt_id)""".stripMargin)
+        .replaceAll(raw"\s+", " "),
+
+    // pass-rate window replayed: group pass tally, truncating-micros
+    // rate, BETWEEN filter, sample rows re-joined with the meters
+    "q_pref_passrate" ->
+      ("""WITH c AS (SELECT doc_id // 8 AS prompt_id, doc_id AS resp_id,
+         |  CAST((doc_id * doc_id) % 101 AS BIGINT) AS reward
+         |  FROM documents),
+         |g AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_samples,
+         |  CAST(sum(CASE WHEN reward >= 60 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_pass FROM c GROUP BY 1),
+         |f AS (SELECT prompt_id, n_samples, n_pass,
+         |  CAST((n_pass * 1000000) // n_samples AS BIGINT)
+         |    AS pass_rate_micros FROM g)
+         |SELECT c.prompt_id, c.resp_id, c.reward, f.n_samples,
+         |  f.n_pass, f.pass_rate_micros
+         |FROM c JOIN f USING (prompt_id)
+         |WHERE f.pass_rate_micros BETWEEN 200000 AND 800000"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
     // truncation replayed: the QA chain's ok gate, per-row token
     // counts (the same split-regex), suffix cumsum over turn desc
     // (turns unique within ok threads → total order), min even-turn
@@ -6787,6 +6926,24 @@ object StretchQueries {
          |FROM suf s JOIN cut ON cut.conv_id = s.conv_id
          |WHERE cut.c IS NOT NULL AND s.turn >= cut.c"""
         .stripMargin).replaceAll(raw"\s+", " "),
+
+    // loss-mask spans replayed: ok threads, the same token counts,
+    // one prefix-cumsum window, assistant-only mask
+    "q_sft_lossmask" ->
+      (s"""WITH $sftThreadCtes,
+         |okc AS (SELECT conv_id FROM g WHERE n_msgs = n_turns
+         |  AND max_turn = n_turns - 1 AND mismatches = 0
+         |  AND empties = 0),
+         |mm AS (SELECT m.conv_id, m.turn, m.role,
+         |  CAST(len($tokensSql) AS BIGINT) AS n_tok
+         |  FROM m JOIN okc USING (conv_id))
+         |SELECT conv_id, CAST(turn AS BIGINT) AS turn, role, n_tok,
+         |  CAST(sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn)
+         |    - n_tok AS BIGINT) AS start_tok,
+         |  CAST(sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn)
+         |    AS BIGINT) AS end_tok,
+         |  role = 'assistant' AS mask
+         |FROM mm""".stripMargin).replaceAll(raw"\s+", " "),
 
     // Fleiss replayed over the same vote chain: per-item-category
     // counts, kept items (≥2 assignments), prevalence over kept

@@ -141,4 +141,37 @@ object Conversations {
         (col(turnCol) - col("__cut")).as("new_turn"),
         col(roleCol), col(textCol), col("n_tok"))
   }
+
+  /** SFT loss-mask spans — the stage between validated threads and
+    * the trainer's collator: per message, the token span it occupies
+    * in the rendered thread (`start_tok` inclusive, `end_tok`
+    * exclusive — a prefix cumsum of per-message token counts in turn
+    * order) and `mask` = whether the span contributes to the loss
+    * (the assistant-only-loss recipe: user/context turns are
+    * attended but not trained on). Downstream packing can then carry
+    * masks through concatenation by offsetting spans with the pack's
+    * `start_offset`.
+    *
+    * Shape: one window on the conv key (prefix sum), token counting
+    * through the SAME [[TextFunctions.tokenCount]] column as QA and
+    * truncation — one tokenizer, no drift. Exact integers; the whole
+    * relation replays in SQL. Precondition as [[truncateToBudget]]:
+    * one message per turn slot (run [[assemble]]'s `ok` gate first),
+    * else span order is tie-dependent.
+    */
+  def lossMask(df: DataFrame, convCol: String, turnCol: String,
+               roleCol: String, textCol: String,
+               maskRole: String = "assistant"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(convCol)).orderBy(col(turnCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(convCol), col(turnCol).cast("long").as(turnCol),
+        col(roleCol),
+        TextFunctions.tokenCount(coalesce(col(textCol), lit("")))
+          .cast("long").as("n_tok"))
+      .withColumn("end_tok", sum(col("n_tok")).over(w))
+      .select(col(convCol), col(turnCol), col(roleCol), col("n_tok"),
+        (col("end_tok") - col("n_tok")).as("start_tok"), col("end_tok"),
+        (col(roleCol) === maskRole).as("mask"))
+  }
 }

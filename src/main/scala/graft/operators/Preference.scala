@@ -305,6 +305,79 @@ object Preference {
       .filter(col("pair_rank") <= maxPairsPerPrompt)
   }
 
+  /** Group-relative advantage — the GRPO-family credit signal over
+    * sampled completions: per prompt, each response's reward minus
+    * the group mean. Mean-only centering (no σ division), which is
+    * both the exactness-preserving choice — a std needs a sqrt, and
+    * sqrt output cannot ride the integer-micros discipline — and the
+    * documented-better one (the Dr. GRPO correction: dividing by the
+    * group σ biases updates toward low-variance prompts).
+    *
+    * Exact integers two ways: `adv_num` = r_i·n − Σr is the centered
+    * advantage scaled by n with NO division at all (the
+    * precision-critical consumer multiplies through); `adv_micros`
+    * is the per-sample mean-centered value in micros, computed with
+    * a SIGN-SPLIT truncating division (sign·(|num|·1e6 div n)) so it
+    * replays identically on engines whose integer division floors
+    * instead of truncating — negative advantages are half the
+    * output, the one place the repo's positive-numerator div
+    * discipline doesn't cover. int64 headroom: |r|·n·1e6 < 2⁶³ ⟹
+    * |reward| · groupSize < 9.2e12 — far above any sampling reality.
+    *
+    * ONE groupBy + one broadcast-size join back onto the samples,
+    * keyed on the prompt — no window over the sample table.
+    */
+  def groupAdvantage(df: DataFrame, promptCol: String, respCol: String,
+                     rewardCol: String): DataFrame = {
+    val stats = df.groupBy(col(promptCol))
+      .agg(sum(col(rewardCol).cast("long")).as("__sum"),
+        count(lit(1)).as("n_samples"))
+    df.select(col(promptCol), col(respCol),
+        col(rewardCol).cast("long").as("reward"))
+      .join(stats, Seq(promptCol))
+      .withColumn("adv_num",
+        col("reward") * col("n_samples") - col("__sum"))
+      .select(col(promptCol), col(respCol), col("reward"),
+        col("n_samples"), col("adv_num"),
+        (signum(col("adv_num")).cast("long") *
+          expr("(abs(adv_num) * 1000000L) div n_samples"))
+          .as("adv_micros"))
+  }
+
+  /** Pass-rate curriculum filter — the RLVR sampling hygiene stage:
+    * per prompt, the fraction of sampled completions whose reward
+    * clears `passReward`; prompts whose rate falls outside
+    * [`loMicros`, `hiMicros`] DROP — an all-fail prompt gives the
+    * policy no reward gradient to climb, an all-pass prompt nothing
+    * left to learn, and both burn sampling budget (the standard
+    * too-hard/too-easy curriculum window). Survivor rows keep their
+    * per-sample columns and carry the group's `n_samples`, `n_pass`,
+    * `pass_rate_micros` for the curation ledger; the DROPPED mass is
+    * recoverable exactly as the complement (the accounting
+    * discipline — nothing vanishes silently).
+    *
+    * Exact integers: rate = n_pass·1e6 div n (truncating on a
+    * non-negative numerator), bounds compared in micros. ONE groupBy
+    * + one join keyed on the prompt.
+    */
+  def passRateFilter(df: DataFrame, promptCol: String, respCol: String,
+                     rewardCol: String, passReward: Long,
+                     loMicros: Long = 1L,
+                     hiMicros: Long = 999999L): DataFrame = {
+    require(loMicros >= 0 && hiMicros <= 1000000L && loMicros <= hiMicros,
+      s"pass-rate window is micros in [0, 1e6], got [$loMicros, $hiMicros]")
+    val stats = df.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col(rewardCol).cast("long") >= passReward, 1L)
+          .otherwise(0L)).as("n_pass"))
+      .withColumn("pass_rate_micros",
+        expr("(n_pass * 1000000L) div n_samples"))
+      .filter(col("pass_rate_micros").between(loMicros, hiMicros))
+    df.select(col(promptCol), col(respCol),
+        col(rewardCol).cast("long").as("reward"))
+      .join(stats, Seq(promptCol))
+  }
+
   /** The full pipeline: raw annotations → canonical orientation →
     * per-rater hygiene → majority resolution.
     */

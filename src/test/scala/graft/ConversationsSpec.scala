@@ -108,6 +108,24 @@ class ConversationsSpec extends SparkSpec {
       s"wrong truncation: $got")
   }
 
+  test("lossMask: spans are a contiguous 0-based tiling of each " +
+    "thread in turn order, the mask marks exactly the assistant " +
+    "turns, and token counts match the QA tokenizer") {
+    val rows = Seq(
+      (1L, 0L, "user", "a b c"), (1L, 1L, "assistant", "d e"),
+      (1L, 2L, "user", "f"), (1L, 3L, "assistant", "g h i j"),
+      (2L, 0L, "user", ""), (2L, 1L, "assistant", "x"))
+      .toDF("c", "t", "role", "x")
+    val got = Conversations.lossMask(rows, "c", "t", "role", "x")
+      .select("c", "t", "n_tok", "start_tok", "end_tok", "mask")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 3L, 0L, 3L, false), (1L, 1L, 2L, 3L, 5L, true),
+      (1L, 2L, 1L, 5L, 6L, false), (1L, 3L, 4L, 6L, 10L, true),
+      (2L, 0L, 0L, 0L, 0L, false), (2L, 1L, 1L, 0L, 1L, true)),
+      s"span tiling: $got")
+  }
+
   test("streaming assembly: the changelog records cross-epoch status " +
     "transitions and latest-wins equals the batch assembler; epoch " +
     "replay is idempotent") {

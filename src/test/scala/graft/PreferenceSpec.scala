@@ -280,6 +280,47 @@ class PreferenceSpec extends SparkSpec {
       s"cap keeps the widest margins and accounts the rest: $capped")
   }
 
+  test("groupAdvantage: exact n-scaled centering, sign-split micros " +
+    "truncate toward zero on BOTH signs, and a uniform group reads " +
+    "zero advantage everywhere") {
+    val samples = Seq(
+      // p1: rewards 1, 2, 4 → sum 7, n 3; adv_num = 3r − 7
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 4L),
+      // p2: uniform
+      (2L, 20L, 5L), (2L, 21L, 5L))
+      .toDF("p", "resp", "r")
+    val got = Preference.groupAdvantage(samples, "p", "resp", "r")
+      .select("p", "resp", "adv_num", "adv_micros")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // micros = sign · (|adv_num|·1e6 div 3): −4 → −1333333 (toward
+    // zero, NOT the floor −1333334), +5 → +1666666
+    assert(got == Set(
+      (1L, 10L, -4L, -1333333L), (1L, 11L, -1L, -333333L),
+      (1L, 12L, 5L, 1666666L),
+      (2L, 20L, 0L, 0L), (2L, 21L, 0L, 0L)),
+      s"centered advantages: $got")
+  }
+
+  test("passRateFilter: all-fail and all-pass prompts drop, the " +
+    "mixed middle survives with exact group meters, and the window " +
+    "bounds are inclusive") {
+    val samples = Seq(
+      (1L, 10L, 0L), (1L, 11L, 0L),             // all fail → drop
+      (2L, 20L, 9L), (2L, 21L, 9L),             // all pass → drop
+      (3L, 30L, 9L), (3L, 31L, 0L), (3L, 32L, 0L), // 1/3 pass
+      (4L, 40L, 9L), (4L, 41L, 0L))             // 1/2 pass
+      .toDF("p", "resp", "r")
+    val got = Preference.passRateFilter(samples, "p", "resp", "r",
+        passReward = 5L, loMicros = 333333L, hiMicros = 500000L)
+      .select("p", "resp", "n_samples", "n_pass", "pass_rate_micros")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (3L, 30L, 3L, 1L, 333333L), (3L, 31L, 3L, 1L, 333333L),
+      (3L, 32L, 3L, 1L, 333333L),
+      (4L, 40L, 2L, 1L, 500000L), (4L, 41L, 2L, 1L, 500000L)),
+      s"window [1/3, 1/2] inclusive keeps exactly p3 and p4: $got")
+  }
+
   test("bestOfN: string response ids work — the tie-break negates " +
     "the reward, not the id") {
     val cands = Seq((1L, "b", 80L), (1L, "a", 80L), (1L, "c", 50L))
