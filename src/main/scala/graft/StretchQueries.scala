@@ -4911,6 +4911,44 @@ object StretchQueries {
         "n_tokens", seqTokens = 1024)
     }),
 
+    // the COLLATOR handoff end to end: validated threads pack into
+    // bucket streams (q_pipe_sft) and each message's loss-mask span
+    // (q_sft_lossmask) re-bases onto its thread's pack offset — the
+    // (global_start, global_end, mask) rows a trainer consumes.
+    // Exactness is compositional: pack offsets and spans are both
+    // integer cumsum of the SAME tokenCount column, so the global
+    // spans of a thread tile [start_offset, start_offset + n_tokens)
+    "q_pipe_sft_mask" -> ((s, dir) => {
+      val m = t(s, dir, "documents").select(
+        expr("doc_id div 16").as("conv_id"),
+        when(col("doc_id") % 97 === 0 && col("doc_id") % 16 > 0,
+          col("doc_id") % 16 - 1).otherwise(col("doc_id") % 16)
+          .as("turn"),
+        when((col("doc_id") % 16 % 2 === 0) =!=
+            (col("doc_id") % 211 === 0), lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        when(col("doc_id") % 139 === 0, lit(""))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
+      val ok = graft.operators.Conversations.assemble(m, "conv_id",
+          "turn", "role", "text")
+        .filter(col("status") === "ok")
+        .select(col("conv_id"),
+          graft.operators.DatasetSplit.bucket256(col("transcript"))
+            .as("bucket"),
+          col("n_tokens"))
+      val packed = graft.operators.Packing.packOffsetsWeighted(ok,
+        "conv_id", "n_tokens", seqTokens = 1024)
+      val masks = graft.operators.Conversations.lossMask(
+        m.join(packed.select("conv_id"), Seq("conv_id"), "left_semi"),
+        "conv_id", "turn", "role", "text")
+      masks.join(packed.select(col("conv_id"), col("bucket"),
+          col("start_offset")), Seq("conv_id"))
+        .select(col("conv_id"), col("turn"), col("role"), col("bucket"),
+          (col("start_offset") + col("start_tok")).as("global_start"),
+          (col("start_offset") + col("end_tok")).as("global_end"),
+          col("mask"))
+    }),
+
     // STREAMING preference resolution: the same annotation synth fed
     // as two epochs (even doc_ids, then odd) through the changelog
     // stream — per-pair monotone upd counter, per-rater side map as
@@ -6773,6 +6811,33 @@ object StretchQueries {
          |  FROM ok)
          |SELECT conv_id, bucket, n_tokens, start_offset,
          |  start_offset // 1024 AS seq_id FROM o""".stripMargin)
+        .replaceAll(raw"\s+", " "),
+
+    // the collator composition replayed: the q_pipe_sft pack chain +
+    // the q_sft_lossmask span chain, spans re-based per thread
+    "q_pipe_sft_mask" ->
+      (s"""WITH $sftThreadCtes,
+         |ok AS (SELECT conv_id, n_tokens,
+         |    CAST(${bucketSqlOf("tx")} AS INT) AS bucket
+         |  FROM g WHERE n_msgs = n_turns AND max_turn = n_turns - 1
+         |    AND mismatches = 0 AND empties = 0),
+         |o AS (SELECT conv_id, bucket,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY bucket
+         |      ORDER BY conv_id ROWS UNBOUNDED PRECEDING) - n_tokens
+         |      AS BIGINT) AS start_offset
+         |  FROM ok),
+         |mm AS (SELECT m.conv_id, m.turn, m.role,
+         |  CAST(len($tokensSql) AS BIGINT) AS n_tok
+         |  FROM m JOIN o USING (conv_id)),
+         |sp AS (SELECT conv_id, turn, role, n_tok,
+         |  CAST(sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn)
+         |    AS BIGINT) AS end_tok FROM mm)
+         |SELECT s.conv_id, CAST(s.turn AS BIGINT) AS turn, s.role,
+         |  o.bucket,
+         |  o.start_offset + s.end_tok - s.n_tok AS global_start,
+         |  o.start_offset + s.end_tok AS global_end,
+         |  s.role = 'assistant' AS mask
+         |FROM sp s JOIN o USING (conv_id)""".stripMargin)
         .replaceAll(raw"\s+", " "),
 
     // best-of-n replayed: row_number over the (reward desc, id asc)

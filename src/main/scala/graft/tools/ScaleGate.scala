@@ -356,7 +356,34 @@ object ScaleGate {
     "q_t_unigram_surprisal" -> 10.0,
     "q_t_curriculum" -> 10.0,
     // encode + one per-bucket window sum on top — same linearity
-    "q_pipe_tokenize_pack" -> 10.0
+    "q_pipe_tokenize_pack" -> 10.0,
+    // round-15 additions — graph-side maintenance (compaction is a
+    // touched-shard rewrite, linear in fragmented rows; the autopilot
+    // adds meter reads on top):
+    "q_v_hnsw_cpt" -> 8.0,
+    "q_v_hnsw_maint" -> 8.0,
+    // streaming CDC into the residual-PQ artifact / with post-drain
+    // maintenance: the q_v_stream_* fixed-overhead family plus the
+    // delta-linear encode/compact work
+    "q_v_stream_pq" -> 8.0,
+    "q_v_stream_maint" -> 8.0,
+    // categorical TVD drops the window: grid aggregation only — same
+    // family as the ordered form
+    "q_p_tclose_cat" -> 8.0,
+    // all-pairs minting: n² of a BOUNDED per-prompt response set (7
+    // here), so corpus-linear like the single-pair arm
+    "q_pref_dpo_all" -> 8.0,
+    // one groupBy + one keyed join each — the resolver family's shape
+    "q_pref_grpo" -> 8.0,
+    "q_pref_passrate" -> 8.0,
+    // one prefix-cumsum window on the conv key — the truncate shape
+    "q_sft_lossmask" -> 8.0,
+    // pack chain + span chain + one keyed join — both linear
+    "q_pipe_sft_mask" -> 8.0,
+    // two-phase decode: full fingerprint pass (the q_mm_keyframes
+    // asymptote) + pushdown decode of a FIXED 4 keyframes per video —
+    // same linear-decode envelope as the one-phase arm
+    "q_mm_keyframes_push" -> 13.0
   )
 
   def main(args: Array[String]): Unit = {
