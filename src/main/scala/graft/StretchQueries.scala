@@ -1559,6 +1559,17 @@ object StretchQueries {
       SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 16), k = 5)
     }),
 
+    // Matryoshka two-phase search: prefix-dim shortlist + full-dim
+    // rescore; the exhaustive shortlist makes it exactly brute force
+    // (the compressed-arm exactness premise), so it shares q_v_topk's
+    // oracle — the bounded-shortlist recall trade lives in the spec
+    "q_v_topk_mrl" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.topKMatryoshka(emb,
+        emb.filter(col("vec_id") < 16), k = 5, prefixDims = 4,
+        shortlistK = emb.count().toInt)
+    }),
+
     // hard-negative mining: most-similar DIFFERENT-label vectors per
     // query — the contrastive-training sampler. Exact path gated here
     // (label anti-filter before scoring, bounded top-k tail); the LSH/
@@ -5765,6 +5776,9 @@ object StretchQueries {
     oracleSqlMap +
       ("q_v_topk_ivf" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_lsh" -> oracleSqlMap("q_v_topk")) +
+      // exhaustive-shortlist MRL ≡ brute force (full-dim rescore of
+      // the whole corpus, same total order)
+      ("q_v_topk_mrl" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_inc" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_idx" -> oracleSqlMap("q_v_topk")) +
       // full-probe filtered search ≡ brute force over the matching

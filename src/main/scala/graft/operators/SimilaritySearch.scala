@@ -47,6 +47,46 @@ object SimilaritySearch {
     TopK.topKPerKey(scored, k)(corpus.sparkSession)
   }
 
+  /** Matryoshka (MRL) prefix-dimension search — the two-phase ladder
+    * for embeddings trained with matryoshka representation learning
+    * (Kusupati et al. 2022), where every PREFIX of the vector is
+    * itself a valid lower-capacity embedding: shortlist by cosine
+    * over the first `prefixDims` components (dim/prefixDims× fewer
+    * FLOPs per candidate), then exact full-dimension rescore of the
+    * shortlist only — [[graft.operators.Ivf.searchIndexCompressed]]'s
+    * shape with the prefix playing the int8 column's role.
+    *
+    * `shortlistK >= corpus` makes the rescore exhaustive and the
+    * result EXACTLY [[bruteForceTopK]] (the gate's oracle premise);
+    * the production arm trades shortlist size for recall, measured
+    * in SimilaritySpec. At rest, store the prefix as its OWN column
+    * (the q8/b-column discipline) so parquet column pruning turns
+    * the compute saving into an IO saving too; this in-memory form
+    * slices at the scan, saving FLOPs but reading full vectors.
+    */
+  def topKMatryoshka(corpus: DataFrame, queries: DataFrame, k: Int,
+                     prefixDims: Int, shortlistK: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(prefixDims > 0, s"prefixDims must be positive: $prefixDims")
+    require(shortlistK >= k, s"shortlistK $shortlistK < k $k")
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val short = TopK.topKPerKey(
+      c.crossJoin(broadcast(q))
+        .filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine(slice(col("q_vec"), 1, prefixDims),
+            slice(col("n_vec"), 1, prefixDims)).as("cosine")),
+      shortlistK)(corpus.sparkSession)
+    val rescored = short.select(col("q_id"), col("n_id"))
+      .join(c, Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cosine"))
+    TopK.topKPerKey(rescored, k)(corpus.sparkSession)
+  }
+
   /** Hard-negative mining for contrastive/embedding training: per
     * query, the top-k most-similar corpus vectors with a DIFFERENT
     * label — the negatives a uniform sampler almost never draws and

@@ -380,6 +380,9 @@ object ScaleGate {
     "q_sft_lossmask" -> 8.0,
     // pack chain + span chain + one keyed join — both linear
     "q_pipe_sft_mask" -> 8.0,
+    // exhaustive-shortlist MRL: prefix scan + full rescore, both
+    // corpus-linear like the brute arm it equals
+    "q_v_topk_mrl" -> 6.0,
     // two-phase decode: full fingerprint pass (the q_mm_keyframes
     // asymptote) + pushdown decode of a FIXED 4 keyframes per video —
     // same linear-decode envelope as the one-phase arm
