@@ -4769,6 +4769,19 @@ object StretchQueries {
         "prompt_id", "resp_id", "reward")
     }),
 
+    // reward-model calibration (reliability diagram rows): synthetic
+    // scores whose outcome probability tracks the score — bins where
+    // the model is honest read small gaps, the ECE is one aggregation
+    // over the relation
+    "q_pref_calib" -> ((s, dir) => {
+      val preds = t(s, dir, "documents").select(
+        (((col("doc_id") * 37) % 101) * 10000L).as("pred_micros"),
+        (((col("doc_id") * 53 + 11) % 100) <
+          ((col("doc_id") * 37) % 101)).as("outcome"))
+      graft.operators.Preference.calibrationBins(preds,
+        "pred_micros", "outcome", nBins = 10)
+    }),
+
     // RLVR pass-rate curriculum window: prompts whose sampled
     // completions all fail or all pass carry no gradient — drop
     // them, keep the mixed middle with the group meters attached
@@ -6962,6 +6975,25 @@ object StretchQueries {
          |      // g.n_samples END AS BIGINT) AS adv_micros
          |FROM c JOIN g USING (prompt_id)""".stripMargin)
         .replaceAll(raw"\s+", " "),
+
+    // calibration bins replayed: closed right edge via least(), all
+    // divisions truncating on non-negative numerators
+    "q_pref_calib" ->
+      ("""WITH c AS (SELECT ((doc_id * 37) % 101) * 10000 AS p,
+         |  ((doc_id * 53 + 11) % 100) < ((doc_id * 37) % 101) AS o
+         |  FROM documents),
+         |b AS (SELECT least((p * 10) // 1000000, 9) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN o THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pos,
+         |  CAST(sum(p) AS BIGINT) AS sp
+         |  FROM c GROUP BY 1)
+         |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+         |  CAST(sp // n AS BIGINT) AS mean_pred_micros,
+         |  CAST((n_pos * 1000000) // n AS BIGINT) AS emp_micros,
+         |  CAST(abs(sp // n - (n_pos * 1000000) // n) AS BIGINT)
+         |    AS gap_micros
+         |FROM b""".stripMargin).replaceAll(raw"\s+", " "),
 
     // pass-rate window replayed: group pass tally, truncating-micros
     // rate, BETWEEN filter, sample rows re-joined with the meters

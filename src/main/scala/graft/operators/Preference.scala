@@ -378,6 +378,43 @@ object Preference {
       .join(stats, Seq(promptCol))
   }
 
+  /** Reward-model calibration bins — the QA meter that decides
+    * whether a reward model's scores can be TRUSTED as probabilities
+    * (a best-of-n or DPO-margin pipeline silently assumes they can):
+    * predictions in micros bucket into `nBins` equal-width bins; per
+    * bin, the mean prediction vs the empirical positive rate, and
+    * the |gap| whose n-weighted sum is the expected calibration
+    * error. The per-bin relation is the output (the reliability
+    * diagram's rows) — ECE is one aggregation away and the bins
+    * carry the evidence a threshold decision needs.
+    *
+    * Exact integers: bin = min(pred·nBins div 1e6, nBins−1) (the
+    * right edge closes the last bin), mean and empirical rates are
+    * single truncating divisions on non-negative numerators, the gap
+    * is an integer |difference of micros|. One groupBy; bins with no
+    * predictions are genuinely absent (a reliability diagram has no
+    * evidence there, and inventing zero rows would read as measured
+    * perfect calibration).
+    */
+  def calibrationBins(df: DataFrame, predCol: String,
+                      outcomeCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"2..1000 bins, got $nBins")
+    df.select(col(predCol).cast("long").as("__p"),
+        col(outcomeCol).cast("boolean").as("__o"))
+      .withColumn("bin",
+        least(expr(s"(__p * ${nBins}L) div 1000000L"),
+          lit(nBins - 1L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__o"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__p")).as("__sp"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("__sp div n").as("mean_pred_micros"),
+        expr("(n_pos * 1000000L) div n").as("emp_micros"),
+        abs(expr("__sp div n") - expr("(n_pos * 1000000L) div n"))
+          .as("gap_micros"))
+  }
+
   /** The full pipeline: raw annotations → canonical orientation →
     * per-rater hygiene → majority resolution.
     */

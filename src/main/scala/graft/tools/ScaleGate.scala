@@ -375,6 +375,8 @@ object ScaleGate {
     "q_pref_dpo_all" -> 8.0,
     // one groupBy + one keyed join each — the resolver family's shape
     "q_pref_grpo" -> 8.0,
+    // one groupBy into a FIXED 10-bin output — aggregation-only
+    "q_pref_calib" -> 8.0,
     "q_pref_passrate" -> 8.0,
     // one prefix-cumsum window on the conv key — the truncate shape
     "q_sft_lossmask" -> 8.0,

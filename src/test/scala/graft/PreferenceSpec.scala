@@ -301,6 +301,32 @@ class PreferenceSpec extends SparkSpec {
       s"centered advantages: $got")
   }
 
+  test("calibrationBins: right edge closes into the last bin, " +
+    "honest scores read zero gap, dishonest ones read the exact " +
+    "micros gap, and empty bins are absent") {
+    val preds = Seq(
+      // bin 9 via the closed right edge (pred = 1.0)
+      (1000000L, true), (1000000L, true),
+      // bin 2 honest: two preds at 250000, one of four positive →
+      // emp 250000, gap 0
+      (250000L, true), (250000L, false), (250000L, false),
+      (250000L, false),
+      // bin 5 dishonest: pred 500000, all positive → gap 500000
+      (500000L, true), (500000L, true))
+      .toDF("p", "o")
+    val got = Preference.calibrationBins(preds, "p", "o", nBins = 10)
+      .select("bin", "n", "n_pos", "mean_pred_micros", "emp_micros",
+        "gap_micros")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (9L, 2L, 2L, 1000000L, 1000000L, 0L),
+      (2L, 4L, 1L, 250000L, 250000L, 0L),
+      (5L, 2L, 2L, 500000L, 1000000L, 500000L)),
+      s"reliability rows: $got")
+    assert(got.map(_._1) == Set(2L, 5L, 9L),
+      "bins with no evidence must be absent, not zero-filled")
+  }
+
   test("passRateFilter: all-fail and all-pass prompts drop, the " +
     "mixed middle survives with exact group meters, and the window " +
     "bounds are inclusive") {
