@@ -1134,6 +1134,19 @@ object StretchQueries {
       Dedup.nearDupPairs(docsWithPlantedCopies(s, dir), "text", "doc_id",
         threshold = 1.0).select(col("id_a"), col("id_b"))),
 
+    // winnowed span overlap, confirmed arm: MOSS fingerprint
+    // candidates verified by exact t-gram (t = w+k−1 = 7) string
+    // intersection — by the winnowing guarantee every pair sharing a
+    // ≥7-token run IS a candidate, so the output equals the semantic
+    // shared-span relation the oracle replays (with the exact count
+    // of distinct shared windows). maxBucketSize lifted — the
+    // q_d_simhash_confirmed determinism hatch: the cap is a
+    // production skew guard, and a capped posting list would
+    // silently drop true pairs the oracle keeps
+    "q_d_winnow_confirmed" -> ((s, dir) =>
+      Dedup.winnowSpanConfirmed(docsWithPlantedDups(s, dir), "text",
+        "doc_id", k = 4, w = 4, maxBucketSize = Int.MaxValue)),
+
     // SimHash's confirmed arm: candidates at maxHamming = 0 (equal
     // 64-bit fingerprints — recall 1 for equal token MULTISETS, since
     // the fingerprint is a pure function of the multiset), confirmed
@@ -7258,6 +7271,31 @@ object StretchQueries {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM t a JOIN t b ON a.key = b.key AND a.doc_id < b.doc_id"""
         .stripMargin).replaceAll(raw"\s+", " "),
+
+    // winnowed span overlap replayed: the same canonical tokens,
+    // 7-gram strings with the short-doc whole-text case, gram
+    // equi-join, distinct shared-window count per pair
+    "q_d_winnow_confirmed" ->
+      (s"""WITH c AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' planted near duplicate'
+         |  FROM documents),
+         |t AS (SELECT doc_id, $tokensSql AS ta FROM c
+         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         |g AS (SELECT doc_id, list_distinct(CASE WHEN len(ta) <= 7
+         |    THEN [array_to_string(ta, ' ')]
+         |    ELSE list_transform(range(1, len(ta) - 5),
+         |      i -> array_to_string(ta[i:i+6], ' ')) END) AS gs
+         |  FROM t),
+         |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gram
+         |  FROM e a JOIN e b ON a.gram = b.gram
+         |    AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(count(DISTINCT gram) AS BIGINT) AS n_shared
+         |FROM p GROUP BY 1, 2""".stripMargin)
+        .replaceAll(raw"\s+", " "),
 
     "q_s29_sql_neardup" -> {
       (s"""WITH c AS (

@@ -201,6 +201,61 @@ object NativeKernels {
     new GenericArrayData(java.util.Arrays.copyOf(hs, n))
   }
 
+  /** Winnowed fingerprint set (Schleimer/Wilkerson/Aiken 2003, the
+    * MOSS local fingerprinting): hash every word-k-gram, slide a
+    * window of `w` consecutive gram hashes, select each window's
+    * minimum (RIGHTMOST position on value ties — the robust-winnowing
+    * rule; the selected VALUE is position-independent, which is what
+    * the guarantee needs), return the sorted distinct selected
+    * hashes. Expected density 2/(w+1) of the full gram set — the
+    * sampling that makes substring-overlap detection shippable at
+    * corpus scale — with the paper's guarantee intact: any shared
+    * token run of length ≥ w+k−1 contains a fully shared window,
+    * whose minimum hash both documents select. A document shorter
+    * than one window keeps its global minimum (never zero
+    * fingerprints); tokenization and gram hashing are shared with
+    * [[shingleSet]] verbatim so the verify arm sees the same grams.
+    * O(n·w) inner scan — the deque O(n) form matters only at w ≫ the
+    * 4–8 this engine uses.
+    */
+  def winnowSet(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val P = MinHashP
+    val toks = tokenize(text)
+    val sh = shingleStrings(toks, k)
+    val hs = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) {
+      hs(i) = java.lang.Math.floorMod(xxhash(sh(i)), P); i += 1
+    }
+    val sel = new Array[Boolean](hs.length)
+    if (hs.length > 0 && hs.length <= w) {
+      var best = 0; var j = 1
+      while (j < hs.length) { if (hs(j) <= hs(best)) best = j; j += 1 }
+      sel(best) = true
+    } else {
+      var start = 0
+      while (start + w <= hs.length) {
+        var best = start; var j = start + 1
+        while (j < start + w) { if (hs(j) <= hs(best)) best = j; j += 1 }
+        sel(best) = true
+        start += 1
+      }
+    }
+    var n = 0
+    var j2 = 0
+    while (j2 < hs.length) { if (sel(j2)) n += 1; j2 += 1 }
+    val out = new Array[Long](n)
+    var m = 0; j2 = 0
+    while (j2 < hs.length) { if (sel(j2)) { out(m) = hs(j2); m += 1 }; j2 += 1 }
+    java.util.Arrays.sort(out)
+    var u = 0; j2 = 0
+    while (j2 < out.length) {
+      if (u == 0 || out(j2) != out(u - 1)) { out(u) = out(j2); u += 1 }
+      j2 += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, u))
+  }
+
   def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var inter = 0
@@ -677,6 +732,25 @@ object NativeExpressions {
 
   def shingleHashSet(text: Column, k: Int = 3): Column =
     toCol(ShingleHashSet(toExpr(text), k))
+
+  /** Sorted distinct winnowed fingerprints — [[NativeKernels.winnowSet]]
+    * as a codegen'd scan-side column.
+    */
+  case class WinnowSet(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      NativeKernels.winnowSet(input.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$KernelsCls.winnowSet($c, $k, $w)")
+    override protected def withNewChildInternal(c: Expression): WinnowSet =
+      copy(child = c)
+  }
+
+  def winnowSet(text: Column, k: Int = 4, w: Int = 4): Column =
+    toCol(WinnowSet(toExpr(text), k, w))
 
   /** Jaccard of two SORTED long arrays via a linear merge walk. */
   case class SortedJaccard(left: Expression, right: Expression)

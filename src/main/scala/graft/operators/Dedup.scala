@@ -237,6 +237,92 @@ object Dedup {
     * the text. Per-doc cost is O(lines²) comparisons, bounded by
     * document size, not corpus size. Null text stays null.
     */
+  /** Winnowed span-overlap CANDIDATES (Schleimer et al. 2003 — the
+    * MOSS fingerprinting): document pairs sharing at least one
+    * winnowed k-gram fingerprint. This is [[duplicateSpans]]'
+    * at-scale arm: instead of shuffling EVERY n-token window (the
+    * exact diagnostic's cost), each document ships only its winnowed
+    * selection — expected density 2/(w+1) of the gram set — while
+    * keeping the paper's guarantee that any shared token run of
+    * length ≥ w+k−1 still collides on at least one fingerprint.
+    * Same posting-list shape as the MinHash banding path: explode,
+    * bucket by fingerprint, `maxBucketSize` skew cap (a boilerplate
+    * fingerprint shared by half the corpus generates quadratic pairs
+    * and tells you nothing — cap it, and account via
+    * [[winnowCandidateStats]]-style bucket counting if needed),
+    * in-bucket pair expansion, distinct. Null/whitespace-only texts
+    * drop (no spans to share).
+    */
+  def winnowCandidates(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 4, w: Int = 4,
+                       maxBucketSize: Int = 1000): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
+    val fps = df
+      .filter(col(textCol).isNotNull &&
+        length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        explode(graft.functions.NativeExpressions
+          .winnowSet(col(textCol), k, w)).as("__fp"))
+    val buckets = fps.groupBy(col("__fp"))
+      .agg(collect_set(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+    val ids = array_sort(col("__ids"))
+    buckets
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, size(ids)), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
+  /** Winnowed candidates CONFIRMED by exact span overlap — the
+    * oracle-able relation: pairs sharing at least one distinct
+    * t-token window, t = w+k−1, with the exact count of distinct
+    * shared windows. By the winnowing guarantee every such pair IS a
+    * candidate (a shared t-token run contains a fully shared
+    * w-gram-hash window whose minimum both sides select), so
+    * candidates∩verify equals the semantic relation outright —
+    * hash-engine-independent, fully SQL-replayable (the
+    * q_d_minhash_confirmed treatment at span granularity). The
+    * verify joins t-gram STRING sets (not hashes) for the candidate
+    * pairs only, so a P-modulus hash collision can never perturb the
+    * count; at 100 TB you'd verify on 64-bit gram hashes and accept
+    * the 2⁻⁶⁴ collision odds instead.
+    */
+  def winnowSpanConfirmed(df: DataFrame, textCol: String, idCol: String,
+                          k: Int = 4, w: Int = 4,
+                          maxBucketSize: Int = 1000): DataFrame = {
+    val t = w + k - 1
+    val base = df
+      .filter(col(textCol).isNotNull &&
+        length(trim(col(textCol))) > 0)
+      // stage the token array ONCE (HOF-CSE lesson) — same canonical
+      // tokenization as duplicateSpans / the winnow kernel
+      .select(col(idCol),
+        filter(split(trim(lower(col(textCol))), raw"\s+"),
+          x => length(x) > 0).as("__toks"))
+      // t-gram strings with the kernel's short-doc semantics: a doc
+      // of ≤ t tokens contributes its whole text as one gram
+      .select(col(idCol),
+        array_distinct(
+          when(size(col("__toks")) <= t,
+            array(concat_ws(" ", col("__toks"))))
+          .otherwise(transform(
+            sequence(lit(1), size(col("__toks")) - t + 1),
+            i => concat_ws(" ", slice(col("__toks"), i, lit(t))))))
+          .as("__tg"))
+    val cands = winnowCandidates(df, textCol, idCol, k, w, maxBucketSize)
+    cands
+      .join(base.select(col(idCol).as("id_a"), col("__tg").as("__ta")),
+        Seq("id_a"))
+      .join(base.select(col(idCol).as("id_b"), col("__tg").as("__tb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long")
+          .as("n_shared"))
+      .filter(col("n_shared") >= 1L)
+  }
+
   def dedupLinesWithinDoc(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("__lines", split(col(textCol), "\n"))
       .withColumn("text_clean",

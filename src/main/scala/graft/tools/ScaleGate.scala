@@ -385,6 +385,12 @@ object ScaleGate {
     // exhaustive-shortlist MRL: prefix scan + full rescore, both
     // corpus-linear like the brute arm it equals
     "q_v_topk_mrl" -> 6.0,
+    // winnowed span overlap: fingerprint posting lists at 2/(w+1)
+    // density + candidate-only t-gram verify; the planted-dup
+    // corpus keeps true pair volume linear (one planted pair per
+    // doc), so a regression to all-pairs or an uncapped boilerplate
+    // bucket shows as superlinear
+    "q_d_winnow_confirmed" -> 12.0,
     // two-phase decode: full fingerprint pass (the q_mm_keyframes
     // asymptote) + pushdown decode of a FIXED 4 keyframes per video —
     // same linear-decode envelope as the one-phase arm

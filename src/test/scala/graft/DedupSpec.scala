@@ -509,4 +509,58 @@ class DedupSpec extends SparkSpec {
     assert(after.isEmpty,
       s"retired id 1 must not match new arrivals, got $after")
   }
+
+  test("winnowing: the guarantee holds (every pair sharing a >= " +
+    "w+k-1-token run is a candidate), the fingerprint set is a real " +
+    "compression of the gram set, and the confirmed arm equals the " +
+    "exact shared-span relation computed by brute force") {
+    import graft.functions.NativeExpressions
+    val (k, w) = (4, 4); val t = w + k - 1 // 7
+    // a 7-token span planted into otherwise-unrelated documents, at
+    // different positions; doc 13 shares nothing
+    val span = "zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (10L, s"alpha beta gamma $span delta epsilon one two three"),
+      (11L, s"$span completely different tail words here now okay"),
+      (12L, s"prefix words go here first and then $span"),
+      (13L, "unrelated text with none of the planted sequence at all " +
+        "padding padding padding"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.winnowCandidates(docs, "text", "doc_id", k, w)
+      .as[(Long, Long)].collect().toSet
+    val spanPairs = Set((10L, 11L), (10L, 12L), (11L, 12L))
+    assert(spanPairs.subsetOf(cands),
+      s"guarantee: shared >=$t-token runs must be candidates: $cands")
+    assert(!cands.exists(p => p._1 == 13L || p._2 == 13L),
+      s"doc 13 shares no span and no fingerprint here: $cands")
+    // compression: winnowed fingerprints are a strict sample of the
+    // gram hashes (expected density 2/(w+1) = 0.4)
+    val counts = docs.select(
+        size(NativeExpressions.winnowSet(col("text"), k, w)).as("nf"),
+        size(NativeExpressions.shingleHashSet(col("text"), k)).as("ng"))
+      .as[(Int, Int)].collect()
+    counts.foreach { case (nf, ng) =>
+      assert(nf <= ng && nf >= 1, s"selection must sample: $nf of $ng") }
+    val (tf, tg) = counts.map(c => (c._1.toLong, c._2.toLong))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    info(f"winnow density: $tf of $tg grams = ${tf.toDouble / tg}%.2f " +
+      f"(expected ~ ${2.0 / (w + 1)}%.2f)")
+    assert(tf.toDouble / tg <= 0.75,
+      "selection must compress the gram set materially")
+    // confirmed == brute-force shared-t-gram relation
+    val got = Dedup.winnowSpanConfirmed(docs, "text", "doc_id", k, w)
+      .as[(Long, Long, Long)].collect().toSet
+    def grams(s: String): Set[String] = {
+      val toks = s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length <= t) Set(toks.mkString(" "))
+      else toks.sliding(t).map(_.mkString(" ")).toSet
+    }
+    val texts = docs.as[(Long, String)].collect().toMap
+    val want = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      n = (grams(texts(a)) intersect grams(texts(b))).size if n >= 1
+    } yield (a, b, n.toLong)).toSet
+    assert(got == want,
+      s"confirmed != exact relation:\n got=$got\n want=$want")
+  }
 }
