@@ -3718,6 +3718,18 @@ object StretchQueries {
         thetaMicros = 700000L)
     }),
 
+    // DIRECTED containment at θ = 0.8 — the asymmetric relation
+    // Jaccard misses (a short key fully inside a longer one): only
+    // the LEFT side's prefix shrinks, the containing side indexes
+    // all grams, positional/size filters asymmetrized exactly. The
+    // oracle is the naive all-ordered-pairs formulation — every
+    // filter must be invisible in the result
+    "q_e_containment" -> ((s, dir) => {
+      val recs = messyNames(s, dir).select(col("rec_id"), col("name"))
+      EntityResolution.trigramPairsContainment(recs, "rec_id", "name",
+        thetaMicros = 800000L)
+    }),
+
     // entity resolution, set-similarity arm: trigram-posting pairs
     // over the composed name|city key — the blocking mechanism that
     // survives FIRST-character edits where the prefix blocker goes
@@ -8853,6 +8865,22 @@ object StretchQueries {
          |  FROM g a JOIN g b ON a.rec_id < b.rec_id)
          |SELECT rec_id_a, rec_id_b, (n * 1000000) // u AS jac_micros
          |FROM p WHERE n * 1000000 >= u * 700000"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // directed containment replayed naively: all ordered pairs,
+    // intersection over the LEFT side's gram count
+    "q_e_containment" ->
+      (s"""WITH $messyNamesCtes,
+         |g AS (SELECT rec_id, list_distinct(list_transform(
+         |  range(1, greatest(length(name) - 2, 1) + 1),
+         |  i -> substr(name, CAST(i AS INT), 3))) AS gs FROM mn),
+         |p AS (SELECT a.rec_id AS rec_id_a, b.rec_id AS rec_id_b,
+         |  CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n,
+         |  CAST(len(a.gs) AS BIGINT) AS sa
+         |  FROM g a JOIN g b ON a.rec_id <> b.rec_id)
+         |SELECT rec_id_a, rec_id_b,
+         |  (n * 1000000) // sa AS cont_micros
+         |FROM p WHERE n * 1000000 >= sa * 800000"""
         .stripMargin).replaceAll(raw"\s+", " "),
 
     "q_e_trigram_pairs" ->

@@ -307,6 +307,91 @@ object EntityResolution {
     pinned
   }
 
+  /** DIRECTED trigram-set CONTAINMENT at threshold θ —
+    * [[trigramPairsJaccard]]'s asymmetric sibling, the relation quote
+    * detection and subset-record matching actually need: Jaccard
+    * punishes size mismatch (a short name fully inside a long one
+    * can sit far below any usable θ), while containment
+    * c(A→B) = |A∩B|/|A| reads 1.0 there. Output one row per ORDERED
+    * pair (a, b), a ≠ b, with cont_micros = ⌊10⁶·|A∩B|/|A|⌋ ≥ θ —
+    * both directions can appear, each judged by its own left side.
+    *
+    * Exact prefix filtering, asymmetrized: the overlap requirement
+    * ⌈θ|A|⌉ depends on A alone, so only A's posting prefix shrinks
+    * (|A| − ⌈θ|A|⌉ + 1 grams in the global (df, gram) order) while B
+    * indexes ALL its grams — any common gram can be the witness on
+    * the containing side, so a B-prefix would break recall. The
+    * PPJoin positional bound survives asymmetrization: both arrays
+    * share the global sort, so at the pair's first common gram
+    * |A∩B| ≤ 1 + min(|A|−pa, |B|−pb), checked against ⌈θ|A|⌉, and
+    * the size filter is |B| ≥ θ|A| (the intersection can never
+    * exceed |B|). Verification is the exact set intersection —
+    * filters are invisible in the result, which is what the
+    * all-pairs oracle checks. `maxDf` is the same stop-gram skew
+    * knob as the Jaccard form; the oracle-gated arm leaves it
+    * unlimited so the relation stays cap-free.
+    */
+  def trigramPairsContainment(
+      records: DataFrame,
+      idCol: String,
+      keyCol: String,
+      thetaMicros: Long,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(thetaMicros > 0 && thetaMicros <= 1000000L,
+      s"thetaMicros in (0, 1e6], got $thetaMicros")
+    val base = records
+      .select(col(idCol).as("__id"), col(keyCol).as("__k"))
+      .select(col("__id"), array_distinct(expr(
+        "transform(sequence(1, greatest(length(__k) - 2, 1))," +
+          " i -> substring(__k, i, 3))")).as("__gs"))
+    val exploded = base.select(col("__id"), explode(col("__gs")).as("__g"))
+    val dfTab = exploded.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    val (ordered, orderedScratch) = Materialize.viaScratchWithPath(
+      exploded.join(dfTab, "__g")
+        .groupBy(col("__id"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("__df"), col("__g")))),
+          x => x.getField("__g")).as("__ga")),
+      "graft-er-cgrams")
+    val posting = ordered
+      .withColumn("__sz", size(col("__ga")).cast("long"))
+      .select(col("__id"), col("__sz"),
+        posexplode(col("__ga")))
+      .select(col("col").as("__g"), col("__id"), col("__sz"),
+        (col("pos") + 1).cast("long").as("__p"))
+    // A-side: keep only the prefix rows (position within
+    // |A| − ⌈θ|A|⌉ + 1); B-side: the full postings
+    val preA = posting.filter(
+      col("__p") <= col("__sz") -
+        ceil(col("__sz") * thetaMicros / 1000000d).cast("long") + 1L)
+    val cands = preA.select(col("__g"), col("__id").as(s"${idCol}_a"),
+        col("__sz").as("__sa"), col("__p").as("__pa"))
+      .join(posting.select(col("__g"), col("__id").as(s"${idCol}_b"),
+        col("__sz").as("__sb"), col("__p").as("__pb")), Seq("__g"))
+      .filter(col(s"${idCol}_a") =!= col(s"${idCol}_b") &&
+        col("__sb") * 1000000L >= col("__sa") * thetaMicros &&
+        (lit(1L) + least(col("__sa") - col("__pa"),
+          col("__sb") - col("__pb"))) * 1000000L >=
+          col("__sa") * thetaMicros)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b")).distinct()
+    val out = cands
+      .join(ordered.select(col("__id").as(s"${idCol}_a"),
+        col("__ga").as("__ka")), s"${idCol}_a")
+      .join(ordered.select(col("__id").as(s"${idCol}_b"),
+        col("__ga").as("__kb")), s"${idCol}_b")
+      .withColumn("__n", size(array_intersect(col("__ka"), col("__kb")))
+        .cast("long"))
+      .withColumn("__sa", size(col("__ka")).cast("long"))
+      .filter(col("__n") * 1000000L >= col("__sa") * thetaMicros)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"),
+        expr("(__n * 1000000L) div __sa").as("cont_micros"))
+    val pinned = Materialize.viaScratch(out, "graft-er-cpairs")
+    orderedScratch.drop()
+    pinned
+  }
+
   /** Fellegi–Sunter field weights in micros from the field's m- and
     * u-probabilities (P(agree | match) and P(agree | non-match)):
     * (log₂(m/u), log₂((1−m)/(1−u))), each rounded to integer micros.

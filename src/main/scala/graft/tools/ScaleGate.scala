@@ -385,6 +385,10 @@ object ScaleGate {
     // exhaustive-shortlist MRL: prefix scan + full rescore, both
     // corpus-linear like the brute arm it equals
     "q_v_topk_mrl" -> 6.0,
+    // directed containment: same posting-join family as the jaccard
+    // arm (prefix only on the left side); true pair volume linear by
+    // the same entity-scaling synth argument as q_e_jw_match
+    "q_e_containment" -> 10.0,
     // winnowed span overlap: fingerprint posting lists at 2/(w+1)
     // density + candidate-only t-gram verify; the planted-dup
     // corpus keeps true pair volume linear (one planted pair per

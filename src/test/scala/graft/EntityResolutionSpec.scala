@@ -186,4 +186,45 @@ class EntityResolutionSpec extends SparkSpec {
       assert(got == naive(theta), s"theta=$theta: $got vs ${naive(theta)}")
     }
   }
+
+  test("trigramPairsContainment equals naive all-ordered-pairs " +
+    "containment at every threshold, and catches the short-inside-" +
+    "long pair symmetric Jaccard misses") {
+    import spark.implicits._
+    val names = Seq("jonathansmith", "jonathan", "jonathansmithjunior",
+      "elizabethjones", "liz", "completelyother")
+    val recs = names.zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("id", "name")
+    def grams(s: String): Set[String] =
+      if (s.length <= 3) Set(s.take(3))
+      else (1 to s.length - 2).map(i => s.substring(i - 1, i + 2)).toSet
+    def naive(thetaMicros: Long): Set[(Long, Long, Long)] =
+      (for {
+        (a, i) <- names.zipWithIndex; (b, j) <- names.zipWithIndex
+        if i != j
+        n = grams(a).intersect(grams(b)).size.toLong
+        sa = grams(a).size.toLong
+        if n * 1000000L >= sa * thetaMicros
+      } yield (i.toLong, j.toLong, n * 1000000L / sa)).toSet
+    for (theta <- Seq(500000L, 800000L, 1000000L)) {
+      val got = EntityResolution
+        .trigramPairsContainment(recs, "id", "name", theta)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == naive(theta), s"theta=$theta: $got vs ${naive(theta)}")
+    }
+    // the asymmetry that motivates the operator: 'jonathan' sits
+    // fully inside 'jonathansmith' (containment 1.0, directed 1→0)
+    // while their Jaccard is 6/11 — invisible at any useful theta
+    val at10 = EntityResolution
+      .trigramPairsContainment(recs, "id", "name", 1000000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(at10.contains((1L, 0L, 1000000L)) &&
+      !at10.contains((0L, 1L, 1000000L)),
+      s"directed full containment must appear exactly once: $at10")
+    val jac = EntityResolution
+      .trigramPairsJaccard(recs, "id", "name", 700000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(!jac.exists(p => Set(p._1, p._2) == Set(0L, 1L)),
+      s"symmetric Jaccard at 0.7 must miss the subset pair: $jac")
+  }
 }
