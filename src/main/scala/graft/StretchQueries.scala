@@ -290,6 +290,17 @@ object StretchQueries {
         graft.operators.DatasetSplit.bucket256(col("text")).as("bucket"),
         graft.operators.DatasetSplit.splitLabel(col("text")).as("split"))),
 
+    // STRATIFIED split: exact 80/10/10 per language over distinct
+    // texts, duplicate-cohesive (copies share their hash's side) —
+    // the low-resource-stratum guarantee the plain hash split only
+    // gives in expectation
+    "q_t_split_strat" -> ((s, dir) =>
+      graft.operators.DatasetSplit.stratifiedSplitLabel(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("text")),
+        "lang", "text")
+        .select(col("doc_id"), col("lang"), col("split"))),
+
     // leakage-safe split: near-dup FAMILIES (the chain components,
     // closed-form doc_id div 10) move between splits as a unit — the
     // split hashes the component id, not the text, so no duplicate
@@ -6439,6 +6450,25 @@ object StretchQueries {
         "FROM documents) " +
         "SELECT doc_id, bucket, CASE WHEN bucket < 205 THEN 'train' " +
         "WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split FROM b"),
+
+    // stratified split replayed: distinct (lang, md5) ranked in hash
+    // order, exact integer thresholds, null-safe re-join
+    "q_t_split_strat" ->
+      ("""WITH h AS (SELECT doc_id, lang,
+         |  md5(coalesce(text, '')) AS hh FROM documents),
+         |d AS (SELECT DISTINCT lang, hh FROM h),
+         |r AS (SELECT lang, hh,
+         |  row_number() OVER (PARTITION BY lang ORDER BY hh) AS rk,
+         |  CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS nd
+         |  FROM d),
+         |lbl AS (SELECT lang, hh,
+         |  CASE WHEN rk * 1000000 <= nd * 800000 THEN 'train'
+         |       WHEN rk * 1000000 <= nd * 900000 THEN 'val'
+         |       ELSE 'test' END AS split FROM r)
+         |SELECT h.doc_id, h.lang, lbl.split
+         |FROM h JOIN lbl ON h.lang IS NOT DISTINCT FROM lbl.lang
+         |  AND h.hh = lbl.hh""".stripMargin)
+        .replaceAll(raw"\s+", " "),
 
     // range end = first window reaching the last token (chunk 32,
     // stride 24) — mirrors chunkStructs' duplicate-tail suppression

@@ -207,6 +207,51 @@ object DatasetSplit {
       .otherwise(lit("test"))
   }
 
+  /** STRATIFIED split — exact per-stratum fractions where the plain
+    * hash split only converges in expectation: a 300-row language
+    * under [[splitLabel]] can easily land 74/13/13 when the recipe
+    * says 80/10/10, and low-resource strata are exactly where the
+    * drift hurts evaluation. Per stratum, the DISTINCT content hashes are
+    * ranked in deterministic (hash) order and cut at the exact
+    * integer thresholds rank·10⁶ ≤ n_distinct·frac — so fractions
+    * are exact over distinct contents, and every copy of a duplicated
+    * text shares its hash and therefore its side (the leak-freedom
+    * contract [[splitLabel]] has; an exact-over-ROWS cut would have
+    * to straddle duplicate groups at the boundary).
+    *
+    * Scale shape: ONE distinct over (stratum, hash), one window over
+    * that DEDUPLICATED table (never a sort of the corpus — a stratum
+    * can be half the corpus, its distinct-hash table is what must fit
+    * the sort budget), one null-safe hash-equi join back. Engine-
+    * reproducible and SQL-replayable (md5 hex + dense ranks + integer
+    * cross-multiplication).
+    */
+  def stratifiedSplitLabel(df: DataFrame, strataCol: String,
+                           contentCol: String,
+                           trainMicros: Long = 800000L,
+                           valMicros: Long = 100000L): DataFrame = {
+    require(trainMicros >= 0 && valMicros >= 0 &&
+      trainMicros + valMicros <= 1000000L,
+      s"fractions are micros with train+val <= 1e6: $trainMicros+$valMicros")
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df.withColumn("__h",
+      md5(coalesce(col(contentCol).cast("string"), lit(""))))
+    val wRank = Window.partitionBy(col(strataCol)).orderBy(col("__h"))
+    val wStr = Window.partitionBy(col(strataCol))
+    val ranked = hashed.select(col(strataCol), col("__h")).distinct()
+      .withColumn("__r", row_number().over(wRank))
+      .withColumn("__nd", count(lit(1)).over(wStr))
+      .select(col(strataCol).as("__s"), col("__h").as("__hh"),
+        when(col("__r") * 1000000L <= col("__nd") * trainMicros,
+          lit("train"))
+          .when(col("__r") * 1000000L <=
+            col("__nd") * (trainMicros + valMicros), lit("val"))
+          .otherwise(lit("test")).as("split"))
+    hashed.join(ranked,
+        col(strataCol) <=> col("__s") && col("__h") === col("__hh"))
+      .drop("__h", "__s", "__hh")
+  }
+
   /** Deterministic weighted corpus mixing: keep a row with per-group
     * probability rate/256, keyed on a SALTED content hash — the "30%
     * web, 45% books, re-weight the rest" step of assembling a

@@ -385,6 +385,9 @@ object ScaleGate {
     // exhaustive-shortlist MRL: prefix scan + full rescore, both
     // corpus-linear like the brute arm it equals
     "q_v_topk_mrl" -> 6.0,
+    // stratified split: one distinct + one window over the
+    // distinct-hash table + one hash join — all corpus-linear
+    "q_t_split_strat" -> 8.0,
     // directed containment: same posting-join family as the jaccard
     // arm (prefix only on the left side); true pair volume linear by
     // the same entity-scaling synth argument as q_e_jw_match

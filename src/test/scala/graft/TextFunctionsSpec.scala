@@ -181,6 +181,43 @@ class TextFunctionsSpec extends SparkSpec {
     assert(frac.getOrElse("val", 0.0) < 0.2 && frac.getOrElse("test", 0.0) < 0.2)
   }
 
+  test("stratifiedSplitLabel: fractions EXACT per stratum over " +
+    "distinct contents, duplicates cohesive, null stratum audited " +
+    "as its own group") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.DatasetSplit
+    import spark.implicits._
+    // stratum A: 10 distinct texts (one duplicated 3x -> 12 rows);
+    // stratum B: 5 distinct; null stratum: 2 distinct
+    val rows =
+      (1 to 10).map(i => (Some("A"), s"alpha text $i")) ++
+      Seq((Some("A"), "alpha text 7"), (Some("A"), "alpha text 7")) ++
+      (1 to 5).map(i => (Some("B"), s"beta text $i")) ++
+      (1 to 2).map(i => (None: Option[String], s"null text $i"))
+    val df = rows.toDF("lang", "text")
+    val got = DatasetSplit.stratifiedSplitLabel(df, "lang", "text")
+      .select(col("lang"), col("text"), col("split"))
+      .as[(Option[String], String, String)].collect()
+    // exact 80/10/10 over DISTINCT texts: A (10 distinct) -> 8/1/1,
+    // B (5) -> 4/0/1 (val cut 4.5 floors to 4 => empty val), null
+    // stratum (2) -> 1/0/1
+    def distinctCounts(s: Option[String]) =
+      got.filter(_._1 == s).map(r => (r._2, r._3)).distinct
+        .groupBy(_._2).view.mapValues(_.length).toMap
+    assert(distinctCounts(Some("A")) ==
+      Map("train" -> 8, "val" -> 1, "test" -> 1), distinctCounts(Some("A")))
+    assert(distinctCounts(Some("B")) == Map("train" -> 4, "test" -> 1),
+      distinctCounts(Some("B")))
+    assert(distinctCounts(None) == Map("train" -> 1, "test" -> 1),
+      distinctCounts(None))
+    // all 3 copies of the duplicated text share one side
+    val dupSides = got.filter(r => r._1 == Some("A") &&
+      r._2 == "alpha text 7").map(_._3).distinct
+    assert(dupSides.length == 1, s"duplicate copies split: $dupSides")
+    // no rows lost through the null-safe join
+    assert(got.length == rows.length, s"${got.length} != ${rows.length}")
+  }
+
   test("weightedSampleFilter: rate-0 drops all, rate-256 keeps all, " +
     "kept set is the bucket-threshold subset per group") {
     import org.apache.spark.sql.functions.{col, lit}
