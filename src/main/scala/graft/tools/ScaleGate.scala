@@ -388,10 +388,17 @@ object ScaleGate {
     // stratified split: one distinct + one window over the
     // distinct-hash table + one hash join — all corpus-linear
     "q_t_split_strat" -> 8.0,
-    // directed containment: same posting-join family as the jaccard
-    // arm (prefix only on the left side); true pair volume linear by
-    // the same entity-scaling synth argument as q_e_jw_match
-    "q_e_containment" -> 10.0,
+    // q_e_containment is deliberately NOT here — the q_e_trigram_pairs
+    // analysis transfers (and was re-measured, round 15: 5.8 s -> 142 s
+    // at 10x, ratio 24.5): at a fixed theta over the saturating gram
+    // space the TRUE directed-pair volume grows superlinearly (the
+    // digit-tier names systematically contain their shorter prefixes,
+    // and per-gram df grows with the corpus), so an envelope would
+    // gate the synth's combinatorics, not the operator. q_e_jaccard_
+    // pairs sits out for the same reason; the gated at-scale arms of
+    // the family remain q_e_jw_match and q_e_resolve, and production
+    // containment at corpus scale rides the maxDf stop-gram cap the
+    // operator exposes (dropped-gram accounting like the LSH caps).
     // winnowed span overlap: fingerprint posting lists at 2/(w+1)
     // density + candidate-only t-gram verify; the planted-dup
     // corpus keeps true pair volume linear (one planted pair per
