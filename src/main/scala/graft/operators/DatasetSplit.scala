@@ -215,9 +215,20 @@ object DatasetSplit {
     * ranked in deterministic (hash) order and cut at the exact
     * integer thresholds rank·10⁶ ≤ n_distinct·frac — so fractions
     * are exact over distinct contents, and every copy of a duplicated
-    * text shares its hash and therefore its side (the leak-freedom
-    * contract [[splitLabel]] has; an exact-over-ROWS cut would have
-    * to straddle duplicate groups at the boundary).
+    * text WITHIN a stratum shares its hash-rank and therefore its
+    * side (an exact-over-ROWS cut would have to straddle duplicate
+    * groups at the boundary).
+    *
+    * LEAK SCOPE — within-stratum only (round-15 ADVICE): the rank is
+    * computed PER STRATUM, so the same content appearing under two
+    * strata can be cut to train in one and test in the other —
+    * exact per-stratum fractions and a global hash cut are mutually
+    * exclusive (a global cut cannot hit every stratum's integer
+    * thresholds). [[splitLabel]]'s global-hash guarantee is the one
+    * to use when contents repeat ACROSS strata; otherwise dedup
+    * first (or verify strata partition the distinct contents, which
+    * per-language corpora usually do) before relying on this split
+    * for leak-free evaluation.
     *
     * Scale shape: ONE distinct over (stratum, hash), one window over
     * that DEDUPLICATED table (never a sort of the corpus — a stratum

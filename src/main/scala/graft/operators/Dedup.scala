@@ -280,9 +280,16 @@ object Dedup {
     * t-token window, t = w+k−1, with the exact count of distinct
     * shared windows. By the winnowing guarantee every such pair IS a
     * candidate (a shared t-token run contains a fully shared
-    * w-gram-hash window whose minimum both sides select), so
-    * candidates∩verify equals the semantic relation outright —
-    * hash-engine-independent, fully SQL-replayable (the
+    * w-gram-hash window whose minimum both sides select), so — ON AN
+    * UNCAPPED RUN (`maxBucketSize = Int.MaxValue`, how the gate runs
+    * it) — candidates∩verify equals the semantic relation outright.
+    * UNDER A FINITE CAP the equality is conditional (round-15
+    * ADVICE): the candidate stage drops over-cap fingerprint buckets
+    * entirely, silently losing true pairs whose only shared
+    * fingerprints are boilerplate — a capped production run MUST
+    * pair this with [[winnowCandidateStats]] so the dropped-bucket /
+    * dropped-pair volume is reported, never read as full coverage.
+    * Hash-engine-independent, fully SQL-replayable (the
     * q_d_minhash_confirmed treatment at span granularity). The
     * verify joins t-gram STRING sets (not hashes) for the candidate
     * pairs only, so a P-modulus hash collision can never perturb the
@@ -321,6 +328,29 @@ object Dedup {
         size(array_intersect(col("__ta"), col("__tb"))).cast("long")
           .as("n_shared"))
       .filter(col("n_shared") >= 1L)
+  }
+
+  /** Dropped-bucket accounting for [[winnowCandidates]] under the
+    * same fingerprint parameters — the [[minhashCandidateStats]]
+    * treatment for the winnowing path (round-15 ADVICE: a capped run
+    * without this reads as full coverage). Bucket size counts
+    * DISTINCT ids per fingerprint, matching the candidate stage's
+    * `collect_set` semantics exactly.
+    */
+  def winnowCandidateStats(df: DataFrame, textCol: String, idCol: String,
+                           k: Int = 4, w: Int = 4,
+                           maxBucketSize: Int = 1000): LshStats = {
+    require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
+    val sizes = df
+      .filter(col(textCol).isNotNull &&
+        length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        explode(graft.functions.NativeExpressions
+          .winnowSet(col(textCol), k, w)).as("__fp"))
+      .groupBy(col("__fp"))
+      .agg(countDistinct(col(idCol)).as("m"))
+      .filter(col("m") >= 2)
+    bucketStats(sizes, maxBucketSize)
   }
 
   def dedupLinesWithinDoc(df: DataFrame, textCol: String): DataFrame =

@@ -252,12 +252,15 @@ object EntityResolution {
     // prefix length |X| − ⌈θ|X|⌉ + 1; sizes AND 1-based prefix
     // positions ride the postings so the length filter applies inside
     // the equi-join and the positional filter right after it
+    // prefix length via the INTEGER ceiling (x·θ + 10⁶−1) div 10⁶ —
+    // same exact-integer discipline as the containment arm
     val pre = ordered
       .withColumn("__sz", size(col("__ga")).cast("long"))
       .select(col("__id"), col("__sz"),
         posexplode(slice(col("__ga"), lit(1),
           greatest(size(col("__ga")) -
-            ceil(size(col("__ga")) * thetaMicros / 1000000d).cast("int") +
+            expr(s"cast((__sz * ${thetaMicros}L + 999999L)" +
+              " div 1000000L as int)") +
             lit(1), lit(0)))))
       .select(col("col").as("__g"), col("__id"), col("__sz"),
         (col("pos") + 1).cast("long").as("__p"))
@@ -362,10 +365,13 @@ object EntityResolution {
       .select(col("col").as("__g"), col("__id"), col("__sz"),
         (col("pos") + 1).cast("long").as("__p"))
     // A-side: keep only the prefix rows (position within
-    // |A| − ⌈θ|A|⌉ + 1); B-side: the full postings
+    // |A| − ⌈θ|A|⌉ + 1); B-side: the full postings. ⌈θ|A|⌉ is the
+    // INTEGER ceiling (x·θ + 10⁶−1) div 10⁶ — the repo's exact-
+    // integer-micros discipline (round-15 ADVICE): no float step,
+    // exact at any size int64 holds
     val preA = posting.filter(
       col("__p") <= col("__sz") -
-        ceil(col("__sz") * thetaMicros / 1000000d).cast("long") + 1L)
+        expr(s"(__sz * ${thetaMicros}L + 999999L) div 1000000L") + 1L)
     val cands = preA.select(col("__g"), col("__id").as(s"${idCol}_a"),
         col("__sz").as("__sa"), col("__p").as("__pa"))
       .join(posting.select(col("__g"), col("__id").as(s"${idCol}_b"),

@@ -551,17 +551,33 @@ object Hnsw {
       .flatMapGroups((cl, it) =>
         buildShard(cl, it.map(r => (r._2, r._3)), m, efC))
       .toDF()
-    val deltaAttrs = df.select(
-      col(idCol).cast("long").as("vec_id") +: attrs.map(col): _*)
+    // attrs re-join on (cluster, vec_id) — NOT vec_id alone — with
+    // delta-wins precedence (round-15 ADVICE, mirroring the delete-
+    // path fix): the append contract tolerates a re-appended id
+    // landing in more than one touched shard, and in both the
+    // existing graph AND the delta; an id-only join would fan out
+    // across those shards and write duplicated graph rows into every
+    // rebuilt one. The delta's attr row lands at its ASSIGNED
+    // cluster; existing attrs keep their stored cluster; where both
+    // claim the same (cluster, vec_id) the delta's row wins — it is
+    // the newest write, the upsert semantics the CDC path expects.
+    val deltaAttrs = assigned.toDF()
+      .select(col("cluster"), col("id").as("vec_id"))
+      .join(df.select(
+        col(idCol).cast("long").as("vec_id") +: attrs.map(col): _*),
+        Seq("vec_id"))
+      .select(col("cluster") +: col("vec_id") +: attrs.map(col): _*)
     val rebuilt = if (attrs.isEmpty) rebuiltBare
       else rebuiltBare.join(
         if (hasGraph)
-          spark.read.parquet(s"$indexPath/graph")
-            .filter(col("cluster").isin(touched.toIndexedSeq: _*))
-            .select(col("vec_id") +: attrs.map(col): _*)
-            .unionByName(deltaAttrs)
+          deltaAttrs.unionByName(
+            spark.read.parquet(s"$indexPath/graph")
+              .filter(col("cluster").isin(touched.toIndexedSeq: _*))
+              .select(col("cluster") +: col("vec_id") +: attrs.map(col): _*)
+              .join(deltaAttrs.select(col("cluster"), col("vec_id")),
+                Seq("cluster", "vec_id"), "left_anti"))
         else deltaAttrs,
-        Seq("vec_id"))
+        Seq("cluster", "vec_id"))
     val prev = spark.conf.getOption(
       "spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -563,4 +563,62 @@ class DedupSpec extends SparkSpec {
     assert(got == want,
       s"confirmed != exact relation:\n got=$got\n want=$want")
   }
+
+  test("winnowCandidateStats accounts exactly for what a bucket cap " +
+    "drops: boilerplate-only pairs vanish from the capped candidates " +
+    "and reappear as droppedBuckets/droppedPairs (round-15 ADVICE)") {
+    val (k, w) = (4, 4)
+    // six docs whose ONLY shared content is one 12-token boilerplate
+    // run (every other token is unique per doc): a window fully
+    // inside the run selects the same minimum gram hash in all six
+    // docs, so every shared fingerprint bucket has exactly 6 members
+    val boiler = "terms of service apply to all content on this site " +
+      "reserved"
+    val docs = (0 until 6).map { i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e $boiler " +
+        s"u${i}x u${i}y u${i}z")
+    }.toDF("doc_id", "text")
+    val allPairs = (for {
+      a <- 0L until 6L; b <- 0L until 6L if a < b
+    } yield (a, b)).toSet
+    val uncapped = Dedup.winnowCandidates(docs, "text", "doc_id", k, w,
+      maxBucketSize = Int.MaxValue).as[(Long, Long)].collect().toSet
+    assert(uncapped == allPairs,
+      s"uncapped: every pair shares the boilerplate run: $uncapped")
+    // first-principles replay: bucket = distinct doc set per selected
+    // fingerprint (edge windows mix unique context, so a few small
+    // incidental buckets exist alongside the 6-member boilerplate
+    // ones — the accounting must match them all exactly)
+    val fpRows: Seq[(Long, Long)] = docs.select(col("doc_id"),
+        explode(graft.functions.NativeExpressions
+          .winnowSet(col("text"), k, w)).as("__fp"))
+      .as[(Long, Long)].collect().toSeq.distinct
+    val buckets: Seq[Set[Long]] = fpRows.groupBy(_._2).values
+      .map(_.map(_._1).toSet).filter(_.size >= 2).toSeq
+    val cap = 3
+    val dropped = buckets.filter(_.size > cap)
+    assert(dropped.exists(_.size == 6),
+      s"construction: the boilerplate bucket must exceed the cap")
+    val capped = Dedup.winnowCandidates(docs, "text", "doc_id", k, w,
+      maxBucketSize = cap).as[(Long, Long)].collect().toSet
+    val keptPairs = buckets.filter(_.size <= cap).flatMap(b =>
+      for (a <- b; c <- b if a < c) yield (a, c)).toSet
+    assert(capped == keptPairs,
+      s"capped candidates must be exactly the under-cap buckets' " +
+        s"pairs:\n got=$capped\n want=$keptPairs")
+    assert(capped != allPairs,
+      "the cap must actually lose boilerplate-only pairs here")
+    val st = Dedup.winnowCandidateStats(docs, "text", "doc_id", k, w,
+      maxBucketSize = cap)
+    assert(st.buckets == buckets.size &&
+      st.droppedBuckets == dropped.size &&
+      st.droppedPairs == dropped.map(b =>
+        b.size.toLong * (b.size - 1) / 2).sum,
+      s"accounting must replay the bucket census exactly: $st vs " +
+        s"${buckets.size}/${dropped.size}")
+    val stOff = Dedup.winnowCandidateStats(docs, "text", "doc_id", k, w,
+      maxBucketSize = Int.MaxValue)
+    assert(stOff.droppedBuckets == 0 && stOff.droppedPairs == 0,
+      s"uncapped run drops nothing: $stOff")
+  }
 }

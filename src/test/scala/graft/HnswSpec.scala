@@ -710,4 +710,31 @@ class HnswSpec extends SparkSpec {
       .collect().toSet
     assert(got2 == want2, "post-split exhaustive search != brute force")
   }
+
+  test("appendToIndex attr re-join keys on (cluster, vec_id) with " +
+    "delta-wins precedence: a re-appended id neither fans out graph " +
+    "rows nor resurrects its stale attr value (round-15 ADVICE)") {
+    val idx = tmpDir("hnsw-reapp") + "/idx"
+    Hnsw.ensureIndex(emb, s"$dir/embeddings.parquet", idx, shards = 4,
+      m = 8, efC = 32, attrCols = Seq("label"))
+    val n0 = spark.read.parquet(s"$idx/graph").count()
+    // re-append 8 ids ALREADY in the index with a CHANGED label: the
+    // unchanged vector routes to the same shard, so the bare union
+    // legitimately holds each id twice (existing node + delta node);
+    // the attr re-join must not square that (the vec_id-only fan-out
+    // would write 4 rows per id), and every kept row must carry the
+    // DELTA's label (the newest write), not the stale stored one
+    Hnsw.appendToIndex(
+      emb.filter(col("vec_id") < 8).withColumn("label", lit(99)), idx)
+    val graph = spark.read.parquet(s"$idx/graph")
+    assert(graph.count() == n0 + 8,
+      s"attr fan-out duplicated graph rows: ${graph.count()} != ${n0 + 8}")
+    val reapp = graph.filter(col("vec_id") < 8)
+    val perId = reapp.groupBy(col("vec_id")).count()
+      .as[(Long, Long)].collect().toMap
+    assert((0L until 8L).forall(perId.get(_).contains(2L)),
+      s"each re-appended id must hold exactly its two bare rows: $perId")
+    assert(reapp.filter(col("label") =!= 99).count() == 0,
+      "stale attr value survived a delta re-append (delta must win)")
+  }
 }
