@@ -2192,6 +2192,62 @@ object StretchQueries {
       Hnsw.searchIndex(s, idx, latestQ, k = 5, nprobe = 4, ef = 0)
     }),
 
+    // the graph twin of q_v_stream_maint (round-15 VERDICT #2):
+    // Hnsw.maintain composed with the CDC drain it was built for.
+    // Epochs run under the at-scale shuffle layout (AQE single-file
+    // coalescing off, like q_v_hnsw_cpt) so each touched-shard
+    // rebuild genuinely fragments — one file per task per shard, the
+    // honest 1000-executor layout — then one maintain() call
+    // compacts (content-invisible; the drift axis only REPORTS on
+    // the graph side), and exhaustive search over the maintained
+    // index still answers exactly like the latest snapshot. Shares
+    // q_v_stream_index's oracle
+    "q_v_stream_hnsw_maint" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_vhmnt_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val (feed, ckpt, idx) = (s"$scratch/feed", s"$scratch/ckpt",
+        s"$scratch/idx")
+      // attr-carrying build: the touched-shard rebuild's attr
+      // re-join is the shuffle that genuinely fragments under the
+      // at-scale layout (a bare rebuild writes one file per shard
+      // from its per-cluster group task, and the meter reads clean)
+      Hnsw.ensureIndex(emb, s"$dir/embeddings.parquet", idx,
+        shards = 4, m = 8, efC = 32, attrCols = Seq("label"))
+      val e1 = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => (-x).cast("float"))
+            .as("embedding"),
+          col("label"))
+        .unionByName(emb.filter(col("vec_id") % 5 === 3)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding"), col("label")))
+      e1.coalesce(1).write.mode("append").parquet(feed)
+      atScaleShuffle(s) {
+        graft.streaming.StreamingVectorIndex.upsertStreamHnsw(s, feed,
+          idx, ckpt)
+      }
+      emb.filter(col("vec_id") % 14 === 0)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .coalesce(1).write.mode("append").parquet(feed)
+      atScaleShuffle(s) {
+        graft.streaming.StreamingVectorIndex.upsertStreamHnsw(s, feed,
+          idx, ckpt)
+      }
+      val report = Hnsw.maintain(s, idx, maxFilesPerShard = 1,
+        maxAppendedFraction = 10.0, maxShardSkew = 100.0)
+      require(report.compactedShards > 0,
+        s"construction: two CDC epochs must fragment: $report")
+      val latestQ = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id"),
+          when(col("vec_id") % 7 === 0 && col("vec_id") % 14 =!= 0,
+            transform(col("embedding"), x => (-x).cast("float")))
+            .otherwise(col("embedding")).as("embedding"))
+      Hnsw.searchIndex(s, idx, latestQ, k = 5, nprobe = 4, ef = 0)
+    }),
+
     // index DELETION (FAISS remove_ids, the append complement): build
     // fresh, delete the label≥5 rows — only touched posting lists
     // rewrite, emptied ones are removed explicitly — then exhaustive
@@ -3739,6 +3795,25 @@ object StretchQueries {
       val recs = messyNames(s, dir).select(col("rec_id"), col("name"))
       EntityResolution.trigramPairsContainment(recs, "rec_id", "name",
         thetaMicros = 800000L)
+    }),
+
+    // the SAME directed relation under an ABSOLUTE maxDf stop-gram
+    // cap — the declared 100 TB configuration (round-15 verdict: the
+    // cap-free posting join explodes as per-gram df grows with the
+    // corpus). Absolute, NOT the sibling's n/10: on a saturating gram
+    // space a corpus-relative cap admits grams whose df grows with n,
+    // so candidates stay quadratic (measured round-16: n/10 rode
+    // 19.5x at 10x data — the quadratic band by ScaleGate's own
+    // standard), while df <= C bounds candidates at C * postings =
+    // O(corpus) no matter what the data does. The capped relation IS
+    // containment over the capped gram sets — candidate generation
+    // and verification both operate there, so the operator stays
+    // exact against an oracle that folds the cap into the replay,
+    // exactly as q_e_trigram_pairs folds its own
+    "q_e_containment_capped" -> ((s, dir) => {
+      val recs = messyNames(s, dir).select(col("rec_id"), col("name"))
+      EntityResolution.trigramPairsContainment(recs, "rec_id", "name",
+        thetaMicros = 800000L, maxDf = 64L)
     }),
 
     // entity resolution, set-similarity arm: trigram-posting pairs
@@ -5869,6 +5944,8 @@ object StretchQueries {
       // post-drain maintenance is content-invisible: the compacted
       // index answers exactly like the freshly drained one
       ("q_v_stream_maint" -> oracleSqlMap("q_v_stream_index")) +
+      // the graph twin: post-drain Hnsw.maintain is content-invisible
+      ("q_v_stream_hnsw_maint" -> oracleSqlMap("q_v_stream_index")) +
       // compaction is content-invisible: the compacted index answers
       // exactly like the fresh-built one
       ("q_v_topk_ivf_cpt" -> oracleSqlMap("q_v_topk")) +
@@ -8908,6 +8985,27 @@ object StretchQueries {
          |  CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n,
          |  CAST(len(a.gs) AS BIGINT) AS sa
          |  FROM g a JOIN g b ON a.rec_id <> b.rec_id)
+         |SELECT rec_id_a, rec_id_b,
+         |  (n * 1000000) // sa AS cont_micros
+         |FROM p WHERE n * 1000000 >= sa * 800000"""
+        .stripMargin).replaceAll(raw"\s+", " "),
+
+    // the capped replay: drop grams with df > 64 FIRST, then the
+    // naive all-ordered-pairs containment over the surviving sets
+    // (records capped to empty vanish — no left side to judge)
+    "q_e_containment_capped" ->
+      (s"""WITH $messyNamesCtes,
+         |g0 AS (SELECT rec_id, unnest(list_distinct(list_transform(
+         |  range(1, greatest(length(name) - 2, 1) + 1),
+         |  i -> substr(name, CAST(i AS INT), 3)))) AS g FROM mn),
+         |dft AS (SELECT g, count(*) AS df FROM g0 GROUP BY g),
+         |gf AS (SELECT g0.rec_id, g0.g FROM g0 JOIN dft USING (g)
+         |  WHERE dft.df <= 64),
+         |gl AS (SELECT rec_id, list(g) AS gs FROM gf GROUP BY rec_id),
+         |p AS (SELECT a.rec_id AS rec_id_a, b.rec_id AS rec_id_b,
+         |  CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n,
+         |  CAST(len(a.gs) AS BIGINT) AS sa
+         |  FROM gl a JOIN gl b ON a.rec_id <> b.rec_id)
          |SELECT rec_id_a, rec_id_b,
          |  (n * 1000000) // sa AS cont_micros
          |FROM p WHERE n * 1000000 >= sa * 800000"""

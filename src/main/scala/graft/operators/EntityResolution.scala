@@ -330,9 +330,16 @@ object EntityResolution {
     * the size filter is |B| ≥ θ|A| (the intersection can never
     * exceed |B|). Verification is the exact set intersection —
     * filters are invisible in the result, which is what the
-    * all-pairs oracle checks. `maxDf` is the same stop-gram skew
-    * knob as the Jaccard form; the oracle-gated arm leaves it
-    * unlimited so the relation stays cap-free.
+    * all-pairs oracle checks. `maxDf` is the stop-gram skew knob,
+    * and at corpus scale it must be ABSOLUTE: df <= C bounds the
+    * posting join's candidates at C * surviving-postings = O(corpus)
+    * regardless of the data, while a corpus-relative cap (the
+    * Jaccard sibling's n/10) admits grams whose df grows with n and
+    * stays quadratic on a saturating gram space (measured round-16
+    * on the entity synth: n/10 rode 19.5x at 10x data; df <= 64 is
+    * the gated configuration, `q_e_containment_capped`). The
+    * cap-free default remains the exhaustive-verification form the
+    * naive oracle replays.
     */
   def trigramPairsContainment(
       records: DataFrame,

@@ -388,6 +388,15 @@ object ScaleGate {
     // stratified split: one distinct + one window over the
     // distinct-hash table + one hash join — all corpus-linear
     "q_t_split_strat" -> 8.0,
+    // capped containment — the declared production configuration
+    // (ABSOLUTE maxDf = 64 stop-gram cap): df <= C bounds the posting
+    // join's candidates at C * surviving-postings = O(corpus)
+    // data-independently, so unlike the cap-free arm below the capped
+    // arm IS envelope-able on the saturating synth. Round-16
+    // measured: 1.8x at 10x (a corpus-RELATIVE n/10 cap measured
+    // 19.5x on the same data — the quadratic band — which is why the
+    // gated configuration is absolute)
+    "q_e_containment_capped" -> 6.0,
     // q_e_containment is deliberately NOT here — the q_e_trigram_pairs
     // analysis transfers (and was re-measured, round 15: 5.8 s -> 142 s
     // at 10x, ratio 24.5): at a fixed theta over the saturating gram
@@ -397,8 +406,8 @@ object ScaleGate {
     // gate the synth's combinatorics, not the operator. q_e_jaccard_
     // pairs sits out for the same reason; the gated at-scale arms of
     // the family remain q_e_jw_match and q_e_resolve, and production
-    // containment at corpus scale rides the maxDf stop-gram cap the
-    // operator exposes (dropped-gram accounting like the LSH caps).
+    // containment at corpus scale rides the ABSOLUTE maxDf stop-gram
+    // cap gated above (q_e_containment_capped, round-16).
     // winnowed span overlap: fingerprint posting lists at 2/(w+1)
     // density + candidate-only t-gram verify; the planted-dup
     // corpus keeps true pair volume linear (one planted pair per

@@ -227,4 +227,61 @@ class EntityResolutionSpec extends SparkSpec {
     assert(!jac.exists(p => Set(p._1, p._2) == Set(0L, 1L)),
       s"symmetric Jaccard at 0.7 must miss the subset pair: $jac")
   }
+
+  test("capped containment (maxDf) is exact over the capped gram " +
+    "sets, and on boilerplate-suffix data drops exactly the pairs " +
+    "whose every common gram is a stop-gram") {
+    import spark.implicits._
+    // six records share the boilerplate suffix 'corp' (its grams
+    // 'cor'/'orp' — plus the bridging 'aco' — are the stop-grams);
+    // record 6 is PURE boilerplate; record 7 genuinely overlaps 0
+    // NATO-style stems chosen so non-boilerplate cross-overlap stays
+    // far below theta: a denominator-shift drop (capped containment
+    // falling below theta while stop-grams were only part of the
+    // overlap) would muddy the all-stop-gram pin this test makes
+    val names = Seq("alphacorp", "bravocorp", "charliecorp",
+      "deltacorp", "echocorp", "foxtrotcorp", "corp", "alphacor")
+    val recs = names.zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("id", "name")
+    def grams(s: String): Set[String] =
+      if (s.length <= 3) Set(s.take(3))
+      else (1 to s.length - 2).map(i => s.substring(i - 1, i + 2)).toSet
+    val df = names.flatMap(n => grams(n)).groupBy(identity)
+      .map { case (g, xs) => g -> xs.size.toLong }
+    val theta = 800000L
+    val cap = 3L
+    def naive(capped: Boolean): Set[(Long, Long, Long)] = {
+      def gs(s: String): Set[String] =
+        if (capped) grams(s).filter(g => df(g) <= cap) else grams(s)
+      (for {
+        (a, i) <- names.zipWithIndex; (b, j) <- names.zipWithIndex
+        if i != j && gs(a).nonEmpty
+        n = gs(a).intersect(gs(b)).size.toLong
+        sa = gs(a).size.toLong
+        if n * 1000000L >= sa * theta
+      } yield (i.toLong, j.toLong, n * 1000000L / sa)).toSet
+    }
+    val gotCapped = EntityResolution
+      .trigramPairsContainment(recs, "id", "name", theta, maxDf = cap)
+      .as[(Long, Long, Long)].collect().toSet
+    // exactness over the capped sets — the relation the oracle gate
+    // (q_e_containment_capped) pins at corpus scale against DuckDB
+    assert(gotCapped == naive(capped = true),
+      s"capped: $gotCapped vs ${naive(capped = true)}")
+    // every pair the cap dropped had ONLY stop-grams in common: the
+    // boilerplate-eclipsed pairs (pure-'corp' record 6 against each
+    // suffixed name) vanish; the genuine pair 7<->0 survives with its
+    // containment recomputed over the surviving grams
+    val droppedKeys = naive(capped = false).map(p => (p._1, p._2)) --
+      gotCapped.map(p => (p._1, p._2))
+    assert(droppedKeys.nonEmpty, "the cap must engage on this data")
+    droppedKeys.foreach { case (a, b) =>
+      val common = grams(names(a.toInt)).intersect(grams(names(b.toInt)))
+      assert(common.nonEmpty && common.forall(g => df(g) > cap),
+        s"dropped pair ($a,$b) has a surviving common gram: $common")
+    }
+    assert(gotCapped.exists(p => p._1 == 7L && p._2 == 0L) &&
+      gotCapped.exists(p => p._1 == 0L && p._2 == 7L),
+      s"genuine overlap must survive the cap: $gotCapped")
+  }
 }
