@@ -1775,6 +1775,25 @@ object StretchQueries {
         k = 5, nprobe = 4)
     }),
 
+    // the STORED-prefix Matryoshka arm (round-15 VERDICT #3):
+    // q_v_topk_mrl slices the full vector per row — FLOP savings but
+    // the scan still reads every float; here the prefix persists as
+    // its own column at index-build time and the shortlist scan's
+    // ReadSchema never carries the float vector (PlanQualitySpec
+    // pin), the IO saving that matters at 100 TB. Full probe +
+    // exhaustive rescore ⇒ brute force, q_v_topk's oracle
+    "q_v_topk_mrl_idx" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_mrl_idx_q_" +
+        graft.engine.Scratch.encode(dir)
+      Ivf.ensureIndexMrl(emb, s"$dir/embeddings.parquet", scratch,
+        k = 4, mrlDims = 4, iters = 2)
+      Ivf.searchIndexMrl(s, scratch, emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 4,
+        rescoreK = Ivf.indexRowCount(s, scratch)
+          .getOrElse(sys.error(s"index at $scratch has no _ROWS")).toInt)
+    }),
+
     // filtered ANN (the vector-DB "filtered search"): a static
     // attribute predicate pushed INTO the index scan (PushedFilters,
     // stacked on cluster partition pruning — IvfSpec pins both), never
@@ -5905,6 +5924,8 @@ object StretchQueries {
       ("q_v_topk_mrl" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_inc" -> oracleSqlMap("q_v_topk")) +
       ("q_v_topk_ivf_idx" -> oracleSqlMap("q_v_topk")) +
+      // stored-prefix MRL, full probe + exhaustive rescore ≡ brute
+      ("q_v_topk_mrl_idx" -> oracleSqlMap("q_v_topk")) +
       // full-probe filtered search ≡ brute force over the matching
       // set: the per-query arm shares the positives oracle outright;
       // the static-predicate arm gets its own WHERE'd brute force

@@ -227,7 +227,8 @@ object Ivf {
                  vecCol: String = "embedding",
                  quantize: Boolean = false,
                  pq: Option[Pq.PqModel] = None,
-                 binarize: Boolean = false): Unit = {
+                 binarize: Boolean = false,
+                 mrlDims: Int = 0): Unit = {
     saveModel(df.sparkSession, model, s"$path/centroids")
     // PQ codebooks persist WITH the index (FAISS's IVFPQ artifact
     // shape): search reloads them cold — round 6 re-trained codebooks
@@ -245,7 +246,15 @@ object Ivf {
       q8.withColumn("b",
         graft.functions.NativeExpressions.signPack(col(vecCol)))
     else q8
-    val out = pq.map(p => Pq.withCodes(b8, p, vecCol)).getOrElse(b8)
+    // Matryoshka stored-prefix column (round-15 VERDICT #3): the
+    // first `mrlDims` components materialized as their OWN column —
+    // parquet being columnar, [[searchIndexMrl]]'s shortlist scan
+    // reads dim/mrlDims× fewer vector bytes than the float column,
+    // turning the prefix ladder's FLOP saving into an IO saving
+    val m8 = if (mrlDims > 0)
+      b8.withColumn("mrl", slice(col(vecCol), 1, mrlDims))
+    else b8
+    val out = pq.map(p => Pq.withCodes(m8, p, vecCol)).getOrElse(m8)
     out.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/corpus")
     // persist the corpus schema beside the count files: appendToIndex
@@ -254,6 +263,12 @@ object Ivf {
     // state — an all-tombstone epoch) has no parquet footer left to
     // infer it from (round-14 ADVICE)
     writeSchemaFile(df.sparkSession, s"$path/_SCHEMA", out.schema)
+    // the prefix width persists beside the schema: appendToIndex must
+    // slice its delta identically, and search must slice the QUERY
+    // side to the stored width — neither can infer it from a column
+    // whose corpus may be empty (all-tombstone CDC state)
+    if (mrlDims > 0)
+      writeCountFile(df.sparkSession, s"$path/_MRL_DIMS", mrlDims.toLong)
     val n = writeRowCount(df.sparkSession, path)
     // the BUILD-time count, stamped only here (never by append): the
     // denominator of the drift meter appendedFraction reads
@@ -308,10 +323,19 @@ object Ivf {
     else assigned
     // a binarized index's append must carry the packed column too —
     // schema-driven like the q8 branch
-    val q8 = if (corpusSchema.fieldNames.contains("b"))
+    val q8b = if (corpusSchema.fieldNames.contains("b"))
       q8a.withColumn("b",
         graft.functions.NativeExpressions.signPack(col(vecCol)))
     else q8a
+    // an MRL index's append slices the SAME stored prefix width — a
+    // delta sliced to a different width would silently misscore the
+    // shortlist for every appended row
+    val q8 = if (corpusSchema.fieldNames.contains("mrl")) {
+      val dims = readCountFile(spark, s"$indexPath/_MRL_DIMS").getOrElse(
+        sys.error(s"index at $indexPath stores an mrl column but no " +
+          "_MRL_DIMS record; rebuild via ensureIndexMrl")).toInt
+      q8b.withColumn("mrl", slice(col(vecCol), 1, dims))
+    } else q8b
     val fsPath = new org.apache.hadoop.fs.Path(s"$indexPath/pq")
     val hasPq = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(fsPath)
@@ -680,6 +704,29 @@ object Ivf {
       writeIndex(df, model, dir, vecCol, quantize, binarize = binarize)
     }
 
+  /** [[ensureIndex]] for the Matryoshka stored-prefix artifact
+    * (round-15 VERDICT #3): the corpus persists with the first
+    * `mrlDims` components as their own `mrl` column, so
+    * [[searchIndexMrl]]'s shortlist reads prefix bytes only — the
+    * q8/binary column discipline applied to the MRL ladder. Same
+    * freshness protocol: a changed prefix width at the same path
+    * forces a rebuild.
+    */
+  def ensureIndexMrl(df: DataFrame, sourcePath: String,
+                     indexPath: String, k: Int, mrlDims: Int,
+                     iters: Int = 3, seed: Long = 42L,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    require(mrlDims > 0, s"mrlDims must be positive: $mrlDims")
+    graft.engine.Scratch.ensureAt(df.sparkSession, indexPath, sourcePath,
+      fingerprint = s"src=$sourcePath,k=$k,iters=$iters,seed=$seed," +
+        s"idCol=$idCol,vecCol=$vecCol,mrl=$mrlDims",
+      markerName = "_INDEX_READY") { dir =>
+      val model = train(df, k, iters, seed, idCol, vecCol)
+      writeIndex(df, model, dir, vecCol, mrlDims = mrlDims)
+    }
+  }
+
   /** [[ensureIndex]] for the IVF-PQ artifact: the corpus is stored
     * with its m-int code column + exact norm, the codebooks persist
     * beside the centroids, and the whole thing rebuilds only when the
@@ -967,6 +1014,66 @@ object Ivf {
     val cands = Pq.residualCandidates(cq, queries, model, pq, nprobe,
       idCol, vecCol)
     Pq.rescoreExact(cands, corpus, queries, k, shortK, idCol, vecCol)
+  }
+
+  /** Matryoshka search against an [[ensureIndexMrl]] artifact — the
+    * production form of [[SimilaritySearch.topKMatryoshka]], whose
+    * own scaladoc notes that slicing at the scan saves FLOPs but
+    * still READS full vectors:
+    *
+    *  1. SHORTLIST over the stored `mrl` prefix column only — the
+    *     scan's ReadSchema carries `(id, mrl, cluster)` and never the
+    *     float vector (pinned in PlanQualitySpec), so at 100 TB the
+    *     hot scan is dim/mrlDims× smaller; partition pruning limits
+    *     it to the nprobe probed posting lists. The QUERY side slices
+    *     itself to the stored width (`_MRL_DIMS` — a driver metadata
+    *     read, like the centroid matrix).
+    *  2. RESCORE exact full-dimension cosine over the
+    *     `rescoreK`-per-query shortlist only (semi-join on ids).
+    *
+    * Full probe + exhaustive shortlist ⇒ exactly brute force (MRL
+    * prefix order can only cost a candidate the shortlist dropped),
+    * so the driver gate shares q_v_topk's oracle; the bounded-
+    * shortlist recall trade is SimilaritySpec/IvfSpec territory.
+    */
+  def searchIndexMrl(spark: SparkSession, indexPath: String,
+                     queries: DataFrame, k: Int, nprobe: Int = 2,
+                     rescoreK: Int = 0,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val shortK = if (rescoreK > 0) math.max(rescoreK, k) else 4 * k
+    val model = loadModelCached(spark, s"$indexPath/centroids")
+    val dims = readCountFile(spark, s"$indexPath/_MRL_DIMS").getOrElse(
+      sys.error(s"no _MRL_DIMS at $indexPath — not an ensureIndexMrl " +
+        "artifact")).toInt
+    val probed = queries
+      .select(explode(
+        nearestCentroids(col(vecCol), model.centroids, nprobe)).as("cluster"))
+      .distinct().collect().map(_.getInt(0))
+    val corpus = spark.read.parquet(s"$indexPath/corpus")
+      .filter(col("cluster").isin(probed.toIndexedSeq: _*))
+    val cm = corpus.select(col(idCol).as("n_id"), col("mrl"),
+      col("cluster"))
+    val q = queries
+      .select(col(idCol).as("q_id"),
+        slice(col(vecCol), 1, dims).as("q_pre"),
+        explode(nearestCentroids(col(vecCol), model.centroids, nprobe))
+          .as("cluster"))
+    val approx = cm.join(broadcast(q), Seq("cluster"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_pre"), col("mrl")).as("cosine"))
+    val shortlist = TopK.topKPerKey(approx, shortK)(spark)
+      .select(col("q_id"), col("n_id"))
+    val exactVecs = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .join(broadcast(shortlist), Seq("n_id"))
+    val rescored = exactVecs
+      .join(broadcast(queries.select(col(idCol).as("q_id"),
+        col(vecCol).as("q_vec"))), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cosine"))
+    TopK.topKPerKey(rescored, k)(spark)
   }
 
   /** Compressed-domain ANN against a `quantize = true` index — the

@@ -59,10 +59,12 @@ object SimilaritySearch {
     * `shortlistK >= corpus` makes the rescore exhaustive and the
     * result EXACTLY [[bruteForceTopK]] (the gate's oracle premise);
     * the production arm trades shortlist size for recall, measured
-    * in SimilaritySpec. At rest, store the prefix as its OWN column
-    * (the q8/b-column discipline) so parquet column pruning turns
-    * the compute saving into an IO saving too; this in-memory form
-    * slices at the scan, saving FLOPs but reading full vectors.
+    * in SimilaritySpec. This in-memory form slices at the scan,
+    * saving FLOPs but reading full vectors; the at-rest form that
+    * turns the saving into IO is [[graft.operators.Ivf.ensureIndexMrl]]
+    * / [[graft.operators.Ivf.searchIndexMrl]] (round-16), which
+    * persists the prefix as its own column and whose shortlist scan
+    * never reads the float vector.
     */
   def topKMatryoshka(corpus: DataFrame, queries: DataFrame, k: Int,
                      prefixDims: Int, shortlistK: Int,

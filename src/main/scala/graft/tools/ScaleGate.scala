@@ -385,6 +385,10 @@ object ScaleGate {
     // exhaustive-shortlist MRL: prefix scan + full rescore, both
     // corpus-linear like the brute arm it equals
     "q_v_topk_mrl" -> 6.0,
+    // stored-prefix MRL index (round-16): same linear shape, but the
+    // shortlist scan reads the persisted prefix column only — the
+    // ensureIndex build amortizes like the other *_idx arms
+    "q_v_topk_mrl_idx" -> 6.0,
     // stratified split: one distinct + one window over the
     // distinct-hash table + one hash join — all corpus-linear
     "q_t_split_strat" -> 8.0,

@@ -316,6 +316,48 @@ class IvfSpec extends SparkSpec {
     assert(p.contains("PartitionFilters"), s"unpruned compressed scan:\n$p")
   }
 
+  test("searchIndexMrl: full probe + exhaustive rescore ≡ brute force; " +
+    "shortlist scan reads the stored prefix only; append slices the " +
+    "same width") {
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val path = tmpDir("graft-ivf-mrl")
+    Ivf.writeIndex(emb, m, path, mrlDims = 4)
+    val q = emb.filter(col("vec_id") < 8)
+    val n = emb.count().toInt
+    // full probe + exhaustive rescore: exactly the brute-force rows
+    val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val got = Ivf.searchIndexMrl(spark, path, q, k = 5, nprobe = 4,
+        rescoreK = n)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(got == exact, "full-probe MRL index path diverged from brute")
+    // plan: the shortlist phase reads the prefix column only — the IO
+    // saving q_v_topk_mrl's in-memory slice can't deliver; the rescore
+    // still reads float vectors (shortlisted rows only), pruned scans
+    val df = Ivf.searchIndexMrl(spark, path, q, k = 5, nprobe = 2)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema:")).toList
+    assert(schemas.exists(s => s.contains("mrl") && !s.contains("embedding")),
+      s"no prefix-only corpus scan in:\n$p")
+    assert(schemas.exists(_.contains("embedding")),
+      s"no full-precision rescore scan in:\n$p")
+    assert(p.contains("PartitionFilters"), s"unpruned mrl scan:\n$p")
+    // append path: half-built index + appended half slices the SAME
+    // stored width (schema- and _MRL_DIMS-driven), so full probe over
+    // the grown index still equals brute force
+    val path2 = tmpDir("graft-ivf-mrl-app")
+    val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    Ivf.writeIndex(half0, Ivf.train(half0, k = 4, iters = 2), path2,
+      mrlDims = 4)
+    Ivf.appendToIndex(half1, path2)
+    val grown = Ivf.searchIndexMrl(spark, path2, q, k = 5, nprobe = 4,
+        rescoreK = n)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(grown == exact, "appended MRL index diverged from brute")
+  }
+
   test("searchIndexBin: full probe ≡ binTopK exactly; shortlist scan " +
     "reads the packed column only; partial-probe recall measured") {
     val m = Ivf.train(emb, k = 4, iters = 2)
