@@ -789,7 +789,30 @@ object Hnsw {
     * old files). Cost O(touched shards). Returns rows deleted.
     */
   def deleteFromIndex(spark: SparkSession, indexPath: String,
-                      predicate: org.apache.spark.sql.Column): Long = {
+                      predicate: org.apache.spark.sql.Column): Long =
+    deleteFromIndexImpl(spark, indexPath,
+      matchRows = _.filter(predicate),
+      keepRows = _.filter(!(predicate <=> lit(true))))
+
+  /** [[deleteFromIndex]] against a DISTRIBUTED id relation — the
+    * graph twin of [[Ivf.deleteIdsFromIndex]] (round-15 VERDICT #4):
+    * semi-join selects the doomed rows, anti-join the survivors, so a
+    * bulk tombstone epoch never becomes a driver-side `isin` literal
+    * list. Same touched-shard canonical rebuild, same emptied-shard
+    * removal, same return contract.
+    */
+  def deleteIdsFromIndex(spark: SparkSession, indexPath: String,
+                         ids: org.apache.spark.sql.DataFrame,
+                         idCol: String = "vec_id"): Long = {
+    val sel = ids.select(col(idCol).as("vec_id")).distinct()
+    deleteFromIndexImpl(spark, indexPath,
+      matchRows = _.join(sel, Seq("vec_id"), "left_semi"),
+      keepRows = _.join(sel, Seq("vec_id"), "left_anti"))
+  }
+
+  private def deleteFromIndexImpl(spark: SparkSession, indexPath: String,
+      matchRows: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      keepRows: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Long = {
     import spark.implicits._
     if (!Ivf.hasParquetFiles(spark, s"$indexPath/graph"))
       return 0L                     // already emptied: nothing to do
@@ -799,15 +822,14 @@ object Hnsw {
     // both sides of the mutation
     spark.catalog.refreshByPath(s"$indexPath/graph")
     val graph = spark.read.parquet(s"$indexPath/graph")
-    val perShard = graph.filter(predicate).groupBy(col("cluster"))
+    val perShard = matchRows(graph).groupBy(col("cluster"))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     if (perShard.isEmpty) return 0L
     val nDel = perShard.values.sum
     val touched = perShard.keys.toArray.sorted
     val (keep, scratch) = graft.operators.Materialize.viaScratchWithPath(
-      graph.filter(col("cluster").isin(touched.toIndexedSeq: _*))
-        .filter(!(predicate <=> lit(true)))
+      keepRows(graph.filter(col("cluster").isin(touched.toIndexedSeq: _*)))
         .select(col("cluster") +: col("vec_id") +: col("vec") +:
           attrs.map(col): _*),
       "graft-hnsw-del")

