@@ -5137,6 +5137,69 @@ object StretchQueries {
       graft.streaming.StreamingPreference.latest(changelog)
     }),
 
+    // per-checkpoint DPO minting over the streaming resolver
+    // (round-15 VERDICT #5): two annotation epochs drain through
+    // resolutionStream, each followed by a mint generation (BT +
+    // dpoPairsAll over the latest-wins resolution, snapshot-
+    // generation discipline — a collapsed-margin pair vanishes
+    // instead of resurrecting from an old generation). The post-drain
+    // generation is bit-identical to the batch chain over the whole
+    // feed ⇒ shares q_pref_dpo_all's oracle
+    "q_pref_dpo_stream" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_sdpo_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val (feed, out, ckpt, mint) = (s"$scratch/feed", s"$scratch/out",
+        s"$scratch/ckpt", s"$scratch/mint")
+      val ann = t(s, dir, "documents").select(
+        (col("doc_id") % 50).as("prompt_id"),
+        (col("doc_id") % 7).as("resp_a"),
+        ((col("doc_id") * 3 + 1) % 7).as("resp_b"),
+        (expr("(doc_id % 50 + (doc_id % 7) * 2 + " +
+          "((doc_id div 50) % 5) * 3) % 5 < 3") =!=
+          (col("doc_id") % 97 === 0)).as("prefer_a"),
+        expr("(doc_id div 50) % 5").as("rater_id"),
+        col("doc_id"))
+      ann.filter(col("doc_id") % 2 === 0).drop("doc_id")
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingPreference.resolutionStream(
+        s, feed, out, ckpt)
+      graft.streaming.StreamingPreference.mintDpoStream(s, out, mint,
+        rounds = 3, minMarginMicros = 300000L, maxPairsPerPrompt = 4)
+      ann.filter(col("doc_id") % 2 === 1).drop("doc_id")
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingPreference.resolutionStream(
+        s, feed, out, ckpt)
+      graft.streaming.StreamingPreference.mintDpoStream(s, out, mint,
+        rounds = 3, minMarginMicros = 300000L, maxPairsPerPrompt = 4)
+    }),
+
+    // the GRPO side: rollouts arrive in two epochs, the advantage
+    // view recomputes per checkpoint from the deduplicated
+    // accumulation (immutable rollouts ⇒ identity-max dedups
+    // re-delivery exactly) ⇒ shares q_pref_grpo's oracle
+    "q_pref_grpo_stream" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_sgrpo_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val (feed, out, ckpt) = (s"$scratch/feed", s"$scratch/out",
+        s"$scratch/ckpt")
+      val samples = t(s, dir, "documents").select(
+        expr("doc_id div 8").as("prompt_id"),
+        col("doc_id").as("resp_id"),
+        ((col("doc_id") * 37) % 101).as("reward"))
+      samples.filter(col("resp_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingPreference.rolloutAdvantageStream(
+        s, feed, out, ckpt)
+      samples.filter(col("resp_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingPreference.rolloutAdvantageStream(
+        s, feed, out, ckpt)
+    }),
+
     // per-rater quality (annotator audit): leave-one-out agreement
     // with each pair's consensus — own vote excluded, a vote counts
     // only when the OTHER raters hold a strict majority; exact
@@ -5937,6 +6000,10 @@ object StretchQueries {
       // over the whole feed (per-rater side map makes cross-batch
       // hygiene exact; StreamingSpec-style pins in PreferenceSpec)
       ("q_pref_stream" -> oracleSqlMap("q_pref_resolve")) +
+      // post-drain mint generation ≡ the batch BT+dpoPairsAll chain;
+      // post-drain advantage view ≡ batch groupAdvantage
+      ("q_pref_dpo_stream" -> oracleSqlMap("q_pref_dpo_all")) +
+      ("q_pref_grpo_stream" -> oracleSqlMap("q_pref_grpo")) +
       // latest-wins over the thread-QA changelog ≡ the batch
       // assembler over the accumulated feed (per-tuple multiplicity
       // max-merge makes epoch replay idempotent while within-epoch

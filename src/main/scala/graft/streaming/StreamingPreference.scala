@@ -105,6 +105,80 @@ object StreamingPreference {
     spark.read.parquet(outDir)
   }
 
+  /** Per-checkpoint DPO minting over the streaming resolution
+    * changelog (round-15 VERDICT #5 — the RLVR/DPO pipeline consuming
+    * annotations incrementally): after each [[resolutionStream]]
+    * drain, the latest-wins resolution feeds the batch minters
+    * ([[Preference.bradleyTerry]] → [[Preference.dpoPairsAll]]) and
+    * the minted pairs land in `mintDir` as a numbered SNAPSHOT
+    * GENERATION (`_gen` column — the [[StreamingCdc]] discipline, NOT
+    * per-pair latest-wins: a pair whose margin collapsed under later
+    * votes must VANISH from the training set, and a per-pair merge
+    * would resurrect it from an old generation). Returns the current
+    * snapshot (rows of the generation just minted, `_gen` dropped),
+    * which after a full drain is bit-identical to the batch chain
+    * over the whole feed — the gate shares `q_pref_dpo_all`'s oracle.
+    *
+    * BT is a global fixed-point, so minting is per-CHECKPOINT, not
+    * per-row: each generation costs one bounded-rounds MM pass over
+    * the current resolution — the nightly-mint deployment loop, same
+    * shape as `Ivf.maintain` after a CDC drain.
+    */
+  def mintDpoStream(spark: SparkSession, changelogDir: String,
+                    mintDir: String, rounds: Int = 3,
+                    minMarginMicros: Long = 0L,
+                    maxPairsPerPrompt: Int = 16): DataFrame = {
+    val pairs = Preference.dpoPairsAll(
+      Preference.bradleyTerry(latest(spark.read.parquet(changelogDir)),
+        "prompt_id", rounds),
+      "prompt_id", minMarginMicros, maxPairsPerPrompt)
+    val p = new org.apache.hadoop.fs.Path(mintDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = if (fs.exists(p))
+      spark.read.parquet(mintDir).agg(max(col("_gen"))).head.getLong(0) + 1L
+    else 1L
+    pairs.withColumn("_gen", lit(gen)).write.mode("append")
+      .parquet(mintDir)
+    spark.catalog.refreshByPath(mintDir)
+    spark.read.parquet(mintDir).filter(col("_gen") === gen).drop("_gen")
+  }
+
+  /** Group-relative advantage over an epoch-arriving rollout feed
+    * (the GRPO side of round-15 VERDICT #5): the stream accumulates
+    * rollout rows (`promptCol`, `respCol`, `rewardCol`) into `outDir`
+    * through the checkpoint; the advantage view recomputes per drain
+    * from the deduplicated accumulation. Rollouts are IMMUTABLE — a
+    * rollout id's reward never changes, so at-least-once re-delivery
+    * dedups exactly via the identity max per (prompt, rollout) — and
+    * after a full drain the result is bit-identical to batch
+    * [[Preference.groupAdvantage]] over the whole feed (shared
+    * oracle). Group stats are per-prompt aggregates, so unlike BT
+    * this IS incrementally shaped — but the repo keeps the
+    * recompute-per-checkpoint form because `n_samples` changes
+    * retroactively alter every sibling's advantage anyway.
+    */
+  def rolloutAdvantageStream(spark: SparkSession, feedDir: String,
+                             outDir: String, checkpoint: String,
+                             promptCol: String = "prompt_id",
+                             respCol: String = "resp_id",
+                             rewardCol: String = "reward"): DataFrame = {
+    val schema = spark.read.parquet(feedDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+    q.awaitTermination()
+    val rolled = spark.read.parquet(outDir)
+      .groupBy(col(promptCol), col(respCol))
+      .agg(max(col(rewardCol)).as(rewardCol))
+    Preference.groupAdvantage(rolled, promptCol, respCol, rewardCol)
+  }
+
   /** Latest-wins view of a changelog: the current resolution per pair
     * (max upd), unresolved pairs (every rater cancelled → 0 live
     * votes) excluded — exactly the rows the batch resolver produces.

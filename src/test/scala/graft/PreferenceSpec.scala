@@ -116,6 +116,54 @@ class PreferenceSpec extends SparkSpec {
     assert(got.exists(t => t._1 == 1L && t._4 == 5L && t._5 == "hi"))
   }
 
+  test("mintDpoStream: snapshot generations — a collapsed-margin pair " +
+    "VANISHES from the new generation (latest-wins would resurrect " +
+    "it); rolloutAdvantageStream dedups re-delivery exactly") {
+    import graft.streaming.StreamingPreference
+    val base = tmpDir("pref-mint")
+    val (feed, out, ckpt, mint) =
+      (s"$base/feed", s"$base/out", s"$base/ckpt", s"$base/mint")
+    // epoch 0: unanimous lo → wide margin → the pair mints in gen 1
+    ann((1L, 10L, 20L, true, 1L), (1L, 10L, 20L, true, 2L))
+      .coalesce(1).write.mode("append").parquet(feed)
+    StreamingPreference.resolutionStream(spark, feed, out, ckpt,
+      "p", "a", "b", "pa", "r")
+    val g1 = StreamingPreference.mintDpoStream(spark, out, mint,
+      rounds = 3, minMarginMicros = 200000L)
+    assert(g1.filter(col("prompt_id") === 1L && col("chosen_resp") === 10L &&
+      col("rejected_resp") === 20L).count() == 1,
+      "unanimous pair must mint in generation 1")
+    // epoch 1: two hi votes → 2-2 dead heat → BT margin collapses
+    ann((1L, 10L, 20L, false, 3L), (1L, 10L, 20L, false, 4L))
+      .coalesce(1).write.mode("append").parquet(feed)
+    StreamingPreference.resolutionStream(spark, feed, out, ckpt,
+      "p", "a", "b", "pa", "r")
+    val g2 = StreamingPreference.mintDpoStream(spark, out, mint,
+      rounds = 3, minMarginMicros = 200000L)
+    assert(g2.filter(col("prompt_id") === 1L).count() == 0,
+      "collapsed-margin pair must vanish from the new generation")
+    // the mint dir keeps BOTH generations (training-run provenance);
+    // only the snapshot view moved
+    val gens = spark.read.parquet(mint)
+    assert(gens.filter(col("_gen") === 1L).count() == 1 &&
+      gens.filter(col("_gen") === 2L).count() == 0,
+      "generation history must persist in the mint dir")
+    // rollouts: drain, then REPLAY the same feed through a fresh
+    // checkpoint — the accumulation duplicates but identity-max
+    // dedup keeps the advantage view equal to batch
+    val rolls = Seq((1L, 1L, 5L), (1L, 2L, 9L), (2L, 3L, 4L))
+      .toDF("p", "resp", "rw")
+    rolls.coalesce(1).write.mode("append").parquet(s"$base/rfeed")
+    StreamingPreference.rolloutAdvantageStream(spark, s"$base/rfeed",
+      s"$base/rout", s"$base/rck1", "p", "resp", "rw")
+    val replayed = StreamingPreference.rolloutAdvantageStream(spark,
+      s"$base/rfeed", s"$base/rout", s"$base/rck2", "p", "resp", "rw")
+    val want = Preference.groupAdvantage(rolls, "p", "resp", "rw")
+      .collect().map(_.toSeq).toSet
+    assert(replayed.collect().map(_.toSeq).toSet == want,
+      "replayed accumulation must dedup to the batch advantage")
+  }
+
   test("raterQuality: leave-one-out consensus — own vote excluded, " +
     "ties among the others are undecided, no-evidence raters read NULL") {
     val got = Preference.raterQuality(ann(
