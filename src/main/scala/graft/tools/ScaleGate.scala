@@ -74,6 +74,13 @@ object ScaleGate {
     "q_v_topk_ivf_inc" -> 8.0,
     // per-row decode CPU + Manku-blocked hamming join: linear
     "q_mm_phash_groups" -> 10.0,
+    // video near-dup (round-16): per-row MJPEG decode (linear) +
+    // exact-fhash posting join whose TRUE pair volume is linear under
+    // the entity-scaling class synth (class count grows with the
+    // corpus, class size fixed at 25 — the digit-tier lesson; the old
+    // frozen-class-count synth measured 39x at 10x and was
+    // un-envelopeable). Measured 5.0x at 10x
+    "q_mm_video_neardup" -> 10.0,
     // FIXED-OVERHEAD assertion, not a linearity envelope: the gate is
     // two AvailableNow query startups + per-epoch commits on a
     // half-corpus feed, measured corpus-independent in r8 (halving
