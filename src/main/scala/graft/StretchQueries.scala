@@ -1811,6 +1811,24 @@ object StretchQueries {
           .getOrElse(sys.error(s"index at $scratch has no _ROWS")).toInt)
     }),
 
+    // filtered MRL search — the encoding family's last missing _flt
+    // twin (float/q8/bin/pq/pqr/ivfc/hnsw all have one): the label
+    // predicate applies AT the prefix-column shortlist scan, stacked
+    // on partition pruning; full probe + exhaustive rescore ≡ brute
+    // force over the filtered corpus, q_v_topk_flt's oracle
+    "q_v_topk_mrl_flt" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_mrl_idx_q_" +
+        graft.engine.Scratch.encode(dir)
+      Ivf.ensureIndexMrl(emb, s"$dir/embeddings.parquet", scratch,
+        k = 4, mrlDims = 4, iters = 2)
+      Ivf.searchIndexMrlWhere(s, scratch,
+        emb.filter(col("vec_id") < 16),
+        predicate = col("label") < 5, k = 5, nprobe = 4,
+        rescoreK = Ivf.indexRowCount(s, scratch)
+          .getOrElse(sys.error(s"index at $scratch has no _ROWS")).toInt)
+    }),
+
     // filtered ANN (the vector-DB "filtered search"): a static
     // attribute predicate pushed INTO the index scan (PushedFilters,
     // stacked on cluster partition pruning — IvfSpec pins both), never
@@ -2140,6 +2158,56 @@ object StretchQueries {
             transform(col("embedding"), x => (-x).cast("float")))
             .otherwise(col("embedding")).as("embedding"))
       Ivf.searchIndexPqResidual(s, idx, latestQ, k = 5, nprobe = 4,
+        rescoreK = Ivf.indexRowCount(s, idx)
+          .getOrElse(sys.error(s"index at $idx has no _ROWS")).toInt)
+    }),
+
+    // CDC into the MRL stored-prefix artifact (round-16; the
+    // q_v_stream_pq treatment): appendToIndex slices each epoch's
+    // delta to the stored _MRL_DIMS width schema-driven, so full
+    // probe + exhaustive rescore over the drained index ≡ brute
+    // force over latest-minus-tombstones — q_v_stream_cdc's oracle.
+    // A delta sliced to a different width would misscore every
+    // appended row's shortlist rank and hash-mismatch here
+    "q_v_stream_mrl" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_vmrl_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val (feed, ckpt, idx) = (s"$scratch/feed", s"$scratch/ckpt",
+        s"$scratch/idx")
+      Ivf.ensureIndexMrl(emb, s"$dir/embeddings.parquet", idx, k = 4,
+        mrlDims = 4, iters = 2)
+      val e1 = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => (-x).cast("float"))
+            .as("embedding"),
+          col("label"), lit("U").as("op"))
+        .unionByName(emb.filter(col("vec_id") % 5 === 3)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding"), col("label"),
+            lit("I").as("op")))
+        .unionByName(emb.filter(col("vec_id") % 11 === 5 &&
+            col("vec_id") % 7 =!= 0)
+          .select(col("vec_id"), col("embedding"), col("label"),
+            lit("D").as("op")))
+      e1.coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+        ckpt, opCol = Some("op"))
+      emb.filter(col("vec_id") % 14 === 0)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          lit("U").as("op"))
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+        ckpt, opCol = Some("op"))
+      val latestQ = emb.filter(col("vec_id") < 16 &&
+          !(col("vec_id") % 11 === 5 && col("vec_id") % 7 =!= 0))
+        .select(col("vec_id"),
+          when(col("vec_id") % 7 === 0 && col("vec_id") % 14 =!= 0,
+            transform(col("embedding"), x => (-x).cast("float")))
+            .otherwise(col("embedding")).as("embedding"))
+      Ivf.searchIndexMrl(s, idx, latestQ, k = 5, nprobe = 4,
         rescoreK = Ivf.indexRowCount(s, idx)
           .getOrElse(sys.error(s"index at $idx has no _ROWS")).toInt)
     }),
@@ -5224,6 +5292,33 @@ object StretchQueries {
         s, feed, out, ckpt)
     }),
 
+    // the third round-15 minter's streaming arm: pass-rate window
+    // curation over the same epoch-arriving rollouts — a prompt's
+    // rate recomputes per checkpoint over the deduplicated
+    // accumulation, post-drain ≡ batch passRateFilter (shared oracle)
+    "q_pref_passrate_stream" -> ((s, dir) => {
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_sprr_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val (feed, out, ckpt) = (s"$scratch/feed", s"$scratch/out",
+        s"$scratch/ckpt")
+      val samples = t(s, dir, "documents").select(
+        expr("doc_id div 8").as("prompt_id"),
+        col("doc_id").as("resp_id"),
+        ((col("doc_id") * col("doc_id")) % 101).as("reward"))
+      samples.filter(col("resp_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingPreference.rolloutPassRateStream(
+        s, feed, out, ckpt, passReward = 60L,
+        loMicros = 200000L, hiMicros = 800000L)
+      samples.filter(col("resp_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingPreference.rolloutPassRateStream(
+        s, feed, out, ckpt, passReward = 60L,
+        loMicros = 200000L, hiMicros = 800000L)
+    }),
+
     // per-rater quality (annotator audit): leave-one-out agreement
     // with each pair's consensus — own vote excluded, a vote counts
     // only when the OTHER raters hold a strict majority; exact
@@ -6013,6 +6108,11 @@ object StretchQueries {
       ("q_v_topk_ivf_idx" -> oracleSqlMap("q_v_topk")) +
       // stored-prefix MRL, full probe + exhaustive rescore ≡ brute
       ("q_v_topk_mrl_idx" -> oracleSqlMap("q_v_topk")) +
+      // filtered MRL: predicate at the prefix shortlist scan, full
+      // probe + exhaustive rescore ≡ brute over the filtered corpus
+      ("q_v_topk_mrl_flt" -> oracleSqlMap("q_v_topk_flt")) +
+      // CDC into the MRL artifact drains to the same latest snapshot
+      ("q_v_stream_mrl" -> oracleSqlMap("q_v_stream_cdc")) +
       // full-probe filtered search ≡ brute force over the matching
       // set: the per-query arm shares the positives oracle outright;
       // the static-predicate arm gets its own WHERE'd brute force
@@ -6028,6 +6128,7 @@ object StretchQueries {
       // post-drain advantage view ≡ batch groupAdvantage
       ("q_pref_dpo_stream" -> oracleSqlMap("q_pref_dpo_all")) +
       ("q_pref_grpo_stream" -> oracleSqlMap("q_pref_grpo")) +
+      ("q_pref_passrate_stream" -> oracleSqlMap("q_pref_passrate")) +
       // latest-wins over the thread-QA changelog ≡ the batch
       // assembler over the accumulated feed (per-tuple multiplicity
       // max-merge makes epoch replay idempotent while within-epoch

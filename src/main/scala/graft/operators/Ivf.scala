@@ -1064,7 +1064,38 @@ object Ivf {
                      queries: DataFrame, k: Int, nprobe: Int = 2,
                      rescoreK: Int = 0,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding"): DataFrame =
+    searchIndexMrlImpl(spark, indexPath, queries, None, k, nprobe,
+      rescoreK, idCol, vecCol)
+
+  /** [[searchIndexMrl]] with a static attribute predicate — the MRL
+    * twin of [[searchIndexCompressedWhere]]/[[searchIndexPqWhere]],
+    * completing the filtered-ANN family across every index encoding:
+    * the predicate applies AT THE PREFIX-COLUMN SHORTLIST SCAN
+    * (plain Filter over the stored attribute columns, pushed to the
+    * parquet reader), stacked on the cluster partition pruning, so
+    * the whole shortlist budget lands on qualifying candidates and
+    * the rescore reads only qualifying floats. Full probe +
+    * exhaustive shortlist ⇒ exactly brute-force-over-the-filtered-
+    * corpus, the relation the driver gate's oracle replays.
+    */
+  def searchIndexMrlWhere(spark: SparkSession, indexPath: String,
+                          queries: DataFrame,
+                          predicate: org.apache.spark.sql.Column,
+                          k: Int, nprobe: Int = 2,
+                          rescoreK: Int = 0,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame =
+    searchIndexMrlImpl(spark, indexPath, queries, Some(predicate), k,
+      nprobe, rescoreK, idCol, vecCol)
+
+  private def searchIndexMrlImpl(spark: SparkSession, indexPath: String,
+                     queries: DataFrame,
+                     predicate: Option[org.apache.spark.sql.Column],
+                     k: Int, nprobe: Int,
+                     rescoreK: Int,
+                     idCol: String,
+                     vecCol: String): DataFrame = {
     val shortK = if (rescoreK > 0) math.max(rescoreK, k) else 4 * k
     val model = loadModelCached(spark, s"$indexPath/centroids")
     val dims = readCountFile(spark, s"$indexPath/_MRL_DIMS").getOrElse(
@@ -1074,8 +1105,9 @@ object Ivf {
       .select(explode(
         nearestCentroids(col(vecCol), model.centroids, nprobe)).as("cluster"))
       .distinct().collect().map(_.getInt(0))
-    val corpus = spark.read.parquet(s"$indexPath/corpus")
+    val corpusAll = spark.read.parquet(s"$indexPath/corpus")
       .filter(col("cluster").isin(probed.toIndexedSeq: _*))
+    val corpus = predicate.fold(corpusAll)(p => corpusAll.filter(p))
     val cm = corpus.select(col(idCol).as("n_id"), col("mrl"),
       col("cluster"))
     val q = queries

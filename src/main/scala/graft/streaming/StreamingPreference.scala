@@ -134,9 +134,13 @@ object StreamingPreference {
       "prompt_id", minMarginMicros, maxPairsPerPrompt)
     val p = new org.apache.hadoop.fs.Path(mintDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gen = if (fs.exists(p))
-      spark.read.parquet(mintDir).agg(max(col("_gen"))).head.getLong(0) + 1L
-    else 1L
+    // an existing mint dir can hold ZERO rows (a legal generation: no
+    // pair cleared the margin — heavy-vote regimes collapse every BT
+    // gap) — max over it is NULL, not a count
+    val gen = if (fs.exists(p)) {
+      val prev = spark.read.parquet(mintDir).agg(max(col("_gen"))).head
+      (if (prev.isNullAt(0)) 0L else prev.getLong(0)) + 1L
+    } else 1L
     pairs.withColumn("_gen", lit(gen)).write.mode("append")
       .parquet(mintDir)
     spark.catalog.refreshByPath(mintDir)
@@ -161,7 +165,45 @@ object StreamingPreference {
                              outDir: String, checkpoint: String,
                              promptCol: String = "prompt_id",
                              respCol: String = "resp_id",
-                             rewardCol: String = "reward"): DataFrame = {
+                             rewardCol: String = "reward"): DataFrame =
+    Preference.groupAdvantage(
+      drainRollouts(spark, feedDir, outDir, checkpoint, promptCol,
+        respCol, rewardCol),
+      promptCol, respCol, rewardCol)
+
+  /** [[Preference.passRateFilter]] over the same epoch-arriving
+    * rollout feed — the difficulty-window curation an RLVR pipeline
+    * runs beside the advantage view: per checkpoint, prompts whose
+    * deduplicated pass rate left the window drop with all their
+    * rollouts, exactly as the batch filter decides over the full
+    * feed (shared oracle). Recompute-per-checkpoint for the same
+    * reason as the advantage view: a new rollout retroactively moves
+    * its whole prompt's rate, so there is no per-row increment to
+    * save.
+    */
+  def rolloutPassRateStream(spark: SparkSession, feedDir: String,
+                            outDir: String, checkpoint: String,
+                            passReward: Long,
+                            loMicros: Long = 1L,
+                            hiMicros: Long = 999999L,
+                            promptCol: String = "prompt_id",
+                            respCol: String = "resp_id",
+                            rewardCol: String = "reward"): DataFrame =
+    Preference.passRateFilter(
+      drainRollouts(spark, feedDir, outDir, checkpoint, promptCol,
+        respCol, rewardCol),
+      promptCol, respCol, rewardCol, passReward, loMicros, hiMicros)
+
+  /** Drain the rollout feed through the checkpoint into `outDir` and
+    * return the DEDUPLICATED rollout relation: rollouts are immutable
+    * (a rollout id's reward never changes), so at-least-once
+    * re-delivery collapses exactly under the identity max per
+    * (prompt, rollout).
+    */
+  private def drainRollouts(spark: SparkSession, feedDir: String,
+                            outDir: String, checkpoint: String,
+                            promptCol: String, respCol: String,
+                            rewardCol: String): DataFrame = {
     val schema = spark.read.parquet(feedDir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -173,10 +215,9 @@ object StreamingPreference {
       .option("path", outDir)
       .start()
     q.awaitTermination()
-    val rolled = spark.read.parquet(outDir)
+    spark.read.parquet(outDir)
       .groupBy(col(promptCol), col(respCol))
       .agg(max(col(rewardCol)).as(rewardCol))
-    Preference.groupAdvantage(rolled, promptCol, respCol, rewardCol)
   }
 
   /** Latest-wins view of a changelog: the current resolution per pair

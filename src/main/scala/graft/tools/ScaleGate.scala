@@ -194,6 +194,12 @@ object ScaleGate {
     // AvailableNow startups + per-epoch commits dominate; 10× votes
     // must stay startup-bound
     "q_pref_stream" -> 3.0,
+    // per-checkpoint minting (round-16): two drains + two BT/filter
+    // recomputes — startup-bound like the resolver stream, with the
+    // vote-linear mint work riding the same envelope logic as batch
+    "q_pref_dpo_stream" -> 8.0,
+    "q_pref_grpo_stream" -> 8.0,
+    "q_pref_passrate_stream" -> 8.0,
     // same fixed-overhead assertion for the thread-QA changelog
     "q_sft_stream" -> 3.0,
     // SFT thread QA + its packing composition: one groupBy with
@@ -374,6 +380,11 @@ object ScaleGate {
     // delta-linear encode/compact work
     "q_v_stream_pq" -> 8.0,
     "q_v_stream_maint" -> 8.0,
+    // round-16 compositions, same fixed-overhead + delta-linear
+    // family: CDC into the MRL stored-prefix artifact; CDC into the
+    // attr-carrying HNSW index with a post-drain maintain pass
+    "q_v_stream_mrl" -> 8.0,
+    "q_v_stream_hnsw_maint" -> 8.0,
     // categorical TVD drops the window: grid aggregation only — same
     // family as the ordered form
     "q_p_tclose_cat" -> 8.0,
@@ -396,6 +407,9 @@ object ScaleGate {
     // shortlist scan reads the persisted prefix column only — the
     // ensureIndex build amortizes like the other *_idx arms
     "q_v_topk_mrl_idx" -> 6.0,
+    // filtered MRL: predicate can only shrink the prefix scan —
+    // the _flt family convention
+    "q_v_topk_mrl_flt" -> 6.0,
     // stratified split: one distinct + one window over the
     // distinct-hash table + one hash join — all corpus-linear
     "q_t_split_strat" -> 8.0,
