@@ -1811,6 +1811,28 @@ object StretchQueries {
           .getOrElse(sys.error(s"index at $scratch has no _ROWS")).toInt)
     }),
 
+    // incremental growth on the MRL artifact: build on HALF, append
+    // the other half (the delta slices to the stored _MRL_DIMS width
+    // schema-driven — a width mismatch would misscore every appended
+    // row's shortlist rank), full probe + exhaustive rescore ≡ brute
+    // force over ALL vectors — the q_v_topk_ivf_inc treatment
+    "q_v_topk_mrl_inc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mrl_inc_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      Ivf.writeIndex(half0, Ivf.train(half0, k = 4, iters = 2), idx,
+        mrlDims = 4)
+      Ivf.appendToIndex(half1, idx)
+      Ivf.searchIndexMrl(s, idx, emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 4,
+        rescoreK = Ivf.indexRowCount(s, idx)
+          .getOrElse(sys.error(s"index at $idx has no _ROWS")).toInt)
+    }),
+
     // filtered MRL search — the encoding family's last missing _flt
     // twin (float/q8/bin/pq/pqr/ivfc/hnsw all have one): the label
     // predicate applies AT the prefix-column shortlist scan, stacked
@@ -6108,6 +6130,8 @@ object StretchQueries {
       ("q_v_topk_ivf_idx" -> oracleSqlMap("q_v_topk")) +
       // stored-prefix MRL, full probe + exhaustive rescore ≡ brute
       ("q_v_topk_mrl_idx" -> oracleSqlMap("q_v_topk")) +
+      // incremental MRL growth: append slices the stored width
+      ("q_v_topk_mrl_inc" -> oracleSqlMap("q_v_topk")) +
       // filtered MRL: predicate at the prefix shortlist scan, full
       // probe + exhaustive rescore ≡ brute over the filtered corpus
       ("q_v_topk_mrl_flt" -> oracleSqlMap("q_v_topk_flt")) +

@@ -410,6 +410,9 @@ object ScaleGate {
     // filtered MRL: predicate can only shrink the prefix scan —
     // the _flt family convention
     "q_v_topk_mrl_flt" -> 6.0,
+    // incremental MRL: delta-assignment + prefix shortlist, the
+    // ivf_inc family shape
+    "q_v_topk_mrl_inc" -> 8.0,
     // stratified split: one distinct + one window over the
     // distinct-hash table + one hash join — all corpus-linear
     "q_t_split_strat" -> 8.0,
