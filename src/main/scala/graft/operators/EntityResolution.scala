@@ -405,6 +405,41 @@ object EntityResolution {
     pinned
   }
 
+  final case class DfCapStats(grams: Long, droppedGrams: Long,
+                              droppedPostings: Long, emptiedRecords: Long)
+
+  /** Dropped-gram accounting for the trigram posting family's `maxDf`
+    * stop-gram cap — the [[Dedup.winnowCandidateStats]] treatment
+    * (round-16): how many distinct grams and postings sit above the
+    * cap, and how many records lose their ENTIRE gram set — those
+    * vanish from the capped relation outright (no left side to
+    * judge), the loudest effect a capped production run must surface
+    * before it is read as full coverage. Gram derivation matches
+    * [[trigramPairsContainment]]/[[trigramPairsJaccard]] exactly
+    * (per-record distinct 3-grams of `keyCol`).
+    */
+  def trigramDfStats(records: DataFrame, idCol: String, keyCol: String,
+                     maxDf: Long): DfCapStats = {
+    val exploded = records
+      .select(col(idCol).as("__id"), col(keyCol).as("__k"))
+      .select(col("__id"), explode(array_distinct(expr(
+        "transform(sequence(1, greatest(length(__k) - 2, 1))," +
+          " i -> substring(__k, i, 3))"))).as("__g"))
+    val withDf = exploded.join(
+      exploded.groupBy(col("__g")).agg(count(lit(1)).as("__df")), "__g")
+    val r = withDf.agg(
+      countDistinct(col("__g")).as("grams"),
+      countDistinct(when(col("__df") > maxDf, col("__g")))
+        .as("dropped_grams"),
+      sum(when(col("__df") > maxDf, 1L).otherwise(0L))
+        .as("dropped_postings")).collect()(0)
+    val emptied = withDf.groupBy(col("__id"))
+      .agg(max(when(col("__df") <= maxDf, 1L).otherwise(0L)).as("__keep"))
+      .filter(col("__keep") === 0L).count()
+    def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    DfCapStats(l(0), l(1), l(2), emptied)
+  }
+
   /** Fellegi–Sunter field weights in micros from the field's m- and
     * u-probabilities (P(agree | match) and P(agree | non-match)):
     * (log₂(m/u), log₂((1−m)/(1−u))), each rounded to integer micros.

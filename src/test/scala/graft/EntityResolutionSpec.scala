@@ -283,5 +283,20 @@ class EntityResolutionSpec extends SparkSpec {
     assert(gotCapped.exists(p => p._1 == 7L && p._2 == 0L) &&
       gotCapped.exists(p => p._1 == 0L && p._2 == 7L),
       s"genuine overlap must survive the cap: $gotCapped")
+    // dropped-gram accounting (the winnowCandidateStats treatment):
+    // the stats replay the same census this test computed by hand
+    val stats = EntityResolution.trigramDfStats(recs, "id", "name", cap)
+    val wantDroppedGrams = df.count(_._2 > cap).toLong
+    val wantDroppedPostings = df.collect {
+      case (_, d) if d > cap => d
+    }.sum
+    val wantEmptied = names.count(n => grams(n).forall(g => df(g) > cap))
+    assert(stats.grams == df.size.toLong &&
+      stats.droppedGrams == wantDroppedGrams &&
+      stats.droppedPostings == wantDroppedPostings &&
+      stats.emptiedRecords == wantEmptied.toLong,
+      s"stats diverged from the hand census: $stats vs " +
+        s"(${df.size}, $wantDroppedGrams, $wantDroppedPostings, " +
+        s"$wantEmptied)")
   }
 }
