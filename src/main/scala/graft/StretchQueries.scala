@@ -2234,6 +2234,102 @@ object StretchQueries {
           .getOrElse(sys.error(s"index at $idx has no _ROWS")).toInt)
     }),
 
+    // CDC into the int8-quantized artifact: appendToIndex re-derives
+    // the q8 column for each epoch's delta schema-driven — a delta
+    // missing (or mis-scaling) its codes would ADC-misscore every
+    // appended row. Full probe + exhaustive rescore after the drain ≡
+    // brute force over latest-minus-tombstones (q_v_stream_cdc's
+    // oracle). The only gate exercising the q8 APPEND branch — the
+    // build-time arm q_v_topk_ivfc never appends
+    "q_v_stream_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_vsq8_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val (feed, ckpt, idx) = (s"$scratch/feed", s"$scratch/ckpt",
+        s"$scratch/idx")
+      Ivf.ensureIndex(emb, s"$dir/embeddings.parquet", idx, k = 4,
+        iters = 2, quantize = true)
+      val e1 = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => (-x).cast("float"))
+            .as("embedding"),
+          col("label"), lit("U").as("op"))
+        .unionByName(emb.filter(col("vec_id") % 5 === 3)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding"), col("label"),
+            lit("I").as("op")))
+        .unionByName(emb.filter(col("vec_id") % 11 === 5 &&
+            col("vec_id") % 7 =!= 0)
+          .select(col("vec_id"), col("embedding"), col("label"),
+            lit("D").as("op")))
+      e1.coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+        ckpt, opCol = Some("op"))
+      emb.filter(col("vec_id") % 14 === 0)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          lit("U").as("op"))
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+        ckpt, opCol = Some("op"))
+      val latestQ = emb.filter(col("vec_id") < 16 &&
+          !(col("vec_id") % 11 === 5 && col("vec_id") % 7 =!= 0))
+        .select(col("vec_id"),
+          when(col("vec_id") % 7 === 0 && col("vec_id") % 14 =!= 0,
+            transform(col("embedding"), x => (-x).cast("float")))
+            .otherwise(col("embedding")).as("embedding"))
+      Ivf.searchIndexCompressed(s, idx, latestQ, k = 5, nprobe = 4,
+        rescoreK = Ivf.indexRowCount(s, idx)
+          .getOrElse(sys.error(s"index at $idx has no _ROWS")).toInt)
+    }),
+
+    // the sign-packed twin: the b-column APPEND branch under the same
+    // CDC drain, exhaustive Hamming shortlist + exact rescore ≡ the
+    // same latest snapshot
+    "q_v_stream_bin" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_vbin_q_${graft.engine.Scratch.runToken}"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val (feed, ckpt, idx) = (s"$scratch/feed", s"$scratch/ckpt",
+        s"$scratch/idx")
+      Ivf.ensureIndex(emb, s"$dir/embeddings.parquet", idx, k = 4,
+        iters = 2, binarize = true)
+      val e1 = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => (-x).cast("float"))
+            .as("embedding"),
+          col("label"), lit("U").as("op"))
+        .unionByName(emb.filter(col("vec_id") % 5 === 3)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding"), col("label"),
+            lit("I").as("op")))
+        .unionByName(emb.filter(col("vec_id") % 11 === 5 &&
+            col("vec_id") % 7 =!= 0)
+          .select(col("vec_id"), col("embedding"), col("label"),
+            lit("D").as("op")))
+      e1.coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+        ckpt, opCol = Some("op"))
+      emb.filter(col("vec_id") % 14 === 0)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          lit("U").as("op"))
+        .coalesce(1).write.mode("append").parquet(feed)
+      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+        ckpt, opCol = Some("op"))
+      val latestQ = emb.filter(col("vec_id") < 16 &&
+          !(col("vec_id") % 11 === 5 && col("vec_id") % 7 =!= 0))
+        .select(col("vec_id"),
+          when(col("vec_id") % 7 === 0 && col("vec_id") % 14 =!= 0,
+            transform(col("embedding"), x => (-x).cast("float")))
+            .otherwise(col("embedding")).as("embedding"))
+      Ivf.searchIndexBin(s, idx, latestQ, k = 5, nprobe = 4,
+        shortlistK = Ivf.indexRowCount(s, idx)
+          .getOrElse(sys.error(s"index at $idx has no _ROWS")).toInt)
+    }),
+
     // the maintenance autopilot COMPOSED with the streaming write
     // path: CDC epochs genuinely fragment posting lists (each
     // delete-then-append adds at least one file per touched
@@ -6137,6 +6233,10 @@ object StretchQueries {
       ("q_v_topk_mrl_flt" -> oracleSqlMap("q_v_topk_flt")) +
       // CDC into the MRL artifact drains to the same latest snapshot
       ("q_v_stream_mrl" -> oracleSqlMap("q_v_stream_cdc")) +
+      // CDC into the q8/bin artifacts: the code-column append
+      // branches under the same latest-snapshot relation
+      ("q_v_stream_sq8" -> oracleSqlMap("q_v_stream_cdc")) +
+      ("q_v_stream_bin" -> oracleSqlMap("q_v_stream_cdc")) +
       // full-probe filtered search ≡ brute force over the matching
       // set: the per-query arm shares the positives oracle outright;
       // the static-predicate arm gets its own WHERE'd brute force

@@ -385,6 +385,10 @@ object ScaleGate {
     // attr-carrying HNSW index with a post-drain maintain pass
     "q_v_stream_mrl" -> 8.0,
     "q_v_stream_hnsw_maint" -> 8.0,
+    // CDC into the q8/bin artifacts: same family, plus the delta's
+    // code derivation (linear in the delta)
+    "q_v_stream_sq8" -> 8.0,
+    "q_v_stream_bin" -> 8.0,
     // categorical TVD drops the window: grid aggregation only — same
     // family as the ordered form
     "q_p_tclose_cat" -> 8.0,
