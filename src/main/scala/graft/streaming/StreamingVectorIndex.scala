@@ -113,13 +113,16 @@ object StreamingVectorIndex {
         // ids stay a DataFrame and the delete is a write-side
         // semi/anti join, so the driver never materializes the list.
         // Both paths produce the identical index state (spec-pinned).
+        // ONE job decides the route: collect at most cap+1 ids — a
+        // full result means the batch is over the cap (and the driver
+        // never held more than cap+1 ids), without a separate count
         val touchedIds = batch.select(col(idCol)).distinct()
-        val nTouched = touchedIds.count()
-        if (nTouched > 0) {
-          if (nTouched <= maxInlineDeleteIds) {
-            val touched = touchedIds.collect().map(_.get(0)).toIndexedSeq
-            deleteFn(col(idCol).isin(touched: _*))
-          } else deleteIdsFn(touchedIds)
+        val probe = touchedIds.limit(maxInlineDeleteIds + 1)
+          .collect().map(_.get(0)).toIndexedSeq
+        if (probe.nonEmpty) {
+          if (probe.size <= maxInlineDeleteIds)
+            deleteFn(col(idCol).isin(probe: _*))
+          else deleteIdsFn(touchedIds)
           if (!latest.isEmpty) appendFn(latest)
         }
         ()
