@@ -39,6 +39,49 @@ object StretchQueries {
     }
   }
 
+  /** The standard I/U/D CDC construction the five stream-encoding
+    * arms (cdc/pq/mrl/sq8/bin) share under ONE oracle
+    * (q_v_stream_cdc's): epoch 1 negates the %7 ids' vectors (U),
+    * inserts +1e6 reversed vectors for %5≡3 (I), and tombstones
+    * %11≡5 ∧ %7≢0 (D); epoch 2 re-updates the %14 ids back. `drain`
+    * runs the index-specific upsert stream after each epoch write.
+    * Returns the latest-snapshot query set the search arm must
+    * reproduce. ONE definition on purpose: five verbatim copies of
+    * this synth would have to stay character-identical with the
+    * shared oracle — an edit to one copy would silently
+    * desynchronize that arm and read as an operator bug (round-16
+    * review).
+    */
+  private def cdcEpochs(emb: DataFrame, feed: String)
+                       (drain: => Unit): DataFrame = {
+    val e1 = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => (-x).cast("float"))
+          .as("embedding"),
+        col("label"), lit("U").as("op"))
+      .unionByName(emb.filter(col("vec_id") % 5 === 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding"), col("label"),
+          lit("I").as("op")))
+      .unionByName(emb.filter(col("vec_id") % 11 === 5 &&
+          col("vec_id") % 7 =!= 0)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          lit("D").as("op")))
+    e1.coalesce(1).write.mode("append").parquet(feed)
+    drain
+    emb.filter(col("vec_id") % 14 === 0)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        lit("U").as("op"))
+      .coalesce(1).write.mode("append").parquet(feed)
+    drain
+    emb.filter(col("vec_id") < 16 &&
+        !(col("vec_id") % 11 === 5 && col("vec_id") % 7 =!= 0))
+      .select(col("vec_id"),
+        when(col("vec_id") % 7 === 0 && col("vec_id") % 14 =!= 0,
+          transform(col("embedding"), x => (-x).cast("float")))
+          .otherwise(col("embedding")).as("embedding"))
+  }
+
   /** documents ∪ a perturbed copy of itself — the standard self-test
     * corpus for near-dup detection (every doc has exactly one planted
     * near-duplicate, id + 1,000,000, with three extra tokens).
@@ -748,12 +791,17 @@ object StretchQueries {
       // lang staged BEFORE the explode — a projection after a Generate
       // is evaluated per OUTPUT row, which would run the textProfile
       // kernel once per token instead of once per document (NOTES
-      // lesson #1, generator edition: measured 7 s → ~1 s at sf0.1)
-      val d = t(s, dir, "documents")
-        .select(graft.functions.NativeExpressions.textProfile(col("text"))
-            .getField("lang_pred").as("lang"),
-          TextFunctions.tokens(col("text")).as("__t"))
-        .select(col("lang"), explode(col("__t")).as("token"))
+      // lesson #1, generator edition: measured 7 s → ~1 s at sf0.1).
+      // The per-doc (lang, tokens) stage MATERIALIZES once: both the
+      // estimate and the exact branch re-derive from it, and an
+      // unmaterialized stage would run the profile kernel twice
+      val staged = graft.operators.Materialize.viaScratch(
+        t(s, dir, "documents")
+          .select(graft.functions.NativeExpressions.textProfile(col("text"))
+              .getField("lang_pred").as("lang"),
+            TextFunctions.tokens(col("text")).as("__t")),
+        "graft-hll-q")
+      val d = staged.select(col("lang"), explode(col("__t")).as("token"))
       val est = graft.operators.Sketch.distinctPerGroup(d, "lang",
         "token")(s)
       val exact = d.groupBy(col("lang"))
@@ -2098,34 +2146,10 @@ object StretchQueries {
         s"$scratch/idx")
       Ivf.ensureIndex(emb, s"$dir/embeddings.parquet", idx, k = 4,
         iters = 2)
-      val e1 = emb.filter(col("vec_id") % 7 === 0)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => (-x).cast("float"))
-            .as("embedding"),
-          col("label"), lit("U").as("op"))
-        .unionByName(emb.filter(col("vec_id") % 5 === 3)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
-            reverse(col("embedding")).as("embedding"), col("label"),
-            lit("I").as("op")))
-        .unionByName(emb.filter(col("vec_id") % 11 === 5 &&
-            col("vec_id") % 7 =!= 0)
-          .select(col("vec_id"), col("embedding"), col("label"),
-            lit("D").as("op")))
-      e1.coalesce(1).write.mode("append").parquet(feed)
-      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
-        ckpt, opCol = Some("op"))
-      emb.filter(col("vec_id") % 14 === 0)
-        .select(col("vec_id"), col("embedding"), col("label"),
-          lit("U").as("op"))
-        .coalesce(1).write.mode("append").parquet(feed)
-      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
-        ckpt, opCol = Some("op"))
-      val latestQ = emb.filter(col("vec_id") < 16 &&
-          !(col("vec_id") % 11 === 5 && col("vec_id") % 7 =!= 0))
-        .select(col("vec_id"),
-          when(col("vec_id") % 7 === 0 && col("vec_id") % 14 =!= 0,
-            transform(col("embedding"), x => (-x).cast("float")))
-            .otherwise(col("embedding")).as("embedding"))
+      val latestQ = cdcEpochs(emb, feed) {
+        graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+          ckpt, opCol = Some("op"))
+      }
       Ivf.searchIndex(s, idx, latestQ, k = 5, nprobe = 4)
     }),
 
@@ -2151,34 +2175,10 @@ object StretchQueries {
       Ivf.ensureIndexPqResidual(emb, s"$dir/embeddings.parquet", idx,
         k = 4, iters = 2, pqM = 8, pqK = 16, pqIters = 4,
         pqSampleN = 1024)
-      val e1 = emb.filter(col("vec_id") % 7 === 0)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => (-x).cast("float"))
-            .as("embedding"),
-          col("label"), lit("U").as("op"))
-        .unionByName(emb.filter(col("vec_id") % 5 === 3)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
-            reverse(col("embedding")).as("embedding"), col("label"),
-            lit("I").as("op")))
-        .unionByName(emb.filter(col("vec_id") % 11 === 5 &&
-            col("vec_id") % 7 =!= 0)
-          .select(col("vec_id"), col("embedding"), col("label"),
-            lit("D").as("op")))
-      e1.coalesce(1).write.mode("append").parquet(feed)
-      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
-        ckpt, opCol = Some("op"))
-      emb.filter(col("vec_id") % 14 === 0)
-        .select(col("vec_id"), col("embedding"), col("label"),
-          lit("U").as("op"))
-        .coalesce(1).write.mode("append").parquet(feed)
-      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
-        ckpt, opCol = Some("op"))
-      val latestQ = emb.filter(col("vec_id") < 16 &&
-          !(col("vec_id") % 11 === 5 && col("vec_id") % 7 =!= 0))
-        .select(col("vec_id"),
-          when(col("vec_id") % 7 === 0 && col("vec_id") % 14 =!= 0,
-            transform(col("embedding"), x => (-x).cast("float")))
-            .otherwise(col("embedding")).as("embedding"))
+      val latestQ = cdcEpochs(emb, feed) {
+        graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+          ckpt, opCol = Some("op"))
+      }
       Ivf.searchIndexPqResidual(s, idx, latestQ, k = 5, nprobe = 4,
         rescoreK = Ivf.indexRowCount(s, idx)
           .getOrElse(sys.error(s"index at $idx has no _ROWS")).toInt)
@@ -2201,34 +2201,10 @@ object StretchQueries {
         s"$scratch/idx")
       Ivf.ensureIndexMrl(emb, s"$dir/embeddings.parquet", idx, k = 4,
         mrlDims = 4, iters = 2)
-      val e1 = emb.filter(col("vec_id") % 7 === 0)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => (-x).cast("float"))
-            .as("embedding"),
-          col("label"), lit("U").as("op"))
-        .unionByName(emb.filter(col("vec_id") % 5 === 3)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
-            reverse(col("embedding")).as("embedding"), col("label"),
-            lit("I").as("op")))
-        .unionByName(emb.filter(col("vec_id") % 11 === 5 &&
-            col("vec_id") % 7 =!= 0)
-          .select(col("vec_id"), col("embedding"), col("label"),
-            lit("D").as("op")))
-      e1.coalesce(1).write.mode("append").parquet(feed)
-      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
-        ckpt, opCol = Some("op"))
-      emb.filter(col("vec_id") % 14 === 0)
-        .select(col("vec_id"), col("embedding"), col("label"),
-          lit("U").as("op"))
-        .coalesce(1).write.mode("append").parquet(feed)
-      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
-        ckpt, opCol = Some("op"))
-      val latestQ = emb.filter(col("vec_id") < 16 &&
-          !(col("vec_id") % 11 === 5 && col("vec_id") % 7 =!= 0))
-        .select(col("vec_id"),
-          when(col("vec_id") % 7 === 0 && col("vec_id") % 14 =!= 0,
-            transform(col("embedding"), x => (-x).cast("float")))
-            .otherwise(col("embedding")).as("embedding"))
+      val latestQ = cdcEpochs(emb, feed) {
+        graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+          ckpt, opCol = Some("op"))
+      }
       Ivf.searchIndexMrl(s, idx, latestQ, k = 5, nprobe = 4,
         rescoreK = Ivf.indexRowCount(s, idx)
           .getOrElse(sys.error(s"index at $idx has no _ROWS")).toInt)
@@ -2251,34 +2227,10 @@ object StretchQueries {
         s"$scratch/idx")
       Ivf.ensureIndex(emb, s"$dir/embeddings.parquet", idx, k = 4,
         iters = 2, quantize = true)
-      val e1 = emb.filter(col("vec_id") % 7 === 0)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => (-x).cast("float"))
-            .as("embedding"),
-          col("label"), lit("U").as("op"))
-        .unionByName(emb.filter(col("vec_id") % 5 === 3)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
-            reverse(col("embedding")).as("embedding"), col("label"),
-            lit("I").as("op")))
-        .unionByName(emb.filter(col("vec_id") % 11 === 5 &&
-            col("vec_id") % 7 =!= 0)
-          .select(col("vec_id"), col("embedding"), col("label"),
-            lit("D").as("op")))
-      e1.coalesce(1).write.mode("append").parquet(feed)
-      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
-        ckpt, opCol = Some("op"))
-      emb.filter(col("vec_id") % 14 === 0)
-        .select(col("vec_id"), col("embedding"), col("label"),
-          lit("U").as("op"))
-        .coalesce(1).write.mode("append").parquet(feed)
-      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
-        ckpt, opCol = Some("op"))
-      val latestQ = emb.filter(col("vec_id") < 16 &&
-          !(col("vec_id") % 11 === 5 && col("vec_id") % 7 =!= 0))
-        .select(col("vec_id"),
-          when(col("vec_id") % 7 === 0 && col("vec_id") % 14 =!= 0,
-            transform(col("embedding"), x => (-x).cast("float")))
-            .otherwise(col("embedding")).as("embedding"))
+      val latestQ = cdcEpochs(emb, feed) {
+        graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+          ckpt, opCol = Some("op"))
+      }
       Ivf.searchIndexCompressed(s, idx, latestQ, k = 5, nprobe = 4,
         rescoreK = Ivf.indexRowCount(s, idx)
           .getOrElse(sys.error(s"index at $idx has no _ROWS")).toInt)
@@ -2297,34 +2249,10 @@ object StretchQueries {
         s"$scratch/idx")
       Ivf.ensureIndex(emb, s"$dir/embeddings.parquet", idx, k = 4,
         iters = 2, binarize = true)
-      val e1 = emb.filter(col("vec_id") % 7 === 0)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => (-x).cast("float"))
-            .as("embedding"),
-          col("label"), lit("U").as("op"))
-        .unionByName(emb.filter(col("vec_id") % 5 === 3)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
-            reverse(col("embedding")).as("embedding"), col("label"),
-            lit("I").as("op")))
-        .unionByName(emb.filter(col("vec_id") % 11 === 5 &&
-            col("vec_id") % 7 =!= 0)
-          .select(col("vec_id"), col("embedding"), col("label"),
-            lit("D").as("op")))
-      e1.coalesce(1).write.mode("append").parquet(feed)
-      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
-        ckpt, opCol = Some("op"))
-      emb.filter(col("vec_id") % 14 === 0)
-        .select(col("vec_id"), col("embedding"), col("label"),
-          lit("U").as("op"))
-        .coalesce(1).write.mode("append").parquet(feed)
-      graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
-        ckpt, opCol = Some("op"))
-      val latestQ = emb.filter(col("vec_id") < 16 &&
-          !(col("vec_id") % 11 === 5 && col("vec_id") % 7 =!= 0))
-        .select(col("vec_id"),
-          when(col("vec_id") % 7 === 0 && col("vec_id") % 14 =!= 0,
-            transform(col("embedding"), x => (-x).cast("float")))
-            .otherwise(col("embedding")).as("embedding"))
+      val latestQ = cdcEpochs(emb, feed) {
+        graft.streaming.StreamingVectorIndex.upsertStream(s, feed, idx,
+          ckpt, opCol = Some("op"))
+      }
       Ivf.searchIndexBin(s, idx, latestQ, k = 5, nprobe = 4,
         shortlistK = Ivf.indexRowCount(s, idx)
           .getOrElse(sys.error(s"index at $idx has no _ROWS")).toInt)

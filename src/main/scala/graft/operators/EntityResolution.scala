@@ -420,24 +420,36 @@ object EntityResolution {
     */
   def trigramDfStats(records: DataFrame, idCol: String, keyCol: String,
                      maxDf: Long): DfCapStats = {
-    val exploded = records
-      .select(col(idCol).as("__id"), col(keyCol).as("__k"))
-      .select(col("__id"), explode(array_distinct(expr(
-        "transform(sequence(1, greatest(length(__k) - 2, 1))," +
-          " i -> substring(__k, i, 3))"))).as("__g"))
-    val withDf = exploded.join(
-      exploded.groupBy(col("__g")).agg(count(lit(1)).as("__df")), "__g")
-    val r = withDf.agg(
-      countDistinct(col("__g")).as("grams"),
-      countDistinct(when(col("__df") > maxDf, col("__g")))
-        .as("dropped_grams"),
-      sum(when(col("__df") > maxDf, 1L).otherwise(0L))
-        .as("dropped_postings")).collect()(0)
-    val emptied = withDf.groupBy(col("__id"))
-      .agg(max(when(col("__df") <= maxDf, 1L).otherwise(0L)).as("__keep"))
-      .filter(col("__keep") === 0L).count()
-    def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
-    DfCapStats(l(0), l(1), l(2), emptied)
+    // the exploded posting table materializes ONCE (the operator's
+    // own viaScratch discipline): the gram-level census and the
+    // record-level emptied count both read it, and an unmaterialized
+    // table would recompute the explode + df join per action
+    val (withDf, scratch) = Materialize.viaScratchWithPath(
+      {
+        val exploded = records
+          .select(col(idCol).as("__id"), col(keyCol).as("__k"))
+          .select(col("__id"), explode(array_distinct(expr(
+            "transform(sequence(1, greatest(length(__k) - 2, 1))," +
+              " i -> substring(__k, i, 3))"))).as("__g"))
+        exploded.join(
+          exploded.groupBy(col("__g")).agg(count(lit(1)).as("__df")),
+          "__g")
+      },
+      "graft-er-dfstats")
+    try {
+      val r = withDf.agg(
+        countDistinct(col("__g")).as("grams"),
+        countDistinct(when(col("__df") > maxDf, col("__g")))
+          .as("dropped_grams"),
+        sum(when(col("__df") > maxDf, 1L).otherwise(0L))
+          .as("dropped_postings")).collect()(0)
+      val emptied = withDf.groupBy(col("__id"))
+        .agg(max(when(col("__df") <= maxDf, 1L).otherwise(0L))
+          .as("__keep"))
+        .filter(col("__keep") === 0L).count()
+      def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+      DfCapStats(l(0), l(1), l(2), emptied)
+    } finally scratch.drop()
   }
 
   /** Fellegi–Sunter field weights in micros from the field's m- and

@@ -527,7 +527,7 @@ object Ivf {
     }
   }
 
-  private[operators] def writeCountFile(spark: SparkSession, pathStr: String,
+  private[graft] def writeCountFile(spark: SparkSession, pathStr: String,
                              n: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(pathStr)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -535,7 +535,7 @@ object Ivf {
     o.write(n.toString.getBytes("UTF-8")); o.close()
   }
 
-  private[operators] def readCountFile(spark: SparkSession,
+  private[graft] def readCountFile(spark: SparkSession,
                             pathStr: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(pathStr)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

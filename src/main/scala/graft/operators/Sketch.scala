@@ -217,7 +217,9 @@ object Sketch {
   /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002) — the
     * sketch family's one EXACTLY-replayable member. HLL's estimate is
     * a register-layout artifact no second engine reproduces (q_t_hll
-    * is rows-only for exactly that reason); KMV's estimate is a pure
+    * therefore oracles the exact count plus the machine-checked error
+    * ENVELOPE rather than the estimate value — round-16); KMV's
+    * estimate is a pure
     * integer function of the k smallest 48-bit hash values of the
     * distinct elements, and the hash is md5 — which every SQL engine
     * computes bit-identically. A DuckDB oracle therefore replays the

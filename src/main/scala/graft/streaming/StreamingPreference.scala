@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 
-import graft.operators.Preference
+import graft.operators.{Ivf, Preference}
 
 /** Preference resolution as a structured stream — continuous
   * annotation ingest for the pipeline [[Preference.resolveAnnotations]]
@@ -119,6 +119,16 @@ object StreamingPreference {
     * which after a full drain is bit-identical to the batch chain
     * over the whole feed — the gate shares `q_pref_dpo_all`'s oracle.
     *
+    * The CURRENT generation number lives in the `_GEN` counter file
+    * beside the rows, NOT in max(`_gen`) over them: an EMPTY
+    * generation is legal (heavy-vote regimes collapse every BT gap)
+    * and leaves no row to carry its number — a consumer inferring
+    * the snapshot from row contents would resurrect the previous
+    * generation's pairs, the exact failure this discipline exists to
+    * prevent, and the next mint would silently reuse the number.
+    * Consumers read `_GEN` = g, then take rows with `_gen` = g
+    * (possibly none).
+    *
     * BT is a global fixed-point, so minting is per-CHECKPOINT, not
     * per-row: each generation costs one bounded-rounds MM pass over
     * the current resolution — the nightly-mint deployment loop, same
@@ -132,18 +142,24 @@ object StreamingPreference {
       Preference.bradleyTerry(latest(spark.read.parquet(changelogDir)),
         "prompt_id", rounds),
       "prompt_id", minMarginMicros, maxPairsPerPrompt)
-    val p = new org.apache.hadoop.fs.Path(mintDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // an existing mint dir can hold ZERO rows (a legal generation: no
-    // pair cleared the margin — heavy-vote regimes collapse every BT
-    // gap) — max over it is NULL, not a count
-    val gen = if (fs.exists(p)) {
-      val prev = spark.read.parquet(mintDir).agg(max(col("_gen"))).head
-      (if (prev.isNullAt(0)) 0L else prev.getLong(0)) + 1L
-    } else 1L
+    val gen = Ivf.readCountFile(spark, s"$mintDir/_GEN")
+      .getOrElse(0L) + 1L
     pairs.withColumn("_gen", lit(gen)).write.mode("append")
       .parquet(mintDir)
+    Ivf.writeCountFile(spark, s"$mintDir/_GEN", gen)
     spark.catalog.refreshByPath(mintDir)
+    spark.read.parquet(mintDir).filter(col("_gen") === gen).drop("_gen")
+  }
+
+  /** The consumer read of a [[mintDpoStream]] artifact: the current
+    * generation's rows by the `_GEN` counter — empty when the latest
+    * mint legally produced no pair. This, not max(`_gen`), is the
+    * read discipline; see [[mintDpoStream]].
+    */
+  def currentMint(spark: SparkSession, mintDir: String): DataFrame = {
+    val gen = Ivf.readCountFile(spark, s"$mintDir/_GEN").getOrElse(
+      sys.error(s"no _GEN counter at $mintDir — not a mintDpoStream " +
+        "artifact"))
     spark.read.parquet(mintDir).filter(col("_gen") === gen).drop("_gen")
   }
 

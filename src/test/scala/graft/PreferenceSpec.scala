@@ -148,6 +148,18 @@ class PreferenceSpec extends SparkSpec {
     assert(gens.filter(col("_gen") === 1L).count() == 1 &&
       gens.filter(col("_gen") === 2L).count() == 0,
       "generation history must persist in the mint dir")
+    // the EMPTY generation is representable: the _GEN counter (not
+    // max(_gen) over rows) names the current snapshot, so a consumer
+    // reads generation 2 as empty instead of resurrecting gen 1's
+    // pair, and the next mint cannot reuse the number
+    assert(StreamingPreference.currentMint(spark, mint).count() == 0,
+      "consumer view of the empty generation must be empty")
+    val g3 = StreamingPreference.mintDpoStream(spark, out, mint,
+      rounds = 3, minMarginMicros = 200000L)
+    assert(g3.count() == 0 &&
+      graft.operators.Ivf.readCountFile(spark, s"$mint/_GEN")
+        .contains(3L),
+      "generation numbering must stay monotone past an empty one")
     // rollouts: drain, then REPLAY the same feed through a fresh
     // checkpoint — the accumulation duplicates but identity-max
     // dedup keeps the advantage view equal to batch
