@@ -369,6 +369,95 @@ object Hnsw {
     }
   }
 
+  /** Build every shard of `input` and CARRY the attribute columns
+    * through the per-shard group (round-16 optimization): the attrs
+    * ride the one shuffle the rebuild already pays instead of
+    * re-joining onto the built graph afterwards — the join was the
+    * measured majority of every attr-carrying rebuild (SMJ of the
+    * heavy graph rows under the at-scale layout). Precedence is the
+    * pinned delta-wins rule, resolved inside the group: every emitted
+    * row of an id takes the attrs of the id's `__delta = true` row
+    * when one exists (the newest write), else its stored row's — so
+    * the tolerated re-appended-id state keeps exactly the semantics
+    * the round-15 ADVICE fix gave the join form (HnswSpec pins it).
+    *
+    * `input` columns, in order: cluster (int), vec_id (long),
+    * vec (array<float>), `__delta` (boolean), then `attrs`. With no
+    * attrs the typed fast path is unchanged.
+    */
+  private def buildShardsCarryingAttrs(input: org.apache.spark.sql.DataFrame,
+      attrs: Seq[String], m: Int, efC: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    if (attrs.isEmpty) {
+      input.select(col("cluster"), col("vec_id"), col("vec"))
+        .as[(Int, Long, Seq[Float])]
+        .groupByKey(_._1)
+        .flatMapGroups((cl, it) =>
+          buildShard(cl, it.map(r => (r._2, r._3)), m, efC))
+        .toDF()
+    } else {
+      import org.apache.spark.sql.types._
+      val attrFields = attrs.map(a => input.schema(a))
+      val outSchema = StructType(Seq(
+        StructField("cluster", IntegerType, nullable = false),
+        StructField("vec_id", LongType, nullable = false),
+        StructField("vec", ArrayType(FloatType)),
+        StructField("adj", ArrayType(ArrayType(LongType)))) ++ attrFields)
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val nAttrs = attrs.length
+      input.groupByKey(_.getInt(0))(org.apache.spark.sql.Encoders.scalaInt)
+        .flatMapGroups { (cl: Int, it: Iterator[org.apache.spark.sql.Row]) =>
+          val rows = it.toArray
+          // id → attr values; a delta row overwrites (newest write
+          // wins), a stored row only fills a gap. The epoch contract
+          // is one delta row per id — conflicting duplicate delta
+          // attrs for one id are malformed input here exactly as they
+          // were for the join form.
+          val attrOf = new java.util.HashMap[Long, Array[Any]](rows.length)
+          rows.foreach { r =>
+            val id = r.getLong(1)
+            if (r.getBoolean(3)) {
+              val av = new Array[Any](nAttrs)
+              var k = 0
+              while (k < nAttrs) { av(k) = r.get(4 + k); k += 1 }
+              attrOf.put(id, av): Unit
+            }
+          }
+          rows.foreach { r =>
+            val id = r.getLong(1)
+            if (!attrOf.containsKey(id)) {
+              val av = new Array[Any](nAttrs)
+              var k = 0
+              while (k < nAttrs) { av(k) = r.get(4 + k); k += 1 }
+              attrOf.put(id, av): Unit
+            }
+          }
+          buildShard(cl,
+            rows.iterator.map(r => (r.getLong(1), r.getSeq[Float](2))),
+            m, efC).map { node =>
+            org.apache.spark.sql.Row.fromSeq(
+              Seq(node.cluster, node.vec_id, node.vec, node.adj) ++
+                attrOf.get(node.vec_id))
+          }
+        }(enc)
+    }
+  }
+
+  /** Shape `df`'s (cluster, id, vec, attrs) into
+    * [[buildShardsCarryingAttrs]]'s input layout. */
+  private def shardInput(df: org.apache.spark.sql.DataFrame,
+      clusterCol: org.apache.spark.sql.Column,
+      idCol: org.apache.spark.sql.Column,
+      vecCol: org.apache.spark.sql.Column,
+      delta: Boolean, attrs: Seq[String])
+      : org.apache.spark.sql.DataFrame =
+    df.select(clusterCol.cast("int").as("cluster") +:
+      idCol.cast("long").as("vec_id") +:
+      vecCol.cast("array<float>").as("vec") +:
+      lit(delta).as("__delta") +: attrs.map(col): _*)
+
   /** Build-if-stale the sharded HNSW artifact at `indexPath`:
     * `centroids` (the coarse router, [[Ivf]]'s format) +
     * `graph/cluster=N` (nodes with vectors and adjacency, one hive
@@ -397,25 +486,18 @@ object Hnsw {
         s"idCol=$idCol,vecCol=$vecCol,src=$sourcePath",
       markerName = "_INDEX_READY") { dir =>
       val spark = df.sparkSession
-      import spark.implicits._
       val model = Ivf.train(df, shards, iters, seed, idCol, vecCol)
       Ivf.saveModel(spark, model, s"$dir/centroids")
-      val graph = Ivf.assign(df, model, vecCol)
-        .select(col("cluster"), col(idCol).cast("long").as("id"),
-          col(vecCol).cast("array<float>").as("vec"))
-        .as[(Int, Long, Seq[Float])]
-        .groupByKey(_._1)
-        .flatMapGroups((cl, it) =>
-          buildShard(cl, it.map(r => (r._2, r._3)), m, efC))
-        .toDF()
-      // attribute columns ride the graph rows themselves (one
-      // build-time join), so a filtered search evaluates its predicate
-      // scan-side on the shard it reads — no side table, no second
-      // lookup at query time
-      val out = if (attrCols.isEmpty) graph
-        else graph.join(
-          df.select(col(idCol).cast("long").as("vec_id") +:
-            attrCols.map(col): _*), Seq("vec_id"))
+      // attribute columns ride the graph rows themselves, CARRIED
+      // through the build shuffle (round-16; the old post-build join
+      // re-shuffled every heavy graph row), so a filtered search
+      // evaluates its predicate scan-side on the shard it reads — no
+      // side table, no second lookup at query time
+      val out = buildShardsCarryingAttrs(
+        shardInput(Ivf.assign(df, model, vecCol),
+          col("cluster"), col(idCol), col(vecCol),
+          delta = false, attrCols),
+        attrCols, m, efC)
       out.write.partitionBy("cluster").mode("overwrite")
         .parquet(s"$dir/graph")
       // drift-meter base: build-time row count, the denominator of
@@ -529,11 +611,10 @@ object Hnsw {
     require(missing.isEmpty,
       s"index at $indexPath stores attribute column(s) ${attrs.mkString(",")}; " +
         s"the append delta lacks ${missing.mkString(",")}")
-    val assigned = Ivf.assign(df, model, vecCol)
-      .select(col("cluster"), col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<float>").as("vec"))
-      .as[(Int, Long, Seq[Float])]
-    val touched = assigned.map(_._1).distinct().collect().sorted
+    val assigned = shardInput(Ivf.assign(df, model, vecCol),
+      col("cluster"), col(idCol), col(vecCol), delta = true, attrs)
+    val touched = assigned.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted
     // a graph deleted to EMPTY (all-tombstone CDC epoch) has no
     // parquet left to infer a schema from — the next append rebuilds
     // its touched shards from the delta alone instead of crashing on
@@ -541,43 +622,22 @@ object Hnsw {
     val hasGraph = Ivf.hasParquetFiles(spark, s"$indexPath/graph")
     val existing =
       if (hasGraph)
-        spark.read.parquet(s"$indexPath/graph")
-          .filter(col("cluster").isin(touched.toIndexedSeq: _*))
-          .select(col("cluster"), col("vec_id").as("id"), col("vec"))
-          .as[(Int, Long, Seq[Float])]
-      else spark.emptyDataset[(Int, Long, Seq[Float])]
-    val rebuiltBare = existing.union(assigned)
-      .groupByKey(_._1)
-      .flatMapGroups((cl, it) =>
-        buildShard(cl, it.map(r => (r._2, r._3)), m, efC))
-      .toDF()
-    // attrs re-join on (cluster, vec_id) — NOT vec_id alone — with
-    // delta-wins precedence (round-15 ADVICE, mirroring the delete-
-    // path fix): the append contract tolerates a re-appended id
-    // landing in more than one touched shard, and in both the
-    // existing graph AND the delta; an id-only join would fan out
-    // across those shards and write duplicated graph rows into every
-    // rebuilt one. The delta's attr row lands at its ASSIGNED
-    // cluster; existing attrs keep their stored cluster; where both
-    // claim the same (cluster, vec_id) the delta's row wins — it is
-    // the newest write, the upsert semantics the CDC path expects.
-    val deltaAttrs = assigned.toDF()
-      .select(col("cluster"), col("id").as("vec_id"))
-      .join(df.select(
-        col(idCol).cast("long").as("vec_id") +: attrs.map(col): _*),
-        Seq("vec_id"))
-      .select(col("cluster") +: col("vec_id") +: attrs.map(col): _*)
-    val rebuilt = if (attrs.isEmpty) rebuiltBare
-      else rebuiltBare.join(
-        if (hasGraph)
-          deltaAttrs.unionByName(
-            spark.read.parquet(s"$indexPath/graph")
-              .filter(col("cluster").isin(touched.toIndexedSeq: _*))
-              .select(col("cluster") +: col("vec_id") +: attrs.map(col): _*)
-              .join(deltaAttrs.select(col("cluster"), col("vec_id")),
-                Seq("cluster", "vec_id"), "left_anti"))
-        else deltaAttrs,
-        Seq("cluster", "vec_id"))
+        shardInput(spark.read.parquet(s"$indexPath/graph")
+            .filter(col("cluster").isin(touched.toIndexedSeq: _*)),
+          col("cluster"), col("vec_id"), col("vec"),
+          delta = false, attrs)
+      else assigned.limit(0)
+    // attrs CARRY through the rebuild's own shuffle with the pinned
+    // per-(cluster, vec_id) delta-wins precedence (round-15 ADVICE,
+    // now resolved inside the shard group — round-16 removed the
+    // post-build join that re-shuffled every heavy graph row): the
+    // delta's attr row lands at its ASSIGNED cluster; existing attrs
+    // keep their stored cluster; where both claim the same
+    // (cluster, vec_id) the delta's row wins — the newest write, the
+    // upsert semantics the CDC path expects. The tolerated
+    // re-appended-id state still never fans out graph rows (HnswSpec).
+    val rebuilt = buildShardsCarryingAttrs(
+      existing.unionByName(assigned), attrs, m, efC)
     val prev = spark.conf.getOption(
       "spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -828,51 +888,121 @@ object Hnsw {
     if (perShard.isEmpty) return 0L
     val nDel = perShard.values.sum
     val touched = perShard.keys.toArray.sorted
-    val (keep, scratch) = graft.operators.Materialize.viaScratchWithPath(
-      keepRows(graph.filter(col("cluster").isin(touched.toIndexedSeq: _*)))
-        .select(col("cluster") +: col("vec_id") +: col("vec") +:
-          attrs.map(col): _*),
-      "graft-hnsw-del")
-    try {
-      val survivors = keep
-        .select(col("cluster"), col("vec_id").as("id"), col("vec"))
-        .as[(Int, Long, Seq[Float])]
-      val rebuiltBare = survivors
-        .groupByKey(_._1)
-        .flatMapGroups((cl, it) =>
-          buildShard(cl, it.map(r => (r._2, r._3)), m, efC))
-        .toDF()
-      // attrs re-join on (cluster, vec_id), not vec_id alone: the
-      // append contract tolerates a re-appended id landing in more
-      // than one touched shard, and an id-only join would fan out
-      // across those shards and duplicate graph rows in every
-      // rebuilt shard (round-14 ADVICE)
-      val rebuilt = if (attrs.isEmpty) rebuiltBare
-        else rebuiltBare.join(
-          keep.select(col("cluster") +: col("vec_id") +: attrs.map(col): _*),
-          Seq("cluster", "vec_id"))
-      val emptied = touched.filterNot(
-        keep.select(col("cluster")).distinct()
-          .collect().map(_.getInt(0)).toSet)
-      val prev = spark.conf.getOption(
-        "spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try rebuilt.write.partitionBy("cluster").mode("overwrite")
-        .parquet(s"$indexPath/graph")
-      finally prev match {
-        case Some(v) => spark.conf.set(
-          "spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset(
-          "spark.sql.sources.partitionOverwriteMode")
-      }
-      val fs = new org.apache.hadoop.fs.Path(s"$indexPath/graph")
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$indexPath/graph/cluster=$c"), true)
-      }
+    // survivors rebuild with their attrs CARRIED through the shard
+    // group (round-16; the old form re-joined them onto the built
+    // graph, re-shuffling every heavy row), written ONCE into a
+    // sibling rewrite dir and swapped in at the fs level
+    // (Ivf.rewriteSwap — the scratch + dynamic-overwrite pair wrote
+    // every surviving row twice and paid two extra jobs per delete);
+    // the emptied-shard case falls out of the swap (no output dir →
+    // the touched dir is just deleted)
+    val rebuilt = buildShardsCarryingAttrs(
+      shardInput(
+        keepRows(graph.filter(col("cluster").isin(touched.toIndexedSeq: _*))),
+        col("cluster"), col("vec_id"), col("vec"),
+        delta = false, attrs),
+      attrs, m, efC)
+    Ivf.rewriteSwap(spark, s"$indexPath/graph", rebuilt, touched)
+    Ivf.writeCountFile(spark, s"$indexPath/_ROWS",
+      footerShardSizes(spark, indexPath).values.sum)
+    nDel
+  }
+
+  /** Fused DELETE-THEN-APPEND — one CDC epoch against the graph index
+    * in a SINGLE touched-shard rebuild (round-16 optimization).
+    * [[deleteFromIndex]] followed by [[appendToIndex]] rebuilds every
+    * shard touched by both halves TWICE ([[buildShard]] is the
+    * dominant per-epoch cost); because buildShard's output is a pure
+    * function of the row SET, rebuilding once from
+    * (survivors ∪ assigned delta) produces the byte-identical final
+    * graph — same rows, same adjacency, same meters (UpsertFusionSpec
+    * pins the equivalence; the q_v_stream_hnsw* oracles check it end
+    * to end). Shards touched by neither half keep their files
+    * byte-identical. Returns the number of rows deleted.
+    */
+  def upsertToIndex(spark: SparkSession, indexPath: String,
+                    predicate: org.apache.spark.sql.Column,
+                    delta: org.apache.spark.sql.DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Long =
+    upsertImpl(spark, indexPath,
+      matchRows = _.filter(predicate),
+      keepRows = _.filter(!(predicate <=> lit(true))),
+      delta, idCol, vecCol)
+
+  /** [[upsertToIndex]] with the touched ids as a DISTRIBUTED relation
+    * — the bulk-epoch form; see [[deleteIdsFromIndex]].
+    */
+  def upsertIdsToIndex(spark: SparkSession, indexPath: String,
+                       ids: org.apache.spark.sql.DataFrame,
+                       delta: org.apache.spark.sql.DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Long = {
+    val sel = ids.select(col(idCol).as("vec_id")).distinct()
+    upsertImpl(spark, indexPath,
+      matchRows = _.join(sel, Seq("vec_id"), "left_semi"),
+      keepRows = _.join(sel, Seq("vec_id"), "left_anti"),
+      delta, idCol, vecCol)
+  }
+
+  private def upsertImpl(spark: SparkSession, indexPath: String,
+      matchRows: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      keepRows: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String): Long = {
+    import spark.implicits._
+    val (m, efC) = markerParams(spark, indexPath)
+    val attrs = markerAttrs(spark, indexPath)
+    val missing = attrs.filterNot(delta.columns.contains)
+    require(missing.isEmpty,
+      s"index at $indexPath stores attribute column(s) ${attrs.mkString(",")}; " +
+        s"the upsert delta lacks ${missing.mkString(",")}")
+    val model = Ivf.loadModelCached(spark, s"$indexPath/centroids")
+    val hasGraph = Ivf.hasParquetFiles(spark, s"$indexPath/graph")
+    // the append half's legacy-index contract (round-12 ADVICE): a
+    // pre-meter index stamps its base from the as-mutated-by-the-
+    // delete-half count — exactly what the sequential appendToIndex
+    // would have read — so the drift meter starts from this epoch
+    val preRows =
+      if (Ivf.readCountFile(spark, s"$indexPath/_ROWS_BASE").isEmpty)
+        Some(footerShardSizes(spark, indexPath).values.sum)
+      else None
+    val assigned = shardInput(
+      Ivf.assign(delta.filter(col(vecCol).isNotNull), model, vecCol),
+      col("cluster"), col(idCol), col(vecCol), delta = true, attrs)
+    val touchedAppend = assigned.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0))
+    var nDel = 0L
+    var touchedDel = Array.empty[Int]
+    if (hasGraph) {
       spark.catalog.refreshByPath(s"$indexPath/graph")
-    } finally scratch.drop()
+      val perShard = matchRows(spark.read.parquet(s"$indexPath/graph"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      nDel = perShard.values.sum
+      touchedDel = perShard.keys.toArray
+    }
+    val rebuildSet = (touchedDel ++ touchedAppend).distinct.sorted
+    if (rebuildSet.isEmpty) return 0L   // empty epoch: nothing touched
+    // survivors of every rebuilt shard: delete-touched shards lose
+    // their matching rows; append-only shards keep everything (the
+    // keepRows filter provably matches nothing there). Attrs CARRY
+    // through the shard group with the pinned delta-wins precedence
+    // (round-16; see buildShardsCarryingAttrs).
+    val keep =
+      if (hasGraph)
+        shardInput(
+          keepRows(spark.read.parquet(s"$indexPath/graph")
+            .filter(col("cluster").isin(rebuildSet.toIndexedSeq: _*))),
+          col("cluster"), col("vec_id"), col("vec"),
+          delta = false, attrs)
+      else assigned.limit(0)
+    val rebuilt = buildShardsCarryingAttrs(
+      keep.unionByName(assigned), attrs, m, efC)
+    Ivf.rewriteSwap(spark, s"$indexPath/graph", rebuilt, rebuildSet)
+    preRows.foreach(pre =>
+      Ivf.writeCountFile(spark, s"$indexPath/_ROWS_BASE", pre - nDel))
     Ivf.writeCountFile(spark, s"$indexPath/_ROWS",
       footerShardSizes(spark, indexPath).values.sum)
     nDel
@@ -891,24 +1021,22 @@ object Hnsw {
     val sub = Ivf.train(shard, k = 2, iters = iters, seed = seed,
       idCol = "id", vecCol = "vec")
     val newId = model.centroids.length
-    val rebuiltBare = shard
-      .select(
-        when(element_at(
-          nearestCentroids(col("vec"), sub.centroids, 1), 1) === 0,
-          lit(cluster)).otherwise(lit(newId)).as("cluster"),
-        col("id"), col("vec"))
-      .as[(Int, Long, Seq[Float])]
-      .groupByKey(_._1)
-      .flatMapGroups((cl, it) =>
-        buildShard(cl, it.map(r => (r._2, r._3)), m, efC))
-      .toDF()
-    // an attribute-carrying index keeps its attrs through the split
-    // (the appendToIndex contract: the split rows already carry them)
+    // an attribute-carrying index keeps its attrs through the split,
+    // CARRIED through the rebuild's own shuffle (round-16; the old
+    // vec_id-only post-build join both re-shuffled every heavy row
+    // and could fan out duplicated rows in the tolerated
+    // re-appended-id state — the same shape the round-15 ADVICE fixed
+    // on the delete path)
     val attrs = markerAttrs(spark, indexPath)
-    val rebuilt = if (attrs.isEmpty) rebuiltBare
-      else rebuiltBare.join(
-        shardAll.select(col("vec_id") +: attrs.map(col): _*),
-        Seq("vec_id"))
+    val rebuilt = buildShardsCarryingAttrs(
+      shardInput(
+        shardAll.withColumn("__newcl",
+          when(element_at(
+            nearestCentroids(col("vec"), sub.centroids, 1), 1) === 0,
+            lit(cluster)).otherwise(lit(newId))),
+        col("__newcl"), col("vec_id"), col("vec"),
+        delta = false, attrs),
+      attrs, m, efC)
     val prev = spark.conf.getOption(
       "spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -1032,24 +1160,13 @@ object Hnsw {
     val touched = frag.keys.toArray.sorted
     spark.catalog.refreshByPath(s"$indexPath/graph")
     val graph = spark.read.parquet(s"$indexPath/graph")
-    val (keep, scratch) = Materialize.viaScratchWithPath(
-      graph.filter(col("cluster").isin(touched.toIndexedSeq: _*)),
-      "graft-hnsw-compact")
-    try {
-      val prev = spark.conf.getOption(
-        "spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try keep.repartition(touched.length, col("cluster"))
-        .write.partitionBy("cluster").mode("overwrite")
-        .parquet(s"$indexPath/graph")
-      finally prev match {
-        case Some(v) => spark.conf.set(
-          "spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset(
-          "spark.sql.sources.partitionOverwriteMode")
-      }
-      spark.catalog.refreshByPath(s"$indexPath/graph")
-    } finally scratch.drop()
+    // one write, fs-level swap (round-16; see Ivf.rewriteSwap): the
+    // old scratch + dynamic-overwrite pair wrote every compacted row
+    // twice
+    Ivf.rewriteSwap(spark, s"$indexPath/graph",
+      graph.filter(col("cluster").isin(touched.toIndexedSeq: _*))
+        .repartition(touched.length, col("cluster")),
+      touched)
     touched.length
   }
 

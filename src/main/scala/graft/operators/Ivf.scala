@@ -304,19 +304,40 @@ object Ivf {
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): Unit = {
     val spark = df.sparkSession
+    val corpusSchema = storedCorpusSchema(spark, indexPath)
+    encodeForCorpus(df, indexPath, corpusSchema, vecCol)
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$indexPath/corpus")
+    writeRowCount(spark, indexPath): Unit
+  }
+
+  /** The stored corpus column set: inferred from the live parquet, or
+    * — for an index deleted to EMPTY (all-tombstone CDC epoch), which
+    * has no parquet left — the build-time _SCHEMA record, so the next
+    * append resurrects the corpus instead of crashing on schema
+    * inference (round-14 ADVICE); a pre-_SCHEMA artifact in that
+    * state gets a loud, actionable error instead of Spark's "unable
+    * to infer schema".
+    */
+  private def storedCorpusSchema(spark: SparkSession, indexPath: String)
+      : org.apache.spark.sql.types.StructType =
+    if (hasParquetFiles(spark, s"$indexPath/corpus"))
+      spark.read.parquet(s"$indexPath/corpus").schema
+    else readSchemaFile(spark, s"$indexPath/_SCHEMA").getOrElse(
+      sys.error(s"index corpus at $indexPath is empty and predates " +
+        "the _SCHEMA record; rebuild via ensureIndex"))
+
+  /** Encode an append delta to the stored corpus layout: assign to
+    * the EXISTING centroids and derive exactly the auxiliary columns
+    * the schema says the corpus stores (q8 / sign-packed / mrl prefix
+    * / PQ codes, residual or plain) — retraining any of them would
+    * silently invalidate every previously stored row.
+    */
+  private def encodeForCorpus(df: DataFrame, indexPath: String,
+      corpusSchema: org.apache.spark.sql.types.StructType,
+      vecCol: String): DataFrame = {
+    val spark = df.sparkSession
     val model = loadModelCached(spark, s"$indexPath/centroids")
-    // an index deleted to EMPTY (all-tombstone CDC epoch) has no
-    // parquet left to infer the column set from — fall back to the
-    // build-time _SCHEMA record so the next append resurrects the
-    // corpus instead of crashing on schema inference (round-14
-    // ADVICE); a pre-_SCHEMA artifact in that state gets a loud,
-    // actionable error instead of Spark's "unable to infer schema"
-    val corpusSchema =
-      if (hasParquetFiles(spark, s"$indexPath/corpus"))
-        spark.read.parquet(s"$indexPath/corpus").schema
-      else readSchemaFile(spark, s"$indexPath/_SCHEMA").getOrElse(
-        sys.error(s"index corpus at $indexPath is empty and predates " +
-          "the _SCHEMA record; rebuild via ensureIndex"))
     val assigned = assign(df.filter(col(vecCol).isNotNull), model, vecCol)
     val q8a = if (corpusSchema.fieldNames.contains("q8"))
       graft.functions.VectorFunctions.withQuantizedInt8(assigned, vecCol)
@@ -352,9 +373,74 @@ object Ivf {
       else Pq.withCodes(q8, pqm, vecCol)
     } else q8
     out.select(corpusSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Fused DELETE-THEN-APPEND — one epoch of the vector-DB write path
+    * in a single maintenance pass (round-16 optimization). Produces
+    * the index state [[deleteFromIndex]] followed by [[appendToIndex]]
+    * would (same survivors, same encoded delta rows, same meters) but
+    * shares one corpus scan, one schema probe, one footer restamp and
+    * one listing refresh between the two halves, instead of paying
+    * each twice. The streaming CDC path is the caller; both delete
+    * forms exist exactly as on the standalone path (`isin` literal
+    * predicate under the driver cap, distributed id relation past it).
+    * Returns the number of rows deleted.
+    */
+  def upsertToIndex(spark: SparkSession, indexPath: String,
+                    predicate: org.apache.spark.sql.Column,
+                    delta: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Long =
+    upsertImpl(spark, indexPath,
+      matchRows = _.filter(predicate),
+      keepRows = _.filter(!(predicate <=> lit(true))),
+      delta, vecCol)
+
+  /** [[upsertToIndex]] with the touched ids as a DISTRIBUTED relation
+    * — the bulk-epoch form; see [[deleteIdsFromIndex]].
+    */
+  def upsertIdsToIndex(spark: SparkSession, indexPath: String,
+                       ids: DataFrame, delta: DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Long = {
+    val sel = ids.select(col(idCol)).distinct()
+    upsertImpl(spark, indexPath,
+      matchRows = _.join(sel, Seq(idCol), "left_semi"),
+      keepRows = _.join(sel, Seq(idCol), "left_anti"),
+      delta, vecCol)
+  }
+
+  private def upsertImpl(spark: SparkSession, indexPath: String,
+                         matchRows: DataFrame => DataFrame,
+                         keepRows: DataFrame => DataFrame,
+                         delta: DataFrame, vecCol: String): Long = {
+    val corpusExists = hasParquetFiles(spark, s"$indexPath/corpus")
+    if (corpusExists) spark.catalog.refreshByPath(s"$indexPath/corpus")
+    // schema BEFORE the delete half: the rewrite preserves the column
+    // set, so this equals what a post-delete probe would read
+    val corpusSchema = storedCorpusSchema(spark, indexPath)
+    var nDel = 0L
+    if (corpusExists) {
+      val corpus = spark.read.parquet(s"$indexPath/corpus")
+      val perCluster = matchRows(corpus).groupBy(col("cluster"))
+        .agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      if (perCluster.nonEmpty) {
+        nDel = perCluster.values.sum
+        val touched = perCluster.keys.toArray.sorted
+        rewriteSwap(spark, s"$indexPath/corpus",
+          keepRows(corpus.filter(
+            col("cluster").isin(touched.toIndexedSeq: _*))),
+          touched)
+      }
+    }
+    encodeForCorpus(delta, indexPath, corpusSchema, vecCol)
       .write.mode("append").partitionBy("cluster")
       .parquet(s"$indexPath/corpus")
-    writeRowCount(spark, indexPath)
+    if (hasParquetFiles(spark, s"$indexPath/corpus"))
+      writeRowCount(spark, indexPath)
+    else writeCountFile(spark, s"$indexPath/_ROWS", 0L)
+    nDel
   }
 
   /** Does the index's `_INDEX_READY` fingerprint mark a
@@ -438,42 +524,70 @@ object Ivf {
     val nDel = perCluster.values.sum
     val touched = perCluster.keys.toArray.sorted
     // keep = touched-cluster rows the predicate does NOT provably
-    // match; materialize through scratch so the overwrite never races
-    // its own read of the files it replaces
-    val (keep, scratch) = Materialize.viaScratchWithPath(
+    // match, written ONCE into a sibling rewrite dir and swapped in
+    // at the fs level (round-16: the scratch-materialize +
+    // dynamic-overwrite pair wrote every surviving row twice and
+    // spent two extra jobs — the distinct-cluster collect and the
+    // second write — per delete)
+    rewriteSwap(spark, s"$indexPath/corpus",
       keepRows(corpus.filter(col("cluster").isin(touched.toIndexedSeq: _*))),
-      "graft-ivf-del")
-    try {
-      val emptied = touched.filterNot(
-        keep.select(col("cluster")).distinct()
-          .collect().map(_.getInt(0)).toSet)
-      val prev = spark.conf.getOption(
-        "spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try keep.write.partitionBy("cluster").mode("overwrite")
-        .parquet(s"$indexPath/corpus")
-      finally prev match {
-        case Some(v) => spark.conf.set(
-          "spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset(
-          "spark.sql.sources.partitionOverwriteMode")
-      }
-      val fs = new org.apache.hadoop.fs.Path(s"$indexPath/corpus")
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$indexPath/corpus/cluster=$c"), true)
-      }
-      // the fs-level dir removals bypass Spark's write-path cache
-      // invalidation — refresh so later reads see the new listing
-      spark.catalog.refreshByPath(s"$indexPath/corpus")
-    } finally scratch.drop()
+      touched)
     // an index deleted to empty has no parquet left to infer a
     // schema from — record the zero directly
     if (hasParquetFiles(spark, s"$indexPath/corpus"))
       writeRowCount(spark, indexPath)
     else writeCountFile(spark, s"$indexPath/_ROWS", 0L)
     nDel
+  }
+
+  /** Replace the `touched` `cluster=N` partition dirs under `dataDir`
+    * with `rows`' content in ONE write: `rows` lands cluster-
+    * partitioned in a dot-prefixed sibling dir on the same filesystem
+    * (invisible to Spark reads), then each touched dir is swapped in
+    * with fs-level delete + rename. A touched cluster with no output
+    * rows is simply deleted — the emptied-partition case. Untouched
+    * partitions' files stay byte-identical (their dirs are never
+    * listed, let alone rewritten). Crash mid-swap leaves the same
+    * non-atomic window the dynamic-overwrite commit had; callers that
+    * need atomicity wrap in their own ledger, unchanged.
+    *
+    * This is the round-16 write-path optimization shared by the
+    * delete/upsert/compaction rewrites of BOTH index engines: the
+    * previous shape (materialize keep rows through scratch, then
+    * dynamic-partition-overwrite from the scratch) wrote every
+    * surviving row twice and paid two extra Spark jobs per mutation.
+    */
+  private[operators] def rewriteSwap(spark: SparkSession, dataDir: String,
+                                     rows: DataFrame,
+                                     touched: Array[Int]): Unit = {
+    val dataPath = new org.apache.hadoop.fs.Path(dataDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dataPath.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dataPath.getParent,
+      s".rewrite-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      rows.write.partitionBy("cluster").mode("overwrite")
+        .parquet(tmp.toString)
+      val present: Set[String] =
+        if (fs.exists(tmp))
+          fs.listStatus(tmp).iterator
+            .filter(s => s.isDirectory &&
+              s.getPath.getName.startsWith("cluster="))
+            .map(_.getPath.getName).toSet
+        else Set.empty
+      fs.mkdirs(dataPath)
+      touched.foreach { c =>
+        val name = s"cluster=$c"
+        val live = new org.apache.hadoop.fs.Path(dataPath, name)
+        fs.delete(live, true)
+        if (present(name))
+          require(fs.rename(new org.apache.hadoop.fs.Path(tmp, name), live),
+            s"partition swap failed for $name under $dataDir")
+      }
+    } finally fs.delete(tmp, true)
+    // the fs-level moves bypass Spark's write-path cache invalidation
+    // — refresh so later reads see the new listing
+    spark.catalog.refreshByPath(dataDir)
   }
 
   /** Any parquet part file under `dir` (recursive)? Footer-free probe
@@ -499,8 +613,36 @@ object Ivf {
     * execution).
     */
   private[graft] def writeRowCount(spark: SparkSession, path: String): Long = {
-    val n = spark.read.parquet(s"$path/corpus").count()
+    // footer metadata walk, not a Spark count job (round-16): the
+    // record counts are already in every file's footer, so the
+    // restamp after a mutation is a driver-side listing — the same
+    // discipline as Hnsw.footerShardSizes — instead of a cluster-wide
+    // scan job per append/delete
+    val n = footerRowCount(spark, s"$path/corpus")
     writeCountFile(spark, s"$path/_ROWS", n)
+    n
+  }
+
+  /** Total record count under `dir` from parquet FOOTERS only — a
+    * recursive driver-side listing, no Spark job.
+    */
+  private[graft] def footerRowCount(spark: SparkSession,
+                                    dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0L
+    var n = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f.getPath, conf))
+        try n += rdr.getRecordCount finally rdr.close()
+      }
+    }
     n
   }
 
@@ -616,24 +758,12 @@ object Ivf {
     val touched = frag.keys.toArray.sorted
     spark.catalog.refreshByPath(s"$indexPath/corpus")
     val corpus = spark.read.parquet(s"$indexPath/corpus")
-    val (keep, scratch) = Materialize.viaScratchWithPath(
-      corpus.filter(col("cluster").isin(touched.toIndexedSeq: _*)),
-      "graft-ivf-compact")
-    try {
-      val prev = spark.conf.getOption(
-        "spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try keep.repartition(touched.length, col("cluster"))
-        .write.partitionBy("cluster").mode("overwrite")
-        .parquet(s"$indexPath/corpus")
-      finally prev match {
-        case Some(v) => spark.conf.set(
-          "spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset(
-          "spark.sql.sources.partitionOverwriteMode")
-      }
-      spark.catalog.refreshByPath(s"$indexPath/corpus")
-    } finally scratch.drop()
+    // one write, fs-level swap (round-16; see rewriteSwap): the old
+    // scratch + dynamic-overwrite pair wrote every compacted row twice
+    rewriteSwap(spark, s"$indexPath/corpus",
+      corpus.filter(col("cluster").isin(touched.toIndexedSeq: _*))
+        .repartition(touched.length, col("cluster")),
+      touched)
     touched.length
   }
 

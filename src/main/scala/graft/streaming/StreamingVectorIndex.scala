@@ -54,11 +54,12 @@ object StreamingVectorIndex {
                    maxInlineDeleteIds: Int = 10000): Unit =
     upsertStreamImpl(spark, feedDir, checkpoint, idCol, opCol,
       maxInlineDeleteIds,
-      deleteFn = p => { Ivf.deleteFromIndex(spark, indexPath, p); () },
-      deleteIdsFn = ids => {
-        Ivf.deleteIdsFromIndex(spark, indexPath, ids, idCol); ()
+      upsertFn = (p, d) => {
+        Ivf.upsertToIndex(spark, indexPath, p, d, idCol, vecCol); ()
       },
-      appendFn = d => Ivf.appendToIndex(d, indexPath, idCol, vecCol))
+      upsertIdsFn = (ids, d) => {
+        Ivf.upsertIdsToIndex(spark, indexPath, ids, d, idCol, vecCol); ()
+      })
 
   /** The graph twin: same epoch contract against an HNSW index —
     * deletes rebuild touched shards canonically, appends route
@@ -72,23 +73,21 @@ object StreamingVectorIndex {
                        maxInlineDeleteIds: Int = 10000): Unit =
     upsertStreamImpl(spark, feedDir, checkpoint, idCol, opCol,
       maxInlineDeleteIds,
-      deleteFn = p => {
-        graft.operators.Hnsw.deleteFromIndex(spark, indexPath, p); ()
+      upsertFn = (p, d) => {
+        graft.operators.Hnsw.upsertToIndex(spark, indexPath, p, d,
+          idCol, vecCol); ()
       },
-      deleteIdsFn = ids => {
-        graft.operators.Hnsw.deleteIdsFromIndex(spark, indexPath, ids,
-          idCol); ()
-      },
-      appendFn = d =>
-        graft.operators.Hnsw.appendToIndex(d, indexPath, idCol, vecCol))
+      upsertIdsFn = (ids, d) => {
+        graft.operators.Hnsw.upsertIdsToIndex(spark, indexPath, ids, d,
+          idCol, vecCol); ()
+      })
 
   private def upsertStreamImpl(spark: SparkSession, feedDir: String,
                    checkpoint: String, idCol: String,
                    opCol: Option[String],
                    maxInlineDeleteIds: Int,
-                   deleteFn: org.apache.spark.sql.Column => Unit,
-                   deleteIdsFn: DataFrame => Unit,
-                   appendFn: DataFrame => Unit): Unit = {
+                   upsertFn: (org.apache.spark.sql.Column, DataFrame) => Unit,
+                   upsertIdsFn: (DataFrame, DataFrame) => Unit): Unit = {
     val schema = spark.read.parquet(feedDir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -105,25 +104,28 @@ object StreamingVectorIndex {
           .select(col(idCol) +: others.map(c => col(s"__u.$c").as(c)): _*)
         // delete-then-append touches every id in the batch regardless
         // of op (a tombstoned id deletes and is not re-appended; an
-        // upserted id deletes its old version first). Two delete
-        // paths by batch size (round-15 VERDICT #4): up to
-        // maxInlineDeleteIds the touched set collects to ONE `isin`
-        // literal predicate (cheapest plan — the list folds into the
-        // scan filter, no join); past it — a bulk-delete epoch — the
-        // ids stay a DataFrame and the delete is a write-side
-        // semi/anti join, so the driver never materializes the list.
-        // Both paths produce the identical index state (spec-pinned).
-        // ONE job decides the route: collect at most cap+1 ids — a
-        // full result means the batch is over the cap (and the driver
-        // never held more than cap+1 ids), without a separate count
+        // upserted id deletes its old version first) — applied as ONE
+        // fused upsert pass (round-16: the sequential delete + append
+        // rebuilt every doubly-touched partition twice; the fused form
+        // rebuilds once and produces the identical index state,
+        // UpsertFusionSpec). Two delete forms by batch size (round-15
+        // VERDICT #4): up to maxInlineDeleteIds the touched set
+        // collects to ONE `isin` literal predicate (cheapest plan —
+        // the list folds into the scan filter, no join); past it — a
+        // bulk-delete epoch — the ids stay a DataFrame and the delete
+        // half is a write-side semi/anti join, so the driver never
+        // materializes the list. Both forms produce the identical
+        // index state (spec-pinned). ONE job decides the route:
+        // collect at most cap+1 ids — a full result means the batch
+        // is over the cap (and the driver never held more than cap+1
+        // ids), without a separate count
         val touchedIds = batch.select(col(idCol)).distinct()
         val probe = touchedIds.limit(maxInlineDeleteIds + 1)
           .collect().map(_.get(0)).toIndexedSeq
         if (probe.nonEmpty) {
           if (probe.size <= maxInlineDeleteIds)
-            deleteFn(col(idCol).isin(probe: _*))
-          else deleteIdsFn(touchedIds)
-          if (!latest.isEmpty) appendFn(latest)
+            upsertFn(col(idCol).isin(probe: _*), latest)
+          else upsertIdsFn(touchedIds, latest)
         }
         ()
       }

@@ -567,18 +567,24 @@ class HnswSpec extends SparkSpec {
     val idx = s"$base/idx"
     val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
     val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
-    // attr-carrying: the rebuild's attr re-join shuffles rows across
-    // tasks before the partitioned write, so touched shards land in
-    // MANY files — exactly the fragmentation regime the meter is for.
-    // At spec scale AQE coalesces the tiny shuffle to one partition
-    // and hides it; disable coalescing so the at-scale multi-task
-    // layout (one file per task per shard) surfaces here.
     Hnsw.ensureIndex(half0, src, idx, shards = 4, m = 8, efC = 32,
       attrCols = Seq("label"))
     withoutAqeCoalesce { Hnsw.appendToIndex(half1, idx) }
+    // round-16 pin: the rebuild CARRIES attrs through its own shuffle,
+    // so an attr-carrying append leaves ONE file per touched shard
+    // even with AQE coalescing off — the old attr-re-join scatter
+    // (which this test used as its fragmentation construction) is
+    // gone by design
+    assert(Hnsw.filesPerShard(spark, idx).values.forall(_ == 1),
+      s"an append must leave one file per shard: " +
+        s"${Hnsw.filesPerShard(spark, idx)}")
+    // fragment at the FILE level (the layout an external multi-writer
+    // ingest or object-store copy leaves): same rows, many files —
+    // what compactShards exists to mop up
+    fragmentShards(idx, copies = 3)
     val frag = Hnsw.filesPerShard(spark, idx)
     assert(frag.values.exists(_ > 1),
-      s"construction: the attr-join append must fragment: $frag")
+      s"construction: the file-level fixture must fragment: $frag")
     assert(Hnsw.needsCompaction(spark, idx, maxFilesPerShard = 1))
     val before = spark.read.parquet(s"$idx/graph")
       .collect().map(_.toSeq).toSet
@@ -591,14 +597,10 @@ class HnswSpec extends SparkSpec {
       "compaction must be content-invisible")
     assert(Hnsw.compactShards(spark, idx) == 0,
       "no-op when unfragmented")
-    // refragment a SUBSET of shards (3 new ids touch <= 3 of the 4),
-    // then pin that compaction leaves single-file shards untouched
-    withoutAqeCoalesce {
-      Hnsw.appendToIndex(
-        emb.filter(col("vec_id").isin(1L, 2L, 3L))
-          .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"),
-            col("label")), idx)
-    }
+    // refragment a SUBSET of shards, then pin that compaction leaves
+    // single-file shards untouched
+    fragmentShards(idx, copies = 2,
+      only = Hnsw.filesPerShard(spark, idx).keySet.take(2))
     val fragNow = Hnsw.filesPerShard(spark, idx)
     val singles = fragNow.filter(_._2 == 1).keySet
     assert(singles.nonEmpty,
@@ -618,14 +620,45 @@ class HnswSpec extends SparkSpec {
     val got = Hnsw.searchIndex(spark, idx, q, k = 5, nprobe = 4, ef = 0)
       .select("q_id", "rank", "n_id").as[(Long, Int, Long)]
       .collect().toSet
-    val want = SimilaritySearch.bruteForceTopK(
-        emb.unionByName(emb.filter(col("vec_id").isin(1L, 2L, 3L))
-          .select((col("vec_id") + 9000L).as("vec_id"),
-            col("embedding"), col("label"))),
-        q, k = 5)
+    val want = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
       .select("q_id", "rank", "n_id").as[(Long, Int, Long)]
       .collect().toSet
     assert(got == want, "post-compaction search != brute force")
+  }
+
+  /** File-level fragmentation fixture: rewrite each (selected) shard's
+    * rows across `copies` part files — content-identical, many-file
+    * layout, the state an external multi-writer ingest leaves and the
+    * one compactShards exists to mop up. (The engine's own rebuilds
+    * stopped producing fragmentation in round 16: attrs carry through
+    * the rebuild shuffle, so a touched shard lands as one file.)
+    */
+  private def fragmentShards(idx: String, copies: Int,
+                             only: Set[Int] = Set.empty): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val clusters = Hnsw.filesPerShard(spark, idx).keySet
+      .filter(c => only.isEmpty || only(c))
+    clusters.foreach { c =>
+      val dirStr = s"$idx/graph/cluster=$c"
+      val dir = new org.apache.hadoop.fs.Path(dirStr)
+      val fs = dir.getFileSystem(conf)
+      val rows = spark.read.parquet(dirStr)
+      val tmp = new org.apache.hadoop.fs.Path(
+        tmpDir(s"frag-$c"), "out")
+      rows.repartition(copies).write.mode("overwrite")
+        .parquet(tmp.toString)
+      fs.listStatus(dir).foreach { f =>
+        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+          fs.delete(f.getPath, false)
+      }
+      fs.listStatus(tmp).foreach { f =>
+        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+          fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(dir, f.getPath.getName))
+      }
+      fs.delete(tmp, true)
+    }
+    spark.catalog.refreshByPath(s"$idx/graph")
   }
 
   test("maintain: healthy index is a no-op (files untouched), " +
@@ -652,6 +685,9 @@ class HnswSpec extends SparkSpec {
     assert(shardFiles(idx) == files0,
       "a healthy no-op must not touch any graph file")
     withoutAqeCoalesce { Hnsw.appendToIndex(half1, idx) }
+    // round-16: the rebuild leaves one file per shard, so trip the
+    // compaction axis with the file-level fixture (see fragmentShards)
+    fragmentShards(idx, copies = 2)
     val r1 = Hnsw.maintain(spark, idx, maxFilesPerShard = 1,
       maxAppendedFraction = 0.5, maxShardSkew = 100.0)
     assert(r1.compactedShards > 0, s"fragmented index must compact: $r1")
