@@ -256,6 +256,23 @@ object NativeKernels {
     new GenericArrayData(java.util.Arrays.copyOf(out, u))
   }
 
+  /** |A∩B| of two SORTED long arrays — the allocation-free merge walk
+    * behind the trigram pair verifiers (round-16): `array_intersect`
+    * built a per-pair hash set AND the intersection array just to take
+    * its size.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var inter = 0
@@ -771,6 +788,29 @@ object NativeExpressions {
 
   def sortedJaccard(a: Column, b: Column): Column =
     toCol(SortedJaccard(toExpr(a), toExpr(b)))
+
+  /** |A∩B| of two SORTED long arrays via a linear merge walk —
+    * codegen'd, allocation-free (see NativeKernels.sortedIntersectCount).
+    */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Long.valueOf(NativeKernels.sortedIntersectCount(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"$KernelsCls.sortedIntersectCount($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): SortedIntersectCount =
+      copy(left = l, right = r)
+  }
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
 
   /** Sign-bit packing for binary-quantized ANN (array<float> →
     * array<long> of ⌈d/64⌉ words) — the 32× compression rung below

@@ -105,13 +105,25 @@ object EntityResolution {
     * ρ-exponent recall bound) or key-equality blocking
     * ([[candidatePairs]], linear in records at constant block size).
     */
-  def trigramPairs(
-      records: DataFrame,
-      idCol: String,
-      keyCol: String,
-      minCommon: Int,
-      maxDf: Long = Long.MaxValue): DataFrame = {
-    require(minCommon >= 1, "minCommon must be >= 1")
+  /** Per-record kept-gram arrays as dense LONG RANKS in the global
+    * (df, gram) total order — ascending array ⇒ rarest-first, so the
+    * PPJoin prefix is a plain slice, the posting join keys on a long
+    * instead of a string, and exact verification is an
+    * allocation-free sorted merge count
+    * ([[NativeExpressions.sortedIntersectCount]]) instead of a
+    * per-pair hash-set `array_intersect` (round-16; the rank
+    * substitution is a bijection on kept grams, so every count,
+    * size and threshold downstream is unchanged). The rank table is
+    * built with a distributed sort + zipWithIndex — deterministic,
+    * no single-partition window. Materialized through scratch: the
+    * pair self-join would otherwise recompute the whole subtree once
+    * per side, and the verify-side array reattachment reads it a
+    * third time.
+    */
+  private def rankedGrams(records: DataFrame, idCol: String,
+      keyCol: String, maxDf: Long,
+      scratchPrefix: String): (DataFrame, Materialize.Scratch) = {
+    val spark = records.sparkSession
     val base = records
       .select(col(idCol).as("__id"), col(keyCol).as("__k"))
       .select(col("__id"), array_distinct(expr(
@@ -124,21 +136,32 @@ object EntityResolution {
     val dfTab = exploded.groupBy(col("__g"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
-    // per-record kept-gram array ordered by the GLOBAL (df, gram)
-    // total order — rarest first. Materialized through scratch: the
-    // pair self-join below would otherwise recompute this whole
-    // subtree once per side (plan duplication measured as half the
-    // gate's cost at sf0.1), and the downstream array reattachment
-    // reads it a third time.
-    val (ordered, orderedScratch) = Materialize.viaScratchWithPath(
-      exploded.join(dfTab, "__g")
+    val rankTab = {
+      import spark.implicits._
+      spark.createDataset(
+        dfTab.orderBy(col("__df"), col("__g"))
+          .select(col("__g")).rdd.zipWithIndex()
+          .map { case (r, i) => (r.getString(0), i) })
+        .toDF("__g", "__rk")
+    }
+    Materialize.viaScratchWithPath(
+      exploded.join(rankTab, "__g")
         .groupBy(col("__id"))
-        .agg(transform(
-          sort_array(collect_list(struct(col("__df"), col("__g")))),
-          x => x.getField("__g")).as("__ga"))
-        // fewer than minCommon kept grams can never reach the threshold
-        .filter(size(col("__ga")) >= minCommon),
-      "graft-er-grams")
+        .agg(sort_array(collect_list(col("__rk"))).as("__ga")),
+      scratchPrefix)
+  }
+
+  def trigramPairs(
+      records: DataFrame,
+      idCol: String,
+      keyCol: String,
+      minCommon: Int,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(minCommon >= 1, "minCommon must be >= 1")
+    val (rankedAll, orderedScratch) =
+      rankedGrams(records, idCol, keyCol, maxDf, "graft-er-grams")
+    // fewer than minCommon kept grams can never reach the threshold
+    val ordered = rankedAll.filter(size(col("__ga")) >= minCommon)
     // PPJoin prefix filter: if |A∩B| ≥ t, the (|A|−t+1) rarest grams
     // of A and the (|B|−t+1) rarest of B must share one — joining
     // prefixes only is EXACT, and prunes precisely the frequent grams
@@ -162,8 +185,8 @@ object EntityResolution {
         col("__ga").as("__ka")), s"${idCol}_a")
       .join(ordered.select(col("__id").as(s"${idCol}_b"),
         col("__ga").as("__kb")), s"${idCol}_b")
-      .withColumn("n_common",
-        size(array_intersect(col("__ka"), col("__kb"))).cast("long"))
+      .withColumn("n_common", NativeExpressions.sortedIntersectCount(
+        col("__ka"), col("__kb")))
       .filter(col("n_common") >= minCommon)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("n_common"))
     // pin the result before dropping the scratch the plan reads from
@@ -233,22 +256,8 @@ object EntityResolution {
       maxDf: Long = Long.MaxValue): DataFrame = {
     require(thetaMicros > 0 && thetaMicros <= 1000000L,
       s"thetaMicros in (0, 1e6], got $thetaMicros")
-    val base = records
-      .select(col(idCol).as("__id"), col(keyCol).as("__k"))
-      .select(col("__id"), array_distinct(expr(
-        "transform(sequence(1, greatest(length(__k) - 2, 1))," +
-          " i -> substring(__k, i, 3))")).as("__gs"))
-    val exploded = base.select(col("__id"), explode(col("__gs")).as("__g"))
-    val dfTab = exploded.groupBy(col("__g"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
-    val (ordered, orderedScratch) = Materialize.viaScratchWithPath(
-      exploded.join(dfTab, "__g")
-        .groupBy(col("__id"))
-        .agg(transform(
-          sort_array(collect_list(struct(col("__df"), col("__g")))),
-          x => x.getField("__g")).as("__ga")),
-      "graft-er-jgrams")
+    val (ordered, orderedScratch) =
+      rankedGrams(records, idCol, keyCol, maxDf, "graft-er-jgrams")
     // prefix length |X| − ⌈θ|X|⌉ + 1; sizes AND 1-based prefix
     // positions ride the postings so the length filter applies inside
     // the equi-join and the positional filter right after it
@@ -299,8 +308,8 @@ object EntityResolution {
         col("__ga").as("__ka")), s"${idCol}_a")
       .join(ordered.select(col("__id").as(s"${idCol}_b"),
         col("__ga").as("__kb")), s"${idCol}_b")
-      .withColumn("__n", size(array_intersect(col("__ka"), col("__kb")))
-        .cast("long"))
+      .withColumn("__n", NativeExpressions.sortedIntersectCount(
+        col("__ka"), col("__kb")))
       .withColumn("__u", size(col("__ka")) + size(col("__kb")) - col("__n"))
       .filter(col("__n") * 1000000L >= col("__u") * thetaMicros)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"),
@@ -349,22 +358,8 @@ object EntityResolution {
       maxDf: Long = Long.MaxValue): DataFrame = {
     require(thetaMicros > 0 && thetaMicros <= 1000000L,
       s"thetaMicros in (0, 1e6], got $thetaMicros")
-    val base = records
-      .select(col(idCol).as("__id"), col(keyCol).as("__k"))
-      .select(col("__id"), array_distinct(expr(
-        "transform(sequence(1, greatest(length(__k) - 2, 1))," +
-          " i -> substring(__k, i, 3))")).as("__gs"))
-    val exploded = base.select(col("__id"), explode(col("__gs")).as("__g"))
-    val dfTab = exploded.groupBy(col("__g"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
-    val (ordered, orderedScratch) = Materialize.viaScratchWithPath(
-      exploded.join(dfTab, "__g")
-        .groupBy(col("__id"))
-        .agg(transform(
-          sort_array(collect_list(struct(col("__df"), col("__g")))),
-          x => x.getField("__g")).as("__ga")),
-      "graft-er-cgrams")
+    val (ordered, orderedScratch) =
+      rankedGrams(records, idCol, keyCol, maxDf, "graft-er-cgrams")
     val posting = ordered
       .withColumn("__sz", size(col("__ga")).cast("long"))
       .select(col("__id"), col("__sz"),
@@ -394,8 +389,8 @@ object EntityResolution {
         col("__ga").as("__ka")), s"${idCol}_a")
       .join(ordered.select(col("__id").as(s"${idCol}_b"),
         col("__ga").as("__kb")), s"${idCol}_b")
-      .withColumn("__n", size(array_intersect(col("__ka"), col("__kb")))
-        .cast("long"))
+      .withColumn("__n", NativeExpressions.sortedIntersectCount(
+        col("__ka"), col("__kb")))
       .withColumn("__sa", size(col("__ka")).cast("long"))
       .filter(col("__n") * 1000000L >= col("__sa") * thetaMicros)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"),
