@@ -160,25 +160,65 @@ object Multimodal {
         (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF) Some("image/jpeg")
       else None
 
+    // one ImageReader per (thread, format), reused across rows
+    // (round-16; the writerCache twin): ImageIO.read re-sniffs the
+    // plugin registry and builds a fresh reader per call — the
+    // dominant fixed cost of tiny-frame decodes. Pixels are identical
+    // (same plugin, same setInput(_, true, true) + read(0, default
+    // param) sequence ImageIO.read itself runs); a reader that threw
+    // is disposed and dropped so a later row never sees broken state.
+    private val readerCache =
+      new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+        override def initialValue() =
+          new java.util.HashMap[String, javax.imageio.ImageReader]()
+      }
+
+    /** Full pixel decode of a PNG/JPEG payload through the per-thread
+      * reader cache: null for other formats, undecodable bodies, or
+      * any reader exception — the never-crash-on-one-bad-row ladder
+      * (ImageIO signals corruption BOTH ways, null AND exceptions;
+      * callers see null either way).
+      */
+    private[operators] def readImage(
+        b: Array[Byte]): java.awt.image.BufferedImage =
+      sniff(b) match {
+        case None => null
+        case Some(mime) =>
+          val fmt = if (mime == "image/png") "png" else "jpg"
+          val cache = readerCache.get()
+          var r = cache.get(fmt)
+          if (r == null) {
+            val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+            if (!it.hasNext) return null
+            r = it.next(); cache.put(fmt, r)
+          }
+          try {
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(b))
+            try {
+              r.setInput(iis, true, true)
+              r.read(0, r.getDefaultReadParam)
+            } finally {
+              try iis.close() catch { case _: java.io.IOException => () }
+            }
+          } catch {
+            // NonFatal, not just IOException: ImageIO readers throw
+            // RuntimeExceptions too (IllegalArgumentException,
+            // color-space CMMException, …) on bodies that pass the
+            // magic sniff but are malformed
+            case scala.util.control.NonFatal(_) =>
+              cache.remove(fmt); r.dispose(); null
+          }
+      }
+
     /** `Some(width, height, format)` from a full `ImageIO` pixel
       * decode of a PNG/JPEG payload; None for other formats or a
-      * corrupt body (ImageIO signals corruption BOTH ways — null for
-      * an unclaimed stream, IIOException for a claimed-then-broken
-      * one — and a decode ladder must fall through on either, never
-      * crash the task on one malformed row).
+      * corrupt body.
       */
     def decode(b: Array[Byte]): Option[(Int, Int, String)] =
       sniff(b).flatMap { fmt =>
-        try {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(b))
-          if (img == null) None else Some((img.getWidth, img.getHeight, fmt))
-          // NonFatal, not just IOException: ImageIO readers throw
-          // RuntimeExceptions too (IllegalArgumentException, color-space
-          // CMMException, …) on bodies that pass the magic sniff but are
-          // malformed — the never-crash-on-one-bad-row contract covers
-          // those the same way
-        } catch { case scala.util.control.NonFatal(_) => None }
+        val img = readImage(b)
+        if (img == null) None else Some((img.getWidth, img.getHeight, fmt))
       }
 
     /** Deterministic synthetic image: dims + seed-MIXED pseudo-random
@@ -199,6 +239,12 @@ object Multimodal {
       require(width > 0 && height > 0, "image dims must be positive")
       val img = new java.awt.image.BufferedImage(width, height,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // write the backing int raster directly (round-16): setRGB pays
+      // a ColorModel round-trip per pixel; for TYPE_INT_RGB the
+      // stored word IS the 24-bit value, so the direct store is
+      // bit-identical and skips 100 virtual calls per tiny frame
+      val buf = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
       var y = 0
       while (y < height) {
         var x = 0
@@ -210,7 +256,7 @@ object Multimodal {
           var v = x * 0x9E3779B97F4A7C15L + y * 0xC2B2AE3D27D4EB4FL +
             seed * 0x165667B19E3779F9L
           v ^= v >>> 31; v *= 0xD6E8FEB86659FD93L; v ^= v >>> 29
-          img.setRGB(x, y, (v & 0xFFFFFF).toInt)
+          buf(y * width + x) = (v & 0xFFFFFF).toInt
           x += 1
         }
         y += 1
@@ -227,9 +273,7 @@ object Multimodal {
       * for payloads that are not decodable images.
       */
     def dHash(b: Array[Byte]): Option[Long] = {
-      val src =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-        catch { case scala.util.control.NonFatal(_) => null }
+      val src = readImage(b)
       if (src == null) None else Some(dHashOf(src))
     }
 
@@ -269,9 +313,7 @@ object Multimodal {
       */
     def resize(b: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
       require(w > 0 && h > 0, "resize dims must be positive")
-      val src =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-        catch { case scala.util.control.NonFatal(_) => null }
+      val src = readImage(b)
       if (src == null) None
       else {
         val dst = new java.awt.image.BufferedImage(w, h,
@@ -287,11 +329,39 @@ object Multimodal {
       }
     }
 
+    // one ImageWriter per (thread, format), reused across rows
+    // (round-16): ImageIO.write scans the plugin registry and builds
+    // a fresh writer per call — pure fixed overhead that dominates
+    // tiny-frame encodes. Reuse with setOutput per call produces
+    // byte-identical output (ImageIO.write itself delegates to
+    // writer.write(null, IIOImage, null)); a writer that throws is
+    // disposed and dropped so a later row never sees broken state.
+    private val writerCache =
+      new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageWriter]] {
+        override def initialValue() =
+          new java.util.HashMap[String, javax.imageio.ImageWriter]()
+      }
+
     private def encode(img: java.awt.image.BufferedImage,
                        fmt: String): Array[Byte] = {
+      val cache = writerCache.get()
+      var w = cache.get(fmt)
+      if (w == null) {
+        val it = javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
+        require(it.hasNext, s"no JDK ImageIO writer for '$fmt'")
+        w = it.next(); cache.put(fmt, w)
+      }
       val out = new java.io.ByteArrayOutputStream()
-      require(javax.imageio.ImageIO.write(img, fmt, out),
-        s"no JDK ImageIO writer for '$fmt'")
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      try {
+        w.setOutput(ios)
+        w.write(img)
+      } catch {
+        case e: Throwable =>
+          cache.remove(fmt); w.dispose(); throw e
+      } finally {
+        try ios.close() catch { case _: java.io.IOException => () }
+      }
       out.toByteArray
     }
   }
@@ -935,8 +1005,7 @@ object Multimodal {
                     if (wanted(idx)) {
                       val payload = java.util.Arrays.copyOfRange(b, m + 8,
                         m + 8 + msize)
-                      val img = javax.imageio.ImageIO.read(
-                        new java.io.ByteArrayInputStream(payload))
+                      val img = ImageIoCodec.readImage(payload)
                       if (img == null) ok = false else out += ((idx, img))
                     }
                     idx += 1

@@ -38,6 +38,7 @@ object ProfileR16 {
     args.headOption.getOrElse("hnsw-stream") match {
       case "hnsw-stream" => hnswStream(spark, sfDir)
       case "hnsw-cpt" => hnswCpt(spark, sfDir)
+      case "ivf-stream" => ivfStream(spark, sfDir)
       case "containment" => containment(spark, sfDir)
       case other => sys.error(s"unknown mode $other")
     }
@@ -104,6 +105,56 @@ object ProfileR16 {
       timed("search") {
         Hnsw.searchIndex(spark, idx, emb.filter(col("vec_id") < 16),
           k = 5, nprobe = 4, ef = 0)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+  }
+
+  private def ivfStream(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.Ivf
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (1 to 3).foreach { rep =>
+      println(s"== rep $rep ==")
+      val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_p16_ivf"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val (feed, ckpt, idx) = (s"$scratch/feed", s"$scratch/ckpt",
+        s"$scratch/idx")
+      timed("ensureIndex") {
+        Ivf.ensureIndex(emb, s"$sfDir/embeddings.parquet", idx, k = 4,
+          iters = 2)
+      }
+      val e1 = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => (-x).cast("float"))
+            .as("embedding"), col("label"))
+        .unionByName(emb.filter(col("vec_id") % 5 === 3)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding"), col("label")))
+      timed("epoch1 feed write") {
+        e1.coalesce(1).write.mode("append").parquet(feed)
+      }
+      timed("epoch1 drain (stream)") {
+        graft.streaming.StreamingVectorIndex.upsertStream(spark, feed,
+          idx, ckpt)
+      }
+      timed("epoch2 feed write") {
+        emb.filter(col("vec_id") % 14 === 0)
+          .select(col("vec_id"), col("embedding"), col("label"))
+          .coalesce(1).write.mode("append").parquet(feed)
+      }
+      timed("epoch2 drain (stream)") {
+        graft.streaming.StreamingVectorIndex.upsertStream(spark, feed,
+          idx, ckpt)
+      }
+      timed("search") {
+        val latestQ = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id"),
+            when(col("vec_id") % 7 === 0 && col("vec_id") % 14 =!= 0,
+              transform(col("embedding"), x => (-x).cast("float")))
+              .otherwise(col("embedding")).as("embedding"))
+        Ivf.searchIndex(spark, idx, latestQ, k = 5, nprobe = 4)
           .write.format("noop").mode("overwrite").save()
       }
     }
