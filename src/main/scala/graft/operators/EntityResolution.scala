@@ -356,6 +356,24 @@ object EntityResolution {
       keyCol: String,
       thetaMicros: Long,
       maxDf: Long = Long.MaxValue): DataFrame = {
+    val (out, orderedScratch) = trigramPairsContainmentPlan(
+      records, idCol, keyCol, thetaMicros, maxDf)
+    val pinned = Materialize.viaScratch(out, "graft-er-cpairs")
+    orderedScratch.drop()
+    pinned
+  }
+
+  /** The UNPINNED containment plan plus the gram scratch it reads —
+    * split out so plan evidence (`plans/r16/`) can explain the real
+    * operator pipeline rather than the pinned scratch scan the public
+    * form returns. Callers own the scratch's lifetime.
+    */
+  private[graft] def trigramPairsContainmentPlan(
+      records: DataFrame,
+      idCol: String,
+      keyCol: String,
+      thetaMicros: Long,
+      maxDf: Long = Long.MaxValue): (DataFrame, Materialize.Scratch) = {
     require(thetaMicros > 0 && thetaMicros <= 1000000L,
       s"thetaMicros in (0, 1e6], got $thetaMicros")
     val (ordered, orderedScratch) =
@@ -395,9 +413,7 @@ object EntityResolution {
       .filter(col("__n") * 1000000L >= col("__sa") * thetaMicros)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"),
         expr("(__n * 1000000L) div __sa").as("cont_micros"))
-    val pinned = Materialize.viaScratch(out, "graft-er-cpairs")
-    orderedScratch.drop()
-    pinned
+    (out, orderedScratch)
   }
 
   final case class DfCapStats(grams: Long, droppedGrams: Long,

@@ -6,15 +6,16 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.Ivf
 
-/** Vector-index CDC ingestion — the write path of a vector database,
-  * composed from the two index-maintenance primitives: upserts arrive
-  * as full rows (id, vector, attribute columns…) in epoch files; each
-  * micro-batch applies DELETE-THEN-APPEND against the persisted IVF
-  * index ([[Ivf.deleteFromIndex]] removes the ids' old versions from
-  * their touched posting lists, [[Ivf.appendToIndex]] routes the new
-  * vectors through the existing centroids), so a search immediately
-  * after the stream drains sees exactly the latest version of every
-  * vector — never both, never neither.
+/** Vector-index CDC ingestion — the write path of a vector database:
+  * upserts arrive as full rows (id, vector, attribute columns…) in
+  * epoch files; each micro-batch applies DELETE-THEN-APPEND against
+  * the persisted IVF index as ONE fused maintenance pass
+  * ([[Ivf.upsertToIndex]] — round-16: the sequential
+  * deleteFromIndex + appendToIndex pair rebuilt every doubly-touched
+  * partition twice and paid the corpus scan, schema probe and row
+  * restamp each; the fused pass is state-identical, UpsertFusionSpec),
+  * so a search immediately after the stream drains sees exactly the
+  * latest version of every vector — never both, never neither.
   *
   * `foreachBatch`, not a row transform: index maintenance is a
   * transactional side effect on an external artifact, the same shape

@@ -39,6 +39,18 @@ object ProfileR16 {
       case "hnsw-stream" => hnswStream(spark, sfDir)
       case "hnsw-cpt" => hnswCpt(spark, sfDir)
       case "ivf-stream" => ivfStream(spark, sfDir)
+      case "containment-plan" =>
+        // plan evidence for plans/r16: the UNPINNED operator pipeline
+        // (the public form returns a pinned scratch scan)
+        val recs = graft.StretchQueries.messyNames(spark, sfDir)
+          .select(col("rec_id"), col("name"))
+        val (plan, sc) = graft.operators.EntityResolution
+          .trigramPairsContainmentPlan(recs, "rec_id", "name",
+            thetaMicros = 800000L)
+        println("===== q_e_containment (unpinned pipeline) =====")
+        println(plan.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        sc.drop()
       case "containment" => containment(spark, sfDir)
       case other => sys.error(s"unknown mode $other")
     }
